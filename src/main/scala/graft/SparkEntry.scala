@@ -1,13 +1,715 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+import graft.streaming.EventStream
+
+/** Driver contract (see SURVEY.md §7 + the builder prompt): one entry per
+  * implemented operator, each with a DuckDB-oracle SQL twin where
+  * SQL-expressible. Oracle-parity rules used throughout (SURVEY §7 "hard
+  * parts"): md5-derived determinism instead of rand(), left-fold double
+  * arithmetic for float parity, aggregate rounding for accumulated
+  * doubles, string-rendered timestamps, and explicit BIGINT casts so
+  * DuckDB's HUGEINT sums match Spark's longs.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private val Seed = 42
+  private val ValCount = 350L
+  private val BatchSize = 16
+  private val Epochs = 2
+
+  /** Flagship (SURVEY §7 M1): the reference's full pipeline skeleton on
+    * `part` — sorted-class label dictionary, md5-seeded shuffle with the
+    * scalable range-partitioned rank, exact-count validation split,
+    * epoch repeat, fixed-size batching, per-batch counts. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val part = Tables.part(spark, dir)
+    val dict = Metrics.classDictionary(part, col("p_brand"))
+    val labeled = Metrics.withLabel(part, "p_brand", dict)
+    val ranked = PipelineOps.withScalableShuffleRank(
+      labeled, col("p_partkey"), Seed)
+    val split = ranked.withColumn("split",
+      when(col("rn") <= 50, lit("validation")).otherwise(lit("train")))
+    val epoched = PipelineOps.withEpochs(split, Epochs)
+    val batched = PipelineOps.withBatchId(epoched, "rn", BatchSize)
+    batched.groupBy(col("split"), col("epoch"), col("bid"))
+      .agg(count(lit(1)).as("n"), sum(col("label")).as("label_sum"))
+  }
+
+  private type Q = (SparkSession, String) => DataFrame
+
+  // ———— shared fragments ————
+
+  private def labeledPart(s: SparkSession, d: String): DataFrame = {
+    val part = Tables.part(s, d)
+    Metrics.withLabel(part, "p_brand", Metrics.classDictionary(part, col("p_brand")))
+  }
+
+  /** DuckDB fragment: tokens list per doc (twin of TextAnalysis.tokens). */
+  private val DuckToks =
+    "list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0)"
+
+  /** DuckDB fragment: u32 hash of expr-with-seed (twin of Tables.hashU32). */
+  private def duckU32(expr: String, seed: Int): String =
+    s"(('0x' || substr(md5($expr || '#$seed'), 1, 8))::BIGINT)"
+  private def duckRand(expr: String, seed: Int): String =
+    s"(${duckU32(expr, seed)} / 4294967296.0)"
+
+  def queries: Map[String, Q] = Map(
+    // —— core port: scans/projections (S/P), shuffle/split (O), batch/epoch (B),
+    //    sharding (K), consumer aggs (A) ——
+
+    "q01_pricing_summary" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <=
+          lit(java.time.LocalDateTime.parse("1998-09-02T00:00:00")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("sum_disc_price"),
+          round(avg(col("l_quantity")), 6).as("avg_qty"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))),
+
+    "q02_scan_prune" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >=
+            lit(java.time.LocalDateTime.parse("1997-01-01T00:00:00")) &&
+          col("l_shipdate") <
+            lit(java.time.LocalDateTime.parse("1998-01-01T00:00:00")) &&
+          col("l_discount") > 0.05)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"),
+          col("l_quantity").cast("int").as("qty_int"))),
+
+    "q03_class_dictionary" -> ((s, d) =>
+      Metrics.classDictionary(Tables.part(s, d), col("p_brand"))),
+
+    "q04_shuffle_split" -> ((s, d) =>
+      PipelineOps.withSplit(Tables.part(s, d), col("p_partkey"), Seed, ValCount)
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("cnt"), sum(col("p_partkey")).as("sum_key"),
+          min(col("rn")).as("min_rn"), max(col("rn")).as("max_rn"))),
+
+    "q05_epoch_batch" -> ((s, d) => {
+      val ranked = PipelineOps.withShuffleRank(
+        Tables.part(s, d), col("p_partkey"), Seed)
+      val batched = PipelineOps.withBatchId(
+        PipelineOps.withEpochs(ranked, Epochs), "rn", BatchSize)
+      batched.groupBy(col("epoch"), col("bid"))
+        .agg(count(lit(1)).as("n"), sum(col("p_partkey")).as("sum_key"))
+    }),
+
+    "q06_class_histogram" -> ((s, d) =>
+      Metrics.classHistogram(labeledPart(s, d), col("label"))),
+
+    "q07_accuracy" -> ((s, d) => {
+      val lp = labeledPart(s, d)
+        .withColumn("pred",
+          when(Tables.hashRand(col("p_partkey"), 7) < 0.8, col("label"))
+            .otherwise((col("label") + 1) % 5))
+      lp.groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          round(Metrics.accuracy(col("pred"), col("label")), 6).as("acc"))
+    }),
+
+    "q08_epoch_metrics" -> ((s, d) => {
+      val lp = PipelineOps.withEpochs(labeledPart(s, d), Epochs)
+        .withColumn("ek",
+          concat(col("p_partkey").cast("string"), lit("_"),
+            col("epoch").cast("string")))
+        .withColumn("loss", Tables.hashRand(col("ek"), 11))
+        .withColumn("pred",
+          when(Tables.hashRand(col("ek"), 7) < 0.8, col("label"))
+            .otherwise((col("label") + 1) % 5))
+      Metrics.epochMetrics(lp, col("epoch"), col("loss"),
+        col("pred"), col("label"))
+    }),
+
+    "q09_shard_assign" -> ((s, d) =>
+      PipelineOps.withShardId(Tables.part(s, d), col("p_partkey"), Seed, 5)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("cnt"), sum(col("p_partkey")).as("sum_key"))),
+
+    "q10_step_counts" -> ((s, d) =>
+      PipelineOps.withSplit(Tables.part(s, d), col("p_partkey"), Seed, ValCount)
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+          sum(when(col("split") === "validation", 1L).otherwise(0L)).as("n_val"))
+        .select(col("n_total"), col("n_train"), col("n_val"),
+          floor((col("n_train") * Epochs + (BatchSize - 1)) / BatchSize)
+            .cast("long").as("train_steps"),
+          floor((col("n_val") + (BatchSize - 1)) / BatchSize)
+            .cast("long").as("val_steps"))),
+
+    "q11_revenue_by_nation" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d)
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+    }),
+
+    "q12_topk_orders" -> ((s, d) => {
+      val oc = Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)),
+          col("o_custkey") === col("c_custkey"))
+      Events.topKPerGroup(oc, Seq(col("c_mktsegment")),
+        Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3)
+        .select(col("c_mktsegment"), col("rank"), col("o_orderkey"),
+          col("o_totalprice"))
+    }),
+
+    // —— events / streaming ——
+
+    "q13_hourly_events" -> ((s, d) =>
+      Events.bucketCounts(Tables.events(s, d), "hour")),
+
+    "q14_sessionize" -> ((s, d) =>
+      Events.sessionize(Tables.events(s, d), 1800L)),
+
+    "q15_stream_window" -> ((s, d) =>
+      EventStream.runOnce(
+        EventStream.windowedCounts(
+          EventStream.eventsFileStream(s, s"$d/events.parquet"),
+          "1 hour", "1 hour"),
+        s"stream_window_${System.nanoTime()}")),
+
+    // —— text analysis (north star M7c) ——
+
+    "t1_token_stats" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"),
+        size(array_distinct(TextAnalysis.tokens(col("text")))).cast("long")
+          .as("n_distinct"),
+        TextAnalysis.meanTokenLen(col("text")).as("mean_tok_len"),
+        TextAnalysis.tokenCountBpeIsh(col("text")).as("bpeish_tokens"))),
+
+    "t2_lang_id" -> ((s, d) =>
+      TextAnalysis.withLangId(Tables.documents(s, d), col("text"),
+        col("doc_id"))
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("cnt"))),
+
+    "t3_quality_score" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        TextAnalysis.stopwordRatio(col("text")).as("stopword_ratio"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))),
+
+    "t4_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        TextAnalysis.contentFingerprint(col("text")).as("content_fp"),
+        TextAnalysis.bagFingerprint(col("text")).as("bag_fp"),
+        TextAnalysis.minShingleFingerprint(col("text"), 8).as("minshingle_fp"))),
+
+    "t5_tfidf_top_terms" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val n = docs.count()
+      val byLang = TextAnalysis.tfidf(docs, col("doc_id"), col("text"), n)
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .groupBy(col("lang"), col("token"))
+        .agg(round(sum(col("tfidf")), 6).as("score"))
+      Events.topKPerGroup(byLang, Seq(col("lang")),
+        Seq(col("score").desc, col("token").asc), 3)
+        .select(col("lang"), col("rank"), col("token"), col("score"))
+    }),
+
+    // —— dedup family (north star M7a) ——
+
+    "d1_exact_dedup" -> ((s, d) =>
+      Dedup.exact(Tables.documents(s, d), col("doc_id"), col("text"))),
+
+    "d2_minhash_lsh" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val mh = Dedup.minhash(docs, col("doc_id"), col("text"), 8)
+      val cand = Dedup.lshCandidates(mh, 2)
+      Dedup.minhashJaccard(cand, mh, 8)
+    }),
+
+    "d3_ngram_jaccard" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val a = docs.select(col("doc_id").as("doc_a"), col("source").as("src_a"))
+      val b = docs.select(col("doc_id").as("doc_b"), col("source").as("src_b"))
+      val pairs = a.join(b,
+        col("src_a") === col("src_b") && col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"))
+      Dedup.ngramJaccard(pairs, docs, col("doc_id"), col("text"), 3)
+        .filter(col("jaccard") >= 0.03)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    }),
+
+    "d4_simhash" -> ((s, d) =>
+      Dedup.simhash(Tables.documents(s, d), col("doc_id"), col("text"))),
+
+    "d5_simhash_pairs" -> ((s, d) =>
+      Dedup.simhashPairs(
+        Dedup.simhash(Tables.documents(s, d), col("doc_id"), col("text")), 3)),
+
+    "d6_embed_neardup" -> ((s, d) =>
+      Dedup.embeddingNearDup(Tables.embeddings(s, d), col("vec_id"),
+        col("embedding"), 0.35)),
+
+    // —— similarity search (north star M7b) ——
+
+    "s1_cosine_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") % 25 === 0),
+        "vec_id", "embedding", 5)
+    }),
+
+    "s2_ann_lsh" -> ((s, d) =>
+      Similarity.annTopK(
+        Tables.embeddings(s, d).filter(col("vec_id") % 5 === 0),
+        "vec_id", "embedding", 5)),
+
+    // —— multimodal column pattern (north star M7d) ——
+
+    "m1_multimodal_meta" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("blob", col("text").cast("binary"))
+        .select(col("doc_id"),
+          length(col("blob")).cast("long").as("n_bytes"),
+          (lit(16) + Tables.hashU32(col("doc_id"), 5) % 49).as("fake_h"),
+          (lit(16) + Tables.hashU32(col("doc_id"), 6) % 49).as("fake_w"),
+          md5(col("blob")).as("content_md5")))
+  )
+
+  // ———— DuckDB oracle twins ————
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_base_price,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        | round(avg(l_quantity), 6) AS avg_qty,
+        | round(avg(l_discount), 6) AS avg_disc,
+        | CAST(count(*) AS BIGINT) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_scan_prune" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice,
+        | CAST(l_quantity AS INTEGER) AS qty_int
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_discount > 0.05""".stripMargin,
+
+    "q03_class_dictionary" ->
+      """SELECT p_brand AS class_name,
+        | CAST(row_number() OVER (ORDER BY p_brand) - 1 AS BIGINT) AS label
+        |FROM (SELECT DISTINCT p_brand FROM part)""".stripMargin,
+
+    "q04_shuffle_split" ->
+      s"""WITH r AS (
+         |  SELECT p_partkey, row_number() OVER (
+         |    ORDER BY md5(p_partkey::VARCHAR || '#$Seed'), p_partkey) AS rn
+         |  FROM part)
+         |SELECT CASE WHEN rn <= $ValCount THEN 'validation' ELSE 'train' END
+         |   AS split,
+         | CAST(count(*) AS BIGINT) AS cnt,
+         | CAST(sum(p_partkey) AS BIGINT) AS sum_key,
+         | CAST(min(rn) AS BIGINT) AS min_rn, CAST(max(rn) AS BIGINT) AS max_rn
+         |FROM r GROUP BY 1""".stripMargin,
+
+    "q05_epoch_batch" ->
+      s"""WITH r AS (
+         |  SELECT p_partkey, row_number() OVER (
+         |    ORDER BY md5(p_partkey::VARCHAR || '#$Seed'), p_partkey) AS rn
+         |  FROM part)
+         |SELECT e.epoch, CAST(floor((rn - 1) / $BatchSize) AS BIGINT) AS bid,
+         | CAST(count(*) AS BIGINT) AS n,
+         | CAST(sum(p_partkey) AS BIGINT) AS sum_key
+         |FROM r CROSS JOIN
+         |  (SELECT 0::BIGINT AS epoch UNION ALL SELECT 1::BIGINT) e
+         |GROUP BY 1, 2""".stripMargin,
+
+    "q06_class_histogram" ->
+      """WITH dict AS (
+        |  SELECT p_brand AS class_name,
+        |   CAST(row_number() OVER (ORDER BY p_brand) - 1 AS BIGINT) AS label
+        |  FROM (SELECT DISTINCT p_brand FROM part))
+        |SELECT label, CAST(count(*) AS BIGINT) AS cnt
+        |FROM part JOIN dict ON p_brand = class_name
+        |GROUP BY label""".stripMargin,
+
+    "q07_accuracy" ->
+      s"""WITH dict AS (
+         |  SELECT p_brand AS class_name,
+         |   CAST(row_number() OVER (ORDER BY p_brand) - 1 AS BIGINT) AS label
+         |  FROM (SELECT DISTINCT p_brand FROM part)),
+         |lp AS (
+         |  SELECT label,
+         |   CASE WHEN ${duckRand("p_partkey::VARCHAR", 7)} < 0.8 THEN label
+         |        ELSE (label + 1) % 5 END AS pred
+         |  FROM part JOIN dict ON p_brand = class_name)
+         |SELECT label, CAST(count(*) AS BIGINT) AS n,
+         | round(avg(CASE WHEN pred = label THEN 1.0 ELSE 0.0 END), 6) AS acc
+         |FROM lp GROUP BY label""".stripMargin,
+
+    "q08_epoch_metrics" ->
+      s"""WITH dict AS (
+         |  SELECT p_brand AS class_name,
+         |   CAST(row_number() OVER (ORDER BY p_brand) - 1 AS BIGINT) AS label
+         |  FROM (SELECT DISTINCT p_brand FROM part)),
+         |lp AS (
+         |  SELECT e.epoch, label,
+         |   p_partkey::VARCHAR || '_' || e.epoch::VARCHAR AS ek
+         |  FROM part JOIN dict ON p_brand = class_name
+         |  CROSS JOIN (SELECT 0::BIGINT AS epoch UNION ALL SELECT 1::BIGINT) e),
+         |m AS (
+         |  SELECT epoch, ${duckRand("ek", 11)} AS loss,
+         |   CASE WHEN ${duckRand("ek", 7)} < 0.8 THEN label
+         |        ELSE (label + 1) % 5 END AS pred, label
+         |  FROM lp)
+         |SELECT epoch, round(avg(loss), 6) AS avg_loss,
+         | round(avg(CASE WHEN pred = label THEN 1.0 ELSE 0.0 END), 6)
+         |   AS accuracy,
+         | CAST(count(*) AS BIGINT) AS n_examples
+         |FROM m GROUP BY epoch""".stripMargin,
+
+    "q09_shard_assign" ->
+      s"""WITH r AS (
+         |  SELECT p_partkey, CAST(ntile(5) OVER (
+         |    ORDER BY md5(p_partkey::VARCHAR || '#$Seed'), p_partkey)
+         |   AS BIGINT) AS shard
+         |  FROM part)
+         |SELECT shard, CAST(count(*) AS BIGINT) AS cnt,
+         | CAST(sum(p_partkey) AS BIGINT) AS sum_key
+         |FROM r GROUP BY shard""".stripMargin,
+
+    "q10_step_counts" ->
+      s"""WITH r AS (
+         |  SELECT p_partkey, row_number() OVER (
+         |    ORDER BY md5(p_partkey::VARCHAR || '#$Seed'), p_partkey) AS rn
+         |  FROM part),
+         |c AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_total,
+         |   CAST(sum(CASE WHEN rn > $ValCount THEN 1 ELSE 0 END) AS BIGINT)
+         |     AS n_train,
+         |   CAST(sum(CASE WHEN rn <= $ValCount THEN 1 ELSE 0 END) AS BIGINT)
+         |     AS n_val
+         |  FROM r)
+         |SELECT n_total, n_train, n_val,
+         | CAST(floor((n_train * $Epochs + ${BatchSize - 1}) / $BatchSize)
+         |   AS BIGINT) AS train_steps,
+         | CAST(floor((n_val + ${BatchSize - 1}) / $BatchSize) AS BIGINT)
+         |   AS val_steps
+         |FROM c""".stripMargin,
+
+    "q11_revenue_by_nation" ->
+      """SELECT n_name,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        | CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+
+    "q12_topk_orders" ->
+      """WITH ranked AS (
+        |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |   CAST(row_number() OVER (PARTITION BY c_mktsegment
+        |     ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rank
+        |  FROM orders JOIN customer ON o_custkey = c_custkey)
+        |SELECT c_mktsegment, rank, o_orderkey, o_totalprice
+        |FROM ranked WHERE rank <= 3""".stripMargin,
+
+    "q13_hourly_events" ->
+      """SELECT strftime(date_trunc('hour', ts::TIMESTAMP),
+        |   '%Y-%m-%d %H:%M:%S') AS bucket,
+        | event_type, CAST(count(*) AS BIGINT) AS cnt,
+        | round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q14_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, value, epoch_us(ts::TIMESTAMP) AS ts_us,
+        |   lag(epoch_us(ts::TIMESTAMP)) OVER
+        |     (PARTITION BY user_id ORDER BY epoch_us(ts::TIMESTAMP), event_id)
+        |     AS prev_us
+        |  FROM events),
+        |ns AS (
+        |  SELECT *, CASE WHEN prev_us IS NULL
+        |     OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM g),
+        |sid AS (
+        |  SELECT *, CAST(sum(new_session) OVER
+        |    (PARTITION BY user_id ORDER BY ts_us, event_id
+        |     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM ns)
+        |SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+        | (max(ts_us) - min(ts_us)) / 1000000 AS duration_sec,
+        | round(sum(value), 4) AS sum_value
+        |FROM sid GROUP BY user_id, session_id""".stripMargin,
+
+    "q15_stream_window" ->
+      """SELECT strftime(date_trunc('hour', ts::TIMESTAMP),
+        |   '%Y-%m-%d %H:%M:%S') AS win_start,
+        | event_type, CAST(count(*) AS BIGINT) AS cnt,
+        | round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "t1_token_stats" ->
+      s"""WITH t AS (SELECT doc_id, $DuckToks AS toks FROM documents)
+         |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         | CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+         | list_sum(list_transform(toks, t -> len(t)))::DOUBLE / len(toks)
+         |   AS mean_tok_len,
+         | CAST(list_sum(list_transform(toks,
+         |   t -> greatest(1, CAST(ceil(len(t) / 4.0) AS BIGINT))))
+         |   AS BIGINT) AS bpeish_tokens
+         |FROM t""".stripMargin,
+
+    "t2_lang_id" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($DuckToks) AS tok FROM documents),
+         |markers(cand_lang, marker) AS (VALUES
+         |  ('de','der'),('de','die'),('de','das'),('de','und'),
+         |  ('de','nicht'),('de','ist'),
+         |  ('en','the'),('en','a'),('en','and'),('en','of'),('en','is'),
+         |  ('en','to'),
+         |  ('es','el'),('es','la'),('es','de'),('es','que'),('es','y'),
+         |  ('es','es'),
+         |  ('fr','le'),('fr','la'),('fr','les'),('fr','et'),('fr','est'),
+         |  ('fr','une'),
+         |  ('zh','的'),('zh','是'),('zh','了'),('zh','在'),('zh','我'),
+         |  ('zh','有')),
+         |hits AS (
+         |  SELECT doc_id, cand_lang, count(*) AS hits
+         |  FROM toks JOIN markers ON tok = marker GROUP BY 1, 2),
+         |best AS (
+         |  SELECT doc_id, cand_lang, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY hits DESC, cand_lang) AS rk FROM hits),
+         |pred AS (
+         |  SELECT d.lang, coalesce(b.cand_lang, 'und') AS pred_lang
+         |  FROM documents d LEFT JOIN (SELECT doc_id, cand_lang FROM best
+         |    WHERE rk = 1) b USING (doc_id))
+         |SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS cnt
+         |FROM pred GROUP BY 1, 2""".stripMargin,
+
+    "t3_quality_score" ->
+      s"""WITH t AS (SELECT doc_id, $DuckToks AS toks FROM documents),
+         |f AS (
+         |  SELECT doc_id,
+         |   CASE WHEN len(toks) = 0 THEN 0.0
+         |     ELSE len(list_filter(toks, x -> list_contains(
+         |       ['the','a','of','and','to','in','is','it','that','for'], x)))
+         |       ::DOUBLE / len(toks) END AS swr,
+         |   len(toks)::DOUBLE AS ntok,
+         |   CASE WHEN len(toks) = 0 THEN 0.0
+         |     ELSE list_sum(list_transform(toks, t -> len(t)))::DOUBLE
+         |       / len(toks) END AS mwl
+         |  FROM t)
+         |SELECT doc_id, swr AS stopword_ratio,
+         | round(least(ntok / 50.0, 1.0) * 0.5 +
+         |   (CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1.0 ELSE 0.5 END) * 0.3
+         |   + least(swr * 5.0, 1.0) * 0.2, 6) AS quality
+         |FROM f""".stripMargin,
+
+    "t4_fingerprint" ->
+      s"""WITH n AS (
+         |  SELECT doc_id,
+         |   regexp_replace(lower(text), '\\s+', ' ', 'g') AS norm,
+         |   $DuckToks AS toks
+         |  FROM documents)
+         |SELECT doc_id, md5(norm) AS content_fp,
+         | md5(array_to_string(list_sort(toks), ' ')) AS bag_fp,
+         | CAST(list_min(list_transform(range(1, len(norm) - 6),
+         |   i -> ('0x' || substr(md5(substr(norm, i, 8) || '#7'), 1, 8))
+         |     ::BIGINT)) AS BIGINT) AS minshingle_fp
+         |FROM n""".stripMargin,
+
+    "t5_tfidf_top_terms" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest($DuckToks) AS token FROM documents),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+         |nd AS (SELECT count(*)::DOUBLE AS n FROM documents),
+         |scored AS (
+         |  SELECT d.lang, tf.token,
+         |   round(sum(tf.tf * ln((nd.n + 1.0) / (dfreq.df + 1.0))), 6)
+         |     AS score
+         |  FROM tf JOIN dfreq USING (token)
+         |  JOIN documents d USING (doc_id) CROSS JOIN nd
+         |  GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT lang, token, score, CAST(row_number() OVER (
+         |    PARTITION BY lang ORDER BY score DESC, token) AS BIGINT) AS rank
+         |  FROM scored)
+         |SELECT lang, rank, token, score FROM ranked WHERE rank <= 3"""
+        .stripMargin,
+
+    "d1_exact_dedup" ->
+      """SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
+        | CAST(min(doc_id) AS BIGINT) AS keep_id,
+        | CAST(count(*) AS BIGINT) AS dup_count
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "d2_minhash_lsh" ->
+      s"""WITH t AS (SELECT doc_id, $DuckToks AS w FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, unnest(list_transform(
+         |    range(1, len(w) - 1),
+         |    i -> array_to_string(w[i:i+2], ' '))) AS shingle
+         |  FROM t WHERE len(w) >= 3),
+         |mh AS (
+         |  SELECT doc_id, h, min(md5(h::VARCHAR || '|' || shingle))
+         |    AS minhash
+         |  FROM sh CROSS JOIN (SELECT unnest(range(8)) AS h) hs
+         |  GROUP BY 1, 2),
+         |bands AS (
+         |  SELECT doc_id, h // 2 AS band,
+         |   md5(string_agg(minhash, '|' ORDER BY minhash)) AS bkey
+         |  FROM mh GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b,
+         | sum(CASE WHEN ma.minhash = mb.minhash THEN 1 ELSE 0 END) / 8.0
+         |   AS est_jaccard
+         |FROM cand
+         |JOIN mh ma ON ma.doc_id = doc_a
+         |JOIN mh mb ON mb.doc_id = doc_b AND mb.h = ma.h
+         |GROUP BY 1, 2""".stripMargin,
+
+    "d3_ngram_jaccard" ->
+      s"""WITH t AS (SELECT doc_id, source, $DuckToks AS w FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, unnest(list_transform(
+         |    range(1, len(w) - 1),
+         |    i -> array_to_string(w[i:i+2], ' '))) AS s
+         |  FROM t WHERE len(w) >= 3),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM documents a JOIN documents b
+         |    ON a.source = b.source AND a.doc_id < b.doc_id),
+         |inter AS (
+         |  SELECT p.doc_a, p.doc_b, count(*) AS i
+         |  FROM pairs p
+         |  JOIN sh sa ON sa.doc_id = p.doc_a
+         |  JOIN sh sb ON sb.doc_id = p.doc_b AND sb.s = sa.s
+         |  GROUP BY 1, 2),
+         |j AS (
+         |  SELECT p.doc_a, p.doc_b,
+         |   coalesce(i.i, 0) / (za.sz + zb.sz - coalesce(i.i, 0))::DOUBLE
+         |     AS jaccard
+         |  FROM pairs p
+         |  LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+         |  JOIN sizes za ON za.doc_id = p.doc_a
+         |  JOIN sizes zb ON zb.doc_id = p.doc_b)
+         |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.03"""
+        .stripMargin,
+
+    "d4_simhash" ->
+      s"""WITH t AS (SELECT doc_id, $DuckToks AS w FROM documents),
+         |tok AS (
+         |  SELECT DISTINCT doc_id, unnest(list_transform(
+         |    range(1, len(w) - 1),
+         |    i -> array_to_string(w[i:i+2], ' '))) AS tok
+         |  FROM t WHERE len(w) >= 3),
+         |h AS (SELECT doc_id, tok, ${duckU32("tok", 13)} AS hu FROM tok),
+         |bits AS (
+         |  SELECT doc_id, b,
+         |   sum((CAST(floor(hu / power(2, b)) AS BIGINT) % 2) * 2 - 1) AS s
+         |  FROM h CROSS JOIN (SELECT unnest(range(32)) AS b) bs
+         |  GROUP BY 1, 2)
+         |SELECT doc_id,
+         | CAST(sum(CASE WHEN s > 0 THEN CAST(power(2, b) AS BIGINT)
+         |   ELSE 0 END) AS BIGINT) AS simhash
+         |FROM bits GROUP BY 1""".stripMargin,
+
+    "d5_simhash_pairs" ->
+      s"""WITH t AS (SELECT doc_id, $DuckToks AS w FROM documents),
+         |tok AS (
+         |  SELECT DISTINCT doc_id, unnest(list_transform(
+         |    range(1, len(w) - 1),
+         |    i -> array_to_string(w[i:i+2], ' '))) AS tok
+         |  FROM t WHERE len(w) >= 3),
+         |h AS (SELECT doc_id, tok, ${duckU32("tok", 13)} AS hu FROM tok),
+         |bits AS (
+         |  SELECT doc_id, b,
+         |   sum((CAST(floor(hu / power(2, b)) AS BIGINT) % 2) * 2 - 1) AS s
+         |  FROM h CROSS JOIN (SELECT unnest(range(32)) AS b) bs
+         |  GROUP BY 1, 2),
+         |fp AS (
+         |  SELECT doc_id,
+         |   CAST(sum(CASE WHEN s > 0 THEN CAST(power(2, b) AS BIGINT)
+         |     ELSE 0 END) AS BIGINT) AS simhash
+         |  FROM bits GROUP BY 1),
+         |banded AS (
+         |  SELECT doc_id, simhash, band,
+         |   CAST(floor(simhash / power(2, band * 8)) AS BIGINT) % 256 AS bkey
+         |  FROM fp CROSS JOIN (SELECT unnest(range(4)) AS band) bands),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |   a.simhash AS fp_a, b.simhash AS fp_b
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, CAST(bit_count(xor(fp_a, fp_b)) AS BIGINT)
+         |   AS hamming
+         |FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 3""".stripMargin,
+
+    "d6_embed_neardup" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |   list_reduce(list_transform(range(1, len(a.v) + 1),
+        |     i -> a.v[i] * b.v[i]), (x, y) -> x + y) /
+        |   (sqrt(list_reduce(list_transform(a.v, x -> x * x),
+        |      (x, y) -> x + y)) *
+        |    sqrt(list_reduce(list_transform(b.v, x -> x * x),
+        |      (x, y) -> x + y))) AS cosine
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.35""".stripMargin,
+
+    "s1_cosine_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |   list_reduce(list_transform(range(1, len(q.v) + 1),
+        |     i -> q.v[i] * c.v[i]), (x, y) -> x + y) /
+        |   (sqrt(list_reduce(list_transform(q.v, x -> x * x),
+        |      (x, y) -> x + y)) *
+        |    sqrt(list_reduce(list_transform(c.v, x -> x * x),
+        |      (x, y) -> x + y))) AS cosine
+        |  FROM e q JOIN e c ON q.vec_id % 25 = 0 AND c.vec_id <> q.vec_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, cosine, CAST(row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)
+        |    AS BIGINT) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, neighbor_id, cosine
+        |FROM ranked WHERE rank <= 5""".stripMargin,
+
+    "m1_multimodal_meta" ->
+      s"""SELECT doc_id,
+         | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         | 16 + ${duckU32("doc_id::VARCHAR", 5)} % 49 AS fake_h,
+         | 16 + ${duckU32("doc_id::VARCHAR", 6)} % 49 AS fake_w,
+         | md5(text) AS content_md5
+         |FROM documents""".stripMargin
+  )
 }

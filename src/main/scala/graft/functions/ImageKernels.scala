@@ -1,0 +1,285 @@
+package graft.functions
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayInputStream
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.udf
+
+/** The reference's augmentation-kernel library (SURVEY.md §2.4, from
+  * `dataset_preprocessing.py`) re-implemented as JVM image math over
+  * float planes, exposed as fused Scala UDFs.
+  *
+  * Reference semantics preserved:
+  *  - decode → float [0,1] (F5, `dataset_preprocessing.py:189-190`)
+  *  - train path: random bbox crop (F4, constraints: area 0.05–1.0,
+  *    aspect 0.75–1.33, ≤100 attempts, `:141-148`) → resize (F6) →
+  *    random horizontal flip (F7, `:222`) → color jitter in one of the
+  *    reference's orderings (F1/F2, `:26-96`) → clip (F3) → normalize to
+  *    [-1,1] (F8, `:232-233`)
+  *  - eval path: central crop 0.875 (F9, `:264-265`) → bilinear resize
+  *    (F10) — and NO [-1,1] normalize: the reference intentionally leaves
+  *    eval output in [0,1] (`:273-274`); preserved here (SURVEY §7 hard
+  *    part #5).
+  *
+  * Randomness: every stochastic kernel takes an explicit 64-bit seed and
+  * draws from a per-record `java.util.Random(seed)` — the "hash-seeded
+  * RNG" utility (SURVEY §7), so results are reproducible under task
+  * retries regardless of partitioning. Seeds come from md5-derived row
+  * keys (graft.Tables.hashU32), never from partition-dependent rand().
+  *
+  * Layout: images are row-major float planes `Array[Float]` of length
+  * h*w*c with pixel (y, x, ch) at [(y*w + x)*c + ch].
+  */
+object ImageKernels {
+
+  final case class Img(data: Array[Float], h: Int, w: Int, c: Int) {
+    def apply(y: Int, x: Int, ch: Int): Float = data((y * w + x) * c + ch)
+  }
+
+  /** S3/K4: decode an encoded PNG/JPEG blob to a float [0,1] image. */
+  def decode(bytes: Array[Byte]): Img = {
+    val bi = ImageIO.read(new ByteArrayInputStream(bytes))
+    require(bi != null, "undecodable image bytes")
+    val (h, w) = (bi.getHeight, bi.getWidth)
+    val out = new Array[Float](h * w * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = bi.getRGB(x, y)
+        val base = (y * w + x) * 3
+        out(base) = ((rgb >> 16) & 0xff) / 255f
+        out(base + 1) = ((rgb >> 8) & 0xff) / 255f
+        out(base + 2) = (rgb & 0xff) / 255f
+        x += 1
+      }
+      y += 1
+    }
+    Img(out, h, w, 3)
+  }
+
+  /** K4: decode only the (height, width) header — the dims probe of
+    * `make_tf_record.py:21-23`, without materializing pixels. */
+  def dims(bytes: Array[Byte]): (Int, Int) = {
+    val in = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+    try {
+      val readers = ImageIO.getImageReaders(in)
+      require(readers.hasNext, "unknown image format")
+      val r = readers.next()
+      r.setInput(in)
+      val d = (r.getHeight(0), r.getWidth(0))
+      r.dispose()
+      d
+    } finally in.close()
+  }
+
+  /** F6/F10: bilinear resize. */
+  def resizeBilinear(img: Img, oh: Int, ow: Int): Img = {
+    val out = new Array[Float](oh * ow * img.c)
+    val sy = if (oh == 1) 0f else (img.h - 1).toFloat / (oh - 1)
+    val sx = if (ow == 1) 0f else (img.w - 1).toFloat / (ow - 1)
+    var y = 0
+    while (y < oh) {
+      val fy = y * sy
+      val y0 = math.min(fy.toInt, img.h - 1)
+      val y1 = math.min(y0 + 1, img.h - 1)
+      val wy = fy - y0
+      var x = 0
+      while (x < ow) {
+        val fx = x * sx
+        val x0 = math.min(fx.toInt, img.w - 1)
+        val x1 = math.min(x0 + 1, img.w - 1)
+        val wx = fx - x0
+        var ch = 0
+        while (ch < img.c) {
+          val v = img(y0, x0, ch) * (1 - wy) * (1 - wx) +
+            img(y1, x0, ch) * wy * (1 - wx) +
+            img(y0, x1, ch) * (1 - wy) * wx +
+            img(y1, x1, ch) * wy * wx
+          out((y * ow + x) * img.c + ch) = v
+          ch += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    Img(out, oh, ow, img.c)
+  }
+
+  /** Crop the window [y0, y0+ch) × [x0, x0+cw). */
+  def crop(img: Img, y0: Int, x0: Int, chh: Int, cww: Int): Img = {
+    val out = new Array[Float](chh * cww * img.c)
+    var y = 0
+    while (y < chh) {
+      System.arraycopy(img.data, ((y0 + y) * img.w + x0) * img.c,
+        out, y * cww * img.c, cww * img.c)
+      y += 1
+    }
+    Img(out, chh, cww, img.c)
+  }
+
+  /** F9: deterministic central crop keeping `frac` of each dimension. */
+  def centralCrop(img: Img, frac: Double): Img = {
+    val chh = math.max(1, math.round(img.h * frac).toInt)
+    val cww = math.max(1, math.round(img.w * frac).toInt)
+    crop(img, (img.h - chh) / 2, (img.w - cww) / 2, chh, cww)
+  }
+
+  /** F7: horizontal mirror. */
+  def flipLeftRight(img: Img): Img = {
+    val out = new Array[Float](img.data.length)
+    var y = 0
+    while (y < img.h) {
+      var x = 0
+      while (x < img.w) {
+        var ch = 0
+        while (ch < img.c) {
+          out((y * img.w + x) * img.c + ch) = img(y, img.w - 1 - x, ch)
+          ch += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    Img(out, img.h, img.w, img.c)
+  }
+
+  /** F4: random bounding-box crop with the reference's sampler
+    * constraints — rejection-sample a window with area in
+    * [minArea, 1.0]·(h·w) and aspect in [0.75, 1.33], ≤100 attempts,
+    * whole image on failure. */
+  def randomCrop(img: Img, rng: java.util.Random,
+      minArea: Double = 0.05): Img = {
+    val area = img.h.toDouble * img.w
+    var attempt = 0
+    while (attempt < 100) {
+      val targetArea = (minArea + (1.0 - minArea) * rng.nextDouble()) * area
+      val aspect = 0.75 + rng.nextDouble() * (1.33 - 0.75)
+      val cww = math.sqrt(targetArea * aspect).round.toInt
+      val chh = math.sqrt(targetArea / aspect).round.toInt
+      if (cww >= 1 && chh >= 1 && cww <= img.w && chh <= img.h) {
+        val y0 = if (chh == img.h) 0 else rng.nextInt(img.h - chh + 1)
+        val x0 = if (cww == img.w) 0 else rng.nextInt(img.w - cww + 1)
+        return crop(img, y0, x0, chh, cww)
+      }
+      attempt += 1
+    }
+    img
+  }
+
+  /** F2 primitives: brightness/saturation/hue/contrast jitter over HSB
+    * (java.awt.Color), each clipped to [0,1] (F3). */
+  def adjustBrightness(img: Img, delta: Float): Img =
+    mapPixels(img)(v => clip01(v + delta))
+
+  def adjustContrast(img: Img, factor: Float): Img = {
+    val means = new Array[Float](img.c)
+    var i = 0
+    while (i < img.data.length) {
+      means(i % img.c) += img.data(i); i += 1
+    }
+    val n = img.h * img.w
+    var ch = 0
+    while (ch < img.c) { means(ch) /= n; ch += 1 }
+    val out = new Array[Float](img.data.length)
+    i = 0
+    while (i < img.data.length) {
+      out(i) = clip01(means(i % img.c) + (img.data(i) - means(i % img.c)) * factor)
+      i += 1
+    }
+    Img(out, img.h, img.w, img.c)
+  }
+
+  def adjustSaturationHue(img: Img, satFactor: Float, hueDelta: Float): Img = {
+    require(img.c == 3)
+    val out = new Array[Float](img.data.length)
+    var p = 0
+    while (p < img.h * img.w) {
+      val r = img.data(p * 3); val g = img.data(p * 3 + 1); val b = img.data(p * 3 + 2)
+      val hsb = java.awt.Color.RGBtoHSB(
+        (r * 255).round.toInt, (g * 255).round.toInt, (b * 255).round.toInt, null)
+      val h = (hsb(0) + hueDelta + 1f) % 1f
+      val s = clip01(hsb(1) * satFactor)
+      val rgb = java.awt.Color.HSBtoRGB(h, s, hsb(2))
+      out(p * 3) = ((rgb >> 16) & 0xff) / 255f
+      out(p * 3 + 1) = ((rgb >> 8) & 0xff) / 255f
+      out(p * 3 + 2) = (rgb & 0xff) / 255f
+      p += 1
+    }
+    Img(out, img.h, img.w, img.c)
+  }
+
+  /** F1+F2: color distortion with the ordering selected by the drawn
+    * branch — fast_mode uses the reference's 2-op orderings. */
+  def distortColor(img: Img, rng: java.util.Random,
+      fastMode: Boolean = true): Img = {
+    val branch = rng.nextInt(if (fastMode) 2 else 4)
+    def bright(i: Img) = adjustBrightness(i, (rng.nextFloat() * 2 - 1) * 32f / 255f)
+    def sat(i: Img) = adjustSaturationHue(i, 0.5f + rng.nextFloat(), 0f)
+    def hue(i: Img) = adjustSaturationHue(i, 1f, (rng.nextFloat() * 2 - 1) * 0.2f)
+    def contr(i: Img) = adjustContrast(i, 0.5f + rng.nextFloat())
+    val ordered: Seq[Img => Img] =
+      if (fastMode) {
+        if (branch == 0) Seq(bright _, sat _) else Seq(sat _, bright _)
+      } else branch match {
+        case 0 => Seq(bright _, sat _, hue _, contr _)
+        case 1 => Seq(sat _, bright _, contr _, hue _)
+        case 2 => Seq(contr _, hue _, bright _, sat _)
+        case _ => Seq(hue _, sat _, contr _, bright _)
+      }
+    ordered.foldLeft(img)((acc, f) => f(acc))
+  }
+
+  /** F8: [0,1] → [-1,1] (train path only). */
+  def normalize(img: Img): Img = mapPixels(img)(v => (v - 0.5f) * 2f)
+
+  private def mapPixels(img: Img)(f: Float => Float): Img = {
+    val out = new Array[Float](img.data.length)
+    var i = 0
+    while (i < img.data.length) { out(i) = f(img.data(i)); i += 1 }
+    Img(out, img.h, img.w, img.c)
+  }
+
+  def clip01(v: Float): Float = math.min(1f, math.max(0f, v))
+
+  /** F11: fused train kernel — decode → random crop → resize → random
+    * flip → color distort → normalize, all under one hash-derived seed.
+    * ONE UDF per row: no intermediate row materialization, the Spark
+    * analogue of the reference's fused map stage (SURVEY §4 item 2a). */
+  def preprocessForTrain(encoded: Array[Byte], seed: Long, outH: Int,
+      outW: Int): Array[Float] = {
+    val rng = new java.util.Random(seed)
+    val img = decode(encoded)
+    val cropped = randomCrop(img, rng)
+    val resized = resizeBilinear(cropped, outH, outW)
+    val flipped = if (rng.nextBoolean()) flipLeftRight(resized) else resized
+    val colored = distortColor(flipped, rng)
+    normalize(colored).data
+  }
+
+  /** F12: fused eval kernel — decode → central crop 0.875 → resize;
+    * stays in [0,1] (reference keeps eval un-normalized). */
+  def preprocessForEval(encoded: Array[Byte], outH: Int,
+      outW: Int): Array[Float] = {
+    val img = decode(encoded)
+    resizeBilinear(centralCrop(img, 0.875), outH, outW).data
+  }
+
+  // —— Column-level API (F13 dispatcher happens at plan time, P5) ——
+
+  val trainKernelUdf =
+    udf((enc: Array[Byte], seed: Long, h: Int, w: Int) =>
+      preprocessForTrain(enc, seed, h, w))
+  val evalKernelUdf =
+    udf((enc: Array[Byte], h: Int, w: Int) => preprocessForEval(enc, h, w))
+  val dimsUdf = udf((enc: Array[Byte]) => {
+    val (h, w) = dims(enc); Array(h, w)
+  })
+
+  def trainKernel(encoded: Column, seed: Column, h: Column, w: Column): Column =
+    trainKernelUdf(encoded, seed, h, w)
+  def evalKernel(encoded: Column, h: Column, w: Column): Column =
+    evalKernelUdf(encoded, h, w)
+}

@@ -1,0 +1,173 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Deduplication operators for the LLM-data-pipeline extension surface
+  * (SURVEY.md §7 M7a): exact hash-dedup, MinHash+LSH near-dup, SimHash
+  * near-dup, exact n-gram Jaccard, and embedding-cosine near-dup.
+  *
+  * Scale design (the 100 TB stance):
+  *  - Exact dedup is one hash-partitioned groupBy — Spark's map-side
+  *    partial aggregation makes the shuffle carry one row per distinct
+  *    fingerprint per map task, not per input row.
+  *  - MinHash/SimHash candidate generation is the standard band trick:
+  *    only documents sharing a band bucket are ever paired, so the
+  *    quadratic all-pairs join never materializes; the self-join is an
+  *    equi-join on (band, key) that AQE can handle skew for. Verification
+  *    (exact Jaccard / Hamming) runs only on candidates.
+  *  - All hashes are md5-derived (see Tables) so the DuckDB oracle can
+  *    recompute them bit-for-bit.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest id per normalized-content fingerprint.
+    * Returns (fingerprint, keep_id, dup_count). */
+  def exact(docs: DataFrame, idCol: Column, textCol: Column): DataFrame =
+    docs.groupBy(TextAnalysis.contentFingerprint(textCol).as("fp"))
+      .agg(min(idCol).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** MinHash signature relation: one row per (doc, hashIdx) with the
+    * minimum md5 over the doc's distinct word-3-gram shingles, hashed
+    * with per-function salt. Lexicographic min over hex strings is the
+    * permutation-min — identical in DuckDB. */
+  def minhash(docs: DataFrame, idCol: Column, textCol: Column,
+      numHashes: Int, shingleN: Int = 3): DataFrame = {
+    val sh = docs
+      .select(idCol.as("doc_id"),
+        explode(TextAnalysis.shingles(textCol, shingleN)).as("shingle"))
+      .distinct()
+    val hashIdx = docs.sparkSession.range(numHashes).toDF("h")
+    sh.crossJoin(broadcast(hashIdx))
+      .groupBy(col("doc_id"), col("h"))
+      .agg(min(md5(concat(col("h").cast("string"), lit("|"), col("shingle"))
+        .cast("binary"))).as("minhash"))
+  }
+
+  /** LSH candidate pairs from a minhash relation: split the `numHashes`
+    * rows into bands of `rowsPerBand`, bucket docs by the md5 of each
+    * band's concatenated minima, and emit distinct (doc_a < doc_b) pairs
+    * sharing any bucket. */
+  def lshCandidates(mh: DataFrame, rowsPerBand: Int): DataFrame = {
+    val bands = mh
+      .withColumn("band", floor(col("h") / rowsPerBand))
+      .groupBy(col("doc_id"), col("band"))
+      // sort inside the band so the key is order-independent of shuffle
+      .agg(md5(concat_ws("|",
+        array_sort(collect_list(col("minhash")))).cast("binary")).as("bkey"))
+    val a = bands.select(col("band").as("band_a"), col("bkey").as("bkey_a"),
+      col("doc_id").as("doc_a"))
+    val b = bands.select(col("band").as("band_b"), col("bkey").as("bkey_b"),
+      col("doc_id").as("doc_b"))
+    a.join(b, col("band_a") === col("band_b") &&
+        col("bkey_a") === col("bkey_b") && col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+  }
+
+  /** Estimated Jaccard for candidate pairs: fraction of matching minhash
+    * rows (exact rational n/numHashes — engine-reproducible). */
+  def minhashJaccard(candidates: DataFrame, mh: DataFrame,
+      numHashes: Int): DataFrame = {
+    val ma = mh.select(col("doc_id").as("doc_a"), col("h"),
+      col("minhash").as("mh_a"))
+    val mb = mh.select(col("doc_id").as("doc_b"), col("h"),
+      col("minhash").as("mh_b"))
+    candidates
+      .join(ma, Seq("doc_a")).join(mb, Seq("doc_b", "h"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg((sum(when(col("mh_a") === col("mh_b"), 1L).otherwise(0L))
+        / lit(numHashes.toDouble)).as("est_jaccard"))
+  }
+
+  /** Exact n-gram Jaccard for given pairs: |A ∩ B| / |A ∪ B| over
+    * distinct word n-grams, computed relationally (explode + join +
+    * count), never materializing set products. */
+  def ngramJaccard(pairs: DataFrame, docs: DataFrame, idCol: Column,
+      textCol: Column, n: Int = 3): DataFrame = {
+    val sh = docs.select(idCol.as("id"),
+      explode(TextAnalysis.shingles(textCol, n)).as("s")).distinct()
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val inter = pairs
+      .join(sh.select(col("id").as("doc_a"), col("s").as("s_a")), "doc_a")
+      .join(sh.select(col("id").as("id_b"), col("s").as("s_b")),
+        col("doc_b") === col("id_b") && col("s_a") === col("s_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .na.fill(0L, Seq("inter"))
+      .join(sizes.select(col("id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
+      .join(sizes.select(col("id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+      .withColumn("jaccard",
+        col("inter") / (col("sz_a") + col("sz_b") - col("inter"))
+          .cast("double"))
+  }
+
+  /** 32-bit SimHash fingerprint per doc over distinct word-3-gram
+    * shingle features: for each bit b, sum +1/-1 over features whose
+    * md5-derived u32 has bit b set/clear; bit b of the fingerprint is 1
+    * iff the sum is positive. (Features are shingles, not tokens — a
+    * 31-word vocabulary would make token-level fingerprints collide
+    * corpus-wide.) Bit extraction uses floor(h / 2^b) % 2 — exact in
+    * doubles below 2^52 and identical in DuckDB.
+    * Returns (doc_id, simhash). */
+  def simhash(docs: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    val tok = docs.select(idCol.as("doc_id"),
+      explode(TextAnalysis.shingles(textCol, 3)).as("tok"))
+      .distinct()
+      .withColumn("hu", Tables.hashU32(col("tok"), 13))
+    // One aggregation with 32 sum columns instead of a 32× row explosion:
+    // the shuffle carries one row per doc, and the per-bit sums are
+    // map-side partial aggregates (matters at 100 TB: the explode
+    // variant shuffles 32× the feature relation).
+    val bitSums = (0 until 32).map { b =>
+      sum((floor(col("hu") / math.pow(2.0, b)).cast("long") % 2) * 2 - 1)
+        .as(s"s$b")
+    }
+    val fp = (0 until 32).map { b =>
+      when(col(s"s$b") > 0, 1L << b).otherwise(0L)
+    }.reduce(_ + _)
+    tok.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), fp.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: candidate = sharing any of the four 8-bit
+    * bands (pigeonhole guarantees recall for Hamming ≤ 3 at 4 bands);
+    * verified by exact Hamming distance ≤ maxHamming. */
+  def simhashPairs(sh: DataFrame, maxHamming: Int): DataFrame = {
+    val banded = sh.select(col("doc_id"), col("simhash"),
+      explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("bkey",
+        floor(col("simhash") / pow(lit(2.0), col("band") * 8)).cast("long") % 256)
+    val a = banded.select(col("band").as("band_a"), col("bkey").as("bkey_a"),
+      col("doc_id").as("doc_a"), col("simhash").as("fp_a"))
+    val b = banded.select(col("band").as("band_b"), col("bkey").as("bkey_b"),
+      col("doc_id").as("doc_b"), col("simhash").as("fp_b"))
+    a.join(b, col("band_a") === col("band_b") &&
+        col("bkey_a") === col("bkey_b") && col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("fp_a"), col("fp_b")).distinct()
+      .withColumn("hamming", expr("bit_count(fp_a ^ fp_b)").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  /** Embedding-cosine near-dup: all pairs with cosine ≥ threshold.
+    * Brute-force O(n²) pairing — correct at verification scale; at 100 TB
+    * route candidates through [[graft.operators.Similarity.lshBuckets]]
+    * first and verify only within buckets. */
+  def embeddingNearDup(emb: DataFrame, idCol: Column, vecCol: Column,
+      threshold: Double): DataFrame = {
+    val a = emb.select(idCol.as("id_a"), vecCol.as("v_a"))
+      .withColumn("n_a", Similarity.norm(col("v_a")))
+    val b = emb.select(idCol.as("id_b"), vecCol.as("v_b"))
+      .withColumn("n_b", Similarity.norm(col("v_b")))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        Similarity.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+}

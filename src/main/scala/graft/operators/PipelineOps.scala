@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.Tables
+
+/** The reference's dataflow operators re-expressed as composable
+  * `DataFrame => DataFrame` builders (SURVEY.md §2.5/§2.6):
+  * seeded shuffle (O1, reference `make_tf_record.py:155-156`), exact-count
+  * train/validation split (O2, `make_tf_record.py:157-158`), epoch repeat
+  * (B3, `dataset_queue.py:56`), fixed-size batching with short final batch
+  * (B1, `dataset_queue.py:57` / `generator.py:44-51`), contiguous 5-way
+  * sharding (K1, `make_tf_record.py:99-146`), and step-count arithmetic
+  * (B6, `train.py:115-117`).
+  *
+  * Scale stance: the only inherently global operation here is "assign each
+  * row its rank in a deterministic permutation". Two implementations are
+  * provided — `globalRowNumber` (a window, single-partition shuffle; exact
+  * SQL `row_number()` semantics, fine below ~10M rows) and
+  * `scalableGlobalRowNumber` (range-repartition by the sort key +
+  * per-partition zipWithIndex; no single-partition bottleneck, identical
+  * output for unique keys — the 100 TB path). Everything downstream
+  * (split/batch/shard ids) is embarrassingly parallel arithmetic on that
+  * rank.
+  */
+object PipelineOps {
+
+  /** Deterministic pseudo-shuffle rank 1..N ordered by md5(key, seed).
+    * Unique tiebreak column REQUIRED for engine-identical output. */
+  def globalRowNumber(key: Column, seed: Int): Column =
+    row_number().over(
+      Window.orderBy(Tables.shuffleKey(key, seed), key)).cast("long")
+
+  /** Adds `out` = rank in the md5(key, seed) permutation via a window
+    * (exact `row_number()` semantics — the oracle-checked path). */
+  def withShuffleRank(df: DataFrame, key: Column, seed: Int,
+      out: String = "rn"): DataFrame =
+    df.withColumn(out, globalRowNumber(key, seed))
+
+  /** Scalable twin of [[withShuffleRank]]: range-repartition on the
+    * shuffle key, sort within partitions, then assign global indices with
+    * one extra count job (RDD zipWithIndex). Output is identical to the
+    * window version when (shuffleKey, key) is unique — property-tested in
+    * PipelineOpsSpec. This is the implementation that survives 100 TB:
+    * every partition stays bounded and no executor sees the full dataset.
+    */
+  def withScalableShuffleRank(df: DataFrame, key: Column, seed: Int,
+      out: String = "rn"): DataFrame = {
+    val skCol = "__graft_sk"
+    val keyed = df.withColumn(skCol, Tables.shuffleKey(key, seed))
+    val parts = math.max(df.sparkSession.sessionState.conf.numShufflePartitions, 1)
+    val sorted = keyed
+      .repartitionByRange(parts, col(skCol), key)
+      .sortWithinPartitions(col(skCol), key)
+    val schema = sorted.schema.add(out, LongType, nullable = false)
+    val rowRdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ (i + 1L))
+    }
+    df.sparkSession.createDataFrame(rowRdd, schema).drop(skCol)
+  }
+
+  /** Exact-count split (O2): first `valCount` rows of the seeded
+    * permutation are "validation", the rest "train" — mirrors the
+    * reference's prefix slice after `random.seed(0); random.shuffle`.
+    * (`randomSplit` is only approximate; never oracle-safe.) */
+  def withSplit(df: DataFrame, key: Column, seed: Int, valCount: Long,
+      rankCol: String = "rn", splitCol: String = "split"): DataFrame =
+    withShuffleRank(df, key, seed, rankCol)
+      .withColumn(splitCol,
+        when(col(rankCol) <= valCount, lit("validation")).otherwise(lit("train")))
+
+  /** Epoch repeat (B3): cross join against `spark.range(epochs)`, which
+    * also materializes the per-epoch grouping column the consumer-side
+    * metrics need (A4). Broadcast the tiny epoch side explicitly. */
+  def withEpochs(df: DataFrame, epochs: Int,
+      epochCol: String = "epoch"): DataFrame = {
+    val spark = df.sparkSession
+    val e = spark.range(epochs).toDF(epochCol)
+    df.crossJoin(broadcast(e))
+  }
+
+  /** Fixed-size batching (B1): batch id = floor((rank-1)/B) within each
+    * epoch; the final short batch falls out naturally
+    * (`allow_smaller_final_batch=True`, reference `data_queue.py:60`). */
+  def withBatchId(df: DataFrame, rankCol: String, batchSize: Int,
+      out: String = "bid"): DataFrame =
+    df.withColumn(out, floor((col(rankCol) - 1) / batchSize).cast("long"))
+
+  /** Contiguous K-way sharding (K1): the reference writes shard i as the
+    * contiguous slice [i*ceil(N/K), (i+1)*ceil(N/K)) of the shuffled list
+    * (`make_tf_record.py:120-128`). `ntile(K)` over the same permutation
+    * gives the same "contiguous, balanced" semantics. */
+  def withShardId(df: DataFrame, key: Column, seed: Int, shards: Int,
+      out: String = "shard"): DataFrame =
+    df.withColumn(out,
+      ntile(shards).over(Window.orderBy(Tables.shuffleKey(key, seed), key))
+        .cast("long"))
+
+  /** Sharded write (K1/K3): one parquet part-file per shard via
+    * repartitionByRange on the shard id, split name kept as a partition
+    * directory (gives partition pruning on read — the reference's
+    * "read only that split's shards" by file naming, §4). */
+  def writeSharded(df: DataFrame, shardCol: String, splitCol: String,
+      outDir: String): Unit =
+    df.repartitionByRange(col(splitCol), col(shardCol))
+      .write.mode("overwrite").partitionBy(splitCol).parquet(outDir)
+
+  /** Step-count arithmetic (B6, `train.py:115-117`). */
+  def trainSteps(n: Long, epochs: Int, batch: Int): Long =
+    (n * epochs + batch - 1) / batch
+  def epochSteps(n: Long, batch: Int): Long = (n + batch - 1) / batch
+}

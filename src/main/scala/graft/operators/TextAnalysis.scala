@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-analysis operators for the LLM-data-pipeline extension surface
+  * (north star in BASELINE.json; SURVEY.md §7 M7c): tokenization, token
+  * counting, quality scoring, language ID (stopword-hit heuristic),
+  * document fingerprinting, and tf-idf. Everything is built from
+  * codegen'd `org.apache.spark.sql.functions` (no UDFs), stays fully
+  * distributed (per-row or groupBy — no driver collects), and is
+  * deterministic so the DuckDB oracle can hash-match it.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization with empty-token filtering — the
+    * "whitespace + regex" tokenizer. Lowercases first. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+
+  /** BPE-ish subword count approximation: whitespace tokens plus an
+    * extra unit per 4 chars of long tokens (a cheap proxy for merges —
+    * deterministic and SQL-expressible). */
+  def tokenCountBpeIsh(text: Column): Column = {
+    val toks = tokens(text)
+    aggregate(toks, lit(0L),
+      (acc, t) => acc + greatest(lit(1L), ceil(length(t) / 4.0).cast("long")))
+  }
+
+  /** Word n-gram shingles (1-based slice; concat_ws joins with a space).
+    * Returns an empty array when the doc has fewer than n tokens. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+
+  /** Character n-gram shingles over the normalized text (for
+    * fingerprinting / near-dup). */
+  def charShingles(text: Column, n: Int): Column = {
+    val norm = regexp_replace(lower(text), "\\s+", " ")
+    when(length(norm) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), length(norm) - (n - 1)),
+        i => norm.substr(i, lit(n))))
+  }
+
+  val StopwordsEn: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
+
+  /** Fraction of tokens that are stopwords (quality signal). */
+  def stopwordRatio(text: Column, stopwords: Seq[String] = StopwordsEn): Column = {
+    val toks = tokens(text)
+    val sw = array(stopwords.map(lit): _*)
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(size(filter(toks, t => array_contains(sw, t)))
+        .cast("double") / size(toks))
+  }
+
+  /** Punctuation-character ratio of the raw text. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0)).otherwise(
+      (length(text) - length(regexp_replace(text, "[.,;:!?'\"()]", "")))
+        .cast("double") / length(text))
+
+  /** Mean token length in characters. */
+  def meanTokenLen(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+        .cast("double") / size(toks))
+  }
+
+  /** Composite quality score in [0,1]: rewards mid-length docs, a sane
+    * mean word length, and some stopword presence. Deterministic,
+    * SQL-expressible (mirrors C4/Gopher-style length+ratio rules). */
+  def qualityScore(text: Column): Column = {
+    val nTok = size(tokens(text)).cast("double")
+    val lenScore = least(nTok / 50.0, lit(1.0))
+    val mwl = meanTokenLen(text)
+    val wordScore = when(mwl >= 3.0 && mwl <= 10.0, 1.0).otherwise(0.5)
+    val swScore = least(stopwordRatio(text) * lit(5.0), lit(1.0))
+    round((lenScore * 0.5 + wordScore * 0.3 + swScore * 0.2), 6)
+  }
+
+  /** Per-language marker words for the stopword-hit language heuristic.
+    * Tiny on purpose: the operator shape (explode → hit-count → argmax)
+    * is what scales, the dictionaries are pluggable. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "nicht", "ist"),
+    "en" -> Seq("the", "a", "and", "of", "is", "to"),
+    "es" -> Seq("el", "la", "de", "que", "y", "es"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有"))
+
+  /** Language-ID by marker-token hits: for each candidate language count
+    * matching tokens, pick the argmax (ties → lexicographically first
+    * language; no hits anywhere → "und" = undetermined).
+    * Returns df with `predOut` appended. Fully relational: explode the
+    * marker table, join on token, count, rank — no driver state. */
+  def withLangId(df: DataFrame, textCol: Column, idCol: Column,
+      predOut: String = "pred_lang"): DataFrame = {
+    val spark = df.sparkSession
+    val markers = spark.createDataFrame(
+      LangMarkers.flatMap { case (l, ws) => ws.map(w => (l, w)) })
+      .toDF("cand_lang", "marker")
+    val toks = df.select(idCol.as("__id"), explode(tokens(textCol)).as("tok"))
+    val hits = toks.join(broadcast(markers), col("tok") === col("marker"))
+      .groupBy(col("__id"), col("cand_lang"))
+      .agg(count(lit(1)).as("hits"))
+    val w = Window.partitionBy(col("__id"))
+      .orderBy(col("hits").desc, col("cand_lang").asc)
+    val best = hits.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("__id"), col("cand_lang").as(predOut))
+    df.join(best, df(idCol.toString) === best("__id"), "left")
+      .drop("__id")
+      .withColumn(predOut, coalesce(col(predOut), lit("und")))
+  }
+
+  /** Exact-content fingerprint: md5 of whitespace-normalized lowercase
+    * text (SURVEY §7 M7 "document fingerprinting"). */
+  def contentFingerprint(text: Column): Column =
+    md5(regexp_replace(lower(text), "\\s+", " ").cast("binary"))
+
+  /** Order-insensitive bag fingerprint: md5 of the sorted token list —
+    * catches shuffled-word duplicates that the exact fingerprint misses. */
+  def bagFingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(tokens(text))).cast("binary"))
+
+  /** Rolling-hash-style fingerprint: the minimum 32-bit hash over char
+    * k-grams (a 1-hash MinHash = winnowing with window == doc). */
+  def minShingleFingerprint(text: Column, k: Int = 8): Column =
+    array_min(transform(charShingles(text, k), s => Tables.hashU32(s, 7)))
+
+  /** Document frequency + tf-idf, returned as (docId, token, tf, df,
+    * tfidf). `nDocs` must be the exact corpus size (pass `df.count()` or
+    * a known constant — computing it inline would be a second scan). */
+  def tfidf(docs: DataFrame, idCol: Column, textCol: Column,
+      nDocs: Long): DataFrame = {
+    val tok = docs.select(idCol.as("doc_id"),
+      explode(tokens(textCol)).as("token"))
+    val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    tf.join(dfreq, "token")
+      .withColumn("tfidf",
+        col("tf") * log((lit(nDocs.toDouble) + 1.0) / (col("df") + 1.0)))
+  }
+}
