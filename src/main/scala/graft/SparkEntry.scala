@@ -273,7 +273,7 @@ object SparkEntry {
     "s2_ann_lsh" -> ((s, d) =>
       Similarity.annTopK(
         Tables.embeddings(s, d).filter(col("vec_id") % 5 === 0),
-        "vec_id", "embedding", 5)),
+        "vec_id", "embedding", 5, nPlanes = 4, probeBits = 1)),
 
     // —— multimodal column pattern (north star M7d) ——
 

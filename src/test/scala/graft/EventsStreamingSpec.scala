@@ -1,0 +1,62 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Events
+import graft.streaming.EventStream
+
+/** Sessionization + the Structured Streaming slice (M6): the streaming
+  * windowed count must equal its batch twin on the same input. */
+class EventsStreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("sessionize splits on gaps > threshold, aggregates per session") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100L, "click", 1.0, "{}"),
+      (2L, ts("2024-01-01 10:10:00"), 100L, "view", 2.0, "{}"),
+      (3L, ts("2024-01-01 11:30:00"), 100L, "click", 3.0, "{}"), // gap > 30m
+      (4L, ts("2024-01-01 10:00:00"), 200L, "view", 4.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Events.sessionize(ev, 1800L)
+      .select("user_id", "session_id", "n_events", "duration_sec")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(out == Set((100L, 1L, 2L, 600.0), (100L, 2L, 1L, 0.0),
+      (200L, 1L, 1L, 0.0)))
+  }
+
+  test("equal timestamps order deterministically by event_id tiebreak") {
+    val ev = Seq(
+      (2L, ts("2024-01-01 10:00:00"), 1L, "a", 1.0, "{}"),
+      (1L, ts("2024-01-01 10:00:00"), 1L, "b", 1.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val n = Events.sessionize(ev, 1800L).count()
+    assert(n == 1) // same instant → one session regardless of input order
+  }
+
+  test("streaming windowed counts equal the batch groupBy on events") {
+    val batch = Events.bucketCounts(Tables.events(spark, Sf0001), "hour")
+      .withColumnRenamed("bucket", "win_start")
+      .as[(String, String, Long, Double)].collect().toSet
+    val streamed = EventStream.runOnce(
+      EventStream.windowedCounts(
+        EventStream.eventsFileStream(spark, s"$Sf0001/events.parquet"),
+        "1 hour", "1 hour"),
+      s"spec_stream_${System.nanoTime()}")
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("topKPerGroup keeps exactly k rows per group with dense ranks") {
+    val df = Seq(("a", 5), ("a", 3), ("a", 9), ("a", 1), ("b", 2))
+      .toDF("g", "v")
+    val out = Events.topKPerGroup(df, Seq(col("g")),
+      Seq(col("v").desc), 2)
+      .select("g", "rank", "v").as[(String, Long, Int)].collect().toSet
+    assert(out == Set(("a", 1L, 9), ("a", 2L, 5), ("b", 1L, 2)))
+  }
+}

@@ -1,0 +1,99 @@
+package graft
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+import javax.imageio.ImageIO
+
+import graft.functions.ImageKernels
+import graft.functions.ImageKernels.Img
+
+/** Golden-value tests for the augmentation kernels (SURVEY §2.4 F1–F13)
+  * on tiny synthetic PNGs with known pixel values (FIXTURES.md §3). */
+class ImageKernelsSpec extends SparkSpec {
+
+  /** Build an in-memory PNG with pixel (y,x) = rgb(y*16+x scaled). */
+  private def png(h: Int, w: Int, f: (Int, Int) => Int): Array[Byte] = {
+    val bi = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) bi.setRGB(x, y, f(y, x))
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(bi, "png", bos)
+    bos.toByteArray
+  }
+
+  test("decode recovers exact pixel values as [0,1] floats") {
+    val bytes = png(2, 2, (y, x) => (y * 2 + x) * 0x10101 * 40)
+    val img = ImageKernels.decode(bytes)
+    assert(img.h == 2 && img.w == 2 && img.c == 3)
+    assert(img(0, 0, 0) == 0f)
+    assert(math.abs(img(0, 1, 0) - 40f / 255f) < 1e-6)
+    assert(math.abs(img(1, 1, 2) - 120f / 255f) < 1e-6)
+  }
+
+  test("dims probe reads header without full decode") {
+    val bytes = png(7, 13, (_, _) => 0x808080)
+    assert(ImageKernels.dims(bytes) == ((7, 13)))
+  }
+
+  test("flipLeftRight mirrors columns") {
+    val img = Img(Array(0f, 0f, 0f, 1f, 1f, 1f), 1, 2, 3)
+    val fl = ImageKernels.flipLeftRight(img)
+    assert(fl.data.toSeq == Seq(1f, 1f, 1f, 0f, 0f, 0f))
+  }
+
+  test("centralCrop 0.875 then identity resize keeps center") {
+    val img = Img((0 until 8 * 8 * 3).map(_.toFloat).toArray, 8, 8, 3)
+    val c = ImageKernels.centralCrop(img, 0.875)
+    assert(c.h == 7 && c.w == 7)
+    // top-left of crop = pixel (0,0)..(1,1) region offset (8-7)/2 = 0
+    assert(c(0, 0, 0) == img(0, 0, 0))
+  }
+
+  test("bilinear resize is exact on constant images and endpoints") {
+    val img = Img(Array.fill(4 * 4 * 3)(0.5f), 4, 4, 3)
+    val r = ImageKernels.resizeBilinear(img, 8, 8)
+    assert(r.data.forall(v => math.abs(v - 0.5f) < 1e-6))
+    val grad = Img((0 until 2 * 2 * 3).map(i => (i / 3).toFloat).toArray, 2, 2, 3)
+    val r2 = ImageKernels.resizeBilinear(grad, 3, 3)
+    assert(r2(0, 0, 0) == grad(0, 0, 0) && r2(2, 2, 0) == grad(1, 1, 0))
+  }
+
+  test("normalize maps [0,1] to [-1,1]; eval path stays in [0,1]") {
+    val img = Img(Array(0f, 0.5f, 1f), 1, 1, 3)
+    assert(ImageKernels.normalize(img).data.toSeq == Seq(-1f, 0f, 1f))
+    val bytes = png(8, 8, (y, x) => ((y * 8 + x) * 4) * 0x10101)
+    val ev = ImageKernels.preprocessForEval(bytes, 4, 4)
+    assert(ev.forall(v => v >= 0f && v <= 1f))
+    val tr = ImageKernels.preprocessForTrain(bytes, seed = 9L, 4, 4)
+    assert(tr.forall(v => v >= -1f && v <= 1f))
+  }
+
+  test("train kernel is deterministic under a fixed seed") {
+    val bytes = png(16, 16, (y, x) => (y * 16 + x) * 0x10101)
+    val a = ImageKernels.preprocessForTrain(bytes, 1234L, 8, 8)
+    val b = ImageKernels.preprocessForTrain(bytes, 1234L, 8, 8)
+    val c = ImageKernels.preprocessForTrain(bytes, 99L, 8, 8)
+    assert(a.toSeq == b.toSeq)
+    assert(a.toSeq != c.toSeq) // different seed → different augmentation
+  }
+
+  test("randomCrop respects the sampler constraints") {
+    val img = Img(Array.fill(32 * 32 * 3)(0.1f), 32, 32, 3)
+    val rng = new java.util.Random(5)
+    for (_ <- 0 until 50) {
+      val c = ImageKernels.randomCrop(img, rng)
+      val area = c.h.toDouble * c.w / (32.0 * 32.0)
+      val aspect = c.w.toDouble / c.h
+      assert(area >= 0.04 && area <= 1.0)
+      assert(aspect >= 0.6 && aspect <= 1.5) // rounding slack on bounds
+    }
+  }
+
+  test("adjustBrightness clips to [0,1] (F3)") {
+    val img = Img(Array(0.9f, 0.5f, 0.05f), 1, 1, 3)
+    val up = ImageKernels.adjustBrightness(img, 0.3f)
+    assert(up.data.zip(Seq(1f, 0.8f, 0.35f))
+      .forall { case (a, b) => math.abs(a - b) < 1e-6 })
+    val dn = ImageKernels.adjustBrightness(img, -0.2f)
+    assert(math.abs(dn.data(2)) < 1e-6)
+  }
+}

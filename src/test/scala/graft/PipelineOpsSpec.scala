@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.PipelineOps
+
+/** O1/O2/B1/B3/B6/K1 semantics (SURVEY §2.5–§2.6): split exactness,
+  * scalable-rank equivalence, batch arithmetic incl. the short final
+  * batch, shard balance, step counts. Property cases swept over a fixed
+  * grid (the edge cases FIXTURES.md §3 calls out: N % B ≠ 0, N < B,
+  * B = 1, multi-epoch). */
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def range(n: Int) = spark.range(n).toDF("id")
+
+  test("withSplit produces an exact-count, disjoint, exhaustive split") {
+    val df = PipelineOps.withSplit(range(3670), col("id"), 42, 350L)
+    val counts = df.groupBy("split").count().as[(String, Long)]
+      .collect().toMap
+    assert(counts == Map("validation" -> 350L, "train" -> 3320L))
+    // rank is a permutation of 1..N
+    val ranks = df.select("rn").as[Long].collect().sorted
+    assert(ranks.toSeq == (1L to 3670L))
+  }
+
+  test("scalable rank matches the window row_number exactly") {
+    val w = PipelineOps.withShuffleRank(range(5000), col("id"), 7)
+      .select("id", "rn").as[(Long, Long)].collect().toMap
+    val s = PipelineOps.withScalableShuffleRank(range(5000), col("id"), 7)
+      .select("id", "rn").as[(Long, Long)].collect().toMap
+    assert(w == s)
+  }
+
+  test("batching: all batches size B except a short final batch per epoch") {
+    for ((n, b, e) <- Seq((17, 16, 2), (350, 16, 1), (16, 16, 2),
+        (5, 16, 1), (100, 1, 2), (33, 8, 3))) {
+      val ranked = PipelineOps.withShuffleRank(range(n), col("id"), 1)
+      val batched = PipelineOps.withBatchId(
+        PipelineOps.withEpochs(ranked, e), "rn", b)
+      val sizes = batched.groupBy("epoch", "bid").count()
+        .select("count").as[Long].collect()
+      assert(sizes.sum == n.toLong * e, s"n=$n b=$b e=$e")  // nothing lost
+      val perEpoch = batched.groupBy("epoch", "bid").count()
+        .groupBy("epoch").agg(
+          sum(when(col("count") =!= b, 1).otherwise(0)).as("short"))
+        .select("short").as[Long].collect()
+      // ≤ 1 short batch per epoch (0 when B divides N)
+      assert(perEpoch.forall(_ <= (if (n % b == 0) 0 else 1)),
+        s"n=$n b=$b e=$e")
+    }
+  }
+
+  test("shard ids are contiguous slices of the permutation, balanced ±1") {
+    val df = PipelineOps.withShardId(range(103), col("id"), 42, 5)
+    val cnts = df.groupBy("shard").count().select("count").as[Long].collect()
+    assert(cnts.sum == 103 && cnts.max - cnts.min <= 1)
+    // contiguity: shard boundaries respect the shuffle order
+    val ranked = PipelineOps.withShuffleRank(range(103), col("id"), 42)
+    val joined = df.join(ranked, "id")
+    val rangesOk = joined.groupBy("shard")
+      .agg(min("rn").as("lo"), max("rn").as("hi"), count(lit(1)).as("c"))
+      .filter(col("hi") - col("lo") + 1 =!= col("c")).count()
+    assert(rangesOk == 0)
+  }
+
+  test("step counts match ceil arithmetic (train.py:115-117 semantics)") {
+    assert(PipelineOps.trainSteps(3320, 2, 16) == 415)
+    assert(PipelineOps.epochSteps(350, 16) == 22)
+    assert(PipelineOps.trainSteps(17, 2, 16) == 3)
+    for (n <- Seq(1L, 15L, 16L, 17L, 3320L, 9999L); b <- Seq(1, 7, 16, 64))
+      assert(PipelineOps.epochSteps(n, b) == math.ceil(n.toDouble / b).toLong)
+  }
+
+  test("writeSharded lays out split partitions readable with pruning") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_shard_").toString
+    val df = PipelineOps.withShardId(
+      PipelineOps.withSplit(range(100), col("id"), 42, 20L),
+      col("id"), 42, 5)
+    PipelineOps.writeSharded(df, "shard", "split", tmp)
+    val back = spark.read.parquet(tmp)
+    assert(back.filter(col("split") === "validation").count() == 20)
+    assert(back.count() == 100)
+  }
+}

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Metrics, TextAnalysis}
+
+/** Text-analysis kernels (M7c) + consumer aggregations (A1–A5). */
+class TextMetricsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens: lowercase, whitespace split, empties dropped") {
+    val df = Seq("  The QUICK  fox ", "", "one").toDF("text")
+    val out = df.select(TextAnalysis.tokens(col("text")).as("t"))
+      .as[Seq[String]].collect()
+    assert(out(0) == Seq("the", "quick", "fox"))
+    assert(out(1) == Seq())
+    assert(out(2) == Seq("one"))
+  }
+
+  test("shingles produce n-grams; short docs give empty array") {
+    val df = Seq("a b c d", "a b").toDF("text")
+    val out = df.select(TextAnalysis.shingles(col("text"), 3).as("s"))
+      .as[Seq[String]].collect()
+    assert(out(0) == Seq("a b c", "b c d"))
+    assert(out(1) == Seq())
+  }
+
+  test("stopword ratio and mean token length") {
+    val df = Seq("the cat and the hat").toDF("text")
+    val r = df.select(
+      TextAnalysis.stopwordRatio(col("text")).as("sw"),
+      TextAnalysis.meanTokenLen(col("text")).as("ml"))
+      .as[(Double, Double)].head()
+    assert(r._1 == 0.6) // the, and, the of 5
+    assert(r._2 == 15.0 / 5)
+  }
+
+  test("lang id picks the language with most marker hits") {
+    val df = Seq(
+      (1L, "the cat is on the mat and a dog"),
+      (2L, "el perro es de la casa y que bien"),
+      (3L, "xyzzy plugh qwerty")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.withLangId(df, col("text"), col("doc_id"))
+      .select("doc_id", "pred_lang").as[(Long, String)].collect().toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "es")
+    assert(out(3L) == "und")
+  }
+
+  test("fingerprints: content fp ignores case/whitespace; bag fp ignores order") {
+    val df = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "ALPHA  beta   GAMMA"),
+      (3L, "gamma alpha beta")
+    ).toDF("doc_id", "text")
+    val fp = df.select(col("doc_id"),
+      TextAnalysis.contentFingerprint(col("text")).as("c"),
+      TextAnalysis.bagFingerprint(col("text")).as("b"))
+      .as[(Long, String, String)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(fp(1L)._1 == fp(2L)._1)
+    assert(fp(1L)._1 != fp(3L)._1)
+    assert(fp(1L)._2 == fp(3L)._2) // bag fingerprint order-insensitive
+  }
+
+  test("tfidf: corpus-wide terms get lower scores than rare terms") {
+    val docs = Seq(
+      (1L, "common rare1 common"),
+      (2L, "common rare2"),
+      (3L, "common rare3")
+    ).toDF("doc_id", "text")
+    val tf = TextAnalysis.tfidf(docs, col("doc_id"), col("text"), 3L)
+    val scores = tf.groupBy("token").agg(max("tfidf").as("s"))
+      .as[(String, Double)].collect().toMap
+    assert(scores("rare1") > scores("common"))
+  }
+
+  test("one-hot, argmax, accuracy compose to the reference metric (A2/A3)") {
+    val df = Seq((0, 0), (1, 1), (2, 1)).toDF("label", "pred")
+    val acc = df.agg(Metrics.accuracy(col("pred"), col("label")))
+      .as[Double].head()
+    assert(math.abs(acc - 2.0 / 3) < 1e-12)
+    val oh = df.select(Metrics.oneHot(col("label"), 3).as("v"))
+      .as[Seq[Double]].collect()
+    assert(oh(1) == Seq(0.0, 1.0, 0.0))
+    val am = df.select(
+      Metrics.argMax(Metrics.oneHot(col("label"), 3)).as("i"))
+      .as[Long].collect()
+    assert(am.toSeq == Seq(0L, 1L, 2L))
+  }
+
+  test("class dictionary assigns dense ids in sorted-name order") {
+    val df = Seq("roses", "daisy", "tulips", "daisy").toDF("cls")
+    val dict = Metrics.classDictionary(df, col("cls"))
+      .as[(String, Long)].collect().toMap
+    assert(dict == Map("daisy" -> 0L, "roses" -> 1L, "tulips" -> 2L))
+  }
+}
