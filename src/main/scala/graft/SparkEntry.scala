@@ -234,22 +234,16 @@ object SparkEntry {
 
     "d2_minhash_lsh" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val mh = Dedup.minhash(docs, col("doc_id"), col("text"), 8)
+      // signatures are reused by banding and by the jaccard estimate —
+      // materialize once (the 100 TB pattern: signatures ≪ corpus)
+      val mh = Dedup.minhash(docs, col("doc_id"), col("text"), 8).persist()
       val cand = Dedup.lshCandidates(mh, 2)
       Dedup.minhashJaccard(cand, mh, 8)
     }),
 
-    "d3_ngram_jaccard" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val a = docs.select(col("doc_id").as("doc_a"), col("source").as("src_a"))
-      val b = docs.select(col("doc_id").as("doc_b"), col("source").as("src_b"))
-      val pairs = a.join(b,
-        col("src_a") === col("src_b") && col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"))
-      Dedup.ngramJaccard(pairs, docs, col("doc_id"), col("text"), 3)
-        .filter(col("jaccard") >= 0.03)
-        .select(col("doc_a"), col("doc_b"), col("jaccard"))
-    }),
+    "d3_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardSameKey(Tables.documents(s, d), col("doc_id"),
+        col("text"), col("source"), 3, 0.03)),
 
     "d4_simhash" -> ((s, d) =>
       Dedup.simhash(Tables.documents(s, d), col("doc_id"), col("text"))),
@@ -570,7 +564,9 @@ object SparkEntry {
          |    i -> array_to_string(w[i:i+2], ' '))) AS shingle
          |  FROM t WHERE len(w) >= 3),
          |mh AS (
-         |  SELECT doc_id, h, min(md5(h::VARCHAR || '|' || shingle))
+         |  SELECT doc_id, h,
+         |   min(CASE WHEN h < 4 THEN substr(md5(shingle), 1 + 8*(h%4), 8)
+         |       ELSE substr(md5('x' || shingle), 1 + 8*(h%4), 8) END)
          |    AS minhash
          |  FROM sh CROSS JOIN (SELECT unnest(range(8)) AS h) hs
          |  GROUP BY 1, 2),

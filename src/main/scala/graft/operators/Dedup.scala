@@ -29,56 +29,74 @@ object Dedup {
     docs.groupBy(TextAnalysis.contentFingerprint(textCol).as("fp"))
       .agg(min(idCol).as("keep_id"), count(lit(1)).as("dup_count"))
 
-  /** MinHash signature relation: one row per (doc, hashIdx) with the
-    * minimum md5 over the doc's distinct word-3-gram shingles, hashed
-    * with per-function salt. Lexicographic min over hex strings is the
-    * permutation-min — identical in DuckDB. */
+  /** MinHash signatures, wide form: one row per doc with a length-
+    * `numHashes` array of band minima — min over the doc's word-n-gram
+    * shingles of md5(h || '|' || shingle). Lexicographic min over hex
+    * strings is the permutation-min — identical in DuckDB.
+    *
+    * Shape matters at scale: ONE explode + ONE groupBy with H min()
+    * columns (map-side partial mins), instead of distinct + an H-way
+    * hash cross join — the shuffle carries one row per doc. min() over
+    * duplicate shingles equals min() over the distinct set, so no
+    * distinct pass is needed. */
   def minhash(docs: DataFrame, idCol: Column, textCol: Column,
       numHashes: Int, shingleN: Int = 3): DataFrame = {
-    val sh = docs
-      .select(idCol.as("doc_id"),
-        explode(TextAnalysis.shingles(textCol, shingleN)).as("shingle"))
-      .distinct()
-    val hashIdx = docs.sparkSession.range(numHashes).toDF("h")
-    sh.crossJoin(broadcast(hashIdx))
-      .groupBy(col("doc_id"), col("h"))
-      .agg(min(md5(concat(col("h").cast("string"), lit("|"), col("shingle"))
-        .cast("binary"))).as("minhash"))
+    require(numHashes <= 8, "one-permutation scheme provides 8 hash slots")
+    val sh = TextAnalysis.explodedShingles(docs, idCol, textCol, shingleN)
+    // One-permutation hashing: slot i reads an 8-hex-digit (32-bit)
+    // window of md5(shingle) (slots 4-7 of md5('x'+shingle)) — 2 md5
+    // evaluations per shingle instead of numHashes, same minima
+    // statistics. Lexicographic min over fixed-width hex = numeric min.
+    val m1 = md5(col("shingle").cast("binary"))
+    val m2 = md5(concat(lit("x"), col("shingle")).cast("binary"))
+    val mins = (0 until numHashes).map { h =>
+      val src = if (h < 4) m1 else m2
+      min(substring(src, 1 + 8 * (h % 4), 8)).as(s"mh$h")
+    }
+    sh.groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until numHashes).map(i => col(s"mh$i")): _*).as("sig"))
   }
 
-  /** LSH candidate pairs from a minhash relation: split the `numHashes`
-    * rows into bands of `rowsPerBand`, bucket docs by the md5 of each
-    * band's concatenated minima, and emit distinct (doc_a < doc_b) pairs
-    * sharing any bucket. */
-  def lshCandidates(mh: DataFrame, rowsPerBand: Int): DataFrame = {
-    val bands = mh
+  /** LSH candidate pairs from wide signatures: split the signature into
+    * bands of `rowsPerBand`, bucket docs by the md5 of each band's
+    * sorted minima, and emit distinct (doc_a < doc_b) pairs sharing any
+    * bucket. The signature relation is persisted around the self-join —
+    * at 100 TB you materialize signatures once (they are tiny relative
+    * to the corpus) rather than recompute the corpus scan per side. */
+  def lshCandidates(sig: DataFrame, rowsPerBand: Int): DataFrame = {
+    val banded = sig
+      .select(col("doc_id"),
+        posexplode(col("sig")).as(Seq("h", "mh")))
       .withColumn("band", floor(col("h") / rowsPerBand))
       .groupBy(col("doc_id"), col("band"))
-      // sort inside the band so the key is order-independent of shuffle
       .agg(md5(concat_ws("|",
-        array_sort(collect_list(col("minhash")))).cast("binary")).as("bkey"))
-    val a = bands.select(col("band").as("band_a"), col("bkey").as("bkey_a"),
+        array_sort(collect_list(col("mh")))).cast("binary")).as("bkey"))
+      .persist()
+    val a = banded.select(col("band").as("band_a"), col("bkey").as("bkey_a"),
       col("doc_id").as("doc_a"))
-    val b = bands.select(col("band").as("band_b"), col("bkey").as("bkey_b"),
+    val b = banded.select(col("band").as("band_b"), col("bkey").as("bkey_b"),
       col("doc_id").as("doc_b"))
     a.join(b, col("band_a") === col("band_b") &&
         col("bkey_a") === col("bkey_b") && col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
   }
 
-  /** Estimated Jaccard for candidate pairs: fraction of matching minhash
-    * rows (exact rational n/numHashes — engine-reproducible). */
-  def minhashJaccard(candidates: DataFrame, mh: DataFrame,
+  /** Estimated Jaccard for candidate pairs: fraction of matching
+    * signature positions (exact rational n/numHashes —
+    * engine-reproducible). Two broadcast-joins against the signature
+    * relation, then a zip-compare — no per-hash shuffle. */
+  def minhashJaccard(candidates: DataFrame, sig: DataFrame,
       numHashes: Int): DataFrame = {
-    val ma = mh.select(col("doc_id").as("doc_a"), col("h"),
-      col("minhash").as("mh_a"))
-    val mb = mh.select(col("doc_id").as("doc_b"), col("h"),
-      col("minhash").as("mh_b"))
-    candidates
-      .join(ma, Seq("doc_a")).join(mb, Seq("doc_b", "h"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg((sum(when(col("mh_a") === col("mh_b"), 1L).otherwise(0L))
-        / lit(numHashes.toDouble)).as("est_jaccard"))
+    val sa = sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val sb = sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    candidates.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), (acc, v) => acc + v)
+          / lit(numHashes.toDouble)).as("est_jaccard"))
   }
 
   /** Exact n-gram Jaccard for given pairs: |A ∩ B| / |A ∪ B| over
@@ -88,6 +106,7 @@ object Dedup {
       textCol: Column, n: Int = 3): DataFrame = {
     val sh = docs.select(idCol.as("id"),
       explode(TextAnalysis.shingles(textCol, n)).as("s")).distinct()
+      .persist() // reused 3×: intersection (both sides) and set sizes
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val inter = pairs
       .join(sh.select(col("id").as("doc_a"), col("s").as("s_a")), "doc_a")
@@ -105,6 +124,39 @@ object Dedup {
           .cast("double"))
   }
 
+  /** Exact n-gram Jaccard over all same-key pairs with jaccard ≥
+    * `minJaccard` (> 0): instead of materializing the quadratic pair
+    * table and joining it against the shingle relation (O(pairs ×
+    * shingles-per-doc) rows), self-join the shingle relation on
+    * (key, shingle) — only co-occurring shingles generate rows, the
+    * LSH-free version of candidate pruning. Equivalent to
+    * [[ngramJaccard]] over all same-key pairs followed by the threshold
+    * filter, because zero-intersection pairs can never pass a positive
+    * threshold. */
+  def ngramJaccardSameKey(docs: DataFrame, idCol: Column, textCol: Column,
+      keyCol: Column, n: Int, minJaccard: Double): DataFrame = {
+    val sh = docs.select(idCol.as("id"), keyCol.as("k"),
+        TextAnalysis.tokens(textCol).as("toks"))
+      .select(col("id"), col("k"),
+        explode(TextAnalysis.shinglesOf(col("toks"), n)).as("s"))
+      .distinct()
+      .persist()
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.k") === col("b.k") && col("a.s") === col("b.s") &&
+          col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
+      .join(sizes.select(col("id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+      .withColumn("jaccard",
+        col("inter") / (col("sz_a") + col("sz_b") - col("inter"))
+          .cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
   /** 32-bit SimHash fingerprint per doc over distinct word-3-gram
     * shingle features: for each bit b, sum +1/-1 over features whose
     * md5-derived u32 has bit b set/clear; bit b of the fingerprint is 1
@@ -114,8 +166,8 @@ object Dedup {
     * doubles below 2^52 and identical in DuckDB.
     * Returns (doc_id, simhash). */
   def simhash(docs: DataFrame, idCol: Column, textCol: Column): DataFrame = {
-    val tok = docs.select(idCol.as("doc_id"),
-      explode(TextAnalysis.shingles(textCol, 3)).as("tok"))
+    val tok = TextAnalysis.explodedShingles(docs, idCol, textCol, 3)
+      .withColumnRenamed("shingle", "tok")
       .distinct()
       .withColumn("hu", Tables.hashU32(col("tok"), 13))
     // One aggregation with 32 sum columns instead of a 32× row explosion:
@@ -138,7 +190,8 @@ object Dedup {
     * bands (pigeonhole guarantees recall for Hamming ≤ 3 at 4 bands);
     * verified by exact Hamming distance ≤ maxHamming. */
   def simhashPairs(sh: DataFrame, maxHamming: Int): DataFrame = {
-    val banded = sh.select(col("doc_id"), col("simhash"),
+    val fps = sh.persist() // both sides of the band self-join
+    val banded = fps.select(col("doc_id"), col("simhash"),
       explode(sequence(lit(0), lit(3))).as("band"))
       .withColumn("bkey",
         floor(col("simhash") / pow(lit(2.0), col("band") * 8)).cast("long") % 256)

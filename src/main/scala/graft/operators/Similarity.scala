@@ -24,7 +24,7 @@ object Similarity {
     * exact same IEEE summation order — bit-identical results, so the
     * DuckDB `list_reduce` oracle still hash-matches. Candidate for a
     * codegen'd Catalyst Expression if profiling ever demands it. */
-  private val dotU = udf((a: Seq[Float], b: Seq[Float]) => {
+  private val dotU = udf((a: Array[Float], b: Array[Float]) => {
     var acc = 0.0
     var i = 0
     val n = a.length

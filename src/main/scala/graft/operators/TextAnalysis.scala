@@ -30,14 +30,30 @@ object TextAnalysis {
       (acc, t) => acc + greatest(lit(1L), ceil(length(t) / 4.0).cast("long")))
   }
 
-  /** Word n-gram shingles (1-based slice; concat_ws joins with a space).
-    * Returns an empty array when the doc has fewer than n tokens. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
+  /** Word n-gram shingles from an already-materialized token-array
+    * COLUMN (not an expression): referencing a token *expression* here
+    * would be inlined into the transform lambda by Catalyst and
+    * re-evaluated per shingle position — O(tokens²) re-tokenization per
+    * document (measured 10× slowdown). Callers must first project
+    * `tokens(text)` to a named column (see [[explodedShingles]]). */
+  def shinglesOf(toks: Column, n: Int): Column =
     when(size(toks) < n, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n)))))
-  }
+        i => concat_ws(" ",
+          (0 until n).map(j => element_at(toks, i + j)): _*)))
+
+  /** Convenience composition — carries the O(tokens²) re-tokenization
+    * caveat above (the tokens expression is inlined into the lambda), so
+    * use only on short texts / small frames; operators go through
+    * [[explodedShingles]] / [[shinglesOf]]. */
+  def shingles(text: Column, n: Int): Column = shinglesOf(tokens(text), n)
+
+  /** The (id, shingle) relation every shingle-based operator starts
+    * from: tokenize once per row, then explode the n-grams. */
+  def explodedShingles(docs: org.apache.spark.sql.DataFrame, idCol: Column,
+      textCol: Column, n: Int): org.apache.spark.sql.DataFrame =
+    docs.select(idCol.as("doc_id"), tokens(textCol).as("toks"))
+      .select(col("doc_id"), explode(shinglesOf(col("toks"), n)).as("shingle"))
 
   /** Character n-gram shingles over the normalized text (for
     * fingerprinting / near-dup). */
