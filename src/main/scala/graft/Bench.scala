@@ -10,6 +10,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // session warmup: one tiny scan+shuffle so the first timed query
+    // doesn't absorb JVM/codegen/scheduler initialization
+    spark.read.parquet(s"$sfDir/region.parquet")
+      .groupBy("r_name").count().count()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -269,6 +269,42 @@ object SparkEntry {
         Tables.embeddings(s, d).filter(col("vec_id") % 5 === 0),
         "vec_id", "embedding", 5, nPlanes = 4, probeBits = 1)),
 
+    // —— stateful streaming: keyed sessions via flatMapGroupsWithState ——
+    // (no oracle: the open trailing session per user is by design not
+    //  emitted without a timeout — covered by EventsStreamingSpec
+    //  against the batch twin)
+
+    "q16_stream_sessions" -> ((s, d) =>
+      EventStream.runOnce(
+        EventStream.sessionizeStream(
+          EventStream.eventsFileStream(s, s"$d/events.parquet"), 1800L),
+        s"stream_sessions_${System.nanoTime()}", outputMode = "append")),
+
+    // —— image kernel pipeline (M2: decode → eval kernel, F5/F9/F10) ——
+    // (no oracle: image math is not SQL-expressible; kernels are
+    //  golden-tested in ImageKernelsSpec. Deterministic synthetic PNGs
+    //  exercise the full encode→probe→decode→kernel path.)
+
+    "k1_image_pipeline" -> ((s, d) => {
+      val lp = labeledPart(s, d)
+        .withColumn("h", (lit(8) + Tables.hashU32(col("p_partkey"), 21) % 9)
+          .cast("int"))
+        .withColumn("w", (lit(8) + Tables.hashU32(col("p_partkey"), 22) % 9)
+          .cast("int"))
+        .withColumn("encoded", graft.functions.ImageKernels.synthPngUdf(
+          col("p_partkey"), col("h"), col("w")))
+      val probed = lp
+        .withColumn("dims", graft.functions.ImageKernels.dimsUdf(col("encoded")))
+        .withColumn("feat", graft.functions.ImageKernels.evalKernel(
+          col("encoded"), lit(4), lit(4)))
+      probed.groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("dims").getItem(0) === col("h") &&
+            col("dims").getItem(1) === col("w"), 1L).otherwise(0L))
+            .as("dims_ok"),
+          round(avg(element_at(col("feat"), 1)), 4).as("avg_feat0"))
+    }),
+
     // —— multimodal column pattern (north star M7d) ——
 
     "m1_multimodal_meta" -> ((s, d) =>

@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst dot product over two float-array columns, computed as
+  * a left-fold in doubles — the hot kernel of every cosine operator
+  * (similarity search, embedding near-dup).
+  *
+  * Why an Expression and not a UDF: `doGenCode` emits a primitive loop
+  * directly into whole-stage codegen — no UDF call boundary, no
+  * Array[Float] materialization per row (elements are read straight from
+  * the columnar ArrayData). The summation order is the same
+  * ((0 + x0) + x1 + …), so results are bit-identical to both the Scala
+  * UDF it replaces and the DuckDB `list_reduce` oracle.
+  *
+  * Null contract: a null array yields null (BinaryExpression's default);
+  * null *elements* contribute 0 (embeddings never contain them — the
+  * guard just keeps codegen safe).
+  */
+case class DotProductExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(t: DataType): Boolean = t match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_dot expects array<float> inputs, got " +
+          s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i))
+        acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  }
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): DotProductExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object DotProductExpr {
+  /** Column-level entry point: `graft_dot(a, b)`. */
+  def dot(a: Column, b: Column): Column =
+    GraftSqlBridge.column(DotProductExpr(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+}

@@ -267,7 +267,30 @@ object ImageKernels {
     resizeBilinear(centralCrop(img, 0.875), outH, outW).data
   }
 
+  /** Deterministic synthetic PNG: pixel (y,x) is a Knuth-hash of
+    * (seed, y, x). Stands in for on-disk corpora in pipelines exercising
+    * the full encode→decode→kernel path where the test tables have no
+    * image payloads (multimodal pattern, SURVEY §7 M7d). */
+  def synthPng(seed: Long, h: Int, w: Int): Array[Byte] = {
+    val bi = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = (seed * 1000003L + y * 131L + x) * 2654435761L
+        bi.setRGB(x, y, (v >>> 16).toInt & 0xffffff)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    ImageIO.write(bi, "png", bos)
+    bos.toByteArray
+  }
+
   // —— Column-level API (F13 dispatcher happens at plan time, P5) ——
+
+  val synthPngUdf = udf((seed: Long, h: Int, w: Int) => synthPng(seed, h, w))
 
   val trainKernelUdf =
     udf((enc: Array[Byte], seed: Long, h: Int, w: Int) =>

@@ -108,6 +108,41 @@ object PipelineOps {
     df.repartitionByRange(col(splitCol), col(shardCol))
       .write.mode("overwrite").partitionBy(splitCol).parquet(outDir)
 
+  /** Shuffle-buffer emulation (O3, the reference's `shuffle_batch`
+    * bounded-buffer semantics, `data_queue.py:57-60`): per partition,
+    * fill a ring buffer of `capacity`; once `minAfterDequeue` elements
+    * are buffered, emit a uniformly drawn slot per incoming element;
+    * drain the remainder at end — `allow_smaller_final_batch` semantics
+    * fall out of the drain. A seeded per-partition RNG keeps it
+    * deterministic for a fixed partitioning (document: the reference's
+    * version is nondeterministic across thread schedules; ours is
+    * stronger). The full `orderBy(shuffleKey)` operators elsewhere give
+    * a *stronger* uniform shuffle — this exists for semantic parity and
+    * for streaming-ish bounded-memory shuffling at scale. */
+  def bufferShuffle(df: DataFrame, capacity: Int, minAfterDequeue: Int,
+      seed: Long): DataFrame = {
+    require(capacity > minAfterDequeue && minAfterDequeue >= 0)
+    val schema = df.schema
+    val shuffled = df.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val rng = new java.util.Random(seed * 1000003L + pid)
+      val buf = new scala.collection.mutable.ArrayBuffer[Row](capacity)
+      new Iterator[Row] {
+        private def fill(): Unit =
+          while (buf.length < capacity && it.hasNext) buf += it.next()
+        override def hasNext: Boolean = { fill(); buf.nonEmpty }
+        override def next(): Row = {
+          fill()
+          val idx = rng.nextInt(buf.length)
+          val out = buf(idx)
+          buf(idx) = buf.last
+          buf.trimEnd(1)
+          out
+        }
+      }
+    }
+    df.sparkSession.createDataFrame(shuffled, schema)
+  }
+
   /** Step-count arithmetic (B6, `train.py:115-117`). */
   def trainSteps(n: Long, epochs: Int, batch: Int): Long =
     (n * epochs + batch - 1) / batch

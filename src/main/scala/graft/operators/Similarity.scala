@@ -18,24 +18,17 @@ import graft.Tables
   */
 object Similarity {
 
-  /** Left-fold double dot product of two float arrays. A compact UDF
-    * beats the equivalent `aggregate(zip_with(...))` HOF chain ~10× here
-    * (interpreted lambda per element vs one JVM loop) while keeping the
-    * exact same IEEE summation order — bit-identical results, so the
-    * DuckDB `list_reduce` oracle still hash-matches. Candidate for a
-    * codegen'd Catalyst Expression if profiling ever demands it. */
-  private val dotU = udf((a: Array[Float], b: Array[Float]) => {
-    var acc = 0.0
-    var i = 0
-    val n = a.length
-    while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
-    acc
-  })
-
-  def dot(a: Column, b: Column): Column = dotU(a, b)
+  /** Left-fold double dot product of two float arrays, as a native
+    * codegen'd Catalyst Expression (graft.functions.DotProductExpr):
+    * the loop is emitted straight into whole-stage codegen, reading
+    * elements from columnar ArrayData — no UDF boundary, no per-row
+    * Array[Float] materialization. Same IEEE summation order as the
+    * DuckDB `list_reduce` oracle — bit-identical results. */
+  def dot(a: Column, b: Column): Column =
+    graft.functions.DotProductExpr.dot(a, b)
 
   /** L2 norm of a float-array column (left-fold, doubles). */
-  def norm(v: Column): Column = sqrt(dotU(v, v))
+  def norm(v: Column): Column = sqrt(dot(v, v))
 
   /** Cosine similarity of two float-array columns, computed in doubles.
     * For joins, prefer precomputing [[norm]] per side (O(n)) instead of

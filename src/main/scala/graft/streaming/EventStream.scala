@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
 /** Structured Streaming slice (SURVEY.md §7 M6): the reference's only
   * streaming-like traits are bounded epoch-limited queues, backpressure,
@@ -62,15 +62,68 @@ object EventStream {
     }
   }
 
+  /** One event for the keyed-state sessionizer. */
+  final case class SessEvent(user_id: Long, ts_us: Long, value: Double)
+  /** Open-session state carried between micro-batches. */
+  final case class SessState(start_us: Long, last_us: Long, n: Long,
+      sum_value: Double)
+  /** One emitted (closed) session. */
+  final case class Session(user_id: Long, start_us: Long, n_events: Long,
+      duration_sec: Double, sum_value: Double)
+
+  /** Custom keyed state via flatMapGroupsWithState (the §2.8 checklist's
+    * "custom state" slice): gap-based sessionization where sessions
+    * closed by a later event are emitted incrementally and the open
+    * session per user rides GroupState between micro-batches. Events
+    * inside a micro-batch are sorted per user in-function (the iterator
+    * carries no order guarantee) — group-per-batch volumes are bounded
+    * by maxFilesPerTrigger, the C3 backpressure knob. Note: the
+    * still-open trailing session per user is intentionally NOT emitted
+    * (it would need a timeout to close); batch `Events.sessionize` is
+    * the bounded twin that includes it. */
+  def sessionizeStream(events: DataFrame, gapSeconds: Long)
+      : Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapSeconds * 1000000L
+    events
+      .select(col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"), col("value"))
+      .as[SessEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, Session](OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[SessEvent], state: GroupState[SessState]) =>
+          val evs = it.toArray.sortBy(e => (e.ts_us, e.value))
+          var cur = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+          for (e <- evs) {
+            if (cur == null) {
+              cur = SessState(e.ts_us, e.ts_us, 1L, e.value)
+            } else if (e.ts_us - cur.last_us > gapUs) {
+              out += Session(user, cur.start_us, cur.n,
+                (cur.last_us - cur.start_us) / 1000000.0, cur.sum_value)
+              cur = SessState(e.ts_us, e.ts_us, 1L, e.value)
+            } else {
+              cur = SessState(cur.start_us, e.ts_us, cur.n + 1,
+                cur.sum_value + e.value)
+            }
+          }
+          if (cur != null) state.update(cur)
+          out.iterator
+      }
+  }
+
   /** Run a streaming DataFrame to completion (AvailableNow ≈ the
     * reference's bounded, epoch-limited queue that closes and signals
     * OutOfRange — B5) into a memory sink; return the bounded result. */
-  def runOnce(streamed: DataFrame, queryName: String): DataFrame = {
+  def runOnce(streamed: Dataset[_], queryName: String,
+      outputMode: String = "complete"): DataFrame = {
     val spark = streamed.sparkSession
     val q = streamed.writeStream
       .format("memory")
       .queryName(queryName)
-      .outputMode("complete")
+      .outputMode(outputMode)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()

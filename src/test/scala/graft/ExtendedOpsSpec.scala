@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{DotProductExpr, ImageKernels}
+import graft.operators.{Events, PipelineOps, Similarity}
+import graft.streaming.EventStream
+
+/** Round-1 extensions: shuffle-buffer emulation (O3), the native
+  * codegen'd dot-product Expression, keyed-state streaming sessions,
+  * and the synthetic-image pipeline. */
+class ExtendedOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bufferShuffle is a multiset-preserving permutation, seeded") {
+    val df = spark.range(1000).toDF("id").repartition(4)
+    val out = PipelineOps.bufferShuffle(df, capacity = 64,
+      minAfterDequeue = 16, seed = 9L)
+    assert(out.schema == df.schema)
+    val a = out.select("id").as[Long].collect().sorted.toSeq
+    assert(a == (0L until 1000L))
+    // determinism for a fixed partitioning
+    val again = PipelineOps.bufferShuffle(df, 64, 16, 9L)
+      .select("id").as[Long].collect().toSeq
+    val first = out.select("id").as[Long].collect().toSeq
+    assert(again == first)
+    // it actually shuffles (identity order is astronomically unlikely)
+    assert(first != (0L until 1000L).toSeq)
+  }
+
+  test("native dot Expression matches HOF fold bit-for-bit incl. interpreted path") {
+    val df = Tables.embeddings(spark, Sf0001).limit(200)
+      .select(col("vec_id"), col("embedding").as("a"), col("embedding").as("b"))
+    val hof = df.select(col("vec_id"),
+      aggregate(zip_with(
+        transform(col("a"), x => x.cast("double")),
+        transform(col("b"), x => x.cast("double")),
+        (x, y) => x * y), lit(0.0), (acc, v) => acc + v).as("d"))
+      .as[(Long, Double)].collect().toMap
+    val native = df.select(col("vec_id"),
+      Similarity.dot(col("a"), col("b")).as("d"))
+      .as[(Long, Double)].collect().toMap
+    assert(native == hof) // exact equality — same IEEE fold
+    // interpreted (non-codegen) path agrees: evaluate via nullSafeEval
+    val v = Array(1.5f, -2.25f, 3f)
+    val ad = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(v)
+    val one = org.apache.spark.sql.GraftSqlBridge.expression(lit(1))
+    val got = DotProductExpr(one, one).nullSafeEval(ad, ad)
+    val want = v.map(_.toDouble).foldLeft(0.0)((acc, x) => acc + x * x)
+    assert(got == want)
+  }
+
+  test("streamed sessions = batch sessions minus the open trailing one") {
+    val batch = Events.sessionize(Tables.events(spark, Sf0001), 1800L)
+    val batchClosed = batch.as("b")
+      .join(batch.groupBy("user_id").agg(max("session_id").as("last_sid")),
+        "user_id")
+      .filter(col("session_id") =!= col("last_sid"))
+    val streamed = EventStream.runOnce(
+      EventStream.sessionizeStream(
+        EventStream.eventsFileStream(spark, s"$Sf0001/events.parquet"), 1800L),
+      s"spec_sessions_${System.nanoTime()}", outputMode = "append")
+    // compare on (user, n_events, duration): session ids are
+    // representation-internal
+    val bset = batchClosed.select("user_id", "n_events", "duration_sec")
+      .as[(Long, Long, Double)].collect().groupBy(identity).view
+      .mapValues(_.length).toMap
+    val sset = streamed.select(col("user_id"), col("n_events"),
+        col("duration_sec")).as[(Long, Long, Double)].collect()
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(sset == bset)
+    assert(sset.nonEmpty)
+  }
+
+  test("synthetic image pipeline: dims probe matches requested h/w") {
+    val out = SparkEntry.queries("k1_image_pipeline")(spark, Sf0001)
+    val rows = out.select("label", "n", "dims_ok")
+      .as[(Long, Long, Long)].collect()
+    assert(rows.map(_._2).sum == 200) // sf0.001 part count
+    assert(rows.forall(r => r._2 == r._3)) // every probe agreed
+  }
+
+  test("synthPng is deterministic and decodable") {
+    val a = ImageKernels.synthPng(42L, 10, 12)
+    val b = ImageKernels.synthPng(42L, 10, 12)
+    assert(a.toSeq == b.toSeq)
+    val img = ImageKernels.decode(a)
+    assert(img.h == 10 && img.w == 12)
+    assert(ImageKernels.dims(a) == ((10, 12)))
+  }
+}
