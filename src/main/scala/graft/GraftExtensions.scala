@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.DotProductExpr
+
+/** Spark-native integration point: make graft's custom Catalyst
+  * expressions available to SQL.
+  *
+  * Two routes, same registry entries:
+  *  - cluster-wide: `--conf spark.sql.extensions=graft.GraftExtensions`
+  *    (constructor injection — the canonical SparkSessionExtensions path)
+  *  - per-session: `GraftFunctions.register(spark)` for sessions built
+  *    without the conf (e.g. the driver-owned Verify/Bench harness).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(GraftFunctions.dotFunction)
+}
+
+object GraftFunctions {
+  val dotFunction: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProductExpr].getName, "graft_dot"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_dot(arrayA, arrayB)")
+        DotProductExpr(children.head, children(1))
+      })
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot", dotFunction._3, "built-in")
+}

@@ -19,13 +19,14 @@ object PlanAudit {
       df.count()
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"===== $n%-22s $sec%7.2fs =====")
-      val plan = df.queryExecution.executedPlan.toString
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
       // compact signal lines only
       plan.linesIterator
         .filter(l => l.contains("Scan parquet") || l.contains("PushedFilters")
           || l.contains("Join") || l.contains("Exchange")
           || l.contains("ReadSchema") || l.contains("WholeStageCodegen"))
-        .take(30).foreach(l => println(l.take(200)))
+        .take(40).foreach(l => println(l.take(200)))
     }
     spark.stop()
   }

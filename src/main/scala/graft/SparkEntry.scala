@@ -270,15 +270,17 @@ object SparkEntry {
         "vec_id", "embedding", 5, nPlanes = 4, probeBits = 1)),
 
     // —— stateful streaming: keyed sessions via flatMapGroupsWithState ——
-    // (no oracle: the open trailing session per user is by design not
-    //  emitted without a timeout — covered by EventsStreamingSpec
-    //  against the batch twin)
+    // oracle: batch sessionization minus the open trailing session per
+    // user (which only a state timeout could close); sum rounded so
+    // stream-order vs group-order double accumulation agrees
 
     "q16_stream_sessions" -> ((s, d) =>
       EventStream.runOnce(
         EventStream.sessionizeStream(
           EventStream.eventsFileStream(s, s"$d/events.parquet"), 1800L),
-        s"stream_sessions_${System.nanoTime()}", outputMode = "append")),
+        s"stream_sessions_${System.nanoTime()}", outputMode = "append")
+        .select(col("user_id"), col("start_us"), col("n_events"),
+          col("duration_sec"), round(col("sum_value"), 4).as("sum_value"))),
 
     // —— image kernel pipeline (M2: decode → eval kernel, F5/F9/F10) ——
     // (no oracle: image math is not SQL-expressible; kernels are
@@ -495,6 +497,33 @@ object SparkEntry {
         | event_type, CAST(count(*) AS BIGINT) AS cnt,
         | round(sum(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q16_stream_sessions" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, value, epoch_us(ts::TIMESTAMP) AS ts_us,
+        |   lag(epoch_us(ts::TIMESTAMP)) OVER
+        |     (PARTITION BY user_id ORDER BY epoch_us(ts::TIMESTAMP), event_id)
+        |     AS prev_us
+        |  FROM events),
+        |ns AS (
+        |  SELECT *, CASE WHEN prev_us IS NULL
+        |     OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM g),
+        |sid AS (
+        |  SELECT *, sum(new_session) OVER
+        |    (PARTITION BY user_id ORDER BY ts_us, event_id
+        |     ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM ns),
+        |sess AS (
+        |  SELECT user_id, session_id, CAST(min(ts_us) AS BIGINT) AS start_us,
+        |   CAST(count(*) AS BIGINT) AS n_events,
+        |   (max(ts_us) - min(ts_us)) / 1000000 AS duration_sec,
+        |   round(sum(value), 4) AS sum_value
+        |  FROM sid GROUP BY 1, 2),
+        |last AS (SELECT user_id, max(session_id) AS ls FROM sess GROUP BY 1)
+        |SELECT s.user_id, s.start_us, s.n_events, s.duration_sec, s.sum_value
+        |FROM sess s JOIN last l
+        |  ON s.user_id = l.user_id AND s.session_id <> l.ls""".stripMargin,
 
     "t1_token_stats" ->
       s"""WITH t AS (SELECT doc_id, $DuckToks AS toks FROM documents)

@@ -50,6 +50,15 @@ class ExtendedOpsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("graft_dot is SQL-callable after registration") {
+    GraftFunctions.register(spark)
+    val got = spark.sql(
+      """SELECT graft_dot(array(cast(1.5 as float), cast(2.0 as float)),
+        |                 array(cast(3.0 as float), cast(0.5 as float)))
+        |   AS d""".stripMargin).as[Double].head()
+    assert(got == 1.5 * 3.0 + 2.0 * 0.5)
+  }
+
   test("streamed sessions = batch sessions minus the open trailing one") {
     val batch = Events.sessionize(Tables.events(spark, Sf0001), 1800L)
     val batchClosed = batch.as("b")
