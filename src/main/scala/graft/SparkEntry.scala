@@ -173,6 +173,16 @@ object SparkEntry {
           col("o_totalprice"))
     }),
 
+    "q17_topk_agg" -> ((s, d) => {
+      val oc = Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)),
+          col("o_custkey") === col("c_custkey"))
+      TopK.topKPerGroupAgg(oc, "c_mktsegment", "o_totalprice",
+        "o_orderkey", 3)
+        .select(col("c_mktsegment"), col("rank"), col("o_orderkey"),
+          col("o_totalprice"))
+    }),
+
     // —— events / streaming ——
 
     "q13_hourly_events" -> ((s, d) =>
@@ -455,6 +465,15 @@ object SparkEntry {
         |GROUP BY n_name""".stripMargin,
 
     "q12_topk_orders" ->
+      """WITH ranked AS (
+        |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |   CAST(row_number() OVER (PARTITION BY c_mktsegment
+        |     ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rank
+        |  FROM orders JOIN customer ON o_custkey = c_custkey)
+        |SELECT c_mktsegment, rank, o_orderkey, o_totalprice
+        |FROM ranked WHERE rank <= 3""".stripMargin,
+
+    "q17_topk_agg" ->
       """WITH ranked AS (
         |  SELECT c_mktsegment, o_orderkey, o_totalprice,
         |   CAST(row_number() OVER (PARTITION BY c_mktsegment

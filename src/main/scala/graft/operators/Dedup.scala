@@ -201,10 +201,13 @@ object Dedup {
       col("doc_id").as("doc_b"), col("simhash").as("fp_b"))
     a.join(b, col("band_a") === col("band_b") &&
         col("bkey_a") === col("bkey_b") && col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("fp_a"), col("fp_b")).distinct()
+      // Hamming-filter BEFORE the distinct: the band join emits each
+      // qualifying pair up to 4×, but it also emits every non-dup pair
+      // that collides on one band — filtering first shrinks the distinct
+      // shuffle to actual near-dups instead of all collisions.
       .withColumn("hamming", expr("bit_count(fp_a ^ fp_b)").cast("long"))
       .filter(col("hamming") <= maxHamming)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .select(col("doc_a"), col("doc_b"), col("hamming")).distinct()
   }
 
   /** Embedding-cosine near-dup: all pairs with cosine ≥ threshold.

@@ -89,6 +89,15 @@ class ExtendedOpsSpec extends SparkSpec {
     assert(rows.forall(r => r._2 == r._3)) // every probe agreed
   }
 
+  test("Aggregator top-k equals the window top-k") {
+    val win = SparkEntry.queries("q12_topk_orders")(spark, Sf0001)
+      .as[(String, Long, Long, Double)].collect().toSet
+    val agg = SparkEntry.queries("q17_topk_agg")(spark, Sf0001)
+      .as[(String, Long, Long, Double)].collect().toSet
+    assert(agg == win)
+    assert(agg.nonEmpty)
+  }
+
   test("synthPng is deterministic and decodable") {
     val a = ImageKernels.synthPng(42L, 10, 12)
     val b = ImageKernels.synthPng(42L, 10, 12)
