@@ -326,7 +326,25 @@ object SparkEntry {
           length(col("blob")).cast("long").as("n_bytes"),
           (lit(16) + Tables.hashU32(col("doc_id"), 5) % 49).as("fake_h"),
           (lit(16) + Tables.hashU32(col("doc_id"), 6) % 49).as("fake_w"),
-          md5(col("blob")).as("content_md5")))
+          md5(col("blob")).as("content_md5"))),
+
+    // batched per-partition multimodal kernels (mapInPandas-analogue;
+    // no oracle: mapPartitions path, covered by ExtendedOpsSpec)
+    "m2_multimodal_features" -> ((s, d) => {
+      val media = Multimodal.toMediaFrame(
+        Tables.documents(s, d).select(col("doc_id").as("media_id"),
+          when(col("doc_id") % 2 === 0, "image").otherwise("audio")
+            .as("modality"),
+          when(col("doc_id") % 2 === 0,
+            graft.functions.ImageKernels.synthPngUdf(col("doc_id"),
+              lit(8), lit(8)))
+            .otherwise(col("text").cast("binary")).as("blob")))
+      Multimodal.batchFeatures(media, 64)
+        .groupBy(col("modality"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(element_at(col("feature"), 1)), 4).as("avg_feat0"),
+          sum(col("n_bytes")).as("total_bytes"))
+    })
   )
 
   // ———— DuckDB oracle twins ————

@@ -98,6 +98,33 @@ class ExtendedOpsSpec extends SparkSpec {
     assert(agg.nonEmpty)
   }
 
+  test("multimodal: media frame schema, batch kernel, stubbed modalities") {
+    import graft.operators.Multimodal
+    val rows = (0L until 10L).map { i =>
+      if (i % 2 == 0) (i, "image", ImageKernels.synthPng(i, 8, 8))
+      else (i, "audio", Array.tabulate[Byte](256)(j => ((i * 31 + j) % 127).toByte))
+    }
+    val df = rows.toDF("media_id", "modality", "blob")
+    val media = Multimodal.toMediaFrame(df)
+    assert(media.schema == Multimodal.mediaSchema)
+    val metas = media.select(col("media_id"), col("modality"),
+      col("meta.height"), col("meta.n_bytes")).collect()
+    assert(metas.filter(_.getString(1) == "image")
+      .forall(r => r.getInt(2) == 8))
+    val feats = Multimodal.batchFeatures(media, batchSize = 4)
+    assert(feats.schema == Multimodal.featureSchema)
+    val byId = feats.select(col("media_id"), col("feature"))
+      .as[(Long, Seq[Float])].collect().toMap
+    assert(byId(0L).length == 64) // image: 8x8 luminance
+    assert(byId(1L).length == 16) // audio stub: windowed energy
+    assert(byId(0L).forall(v => v >= 0f && v <= 1f))
+    // deterministic
+    val again = Multimodal.batchFeatures(media, 4)
+      .select(col("media_id"), col("feature"))
+      .as[(Long, Seq[Float])].collect().toMap
+    assert(again == byId)
+  }
+
   test("synthPng is deterministic and decodable") {
     val a = ImageKernels.synthPng(42L, 10, 12)
     val b = ImageKernels.synthPng(42L, 10, 12)
