@@ -198,6 +198,34 @@ object SparkEntry {
           "1 hour", "1 hour"),
         s"stream_window_${System.nanoTime()}")),
 
+    "q18_session_window" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 4).as("sum_value"))
+        .select(col("user_id"),
+          unix_micros(col("sw.start").cast("timestamp")).as("start_us"),
+          col("n_events"), col("sum_value"))),
+
+    "q19_sliding_window" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(
+          date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+          col("event_type"), col("cnt"))),
+
+    "q20_asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      Events.asofJoin(
+        ev.filter(col("event_type") === "purchase"),
+        ev.filter(col("event_type") === "view"),
+        "user_id", "ts", "event_id", "event_id")
+        .withColumnRenamed("event_id", "purchase_id")
+    }),
+
     // —— text analysis (north star M7c) ——
 
     "t1_token_stats" -> ((s, d) =>
@@ -561,6 +589,64 @@ object SparkEntry {
         |SELECT s.user_id, s.start_us, s.n_events, s.duration_sec, s.sum_value
         |FROM sess s JOIN last l
         |  ON s.user_id = l.user_id AND s.session_id <> l.ls""".stripMargin,
+
+    "q18_session_window" ->
+      """WITH g AS (
+        |  SELECT user_id, value, epoch_us(ts::TIMESTAMP) AS ts_us,
+        |   lag(epoch_us(ts::TIMESTAMP)) OVER
+        |     (PARTITION BY user_id ORDER BY epoch_us(ts::TIMESTAMP))
+        |     AS prev_us
+        |  FROM events),
+        |ns AS (
+        |  SELECT *, CASE WHEN prev_us IS NULL
+        |     OR ts_us - prev_us >= 1800000000 THEN 1 ELSE 0 END
+        |     AS new_session
+        |  FROM g),
+        |sid AS (
+        |  SELECT *, sum(new_session) OVER
+        |    (PARTITION BY user_id ORDER BY ts_us ROWS UNBOUNDED PRECEDING)
+        |    AS session_id
+        |  FROM ns)
+        |SELECT user_id, CAST(min(ts_us) AS BIGINT) AS start_us,
+        | CAST(count(*) AS BIGINT) AS n_events,
+        | round(sum(value), 4) AS sum_value
+        |FROM sid GROUP BY user_id, session_id""".stripMargin,
+
+    "q19_sliding_window" ->
+      """WITH e AS (
+        |  SELECT epoch_us(ts::TIMESTAMP) AS tu, event_type FROM events),
+        |w AS (
+        |  SELECT event_type,
+        |   tu - (tu % 1800000000) - o * 1800000000 AS ws
+        |  FROM e CROSS JOIN
+        |    (SELECT 0::BIGINT AS o UNION ALL SELECT 1::BIGINT) t)
+        |SELECT strftime(make_timestamp(ws), '%Y-%m-%d %H:%M:%S')
+        |   AS win_start,
+        | event_type, CAST(count(*) AS BIGINT) AS cnt
+        |FROM w GROUP BY 1, 2""".stripMargin,
+
+    "q20_asof_join" ->
+      """WITH l AS (
+        |  SELECT user_id AS k, epoch_us(ts::TIMESTAMP) AS t,
+        |   event_id AS lid
+        |  FROM events WHERE event_type = 'purchase'),
+        |r0 AS (
+        |  SELECT user_id AS k, epoch_us(ts::TIMESTAMP) AS t,
+        |   CAST(max(event_id) AS BIGINT) AS rid
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |u AS (
+        |  SELECT k, t, 1 AS side, lid, NULL::BIGINT AS rid FROM l
+        |  UNION ALL
+        |  SELECT k, t, 0 AS side, NULL::BIGINT AS lid, rid FROM r0),
+        |c AS (
+        |  SELECT *, last_value(rid IGNORE NULLS) OVER
+        |    (PARTITION BY k ORDER BY t, side ROWS UNBOUNDED PRECEDING)
+        |    AS asof_rid
+        |  FROM u)
+        |SELECT k AS user_id, CAST(t AS BIGINT) AS ts_us,
+        | CAST(lid AS BIGINT) AS purchase_id,
+        | CAST(asof_rid AS BIGINT) AS asof_event_id
+        |FROM c WHERE side = 1""".stripMargin,
 
     "t1_token_stats" ->
       s"""WITH t AS (SELECT doc_id, $DuckToks AS toks FROM documents)

@@ -50,6 +50,39 @@ object Events {
         round(sum(col("value")), 4).as("sum_value"))
   }
 
+  /** As-of join, composed Spark-first (no custom strategy needed):
+    * for each left row, attach the latest right row of the same key
+    * with right.ts ≤ left.ts. Implementation: tag + union both sides,
+    * sort within key by (ts, side) with the right side first on ties,
+    * and carry the last non-null right payload forward with
+    * `last(ignoreNulls = true)` over an unbounded-preceding window —
+    * one shuffle on the key, no range explosion, AQE-safe. Right rows
+    * are deduped to one per (key, ts) by max payload id so tie
+    * behaviour is engine-deterministic. */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, leftIdCol: String, rightIdCol: String): DataFrame = {
+    val l = left.select(col(keyCol).as("k"),
+      unix_micros(col(tsCol).cast("timestamp")).as("t"),
+      col(leftIdCol).as("lid"))
+    val r = right.select(col(keyCol).as("k"),
+      unix_micros(col(tsCol).cast("timestamp")).as("t"),
+      col(rightIdCol).as("rid"))
+      .groupBy(col("k"), col("t")).agg(max(col("rid")).as("rid"))
+    val tagged = l.select(col("k"), col("t"), lit(1).as("side"),
+        col("lid"), lit(null).cast("long").as("rid"))
+      .unionByName(r.select(col("k"), col("t"), lit(0).as("side"),
+        lit(null).cast("long").as("lid"), col("rid")))
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("t"), col("side"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    tagged
+      .withColumn("asof_rid", last(col("rid"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("k").as(keyCol), col("t").as("ts_us"),
+        col("lid").as(leftIdCol),
+        col("asof_rid").as(s"asof_$rightIdCol"))
+  }
+
   /** Top-k rows per group by a sortable measure (the generic window
     * top-k the reference lacks but any analytics surface needs). */
   def topKPerGroup(df: DataFrame, groupCols: Seq[Column], order: Seq[Column],
