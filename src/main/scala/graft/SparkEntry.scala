@@ -345,6 +345,28 @@ object SparkEntry {
           round(avg(element_at(col("feat"), 1)), 4).as("avg_feat0"))
     }),
 
+    "s3_ann_ivf" -> ((s, d) =>
+      Similarity.ivfTopK(
+        Tables.embeddings(s, d).filter(col("vec_id") % 5 === 0),
+        "vec_id", "embedding", 5, nCells = 8, nProbe = 2)),
+
+    // —— analytics breadth: rollup + multi-distinct aggregates ——
+
+    "q21_rollup" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          count(lit(1)).as("cnt"),
+          grouping_id().as("gid"))),
+
+    "q22_multi_distinct" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("nd_part"),
+          countDistinct(col("l_suppkey")).as("nd_supp"),
+          countDistinct(col("l_orderkey")).as("nd_order"),
+          count(lit(1)).as("cnt"))),
+
     // —— multimodal column pattern (north star M7d) ——
 
     "m1_multimodal_meta" -> ((s, d) =>
@@ -887,6 +909,23 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, rank, neighbor_id, cosine
         |FROM ranked WHERE rank <= 5""".stripMargin,
+
+    "q21_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | CAST(count(*) AS BIGINT) AS cnt,
+        | CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus)
+        |   AS BIGINT) AS gid
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q22_multi_distinct" ->
+      """SELECT l_returnflag,
+        | CAST(count(DISTINCT l_partkey) AS BIGINT) AS nd_part,
+        | CAST(count(DISTINCT l_suppkey) AS BIGINT) AS nd_supp,
+        | CAST(count(DISTINCT l_orderkey) AS BIGINT) AS nd_order,
+        | CAST(count(*) AS BIGINT) AS cnt
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "m1_multimodal_meta" ->
       s"""SELECT doc_id,

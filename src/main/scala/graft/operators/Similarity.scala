@@ -83,6 +83,53 @@ object Similarity {
         pow(lit(2.0), col("p")).cast("long")).otherwise(0L)).as("bucket"))
   }
 
+  /** IVF-style ANN top-k (the second scale path next to LSH): partition
+    * the corpus into `nCells` Voronoi cells around deterministically
+    * sampled seed vectors (the `nCells` corpus vectors with the lowest
+    * md5 of their id — no training step, fully reproducible), then
+    * search only the `nProbe` cells whose centroids are nearest the
+    * query. Cell assignment is a broadcast join against the tiny
+    * centroid set; the candidate join is an equi-join on cell id — the
+    * same shuffle shape that scales to a real k-means codebook. */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+      nCells: Int = 16, nProbe: Int = 2): DataFrame = {
+    val seeds = emb
+      .withColumn("__h", graft.Tables.hashU32(col(idCol), 77))
+      .orderBy(col("__h"), col(idCol)).limit(nCells)
+      .select(col(idCol).as("cell_id"), col(vecCol).as("centroid"))
+    // cell assignment: nearest centroid by cosine (norms precomputed)
+    val withNorm = emb.select(col(idCol), col(vecCol))
+      .withColumn("nrm", norm(col(vecCol)))
+    val cWithNorm = seeds.withColumn("c_nrm", norm(col("centroid")))
+    val scoredCells = withNorm.crossJoin(broadcast(cWithNorm))
+      .withColumn("sim",
+        dot(col(vecCol), col("centroid")) / (col("nrm") * col("c_nrm")))
+    val wAssign = Window.partitionBy(col(idCol))
+      .orderBy(col("sim").desc, col("cell_id").asc)
+    val assigned = scoredCells
+      .withColumn("rk", row_number().over(wAssign))
+      .filter(col("rk") === 1)
+      .select(col(idCol), col(vecCol), col("nrm"), col("cell_id"))
+    val probed = scoredCells
+      .withColumn("rk", row_number().over(wAssign))
+      .filter(col("rk") <= nProbe)
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+        col("nrm").as("q_nrm"), col("cell_id").as("probe_cell"))
+    val cand = probed.join(
+      assigned.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+        col("nrm").as("c_nrm"), col("cell_id")),
+      col("probe_cell") === col("cell_id") &&
+        col("query_id") =!= col("neighbor_id"))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    cand.withColumn("cosine",
+        dot(col("q_vec"), col("c_vec")) / (col("q_nrm") * col("c_nrm")))
+      .select(col("query_id"), col("neighbor_id"), col("cosine")).distinct()
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
   /** LSH-accelerated ANN top-k: candidates are corpus vectors sharing
     * the query's bucket (multi-probe: Hamming-1 neighbours of the bucket
     * included when `probeBits > 0`), ranked by exact cosine within the

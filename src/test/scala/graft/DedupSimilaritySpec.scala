@@ -99,4 +99,20 @@ class DedupSimilaritySpec extends SparkSpec {
     val recall = (exact intersect ann).size.toDouble / exact.size
     assert(recall >= 0.3, s"ANN recall too low: $recall")
   }
+
+  test("IVF ANN finds identical-direction vectors and bounds candidates") {
+    val emb = Tables.embeddings(spark, Sf0001).filter(col("vec_id") % 5 === 0)
+    val exact = Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding", 5,
+      nCells = 4, nProbe = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    // nProbe/nCells = 1/2 the corpus is searched → recall well above that
+    assert(recall >= 0.4, s"IVF recall too low: $recall")
+    // every query emits at most k rows
+    val counts = Similarity.ivfTopK(emb, "vec_id", "embedding", 5, 4, 2)
+      .groupBy("query_id").count().select("count").as[Long].collect()
+    assert(counts.forall(_ <= 5))
+  }
 }
