@@ -125,6 +125,30 @@ class ExtendedOpsSpec extends SparkSpec {
     assert(again == byId)
   }
 
+  test("salted join and salted aggregation equal their unsalted twins") {
+    import graft.operators.Skew
+    val li = Tables.lineitem(spark, Sf0001)
+    val o = Tables.orders(spark, Sf0001)
+    val plain = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority").count()
+      .as[(String, Long)].collect().toMap
+    val salted = Skew.saltedJoin(
+      li.withColumnRenamed("l_orderkey", "o_orderkey"), o,
+      "o_orderkey", col("l_linenumber"), salts = 8)
+      .groupBy("o_orderpriority").count()
+      .as[(String, Long)].collect().toMap
+    assert(salted == plain)
+    val plainAgg = li.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("cnt"), sum("l_quantity").as("s"))
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, math.rint(r._3 * 100) / 100))).toMap
+    val saltedAgg = Skew.saltedCountSum(li, "l_returnflag",
+      col("l_orderkey"), "l_quantity", 8)
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, math.rint(r._3 * 100) / 100))).toMap
+    assert(saltedAgg == plainAgg)
+  }
+
   test("synthPng is deterministic and decodable") {
     val a = ImageKernels.synthPng(42L, 10, 12)
     val b = ImageKernels.synthPng(42L, 10, 12)
