@@ -125,6 +125,27 @@ class ExtendedOpsSpec extends SparkSpec {
     assert(again == byId)
   }
 
+  test("co-bucketed tables join without a shuffle") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bkt_").toString
+    val li = Tables.lineitem(spark, Sf0001)
+      .select("l_orderkey", "l_quantity")
+    val o = Tables.orders(spark, Sf0001)
+      .select("o_orderkey", "o_totalprice")
+      .withColumnRenamed("o_orderkey", "l_orderkey")
+    PipelineOps.writeBucketed(li, "l_orderkey", 8, "bkt_li", s"$tmp/li")
+    PipelineOps.writeBucketed(o, "l_orderkey", 8, "bkt_o", s"$tmp/o")
+    // merge hint: at test scale the planner would broadcast the tiny
+    // side (fine too); force SortMergeJoin to show the bucketed path
+    val joined = spark.table("bkt_li").hint("merge")
+      .join(spark.table("bkt_o"), "l_orderkey")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"bucketed join should not shuffle:\n${plan.take(800)}")
+    assert(joined.count() == li.count()) // every lineitem has its order
+    spark.sql("DROP TABLE IF EXISTS bkt_li")
+    spark.sql("DROP TABLE IF EXISTS bkt_o")
+  }
+
   test("salted join and salted aggregation equal their unsalted twins") {
     import graft.operators.Skew
     val li = Tables.lineitem(spark, Sf0001)
