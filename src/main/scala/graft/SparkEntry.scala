@@ -345,6 +345,39 @@ object SparkEntry {
           round(avg(element_at(col("feat"), 1)), 4).as("avg_feat0"))
     }),
 
+    // streaming dedup: union the stream with itself (every event arrives
+    // twice), watermark + dropDuplicates on the key collapses them in
+    // the state store; counts must equal the single-copy batch counts.
+    // Exact-duplicate rows make "first arrival wins" order-insensitive.
+    "q23_stream_dedup" -> ((s, d) => {
+      val st1 = EventStream.eventsFileStream(s, s"$d/events.parquet")
+      val st2 = EventStream.eventsFileStream(s, s"$d/events.parquet")
+      val deduped = st1.unionByName(st2)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates("event_id")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("value")), 4).as("sum_value"))
+      EventStream.runOnce(deduped,
+        s"stream_dedup_${System.nanoTime()}")
+    }),
+
+    // stream-static join: the unbounded side joins a bounded dimension
+    // (broadcast per micro-batch) — the C1-era "enrichment" pattern.
+    "q24_stream_static_join" -> ((s, d) => {
+      val dim = s.range(5).toDF("seg_id")
+        .withColumn("segment", concat(lit("seg_"), col("seg_id")))
+      val enriched = EventStream
+        .eventsFileStream(s, s"$d/events.parquet")
+        .withColumn("seg_id", col("user_id") % 5)
+        .join(broadcast(dim), "seg_id")
+        .groupBy(col("segment"))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("value")), 4).as("sum_value"))
+      EventStream.runOnce(enriched,
+        s"stream_static_${System.nanoTime()}")
+    }),
+
     "s3_ann_ivf" -> ((s, d) =>
       Similarity.ivfTopK(
         Tables.embeddings(s, d).filter(col("vec_id") % 5 === 0),
@@ -909,6 +942,17 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, rank, neighbor_id, cosine
         |FROM ranked WHERE rank <= 5""".stripMargin,
+
+    "q23_stream_dedup" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+        | round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q24_stream_static_join" ->
+      """SELECT 'seg_' || (user_id % 5)::VARCHAR AS segment,
+        | CAST(count(*) AS BIGINT) AS cnt,
+        | round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1""".stripMargin,
 
     "q21_rollup" ->
       """SELECT l_returnflag, l_linestatus,
