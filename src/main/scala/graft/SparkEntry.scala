@@ -346,15 +346,19 @@ object SparkEntry {
     }),
 
     // streaming dedup: union the stream with itself (every event arrives
-    // twice), watermark + dropDuplicates on the key collapses them in
-    // the state store; counts must equal the single-copy batch counts.
-    // Exact-duplicate rows make "first arrival wins" order-insensitive.
+    // twice) and collapse with dropDuplicatesWithinWatermark — the
+    // state-BOUNDED dedup operator: duplicates arriving within the
+    // watermark delay of each other are collapsed and their state is
+    // evicted once the watermark passes (plain dropDuplicates on a
+    // non-event-time key would hold state forever on an unbounded
+    // stream). Exact-duplicate rows make first-arrival-wins
+    // order-insensitive; counts must equal the single-copy batch counts.
     "q23_stream_dedup" -> ((s, d) => {
       val st1 = EventStream.eventsFileStream(s, s"$d/events.parquet")
       val st2 = EventStream.eventsFileStream(s, s"$d/events.parquet")
       val deduped = st1.unionByName(st2)
         .withWatermark("ts", "1 hour")
-        .dropDuplicates("event_id")
+        .dropDuplicatesWithinWatermark("event_id")
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("cnt"),
           round(sum(col("value")), 4).as("sum_value"))
