@@ -61,6 +61,40 @@ object SparkEntry {
     s"(${duckU32(expr, seed)} / 4294967296.0)"
 
   def queries: Map[String, Q] = Map(
+    // —— capstone: the LLM training-data prep pipeline, end to end ——
+    // quality scoring → MinHash-LSH near-dup removal (keep the lower
+    // doc_id of each duplicate pair) → language filter → deterministic
+    // sharding → per-(lang, shard) corpus stats. Every stage is one of
+    // this library's operators; the whole composite hash-matches DuckDB.
+
+    "p1_training_data_pipeline" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val scored = docs
+        .withColumn("q", TextAnalysis.qualityScore(col("text")))
+        .withColumn("n_toks",
+          size(TextAnalysis.tokens(col("text"))).cast("long"))
+      val mh = Dedup.minhash(docs, col("doc_id"), col("text"), 8).persist()
+      val dupDrop = Dedup.minhashJaccard(Dedup.lshCandidates(mh, 2), mh, 8)
+        .filter(col("est_jaccard") >= 0.5)
+        .select(col("doc_b").as("doc_id")).distinct()
+      scored
+        .filter(col("q") >= 0.5)
+        .join(dupDrop, Seq("doc_id"), "left_anti")
+        .filter(col("lang").isin("en", "de", "es", "fr"))
+        .withColumn("shard", pmod(Tables.hashU32(col("doc_id"), 99), lit(4L)))
+        .groupBy(col("lang"), col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("total_tokens"),
+          // exact-integer micro-units: avg of rounded doubles is
+          // sum-order sensitive at the 6th-decimal boundary; summing
+          // q·1e6 as longs is exact in both engines
+          sum(round(col("q") * 1e6).cast("long")).as("q6"))
+        .select(col("lang"), col("shard"), col("n_docs"),
+          col("total_tokens"),
+          round(col("q6") / (col("n_docs") * 1000000.0), 6)
+            .as("avg_quality"))
+    }),
+
     // —— core port: scans/projections (S/P), shuffle/split (O), batch/epoch (B),
     //    sharding (K), consumer aggs (A) ——
 
@@ -437,6 +471,66 @@ object SparkEntry {
   // ———— DuckDB oracle twins ————
 
   def oracleSql: Map[String, String] = Map(
+    "p1_training_data_pipeline" ->
+      s"""WITH t AS (SELECT doc_id, lang, $DuckToks AS toks FROM documents),
+         |scored AS (
+         |  SELECT doc_id, lang,
+         |   CAST(len(toks) AS BIGINT) AS n_toks,
+         |   round(least(len(toks)::DOUBLE / 50.0, 1.0) * 0.5 +
+         |     (CASE WHEN len(toks) = 0 THEN 0.5
+         |       WHEN list_sum(list_transform(toks, x -> len(x)))::DOUBLE
+         |         / len(toks) >= 3.0
+         |        AND list_sum(list_transform(toks, x -> len(x)))::DOUBLE
+         |         / len(toks) <= 10.0 THEN 1.0 ELSE 0.5 END) * 0.3 +
+         |     least((CASE WHEN len(toks) = 0 THEN 0.0
+         |       ELSE len(list_filter(toks, x -> list_contains(
+         |         ['the','a','of','and','to','in','is','it','that','for'],
+         |         x)))::DOUBLE / len(toks) END) * 5.0, 1.0) * 0.2, 6)
+         |     AS q
+         |  FROM t),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, unnest(list_transform(
+         |    range(1, len(toks) - 1),
+         |    i -> array_to_string(toks[i:i+2], ' '))) AS shingle
+         |  FROM t WHERE len(toks) >= 3),
+         |mh AS (
+         |  SELECT doc_id, h,
+         |   min(CASE WHEN h < 4 THEN substr(md5(shingle), 1 + 8*(h%4), 8)
+         |       ELSE substr(md5('x' || shingle), 1 + 8*(h%4), 8) END)
+         |    AS minhash
+         |  FROM sh CROSS JOIN (SELECT unnest(range(8)) AS h) hs
+         |  GROUP BY 1, 2),
+         |bands AS (
+         |  SELECT doc_id, h // 2 AS band,
+         |   md5(string_agg(minhash, '|' ORDER BY minhash)) AS bkey
+         |  FROM mh GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |est AS (
+         |  SELECT doc_a, doc_b,
+         |   sum(CASE WHEN ma.minhash = mb.minhash THEN 1 ELSE 0 END) / 8.0
+         |     AS est_jaccard
+         |  FROM cand
+         |  JOIN mh ma ON ma.doc_id = doc_a
+         |  JOIN mh mb ON mb.doc_id = doc_b AND mb.h = ma.h
+         |  GROUP BY 1, 2),
+         |dup_drop AS (
+         |  SELECT DISTINCT doc_b AS doc_id FROM est WHERE est_jaccard >= 0.5),
+         |kept AS (
+         |  SELECT s.* FROM scored s
+         |  WHERE s.q >= 0.5
+         |    AND s.doc_id NOT IN (SELECT doc_id FROM dup_drop)
+         |    AND s.lang IN ('en', 'de', 'es', 'fr'))
+         |SELECT lang,
+         | ${duckU32("doc_id::VARCHAR", 99)} % 4 AS shard,
+         | CAST(count(*) AS BIGINT) AS n_docs,
+         | CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+         | round(CAST(sum(CAST(round(q * 1000000) AS BIGINT)) AS BIGINT)
+         |   / (count(*) * 1000000.0), 6) AS avg_quality
+         |FROM kept GROUP BY 1, 2""".stripMargin,
+
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 2) AS sum_qty,
