@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+
+/** Scale-up probe: multiply the sf0.1 corpus N× with deterministic
+  * per-copy perturbations (each copy appends a distinct marker token, so
+  * copies of a doc are genuine near-duplicates of each other — a
+  * realistic dedup workload, unlike exact replication which degenerates)
+  * and time the shuffle-heavy operators. The point is the growth CURVE:
+  * LSH/banded operators should scale near-linearly in corpus size while
+  * exact all-pairs ops grow quadratically — evidence for the 100 TB
+  * design claims in README §Scale design.
+  *
+  * Usage: runMain graft.Stress [multiplier] (default 10)
+  */
+object Stress {
+  def main(args: Array[String]): Unit = {
+    val mult = if (args.nonEmpty) args(0).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sf = "/root/testdata/sf0.1"
+
+    def scaled(df: DataFrame, idCol: String, textCol: Option[String])
+        : DataFrame = {
+      val copies = (0 until mult).map { i =>
+        val shifted = df.withColumn(idCol, col(idCol) + lit(i * 10000000L))
+        textCol match {
+          case Some(t) if i > 0 =>
+            shifted.withColumn(t, concat(col(t), lit(s" copymarker$i")))
+          case _ => shifted
+        }
+      }
+      copies.reduce(_ unionByName _)
+    }
+
+    val docs = scaled(Tables.documents(spark, sf), "doc_id", Some("text"))
+      .persist()
+    val emb = scaled(Tables.embeddings(spark, sf), "vec_id", None).persist()
+    println(s"docs=${docs.count()} embeddings=${emb.count()} (x$mult)")
+
+    def t(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"$name%-26s ${(System.nanoTime() - t0) / 1e9}%8.2fs rows=$n")
+      spark.catalog.clearCache()
+      docs.persist(); emb.persist()
+    }
+
+    t("d1_exact_dedup") {
+      Dedup.exact(docs, col("doc_id"), col("text")).count()
+    }
+    t("d2_minhash_lsh") {
+      val mh = Dedup.minhash(docs, col("doc_id"), col("text"), 8).persist()
+      Dedup.minhashJaccard(Dedup.lshCandidates(mh, 2), mh, 8).count()
+    }
+    t("d4_simhash") {
+      Dedup.simhash(docs, col("doc_id"), col("text")).count()
+    }
+    t("d5_simhash_pairs") {
+      Dedup.simhashPairs(
+        Dedup.simhash(docs, col("doc_id"), col("text")), 3).count()
+    }
+    // index sizes must scale with the corpus: constant cells/planes
+    // means per-bucket population (and so per-query candidates) grows
+    // linearly and total ANN work quadratically. Hold TARGET CELL SIZE
+    // constant instead — cells ∝ n, candidates/query constant, total
+    // work linear. Same rule at 100 TB, just bigger codebooks.
+    val nVec = emb.count()
+    val cells = math.max(8, (nVec / 125).toInt)
+    val planes = math.max(4, (math.log(nVec.toDouble / 60) / math.log(2))
+      .ceil.toInt)
+    t(s"s2_ann_lsh(p=$planes)") {
+      Similarity.annTopK(emb, "vec_id", "embedding", 5,
+        nPlanes = planes, probeBits = 1).count()
+    }
+    t(s"s3_ann_ivf(c=$cells)") {
+      Similarity.ivfTopK(emb, "vec_id", "embedding", 5,
+        nCells = cells, nProbe = 2).count()
+    }
+    t("t5_tfidf") {
+      val n = docs.count()
+      TextAnalysis.tfidf(docs, col("doc_id"), col("text"), n)
+        .groupBy("token").agg(sum("tfidf")).count()
+    }
+    t("p1_pipeline") {
+      val scored = docs
+        .withColumn("q", TextAnalysis.qualityScore(col("text")))
+      val mh = Dedup.minhash(docs, col("doc_id"), col("text"), 8).persist()
+      val dupDrop = Dedup.minhashJaccard(Dedup.lshCandidates(mh, 2), mh, 8)
+        .filter(col("est_jaccard") >= 0.5)
+        .select(col("doc_b").as("doc_id")).distinct()
+      scored.filter(col("q") >= 0.5)
+        .join(dupDrop, Seq("doc_id"), "left_anti")
+        .groupBy(col("lang")).count().count()
+    }
+    spark.stop()
+  }
+}
