@@ -438,6 +438,41 @@ object SparkEntry {
           countDistinct(col("l_orderkey")).as("nd_order"),
           count(lit(1)).as("cnt"))),
 
+    // —— analytics breadth: pivot, exact percentiles, moments, set ops ——
+
+    "q25_pivot" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy(col("source"))
+        .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
+        .agg(count(lit(1)))
+        .na.fill(0L)),
+
+    "q26_percentiles" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("median_price"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"),
+          round(expr("percentile(l_quantity, 0.25)"), 4).as("q1_qty"))),
+
+    "q27_moments" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(stddev_samp(col("l_extendedprice")), 4).as("sd_price"),
+          round(var_samp(col("l_quantity")), 6).as("var_qty"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6)
+            .as("corr_qty_price"))),
+
+    "q28_setops" -> ((s, d) => {
+      val buyers = Tables.orders(s, d)
+        .select(col("o_custkey").as("c_custkey")).distinct()
+      val all = Tables.customer(s, d).select(col("c_custkey"))
+      val never = all.exceptAll(buyers.intersect(all))
+      never.agg(count(lit(1)).as("n_never_ordered"),
+        sum(col("c_custkey")).as("key_sum"))
+    }),
+
     // —— multimodal column pattern (north star M7d) ——
 
     "m1_multimodal_meta" -> ((s, d) =>
@@ -1068,6 +1103,39 @@ object SparkEntry {
         | CAST(count(DISTINCT l_orderkey) AS BIGINT) AS nd_order,
         | CAST(count(*) AS BIGINT) AS cnt
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q25_pivot" ->
+      """SELECT source,
+        | CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS de,
+        | CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS en,
+        | CAST(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS es,
+        | CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS fr,
+        | CAST(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS zh
+        |FROM documents GROUP BY source""".stripMargin,
+
+    "q26_percentiles" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+        | round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+        | round(quantile_cont(l_quantity, 0.25), 4) AS q1_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q27_moments" ->
+      """SELECT l_returnflag,
+        | round(stddev_samp(l_extendedprice), 4) AS sd_price,
+        | round(var_samp(l_quantity), 6) AS var_qty,
+        | round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q28_setops" ->
+      """WITH buyers AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders),
+        |never AS (
+        |  SELECT c_custkey FROM customer
+        |  EXCEPT
+        |  SELECT c_custkey FROM buyers)
+        |SELECT CAST(count(*) AS BIGINT) AS n_never_ordered,
+        | CAST(sum(c_custkey) AS BIGINT) AS key_sum
+        |FROM never""".stripMargin,
 
     "m1_multimodal_meta" ->
       s"""SELECT doc_id,
