@@ -51,6 +51,25 @@ class EventsStreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("asofJoin attaches latest right row at-or-before, null when none") {
+    val l = Seq(
+      (10L, ts("2024-01-01 10:00:30"), 1L, "purchase", 1.0, "{}"),
+      (11L, ts("2024-01-01 09:00:00"), 1L, "purchase", 1.0, "{}"), // before any view
+      (12L, ts("2024-01-01 10:05:00"), 2L, "purchase", 1.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = Seq(
+      (20L, ts("2024-01-01 10:00:00"), 1L, "view", 1.0, "{}"),
+      (21L, ts("2024-01-01 10:00:30"), 1L, "view", 1.0, "{}"), // tie with l=10
+      (22L, ts("2024-01-01 10:04:00"), 2L, "view", 1.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Events.asofJoin(l, r, "user_id", "ts", "event_id", "event_id")
+      .select("event_id", "asof_event_id").as[(Long, Option[Long])]
+      .collect().toMap
+    assert(out(10L).contains(21L)) // inclusive: equal-ts view counts
+    assert(out(11L).isEmpty)       // no view at or before
+    assert(out(12L).contains(22L))
+  }
+
   test("topKPerGroup keeps exactly k rows per group with dense ranks") {
     val df = Seq(("a", 5), ("a", 3), ("a", 9), ("a", 1), ("b", 2))
       .toDF("g", "v")

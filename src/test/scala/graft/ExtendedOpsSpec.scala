@@ -28,6 +28,20 @@ class ExtendedOpsSpec extends SparkSpec {
     assert(first != (0L until 1000L).toSeq)
   }
 
+  test("bufferShuffle edge cases: capacity larger than input, tiny buffers") {
+    val df = spark.range(10).toDF("id").repartition(1)
+    // capacity exceeds partition size → pure in-buffer permutation
+    val big = PipelineOps.bufferShuffle(df, capacity = 1000,
+      minAfterDequeue = 10, seed = 1L).select("id").as[Long]
+      .collect().sorted.toSeq
+    assert(big == (0L until 10L))
+    // tiny buffer (capacity 2) still loses nothing
+    val tiny = PipelineOps.bufferShuffle(df, capacity = 2,
+      minAfterDequeue = 1, seed = 1L).select("id").as[Long]
+      .collect().sorted.toSeq
+    assert(tiny == (0L until 10L))
+  }
+
   test("native dot Expression matches HOF fold bit-for-bit incl. interpreted path") {
     val df = Tables.embeddings(spark, Sf0001).limit(200)
       .select(col("vec_id"), col("embedding").as("a"), col("embedding").as("b"))

@@ -88,6 +88,22 @@ class ImageKernelsSpec extends SparkSpec {
     }
   }
 
+  test("full-mode color distortion: all 4 orderings run, stay in [0,1]") {
+    val img = Img(Array.tabulate(4 * 4 * 3)(i => (i % 7) / 7f), 4, 4, 3)
+    // different seeds land in different branches; all must be valid
+    val outs = (0 until 8).map { s =>
+      ImageKernels.distortColor(img, new java.util.Random(s), fastMode = false)
+    }
+    outs.foreach { o =>
+      assert(o.h == 4 && o.w == 4)
+      assert(o.data.forall(v => v >= 0f && v <= 1f))
+    }
+    // determinism per seed
+    val a = ImageKernels.distortColor(img, new java.util.Random(3), fastMode = false)
+    val b = ImageKernels.distortColor(img, new java.util.Random(3), fastMode = false)
+    assert(a.data.toSeq == b.data.toSeq)
+  }
+
   test("adjustBrightness clips to [0,1] (F3)") {
     val img = Img(Array(0.9f, 0.5f, 0.05f), 1, 1, 3)
     val up = ImageKernels.adjustBrightness(img, 0.3f)
