@@ -328,6 +328,10 @@ object SparkEntry {
       Dedup.embeddingNearDup(Tables.embeddings(s, d), col("vec_id"),
         col("embedding"), 0.35)),
 
+    "d7_embed_neardup_lsh" -> ((s, d) =>
+      Similarity.lshNearDup(Tables.embeddings(s, d), "vec_id", "embedding",
+        nPlanes = 6, dim = 64, threshold = 0.2)),
+
     // —— similarity search (north star M7b) ——
 
     "s1_cosine_topk" -> ((s, d) => {
@@ -1054,6 +1058,41 @@ object SparkEntry {
         |      (x, y) -> x + y))) AS cosine
         |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
         |SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.35""".stripMargin,
+
+    "d7_embed_neardup_lsh" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings),
+        |proj AS (
+        |  SELECT vec_id, p,
+        |   list_reduce(list_transform(range(1, len(v) + 1),
+        |     i -> v[i] * (('0x' || substr(md5(p::VARCHAR || '_' ||
+        |       (i-1)::VARCHAR || '#101'), 1, 8))::BIGINT
+        |       / 4294967296.0 * 2 - 1)),
+        |     (x, y) -> x + y) AS pr
+        |  FROM e CROSS JOIN (SELECT unnest(range(6)) AS p) ps),
+        |bkt AS (
+        |  SELECT vec_id, CAST(sum(CASE WHEN pr > 0
+        |    THEN CAST(power(2, p) AS BIGINT) ELSE 0 END) AS BIGINT)
+        |    AS bucket
+        |  FROM proj GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.bucket
+        |  FROM bkt a JOIN bkt b
+        |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+        |scored AS (
+        |  SELECT p.id_a, p.id_b, p.bucket,
+        |   list_reduce(list_transform(range(1, len(ea.v) + 1),
+        |     i -> ea.v[i] * eb.v[i]), (x, y) -> x + y) /
+        |   (sqrt(list_reduce(list_transform(ea.v, x -> x * x),
+        |      (x, y) -> x + y)) *
+        |    sqrt(list_reduce(list_transform(eb.v, x -> x * x),
+        |      (x, y) -> x + y))) AS cosine
+        |  FROM pairs p
+        |  JOIN e ea ON ea.vec_id = p.id_a
+        |  JOIN e eb ON eb.vec_id = p.id_b)
+        |SELECT id_a, id_b, bucket, cosine
+        |FROM scored WHERE cosine >= 0.2""".stripMargin,
 
     "s1_cosine_topk" ->
       """WITH e AS (

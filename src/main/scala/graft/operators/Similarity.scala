@@ -64,6 +64,59 @@ object Similarity {
     Tables.hashRand(concat(plane.cast("string"), lit("_"),
       dim.cast("string")), 101) * 2.0 - 1.0
 
+  /** The same md5-derived plane components computed driver-side (plain
+    * Scala MessageDigest) — bit-identical to [[planeComponent]] and to
+    * the DuckDB expression `('0x'||substr(md5(p||'_'||d||'#101'),1,8))
+    * ::BIGINT / 4294967296.0 * 2 - 1`, so plans can embed the plane
+    * matrix as a literal instead of evaluating 8×dim md5s per row. */
+  def deterministicPlanes(nPlanes: Int, dim: Int): Seq[Seq[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until nPlanes).map { p =>
+      (0 until dim).map { d =>
+        val hex = md.digest(s"${p}_${d}#101".getBytes("UTF-8"))
+          .take(4).map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(hex, 16) / 4294967296.0 * 2.0 - 1.0
+      }
+    }
+  }
+
+  /** Sign-random-projection bucket id computed by LEFT-FOLD over the
+    * vector against literal plane rows — fully deterministic (a
+    * groupBy-sum of exploded contributions is not: partial-aggregation
+    * order perturbs the last ulp and can flip a sign at proj ≈ 0), so
+    * the DuckDB oracle reproduces the bucket bit-for-bit. */
+  def lshBucketFolded(vec: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (row, p) =>
+      val lit_p = typedlit(row)
+      val proj = aggregate(
+        zip_with(transform(vec, x => x.cast("double")), lit_p,
+          (x, y) => x * y),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj > 0, lit(1L << p)).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** LSH-routed embedding near-dup (the scale path for
+    * [[graft.operators.Dedup.embeddingNearDup]]): bucket every vector by
+    * folded sign-projection, pair only within buckets, verify by exact
+    * cosine ≥ threshold. All md5-derived — oracle-checkable end to end. */
+  def lshNearDup(emb: DataFrame, idCol: String, vecCol: String,
+      nPlanes: Int, dim: Int, threshold: Double): DataFrame = {
+    val planes = deterministicPlanes(nPlanes, dim)
+    val withB = emb.select(col(idCol), col(vecCol))
+      .withColumn("bucket", lshBucketFolded(col(vecCol), planes))
+      .withColumn("nrm", norm(col(vecCol)))
+    val a = withB.select(col(idCol).as("id_a"), col(vecCol).as("v_a"),
+      col("nrm").as("n_a"), col("bucket").as("b_a"))
+    val b = withB.select(col(idCol).as("id_b"), col(vecCol).as("v_b"),
+      col("nrm").as("n_b"), col("bucket").as("b_b"))
+    a.join(b, col("b_a") === col("b_b") && col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("b_a").as("bucket"),
+        col("cosine"))
+  }
+
   /** Sign-random-projection LSH bucket id per vector: `nPlanes` md5-
     * derived hyperplanes; bit p = sign of <v, plane_p>. Vectors in the
     * same bucket are ANN candidates. At 100 TB this is the shuffle key
