@@ -442,6 +442,35 @@ object SparkEntry {
           countDistinct(col("l_orderkey")).as("nd_order"),
           count(lit(1)).as("cnt"))),
 
+    "q29_window_frames" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val ev = Tables.events(s, d)
+        .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+      ev.select(col("user_id"), col("event_id"),
+          sum(col("value")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)).as("running_raw"),
+          count(lit(1)).over(w.rowsBetween(-3, 0)).as("cnt4"),
+          max(col("value")).over(w.rowsBetween(-3, 0)).as("max4"))
+        .select(col("user_id"), col("event_id"),
+          round(col("running_raw"), 4).as("running_value"),
+          col("cnt4"), round(col("max4"), 4).as("max_value4"))
+    }),
+
+    "q30_semi_anti" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val bigOrders = Tables.orders(s, d).filter(col("o_totalprice") > 200000)
+      val semi = c.join(bigOrders, col("c_custkey") === col("o_custkey"),
+        "left_semi")
+      val anti = c.join(bigOrders, col("c_custkey") === col("o_custkey"),
+        "left_anti")
+      semi.groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_with_big_order"))
+        .join(anti.groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_without")), Seq("c_mktsegment"), "full")
+        .na.fill(0L, Seq("n_with_big_order", "n_without"))
+    }),
+
     // —— analytics breadth: pivot, exact percentiles, moments, set ops ——
 
     "q25_pivot" -> ((s, d) =>
@@ -1142,6 +1171,43 @@ object SparkEntry {
         | CAST(count(DISTINCT l_orderkey) AS BIGINT) AS nd_order,
         | CAST(count(*) AS BIGINT) AS cnt
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q29_window_frames" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, value,
+        |   epoch_us(ts::TIMESTAMP) AS ts_us
+        |  FROM events)
+        |SELECT user_id, event_id,
+        | round(sum(value) OVER (PARTITION BY user_id
+        |   ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING), 4)
+        |   AS running_value,
+        | CAST(count(*) OVER (PARTITION BY user_id
+        |   ORDER BY ts_us, event_id
+        |   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) AS cnt4,
+        | round(max(value) OVER (PARTITION BY user_id
+        |   ORDER BY ts_us, event_id
+        |   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS max_value4
+        |FROM ev""".stripMargin,
+
+    "q30_semi_anti" ->
+      """WITH big AS (
+        |  SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 200000),
+        |s_cte AS (
+        |  SELECT c_mktsegment, CAST(count(*) AS BIGINT)
+        |    AS n_with_big_order
+        |  FROM customer WHERE c_custkey IN (SELECT o_custkey FROM big)
+        |  GROUP BY 1),
+        |a_cte AS (
+        |  SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_without
+        |  FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM big)
+        |  GROUP BY 1)
+        |SELECT coalesce(s_cte.c_mktsegment, a_cte.c_mktsegment)
+        |   AS c_mktsegment,
+        | coalesce(n_with_big_order, 0) AS n_with_big_order,
+        | coalesce(n_without, 0) AS n_without
+        |FROM s_cte FULL JOIN a_cte
+        |  ON s_cte.c_mktsegment = a_cte.c_mktsegment"""
+        .stripMargin,
 
     "q25_pivot" ->
       """SELECT source,
