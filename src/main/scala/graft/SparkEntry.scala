@@ -133,7 +133,7 @@ object SparkEntry {
           min(col("rn")).as("min_rn"), max(col("rn")).as("max_rn"))),
 
     "q05_epoch_batch" -> ((s, d) => {
-      val ranked = PipelineOps.withShuffleRank(
+      val ranked = PipelineOps.withScalableShuffleRank(
         Tables.part(s, d), col("p_partkey"), Seed)
       val batched = PipelineOps.withBatchId(
         PipelineOps.withEpochs(ranked, Epochs), "rn", BatchSize)
@@ -289,8 +289,8 @@ object SparkEntry {
 
     "t5_tfidf_top_terms" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val n = docs.count()
-      val byLang = TextAnalysis.tfidf(docs, col("doc_id"), col("text"), n)
+      // corpus size is an in-plan broadcast scalar — no driver action
+      val byLang = TextAnalysis.tfidf(docs, col("doc_id"), col("text"))
         .join(docs.select(col("doc_id"), col("lang")), "doc_id")
         .groupBy(col("lang"), col("token"))
         .agg(round(sum(col("tfidf")), 6).as("score"))
@@ -340,10 +340,12 @@ object SparkEntry {
         "vec_id", "embedding", 5)
     }),
 
+    // index size derives from the corpus count (autoPlanes) — the same
+    // defaults Stress.scala proves stay linear at 10× growth
     "s2_ann_lsh" -> ((s, d) =>
       Similarity.annTopK(
         Tables.embeddings(s, d).filter(col("vec_id") % 5 === 0),
-        "vec_id", "embedding", 5, nPlanes = 4, probeBits = 1)),
+        "vec_id", "embedding", 5, probeBits = 1, dim = 64)),
 
     // —— stateful streaming: keyed sessions via flatMapGroupsWithState ——
     // oracle: batch sessionization minus the open trailing session per
@@ -420,10 +422,11 @@ object SparkEntry {
         s"stream_static_${System.nanoTime()}")
     }),
 
+    // codebook size derives from the corpus count (autoCells)
     "s3_ann_ivf" -> ((s, d) =>
       Similarity.ivfTopK(
         Tables.embeddings(s, d).filter(col("vec_id") % 5 === 0),
-        "vec_id", "embedding", 5, nCells = 8, nProbe = 2)),
+        "vec_id", "embedding", 5, nProbe = 2)),
 
     // —— analytics breadth: rollup + multi-distinct aggregates ——
 
@@ -1143,6 +1146,112 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, rank, neighbor_id, cosine
         |FROM ranked WHERE rank <= 5""".stripMargin,
+
+    // np derives from count(*) exactly as Similarity.autoPlanes: for
+    // integer m, log2(m) is exact or ≥1/(m·ln2) from an integer, so
+    // ceil(log2(·)) agrees with the integer bit-length formula.
+    "s2_ann_lsh" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings WHERE vec_id % 5 = 0),
+        |params AS (
+        |  SELECT greatest(4, least(24,
+        |    CAST(ceil(log2(ceil(count(*) / 32.0))) AS INT))) AS np
+        |  FROM e),
+        |proj AS (
+        |  SELECT vec_id, p,
+        |   list_reduce(list_transform(range(1, len(v) + 1),
+        |     i -> v[i] * (('0x' || substr(md5(p::VARCHAR || '_' ||
+        |       (i-1)::VARCHAR || '#101'), 1, 8))::BIGINT
+        |       / 4294967296.0 * 2 - 1)),
+        |     (x, y) -> x + y) AS pr
+        |  FROM e CROSS JOIN
+        |    (SELECT unnest(range(np)) AS p FROM params) ps),
+        |bkt AS (
+        |  SELECT vec_id, CAST(sum(CASE WHEN pr > 0
+        |    THEN CAST(power(2, p) AS BIGINT) ELSE 0 END) AS BIGINT)
+        |    AS bucket
+        |  FROM proj GROUP BY 1),
+        |probes AS (
+        |  SELECT vec_id, unnest(list_concat([bucket],
+        |    list_transform(range(np), p ->
+        |      CASE WHEN CAST(floor(bucket / power(2, p)) AS BIGINT) % 2 = 1
+        |        THEN bucket - CAST(power(2, p) AS BIGINT)
+        |        ELSE bucket + CAST(power(2, p) AS BIGINT) END))) AS probe
+        |  FROM bkt CROSS JOIN params),
+        |cand AS (
+        |  SELECT pr.vec_id AS query_id, b.vec_id AS neighbor_id
+        |  FROM probes pr JOIN bkt b
+        |    ON pr.probe = b.bucket AND b.vec_id <> pr.vec_id),
+        |scored AS (
+        |  SELECT c.query_id, c.neighbor_id,
+        |   list_reduce(list_transform(range(1, len(q.v) + 1),
+        |     i -> q.v[i] * nb.v[i]), (x, y) -> x + y) /
+        |   (sqrt(list_reduce(list_transform(q.v, x -> x * x),
+        |      (x, y) -> x + y)) *
+        |    sqrt(list_reduce(list_transform(nb.v, x -> x * x),
+        |      (x, y) -> x + y))) AS cosine
+        |  FROM cand c
+        |  JOIN e q ON q.vec_id = c.query_id
+        |  JOIN e nb ON nb.vec_id = c.neighbor_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, cosine, CAST(row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)
+        |    AS BIGINT) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, neighbor_id, cosine
+        |FROM ranked WHERE rank <= 5""".stripMargin,
+
+    "s3_ann_ivf" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings WHERE vec_id % 5 = 0),
+        |params AS (SELECT CAST(ceil(count(*) / 64.0) AS INT) AS nc FROM e),
+        |hs AS (
+        |  SELECT vec_id, v, row_number() OVER (ORDER BY
+        |    ('0x' || substr(md5(vec_id::VARCHAR || '#77'), 1, 8))::BIGINT,
+        |    vec_id) AS hrk
+        |  FROM e),
+        |seeds AS (
+        |  SELECT vec_id AS cell_id, v AS centroid
+        |  FROM hs CROSS JOIN params WHERE hrk <= nc),
+        |cs AS (
+        |  SELECT e.vec_id, s.cell_id,
+        |   list_reduce(list_transform(range(1, len(e.v) + 1),
+        |     i -> e.v[i] * s.centroid[i]), (x, y) -> x + y) /
+        |   (sqrt(list_reduce(list_transform(e.v, x -> x * x),
+        |      (x, y) -> x + y)) *
+        |    sqrt(list_reduce(list_transform(s.centroid, x -> x * x),
+        |      (x, y) -> x + y))) AS sim
+        |  FROM e CROSS JOIN seeds s),
+        |ranked AS (
+        |  SELECT vec_id, cell_id, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY sim DESC, cell_id) AS rk
+        |  FROM cs),
+        |assigned AS (SELECT vec_id, cell_id FROM ranked WHERE rk = 1),
+        |probed AS (SELECT vec_id, cell_id FROM ranked WHERE rk <= 2),
+        |cand AS (
+        |  SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id
+        |  FROM probed p JOIN assigned a
+        |    ON a.cell_id = p.cell_id AND a.vec_id <> p.vec_id),
+        |scored AS (
+        |  SELECT c.query_id, c.neighbor_id,
+        |   list_reduce(list_transform(range(1, len(q.v) + 1),
+        |     i -> q.v[i] * nb.v[i]), (x, y) -> x + y) /
+        |   (sqrt(list_reduce(list_transform(q.v, x -> x * x),
+        |      (x, y) -> x + y)) *
+        |    sqrt(list_reduce(list_transform(nb.v, x -> x * x),
+        |      (x, y) -> x + y))) AS cosine
+        |  FROM cand c
+        |  JOIN e q ON q.vec_id = c.query_id
+        |  JOIN e nb ON nb.vec_id = c.neighbor_id),
+        |r2 AS (
+        |  SELECT query_id, neighbor_id, cosine, CAST(row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)
+        |    AS BIGINT) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, neighbor_id, cosine
+        |FROM r2 WHERE rank <= 5""".stripMargin,
 
     "q23_stream_dedup" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,

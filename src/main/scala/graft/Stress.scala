@@ -73,22 +73,18 @@ object Stress {
     // means per-bucket population (and so per-query candidates) grows
     // linearly and total ANN work quadratically. Hold TARGET CELL SIZE
     // constant instead — cells ∝ n, candidates/query constant, total
-    // work linear. Same rule at 100 TB, just bigger codebooks.
-    val nVec = emb.count()
-    val cells = math.max(8, (nVec / 125).toInt)
-    val planes = math.max(4, (math.log(nVec.toDouble / 60) / math.log(2))
-      .ceil.toInt)
-    t(s"s2_ann_lsh(p=$planes)") {
+    // work linear. Since round 2 that heuristic IS the operators'
+    // default (Similarity.autoPlanes/autoCells) — this probe exercises
+    // the defaults directly.
+    t("s2_ann_lsh(auto)") {
       Similarity.annTopK(emb, "vec_id", "embedding", 5,
-        nPlanes = planes, probeBits = 1).count()
+        probeBits = 1, dim = 64).count()
     }
-    t(s"s3_ann_ivf(c=$cells)") {
-      Similarity.ivfTopK(emb, "vec_id", "embedding", 5,
-        nCells = cells, nProbe = 2).count()
+    t("s3_ann_ivf(auto)") {
+      Similarity.ivfTopK(emb, "vec_id", "embedding", 5, nProbe = 2).count()
     }
     t("t5_tfidf") {
-      val n = docs.count()
-      TextAnalysis.tfidf(docs, col("doc_id"), col("text"), n)
+      TextAnalysis.tfidf(docs, col("doc_id"), col("text"))
         .groupBy("token").agg(sum("tfidf")).count()
     }
     t("p1_pipeline") {

@@ -86,12 +86,18 @@ object Dedup {
   /** Estimated Jaccard for candidate pairs: fraction of matching
     * signature positions (exact rational n/numHashes —
     * engine-reproducible). Two broadcast-joins against the signature
-    * relation, then a zip-compare — no per-hash shuffle. */
+    * relation, then a zip-compare — no per-hash shuffle. The hint is
+    * explicit because the signature relation is usually a fresh
+    * aggregate whose size Catalyst can't estimate (it would plan a
+    * sort-merge join and shuffle the candidates twice); at corpus sizes
+    * where even signatures outgrow broadcast, drop the hint and let AQE
+    * pick the join — the candidate side is then the smaller relation. */
   def minhashJaccard(candidates: DataFrame, sig: DataFrame,
       numHashes: Int): DataFrame = {
     val sa = sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
     val sb = sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))
-    candidates.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
+    candidates.join(broadcast(sa), Seq("doc_a"))
+      .join(broadcast(sb), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         (aggregate(zip_with(col("sig_a"), col("sig_b"),
           (x, y) => when(x === y, 1L).otherwise(0L)),
@@ -212,8 +218,9 @@ object Dedup {
 
   /** Embedding-cosine near-dup: all pairs with cosine ≥ threshold.
     * Brute-force O(n²) pairing — correct at verification scale; at 100 TB
-    * route candidates through [[graft.operators.Similarity.lshBuckets]]
-    * first and verify only within buckets. */
+    * route candidates through
+    * [[graft.operators.Similarity.lshNearDup]] instead — bucketed,
+    * deterministic, and oracle-checked as d7. */
   def embeddingNearDup(emb: DataFrame, idCol: Column, vecCol: Column,
       threshold: Double): DataFrame = {
     val a = emb.select(idCol.as("id_a"), vecCol.as("v_a"))

@@ -48,7 +48,18 @@ object PipelineOps {
     * every partition stays bounded and no executor sees the full dataset.
     */
   def withScalableShuffleRank(df: DataFrame, key: Column, seed: Int,
-      out: String = "rn"): DataFrame = {
+      out: String = "rn"): DataFrame =
+    withScalableShuffleRankAndCount(df, key, seed, out)._1
+
+  /** [[withScalableShuffleRank]] plus the exact row count, exposed for
+    * free: assigning global indices needs per-partition counts anyway
+    * (zipWithIndex semantics, hand-rolled here), so their sum comes out
+    * of the same job — callers that need N (ntile arithmetic, step
+    * counts) get it without a second scan or a single-partition
+    * count aggregate. The count job materializes the range shuffle;
+    * the indexing pass reuses the shuffle files. */
+  def withScalableShuffleRankAndCount(df: DataFrame, key: Column, seed: Int,
+      out: String = "rn"): (DataFrame, Long) = {
     val skCol = "__graft_sk"
     val keyed = df.withColumn(skCol, Tables.shuffleKey(key, seed))
     val parts = math.max(df.sparkSession.sessionState.conf.numShufflePartitions, 1)
@@ -56,19 +67,30 @@ object PipelineOps {
       .repartitionByRange(parts, col(skCol), key)
       .sortWithinPartitions(col(skCol), key)
     val schema = sorted.schema.add(out, LongType, nullable = false)
-    val rowRdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
-      Row.fromSeq(r.toSeq :+ (i + 1L))
+    val rdd = sorted.rdd
+    val counts = rdd
+      .mapPartitionsWithIndex((pid, it) => Iterator(pid -> it.size.toLong))
+      .collect().toMap
+    val offsets = new Array[Long](counts.size + 1)
+    for (pid <- 0 until counts.size)
+      offsets(pid + 1) = offsets(pid) + counts.getOrElse(pid, 0L)
+    val total = offsets(counts.size)
+    val rowRdd = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var i = offsets(pid)
+      it.map { r => i += 1; Row.fromSeq(r.toSeq :+ i) }
     }
-    df.sparkSession.createDataFrame(rowRdd, schema).drop(skCol)
+    (df.sparkSession.createDataFrame(rowRdd, schema).drop(skCol), total)
   }
 
   /** Exact-count split (O2): first `valCount` rows of the seeded
     * permutation are "validation", the rest "train" — mirrors the
     * reference's prefix slice after `random.seed(0); random.shuffle`.
-    * (`randomSplit` is only approximate; never oracle-safe.) */
+    * (`randomSplit` is only approximate; never oracle-safe.)
+    * Rides [[withScalableShuffleRank]] — no single-partition window, so
+    * the same code path survives a 1000-executor 100 TB run. */
   def withSplit(df: DataFrame, key: Column, seed: Int, valCount: Long,
       rankCol: String = "rn", splitCol: String = "split"): DataFrame =
-    withShuffleRank(df, key, seed, rankCol)
+    withScalableShuffleRank(df, key, seed, rankCol)
       .withColumn(splitCol,
         when(col(rankCol) <= valCount, lit("validation")).otherwise(lit("train")))
 
@@ -91,13 +113,28 @@ object PipelineOps {
 
   /** Contiguous K-way sharding (K1): the reference writes shard i as the
     * contiguous slice [i*ceil(N/K), (i+1)*ceil(N/K)) of the shuffled list
-    * (`make_tf_record.py:120-128`). `ntile(K)` over the same permutation
-    * gives the same "contiguous, balanced" semantics. */
+    * (`make_tf_record.py:120-128`); SQL `ntile(K)` over the permutation
+    * gives the same "contiguous, balanced" semantics. Implemented as
+    * ARITHMETIC on the scalable shuffle rank — bit-identical to
+    * `ntile(K)` (first N%K tiles get one extra row) but with no
+    * single-partition window: the only global state is the row count,
+    * cross-joined in as a broadcast scalar, so the plan stays fully
+    * distributed at 100 TB. */
   def withShardId(df: DataFrame, key: Column, seed: Int, shards: Int,
-      out: String = "shard"): DataFrame =
-    df.withColumn(out,
-      ntile(shards).over(Window.orderBy(Tables.shuffleKey(key, seed), key))
-        .cast("long"))
+      out: String = "shard"): DataFrame = {
+    val rnCol = "__graft_shard_rn"
+    val (ranked, n) =
+      withScalableShuffleRankAndCount(df, key, seed, rnCol)
+    val rn = col(rnCol)
+    val base = n / shards                 // small-tile size
+    val rem = n % shards                  // number of (base+1)-sized tiles
+    val tile =
+      if (base == 0L) rn                  // fewer rows than shards
+      else when(rn <= rem * (base + 1),
+          floor((rn - 1) / (base + 1)) + 1)
+        .otherwise(lit(rem) + floor((rn - rem * (base + 1) - 1) / base) + 1)
+    ranked.withColumn(out, tile.cast("long")).drop(rnCol)
+  }
 
   /** Sharded write (K1/K3): one parquet part-file per shard via
     * repartitionByRange on the shard id, split name kept as a partition

@@ -58,14 +58,8 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * uniform in [-1, 1), derived from md5 so both engines agree. */
-  private def planeComponent(plane: Column, dim: Column): Column =
-    Tables.hashRand(concat(plane.cast("string"), lit("_"),
-      dim.cast("string")), 101) * 2.0 - 1.0
-
-  /** The same md5-derived plane components computed driver-side (plain
-    * Scala MessageDigest) — bit-identical to [[planeComponent]] and to
+  /** The md5-derived plane components computed driver-side (plain
+    * Scala MessageDigest) — bit-identical to
     * the DuckDB expression `('0x'||substr(md5(p||'_'||d||'#101'),1,8))
     * ::BIGINT / 4294967296.0 * 2 - 1`, so plans can embed the plane
     * matrix as a literal instead of evaluating 8×dim md5s per row. */
@@ -117,24 +111,26 @@ object Similarity {
         col("cosine"))
   }
 
-  /** Sign-random-projection LSH bucket id per vector: `nPlanes` md5-
-    * derived hyperplanes; bit p = sign of <v, plane_p>. Vectors in the
-    * same bucket are ANN candidates. At 100 TB this is the shuffle key
-    * that replaces the quadratic cross join. */
-  def lshBuckets(emb: DataFrame, idCol: String, vecCol: String,
-      nPlanes: Int): DataFrame = {
-    val planes = emb.sparkSession.range(nPlanes).toDF("p")
-    val dims = emb.select(col(idCol), posexplode(col(vecCol))
-      .as(Seq("d", "x")))
-    dims.crossJoin(broadcast(planes))
-      .withColumn("contrib",
-        col("x").cast("double") * planeComponent(col("p"), col("d")))
-      .groupBy(col(idCol), col("p"))
-      .agg(sum(col("contrib")).as("proj"))
-      .groupBy(col(idCol))
-      .agg(sum(when(col("proj") > 0,
-        pow(lit(2.0), col("p")).cast("long")).otherwise(0L)).as("bucket"))
+  /** Index-size heuristic (the lesson measured in `graft.Stress`:
+    * constant index sizes make per-bucket population grow linearly with
+    * the corpus and total ANN work quadratically). Hold TARGET BUCKET
+    * POPULATION constant instead: planes = ceil(log2(ceil(n / target))),
+    * clamped to [4, 24]. Computed with exact integer arithmetic so the
+    * DuckDB oracle twin — `greatest(4, least(24,
+    * ceil(log2(ceil(n / 32.0)))))` — derives the identical value (for
+    * integer m, log2(m) is either exact or ≥ 1/(m·ln2) away from an
+    * integer, far outside double rounding error). */
+  def autoPlanes(n: Long, targetBucket: Int = 32): Int = {
+    val m = (n + targetBucket - 1) / targetBucket
+    val bits = if (m <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(m - 1)
+    math.max(4, math.min(24, bits))
   }
+
+  /** IVF codebook size with constant TARGET CELL POPULATION: cells =
+    * ceil(n / target) — cells grow linearly with the corpus, so probe
+    * cost per query stays flat. DuckDB twin: `ceil(n / 64.0)`. */
+  def autoCells(n: Long, targetCell: Int = 64): Int =
+    math.max(1, math.min(1 << 20, ((n + targetCell - 1) / targetCell).toInt))
 
   /** IVF-style ANN top-k (the second scale path next to LSH): partition
     * the corpus into `nCells` Voronoi cells around deterministically
@@ -143,12 +139,22 @@ object Similarity {
     * search only the `nProbe` cells whose centroids are nearest the
     * query. Cell assignment is a broadcast join against the tiny
     * centroid set; the candidate join is an equi-join on cell id — the
-    * same shuffle shape that scales to a real k-means codebook. */
+    * same shuffle shape that scales to a real k-means codebook.
+    *
+    * `nCells < 0` (the default) derives the codebook size from a corpus
+    * count via [[autoCells]] — one metadata-cheap count action at
+    * index-build time (sizing an index requires knowing the corpus, the
+    * same way k-means training would).
+    *
+    * The corpus×centroid scoring + per-vector ranking run ONCE: the
+    * windowed frame is persisted and both the cell assignment (rk = 1)
+    * and the probe list (rk ≤ nProbe) are filters over it. */
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String, k: Int,
-      nCells: Int = 16, nProbe: Int = 2): DataFrame = {
+      nCells: Int = -1, nProbe: Int = 2): DataFrame = {
+    val nc = if (nCells > 0) nCells else autoCells(emb.count())
     val seeds = emb
-      .withColumn("__h", graft.Tables.hashU32(col(idCol), 77))
-      .orderBy(col("__h"), col(idCol)).limit(nCells)
+      .withColumn("__h", Tables.hashU32(col(idCol), 77))
+      .orderBy(col("__h"), col(idCol)).limit(nc)
       .select(col(idCol).as("cell_id"), col(vecCol).as("centroid"))
     // cell assignment: nearest centroid by cosine (norms precomputed)
     val withNorm = emb.select(col(idCol), col(vecCol))
@@ -159,25 +165,27 @@ object Similarity {
         dot(col(vecCol), col("centroid")) / (col("nrm") * col("c_nrm")))
     val wAssign = Window.partitionBy(col(idCol))
       .orderBy(col("sim").desc, col("cell_id").asc)
-    val assigned = scoredCells
+    val ranked = scoredCells
       .withColumn("rk", row_number().over(wAssign))
-      .filter(col("rk") === 1)
-      .select(col(idCol), col(vecCol), col("nrm"), col("cell_id"))
-    val probed = scoredCells
-      .withColumn("rk", row_number().over(wAssign))
-      .filter(col("rk") <= nProbe)
+      .filter(col("rk") <= math.max(nProbe, 1))
+      .select(col(idCol), col(vecCol), col("nrm"), col("cell_id"), col("rk"))
+      .persist()
+    val assigned = ranked.filter(col("rk") === 1)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+        col("nrm").as("c_nrm"), col("cell_id"))
+    val probed = ranked
       .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
         col("nrm").as("q_nrm"), col("cell_id").as("probe_cell"))
-    val cand = probed.join(
-      assigned.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
-        col("nrm").as("c_nrm"), col("cell_id")),
+    val cand = probed.join(assigned,
       col("probe_cell") === col("cell_id") &&
         col("query_id") =!= col("neighbor_id"))
     val wRank = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    // a neighbor is assigned to exactly one cell and a query's probe
+    // cells are distinct, so each (query, neighbor) pair matches at
+    // most once — no dedup pass needed
     cand.withColumn("cosine",
         dot(col("q_vec"), col("c_vec")) / (col("q_nrm") * col("c_nrm")))
-      .select(col("query_id"), col("neighbor_id"), col("cosine")).distinct()
       .withColumn("rank", row_number().over(wRank).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
@@ -187,19 +195,30 @@ object Similarity {
     * the query's bucket (multi-probe: Hamming-1 neighbours of the bucket
     * included when `probeBits > 0`), ranked by exact cosine within the
     * bucket. Trades recall for a bucket-local join — property-tested
-    * against [[bruteForceTopK]] for recall in SimilaritySpec. */
+    * against [[bruteForceTopK]] for recall in DedupSimilaritySpec.
+    *
+    * Buckets come from [[lshBucketFolded]] — the deterministic left-fold
+    * sign projection (the exploded groupBy-sum variant this replaced had
+    * partition-order-dependent float accumulation, which is exactly why
+    * it could never be oracle-checked). `nPlanes < 0` (default) sizes
+    * the index from a corpus count via [[autoPlanes]]; `dim < 0` probes
+    * the vector width from the first row. */
   def annTopK(emb: DataFrame, idCol: String, vecCol: String, k: Int,
-      nPlanes: Int = 8, probeBits: Int = 1): DataFrame = {
-    val buckets = lshBuckets(emb, idCol, vecCol, nPlanes)
-    val vecs = emb.select(col(idCol), col(vecCol))
+      nPlanes: Int = -1, probeBits: Int = 1, dim: Int = -1): DataFrame = {
+    val np = if (nPlanes > 0) nPlanes else autoPlanes(emb.count())
+    val d = if (dim > 0) dim
+      else emb.select(size(col(vecCol))).head().getInt(0)
+    val planes = deterministicPlanes(np, d)
+    val withB = emb.select(col(idCol), col(vecCol))
+      .withColumn("bucket", lshBucketFolded(col(vecCol), planes))
       .withColumn("nrm", norm(col(vecCol)))
-    val withB = vecs.join(buckets, idCol)
+      .persist() // probe side + neighbor side: fold the projections once
     // probe buckets: the bucket itself plus Hamming-1 flips
     val probes =
       if (probeBits <= 0) withB.withColumn("probe", col("bucket"))
       else withB.withColumn("probe",
         explode(concat(array(col("bucket")),
-          transform(sequence(lit(0), lit(nPlanes - 1)), p =>
+          transform(sequence(lit(0), lit(np - 1)), p =>
             // flip bit p: bucket XOR 2^p via arithmetic (engine-portable)
             when(floor(col("bucket") / pow(lit(2.0), p)).cast("long") % 2 === 1,
               col("bucket") - pow(lit(2.0), p).cast("long"))
@@ -212,9 +231,11 @@ object Similarity {
           col("query_id") =!= col("neighbor_id"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    // a neighbor occupies exactly one bucket and a query's probe set is
+    // distinct buckets, so each (query, neighbor) pair matches at most
+    // once — no dedup pass needed
     cand.withColumn("cosine",
         dot(col("q_vec"), col("c_vec")) / (col("q_nrm") * col("c_nrm")))
-      .select(col("query_id"), col("neighbor_id"), col("cosine")).distinct()
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))

@@ -153,16 +153,33 @@ object TextAnalysis {
     array_min(transform(charShingles(text, k), s => Tables.hashU32(s, 7)))
 
   /** Document frequency + tf-idf, returned as (docId, token, tf, df,
-    * tfidf). `nDocs` must be the exact corpus size (pass `df.count()` or
-    * a known constant — computing it inline would be a second scan). */
+    * tfidf). `nDocs` must be the exact corpus size — use this overload
+    * only when the count is already known; otherwise prefer the
+    * in-plan overload below. */
   def tfidf(docs: DataFrame, idCol: Column, textCol: Column,
-      nDocs: Long): DataFrame = {
+      nDocs: Long): DataFrame =
+    tfidfWithN(docs, idCol, textCol, lit(nDocs.toDouble))
+
+  /** tf-idf with the corpus size computed IN-PLAN: the count(*) is a
+    * scalar aggregate cross-joined in as a broadcast, so the whole
+    * computation is ONE logical plan with no driver-side action and no
+    * scheduling sync point at build time. */
+  def tfidf(docs: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    val n = docs.groupBy()
+      .agg(count(lit(1)).cast("double").as("__graft_n_docs"))
+    tfidfWithN(docs, idCol, textCol, col("__graft_n_docs"), Some(n))
+  }
+
+  private def tfidfWithN(docs: DataFrame, idCol: Column, textCol: Column,
+      nDocs: Column, nRel: Option[DataFrame] = None): DataFrame = {
     val tok = docs.select(idCol.as("doc_id"),
       explode(tokens(textCol)).as("token"))
     val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
-    tf.join(dfreq, "token")
-      .withColumn("tfidf",
-        col("tf") * log((lit(nDocs.toDouble) + 1.0) / (col("df") + 1.0)))
+    val joined = tf.join(dfreq, "token")
+    val withN = nRel.fold(joined)(n => joined.crossJoin(broadcast(n)))
+    withN
+      .withColumn("tfidf", col("tf") * log((nDocs + 1.0) / (col("df") + 1.0)))
+      .drop("__graft_n_docs")
   }
 }

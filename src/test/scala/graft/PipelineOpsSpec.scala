@@ -64,6 +64,19 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rangesOk == 0)
   }
 
+  test("arithmetic shard id matches window ntile(K) exactly") {
+    import org.apache.spark.sql.expressions.Window
+    for ((n, k) <- Seq((103, 5), (100, 5), (3, 5), (3670, 5), (17, 4))) {
+      val arith = PipelineOps.withShardId(range(n), col("id"), 42, k)
+        .select("id", "shard").as[(Long, Long)].collect().toMap
+      val win = range(n).withColumn("shard",
+          ntile(k).over(Window.orderBy(
+            Tables.shuffleKey(col("id"), 42), col("id"))).cast("long"))
+        .select("id", "shard").as[(Long, Long)].collect().toMap
+      assert(arith == win, s"n=$n k=$k")
+    }
+  }
+
   test("step counts match ceil arithmetic (train.py:115-117 semantics)") {
     assert(PipelineOps.trainSteps(3320, 2, 16) == 415)
     assert(PipelineOps.epochSteps(350, 16) == 22)
