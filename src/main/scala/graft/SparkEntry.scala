@@ -509,6 +509,25 @@ object SparkEntry {
         sum(col("c_custkey")).as("key_sum"))
     }),
 
+    // —— skew mitigation: salted join / two-phase agg (oracle = the
+    //    trivially-equivalent unsalted query; the salt is internal) ——
+
+    "q31_salted_join" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val right = Tables.orders(s, d)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      Skew.saltedJoin(li, right, "l_orderkey", col("l_linenumber"), 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))
+    }),
+
+    "q32_salted_agg" -> ((s, d) =>
+      Skew.saltedCountSum(Tables.events(s, d), "event_type",
+        col("event_id"), "value", 8)
+        .select(col("event_type"), col("cnt"),
+          round(col("sum_value"), 4).as("sum_value"))),
+
     // —— multimodal column pattern (north star M7d) ——
 
     "m1_multimodal_meta" -> ((s, d) =>
@@ -1350,6 +1369,17 @@ object SparkEntry {
         |SELECT CAST(count(*) AS BIGINT) AS n_never_ordered,
         | CAST(sum(c_custkey) AS BIGINT) AS key_sum
         |FROM never""".stripMargin,
+
+    "q31_salted_join" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
+        | round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
+
+    "q32_salted_agg" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+        | round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1""".stripMargin,
 
     "m1_multimodal_meta" ->
       s"""SELECT doc_id,

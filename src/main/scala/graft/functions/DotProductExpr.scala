@@ -8,16 +8,19 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType}
 
-/** Native Catalyst dot product over two float-array columns, computed as
-  * a left-fold in doubles — the hot kernel of every cosine operator
-  * (similarity search, embedding near-dup).
+/** Native Catalyst dot product over two numeric-array columns
+  * (array<float> or array<double> on either side), computed as a
+  * left-fold in doubles — the hot kernel of every cosine operator
+  * (similarity search, embedding near-dup) and of the LSH sign
+  * projections (vector · literal hyperplane row).
   *
   * Why an Expression and not a UDF: `doGenCode` emits a primitive loop
   * directly into whole-stage codegen — no UDF call boundary, no
   * Array[Float] materialization per row (elements are read straight from
   * the columnar ArrayData). The summation order is the same
-  * ((0 + x0) + x1 + …), so results are bit-identical to both the Scala
-  * UDF it replaces and the DuckDB `list_reduce` oracle.
+  * ((0 + x0·y0) + x1·y1 + …) with floats widened before the multiply,
+  * so results are bit-identical to both the HOF chain it replaces and
+  * the DuckDB `list_reduce` oracle.
   *
   * Null contract: a null array yields null (BinaryExpression's default);
   * null *elements* contribute 0 (embeddings never contain them — the
@@ -28,29 +31,39 @@ case class DotProductExpr(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  private def elemOk(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    def ok(t: DataType): Boolean = t match {
-      case ArrayType(FloatType, _) => true
-      case _ => false
-    }
-    if (ok(left.dataType) && ok(right.dataType))
+    if (elemOk(left.dataType) && elemOk(right.dataType))
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"graft_dot expects array<float> inputs, got " +
+        s"graft_dot expects array<float|double> inputs, got " +
           s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+  }
+
+  private def isFloat(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
   }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val (xf, yf) = (isFloat(left.dataType), isFloat(right.dataType))
     val n = math.min(x.numElements(), y.numElements())
     var acc = 0.0
     var i = 0
     while (i < n) {
-      if (!x.isNullAt(i) && !y.isNullAt(i))
-        acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      if (!x.isNullAt(i) && !y.isNullAt(i)) {
+        val xv = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
+        val yv = if (yf) y.getFloat(i).toDouble else y.getDouble(i)
+        acc += xv * yv
+      }
       i += 1
     }
     acc
@@ -62,12 +75,15 @@ case class DotProductExpr(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      def rd(arr: String, dt: DataType): String =
+        if (isFloat(dt)) s"(double) $arr.getFloat($i)"
+        else s"$arr.getDouble($i)"
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
-         |    $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |    $acc += ${rd(a, left.dataType)} * ${rd(b, right.dataType)};
          |  }
          |}
          |${ev.value} = $acc;

@@ -60,6 +60,35 @@ object ImageKernels {
     Img(out, h, w, 3)
   }
 
+  /** S3 (grayscale variant): decode to a 1-channel [0,1] plane — the
+    * tutorial's MNIST-PNG path (`CNN_#5_datapipeline_tutorial.ipynb`
+    * cell 6, `decode_png(channels=1)`). Grayscale sources read their
+    * raster directly; color sources reduce with the ITU-R 601 luma that
+    * TF's `rgb_to_grayscale` applies. */
+  def decodeGray(bytes: Array[Byte]): Img = {
+    val bi = ImageIO.read(new ByteArrayInputStream(bytes))
+    require(bi != null, "undecodable image bytes")
+    val (h, w) = (bi.getHeight, bi.getWidth)
+    val out = new Array[Float](h * w)
+    val gray = bi.getColorModel.getNumComponents == 1
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        out(y * w + x) =
+          if (gray) bi.getRaster.getSample(x, y, 0) / 255f
+          else {
+            val rgb = bi.getRGB(x, y)
+            (0.299f * ((rgb >> 16) & 0xff) + 0.587f * ((rgb >> 8) & 0xff) +
+              0.114f * (rgb & 0xff)) / 255f
+          }
+        x += 1
+      }
+      y += 1
+    }
+    Img(out, h, w, 1)
+  }
+
   /** K4: decode only the (height, width) header — the dims probe of
     * `make_tf_record.py:21-23`, without materializing pixels. */
   def dims(bytes: Array[Byte]): (Int, Int) = {
@@ -107,6 +136,138 @@ object ImageKernels {
     }
     Img(out, oh, ow, img.c)
   }
+
+  /** F6 (nearest, TF method 1): source index = floor(y·h/oh), clamped —
+    * TF1 `ResizeNearestNeighbor` with align_corners=false. */
+  def resizeNearest(img: Img, oh: Int, ow: Int): Img = {
+    val out = new Array[Float](oh * ow * img.c)
+    val sy = img.h.toFloat / oh
+    val sx = img.w.toFloat / ow
+    var y = 0
+    while (y < oh) {
+      val yi = math.min((y * sy).toInt, img.h - 1)
+      var x = 0
+      while (x < ow) {
+        val xi = math.min((x * sx).toInt, img.w - 1)
+        var ch = 0
+        while (ch < img.c) {
+          out((y * ow + x) * img.c + ch) = img(yi, xi, ch)
+          ch += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    Img(out, oh, ow, img.c)
+  }
+
+  /** Keys cubic convolution weight, A = -0.75 (the TF/OpenCV kernel). */
+  private def cubicWeight(t: Double): Double = {
+    val A = -0.75
+    val at = math.abs(t)
+    if (at <= 1) (A + 2) * at * at * at - (A + 3) * at * at + 1
+    else if (at < 2) A * (at * at * at - 5 * at * at + 8 * at - 4)
+    else 0.0
+  }
+
+  /** F6 (bicubic, TF method 2): 4×4 Keys-kernel convolution, edge-
+    * clamped, weight-normalized, result clipped to [0,1] (cubic
+    * overshoot would otherwise leak outside the pipeline's pixel
+    * domain; downstream kernels assume [0,1]). Same align-corners
+    * source mapping as [[resizeBilinear]], so an identity-size resize
+    * is exact. */
+  def resizeBicubic(img: Img, oh: Int, ow: Int): Img = {
+    val out = new Array[Float](oh * ow * img.c)
+    val sy = if (oh == 1) 0.0 else (img.h - 1).toDouble / (oh - 1)
+    val sx = if (ow == 1) 0.0 else (img.w - 1).toDouble / (ow - 1)
+    var y = 0
+    while (y < oh) {
+      val fy = y * sy
+      val y0 = math.floor(fy).toInt
+      var x = 0
+      while (x < ow) {
+        val fx = x * sx
+        val x0 = math.floor(fx).toInt
+        var ch = 0
+        while (ch < img.c) {
+          var acc = 0.0
+          var wsum = 0.0
+          var j = -1
+          while (j <= 2) {
+            val yy = math.min(math.max(y0 + j, 0), img.h - 1)
+            val wy = cubicWeight(fy - (y0 + j))
+            var i = -1
+            while (i <= 2) {
+              val xx = math.min(math.max(x0 + i, 0), img.w - 1)
+              val wgt = wy * cubicWeight(fx - (x0 + i))
+              acc += wgt * img(yy, xx, ch)
+              wsum += wgt
+              i += 1
+            }
+            j += 1
+          }
+          out((y * ow + x) * img.c + ch) = clip01((acc / wsum).toFloat)
+          ch += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    Img(out, oh, ow, img.c)
+  }
+
+  /** F6 (area, TF method 3): each output pixel is the mean of its
+    * source box with fractional edge coverage. */
+  def resizeArea(img: Img, oh: Int, ow: Int): Img = {
+    val out = new Array[Float](oh * ow * img.c)
+    val sy = img.h.toDouble / oh
+    val sx = img.w.toDouble / ow
+    var y = 0
+    while (y < oh) {
+      val yLo = y * sy
+      val yHi = (y + 1) * sy
+      var x = 0
+      while (x < ow) {
+        val xLo = x * sx
+        val xHi = (x + 1) * sx
+        var ch = 0
+        while (ch < img.c) {
+          var acc = 0.0
+          var area = 0.0
+          var yy = math.floor(yLo).toInt
+          while (yy < math.ceil(yHi).toInt) {
+            val cy = math.min(yHi, yy + 1.0) - math.max(yLo, yy.toDouble)
+            var xx = math.floor(xLo).toInt
+            while (xx < math.ceil(xHi).toInt) {
+              val cx = math.min(xHi, xx + 1.0) - math.max(xLo, xx.toDouble)
+              val wgt = cy * cx
+              acc += wgt *
+                img(math.min(yy, img.h - 1), math.min(xx, img.w - 1), ch)
+              area += wgt
+              xx += 1
+            }
+            yy += 1
+          }
+          out((y * ow + x) * img.c + ch) = (acc / area).toFloat
+          ch += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    Img(out, oh, ow, img.c)
+  }
+
+  /** F6 router: the reference draws 1 of 4 interpolation methods per
+    * sample outside fast_mode (`dataset_preprocessing.py:212-216`; TF
+    * enum order 0=bilinear, 1=nearest, 2=bicubic, 3=area). */
+  def resizeMethod(img: Img, method: Int, oh: Int, ow: Int): Img =
+    method match {
+      case 0 => resizeBilinear(img, oh, ow)
+      case 1 => resizeNearest(img, oh, ow)
+      case 2 => resizeBicubic(img, oh, ow)
+      case _ => resizeArea(img, oh, ow)
+    }
 
   /** Crop the window [y0, y0+ch) × [x0, x0+cw). */
   def crop(img: Img, y0: Int, x0: Int, chh: Int, cww: Int): Img = {
@@ -249,13 +410,17 @@ object ImageKernels {
     * ONE UDF per row: no intermediate row materialization, the Spark
     * analogue of the reference's fused map stage (SURVEY §4 item 2a). */
   def preprocessForTrain(encoded: Array[Byte], seed: Long, outH: Int,
-      outW: Int): Array[Float] = {
+      outW: Int, fastMode: Boolean = true): Array[Float] = {
     val rng = new java.util.Random(seed)
     val img = decode(encoded)
     val cropped = randomCrop(img, rng)
-    val resized = resizeBilinear(cropped, outH, outW)
+    // F6: outside fast_mode the resize method is itself a random draw
+    // (1-of-4, dataset_preprocessing.py:212-216); fast_mode pins
+    // bilinear and draws nothing, keeping its RNG sequence unchanged
+    val method = if (fastMode) 0 else rng.nextInt(4)
+    val resized = resizeMethod(cropped, method, outH, outW)
     val flipped = if (rng.nextBoolean()) flipLeftRight(resized) else resized
-    val colored = distortColor(flipped, rng)
+    val colored = distortColor(flipped, rng, fastMode)
     normalize(colored).data
   }
 
@@ -288,6 +453,26 @@ object ImageKernels {
     bos.toByteArray
   }
 
+  /** Grayscale twin of [[synthPng]] (TYPE_BYTE_GRAY raster) — exercises
+    * the 1-channel decode path without on-disk fixtures. */
+  def synthPngGray(seed: Long, h: Int, w: Int): Array[Byte] = {
+    val bi = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = bi.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = (seed * 1000003L + y * 131L + x) * 2654435761L
+        raster.setSample(x, y, 0, ((v >>> 16) & 0xff).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    ImageIO.write(bi, "png", bos)
+    bos.toByteArray
+  }
+
   // —— Column-level API (F13 dispatcher happens at plan time, P5) ——
 
   val synthPngUdf = udf((seed: Long, h: Int, w: Int) => synthPng(seed, h, w))
@@ -295,6 +480,10 @@ object ImageKernels {
   val trainKernelUdf =
     udf((enc: Array[Byte], seed: Long, h: Int, w: Int) =>
       preprocessForTrain(enc, seed, h, w))
+  /** Full-mode train kernel (F6 4-way resize draw + 4-ordering color). */
+  val trainKernelFullUdf =
+    udf((enc: Array[Byte], seed: Long, h: Int, w: Int) =>
+      preprocessForTrain(enc, seed, h, w, fastMode = false))
   val evalKernelUdf =
     udf((enc: Array[Byte], h: Int, w: Int) => preprocessForEval(enc, h, w))
   val dimsUdf = udf((enc: Array[Byte]) => {

@@ -78,14 +78,14 @@ object Similarity {
     * vector against literal plane rows — fully deterministic (a
     * groupBy-sum of exploded contributions is not: partial-aggregation
     * order perturbs the last ulp and can flip a sign at proj ≈ 0), so
-    * the DuckDB oracle reproduces the bucket bit-for-bit. */
+    * the DuckDB oracle reproduces the bucket bit-for-bit. Each
+    * projection is the codegen'd [[dot]] against an array<double>
+    * literal — same widening and summation order as the HOF chain it
+    * replaced, ~an order of magnitude faster (HOF lambdas are
+    * interpreted per element; see BASELINE.md optimization log). */
   def lshBucketFolded(vec: Column, planes: Seq[Seq[Double]]): Column =
     planes.zipWithIndex.map { case (row, p) =>
-      val lit_p = typedlit(row)
-      val proj = aggregate(
-        zip_with(transform(vec, x => x.cast("double")), lit_p,
-          (x, y) => x * y),
-        lit(0.0), (acc, v) => acc + v)
+      val proj = dot(vec, typedlit(row))
       when(proj > 0, lit(1L << p)).otherwise(0L)
     }.reduce(_ + _)
 

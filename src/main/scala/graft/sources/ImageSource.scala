@@ -63,6 +63,20 @@ object ImageSource {
       col("height").cast("int").as("height"),
       col("width").cast("int").as("width"))
 
+  /** S9: the split names the reference accepts
+    * (`data_queue.py:43-44` asserts before touching any file). */
+  val ValidSplits: Set[String] = Set("train", "validation")
+
+  /** S9: validated, partition-pruned read of one split from an
+    * [[encodeJob]] output directory — unknown split names fail fast at
+    * plan-build time, exactly like the reference's assert, instead of
+    * silently scanning zero files. */
+  def readSplit(spark: SparkSession, dir: String, split: String): DataFrame = {
+    require(ValidSplits(split),
+      s"unknown split '$split' — expected one of ${ValidSplits.mkString(", ")}")
+    spark.read.parquet(dir).filter(col("split") === split)
+  }
+
   /** K1+O1+O2: the full encode job — seeded shuffle, exact-count
     * validation split, 5-way contiguous shards, split-partitioned
     * parquet (partition pruning replaces the reference's filename-based

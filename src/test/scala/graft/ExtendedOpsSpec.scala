@@ -56,12 +56,24 @@ class ExtendedOpsSpec extends SparkSpec {
       .as[(Long, Double)].collect().toMap
     assert(native == hof) // exact equality — same IEEE fold
     // interpreted (non-codegen) path agrees: evaluate via nullSafeEval
+    // (children must carry RESOLVED array types — the accessors
+    // dispatch on them — so build catalyst Literals directly)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
     val v = Array(1.5f, -2.25f, 3f)
     val ad = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(v)
-    val one = org.apache.spark.sql.GraftSqlBridge.expression(lit(1))
-    val got = DotProductExpr(one, one).nullSafeEval(ad, ad)
+    val arr = Literal.create(v.toSeq, ArrayType(FloatType))
+    val got = DotProductExpr(arr, arr).nullSafeEval(ad, ad)
     val want = v.map(_.toDouble).foldLeft(0.0)((acc, x) => acc + x * x)
     assert(got == want)
+    // mixed float×double (the LSH projection shape) agrees too
+    val pd = Array(0.5, -1.0, 2.0)
+    val add = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(pd)
+    val arrD = Literal.create(pd.toSeq, ArrayType(DoubleType))
+    val gotMixed = DotProductExpr(arr, arrD).nullSafeEval(ad, add)
+    val wantMixed = v.zip(pd).foldLeft(0.0)((acc, p) =>
+      acc + p._1.toDouble * p._2)
+    assert(gotMixed == wantMixed)
   }
 
   test("graft_dot is SQL-callable after registration") {
