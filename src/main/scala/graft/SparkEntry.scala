@@ -385,6 +385,32 @@ object SparkEntry {
           round(avg(element_at(col("feat"), 1)), 4).as("avg_feat0"))
     }),
 
+    // native TFRecord format (the reference's actual on-disk layout,
+    // make_tf_record.py:86-97): round-trip the documents table through
+    // the framed tf.train.Example sink/source, then aggregate the
+    // read-back frame — the oracle aggregates the ORIGINAL parquet, so
+    // a hash match proves the round trip is lossless down to content
+    // (per-row md5-derived checksum folded into content_sum). The write
+    // is an eager side effect by design: the sink is the operator under
+    // test; shards land in a dir keyed by the input path.
+    "k2_tfrecord_roundtrip" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(
+        col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"))
+      val scratch = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        "graft_tfrec_" + Integer.toHexString(d.hashCode)).toString
+      graft.sources.TfRecords.write(docs, scratch, "documents",
+        numShards = 5)
+      val back = graft.sources.TfRecords.read(
+        s, s"$scratch/documents_*.tfrecord", docs.schema)
+      back.groupBy(col("lang"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("doc_id")).as("id_sum"),
+          sum(col("n_chars")).as("nchars_sum"),
+          sum(Tables.hashU32(col("text"), 7)).as("content_sum"))
+    }),
+
     // streaming dedup: union the stream with itself (every event arrives
     // twice) and collapse with dropDuplicatesWithinWatermark — the
     // state-BOUNDED dedup operator: duplicates arriving within the
@@ -1380,6 +1406,13 @@ object SparkEntry {
       """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
         | round(sum(value), 4) AS sum_value
         |FROM events GROUP BY 1""".stripMargin,
+
+    "k2_tfrecord_roundtrip" ->
+      s"""SELECT lang, CAST(count(*) AS BIGINT) AS cnt,
+         | CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         | CAST(sum(n_chars) AS BIGINT) AS nchars_sum,
+         | CAST(sum(${duckU32("text", 7)}) AS BIGINT) AS content_sum
+         |FROM documents GROUP BY 1""".stripMargin,
 
     "m1_multimodal_meta" ->
       s"""SELECT doc_id,

@@ -1,0 +1,155 @@
+package graft
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream,
+  DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.TfRecords
+import graft.sources.TfRecords.{BytesFeature, FloatFeature, Int64Feature}
+
+class TfRecordsSpec extends SparkSpec {
+
+  private def frame(recs: Array[Byte]*): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    recs.foreach(TfRecords.writeRecord(out, _))
+    out.flush()
+    bos.toByteArray
+  }
+
+  private def unframe(bytes: Array[Byte]): Seq[Array[Byte]] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    Iterator.continually(TfRecords.readRecord(in))
+      .takeWhile(_.isDefined).map(_.get).toSeq
+  }
+
+  test("crc32c matches the published Castagnoli test vector") {
+    // RFC 3720 B.4: CRC32C("123456789") = 0xE3069283
+    val v = "123456789".getBytes("UTF-8")
+    assert(TfRecords.crc32c(v, 0, v.length) == 0xe3069283)
+    // and the TFRecord mask is rotl(crc,17) + 0xa282ead8
+    assert(TfRecords.mask(0) == 0xa282ead8)
+  }
+
+  test("framing round-trips records and rejects corruption") {
+    val recs = Seq(Array[Byte](), Array[Byte](1, 2, 3),
+      Array.tabulate(1000)(i => (i % 251).toByte))
+    val bytes = frame(recs: _*)
+    val back = unframe(bytes)
+    assert(back.map(_.toSeq) == recs.map(_.toSeq))
+    // flip one payload byte → data-CRC mismatch must throw.
+    // record 1 (empty payload) occupies bytes 0–15; record 2's payload
+    // starts after its own 8-byte length + 4-byte length-CRC at 16+12
+    val corrupt = bytes.clone()
+    corrupt(16 + 12 + 1) = (corrupt(16 + 12 + 1) ^ 0x40).toByte
+    val in = new DataInputStream(new ByteArrayInputStream(corrupt))
+    TfRecords.readRecord(in) // record 1 (empty payload) still fine
+    intercept[IllegalArgumentException](TfRecords.readRecord(in))
+  }
+
+  test("Example encode/decode round-trips every feature shape") {
+    val ex = Map[String, TfRecords.TfFeature](
+      "bytes_one" -> BytesFeature.str("hello"),
+      "bytes_many" -> BytesFeature(Seq(Array[Byte](0, -1), Array[Byte]())),
+      "floats" -> FloatFeature(Seq(0f, -1.5f, Float.MaxValue,
+        Float.MinPositiveValue)),
+      "ints" -> Int64Feature(Seq(0L, 127L, 128L, -1L, Long.MaxValue,
+        Long.MinValue)),
+      "empty_list" -> Int64Feature(Nil))
+    val back = TfRecords.decodeExample(TfRecords.encodeExample(ex))
+    assert(back.keySet == ex.keySet)
+    assert(back("bytes_one").asInstanceOf[BytesFeature].values.head.toSeq ==
+      "hello".getBytes("UTF-8").toSeq)
+    assert(back("bytes_many").asInstanceOf[BytesFeature]
+      .values.map(_.toSeq) == Seq(Seq[Byte](0, -1), Seq[Byte]()))
+    assert(back("floats") == ex("floats"))
+    assert(back("ints") == ex("ints"))
+    assert(back("empty_list") == Int64Feature(Nil))
+    // deterministic bytes: same map re-encodes identically
+    assert(TfRecords.encodeExample(ex).toSeq ==
+      TfRecords.encodeExample(ex).toSeq)
+  }
+
+  test("DataFrame write/read round-trips through TFRecord shards") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("tfrec").toString
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("blob", BinaryType), StructField("score", FloatType),
+      StructField("emb", ArrayType(FloatType)),
+      StructField("tags", ArrayType(StringType))))
+    val rows = (0 until 57).map { i =>
+      Row(i.toLong, s"doc-$i",
+        Array.tabulate(i % 5)(j => (i + j).toByte), i / 7f,
+        Seq(i.toFloat, -i.toFloat), Seq(s"t${i % 3}", "x"))
+    }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 3), schema)
+    val shards = TfRecords.write(df, dir, "t", numShards = 4)
+    assert(shards.size == 4 && shards.map(_._2).sum == 57)
+    // reference naming: <base>_%05d-of-%05d.tfrecord
+    assert(shards.head._1.endsWith("t_00000-of-00004.tfrecord"))
+    val back = TfRecords.read(spark, s"$dir/t_*.tfrecord", schema)
+    assert(back.count() == 57)
+    val a = df.orderBy("id").collect()
+    val b = back.orderBy("id").collect()
+    a.zip(b).foreach { case (x, y) =>
+      assert(x.getLong(0) == y.getLong(0))
+      assert(x.getString(1) == y.getString(1))
+      assert(x.getAs[Array[Byte]](2).toSeq == y.getAs[Array[Byte]](2).toSeq)
+      assert(x.getFloat(3) == y.getFloat(3))
+      assert(x.getSeq[Float](4) == y.getSeq[Float](4))
+      assert(x.getSeq[String](5) == y.getSeq[String](5))
+    }
+  }
+
+  test("null columns come back null; unmappable types are rejected") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("tfrec").toString
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("opt", StringType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        Seq(Row(1L, "a"), Row(2L, null)), 1), schema)
+    TfRecords.write(df, dir, "n", 1)
+    val back = TfRecords.read(spark, s"$dir/n_*.tfrecord", schema)
+      .orderBy("id").collect()
+    assert(back(0).getString(1) == "a" && back(1).isNullAt(1))
+    // doubles have no Example representation — must fail loudly
+    val bad = df.withColumn("d", lit(1.5))
+    val e = intercept[org.apache.spark.SparkException] {
+      TfRecords.write(bad, dir, "bad", 1)
+    }
+    assert(e.getMessage.contains("TFRecord") ||
+      e.getCause != null)
+  }
+
+  test("image shards use the reference keys and survive a round-trip") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("tfrec").toString
+    val imgs = spark.range(10).select(
+      graft.functions.ImageKernels.synthPngUdf(
+        col("id"), lit(6), lit(7)).as("encoded"),
+      lit("png").as("format"), (col("id") % 3).cast("int").as("label"),
+      lit(6).as("height"), lit(7).as("width"))
+    TfRecords.writeImages(imgs, dir, "train", numShards = 2)
+    // raw keyed read: the 5 reference feature keys are present
+    val raw = TfRecords.read(spark, s"$dir/flowers_train_*.tfrecord",
+      TfRecords.ImageSchema)
+    assert(raw.columns.toSet == Set("image/encoded", "image/format",
+      "image/class/label", "image/height", "image/width"))
+    val back = TfRecords.readImages(spark, s"$dir/flowers_train_*.tfrecord")
+    assert(back.count() == 10)
+    // decoded dims match the stored dims for every record
+    val ok = back.withColumn("dims",
+        graft.functions.ImageKernels.dimsUdf(col("encoded")))
+      .filter(col("dims").getItem(0) === col("height") &&
+        col("dims").getItem(1) === col("width"))
+    assert(ok.count() == 10)
+    assert(back.select("format").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("png"))
+  }
+}
