@@ -7,6 +7,17 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Size-based AQE partition coalescing: by default AQE refuses to
+      // coalesce below the core count ("parallelismFirst"), which at
+      // sf0.1 leaves dozens of near-empty reducers whose fixed task
+      // overhead dominates the banded self-joins (d2/d5). Sizing
+      // reducers by bytes is also the correct 100 TB posture — the
+      // shuffle partition count should follow data volume, not core
+      // count, with the advisory size keeping each reducer in memory.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

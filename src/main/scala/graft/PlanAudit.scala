@@ -25,7 +25,8 @@ object PlanAudit {
       plan.linesIterator
         .filter(l => l.contains("Scan parquet") || l.contains("PushedFilters")
           || l.contains("Join") || l.contains("Exchange")
-          || l.contains("ReadSchema") || l.contains("WholeStageCodegen"))
+          || l.contains("ReadSchema") || l.contains("WholeStageCodegen")
+          || l.contains("InMemory"))
         .take(40).foreach(l => println(l.take(200)))
     }
     spark.stop()

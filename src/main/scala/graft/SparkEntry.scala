@@ -299,6 +299,49 @@ object SparkEntry {
         .select(col("lang"), col("rank"), col("token"), col("score"))
     }),
 
+    // PII scrubbing: inject deterministic synthetic PII (the corpus is
+    // PII-free word soup) into a doc_id-keyed subset, then count and
+    // redact it — per-row codegen'd regexes, no shuffle; the oracle
+    // re-derives the injection and the scrub independently
+    "t6_pii_scrub" -> ((s, d) => {
+      val inj = Tables.documents(s, d).withColumn("t2",
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(col("text"), lit(" reach user"),
+            col("doc_id").cast("string"), lit("@example.com at 10."),
+            pmod(col("doc_id"), lit(250)).cast("string"), lit(".0."),
+            pmod(col("doc_id"), lit(100)).cast("string"), lit(" today")))
+        .when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(col("text"), lit(" call 555-"),
+            lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"),
+            lit("-"),
+            lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+        .otherwise(col("text")))
+      inj.select(col("doc_id"),
+        TextAnalysis.piiCount(col("t2"), TextAnalysis.PiiPatterns(0)._2)
+          .as("n_email"),
+        TextAnalysis.piiCount(col("t2"), TextAnalysis.PiiPatterns(1)._2)
+          .as("n_ip"),
+        TextAnalysis.piiCount(col("t2"), TextAnalysis.PiiPatterns(2)._2)
+          .as("n_phone"),
+        md5(TextAnalysis.scrubPii(col("t2")).cast("binary"))
+          .as("scrubbed_md5"))
+    }),
+
+    // benchmark-contamination check: distinct word 3-grams shared with
+    // a (broadcast) benchmark set, per corpus doc
+    "t7_contamination" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+      TextAnalysis.contamination(docs, bench, col("doc_id"), col("text"),
+        n = 3)
+    }),
+
+    // Gopher-style repetition quality signals (top-token share,
+    // repeated-token fraction)
+    "t8_repetition" -> ((s, d) =>
+      TextAnalysis.repetitionStats(Tables.documents(s, d), col("doc_id"),
+        col("text"))),
+
     // —— dedup family (north star M7a) ——
 
     "d1_exact_dedup" -> ((s, d) =>
@@ -553,6 +596,13 @@ object SparkEntry {
         col("event_id"), "value", 8)
         .select(col("event_type"), col("cnt"),
           round(col("sum_value"), 4).as("sum_value"))),
+
+    // exact per-stratum sampling quota (training-data curation: fixed
+    // per-language sample), two-phase so no reducer sees a stratum
+    "q33_stratified_sample" -> ((s, d) =>
+      PipelineOps.stratifiedTopK(Tables.documents(s, d), col("lang"),
+        col("doc_id"), k = 20, seed = 33)
+        .select(col("lang"), col("sample_rank"), col("doc_id"))),
 
     // —— multimodal column pattern (north star M7d) ——
 
@@ -1006,6 +1056,65 @@ object SparkEntry {
          |  FROM scored)
          |SELECT lang, rank, token, score FROM ranked WHERE rank <= 3"""
         .stripMargin,
+
+    "t6_pii_scrub" ->
+      """WITH inj AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 5 = 0 THEN text || ' reach user' ||
+        |         doc_id::VARCHAR || '@example.com at 10.' ||
+        |         (doc_id % 250)::VARCHAR || '.0.' ||
+        |         (doc_id % 100)::VARCHAR || ' today'
+        |       WHEN doc_id % 7 = 0 THEN text || ' call 555-' ||
+        |         lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-' ||
+        |         lpad((doc_id % 10000)::VARCHAR, 4, '0')
+        |       ELSE text END AS t2 FROM documents)
+        |SELECT doc_id,
+        | CAST(len(regexp_extract_all(t2,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |   AS n_email,
+        | CAST(len(regexp_extract_all(t2,
+        |   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+        | CAST(len(regexp_extract_all(t2,
+        |   '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phone,
+        | md5(regexp_replace(regexp_replace(regexp_replace(t2,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>',
+        |   'g'), '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |   '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g')) AS scrubbed_md5
+        |FROM inj""".stripMargin,
+
+    "t7_contamination" ->
+      s"""WITH t AS (SELECT doc_id, $DuckToks AS w FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, unnest(list_transform(
+         |    range(1, len(w) - 1),
+         |    i -> array_to_string(w[i:i+2], ' '))) AS s
+         |  FROM t WHERE len(w) >= 3),
+         |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+         |totals AS (SELECT doc_id, count(*) AS n_shingles FROM sh
+         |  GROUP BY 1),
+         |shared AS (SELECT doc_id, count(*) AS n_shared
+         |  FROM sh JOIN bench USING (s) GROUP BY 1)
+         |SELECT doc_id, CAST(n_shared AS BIGINT) AS n_shared,
+         | CAST(n_shingles AS BIGINT) AS n_shingles,
+         | round(n_shared / n_shingles::DOUBLE, 6) AS contamination
+         |FROM shared JOIN totals USING (doc_id)
+         |WHERE doc_id % 97 <> 0""".stripMargin,
+
+    "t8_repetition" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($DuckToks) AS tok FROM documents),
+         |c AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2)
+         |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         | CAST(count(*) AS BIGINT) AS n_distinct,
+         | round(max(c) / sum(c)::DOUBLE, 6) AS top_frac,
+         | round(1.0 - count(*) / sum(c)::DOUBLE, 6) AS rep_frac
+         |FROM c GROUP BY 1""".stripMargin,
+
+    "q33_stratified_sample" ->
+      """SELECT lang, CAST(rn AS BIGINT) AS sample_rank, doc_id FROM (
+        |  SELECT lang, doc_id, row_number() OVER (
+        |    PARTITION BY lang
+        |    ORDER BY md5(doc_id::VARCHAR || '#33'), doc_id) AS rn
+        |  FROM documents) WHERE rn <= 20""".stripMargin,
 
     "d1_exact_dedup" ->
       """SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,

@@ -94,6 +94,43 @@ object PipelineOps {
       .withColumn(splitCol,
         when(col(rankCol) <= valCount, lit("validation")).otherwise(lit("train")))
 
+  /** Exact stratified top-k sample: the k rows with the smallest
+    * md5(key, seed) hash WITHIN EACH STRATUM — deterministic,
+    * reproducible sampling for training-data curation (per-language /
+    * per-source quotas). Two-phase so no reducer ever sees a whole
+    * stratum (a per-stratum window would put each language's full
+    * corpus through one task at 100 TB):
+    *
+    *   1. local: rank within (stratum, salt) — `salts`× parallelism per
+    *      stratum — and keep each bucket's top k. The global per-stratum
+    *      top-k is a subset of the union of per-salt top-ks (each global
+    *      winner is ≤ k-th in its own bucket), so this loses nothing.
+    *   2. global: exact rank over the ≤ salts·k survivors per stratum —
+    *      bounded input, safe window.
+    *
+    * Appends `rankOut` (1..k within stratum). Output is EXACTLY the
+    * rows a single per-stratum window would pick — property-tested. */
+  def stratifiedTopK(df: DataFrame, stratum: Column, key: Column, k: Int,
+      seed: Int, salts: Int = 32, rankOut: String = "sample_rank")
+      : DataFrame = {
+    require(k > 0 && salts > 0, s"k=$k salts=$salts must be positive")
+    val h = "__graft_h"
+    val salt = "__graft_salt"
+    val local = "__graft_r1"
+    val salted = df
+      .withColumn(h, Tables.shuffleKey(key, seed))
+      .withColumn(salt, pmod(Tables.hashU32(key, seed + 1), lit(salts.toLong)))
+    val w1 = Window.partitionBy(stratum, col(salt))
+      .orderBy(col(h), key)
+    val w2 = Window.partitionBy(stratum).orderBy(col(h), key)
+    salted
+      .withColumn(local, row_number().over(w1))
+      .filter(col(local) <= k)
+      .withColumn(rankOut, row_number().over(w2).cast("long"))
+      .filter(col(rankOut) <= k)
+      .drop(h, salt, local)
+  }
+
   /** Epoch repeat (B3): cross join against `spark.range(epochs)`, which
     * also materializes the per-epoch grouping column the consumer-side
     * metrics need (A4). Broadcast the tiny epoch side explicitly. */

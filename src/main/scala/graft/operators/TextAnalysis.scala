@@ -137,6 +137,79 @@ object TextAnalysis {
       .withColumn(predOut, coalesce(col(predOut), lit("und")))
   }
 
+  /** PII patterns, restricted to syntax whose semantics agree between
+    * Java regex and DuckDB's RE2 (no lookaround, no backrefs): emails,
+    * dotted-quad IPs, US-style phone numbers. Pluggable — the operator
+    * shape (N sequential global replaces, codegen'd regexp_replace) is
+    * what matters at scale, not the dictionary. */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "ip" -> "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b",
+    "phone" -> "\\b\\d{3}-\\d{3}-\\d{4}\\b")
+
+  /** Count of matches of one PII pattern in the text. */
+  def piiCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
+
+  /** Redact every PII pattern (global replace, applied in [[PiiPatterns]]
+    * order — emails first so their dotted domains aren't half-eaten by
+    * the IP rule). Pure per-row string work: codegen'd, no shuffle, no
+    * UDF — scales embarrassingly. */
+  def scrubPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (acc, (kind, re)) =>
+      regexp_replace(acc, re, s"<${kind.toUpperCase}>")
+    }
+
+  /** Per-doc repetition metrics (Gopher-style quality rules): total and
+    * distinct token counts, the most-frequent token's share, and the
+    * repeated-token fraction (1 − distinct/total). Relational explode →
+    * two-level aggregate: both groupBys are map-side combinable, and the
+    * shuffle key is (doc, token) then doc — no skew beyond document
+    * size. Returns (doc_id, n_tokens, n_distinct, top_frac, rep_frac). */
+  def repetitionStats(docs: DataFrame, idCol: Column, textCol: Column)
+      : DataFrame = {
+    val tok = docs.select(idCol.as("doc_id"),
+      explode(tokens(textCol)).as("tok"))
+    tok.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_c"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        round(col("top_c").cast("double") / col("n_tokens"), 6)
+          .as("top_frac"),
+        round(lit(1.0) - col("n_distinct").cast("double") /
+          col("n_tokens"), 6).as("rep_frac"))
+  }
+
+  /** Benchmark-contamination check: for each corpus doc, the number of
+    * distinct word n-grams it shares with ANY benchmark doc, and that
+    * count as a fraction of the doc's own distinct n-grams. The join is
+    * shingle-equality against the (small) benchmark shingle set —
+    * broadcast at realistic benchmark sizes, so the corpus side never
+    * shuffles; candidates-only, never all-pairs. Docs that ARE in the
+    * benchmark are excluded from the report. */
+  def contamination(docs: DataFrame, bench: DataFrame, idCol: Column,
+      textCol: Column, n: Int): DataFrame = {
+    val docSh = explodedShingles(docs, idCol, textCol, n).distinct()
+    val benchSh = explodedShingles(bench, idCol, textCol, n)
+      .select(col("doc_id").as("bench_id"), col("shingle")).distinct()
+    val benchSet = benchSh.select("shingle").distinct()
+    val benchIds = bench.select(idCol.as("bench_id"))
+    // benchmark sets are small by nature → broadcast; the corpus-side
+    // shingle relation never shuffles for the membership probe
+    val shared = docSh.join(broadcast(benchSet), "shingle")
+    val totals = docSh.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"))
+    shared.groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      .join(totals, "doc_id")
+      .join(benchIds, col("doc_id") === col("bench_id"), "left_anti")
+      .select(col("doc_id"), col("n_shared"), col("n_shingles"),
+        round(col("n_shared").cast("double") / col("n_shingles"), 6)
+          .as("contamination"))
+  }
+
   /** Exact-content fingerprint: md5 of whitespace-normalized lowercase
     * text (SURVEY §7 M7 "document fingerprinting"). */
   def contentFingerprint(text: Column): Column =

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{PipelineOps, TextAnalysis}
+
+/** Tests for the round-2 curation operators: stratified sampling, PII
+  * scrubbing, repetition metrics, contamination. */
+class CurationOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stratifiedTopK equals the single-window per-stratum top-k") {
+    val df = spark.range(2000)
+      .withColumn("stratum", (col("id") % 7).cast("string"))
+      .withColumn("payload", col("id") * 3)
+    val twoPhase = PipelineOps.stratifiedTopK(df, col("stratum"), col("id"),
+      k = 13, seed = 5, salts = 8)
+      .select("stratum", "sample_rank", "id")
+      .as[(String, Long, Long)].collect().toSet
+    // reference implementation: one window per stratum (the thing the
+    // two-phase version must equal while staying bounded per reducer)
+    val w = Window.partitionBy(col("stratum"))
+      .orderBy(graft.Tables.shuffleKey(col("id"), 5), col("id"))
+    val oneWindow = df.withColumn("sample_rank",
+        row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= 13)
+      .select("stratum", "sample_rank", "id")
+      .as[(String, Long, Long)].collect().toSet
+    assert(twoPhase == oneWindow)
+    assert(twoPhase.groupBy(_._1).forall(_._2.size == 13))
+    // k larger than a stratum returns the whole stratum, still ranked
+    val tiny = spark.range(5).withColumn("stratum", lit("only"))
+    val all = PipelineOps.stratifiedTopK(tiny, col("stratum"), col("id"),
+      k = 50, seed = 1, salts = 4)
+    assert(all.count() == 5)
+    assert(all.agg(max("sample_rank")).as[Long].head() == 5L)
+  }
+
+  test("scrubPii redacts emails, IPs, phones; counts match (t6)") {
+    val df = Seq(
+      (1L, "mail bob.smith+x@corp.example.org and 192.168.0.1 now"),
+      (2L, "call 555-123-4567 or 555-000-1111"),
+      (3L, "clean text, no pii at all"),
+      (4L, "1.2.3.4 5.6.7.8 a@b.io")).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+      TextAnalysis.piiCount(col("text"), TextAnalysis.PiiPatterns(0)._2)
+        .as("ne"),
+      TextAnalysis.piiCount(col("text"), TextAnalysis.PiiPatterns(1)._2)
+        .as("ni"),
+      TextAnalysis.piiCount(col("text"), TextAnalysis.PiiPatterns(2)._2)
+        .as("np"),
+      TextAnalysis.scrubPii(col("text")).as("s"))
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L)._2 == 1 && out(1L)._3 == 1 && out(1L)._4 == 0)
+    assert(out(1L)._5 == "mail <EMAIL> and <IP> now")
+    assert(out(2L)._4 == 2 &&
+      out(2L)._5 == "call <PHONE> or <PHONE>")
+    assert(out(3L)._5 == "clean text, no pii at all")
+    assert(out(4L)._2 == 1 && out(4L)._3 == 2 &&
+      out(4L)._5 == "<IP> <IP> <EMAIL>")
+  }
+
+  test("repetitionStats computes top-token share and repeated fraction (t8)") {
+    val df = Seq(
+      (1L, "a a a b"), // 4 tokens, 2 distinct, top 3/4, rep 1/2
+      (2L, "x y z"), // no repetition
+      (3L, "w w w w")).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionStats(df, col("doc_id"), col("text"))
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 4L, 2L, 0.75, 0.5)))
+    assert(out(2L) == ((2L, 3L, 3L, 0.333333, 0.0))) // rounded to 6 dp
+    assert(out(3L) == ((3L, 4L, 1L, 1.0, 0.75)))
+  }
+
+  test("contamination counts shared distinct n-grams, excludes bench docs (t7)") {
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"), // benchmark
+      (1L, "a quick brown fox runs far away from here"), // shares 1 3-gram
+      (2L, "totally different words appear in this one here"), // shares 0
+      (3L, "the quick brown fox jumps over a cliff edge")) // shares 4
+      .toDF("doc_id", "text")
+    val bench = docs.filter(col("doc_id") === 0)
+    val out = TextAnalysis.contamination(docs, bench, col("doc_id"),
+      col("text"), n = 3)
+      .select("doc_id", "n_shared").as[(Long, Long)].collect().toMap
+    assert(!out.contains(0L)) // benchmark doc excluded
+    assert(out(1L) == 1L) // "quick brown fox"
+    assert(!out.contains(2L)) // zero shared → absent (inner join)
+    // the-quick-brown, quick-brown-fox, brown-fox-jumps, fox-jumps-over
+    assert(out(3L) == 4L)
+  }
+}
