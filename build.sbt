@@ -26,5 +26,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] with per-query cached relations at sf0.1 GC-thrashes an
+  // 8g heap (measured: same bench 66 s at 24g vs 82-92 s at 8g, with
+  // erratic per-query spikes); the bench host has 128 GiB — use it
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
