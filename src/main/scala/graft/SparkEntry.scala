@@ -375,6 +375,20 @@ object SparkEntry {
       Similarity.lshNearDup(Tables.embeddings(s, d), "vec_id", "embedding",
         nPlanes = 6, dim = 64, threshold = 0.2)),
 
+    // pairs → clusters: close the near-dup relation into components
+    // (min-label propagation) and tag each member with its canonical
+    // survivor and cluster size
+    "d8_dedup_components" -> ((s, d) =>
+      Dedup.dedupComponents(
+        Dedup.simhashPairs(
+          Dedup.simhash(Tables.documents(s, d), col("doc_id"), col("text")),
+          3).select(col("doc_a"), col("doc_b")))),
+
+    // C4-style duplicate-line removal over fixed 10-token segments
+    "d9_segment_dedup" -> ((s, d) =>
+      Dedup.segmentDedup(Tables.documents(s, d), col("doc_id"),
+        col("text"), 10)),
+
     // —— similarity search (north star M7b) ——
 
     "s1_cosine_topk" -> ((s, d) => {
@@ -1279,6 +1293,72 @@ object SparkEntry {
         |  JOIN e eb ON eb.vec_id = p.id_b)
         |SELECT id_a, id_b, bucket, cosine
         |FROM scored WHERE cosine >= 0.2""".stripMargin,
+
+    // d5's pair chain + a recursive transitive closure: component =
+    // min doc id reachable through the symmetric edge relation
+    "d8_dedup_components" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, $DuckToks AS w FROM documents),
+         |tok AS (
+         |  SELECT DISTINCT doc_id, unnest(list_transform(
+         |    range(1, len(w) - 1),
+         |    i -> array_to_string(w[i:i+2], ' '))) AS tok
+         |  FROM t WHERE len(w) >= 3),
+         |h AS (SELECT doc_id, tok, ${duckU32("tok", 13)} AS hu FROM tok),
+         |bits AS (
+         |  SELECT doc_id, b,
+         |   sum((CAST(floor(hu / power(2, b)) AS BIGINT) % 2) * 2 - 1) AS s
+         |  FROM h CROSS JOIN (SELECT unnest(range(32)) AS b) bs
+         |  GROUP BY 1, 2),
+         |fp AS (
+         |  SELECT doc_id,
+         |   CAST(sum(CASE WHEN s > 0 THEN CAST(power(2, b) AS BIGINT)
+         |     ELSE 0 END) AS BIGINT) AS simhash
+         |  FROM bits GROUP BY 1),
+         |banded AS (
+         |  SELECT doc_id, simhash, band,
+         |   CAST(floor(simhash / power(2, band * 8)) AS BIGINT) % 256 AS bkey
+         |  FROM fp CROSS JOIN (SELECT unnest(range(4)) AS band) bands),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(v, r) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.v),
+         |comp AS (SELECT v, min(r) AS component FROM reach GROUP BY 1)
+         |SELECT v AS doc_id, component,
+         | CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS csize
+         |FROM comp""".stripMargin,
+
+    "d9_segment_dedup" ->
+      s"""WITH t AS (SELECT doc_id, $DuckToks AS w FROM documents),
+         |b AS (
+         |  SELECT doc_id, w,
+         |   CAST(ceil(len(w) / 10.0) AS BIGINT) AS n_segs
+         |  FROM t WHERE len(w) > 0),
+         |segs AS (
+         |  SELECT doc_id, u.gi AS gi, u.seg AS seg FROM (
+         |    SELECT doc_id, unnest(list_transform(range(0, n_segs),
+         |      i -> struct_pack(gi := i,
+         |        seg := array_to_string(w[10*i+1 : 10*i+10], ' ')))) AS u
+         |    FROM b)),
+         |ranked AS (
+         |  SELECT doc_id, gi, seg, row_number() OVER (
+         |    PARTITION BY seg ORDER BY doc_id, gi) AS rk
+         |  FROM segs),
+         |kept AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |   md5(string_agg(seg, ' ' ORDER BY gi)) AS kept_fp
+         |  FROM ranked WHERE rk = 1 GROUP BY 1)
+         |SELECT b.doc_id, b.n_segs,
+         | coalesce(k.n_kept, 0) AS n_kept,
+         | coalesce(k.kept_fp, md5('')) AS kept_fp
+         |FROM b LEFT JOIN kept k ON k.doc_id = b.doc_id""".stripMargin,
 
     "s1_cosine_topk" ->
       """WITH e AS (

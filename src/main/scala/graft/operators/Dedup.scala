@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -214,6 +215,109 @@ object Dedup {
       .withColumn("hamming", expr("bit_count(fp_a ^ fp_b)").cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming")).distinct()
+  }
+
+  /** Connected components over an undirected duplicate-pair edge list
+    * (columns `doc_a`, `doc_b`) via iterative min-label propagation:
+    * each round every vertex takes the minimum component id among
+    * itself and its neighbors; at fixpoint every vertex carries the
+    * minimum doc id reachable through any duplicate chain. This is the
+    * pairs → groups step real dedup pipelines need between candidate
+    * generation and survivor selection (a near-dup relation is not
+    * transitive, so clusters must be closed explicitly).
+    *
+    * Scale shape: each round is one equi-join plus one groupBy-min —
+    * both hash-partitioned on vertex id with map-side partial mins; no
+    * global ordering anywhere. Rounds needed = cluster diameter
+    * (near-dup clusters are shallow; `maxIter` bounds pathological
+    * chains). The per-round driver sync is a single `isEmpty` on the
+    * changed-label delta — the standard Spark iterative-algorithm
+    * shape (same as GraphX Pregel / GraphFrames CC). Labels are
+    * persisted per round so each iteration reads the previous
+    * materialization, not the whole lineage.
+    *
+    * Returns (v, comp). */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct().persist()
+    var labels = sym.select(col("src").as("v")).distinct()
+      .select(col("v"), col("v").as("comp")).persist()
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      val prev = labels
+      val next = sym.join(prev, sym("src") === prev("v"))
+        .select(col("dst").as("v"), col("comp"))
+        .union(prev)
+        .groupBy(col("v")).agg(min(col("comp")).as("comp"))
+        .persist()
+      done = next.as("n").join(prev.as("o"), Seq("v"))
+        .filter(col("n.comp") < col("o.comp")).isEmpty
+      prev.unpersist()
+      labels = next
+      iter += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
+  /** Duplicate-cluster assignment for a candidate-pair relation:
+    * closes the pairs into components and annotates each member with
+    * its cluster id (= min doc id in the cluster — the canonical
+    * survivor) and the cluster size. Returns
+    * (doc_id, component, csize); docs not in any pair are untouched
+    * upstream (they are their own survivors by definition). */
+  def dedupComponents(pairs: DataFrame): DataFrame = {
+    val comp = connectedComponents(pairs)
+    val sizes = comp.groupBy(col("comp")).agg(count(lit(1)).as("csize"))
+    comp.join(sizes, Seq("comp"))
+      .select(col("v").as("doc_id"), col("comp").as("component"),
+        col("csize"))
+  }
+
+  /** C4-style duplicate-line removal, re-expressed over fixed-length
+    * token segments (the synthetic corpus has no newlines, so the
+    * "line" unit is every run of `segLen` consecutive tokens). A
+    * segment instance survives iff it is the globally-first occurrence
+    * of its text — lowest (doc_id, position) — and each document is
+    * reassembled from its surviving segments in order.
+    *
+    * Scale shape: the first-occurrence choice is a window partitioned
+    * BY SEGMENT TEXT (millions of partitions, no global sort); the
+    * reassembly is a per-doc groupBy whose collect_list is bounded by
+    * document length. Returns (doc_id, n_segs, n_kept, kept_fp) where
+    * kept_fp = md5 of the reassembled text. */
+  def segmentDedup(docs: DataFrame, idCol: Column, textCol: Column,
+      segLen: Int): DataFrame = {
+    val base = docs
+      .select(idCol.as("doc_id"), TextAnalysis.tokens(textCol).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .withColumn("n_segs",
+        ceil(size(col("toks")) / segLen.toDouble).cast("long"))
+      .persist() // reused: segment explode + final per-doc stats join
+    val segs = base.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), (col("n_segs") - 1).cast("int")),
+        i => array_join(slice(col("toks"), i * segLen + 1, lit(segLen)), " ")))
+        .as(Seq("gi", "seg")))
+    val kept = segs
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("seg")).orderBy(col("doc_id"), col("gi"))))
+      .filter(col("rk") === 1)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        // array_sort on struct(gi, seg) orders by position — makes the
+        // collect_list order-independent, so the fingerprint is
+        // deterministic across partitionings
+        array_sort(collect_list(struct(col("gi"), col("seg")))).as("ks"))
+      .select(col("doc_id"), col("n_kept"),
+        md5(array_join(transform(col("ks"), x => x("seg")), " ")
+          .cast("binary")).as("kept_fp"))
+    base.select(col("doc_id"), col("n_segs"))
+      .join(kept, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_kept"))
+      .withColumn("kept_fp",
+        coalesce(col("kept_fp"), md5(lit("").cast("binary"))))
   }
 
   /** Embedding-cosine near-dup: all pairs with cosine ≥ threshold.

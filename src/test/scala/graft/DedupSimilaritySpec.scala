@@ -100,6 +100,58 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, s"ANN recall too low: $recall")
   }
 
+  test("connected components close duplicate chains to the min id") {
+    // two chains (one long enough to need several propagation rounds)
+    // and one isolated pair
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L),
+      (10L, 11L),
+      (20L, 22L), (21L, 22L)
+    ).toDF("doc_a", "doc_b")
+    val comp = Dedup.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    (1L to 7L).foreach(v => assert(comp(v) == 1L))
+    assert(comp(10L) == 10L && comp(11L) == 10L)
+    assert(comp(20L) == 20L && comp(21L) == 20L && comp(22L) == 20L)
+
+    val anno = Dedup.dedupComponents(edges)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(anno(7L) == (1L, 7L))  // chain of 7, canonical 1
+    assert(anno(22L) == (20L, 3L))
+    // exactly one canonical (doc_id == component) per cluster
+    val canon = anno.collect { case (id, (c, _)) if id == c => c }
+    assert(canon.toSeq.sorted == Seq(1L, 10L, 20L))
+  }
+
+  test("segment dedup keeps first occurrence and reassembles in order") {
+    // segLen=2 over tiny docs: doc 1 owns both segments; doc 2 repeats
+    // doc 1's first segment ("a b") but has a novel second segment;
+    // doc 3 is entirely doc 1's content (fully deduplicated away)
+    val tiny = Seq(
+      (1L, "a b c d"),
+      (2L, "a b x y"),
+      (3L, "c d a b"),
+      (4L, "z")
+    ).toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(tiny, col("doc_id"), col("text"), 2)
+      .select("doc_id", "n_segs", "n_kept", "kept_fp")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(out(1L)._1 == 2 && out(1L)._2 == 2)
+    assert(out(2L)._1 == 2 && out(2L)._2 == 1) // "a b" seen in doc 1
+    // doc 3's segments "c d" + "a b" both first-occurred in doc 1
+    assert(out(3L)._1 == 2 && out(3L)._2 == 0)
+    assert(out(4L)._1 == 1 && out(4L)._2 == 1) // short final segment
+    // doc 2's surviving text is exactly "x y"
+    val xyFp = tiny.sparkSession.range(1)
+      .select(md5(lit("x y").cast("binary")).as("f")).as[String].head()
+    assert(out(2L)._3 == xyFp)
+    val emptyFp = tiny.sparkSession.range(1)
+      .select(md5(lit("").cast("binary")).as("f")).as[String].head()
+    assert(out(3L)._3 == emptyFp)
+  }
+
   test("IVF ANN finds identical-direction vectors and bounds candidates") {
     val emb = Tables.embeddings(spark, Sf0001).filter(col("vec_id") % 5 === 0)
     val exact = Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", 5)
