@@ -389,6 +389,20 @@ object SparkEntry {
       Dedup.segmentDedup(Tables.documents(s, d), col("doc_id"),
         col("text"), 10)),
 
+    // concat-and-chunk sequence packing per source shard — distributed
+    // prefix sum, no global window
+    "p2_sequence_packing" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Curation.packSequences(docs, col("doc_id"), col("source"),
+        size(TextAnalysis.tokens(col("text"))), ctxLen = 128, seed = 17,
+        buckets = 8)
+    }),
+
+    // α-temperature mixture re-balancing across languages
+    "t9_mixture_resample" -> ((s, d) =>
+      Curation.temperatureResample(Tables.documents(s, d), col("doc_id"),
+        col("lang"), alpha = 0.5, targetCount = 300, seed = 41)),
+
     // —— similarity search (north star M7b) ——
 
     "s1_cosine_topk" -> ((s, d) => {
@@ -1359,6 +1373,50 @@ object SparkEntry {
          | coalesce(k.n_kept, 0) AS n_kept,
          | coalesce(k.kept_fp, md5('')) AS kept_fp
          |FROM b LEFT JOIN kept k ON k.doc_id = b.doc_id""".stripMargin,
+
+    // the Spark side computes the offset as a two-phase distributed
+    // prefix sum; one flat window over the same (bucket, shuffle-key,
+    // id) order reproduces it exactly
+    "p2_sequence_packing" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source AS grp,
+         |   CAST(len($DuckToks) AS BIGINT) AS n_toks
+         |  FROM documents),
+         |b AS (
+         |  SELECT doc_id, grp, n_toks,
+         |   md5(doc_id::VARCHAR || '#17') AS h,
+         |   ${duckU32("doc_id::VARCHAR", 18)} % 8 AS bk
+         |  FROM t),
+         |o AS (
+         |  SELECT doc_id, grp, n_toks,
+         |   CAST(sum(n_toks) OVER (PARTITION BY grp ORDER BY bk, h, doc_id
+         |     ROWS UNBOUNDED PRECEDING) - n_toks AS BIGINT) AS start_off
+         |  FROM b)
+         |SELECT doc_id, grp, n_toks, start_off,
+         | CAST(floor(start_off / 128.0) AS BIGINT) AS first_seq,
+         | CAST(floor((start_off + n_toks - 1) / 128.0) AS BIGINT)
+         |   AS last_seq
+         |FROM o""".stripMargin,
+
+    // denominator = left fold over the class list sorted by class name
+    // (same pinned order as the Spark side's array_sort + aggregate)
+    "t9_mixture_resample" ->
+      s"""WITH c AS (
+         |  SELECT lang, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM documents GROUP BY 1),
+         |d AS (
+         |  SELECT list_reduce(list_transform(
+         |    list(struct_pack(k := lang, n := cnt) ORDER BY lang),
+         |    x -> power(x.n, 0.5)), (a, b) -> a + b) AS denom
+         |  FROM c),
+         |r AS (
+         |  SELECT lang, cnt,
+         |   least(1.0, 300.0 * power(cnt, 0.5) / denom / cnt) AS rate
+         |  FROM c CROSS JOIN d)
+         |SELECT doc_id, lang AS cls,
+         | CAST(round(rate * 1000000) AS BIGINT) AS rate6
+         |FROM documents JOIN r USING (lang)
+         |WHERE ${duckRand("doc_id::VARCHAR", 41)} < rate""".stripMargin,
 
     "s1_cosine_topk" ->
       """WITH e AS (

@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Training-corpus assembly operators: packing documents into
+  * fixed-length context windows and re-balancing the language/source
+  * mixture — the steps between a curated document set and actual
+  * training batches. Everything is md5-deterministic so the DuckDB
+  * oracle hash-matches (no rand(), no partition-order dependence).
+  */
+object Curation {
+
+  /** Concat-and-chunk sequence packing: documents are laid out
+    * back-to-back in a deterministic pseudo-shuffled order within each
+    * `group` (a source shard), then cut into `ctxLen`-token training
+    * sequences. Emits, per document, its token offset in the group's
+    * stream and the first/last sequence ids it lands in (GPT-style
+    * packing lets a document span a boundary).
+    *
+    * Scale shape — a distributed prefix sum, no global window:
+    *   1. each doc gets a salt bucket (md5-derived, `buckets`-way) and a
+    *      pseudo-shuffle order key; the running token total is a window
+    *      partitioned by (group, bucket) — `buckets`× parallelism per
+    *      group;
+    *   2. per-(group, bucket) totals (a tiny groupBy — groups×buckets
+    *      rows) get their exclusive prefix via a window over the ≤
+    *      `buckets` rows of each group — bounded input, safe;
+    *   3. broadcast-join the prefixes back: offset = bucket prefix +
+    *      local running total − own length.
+    * The layout order is (bucket, shuffle-key, id) — a seeded shuffle,
+    * which is what a real packer wants anyway (mix sources, avoid
+    * curriculum artifacts from ingest order).
+    */
+  def packSequences(df: DataFrame, idCol: Column, groupCol: Column,
+      nToksCol: Column, ctxLen: Int, seed: Int,
+      buckets: Int = 32): DataFrame = {
+    require(ctxLen > 0 && buckets > 0,
+      s"ctxLen=$ctxLen buckets=$buckets must be positive")
+    val base = df.select(idCol.as("doc_id"), groupCol.as("grp"),
+        nToksCol.cast("long").as("n_toks"))
+      .withColumn("__h", Tables.shuffleKey(col("doc_id"), seed))
+      .withColumn("__bk",
+        pmod(Tables.hashU32(col("doc_id"), seed + 1), lit(buckets.toLong)))
+    val wLocal = Window.partitionBy(col("grp"), col("__bk"))
+      .orderBy(col("__h"), col("doc_id"))
+    val local = base.withColumn("__le", sum(col("n_toks")).over(wLocal))
+    val totals = base.groupBy(col("grp"), col("__bk"))
+      .agg(sum(col("n_toks")).as("__tot"))
+    val wPrefix = Window.partitionBy(col("grp")).orderBy(col("__bk"))
+    val prefixes = totals
+      .withColumn("__prefix", sum(col("__tot")).over(wPrefix) - col("__tot"))
+      .select(col("grp"), col("__bk"), col("__prefix"))
+    local.join(broadcast(prefixes), Seq("grp", "__bk"))
+      .withColumn("start_off", col("__prefix") + col("__le") - col("n_toks"))
+      .withColumn("first_seq", floor(col("start_off") / ctxLen))
+      .withColumn("last_seq",
+        floor((col("start_off") + col("n_toks") - 1) / ctxLen))
+      .select(col("doc_id"), col("grp"), col("n_toks"),
+        col("start_off"), col("first_seq"), col("last_seq"))
+  }
+
+  /** Temperature-based mixture resampling: class `l` with count c_l is
+    * kept at rate min(1, T·w_l/c_l) where w_l = c_l^α / Σ c^α — the
+    * standard α-temperature flattening (α=1 keeps the natural mixture,
+    * α→0 equalizes classes). The keep decision per row is an
+    * md5-uniform draw against the class rate, so the sampled set is
+    * deterministic and engine-independent.
+    *
+    * Scale shape: class stats are one groupBy (map-side combined); the
+    * Σ c^α denominator is a LEFT FOLD over the class list sorted by
+    * class name — float addition order is pinned, so the oracle
+    * reproduces it bit-for-bit (classes are few; the fold is a scalar).
+    * Rates broadcast back to the corpus — one scan, no window.
+    *
+    * Returns kept rows: (doc_id, class, rate6) where rate6 =
+    * round(rate·1e6) — the rate as exact integer micro-units. */
+  def temperatureResample(df: DataFrame, idCol: Column, classCol: Column,
+      alpha: Double, targetCount: Long, seed: Int): DataFrame = {
+    val counts = df.groupBy(classCol.as("cls"))
+      .agg(count(lit(1)).as("c"))
+    // Σ c^α with a pinned fold order (sorted by class) — scalar result
+    val denom = counts
+      .agg(array_sort(collect_list(struct(col("cls"), col("c")))).as("a"))
+      .select(aggregate(col("a"), lit(0.0d),
+        (acc, x) => acc + pow(x("c").cast("double"), lit(alpha)))
+        .as("denom"))
+    val rates = counts.crossJoin(broadcast(denom))
+      .withColumn("rate",
+        least(lit(1.0d), lit(targetCount.toDouble) *
+          pow(col("c").cast("double"), lit(alpha)) / col("denom")
+          / col("c").cast("double")))
+      .select(col("cls"), col("rate"))
+    df.select(idCol.as("doc_id"), classCol.as("cls"))
+      .join(broadcast(rates), Seq("cls"))
+      .filter(Tables.hashRand(col("doc_id"), seed) < col("rate"))
+      .select(col("doc_id"), col("cls"),
+        round(col("rate") * 1e6).cast("long").as("rate6"))
+  }
+}

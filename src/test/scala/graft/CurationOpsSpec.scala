@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{PipelineOps, TextAnalysis}
+import graft.operators.{Curation, PipelineOps, TextAnalysis}
 
 /** Tests for the round-2 curation operators: stratified sampling, PII
   * scrubbing, repetition metrics, contamination. */
@@ -35,6 +35,55 @@ class CurationOpsSpec extends SparkSpec {
       k = 50, seed = 1, salts = 4)
     assert(all.count() == 5)
     assert(all.agg(max("sample_rank")).as[Long].head() == 5L)
+  }
+
+  test("packSequences equals a flat cumulative layout; spans are tight") {
+    val df = spark.range(500)
+      .withColumn("grp", (col("id") % 3).cast("string"))
+      .withColumn("n", col("id") % 37 + 1)
+    val packed = Curation.packSequences(df, col("id"), col("grp"),
+      col("n"), ctxLen = 100, seed = 9, buckets = 8)
+      .select("doc_id", "grp", "n_toks", "start_off", "first_seq", "last_seq")
+      .as[(Long, String, Long, Long, Long, Long)].collect()
+    // reference: one flat window over the same (bucket, key, id) order
+    val h = graft.Tables.shuffleKey(col("id"), 9)
+    val bk = pmod(graft.Tables.hashU32(col("id"), 10), lit(8L))
+    val w = Window.partitionBy(col("grp")).orderBy(bk, h, col("id"))
+    val flat = df.withColumn("off", sum(col("n")).over(w) - col("n"))
+      .select(col("id"), col("off")).as[(Long, Long)].collect().toMap
+    packed.foreach { case (id, _, n, off, fs, ls) =>
+      assert(off == flat(id), s"offset mismatch for $id")
+      assert(fs == off / 100 && ls == (off + n - 1) / 100)
+    }
+    // offsets within each group tile the stream exactly (no gaps/overlap)
+    packed.groupBy(_._2).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.head._4 == 0L)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 + a._3 == b._4)
+        case _ =>
+      }
+    }
+  }
+
+  test("temperatureResample flattens the mixture toward equal classes") {
+    // skewed corpus: class a = 900 rows, b = 90, c = 10
+    val df = spark.range(1000).withColumn("cls",
+      when(col("id") < 900, "a").when(col("id") < 990, "b").otherwise("c"))
+    val kept = Curation.temperatureResample(df, col("id"), col("cls"),
+      alpha = 0.5, targetCount = 300, seed = 3)
+      .select("cls", "doc_id").as[(String, Long)].collect()
+    val byCls = kept.groupBy(_._1).view.mapValues(_.size).toMap
+    // α=0.5 weights ∝ sqrt(c): 30/9.49/3.16 → rates ≈ .234/.74/1.0 —
+    // c is kept whole, a is cut hardest
+    assert(byCls("c") == 10, s"rare class must be fully kept: $byCls")
+    assert(byCls("a") < 300 && byCls("a") > 130, s"got $byCls")
+    assert(byCls("b") > 40 && byCls("b") <= 90, s"got $byCls")
+    // deterministic: second run identical
+    val again = Curation.temperatureResample(df, col("id"), col("cls"),
+      alpha = 0.5, targetCount = 300, seed = 3)
+      .select("cls", "doc_id").as[(String, Long)].collect()
+    assert(kept.toSet == again.toSet)
   }
 
   test("scrubPii redacts emails, IPs, phones; counts match (t6)") {
