@@ -60,6 +60,62 @@ object SparkEntry {
   private def duckRand(expr: String, seed: Int): String =
     s"(${duckU32(expr, seed)} / 4294967296.0)"
 
+  /** DuckDB twin of Similarity.kmeansRefine: `iters` quantized Lloyd
+    * rounds + the final assignment, spelled out as CTEs. The assignment
+    * and update fragments are generated so every pass is textually
+    * identical (same fold order, same quantization). */
+  private def duckKmeans(nc: Int, iters: Int): String = {
+    def normOf(v: String) =
+      s"sqrt(list_reduce(list_transform($v, x -> x*x), (a, b) -> a + b))"
+    def assignCte(i: Int, cents: String) =
+      s"""s$i AS (
+         |  SELECT en.vec_id, en.v, c.cell_id,
+         |   list_reduce(list_transform(range(1, len(en.v) + 1),
+         |     j -> en.v[j] * c.cv[j]), (a, b) -> a + b) / (en.nrm * c.cnrm)
+         |     AS sim
+         |  FROM en CROSS JOIN $cents c),
+         |a$i AS (
+         |  SELECT vec_id, v, cell_id, sim FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY sim DESC, cell_id) AS rk
+         |    FROM s$i) WHERE rk = 1)""".stripMargin
+    def updateCte(i: Int) =
+      s"""x$i AS (
+         |  SELECT cell_id, u.pos AS pos, u.x AS x FROM (
+         |    SELECT cell_id, unnest(list_transform(range(0, len(v)),
+         |      j -> struct_pack(pos := j, x := v[j+1]))) AS u
+         |    FROM a$i)),
+         |q$i AS (
+         |  SELECT cell_id, pos,
+         |   CAST(sum(CAST(round(x * 1000000) AS BIGINT)) AS BIGINT) AS qs,
+         |   CAST(count(*) AS BIGINT) AS cnt
+         |  FROM x$i GROUP BY 1, 2),
+         |c$i AS (
+         |  SELECT cell_id,
+         |   list(CAST(qs AS DOUBLE) / (CAST(cnt AS DOUBLE) * 1000000.0)
+         |     ORDER BY pos) AS cv
+         |  FROM q$i GROUP BY 1),
+         |cn$i AS (SELECT cell_id, cv, ${normOf("cv")} AS cnrm FROM c$i)"""
+        .stripMargin
+    val rounds = (1 to iters).map { i =>
+      val cents = if (i == 1) "c0" else s"cn${i - 1}"
+      assignCte(i, cents) + ",\n" + updateCte(i) + ","
+    }.mkString("\n")
+    val last = iters + 1
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+       |  FROM embeddings),
+       |en AS (SELECT vec_id, v, ${normOf("v")} AS nrm FROM e),
+       |c0 AS (
+       |  SELECT cell_id, cv, cnrm FROM (
+       |    SELECT vec_id AS cell_id, v AS cv, nrm AS cnrm,
+       |     ${duckU32("vec_id::VARCHAR", 77)} AS h
+       |    FROM en ORDER BY h, cell_id LIMIT $nc)),
+       |$rounds
+       |${assignCte(last, s"cn$iters")}
+       |SELECT vec_id, cell_id AS cell, sim FROM a$last""".stripMargin
+  }
+
   def queries: Map[String, Q] = Map(
     // —— capstone: the LLM training-data prep pipeline, end to end ——
     // quality scoring → MinHash-LSH near-dup removal (keep the lower
@@ -417,6 +473,12 @@ object SparkEntry {
       Similarity.annTopK(
         Tables.embeddings(s, d).filter(col("vec_id") % 5 === 0),
         "vec_id", "embedding", 5, probeBits = 1, dim = 64)),
+
+    // quantized-Lloyd codebook training: 2 deterministic k-means rounds
+    // over the md5 seeds, final assignment out
+    "s4_kmeans_refine" -> ((s, d) =>
+      Similarity.kmeansRefine(Tables.embeddings(s, d), "vec_id",
+        "embedding", nCells = 8, iters = 2)),
 
     // —— stateful streaming: keyed sessions via flatMapGroupsWithState ——
     // oracle: batch sessionization minus the open trailing session per
@@ -1544,6 +1606,8 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, rank, neighbor_id, cosine
         |FROM r2 WHERE rank <= 5""".stripMargin,
+
+    "s4_kmeans_refine" -> duckKmeans(nc = 8, iters = 2),
 
     "q23_stream_dedup" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,

@@ -191,6 +191,73 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
+  /** One Lloyd assignment pass: nearest centroid by cosine, ties to the
+    * lowest cell id. A groupBy-max over a struct (sim, -cell, payload)
+    * instead of a per-vector window: the crossJoin emits n×k rows, but
+    * partial aggregation collapses them map-side — the shuffle carries
+    * one row per vector, where a window would shuffle and sort all n×k.
+    * Returns (vid, v, cell, sim). */
+  private def assignCells(e: DataFrame, cents: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cents))
+      .withColumn("sim",
+        dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+      .groupBy(col("vid"))
+      .agg(max(struct(col("sim"), (-col("cell_id")).as("negc"),
+        col("cell_id").as("cell"), col("v").as("v"))).as("m"))
+      .select(col("vid"), col("m.v").as("v"), col("m.cell").as("cell"),
+        col("m.sim").as("sim"))
+
+  /** One Lloyd update pass with QUANTIZED integer accumulation: member
+    * coordinates are scaled to micro-units (round(x·1e6) as long) and
+    * summed as integers — so the centroid is identical under any
+    * partitioning or addition order (a double sum is not: its last ulp
+    * depends on accumulation order, which would make every downstream
+    * assignment nondeterministic). The component is the exact ratio
+    * qsum / (count·1e6), reassembled into an array via a
+    * position-sorted collect. Cells left empty by an assignment drop
+    * out of the codebook (deterministically). */
+  private def updateCells(assigned: DataFrame): DataFrame =
+    assigned.select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+      .withColumn("qx", round(col("x") * 1e6).cast("long"))
+      .groupBy(col("cell"), col("pos"))
+      .agg(sum(col("qx")).as("qs"), count(lit(1)).as("cnt"))
+      .withColumn("comp",
+        col("qs").cast("double") / (col("cnt").cast("double") * 1e6))
+      .groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("comp"))))
+        .as("pc"))
+      .select(col("cell").as("cell_id"),
+        transform(col("pc"), x => x("comp")).as("cv"))
+      .withColumn("cnrm", norm(col("cv")))
+
+  /** K-means (Lloyd) refinement of the IVF codebook: start from the
+    * same md5-sampled seeds as [[ivfTopK]], run `iters` fixed
+    * assign→update rounds, and return the final assignment
+    * (vec_id, cell, sim). Fixed iteration count = no driver-side
+    * convergence action; each round is one corpus scan (the corpus
+    * relation is persisted once), one broadcast of the tiny codebook,
+    * and one integer-sum shuffle keyed by (cell, pos) — the exact
+    * shape MLlib KMeans runs at cluster scale, minus its per-round
+    * centroid collect. Quantized accumulation (see [[updateCells]])
+    * makes every round — and therefore the whole refinement —
+    * bit-deterministic and DuckDB-oracle-checkable, which no
+    * double-summed k-means can be. */
+  def kmeansRefine(emb: DataFrame, idCol: String, vecCol: String,
+      nCells: Int = -1, iters: Int = 2): DataFrame = {
+    val nc = if (nCells > 0) nCells else autoCells(emb.count())
+    val e = emb.select(col(idCol).as("vid"), col(vecCol).as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .persist() // scanned once per Lloyd round
+    var cents = e.withColumn("__h", Tables.hashU32(col("vid"), 77))
+      .orderBy(col("__h"), col("vid")).limit(nc)
+      .select(col("vid").as("cell_id"), col("v").as("cv"))
+      .withColumn("cnrm", norm(col("cv")))
+    for (_ <- 0 until iters)
+      cents = updateCells(assignCells(e, cents))
+    assignCells(e, cents)
+      .select(col("vid").as("vec_id"), col("cell"), col("sim"))
+  }
+
   /** LSH-accelerated ANN top-k: candidates are corpus vectors sharing
     * the query's bucket (multi-probe: Hamming-1 neighbours of the bucket
     * included when `probeBits > 0`), ranked by exact cosine within the

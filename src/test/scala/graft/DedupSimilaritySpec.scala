@@ -152,6 +152,29 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out(3L)._3 == emptyFp)
   }
 
+  test("quantized k-means refinement is deterministic and non-degrading") {
+    val emb = Tables.embeddings(spark, Sf0001)
+    val refined = Similarity.kmeansRefine(emb, "vec_id", "embedding",
+      nCells = 6, iters = 2)
+      .select("vec_id", "cell", "sim").as[(Long, Long, Double)].collect()
+    val n = emb.count()
+    assert(refined.length == n)                       // every vector assigned
+    assert(refined.map(_._2).distinct.length <= 6)    // at most nCells cells
+    // bit-deterministic: a second run is identical including sims
+    val again = Similarity.kmeansRefine(emb, "vec_id", "embedding",
+      nCells = 6, iters = 2)
+      .select("vec_id", "cell", "sim").as[(Long, Long, Double)].collect()
+    assert(refined.toSet == again.toSet)
+    // Lloyd rounds must not damage the clustering objective
+    val seed = Similarity.kmeansRefine(emb, "vec_id", "embedding",
+      nCells = 6, iters = 0)
+      .select("sim").as[Double].collect()
+    val meanSeed = seed.sum / seed.length
+    val meanRef = refined.map(_._3).sum / refined.length
+    assert(meanRef >= meanSeed - 0.01,
+      s"refinement degraded mean sim: $meanSeed -> $meanRef")
+  }
+
   test("IVF ANN finds identical-direction vectors and bounds candidates") {
     val emb = Tables.embeddings(spark, Sf0001).filter(col("vec_id") % 5 === 0)
     val exact = Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", 5)
