@@ -87,6 +87,26 @@ object Stress {
       TextAnalysis.tfidf(docs, col("doc_id"), col("text"))
         .groupBy("token").agg(sum("tfidf")).count()
     }
+    // pairs → clusters: the copy groups make every doc a member of a
+    // mult-sized near-dup clique, so the component graph is dense —
+    // worst-case for the propagation loop (rounds stay O(log diameter))
+    t("d8_components") {
+      Dedup.dedupComponents(
+        Dedup.simhashPairs(
+          Dedup.simhash(docs, col("doc_id"), col("text")), 3)
+          .select(col("doc_a"), col("doc_b"))).count()
+    }
+    t("d9_segment_dedup") {
+      Dedup.segmentDedup(docs, col("doc_id"), col("text"), 10).count()
+    }
+    t("p2_sequence_packing") {
+      Curation.packSequences(docs, col("doc_id"), col("source"),
+        size(TextAnalysis.tokens(col("text"))), ctxLen = 128, seed = 17,
+        buckets = 32).count()
+    }
+    t("s4_kmeans(auto)") {
+      Similarity.kmeansRefine(emb, "vec_id", "embedding", iters = 2).count()
+    }
     t("p1_pipeline") {
       val scored = docs
         .withColumn("q", TextAnalysis.qualityScore(col("text")))

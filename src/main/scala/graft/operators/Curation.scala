@@ -45,6 +45,9 @@ object Curation {
       .withColumn("__h", Tables.shuffleKey(col("doc_id"), seed))
       .withColumn("__bk",
         pmod(Tables.hashU32(col("doc_id"), seed + 1), lit(buckets.toLong)))
+      // read by the local-cumsum side AND the totals side: materialize
+      // the (possibly expensive) token-count projection once
+      .persist()
     val wLocal = Window.partitionBy(col("grp"), col("__bk"))
       .orderBy(col("__h"), col("doc_id"))
     val local = base.withColumn("__le", sum(col("n_toks")).over(wLocal))
