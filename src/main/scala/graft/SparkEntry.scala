@@ -1560,7 +1560,7 @@ object SparkEntry {
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
         |  FROM embeddings WHERE vec_id % 5 = 0),
-        |params AS (SELECT CAST(ceil(count(*) / 64.0) AS INT) AS nc FROM e),
+        |params AS (SELECT CAST(ceil(sqrt(count(*))) AS INT) AS nc FROM e),
         |hs AS (
         |  SELECT vec_id, v, row_number() OVER (ORDER BY
         |    ('0x' || substr(md5(vec_id::VARCHAR || '#77'), 1, 8))::BIGINT,

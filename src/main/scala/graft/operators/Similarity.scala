@@ -126,11 +126,18 @@ object Similarity {
     math.max(4, math.min(24, bits))
   }
 
-  /** IVF codebook size with constant TARGET CELL POPULATION: cells =
-    * ceil(n / target) — cells grow linearly with the corpus, so probe
-    * cost per query stays flat. DuckDB twin: `ceil(n / 64.0)`. */
-  def autoCells(n: Long, targetCell: Int = 64): Int =
-    math.max(1, math.min(1 << 20, ((n + targetCell - 1) / targetCell).toInt))
+  /** IVF codebook size: nlist ≈ √n — the standard IVF sizing (FAISS
+    * guidance). Cells ∝ n (constant target cell population) looks
+    * attractive — per-query candidates stay flat — but it makes the
+    * DENSE ASSIGNMENT step (corpus × centroids) quadratic in n; the
+    * Stress probe measured s3 growing 7× at a 10× corpus under it.
+    * With nlist = ceil(√n), assignment work is n^1.5 and per-query
+    * probe candidates grow as √n — balanced, the classic IVF
+    * trade. IEEE sqrt is correctly rounded, so the DuckDB twin
+    * `ceil(sqrt(n))` derives the identical integer. */
+  def autoCells(n: Long): Int =
+    math.max(1, math.min(1 << 20,
+      math.ceil(math.sqrt(n.toDouble)).toInt))
 
   /** IVF-style ANN top-k (the second scale path next to LSH): partition
     * the corpus into `nCells` Voronoi cells around deterministically

@@ -85,6 +85,33 @@ class PipelineOpsSpec extends SparkSpec {
       assert(PipelineOps.epochSteps(n, b) == math.ceil(n.toDouble / b).toLong)
   }
 
+  test("S7: toLocalIterator streams the batched epoch plan to the driver") {
+    // the reference's single-process consumption loop (train.py's
+    // session.run per step) maps to Dataset.toLocalIterator: the driver
+    // pulls ONE PARTITION AT A TIME — never the whole dataset — so a
+    // 100 TB epoch can feed a local consumer with bounded driver memory
+    val batched = PipelineOps.withBatchId(
+      PipelineOps.withSplit(range(100), col("id"), 42, 20L), "rn", 16)
+      .orderBy(col("rn"))
+    val viaIterator = {
+      val it = batched.toLocalIterator()
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      while (it.hasNext) {
+        val r = it.next()
+        buf += ((r.getAs[Long]("id"), r.getAs[Long]("rn"),
+          r.getAs[Long]("bid")))
+      }
+      buf.toSeq
+    }
+    val viaCollect = batched.collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("rn"),
+        r.getAs[Long]("bid"))).toSeq
+    assert(viaIterator == viaCollect)   // same rows, same order
+    assert(viaIterator.map(_._2) == (1L to 100L)) // a full ordered epoch
+    // batch ids arrive contiguously: step semantics for the consumer
+    assert(viaIterator.map(_._3).distinct == (0L to 6L))
+  }
+
   test("writeSharded lays out split partitions readable with pruning") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_shard_").toString
     val df = PipelineOps.withShardId(
