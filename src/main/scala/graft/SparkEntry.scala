@@ -565,6 +565,27 @@ object SparkEntry {
         s"stream_dedup_${System.nanoTime()}")
     }),
 
+    // streaming ingestion dedup: a crawler's document stream is exact-
+    // deduped by content fingerprint as it lands — state bounded by the
+    // watermark, output = per-language unique-document counts (order-
+    // independent, so the batch oracle matches regardless of file
+    // arrival order)
+    "q34_stream_ingest_dedup" -> ((s, d) => {
+      val deduped = EventStream
+        .parquetFileStream(s, s"$d/documents.parquet")
+        .withColumn("fp", TextAnalysis.contentFingerprint(col("text")))
+        // a bounded backfill has no real event time: pin one so the
+        // watermarked dedup operator (the production shape) applies
+        .withColumn("ingest_ts",
+          to_timestamp(lit("2024-01-01 00:00:00")))
+        .withWatermark("ingest_ts", "1 hour")
+        .dropDuplicatesWithinWatermark("lang", "fp")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_unique"))
+      EventStream.runOnce(deduped,
+        s"stream_ingest_dedup_${System.nanoTime()}")
+    }),
+
     // stream-static join: the unbounded side joins a bounded dimension
     // (broadcast per micro-batch) — the C1-era "enrichment" pattern.
     "q24_stream_static_join" -> ((s, d) => {
@@ -1608,6 +1629,12 @@ object SparkEntry {
         |FROM r2 WHERE rank <= 5""".stripMargin,
 
     "s4_kmeans_refine" -> duckKmeans(nc = 8, iters = 2),
+
+    "q34_stream_ingest_dedup" ->
+      """SELECT lang, CAST(count(DISTINCT
+        |   md5(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS BIGINT)
+        |   AS n_unique
+        |FROM documents GROUP BY lang""".stripMargin,
 
     "q23_stream_dedup" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,

@@ -48,6 +48,17 @@ object EventStream {
     }
   }
 
+  /** Generic parquet file stream (no timestamp munging): the ingestion
+    * shape for non-event tables — e.g. a crawler dropping document
+    * shards into a landing directory. maxFilesPerTrigger bounds each
+    * micro-batch (the C3 backpressure analogue). */
+  def parquetFileStream(spark: SparkSession, fileOrDir: String): DataFrame = {
+    val dir = asStreamDir(fileOrDir)
+    spark.readStream.schema(spark.read.parquet(dir).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+  }
+
   def eventsFileStream(spark: SparkSession, fileOrDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val dir = asStreamDir(fileOrDir)
