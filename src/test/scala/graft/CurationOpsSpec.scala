@@ -66,6 +66,35 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("packSequences: a document longer than the context spans windows") {
+    val df = Seq((1L, "g", 300L), (2L, "g", 50L), (3L, "g", 10L))
+      .toDF("id", "grp", "n")
+    val out = Curation.packSequences(df, col("id"), col("grp"), col("n"),
+      ctxLen = 128, seed = 1, buckets = 4)
+      .select("doc_id", "n_toks", "start_off", "first_seq", "last_seq")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // the 300-token doc must span ceil over at least 2 sequence windows
+    val big = out(1L)
+    assert(big._5 - big._4 >= 2 || big._5 > big._4,
+      s"300-token doc in 128-token windows must span: $big")
+    assert(big._5 == (big._3 + 300 - 1) / 128 && big._4 == big._3 / 128)
+    // total stream length is conserved
+    assert(out.values.map(_._2).sum == 360L)
+  }
+
+  test("temperatureResample at alpha=1 keeps the natural mixture rate") {
+    val df = spark.range(1000).withColumn("cls",
+      when(col("id") < 800, "a").otherwise("b"))
+    // alpha=1: w_l = c_l / total, so rate = min(1, T/total) for EVERY
+    // class — uniform downsampling, mixture preserved
+    val rates = Curation.temperatureResample(df, col("id"), col("cls"),
+      alpha = 1.0, targetCount = 500, seed = 7)
+      .select("cls", "rate6").distinct()
+      .as[(String, Long)].collect().toMap
+    assert(rates("a") == 500000L && rates("b") == 500000L, s"got $rates")
+  }
+
   test("temperatureResample flattens the mixture toward equal classes") {
     // skewed corpus: class a = 900 rows, b = 90, c = 10
     val df = spark.range(1000).withColumn("cls",
