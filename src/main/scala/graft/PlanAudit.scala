@@ -26,8 +26,14 @@ object PlanAudit {
         .filter(l => l.contains("Scan parquet") || l.contains("PushedFilters")
           || l.contains("Join") || l.contains("Exchange")
           || l.contains("ReadSchema") || l.contains("WholeStageCodegen")
-          || l.contains("InMemory"))
+          || l.contains("InMemory") || l.contains("SinglePartition")
+          || l.contains("Window") || l.contains("Sort ") || l.contains("TakeOrdered"))
         .take(40).foreach(l => println(l.take(200)))
+      // the one plan shape that dies at 100 TB: a full-relation
+      // single-partition exchange (scalar aggregates over already-tiny
+      // inputs are fine — grep context to tell them apart)
+      if (plan.contains("SinglePartition"))
+        println(s"!! SINGLE_PARTITION_EXCHANGE in $n")
     }
     spark.stop()
   }
