@@ -281,6 +281,19 @@ object SparkEntry {
     "q14_sessionize" -> ((s, d) =>
       Events.sessionize(Tables.events(s, d), 1800L)),
 
+    // full outer join: align two sparse daily series (order days vs
+    // event days — disjoint ranges, so both sides produce outer rows)
+    "q35_full_outer" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("order_cnt"))
+      val e = Tables.events(s, d)
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("event_cnt"))
+      o.join(e, Seq("day"), "full_outer")
+        .na.fill(0L, Seq("order_cnt", "event_cnt"))
+    }),
+
     "q15_stream_window" -> ((s, d) =>
       EventStream.runOnce(
         EventStream.windowedCounts(
@@ -1629,6 +1642,20 @@ object SparkEntry {
         |FROM r2 WHERE rank <= 5""".stripMargin,
 
     "s4_kmeans_refine" -> duckKmeans(nc = 8, iters = 2),
+
+    "q35_full_outer" ->
+      """WITH o AS (
+        |  SELECT strftime(o_orderdate::TIMESTAMP, '%Y-%m-%d') AS day,
+        |   CAST(count(*) AS BIGINT) AS order_cnt
+        |  FROM orders GROUP BY 1),
+        |e AS (
+        |  SELECT strftime(ts::TIMESTAMP, '%Y-%m-%d') AS day,
+        |   CAST(count(*) AS BIGINT) AS event_cnt
+        |  FROM events GROUP BY 1)
+        |SELECT coalesce(o.day, e.day) AS day,
+        | coalesce(order_cnt, 0) AS order_cnt,
+        | coalesce(event_cnt, 0) AS event_cnt
+        |FROM o FULL OUTER JOIN e ON o.day = e.day""".stripMargin,
 
     "q34_stream_ingest_dedup" ->
       """SELECT lang, CAST(count(DISTINCT

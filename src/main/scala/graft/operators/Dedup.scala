@@ -254,11 +254,7 @@ object Dedup {
     def labelSum(df: DataFrame): Long =
       Option(df.agg(sum(col("comp"))).head().get(0))
         .map(_.asInstanceOf[Long]).getOrElse(0L)
-    var prevSum = labelSum(labels)
-    var iter = 0
-    var done = prevSum == 0L // empty edge list: nothing to close
-    while (!done && iter < maxIter) {
-      val prev = labels
+    def step(prev: DataFrame): DataFrame = {
       val nbr = sym.join(prev, sym("src") === prev("v"))
         .select(col("dst").as("v"), col("comp"))
       // pointer jumping: comp is always itself a vertex, so every
@@ -266,8 +262,17 @@ object Dedup {
       val l2 = prev.select(col("v").as("cv"), col("comp").as("ccomp"))
       val ptr = prev.join(l2, col("comp") === col("cv"))
         .select(col("v"), col("ccomp").as("comp"))
-      val next = nbr.union(ptr).union(prev)
+      nbr.union(ptr).union(prev)
         .groupBy(col("v")).agg(min(col("comp")).as("comp"))
+    }
+    var prevSum = labelSum(labels)
+    var iter = 0
+    var done = prevSum == 0L // empty edge list: nothing to close
+    while (!done && iter < maxIter) {
+      // ONE step per materialization: a double step would re-execute
+      // the un-materialized inner step at each of the outer step's
+      // three references — measured slower than the extra driver sync
+      val next = step(labels)
         .localCheckpoint(true) // materialize + truncate lineage
       val s = labelSum(next)
       labels = next
