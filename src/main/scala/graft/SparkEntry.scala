@@ -60,6 +60,28 @@ object SparkEntry {
   private def duckRand(expr: String, seed: Int): String =
     s"(${duckU32(expr, seed)} / 4294967296.0)"
 
+  /** DuckDB twin of TextAnalysis.contamination — and of
+    * contaminationBloom, whose Bloom pre-filter provably changes
+    * nothing about the result (no false negatives; false positives
+    * removed by the exact verification join). */
+  private lazy val DuckContamination =
+    s"""WITH t AS (SELECT doc_id, $DuckToks AS w FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, unnest(list_transform(
+       |    range(1, len(w) - 1),
+       |    i -> array_to_string(w[i:i+2], ' '))) AS s
+       |  FROM t WHERE len(w) >= 3),
+       |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+       |totals AS (SELECT doc_id, count(*) AS n_shingles FROM sh
+       |  GROUP BY 1),
+       |shared AS (SELECT doc_id, count(*) AS n_shared
+       |  FROM sh JOIN bench USING (s) GROUP BY 1)
+       |SELECT doc_id, CAST(n_shared AS BIGINT) AS n_shared,
+       | CAST(n_shingles AS BIGINT) AS n_shingles,
+       | round(n_shared / n_shingles::DOUBLE, 6) AS contamination
+       |FROM shared JOIN totals USING (doc_id)
+       |WHERE doc_id % 97 <> 0""".stripMargin
+
   /** DuckDB twin of Similarity.kmeansRefine: `iters` quantized Lloyd
     * rounds + the final assignment, spelled out as CTEs. The assignment
     * and update fragments are generated so every pass is textually
@@ -403,6 +425,17 @@ object SparkEntry {
       val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
       TextAnalysis.contamination(docs, bench, col("doc_id"), col("text"),
         n = 3)
+    }),
+
+    // the same check routed through a broadcast Bloom bit array — the
+    // shape for benchmark sets too large to broadcast as strings.
+    // mBits is deliberately small here so false positives OCCUR and
+    // the exact-verification join is proven to remove them
+    "t10_contamination_bloom" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+      TextAnalysis.contaminationBloom(docs, bench, col("doc_id"),
+        col("text"), n = 3, mBits = 4096, kHashes = 3)
     }),
 
     // Gopher-style repetition quality signals (top-token share,
@@ -1205,23 +1238,12 @@ object SparkEntry {
         |   '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g')) AS scrubbed_md5
         |FROM inj""".stripMargin,
 
-    "t7_contamination" ->
-      s"""WITH t AS (SELECT doc_id, $DuckToks AS w FROM documents),
-         |sh AS (
-         |  SELECT DISTINCT doc_id, unnest(list_transform(
-         |    range(1, len(w) - 1),
-         |    i -> array_to_string(w[i:i+2], ' '))) AS s
-         |  FROM t WHERE len(w) >= 3),
-         |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
-         |totals AS (SELECT doc_id, count(*) AS n_shingles FROM sh
-         |  GROUP BY 1),
-         |shared AS (SELECT doc_id, count(*) AS n_shared
-         |  FROM sh JOIN bench USING (s) GROUP BY 1)
-         |SELECT doc_id, CAST(n_shared AS BIGINT) AS n_shared,
-         | CAST(n_shingles AS BIGINT) AS n_shingles,
-         | round(n_shared / n_shingles::DOUBLE, 6) AS contamination
-         |FROM shared JOIN totals USING (doc_id)
-         |WHERE doc_id % 97 <> 0""".stripMargin,
+    "t7_contamination" -> DuckContamination,
+
+    // the Bloom pre-filter has no false negatives and the exact join
+    // removes false positives, so t10's result IS t7's result — one
+    // oracle serves both plans
+    "t10_contamination_bloom" -> DuckContamination,
 
     "t8_repetition" ->
       s"""WITH toks AS (

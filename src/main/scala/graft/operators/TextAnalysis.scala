@@ -210,6 +210,57 @@ object TextAnalysis {
           .as("contamination"))
   }
 
+  /** Bloom-pre-filtered contamination: SAME OUTPUT as [[contamination]]
+    * (a Bloom filter has no false negatives, and false positives die in
+    * the exact verification join), but the membership probe broadcasts
+    * a compact deterministic bit array — `mBits/64` longs — instead of
+    * the benchmark shingle set. This is the 100 TB shape for a
+    * benchmark too large to broadcast as strings: a 1e9-shingle
+    * benchmark at 10 bits/element is a ~1.2 GB bit array vs tens of GB
+    * of shingle text, and the corpus side still never shuffles for the
+    * probe. Positions are md5-derived and the build aggregate is an
+    * integer bit_or — order-independent, so the filter (and therefore
+    * the whole operator) is deterministic under any partitioning. */
+  def contaminationBloom(docs: DataFrame, bench: DataFrame, idCol: Column,
+      textCol: Column, n: Int, mBits: Int = 1 << 16,
+      kHashes: Int = 3): DataFrame = {
+    require(mBits % 64 == 0 && kHashes > 0, s"mBits=$mBits kHashes=$kHashes")
+    val docSh = explodedShingles(docs, idCol, textCol, n).distinct()
+      .persist() // probe positions + per-doc totals
+    val benchSh = explodedShingles(bench, idCol, textCol, n)
+      .select(col("shingle")).distinct()
+      .persist() // bloom build + exact verification
+    def positions(df: DataFrame): DataFrame = df
+      .select(col("*"), explode(sequence(lit(0), lit(kHashes - 1))).as("j"))
+      .withColumn("pos", pmod(
+        Tables.hashU32(concat_ws("|", col("shingle"), col("j")), 1234),
+        lit(mBits.toLong)))
+      .withColumn("word", (col("pos") / 64).cast("long"))
+      .withColumn("bit", expr("shiftleft(1L, CAST(pos % 64 AS INT))"))
+    val bloom = positions(benchSh)
+      .groupBy(col("word")).agg(expr("bit_or(bit)").as("mask"))
+    val candidates = positions(docSh)
+      .join(broadcast(bloom), Seq("word"), "left")
+      .withColumn("hit",
+        coalesce(col("mask").bitwiseAND(col("bit")) =!= 0, lit(false)))
+      .groupBy(col("doc_id"), col("shingle"))
+      .agg(sum(when(col("hit"), 1L).otherwise(0L)).as("hits"))
+      .filter(col("hits") === kHashes)
+      .select(col("doc_id"), col("shingle"))
+    // exact verification only on bloom-positive shingles — in the
+    // too-big-to-broadcast scenario this is a shuffle equi-join whose
+    // probe side the bloom has already decimated (no hint: AQE picks)
+    val shared = candidates.join(benchSh, "shingle")
+    val totals = docSh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val benchIds = bench.select(idCol.as("bench_id"))
+    shared.groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      .join(totals, "doc_id")
+      .join(benchIds, col("doc_id") === col("bench_id"), "left_anti")
+      .select(col("doc_id"), col("n_shared"), col("n_shingles"),
+        round(col("n_shared").cast("double") / col("n_shingles"), 6)
+          .as("contamination"))
+  }
+
   /** Exact-content fingerprint: md5 of whitespace-normalized lowercase
     * text (SURVEY §7 M7 "document fingerprinting"). */
   def contentFingerprint(text: Column): Column =

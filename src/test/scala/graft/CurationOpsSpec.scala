@@ -115,6 +115,23 @@ class CurationOpsSpec extends SparkSpec {
     assert(kept.toSet == again.toSet)
   }
 
+  test("bloom-pre-filtered contamination equals the exact broadcast join") {
+    val docs = Tables.documents(spark, Sf0001)
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+    val exact = TextAnalysis.contamination(docs, bench, col("doc_id"),
+      col("text"), n = 3)
+      .select("doc_id", "n_shared", "n_shingles", "contamination")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    // a deliberately tiny filter (512 bits) guarantees false positives;
+    // the exact verification join must remove every one of them
+    val bloom = TextAnalysis.contaminationBloom(docs, bench, col("doc_id"),
+      col("text"), n = 3, mBits = 512, kHashes = 3)
+      .select("doc_id", "n_shared", "n_shingles", "contamination")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(bloom == exact)
+    assert(exact.nonEmpty)
+  }
+
   test("scrubPii redacts emails, IPs, phones; counts match (t6)") {
     val df = Seq(
       (1L, "mail bob.smith+x@corp.example.org and 192.168.0.1 now"),
