@@ -248,8 +248,12 @@ object Dedup {
     val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct().persist()
-    var labels = sym.select(col("src").as("v")).distinct()
-      .select(col("v"), col("v").as("comp"))
+    // seed each vertex with min(self, direct neighbors) — the first
+    // propagation round for free, as one groupBy on the edge relation
+    // (same shuffle the distinct-vertices init would have paid)
+    var labels = sym.groupBy(col("src")).agg(min(col("dst")).as("m"))
+      .select(col("src").as("v"),
+        least(col("m"), col("src")).as("comp"))
       .localCheckpoint(true)
     def labelSum(df: DataFrame): Long =
       Option(df.agg(sum(col("comp"))).head().get(0))
