@@ -772,6 +772,18 @@ object SparkEntry {
           (lit(16) + Tables.hashU32(col("doc_id"), 6) % 49).as("fake_w"),
           md5(col("blob")).as("content_md5"))),
 
+    // frame sampling over the binary column: fixed-length byte windows
+    // at a fixed stride, capped per item — the video "every Nth frame"
+    // plumbing, oracle-checked down to the per-frame md5 (the corpus
+    // bytes are ASCII, so DuckDB's VARCHAR windowing sees the same
+    // bytes the Spark BINARY path slices)
+    "m3_frame_sample" -> ((s, d) =>
+      Multimodal.sampleFrames(
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("text").cast("binary").as("blob")),
+        col("doc_id"), col("blob"),
+        frameLen = 32, stride = 64, maxFrames = 8)),
+
     // batched per-partition multimodal kernels (mapInPandas-analogue;
     // no oracle: mapPartitions path, covered by ExtendedOpsSpec)
     "m2_multimodal_features" -> ((s, d) => {
@@ -1800,6 +1812,26 @@ object SparkEntry {
          | CAST(sum(n_chars) AS BIGINT) AS nchars_sum,
          | CAST(sum(${duckU32("text", 7)}) AS BIGINT) AS content_sum
          |FROM documents GROUP BY 1""".stripMargin,
+
+    "m3_frame_sample" ->
+      """WITH b AS (
+        |  SELECT doc_id AS media_id, text,
+        |   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |  FROM documents),
+        |f AS (
+        |  SELECT media_id, text, n_bytes,
+        |   least(8, CAST(ceil(n_bytes / 64.0) AS BIGINT)) AS nf
+        |  FROM b WHERE n_bytes > 0),
+        |s AS (
+        |  SELECT media_id, n_bytes, u.fi AS frame_idx, u.fr AS fr FROM (
+        |    SELECT media_id, n_bytes, unnest(list_transform(range(0, nf),
+        |      i -> struct_pack(fi := i,
+        |        fr := substr(text, CAST(64*i+1 AS BIGINT), 32)))) AS u
+        |    FROM f))
+        |SELECT media_id, n_bytes, frame_idx,
+        | CAST(octet_length(encode(fr)) AS BIGINT) AS frame_len,
+        | md5(fr) AS frame_md5
+        |FROM s""".stripMargin,
 
     "m1_multimodal_meta" ->
       s"""SELECT doc_id,

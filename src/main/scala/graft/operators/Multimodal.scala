@@ -4,6 +4,8 @@ import org.apache.spark.sql.{DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import org.apache.spark.sql.Column
+
 import graft.functions.ImageKernels
 
 /** Multimodal column pattern (north star M7d): media as opaque binary
@@ -35,6 +37,37 @@ object Multimodal {
       StructField("width", IntegerType, nullable = true),
       StructField("n_bytes", LongType, nullable = true),
       StructField("format", StringType, nullable = true))), nullable = false)))
+
+  /** Deterministic frame sampling over an opaque binary column — the
+    * video/audio "sample every Nth frame" plumbing as pure relational
+    * ops: frames are fixed-length byte windows taken at a fixed stride,
+    * capped at `maxFrames` per item, each emitted with its index,
+    * actual length (the trailing frame may be short) and content md5.
+    * The decode of a frame's bytes is exactly where a codec kernel
+    * ([[batchFeatures]]) plugs in; everything around it — offsets,
+    * stride arithmetic, per-item bounds, explode shape — is the real
+    * 100 TB plumbing and is fully engine-checkable.
+    *
+    * Scale shape: one narrow projection + a bounded posexplode
+    * (≤ `maxFrames` rows per item), no shuffle at all. */
+  def sampleFrames(df: DataFrame, idCol: Column, blobCol: Column,
+      frameLen: Int, stride: Int, maxFrames: Int): DataFrame = {
+    require(frameLen > 0 && stride > 0 && maxFrames > 0,
+      s"frameLen=$frameLen stride=$stride maxFrames=$maxFrames")
+    df.select(idCol.as("media_id"), blobCol.as("blob"))
+      .withColumn("n_bytes", length(col("blob")).cast("long"))
+      .filter(col("n_bytes") > 0)
+      .withColumn("nf", least(lit(maxFrames.toLong),
+        ceil(col("n_bytes") / stride.toDouble).cast("long")))
+      .select(col("media_id"), col("n_bytes"),
+        posexplode(transform(sequence(lit(0), (col("nf") - 1).cast("int")),
+          i => col("blob").substr(i * stride + 1, lit(frameLen))))
+          .as(Seq("frame_idx", "frame")))
+      .select(col("media_id"), col("n_bytes"),
+        col("frame_idx").cast("long").as("frame_idx"),
+        length(col("frame")).cast("long").as("frame_len"),
+        md5(col("frame")).as("frame_md5"))
+  }
 
   /** Output schema of [[batchFeatures]]. */
   val featureSchema: StructType = StructType(Seq(

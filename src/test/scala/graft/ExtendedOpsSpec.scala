@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.functions.{DotProductExpr, ImageKernels}
-import graft.operators.{Events, PipelineOps, Similarity}
+import graft.operators.{Events, Multimodal, PipelineOps, Similarity}
 import graft.streaming.EventStream
 
 /** Round-1 extensions: shuffle-buffer emulation (O3), the native
@@ -122,6 +122,29 @@ class ExtendedOpsSpec extends SparkSpec {
       .as[(String, Long, Long, Double)].collect().toSet
     assert(agg == win)
     assert(agg.nonEmpty)
+  }
+
+  test("sampleFrames windows raw binary at stride; short trailing frame") {
+    // genuinely non-ASCII bytes: the operator must slice BYTES, not chars
+    val bytes = Array.tabulate[Byte](150)(i => ((i * 7 + 200) % 256).toByte)
+    val df = Seq((1L, bytes)).toDF("id", "blob")
+    val out = Multimodal.sampleFrames(df, col("id"), col("blob"),
+      frameLen = 32, stride = 64, maxFrames = 8)
+      .select("frame_idx", "frame_len", "frame_md5")
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    // 150 bytes at stride 64 → frames at 0/64/128; last is 22 bytes
+    assert(out.map(r => (r._1, r._2)).toSeq ==
+      Seq((0L, 32L), (1L, 32L), (2L, 22L)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(off: Int, len: Int): String =
+      md.digest(bytes.slice(off, off + len))
+        .map("%02x".format(_)).mkString
+    assert(out(0)._3 == hex(0, 32))
+    assert(out(2)._3 == hex(128, 22))
+    // maxFrames caps long items
+    val capped = Multimodal.sampleFrames(df, col("id"), col("blob"),
+      frameLen = 4, stride = 8, maxFrames = 5)
+    assert(capped.count() == 5)
   }
 
   test("multimodal: media frame schema, batch kernel, stubbed modalities") {
