@@ -86,57 +86,105 @@ object SparkEntry {
     * rounds + the final assignment, spelled out as CTEs. The assignment
     * and update fragments are generated so every pass is textually
     * identical (same fold order, same quantization). */
-  private def duckKmeans(nc: Int, iters: Int): String = {
-    def normOf(v: String) =
-      s"sqrt(list_reduce(list_transform($v, x -> x*x), (a, b) -> a + b))"
-    def assignCte(i: Int, cents: String) =
-      s"""s$i AS (
-         |  SELECT en.vec_id, en.v, c.cell_id,
-         |   list_reduce(list_transform(range(1, len(en.v) + 1),
-         |     j -> en.v[j] * c.cv[j]), (a, b) -> a + b) / (en.nrm * c.cnrm)
-         |     AS sim
-         |  FROM en CROSS JOIN $cents c),
-         |a$i AS (
-         |  SELECT vec_id, v, cell_id, sim FROM (
-         |    SELECT *, row_number() OVER (
-         |      PARTITION BY vec_id ORDER BY sim DESC, cell_id) AS rk
-         |    FROM s$i) WHERE rk = 1)""".stripMargin
-    def updateCte(i: Int) =
-      s"""x$i AS (
-         |  SELECT cell_id, u.pos AS pos, u.x AS x FROM (
-         |    SELECT cell_id, unnest(list_transform(range(0, len(v)),
-         |      j -> struct_pack(pos := j, x := v[j+1]))) AS u
-         |    FROM a$i)),
-         |q$i AS (
-         |  SELECT cell_id, pos,
-         |   CAST(sum(CAST(round(x * 1000000) AS BIGINT)) AS BIGINT) AS qs,
-         |   CAST(count(*) AS BIGINT) AS cnt
-         |  FROM x$i GROUP BY 1, 2),
-         |c$i AS (
-         |  SELECT cell_id,
-         |   list(CAST(qs AS DOUBLE) / (CAST(cnt AS DOUBLE) * 1000000.0)
-         |     ORDER BY pos) AS cv
-         |  FROM q$i GROUP BY 1),
-         |cn$i AS (SELECT cell_id, cv, ${normOf("cv")} AS cnrm FROM c$i)"""
-        .stripMargin
+  private def duckNormOf(v: String) =
+    s"sqrt(list_reduce(list_transform($v, x -> x*x), (a, b) -> a + b))"
+
+  private def duckAssignCte(i: Int, cents: String) =
+    s"""s$i AS (
+       |  SELECT en.vec_id, en.v, c.cell_id,
+       |   list_reduce(list_transform(range(1, len(en.v) + 1),
+       |     j -> en.v[j] * c.cv[j]), (a, b) -> a + b) / (en.nrm * c.cnrm)
+       |     AS sim
+       |  FROM en CROSS JOIN $cents c),
+       |a$i AS (
+       |  SELECT vec_id, v, cell_id, sim FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY sim DESC, cell_id) AS rk
+       |    FROM s$i) WHERE rk = 1)""".stripMargin
+
+  private def duckUpdateCte(i: Int) =
+    s"""x$i AS (
+       |  SELECT cell_id, u.pos AS pos, u.x AS x FROM (
+       |    SELECT cell_id, unnest(list_transform(range(0, len(v)),
+       |      j -> struct_pack(pos := j, x := v[j+1]))) AS u
+       |    FROM a$i)),
+       |q$i AS (
+       |  SELECT cell_id, pos,
+       |   CAST(sum(CAST(round(x * 1000000) AS BIGINT)) AS BIGINT) AS qs,
+       |   CAST(count(*) AS BIGINT) AS cnt
+       |  FROM x$i GROUP BY 1, 2),
+       |c$i AS (
+       |  SELECT cell_id,
+       |   list(CAST(qs AS DOUBLE) / (CAST(cnt AS DOUBLE) * 1000000.0)
+       |     ORDER BY pos) AS cv
+       |  FROM q$i GROUP BY 1),
+       |cn$i AS (SELECT cell_id, cv, ${duckNormOf("cv")} AS cnrm FROM c$i)"""
+      .stripMargin
+
+  /** WITH-clause prefix shared by the s4/s5 oracles: embeddings → md5
+    * seed codebook c0 → `iters` quantized Lloyd rounds ending at
+    * cn`iters`. No trailing comma. */
+  private def duckKmeansCtes(nc: Int, iters: Int): String = {
     val rounds = (1 to iters).map { i =>
       val cents = if (i == 1) "c0" else s"cn${i - 1}"
-      assignCte(i, cents) + ",\n" + updateCte(i) + ","
-    }.mkString("\n")
-    val last = iters + 1
+      duckAssignCte(i, cents) + ",\n" + duckUpdateCte(i)
+    }.mkString(",\n")
     s"""WITH e AS (
        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
        |  FROM embeddings),
-       |en AS (SELECT vec_id, v, ${normOf("v")} AS nrm FROM e),
+       |en AS (SELECT vec_id, v, ${duckNormOf("v")} AS nrm FROM e),
        |c0 AS (
        |  SELECT cell_id, cv, cnrm FROM (
        |    SELECT vec_id AS cell_id, v AS cv, nrm AS cnrm,
        |     ${duckU32("vec_id::VARCHAR", 77)} AS h
        |    FROM en ORDER BY h, cell_id LIMIT $nc)),
-       |$rounds
-       |${assignCte(last, s"cn$iters")}
+       |$rounds""".stripMargin
+  }
+
+  private def duckKmeans(nc: Int, iters: Int): String = {
+    val last = iters + 1
+    s"""${duckKmeansCtes(nc, iters)},
+       |${duckAssignCte(last, s"cn$iters")}
        |SELECT vec_id, cell_id AS cell, sim FROM a$last""".stripMargin
   }
+
+  /** s5 oracle: the trained codebook (shared kmeans CTEs) feeding the
+    * s3-shaped IVF search — probe the nProbe nearest trained cells,
+    * exact cosine rank within candidates. */
+  private def duckKmeansIvf(nc: Int, iters: Int, nProbe: Int,
+      k: Int): String =
+    s"""${duckKmeansCtes(nc, iters)},
+       |cs AS (
+       |  SELECT en.vec_id, c.cell_id,
+       |   list_reduce(list_transform(range(1, len(en.v) + 1),
+       |     j -> en.v[j] * c.cv[j]), (a, b) -> a + b) / (en.nrm * c.cnrm)
+       |     AS sim
+       |  FROM en CROSS JOIN cn$iters c),
+       |ranked AS (
+       |  SELECT vec_id, cell_id, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY sim DESC, cell_id) AS rk
+       |  FROM cs),
+       |assigned AS (SELECT vec_id, cell_id FROM ranked WHERE rk = 1),
+       |probed AS (SELECT vec_id, cell_id FROM ranked WHERE rk <= $nProbe),
+       |cand AS (
+       |  SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id
+       |  FROM probed p JOIN assigned a
+       |    ON a.cell_id = p.cell_id AND a.vec_id <> p.vec_id),
+       |scored AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |   list_reduce(list_transform(range(1, len(q.v) + 1),
+       |     j -> q.v[j] * nb.v[j]), (a, b) -> a + b) / (q.nrm * nb.nrm)
+       |     AS cosine
+       |  FROM cand c
+       |  JOIN en q ON q.vec_id = c.query_id
+       |  JOIN en nb ON nb.vec_id = c.neighbor_id),
+       |r2 AS (
+       |  SELECT query_id, neighbor_id, cosine, CAST(row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)
+       |    AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, cosine
+       |FROM r2 WHERE rank <= $k""".stripMargin
 
   def queries: Map[String, Q] = Map(
     // —— capstone: the LLM training-data prep pipeline, end to end ——
@@ -525,6 +573,16 @@ object SparkEntry {
     "s4_kmeans_refine" -> ((s, d) =>
       Similarity.kmeansRefine(Tables.embeddings(s, d), "vec_id",
         "embedding", nCells = 8, iters = 2)),
+
+    // the full train→index→search loop: the trained codebook from s4's
+    // k-means feeds the IVF search
+    "s5_ann_ivf_trained" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val codebook = Similarity.kmeansCentroids(emb, "vec_id",
+        "embedding", nCells = 8, iters = 2)
+      Similarity.ivfTopKWith(emb, codebook, "vec_id", "embedding",
+        k = 5, nProbe = 2)
+    }),
 
     // —— stateful streaming: keyed sessions via flatMapGroupsWithState ——
     // oracle: batch sessionization minus the open trailing session per
@@ -1676,6 +1734,9 @@ object SparkEntry {
         |FROM r2 WHERE rank <= 5""".stripMargin,
 
     "s4_kmeans_refine" -> duckKmeans(nc = 8, iters = 2),
+
+    "s5_ann_ivf_trained" ->
+      duckKmeansIvf(nc = 8, iters = 2, nProbe = 2, k = 5),
 
     "q35_full_outer" ->
       """WITH o AS (

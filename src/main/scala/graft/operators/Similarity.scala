@@ -163,10 +163,21 @@ object Similarity {
       .withColumn("__h", Tables.hashU32(col(idCol), 77))
       .orderBy(col("__h"), col(idCol)).limit(nc)
       .select(col(idCol).as("cell_id"), col(vecCol).as("centroid"))
+    ivfTopKWith(emb, seeds, idCol, vecCol, k, nProbe)
+  }
+
+  /** IVF search against an EXTERNAL codebook — (cell_id, centroid)
+    * rows, e.g. the output of [[kmeansCentroids]] — closing the
+    * train-index → search loop: the same shuffle shapes as [[ivfTopK]]
+    * (broadcast codebook for assignment, equi-join on cell id for
+    * candidates), with a trained quantizer instead of raw seeds. */
+  def ivfTopKWith(emb: DataFrame, centroids: DataFrame, idCol: String,
+      vecCol: String, k: Int, nProbe: Int = 2): DataFrame = {
     // cell assignment: nearest centroid by cosine (norms precomputed)
     val withNorm = emb.select(col(idCol), col(vecCol))
       .withColumn("nrm", norm(col(vecCol)))
-    val cWithNorm = seeds.withColumn("c_nrm", norm(col("centroid")))
+    val cWithNorm = centroids.select(col("cell_id"), col("centroid"))
+      .withColumn("c_nrm", norm(col("centroid")))
     val scoredCells = withNorm.crossJoin(broadcast(cWithNorm))
       .withColumn("sim",
         dot(col(vecCol), col("centroid")) / (col("nrm") * col("c_nrm")))
@@ -251,6 +262,20 @@ object Similarity {
     * double-summed k-means can be. */
   def kmeansRefine(emb: DataFrame, idCol: String, vecCol: String,
       nCells: Int = -1, iters: Int = 2): DataFrame = {
+    val (e, cents) = kmeansTrain(emb, idCol, vecCol, nCells, iters)
+    assignCells(e, cents)
+      .select(col("vid").as("vec_id"), col("cell"), col("sim"))
+  }
+
+  /** The trained codebook itself, as (cell_id, centroid) — feed it to
+    * [[ivfTopKWith]] for search over the refined quantizer. */
+  def kmeansCentroids(emb: DataFrame, idCol: String, vecCol: String,
+      nCells: Int = -1, iters: Int = 2): DataFrame =
+    kmeansTrain(emb, idCol, vecCol, nCells, iters)._2
+      .select(col("cell_id"), col("cv").as("centroid"))
+
+  private def kmeansTrain(emb: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, iters: Int): (DataFrame, DataFrame) = {
     val nc = if (nCells > 0) nCells else autoCells(emb.count())
     val e = emb.select(col(idCol).as("vid"), col(vecCol).as("v"))
       .withColumn("nrm", norm(col("v")))
@@ -261,8 +286,7 @@ object Similarity {
       .withColumn("cnrm", norm(col("cv")))
     for (_ <- 0 until iters)
       cents = updateCells(assignCells(e, cents))
-    assignCells(e, cents)
-      .select(col("vid").as("vec_id"), col("cell"), col("sim"))
+    (e, cents)
   }
 
   /** LSH-accelerated ANN top-k: candidates are corpus vectors sharing

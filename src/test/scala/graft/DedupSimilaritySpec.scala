@@ -175,6 +175,23 @@ class DedupSimilaritySpec extends SparkSpec {
       s"refinement degraded mean sim: $meanSeed -> $meanRef")
   }
 
+  test("trained-codebook IVF search matches seed-IVF recall shape") {
+    val emb = Tables.embeddings(spark, Sf0001).filter(col("vec_id") % 5 === 0)
+    val exact = Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val codebook = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+      nCells = 4, iters = 2)
+    val trained = Similarity.ivfTopKWith(emb, codebook, "vec_id",
+      "embedding", k = 5, nProbe = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect trained).size.toDouble / exact.size
+    assert(recall >= 0.4, s"trained-IVF recall too low: $recall")
+    val counts = Similarity.ivfTopKWith(emb, codebook, "vec_id",
+      "embedding", k = 5, nProbe = 2)
+      .groupBy("query_id").count().select("count").as[Long].collect()
+    assert(counts.forall(_ <= 5))
+  }
+
   test("IVF ANN finds identical-direction vectors and bounds candidates") {
     val emb = Tables.embeddings(spark, Sf0001).filter(col("vec_id") % 5 === 0)
     val exact = Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", 5)
