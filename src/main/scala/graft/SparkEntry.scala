@@ -486,6 +486,18 @@ object SparkEntry {
         col("text"), n = 3, mBits = 4096, kHashes = 3)
     }),
 
+    // RefinedWeb-style duplicate-span coverage: fraction of each doc's
+    // 5-token windows that recur in at least 2 documents
+    "t11_dup_span_stats" -> ((s, d) =>
+      TextAnalysis.dupSpanStats(Tables.documents(s, d), col("doc_id"),
+        col("text"), w = 5)),
+
+    // CCNet-style unigram-LM quality: mean token log-probability under
+    // the corpus's own unigram model, micro-nat integer accumulation
+    "t12_unigram_logprob" -> ((s, d) =>
+      TextAnalysis.unigramLogProb(Tables.documents(s, d), col("doc_id"),
+        col("text"))),
+
     // Gopher-style repetition quality signals (top-token share,
     // repeated-token fraction)
     "t8_repetition" -> ((s, d) =>
@@ -1324,6 +1336,35 @@ object SparkEntry {
          | round(max(c) / sum(c)::DOUBLE, 6) AS top_frac,
          | round(1.0 - count(*) / sum(c)::DOUBLE, 6) AS rep_frac
          |FROM c GROUP BY 1""".stripMargin,
+
+    "t11_dup_span_stats" ->
+      s"""WITH t AS (SELECT doc_id, $DuckToks AS w FROM documents),
+         |sp AS (
+         |  SELECT DISTINCT doc_id, unnest(list_transform(
+         |    range(1, len(w) - 3),
+         |    i -> array_to_string(w[i:i+4], ' '))) AS span
+         |  FROM t WHERE len(w) >= 5),
+         |freq AS (SELECT span FROM (
+         |  SELECT span, count(*) AS n FROM sp GROUP BY 1) WHERE n >= 2),
+         |dup AS (SELECT doc_id, count(*) AS n_dup
+         |  FROM sp JOIN freq USING (span) GROUP BY 1),
+         |tot AS (SELECT doc_id, count(*) AS n_spans FROM sp GROUP BY 1)
+         |SELECT tot.doc_id, CAST(n_spans AS BIGINT) AS n_spans,
+         | CAST(coalesce(n_dup, 0) AS BIGINT) AS n_dup_spans,
+         | round(coalesce(n_dup, 0) / n_spans::DOUBLE, 6) AS dup_frac
+         |FROM tot LEFT JOIN dup ON dup.doc_id = tot.doc_id""".stripMargin,
+
+    "t12_unigram_logprob" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest($DuckToks) AS token FROM documents),
+         |tt AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM tok),
+         |lp AS (
+         |  SELECT token,
+         |   CAST(round(ln(count(*) / total) * 1000000) AS BIGINT) AS lp6
+         |  FROM tok CROSS JOIN tt GROUP BY token, total)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         | round(sum(lp6) / (count(*) * 1000000.0), 6) AS mean_logprob
+         |FROM tok JOIN lp USING (token) GROUP BY doc_id""".stripMargin,
 
     "q33_stratified_sample" ->
       """SELECT lang, CAST(rn AS BIGINT) AS sample_rank, doc_id FROM (

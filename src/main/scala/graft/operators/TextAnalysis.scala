@@ -261,6 +261,60 @@ object TextAnalysis {
           .as("contamination"))
   }
 
+  /** Duplicate-span statistics (the RefinedWeb/MassiveText-style
+    * "fraction of document covered by repeated spans" signal): a span
+    * is a consecutive `w`-token window (stride 1); a span is DUPLICATED
+    * if its text occurs in at least `minDocs` distinct documents. Emits
+    * per doc the distinct-span count, duplicated-span count, and their
+    * ratio. Relational end to end: one explode, one span-frequency
+    * groupBy (map-side combined), one broadcast-size join per span.
+    * Returns (doc_id, n_spans, n_dup_spans, dup_frac). */
+  def dupSpanStats(docs: DataFrame, idCol: Column, textCol: Column,
+      w: Int, minDocs: Int = 2): DataFrame = {
+    val spans = explodedShingles(docs, idCol, textCol, w)
+      .select(col("doc_id"), col("shingle").as("span")).distinct()
+      .persist() // span-frequency build + per-doc probe
+    val freq = spans.groupBy(col("span"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("span"))
+    val dup = spans.join(freq, "span")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_spans"))
+    spans.groupBy(col("doc_id")).agg(count(lit(1)).as("n_spans"))
+      .join(dup, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_dup_spans"))
+      .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
+        round(col("n_dup_spans").cast("double") / col("n_spans"), 6)
+          .as("dup_frac"))
+  }
+
+  /** Unigram-LM quality score (the CCNet-style statistical-LM signal,
+    * with the LM trained on the corpus itself): token log-probability
+    * ln(count/total), accumulated per document in MICRO-NAT INTEGERS —
+    * each token's logprob is rounded to a long once (transcendentals
+    * agree across engines at token granularity, cf. the tf-idf oracle)
+    * and the per-doc sum is exact integer math, so the mean is
+    * bit-deterministic under any partitioning. Low (very negative)
+    * means rare-token-heavy text. Returns
+    * (doc_id, n_tokens, mean_logprob). */
+  def unigramLogProb(docs: DataFrame, idCol: Column,
+      textCol: Column): DataFrame = {
+    val tok = docs.select(idCol.as("doc_id"),
+      explode(tokens(textCol)).as("token"))
+    val totals = tok.groupBy()
+      .agg(count(lit(1)).cast("double").as("total"))
+    val lp = tok.groupBy(col("token")).agg(count(lit(1)).as("c"))
+      .crossJoin(broadcast(totals))
+      .select(col("token"),
+        round(log(col("c").cast("double") / col("total")) * 1e6)
+          .cast("long").as("lp6"))
+    tok.join(broadcast(lp), "token")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lp6")).as("s6"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("s6") / (col("n_tokens") * 1e6), 6).as("mean_logprob"))
+  }
+
   /** Exact-content fingerprint: md5 of whitespace-normalized lowercase
     * text (SURVEY §7 M7 "document fingerprinting"). */
   def contentFingerprint(text: Column): Column =

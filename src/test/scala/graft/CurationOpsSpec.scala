@@ -115,6 +115,40 @@ class CurationOpsSpec extends SparkSpec {
     assert(kept.toSet == again.toSet)
   }
 
+  test("dupSpanStats counts cross-doc repeated windows (t11)") {
+    val docs = Seq(
+      (1L, "a b c d e f"),    // spans: abcde, bcdef
+      (2L, "a b c d e zzz"),  // shares abcde with doc 1
+      (3L, "p q r s t u")     // nothing shared
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.dupSpanStats(docs, col("doc_id"), col("text"),
+      w = 5).select("doc_id", "n_spans", "n_dup_spans", "dup_frac")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L)._2 == 2 && out(1L)._3 == 1 && out(1L)._4 == 0.5)
+    assert(out(2L)._2 == 2 && out(2L)._3 == 1)
+    assert(out(3L)._2 == 2 && out(3L)._3 == 0 && out(3L)._4 == 0.0)
+  }
+
+  test("unigramLogProb scores common-token text higher (t12)") {
+    val docs = Seq(
+      (1L, "the the the the"),       // only common tokens
+      (2L, "the the rareword1 rareword2") // half rare
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramLogProb(docs, col("doc_id"), col("text"))
+      .select("doc_id", "n_tokens", "mean_logprob")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._2 == 4 && out(2L)._2 == 4)
+    // "the" has p=6/8; doc 1's mean = ln(0.75); doc 2 mixes ln(1/8)s
+    assert(math.abs(out(1L)._3 - math.log(0.75)) < 1e-5)
+    assert(out(1L)._3 > out(2L)._3)
+    // deterministic across runs
+    val again = TextAnalysis.unigramLogProb(docs, col("doc_id"), col("text"))
+      .select("doc_id", "n_tokens", "mean_logprob")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(again == out)
+  }
+
   test("bloom-pre-filtered contamination equals the exact broadcast join") {
     val docs = Tables.documents(spark, Sf0001)
     val bench = docs.filter(col("doc_id") % 97 === 0)
