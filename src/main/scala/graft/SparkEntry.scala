@@ -351,6 +351,33 @@ object SparkEntry {
     "q14_sessionize" -> ((s, d) =>
       Events.sessionize(Tables.events(s, d), 1800L)),
 
+    // co-bucketed fact-to-fact join: both sides pre-bucketed on the
+    // join key, so the join itself plans with NO Exchange — the
+    // amortized-shuffle-elimination pattern for recurring 100 TB joins
+    // (the bucketed write is part of the query; the oracle checks the
+    // join result, BucketedJoinSpec/ExtendedOpsSpec check plan shape)
+    "q36_bucketed_join" -> ((s, d) => {
+      val tag = s"g${System.nanoTime()}"
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_q36_").toString
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_quantity"),
+          col("l_extendedprice"))
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey").as("l_orderkey"),
+          col("o_orderpriority"))
+      PipelineOps.writeBucketed(li, "l_orderkey", 8, s"q36_li_$tag",
+        s"$tmp/li")
+      PipelineOps.writeBucketed(o, "l_orderkey", 8, s"q36_o_$tag",
+        s"$tmp/o")
+      s.table(s"q36_li_$tag").hint("merge")
+        .join(s.table(s"q36_o_$tag"), "l_orderkey")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"))
+    }),
+
     // full outer join: align two sparse daily series (order days vs
     // event days — disjoint ranges, so both sides produce outer rows)
     "q35_full_outer" -> ((s, d) => {
@@ -1778,6 +1805,13 @@ object SparkEntry {
 
     "s5_ann_ivf_trained" ->
       duckKmeansIvf(nc = 8, iters = 2, nProbe = 2, k = 5),
+
+    "q36_bucketed_join" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
 
     "q35_full_outer" ->
       """WITH o AS (
