@@ -613,6 +613,15 @@ object SparkEntry {
       Similarity.kmeansRefine(Tables.embeddings(s, d), "vec_id",
         "embedding", nCells = 8, iters = 2)),
 
+    // product quantization: sub-vector codebooks → per-vector codes →
+    // asymmetric-distance top-k (the memory-bound ANN shape: m bytes
+    // of codes per corpus vector at search time)
+    "s6_pq_adc" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.pqTopK(emb, emb.filter(col("vec_id") % 25 === 0),
+        "vec_id", "embedding", topK = 5)
+    }),
+
     // the full train→index→search loop: the trained codebook from s4's
     // k-means feeds the IVF search
     "s5_ann_ivf_trained" -> ((s, d) => {
@@ -1805,6 +1814,47 @@ object SparkEntry {
 
     "s5_ann_ivf_trained" ->
       duckKmeansIvf(nc = 8, iters = 2, nProbe = 2, k = 5),
+
+    // PQ: the seed ranks are subspace-independent (the sampler hashes
+    // only vec_id), so one global row_number serves all 8 codebooks
+    "s6_pq_adc" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings),
+        |subs AS (
+        |  SELECT vec_id, s, v[8*s+1 : 8*s+8] AS sub
+        |  FROM e CROSS JOIN (SELECT unnest(range(8)) AS s) ss),
+        |sel AS (SELECT vec_id, row_number() OVER (
+        |  ORDER BY md5(vec_id::VARCHAR || '#777'), vec_id) AS rk FROM e),
+        |cb AS (
+        |  SELECT su.s, CAST(sel.rk AS BIGINT) AS cid, su.sub AS centroid
+        |  FROM subs su JOIN sel USING (vec_id) WHERE sel.rk <= 8),
+        |scored AS (
+        |  SELECT su.vec_id, su.s, cb.cid,
+        |   list_reduce(list_transform(range(1, 9),
+        |     i -> (su.sub[i] - cb.centroid[i]) * (su.sub[i] - cb.centroid[i])),
+        |     (a, b) -> a + b) AS dist
+        |  FROM subs su JOIN cb ON cb.s = su.s),
+        |codes AS (
+        |  SELECT vec_id, s, cid FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, s
+        |      ORDER BY dist, cid) AS rk FROM scored) WHERE rk = 1),
+        |qd AS (
+        |  SELECT vec_id AS qid, s, cid, dist AS qd
+        |  FROM scored WHERE vec_id % 25 = 0),
+        |pair AS (
+        |  SELECT q.qid AS query_id, c.vec_id AS neighbor_id,
+        |   list_reduce(list_transform(
+        |     list(struct_pack(s := c.s, d := q.qd) ORDER BY c.s),
+        |     x -> x.d), (a, b) -> a + b) AS adc_dist
+        |  FROM codes c JOIN qd q ON q.s = c.s AND q.cid = c.cid
+        |    AND q.qid <> c.vec_id
+        |  GROUP BY 1, 2),
+        |r AS (SELECT query_id, neighbor_id, adc_dist,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY adc_dist, neighbor_id) AS BIGINT) AS rank FROM pair)
+        |SELECT query_id, rank, neighbor_id, adc_dist
+        |FROM r WHERE rank <= 5""".stripMargin,
 
     "q36_bucketed_join" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,

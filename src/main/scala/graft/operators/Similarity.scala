@@ -289,6 +289,87 @@ object Similarity {
     (e, cents)
   }
 
+  /** Product-quantization codebooks: split each vector into `m`
+    * contiguous `dim/m`-wide subspaces and pick `k` deterministic seed
+    * vectors whose sub-slices form each subspace's codebook. Seed
+    * selection rides [[graft.operators.PipelineOps.stratifiedTopK]] —
+    * the two-phase bounded-reducer sampler — so no per-subspace window
+    * ever sees the whole corpus. Sub-slices are cast to doubles (HOF
+    * arithmetic carries element types; float math would diverge from
+    * the double-only oracle). Returns (s, cid 1..k, centroid). */
+  def pqCodebooks(emb: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int, dim: Int, seed: Int): DataFrame = {
+    require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    val sub = dim / m
+    val subs = emb.select(col(idCol).as("vid"),
+      posexplode(transform(sequence(lit(0), lit(m - 1)),
+        s => slice(col(vecCol), s * sub + 1, lit(sub))
+          .cast("array<double>"))).as(Seq("s", "sub")))
+    PipelineOps.stratifiedTopK(subs, col("s"), col("vid"), k, seed)
+      .select(col("s"), col("sample_rank").as("cid"),
+        col("sub").as("centroid"))
+  }
+
+  /** PQ encode: per (vector, subspace), the id of the nearest codebook
+    * centroid by squared L2 (left-fold; ties to the lowest cid). The
+    * groupBy-min-struct collapses the n×m×k scored rows map-side —
+    * one row per (vector, subspace) crosses the shuffle. */
+  def pqEncode(emb: DataFrame, codebooks: DataFrame, idCol: String,
+      vecCol: String, m: Int, dim: Int): DataFrame = {
+    val sub = dim / m
+    val subs = emb.select(col(idCol).as("vid"),
+      posexplode(transform(sequence(lit(0), lit(m - 1)),
+        s => slice(col(vecCol), s * sub + 1, lit(sub))
+          .cast("array<double>"))).as(Seq("s", "sub")))
+    subs.join(broadcast(codebooks), Seq("s"))
+      .withColumn("dist", aggregate(
+        zip_with(col("sub"), col("centroid"), (x, y) => (x - y) * (x - y)),
+        lit(0.0d), (acc, v) => acc + v))
+      .groupBy(col("vid"), col("s"))
+      .agg(min(struct(col("dist"), col("cid"))).as("best"))
+      .select(col("vid"), col("s"), col("best.cid").as("cid"))
+  }
+
+  /** PQ-ADC approximate top-k: queries score every corpus vector as the
+    * sum over subspaces of the query-to-centroid distance of the
+    * vector's CODE — the classic asymmetric-distance computation. The
+    * per-query distance table (queries × m × k) is tiny and joins the
+    * code relation on (s, cid); the per-pair sum is a LEFT FOLD over
+    * the subspace-sorted distance list, so the ranking is
+    * bit-deterministic. This is the memory-bound ANN shape: at search
+    * time the corpus is m bytes of codes per vector, never the raw
+    * floats. */
+  def pqTopK(emb: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, topK: Int, m: Int = 8, k: Int = 8, dim: Int = 64,
+      seed: Int = 777): DataFrame = {
+    val sub = dim / m
+    val cb = pqCodebooks(emb, idCol, vecCol, m, k, dim, seed)
+      .persist() // encode side + query distance table
+    val codes = pqEncode(emb, cb, idCol, vecCol, m, dim)
+    val qsubs = queries.select(col(idCol).as("qid"),
+      posexplode(transform(sequence(lit(0), lit(m - 1)),
+        s => slice(col(vecCol), s * sub + 1, lit(sub))
+          .cast("array<double>"))).as(Seq("s", "qsub")))
+    val dtable = qsubs.join(broadcast(cb), Seq("s"))
+      .withColumn("qd", aggregate(
+        zip_with(col("qsub"), col("centroid"), (x, y) => (x - y) * (x - y)),
+        lit(0.0d), (acc, v) => acc + v))
+      .select(col("qid"), col("s"), col("cid"), col("qd"))
+    val paired = codes.join(broadcast(dtable), Seq("s", "cid"))
+      .filter(col("qid") =!= col("vid"))
+      .groupBy(col("qid"), col("vid"))
+      .agg(array_sort(collect_list(struct(col("s"), col("qd")))).as("ds"))
+      .select(col("qid").as("query_id"), col("vid").as("neighbor_id"),
+        aggregate(col("ds"), lit(0.0d), (acc, x) => acc + x("qd"))
+          .as("adc_dist"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
+    paired.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("adc_dist"))
+  }
+
   /** LSH-accelerated ANN top-k: candidates are corpus vectors sharing
     * the query's bucket (multi-probe: Hamming-1 neighbours of the bucket
     * included when `probeBits > 0`), ranked by exact cosine within the

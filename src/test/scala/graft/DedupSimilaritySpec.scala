@@ -175,6 +175,31 @@ class DedupSimilaritySpec extends SparkSpec {
       s"refinement degraded mean sim: $meanSeed -> $meanRef")
   }
 
+  test("PQ-ADC: codes cover all subspaces, search is deterministic") {
+    val emb = Tables.embeddings(spark, Sf0001)
+    val cb = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+      m = 8, k = 8, dim = 64, seed = 777)
+    // 8 codebooks × 8 centroids, each an 8-dim sub-vector
+    assert(cb.count() == 64)
+    assert(cb.select(size(col("centroid"))).distinct()
+      .as[Int].collect().toSeq == Seq(8))
+    val codes = Similarity.pqEncode(emb, cb, "vec_id", "embedding",
+      m = 8, dim = 64)
+    val n = emb.count()
+    assert(codes.count() == n * 8)       // every (vector, subspace) coded
+    assert(codes.agg(max("cid")).as[Long].head() <= 8)
+    val q = emb.filter(col("vec_id") % 25 === 0)
+    val topk = Similarity.pqTopK(emb, q, "vec_id", "embedding", topK = 5)
+      .select("query_id", "rank", "neighbor_id", "adc_dist")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(topk.length == q.count() * 5)
+    // bit-deterministic including the ADC floats
+    val again = Similarity.pqTopK(emb, q, "vec_id", "embedding", topK = 5)
+      .select("query_id", "rank", "neighbor_id", "adc_dist")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(topk.toSet == again.toSet)
+  }
+
   test("trained-codebook IVF search matches seed-IVF recall shape") {
     val emb = Tables.embeddings(spark, Sf0001).filter(col("vec_id") % 5 === 0)
     val exact = Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", 5)
