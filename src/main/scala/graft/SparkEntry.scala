@@ -1840,20 +1840,19 @@ object SparkEntry {
         |    SELECT *, row_number() OVER (PARTITION BY vec_id, s
         |      ORDER BY dist, cid) AS rk FROM scored) WHERE rk = 1),
         |qd AS (
-        |  SELECT vec_id AS qid, s, cid, dist AS qd
+        |  SELECT vec_id AS qid, s, cid,
+        |   CAST(round(dist * 1000000) AS BIGINT) AS qd6
         |  FROM scored WHERE vec_id % 25 = 0),
         |pair AS (
         |  SELECT q.qid AS query_id, c.vec_id AS neighbor_id,
-        |   list_reduce(list_transform(
-        |     list(struct_pack(s := c.s, d := q.qd) ORDER BY c.s),
-        |     x -> x.d), (a, b) -> a + b) AS adc_dist
+        |   CAST(sum(q.qd6) AS BIGINT) AS adc6
         |  FROM codes c JOIN qd q ON q.s = c.s AND q.cid = c.cid
         |    AND q.qid <> c.vec_id
         |  GROUP BY 1, 2),
-        |r AS (SELECT query_id, neighbor_id, adc_dist,
+        |r AS (SELECT query_id, neighbor_id, adc6,
         |  CAST(row_number() OVER (PARTITION BY query_id
-        |    ORDER BY adc_dist, neighbor_id) AS BIGINT) AS rank FROM pair)
-        |SELECT query_id, rank, neighbor_id, adc_dist
+        |    ORDER BY adc6, neighbor_id) AS BIGINT) AS rank FROM pair)
+        |SELECT query_id, rank, neighbor_id, adc6
         |FROM r WHERE rank <= 5""".stripMargin,
 
     "q36_bucketed_join" ->

@@ -107,6 +107,10 @@ object Stress {
     t("s4_kmeans(auto)") {
       Similarity.kmeansRefine(emb, "vec_id", "embedding", iters = 2).count()
     }
+    t("s6_pq_adc") {
+      Similarity.pqTopK(emb, emb.filter(col("vec_id") % 25 === 0),
+        "vec_id", "embedding", topK = 5).count()
+    }
     t("p1_pipeline") {
       val scored = docs
         .withColumn("q", TextAnalysis.qualityScore(col("text")))

@@ -190,13 +190,14 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(codes.agg(max("cid")).as[Long].head() <= 8)
     val q = emb.filter(col("vec_id") % 25 === 0)
     val topk = Similarity.pqTopK(emb, q, "vec_id", "embedding", topK = 5)
-      .select("query_id", "rank", "neighbor_id", "adc_dist")
-      .as[(Long, Long, Long, Double)].collect()
+      .select("query_id", "rank", "neighbor_id", "adc6")
+      .as[(Long, Long, Long, Long)].collect()
     assert(topk.length == q.count() * 5)
-    // bit-deterministic including the ADC floats
+    assert(topk.forall(_._4 >= 0)) // squared distances
+    // bit-deterministic including the quantized ADC distances
     val again = Similarity.pqTopK(emb, q, "vec_id", "embedding", topK = 5)
-      .select("query_id", "rank", "neighbor_id", "adc_dist")
-      .as[(Long, Long, Long, Double)].collect()
+      .select("query_id", "rank", "neighbor_id", "adc6")
+      .as[(Long, Long, Long, Long)].collect()
     assert(topk.toSet == again.toSet)
   }
 
