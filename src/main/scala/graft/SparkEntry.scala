@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.operators._
+import graft.InternalCaches.TrackedPersist
 import graft.streaming.EventStream
 
 /** Driver contract (see SURVEY.md §7 + the builder prompt): one entry per
@@ -199,7 +200,7 @@ object SparkEntry {
         .withColumn("q", TextAnalysis.qualityScore(col("text")))
         .withColumn("n_toks",
           size(TextAnalysis.tokens(col("text"))).cast("long"))
-      val mh = Dedup.minhash(docs, col("doc_id"), col("text"), 8).persist()
+      val mh = Dedup.minhash(docs, col("doc_id"), col("text"), 8).persistTracked()
       val dupDrop = Dedup.minhashJaccard(Dedup.lshCandidates(mh, 2), mh, 8)
         .filter(col("est_jaccard") >= 0.5)
         .select(col("doc_b").as("doc_id")).distinct()
@@ -540,7 +541,7 @@ object SparkEntry {
       val docs = Tables.documents(s, d)
       // signatures are reused by banding and by the jaccard estimate —
       // materialize once (the 100 TB pattern: signatures ≪ corpus)
-      val mh = Dedup.minhash(docs, col("doc_id"), col("text"), 8).persist()
+      val mh = Dedup.minhash(docs, col("doc_id"), col("text"), 8).persistTracked()
       val cand = Dedup.lshCandidates(mh, 2)
       Dedup.minhashJaccard(cand, mh, 8)
     }),
@@ -1675,13 +1676,13 @@ object SparkEntry {
          |    x -> power(x.n, 0.5)), (a, b) -> a + b) AS denom
          |  FROM c),
          |r AS (
-         |  SELECT lang, cnt,
-         |   least(1.0, 300.0 * power(cnt, 0.5) / denom / cnt) AS rate
+         |  SELECT lang,
+         |   CAST(round(least(1.0, 300.0 * power(cnt, 0.5) / denom / cnt)
+         |     * 1000000) AS BIGINT) AS rate6
          |  FROM c CROSS JOIN d)
-         |SELECT doc_id, lang AS cls,
-         | CAST(round(rate * 1000000) AS BIGINT) AS rate6
+         |SELECT doc_id, lang AS cls, rate6
          |FROM documents JOIN r USING (lang)
-         |WHERE ${duckRand("doc_id::VARCHAR", 41)} < rate""".stripMargin,
+         |WHERE ${duckRand("doc_id::VARCHAR", 41)} * 1000000 < rate6""".stripMargin,
 
     "s1_cosine_topk" ->
       """WITH e AS (

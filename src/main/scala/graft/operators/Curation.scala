@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.InternalCaches.TrackedPersist
 
 /** Training-corpus assembly operators: packing documents into
   * fixed-length context windows and re-balancing the language/source
@@ -47,7 +48,7 @@ object Curation {
         pmod(Tables.hashU32(col("doc_id"), seed + 1), lit(buckets.toLong)))
       // read by the local-cumsum side AND the totals side: materialize
       // the (possibly expensive) token-count projection once
-      .persist()
+      .persistTracked()
     val wLocal = Window.partitionBy(col("grp"), col("__bk"))
       .orderBy(col("__h"), col("doc_id"))
     val local = base.withColumn("__le", sum(col("n_toks")).over(wLocal))
@@ -91,16 +92,23 @@ object Curation {
       .select(aggregate(col("a"), lit(0.0d),
         (acc, x) => acc + pow(x("c").cast("double"), lit(alpha)))
         .as("denom"))
+    // The keep decision gates on the QUANTIZED rate (integer micro-
+    // units), not the raw pow() result: Java Math.pow and DuckDB's libm
+    // pow are not guaranteed bit-identical, so a draw within an ulp of
+    // an unquantized rate could flip between engines. Quantized, both
+    // engines compare the draw against the same integer (a pow
+    // divergence would have to move the rate across a 1e-6 boundary to
+    // matter — transcendental agreement at that granularity is the same
+    // assumption the tf-idf / unigram-LM oracles already rely on).
     val rates = counts.crossJoin(broadcast(denom))
       .withColumn("rate",
         least(lit(1.0d), lit(targetCount.toDouble) *
           pow(col("c").cast("double"), lit(alpha)) / col("denom")
           / col("c").cast("double")))
-      .select(col("cls"), col("rate"))
+      .select(col("cls"), round(col("rate") * 1e6).cast("long").as("rate6"))
     df.select(idCol.as("doc_id"), classCol.as("cls"))
       .join(broadcast(rates), Seq("cls"))
-      .filter(Tables.hashRand(col("doc_id"), seed) < col("rate"))
-      .select(col("doc_id"), col("cls"),
-        round(col("rate") * 1e6).cast("long").as("rate6"))
+      .filter(Tables.hashRand(col("doc_id"), seed) * 1e6 < col("rate6"))
+      .select(col("doc_id"), col("cls"), col("rate6"))
   }
 }

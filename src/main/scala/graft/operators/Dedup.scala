@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.InternalCaches.TrackedPersist
 
 /** Deduplication operators for the LLM-data-pipeline extension surface
   * (SURVEY.md §7 M7a): exact hash-dedup, MinHash+LSH near-dup, SimHash
@@ -74,7 +75,7 @@ object Dedup {
       .groupBy(col("doc_id"), col("band"))
       .agg(md5(concat_ws("|",
         array_sort(collect_list(col("mh")))).cast("binary")).as("bkey"))
-      .persist()
+      .persistTracked()
     val a = banded.select(col("band").as("band_a"), col("bkey").as("bkey_a"),
       col("doc_id").as("doc_a"))
     val b = banded.select(col("band").as("band_b"), col("bkey").as("bkey_b"),
@@ -113,7 +114,7 @@ object Dedup {
       textCol: Column, n: Int = 3): DataFrame = {
     val sh = docs.select(idCol.as("id"),
       explode(TextAnalysis.shingles(textCol, n)).as("s")).distinct()
-      .persist() // reused 3×: intersection (both sides) and set sizes
+      .persistTracked() // reused 3×: intersection (both sides) and set sizes
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val inter = pairs
       .join(sh.select(col("id").as("doc_a"), col("s").as("s_a")), "doc_a")
@@ -147,7 +148,7 @@ object Dedup {
       .select(col("id"), col("k"),
         explode(TextAnalysis.shinglesOf(col("toks"), n)).as("s"))
       .distinct()
-      .persist()
+      .persistTracked()
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.k") === col("b.k") && col("a.s") === col("b.s") &&
@@ -197,7 +198,7 @@ object Dedup {
     * bands (pigeonhole guarantees recall for Hamming ≤ 3 at 4 bands);
     * verified by exact Hamming distance ≤ maxHamming. */
   def simhashPairs(sh: DataFrame, maxHamming: Int): DataFrame = {
-    val fps = sh.persist() // both sides of the band self-join
+    val fps = sh.persistTracked() // both sides of the band self-join
     val banded = fps.select(col("doc_id"), col("simhash"),
       explode(sequence(lit(0), lit(3))).as("band"))
       .withColumn("bkey",
@@ -247,7 +248,7 @@ object Dedup {
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
     val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .distinct().persist()
+      .distinct().persistTracked()
     // seed each vertex with min(self, direct neighbors) — the first
     // propagation round for free, as one groupBy on the edge relation
     // (same shuffle the distinct-vertices init would have paid)
@@ -271,7 +272,12 @@ object Dedup {
     }
     var prevSum = labelSum(labels)
     var iter = 0
-    var done = prevSum == 0L // empty edge list: nothing to close
+    // Early exit ONLY on a genuinely empty edge list. Gating on the
+    // label sum being zero would misfire on graphs whose seed labels
+    // happen to sum to 0 (possible with negative vertex ids); the sum
+    // is only a CONVERGENCE probe (labels are per-vertex non-increasing,
+    // so an unchanged sum means no label moved — sign-independent).
+    var done = labels.isEmpty // checkpointed: a cheap take(1) probe
     while (!done && iter < maxIter) {
       // ONE step per materialization: a double step would re-execute
       // the un-materialized inner step at each of the outer step's
@@ -321,7 +327,7 @@ object Dedup {
       .filter(size(col("toks")) > 0)
       .withColumn("n_segs",
         ceil(size(col("toks")) / segLen.toDouble).cast("long"))
-      .persist() // reused: segment explode + final per-doc stats join
+      .persistTracked() // reused: segment explode + final per-doc stats join
     val segs = base.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), (col("n_segs") - 1).cast("int")),
         i => array_join(slice(col("toks"), i * segLen + 1, lit(segLen)), " ")))

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.InternalCaches.TrackedPersist
 
 /** Similarity search over an embedding column (SURVEY.md §7 M7b):
   * brute-force cosine top-k as the exact baseline, and a sign-random-
@@ -187,7 +188,7 @@ object Similarity {
       .withColumn("rk", row_number().over(wAssign))
       .filter(col("rk") <= math.max(nProbe, 1))
       .select(col(idCol), col(vecCol), col("nrm"), col("cell_id"), col("rk"))
-      .persist()
+      .persistTracked()
     val assigned = ranked.filter(col("rk") === 1)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
         col("nrm").as("c_nrm"), col("cell_id"))
@@ -279,7 +280,7 @@ object Similarity {
     val nc = if (nCells > 0) nCells else autoCells(emb.count())
     val e = emb.select(col(idCol).as("vid"), col(vecCol).as("v"))
       .withColumn("nrm", norm(col("v")))
-      .persist() // scanned once per Lloyd round
+      .persistTracked() // scanned once per Lloyd round
     var cents = e.withColumn("__h", Tables.hashU32(col("vid"), 77))
       .orderBy(col("__h"), col("vid")).limit(nc)
       .select(col("vid").as("cell_id"), col("v").as("cv"))
@@ -349,7 +350,7 @@ object Similarity {
       seed: Int = 777): DataFrame = {
     val sub = dim / m
     val cb = pqCodebooks(emb, idCol, vecCol, m, k, dim, seed)
-      .persist() // encode side + query distance table
+      .persistTracked() // encode side + query distance table
     val codes = pqEncode(emb, cb, idCol, vecCol, m, dim)
     val qsubs = queries.select(col(idCol).as("qid"),
       posexplode(transform(sequence(lit(0), lit(m - 1)),
@@ -393,7 +394,7 @@ object Similarity {
     val withB = emb.select(col(idCol), col(vecCol))
       .withColumn("bucket", lshBucketFolded(col(vecCol), planes))
       .withColumn("nrm", norm(col(vecCol)))
-      .persist() // probe side + neighbor side: fold the projections once
+      .persistTracked() // probe side + neighbor side: fold the projections once
     // probe buckets: the bucket itself plus Hamming-1 flips
     val probes =
       if (probeBits <= 0) withB.withColumn("probe", col("bucket"))

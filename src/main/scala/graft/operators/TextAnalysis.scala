@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.InternalCaches.TrackedPersist
 
 /** Text-analysis operators for the LLM-data-pipeline extension surface
   * (north star in BASELINE.json; SURVEY.md §7 M7c): tokenization, token
@@ -226,10 +227,10 @@ object TextAnalysis {
       kHashes: Int = 3): DataFrame = {
     require(mBits % 64 == 0 && kHashes > 0, s"mBits=$mBits kHashes=$kHashes")
     val docSh = explodedShingles(docs, idCol, textCol, n).distinct()
-      .persist() // probe positions + per-doc totals
+      .persistTracked() // probe positions + per-doc totals
     val benchSh = explodedShingles(bench, idCol, textCol, n)
       .select(col("shingle")).distinct()
-      .persist() // bloom build + exact verification
+      .persistTracked() // bloom build + exact verification
     def positions(df: DataFrame): DataFrame = df
       .select(col("*"), explode(sequence(lit(0), lit(kHashes - 1))).as("j"))
       .withColumn("pos", pmod(
@@ -273,7 +274,7 @@ object TextAnalysis {
       w: Int, minDocs: Int = 2): DataFrame = {
     val spans = explodedShingles(docs, idCol, textCol, w)
       .select(col("doc_id"), col("shingle").as("span")).distinct()
-      .persist() // span-frequency build + per-doc probe
+      .persistTracked() // span-frequency build + per-doc probe
     val freq = spans.groupBy(col("span"))
       .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)

@@ -339,6 +339,14 @@ object TfRecords {
     Row.fromSeq(schema.fields.toIndexedSeq.map { f =>
       ex.get(f.name) match {
         case None => null
+        // A present-but-EMPTY value list is legal in foreign TFRecords
+        // (an absent oneof or an empty Int64List both decode to an
+        // empty list): for a scalar column that is "no value" ⇒ null,
+        // same as an absent key — never a head-of-empty crash. For
+        // array columns the empty list IS the value (handled below).
+        case Some(BytesFeature(Nil)) | Some(FloatFeature(Nil)) |
+            Some(Int64Feature(Nil)) if !f.dataType.isInstanceOf[ArrayType] =>
+          null
         case Some(feat) => (f.dataType, feat) match {
           case (StringType, BytesFeature(vs)) => new String(vs.head, UTF_8)
           case (BinaryType, BytesFeature(vs)) => vs.head
@@ -407,6 +415,12 @@ object TfRecords {
       .flatMap { case (_, pds) =>
         val in = new DataInputStream(
           new BufferedInputStream(pds.open(), 1 << 16))
+        // close unconditionally at task end: the clean-EOF close below
+        // never fires for a partially consumed partition (limit/take,
+        // downstream exception), which would leak the file handle
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ =>
+            try in.close() catch { case _: java.io.IOException => () }))
         new Iterator[Row] {
           private var nextRec: Option[Array[Byte]] = advance()
           private def advance(): Option[Array[Byte]] = {

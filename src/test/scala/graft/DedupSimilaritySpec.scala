@@ -124,6 +124,32 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(canon.toSeq.sorted == Seq(1L, 10L, 20L))
   }
 
+  test("connected components converge with negative ids (seed sum 0)") {
+    // path -2 — 4 — 5: the seed labels are (-2 → -2, 4 → -2, 5 → 4),
+    // which sum to exactly 0 — a zero-sum early exit would return the
+    // non-converged labels (5 still at 4 instead of -2)
+    val edges = Seq((-2L, 4L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val comp = Dedup.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(comp == Map(-2L -> -2L, 4L -> -2L, 5L -> -2L), s"got $comp")
+    // and a genuinely empty edge list still returns an empty frame
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.connectedComponents(empty).isEmpty)
+  }
+
+  test("internal persists are tracked and releasable by callers") {
+    InternalCaches.releaseAll() // isolate from other suites
+    val mh = Dedup.minhash(docs, col("doc_id"), col("text"), 8)
+    val cand = Dedup.lshCandidates(mh, 2) // persists the banded relation
+    val n = cand.count()
+    assert(InternalCaches.trackedCount > 0,
+      "operator-internal persist must register for release")
+    InternalCaches.releaseAll()
+    assert(InternalCaches.trackedCount == 0)
+    // released caches silently recompute — same result
+    assert(cand.count() == n)
+  }
+
   test("segment dedup keeps first occurrence and reassembles in order") {
     // segLen=2 over tiny docs: doc 1 owns both segments; doc 2 repeats
     // doc 1's first segment ("a b") but has a novel second segment;

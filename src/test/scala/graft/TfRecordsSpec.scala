@@ -127,6 +127,33 @@ class TfRecordsSpec extends SparkSpec {
       e.getCause != null)
   }
 
+  test("foreign empty feature lists read as null scalars / empty arrays") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("tfrec").toString
+    // a foreign writer may emit a present-but-empty list (absent oneof
+    // or an empty Int64List) — a scalar column must read null, an array
+    // column must read the empty array, and nothing may throw
+    val ex = Map[String, TfRecords.TfFeature](
+      "id" -> Int64Feature(Seq(7L)),
+      "empty_scalar" -> Int64Feature(Nil),
+      "empty_str" -> BytesFeature(Nil),
+      "empty_arr" -> FloatFeature(Nil))
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    TfRecords.writeRecord(out, TfRecords.encodeExample(ex))
+    out.flush()
+    Files.write(Paths.get(dir, "f_00000-of-00001.tfrecord"), bos.toByteArray)
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("empty_scalar", LongType),
+      StructField("empty_str", StringType),
+      StructField("empty_arr", ArrayType(FloatType))))
+    val row = TfRecords.read(spark, s"$dir/f_*.tfrecord", schema).head()
+    assert(row.getLong(0) == 7L)
+    assert(row.isNullAt(1) && row.isNullAt(2))
+    assert(row.getSeq[Float](3) == Seq())
+  }
+
   test("image shards use the reference keys and survive a round-trip") {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("tfrec").toString
