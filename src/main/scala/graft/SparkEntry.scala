@@ -187,6 +187,40 @@ object SparkEntry {
        |SELECT query_id, rank, neighbor_id, cosine
        |FROM r2 WHERE rank <= $k""".stripMargin
 
+  /** One quantized per-subspace Lloyd round for the s7 oracle: assign
+    * every sub-slice to its nearest centroid of codebook `prev`
+    * (squared-L2 left fold, ties to the lowest cid), then rebuild each
+    * (s, cid) centroid from integer micro-unit sums — textually the
+    * same fold order and quantization as Similarity.pqTrainCodebooks. */
+  private def duckPqRound(i: Int, subLen: Int): String = {
+    val prev = if (i == 1) "cb" else s"cb${i - 1}"
+    s"""psc$i AS (
+       |  SELECT su.vec_id, su.s, su.sub, c.cid,
+       |   list_reduce(list_transform(range(1, ${subLen + 1}),
+       |     j -> (su.sub[j] - c.centroid[j]) * (su.sub[j] - c.centroid[j])),
+       |     (a, b) -> a + b) AS dist
+       |  FROM subs su JOIN $prev c ON c.s = su.s),
+       |pas$i AS (
+       |  SELECT s, cid, sub FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, s
+       |      ORDER BY dist, cid) AS rk FROM psc$i) WHERE rk = 1),
+       |px$i AS (
+       |  SELECT s, cid, u.pos AS pos, u.x AS x FROM (
+       |    SELECT s, cid, unnest(list_transform(range(0, len(sub)),
+       |      j -> struct_pack(pos := j, x := sub[j+1]))) AS u
+       |    FROM pas$i)),
+       |pq$i AS (
+       |  SELECT s, cid, pos,
+       |   CAST(sum(CAST(round(x * 1000000) AS BIGINT)) AS BIGINT) AS qs,
+       |   CAST(count(*) AS BIGINT) AS cnt
+       |  FROM px$i GROUP BY 1, 2, 3),
+       |cb$i AS (
+       |  SELECT s, cid,
+       |   list(CAST(qs AS DOUBLE) / (CAST(cnt AS DOUBLE) * 1000000.0)
+       |     ORDER BY pos) AS centroid
+       |  FROM pq$i GROUP BY 1, 2)""".stripMargin
+  }
+
   def queries: Map[String, Q] = Map(
     // —— capstone: the LLM training-data prep pipeline, end to end ——
     // quality scoring → MinHash-LSH near-dup removal (keep the lower
@@ -892,6 +926,59 @@ object SparkEntry {
         frameLen = 32, stride = 64, maxFrames = 8)),
 
     // batched per-partition multimodal kernels (mapInPandas-analogue;
+    // deterministic HyperLogLog distinct sketch over three event
+    // columns in one pass — integer register math, md5 hashing, so the
+    // sketch itself (not just its inputs) hash-matches the oracle;
+    // exact distinct carried alongside for error audit
+    "q37_hll_distinct" -> ((s, d) =>
+      Sketches.hllDistinct(Tables.events(s, d), Seq(
+        "event_id" -> col("event_id"),
+        "event_type" -> col("event_type"),
+        "user_id" -> col("user_id")), p = 8, seed = 5)),
+
+    // binned interval (range) join: count ALL users' events inside each
+    // sampled user's session window — large×large point-in-interval as
+    // an equi-join on 1-hour time bins, never a nested-loop
+    "q38_range_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val ivl = Events.sessionIntervals(ev, 1800L)
+        .filter(col("user_id") % 10 === 0)
+        .select(col("user_id").as("ivl_user"), col("session_id"),
+          col("start_us"), col("end_us"))
+      val pts = ev.select(
+        unix_micros(col("ts").cast("timestamp")).as("pt_us"), col("value"))
+      Events.binnedIntervalJoin(pts, "pt_us", ivl, "start_us", "end_us",
+          binUs = 3600L * 1000000L)
+        .groupBy(col("ivl_user"), col("session_id"), col("start_us"),
+          col("end_us"))
+        .agg(count(lit(1)).as("n_in_window"),
+          round(sum(col("value")), 4).as("sum_value"))
+    }),
+
+    // corpus-trained bigram LM: mean conditional log-probability per
+    // doc in micro-nats — the transition-level quality signal above t12
+    "t13_bigram_logprob" -> ((s, d) =>
+      TextAnalysis.bigramLogProb(Tables.documents(s, d), col("doc_id"),
+        col("text"))),
+
+    // triangles in the LSH near-dup graph (d7's edge set): the local-
+    // clustering corroboration signal, via degree-ordered orientation
+    "d10_triangle_count" -> ((s, d) =>
+      Dedup.triangles(
+        Similarity.lshNearDup(Tables.embeddings(s, d), "vec_id",
+          "embedding", nPlanes = 6, dim = 64, threshold = 0.2)
+          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))),
+
+    // PQ-ADC search over Lloyd-TRAINED sub-codebooks (s6 searches the
+    // raw seeds): train → encode → search, all one oracle-checked plan
+    "s7_pq_trained" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cb = Similarity.pqTrainCodebooks(emb, "vec_id", "embedding",
+        m = 8, k = 8, dim = 64, iters = 2, seed = 777)
+      Similarity.pqTopKWith(emb, cb, emb.filter(col("vec_id") % 25 === 0),
+        "vec_id", "embedding", topK = 5, m = 8, dim = 64)
+    }),
+
     // no oracle: mapPartitions path, covered by ExtendedOpsSpec)
     "m2_multimodal_features" -> ((s, d) => {
       val media = Multimodal.toMediaFrame(
@@ -2018,6 +2105,180 @@ object SparkEntry {
         | CAST(octet_length(encode(fr)) AS BIGINT) AS frame_len,
         | md5(fr) AS frame_md5
         |FROM s""".stripMargin,
+
+    // HLL registers: bucket = low 8 bits of md5-u32, ρ = trailing
+    // zeros of the high bits + 1 (pure integer ops — no log2, whose
+    // last-ulp rounding differs between engines); harmonic sum as
+    // exact integers in 2^-32 units; α·m² embedded as the identical
+    // Scala double literal; linear counting quantized to micro-nats
+    "q37_hll_distinct" -> {
+      val a = Sketches.alphaM2(256)
+      s"""WITH kv0 AS (
+         |  SELECT 'event_id' AS cname, event_id::VARCHAR AS k FROM events
+         |  UNION ALL SELECT 'event_type', event_type FROM events
+         |  UNION ALL SELECT 'user_id', user_id::VARCHAR FROM events),
+         |kv AS (SELECT cname, k FROM kv0 WHERE k IS NOT NULL),
+         |h AS (SELECT cname, k, ${duckU32("k", 5)} AS h FROM kv),
+         |rr AS (SELECT cname, h % 256 AS bucket,
+         |  CASE WHEN h // 256 = 0 THEN 25
+         |   ELSE bit_count(((h // 256) & -(h // 256)) - 1) + 1 END AS rho
+         |  FROM h),
+         |regs AS (SELECT cname, bucket, max(rho) AS maxrho
+         |  FROM rr GROUP BY 1, 2),
+         |spine AS (SELECT cname, b AS bucket
+         |  FROM (VALUES ('event_id'), ('event_type'), ('user_id')) n(cname)
+         |  CROSS JOIN (SELECT unnest(range(256)) AS b)),
+         |filled AS (SELECT s.cname, s.bucket, coalesce(r.maxrho, 0)
+         |   AS maxrho
+         |  FROM spine s LEFT JOIN regs r
+         |    ON r.cname = s.cname AND r.bucket = s.bucket),
+         |agg AS (SELECT cname,
+         |  CAST(sum(CAST(power(2, 32 - maxrho) AS BIGINT)) AS BIGINT)
+         |    AS sum_int,
+         |  CAST(sum(CASE WHEN maxrho = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS v_zero
+         |  FROM filled GROUP BY 1),
+         |ex AS (SELECT cname, CAST(count(DISTINCT k) AS BIGINT)
+         |   AS exact_nd FROM kv GROUP BY 1)
+         |SELECT cname, exact_nd, v_zero, sum_int,
+         | round(CASE WHEN (($a)::DOUBLE * 4294967296.0 / sum_int) <= 640.0
+         |    AND v_zero > 0
+         |   THEN 256.0 * CAST(round(ln(256.0 / v_zero) * 1000000)
+         |     AS BIGINT) / 1000000.0
+         |   ELSE ($a)::DOUBLE * 4294967296.0 / sum_int END, 4) AS est_hll
+         |FROM agg JOIN ex USING (cname)""".stripMargin
+    },
+
+    "q38_range_join" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS ts_us,
+        |   lag(epoch_us(ts::TIMESTAMP)) OVER
+        |     (PARTITION BY user_id ORDER BY epoch_us(ts::TIMESTAMP), event_id)
+        |     AS prev_us
+        |  FROM events),
+        |ns AS (
+        |  SELECT *, CASE WHEN prev_us IS NULL
+        |     OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM g),
+        |sid AS (
+        |  SELECT *, CAST(sum(new_session) OVER
+        |    (PARTITION BY user_id ORDER BY ts_us, event_id
+        |     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM ns),
+        |ivl AS (
+        |  SELECT user_id AS ivl_user, session_id,
+        |   CAST(min(ts_us) AS BIGINT) AS start_us,
+        |   CAST(max(ts_us) AS BIGINT) AS end_us
+        |  FROM sid WHERE user_id % 10 = 0 GROUP BY 1, 2),
+        |pts AS (SELECT epoch_us(ts::TIMESTAMP) AS pt_us, value FROM events)
+        |SELECT ivl_user, session_id, start_us, end_us,
+        | CAST(count(*) AS BIGINT) AS n_in_window,
+        | round(sum(value), 4) AS sum_value
+        |FROM ivl JOIN pts ON pt_us BETWEEN start_us AND end_us
+        |GROUP BY 1, 2, 3, 4""".stripMargin,
+
+    "t13_bigram_logprob" ->
+      s"""WITH t AS (SELECT doc_id, $DuckToks AS w FROM documents),
+         |big AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(w)),
+         |    i -> array_to_string(w[i:i+1], ' '))) AS bg
+         |  FROM t WHERE len(w) >= 2),
+         |wb AS (SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1 FROM big),
+         |c2 AS (SELECT bg, w1, CAST(count(*) AS BIGINT) AS c2
+         |  FROM wb GROUP BY 1, 2),
+         |c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1
+         |  FROM wb GROUP BY 1),
+         |lp AS (SELECT bg,
+         |  CAST(round(ln(c2::DOUBLE / c1) * 1000000) AS BIGINT) AS lp6
+         |  FROM c2 JOIN c1 USING (w1))
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         | round(sum(lp6) / (count(*) * 1000000.0), 6) AS mean_logprob
+         |FROM wb JOIN lp USING (bg)
+         |GROUP BY 1""".stripMargin,
+
+    // d7's LSH near-dup edge CTEs + the closing 3-way equi-join; edges
+    // all have a < b, so each triangle appears exactly once as a<b<c
+    "d10_triangle_count" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings),
+        |proj AS (
+        |  SELECT vec_id, p,
+        |   list_reduce(list_transform(range(1, len(v) + 1),
+        |     i -> v[i] * (('0x' || substr(md5(p::VARCHAR || '_' ||
+        |       (i-1)::VARCHAR || '#101'), 1, 8))::BIGINT
+        |       / 4294967296.0 * 2 - 1)),
+        |     (x, y) -> x + y) AS pr
+        |  FROM e CROSS JOIN (SELECT unnest(range(6)) AS p) ps),
+        |bkt AS (
+        |  SELECT vec_id, CAST(sum(CASE WHEN pr > 0
+        |    THEN CAST(power(2, p) AS BIGINT) ELSE 0 END) AS BIGINT)
+        |    AS bucket
+        |  FROM proj GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM bkt a JOIN bkt b
+        |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+        |scored AS (
+        |  SELECT p.id_a, p.id_b,
+        |   list_reduce(list_transform(range(1, len(ea.v) + 1),
+        |     i -> ea.v[i] * eb.v[i]), (x, y) -> x + y) /
+        |   (sqrt(list_reduce(list_transform(ea.v, x -> x * x),
+        |      (x, y) -> x + y)) *
+        |    sqrt(list_reduce(list_transform(eb.v, x -> x * x),
+        |      (x, y) -> x + y))) AS cosine
+        |  FROM pairs p
+        |  JOIN e ea ON ea.vec_id = p.id_a
+        |  JOIN e eb ON eb.vec_id = p.id_b),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM scored
+        |  WHERE cosine >= 0.2)
+        |SELECT e1.a AS ta, e1.b AS tb, e2.b AS tc
+        |FROM edges e1
+        |JOIN edges e2 ON e2.a = e1.b
+        |JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b""".stripMargin,
+
+    // s6's prefix (subs + md5 seed codebook) + 2 quantized Lloyd
+    // rounds per subspace + the s6-shaped encode/distance-table/ADC
+    // search against the TRAINED codebook cb2
+    "s7_pq_trained" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+         |  FROM embeddings),
+         |subs AS (
+         |  SELECT vec_id, s, v[8*s+1 : 8*s+8] AS sub
+         |  FROM e CROSS JOIN (SELECT unnest(range(8)) AS s) ss),
+         |sel AS (SELECT vec_id, row_number() OVER (
+         |  ORDER BY md5(vec_id::VARCHAR || '#777'), vec_id) AS rk FROM e),
+         |cb AS (
+         |  SELECT su.s, CAST(sel.rk AS BIGINT) AS cid, su.sub AS centroid
+         |  FROM subs su JOIN sel USING (vec_id) WHERE sel.rk <= 8),
+         |${duckPqRound(1, 8)},
+         |${duckPqRound(2, 8)},
+         |scored AS (
+         |  SELECT su.vec_id, su.s, c.cid,
+         |   list_reduce(list_transform(range(1, 9),
+         |     i -> (su.sub[i] - c.centroid[i]) * (su.sub[i] - c.centroid[i])),
+         |     (a, b) -> a + b) AS dist
+         |  FROM subs su JOIN cb2 c ON c.s = su.s),
+         |codes AS (
+         |  SELECT vec_id, s, cid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id, s
+         |      ORDER BY dist, cid) AS rk FROM scored) WHERE rk = 1),
+         |qd AS (
+         |  SELECT vec_id AS qid, s, cid,
+         |   CAST(round(dist * 1000000) AS BIGINT) AS qd6
+         |  FROM scored WHERE vec_id % 25 = 0),
+         |pair AS (
+         |  SELECT q.qid AS query_id, c.vec_id AS neighbor_id,
+         |   CAST(sum(q.qd6) AS BIGINT) AS adc6
+         |  FROM codes c JOIN qd q ON q.s = c.s AND q.cid = c.cid
+         |    AND q.qid <> c.vec_id
+         |  GROUP BY 1, 2),
+         |r AS (SELECT query_id, neighbor_id, adc6,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY adc6, neighbor_id) AS BIGINT) AS rank FROM pair)
+         |SELECT query_id, rank, neighbor_id, adc6
+         |FROM r WHERE rank <= 5""".stripMargin,
 
     "m1_multimodal_meta" ->
       s"""SELECT doc_id,

@@ -352,6 +352,54 @@ object Dedup {
         coalesce(col("kept_fp"), md5(lit("").cast("binary"))))
   }
 
+  /** Triangle enumeration over an undirected duplicate-pair edge list
+    * (columns `doc_a`, `doc_b`) — the local-clustering signal on the
+    * near-dup graph (a pair inside a triangle is corroborated by a
+    * third document; a triangle-free pair is more likely an LSH
+    * accident). Returns one row per triangle as (ta, tb, tc) with
+    * ta < tb < tc.
+    *
+    * Scale shape — degree-ordered orientation (the standard distributed
+    * triangle-count trick): orient every edge from its lower-(degree,
+    * id) endpoint to the higher, so each wedge is generated exactly
+    * once AT ITS LOWEST-DEGREE VERTEX. Wedge count drops from
+    * Σ deg(v)² (quadratic in the max degree — the star-node killer) to
+    * O(edges^1.5); every step is an equi-join or map-side-combinable
+    * groupBy, nothing global. */
+  def triangles(edges: DataFrame): DataFrame = {
+    val und = edges.select(least(col("doc_a"), col("doc_b")).as("a"),
+        greatest(col("doc_a"), col("doc_b")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .persistTracked() // degree count + orientation join
+    val deg = und.select(col("a").as("v"))
+      .union(und.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val withDeg = und
+      .join(deg.select(col("v").as("a"), col("deg").as("deg_a")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("deg_b")), "b")
+    // orient low-(deg, id) → high-(deg, id); carry the head's rank key
+    // so wedge arms can be ordered without re-joining degrees
+    val oriented = withDeg.select(
+        when(struct(col("deg_a"), col("a")) < struct(col("deg_b"), col("b")),
+          struct(col("a").as("src"), col("b").as("dst"),
+            col("deg_b").as("deg_dst")))
+          .otherwise(struct(col("b").as("src"), col("a").as("dst"),
+            col("deg_a").as("deg_dst"))).as("e"))
+      .select(col("e.src"), col("e.dst"), col("e.deg_dst"))
+      .persistTracked() // wedge arms (twice) + closing-edge probe
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") &&
+          (struct(col("e1.deg_dst"), col("e1.dst")) <
+            struct(col("e2.deg_dst"), col("e2.dst"))))
+      .select(col("e1.src").as("w0"), col("e1.dst").as("w1"),
+        col("e2.dst").as("w2"))
+    wedges.join(oriented,
+        col("src") === col("w1") && col("dst") === col("w2"))
+      .select(array_sort(array(col("w0"), col("w1"), col("w2"))).as("t"))
+      .select(col("t")(0).as("ta"), col("t")(1).as("tb"),
+        col("t")(2).as("tc"))
+  }
+
   /** Embedding-cosine near-dup: all pairs with cosine ≥ threshold.
     * Brute-force O(n²) pairing — correct at verification scale; at 100 TB
     * route candidates through

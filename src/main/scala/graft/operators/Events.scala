@@ -50,6 +50,58 @@ object Events {
         round(sum(col("value")), 4).as("sum_value"))
   }
 
+  /** Session INTERVALS — the same gap-split machinery as [[sessionize]]
+    * but returning each session's µs time bounds
+    * (user_id, session_id, start_us, end_us), the shape interval
+    * consumers ([[binnedIntervalJoin]]) want. */
+  def sessionIntervals(events: DataFrame, gapSeconds: Long): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val withGap = events
+      .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+          col("ts_us") - col("prev_us") > gapSeconds * 1000000L, 1L)
+          .otherwise(0L))
+    withGap.withColumn("session_id",
+        sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"))
+  }
+
+  /** Binned interval (range) join — the large×large point-in-interval
+    * join as an EQUI-join: chop the time axis into `binUs`-wide bins,
+    * explode each interval to the bins it overlaps, key each point by
+    * its single bin, equi-join on the bin id, and keep pairs passing
+    * the exact [start_us, end_us] containment test.
+    *
+    * Why this shape at 100 TB: a raw `p.ts BETWEEN i.start AND i.end`
+    * join has no equi key — Spark plans a broadcast-nested-loop (or
+    * worse, a cartesian) that touches every (point, interval) pair.
+    * Binning hash-partitions BOTH sides by bin id, so each task sees
+    * only co-binned data; cost is intervals × spanned-bins + points.
+    * Pick `binUs` near the typical interval length — each interval
+    * then explodes to ~2 bins. A point lives in exactly ONE bin, so
+    * each qualifying (interval, point) pair is emitted exactly once —
+    * no post-join dedup.
+    *
+    * `points` and `intervals` must not share column names; returns
+    * interval columns ++ point columns for the matched pairs. */
+  def binnedIntervalJoin(points: DataFrame, tsCol: String,
+      intervals: DataFrame, startCol: String, endCol: String,
+      binUs: Long): DataFrame = {
+    require(binUs > 0, s"binUs=$binUs must be positive")
+    val ivl = intervals.withColumn("__bin",
+      explode(sequence(floor(col(startCol) / binUs),
+        floor(col(endCol) / binUs))))
+    val pts = points.withColumn("__bin", floor(col(tsCol) / binUs))
+    ivl.join(pts, Seq("__bin"))
+      .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
+      .drop("__bin")
+  }
+
   /** As-of join, composed Spark-first (no custom strategy needed):
     * for each left row, attach the latest right row of the same key
     * with right.ts ≤ left.ts. Implementation: tag + union both sides,

@@ -331,6 +331,60 @@ object Similarity {
       .select(col("vid"), col("s"), col("best.cid").as("cid"))
   }
 
+  /** The (vid, s, sub) relation PQ training/encoding work from: each
+    * vector split into `m` contiguous double-cast sub-slices. */
+  private def pqSubs(emb: DataFrame, idCol: String, vecCol: String,
+      m: Int, dim: Int): DataFrame = {
+    val sub = dim / m
+    emb.select(col(idCol).as("vid"),
+      posexplode(transform(sequence(lit(0), lit(m - 1)),
+        s => slice(col(vecCol), s * sub + 1, lit(sub))
+          .cast("array<double>"))).as(Seq("s", "sub")))
+  }
+
+  /** Lloyd-trained PQ sub-codebooks: start from the [[pqCodebooks]]
+    * seeds and run `iters` assign→update rounds PER SUBSPACE — all m
+    * subspaces train jointly in one plan per round (the assignment is
+    * one broadcast join keyed by s, the update one integer-sum shuffle
+    * keyed by (s, cid, pos)), so training m codebooks costs the same
+    * number of stages as training one. Updates use the same quantized
+    * micro-unit accumulation as [[kmeansRefine]] — centroids are
+    * identical under any partitioning, so the trained codebook (and
+    * every search over it) stays DuckDB-oracle-checkable. Sub-clusters
+    * left empty by an assignment drop out deterministically.
+    * Returns (s, cid, centroid). */
+  def pqTrainCodebooks(emb: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int, dim: Int, iters: Int, seed: Int): DataFrame = {
+    require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    val subs = pqSubs(emb, idCol, vecCol, m, dim)
+      .persistTracked() // scanned once per Lloyd round
+    var cb = pqCodebooks(emb, idCol, vecCol, m, k, dim, seed)
+    for (_ <- 0 until iters) {
+      val assigned = subs.join(broadcast(cb), Seq("s"))
+        .withColumn("dist", aggregate(
+          zip_with(col("sub"), col("centroid"), (x, y) => (x - y) * (x - y)),
+          lit(0.0d), (acc, v) => acc + v))
+        .groupBy(col("vid"), col("s"))
+        .agg(min(struct(col("dist"), col("cid"), col("sub").as("sub")))
+          .as("b"))
+        .select(col("s"), col("b.cid").as("cid"), col("b.sub").as("sub"))
+      cb = assigned
+        .select(col("s"), col("cid"), posexplode(col("sub"))
+          .as(Seq("pos", "x")))
+        .withColumn("qx", round(col("x") * 1e6).cast("long"))
+        .groupBy(col("s"), col("cid"), col("pos"))
+        .agg(sum(col("qx")).as("qs"), count(lit(1)).as("cnt"))
+        .withColumn("comp",
+          col("qs").cast("double") / (col("cnt").cast("double") * 1e6))
+        .groupBy(col("s"), col("cid"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("comp"))))
+          .as("pc"))
+        .select(col("s"), col("cid"),
+          transform(col("pc"), x => x("comp")).as("centroid"))
+    }
+    cb
+  }
+
   /** PQ-ADC approximate top-k: queries score every corpus vector as the
     * sum over subspaces of the query-to-centroid distance of the
     * vector's CODE — the classic asymmetric-distance computation. The
@@ -347,15 +401,22 @@ object Similarity {
     * (query_id, rank, neighbor_id, adc6) with adc6 in micro-units. */
   def pqTopK(emb: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, topK: Int, m: Int = 8, k: Int = 8, dim: Int = 64,
-      seed: Int = 777): DataFrame = {
-    val sub = dim / m
-    val cb = pqCodebooks(emb, idCol, vecCol, m, k, dim, seed)
-      .persistTracked() // encode side + query distance table
+      seed: Int = 777): DataFrame =
+    pqTopKWith(emb,
+      pqCodebooks(emb, idCol, vecCol, m, k, dim, seed),
+      queries, idCol, vecCol, topK, m, dim)
+
+  /** PQ-ADC search against an EXTERNAL codebook — (s, cid, centroid)
+    * rows, seed ([[pqCodebooks]]) or trained ([[pqTrainCodebooks]]) —
+    * the train → encode → search composition, same shuffle shapes as
+    * [[pqTopK]]. */
+  def pqTopKWith(emb: DataFrame, codebooks: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, topK: Int, m: Int,
+      dim: Int): DataFrame = {
+    val cb = codebooks.persistTracked() // encode side + distance table
     val codes = pqEncode(emb, cb, idCol, vecCol, m, dim)
-    val qsubs = queries.select(col(idCol).as("qid"),
-      posexplode(transform(sequence(lit(0), lit(m - 1)),
-        s => slice(col(vecCol), s * sub + 1, lit(sub))
-          .cast("array<double>"))).as(Seq("s", "qsub")))
+    val qsubs = pqSubs(queries, idCol, vecCol, m, dim)
+      .withColumnRenamed("vid", "qid").withColumnRenamed("sub", "qsub")
     val dtable = qsubs.join(broadcast(cb), Seq("s"))
       .withColumn("qd6", round(aggregate(
         zip_with(col("qsub"), col("centroid"), (x, y) => (x - y) * (x - y)),

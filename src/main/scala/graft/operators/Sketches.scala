@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Distributed sketches (SURVEY §7's "custom operator" slot c —
+  * compose existing ops where semantics allow): a deterministic
+  * HyperLogLog distinct-count sketch built from md5-derived hashes and
+  * pure integer register math, so — unlike `approx_count_distinct`
+  * (whose HLL++ registers ride partition-order-dependent internals and
+  * engine-private hashing) — the whole sketch is bit-reproducible in
+  * DuckDB and therefore oracle-checkable.
+  *
+  * Scale shape (the entire point of a sketch): one scan, one
+  * (column, register)-keyed groupBy with map-side partial max — at
+  * 100 TB the shuffle carries at most `columns × m` rows of two longs
+  * each, regardless of input size. Registers also MERGE by max, so
+  * per-partition / per-day sketches can be combined without rescanning
+  * (the property HLL was designed for).
+  *
+  * Determinism discipline:
+  *  - register index = low `p` bits of the md5-u32; rank ρ = trailing
+  *    zeros of the remaining bits + 1 — computed as
+  *    `bit_count((h2 & -h2) - 1) + 1`, pure integer ops identical in
+  *    both engines (no log2(), whose last-ulp rounding differs).
+  *  - the harmonic sum Σ 2^(-ρ_max) is accumulated as exact integers in
+  *    units of 2^-32 (`2^(32-ρ_max)` per register) — order-independent,
+  *    where a float sum would carry partition-order ulp noise.
+  *  - the raw-estimate constant α_m·m² is materialized ONCE as a Scala
+  *    double literal ([[alphaM2]]) and textually embedded in the oracle,
+  *    so both engines start the final division from the same bits; the
+  *    small-range linear-counting branch quantizes its ln() to
+  *    micro-nats (the same transcendental-granularity assumption the
+  *    tf-idf and unigram-LM oracles rely on).
+  */
+object Sketches {
+
+  /** α_m · m² for the standard HLL bias correction (Flajolet et al.
+    * 2007): α_m = 0.7213 / (1 + 1.079/m) for m ≥ 128. Exposed so the
+    * oracle SQL can embed the identical double literal. */
+  def alphaM2(m: Int): Double = {
+    require(m >= 128, s"alpha constant needs m >= 128, got $m")
+    0.7213 / (1.0 + 1.079 / m) * m.toDouble * m.toDouble
+  }
+
+  /** HLL distinct-count estimates for several columns in ONE pass.
+    * `cols` = (label, column) pairs; each column is hashed as its
+    * string rendering (safe for strings and integrals — the md5 parity
+    * rule). Returns one row per label:
+    * (cname, exact_nd, v_zero, sum_int, est_hll) where exact_nd is the
+    * exact companion count (for error audit; drop it at true scale),
+    * v_zero = empty registers, sum_int = Σ 2^(32-ρ_max) in 2^-32 units,
+    * est_hll = the corrected estimate rounded to 4 decimals. */
+  def hllDistinct(df: DataFrame, cols: Seq[(String, Column)], p: Int = 8,
+      seed: Int = 5): DataFrame = {
+    require(p >= 7 && p <= 16, s"p=$p out of range (alpha needs m >= 128)")
+    val spark = df.sparkSession
+    val m = 1 << p
+    val mD = m.toDouble
+    // melt: (cname, key-as-string) — one scan covers every column
+    val melted = df.select(explode(array(cols.map { case (n, c) =>
+        struct(lit(n).as("cname"), c.cast("string").as("k"))
+      }: _*)).as("kv"))
+      .select(col("kv.cname").as("cname"), col("kv.k").as("k"))
+      .filter(col("k").isNotNull)
+    val hashed = melted
+      .withColumn("h", Tables.hashU32(col("k"), seed))
+      .withColumn("bucket", pmod(col("h"), lit(m.toLong)))
+      .withColumn("h2", floor(col("h") / m).cast("long"))
+      // ρ: trailing zeros of the non-index bits + 1; all-zero suffix
+      // (h2 = 0) saturates at 32-p+1
+      .withColumn("rho", when(col("h2") === 0, lit((33 - p).toLong))
+        .otherwise((expr("bit_count((h2 & -h2) - 1)") + 1).cast("long")))
+    val regs = hashed.groupBy(col("cname"), col("bucket"))
+      .agg(max(col("rho")).as("maxrho"))
+    // register spine: every (label, bucket) slot, so empty registers
+    // contribute ρ_max = 0 (the estimator needs them)
+    import spark.implicits._
+    val names = cols.map(_._1).toDF("cname")
+    val spine = names.crossJoin(
+      spark.range(m).select(col("id").as("bucket")))
+    val full = spine.join(regs, Seq("cname", "bucket"), "left")
+      .na.fill(0L, Seq("maxrho"))
+    val agg = full.groupBy(col("cname"))
+      .agg(sum(pow(lit(2.0), lit(32L) - col("maxrho")).cast("long"))
+          .as("sum_int"),
+        sum(when(col("maxrho") === 0, 1L).otherwise(0L)).as("v_zero"))
+    val exact = melted.groupBy(col("cname"))
+      .agg(countDistinct(col("k")).as("exact_nd"))
+    val raw = lit(alphaM2(m)) * lit(4294967296.0) / col("sum_int")
+    // small-range correction: linear counting m·ln(m/V), ln quantized
+    // to micro-nats so both engines gate and scale on the same integer
+    val lc = lit(mD) *
+      round(log(lit(mD) / col("v_zero")) * 1e6).cast("long") / lit(1e6)
+    agg.join(exact, Seq("cname"))
+      .withColumn("est_hll", round(
+        when(raw <= lit(2.5 * mD) && col("v_zero") > 0, lc).otherwise(raw),
+        4))
+      .select(col("cname"), col("exact_nd"), col("v_zero"), col("sum_int"),
+        col("est_hll"))
+  }
+}

@@ -316,6 +316,37 @@ object TextAnalysis {
         round(col("s6") / (col("n_tokens") * 1e6), 6).as("mean_logprob"))
   }
 
+  /** Bigram-LM quality score (the conditional-probability step up from
+    * [[unigramLogProb]], trained on the corpus itself): each bigram
+    * (w1 w2) scores ln(c(w1 w2) / c(w1 ·)) — its count over the count
+    * of all bigrams starting with w1 — and a document's score is the
+    * mean over its n-1 bigrams, accumulated in MICRO-NAT integers so
+    * the sum is order-independent and the DuckDB oracle hash-matches.
+    * Low means improbable word TRANSITIONS (scrambled text scores far
+    * below its unigram score — the signal unigrams can't see). Docs
+    * with fewer than 2 tokens have no bigrams and are omitted.
+    * Returns (doc_id, n_bigrams, mean_logprob). */
+  def bigramLogProb(docs: DataFrame, idCol: Column,
+      textCol: Column): DataFrame = {
+    val big = explodedShingles(docs, idCol, textCol, 2)
+      .withColumn("w1", substring_index(col("shingle"), " ", 1))
+    // corpus LM: bigram counts + first-word continuation totals — both
+    // tiny vocab-sized aggregates, broadcast back (the tf-idf lesson:
+    // never shuffle the corpus by a skewed token key)
+    val c2 = big.groupBy(col("shingle"), col("w1"))
+      .agg(count(lit(1)).as("c2"))
+    val c1 = big.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val lp = c2.join(c1, "w1")
+      .select(col("shingle"),
+        round(log(col("c2").cast("double") / col("c1")) * 1e6)
+          .cast("long").as("lp6"))
+    big.join(broadcast(lp), "shingle")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp6")).as("s6"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("s6") / (col("n_bigrams") * 1e6), 6).as("mean_logprob"))
+  }
+
   /** Exact-content fingerprint: md5 of whitespace-normalized lowercase
     * text (SURVEY §7 M7 "document fingerprinting"). */
   def contentFingerprint(text: Column): Column =

@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Events, Similarity, Sketches, TextAnalysis}
+
+/** Round-3 operators: deterministic HLL distinct sketch, binned
+  * interval (range) join, bigram LM scoring, triangle enumeration,
+  * and Lloyd-trained PQ codebooks. */
+class SketchGraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hllDistinct: raw estimate within HLL error bounds, small range exact-ish") {
+    // 10k distinct longs (raw branch) + 40 distinct strings (linear
+    // counting branch) sketched in one pass
+    val df = spark.range(10000)
+      .select(col("id"), (col("id") % 40).cast("string").as("s"))
+    val out = Sketches.hllDistinct(df,
+        Seq("big" -> col("id"), "small" -> col("s")), p = 8, seed = 5)
+      .collect().map(r => r.getAs[String]("cname") ->
+        (r.getAs[Long]("exact_nd"), r.getAs[Double]("est_hll"))).toMap
+    val (exactBig, estBig) = out("big")
+    assert(exactBig == 10000L)
+    // standard error at m=256 is 1.04/sqrt(256) = 6.5%; allow 3 sigma
+    assert(math.abs(estBig - 10000.0) / 10000.0 < 0.2, s"est=$estBig")
+    val (exactSmall, estSmall) = out("small")
+    assert(exactSmall == 40L)
+    // linear counting at 40/256 load is near-exact
+    assert(math.abs(estSmall - 40.0) < 5.0, s"est=$estSmall")
+    // determinism: identical second run
+    val again = Sketches.hllDistinct(df,
+        Seq("big" -> col("id"), "small" -> col("s")), p = 8, seed = 5)
+      .collect().map(_.toSeq).toSet
+    assert(again == Sketches.hllDistinct(df,
+      Seq("big" -> col("id"), "small" -> col("s")), p = 8, seed = 5)
+      .collect().map(_.toSeq).toSet)
+  }
+
+  test("hllDistinct registers merge: sketch of union = max of sketches") {
+    // the property that makes HLL a sketch: half-corpus registers
+    // combine by max into exactly the full-corpus registers — verified
+    // through the public API by sketching overlapping halves
+    val a = spark.range(6000).toDF("id")
+    val b = spark.range(4000, 10000).toDF("id")
+    val full = spark.range(10000).toDF("id")
+    def est(df: org.apache.spark.sql.DataFrame): Double =
+      Sketches.hllDistinct(df, Seq("c" -> col("id")))
+        .head().getAs[Double]("est_hll")
+    // union-of-inputs estimate equals full-corpus estimate (same
+    // register maxima, duplicates collapse)
+    assert(est(a.union(b)) == est(full))
+  }
+
+  test("binnedIntervalJoin equals the naive BETWEEN join") {
+    val intervals = Seq(
+      (1L, 100L, 250L), (2L, 240L, 260L), (3L, 0L, 50L),
+      (4L, 500L, 500L), (5L, 90L, 710L)
+    ).toDF("ivl_id", "start_us", "end_us")
+    val points = Seq.tabulate(200)(i => (i.toLong, i * 5L))
+      .toDF("pt_id", "pt_us")
+    val binned = Events.binnedIntervalJoin(points, "pt_us", intervals,
+        "start_us", "end_us", binUs = 128L)
+      .select("ivl_id", "pt_id").as[(Long, Long)].collect().sorted
+    val naive = intervals.join(points,
+        col("pt_us") >= col("start_us") && col("pt_us") <= col("end_us"))
+      .select("ivl_id", "pt_id").as[(Long, Long)].collect().sorted
+    assert(binned.nonEmpty && binned.sameElements(naive))
+    // each qualifying pair appears exactly once (no bin-overlap dupes)
+    assert(binned.distinct.length == binned.length)
+  }
+
+  test("bigramLogProb: predictable transitions score above scrambled ones") {
+    val docs = Seq(
+      (1L, "a b a b a b a b a b"), // one dominant transition
+      (2L, "a a b b b a a b a b"), // same unigrams, mixed transitions
+      (3L, "x")                    // < 2 tokens: omitted
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLogProb(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("mean_logprob"))).toMap
+    assert(!out.contains(3L))
+    assert(out(1L)._1 == 9L && out(2L)._1 == 9L)
+    assert(out(1L)._2 > out(2L)._2,
+      s"repetitive transitions must score higher: $out")
+  }
+
+  test("triangles: degree-oriented enumeration matches the naive 3-join") {
+    // K4 on {1..4} (4 triangles) + a pendant edge + a square 10-13
+    // (0 triangles) + a star at 20 (0 triangles)
+    val edges = (Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (10L, 11L), (11L, 12L), (12L, 13L), (10L, 13L)) ++
+      Seq.tabulate(6)(i => (20L, 30L + i))).toDF("doc_a", "doc_b")
+    val got = Dedup.triangles(edges)
+      .as[(Long, Long, Long)].collect().toSet
+    val expected = Set((1L, 2L, 3L), (1L, 2L, 4L), (1L, 3L, 4L),
+      (2L, 3L, 4L))
+    assert(got == expected, s"got $got")
+    // orientation invariance: flipped/duplicated input edges change nothing
+    val messy = edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))
+      .union(edges)
+    assert(Dedup.triangles(messy).as[(Long, Long, Long)]
+      .collect().toSet == expected)
+  }
+
+  test("pqTrainCodebooks: Lloyd rounds do not increase total distortion") {
+    val emb = Tables.embeddings(spark, Sf0001)
+    def distortion(cb: org.apache.spark.sql.DataFrame): Double = {
+      val codes = Similarity.pqEncode(emb, cb, "vec_id", "embedding",
+        m = 8, dim = 64)
+      // re-score each (vid, s) against its assigned centroid
+      val subs = emb.select(col("vec_id").as("vid"),
+        posexplode(transform(sequence(lit(0), lit(7)),
+          s => slice(col("embedding"), s * 8 + 1, lit(8))
+            .cast("array<double>"))).as(Seq("s", "sub")))
+      subs.join(codes, Seq("vid", "s")).join(cb, Seq("s", "cid"))
+        .select(aggregate(zip_with(col("sub"), col("centroid"),
+          (x, y) => (x - y) * (x - y)), lit(0.0d), (a, v) => a + v).as("d"))
+        .agg(sum(col("d"))).head().getDouble(0)
+    }
+    val seed = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+      m = 8, k = 8, dim = 64, seed = 777)
+    val trained = Similarity.pqTrainCodebooks(emb, "vec_id", "embedding",
+      m = 8, k = 8, dim = 64, iters = 2, seed = 777)
+    val d0 = distortion(seed)
+    val d2 = distortion(trained)
+    assert(d2 <= d0, s"training must not increase distortion: $d0 -> $d2")
+    // and the trained codebook is deterministic
+    val again = Similarity.pqTrainCodebooks(emb, "vec_id", "embedding",
+      m = 8, k = 8, dim = 64, iters = 2, seed = 777)
+      .select(col("s"), col("cid"), col("centroid").cast("string"))
+      .collect().map(_.toSeq).toSet
+    assert(again == trained
+      .select(col("s"), col("cid"), col("centroid").cast("string"))
+      .collect().map(_.toSeq).toSet)
+  }
+}
