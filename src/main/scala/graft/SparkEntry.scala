@@ -979,6 +979,53 @@ object SparkEntry {
         "vec_id", "embedding", topK = 5, m = 8, dim = 64)
     }),
 
+    // CUBE: all four grouping combinations + grouping_id, completing
+    // the rollup (q21) family
+    "q39_cube" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          count(lit(1)).as("cnt"),
+          grouping_id().as("gid"))),
+
+    // Efraimidis–Spirakis weighted sample without replacement, keys
+    // quantized to micro-units; WindowGroupLimit keeps the global rank
+    // bounded (never a full single-partition sort)
+    "q40_weighted_sample" -> ((s, d) =>
+      Curation.weightedTopK(Tables.documents(s, d), col("doc_id"),
+        col("n_chars"), k = 100, seed = 91)),
+
+    // explicit GROUPING SETS (the third member of the rollup/cube
+    // family): per-flag, per-status, and grand-total slices only
+    "q41_grouping_sets" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("graft_gs_lineitem")
+      s.sql("""SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty, count(*) AS cnt,
+        | grouping_id() AS gid
+        |FROM graft_gs_lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |  GROUPING SETS ((l_returnflag), (l_linestatus), ())"""
+        .stripMargin)
+    }),
+
+    // JSON-lines source/sink round trip (schema-enforced read back),
+    // verified lossless the same way as the TFRecord round trip k2
+    "k3_json_roundtrip" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(
+        col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"))
+      val scratch = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        "graft_json_" + Integer.toHexString(d.hashCode)).toString
+      docs.write.mode("overwrite").json(scratch)
+      val back = s.read.schema(docs.schema).json(scratch)
+      back.groupBy(col("lang"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("doc_id")).as("id_sum"),
+          sum(col("n_chars")).as("nchars_sum"),
+          sum(Tables.hashU32(col("text"), 11)).as("content_sum"))
+    }),
+
     // no oracle: mapPartitions path, covered by ExtendedOpsSpec)
     "m2_multimodal_features" -> ((s, d) => {
       val media = Multimodal.toMediaFrame(
@@ -2279,6 +2326,46 @@ object SparkEntry {
          |    ORDER BY adc6, neighbor_id) AS BIGINT) AS rank FROM pair)
          |SELECT query_id, rank, neighbor_id, adc6
          |FROM r WHERE rank <= 5""".stripMargin,
+
+    "q39_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | CAST(count(*) AS BIGINT) AS cnt,
+        | CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus)
+        |   AS BIGINT) AS gid
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q40_weighted_sample" ->
+      s"""WITH k AS (
+         |  SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+         |   CAST(round(power(${duckRand("doc_id::VARCHAR", 91)},
+         |     1.0 / n_chars) * 1000000) AS BIGINT) AS key6
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, weight, key6,
+         |   CAST(row_number() OVER (ORDER BY key6 DESC, doc_id)
+         |     AS BIGINT) AS rank
+         |  FROM k)
+         |SELECT doc_id, weight, key6, rank FROM r
+         |WHERE rank <= 100""".stripMargin,
+
+    "q41_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | CAST(count(*) AS BIGINT) AS cnt,
+        | CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus)
+        |   AS BIGINT) AS gid
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())"""
+        .stripMargin,
+
+    "k3_json_roundtrip" ->
+      s"""SELECT lang, CAST(count(*) AS BIGINT) AS cnt,
+         | CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         | CAST(sum(n_chars) AS BIGINT) AS nchars_sum,
+         | CAST(sum(${duckU32("text", 11)}) AS BIGINT) AS content_sum
+         |FROM documents GROUP BY 1""".stripMargin,
 
     "m1_multimodal_meta" ->
       s"""SELECT doc_id,

@@ -67,6 +67,30 @@ object Curation {
         col("start_off"), col("first_seq"), col("last_seq"))
   }
 
+  /** Weighted sampling without replacement, Efraimidis–Spirakis style:
+    * each row draws an md5-uniform u and scores key = u^(1/w); the k
+    * largest keys ARE a weighted sample without replacement (heavier
+    * rows surface more often, every row remains possible). The key is
+    * QUANTIZED to integer micro-units before ranking — pow() is the
+    * only transcendental, and both engines gate on the same integer
+    * (the t9/t12 micro-quantization discipline) with the id as tie
+    * break. The rank filter compiles to WindowGroupLimit: per-partition
+    * top-k then a k·partitions-bounded final pass — no full-relation
+    * single-partition sort at any scale.
+    * Returns (doc_id, weight, key6, rank), rank 1..k. */
+  def weightedTopK(df: DataFrame, idCol: Column, weightCol: Column,
+      k: Int, seed: Int): DataFrame = {
+    require(k > 0, s"k=$k must be positive")
+    val keyed = df.select(idCol.as("doc_id"),
+        weightCol.cast("long").as("weight"))
+      .withColumn("key6",
+        round(pow(Tables.hashRand(col("doc_id"), seed),
+          lit(1.0) / col("weight")) * 1e6).cast("long"))
+    keyed.withColumn("rank", row_number().over(
+        Window.orderBy(col("key6").desc, col("doc_id").asc)).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Temperature-based mixture resampling: class `l` with count c_l is
     * kept at rate min(1, T·w_l/c_l) where w_l = c_l^α / Σ c^α — the
     * standard α-temperature flattening (α=1 keeps the natural mixture,

@@ -115,6 +115,26 @@ class CurationOpsSpec extends SparkSpec {
     assert(kept.toSet == again.toSet)
   }
 
+  test("weightedTopK: heavier rows overrepresented, sample deterministic") {
+    // 500 light rows (w=10) + 500 heavy rows (w=1000): heavy rows carry
+    // ~99% of the total weight and must dominate a 100-row sample
+    val df = spark.range(1000).select(col("id"),
+      when(col("id") < 500, 10L).otherwise(1000L).as("w"))
+    val sample = Curation.weightedTopK(df, col("id"), col("w"),
+      k = 100, seed = 7)
+    val rows = sample.select("doc_id", "rank").as[(Long, Long)].collect()
+    assert(rows.length == 100)
+    assert(rows.map(_._2).sorted.sameElements(1L to 100L))
+    val heavy = rows.count(_._1 >= 500)
+    assert(heavy > 80, s"heavy rows must dominate the sample: $heavy/100")
+    // without-replacement: ids distinct; deterministic: re-run identical
+    assert(rows.map(_._1).distinct.length == 100)
+    val again = Curation.weightedTopK(df, col("id"), col("w"),
+      k = 100, seed = 7).select("doc_id", "rank")
+      .as[(Long, Long)].collect()
+    assert(rows.sorted.sameElements(again.sorted))
+  }
+
   test("dupSpanStats counts cross-doc repeated windows (t11)") {
     val docs = Seq(
       (1L, "a b c d e f"),    // spans: abcde, bcdef
