@@ -107,9 +107,37 @@ object Stress {
     t("s4_kmeans(auto)") {
       Similarity.kmeansRefine(emb, "vec_id", "embedding", iters = 2).count()
     }
+    // ADC is compressed EXHAUSTIVE search — per-query cost is linear in
+    // the corpus by design. Hold the query count FIXED (the base-copy
+    // queries only) so the probe measures corpus growth, not the
+    // workload growing quadratically because queries are a fixed
+    // fraction of the corpus.
+    val pqQueries = emb.filter(col("vec_id") < 2000 &&
+      col("vec_id") % 25 === 0)
     t("s6_pq_adc") {
-      Similarity.pqTopK(emb, emb.filter(col("vec_id") % 25 === 0),
+      Similarity.pqTopK(emb, pqQueries,
         "vec_id", "embedding", topK = 5).count()
+    }
+    t("s7_pq_trained") {
+      val cb = Similarity.pqTrainCodebooks(emb, "vec_id", "embedding",
+        m = 8, k = 8, dim = 64, iters = 2, seed = 777)
+      Similarity.pqTopKWith(emb, cb, pqQueries,
+        "vec_id", "embedding", topK = 5, m = 8, dim = 64).count()
+    }
+    t("t13_bigram_lm") {
+      TextAnalysis.bigramLogProb(docs, col("doc_id"), col("text")).count()
+    }
+    t("q37_hll_sketch") {
+      Sketches.hllDistinct(docs, Seq(
+        "doc_id" -> col("doc_id"), "source" -> col("source")),
+        p = 8, seed = 5).count()
+    }
+    t("d10_triangles") {
+      Dedup.triangles(
+        Similarity.lshNearDup(emb, "vec_id", "embedding",
+          nPlanes = Similarity.autoPlanes(emb.count()), dim = 64,
+          threshold = 0.2)
+          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))).count()
     }
     t("p1_pipeline") {
       val scored = docs
