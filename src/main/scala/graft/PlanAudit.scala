@@ -27,7 +27,8 @@ object PlanAudit {
           || l.contains("Join") || l.contains("Exchange")
           || l.contains("ReadSchema") || l.contains("WholeStageCodegen")
           || l.contains("InMemory") || l.contains("SinglePartition")
-          || l.contains("Window") || l.contains("Sort ") || l.contains("TakeOrdered"))
+          || l.contains("Window") || l.contains("Sort ") || l.contains("TakeOrdered")
+          || l.contains("PartitionFilters") || l.contains("partition count"))
         .take(40).foreach(l => println(l.take(200)))
       // the one plan shape that dies at 100 TB: a full-relation
       // single-partition exchange (scalar aggregates over already-tiny

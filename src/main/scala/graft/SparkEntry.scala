@@ -1026,6 +1026,34 @@ object SparkEntry {
           sum(Tables.hashU32(col("text"), 11)).as("content_sum"))
     }),
 
+    // partition-pruned layout: write partitioned by lang, read back
+    // with a partition filter — the scan must touch only 2 of the
+    // lang directories (PlanAudit shows the pruned partition count)
+    "q42_partition_pruning" -> ((s, d) => {
+      val scratch = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        "graft_part_" + Integer.toHexString(d.hashCode)).toString
+      Tables.documents(s, d).write.mode("overwrite")
+        .partitionBy("lang").parquet(scratch)
+      s.read.parquet(scratch)
+        .filter(col("lang").isin("en", "de"))
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("nchars_sum"))
+    }),
+
+    // fixed-bin histogram quantiles — the deterministic t-digest
+    // stand-in; CDF window over ≤ 1000 histogram rows, never the data
+    "q43_quantile_sketch" -> ((s, d) =>
+      Sketches.histogramQuantiles(Tables.lineitem(s, d),
+        col("l_extendedprice"), nBins = 1000,
+        quantiles = Seq(0.25, 0.5, 0.75, 0.9, 0.99))),
+
+    // count-min sketch: d×w integer register file probed for the exact
+    // top-20 tokens — verifies the registers and the one-sided error
+    "q44_cms_topk" -> ((s, d) =>
+      Sketches.countMinTopK(Tables.documents(s, d), col("doc_id"),
+        col("text"))),
+
     // no oracle: mapPartitions path, covered by ExtendedOpsSpec)
     "m2_multimodal_features" -> ((s, d) => {
       val media = Multimodal.toMediaFrame(
@@ -2233,8 +2261,8 @@ object SparkEntry {
          |wb AS (SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1 FROM big),
          |c2 AS (SELECT bg, w1, CAST(count(*) AS BIGINT) AS c2
          |  FROM wb GROUP BY 1, 2),
-         |c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1
-         |  FROM wb GROUP BY 1),
+         |c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1
+         |  FROM c2 GROUP BY 1),
          |lp AS (SELECT bg,
          |  CAST(round(ln(c2::DOUBLE / c1) * 1000000) AS BIGINT) AS lp6
          |  FROM c2 JOIN c1 USING (w1))
@@ -2366,6 +2394,61 @@ object SparkEntry {
          | CAST(sum(n_chars) AS BIGINT) AS nchars_sum,
          | CAST(sum(${duckU32("text", 11)}) AS BIGINT) AS content_sum
          |FROM documents GROUP BY 1""".stripMargin,
+
+    "q42_partition_pruning" ->
+      """SELECT lang, source, CAST(count(*) AS BIGINT) AS cnt,
+        | CAST(sum(n_chars) AS BIGINT) AS nchars_sum
+        |FROM documents WHERE lang IN ('en', 'de')
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q43_quantile_sketch" ->
+      """WITH v AS (
+        |  SELECT l_extendedprice::DOUBLE AS x FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL),
+        |b AS (SELECT min(x) AS lo, max(x) AS hi,
+        |  CAST(count(*) AS BIGINT) AS n FROM v),
+        |binned AS (
+        |  SELECT CASE WHEN b.hi = b.lo THEN 0
+        |    ELSE least(999, CAST(floor((x - lo) / ((hi - lo) / 1000))
+        |      AS BIGINT)) END AS bin,
+        |   CAST(count(*) AS BIGINT) AS c
+        |  FROM v CROSS JOIN b GROUP BY 1),
+        |cum AS (
+        |  SELECT bin, CAST(sum(c) OVER (ORDER BY bin
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM binned),
+        |qs AS (SELECT * FROM (VALUES (0.25), (0.5), (0.75), (0.9),
+        |  (0.99)) t(q)),
+        |hit AS (
+        |  SELECT q, min(bin) AS bin FROM cum CROSS JOIN b
+        |  JOIN qs ON cum >= q * n GROUP BY q)
+        |SELECT CAST(q AS DOUBLE) AS q, bin,
+        | round(CASE WHEN hi = lo THEN lo
+        |   ELSE lo + (bin + 1) * ((hi - lo) / 1000) END, 6) AS est_value
+        |FROM hit CROSS JOIN b""".stripMargin,
+
+    "q44_cms_topk" ->
+      s"""WITH tok AS (
+         |  SELECT unnest($DuckToks) AS tok FROM documents),
+         |counts AS (SELECT tok, CAST(count(*) AS BIGINT) AS exact_c
+         |  FROM tok GROUP BY 1),
+         |top AS (
+         |  SELECT tok, exact_c FROM (
+         |    SELECT *, row_number() OVER (ORDER BY exact_c DESC, tok)
+         |      AS rk FROM counts) WHERE rk <= 20),
+         |cpos AS (
+         |  SELECT tok, exact_c, j,
+         |   ${duckU32("tok || '|' || j::VARCHAR", 333)} % 512 AS pos
+         |  FROM counts CROSS JOIN (SELECT unnest(range(4)) AS j) js),
+         |cms AS (SELECT j, pos, CAST(sum(exact_c) AS BIGINT) AS reg
+         |  FROM cpos GROUP BY 1, 2),
+         |tpos AS (
+         |  SELECT tok, exact_c, j,
+         |   ${duckU32("tok || '|' || j::VARCHAR", 333)} % 512 AS pos
+         |  FROM top CROSS JOIN (SELECT unnest(range(4)) AS j) js)
+         |SELECT t.tok, t.exact_c, CAST(min(c.reg) AS BIGINT) AS est_c
+         |FROM tpos t JOIN cms c ON c.j = t.j AND c.pos = t.pos
+         |GROUP BY 1, 2""".stripMargin,
 
     "m1_multimodal_meta" ->
       s"""SELECT doc_id,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -100,5 +101,83 @@ object Sketches {
         4))
       .select(col("cname"), col("exact_nd"), col("v_zero"), col("sum_int"),
         col("est_hll"))
+  }
+
+  /** Fixed-bin histogram quantile estimates (the deterministic stand-in
+    * for a t-digest, which is merge-order-dependent and so can never be
+    * oracle-checked): one scan bins every value into `nBins` equal-width
+    * buckets between the column min and max, a WINDOW OVER ≤ nBins ROWS
+    * (bounded input — never the relation) accumulates the CDF, and each
+    * requested quantile reads the first bin whose cumulative count
+    * reaches q·n, reporting the bin's upper edge. Error is bounded by
+    * the bin width; histograms from different partitions/days merge by
+    * adding counts. Returns (q, bin, est_value) per quantile. */
+  def histogramQuantiles(df: DataFrame, valueCol: Column, nBins: Int,
+      quantiles: Seq[Double]): DataFrame = {
+    require(nBins > 0 && quantiles.nonEmpty, s"nBins=$nBins")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = df.select(valueCol.cast("double").as("x"))
+      .filter(col("x").isNotNull)
+    val bounds = v.agg(min(col("x")).as("lo"), max(col("x")).as("hi"),
+      count(lit(1)).as("n"))
+    val binned = v.crossJoin(broadcast(bounds))
+      .withColumn("bin", when(col("hi") === col("lo"), 0L)
+        .otherwise(least(lit((nBins - 1).toLong),
+          floor((col("x") - col("lo")) /
+            ((col("hi") - col("lo")) / nBins)).cast("long"))))
+      .groupBy(col("bin")).agg(count(lit(1)).as("c"))
+    // CDF over the ≤ nBins histogram rows — bounded single partition,
+    // the same exempt class as scalar aggregates
+    val cum = binned
+      .withColumn("cum", sum(col("c")).over(
+        Window.orderBy(col("bin"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .crossJoin(broadcast(bounds))
+    val qdf = quantiles.toDF("q")
+    cum.join(broadcast(qdf), col("cum") >= col("q") * col("n"))
+      .groupBy(col("q"))
+      .agg(min(col("bin")).as("bin"), first(col("lo")).as("lo"),
+        first(col("hi")).as("hi"))
+      .select(col("q"), col("bin"),
+        round(when(col("hi") === col("lo"), col("lo"))
+          .otherwise(col("lo") +
+            (col("bin") + 1) * ((col("hi") - col("lo")) / nBins)), 6)
+          .as("est_value"))
+  }
+
+  /** Count-min sketch heavy-hitter estimates: `d` hash rows × `w`
+    * columns of integer counts (md5-positioned, bit_or-free plain sums
+    * — order-independent, mergeable by addition), probed here for the
+    * `topK` exact-top tokens so the oracle can verify the register
+    * math AND the one-sided error (est ≥ exact always; ≤ exact +
+    * 2n/w with probability 1 - 2^-d). The register file is d·w longs
+    * regardless of corpus size — the CMS contract. Returns
+    * (token, exact_c, est_c). */
+  def countMinTopK(docs: DataFrame, idCol: Column, textCol: Column,
+      d: Int = 4, w: Int = 512, topK: Int = 20,
+      seed: Int = 333): DataFrame = {
+    require(d > 0 && w > 0 && topK > 0, s"d=$d w=$w topK=$topK")
+    val tok = docs.select(TextAnalysis.tokens(textCol).as("toks"))
+      .select(explode(col("toks")).as("tok"))
+    val counts = tok.groupBy(col("tok")).agg(count(lit(1)).as("exact_c"))
+    // exact top-k (count desc, token asc) — WindowGroupLimit-bounded
+    val top = counts.withColumn("rk", row_number().over(
+        Window.orderBy(col("exact_c").desc, col("tok").asc)))
+      .filter(col("rk") <= topK).drop("rk")
+    def positions(df: DataFrame): DataFrame = df
+      .withColumn("j", explode(sequence(lit(0), lit(d - 1))))
+      .withColumn("pos", pmod(
+        Tables.hashU32(concat_ws("|", col("tok"), col("j")), seed),
+        lit(w.toLong)))
+    // register build rides the exact counts relation (vocab-sized),
+    // not the token stream — same registers, d× less explode
+    val cms = positions(counts)
+      .groupBy(col("j"), col("pos")).agg(sum(col("exact_c")).as("reg"))
+    positions(top)
+      .join(cms, Seq("j", "pos"))
+      .groupBy(col("tok"), col("exact_c"))
+      .agg(min(col("reg")).as("est_c"))
+      .select(col("tok"), col("exact_c"), col("est_c"))
   }
 }

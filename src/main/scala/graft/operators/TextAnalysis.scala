@@ -330,12 +330,14 @@ object TextAnalysis {
       textCol: Column): DataFrame = {
     val big = explodedShingles(docs, idCol, textCol, 2)
       .withColumn("w1", substring_index(col("shingle"), " ", 1))
-    // corpus LM: bigram counts + first-word continuation totals — both
-    // tiny vocab-sized aggregates, broadcast back (the tf-idf lesson:
-    // never shuffle the corpus by a skewed token key)
+    // corpus LM: bigram counts once from the corpus; the first-word
+    // continuation totals AGGREGATE THE BIGRAM RELATION (vocab-sized),
+    // not the corpus again — Σ_w2 c(w1 w2) = c(w1 ·). Broadcast both
+    // back (the tf-idf lesson: never shuffle the corpus by a skewed
+    // token key)
     val c2 = big.groupBy(col("shingle"), col("w1"))
       .agg(count(lit(1)).as("c2"))
-    val c1 = big.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
     val lp = c2.join(c1, "w1")
       .select(col("shingle"),
         round(log(col("c2").cast("double") / col("c1")) * 1e6)

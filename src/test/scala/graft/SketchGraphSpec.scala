@@ -51,6 +51,44 @@ class SketchGraphSpec extends SparkSpec {
     assert(est(a.union(b)) == est(full))
   }
 
+  test("histogramQuantiles: estimates within one bin of exact quantiles") {
+    val df = spark.range(10000).select(col("id").cast("double").as("v"))
+    val out = Sketches.histogramQuantiles(df, col("v"), nBins = 1000,
+        quantiles = Seq(0.25, 0.5, 0.9))
+      .collect().map(r => r.getAs[Double]("q") ->
+        r.getAs[Double]("est_value")).toMap
+    // data is uniform 0..9999; bin width ~10, estimate = bin upper edge
+    // → within one bin width above the exact quantile
+    for ((q, exact) <- Seq(0.25 -> 2499.0, 0.5 -> 4999.0, 0.9 -> 8999.0)) {
+      val est = out(q)
+      assert(est >= exact && est <= exact + 11.0, s"q=$q est=$est")
+    }
+    // all-equal column degenerates to the single value, not NaN
+    val const = spark.range(100).select(lit(7.5).as("v"))
+    val cq = Sketches.histogramQuantiles(const, col("v"), 1000, Seq(0.5))
+      .head().getAs[Double]("est_value")
+    assert(cq == 7.5)
+  }
+
+  test("countMinTopK: one-sided error, exact when registers are wide") {
+    val docs = Seq(
+      (1L, "apple apple apple banana banana cherry"),
+      (2L, "apple banana date egg fig grape"),
+      (3L, "apple apple kiwi lemon mango nectarine")
+    ).toDF("doc_id", "text")
+    // wide sketch (no collisions possible at this vocab): est == exact
+    val wide = Sketches.countMinTopK(docs, col("doc_id"), col("text"),
+      d = 4, w = 4096, topK = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(wide.nonEmpty && wide.forall { case (_, ex, est) => est == ex })
+    assert(wide.exists { case (t, ex, _) => t == "apple" && ex == 6L })
+    // cramped sketch: still never underestimates
+    val tight = Sketches.countMinTopK(docs, col("doc_id"), col("text"),
+      d = 2, w = 4, topK = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(tight.forall { case (_, ex, est) => est >= ex })
+  }
+
   test("binnedIntervalJoin equals the naive BETWEEN join") {
     val intervals = Seq(
       (1L, 100L, 250L), (2L, 240L, 260L), (3L, 0L, 50L),
