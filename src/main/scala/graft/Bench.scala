@@ -21,6 +21,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftFunctions.installOptimizations(spark)
     // session warmup: one tiny scan+shuffle so the first timed query
     // doesn't absorb JVM/codegen/scheduler initialization
     spark.read.parquet(s"$sfDir/region.parquet")

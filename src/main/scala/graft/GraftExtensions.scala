@@ -16,8 +16,10 @@ import graft.functions.DotProductExpr
   *    without the conf (e.g. the driver-owned Verify/Bench harness).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.dotFunction)
+    ext.injectOptimizerRule(_ => graft.plans.HofFusionRule)
+  }
 }
 
 object GraftFunctions {
@@ -33,4 +35,15 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", dotFunction._3, "built-in")
+
+  /** Per-session twin of the extension's optimizer injection, for
+    * sessions built without `spark.sql.extensions` (Verify/Bench/
+    * PlanAudit and tests): installs [[graft.plans.HofFusionRule]]
+    * through the public experimental-optimizations hook. Idempotent. */
+  def installOptimizations(spark: SparkSession): Unit = {
+    val cur = spark.experimental.extraOptimizations
+    if (!cur.contains(graft.plans.HofFusionRule))
+      spark.experimental.extraOptimizations =
+        cur :+ graft.plans.HofFusionRule
+  }
 }

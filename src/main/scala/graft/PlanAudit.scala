@@ -13,6 +13,7 @@ object PlanAudit {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    GraftFunctions.installOptimizations(spark)
     for (n <- names) {
       val df = SparkEntry.queries(n)(spark, sfDir)
       val t0 = System.nanoTime()

@@ -1054,6 +1054,31 @@ object SparkEntry {
       Sketches.countMinTopK(Tables.documents(s, d), col("doc_id"),
         col("text"))),
 
+    // stream-STREAM join (the last uncovered Structured Streaming
+    // surface): purchases joined to the same user's views within the
+    // preceding hour, both sides watermarked so the state store can
+    // evict; AvailableNow + a bounded source make the result
+    // deterministic and oracle-checkable against the batch twin
+    "q45_stream_stream_join" -> ((s, d) => {
+      val src = EventStream.eventsFileStream(s, s"$d/events.parquet")
+      val purchases = src.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("event_id").as("purchase_id"))
+        .withWatermark("p_ts", "2 hours")
+      val views = src.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+          col("event_id").as("view_id"))
+        .withWatermark("v_ts", "2 hours")
+      val joined = purchases.join(views,
+          col("p_user") === col("v_user") &&
+            col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+            col("v_ts") <= col("p_ts"))
+        .select(col("p_user").as("user_id"), col("purchase_id"),
+          col("view_id"))
+      EventStream.runOnce(joined,
+        s"stream_stream_${System.nanoTime()}", "append")
+    }),
+
     // no oracle: mapPartitions path, covered by ExtendedOpsSpec)
     "m2_multimodal_features" -> ((s, d) => {
       val media = Multimodal.toMediaFrame(
@@ -2449,6 +2474,16 @@ object SparkEntry {
          |SELECT t.tok, t.exact_c, CAST(min(c.reg) AS BIGINT) AS est_c
          |FROM tpos t JOIN cms c ON c.j = t.j AND c.pos = t.pos
          |GROUP BY 1, 2""".stripMargin,
+
+    "q45_stream_stream_join" ->
+      """SELECT p.user_id, p.event_id AS purchase_id,
+        | v.event_id AS view_id
+        |FROM events p JOIN events v
+        |  ON v.user_id = p.user_id
+        | AND p.event_type = 'purchase' AND v.event_type = 'view'
+        | AND epoch_us(v.ts::TIMESTAMP)
+        |   BETWEEN epoch_us(p.ts::TIMESTAMP) - 3600000000
+        |       AND epoch_us(p.ts::TIMESTAMP)""".stripMargin,
 
     "m1_multimodal_meta" ->
       s"""SELECT doc_id,

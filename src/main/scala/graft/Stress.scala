@@ -27,6 +27,7 @@ object Stress {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    GraftFunctions.installOptimizations(spark)
     val sf = "/root/testdata/sf0.1"
 
     def scaled(df: DataFrame, idCol: String, textCol: Option[String])

@@ -140,6 +140,45 @@ class SketchGraphSpec extends SparkSpec {
       .collect().toSet == expected)
   }
 
+  test("HofFusionRule fuses the squared-L2 fold, exactly preserving semantics") {
+    import graft.plans.HofFusionRule
+    val saved = spark.experimental.extraOptimizations
+    try {
+      GraftFunctions.installOptimizations(spark)
+      assert(spark.experimental.extraOptimizations.contains(HofFusionRule))
+      def sqHof(df: org.apache.spark.sql.DataFrame) = df.select(
+        aggregate(zip_with(col("a"), col("b"), (x, y) => (x - y) * (x - y)),
+          lit(0.0d), (acc, v) => acc + v).as("d"))
+      // repartition keeps ConvertToLocalRelation from evaluating the
+      // projection eagerly — the rewrite must be visible in the plan
+      val df = Seq(
+        (Seq(1.0, 2.0, 3.0), Seq(1.0, 0.0, 5.0)),  // 0+4+4 = 8
+        (Seq(0.5, 0.5), Seq(0.5, 0.5))             // 0
+      ).toDF("a", "b").repartition(2)
+      val fused = sqHof(df)
+      // the optimizer replaced the interpreted HOF with the codegen'd
+      // Expression...
+      assert(fused.queryExecution.optimizedPlan.toString
+        .contains("graft_squared_l2"))
+      assert(fused.as[Double].collect().toSeq == Seq(8.0, 0.0))
+      // ...and edge semantics are bit-preserved vs the unfused HOF:
+      // ragged pair → null (zip_with pads), null element → null,
+      // null array → null
+      val edge = Seq(
+        (Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](1.0)),
+        (Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](1.0, 2.0)),
+        (null, Seq[java.lang.Double](1.0))
+      ).toDF("a", "b")
+      val withRule = sqHof(edge).collect().map(r =>
+        if (r.isNullAt(0)) null else r.getDouble(0))
+      spark.experimental.extraOptimizations = saved // rule off
+      val withoutRule = sqHof(edge).collect().map(r =>
+        if (r.isNullAt(0)) null else r.getDouble(0))
+      assert(withRule.toSeq == Seq(null, null, null))
+      assert(withRule.toSeq == withoutRule.toSeq)
+    } finally spark.experimental.extraOptimizations = saved
+  }
+
   test("pqTrainCodebooks: Lloyd rounds do not increase total distortion") {
     val emb = Tables.embeddings(spark, Sf0001)
     def distortion(cb: org.apache.spark.sql.DataFrame): Double = {
