@@ -1079,6 +1079,28 @@ object SparkEntry {
         s"stream_stream_${System.nanoTime()}", "append")
     }),
 
+    // per-group HLL: distinct users per event type — registers keyed
+    // by (group, bucket), ≤ groups×256 rows cross the shuffle at any
+    // corpus size
+    "q46_hll_by_group" -> ((s, d) =>
+      Sketches.hllDistinctByGroup(Tables.events(s, d), col("event_type"),
+        col("user_id"), p = 8, seed = 5)),
+
+    // STREAMING sketch maintenance: HLL registers maxed incrementally
+    // by the streaming aggregate (max is order-independent → the
+    // register file is deterministic), estimate closed in batch over
+    // the memory sink — the shape of a continuously-updated
+    // distinct-count dashboard
+    "q47_stream_hll" -> ((s, d) => {
+      val regs = Sketches.hllRegisters(
+        EventStream.eventsFileStream(s, s"$d/events.parquet"),
+        col("user_id"), p = 8, seed = 5)
+        .groupBy(col("bucket")).agg(max(col("rho")).as("maxrho"))
+      val sunk = EventStream.runOnce(regs,
+        s"stream_hll_${System.nanoTime()}", "complete")
+      Sketches.estimateFromRegisters(sunk, p = 8)
+    }),
+
     // no oracle: mapPartitions path, covered by ExtendedOpsSpec)
     "m2_multimodal_features" -> ((s, d) => {
       val media = Multimodal.toMediaFrame(
@@ -2484,6 +2506,71 @@ object SparkEntry {
         | AND epoch_us(v.ts::TIMESTAMP)
         |   BETWEEN epoch_us(p.ts::TIMESTAMP) - 3600000000
         |       AND epoch_us(p.ts::TIMESTAMP)""".stripMargin,
+
+    "q46_hll_by_group" -> {
+      val a = Sketches.alphaM2(256)
+      s"""WITH kv AS (
+         |  SELECT event_type AS grp, user_id::VARCHAR AS k FROM events
+         |  WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+         |h AS (SELECT grp, k, ${duckU32("k", 5)} AS h FROM kv),
+         |rr AS (SELECT grp, h % 256 AS bucket,
+         |  CASE WHEN h // 256 = 0 THEN 25
+         |   ELSE bit_count(((h // 256) & -(h // 256)) - 1) + 1 END AS rho
+         |  FROM h),
+         |regs AS (SELECT grp, bucket, max(rho) AS maxrho
+         |  FROM rr GROUP BY 1, 2),
+         |spine AS (SELECT grp, b AS bucket
+         |  FROM (SELECT DISTINCT grp FROM kv)
+         |  CROSS JOIN (SELECT unnest(range(256)) AS b)),
+         |filled AS (SELECT s.grp, s.bucket, coalesce(r.maxrho, 0)
+         |   AS maxrho
+         |  FROM spine s LEFT JOIN regs r
+         |    ON r.grp = s.grp AND r.bucket = s.bucket),
+         |agg AS (SELECT grp,
+         |  CAST(sum(CAST(power(2, 32 - maxrho) AS BIGINT)) AS BIGINT)
+         |    AS sum_int,
+         |  CAST(sum(CASE WHEN maxrho = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS v_zero
+         |  FROM filled GROUP BY 1),
+         |ex AS (SELECT grp, CAST(count(DISTINCT k) AS BIGINT)
+         |   AS exact_nd FROM kv GROUP BY 1)
+         |SELECT grp, exact_nd, v_zero, sum_int,
+         | round(CASE WHEN (($a)::DOUBLE * 4294967296.0 / sum_int) <= 640.0
+         |    AND v_zero > 0
+         |   THEN 256.0 * CAST(round(ln(256.0 / v_zero) * 1000000)
+         |     AS BIGINT) / 1000000.0
+         |   ELSE ($a)::DOUBLE * 4294967296.0 / sum_int END, 4) AS est_hll
+         |FROM agg JOIN ex USING (grp)""".stripMargin
+    },
+
+    "q47_stream_hll" -> {
+      val a = Sketches.alphaM2(256)
+      s"""WITH kv AS (
+         |  SELECT user_id::VARCHAR AS k FROM events
+         |  WHERE user_id IS NOT NULL),
+         |h AS (SELECT k, ${duckU32("k", 5)} AS h FROM kv),
+         |rr AS (SELECT h % 256 AS bucket,
+         |  CASE WHEN h // 256 = 0 THEN 25
+         |   ELSE bit_count(((h // 256) & -(h // 256)) - 1) + 1 END AS rho
+         |  FROM h),
+         |regs AS (SELECT bucket, max(rho) AS maxrho FROM rr GROUP BY 1),
+         |spine AS (SELECT unnest(range(256)) AS bucket),
+         |filled AS (SELECT s.bucket, coalesce(r.maxrho, 0) AS maxrho
+         |  FROM spine s LEFT JOIN regs r ON r.bucket = s.bucket),
+         |agg AS (SELECT
+         |  CAST(sum(CAST(power(2, 32 - maxrho) AS BIGINT)) AS BIGINT)
+         |    AS sum_int,
+         |  CAST(sum(CASE WHEN maxrho = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS v_zero
+         |  FROM filled)
+         |SELECT v_zero, sum_int,
+         | round(CASE WHEN (($a)::DOUBLE * 4294967296.0 / sum_int) <= 640.0
+         |    AND v_zero > 0
+         |   THEN 256.0 * CAST(round(ln(256.0 / v_zero) * 1000000)
+         |     AS BIGINT) / 1000000.0
+         |   ELSE ($a)::DOUBLE * 4294967296.0 / sum_int END, 4) AS est_hll
+         |FROM agg""".stripMargin
+    },
 
     "m1_multimodal_meta" ->
       s"""SELECT doc_id,

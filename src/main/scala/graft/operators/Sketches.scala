@@ -46,6 +46,93 @@ object Sketches {
     0.7213 / (1.0 + 1.079 / m) * m.toDouble * m.toDouble
   }
 
+  /** Per-row HLL register coordinates (bucket, rho) for a key column —
+    * the raw material any aggregation topology can max() over: batch
+    * groupBy, per-group sketches, or a STREAMING aggregate (max is
+    * order-independent, so incremental register maintenance is
+    * deterministic). Feed the aggregated (bucket, maxrho) file to
+    * [[estimateFromRegisters]]. */
+  def hllRegisters(df: DataFrame, keyCol: Column, p: Int = 8,
+      seed: Int = 5): DataFrame = {
+    require(p >= 7 && p <= 16, s"p=$p out of range")
+    val m = 1 << p
+    df.select(keyCol.cast("string").as("k"))
+      .filter(col("k").isNotNull)
+      .withColumn("h", Tables.hashU32(col("k"), seed))
+      .withColumn("bucket", pmod(col("h"), lit(m.toLong)))
+      .withColumn("h2", floor(col("h") / m).cast("long"))
+      .withColumn("rho", when(col("h2") === 0, lit((33 - p).toLong))
+        .otherwise((expr("bit_count((h2 & -h2) - 1)") + 1).cast("long")))
+      .select(col("bucket"), col("rho"))
+  }
+
+  /** Distinct-count estimate from an aggregated (bucket, maxrho)
+    * register file (missing buckets = empty registers). Returns one
+    * row (v_zero, sum_int, est_hll) — the closing step shared by the
+    * batch, grouped, and streaming sketch paths. */
+  def estimateFromRegisters(regs: DataFrame, p: Int = 8): DataFrame = {
+    val spark = regs.sparkSession
+    val m = 1 << p
+    val mD = m.toDouble
+    val spine = spark.range(m).select(col("id").as("bucket"))
+    val full = spine.join(regs, Seq("bucket"), "left")
+      .na.fill(0L, Seq("maxrho"))
+    val agg = full.agg(
+      sum(pow(lit(2.0), lit(32L) - col("maxrho")).cast("long"))
+        .as("sum_int"),
+      sum(when(col("maxrho") === 0, 1L).otherwise(0L)).as("v_zero"))
+    val raw = lit(alphaM2(m)) * lit(4294967296.0) / col("sum_int")
+    val lc = lit(mD) *
+      round(log(lit(mD) / col("v_zero")) * 1e6).cast("long") / lit(1e6)
+    agg.withColumn("est_hll", round(
+        when(raw <= lit(2.5 * mD) && col("v_zero") > 0, lc).otherwise(raw),
+        4))
+      .select(col("v_zero"), col("sum_int"), col("est_hll"))
+  }
+
+  /** Per-GROUP HLL distinct estimates (e.g. distinct users per event
+    * type): one scan, registers keyed by (group, bucket) — at any
+    * corpus size the shuffle carries ≤ groups×m rows. Returns one row
+    * per group: (grp, exact_nd, v_zero, sum_int, est_hll). */
+  def hllDistinctByGroup(df: DataFrame, groupCol: Column, keyCol: Column,
+      p: Int = 8, seed: Int = 5): DataFrame = {
+    require(p >= 7 && p <= 16, s"p=$p out of range")
+    val spark = df.sparkSession
+    val m = 1 << p
+    val mD = m.toDouble
+    val melted = df.select(groupCol.cast("string").as("grp"),
+        keyCol.cast("string").as("k"))
+      .filter(col("grp").isNotNull && col("k").isNotNull)
+    val hashed = melted
+      .withColumn("h", Tables.hashU32(col("k"), seed))
+      .withColumn("bucket", pmod(col("h"), lit(m.toLong)))
+      .withColumn("h2", floor(col("h") / m).cast("long"))
+      .withColumn("rho", when(col("h2") === 0, lit((33 - p).toLong))
+        .otherwise((expr("bit_count((h2 & -h2) - 1)") + 1).cast("long")))
+    val regs = hashed.groupBy(col("grp"), col("bucket"))
+      .agg(max(col("rho")).as("maxrho"))
+    val names = melted.select(col("grp")).distinct()
+    val spine = names.crossJoin(
+      spark.range(m).select(col("id").as("bucket")))
+    val full = spine.join(regs, Seq("grp", "bucket"), "left")
+      .na.fill(0L, Seq("maxrho"))
+    val agg = full.groupBy(col("grp"))
+      .agg(sum(pow(lit(2.0), lit(32L) - col("maxrho")).cast("long"))
+          .as("sum_int"),
+        sum(when(col("maxrho") === 0, 1L).otherwise(0L)).as("v_zero"))
+    val exact = melted.groupBy(col("grp"))
+      .agg(countDistinct(col("k")).as("exact_nd"))
+    val raw = lit(alphaM2(m)) * lit(4294967296.0) / col("sum_int")
+    val lc = lit(mD) *
+      round(log(lit(mD) / col("v_zero")) * 1e6).cast("long") / lit(1e6)
+    agg.join(exact, Seq("grp"))
+      .withColumn("est_hll", round(
+        when(raw <= lit(2.5 * mD) && col("v_zero") > 0, lc).otherwise(raw),
+        4))
+      .select(col("grp"), col("exact_nd"), col("v_zero"), col("sum_int"),
+        col("est_hll"))
+  }
+
   /** HLL distinct-count estimates for several columns in ONE pass.
     * `cols` = (label, column) pairs; each column is hashed as its
     * string rendering (safe for strings and integrals — the md5 parity

@@ -51,6 +51,26 @@ class SketchGraphSpec extends SparkSpec {
     assert(est(a.union(b)) == est(full))
   }
 
+  test("grouped HLL matches the global sketch run per group") {
+    val df = spark.range(5000).select(
+      (col("id") % 3).cast("string").as("g"), (col("id") % 700).as("k"))
+    val grouped = Sketches.hllDistinctByGroup(df, col("g"), col("k"))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("exact_nd"), r.getAs[Double]("est_hll"))).toMap
+    assert(grouped.keySet == Set("0", "1", "2"))
+    for ((g, (exact, est)) <- grouped) {
+      // per-group exact ~233; linear-counting regime → small error
+      assert(exact > 200 && math.abs(est - exact) / exact < 0.15,
+        s"g=$g exact=$exact est=$est")
+      // grouped registers ≡ a standalone sketch of that group's keys
+      val solo = Sketches.estimateFromRegisters(
+        Sketches.hllRegisters(df.filter(col("g") === g), col("k"))
+          .groupBy(col("bucket")).agg(max(col("rho")).as("maxrho")))
+        .head().getAs[Double]("est_hll")
+      assert(solo == est, s"g=$g grouped=$est solo=$solo")
+    }
+  }
+
   test("histogramQuantiles: estimates within one bin of exact quantiles") {
     val df = spark.range(10000).select(col("id").cast("double").as("v"))
     val out = Sketches.histogramQuantiles(df, col("v"), nBins = 1000,
