@@ -1101,6 +1101,21 @@ object SparkEntry {
       Sketches.estimateFromRegisters(sunk, p = 8)
     }),
 
+    // ranking-function breadth: lead/lag/ntile/percent_rank/cume_dist
+    // over the per-user event timeline (complements q29's frames)
+    "q48_rank_functions" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      ev.select(col("user_id"), col("event_id"),
+        lag(col("event_id"), 1).over(w).as("prev_event"),
+        lead(col("event_id"), 1).over(w).as("next_event"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+    }),
+
     // no oracle: mapPartitions path, covered by ExtendedOpsSpec)
     "m2_multimodal_features" -> ((s, d) => {
       val media = Multimodal.toMediaFrame(
@@ -2571,6 +2586,20 @@ object SparkEntry {
          |   ELSE ($a)::DOUBLE * 4294967296.0 / sum_int END, 4) AS est_hll
          |FROM agg""".stripMargin
     },
+
+    "q48_rank_functions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS ts_us
+        |  FROM events)
+        |SELECT user_id, event_id,
+        | lag(event_id, 1) OVER w AS prev_event,
+        | lead(event_id, 1) OVER w AS next_event,
+        | CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        | round(percent_rank() OVER w, 6) AS pct_rank,
+        | round(cume_dist() OVER w, 6) AS cume
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)"""
+        .stripMargin,
 
     "m1_multimodal_meta" ->
       s"""SELECT doc_id,
