@@ -30,9 +30,10 @@ object Bench {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val sec = (System.nanoTime() - t0) / 1e9
-      // operator-internal persists are per-query scratch state; drop them
-      // so queries are timed in isolation rather than under accumulated
-      // storage-memory pressure
+      // operator-internal persists are per-query scratch state; drop
+      // them (storage AND the registry's handles) so queries are timed
+      // in isolation rather than under accumulated storage pressure
+      InternalCaches.releaseAll()
       spark.catalog.clearCache()
       name -> sec
     }

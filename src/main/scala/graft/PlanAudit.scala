@@ -36,6 +36,7 @@ object PlanAudit {
       // inputs are fine — grep context to tell them apart)
       if (plan.contains("SinglePartition"))
         println(s"!! SINGLE_PARTITION_EXCHANGE in $n")
+      InternalCaches.releaseAll()
     }
     spark.stop()
   }

@@ -192,6 +192,28 @@ object SparkEntry {
     * (squared-L2 left fold, ties to the lowest cid), then rebuild each
     * (s, cid) centroid from integer micro-unit sums — textually the
     * same fold order and quantization as Similarity.pqTrainCodebooks. */
+  /** Scratch directory for write-then-read-back queries (TFRecord/
+    * JSON/partitioned-parquet round trips). Keyed by the FULL md5 of
+    * the data dir — `String.hashCode` can collide across distinct
+    * dirs — plus the JVM pid, so concurrent harness processes never
+    * overwrite each other's scratch mid-read; deleted recursively at
+    * JVM exit instead of accumulating in the tmpdir forever. */
+  private def scratchDir(prefix: String, d: String): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"${prefix}_${key}_${ProcessHandle.current().pid()}")
+    val p = dir.toPath
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        import java.nio.file.Files
+        if (Files.exists(p))
+          Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => Files.deleteIfExists(f))
+      } catch { case _: Throwable => () }))
+    dir.toString
+  }
+
   private def duckPqRound(i: Int, subLen: Int): String = {
     val prev = if (i == 1) "cb" else s"cb${i - 1}"
     s"""psc$i AS (
@@ -717,9 +739,7 @@ object SparkEntry {
       val docs = Tables.documents(s, d).select(
         col("doc_id"), col("text"), col("lang"), col("source"),
         col("n_chars"))
-      val scratch = new java.io.File(
-        System.getProperty("java.io.tmpdir"),
-        "graft_tfrec_" + Integer.toHexString(d.hashCode)).toString
+      val scratch = scratchDir("graft_tfrec", d)
       graft.sources.TfRecords.write(docs, scratch, "documents",
         numShards = 5)
       val back = graft.sources.TfRecords.read(
@@ -1014,9 +1034,7 @@ object SparkEntry {
       val docs = Tables.documents(s, d).select(
         col("doc_id"), col("text"), col("lang"), col("source"),
         col("n_chars"))
-      val scratch = new java.io.File(
-        System.getProperty("java.io.tmpdir"),
-        "graft_json_" + Integer.toHexString(d.hashCode)).toString
+      val scratch = scratchDir("graft_json", d)
       docs.write.mode("overwrite").json(scratch)
       val back = s.read.schema(docs.schema).json(scratch)
       back.groupBy(col("lang"))
@@ -1030,9 +1048,7 @@ object SparkEntry {
     // with a partition filter — the scan must touch only 2 of the
     // lang directories (PlanAudit shows the pruned partition count)
     "q42_partition_pruning" -> ((s, d) => {
-      val scratch = new java.io.File(
-        System.getProperty("java.io.tmpdir"),
-        "graft_part_" + Integer.toHexString(d.hashCode)).toString
+      val scratch = scratchDir("graft_part", d)
       Tables.documents(s, d).write.mode("overwrite")
         .partitionBy("lang").parquet(scratch)
       s.read.parquet(scratch)
@@ -2431,7 +2447,7 @@ object SparkEntry {
          |  SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
          |   CAST(round(power(${duckRand("doc_id::VARCHAR", 91)},
          |     1.0 / n_chars) * 1000000) AS BIGINT) AS key6
-         |  FROM documents),
+         |  FROM documents WHERE n_chars > 0),
          |r AS (
          |  SELECT doc_id, weight, key6,
          |   CAST(row_number() OVER (ORDER BY key6 DESC, doc_id)

@@ -52,6 +52,7 @@ object Stress {
       val t0 = System.nanoTime()
       val n = f
       println(f"$name%-26s ${(System.nanoTime() - t0) / 1e9}%8.2fs rows=$n")
+      InternalCaches.releaseAll()
       spark.catalog.clearCache()
       docs.persist(); emb.persist()
     }

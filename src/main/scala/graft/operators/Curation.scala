@@ -81,8 +81,14 @@ object Curation {
   def weightedTopK(df: DataFrame, idCol: Column, weightCol: Column,
       k: Int, seed: Int): DataFrame = {
     require(k > 0, s"k=$k must be positive")
+    // Efraimidis-Spirakis is defined for w > 0 only: w = 0 would put
+    // 1/w at infinity (and can never be sampled anyway) and w < 0
+    // would make u^(1/w) exceed 1, outranking every valid row — both
+    // are excluded rather than silently mis-ranked (the DuckDB twin
+    // carries the same predicate).
     val keyed = df.select(idCol.as("doc_id"),
         weightCol.cast("long").as("weight"))
+      .filter(col("weight") > 0)
       .withColumn("key6",
         round(pow(Tables.hashRand(col("doc_id"), seed),
           lit(1.0) / col("weight")) * 1e6).cast("long"))

@@ -25,51 +25,47 @@ object Events {
       .agg(count(lit(1)).as("cnt"),
         round(sum(col("value")), 4).as("sum_value"))
 
-  /** Gap-based sessionization: a new session starts when the gap to the
-    * user's previous event exceeds `gapSeconds`. Returns one row per
-    * session: (user_id, session_id, n_events, duration_sec, ...).
-    * Window ordering includes event_id as tiebreak so equal timestamps
-    * order identically in both engines. */
-  def sessionize(events: DataFrame, gapSeconds: Long): DataFrame = {
+  /** The shared gap-split core: every event annotated with its µs
+    * timestamp and running per-user `session_id`. ONE definition of
+    * "session" — the window ordering includes event_id as tiebreak so
+    * equal timestamps order identically in both engines, and both
+    * public session operators aggregate this frame (divergent twins
+    * here would silently disagree about the same concept). */
+  private def withSessionIds(events: DataFrame,
+      gapSeconds: Long): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_us"), col("event_id"))
-    val withGap = events
+    events
       .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
       .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
       .withColumn("new_session",
         when(col("prev_us").isNull ||
           col("ts_us") - col("prev_us") > gapSeconds * 1000000L, 1L)
           .otherwise(0L))
-    val withSid = withGap.withColumn("session_id",
-      sum(col("new_session")).over(
-        byUser.rowsBetween(Window.unboundedPreceding, 0)))
-    withSid.groupBy(col("user_id"), col("session_id"))
+      .withColumn("session_id",
+        sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, 0)))
+  }
+
+  /** Gap-based sessionization: a new session starts when the gap to the
+    * user's previous event exceeds `gapSeconds`. Returns one row per
+    * session: (user_id, session_id, n_events, duration_sec, ...). */
+  def sessionize(events: DataFrame, gapSeconds: Long): DataFrame =
+    withSessionIds(events, gapSeconds)
+      .groupBy(col("user_id"), col("session_id"))
       .agg(count(lit(1)).as("n_events"),
         ((max(col("ts_us")) - min(col("ts_us"))) / 1000000L)
           .cast("double").as("duration_sec"),
         round(sum(col("value")), 4).as("sum_value"))
-  }
 
-  /** Session INTERVALS — the same gap-split machinery as [[sessionize]]
-    * but returning each session's µs time bounds
+  /** Session INTERVALS — the same gap-split core as [[sessionize]] but
+    * returning each session's µs time bounds
     * (user_id, session_id, start_us, end_us), the shape interval
     * consumers ([[binnedIntervalJoin]]) want. */
-  def sessionIntervals(events: DataFrame, gapSeconds: Long): DataFrame = {
-    val byUser = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts_us"), col("event_id"))
-    val withGap = events
-      .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
-      .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
-      .withColumn("new_session",
-        when(col("prev_us").isNull ||
-          col("ts_us") - col("prev_us") > gapSeconds * 1000000L, 1L)
-          .otherwise(0L))
-    withGap.withColumn("session_id",
-        sum(col("new_session")).over(
-          byUser.rowsBetween(Window.unboundedPreceding, 0)))
+  def sessionIntervals(events: DataFrame, gapSeconds: Long): DataFrame =
+    withSessionIds(events, gapSeconds)
       .groupBy(col("user_id"), col("session_id"))
       .agg(min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"))
-  }
 
   /** Binned interval (range) join — the large×large point-in-interval
     * join as an EQUI-join: chop the time axis into `binUs`-wide bins,

@@ -301,12 +301,8 @@ object Similarity {
   def pqCodebooks(emb: DataFrame, idCol: String, vecCol: String,
       m: Int, k: Int, dim: Int, seed: Int): DataFrame = {
     require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
-    val sub = dim / m
-    val subs = emb.select(col(idCol).as("vid"),
-      posexplode(transform(sequence(lit(0), lit(m - 1)),
-        s => slice(col(vecCol), s * sub + 1, lit(sub))
-          .cast("array<double>"))).as(Seq("s", "sub")))
-    PipelineOps.stratifiedTopK(subs, col("s"), col("vid"), k, seed)
+    PipelineOps.stratifiedTopK(pqSubs(emb, idCol, vecCol, m, dim),
+        col("s"), col("vid"), k, seed)
       .select(col("s"), col("sample_rank").as("cid"),
         col("sub").as("centroid"))
   }
@@ -317,12 +313,8 @@ object Similarity {
     * one row per (vector, subspace) crosses the shuffle. */
   def pqEncode(emb: DataFrame, codebooks: DataFrame, idCol: String,
       vecCol: String, m: Int, dim: Int): DataFrame = {
-    val sub = dim / m
-    val subs = emb.select(col(idCol).as("vid"),
-      posexplode(transform(sequence(lit(0), lit(m - 1)),
-        s => slice(col(vecCol), s * sub + 1, lit(sub))
-          .cast("array<double>"))).as(Seq("s", "sub")))
-    subs.join(broadcast(codebooks), Seq("s"))
+    pqSubs(emb, idCol, vecCol, m, dim)
+      .join(broadcast(codebooks), Seq("s"))
       .withColumn("dist", aggregate(
         zip_with(col("sub"), col("centroid"), (x, y) => (x - y) * (x - y)),
         lit(0.0d), (acc, v) => acc + v))

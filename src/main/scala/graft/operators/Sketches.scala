@@ -46,6 +46,43 @@ object Sketches {
     0.7213 / (1.0 + 1.079 / m) * m.toDouble * m.toDouble
   }
 
+  /** THE single definition of the register math: adds (bucket, rho)
+    * to a frame carrying a non-null string key column `k`. Every
+    * sketch topology (global, multi-column, per-group, streaming)
+    * derives from this — edit it in one place or not at all. */
+  private def withRegCols(df: DataFrame, p: Int, seed: Int): DataFrame = {
+    val m = 1 << p
+    df.withColumn("h", Tables.hashU32(col("k"), seed))
+      .withColumn("bucket", pmod(col("h"), lit(m.toLong)))
+      .withColumn("h2", floor(col("h") / m).cast("long"))
+      // rho: trailing zeros of the non-index bits + 1; all-zero suffix
+      // (h2 = 0) saturates at 32-p+1
+      .withColumn("rho", when(col("h2") === 0, lit((33 - p).toLong))
+        .otherwise((expr("bit_count((h2 & -h2) - 1)") + 1).cast("long")))
+  }
+
+  /** THE single definition of the estimator: closes a SPINE-FILLED
+    * register file (one row per (group key?, bucket) with `maxrho`,
+    * empty registers = 0) to (…, v_zero, sum_int, est_hll). Harmonic
+    * sum as exact integers in 2^-32 units; raw estimate from the
+    * shared α·m² literal; linear-counting branch quantized to
+    * micro-nats. `groupCols` empty = one global row. */
+  private def closeEstimate(filled: DataFrame, p: Int,
+      groupCols: Seq[String]): DataFrame = {
+    val m = 1 << p
+    val mD = m.toDouble
+    val agg = filled.groupBy(groupCols.map(col): _*)
+      .agg(sum(pow(lit(2.0), lit(32L) - col("maxrho")).cast("long"))
+          .as("sum_int"),
+        sum(when(col("maxrho") === 0, 1L).otherwise(0L)).as("v_zero"))
+    val raw = lit(alphaM2(m)) * lit(4294967296.0) / col("sum_int")
+    val lc = lit(mD) *
+      round(log(lit(mD) / col("v_zero")) * 1e6).cast("long") / lit(1e6)
+    agg.withColumn("est_hll", round(
+      when(raw <= lit(2.5 * mD) && col("v_zero") > 0, lc).otherwise(raw),
+      4))
+  }
+
   /** Per-row HLL register coordinates (bucket, rho) for a key column —
     * the raw material any aggregation topology can max() over: batch
     * groupBy, per-group sketches, or a STREAMING aggregate (max is
@@ -55,14 +92,8 @@ object Sketches {
   def hllRegisters(df: DataFrame, keyCol: Column, p: Int = 8,
       seed: Int = 5): DataFrame = {
     require(p >= 7 && p <= 16, s"p=$p out of range")
-    val m = 1 << p
-    df.select(keyCol.cast("string").as("k"))
-      .filter(col("k").isNotNull)
-      .withColumn("h", Tables.hashU32(col("k"), seed))
-      .withColumn("bucket", pmod(col("h"), lit(m.toLong)))
-      .withColumn("h2", floor(col("h") / m).cast("long"))
-      .withColumn("rho", when(col("h2") === 0, lit((33 - p).toLong))
-        .otherwise((expr("bit_count((h2 & -h2) - 1)") + 1).cast("long")))
+    withRegCols(df.select(keyCol.cast("string").as("k"))
+        .filter(col("k").isNotNull), p, seed)
       .select(col("bucket"), col("rho"))
   }
 
@@ -73,20 +104,10 @@ object Sketches {
   def estimateFromRegisters(regs: DataFrame, p: Int = 8): DataFrame = {
     val spark = regs.sparkSession
     val m = 1 << p
-    val mD = m.toDouble
     val spine = spark.range(m).select(col("id").as("bucket"))
-    val full = spine.join(regs, Seq("bucket"), "left")
+    val filled = spine.join(regs, Seq("bucket"), "left")
       .na.fill(0L, Seq("maxrho"))
-    val agg = full.agg(
-      sum(pow(lit(2.0), lit(32L) - col("maxrho")).cast("long"))
-        .as("sum_int"),
-      sum(when(col("maxrho") === 0, 1L).otherwise(0L)).as("v_zero"))
-    val raw = lit(alphaM2(m)) * lit(4294967296.0) / col("sum_int")
-    val lc = lit(mD) *
-      round(log(lit(mD) / col("v_zero")) * 1e6).cast("long") / lit(1e6)
-    agg.withColumn("est_hll", round(
-        when(raw <= lit(2.5 * mD) && col("v_zero") > 0, lc).otherwise(raw),
-        4))
+    closeEstimate(filled, p, Nil)
       .select(col("v_zero"), col("sum_int"), col("est_hll"))
   }
 
@@ -99,36 +120,20 @@ object Sketches {
     require(p >= 7 && p <= 16, s"p=$p out of range")
     val spark = df.sparkSession
     val m = 1 << p
-    val mD = m.toDouble
     val melted = df.select(groupCol.cast("string").as("grp"),
         keyCol.cast("string").as("k"))
       .filter(col("grp").isNotNull && col("k").isNotNull)
-    val hashed = melted
-      .withColumn("h", Tables.hashU32(col("k"), seed))
-      .withColumn("bucket", pmod(col("h"), lit(m.toLong)))
-      .withColumn("h2", floor(col("h") / m).cast("long"))
-      .withColumn("rho", when(col("h2") === 0, lit((33 - p).toLong))
-        .otherwise((expr("bit_count((h2 & -h2) - 1)") + 1).cast("long")))
-    val regs = hashed.groupBy(col("grp"), col("bucket"))
+    val regs = withRegCols(melted, p, seed)
+      .groupBy(col("grp"), col("bucket"))
       .agg(max(col("rho")).as("maxrho"))
-    val names = melted.select(col("grp")).distinct()
-    val spine = names.crossJoin(
+    val spine = melted.select(col("grp")).distinct().crossJoin(
       spark.range(m).select(col("id").as("bucket")))
-    val full = spine.join(regs, Seq("grp", "bucket"), "left")
+    val filled = spine.join(regs, Seq("grp", "bucket"), "left")
       .na.fill(0L, Seq("maxrho"))
-    val agg = full.groupBy(col("grp"))
-      .agg(sum(pow(lit(2.0), lit(32L) - col("maxrho")).cast("long"))
-          .as("sum_int"),
-        sum(when(col("maxrho") === 0, 1L).otherwise(0L)).as("v_zero"))
     val exact = melted.groupBy(col("grp"))
       .agg(countDistinct(col("k")).as("exact_nd"))
-    val raw = lit(alphaM2(m)) * lit(4294967296.0) / col("sum_int")
-    val lc = lit(mD) *
-      round(log(lit(mD) / col("v_zero")) * 1e6).cast("long") / lit(1e6)
-    agg.join(exact, Seq("grp"))
-      .withColumn("est_hll", round(
-        when(raw <= lit(2.5 * mD) && col("v_zero") > 0, lc).otherwise(raw),
-        4))
+    closeEstimate(filled, p, Seq("grp"))
+      .join(exact, Seq("grp"))
       .select(col("grp"), col("exact_nd"), col("v_zero"), col("sum_int"),
         col("est_hll"))
   }
@@ -146,46 +151,26 @@ object Sketches {
     require(p >= 7 && p <= 16, s"p=$p out of range (alpha needs m >= 128)")
     val spark = df.sparkSession
     val m = 1 << p
-    val mD = m.toDouble
     // melt: (cname, key-as-string) — one scan covers every column
     val melted = df.select(explode(array(cols.map { case (n, c) =>
         struct(lit(n).as("cname"), c.cast("string").as("k"))
       }: _*)).as("kv"))
       .select(col("kv.cname").as("cname"), col("kv.k").as("k"))
       .filter(col("k").isNotNull)
-    val hashed = melted
-      .withColumn("h", Tables.hashU32(col("k"), seed))
-      .withColumn("bucket", pmod(col("h"), lit(m.toLong)))
-      .withColumn("h2", floor(col("h") / m).cast("long"))
-      // ρ: trailing zeros of the non-index bits + 1; all-zero suffix
-      // (h2 = 0) saturates at 32-p+1
-      .withColumn("rho", when(col("h2") === 0, lit((33 - p).toLong))
-        .otherwise((expr("bit_count((h2 & -h2) - 1)") + 1).cast("long")))
-    val regs = hashed.groupBy(col("cname"), col("bucket"))
+    val regs = withRegCols(melted, p, seed)
+      .groupBy(col("cname"), col("bucket"))
       .agg(max(col("rho")).as("maxrho"))
-    // register spine: every (label, bucket) slot, so empty registers
-    // contribute ρ_max = 0 (the estimator needs them)
+    // register spine from the LITERAL label list (not the data): every
+    // (label, bucket) slot exists even for an all-null column
     import spark.implicits._
-    val names = cols.map(_._1).toDF("cname")
-    val spine = names.crossJoin(
+    val spine = cols.map(_._1).toDF("cname").crossJoin(
       spark.range(m).select(col("id").as("bucket")))
-    val full = spine.join(regs, Seq("cname", "bucket"), "left")
+    val filled = spine.join(regs, Seq("cname", "bucket"), "left")
       .na.fill(0L, Seq("maxrho"))
-    val agg = full.groupBy(col("cname"))
-      .agg(sum(pow(lit(2.0), lit(32L) - col("maxrho")).cast("long"))
-          .as("sum_int"),
-        sum(when(col("maxrho") === 0, 1L).otherwise(0L)).as("v_zero"))
     val exact = melted.groupBy(col("cname"))
       .agg(countDistinct(col("k")).as("exact_nd"))
-    val raw = lit(alphaM2(m)) * lit(4294967296.0) / col("sum_int")
-    // small-range correction: linear counting m·ln(m/V), ln quantized
-    // to micro-nats so both engines gate and scale on the same integer
-    val lc = lit(mD) *
-      round(log(lit(mD) / col("v_zero")) * 1e6).cast("long") / lit(1e6)
-    agg.join(exact, Seq("cname"))
-      .withColumn("est_hll", round(
-        when(raw <= lit(2.5 * mD) && col("v_zero") > 0, lc).otherwise(raw),
-        4))
+    closeEstimate(filled, p, Seq("cname"))
+      .join(exact, Seq("cname"))
       .select(col("cname"), col("exact_nd"), col("v_zero"), col("sum_int"),
         col("est_hll"))
   }
