@@ -37,10 +37,26 @@ object Bench {
       spark.catalog.clearCache()
       name -> sec
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val totalR = math.round(total * 1000) / 1000.0
     spark.stop()
+    // Two result lines. The full-name line is for humans/logs. The
+    // LAST line is the machine-readable one and is kept compact (short
+    // per-query keys = the name prefix before the first '_', unique by
+    // construction; 2-decimal seconds) so the whole line plus sbt's
+    // trailing "[success]" fits inside a 2000-char log tail window —
+    // at 88 queries the full-name line alone is >3 KB and gets
+    // truncated by tail capture, losing the JSON.
+    val qsFull = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    println(s"""{"detail":"per_query_full","total":$totalR,"queries_full":$qsFull,"sf":"$sfDir"}""")
+    val qs = results.map { case (k, v) =>
+      val short = k.takeWhile(_ != '_')
+      val sec = math.round(v * 100) / 100.0
+      "\"" + short + "\":" + sec
+    }.mkString("{", ",", "}")
+    val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
+      .map(_.group(1)).getOrElse("0")
+    println(s"""{"metric":"total","value":$totalR,"unit":"sec","queries":$qs,"sf":$sfNum}""")
   }
 }

@@ -1132,6 +1132,39 @@ object SparkEntry {
         round(cume_dist().over(w), 6).as("cume"))
     }),
 
+    // ORC source/sink round trip — with k2 (TFRecord), k3 (JSON), and
+    // q42 (partitioned parquet) this closes the format matrix
+    "k4_orc_roundtrip" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(
+        col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"))
+      val scratch = scratchDir("graft_orc", d)
+      docs.write.mode("overwrite").orc(scratch)
+      val back = s.read.schema(docs.schema).orc(scratch)
+      back.groupBy(col("lang"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("doc_id")).as("id_sum"),
+          sum(col("n_chars")).as("nchars_sum"),
+          sum(Tables.hashU32(col("text"), 13)).as("content_sum"))
+    }),
+
+    // CSV round trip: quoted/escaped text survives write + schema'd
+    // re-read losslessly (header on, explicit schema back)
+    "k5_csv_roundtrip" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(
+        col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"))
+      val scratch = scratchDir("graft_csv", d)
+      docs.write.mode("overwrite").option("header", "true").csv(scratch)
+      val back = s.read.schema(docs.schema).option("header", "true")
+        .csv(scratch)
+      back.groupBy(col("lang"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("doc_id")).as("id_sum"),
+          sum(col("n_chars")).as("nchars_sum"),
+          sum(Tables.hashU32(col("text"), 17)).as("content_sum"))
+    }),
+
     // no oracle: mapPartitions path, covered by ExtendedOpsSpec)
     "m2_multimodal_features" -> ((s, d) => {
       val media = Multimodal.toMediaFrame(
@@ -2616,6 +2649,20 @@ object SparkEntry {
         |FROM e
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)"""
         .stripMargin,
+
+    "k4_orc_roundtrip" ->
+      s"""SELECT lang, CAST(count(*) AS BIGINT) AS cnt,
+         | CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         | CAST(sum(n_chars) AS BIGINT) AS nchars_sum,
+         | CAST(sum(${duckU32("text", 13)}) AS BIGINT) AS content_sum
+         |FROM documents GROUP BY 1""".stripMargin,
+
+    "k5_csv_roundtrip" ->
+      s"""SELECT lang, CAST(count(*) AS BIGINT) AS cnt,
+         | CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         | CAST(sum(n_chars) AS BIGINT) AS nchars_sum,
+         | CAST(sum(${duckU32("text", 17)}) AS BIGINT) AS content_sum
+         |FROM documents GROUP BY 1""".stripMargin,
 
     "m1_multimodal_meta" ->
       s"""SELECT doc_id,
