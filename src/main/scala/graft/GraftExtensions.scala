@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.dotFunction)
     ext.injectOptimizerRule(_ => graft.plans.HofFusionRule)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
 
@@ -45,5 +46,9 @@ object GraftFunctions {
     if (!cur.contains(graft.plans.HofFusionRule))
       spark.experimental.extraOptimizations =
         cur :+ graft.plans.HofFusionRule
+    val strats = spark.experimental.extraStrategies
+    if (!strats.contains(graft.plans.AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        strats :+ graft.plans.AsOfJoinStrategy
   }
 }

@@ -483,6 +483,19 @@ object SparkEntry {
         .withColumnRenamed("event_id", "purchase_id")
     }),
 
+    // same as-of semantics, executed by the custom physical operator
+    // (AsOfJoinPlan -> AsOfJoinStrategy -> AsOfJoinExec, injected via
+    // SparkSessionExtensions); shares q20's oracle SQL verbatim, which
+    // makes the oracle gate the operator's equivalence proof
+    "q49_asof_native" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      Events.asofJoinNative(
+        ev.filter(col("event_type") === "purchase"),
+        ev.filter(col("event_type") === "view"),
+        "user_id", "ts", "event_id", "event_id")
+        .withColumnRenamed("event_id", "purchase_id")
+    }),
+
     // —— text analysis (north star M7c) ——
 
     "t1_token_stats" -> ((s, d) =>
@@ -1494,6 +1507,32 @@ object SparkEntry {
         |FROM w GROUP BY 1, 2""".stripMargin,
 
     "q20_asof_join" ->
+      """WITH l AS (
+        |  SELECT user_id AS k, epoch_us(ts::TIMESTAMP) AS t,
+        |   event_id AS lid
+        |  FROM events WHERE event_type = 'purchase'),
+        |r0 AS (
+        |  SELECT user_id AS k, epoch_us(ts::TIMESTAMP) AS t,
+        |   CAST(max(event_id) AS BIGINT) AS rid
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |u AS (
+        |  SELECT k, t, 1 AS side, lid, NULL::BIGINT AS rid FROM l
+        |  UNION ALL
+        |  SELECT k, t, 0 AS side, NULL::BIGINT AS lid, rid FROM r0),
+        |c AS (
+        |  SELECT *, last_value(rid IGNORE NULLS) OVER
+        |    (PARTITION BY k ORDER BY t, side ROWS UNBOUNDED PRECEDING)
+        |    AS asof_rid
+        |  FROM u)
+        |SELECT k AS user_id, CAST(t AS BIGINT) AS ts_us,
+        | CAST(lid AS BIGINT) AS purchase_id,
+        | CAST(asof_rid AS BIGINT) AS asof_event_id
+        |FROM c WHERE side = 1""".stripMargin,
+
+    // q49 runs the same as-of semantics through the custom physical
+    // operator — the oracle SQL is q20's verbatim (shared via the map
+    // lookup below at object init)
+    "q49_asof_native" ->
       """WITH l AS (
         |  SELECT user_id AS k, epoch_us(ts::TIMESTAMP) AS t,
         |   event_id AS lid

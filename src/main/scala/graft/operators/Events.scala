@@ -131,6 +131,42 @@ object Events {
         col("asof_rid").as(s"asof_$rightIdCol"))
   }
 
+  /** Native-operator twin of [[asofJoin]]: same inputs, same output
+    * schema, same tie discipline (right pre-reduced to max payload per
+    * (key, time)), but executed by the custom
+    * [[graft.plans.AsOfJoinExec]] physical operator — one hash
+    * exchange + sort per side, then a single-pass streaming merge with
+    * O(1) state per partition, instead of the unioned window frame.
+    * Oracle-checked against the identical SQL as the composed twin,
+    * which is the operator's end-to-end equivalence proof. */
+  def asofJoinNative(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, leftIdCol: String, rightIdCol: String): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge
+    val spark = left.sparkSession
+    // Fresh aliases on both sides mint fresh exprIds, so a self-join
+    // (left and right views of one source) cannot collide inside the
+    // custom node, which bypasses the analyzer's DeduplicateRelations.
+    val l = left.select(col(keyCol).as("k"),
+      unix_micros(col(tsCol).cast("timestamp")).as("t"),
+      col(leftIdCol).as("lid"))
+    val r = right.select(col(keyCol).as("k"),
+      unix_micros(col(tsCol).cast("timestamp")).as("t"),
+      col(rightIdCol).as("rid"))
+      .groupBy(col("k"), col("t")).agg(max(col("rid")).as("rid"))
+      .select(col("k").as("rk"), col("t").as("rt"), col("rid"))
+    val lPlan = GraftSqlBridge.logicalPlan(l)
+    val rPlan = GraftSqlBridge.logicalPlan(r)
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        name: String) = p.output.find(_.name == name).getOrElse(
+      sys.error(s"asofJoinNative: missing column $name"))
+    val node = graft.plans.AsOfJoinPlan(lPlan, rPlan,
+      Seq(attr(lPlan, "k")), Seq(attr(rPlan, "rk")),
+      attr(lPlan, "t"), attr(rPlan, "rt"))
+    GraftSqlBridge.dataFrame(spark, node)
+      .select(col("k").as(keyCol), col("t").as("ts_us"),
+        col("lid").as(leftIdCol), col("rid").as(s"asof_$rightIdCol"))
+  }
+
   /** Top-k rows per group by a sortable measure (the generic window
     * top-k the reference lacks but any analytics surface needs). */
   def topKPerGroup(df: DataFrame, groupCols: Seq[Column], order: Seq[Column],

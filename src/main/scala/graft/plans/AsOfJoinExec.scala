@@ -1,0 +1,151 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{
+  Ascending, Attribute, BindReferences, Expression, GenericInternalRow,
+  JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.plans.physical.{
+  ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.metric.SQLMetrics
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** Physical as-of join: a single forward merge over two co-partitioned,
+  * (key, time)-sorted children.
+  *
+  * Scale posture (the reason this is an operator and not a window
+  * trick): the required distribution/ordering lets EnsureRequirements
+  * plan one hash exchange + one sort per side — identical shuffle cost
+  * to a sort-merge equi-join — after which each partition is merged in
+  * one pass with O(1) state (the last eligible right row). The
+  * composed window twin pays the same shuffle but buffers both sides
+  * through a single unioned window frame; the operator streams them.
+  * Neither side is ever broadcast or materialized per-key, so the plan
+  * survives arbitrarily large both-sides inputs as long as key groups
+  * hash-balance — the same contract as SortMergeJoin.
+  */
+case class AsOfJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override lazy val metrics = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext,
+      "number of output rows"),
+    "numMatchedRows" -> SQLMetrics.createMetric(sparkContext,
+      "number of rows with an as-of match"))
+
+  /** Co-partition both children on the join keys — EnsureRequirements
+    * inserts compatible hash exchanges exactly as for SortMergeJoin. */
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  /** Sort each side by (keys..., time) so the merge is a single
+    * forward pass. */
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending),
+    rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTime, Ascending))
+
+  /** The merge is left-driven and order-preserving. */
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] =
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending)
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatchedRows = longMetric("numMatchedRows")
+    val lAttrs = left.output
+    val rAttrs = right.output
+    val lKeyExprs = leftKeys
+    val rKeyExprs = rightKeys
+    val lTimeExpr = leftTime
+    val rTimeExpr = rightTime
+    val outAttrs = output
+    val keyTypes = leftKeys.map(_.dataType)
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(lKeyExprs, lAttrs)
+      val rKeyProj = UnsafeProjection.create(rKeyExprs, rAttrs)
+      val lTimeBound = BindReferences.bindReference(lTimeExpr, lAttrs)
+      val rTimeBound = BindReferences.bindReference(rTimeExpr, rAttrs)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+      val outProj = UnsafeProjection.create(outAttrs, outAttrs)
+      val joiner = new JoinedRow
+      val nullRight = new GenericInternalRow(rAttrs.length)
+      val rBuf = rIter.buffered
+
+      // O(1) merge state: the latest right row whose (key, time) is
+      // <= the current left (key, time), plus its key for group-change
+      // invalidation. Copies are required — child iterators reuse row
+      // buffers.
+      var matched: InternalRow = null
+      var matchedKey: UnsafeRow = null
+
+      lIter.map { lRow =>
+        val lKey = lKeyProj(lRow)
+        val lTimeV = lTimeBound.eval(lRow)
+        if (matched != null && keyOrd.compare(matchedKey, lKey) != 0) {
+          matched = null
+          matchedKey = null
+        }
+        if (lTimeV != null) {
+          val lTime = lTimeV.asInstanceOf[Long]
+          var advance = true
+          while (advance && rBuf.hasNext) {
+            val head = rBuf.head
+            val rKey = rKeyProj(head)
+            val cmp = keyOrd.compare(rKey, lKey)
+            if (cmp > 0) advance = false
+            else {
+              val rTimeV = rTimeBound.eval(head)
+              if (cmp == 0 &&
+                  (rTimeV == null || rTimeV.asInstanceOf[Long] > lTime)) {
+                advance = false
+              } else {
+                // behind the current left position: consume; remember
+                // it as the candidate only when keys match and time is
+                // non-null
+                val row = rBuf.next()
+                if (cmp == 0 && rTimeV != null) {
+                  matched = row.copy()
+                  matchedKey = rKey.copy()
+                }
+              }
+            }
+          }
+        }
+        numOutputRows += 1
+        // a null left time is incomparable: no match by definition
+        // (matched survives for subsequent non-null rows of the key)
+        if (matched != null && lTimeV != null) {
+          numMatchedRows += 1
+          outProj(joiner(lRow, matched))
+        } else {
+          outProj(joiner(lRow, nullRight))
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Planner strategy mapping the logical as-of join to its exec node —
+  * registered via `SparkSessionExtensions.injectPlannerStrategy` (or
+  * per-session through `spark.experimental.extraStrategies`). */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case _ => Nil
+  }
+}

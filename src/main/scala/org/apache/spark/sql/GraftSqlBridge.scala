@@ -1,6 +1,7 @@
 package org.apache.spark.sql
 
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 
 /** Bridge into `private[sql]` column/expression plumbing so graft can
   * expose custom Catalyst Expressions as user-facing Columns — the
@@ -11,4 +12,13 @@ object GraftSqlBridge {
     classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression =
     classic.ExpressionUtils.expression(c)
+
+  /** Analyzed logical plan of a DataFrame — input for building custom
+    * logical operators from already-resolved children. */
+  def logicalPlan(df: Dataset[_]): LogicalPlan =
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed
+
+  /** Wrap a (resolved) logical plan back into a DataFrame. */
+  def dataFrame(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }
