@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.DotProductExpr
+import graft.functions.{DotProductExpr, ZOrderExpr}
 
 /** Spark-native integration point: make graft's custom Catalyst
   * expressions available to SQL.
@@ -18,6 +18,7 @@ import graft.functions.DotProductExpr
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.dotFunction)
+    ext.injectFunction(GraftFunctions.zorderFunction)
     ext.injectOptimizerRule(_ => graft.plans.HofFusionRule)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
@@ -33,9 +34,21 @@ object GraftFunctions {
         DotProductExpr(children.head, children(1))
       })
 
-  def register(spark: SparkSession): Unit =
+  val zorderFunction: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_zorder"),
+      new ExpressionInfo(classOf[ZOrderExpr].getName, "graft_zorder"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_zorder(xBigint, yBigint)")
+        ZOrderExpr(children.head, children(1))
+      })
+
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", dotFunction._3, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_zorder", zorderFunction._3, "built-in")
+  }
 
   /** Per-session twin of the extension's optimizer injection, for
     * sessions built without `spark.sql.extensions` (Verify/Bench/

@@ -483,6 +483,19 @@ object SparkEntry {
         .withColumnRenamed("event_id", "purchase_id")
     }),
 
+    // z-order layout audit: equal-width key-range buckets (the shape a
+    // range-partitioned write produces), per-bucket extents of both
+    // dims, and which buckets a fixed box query must read under the
+    // z-order vs the single-column layout — the file-pruning argument
+    // for multi-dimensional clustering, measured relationally
+    "q50_zorder_layout" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_custkey"),
+        datediff(col("o_orderdate"), lit("1970-01-01")).cast("long")
+          .as("days"))
+      Layout.compareLayouts(o, col("o_custkey"), col("days"), buckets = 64,
+        xLo = 100L, xHi = 400L, yLo = 8766L, yHi = 9131L)
+    }),
+
     // same as-of semantics, executed by the custom physical operator
     // (AsOfJoinPlan -> AsOfJoinStrategy -> AsOfJoinExec, injected via
     // SparkSessionExtensions); shares q20's oracle SQL verbatim, which
@@ -1528,6 +1541,47 @@ object SparkEntry {
         | CAST(lid AS BIGINT) AS purchase_id,
         | CAST(asof_rid AS BIGINT) AS asof_event_id
         |FROM c WHERE side = 1""".stripMargin,
+
+    // the morton interleave is pure integer bit math, so DuckDB
+    // reproduces the codegen expression exactly with a shift/mask fold;
+    // bucket arithmetic is integer division on both engines
+    "q50_zorder_layout" ->
+      """WITH base AS (
+        |  SELECT o_custkey AS x,
+        |   CAST(o_orderdate::DATE - DATE '1970-01-01' AS BIGINT) AS y
+        |  FROM orders),
+        |zb AS (
+        |  SELECT x, y, CAST(list_sum(list_transform(range(0, 16),
+        |    i -> (((x >> i) & 1) << (2*i)) + (((y >> i) & 1) << (2*i+1))))
+        |    AS BIGINT) AS zk
+        |  FROM base),
+        |ze AS (SELECT min(zk) AS kmin, max(zk) AS kmax FROM zb),
+        |zbk AS (
+        |  SELECT least(63, ((zk - kmin) * 64) // (kmax - kmin + 1))
+        |    AS bucket, x, y FROM zb, ze),
+        |zs AS (
+        |  SELECT 'zorder' AS layout, CAST(bucket AS BIGINT) AS bucket,
+        |   CAST(count(*) AS BIGINT) AS cnt,
+        |   CAST(min(x) AS BIGINT) AS min_x, CAST(max(x) AS BIGINT) AS max_x,
+        |   CAST(min(y) AS BIGINT) AS min_y, CAST(max(y) AS BIGINT) AS max_y,
+        |   CAST(CASE WHEN min(x) <= 400 AND max(x) >= 100
+        |     AND min(y) <= 9131 AND max(y) >= 8766 THEN 1 ELSE 0 END
+        |     AS BIGINT) AS must_read
+        |  FROM zbk GROUP BY 2),
+        |xe AS (SELECT min(x) AS kmin, max(x) AS kmax FROM base),
+        |xbk AS (
+        |  SELECT least(63, ((x - kmin) * 64) // (kmax - kmin + 1))
+        |    AS bucket, x, y FROM base, xe),
+        |xs AS (
+        |  SELECT 'x_only' AS layout, CAST(bucket AS BIGINT) AS bucket,
+        |   CAST(count(*) AS BIGINT) AS cnt,
+        |   CAST(min(x) AS BIGINT) AS min_x, CAST(max(x) AS BIGINT) AS max_x,
+        |   CAST(min(y) AS BIGINT) AS min_y, CAST(max(y) AS BIGINT) AS max_y,
+        |   CAST(CASE WHEN min(x) <= 400 AND max(x) >= 100
+        |     AND min(y) <= 9131 AND max(y) >= 8766 THEN 1 ELSE 0 END
+        |     AS BIGINT) AS must_read
+        |  FROM xbk GROUP BY 2)
+        |SELECT * FROM zs UNION ALL SELECT * FROM xs""".stripMargin,
 
     // q49 runs the same as-of semantics through the custom physical
     // operator — the oracle SQL is q20's verbatim (shared via the map

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.functions._
+
+import graft.functions.ZOrderExpr
+
+/** Multi-dimensional data layout: Z-order clustering and its pruning
+  * audit.
+  *
+  * The 100 TB story: file-level min/max statistics prune a scan only
+  * when the written layout clusters the filtered dimensions. Ordering
+  * by one column clusters that column alone — a box query on (x, y)
+  * still reads every file for the y constraint. Interleaving the bits
+  * of both dimensions ([[graft.functions.ZOrderExpr]]) and
+  * range-splitting the interleaved key bounds BOTH per-file extents,
+  * so the same stats prune on either dimension. `compareLayouts`
+  * measures exactly that effect, relationally: bucket rows into
+  * equal-width key ranges (the shape a range-partitioned write would
+  * produce), compute per-bucket extents, and flag which buckets a
+  * fixed box query would have to read under each layout.
+  *
+  * Everything is integer arithmetic over one aggregate + a broadcast
+  * scalar extent — no global sort, no single-partition exchange — so
+  * the audit itself scales like any groupBy.
+  */
+object Layout {
+
+  /** Z-order key column: low 16 bits of x and y interleaved (codegen
+    * Catalyst expression — see [[graft.functions.ZOrderExpr]]). */
+  def zorderKey(x: Column, y: Column): Column =
+    GraftSqlBridge.column(ZOrderExpr(
+      GraftSqlBridge.expression(x.cast("long")),
+      GraftSqlBridge.expression(y.cast("long"))))
+
+  /** Per-bucket clustering stats for one layout key: rows fall into
+    * `buckets` equal-width ranges of `key` (integer-division bucket
+    * arithmetic — engine-exact, oracle-reproducible); each bucket
+    * reports its row count, the extents of both query dimensions, and
+    * whether a box query [xLo..xHi] × [yLo..yHi] must read it (its
+    * extent rectangle intersects the box). */
+  def clusterStats(df: DataFrame, x: Column, y: Column, key: Column,
+      buckets: Int, layout: String,
+      xLo: Long, xHi: Long, yLo: Long, yHi: Long): DataFrame = {
+    val keyed = df.select(x.cast("long").as("x"), y.cast("long").as("y"),
+      key.cast("long").as("zk"))
+    val ext = keyed.agg(min(col("zk")).as("kmin"), max(col("zk")).as("kmax"))
+    keyed.crossJoin(broadcast(ext))
+      .withColumn("bucket", least(lit(buckets - 1L),
+        expr(s"(zk - kmin) * $buckets div (kmax - kmin + 1)")).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("cnt"),
+        min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+        min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+      .select(lit(layout).as("layout"), col("bucket"), col("cnt"),
+        col("min_x"), col("max_x"), col("min_y"), col("max_y"),
+        (col("min_x") <= xHi && col("max_x") >= xLo &&
+          col("min_y") <= yHi && col("max_y") >= yLo)
+          .cast("long").as("must_read"))
+  }
+
+  /** The audit proper: identical bucket stats for the z-order layout
+    * and the x-only layout, one frame — the per-layout sum of
+    * `must_read` is the number of buckets (≈ files) the box query
+    * scans under each. */
+  def compareLayouts(df: DataFrame, x: Column, y: Column, buckets: Int,
+      xLo: Long, xHi: Long, yLo: Long, yHi: Long): DataFrame = {
+    val z = clusterStats(df, x, y, zorderKey(x, y), buckets, "zorder",
+      xLo, xHi, yLo, yHi)
+    val linear = clusterStats(df, x, y, x.cast("long"), buckets, "x_only",
+      xLo, xHi, yLo, yHi)
+    z.unionByName(linear)
+  }
+}

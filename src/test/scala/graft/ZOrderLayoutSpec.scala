@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.ZOrderExpr
+import graft.operators.Layout
+
+/** Z-order expression semantics (interpreted twin vs the codegen'd
+  * query path) and the layout audit's pruning claim. */
+class ZOrderLayoutSpec extends SparkSpec {
+  GraftFunctions.register(spark)
+  import spark.implicits._
+
+  test("morton16 interleaves known values") {
+    assert(ZOrderExpr.morton16(0L, 0L) == 0L)
+    assert(ZOrderExpr.morton16(3L, 1L) == 7L)    // x->bits 0,2; y->bit 1
+    assert(ZOrderExpr.morton16(0L, 3L) == 10L)   // y alone on odd bits
+    assert(ZOrderExpr.morton16(0xFFFFL, 0xFFFFL) == 0xFFFFFFFFL)
+    // high bits are masked off by contract
+    assert(ZOrderExpr.morton16(0x1FFFFL, 0L) == ZOrderExpr.morton16(0xFFFFL, 0L))
+    // z-order sorts by y-major blocks: same cell prefix stays adjacent
+    assert(ZOrderExpr.morton16(2L, 2L) == 12L)
+  }
+
+  test("codegen query path equals the interpreted twin; null in, null out") {
+    val df = spark.range(1000)
+      .select(col("id").as("x"), (col("id") * 37L % 1024L).as("y"))
+      .repartition(3)
+    val viaSql = df.selectExpr("x", "y", "graft_zorder(x, y) AS z")
+      .as[(Long, Long, Long)].collect()
+    viaSql.foreach { case (x, y, z) =>
+      assert(z == ZOrderExpr.morton16(x, y), s"mismatch at ($x,$y)")
+    }
+    val withNull = Seq((Some(1L), None: Option[Long])).toDF("x", "y")
+      .selectExpr("graft_zorder(x, y) AS z")
+    assert(withNull.filter(col("z").isNull).count() == 1)
+  }
+
+  test("z-order layout prunes the box query harder than x-only") {
+    // two independent uniform dims: under x-only bucketing every bucket
+    // spans all of y, so a tight box on (x, y) touches ~ the x-selective
+    // buckets only — but a y-only box would touch ALL of them; z-order
+    // bounds both extents per bucket
+    val n = 20000
+    val df = spark.range(n).select(
+      (col("id") * 7919L % 4096L).as("x"),
+      (col("id") * 104729L % 4096L).as("y"))
+    val stats = Layout.compareLayouts(df, col("x"), col("y"), buckets = 64,
+      xLo = 0L, xHi = 4095L, yLo = 100L, yHi = 200L)
+      .groupBy("layout").agg(
+        sum(col("must_read")).as("read"),
+        count(lit(1)).as("buckets"))
+      .as[(String, Long, Long)].collect()
+      .map { case (l, r, b) => l -> ((r, b)) }.toMap
+    val zs = stats("zorder")
+    val xs = stats("x_only")
+    // x-only layout cannot prune a y-constrained box at all
+    assert(xs._1 == xs._2, s"x_only should read every bucket: $xs")
+    // z-order must prune a strict majority of buckets for a ~2.5% y-slice
+    assert(zs._1.toDouble / zs._2 < 0.5, s"zorder read too much: $zs")
+  }
+}
