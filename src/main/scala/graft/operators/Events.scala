@@ -132,13 +132,14 @@ object Events {
   }
 
   /** Native-operator twin of [[asofJoin]]: same inputs, same output
-    * schema, same tie discipline (right pre-reduced to max payload per
-    * (key, time)), but executed by the custom
-    * [[graft.plans.AsOfJoinExec]] physical operator — one hash
-    * exchange + sort per side, then a single-pass streaming merge with
-    * O(1) state per partition, instead of the unioned window frame.
-    * Oracle-checked against the identical SQL as the composed twin,
-    * which is the operator's end-to-end equivalence proof. */
+    * schema, same tie discipline (max payload id per (key, time) — the
+    * exec's sorted-tiebreak contract yields it with NO pre-aggregation
+    * pass), but executed by the custom [[graft.plans.AsOfJoinExec]]
+    * physical operator — exactly one hash exchange + sort per side,
+    * then a single-pass streaming merge with O(1) state per partition,
+    * instead of the unioned window frame. Oracle-checked against the
+    * identical SQL as the composed twin, which is the operator's
+    * end-to-end equivalence proof. */
   def asofJoinNative(left: DataFrame, right: DataFrame, keyCol: String,
       tsCol: String, leftIdCol: String, rightIdCol: String): DataFrame = {
     import org.apache.spark.sql.GraftSqlBridge
@@ -149,11 +150,9 @@ object Events {
     val l = left.select(col(keyCol).as("k"),
       unix_micros(col(tsCol).cast("timestamp")).as("t"),
       col(leftIdCol).as("lid"))
-    val r = right.select(col(keyCol).as("k"),
-      unix_micros(col(tsCol).cast("timestamp")).as("t"),
+    val r = right.select(col(keyCol).as("rk"),
+      unix_micros(col(tsCol).cast("timestamp")).as("rt"),
       col(rightIdCol).as("rid"))
-      .groupBy(col("k"), col("t")).agg(max(col("rid")).as("rid"))
-      .select(col("k").as("rk"), col("t").as("rt"), col("rid"))
     val lPlan = GraftSqlBridge.logicalPlan(l)
     val rPlan = GraftSqlBridge.logicalPlan(r)
     def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,

@@ -63,13 +63,36 @@ object Layout {
   /** The audit proper: identical bucket stats for the z-order layout
     * and the x-only layout, one frame — the per-layout sum of
     * `must_read` is the number of buckets (≈ files) the box query
-    * scans under each. */
+    * scans under each.
+    *
+    * One source scan total: the projected (x, y, zk) frame is persisted
+    * (tracked — see [[graft.InternalCaches]]) and reused by the shared
+    * 4-way extent aggregate and both layouts' bucket groupBys, instead
+    * of re-scanning the source per layout per pass. */
   def compareLayouts(df: DataFrame, x: Column, y: Column, buckets: Int,
       xLo: Long, xHi: Long, yLo: Long, yHi: Long): DataFrame = {
-    val z = clusterStats(df, x, y, zorderKey(x, y), buckets, "zorder",
-      xLo, xHi, yLo, yHi)
-    val linear = clusterStats(df, x, y, x.cast("long"), buckets, "x_only",
-      xLo, xHi, yLo, yHi)
-    z.unionByName(linear)
+    import graft.InternalCaches.TrackedPersist
+    val keyed = df.select(x.cast("long").as("x"), y.cast("long").as("y"))
+      .withColumn("zk", zorderKey(col("x"), col("y")))
+      .persistTracked()
+    val ext = keyed.agg(
+      min(col("zk")).as("zmin"), max(col("zk")).as("zmax"),
+      min(col("x")).as("xmin"), max(col("x")).as("xmax"))
+    val withExt = keyed.crossJoin(broadcast(ext))
+    def stats(layout: String, key: String, lo: String, hi: String) =
+      withExt
+        .withColumn("bucket", least(lit(buckets - 1L),
+          expr(s"($key - $lo) * $buckets div ($hi - $lo + 1)")).cast("long"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("cnt"),
+          min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+          min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+        .select(lit(layout).as("layout"), col("bucket"), col("cnt"),
+          col("min_x"), col("max_x"), col("min_y"), col("max_y"),
+          (col("min_x") <= xHi && col("max_x") >= xLo &&
+            col("min_y") <= yHi && col("max_y") >= yLo)
+            .cast("long").as("must_read"))
+    stats("zorder", "zk", "zmin", "zmax")
+      .unionByName(stats("x_only", "x", "xmin", "xmax"))
   }
 }

@@ -48,10 +48,21 @@ case class AsOfJoinExec(
     ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
 
   /** Sort each side by (keys..., time) so the merge is a single
-    * forward pass. */
-  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
-    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending),
-    rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTime, Ascending))
+    * forward pass. The right side additionally sorts by its remaining
+    * orderable payload columns: "keep the last eligible row" then has a
+    * DETERMINISTIC winner among equal (key, time) rows — the
+    * lexicographically greatest payload — instead of a
+    * partition-order-dependent one, with no pre-aggregation pass. */
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = {
+    val keyAndTime = (rightKeys :+ rightTime).map(_.references).reduce(_ ++ _)
+    val tiebreak = right.output.filterNot(keyAndTime.contains)
+      .filter(a => RowOrdering.isOrderable(a.dataType))
+    Seq(
+      leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending),
+      (rightKeys.map(SortOrder(_, Ascending)) :+
+        SortOrder(rightTime, Ascending)) ++
+        tiebreak.map(SortOrder(_, Ascending)))
+  }
 
   /** The merge is left-driven and order-preserving. */
   override def outputPartitioning: Partitioning = left.outputPartitioning

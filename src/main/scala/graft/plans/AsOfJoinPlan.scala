@@ -16,10 +16,13 @@ import org.apache.spark.sql.types.LongType
   * [[graft.operators.Events.asofJoin]].
   *
   * Determinism contract: among right rows with equal (key, time) the
-  * operator keeps the last in sort order, which Spark does not define —
-  * callers that need engine-deterministic output (the oracle gate)
-  * must pre-reduce the right side to one row per (key, time), exactly
-  * as the composed twin does.
+  * operator keeps the lexicographically greatest remaining payload —
+  * the physical plan sorts the right side by (keys, time, remaining
+  * orderable columns), so the merge's "last eligible row" is a
+  * well-defined winner with no pre-aggregation pass. This matches the
+  * composed twin's max-payload tie rule, EXCEPT that a null payload at
+  * the winning time counts as a match here (the window twin's
+  * `last(ignoreNulls)` would fall back to an earlier non-null row).
   *
   * The node is constructed from already-analyzed children with
   * resolved attributes, so it passes CheckAnalysis untouched and is
