@@ -483,6 +483,36 @@ object SparkEntry {
         .withColumnRenamed("event_id", "purchase_id")
     }),
 
+    // SCD2 historization of the events changelog: consecutive equal
+    // states per user collapse into [valid_from, valid_to) intervals
+    // (gaps-and-islands over partitioned windows — shuffles on the key
+    // only)
+    "q51_scd2_history" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      ChangeData.scd2(ev, col("user_id"),
+        unix_micros(col("ts").cast("timestamp")),
+        col("event_type"), col("event_id"))
+        .withColumnRenamed("k", "user_id")
+    }),
+
+    // MERGE-style upsert: a rescore batch (orders-derived) replaces
+    // matching customer rows, new keys insert, the rest carry — one
+    // full-outer join, each row labeled with its provenance
+    "q52_merge_upsert" -> ((s, d) => {
+      val cust = Tables.customer(s, d).select(col("c_custkey"),
+        col("c_mktsegment"), round(col("c_acctbal"), 2).as("c_acctbal"))
+      val upd0 = Tables.orders(s, d)
+        .filter(col("o_orderkey") % 13 === 0)
+        .groupBy(col("o_custkey"))
+        .agg(round(max(col("o_totalprice")), 2).as("c_acctbal"))
+        .select(col("o_custkey").as("c_custkey"),
+          lit("RESCORED").as("c_mktsegment"), col("c_acctbal"))
+      val inserts = upd0.filter(col("c_custkey") % 7 === 0)
+        .select((col("c_custkey") + 10000000L).as("c_custkey"),
+          lit("NEWSEG").as("c_mktsegment"), col("c_acctbal"))
+      ChangeData.mergeUpsert(cust, upd0.unionByName(inserts), "c_custkey")
+    }),
+
     // z-order layout audit: equal-width key-range buckets (the shape a
     // range-partitioned write produces), per-bucket extents of both
     // dims, and which buckets a fixed box query must read under the
@@ -1541,6 +1571,60 @@ object SparkEntry {
         | CAST(lid AS BIGINT) AS purchase_id,
         | CAST(asof_rid AS BIGINT) AS asof_event_id
         |FROM c WHERE side = 1""".stripMargin,
+
+    "q51_scd2_history" ->
+      """WITH e AS (
+        |  SELECT user_id AS k, epoch_us(ts::TIMESTAMP) AS t,
+        |   event_type AS state, event_id AS tb
+        |  FROM events),
+        |m AS (
+        |  SELECT *, CASE WHEN lag(state) OVER w = state THEN 0 ELSE 1 END
+        |    AS changed
+        |  FROM e WINDOW w AS (PARTITION BY k ORDER BY t, tb)),
+        |i AS (
+        |  SELECT *, sum(changed) OVER (PARTITION BY k ORDER BY t, tb
+        |    ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM m),
+        |g AS (
+        |  SELECT k, island, min(state) AS state,
+        |   CAST(count(*) AS BIGINT) AS n_events,
+        |   min(t) AS valid_from_us
+        |  FROM i GROUP BY 1, 2),
+        |f AS (
+        |  SELECT k AS user_id, state, n_events,
+        |   CAST(valid_from_us AS BIGINT) AS valid_from_us,
+        |   CAST(lead(valid_from_us) OVER
+        |     (PARTITION BY k ORDER BY valid_from_us) AS BIGINT)
+        |     AS valid_to_us
+        |  FROM g)
+        |SELECT user_id, state, n_events, valid_from_us, valid_to_us,
+        | CAST(CASE WHEN valid_to_us IS NULL THEN 1 ELSE 0 END AS BIGINT)
+        |   AS is_current
+        |FROM f""".stripMargin,
+
+    "q52_merge_upsert" ->
+      """WITH cust AS (
+        |  SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS c_acctbal
+        |  FROM customer),
+        |u0 AS (
+        |  SELECT o_custkey AS c_custkey, 'RESCORED' AS c_mktsegment,
+        |   round(max(o_totalprice), 2) AS c_acctbal
+        |  FROM orders WHERE o_orderkey % 13 = 0 GROUP BY 1),
+        |ins AS (
+        |  SELECT c_custkey + 10000000 AS c_custkey,
+        |   'NEWSEG' AS c_mktsegment, c_acctbal
+        |  FROM u0 WHERE c_custkey % 7 = 0),
+        |u AS (SELECT * FROM u0 UNION ALL SELECT * FROM ins)
+        |SELECT coalesce(t.c_custkey, u.c_custkey) AS c_custkey,
+        | CASE WHEN u.c_custkey IS NOT NULL THEN u.c_mktsegment
+        |   ELSE t.c_mktsegment END AS c_mktsegment,
+        | CASE WHEN u.c_custkey IS NOT NULL THEN u.c_acctbal
+        |   ELSE t.c_acctbal END AS c_acctbal,
+        | CASE WHEN u.c_custkey IS NOT NULL AND t.c_custkey IS NOT NULL
+        |   THEN 'updated'
+        |  WHEN u.c_custkey IS NOT NULL THEN 'inserted'
+        |  ELSE 'carried' END AS src
+        |FROM cust t FULL OUTER JOIN u ON t.c_custkey = u.c_custkey""".stripMargin,
 
     // the morton interleave is pure integer bit math, so DuckDB
     // reproduces the codegen expression exactly with a shift/mask fold;

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.ChangeData
+
+/** SCD2 historization and MERGE upsert semantics on hand-checked
+  * changelogs. */
+class ChangeDataSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("scd2 collapses consecutive equal states into intervals") {
+    // user 1: a,a,b,a -> three islands; user 2: single state
+    val log = Seq(
+      (1L, 10L, "a", 100L), (1L, 20L, "a", 101L), (1L, 30L, "b", 102L),
+      (1L, 40L, "a", 103L), (2L, 5L, "x", 104L))
+      .toDF("user_id", "t", "state", "event_id")
+    val out = ChangeData.scd2(log, col("user_id"), col("t"), col("state"),
+        col("event_id"))
+      .select(col("k"), col("state"), col("n_events"),
+        col("valid_from_us"), col("valid_to_us"), col("is_current"))
+      .as[(Long, String, Long, Long, Option[Long], Long)]
+      .collect().toSet
+    assert(out == Set(
+      (1L, "a", 2L, 10L, Some(30L), 0L),
+      (1L, "b", 1L, 30L, Some(40L), 0L),
+      (1L, "a", 1L, 40L, None, 1L),
+      (2L, "x", 1L, 5L, None, 1L)))
+  }
+
+  test("scd2 breaks equal-timestamp ties by the tiebreak column") {
+    val log = Seq((1L, 10L, "a", 1L), (1L, 10L, "b", 2L))
+      .toDF("user_id", "t", "state", "event_id")
+    val out = ChangeData.scd2(log, col("user_id"), col("t"), col("state"),
+        col("event_id"))
+      .select(col("state"), col("is_current"))
+      .as[(String, Long)].collect().toSet
+    // deterministic: a (tb=1) first, b (tb=2) current
+    assert(out == Set(("a", 0L), ("b", 1L)))
+  }
+
+  test("mergeUpsert replaces rows wholesale, inserts, carries") {
+    val target = Seq((1L, "seg1", 10.0), (2L, "seg2", 20.0))
+      .toDF("k", "seg", "bal")
+    val updates = Seq((2L, null.asInstanceOf[String], 99.0),
+      (3L, "seg3", 30.0)).toDF("k", "seg", "bal")
+    val out = ChangeData.mergeUpsert(target, updates, "k")
+      .as[(Long, Option[String], Double, String)].collect().toSet
+    assert(out == Set(
+      (1L, Some("seg1"), 10.0, "carried"),
+      // update-row null REPLACES the target value (MERGE, not coalesce)
+      (2L, None, 99.0, "updated"),
+      (3L, Some("seg3"), 30.0, "inserted")))
+  }
+}
