@@ -483,6 +483,27 @@ object SparkEntry {
         .withColumnRenamed("event_id", "purchase_id")
     }),
 
+    // q37's sketch through the custom AGGREGATE function instead of
+    // the relational register file: same melt, then one
+    // TypedImperativeAggregate whose m-byte partials merge by bytewise
+    // max — oracle SQL is q37's verbatim, proving the native aggregate
+    // bit-equal to the relational plan
+    "q53_hll_agg_native" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val melted = ev.select(explode(array(Seq(
+          "event_id" -> col("event_id"), "event_type" -> col("event_type"),
+          "user_id" -> col("user_id")).map { case (n, c) =>
+          struct(lit(n).as("cname"), c.cast("string").as("k")) }: _*))
+          .as("kv"))
+        .select(col("kv.cname").as("cname"), col("kv.k").as("k"))
+        .filter(col("k").isNotNull)
+      melted.groupBy(col("cname"))
+        .agg(countDistinct(col("k")).as("exact_nd"),
+          Sketches.hllAggNative(col("k"), 8, 5).as("h"))
+        .select(col("cname"), col("exact_nd"), col("h.v_zero").as("v_zero"),
+          col("h.sum_int").as("sum_int"), col("h.est_hll").as("est_hll"))
+    }),
+
     // SCD2 historization of the events changelog: consecutive equal
     // states per user collapse into [valid_from, valid_to) intervals
     // (gaps-and-islands over partitioned windows — shuffles on the key
@@ -2475,6 +2496,47 @@ object SparkEntry {
     // exact integers in 2^-32 units; α·m² embedded as the identical
     // Scala double literal; linear counting quantized to micro-nats
     "q37_hll_distinct" -> {
+      val a = Sketches.alphaM2(256)
+      s"""WITH kv0 AS (
+         |  SELECT 'event_id' AS cname, event_id::VARCHAR AS k FROM events
+         |  UNION ALL SELECT 'event_type', event_type FROM events
+         |  UNION ALL SELECT 'user_id', user_id::VARCHAR FROM events),
+         |kv AS (SELECT cname, k FROM kv0 WHERE k IS NOT NULL),
+         |h AS (SELECT cname, k, ${duckU32("k", 5)} AS h FROM kv),
+         |rr AS (SELECT cname, h % 256 AS bucket,
+         |  CASE WHEN h // 256 = 0 THEN 25
+         |   ELSE bit_count(((h // 256) & -(h // 256)) - 1) + 1 END AS rho
+         |  FROM h),
+         |regs AS (SELECT cname, bucket, max(rho) AS maxrho
+         |  FROM rr GROUP BY 1, 2),
+         |spine AS (SELECT cname, b AS bucket
+         |  FROM (VALUES ('event_id'), ('event_type'), ('user_id')) n(cname)
+         |  CROSS JOIN (SELECT unnest(range(256)) AS b)),
+         |filled AS (SELECT s.cname, s.bucket, coalesce(r.maxrho, 0)
+         |   AS maxrho
+         |  FROM spine s LEFT JOIN regs r
+         |    ON r.cname = s.cname AND r.bucket = s.bucket),
+         |agg AS (SELECT cname,
+         |  CAST(sum(CAST(power(2, 32 - maxrho) AS BIGINT)) AS BIGINT)
+         |    AS sum_int,
+         |  CAST(sum(CASE WHEN maxrho = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS v_zero
+         |  FROM filled GROUP BY 1),
+         |ex AS (SELECT cname, CAST(count(DISTINCT k) AS BIGINT)
+         |   AS exact_nd FROM kv GROUP BY 1)
+         |SELECT cname, exact_nd, v_zero, sum_int,
+         | round(CASE WHEN (($a)::DOUBLE * 4294967296.0 / sum_int) <= 640.0
+         |    AND v_zero > 0
+         |   THEN 256.0 * CAST(round(ln(256.0 / v_zero) * 1000000)
+         |     AS BIGINT) / 1000000.0
+         |   ELSE ($a)::DOUBLE * 4294967296.0 / sum_int END, 4) AS est_hll
+         |FROM agg JOIN ex USING (cname)""".stripMargin
+    },
+
+    // q53: the native TypedImperativeAggregate must reproduce q37's
+    // relational sketch bit-for-bit — same oracle SQL, duplicated under
+    // the q53 key (the driver requires one entry per query name)
+    "q53_hll_agg_native" -> {
       val a = Sketches.alphaM2(256)
       s"""WITH kv0 AS (
          |  SELECT 'event_id' AS cname, event_id::VARCHAR AS k FROM events

@@ -46,6 +46,18 @@ object Sketches {
     0.7213 / (1.0 + 1.079 / m) * m.toDouble * m.toDouble
   }
 
+  /** The native-aggregate route to the same sketch: one Column whose
+    * value is struct(v_zero, sum_int, est_hll), computed by
+    * [[graft.functions.HllSketchAgg]] with register/estimator math
+    * bit-identical to the relational path — `m`-byte partials merged
+    * by bytewise max instead of a register-file groupBy. */
+  def hllAggNative(k: Column, p: Int = 8, seed: Int = 5): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(
+      graft.functions.HllSketchAgg(GraftSqlBridge.expression(k), p, seed)
+        .toAggregateExpression())
+  }
+
   /** THE single definition of the register math: adds (bucket, rho)
     * to a frame carrying a non-null string key column `k`. Every
     * sketch topology (global, multi-column, per-group, streaming)
