@@ -1242,6 +1242,30 @@ object SparkEntry {
           sum(Tables.hashU32(col("text"), 17)).as("content_sum"))
     }),
 
+    // schema evolution: two parquet batches with different schemas
+    // (the second adds n_chars) read back under mergeSchema — early
+    // batches surface null for the later column, later batches keep
+    // their values; the aggregate proves both the union and the
+    // null-fill are lossless
+    "k6_schema_evolution" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val scratch = scratchDir("graft_evo", d)
+      docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("text"), col("lang"))
+        .write.mode("overwrite").parquet(s"$scratch/b1")
+      docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+        .write.mode("overwrite").parquet(s"$scratch/b2")
+      val back = s.read.option("mergeSchema", "true")
+        .parquet(s"$scratch/b1", s"$scratch/b2")
+      back.groupBy(col("lang"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("doc_id")).as("id_sum"),
+          count(col("n_chars")).as("n_chars_present"),
+          sum(col("n_chars")).as("nchars_sum"),
+          sum(Tables.hashU32(col("text"), 19)).as("content_sum"))
+    }),
+
     // no oracle: mapPartitions path, covered by ExtendedOpsSpec)
     "m2_multimodal_features" -> ((s, d) => {
       val media = Multimodal.toMediaFrame(
@@ -2901,6 +2925,18 @@ object SparkEntry {
          | CAST(sum(doc_id) AS BIGINT) AS id_sum,
          | CAST(sum(n_chars) AS BIGINT) AS nchars_sum,
          | CAST(sum(${duckU32("text", 17)}) AS BIGINT) AS content_sum
+         |FROM documents GROUP BY 1""".stripMargin,
+
+    // the early batch (even doc_ids) was written without n_chars, so
+    // its rows must read back null under mergeSchema
+    "k6_schema_evolution" ->
+      s"""SELECT lang, CAST(count(*) AS BIGINT) AS cnt,
+         | CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         | CAST(count(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS BIGINT)
+         |   AS n_chars_present,
+         | CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS BIGINT)
+         |   AS nchars_sum,
+         | CAST(sum(${duckU32("text", 19)}) AS BIGINT) AS content_sum
          |FROM documents GROUP BY 1""".stripMargin,
 
     "m1_multimodal_meta" ->
