@@ -141,6 +141,39 @@ object Stress {
           threshold = 0.2)
           .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))).count()
     }
+    // round-3 operators: the changelog-shaped ops scale the KEY space
+    // with the corpus (copies shift user_id too), so per-key state
+    // stays constant and growth should be ~linear
+    val ev = scaled(Tables.events(spark, sf), "event_id", None)
+      .withColumn("user_id",
+        col("user_id") + expr("event_id div 10000000") * 10000000L)
+      .persist()
+    t("q49_asof_native") {
+      Events.asofJoinNative(
+        ev.filter(col("event_type") === "purchase"),
+        ev.filter(col("event_type") === "view"),
+        "user_id", "ts", "event_id", "event_id").count()
+    }
+    t("q51_scd2") {
+      ChangeData.scd2(ev, col("user_id"),
+        unix_micros(col("ts").cast("timestamp")),
+        col("event_type"), col("event_id")).count()
+    }
+    t("q50_zorder_audit") {
+      val o = scaled(Tables.orders(spark, sf), "o_orderkey", None)
+      Layout.compareLayouts(
+        o.select(col("o_custkey"),
+          datediff(col("o_orderdate"), lit("1970-01-01")).cast("long")
+            .as("days")),
+        col("o_custkey"), col("days"), buckets = 64,
+        xLo = 100L, xHi = 400L, yLo = 8766L, yHi = 9131L).count()
+    }
+    // head-to-head with the relational q37 probe above: same sketch,
+    // m-byte partials instead of a register-file groupBy
+    t("q53_hll_agg_native") {
+      docs.select(col("doc_id").cast("string").as("k"))
+        .agg(Sketches.hllAggNative(col("k"), 8, 5)).count()
+    }
     t("p1_pipeline") {
       val scored = docs
         .withColumn("q", TextAnalysis.qualityScore(col("text")))
