@@ -127,17 +127,33 @@ object EventStream {
 
   /** Run a streaming DataFrame to completion (AvailableNow ≈ the
     * reference's bounded, epoch-limited queue that closes and signals
-    * OutOfRange — B5) into a memory sink; return the bounded result. */
+    * OutOfRange — B5) into a memory sink; return the bounded result.
+    *
+    * State-store partitioning: a streaming query binds its state-store
+    * partition count from the session's shuffle-partition conf at
+    * start, permanently. That count should track STATE VOLUME, not
+    * core count — every micro-batch touches every state partition
+    * (open/commit per store), so oversized counts turn into fixed
+    * per-batch latency; a production deployment sizes it to keep each
+    * store's state in memory and no smaller. The conf is set for the
+    * stream's lifetime only and restored after (results are
+    * partition-count-invariant — re-verified by the oracle gate at
+    * multiple settings). */
   def runOnce(streamed: Dataset[_], queryName: String,
-      outputMode: String = "complete"): DataFrame = {
+      outputMode: String = "complete", statePartitions: Int = 8): DataFrame = {
     val spark = streamed.sparkSession
-    val q = streamed.writeStream
-      .format("memory")
-      .queryName(queryName)
-      .outputMode(outputMode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, statePartitions.toString)
+    try {
+      val q = streamed.writeStream
+        .format("memory")
+        .queryName(queryName)
+        .outputMode(outputMode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set(key, prev)
     spark.table(queryName)
   }
 }
