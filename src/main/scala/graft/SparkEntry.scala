@@ -504,6 +504,13 @@ object SparkEntry {
           col("h.sum_int").as("sum_int"), col("h.est_hll").as("est_hll"))
     }),
 
+    // sketch mergeability end-to-end: per-source register files merged
+    // by register max alone — identical to sketching the union, which
+    // is what the oracle verifies
+    "q54_hll_merge_batches" -> ((s, d) =>
+      Sketches.hllMergeAcrossGroups(Tables.documents(s, d),
+        col("source"), col("doc_id"), p = 8, seed = 5)),
+
     // SCD2 historization of the events changelog: consecutive equal
     // states per user collapse into [valid_from, valid_to) intervals
     // (gaps-and-islands over partitioned windows — shuffles on the key
@@ -1616,6 +1623,41 @@ object SparkEntry {
         | CAST(lid AS BIGINT) AS purchase_id,
         | CAST(asof_rid AS BIGINT) AS asof_event_id
         |FROM c WHERE side = 1""".stripMargin,
+
+    "q54_hll_merge_batches" -> {
+      val a = Sketches.alphaM2(256)
+      s"""WITH kv AS (
+         |  SELECT source AS grp, doc_id::VARCHAR AS k FROM documents
+         |  WHERE source IS NOT NULL AND doc_id IS NOT NULL),
+         |h AS (SELECT grp, k, ${duckU32("k", 5)} AS h FROM kv),
+         |rr AS (SELECT grp, h % 256 AS bucket,
+         |  CASE WHEN h // 256 = 0 THEN 25
+         |   ELSE bit_count(((h // 256) & -(h // 256)) - 1) + 1 END AS rho
+         |  FROM h),
+         |bregs AS (SELECT grp, bucket, max(rho) AS maxrho
+         |  FROM rr GROUP BY 1, 2),
+         |regs AS (SELECT bucket, max(maxrho) AS maxrho
+         |  FROM bregs GROUP BY 1),
+         |spine AS (SELECT unnest(range(256)) AS bucket),
+         |filled AS (SELECT s.bucket, coalesce(r.maxrho, 0) AS maxrho
+         |  FROM spine s LEFT JOIN regs r ON r.bucket = s.bucket),
+         |agg AS (SELECT
+         |  CAST(sum(CAST(power(2, 32 - maxrho) AS BIGINT)) AS BIGINT)
+         |    AS sum_int,
+         |  CAST(sum(CASE WHEN maxrho = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS v_zero
+         |  FROM filled)
+         |SELECT
+         | (SELECT CAST(count(DISTINCT grp) AS BIGINT) FROM kv)
+         |   AS n_batches,
+         | v_zero, sum_int,
+         | round(CASE WHEN (($a)::DOUBLE * 4294967296.0 / sum_int) <= 640.0
+         |    AND v_zero > 0
+         |   THEN 256.0 * CAST(round(ln(256.0 / v_zero) * 1000000)
+         |     AS BIGINT) / 1000000.0
+         |   ELSE ($a)::DOUBLE * 4294967296.0 / sum_int END, 4) AS est_hll
+         |FROM agg""".stripMargin
+    },
 
     "q51_scd2_history" ->
       """WITH e AS (

@@ -187,6 +187,31 @@ object Sketches {
         col("est_hll"))
   }
 
+  /** The mergeability property as one oracle-checked plan — the
+    * "combine per-day sketches without rescanning" claim: per-batch
+    * register files are built INDEPENDENTLY (groupBy (batch, bucket)
+    * max), merged by register max alone (groupBy bucket — no access to
+    * the underlying keys), and closed with the shared estimator. The
+    * result is provably identical to sketching the union directly,
+    * which is exactly what the oracle checks. Returns one row:
+    * (n_batches, v_zero, sum_int, est_hll). */
+  def hllMergeAcrossGroups(df: DataFrame, groupCol: Column, keyCol: Column,
+      p: Int = 8, seed: Int = 5): DataFrame = {
+    require(p >= 7 && p <= 16, s"p=$p out of range")
+    val melted = df.select(groupCol.cast("string").as("grp"),
+        keyCol.cast("string").as("k"))
+      .filter(col("grp").isNotNull && col("k").isNotNull)
+    val batchRegs = withRegCols(melted, p, seed)
+      .groupBy(col("grp"), col("bucket"))
+      .agg(max(col("rho")).as("maxrho"))
+    val merged = batchRegs.groupBy(col("bucket"))
+      .agg(max(col("maxrho")).as("maxrho"))
+    val nb = melted.agg(countDistinct(col("grp")).as("n_batches"))
+    estimateFromRegisters(merged, p).crossJoin(broadcast(nb))
+      .select(col("n_batches"), col("v_zero"), col("sum_int"),
+        col("est_hll"))
+  }
+
   /** Fixed-bin histogram quantile estimates (the deterministic stand-in
     * for a t-digest, which is merge-order-dependent and so can never be
     * oracle-checked): one scan bins every value into `nBins` equal-width
