@@ -1240,8 +1240,11 @@ object SparkEntry {
         col("n_chars"))
       val scratch = scratchDir("graft_csv", d)
       docs.write.mode("overwrite").option("header", "true").csv(scratch)
+      // multiLine: quoted embedded newlines must not split records
+      // (costs per-file parallelism on read — the CSV tax; the binary
+      // formats k2-k4 don't pay it)
       val back = s.read.schema(docs.schema).option("header", "true")
-        .csv(scratch)
+        .option("multiLine", "true").csv(scratch)
       back.groupBy(col("lang"))
         .agg(count(lit(1)).as("cnt"),
           sum(col("doc_id")).as("id_sum"),
@@ -1681,7 +1684,7 @@ object SparkEntry {
         |  SELECT k AS user_id, state, n_events,
         |   CAST(valid_from_us AS BIGINT) AS valid_from_us,
         |   CAST(lead(valid_from_us) OVER
-        |     (PARTITION BY k ORDER BY valid_from_us) AS BIGINT)
+        |     (PARTITION BY k ORDER BY valid_from_us, island) AS BIGINT)
         |     AS valid_to_us
         |  FROM g)
         |SELECT user_id, state, n_events, valid_from_us, valid_to_us,

@@ -40,7 +40,11 @@ object ChangeData {
       .agg(min(col("state")).as("state"),
         count(lit(1)).as("n_events"),
         min(col("t")).as("valid_from_us"))
-    val seq = Window.partitionBy(col("k")).orderBy(col("valid_from_us"))
+    // island is monotone in (t, tb) and so breaks the tie when two
+    // islands of one key START at the same timestamp — without it the
+    // lead() below is ambiguous (and engine-divergent) on such keys
+    val seq = Window.partitionBy(col("k"))
+      .orderBy(col("valid_from_us"), col("island"))
     islands
       .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(seq))
       .select(col("k"), col("state"), col("n_events"),

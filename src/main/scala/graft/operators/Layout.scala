@@ -34,32 +34,6 @@ object Layout {
       GraftSqlBridge.expression(x.cast("long")),
       GraftSqlBridge.expression(y.cast("long"))))
 
-  /** Per-bucket clustering stats for one layout key: rows fall into
-    * `buckets` equal-width ranges of `key` (integer-division bucket
-    * arithmetic — engine-exact, oracle-reproducible); each bucket
-    * reports its row count, the extents of both query dimensions, and
-    * whether a box query [xLo..xHi] × [yLo..yHi] must read it (its
-    * extent rectangle intersects the box). */
-  def clusterStats(df: DataFrame, x: Column, y: Column, key: Column,
-      buckets: Int, layout: String,
-      xLo: Long, xHi: Long, yLo: Long, yHi: Long): DataFrame = {
-    val keyed = df.select(x.cast("long").as("x"), y.cast("long").as("y"),
-      key.cast("long").as("zk"))
-    val ext = keyed.agg(min(col("zk")).as("kmin"), max(col("zk")).as("kmax"))
-    keyed.crossJoin(broadcast(ext))
-      .withColumn("bucket", least(lit(buckets - 1L),
-        expr(s"(zk - kmin) * $buckets div (kmax - kmin + 1)")).cast("long"))
-      .groupBy(col("bucket"))
-      .agg(count(lit(1)).as("cnt"),
-        min(col("x")).as("min_x"), max(col("x")).as("max_x"),
-        min(col("y")).as("min_y"), max(col("y")).as("max_y"))
-      .select(lit(layout).as("layout"), col("bucket"), col("cnt"),
-        col("min_x"), col("max_x"), col("min_y"), col("max_y"),
-        (col("min_x") <= xHi && col("max_x") >= xLo &&
-          col("min_y") <= yHi && col("max_y") >= yLo)
-          .cast("long").as("must_read"))
-  }
-
   /** The audit proper: identical bucket stats for the z-order layout
     * and the x-only layout, one frame — the per-layout sum of
     * `must_read` is the number of buckets (≈ files) the box query

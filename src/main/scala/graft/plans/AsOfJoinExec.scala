@@ -116,13 +116,15 @@ case class AsOfJoinExec(
             if (cmp > 0) advance = false
             else {
               val rTimeV = rTimeBound.eval(head)
-              if (cmp == 0 &&
-                  (rTimeV == null || rTimeV.asInstanceOf[Long] > lTime)) {
+              if (cmp == 0 && rTimeV != null &&
+                  rTimeV.asInstanceOf[Long] > lTime) {
                 advance = false
               } else {
                 // behind the current left position: consume; remember
                 // it as the candidate only when keys match and time is
-                // non-null
+                // non-null. Null-time rows sort NULLS FIRST within the
+                // key and MUST be consumed here — stopping on them
+                // would block every later eligible row for the key.
                 val row = rBuf.next()
                 if (cmp == 0 && rTimeV != null) {
                   matched = row.copy()

@@ -40,6 +40,20 @@ class AsOfJoinNativeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       (3L, 50000000L, 103L, None)))      // no views at all for the key
   }
 
+  test("null right-side times are consumed, not match-blockers") {
+    // the null-time row sorts NULLS FIRST within the key; the merge
+    // must step over it or every later eligible row is unreachable
+    val left = mk(Seq((1L, 20L, 100L)), "purchase")
+    val right = Seq((1L, None: Option[Long], 5L), (1L, Some(10L), 7L))
+      .toDF("user_id", "secs", "event_id")
+      .withColumn("ts", col("secs").cast("timestamp"))
+      .withColumn("event_type", lit("view")).drop("secs")
+    val out = Events.asofJoinNative(left, right,
+        "user_id", "ts", "event_id", "event_id")
+      .select(col("asof_event_id")).as[Option[Long]].collect().toSeq
+    assert(out == Seq(Some(7L)))
+  }
+
   test("empty right side yields all-null matches; empty left is empty") {
     val left = mk(Seq((1L, 10L, 100L)), "purchase")
     val none = mk(Seq.empty[(Long, Long, Long)], "view")
