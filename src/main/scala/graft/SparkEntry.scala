@@ -504,6 +504,20 @@ object SparkEntry {
           col("h.sum_int").as("sum_int"), col("h.est_hll").as("est_hll"))
     }),
 
+    // semi-structured payloads: schema-enforced JSON parsing of the
+    // props column (from_json with a declared schema — codegen-friendly
+    // and null-safe on malformed rows, unlike per-field path UDFs)
+    "q55_json_extract" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          from_json(col("props"), "k BIGINT", Map.empty[String, String])
+            .as("p"))
+        .groupBy(col("event_type"))
+        .agg(count(col("p.k")).as("n_parsed"),
+          sum(col("p.k")).as("k_sum"),
+          min(col("p.k")).as("k_min"),
+          max(col("p.k")).as("k_max"))),
+
     // sketch mergeability end-to-end: per-source register files merged
     // by register max alone — identical to sketching the union, which
     // is what the oracle verifies
@@ -1626,6 +1640,18 @@ object SparkEntry {
         | CAST(lid AS BIGINT) AS purchase_id,
         | CAST(asof_rid AS BIGINT) AS asof_event_id
         |FROM c WHERE side = 1""".stripMargin,
+
+    "q55_json_extract" ->
+      """SELECT event_type,
+        | CAST(count(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+        |   AS n_parsed,
+        | CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+        |   AS k_sum,
+        | CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+        |   AS k_min,
+        | CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+        |   AS k_max
+        |FROM events GROUP BY 1""".stripMargin,
 
     "q54_hll_merge_batches" -> {
       val a = Sketches.alphaM2(256)
