@@ -14,6 +14,11 @@ object TestSpark {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
+    // the full extension surface (functions, optimizer rule, planner
+    // strategy) is part of the library contract — install it for every
+    // suite so tests don't depend on suite ordering
+    GraftFunctions.register(s)
+    GraftFunctions.installOptimizations(s)
     s
   }
 }
