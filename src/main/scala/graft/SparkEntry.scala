@@ -1126,6 +1126,21 @@ object SparkEntry {
         .stripMargin)
     }),
 
+    // correlated scalar subquery through the SQL entry point — Catalyst
+    // decorrelates it into an aggregate + join (no per-row re-execution);
+    // quantity math is integer-valued doubles, so avg is exact in both
+    // engines and the threshold comparison cannot ulp-flip
+    "q56_correlated_subquery" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("graft_cs_lineitem")
+      s.sql("""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS cnt,
+        | CAST(sum(l_quantity) AS BIGINT) AS qty_sum
+        |FROM graft_cs_lineitem l1
+        |WHERE l_quantity > 1.8 * (
+        |  SELECT avg(l_quantity) FROM graft_cs_lineitem l2
+        |  WHERE l2.l_partkey = l1.l_partkey)
+        |GROUP BY l_returnflag""".stripMargin)
+    }),
+
     // JSON-lines source/sink round trip (schema-enforced read back),
     // verified lossless the same way as the TFRecord round trip k2
     "k3_json_roundtrip" -> ((s, d) => {
@@ -1640,6 +1655,15 @@ object SparkEntry {
         | CAST(lid AS BIGINT) AS purchase_id,
         | CAST(asof_rid AS BIGINT) AS asof_event_id
         |FROM c WHERE side = 1""".stripMargin,
+
+    "q56_correlated_subquery" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS cnt,
+        | CAST(sum(l_quantity) AS BIGINT) AS qty_sum
+        |FROM lineitem l1
+        |WHERE l_quantity > 1.8 * (
+        |  SELECT avg(l_quantity) FROM lineitem l2
+        |  WHERE l2.l_partkey = l1.l_partkey)
+        |GROUP BY l_returnflag""".stripMargin,
 
     "q55_json_extract" ->
       """SELECT event_type,
