@@ -800,6 +800,20 @@ object SparkEntry {
         .select(col("user_id"), col("start_us"), col("n_events"),
           col("duration_sec"), round(col("sum_value"), 4).as("sum_value"))),
 
+    // typed arbitrary state via transformWithState (the API that
+    // supersedes flatMapGroupsWithState): ValueState counter + MapState
+    // per-type counts per user on the RocksDB store, profiled per
+    // distinct-type count — oracle is the equivalent batch rollup
+    "q57_stream_typed_state" -> ((s, d) =>
+      EventStream.runOnce(
+        EventStream.userStatsStream(
+          EventStream.eventsFileStream(s, s"$d/events.parquet")),
+        s"stream_typed_${System.nanoTime()}", outputMode = "append",
+        rocksdb = true)
+        .groupBy(col("n_types"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("n_events")).as("events_sum"))),
+
     // —— image kernel pipeline (M2: decode → eval kernel, F5/F9/F10) ——
     // (no oracle: image math is not SQL-expressible; kernels are
     //  golden-tested in ImageKernelsSpec. Deterministic synthetic PNGs
@@ -1655,6 +1669,15 @@ object SparkEntry {
         | CAST(lid AS BIGINT) AS purchase_id,
         | CAST(asof_rid AS BIGINT) AS asof_event_id
         |FROM c WHERE side = 1""".stripMargin,
+
+    "q57_stream_typed_state" ->
+      """WITH per_user AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |   CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+        |  FROM events GROUP BY 1)
+        |SELECT n_types, CAST(count(*) AS BIGINT) AS n_users,
+        | CAST(sum(n_events) AS BIGINT) AS events_sum
+        |FROM per_user GROUP BY 1""".stripMargin,
 
     "q56_correlated_subquery" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS cnt,

@@ -2,7 +2,9 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode,
+  TimerValues, Trigger, ValueState}
 
 /** Structured Streaming slice (SURVEY.md §7 M6): the reference's only
   * streaming-like traits are bounded epoch-limited queues, backpressure,
@@ -125,6 +127,59 @@ object EventStream {
       }
   }
 
+  /** Per-user running stats via `transformWithState` — the
+    * arbitrary-stateful-processing API that supersedes
+    * (flat)mapGroupsWithState: typed state variables (here a ValueState
+    * counter plus a MapState of per-type counts) managed by the state
+    * store directly, instead of one opaque case-class blob per key.
+    * Requires the RocksDB state-store provider (set by [[runOnce]]'s
+    * caller via `rocksdb = true`). Emits one row per key per
+    * micro-batch; deterministic under AvailableNow on a bounded
+    * single-batch source. */
+  def userStatsStream(events: DataFrame): Dataset[UserStats] = {
+    import events.sparkSession.implicits._
+    events
+      .select(col("user_id"),
+        col("event_type"), col("value")).as[TypedEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new UserStatsProcessor, TimeMode.None(),
+        OutputMode.Append())
+  }
+
+  /** The q57 batch shape: per-user event count and distinct-type count
+    * from typed state, aggregated to a compact per-(n_types) profile. */
+  case class TypedEvent(user_id: Long, event_type: String, value: Double)
+  case class UserStats(user_id: Long, n_events: Long, n_types: Long)
+
+  class UserStatsProcessor
+      extends StatefulProcessor[Long, TypedEvent, UserStats] {
+    @transient private var nEvents: ValueState[Long] = _
+    @transient private var typeCounts: MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      nEvents = getHandle.getValueState[Long]("n_events",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+      typeCounts = getHandle.getMapState[String, Long]("type_counts",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[TypedEvent],
+        timerValues: TimerValues): Iterator[UserStats] = {
+      var n = if (nEvents.exists()) nEvents.get() else 0L
+      rows.foreach { e =>
+        n += 1
+        val cur =
+          if (typeCounts.containsKey(e.event_type))
+            typeCounts.getValue(e.event_type)
+          else 0L
+        typeCounts.updateValue(e.event_type, cur + 1)
+      }
+      nEvents.update(n)
+      Iterator.single(UserStats(key, n, typeCounts.keys().size.toLong))
+    }
+  }
+
   /** Run a streaming DataFrame to completion (AvailableNow ≈ the
     * reference's bounded, epoch-limited queue that closes and signals
     * OutOfRange — B5) into a memory sink; return the bounded result.
@@ -140,11 +195,19 @@ object EventStream {
     * partition-count-invariant — re-verified by the oracle gate at
     * multiple settings). */
   def runOnce(streamed: Dataset[_], queryName: String,
-      outputMode: String = "complete", statePartitions: Int = 8): DataFrame = {
+      outputMode: String = "complete", statePartitions: Int = 8,
+      rocksdb: Boolean = false): DataFrame = {
     val spark = streamed.sparkSession
     val key = "spark.sql.shuffle.partitions"
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.get(key)
+    val prevProv = spark.conf.getOption(provKey)
     spark.conf.set(key, statePartitions.toString)
+    // transformWithState requires the RocksDB provider (typed state
+    // variables are a RocksDB-column-family feature); other stateful
+    // ops stay on the default HDFS-backed store
+    if (rocksdb) spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
       val q = streamed.writeStream
         .format("memory")
@@ -153,7 +216,13 @@ object EventStream {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally spark.conf.set(key, prev)
+    } finally {
+      spark.conf.set(key, prev)
+      if (rocksdb) prevProv match {
+        case Some(p) => spark.conf.set(provKey, p)
+        case None => spark.conf.unset(provKey)
+      }
+    }
     spark.table(queryName)
   }
 }
