@@ -810,6 +810,12 @@ object SparkEntry {
           EventStream.eventsFileStream(s, s"$d/events.parquet")),
         s"stream_typed_${System.nanoTime()}", outputMode = "append",
         rocksdb = true)
+        // the processor emits CUMULATIVE stats once per key per
+        // micro-batch; both counters are monotone, so max() selects
+        // each user's final row and the query is multi-batch-safe
+        .groupBy(col("user_id"))
+        .agg(max(col("n_events")).as("n_events"),
+          max(col("n_types")).as("n_types"))
         .groupBy(col("n_types"))
         .agg(count(lit(1)).as("n_users"),
           sum(col("n_events")).as("events_sum"))),

@@ -166,14 +166,18 @@ object EventStream {
 
     override def handleInputRows(key: Long, rows: Iterator[TypedEvent],
         timerValues: TimerValues): Iterator[UserStats] = {
+      // fold the batch locally first: one state-store read/write per
+      // DISTINCT type per batch instead of ~3 RocksDB ops per event
       var n = if (nEvents.exists()) nEvents.get() else 0L
+      val delta = scala.collection.mutable.HashMap.empty[String, Long]
       rows.foreach { e =>
         n += 1
+        delta.updateWith(e.event_type)(c => Some(c.getOrElse(0L) + 1))
+      }
+      delta.foreach { case (tpe, d) =>
         val cur =
-          if (typeCounts.containsKey(e.event_type))
-            typeCounts.getValue(e.event_type)
-          else 0L
-        typeCounts.updateValue(e.event_type, cur + 1)
+          if (typeCounts.containsKey(tpe)) typeCounts.getValue(tpe) else 0L
+        typeCounts.updateValue(tpe, cur + d)
       }
       nEvents.update(n)
       Iterator.single(UserStats(key, n, typeCounts.keys().size.toLong))

@@ -191,8 +191,14 @@ class SketchGraphSpec extends SparkSpec {
       ).toDF("a", "b")
       val withRule = sqHof(edge).collect().map(r =>
         if (r.isNullAt(0)) null else r.getDouble(0))
-      spark.experimental.extraOptimizations = saved // rule off
-      val withoutRule = sqHof(edge).collect().map(r =>
+      // rule OFF: filter it out explicitly — the shared test session
+      // installs it globally, so restoring `saved` is NOT enough
+      spark.experimental.extraOptimizations =
+        saved.filterNot(_ == HofFusionRule)
+      val unfused = sqHof(edge)
+      assert(!unfused.queryExecution.optimizedPlan.toString
+        .contains("graft_squared_l2"))
+      val withoutRule = unfused.collect().map(r =>
         if (r.isNullAt(0)) null else r.getDouble(0))
       assert(withRule.toSeq == Seq(null, null, null))
       assert(withRule.toSeq == withoutRule.toSeq)
