@@ -1146,6 +1146,35 @@ object SparkEntry {
         .stripMargin)
     }),
 
+    // UNPIVOT/melt — the wide→long relational verb (inverse of q25's
+    // pivot): four measure columns become (measure, value) pairs
+    "q58_unpivot" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"), col("l_tax"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")), "measure", "val")
+        .groupBy(col("l_returnflag"), col("measure"))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("val")), 2).as("val_sum"))),
+
+    // NULL semantics corner: NULL group keys participate in GROUP BY,
+    // count(*) counts them while count(col) skips, and null-safe
+    // equality (<=> / IS NOT DISTINCT FROM) treats NULL = NULL as true
+    "q59_null_semantics" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(
+        when(col("o_orderstatus") === "O", lit(null))
+          .otherwise(col("o_orderstatus")).as("st"),
+        when(col("o_orderpriority").startsWith("1"), lit(null))
+          .otherwise(col("o_orderpriority")).as("pr"))
+      o.groupBy(col("st")).agg(
+        count(lit(1)).as("n_rows"),
+        count(col("pr")).as("n_pr"),
+        sum((col("st") <=> col("pr")).cast("long")).as("ns_eq"),
+        sum(when(col("st") === col("pr"), 1L).otherwise(0L)).as("eq"))
+    }),
+
     // correlated scalar subquery through the SQL entry point — Catalyst
     // decorrelates it into an aggregate + join (no per-row re-execution);
     // quantity math is integer-valued doubles, so avg is exact in both
@@ -1675,6 +1704,31 @@ object SparkEntry {
         | CAST(lid AS BIGINT) AS purchase_id,
         | CAST(asof_rid AS BIGINT) AS asof_event_id
         |FROM c WHERE side = 1""".stripMargin,
+
+    "q58_unpivot" ->
+      """WITH u AS (
+        |  SELECT l_returnflag, measure, val FROM (
+        |    SELECT l_returnflag, l_quantity, l_extendedprice,
+        |     l_discount, l_tax FROM lineitem)
+        |  UNPIVOT (val FOR measure IN
+        |    (l_quantity, l_extendedprice, l_discount, l_tax)))
+        |SELECT l_returnflag, measure, CAST(count(*) AS BIGINT) AS cnt,
+        | round(sum(val), 2) AS val_sum
+        |FROM u GROUP BY 1, 2""".stripMargin,
+
+    "q59_null_semantics" ->
+      """WITH o AS (
+        |  SELECT CASE WHEN o_orderstatus = 'O' THEN NULL
+        |    ELSE o_orderstatus END AS st,
+        |   CASE WHEN o_orderpriority LIKE '1%' THEN NULL
+        |    ELSE o_orderpriority END AS pr
+        |  FROM orders)
+        |SELECT st, CAST(count(*) AS BIGINT) AS n_rows,
+        | CAST(count(pr) AS BIGINT) AS n_pr,
+        | CAST(sum(CASE WHEN st IS NOT DISTINCT FROM pr THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS ns_eq,
+        | CAST(sum(CASE WHEN st = pr THEN 1 ELSE 0 END) AS BIGINT) AS eq
+        |FROM o GROUP BY 1""".stripMargin,
 
     "q57_stream_typed_state" ->
       """WITH per_user AS (
