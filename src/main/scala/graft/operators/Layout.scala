@@ -34,6 +34,19 @@ object Layout {
       GraftSqlBridge.expression(x.cast("long")),
       GraftSqlBridge.expression(y.cast("long"))))
 
+  /** The write path the audit models: range-partition by the z key
+    * into `nFiles` partitions and sort within each, so every written
+    * file owns a DISJOINT z range — which is exactly what makes
+    * file-level min/max statistics prune box queries on both
+    * dimensions at read time. The cluster key is persisted (`zk`), the
+    * production shape for re-clustering and range-pruned re-reads. */
+  def zorderWrite(df: DataFrame, x: Column, y: Column, nFiles: Int,
+      path: String): Unit =
+    df.withColumn("zk", zorderKey(x, y))
+      .repartitionByRange(nFiles, col("zk"))
+      .sortWithinPartitions(col("zk"))
+      .write.mode("overwrite").parquet(path)
+
   /** The audit proper: identical bucket stats for the z-order layout
     * and the x-only layout, one frame — the per-layout sum of
     * `must_read` is the number of buckets (≈ files) the box query

@@ -36,6 +36,33 @@ class ZOrderLayoutSpec extends SparkSpec {
     assert(withNull.filter(col("z").isNull).count() == 1)
   }
 
+  test("zorderWrite produces files owning disjoint z ranges, losslessly") {
+    val n = 5000
+    val df = spark.range(n).select(
+      (col("id") * 7919L % 2048L).as("x"),
+      (col("id") * 104729L % 2048L).as("y"))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_zw").toString + "/t"
+    Layout.zorderWrite(df, col("x"), col("y"), nFiles = 8, path)
+    val back = spark.read.parquet(path)
+    assert(back.count() == n)
+    assert(back.select(sum(col("x")), sum(col("y"))).head() ==
+      df.select(sum(col("x")), sum(col("y"))).head())
+    // each written file must own a disjoint z range — the property
+    // that makes file-level min/max stats prunable
+    val ranges = back
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("zk")).as("lo"), max(col("zk")).as("hi"))
+      .select(col("lo"), col("hi"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(ranges.length == 8)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        assert(hi1 < lo2, s"overlapping file z-ranges: $hi1 vs $lo2")
+      case _ =>
+    }
+  }
+
   test("z-order layout prunes the box query harder than x-only") {
     // two independent uniform dims: under x-only bucketing every bucket
     // spans all of y, so a tight box on (x, y) touches ~ the x-selective
