@@ -78,4 +78,35 @@ class EventsStreamingSpec extends SparkSpec {
       .select("g", "rank", "v").as[(String, Long, Int)].collect().toSet
     assert(out == Set(("a", 1L, 9), ("a", 2L, 5), ("b", 1L, 2)))
   }
+
+  test("transformWithState stats survive a genuinely multi-batch source") {
+    // three parquet files in one stream dir; maxFilesPerTrigger=1 makes
+    // each its own micro-batch, so every user emits three cumulative
+    // rows — the q57 max() reduction must still recover the final stats
+    import java.nio.file.{Files, Paths}
+    val streamDir = Files.createTempDirectory("graft_tws").toString
+    for (i <- 0 until 3) {
+      val stage = Files.createTempDirectory(s"graft_tws_stage$i").toString
+      (1L to 10L).flatMap(u => (0 until 4).map(j =>
+          (u, s"t${(i + j) % 2}", 1.0)))
+        .toDF("user_id", "event_type", "value")
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, Paths.get(streamDir, s"batch$i.parquet"))
+    }
+    val sink = EventStream.runOnce(
+      EventStream.userStatsStream(
+        EventStream.parquetFileStream(spark, streamDir)),
+      s"tws_multibatch_${System.nanoTime()}", outputMode = "append",
+      rocksdb = true)
+    // one cumulative row per user per batch proves multi-batch ran
+    assert(sink.groupBy(col("user_id")).count()
+      .filter(col("count") =!= 3).count() == 0)
+    val finals = sink.groupBy(col("user_id"))
+      .agg(max(col("n_events")).as("n"), max(col("n_types")).as("t"))
+      .select(col("n"), col("t")).distinct()
+      .as[(Long, Long)].collect().toSeq
+    assert(finals == Seq((12L, 2L)))
+  }
 }
