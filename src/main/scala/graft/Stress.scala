@@ -159,6 +159,14 @@ object Stress {
         ev.filter(col("event_type") === "view"),
         "user_id", "ts", "event_id", "event_id").count()
     }
+    // the composed window twin on the same input — head-to-head with
+    // the custom operator at every scale
+    t("q20_asof_composed") {
+      Events.asofJoin(
+        ev.filter(col("event_type") === "purchase"),
+        ev.filter(col("event_type") === "view"),
+        "user_id", "ts", "event_id", "event_id").count()
+    }
     t("q51_scd2") {
       ChangeData.scd2(ev, col("user_id"),
         unix_micros(col("ts").cast("timestamp")),
