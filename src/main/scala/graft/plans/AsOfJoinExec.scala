@@ -3,8 +3,9 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
-  Ascending, Attribute, BindReferences, Expression, GenericInternalRow,
+  Ascending, Attribute, Expression, GenericInternalRow,
   JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.types.LongType
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.plans.physical.{
   ClusteredDistribution, Distribution, Partitioning}
@@ -82,11 +83,18 @@ case class AsOfJoinExec(
     val keyTypes = leftKeys.map(_.dataType)
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      // (key, time) are projected, not eval'd: UnsafeProjection is
+      // runtime-codegen'd and `getLong`/`isNullAt` stay primitive,
+      // where interpreted BoundReference.eval boxes every value.
       val lKeyProj = UnsafeProjection.create(lKeyExprs, lAttrs)
       val rKeyProj = UnsafeProjection.create(rKeyExprs, rAttrs)
-      val lTimeBound = BindReferences.bindReference(lTimeExpr, lAttrs)
-      val rTimeBound = BindReferences.bindReference(rTimeExpr, rAttrs)
+      val lTimeProj = UnsafeProjection.create(Seq(lTimeExpr), lAttrs)
+      val rTimeProj = UnsafeProjection.create(Seq(rTimeExpr), rAttrs)
       val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+      // single-long-key fast path: primitive comparisons instead of the
+      // interpreted row ordering. Null keys compare equal to each other
+      // (matching the window twin's PARTITION BY, which groups nulls).
+      val singleLongKey = keyTypes == Seq(LongType)
       val outProj = UnsafeProjection.create(outAttrs, outAttrs)
       val joiner = new JoinedRow
       val nullRight = new GenericInternalRow(rAttrs.length)
@@ -98,26 +106,46 @@ case class AsOfJoinExec(
       // buffers.
       var matched: InternalRow = null
       var matchedKey: UnsafeRow = null
+      var matchedKeyNull = false
+      var matchedKeyLong = 0L
+
+      def sameKeyAsMatched(lKey: UnsafeRow): Boolean =
+        if (singleLongKey) {
+          val ln = lKey.isNullAt(0)
+          (ln && matchedKeyNull) ||
+            (!ln && !matchedKeyNull && lKey.getLong(0) == matchedKeyLong)
+        } else keyOrd.compare(matchedKey, lKey) == 0
+
+      def cmpKeys(rKey: UnsafeRow, lKey: UnsafeRow): Int =
+        if (singleLongKey) {
+          val rn = rKey.isNullAt(0)
+          val ln = lKey.isNullAt(0)
+          if (rn && ln) 0
+          else if (rn) -1 // NULLS FIRST
+          else if (ln) 1
+          else java.lang.Long.compare(rKey.getLong(0), lKey.getLong(0))
+        } else keyOrd.compare(rKey, lKey)
 
       lIter.map { lRow =>
         val lKey = lKeyProj(lRow)
-        val lTimeV = lTimeBound.eval(lRow)
-        if (matched != null && keyOrd.compare(matchedKey, lKey) != 0) {
+        val lT = lTimeProj(lRow)
+        val lTimeNull = lT.isNullAt(0)
+        val lTime = if (lTimeNull) 0L else lT.getLong(0)
+        if (matched != null && !sameKeyAsMatched(lKey)) {
           matched = null
           matchedKey = null
         }
-        if (lTimeV != null) {
-          val lTime = lTimeV.asInstanceOf[Long]
+        if (!lTimeNull) {
           var advance = true
           while (advance && rBuf.hasNext) {
             val head = rBuf.head
             val rKey = rKeyProj(head)
-            val cmp = keyOrd.compare(rKey, lKey)
+            val cmp = cmpKeys(rKey, lKey)
             if (cmp > 0) advance = false
             else {
-              val rTimeV = rTimeBound.eval(head)
-              if (cmp == 0 && rTimeV != null &&
-                  rTimeV.asInstanceOf[Long] > lTime) {
+              val rT = rTimeProj(head)
+              val rTimeNull = rT.isNullAt(0)
+              if (cmp == 0 && !rTimeNull && rT.getLong(0) > lTime) {
                 advance = false
               } else {
                 // behind the current left position: consume; remember
@@ -126,9 +154,13 @@ case class AsOfJoinExec(
                 // key and MUST be consumed here — stopping on them
                 // would block every later eligible row for the key.
                 val row = rBuf.next()
-                if (cmp == 0 && rTimeV != null) {
+                if (cmp == 0 && !rTimeNull) {
                   matched = row.copy()
-                  matchedKey = rKey.copy()
+                  if (singleLongKey) {
+                    matchedKeyNull = rKey.isNullAt(0)
+                    matchedKeyLong =
+                      if (matchedKeyNull) 0L else rKey.getLong(0)
+                  } else matchedKey = rKey.copy()
                 }
               }
             }
@@ -137,7 +169,7 @@ case class AsOfJoinExec(
         numOutputRows += 1
         // a null left time is incomparable: no match by definition
         // (matched survives for subsequent non-null rows of the key)
-        if (matched != null && lTimeV != null) {
+        if (matched != null && !lTimeNull) {
           numMatchedRows += 1
           outProj(joiner(lRow, matched))
         } else {
