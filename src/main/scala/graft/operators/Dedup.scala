@@ -244,11 +244,42 @@ object Dedup {
     * graph). On a real cluster swap localCheckpoint for a
     * reliable-checkpoint dir — same shape, fault-tolerant.
     *
+    * A PARTITION-LOCAL UNION-FIND PRE-PASS runs before the distributed
+    * loop: the symmetric edge list is hash-partitioned by src (so each
+    * vertex's full neighborhood co-locates) and each partition runs an
+    * in-memory union-find over the edges it holds, emitting only the
+    * star edges (v, localRoot(v)). Within a partition every original
+    * edge collapses to a self-loop after the unions, so those stars ARE
+    * the contracted graph: they preserve components exactly (each star
+    * edge links two vertices of one original component; each original
+    * edge (s,d) is re-expressed as s—root—d through the shared local
+    * root; and every vertex still appears — as a leaf if it is not its
+    * partition's root, via its leaves if it is). The payoff is depth:
+    * chains that are co-partitioned contract to depth-1 stars, so the
+    * pointer-jumping loop starts near-converged and the round count —
+    * each round ≈ a fixed job overhead at small SF — drops. Memory per
+    * task is one long→long map over the vertices of that partition,
+    * bounded by the shuffle partition sizing like any hash join.
+    *
     * Returns (v, comp). */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
-    val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .distinct().persistTracked()
+    val spark = edges.sparkSession
+    import spark.implicits._
+    // No distinct on either side of the contraction: union-find is
+    // idempotent under duplicate edges, and the min-aggregations of the
+    // seed/loop are duplicate-insensitive, so the only shuffle phase 1
+    // needs is the repartition-by-src. Star-edge multiplicity is
+    // bounded by vertex degree (v appears in ≤ deg(v)+1 partitions).
+    val sym0 = edges
+      .select(col("doc_a").cast("long").as("src"),
+        col("doc_b").cast("long").as("dst"))
+      .union(edges.select(col("doc_b").cast("long").as("src"),
+        col("doc_a").cast("long").as("dst")))
+    val contracted = sym0.repartition(col("src")).as[(Long, Long)]
+      .mapPartitions(localContract).toDF("src", "dst")
+    val sym = contracted
+      .union(contracted.select(col("dst").as("src"), col("src").as("dst")))
+      .persistTracked()
     // seed each vertex with min(self, direct neighbors) — the first
     // propagation round for free, as one groupBy on the edge relation
     // (same shuffle the distinct-vertices init would have paid)
@@ -256,9 +287,13 @@ object Dedup {
       .select(col("src").as("v"),
         least(col("m"), col("src")).as("comp"))
       .localCheckpoint(true)
-    def labelSum(df: DataFrame): Long =
-      Option(df.agg(sum(col("comp"))).head().get(0))
-        .map(_.asInstanceOf[Long]).getOrElse(0L)
+    // one job for both probes: (sum of labels, vertex count) — labels
+    // are checkpointed, so this scans cached partitions, no shuffle
+    def labelProbe(df: DataFrame): (Long, Long) = {
+      val r = df.agg(sum(col("comp")), count(lit(1))).head()
+      (Option(r.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L),
+        r.getLong(1))
+    }
     def step(prev: DataFrame): DataFrame = {
       val nbr = sym.join(prev, sym("src") === prev("v"))
         .select(col("dst").as("v"), col("comp"))
@@ -270,21 +305,22 @@ object Dedup {
       nbr.union(ptr).union(prev)
         .groupBy(col("v")).agg(min(col("comp")).as("comp"))
     }
-    var prevSum = labelSum(labels)
+    var (prevSum, nVerts) = labelProbe(labels)
     var iter = 0
-    // Early exit ONLY on a genuinely empty edge list. Gating on the
-    // label sum being zero would misfire on graphs whose seed labels
-    // happen to sum to 0 (possible with negative vertex ids); the sum
-    // is only a CONVERGENCE probe (labels are per-vertex non-increasing,
-    // so an unchanged sum means no label moved — sign-independent).
-    var done = labels.isEmpty // checkpointed: a cheap take(1) probe
+    // Early exit ONLY on a genuinely empty edge list (vertex count 0).
+    // Gating on the label sum being zero would misfire on graphs whose
+    // seed labels happen to sum to 0 (possible with negative vertex
+    // ids); the sum is only a CONVERGENCE probe (labels are per-vertex
+    // non-increasing, so an unchanged sum means no label moved —
+    // sign-independent).
+    var done = nVerts == 0L
     while (!done && iter < maxIter) {
       // ONE step per materialization: a double step would re-execute
       // the un-materialized inner step at each of the outer step's
       // three references — measured slower than the extra driver sync
       val next = step(labels)
         .localCheckpoint(true) // materialize + truncate lineage
-      val s = labelSum(next)
+      val s = labelProbe(next)._1
       labels = next
       done = s == prevSum
       prevSum = s
@@ -292,6 +328,48 @@ object Dedup {
     }
     sym.unpersist()
     labels
+  }
+
+  /** Partition-local union-find over one partition's symmetric edges.
+    * Unions every edge, then emits the star edges (v, find(v)) for
+    * every non-root vertex seen in the partition — the contracted
+    * graph consumed by the distributed loop. Roots are component-local
+    * minima, so star edges always point downhill (find(v) < v). */
+  private def localContract(it: Iterator[(Long, Long)])
+      : Iterator[(Long, Long)] = {
+    val parent = new java.util.HashMap[Long, Long]()
+    def findRoot(x: Long): Long = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x // path compression: point the walked chain at the root
+      while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    it.foreach { case (a, b) =>
+      if (!parent.containsKey(a)) parent.put(a, a)
+      if (!parent.containsKey(b)) parent.put(b, b)
+      val ra = findRoot(a); val rb = findRoot(b)
+      if (ra != rb) {
+        if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+      }
+    }
+    val vs = parent.keySet().iterator()
+    new Iterator[(Long, Long)] {
+      private var nextPair: (Long, Long) = null
+      private def advance(): Unit = {
+        nextPair = null
+        while (nextPair == null && vs.hasNext) {
+          val v = vs.next()
+          val r = findRoot(v)
+          if (r != v) nextPair = (v, r)
+        }
+      }
+      advance()
+      def hasNext: Boolean = nextPair != null
+      def next(): (Long, Long) = {
+        val p = nextPair; advance(); p
+      }
+    }
   }
 
   /** Duplicate-cluster assignment for a candidate-pair relation:
