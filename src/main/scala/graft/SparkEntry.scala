@@ -1175,6 +1175,50 @@ object SparkEntry {
         sum(when(col("st") === col("pr"), 1L).otherwise(0L)).as("eq"))
     }),
 
+    // A3 end-to-end: one-hot encode c_nationkey (k=25 is fixed by the
+    // TPC-H spec) and recover it with argmax — the tf.one_hot /
+    // tf.argmax pair (train.py:85,89) as pure relational SQL; oh_mass
+    // sums exactly-representable 1.0s, so the double math is
+    // engine-exact
+    "q60_one_hot_argmax" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      c.select(col("c_nationkey"),
+          Metrics.oneHot(col("c_nationkey"), 25).as("oh"))
+        .select(col("c_nationkey"), col("oh"),
+          Metrics.argMax(col("oh")).as("pred"))
+        .groupBy(col("pred"))
+        .agg(count(lit(1)).as("n"),
+          sum(aggregate(col("oh"), lit(0.0), (a, x) => a + x))
+            .as("oh_mass"),
+          Metrics.accuracy(col("pred"), col("c_nationkey")).as("acc"))
+    }),
+
+    // AQE-skew twin of q31: the same join + aggregate with NO manual
+    // salting, leaning on AQE's OptimizeSkewedJoin instead. A cloned
+    // session (shared SparkContext, private conf) scopes the tightened
+    // skew-split thresholds and the broadcast opt-out (the rule only
+    // fires on shuffle joins) so the shared session is untouched.
+    // Manual salting (q31) remains for aggregation-side skew and hot
+    // keys beyond AQE's split granularity; this row proves the
+    // zero-code path produces identical results.
+    "q61_aqe_skew_join" -> ((s, d) => {
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.adaptive.enabled", "true")
+      s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+      s2.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64k")
+      s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32k")
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val li = Tables.lineitem(s2, d)
+      val right = Tables.orders(s2, d)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      li.join(right, Seq("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))
+    }),
+
     // correlated scalar subquery through the SQL entry point — Catalyst
     // decorrelates it into an aggregate + join (no per-row re-execution);
     // quantity math is integer-valued doubles, so avg is exact in both
@@ -1729,6 +1773,28 @@ object SparkEntry {
         |   AS BIGINT) AS ns_eq,
         | CAST(sum(CASE WHEN st = pr THEN 1 ELSE 0 END) AS BIGINT) AS eq
         |FROM o GROUP BY 1""".stripMargin,
+
+    "q60_one_hot_argmax" ->
+      """WITH oh AS (
+        |  SELECT c_nationkey, list_transform(range(0, 25),
+        |    i -> CASE WHEN i = c_nationkey THEN 1.0::DOUBLE
+        |         ELSE 0.0::DOUBLE END) AS oh
+        |  FROM customer),
+        |p AS (
+        |  SELECT c_nationkey, oh,
+        |   CAST(list_position(oh, list_max(oh)) - 1 AS BIGINT) AS pred
+        |  FROM oh)
+        |SELECT pred, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(list_sum(oh)) AS DOUBLE) AS oh_mass,
+        | avg(CASE WHEN pred = c_nationkey THEN 1.0::DOUBLE
+        |     ELSE 0.0::DOUBLE END) AS acc
+        |FROM p GROUP BY 1""".stripMargin,
+
+    "q61_aqe_skew_join" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
+        | round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
 
     "q57_stream_typed_state" ->
       """WITH per_user AS (
