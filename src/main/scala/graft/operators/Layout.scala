@@ -41,11 +41,11 @@ object Layout {
     * dimensions at read time. The cluster key is persisted (`zk`), the
     * production shape for re-clustering and range-pruned re-reads. */
   def zorderWrite(df: DataFrame, x: Column, y: Column, nFiles: Int,
-      path: String): Unit =
+      path: String, options: Map[String, String] = Map.empty): Unit =
     df.withColumn("zk", zorderKey(x, y))
       .repartitionByRange(nFiles, col("zk"))
       .sortWithinPartitions(col("zk"))
-      .write.mode("overwrite").parquet(path)
+      .write.mode("overwrite").options(options).parquet(path)
 
   /** The audit proper: identical bucket stats for the z-order layout
     * and the x-only layout, one frame — the per-layout sum of

@@ -63,6 +63,46 @@ class ZOrderLayoutSpec extends SparkSpec {
     }
   }
 
+  test("z-order prunes real parquet row groups: storage-level receipt") {
+    // the relational audit's claim, measured against actual files: write
+    // the SAME data under both layouts (8 files each, ~64 KB row groups
+    // so stats granularity is sub-file), run the SAME y-constrained box
+    // query, and compare how many rows the parquet scan DELIVERS — with
+    // filter pushdown, rows from row groups whose min/max exclude the
+    // box never surface, so the scan's numOutputRows IS the volume of
+    // row groups actually read
+    val n = 200000
+    val df = spark.range(n).select(
+      (col("id") * 7919L % 4096L).as("x"),
+      (col("id") * 104729L % 4096L).as("y"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_zp").toString
+    val rg = Map("parquet.block.size" -> "65536")
+    Layout.zorderWrite(df, col("x"), col("y"), nFiles = 8, s"$dir/z", rg)
+    // x-only twin: identical schema/files/row-group size, sorted by x
+    df.withColumn("zk", Layout.zorderKey(col("x"), col("y")))
+      .repartitionByRange(8, col("x")).sortWithinPartitions(col("x"))
+      .write.mode("overwrite").options(rg).parquet(s"$dir/x")
+    def scanned(path: String): (Long, Long) = {
+      val q = spark.read.parquet(path)
+        .filter(col("x").between(0L, 4095L) && col("y").between(100L, 200L))
+      val result = q.collect().length.toLong
+      val scanRows = q.queryExecution.executedPlan.collect {
+        case s if s.nodeName.toLowerCase.contains("scan") =>
+          s.metrics.get("numOutputRows").map(_.value).getOrElse(0L)
+      }.sum
+      (result, scanRows)
+    }
+    val (zRes, zScan) = scanned(s"$dir/z")
+    val (xRes, xScan) = scanned(s"$dir/x")
+    assert(zRes == xRes, "both layouts must return identical results")
+    // x-only stats cannot exclude any row group for a y-slice box
+    assert(xScan >= n * 9L / 10L, s"x_only unexpectedly pruned: $xScan")
+    // z-order must skip the strict majority of row-group volume
+    assert(zScan * 2 < xScan,
+      s"z-order read too much: z=$zScan vs x=$xScan of $n")
+    info(s"scan numOutputRows: zorder=$zScan x_only=$xScan of $n total")
+  }
+
   test("z-order layout prunes the box query harder than x-only") {
     // two independent uniform dims: under x-only bucketing every bucket
     // spans all of y, so a tight box on (x, y) touches ~ the x-selective
