@@ -90,6 +90,25 @@ class AsOfJoinNativeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }.isEmpty)
   }
 
+  test("non-long time columns are rejected at plan construction") {
+    // the exec's merge reads the time projection as a raw long
+    // (getLong), so anything not long-backed must fail LOUDLY when the
+    // node is built — not read garbage at runtime
+    import org.apache.spark.sql.GraftSqlBridge
+    val l = Seq((1L, 10, 100L)).toDF("k", "t", "lid") // t: IntegerType
+    val r = Seq((1L, 5, 7L)).toDF("rk", "rt", "rid")
+    val lp = GraftSqlBridge.logicalPlan(l)
+    val rp = GraftSqlBridge.logicalPlan(r)
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        n: String) = p.output.find(_.name == n).get
+    val err = intercept[IllegalArgumentException] {
+      graft.plans.AsOfJoinPlan(lp, rp,
+        Seq(attr(lp, "k")), Seq(attr(rp, "rk")),
+        attr(lp, "t"), attr(rp, "rt"))
+    }
+    assert(err.getMessage.contains("LongType"))
+  }
+
   test("result is partitioning-invariant") {
     val ev = Tables.events(spark, Sf0001)
     val l = ev.filter(col("event_type") === "purchase")
