@@ -137,6 +137,43 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(Dedup.connectedComponents(empty).isEmpty)
   }
 
+  test("connected components match an in-memory union-find on random graphs") {
+    // adversarial check for the partition-local contraction pre-pass:
+    // random graphs (chains, stars, cliques, singleton pairs mixed by
+    // chance), random partition counts, ids spread so co-partitioning
+    // is arbitrary — every labeling must equal the reference union-find
+    val rnd = new scala.util.Random(4242)
+    for (trial <- 1 to 8) {
+      val nV = 2 + rnd.nextInt(40)
+      val nE = 1 + rnd.nextInt(60)
+      val ids = Array.fill(nV)(rnd.nextLong() % 1000000L)
+      val edges = Seq.fill(nE) {
+        (ids(rnd.nextInt(nV)), ids(rnd.nextInt(nV)))
+      }.filter { case (a, b) => a != b }
+      if (edges.nonEmpty) {
+        // reference: plain union-find over the same edges
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+        val want = parent.keys.map(v => v -> find(v)).toMap
+        // min-relabel: comp must be the component MIN, not just a root
+        val minOf = want.groupBy(_._2).map { case (r, m) =>
+          r -> m.keys.min }
+        val wantMin = want.map { case (v, r) => v -> minOf(r) }
+        val got = Dedup.connectedComponents(
+          edges.toDF("doc_a", "doc_b").repartition(1 + rnd.nextInt(7)))
+          .as[(Long, Long)].collect().toMap
+        assert(got == wantMin, s"trial $trial: $edges")
+      }
+    }
+  }
+
   test("internal persists are tracked and releasable by callers") {
     InternalCaches.releaseAll() // isolate from other suites
     val mh = Dedup.minhash(docs, col("doc_id"), col("text"), 8)
