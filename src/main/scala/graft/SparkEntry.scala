@@ -187,6 +187,30 @@ object SparkEntry {
        |SELECT query_id, rank, neighbor_id, cosine
        |FROM r2 WHERE rank <= $k""".stripMargin
 
+  /** s8 oracle: the shared kmeans CTEs, then within-cell pairwise
+    * cosine (same list_reduce fold order as the Spark dot) — a vector
+    * is dropped iff a lower-id member of its cell reaches tau. */
+  private def duckSemanticDedup(nc: Int, iters: Int, tau: Double)
+      : String = {
+    val last = iters + 1
+    s"""${duckKmeansCtes(nc, iters)},
+       |${duckAssignCte(last, s"cn$iters")},
+       |av AS (
+       |  SELECT a.vec_id, a.cell_id, a.v, en.nrm
+       |  FROM a$last a JOIN en USING (vec_id)),
+       |dropped AS (
+       |  SELECT DISTINCT hi.vec_id
+       |  FROM av lo JOIN av hi
+       |    ON lo.cell_id = hi.cell_id AND lo.vec_id < hi.vec_id
+       |  WHERE list_reduce(list_transform(range(1, len(lo.v) + 1),
+       |      j -> lo.v[j] * hi.v[j]), (x, y) -> x + y)
+       |    / (lo.nrm * hi.nrm) >= $tau)
+       |SELECT av.vec_id, av.cell_id AS cell,
+       |  CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INT)
+       |    AS keep
+       |FROM av LEFT JOIN dropped d ON av.vec_id = d.vec_id""".stripMargin
+  }
+
   /** One quantized per-subspace Lloyd round for the s7 oracle: assign
     * every sub-slice to its nearest centroid of codebook `prev`
     * (squared-L2 left fold, ties to the lowest cid), then rebuild each
@@ -1116,6 +1140,12 @@ object SparkEntry {
       Similarity.pqTopKWith(emb, cb, emb.filter(col("vec_id") % 25 === 0),
         "vec_id", "embedding", topK = 5, m = 8, dim = 64)
     }),
+
+    // SemDeDup: quantized-Lloyd clusters confine the pairwise cosine
+    // scan; lowest id in each within-cluster ε-ball survives
+    "s8_semantic_dedup" -> ((s, d) =>
+      Similarity.semanticDedup(Tables.embeddings(s, d), "vec_id",
+        "embedding", nCells = 8, iters = 2, tau = 0.35)),
 
     // CUBE: all four grouping combinations + grouping_id, completing
     // the rollup (q21) family
@@ -2554,6 +2584,9 @@ object SparkEntry {
 
     "s5_ann_ivf_trained" ->
       duckKmeansIvf(nc = 8, iters = 2, nProbe = 2, k = 5),
+
+    "s8_semantic_dedup" ->
+      duckSemanticDedup(nc = 8, iters = 2, tau = 0.35),
 
     // PQ: the seed ranks are subspace-independent (the sampler hashes
     // only vec_id), so one global row_number serves all 8 codebooks

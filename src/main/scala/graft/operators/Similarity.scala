@@ -275,6 +275,38 @@ object Similarity {
     kmeansTrain(emb, idCol, vecCol, nCells, iters)._2
       .select(col("cell_id"), col("cv").as("centroid"))
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus with the quantized-Lloyd
+    * k-means above, then within each cluster drop every vector whose
+    * cosine to a LOWER-id cluster member reaches `tau` — the standard
+    * pairwise ε-ball approximation, with the lowest id as the
+    * deterministic survivor. Pairwise work never leaves a cluster:
+    * with the [[autoCells]] ⌈√n⌉ codebook the expected cost is
+    * Σ|cᵢ|² ≈ n·√n, the IVF-search envelope rather than the n² of the
+    * exact twin (d6), and the pair join shuffles by cell id with
+    * cluster sizes balanced by Lloyd rather than by data keys.
+    * Returns one row per vector: (vec_id, cell, keep 1/0). */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+      nCells: Int = -1, iters: Int = 2, tau: Double = 0.5): DataFrame = {
+    val (e, cents) = kmeansTrain(emb, idCol, vecCol, nCells, iters)
+    val av = assignCells(e, cents)
+      .withColumn("nrm", norm(col("v")))
+      .select(col("vid"), col("cell"), col("v"), col("nrm"))
+      .persistTracked() // both sides of the within-cell pair join
+    val lo = av.select(col("cell"), col("vid").as("lo_id"),
+      col("v").as("lo_v"), col("nrm").as("lo_nrm"))
+    val hi = av.select(col("cell"), col("vid").as("hi_id"),
+      col("v").as("hi_v"), col("nrm").as("hi_nrm"))
+    val dropped = lo.join(hi, Seq("cell"))
+      .filter(col("lo_id") < col("hi_id"))
+      .filter(dot(col("lo_v"), col("hi_v")) /
+        (col("lo_nrm") * col("hi_nrm")) >= tau)
+      .select(col("hi_id")).distinct()
+    av.join(dropped, av("vid") === dropped("hi_id"), "left_outer")
+      .select(col("vid").as("vec_id"), col("cell"),
+        when(col("hi_id").isNull, 1).otherwise(0).cast("int").as("keep"))
+  }
+
   private def kmeansTrain(emb: DataFrame, idCol: String, vecCol: String,
       nCells: Int, iters: Int): (DataFrame, DataFrame) = {
     val nc = if (nCells > 0) nCells else autoCells(emb.count())

@@ -84,6 +84,39 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(nd == Set((1L, 2L)))
   }
 
+  test("semantic dedup = within-cluster ε-ball rule over the kmeans cells") {
+    val emb = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(1f, 0f, 0f, 0f)),      // identical to 1
+      (3L, Array(0.99f, 0.1f, 0f, 0f)), // near 1
+      (4L, Array(0f, 1f, 0f, 0f)),
+      (5L, Array(0f, 0f, 1f, 0f)),
+      (6L, Array(0f, 0f, 0.99f, 0.1f))  // near 5
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(emb, "vec_id", "embedding",
+        nCells = 3, iters = 1, tau = 0.9)
+      .select("vec_id", "keep").as[(Long, Int)].collect().toMap
+    assert(out.size == 6)
+    // contract: dropped ⇔ a lower-id member of the SAME kmeans cell
+    // reaches tau — derive the expectation from the actual clustering
+    val cells = Similarity.kmeansRefine(emb, "vec_id", "embedding",
+        nCells = 3, iters = 1)
+      .select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    val vecs = emb.as[(Long, Array[Float])].collect().toMap
+      .view.mapValues(_.map(_.toDouble)).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map(p => p._1 * p._2).sum /
+        (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    val expected = vecs.keys.map { id =>
+      id -> (if (vecs.keys.exists(lo => lo < id &&
+        cells(lo) == cells(id) && cos(vecs(lo), vecs(id)) >= 0.9)) 0 else 1)
+    }.toMap
+    assert(out == expected)
+    // identical vectors always co-cluster → 2 is always dropped; the
+    // globally lowest id can never be dropped
+    assert(out(2L) == 0 && out(1L) == 1)
+  }
+
   test("ANN LSH achieves high recall@5 against brute force on testdata") {
     val emb = Tables.embeddings(spark, Sf0001).filter(col("vec_id") % 5 === 0)
     val exact = Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", 5)
