@@ -757,6 +757,17 @@ object SparkEntry {
       Dedup.segmentDedup(Tables.documents(s, d), col("doc_id"),
         col("text"), 10)),
 
+    // daily-ingest incremental near-dup: the batch (doc_id%10=7)
+    // probes the stored corpus index and self-dedups within the batch
+    "d11_incremental_neardup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.incrementalNearDup(
+        docs.filter(col("doc_id") % 10 =!= 7),
+        docs.filter(col("doc_id") % 10 === 7),
+        col("doc_id"), col("text"), numHashes = 8, rowsPerBand = 2,
+        minJaccard = 0.5)
+    }),
+
     // concat-and-chunk sequence packing per source shard — distributed
     // prefix sum, no global window
     "p2_sequence_packing" -> ((s, d) => {
@@ -2214,6 +2225,50 @@ object SparkEntry {
          |JOIN mh ma ON ma.doc_id = doc_a
          |JOIN mh mb ON mb.doc_id = doc_b AND mb.h = ma.h
          |GROUP BY 1, 2""".stripMargin,
+
+    // d2's shingle/minhash/band CTEs, probed asymmetrically: incoming
+    // (doc_id%10=7) vs existing-or-lower-id-incoming, signature-verified
+    "d11_incremental_neardup" ->
+      s"""WITH t AS (SELECT doc_id, $DuckToks AS w FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, unnest(list_transform(
+         |    range(1, len(w) - 1),
+         |    i -> array_to_string(w[i:i+2], ' '))) AS shingle
+         |  FROM t WHERE len(w) >= 3),
+         |mh AS (
+         |  SELECT doc_id, h,
+         |   min(CASE WHEN h < 4 THEN substr(md5(shingle), 1 + 8*(h%4), 8)
+         |       ELSE substr(md5('x' || shingle), 1 + 8*(h%4), 8) END)
+         |    AS minhash
+         |  FROM sh CROSS JOIN (SELECT unnest(range(8)) AS h) hs
+         |  GROUP BY 1, 2),
+         |bands AS (
+         |  SELECT doc_id, h // 2 AS band,
+         |   md5(string_agg(minhash, '|' ORDER BY minhash)) AS bkey
+         |  FROM mh GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT p.doc_id, r.doc_id AS ref_id
+         |  FROM bands p JOIN bands r
+         |    ON p.band = r.band AND p.bkey = r.bkey
+         |  WHERE p.doc_id % 10 = 7
+         |    AND (r.doc_id % 10 <> 7 OR r.doc_id < p.doc_id)),
+         |ver AS (
+         |  SELECT c.doc_id, c.ref_id,
+         |   sum(CASE WHEN ma.minhash = mb.minhash THEN 1 ELSE 0 END) / 8.0
+         |     AS est
+         |  FROM cand c
+         |  JOIN mh ma ON ma.doc_id = c.doc_id
+         |  JOIN mh mb ON mb.doc_id = c.ref_id AND mb.h = ma.h
+         |  GROUP BY 1, 2),
+         |flag AS (
+         |  SELECT doc_id, min(ref_id) AS dup_of
+         |  FROM ver WHERE est >= 0.5 GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(CASE WHEN f.dup_of IS NULL THEN 0 ELSE 1 END AS INT)
+         |    AS is_dup,
+         |  f.dup_of
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 7) d
+         |LEFT JOIN flag f ON d.doc_id = f.doc_id""".stripMargin,
 
     "d3_ngram_jaccard" ->
       s"""WITH t AS (SELECT doc_id, source, $DuckToks AS w FROM documents),

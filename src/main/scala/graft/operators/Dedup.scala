@@ -67,14 +67,20 @@ object Dedup {
     * bucket. The signature relation is persisted around the self-join —
     * at 100 TB you materialize signatures once (they are tiny relative
     * to the corpus) rather than recompute the corpus scan per side. */
-  def lshCandidates(sig: DataFrame, rowsPerBand: Int): DataFrame = {
-    val banded = sig
-      .select(col("doc_id"),
+  /** (doc_id, band, bkey) band keys from wide signatures: bands of
+    * `rowsPerBand` minima, keyed by the md5 of the band's sorted
+    * values — the bucketing both the self-join (batch) and the
+    * incremental probe share. */
+  private def bandKeys(sig: DataFrame, rowsPerBand: Int): DataFrame =
+    sig.select(col("doc_id"),
         posexplode(col("sig")).as(Seq("h", "mh")))
       .withColumn("band", floor(col("h") / rowsPerBand))
       .groupBy(col("doc_id"), col("band"))
       .agg(md5(concat_ws("|",
         array_sort(collect_list(col("mh")))).cast("binary")).as("bkey"))
+
+  def lshCandidates(sig: DataFrame, rowsPerBand: Int): DataFrame = {
+    val banded = bandKeys(sig, rowsPerBand)
       .persistTracked()
     val a = banded.select(col("band").as("band_a"), col("bkey").as("bkey_a"),
       col("doc_id").as("doc_a"))
@@ -105,6 +111,55 @@ object Dedup {
           (x, y) => when(x === y, 1L).otherwise(0L)),
           lit(0L), (acc, v) => acc + v)
           / lit(numHashes.toDouble)).as("est_jaccard"))
+  }
+
+  /** Incremental (daily-ingest) near-dup: flag each INCOMING doc that
+    * is a minhash near-duplicate of the EXISTING corpus or of a
+    * lower-id incoming doc — the production shape where yesterday's
+    * signatures are a stored index and only today's batch is scanned.
+    * Band buckets route candidates (existing refs match regardless of
+    * id order; incoming refs only when lower-id, so the batch also
+    * self-dedups); candidates are verified by the signature-agreement
+    * Jaccard estimate before flagging. At 100 TB the existing side of
+    * the band join reads the persisted signature/band index — never
+    * the corpus text — and the join shuffles by (band, bkey) with
+    * bucket sizes capped by the banding, not by corpus size.
+    * Returns one row per incoming doc: (doc_id, is_dup 1/0,
+    * dup_of = lowest verified match or null). */
+  def incrementalNearDup(existing: DataFrame, incoming: DataFrame,
+      idCol: Column, textCol: Column, numHashes: Int = 8,
+      rowsPerBand: Int = 2, minJaccard: Double = 0.5): DataFrame = {
+    val inDocs = incoming.select(idCol.as("doc_id"), textCol.as("text"))
+    val exSig = minhash(existing.select(idCol.as("doc_id"),
+      textCol.as("text")), col("doc_id"), col("text"), numHashes)
+      .persistTracked() // the stored index side: bands + verification
+    val inSig = minhash(inDocs, col("doc_id"), col("text"), numHashes)
+      .persistTracked() // probe bands + verification
+    val inB = bandKeys(inSig, rowsPerBand).persistTracked()
+    val refB = bandKeys(exSig, rowsPerBand)
+      .select(col("band"), col("bkey"), col("doc_id").as("ref_id"),
+        lit(false).as("ref_in"))
+      .union(inB.select(col("band"), col("bkey"),
+        col("doc_id").as("ref_id"), lit(true).as("ref_in")))
+    val cand = inB.join(refB, Seq("band", "bkey"))
+      .filter(!col("ref_in") || col("ref_id") < col("doc_id"))
+      .select(col("doc_id"), col("ref_id")).distinct()
+    val verified = cand
+      .join(broadcast(inSig.select(col("doc_id"), col("sig").as("sig_d"))),
+        Seq("doc_id"))
+      .join(broadcast(exSig.union(inSig)
+        .select(col("doc_id").as("ref_id"), col("sig").as("sig_r"))),
+        Seq("ref_id"))
+      .filter(aggregate(zip_with(col("sig_d"), col("sig_r"),
+          (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), (acc, v) => acc + v)
+        / lit(numHashes.toDouble) >= minJaccard)
+      .groupBy(col("doc_id")).agg(min(col("ref_id")).as("dup_of"))
+    inDocs.select(col("doc_id"))
+      .join(verified, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        when(col("dup_of").isNull, 0).otherwise(1).cast("int").as("is_dup"),
+        col("dup_of"))
   }
 
   /** Exact n-gram Jaccard for given pairs: |A ∩ B| / |A ∪ B| over

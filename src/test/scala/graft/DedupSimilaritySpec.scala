@@ -38,6 +38,30 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(est == 1.0)
   }
 
+  test("incremental near-dup flags vs corpus and within-batch, min ref") {
+    val existing = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (100L, "completely different content about spark engines here")
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      (7L, "the quick brown fox jumps over the lazy dog"),  // dup of 1
+      (17L, "the quick brown fox jumps over the lazy dog"), // dup of 1 & 7
+      (50L, "completely different content about spark engines here"),
+      // ↑ dup of EXISTING 100 despite 100 > 50 (corpus match is
+      //   id-order independent; only batch-internal refs need lower id)
+      (27L, "nothing shares any shingle with this sentence at all ok")
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalNearDup(existing, incoming,
+        col("doc_id"), col("text"), 8, 2, 0.5)
+      .as[(Long, Int, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out.size == 4)
+    assert(out(7L) == ((1, Some(1L))))
+    assert(out(17L) == ((1, Some(1L)))) // min of verified refs {1, 7}
+    assert(out(50L) == ((1, Some(100L))))
+    assert(out(27L) == ((0, None)))
+  }
+
   test("ngram jaccard: identical docs = 1.0, disjoint docs = 0.0") {
     val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("doc_a", "doc_b")
     val j = Dedup.ngramJaccard(pairs, docs, col("doc_id"), col("text"), 3)
