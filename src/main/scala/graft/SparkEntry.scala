@@ -782,6 +782,11 @@ object SparkEntry {
       Curation.temperatureResample(Tables.documents(s, d), col("doc_id"),
         col("lang"), alpha = 0.5, targetCount = 300, seed = 41)),
 
+    // overlapping token-window chunking — shuffle-free map stage
+    "t14_chunk_documents" -> ((s, d) =>
+      Curation.chunkDocuments(Tables.documents(s, d), col("doc_id"),
+        col("text"), chunkLen = 64, stride = 48)),
+
     // —— similarity search (north star M7b) ——
 
     "s1_cosine_topk" -> ((s, d) => {
@@ -1158,6 +1163,24 @@ object SparkEntry {
       Similarity.semanticDedup(Tables.embeddings(s, d), "vec_id",
         "embedding", nCells = 8, iters = 2, tau = 0.35)),
 
+    // build-once/query-many: the IVF index (codebook + assignment,
+    // partitioned by cell so probes prune partitions) round-trips
+    // through parquet and the search runs from the LOADED index —
+    // oracle is s5's SQL, proving the stored index loses nothing
+    "s9_ivf_index_persist" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val dir = scratchDir("s9ivf", d)
+      val (cents, index) = Similarity.buildIvfIndex(emb, "vec_id",
+        "embedding", nCells = 8, iters = 2)
+      cents.coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/centroids")
+      index.write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$dir/index")
+      Similarity.ivfSearchIndexed(s.read.parquet(s"$dir/index"),
+        s.read.parquet(s"$dir/centroids"), emb, "vec_id", "embedding",
+        k = 5, nProbe = 2)
+    }),
+
     // CUBE: all four grouping combinations + grouping_id, completing
     // the rollup (q21) family
     "q39_cube" -> ((s, d) =>
@@ -1258,6 +1281,31 @@ object SparkEntry {
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("cnt"),
           round(sum(col("l_quantity")), 2).as("sum_qty"))
+    }),
+
+    // data profiling: per-column stats in ONE scan (a single wide agg,
+    // unpivoted row-wise after). The exact multi-column countDistinct
+    // expands the scan 4-way for oracle parity; a 100 TB profiler
+    // swaps it for the HLL sketch aggregate (q53) with the rest of the
+    // plan unchanged — still one pass, no expand
+    "q62_column_profile" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val aggs = cols.flatMap { c => Seq(
+        count(col(c)).as(s"${c}_cnt"),
+        (count(lit(1)) - count(col(c))).as(s"${c}_nulls"),
+        countDistinct(col(c)).as(s"${c}_ndv"),
+        min(col(c)).as(s"${c}_min"),
+        max(col(c)).as(s"${c}_max"),
+        round(sum(col(c)), 2).as(s"${c}_sum"))
+      }
+      val wide = li.agg(aggs.head, aggs.tail: _*)
+      wide.select(explode(array(cols.map(c => struct(
+          lit(c).as("col_name"), col(s"${c}_cnt").as("cnt"),
+          col(s"${c}_nulls").as("nulls"), col(s"${c}_ndv").as("ndv"),
+          col(s"${c}_min").as("min_v"), col(s"${c}_max").as("max_v"),
+          col(s"${c}_sum").as("sum_v"))): _*)).as("p"))
+        .select(col("p.*"))
     }),
 
     // correlated scalar subquery through the SQL entry point — Catalyst
@@ -1836,6 +1884,16 @@ object SparkEntry {
         | round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1""".stripMargin,
+
+    "q62_column_profile" -> Seq("l_quantity", "l_extendedprice",
+        "l_discount", "l_tax").map { c =>
+      s"""SELECT '$c' AS col_name, CAST(count($c) AS BIGINT) AS cnt,
+         | CAST(count(*) - count($c) AS BIGINT) AS nulls,
+         | CAST(count(DISTINCT $c) AS BIGINT) AS ndv,
+         | min($c) AS min_v, max($c) AS max_v,
+         | round(sum($c), 2) AS sum_v
+         |FROM lineitem""".stripMargin
+    }.mkString("\nUNION ALL\n"),
 
     "q57_stream_typed_state" ->
       """WITH per_user AS (
@@ -2488,6 +2546,26 @@ object SparkEntry {
          |   AS last_seq
          |FROM o""".stripMargin,
 
+    // chunk count via non-negative integer arithmetic (identical
+    // truncation in both engines); slice clamps at the token-list end
+    "t14_chunk_documents" ->
+      s"""WITH t AS (SELECT doc_id, $DuckToks AS w FROM documents),
+         |d AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n
+         |      FROM t WHERE len(w) > 0),
+         |c AS (
+         |  SELECT doc_id, w,
+         |   unnest(range(0, 1 + greatest(0, n - 64 + 47) // 48))
+         |     AS chunk_idx
+         |  FROM d),
+         |ch AS (
+         |  SELECT doc_id, chunk_idx,
+         |   w[chunk_idx * 48 + 1 : chunk_idx * 48 + 64] AS chunk
+         |  FROM c)
+         |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+         | CAST(len(chunk) AS BIGINT) AS n_tokens,
+         | md5(array_to_string(chunk, ' ')) AS chunk_fp
+         |FROM ch""".stripMargin,
+
     // denominator = left fold over the class list sorted by class name
     // (same pinned order as the Spark side's array_sort + aggregate)
     "t9_mixture_resample" ->
@@ -2642,6 +2720,10 @@ object SparkEntry {
 
     "s8_semantic_dedup" ->
       duckSemanticDedup(nc = 8, iters = 2, tau = 0.35),
+
+    // the persisted index must search identically to the live plan
+    "s9_ivf_index_persist" ->
+      duckKmeansIvf(nc = 8, iters = 2, nProbe = 2, k = 5),
 
     // PQ: the seed ranks are subspace-independent (the sampler hashes
     // only vec_id), so one global row_number serves all 8 codebooks

@@ -36,6 +36,37 @@ object Curation {
     * which is what a real packer wants anyway (mix sources, avoid
     * curriculum artifacts from ingest order).
     */
+  /** Overlapping token-window chunking (RAG indexing / long-doc
+    * context prep): fixed `chunkLen`-token windows advancing by
+    * `stride` tokens (stride < chunkLen ⇒ overlap); the final window
+    * simply runs short rather than dropping tail tokens. Entirely
+    * per-row — tokenize once, explode the chunk-start sequence, slice
+    * — so the plan has NO shuffle at all: chunking 100 TB is a single
+    * map stage whose parallelism is the scan's. Chunk count per doc is
+    * computed with non-negative integer arithmetic only (identical
+    * truncation semantics in Spark and DuckDB).
+    * Returns (doc_id, chunk_idx, n_tokens, chunk_fp). */
+  def chunkDocuments(docs: DataFrame, idCol: Column, textCol: Column,
+      chunkLen: Int, stride: Int): DataFrame = {
+    require(chunkLen > 0 && stride > 0 && stride <= chunkLen,
+      s"need 0 < stride=$stride <= chunkLen=$chunkLen")
+    docs.select(idCol.as("doc_id"),
+        TextAnalysis.tokens(textCol).as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .filter(col("n") > 0)
+      .withColumn("nchunks", lit(1L) + floor(
+        greatest(lit(0L), col("n") - chunkLen + (stride - 1)) / stride)
+        .cast("long"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0L), col("nchunks") - 1)).as("chunk_idx"))
+      .withColumn("chunk",
+        slice(col("toks"), (col("chunk_idx") * stride + 1).cast("int"),
+          lit(chunkLen)))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("chunk")).cast("long").as("n_tokens"),
+        md5(concat_ws(" ", col("chunk")).cast("binary")).as("chunk_fp"))
+  }
+
   def packSequences(df: DataFrame, idCol: Column, groupCol: Column,
       nToksCol: Column, ctxLen: Int, seed: Int,
       buckets: Int = 32): DataFrame = {

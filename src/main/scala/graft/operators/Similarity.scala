@@ -275,6 +275,64 @@ object Similarity {
     kmeansTrain(emb, idCol, vecCol, nCells, iters)._2
       .select(col("cell_id"), col("cv").as("centroid"))
 
+  /** The persistable IVF index: the trained codebook plus the corpus
+    * assignment (vec_id, embedding, nrm, cell). At 100 TB both are
+    * written ONCE — the codebook is tiny, the index is corpus-sized
+    * parquet partitioned however the store likes — and every search
+    * job reads them instead of re-running training and assignment:
+    * build-once / query-many. Returns (centroids, index). */
+  def buildIvfIndex(emb: DataFrame, idCol: String, vecCol: String,
+      nCells: Int = -1, iters: Int = 2): (DataFrame, DataFrame) = {
+    val cents = kmeansCentroids(emb, idCol, vecCol, nCells, iters)
+    val cWith = cents
+      .select(col("cell_id"), col("centroid").as("cv"))
+      .withColumn("cnrm", norm(col("cv")))
+    val e = emb.select(col(idCol).as("vid"), col(vecCol).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val index = assignCells(e, cWith)
+      .withColumn("nrm", norm(col("v")))
+      .select(col("vid").as("vec_id"), col("v").as("embedding"),
+        col("nrm"), col("cell"))
+    (cents, index)
+  }
+
+  /** IVF search over a LOADED index (the output of [[buildIvfIndex]]
+    * read back from storage): queries rank the codebook for their
+    * probe cells — the only per-query work — and candidates come from
+    * an equi-join against the stored assignment, whose norms are
+    * already in the index. Bit-identical to running [[ivfTopKWith]]
+    * over the live training plan, which is what the oracle checks. */
+  def ivfSearchIndexed(index: DataFrame, centroids: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      nProbe: Int = 2): DataFrame = {
+    val cWithNorm = centroids.select(col("cell_id"), col("centroid"))
+      .withColumn("c_nrm", norm(col("centroid")))
+    val q = queries.select(col(idCol), col(vecCol))
+      .withColumn("q_nrm", norm(col(vecCol)))
+    val wProbe = Window.partitionBy(col(idCol))
+      .orderBy(col("sim").desc, col("cell_id").asc)
+    val probed = q.crossJoin(broadcast(cWithNorm))
+      .withColumn("sim",
+        dot(col(vecCol), col("centroid")) / (col("q_nrm") * col("c_nrm")))
+      .withColumn("rk", row_number().over(wProbe))
+      .filter(col("rk") <= math.max(nProbe, 1))
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+        col("q_nrm"), col("cell_id").as("probe_cell"))
+    val nbr = index.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("c_vec"), col("nrm").as("c_nrm"),
+      col("cell").cast("long").as("cell_id"))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    probed.join(nbr, col("probe_cell") === col("cell_id") &&
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        dot(col("q_vec"), col("c_vec")) / (col("q_nrm") * col("c_nrm")))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("cosine"))
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the corpus with the quantized-Lloyd
     * k-means above, then within each cluster drop every vector whose

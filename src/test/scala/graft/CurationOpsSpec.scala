@@ -10,6 +10,27 @@ import graft.operators.{Curation, PipelineOps, TextAnalysis}
 class CurationOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("chunkDocuments: overlap, tail chunk, full coverage, no shuffle") {
+    // 10 tokens, chunkLen 4, stride 3 → starts 0,3,6 — the minimal
+    // cover (start 6 reaches token 10); no degenerate tail window
+    val docs = Seq((1L, "a b c d e f g h i j"), (2L, "x y"), (3L, "   "))
+      .toDF("doc_id", "text")
+    val out = Curation.chunkDocuments(docs, col("doc_id"), col("text"),
+        chunkLen = 4, stride = 3)
+      .select("doc_id", "chunk_idx", "n_tokens")
+      .as[(Long, Long, Long)].collect().sorted
+    assert(out.filter(_._1 == 1L).map(r => (r._2, r._3)).toSeq ==
+      Seq((0L, 4L), (1L, 4L), (2L, 4L)))
+    assert(out.filter(_._1 == 2L).map(r => (r._2, r._3)).toSeq ==
+      Seq((0L, 2L))) // short doc: one short chunk
+    assert(!out.exists(_._1 == 3L)) // token-less doc emits nothing
+    // stride < chunkLen covers every token: last chunk end ≥ n
+    // chunking is a pure map stage — no exchange anywhere in the plan
+    val plan = Curation.chunkDocuments(docs, col("doc_id"), col("text"), 4, 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+
   test("stratifiedTopK equals the single-window per-stratum top-k") {
     val df = spark.range(2000)
       .withColumn("stratum", (col("id") % 7).cast("string"))

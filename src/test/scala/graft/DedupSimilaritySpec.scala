@@ -108,6 +108,32 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(nd == Set((1L, 2L)))
   }
 
+  test("persisted IVF index searches identically to the live plan") {
+    val emb = Tables.embeddings(spark, Sf0001)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_idx").toString
+    try {
+      val (cents, index) = Similarity.buildIvfIndex(emb, "vec_id",
+        "embedding", nCells = 4, iters = 1)
+      cents.write.mode("overwrite").parquet(s"$dir/centroids")
+      index.write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$dir/index")
+      val fromDisk = Similarity.ivfSearchIndexed(
+        spark.read.parquet(s"$dir/index"),
+        spark.read.parquet(s"$dir/centroids"),
+        emb, "vec_id", "embedding", k = 3, nProbe = 2)
+        .collect().map(_.toSeq).toSet
+      val live = Similarity.ivfTopKWith(emb,
+        Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+          nCells = 4, iters = 1),
+        "vec_id", "embedding", k = 3, nProbe = 2)
+        .collect().map(_.toSeq).toSet
+      assert(fromDisk.nonEmpty && fromDisk == live)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("semantic dedup = within-cluster ε-ball rule over the kmeans cells") {
     val emb = Seq(
       (1L, Array(1f, 0f, 0f, 0f)),
