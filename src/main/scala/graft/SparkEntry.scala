@@ -1283,6 +1283,50 @@ object SparkEntry {
           round(sum(col("l_quantity")), 2).as("sum_qty"))
     }),
 
+    // streaming near-dup ingest: per-row HOF minhash signatures (no
+    // aggregation → legal before stateful dedup in append mode), then
+    // keyed-state dedup on the signature — the landing-zone shape
+    // where near-dup classes are deduped as shards arrive. Unbounded
+    // dedup state here because docs carry no event time; a production
+    // ingest keys the watermark off ingest time and uses
+    // dropDuplicatesWithinWatermark (q34 demonstrates that variant).
+    // Output = the SET of distinct signature classes (survivor choice
+    // within a class is batch-order-dependent, the class set is not).
+    "q63_stream_neardup" -> ((s, d) => {
+      val docs = EventStream.parquetFileStream(s, s"$d/documents.parquet")
+      val deduped = docs
+        .withColumn("toks", TextAnalysis.tokens(col("text")))
+        .filter(size(col("toks")) >= 3)
+        .withColumn("sh", TextAnalysis.shinglesOf(col("toks"), 3))
+        .select(Dedup.minhashSigKey(col("sh"), 8).as("sig_key"))
+        .dropDuplicates("sig_key")
+      EventStream.runOnce(deduped,
+        s"stream_neardup_${System.nanoTime()}", outputMode = "append")
+        .select("sig_key")
+    }),
+
+    // runtime bloom-filter pushdown: the selective dim filter builds a
+    // bloom filter that prunes the fact-side SCAN before the shuffle —
+    // at 100 TB this is the difference between shuffling the whole
+    // fact table and shuffling only rows that can match. Thresholds
+    // are scoped to a cloned session (q61 pattern); the spec asserts
+    // the BloomFilterMightContain actually lands in the plan
+    "q64_runtime_bloom_join" -> ((s, d) => {
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled",
+        "true")
+      s2.conf.set("spark.sql.optimizer.runtime.bloomFilter." +
+        "applicationSideScanSizeThreshold", "1KB")
+      val li = Tables.lineitem(s2, d)
+      val ord = Tables.orders(s2, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"))
+    }),
+
     // data profiling: per-column stats in ONE scan (a single wide agg,
     // unpivoted row-wise after). The exact multi-column countDistinct
     // expands the scan 4-way for oracle parity; a 100 TB profiler
@@ -1883,6 +1927,35 @@ object SparkEntry {
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
         | round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
+
+    // d2's shingle/minhash CTEs, collapsed per doc to the signature
+    // key and distinct'd — the batch twin of the streaming dedup
+    "q63_stream_neardup" ->
+      s"""WITH t AS (SELECT doc_id, $DuckToks AS w FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, unnest(list_transform(
+         |    range(1, len(w) - 1),
+         |    i -> array_to_string(w[i:i+2], ' '))) AS shingle
+         |  FROM t WHERE len(w) >= 3),
+         |mh AS (
+         |  SELECT doc_id, h,
+         |   min(CASE WHEN h < 4 THEN substr(md5(shingle), 1 + 8*(h%4), 8)
+         |       ELSE substr(md5('x' || shingle), 1 + 8*(h%4), 8) END)
+         |    AS minhash
+         |  FROM sh CROSS JOIN (SELECT unnest(range(8)) AS h) hs
+         |  GROUP BY 1, 2),
+         |sig AS (
+         |  SELECT doc_id, md5(string_agg(minhash, '|' ORDER BY h))
+         |    AS sig_key
+         |  FROM mh GROUP BY 1)
+         |SELECT DISTINCT sig_key FROM sig""".stripMargin,
+
+    "q64_runtime_bloom_join" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
+        | round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
         |GROUP BY 1""".stripMargin,
 
     "q62_column_profile" -> Seq("l_quantity", "l_extendedprice",

@@ -67,6 +67,29 @@ object Dedup {
     * bucket. The signature relation is persisted around the self-join —
     * at 100 TB you materialize signatures once (they are tiny relative
     * to the corpus) rather than recompute the corpus scan per side. */
+  /** Per-row minhash signature key: the whole one-permutation
+    * signature collapsed to one md5 hex string, computed with array
+    * HOFs only — no explode, no groupBy — so it is legal on an
+    * UNAGGREGATED STREAM (a groupBy signature would be a streaming
+    * aggregation and could not feed stateful dedup in append mode).
+    * array_min over the per-shingle hash windows yields exactly the
+    * minima [[minhash]] computes via explode+min; `sh` must be a
+    * pre-projected shingle-array column ([[TextAnalysis.shinglesOf]]
+    * over a named token column) or the lambda re-tokenizes per
+    * element. Empty shingle arrays yield null (caller filters). */
+  def minhashSigKey(sh: Column, numHashes: Int): Column = {
+    require(numHashes <= 8, "one-permutation scheme provides 8 hash slots")
+    val parts = (0 until numHashes).map { h =>
+      array_min(transform(sh, x => {
+        val src = if (h < 4) md5(x.cast("binary"))
+          else md5(concat(lit("x"), x).cast("binary"))
+        substring(src, 1 + 8 * (h % 4), 8)
+      }))
+    }
+    when(size(sh) > 0,
+      md5(concat_ws("|", parts: _*).cast("binary")))
+  }
+
   /** (doc_id, band, bkey) band keys from wide signatures: bands of
     * `rowsPerBand` minima, keyed by the md5 of the band's sorted
     * values — the bucketing both the self-join (batch) and the

@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.Events
+import graft.operators.{Dedup, Events, TextAnalysis}
 import graft.streaming.EventStream
 
 /** Sessionization + the Structured Streaming slice (M6): the streaming
@@ -77,6 +77,48 @@ class EventsStreamingSpec extends SparkSpec {
       Seq(col("v").desc), 2)
       .select("g", "rank", "v").as[(String, Long, Int)].collect().toSet
     assert(out == Set(("a", 1L, 9), ("a", 2L, 5), ("b", 1L, 2)))
+  }
+
+  test("streaming minhash dedup emits each signature class once across batches") {
+    import java.nio.file.{Files, Paths}
+    val streamDir = Files.createTempDirectory("graft_snd").toString
+    // batch 0: docs A, B; batch 1: a re-crawled exact copy of A plus a
+    // fresh doc C; batch 2: copies of B and C — only 3 classes total,
+    // and cross-batch repeats must be suppressed by the keyed state
+    val batches = Seq(
+      Seq((1L, "alpha beta gamma delta epsilon"),
+        (2L, "one two three four five six")),
+      Seq((3L, "alpha beta gamma delta epsilon"),
+        (4L, "seven eight nine ten eleven")),
+      Seq((5L, "one two three four five six"),
+        (6L, "seven eight nine ten eleven")))
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      val stage = Files.createTempDirectory(s"graft_snd_stage$i").toString
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, Paths.get(streamDir, s"batch$i.parquet"))
+    }
+    val deduped = EventStream.parquetFileStream(spark, streamDir)
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("sh", TextAnalysis.shinglesOf(col("toks"), 3))
+      .select(graft.operators.Dedup.minhashSigKey(col("sh"), 8)
+        .as("sig_key"))
+      .dropDuplicates("sig_key")
+    val sink = EventStream.runOnce(deduped,
+      s"snd_multibatch_${System.nanoTime()}", outputMode = "append")
+    val keys = sink.select("sig_key").as[String].collect()
+    assert(keys.length == 3 && keys.distinct.length == 3)
+    // the per-row HOF signature must equal the batch explode+groupBy
+    // signature key for the same docs
+    val batchSigs = Dedup.minhash(
+        batches.flatten.toDF("doc_id", "text"),
+        col("doc_id"), col("text"), 8)
+      .select(md5(concat_ws("|", col("sig")).cast("binary")).as("k"))
+      .distinct().as[String].collect().toSet
+    assert(keys.toSet == batchSigs)
   }
 
   test("transformWithState stats survive a genuinely multi-batch source") {

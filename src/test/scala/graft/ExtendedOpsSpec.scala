@@ -219,6 +219,24 @@ class ExtendedOpsSpec extends SparkSpec {
     assert(saltedAgg == plainAgg)
   }
 
+  test("runtime bloom filter is injected and prunes the fact-side scan") {
+    val q = SparkEntry.queries("q64_runtime_bloom_join")(spark, Sf0001)
+    val optimized = q.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("might_contain"),
+      s"no bloom filter in optimized plan:\n$optimized")
+    // and the result still matches the plain join (no rows lost to
+    // false negatives — blooms may only have false POSITIVES)
+    val plain = Tables.lineitem(spark, Sf0001)
+      .join(Tables.orders(spark, Sf0001)
+        .filter(col("o_orderpriority") === "1-URGENT"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"))
+      .collect().map(_.toSeq).toSet
+    assert(q.collect().map(_.toSeq).toSet == plain)
+  }
+
   test("AQE skew-join splits the hot partition and matches the plain join") {
     // the q61 receipt: same shape as q31's join, zero manual salting —
     // a cloned session tightens the split thresholds far enough that
