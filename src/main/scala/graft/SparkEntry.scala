@@ -1174,8 +1174,12 @@ object SparkEntry {
         "embedding", nCells = 8, iters = 2)
       cents.coalesce(1).write.mode("overwrite")
         .parquet(s"$dir/centroids")
-      index.write.mode("overwrite").partitionBy("cell")
-        .parquet(s"$dir/index")
+      // cluster the rows of each cell into the same output files
+      // (cells are Lloyd-balanced, so this is skew-safe); without the
+      // repartition every shuffle partition writes a sliver into every
+      // cell directory — shuffle_partitions × nCells tiny files
+      index.repartition(col("cell")).write.mode("overwrite")
+        .partitionBy("cell").parquet(s"$dir/index")
       Similarity.ivfSearchIndexed(s.read.parquet(s"$dir/index"),
         s.read.parquet(s"$dir/centroids"), emb, "vec_id", "embedding",
         k = 5, nProbe = 2)

@@ -283,7 +283,11 @@ object Similarity {
     * build-once / query-many. Returns (centroids, index). */
   def buildIvfIndex(emb: DataFrame, idCol: String, vecCol: String,
       nCells: Int = -1, iters: Int = 2): (DataFrame, DataFrame) = {
+    // both returned frames embed the training plan; caching the
+    // nCells-row codebook makes the Lloyd rounds run once, not once
+    // per downstream action (the codebook write AND the index write)
     val cents = kmeansCentroids(emb, idCol, vecCol, nCells, iters)
+      .persistTracked()
     val cWith = cents
       .select(col("cell_id"), col("centroid").as("cv"))
       .withColumn("cnrm", norm(col("cv")))
