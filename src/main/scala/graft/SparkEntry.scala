@@ -787,6 +787,13 @@ object SparkEntry {
       Curation.chunkDocuments(Tables.documents(s, d), col("doc_id"),
         col("text"), chunkLen = 64, stride = 48)),
 
+    // in-engine trained classifier: multinomial NB on the train split
+    // (doc_id%5!=0), argmax posterior on the test split, micro-nat
+    // integer scores so the argmax is engine-exact
+    "t15_nb_langid" -> ((s, d) =>
+      TextAnalysis.nbLangIdConfusion(Tables.documents(s, d),
+        col("doc_id"), col("text"), col("lang"), testMod = 5)),
+
     // —— similarity search (north star M7b) ——
 
     "s1_cosine_topk" -> ((s, d) => {
@@ -1183,6 +1190,16 @@ object SparkEntry {
       Similarity.ivfSearchIndexed(s.read.parquet(s"$dir/index"),
         s.read.parquet(s"$dir/centroids"), emb, "vec_id", "embedding",
         k = 5, nProbe = 2)
+    }),
+
+    // IVF-PQ: trained cells route queries, ADC scores only probed
+    // cells' codes — bounds s6/s7's exhaustive q×n scan to
+    // q×(n·nProbe/nCells), the FAISS-standard memory/recall shape
+    "s10_ivfpq" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") % 25 === 0),
+        "vec_id", "embedding", topK = 5, nCells = 8, ivfIters = 2,
+        nProbe = 2, m = 8, k = 8, dim = 64, pqIters = 2, seed = 777)
     }),
 
     // CUBE: all four grouping combinations + grouping_id, completing
@@ -2643,6 +2660,60 @@ object SparkEntry {
          | md5(array_to_string(chunk, ' ')) AS chunk_fp
          |FROM ch""".stripMargin,
 
+    // NB classifier: micro-nat quantization at the vocab relation
+    // makes every per-doc score an exact integer sum in both engines
+    "t15_nb_langid" ->
+      s"""WITH b AS (SELECT doc_id, lang, $DuckToks AS w FROM documents),
+         |tr AS (SELECT * FROM b WHERE doc_id % 5 <> 0),
+         |te AS (SELECT * FROM b WHERE doc_id % 5 = 0),
+         |trtok AS (SELECT lang AS cls, unnest(w) AS token FROM tr),
+         |wc AS (SELECT cls, token, CAST(count(*) AS BIGINT) AS cwc
+         |       FROM trtok GROUP BY 1, 2),
+         |ncc AS (SELECT cls, CAST(sum(cwc) AS BIGINT) AS nc
+         |        FROM wc GROUP BY 1),
+         |vs AS (SELECT CAST(count(DISTINCT token) AS BIGINT) AS v
+         |       FROM wc),
+         |nd AS (SELECT CAST(count(*) AS BIGINT) AS ndocs FROM tr),
+         |cd AS (SELECT lang AS cls, CAST(count(*) AS BIGINT) AS n
+         |       FROM tr GROUP BY 1),
+         |cls AS (
+         |  SELECT cd.cls,
+         |   CAST(round(ln(cd.n::DOUBLE / nd.ndocs) * 1e6) AS BIGINT)
+         |     AS prior6,
+         |   CAST(round(ln(1.0 / (ncc.nc + vs.v)) * 1e6) AS BIGINT)
+         |     AS default6,
+         |   ncc.nc
+         |  FROM cd JOIN ncc USING (cls) CROSS JOIN nd CROSS JOIN vs),
+         |lw AS (
+         |  SELECT wc.cls, wc.token,
+         |   CAST(round(ln((wc.cwc + 1)::DOUBLE / (cls.nc + vs.v)) * 1e6)
+         |     AS BIGINT) - cls.default6 AS adj6
+         |  FROM wc JOIN cls USING (cls) CROSS JOIN vs),
+         |tetok AS (SELECT doc_id, unnest(w) AS token FROM te),
+         |iv AS (
+         |  SELECT t.doc_id, t.token
+         |  FROM tetok t JOIN (SELECT DISTINCT token FROM wc) v
+         |    USING (token)),
+         |tdoc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS t_doc
+         |         FROM iv GROUP BY 1),
+         |matched AS (
+         |  SELECT i.doc_id, l.cls, CAST(sum(l.adj6) AS BIGINT) AS madj6
+         |  FROM iv i JOIN lw l USING (token) GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT te.doc_id, te.lang, c.cls,
+         |   c.prior6 + c.default6 * COALESCE(td.t_doc, 0)
+         |     + COALESCE(m.madj6, 0) AS score6
+         |  FROM te CROSS JOIN cls c
+         |  LEFT JOIN tdoc td ON td.doc_id = te.doc_id
+         |  LEFT JOIN matched m ON m.doc_id = te.doc_id
+         |    AND m.cls = c.cls),
+         |best AS (
+         |  SELECT doc_id, lang, cls AS pred, row_number() OVER (
+         |    PARTITION BY doc_id ORDER BY score6 DESC, cls) AS rk
+         |  FROM scored)
+         |SELECT lang, pred, CAST(count(*) AS BIGINT) AS n
+         |FROM best WHERE rk = 1 GROUP BY 1, 2""".stripMargin,
+
     // denominator = left fold over the class list sorted by class name
     // (same pinned order as the Spark side's array_sort + aggregate)
     "t9_mixture_resample" ->
@@ -2801,6 +2872,65 @@ object SparkEntry {
     // the persisted index must search identically to the live plan
     "s9_ivf_index_persist" ->
       duckKmeansIvf(nc = 8, iters = 2, nProbe = 2, k = 5),
+
+    // IVF-PQ: the kmeans CTEs (cells) + the s7 PQ CTEs (codes, LUT),
+    // with candidates restricted to the queries' probed cells. The
+    // shared `e` CTE serves both halves.
+    "s10_ivfpq" ->
+      s"""${duckKmeansCtes(8, 2)},
+         |cs AS (
+         |  SELECT en.vec_id, c.cell_id,
+         |   list_reduce(list_transform(range(1, len(en.v) + 1),
+         |     j -> en.v[j] * c.cv[j]), (a, b) -> a + b) / (en.nrm * c.cnrm)
+         |     AS sim
+         |  FROM en CROSS JOIN cn2 c),
+         |cranked AS (
+         |  SELECT vec_id, cell_id, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY sim DESC, cell_id) AS rk
+         |  FROM cs),
+         |cassigned AS (SELECT vec_id, cell_id FROM cranked WHERE rk = 1),
+         |cprobed AS (SELECT vec_id, cell_id FROM cranked
+         |            WHERE rk <= 2 AND vec_id % 25 = 0),
+         |subs AS (
+         |  SELECT vec_id, s, v[8*s+1 : 8*s+8] AS sub
+         |  FROM e CROSS JOIN (SELECT unnest(range(8)) AS s) ss),
+         |sel AS (SELECT vec_id, row_number() OVER (
+         |  ORDER BY md5(vec_id::VARCHAR || '#777'), vec_id) AS rk FROM e),
+         |cb AS (
+         |  SELECT su.s, CAST(sel.rk AS BIGINT) AS cid, su.sub AS centroid
+         |  FROM subs su JOIN sel USING (vec_id) WHERE sel.rk <= 8),
+         |${duckPqRound(1, 8)},
+         |${duckPqRound(2, 8)},
+         |scored AS (
+         |  SELECT su.vec_id, su.s, c.cid,
+         |   list_reduce(list_transform(range(1, 9),
+         |     i -> (su.sub[i] - c.centroid[i]) * (su.sub[i] - c.centroid[i])),
+         |     (a, b) -> a + b) AS dist
+         |  FROM subs su JOIN cb2 c ON c.s = su.s),
+         |codes AS (
+         |  SELECT vec_id, s, cid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id, s
+         |      ORDER BY dist, cid) AS rk FROM scored) WHERE rk = 1),
+         |qd AS (
+         |  SELECT vec_id AS qid, s, cid,
+         |   CAST(round(dist * 1000000) AS BIGINT) AS qd6
+         |  FROM scored WHERE vec_id % 25 = 0),
+         |pair AS (
+         |  SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+         |   CAST(sum(q.qd6) AS BIGINT) AS adc6
+         |  FROM cprobed p
+         |  JOIN cassigned a ON a.cell_id = p.cell_id
+         |    AND a.vec_id <> p.vec_id
+         |  JOIN codes c ON c.vec_id = a.vec_id
+         |  JOIN qd q ON q.qid = p.vec_id AND q.s = c.s AND q.cid = c.cid
+         |  GROUP BY 1, 2),
+         |r AS (
+         |  SELECT query_id, neighbor_id, adc6, CAST(row_number() OVER (
+         |    PARTITION BY query_id ORDER BY adc6, neighbor_id)
+         |    AS BIGINT) AS rank
+         |  FROM pair)
+         |SELECT query_id, rank, neighbor_id, adc6 FROM r
+         |WHERE rank <= 5""".stripMargin,
 
     // PQ: the seed ranks are subspace-independent (the sampler hashes
     // only vec_id), so one global row_number serves all 8 codebooks

@@ -520,6 +520,70 @@ object Similarity {
         col("vid").as("neighbor_id"), col("adc6"))
   }
 
+  /** IVF-PQ: the FAISS-standard composition — a trained coarse
+    * quantizer routes each query to its `nProbe` nearest cells, and
+    * PQ asymmetric-distance scoring runs ONLY against the codes of
+    * vectors assigned to those cells. This bounds s6/s7's q×n ADC
+    * scan to q×(n·nProbe/nCells): with √n cells the per-query
+    * candidate set shrinks with corpus growth instead of tracking it.
+    * Codes are trained on raw vectors (classic IVF-PQ encodes
+    * residuals; raw-vector codes keep every stage oracle-checkable —
+    * the routing win is identical). Queries must be corpus members
+    * (the registered self-search shape: their probe ranking falls out
+    * of the same scored-cells frame as the assignment).
+    * Returns (query_id, rank, neighbor_id, adc6). */
+  def ivfPqTopK(emb: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, topK: Int, nCells: Int, ivfIters: Int,
+      nProbe: Int, m: Int, k: Int, dim: Int, pqIters: Int,
+      seed: Int): DataFrame = {
+    val cents = kmeansCentroids(emb, idCol, vecCol, nCells, ivfIters)
+    val cWith = cents.select(col("cell_id"), col("centroid").as("cv"))
+      .withColumn("cnrm", norm(col("cv")))
+    val e = emb.select(col(idCol).as("vid"), col(vecCol).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val wAssign = Window.partitionBy(col("vid"))
+      .orderBy(col("sim").desc, col("cell_id").asc)
+    val ranked = e.crossJoin(broadcast(cWith))
+      .withColumn("sim",
+        dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+      .withColumn("rk", row_number().over(wAssign))
+      .filter(col("rk") <= math.max(nProbe, 1))
+      .select(col("vid"), col("cell_id"), col("rk"))
+      .persistTracked() // assignment (rk=1) + probe list (rk<=nProbe)
+    val assigned = ranked.filter(col("rk") === 1)
+      .select(col("vid").as("nvid"), col("cell_id"))
+    val probedQ = ranked
+      .join(broadcast(queries.select(col(idCol).as("vid")).distinct()),
+        Seq("vid"))
+      .select(col("vid").as("qid"), col("cell_id"))
+    val cb = pqTrainCodebooks(emb, idCol, vecCol, m, k, dim, pqIters,
+      seed).persistTracked() // encode side + distance table
+    val codes = pqEncode(emb, cb, idCol, vecCol, m, dim)
+    val qsubs = pqSubs(queries, idCol, vecCol, m, dim)
+      .withColumnRenamed("vid", "qid").withColumnRenamed("sub", "qsub")
+    val dtable = qsubs.join(broadcast(cb), Seq("s"))
+      .withColumn("qd6", round(aggregate(
+        zip_with(col("qsub"), col("centroid"), (x, y) => (x - y) * (x - y)),
+        lit(0.0d), (acc, v) => acc + v) * 1e6).cast("long"))
+      .select(col("qid"), col("s"), col("cid"), col("qd6"))
+    // a neighbor has ONE cell and a query's probe cells are distinct,
+    // so each (query, neighbor) pair arises at most once
+    val cand = probedQ.join(assigned,
+        probedQ("cell_id") === assigned("cell_id") &&
+          col("qid") =!= col("nvid"))
+      .select(col("qid"), col("nvid"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("adc6").asc, col("nvid").asc)
+    cand.join(codes, cand("nvid") === codes("vid"))
+      .join(broadcast(dtable), Seq("qid", "s", "cid"))
+      .groupBy(col("qid"), col("nvid"))
+      .agg(sum(col("qd6")).as("adc6"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("qid").as("query_id"), col("rank"),
+        col("nvid").as("neighbor_id"), col("adc6"))
+  }
+
   /** LSH-accelerated ANN top-k: candidates are corpus vectors sharing
     * the query's bucket (multi-probe: Hamming-1 neighbours of the bucket
     * included when `probeBits > 0`), ranked by exact cosine within the

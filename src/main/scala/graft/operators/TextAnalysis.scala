@@ -349,6 +349,75 @@ object TextAnalysis {
         round(col("s6") / (col("n_bigrams") * 1e6), 6).as("mean_logprob"))
   }
 
+  /** Multinomial Naive Bayes language classifier trained INSIDE the
+    * engine: word-count likelihoods with add-one smoothing on the
+    * train split, argmax posterior on the test split, confusion
+    * matrix out. All log-probabilities are quantized to MICRO-NAT
+    * integers at the vocabulary relation (the [[unigramLogProb]]
+    * parity trick), so per-document score sums are order-independent
+    * longs and the argmax is engine-exact. Unseen-in-class words
+    * contribute the class's smoothed default; that is folded in as
+    * score = prior6 + default6·|doc∩vocab| + Σ adj6(w,c), which needs
+    * only the PRESENT (word, class) rows — no dense vocab×class
+    * materialization. All model relations are vocabulary-sized and
+    * broadcast; the corpus is never shuffled by a token key. Two
+    * driver-side count actions (vocab size, train doc count) are
+    * index-build-time scalars, same as the ANN autoCells count.
+    * Returns (lang, pred, n) over the test split. */
+  def nbLangIdConfusion(docs: DataFrame, idCol: Column, textCol: Column,
+      labelCol: Column, testMod: Int = 5): DataFrame = {
+    val base = docs.select(idCol.as("doc_id"), labelCol.as("cls_true"),
+      tokens(textCol).as("toks"))
+    val train = base.filter(col("doc_id") % testMod =!= 0)
+    val test = base.filter(col("doc_id") % testMod === 0)
+      .persistTracked() // scored against every class + the t_doc count
+    val trainTok = train.select(col("cls_true").as("cls"),
+      explode(col("toks")).as("token"))
+    val wc = trainTok.groupBy(col("cls"), col("token"))
+      .agg(count(lit(1)).as("cwc"))
+      .persistTracked() // class totals + vocab + likelihood relation
+    val vocabSize = wc.select(col("token")).distinct().count()
+    val nDocs = train.count()
+    val cls = train.groupBy(col("cls_true").as("cls"))
+      .agg(count(lit(1)).as("nd"))
+      .join(wc.groupBy(col("cls")).agg(sum(col("cwc")).as("nc")), "cls")
+      .select(col("cls"),
+        round(log(col("nd").cast("double") / nDocs) * 1e6)
+          .cast("long").as("prior6"),
+        round(log(lit(1.0) / (col("nc") + vocabSize)) * 1e6)
+          .cast("long").as("default6"),
+        col("nc"))
+      .persistTracked() // likelihood build + per-doc scoring
+    val lw = wc.join(cls, "cls")
+      .select(col("cls"), col("token"),
+        (round(log((col("cwc") + 1).cast("double")
+            / (col("nc") + vocabSize)) * 1e6).cast("long")
+          - col("default6")).as("adj6"))
+    val testTok = test
+      .select(col("doc_id"), explode(col("toks")).as("token"))
+      .join(broadcast(wc.select(col("token")).distinct()), "token")
+      .persistTracked() // t_doc count + matched-adjustment sum
+    val tdoc = testTok.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("t_doc"))
+    val matched = testTok.join(broadcast(lw), "token")
+      .groupBy(col("doc_id"), col("cls"))
+      .agg(sum(col("adj6")).as("madj6"))
+    val scored = test.select(col("doc_id"), col("cls_true"))
+      .join(tdoc, Seq("doc_id"), "left_outer")
+      .na.fill(0, Seq("t_doc"))
+      .crossJoin(broadcast(
+        cls.select(col("cls"), col("prior6"), col("default6"))))
+      .join(matched, Seq("doc_id", "cls"), "left_outer")
+      .na.fill(0, Seq("madj6"))
+      .withColumn("score6",
+        col("prior6") + col("default6") * col("t_doc") + col("madj6"))
+    scored.groupBy(col("doc_id"), col("cls_true"))
+      .agg(min(struct((-col("score6")).as("ns"), col("cls"))).as("b"))
+      .select(col("cls_true").as("lang"), col("b.cls").as("pred"))
+      .groupBy(col("lang"), col("pred"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Exact-content fingerprint: md5 of whitespace-normalized lowercase
     * text (SURVEY §7 M7 "document fingerprinting"). */
   def contentFingerprint(text: Column): Column =

@@ -8,6 +8,35 @@ import graft.operators.{Metrics, TextAnalysis}
 class TextMetricsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("NB classifier separates disjoint vocabularies perfectly") {
+    // two languages with disjoint vocab; test docs (id%5=0) use only
+    // their language's words → the confusion matrix must be diagonal
+    val docs = Seq(
+      (1L, "aa", "alpha beta gamma alpha"),
+      (2L, "aa", "beta gamma delta beta"),
+      (3L, "bb", "uno dos tres uno"),
+      (4L, "bb", "dos tres cuatro dos"),
+      (5L, "aa", "alpha gamma beta"),   // test
+      (10L, "bb", "uno cuatro dos")     // test
+    ).toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.nbLangIdConfusion(docs, col("doc_id"),
+        col("text"), col("lang"), testMod = 5)
+      .as[(String, String, Long)].collect().toSet
+    assert(out == Set(("aa", "aa", 1L), ("bb", "bb", 1L)))
+    // a test doc with NO in-vocab tokens still classifies (priors
+    // only) — deterministically to the alphabetically-first class
+    // among the max-prior ties
+    val docs2 = docs.union(Seq((15L, "aa", "zzz qqq"))
+      .toDF("doc_id", "lang", "text"))
+    val out2 = TextAnalysis.nbLangIdConfusion(docs2, col("doc_id"),
+        col("text"), col("lang"), testMod = 5)
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(out2(("aa", "aa")) == 2L || // priors tie → 'aa' wins
+      (out2(("aa", "aa")) == 1L && out2.contains(("aa", "bb"))))
+    assert(out2.values.sum == 3L)
+  }
+
   test("tokens: lowercase, whitespace split, empties dropped") {
     val df = Seq("  The QUICK  fox ", "", "one").toDF("text")
     val out = df.select(TextAnalysis.tokens(col("text")).as("t"))
