@@ -757,6 +757,16 @@ object SparkEntry {
       Dedup.segmentDedup(Tables.documents(s, d), col("doc_id"),
         col("text"), 10)),
 
+    // centrality over the near-dup graph: integer-arithmetic PageRank,
+    // 3 unrolled rounds — cluster representatives by rank, not just
+    // min-id (d8's rule); same edge relation as d8
+    "d12_pagerank" -> ((s, d) =>
+      Dedup.pageRank(
+        Dedup.simhashPairs(
+          Dedup.simhash(Tables.documents(s, d), col("doc_id"),
+            col("text")), 3).select(col("doc_a"), col("doc_b")),
+        iters = 3)),
+
     // daily-ingest incremental near-dup: the batch (doc_id%10=7)
     // probes the stored corpus index and self-dedups within the batch
     "d11_incremental_neardup" -> ((s, d) => {
@@ -913,6 +923,32 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"),
           sum(col("doc_id")).as("id_sum"),
           sum(col("n_chars")).as("nchars_sum"),
+          sum(Tables.hashU32(col("text"), 7)).as("content_sum"))
+    }),
+
+    // WebDataset-style tar shards: each doc becomes <id>.txt + <id>
+    // .lang members in hand-rolled ustar framing; read back, samples
+    // reassembled by key, content-hashed per language — the
+    // multimodal-corpus interchange format next to TFRecord (k2)
+    "k7_tar_roundtrip" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), col("lang"))
+      val scratch = scratchDir("graft_tar", d)
+      graft.sources.TarShards.write(docs, "doc_id",
+        Seq("txt" -> "text", "lang" -> "lang"), scratch, "docs",
+        numShards = 5)
+      val back = graft.sources.TarShards.read(s, s"$scratch/docs_*.tar")
+        .withColumn("key",
+          substring_index(col("member"), ".", 1).cast("long"))
+        .withColumn("ext", substring_index(col("member"), ".", -1))
+        .withColumn("str", col("content").cast("string"))
+      back.groupBy(col("key"))
+        .agg(max(when(col("ext") === "txt", col("str"))).as("text"),
+          max(when(col("ext") === "lang", col("str"))).as("lang"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("key")).as("id_sum"),
+          sum(length(col("text"))).as("chars_sum"),
           sum(Tables.hashU32(col("text"), 7)).as("content_sum"))
     }),
 
@@ -2591,6 +2627,65 @@ object SparkEntry {
          | CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS csize
          |FROM comp""".stripMargin,
 
+    // d8's simhash-pair CTEs, then 3 unrolled integer PageRank rounds
+    "d12_pagerank" ->
+      s"""WITH t AS (SELECT doc_id, $DuckToks AS w FROM documents),
+         |tok AS (
+         |  SELECT DISTINCT doc_id, unnest(list_transform(
+         |    range(1, len(w) - 1),
+         |    i -> array_to_string(w[i:i+2], ' '))) AS tok
+         |  FROM t WHERE len(w) >= 3),
+         |h AS (SELECT doc_id, tok, ${duckU32("tok", 13)} AS hu FROM tok),
+         |bits AS (
+         |  SELECT doc_id, b,
+         |   sum((CAST(floor(hu / power(2, b)) AS BIGINT) % 2) * 2 - 1) AS s
+         |  FROM h CROSS JOIN (SELECT unnest(range(32)) AS b) bs
+         |  GROUP BY 1, 2),
+         |fp AS (
+         |  SELECT doc_id,
+         |   CAST(sum(CASE WHEN s > 0 THEN CAST(power(2, b) AS BIGINT)
+         |     ELSE 0 END) AS BIGINT) AS simhash
+         |  FROM bits GROUP BY 1),
+         |banded AS (
+         |  SELECT doc_id, simhash, band,
+         |   CAST(floor(simhash / power(2, band * 8)) AS BIGINT) % 256 AS bkey
+         |  FROM fp CROSS JOIN (SELECT unnest(range(4)) AS band) bands),
+         |prs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM prs
+         |  UNION SELECT doc_b, doc_a FROM prs),
+         |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+         |        FROM edges GROUP BY 1),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+         |p0 AS (
+         |  SELECT d.src AS v, CAST(round(1000000.0 / nn.n) AS BIGINT)
+         |    AS pr6, d.deg
+         |  FROM deg d CROSS JOIN nn),
+         |c1 AS (SELECT e.dst AS v, CAST(sum(p.pr6 // p.deg) AS BIGINT)
+         |       AS s6 FROM edges e JOIN p0 p ON p.v = e.src GROUP BY 1),
+         |p1 AS (
+         |  SELECT d.src AS v, CAST(round(150000.0 / nn.n) AS BIGINT)
+         |    + (85 * COALESCE(c.s6, 0)) // 100 AS pr6, d.deg
+         |  FROM deg d CROSS JOIN nn LEFT JOIN c1 c ON c.v = d.src),
+         |c2 AS (SELECT e.dst AS v, CAST(sum(p.pr6 // p.deg) AS BIGINT)
+         |       AS s6 FROM edges e JOIN p1 p ON p.v = e.src GROUP BY 1),
+         |p2 AS (
+         |  SELECT d.src AS v, CAST(round(150000.0 / nn.n) AS BIGINT)
+         |    + (85 * COALESCE(c.s6, 0)) // 100 AS pr6, d.deg
+         |  FROM deg d CROSS JOIN nn LEFT JOIN c2 c ON c.v = d.src),
+         |c3 AS (SELECT e.dst AS v, CAST(sum(p.pr6 // p.deg) AS BIGINT)
+         |       AS s6 FROM edges e JOIN p2 p ON p.v = e.src GROUP BY 1),
+         |p3 AS (
+         |  SELECT d.src AS v, CAST(round(150000.0 / nn.n) AS BIGINT)
+         |    + (85 * COALESCE(c.s6, 0)) // 100 AS pr6, d.deg
+         |  FROM deg d CROSS JOIN nn LEFT JOIN c3 c ON c.v = d.src)
+         |SELECT v AS doc_id, CAST(pr6 AS BIGINT) AS pr6, deg
+         |FROM p3""".stripMargin,
+
     "d9_segment_dedup" ->
       s"""WITH t AS (SELECT doc_id, $DuckToks AS w FROM documents),
          |b AS (
@@ -3112,6 +3207,13 @@ object SparkEntry {
       s"""SELECT lang, CAST(count(*) AS BIGINT) AS cnt,
          | CAST(sum(doc_id) AS BIGINT) AS id_sum,
          | CAST(sum(n_chars) AS BIGINT) AS nchars_sum,
+         | CAST(sum(${duckU32("text", 7)}) AS BIGINT) AS content_sum
+         |FROM documents GROUP BY 1""".stripMargin,
+
+    "k7_tar_roundtrip" ->
+      s"""SELECT lang, CAST(count(*) AS BIGINT) AS cnt,
+         | CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         | CAST(sum(length(text)) AS BIGINT) AS chars_sum,
          | CAST(sum(${duckU32("text", 7)}) AS BIGINT) AS content_sum
          |FROM documents GROUP BY 1""".stripMargin,
 

@@ -456,6 +456,53 @@ object Dedup {
     * survivor) and the cluster size. Returns
     * (doc_id, component, csize); docs not in any pair are untouched
     * upstream (they are their own survivors by definition). */
+  /** Fixed-iteration PageRank over the undirected near-dup graph —
+    * the centrality signal next to d8's components (a highly-ranked
+    * doc is the natural cluster representative; low-rank periphery
+    * nodes are weak near-dups). All arithmetic is INTEGER micro-unit:
+    * ranks live as longs, contributions are floor-divided by degree,
+    * and the damping multiply is (85·s)//100 — so every round is
+    * bit-identical under any partitioning and the whole unrolled
+    * computation is oracle-checkable (float PageRank never is: its
+    * per-vertex sums are accumulation-order-dependent). Fixed `iters`
+    * = no driver-side convergence probe; each round is one join on
+    * the symmetric edge relation (shuffle by src) + one groupBy dst —
+    * the exact shape GraphX's Pregel runs, minus the framework. Rank
+    * mass lost to integer floors is deterministic and identical in
+    * both engines. Returns (doc_id, pr6, deg). */
+  def pageRank(pairs: DataFrame, iters: Int = 3): DataFrame = {
+    val sym = pairs
+      .select(col("doc_a").cast("long").as("src"),
+        col("doc_b").cast("long").as("dst"))
+      .union(pairs.select(col("doc_b").cast("long").as("src"),
+        col("doc_a").cast("long").as("dst")))
+      .distinct()
+      .persistTracked() // joined against every round's ranks
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .persistTracked() // every round's rebuild + the vertex count
+    val n = deg.count()
+    if (n == 0) return sym.select(col("src").as("doc_id"),
+      lit(0L).as("pr6"), lit(0L).as("deg"))
+    val base6 = math.round(150000.0 / n) // (1-d)/N in micro-units
+    var pr = deg.select(col("src").as("v"),
+      lit(math.round(1000000.0 / n)).as("pr6"), col("deg"))
+    for (_ <- 0 until iters) {
+      val sums = sym.join(pr, sym("src") === pr("v"))
+        .select(col("dst"),
+          floor(col("pr6") / col("deg")).cast("long").as("c6"))
+        .groupBy(col("dst")).agg(sum(col("c6")).as("s6"))
+      pr = deg.select(col("src").as("v"), col("deg"))
+        .join(sums, col("v") === col("dst"), "left_outer")
+        .na.fill(0L, Seq("s6"))
+        .select(col("v"),
+          (lit(base6) + floor(col("s6") * 85 / 100).cast("long"))
+            .as("pr6"),
+          col("deg"))
+        .localCheckpoint(true) // materialize + truncate lineage
+    }
+    pr.select(col("v").as("doc_id"), col("pr6"), col("deg"))
+  }
+
   def dedupComponents(pairs: DataFrame): DataFrame = {
     val comp = connectedComponents(pairs)
     val sizes = comp.groupBy(col("comp")).agg(count(lit(1)).as("csize"))

@@ -291,6 +291,48 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("integer PageRank matches an in-memory reference; star centers rank highest") {
+    def refPageRank(edges: Seq[(Long, Long)], iters: Int)
+        : Map[Long, Long] = {
+      val sym = edges.flatMap(e => Seq(e, e.swap)).distinct
+      val deg = sym.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val n = deg.size
+      val base6 = math.round(150000.0 / n)
+      var pr = deg.map { case (v, _) =>
+        v -> math.round(1000000.0 / n) }
+      for (_ <- 0 until iters) {
+        val sums = sym.groupBy(_._2).map { case (dst, es) =>
+          dst -> es.map { case (src, _) => pr(src) / deg(src) }.sum
+        }
+        pr = deg.map { case (v, _) =>
+          v -> (base6 + 85 * sums.getOrElse(v, 0L) / 100) }
+      }
+      pr
+    }
+    // star: center must outrank the leaves
+    val star = Seq((1L, 10L), (1L, 11L), (1L, 12L), (1L, 13L))
+    val out = Dedup.pageRank(
+        star.toDF("doc_a", "doc_b"), iters = 3)
+      .select("doc_id", "pr6").as[(Long, Long)].collect().toMap
+    assert(out == refPageRank(star, 3))
+    assert(out(1L) > out(10L))
+    // random graphs, random iteration counts
+    val rnd = new scala.util.Random(4242)
+    for (_ <- 0 until 3) {
+      val nv = 2 + rnd.nextInt(20)
+      val edges = (0 until 2 * nv).map(_ =>
+        (rnd.nextInt(nv).toLong, rnd.nextInt(nv).toLong))
+        .filter(e => e._1 != e._2).distinct
+      if (edges.nonEmpty) {
+        val iters = 1 + rnd.nextInt(3)
+        val got = Dedup.pageRank(edges.toDF("doc_a", "doc_b"), iters)
+          .select("doc_id", "pr6").as[(Long, Long)].collect().toMap
+        assert(got == refPageRank(edges, iters),
+          s"mismatch on edges=$edges iters=$iters")
+      }
+    }
+  }
+
   test("internal persists are tracked and releasable by callers") {
     InternalCaches.releaseAll() // isolate from other suites
     val mh = Dedup.minhash(docs, col("doc_id"), col("text"), 8)

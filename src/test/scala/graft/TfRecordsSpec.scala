@@ -179,4 +179,35 @@ class TfRecordsSpec extends SparkSpec {
     assert(back.select("format").distinct().collect()
       .map(_.getString(0)).toSeq == Seq("png"))
   }
+
+  test("tar shards round-trip and are readable by system tar") {
+    import graft.sources.TarShards
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_tar_spec").toString
+    val docs = Seq(
+      (1L, "hello world", "en", Array[Byte](1, 2, 3)),
+      (2L, "héllo wörld ünïcode", "de", Array[Byte]()),
+      (3L, "", "fr", Array[Byte](-1, 0, 127))
+    ).toDF("doc_id", "text", "lang", "blob")
+    val manifest = TarShards.write(docs, "doc_id",
+      Seq("txt" -> "text", "lang" -> "lang", "bin" -> "blob"),
+      dir, "t", numShards = 1)
+    assert(manifest.map(_._2).sum == 3)
+    // our reader round-trips members, including empty + binary
+    val back = TarShards.read(spark, s"$dir/t_*.tar")
+      .as[(String, Array[Byte])].collect().toMap
+    assert(back.size == 9)
+    assert(new String(back("2.txt"), "UTF-8") == "héllo wörld ünïcode")
+    assert(back("3.txt").isEmpty)
+    assert(back("3.bin").toSeq == Seq[Byte](-1, 0, 127))
+    // interoperability: the shard is a standard ustar archive that
+    // system tar lists with exactly our member names
+    import scala.sys.process._
+    val shard = manifest.head._1.stripPrefix("file:")
+    val listed = Seq("tar", "-tf", shard).!!.split("\n").toSet
+    assert(listed == Set("1.txt", "1.lang", "1.bin",
+      "2.txt", "2.lang", "2.bin", "3.txt", "3.lang", "3.bin"))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
 }
