@@ -198,6 +198,46 @@ object Stress {
         .join(dupDrop, Seq("doc_id"), "left_anti")
         .groupBy(col("lang")).count().count()
     }
+    // —— round-4 additions ——
+    // SemDeDup: pairwise work confined to cells; autoCells (⌈√n⌉)
+    // keeps per-cell population ~√n, so total work grows ~n^1.5 —
+    // the curve to watch vs d6's n²
+    t("s8_semantic_dedup(auto)") {
+      Similarity.semanticDedup(emb, "vec_id", "embedding",
+        iters = 2, tau = 0.35).count()
+    }
+    // incremental ingest: the batch is the base copy, the corpus is
+    // everything else — existing-side work is index-shaped (bands),
+    // so the probe should track BATCH size, not corpus size
+    t("d11_incremental(auto)") {
+      Dedup.incrementalNearDup(
+        docs.filter(col("doc_id") >= 10000000L),
+        docs.filter(col("doc_id") < 10000000L),
+        col("doc_id"), col("text")).count()
+    }
+    t("t14_chunking") {
+      Curation.chunkDocuments(docs, col("doc_id"), col("text"),
+        chunkLen = 64, stride = 48).count()
+    }
+    t("t15_nb_classifier") {
+      TextAnalysis.nbLangIdConfusion(docs, col("doc_id"), col("text"),
+        col("lang")).count()
+    }
+    // IVF-PQ with fixed queries: candidates/query ≈ n·nProbe/nCells;
+    // with auto cells that is ~√n — sublinear per query where s6/s7
+    // are linear
+    t("s10_ivfpq") {
+      Similarity.ivfPqTopK(emb, pqQueries, "vec_id", "embedding",
+        topK = 5, nCells = Similarity.autoCells(emb.count()),
+        ivfIters = 2, nProbe = 2, m = 8, k = 8, dim = 64, pqIters = 2,
+        seed = 777).count()
+    }
+    t("d12_pagerank") {
+      Dedup.pageRank(
+        Dedup.simhashPairs(
+          Dedup.simhash(docs, col("doc_id"), col("text")), 3)
+          .select(col("doc_a"), col("doc_b")), iters = 3).count()
+    }
     spark.stop()
   }
 }
