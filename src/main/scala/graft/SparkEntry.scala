@@ -804,6 +804,26 @@ object SparkEntry {
       TextAnalysis.nbLangIdConfusion(Tables.documents(s, d),
         col("doc_id"), col("text"), col("lang"), testMod = 5)),
 
+    // capstone #2 — the RAG/pretrain CHUNK pipeline: overlapping
+    // chunking (t14) → chunk-level exact dedup by fingerprint (first
+    // occurrence by (doc_id, chunk_idx) wins — dedups boilerplate
+    // chunks ACROSS documents, the granularity document-level dedup
+    // can't see) → per-language corpus stats. The dedup window keys
+    // on the fingerprint: bounded groups, shuffle by fp only.
+    "p3_chunk_pipeline" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val chunks = Curation.chunkDocuments(docs, col("doc_id"),
+        col("text"), chunkLen = 64, stride = 48)
+      val w = Window.partitionBy(col("chunk_fp"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+      val kept = chunks.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+      kept.join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("n_tokens")).as("tokens_sum"))
+    }),
+
     // —— similarity search (north star M7b) ——
 
     "s1_cosine_topk" -> ((s, d) => {
@@ -1360,6 +1380,27 @@ object SparkEntry {
       EventStream.runOnce(deduped,
         s"stream_neardup_${System.nanoTime()}", outputMode = "append")
         .select("sig_key")
+    }),
+
+    // streaming CDC apply: foreachBatch reduces each micro-batch to
+    // per-key latest changes and merges them latest-wins into a
+    // parquet state table behind an atomic dir swap — the continuous
+    // upsert-into-a-table loop (Delta-MERGE shape, hand-rolled on any
+    // Hadoop FS). Order-independent + idempotent merge ⇒ the final
+    // table is per-user argmax over event time regardless of batching
+    "q65_stream_cdc_apply" -> ((s, d) => {
+      val scratch = scratchDir("q65cdc", d)
+      val stateDir = s"$scratch/state"
+      val src = EventStream.eventsFileStream(s, s"$d/events.parquet")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"),
+          unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+      EventStream.cdcApplyOnce(src, stateDir, "user_id", "ts_us",
+        "event_id")
+      s.read.parquet(stateDir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_users"),
+          round(sum(col("value")), 4).as("value_sum"))
     }),
 
     // runtime bloom-filter pushdown: the selective dim filter builds a
@@ -2014,6 +2055,17 @@ object SparkEntry {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority = '1-URGENT'
         |GROUP BY 1""".stripMargin,
+
+    // the applied state table must equal per-user latest by event time
+    "q65_stream_cdc_apply" ->
+      """WITH latest AS (
+        |  SELECT user_id, event_type, value, row_number() OVER (
+        |    PARTITION BY user_id
+        |    ORDER BY epoch_us(ts::TIMESTAMP) DESC, event_id DESC) AS rk
+        |  FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
+        | round(sum(value), 4) AS value_sum
+        |FROM latest WHERE rk = 1 GROUP BY 1""".stripMargin,
 
     "q62_column_profile" -> Seq("l_quantity", "l_extendedprice",
         "l_discount", "l_tax").map { c =>
@@ -2734,6 +2786,35 @@ object SparkEntry {
          | CAST(floor((start_off + n_toks - 1) / 128.0) AS BIGINT)
          |   AS last_seq
          |FROM o""".stripMargin,
+
+    // t14's chunk CTEs → first occurrence per fingerprint → lang stats
+    "p3_chunk_pipeline" ->
+      s"""WITH t AS (SELECT doc_id, $DuckToks AS w FROM documents),
+         |d AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n
+         |      FROM t WHERE len(w) > 0),
+         |c AS (
+         |  SELECT doc_id, w,
+         |   unnest(range(0, 1 + greatest(0, n - 64 + 47) // 48))
+         |     AS chunk_idx
+         |  FROM d),
+         |ch AS (
+         |  SELECT doc_id, chunk_idx,
+         |   w[chunk_idx * 48 + 1 : chunk_idx * 48 + 64] AS chunk
+         |  FROM c),
+         |fp AS (
+         |  SELECT doc_id, chunk_idx, CAST(len(chunk) AS BIGINT)
+         |     AS n_tokens,
+         |   md5(array_to_string(chunk, ' ')) AS chunk_fp
+         |  FROM ch),
+         |kept AS (
+         |  SELECT doc_id, n_tokens FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY chunk_fp
+         |      ORDER BY doc_id, chunk_idx) AS rk
+         |    FROM fp) WHERE rk = 1)
+         |SELECT dd.lang, CAST(count(*) AS BIGINT) AS n_chunks,
+         | CAST(sum(k.n_tokens) AS BIGINT) AS tokens_sum
+         |FROM kept k JOIN documents dd ON dd.doc_id = k.doc_id
+         |GROUP BY 1""".stripMargin,
 
     // chunk count via non-negative integer arithmetic (identical
     // truncation in both engines); slice clamps at the token-list end

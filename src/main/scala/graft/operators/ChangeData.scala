@@ -58,6 +58,21 @@ object ChangeData {
     * inserted, unmatched target rows carried. Both inputs must share
     * the target's schema. One full-outer join on the key; `src` labels
     * each output row updated/inserted/carried. */
+  /** Latest-wins upsert: per key, keep the row with the max
+    * (tsCol, tbCol) across target ∪ updates. Unlike [[mergeUpsert]]
+    * (updates authoritative), this is ORDER-INDEPENDENT: applying
+    * change batches in any grouping or arrival order converges to the
+    * same table, which is what lets a streaming foreachBatch apply
+    * loop be restart- and replay-safe without coordination. */
+  def mergeLatest(target: DataFrame, updates: DataFrame, keyCol: String,
+      tsCol: String, tbCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).desc, col(tbCol).desc)
+    target.unionByName(updates)
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1).drop("__rk")
+  }
+
   def mergeUpsert(target: DataFrame, updates: DataFrame,
       keyCol: String): DataFrame = {
     val cols = target.columns.filter(_ != keyCol)

@@ -229,4 +229,40 @@ object EventStream {
     }
     spark.table(queryName)
   }
+
+  /** The foreachBatch CDC apply loop: every micro-batch is reduced to
+    * per-key latest changes and merged latest-wins
+    * ([[graft.operators.ChangeData.mergeLatest]]) into a parquet state
+    * table, swapped in atomically (write to a temp dir, delete, rename
+    * — the hand-rolled form of the Delta foreachBatch-MERGE pattern,
+    * portable to any Hadoop FS). Because the merge is order-
+    * independent and idempotent, replayed or reordered batches
+    * converge to the same table — the property that makes the loop
+    * restart-safe without coordination. Runs the stream to completion
+    * (AvailableNow); read `stateDir` afterwards for the result. */
+  def cdcApplyOnce(src: DataFrame, stateDir: String, keyCol: String,
+      tsCol: String, tbCol: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val q = src.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val sess = batch.sparkSession
+        val changes = graft.operators.ChangeData.mergeLatest(
+          batch.limit(0), batch.toDF(), keyCol, tsCol, tbCol)
+        val fs = new Path(stateDir)
+          .getFileSystem(sess.sessionState.newHadoopConf())
+        val cur =
+          if (fs.exists(new Path(stateDir))) sess.read.parquet(stateDir)
+          else batch.limit(0).toDF()
+        val next = graft.operators.ChangeData.mergeLatest(
+          cur, changes, keyCol, tsCol, tbCol)
+        val tmp = new Path(stateDir + "__swap")
+        next.write.mode("overwrite").parquet(tmp.toString)
+        fs.delete(new Path(stateDir), true)
+        fs.rename(tmp, new Path(stateDir))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
 }

@@ -121,6 +121,44 @@ class EventsStreamingSpec extends SparkSpec {
     assert(keys.toSet == batchSigs)
   }
 
+  test("CDC apply loop converges across batches and is replay-idempotent") {
+    import java.nio.file.{Files, Paths}
+    val streamDir = Files.createTempDirectory("graft_cdc").toString
+    val stateDir = streamDir + "_state"
+    // 3 micro-batches with OUT-OF-ORDER event times across batches:
+    // user 1's newest value (ts 30) arrives in batch 0, older updates
+    // later — latest-wins must ignore arrival order entirely
+    val batches = Seq(
+      Seq((101L, 1L, "a", 1.0, 30L), (102L, 2L, "a", 2.0, 10L)),
+      Seq((103L, 1L, "b", 9.0, 20L), (104L, 3L, "b", 3.0, 10L)),
+      Seq((105L, 2L, "c", 7.0, 20L), (106L, 1L, "c", 8.0, 25L)))
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      val stage = Files.createTempDirectory(s"graft_cdc_stage$i").toString
+      rows.toDF("event_id", "user_id", "event_type", "value", "ts_us")
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, Paths.get(streamDir, s"b$i.parquet"))
+    }
+    def runApply(): Unit = EventStream.cdcApplyOnce(
+      EventStream.parquetFileStream(spark, streamDir),
+      stateDir, "user_id", "ts_us", "event_id")
+    runApply()
+    val state = spark.read.parquet(stateDir)
+      .select("user_id", "event_type", "value", "ts_us")
+      .as[(Long, String, Double, Long)].collect().toSet
+    // per-user argmax over (ts_us, event_id): 1→ts 30 "a", 2→ts 20
+    // "c", 3→ts 10 "b"
+    assert(state == Set((1L, "a", 1.0, 30L), (2L, "c", 7.0, 20L),
+      (3L, "b", 3.0, 10L)))
+    // replay the whole stream into the existing state: idempotent
+    runApply()
+    val replayed = spark.read.parquet(stateDir)
+      .select("user_id", "event_type", "value", "ts_us")
+      .as[(Long, String, Double, Long)].collect().toSet
+    assert(replayed == state)
+  }
+
   test("transformWithState stats survive a genuinely multi-batch source") {
     // three parquet files in one stream dir; maxFilesPerTrigger=1 makes
     // each its own micro-batch, so every user emits three cumulative
