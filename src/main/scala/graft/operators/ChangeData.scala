@@ -52,12 +52,6 @@ object ChangeData {
         col("valid_to_us").isNull.cast("long").as("is_current"))
   }
 
-  /** MERGE-style upsert: rows of `updates` replace same-key rows of
-    * `target` wholesale (update-row nulls win — MERGE replaces the row,
-    * it does not coalesce columns), unmatched update keys are
-    * inserted, unmatched target rows carried. Both inputs must share
-    * the target's schema. One full-outer join on the key; `src` labels
-    * each output row updated/inserted/carried. */
   /** Latest-wins upsert: per key, keep the row with the max
     * (tsCol, tbCol) across target ∪ updates. Unlike [[mergeUpsert]]
     * (updates authoritative), this is ORDER-INDEPENDENT: applying
@@ -73,6 +67,12 @@ object ChangeData {
       .filter(col("__rk") === 1).drop("__rk")
   }
 
+  /** MERGE-style upsert: rows of `updates` replace same-key rows of
+    * `target` wholesale (update-row nulls win — MERGE replaces the row,
+    * it does not coalesce columns), unmatched update keys are
+    * inserted, unmatched target rows carried. Both inputs must share
+    * the target's schema. One full-outer join on the key; `src` labels
+    * each output row updated/inserted/carried. */
   def mergeUpsert(target: DataFrame, updates: DataFrame,
       keyCol: String): DataFrame = {
     val cols = target.columns.filter(_ != keyCol)

@@ -15,27 +15,6 @@ import graft.InternalCaches.TrackedPersist
   */
 object Curation {
 
-  /** Concat-and-chunk sequence packing: documents are laid out
-    * back-to-back in a deterministic pseudo-shuffled order within each
-    * `group` (a source shard), then cut into `ctxLen`-token training
-    * sequences. Emits, per document, its token offset in the group's
-    * stream and the first/last sequence ids it lands in (GPT-style
-    * packing lets a document span a boundary).
-    *
-    * Scale shape — a distributed prefix sum, no global window:
-    *   1. each doc gets a salt bucket (md5-derived, `buckets`-way) and a
-    *      pseudo-shuffle order key; the running token total is a window
-    *      partitioned by (group, bucket) — `buckets`× parallelism per
-    *      group;
-    *   2. per-(group, bucket) totals (a tiny groupBy — groups×buckets
-    *      rows) get their exclusive prefix via a window over the ≤
-    *      `buckets` rows of each group — bounded input, safe;
-    *   3. broadcast-join the prefixes back: offset = bucket prefix +
-    *      local running total − own length.
-    * The layout order is (bucket, shuffle-key, id) — a seeded shuffle,
-    * which is what a real packer wants anyway (mix sources, avoid
-    * curriculum artifacts from ingest order).
-    */
   /** Overlapping token-window chunking (RAG indexing / long-doc
     * context prep): fixed `chunkLen`-token windows advancing by
     * `stride` tokens (stride < chunkLen ⇒ overlap); the final window
@@ -67,6 +46,27 @@ object Curation {
         md5(concat_ws(" ", col("chunk")).cast("binary")).as("chunk_fp"))
   }
 
+  /** Concat-and-chunk sequence packing: documents are laid out
+    * back-to-back in a deterministic pseudo-shuffled order within each
+    * `group` (a source shard), then cut into `ctxLen`-token training
+    * sequences. Emits, per document, its token offset in the group's
+    * stream and the first/last sequence ids it lands in (GPT-style
+    * packing lets a document span a boundary).
+    *
+    * Scale shape — a distributed prefix sum, no global window:
+    *   1. each doc gets a salt bucket (md5-derived, `buckets`-way) and a
+    *      pseudo-shuffle order key; the running token total is a window
+    *      partitioned by (group, bucket) — `buckets`× parallelism per
+    *      group;
+    *   2. per-(group, bucket) totals (a tiny groupBy — groups×buckets
+    *      rows) get their exclusive prefix via a window over the ≤
+    *      `buckets` rows of each group — bounded input, safe;
+    *   3. broadcast-join the prefixes back: offset = bucket prefix +
+    *      local running total − own length.
+    * The layout order is (bucket, shuffle-key, id) — a seeded shuffle,
+    * which is what a real packer wants anyway (mix sources, avoid
+    * curriculum artifacts from ingest order).
+    */
   def packSequences(df: DataFrame, idCol: Column, groupCol: Column,
       nToksCol: Column, ctxLen: Int, seed: Int,
       buckets: Int = 32): DataFrame = {

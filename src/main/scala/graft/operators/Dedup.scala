@@ -61,12 +61,6 @@ object Dedup {
         array((0 until numHashes).map(i => col(s"mh$i")): _*).as("sig"))
   }
 
-  /** LSH candidate pairs from wide signatures: split the signature into
-    * bands of `rowsPerBand`, bucket docs by the md5 of each band's
-    * sorted minima, and emit distinct (doc_a < doc_b) pairs sharing any
-    * bucket. The signature relation is persisted around the self-join —
-    * at 100 TB you materialize signatures once (they are tiny relative
-    * to the corpus) rather than recompute the corpus scan per side. */
   /** Per-row minhash signature key: the whole one-permutation
     * signature collapsed to one md5 hex string, computed with array
     * HOFs only — no explode, no groupBy — so it is legal on an
@@ -102,6 +96,12 @@ object Dedup {
       .agg(md5(concat_ws("|",
         array_sort(collect_list(col("mh")))).cast("binary")).as("bkey"))
 
+  /** LSH candidate pairs from wide signatures: split the signature into
+    * bands of `rowsPerBand`, bucket docs by the md5 of each band's
+    * sorted minima, and emit distinct (doc_a < doc_b) pairs sharing any
+    * bucket. The signature relation is persisted around the self-join —
+    * at 100 TB you materialize signatures once (they are tiny relative
+    * to the corpus) rather than recompute the corpus scan per side. */
   def lshCandidates(sig: DataFrame, rowsPerBand: Int): DataFrame = {
     val banded = bandKeys(sig, rowsPerBand)
       .persistTracked()
@@ -167,11 +167,16 @@ object Dedup {
     val cand = inB.join(refB, Seq("band", "bkey"))
       .filter(!col("ref_in") || col("ref_id") < col("doc_id"))
       .select(col("doc_id"), col("ref_id")).distinct()
+    // verification joins: the BATCH signature relation broadcasts
+    // (batch-sized by contract); the corpus side must NOT — candidates
+    // are batch-bounded, so the ref-signature lookup is a plain
+    // equi-join that shuffles only candidate-matched signature rows,
+    // keeping per-ingest cost tracking the batch, not the corpus
     val verified = cand
       .join(broadcast(inSig.select(col("doc_id"), col("sig").as("sig_d"))),
         Seq("doc_id"))
-      .join(broadcast(exSig.union(inSig)
-        .select(col("doc_id").as("ref_id"), col("sig").as("sig_r"))),
+      .join(exSig.union(inSig)
+        .select(col("doc_id").as("ref_id"), col("sig").as("sig_r")),
         Seq("ref_id"))
       .filter(aggregate(zip_with(col("sig_d"), col("sig_r"),
           (x, y) => when(x === y, 1L).otherwise(0L)),
@@ -353,10 +358,12 @@ object Dedup {
         col("doc_b").cast("long").as("dst"))
       .union(edges.select(col("doc_b").cast("long").as("src"),
         col("doc_a").cast("long").as("dst")))
-    val contracted = sym0.repartition(col("src")).as[(Long, Long)]
+    // localContract emits the contracted graph already symmetric (plus
+    // a self row per root) — a union-based second symmetrizing pass
+    // here would re-run the whole per-partition union-find on each
+    // branch of the union
+    val sym = sym0.repartition(col("src")).as[(Long, Long)]
       .mapPartitions(localContract).toDF("src", "dst")
-    val sym = contracted
-      .union(contracted.select(col("dst").as("src"), col("src").as("dst")))
       .persistTracked()
     // seed each vertex with min(self, direct neighbors) — the first
     // propagation round for free, as one groupBy on the edge relation
@@ -409,10 +416,13 @@ object Dedup {
   }
 
   /** Partition-local union-find over one partition's symmetric edges.
-    * Unions every edge, then emits the star edges (v, find(v)) for
-    * every non-root vertex seen in the partition — the contracted
-    * graph consumed by the distributed loop. Roots are component-local
-    * minima, so star edges always point downhill (find(v) < v). */
+    * Unions every edge, then emits the contracted graph ALREADY
+    * SYMMETRIC: (v, find(v)) AND (find(v), v) for every non-root
+    * vertex, and a (r, r) self row per root — so the caller consumes
+    * the output directly (no second symmetrizing pass re-running the
+    * contraction), and vertices whose only edges are self-loops still
+    * appear in the labeling instead of being silently dropped. Roots
+    * are component-local minima, so star edges point downhill. */
   private def localContract(it: Iterator[(Long, Long)])
       : Iterator[(Long, Long)] = {
     val parent = new java.util.HashMap[Long, Long]()
@@ -433,29 +443,20 @@ object Dedup {
     }
     val vs = parent.keySet().iterator()
     new Iterator[(Long, Long)] {
-      private var nextPair: (Long, Long) = null
-      private def advance(): Unit = {
-        nextPair = null
-        while (nextPair == null && vs.hasNext) {
+      private val buf = scala.collection.mutable.Queue.empty[(Long, Long)]
+      private def fill(): Unit = {
+        while (buf.isEmpty && vs.hasNext) {
           val v = vs.next()
           val r = findRoot(v)
-          if (r != v) nextPair = (v, r)
+          if (r == v) buf.enqueue((v, v))
+          else { buf.enqueue((v, r)); buf.enqueue((r, v)) }
         }
       }
-      advance()
-      def hasNext: Boolean = nextPair != null
-      def next(): (Long, Long) = {
-        val p = nextPair; advance(); p
-      }
+      def hasNext: Boolean = { fill(); buf.nonEmpty }
+      def next(): (Long, Long) = { fill(); buf.dequeue() }
     }
   }
 
-  /** Duplicate-cluster assignment for a candidate-pair relation:
-    * closes the pairs into components and annotates each member with
-    * its cluster id (= min doc id in the cluster — the canonical
-    * survivor) and the cluster size. Returns
-    * (doc_id, component, csize); docs not in any pair are untouched
-    * upstream (they are their own survivors by definition). */
   /** Fixed-iteration PageRank over the undirected near-dup graph —
     * the centrality signal next to d8's components (a highly-ranked
     * doc is the natural cluster representative; low-rank periphery
@@ -503,6 +504,12 @@ object Dedup {
     pr.select(col("v").as("doc_id"), col("pr6"), col("deg"))
   }
 
+  /** Duplicate-cluster assignment for a candidate-pair relation:
+    * closes the pairs into components and annotates each member with
+    * its cluster id (= min doc id in the cluster — the canonical
+    * survivor) and the cluster size. Returns
+    * (doc_id, component, csize); docs not in any pair are untouched
+    * upstream (they are their own survivors by definition). */
   def dedupComponents(pairs: DataFrame): DataFrame = {
     val comp = connectedComponents(pairs)
     val sizes = comp.groupBy(col("comp")).agg(count(lit(1)).as("csize"))

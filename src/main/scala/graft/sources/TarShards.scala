@@ -55,7 +55,8 @@ object TarShards {
     val sum = h.map(_ & 0xff).sum.toLong
     val cs = java.lang.Long.toOctalString(sum)
     put(("0" * (6 - cs.length) + cs).getBytes("US-ASCII"), 148)
-    h(155) = ' '.toByte // cs field: 6 octal digits, NUL (pre-zeroed), space
+    h(154) = 0 // cs field terminator: 6 octal digits, NUL, space
+    h(155) = ' '.toByte
     h
   }
 
@@ -158,6 +159,12 @@ object TarShards {
               .takeWhile(c => c >= '0' && c <= '7')
             val size = java.lang.Long.parseLong(
               if (sizeStr.isEmpty) "0" else sizeStr, 8)
+            // the 12-digit octal field can encode up to 8 GB; a JVM
+            // byte array cannot hold it — fail loudly instead of
+            // wrapping negative and desynchronizing the block framing
+            require(size <= Int.MaxValue - 16,
+              s"tar member '$name' is $size bytes — exceeds the " +
+                "2 GB JVM array limit; split the member at write time")
             val data = new Array[Byte](size.toInt)
             in.readFully(data)
             val rem = (size % BlockSize).toInt

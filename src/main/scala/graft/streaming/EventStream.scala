@@ -255,10 +255,20 @@ object EventStream {
           else batch.limit(0).toDF()
         val next = graft.operators.ChangeData.mergeLatest(
           cur, changes, keyCol, tsCol, tbCol)
+        // swap via rename-away + rename-in, with every rename CHECKED:
+        // Hadoop rename reports most failures by returning false, and
+        // delete-before-rename would lose the table if the rename then
+        // failed — this way the previous state survives at __old until
+        // the new table is in place
+        val state = new Path(stateDir)
         val tmp = new Path(stateDir + "__swap")
+        val old = new Path(stateDir + "__old")
         next.write.mode("overwrite").parquet(tmp.toString)
-        fs.delete(new Path(stateDir), true)
-        fs.rename(tmp, new Path(stateDir))
+        fs.delete(old, true)
+        if (fs.exists(state))
+          require(fs.rename(state, old), s"cannot move aside $state")
+        require(fs.rename(tmp, state), s"cannot install $tmp as $state")
+        fs.delete(old, true)
         ()
       }
       .trigger(Trigger.AvailableNow())

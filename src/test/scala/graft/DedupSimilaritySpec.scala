@@ -264,9 +264,11 @@ class DedupSimilaritySpec extends SparkSpec {
       val nV = 2 + rnd.nextInt(40)
       val nE = 1 + rnd.nextInt(60)
       val ids = Array.fill(nV)(rnd.nextLong() % 1000000L)
+      // self-loops allowed: a vertex whose only edge is (v, v) must
+      // still appear in the labeling (as its own component)
       val edges = Seq.fill(nE) {
         (ids(rnd.nextInt(nV)), ids(rnd.nextInt(nV)))
-      }.filter { case (a, b) => a != b }
+      }
       if (edges.nonEmpty) {
         // reference: plain union-find over the same edges
         val parent = scala.collection.mutable.Map.empty[Long, Long]
@@ -289,6 +291,11 @@ class DedupSimilaritySpec extends SparkSpec {
         assert(got == wantMin, s"trial $trial: $edges")
       }
     }
+    // deterministic corner: a pure self-loop graph labels the vertex
+    val loop = Dedup.connectedComponents(
+        Seq((5L, 5L)).toDF("doc_a", "doc_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(loop == Map(5L -> 5L))
   }
 
   test("integer PageRank matches an in-memory reference; star centers rank highest") {
