@@ -1382,6 +1382,22 @@ object SparkEntry {
         .select("sig_key")
     }),
 
+    // snapshot diff: two crawl versions (overlapping key ranges, 1/3
+    // of shared docs edited) full-outer joined on fingerprints —
+    // added/deleted/changed/unchanged census
+    "q66_snapshot_diff" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val oldSnap = docs.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"), col("text"))
+      val newSnap = docs.filter(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 3 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+      ChangeData.snapshotDiff(oldSnap, newSnap, "doc_id", "text")
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))
+    }),
+
     // streaming CDC apply: foreachBatch reduces each micro-batch to
     // per-key latest changes and merges them latest-wins into a
     // parquet state table behind an atomic dir swap — the continuous
@@ -2055,6 +2071,25 @@ object SparkEntry {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority = '1-URGENT'
         |GROUP BY 1""".stripMargin,
+
+    "q66_snapshot_diff" ->
+      """WITH o AS (
+        |  SELECT doc_id, md5(text) AS fp FROM documents
+        |  WHERE doc_id % 7 <> 0),
+        |n AS (
+        |  SELECT doc_id, md5(CASE WHEN doc_id % 3 = 0
+        |    THEN text || ' v2' ELSE text END) AS fp
+        |  FROM documents WHERE doc_id % 5 <> 0),
+        |d AS (
+        |  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |   CASE WHEN o.fp IS NULL THEN 'added'
+        |        WHEN n.fp IS NULL THEN 'deleted'
+        |        WHEN o.fp = n.fp THEN 'unchanged'
+        |        ELSE 'changed' END AS status
+        |  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+        |SELECT status, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM d GROUP BY 1""".stripMargin,
 
     // the applied state table must equal per-user latest by event time
     "q65_stream_cdc_apply" ->

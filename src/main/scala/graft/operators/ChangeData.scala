@@ -52,6 +52,25 @@ object ChangeData {
         col("valid_to_us").isNull.cast("long").as("is_current"))
   }
 
+  /** Snapshot diff — the "what changed between two crawls" primitive:
+    * one full-outer join on the key comparing content FINGERPRINTS
+    * (never the contents: at 100 TB the md5s are computed map-side at
+    * each scan and only 16-byte digests cross the shuffle). Returns
+    * one row per key with status added/deleted/changed/unchanged. */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+      keyCol: String, contentCol: String): DataFrame = {
+    val o = oldSnap.select(col(keyCol),
+      md5(col(contentCol).cast("binary")).as("o_fp"))
+    val n = newSnap.select(col(keyCol),
+      md5(col(contentCol).cast("binary")).as("n_fp"))
+    o.join(n, Seq(keyCol), "full_outer")
+      .select(col(keyCol),
+        when(col("o_fp").isNull, "added")
+          .when(col("n_fp").isNull, "deleted")
+          .when(col("o_fp") === col("n_fp"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
   /** Latest-wins upsert: per key, keep the row with the max
     * (tsCol, tbCol) across target ∪ updates. Unlike [[mergeUpsert]]
     * (updates authoritative), this is ORDER-INDEPENDENT: applying

@@ -39,6 +39,28 @@ class ChangeDataSpec extends SparkSpec {
     assert(out == Set(("a", 0L), ("b", 1L)))
   }
 
+  test("snapshotDiff labels added/deleted/changed/unchanged per key") {
+    val oldSnap = Seq((1L, "a"), (2L, "b"), (3L, "c"))
+      .toDF("doc_id", "text")
+    val newSnap = Seq((2L, "b"), (3L, "X"), (4L, "d"))
+      .toDF("doc_id", "text")
+    val out = ChangeData.snapshotDiff(oldSnap, newSnap, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "deleted", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+  }
+
+  test("mergeLatest keeps the per-key max (ts, tiebreak) regardless of side") {
+    val target = Seq((1L, 10L, 100L, "old"), (2L, 20L, 100L, "keep"))
+      .toDF("k", "ts", "tb", "v")
+    val updates = Seq((1L, 15L, 100L, "new"), (2L, 20L, 99L, "lose"),
+      (3L, 5L, 100L, "ins")).toDF("k", "ts", "tb", "v")
+    val out = ChangeData.mergeLatest(target, updates, "k", "ts", "tb")
+      .select("k", "v").as[(Long, String)].collect().toMap
+    // key 2: equal ts → higher tiebreak wins (the TARGET row)
+    assert(out == Map(1L -> "new", 2L -> "keep", 3L -> "ins"))
+  }
+
   test("mergeUpsert replaces rows wholesale, inserts, carries") {
     val target = Seq((1L, "seg1", 10.0), (2L, "seg2", 20.0))
       .toDF("k", "seg", "bal")
