@@ -1382,6 +1382,32 @@ object SparkEntry {
         .select("sig_key")
     }),
 
+    // TPC-H Q5: the canonical 5-way star join — fact tables join by
+    // key (shuffle), dimension chain broadcasts (nation/region are
+    // KB-sized at any corpus scale; customer/supplier ride
+    // autoBroadcast/AQE). The join-order showcase: Catalyst pushes
+    // the region filter through the dim chain before any fact shuffle
+    "q67_tpch_q5" -> ((s, d) => {
+      val rev = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d),
+          col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+          && col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .join(Tables.lineitem(s, d),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.supplier(s, d),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)
+          .filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(rev), 2).as("revenue"))
+    }),
+
     // snapshot diff: two crawl versions (overlapping key ranges, 1/3
     // of shared docs edited) full-outer joined on fingerprints —
     // added/deleted/changed/unchanged census
@@ -2070,6 +2096,21 @@ object SparkEntry {
         | round(sum(l_extendedprice), 2) AS sum_price
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY 1""".stripMargin,
+
+    "q67_tpch_q5" ->
+      """SELECT n_name,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |  AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY 1""".stripMargin,
 
     "q66_snapshot_diff" ->
