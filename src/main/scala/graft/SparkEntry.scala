@@ -2115,17 +2115,17 @@ object SparkEntry {
 
     "q66_snapshot_diff" ->
       """WITH o AS (
-        |  SELECT doc_id, md5(text) AS fp FROM documents
-        |  WHERE doc_id % 7 <> 0),
+        |  SELECT doc_id, true AS o_present, md5(text) AS fp
+        |  FROM documents WHERE doc_id % 7 <> 0),
         |n AS (
-        |  SELECT doc_id, md5(CASE WHEN doc_id % 3 = 0
+        |  SELECT doc_id, true AS n_present, md5(CASE WHEN doc_id % 3 = 0
         |    THEN text || ' v2' ELSE text END) AS fp
         |  FROM documents WHERE doc_id % 5 <> 0),
         |d AS (
         |  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
-        |   CASE WHEN o.fp IS NULL THEN 'added'
-        |        WHEN n.fp IS NULL THEN 'deleted'
-        |        WHEN o.fp = n.fp THEN 'unchanged'
+        |   CASE WHEN o.o_present IS NULL THEN 'added'
+        |        WHEN n.n_present IS NULL THEN 'deleted'
+        |        WHEN o.fp IS NOT DISTINCT FROM n.fp THEN 'unchanged'
         |        ELSE 'changed' END AS status
         |  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
         |SELECT status, CAST(count(*) AS BIGINT) AS n,

@@ -59,15 +59,19 @@ object ChangeData {
     * one row per key with status added/deleted/changed/unchanged. */
   def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
       keyCol: String, contentCol: String): DataFrame = {
-    val o = oldSnap.select(col(keyCol),
+    // presence is carried as its own flag — md5(NULL) is NULL, so a
+    // null CONTENT must not read as an absent ROW (a key with null
+    // content in both snapshots is unchanged, and a value that
+    // becomes null is changed, not deleted)
+    val o = oldSnap.select(col(keyCol), lit(true).as("o_present"),
       md5(col(contentCol).cast("binary")).as("o_fp"))
-    val n = newSnap.select(col(keyCol),
+    val n = newSnap.select(col(keyCol), lit(true).as("n_present"),
       md5(col(contentCol).cast("binary")).as("n_fp"))
     o.join(n, Seq(keyCol), "full_outer")
       .select(col(keyCol),
-        when(col("o_fp").isNull, "added")
-          .when(col("n_fp").isNull, "deleted")
-          .when(col("o_fp") === col("n_fp"), "unchanged")
+        when(col("o_present").isNull, "added")
+          .when(col("n_present").isNull, "deleted")
+          .when(col("o_fp") <=> col("n_fp"), "unchanged")
           .otherwise("changed").as("status"))
   }
 

@@ -168,16 +168,20 @@ object Dedup {
       .filter(!col("ref_in") || col("ref_id") < col("doc_id"))
       .select(col("doc_id"), col("ref_id")).distinct()
     // verification joins: the BATCH signature relation broadcasts
-    // (batch-sized by contract); the corpus side must NOT — candidates
-    // are batch-bounded, so the ref-signature lookup is a plain
-    // equi-join that shuffles only candidate-matched signature rows,
-    // keeping per-ingest cost tracking the batch, not the corpus
+    // (batch-sized by contract); the corpus signature index must NOT —
+    // instead the batch-bounded candidate ID set broadcasts AGAINST
+    // the index, so the ref lookup is a broadcast-hash semi-probe:
+    // the index is scanned (the unavoidable floor without point
+    // lookups) but only candidate-matched signature rows survive the
+    // scan stage — nothing corpus-sized is ever broadcast or shuffled
+    val refSigs = exSig.union(inSig)
+      .select(col("doc_id").as("ref_id"), col("sig").as("sig_r"))
+      .join(broadcast(cand.select(col("ref_id")).distinct()),
+        Seq("ref_id"))
     val verified = cand
       .join(broadcast(inSig.select(col("doc_id"), col("sig").as("sig_d"))),
         Seq("doc_id"))
-      .join(exSig.union(inSig)
-        .select(col("doc_id").as("ref_id"), col("sig").as("sig_r")),
-        Seq("ref_id"))
+      .join(refSigs, Seq("ref_id"))
       .filter(aggregate(zip_with(col("sig_d"), col("sig_r"),
           (x, y) => when(x === y, 1L).otherwise(0L)),
           lit(0L), (acc, v) => acc + v)

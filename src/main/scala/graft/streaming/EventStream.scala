@@ -250,6 +250,15 @@ object EventStream {
           batch.limit(0), batch.toDF(), keyCol, tsCol, tbCol)
         val fs = new Path(stateDir)
           .getFileSystem(sess.sessionState.newHadoopConf())
+        // crash recovery FIRST: a previous run may have died between
+        // the two swap renames, leaving the only copy of the state at
+        // __old — restore it before reading (and before the stale-
+        // backup delete below, which would otherwise destroy it)
+        val statePre = new Path(stateDir)
+        val oldPre = new Path(stateDir + "__old")
+        if (!fs.exists(statePre) && fs.exists(oldPre))
+          require(fs.rename(oldPre, statePre),
+            s"cannot restore crashed state from $oldPre")
         val cur =
           if (fs.exists(new Path(stateDir))) sess.read.parquet(stateDir)
           else batch.limit(0).toDF()

@@ -50,6 +50,19 @@ class ChangeDataSpec extends SparkSpec {
       3L -> "changed", 4L -> "added"))
   }
 
+  test("snapshotDiff: null content is a value, not an absent row") {
+    val oldSnap = Seq((1L, Option.empty[String]), (2L, Some("x")),
+      (3L, Some("y"))).toDF("doc_id", "text")
+    val newSnap = Seq((1L, Option.empty[String]), (2L, Option.empty[String]),
+      (4L, Option.empty[String])).toDF("doc_id", "text")
+    val out = ChangeData.snapshotDiff(oldSnap, newSnap, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    // 1: null→null is unchanged; 2: value→null is CHANGED (the row
+    // still exists); 3: deleted; 4: added with null content
+    assert(out == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "deleted", 4L -> "added"))
+  }
+
   test("mergeLatest keeps the per-key max (ts, tiebreak) regardless of side") {
     val target = Seq((1L, 10L, 100L, "old"), (2L, 20L, 100L, "keep"))
       .toDF("k", "ts", "tb", "v")

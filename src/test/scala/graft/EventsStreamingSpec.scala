@@ -157,6 +157,18 @@ class EventsStreamingSpec extends SparkSpec {
       .select("user_id", "event_type", "value", "ts_us")
       .as[(Long, String, Double, Long)].collect().toSet
     assert(replayed == state)
+    // crash recovery: simulate dying between the two swap renames
+    // (state moved aside to __old, new table never installed) — the
+    // next run must restore __old before applying, not destroy it
+    val fs = new org.apache.hadoop.fs.Path(stateDir).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    assert(fs.rename(new org.apache.hadoop.fs.Path(stateDir),
+      new org.apache.hadoop.fs.Path(stateDir + "__old")))
+    runApply()
+    val recovered = spark.read.parquet(stateDir)
+      .select("user_id", "event_type", "value", "ts_us")
+      .as[(Long, String, Double, Long)].collect().toSet
+    assert(recovered == state)
   }
 
   test("transformWithState stats survive a genuinely multi-batch source") {
