@@ -1382,6 +1382,22 @@ object SparkEntry {
         .select("sig_key")
     }),
 
+    // small-files compaction: 64-way fragmented write → size-targeted
+    // rewrite (file count derived from measured bytes, not partition
+    // count) → content-identity check via the usual round-trip oracle
+    "q68_compaction" -> ((s, d) => {
+      val scratch = scratchDir("q68compact", d)
+      Tables.documents(s, d).repartition(64)
+        .write.mode("overwrite").parquet(s"$scratch/small")
+      val (inF, outF) = PipelineOps.compact(s, s"$scratch/small",
+        s"$scratch/compact", targetBytes = 256L << 10)
+      require(outF < inF, s"compaction did not shrink: $inF -> $outF")
+      s.read.parquet(s"$scratch/compact")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("cnt"), sum(col("doc_id")).as("id_sum"),
+          sum(Tables.hashU32(col("text"), 7)).as("content_sum"))
+    }),
+
     // TPC-H Q5: the canonical 5-way star join — fact tables join by
     // key (shuffle), dimension chain broadcasts (nation/region are
     // KB-sized at any corpus scale; customer/supplier ride
@@ -2097,6 +2113,12 @@ object SparkEntry {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority = '1-URGENT'
         |GROUP BY 1""".stripMargin,
+
+    "q68_compaction" ->
+      s"""SELECT lang, CAST(count(*) AS BIGINT) AS cnt,
+         | CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         | CAST(sum(${duckU32("text", 7)}) AS BIGINT) AS content_sum
+         |FROM documents GROUP BY 1""".stripMargin,
 
     "q67_tpch_q5" ->
       """SELECT n_name,

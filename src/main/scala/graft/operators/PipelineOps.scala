@@ -182,6 +182,30 @@ object PipelineOps {
     df.repartitionByRange(col(splitCol), col(shardCol))
       .write.mode("overwrite").partitionBy(splitCol).parquet(outDir)
 
+  /** Small-files compaction — the standing maintenance job of any
+    * 100 TB lake (streaming ingests and per-task writes strew tiny
+    * files; every later scan pays per-file open/footer cost). Sizes
+    * the output file count from the measured input bytes / the target
+    * file size (never from the partition count that caused the
+    * problem), round-robin repartitions to exactly that many writers,
+    * and rewrites. Content is untouched — callers verify via the same
+    * aggregate oracle as any round trip. Returns (inFiles, outFiles). */
+  def compact(spark: org.apache.spark.sql.SparkSession, inDir: String,
+      outDir: String, targetBytes: Long = 128L << 20): (Int, Int) = {
+    val fs = new org.apache.hadoop.fs.Path(inDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val parts = fs.listStatus(new org.apache.hadoop.fs.Path(inDir))
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    val nBytes = parts.map(_.getLen).sum
+    val nOut = math.max(1L,
+      (nBytes + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(inDir).repartition(nOut)
+      .write.mode("overwrite").parquet(outDir)
+    val outParts = fs.listStatus(new org.apache.hadoop.fs.Path(outDir))
+      .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    (parts.length, outParts)
+  }
+
   /** Bucketed write: hash-bucket a table by its join key so later
     * equi-joins between co-bucketed tables skip the shuffle entirely
     * (both sides arrive pre-partitioned; Spark plans SortMergeJoin with
