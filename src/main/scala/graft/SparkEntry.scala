@@ -238,14 +238,15 @@ object SparkEntry {
     dir.toString
   }
 
-  private def duckPqRound(i: Int, subLen: Int): String = {
+  private def duckPqRound(i: Int, subLen: Int,
+      subsName: String = "subs"): String = {
     val prev = if (i == 1) "cb" else s"cb${i - 1}"
     s"""psc$i AS (
        |  SELECT su.vec_id, su.s, su.sub, c.cid,
        |   list_reduce(list_transform(range(1, ${subLen + 1}),
        |     j -> (su.sub[j] - c.centroid[j]) * (su.sub[j] - c.centroid[j])),
        |     (a, b) -> a + b) AS dist
-       |  FROM subs su JOIN $prev c ON c.s = su.s),
+       |  FROM $subsName su JOIN $prev c ON c.s = su.s),
        |pas$i AS (
        |  SELECT s, cid, sub FROM (
        |    SELECT *, row_number() OVER (PARTITION BY vec_id, s
@@ -1256,6 +1257,17 @@ object SparkEntry {
       Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") % 25 === 0),
         "vec_id", "embedding", topK = 5, nCells = 8, ivfIters = 2,
         nProbe = 2, m = 8, k = 8, dim = 64, pqIters = 2, seed = 777)
+    }),
+
+    // residual IVF-PQ: codebooks trained on (vector − cell centroid)
+    // displacements — the FAISS-production composition; per-(query,
+    // probed-cell) residual LUTs, same oracle discipline end to end
+    "s11_ivfpq_residual" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfPqResidualTopK(emb,
+        emb.filter(col("vec_id") % 25 === 0), "vec_id", "embedding",
+        topK = 5, nCells = 8, ivfIters = 2, nProbe = 2, m = 8, k = 8,
+        dim = 64, pqIters = 2, seed = 777)
     }),
 
     // CUBE: all four grouping combinations + grouping_id, completing
@@ -2563,6 +2575,86 @@ object SparkEntry {
          |JOIN mh ma ON ma.doc_id = doc_a
          |JOIN mh mb ON mb.doc_id = doc_b AND mb.h = ma.h
          |GROUP BY 1, 2""".stripMargin,
+
+    // residual IVF-PQ: kmeans cells + assignment; PQ CTEs retargeted
+    // at the residual relation (rsubs); the query LUT is keyed
+    // (query, probed cell) because the residual differs per cell
+    "s11_ivfpq_residual" ->
+      s"""${duckKmeansCtes(8, 2)},
+         |cs AS (
+         |  SELECT en.vec_id, c.cell_id,
+         |   list_reduce(list_transform(range(1, len(en.v) + 1),
+         |     j -> en.v[j] * c.cv[j]), (a, b) -> a + b) / (en.nrm * c.cnrm)
+         |     AS sim
+         |  FROM en CROSS JOIN cn2 c),
+         |cranked AS (
+         |  SELECT vec_id, cell_id, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY sim DESC, cell_id) AS rk
+         |  FROM cs),
+         |cassigned AS (SELECT vec_id, cell_id FROM cranked WHERE rk = 1),
+         |cprobed AS (SELECT vec_id, cell_id FROM cranked
+         |            WHERE rk <= 2 AND vec_id % 25 = 0),
+         |rc AS (
+         |  SELECT a.vec_id, a.cell_id,
+         |   list_transform(range(1, len(en.v) + 1),
+         |     j -> en.v[j] - c.cv[j]) AS rv
+         |  FROM cassigned a
+         |  JOIN en ON en.vec_id = a.vec_id
+         |  JOIN cn2 c ON c.cell_id = a.cell_id),
+         |rsubs AS (
+         |  SELECT vec_id, s, rv[8*s+1 : 8*s+8] AS sub
+         |  FROM rc CROSS JOIN (SELECT unnest(range(8)) AS s) ss),
+         |sel AS (SELECT vec_id, row_number() OVER (
+         |  ORDER BY md5(vec_id::VARCHAR || '#777'), vec_id) AS rk
+         |  FROM rc),
+         |cb AS (
+         |  SELECT su.s, CAST(sel.rk AS BIGINT) AS cid, su.sub AS centroid
+         |  FROM rsubs su JOIN sel USING (vec_id) WHERE sel.rk <= 8),
+         |${duckPqRound(1, 8, "rsubs")},
+         |${duckPqRound(2, 8, "rsubs")},
+         |scored AS (
+         |  SELECT su.vec_id, su.s, c.cid,
+         |   list_reduce(list_transform(range(1, 9),
+         |     i -> (su.sub[i] - c.centroid[i]) * (su.sub[i] - c.centroid[i])),
+         |     (a, b) -> a + b) AS dist
+         |  FROM rsubs su JOIN cb2 c ON c.s = su.s),
+         |codes AS (
+         |  SELECT vec_id, s, cid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id, s
+         |      ORDER BY dist, cid) AS rk FROM scored) WHERE rk = 1),
+         |qres AS (
+         |  SELECT p.vec_id AS qid, p.cell_id,
+         |   list_transform(range(1, len(en.v) + 1),
+         |     j -> en.v[j] - c.cv[j]) AS rqv
+         |  FROM cprobed p
+         |  JOIN en ON en.vec_id = p.vec_id
+         |  JOIN cn2 c ON c.cell_id = p.cell_id),
+         |qsubs AS (
+         |  SELECT qid, cell_id, s, rqv[8*s+1 : 8*s+8] AS qsub
+         |  FROM qres CROSS JOIN (SELECT unnest(range(8)) AS s) ss),
+         |qd AS (
+         |  SELECT q.qid, q.cell_id, q.s, c.cid,
+         |   CAST(round(list_reduce(list_transform(range(1, 9),
+         |     i -> (q.qsub[i] - c.centroid[i]) * (q.qsub[i] - c.centroid[i])),
+         |     (a, b) -> a + b) * 1000000) AS BIGINT) AS qd6
+         |  FROM qsubs q JOIN cb2 c ON c.s = q.s),
+         |pair AS (
+         |  SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+         |   CAST(sum(q.qd6) AS BIGINT) AS adc6
+         |  FROM cprobed p
+         |  JOIN cassigned a ON a.cell_id = p.cell_id
+         |    AND a.vec_id <> p.vec_id
+         |  JOIN codes c2 ON c2.vec_id = a.vec_id
+         |  JOIN qd q ON q.qid = p.vec_id AND q.cell_id = p.cell_id
+         |    AND q.s = c2.s AND q.cid = c2.cid
+         |  GROUP BY 1, 2),
+         |r AS (
+         |  SELECT query_id, neighbor_id, adc6, CAST(row_number() OVER (
+         |    PARTITION BY query_id ORDER BY adc6, neighbor_id)
+         |    AS BIGINT) AS rank
+         |  FROM pair)
+         |SELECT query_id, rank, neighbor_id, adc6 FROM r
+         |WHERE rank <= 5""".stripMargin,
 
     // d2's shingle/minhash/band CTEs, probed asymmetrically: incoming
     // (doc_id%10=7) vs existing-or-lower-id-incoming, signature-verified

@@ -584,6 +584,87 @@ object Similarity {
         col("nvid").as("neighbor_id"), col("adc6"))
   }
 
+  /** Residual-encoded IVF-PQ — the production FAISS composition
+    * proper: PQ codebooks are trained on RESIDUALS (vector − its
+    * cell's centroid), which concentrates the quantizer's budget on
+    * the within-cell displacement instead of re-spending it on the
+    * coarse structure the cell id already encodes — better recall at
+    * identical code bytes. The cost vs [[ivfPqTopK]]: a query's
+    * residual differs PER PROBED CELL, so the distance table is keyed
+    * (query, cell, subspace, code) and candidates join through their
+    * cell — still broadcast-sized (q·nProbe·m·k quantized entries).
+    * All residual arithmetic is exact (subtraction, same fold order),
+    * so the whole train→encode→route→score loop stays
+    * oracle-checkable. Queries must be corpus members (the registered
+    * self-search shape). Returns (query_id, rank, neighbor_id, adc6). */
+  def ivfPqResidualTopK(emb: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, topK: Int, nCells: Int,
+      ivfIters: Int, nProbe: Int, m: Int, k: Int, dim: Int,
+      pqIters: Int, seed: Int): DataFrame = {
+    val cents = kmeansCentroids(emb, idCol, vecCol, nCells, ivfIters)
+    val cWith = cents.select(col("cell_id"), col("centroid").as("cv"))
+      .withColumn("cnrm", norm(col("cv")))
+      .persistTracked() // assignment scoring + both residual builds
+    val e = emb.select(col(idCol).as("vid"), col(vecCol).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val wAssign = Window.partitionBy(col("vid"))
+      .orderBy(col("sim").desc, col("cell_id").asc)
+    val ranked = e.crossJoin(broadcast(cWith))
+      .withColumn("sim",
+        dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+      .withColumn("rk", row_number().over(wAssign))
+      .filter(col("rk") <= math.max(nProbe, 1))
+      .select(col("vid"), col("v"), col("cell_id"), col("rk"))
+      .persistTracked() // assignment + probe list + residual sources
+    val resid = (v: Column, cv: Column) =>
+      zip_with(v, cv, (x, c) => x - c)
+    // corpus residuals in the ASSIGNED cell → PQ training + encoding
+    val rcorpus = ranked.filter(col("rk") === 1)
+      .join(broadcast(cWith.select(col("cell_id"), col("cv"))),
+        Seq("cell_id"))
+      .select(col("vid"), col("cell_id").as("cell"),
+        resid(col("v"), col("cv")).as("rv"))
+      .persistTracked() // PQ train (iters scans) + encode
+    val cb = pqTrainCodebooks(rcorpus, "vid", "rv", m, k, dim, pqIters,
+      seed).persistTracked() // encode side + distance table
+    val codes = pqEncode(rcorpus, cb, "vid", "rv", m, dim)
+    // query residual PER PROBED CELL → per-(query, cell) LUT
+    val qids = queries.select(col(idCol).as("vid")).distinct()
+    val qres = ranked.join(broadcast(qids), Seq("vid"))
+      .join(broadcast(cWith.select(col("cell_id"), col("cv"))),
+        Seq("cell_id"))
+      .select(col("vid").as("qid"), col("cell_id"),
+        resid(col("v"), col("cv")).as("rqv"))
+    val qsubs = qres.select(col("qid"), col("cell_id"),
+        explode(sequence(lit(0), lit(m - 1))).as("s"), col("rqv"))
+      .withColumn("qsub", slice(col("rqv"),
+        (col("s") * (dim / m) + 1).cast("int"), lit(dim / m)))
+      .select(col("qid"), col("cell_id"), col("s"), col("qsub"))
+    val dtable = qsubs.join(broadcast(cb), Seq("s"))
+      .withColumn("qd6", round(aggregate(
+        zip_with(col("qsub"), col("centroid"), (x, y) => (x - y) * (x - y)),
+        lit(0.0d), (acc, v) => acc + v) * 1e6).cast("long"))
+      .select(col("qid"), col("cell_id"), col("s"), col("cid"),
+        col("qd6"))
+    val assigned = ranked.filter(col("rk") === 1)
+      .select(col("vid").as("nvid"), col("cell_id"))
+    val probedQ = ranked.join(broadcast(qids), Seq("vid"))
+      .select(col("vid").as("qid"), col("cell_id"))
+    val cand = probedQ.join(assigned, Seq("cell_id"))
+      .filter(col("qid") =!= col("nvid"))
+      .select(col("qid"), col("cell_id"), col("nvid"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("adc6").asc, col("nvid").asc)
+    cand.join(codes, cand("nvid") === codes("vid"))
+      .join(broadcast(dtable), Seq("qid", "cell_id", "s", "cid"))
+      .groupBy(col("qid"), col("nvid"))
+      .agg(sum(col("qd6")).as("adc6"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("qid").as("query_id"), col("rank"),
+        col("nvid").as("neighbor_id"), col("adc6"))
+  }
+
   /** LSH-accelerated ANN top-k: candidates are corpus vectors sharing
     * the query's bucket (multi-probe: Hamming-1 neighbours of the bucket
     * included when `probeBits > 0`), ranked by exact cosine within the
