@@ -1394,6 +1394,13 @@ object SparkEntry {
         .select("sig_key")
     }),
 
+    // KMV/Theta-style sketch set ops: per-event-type k-minimum-value
+    // sketches of the user set, then union AND INTERSECTION estimates
+    // for every type pair — the set algebra HLL (q37/q46) cannot do
+    "q69_kmv_setops" -> ((s, d) =>
+      Sketches.kmvSetOps(Tables.events(s, d), col("event_type"),
+        col("user_id"), k = 64, seed = 97)),
+
     // small-files compaction: 64-way fragmented write → size-targeted
     // rewrite (file count derived from measured bytes, not partition
     // count) → content-identity check via the usual round-trip oracle
@@ -2125,6 +2132,56 @@ object SparkEntry {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority = '1-URGENT'
         |GROUP BY 1""".stripMargin,
+
+    "q69_kmv_setops" ->
+      s"""WITH du AS (
+         |  SELECT DISTINCT event_type AS t, user_id AS u FROM events),
+         |h AS (
+         |  SELECT DISTINCT t, ${duckU32("u::VARCHAR", 97)} AS hv
+         |  FROM du),
+         |mink AS (
+         |  SELECT t, hv FROM (
+         |    SELECT t, hv, row_number() OVER (PARTITION BY t
+         |      ORDER BY hv) AS rk FROM h)
+         |  WHERE rk <= 64),
+         |types AS (SELECT DISTINCT t FROM mink),
+         |pairs AS (
+         |  SELECT a.t AS ta, b.t AS tb
+         |  FROM types a CROSS JOIN types b WHERE a.t < b.t),
+         |unioned AS (
+         |  SELECT DISTINCT ta, tb, hv FROM (
+         |    SELECT p.ta, p.tb, m.hv FROM pairs p JOIN mink m
+         |      ON m.t = p.ta
+         |    UNION ALL
+         |    SELECT p.ta, p.tb, m.hv FROM pairs p JOIN mink m
+         |      ON m.t = p.tb)),
+         |stats AS (
+         |  SELECT ta, tb, CAST(max(hv) AS BIGINT) AS theta,
+         |   CAST(count(*) AS BIGINT) AS n_union_mink
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY ta, tb
+         |    ORDER BY hv) AS rk FROM unioned)
+         |  WHERE rk <= 64 GROUP BY 1, 2),
+         |est AS (
+         |  SELECT ta, tb, n_union_mink, theta,
+         |   CASE WHEN n_union_mink < 64 THEN n_union_mink
+         |        ELSE CAST(round(63.0 * 4294967296.0
+         |          / greatest(theta, 1)) AS BIGINT)
+         |   END AS union_est
+         |  FROM stats),
+         |inter AS (
+         |  SELECT a.t AS ta, b.t AS tb,
+         |   CAST(count(*) AS BIGINT) AS n_inter_mink
+         |  FROM mink a JOIN mink b ON a.hv = b.hv AND a.t < b.t
+         |  JOIN est e ON e.ta = a.t AND e.tb = b.t
+         |  WHERE a.hv <= e.theta
+         |  GROUP BY 1, 2)
+         |SELECT e.ta AS type_a, e.tb AS type_b, e.n_union_mink,
+         | e.union_est,
+         | CAST(COALESCE(i.n_inter_mink, 0) AS BIGINT) AS n_inter_mink,
+         | (COALESCE(i.n_inter_mink, 0) * e.union_est) // 64
+         |   AS inter_est
+         |FROM est e LEFT JOIN inter i
+         |  ON i.ta = e.ta AND i.tb = e.tb""".stripMargin,
 
     "q68_compaction" ->
       s"""SELECT lang, CAST(count(*) AS BIGINT) AS cnt,

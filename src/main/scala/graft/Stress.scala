@@ -238,6 +238,15 @@ object Stress {
           Dedup.simhash(docs, col("doc_id"), col("text")), 3)
           .select(col("doc_a"), col("doc_b")), iters = 3).count()
     }
+    // residual IVF-PQ: same routing curve as s10 plus the per-(query,
+    // cell) residual LUT — still broadcast-sized at any corpus scale
+    t("s11_ivfpq_residual") {
+      Similarity.ivfPqResidualTopK(emb, pqQueries, "vec_id",
+        "embedding", topK = 5,
+        nCells = Similarity.autoCells(emb.count()), ivfIters = 2,
+        nProbe = 2, m = 8, k = 8, dim = 64, pqIters = 2,
+        seed = 777).count()
+    }
     spark.stop()
   }
 }

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.InternalCaches.TrackedPersist
 
 /** Distributed sketches (SURVEY §7's "custom operator" slot c —
   * compose existing ops where semantics allow): a deterministic
@@ -221,6 +222,67 @@ object Sketches {
     * reaches q·n, reporting the bin's upper edge. Error is bounded by
     * the bin width; histograms from different partitions/days merge by
     * adding counts. Returns (q, bin, est_value) per quantile. */
+  /** KMV (k-minimum-values / Theta-style) sketch SET OPERATIONS —
+    * the capability HLL lacks: union AND intersection estimates for
+    * every pair of groups. Per group, keep the k smallest distinct
+    * md5-u32 hashes of the key (one window per group, k-bounded by
+    * WindowGroupLimit). For a pair: the union sketch is the k
+    * smallest of the merged hash sets; θ = its kth value; the
+    * intersection estimate counts shared hashes ≤ θ scaled by the
+    * union estimate — the standard KMV coincidence estimator.
+    * Estimator arithmetic is ONE double division + round (engine-
+    * identical), then integer math only, so every estimate is
+    * hash-checkable. At scale: sketches are k rows per group — the
+    * pair stage handles g²·k rows of longs, never the corpus.
+    * Returns (type_a, type_b, n_union_mink, union_est, n_inter_mink,
+    * inter_est). */
+  def kmvSetOps(df: DataFrame, groupCol: Column, keyCol: Column,
+      k: Int = 64, seed: Int = 97): DataFrame = {
+    val h = df.select(groupCol.as("t"), keyCol.as("u")).distinct()
+      .select(col("t"), Tables.hashU32(col("u"), seed).as("hv"))
+      .distinct() // u32 collisions within a group collapse (both engines)
+    val w = Window.partitionBy(col("t")).orderBy(col("hv"))
+    val mink = h.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k).select(col("t"), col("hv"))
+      .persistTracked() // both sides of the pair stage + intersection
+    val types = mink.select(col("t")).distinct()
+    val pairs = types.select(col("t").as("ta"))
+      .crossJoin(broadcast(types.select(col("t").as("tb"))))
+      .filter(col("ta") < col("tb"))
+    val unioned = pairs
+      .join(mink.select(col("t").as("ta"), col("hv")), Seq("ta"))
+      .select(col("ta"), col("tb"), col("hv"))
+      .union(pairs
+        .join(mink.select(col("t").as("tb"), col("hv")), Seq("tb"))
+        .select(col("ta"), col("tb"), col("hv")))
+      .distinct()
+    val wu = Window.partitionBy(col("ta"), col("tb"))
+      .orderBy(col("hv"))
+    val stats = unioned.withColumn("rk", row_number().over(wu))
+      .filter(col("rk") <= k)
+      .groupBy(col("ta"), col("tb"))
+      .agg(max(col("hv")).as("theta"),
+        count(lit(1)).as("n_union_mink"))
+      .withColumn("union_est",
+        when(col("n_union_mink") < k, col("n_union_mink"))
+          .otherwise(round(lit((k - 1).toDouble) * 4294967296.0
+            / greatest(col("theta"), lit(1L))).cast("long")))
+    val inter = mink.select(col("t").as("ta"), col("hv"))
+      .join(mink.select(col("t").as("tb"), col("hv")), Seq("hv"))
+      .filter(col("ta") < col("tb"))
+      .join(stats.select(col("ta"), col("tb"), col("theta")),
+        Seq("ta", "tb"))
+      .filter(col("hv") <= col("theta"))
+      .groupBy(col("ta"), col("tb"))
+      .agg(count(lit(1)).as("n_inter_mink"))
+    stats.join(inter, Seq("ta", "tb"), "left_outer")
+      .na.fill(0L, Seq("n_inter_mink"))
+      .select(col("ta").as("type_a"), col("tb").as("type_b"),
+        col("n_union_mink"), col("union_est"), col("n_inter_mink"),
+        floor(col("n_inter_mink") * col("union_est") / k).cast("long")
+          .as("inter_est"))
+  }
+
   def histogramQuantiles(df: DataFrame, valueCol: Column, nBins: Int,
       quantiles: Seq[Double]): DataFrame = {
     require(nBins > 0 && quantiles.nonEmpty, s"nBins=$nBins")

@@ -8,6 +8,27 @@ import graft.operators.{Dedup, Events, Similarity, Sketches, TextAnalysis}
   * interval (range) join, bigram LM scoring, triangle enumeration,
   * and Lloyd-trained PQ codebooks. */
 class SketchGraphSpec extends SparkSpec {
+
+  test("KMV set ops estimate union and intersection within sketch error") {
+    import spark.implicits._
+    import graft.operators.Sketches
+    // A = 1..1000, B = 500..1500 (|A∪B|=1500, |A∩B|=501), C disjoint
+    val rows = (1L to 1000L).map(("A", _)) ++
+      (500L to 1500L).map(("B", _)) ++
+      (2000L to 2500L).map(("C", _))
+    val out = Sketches.kmvSetOps(rows.toDF("t", "u"), col("t"),
+        col("u"), k = 64, seed = 97)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(3), r.getLong(5)))).toMap
+    val (abU, abI) = out(("A", "B"))
+    // KMV error ~ 1/sqrt(k) ≈ 12.5%; allow 3σ-ish
+    assert(math.abs(abU - 1500) < 1500 * 0.4, s"union est $abU")
+    assert(math.abs(abI - 501) < 501 * 0.5, s"inter est $abI")
+    // disjoint pair: the shared-hash count must be exactly zero
+    assert(out(("A", "C"))._2 == 0L)
+    assert(out(("B", "C"))._2 == 0L)
+  }
+
   import spark.implicits._
 
   test("hllDistinct: raw estimate within HLL error bounds, small range exact-ish") {
