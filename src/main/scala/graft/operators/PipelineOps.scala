@@ -194,16 +194,27 @@ object PipelineOps {
       outDir: String, targetBytes: Long = 128L << 20): (Int, Int) = {
     val fs = new org.apache.hadoop.fs.Path(inDir)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    val parts = fs.listStatus(new org.apache.hadoop.fs.Path(inDir))
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    // RECURSIVE listing: partitioned layouts keep files in nested
+    // dirs, and spark.read.parquet reads them recursively — a flat
+    // listStatus would measure 0 bytes and funnel everything into one
+    // file
+    def parquetFiles(dir: String): Seq[org.apache.hadoop.fs.FileStatus] = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(dir), true)
+      val buf = scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.hadoop.fs.FileStatus]
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.getPath.getName.endsWith(".parquet")) buf += st
+      }
+      buf.toSeq
+    }
+    val parts = parquetFiles(inDir)
     val nBytes = parts.map(_.getLen).sum
     val nOut = math.max(1L,
       (nBytes + targetBytes - 1) / targetBytes).toInt
     spark.read.parquet(inDir).repartition(nOut)
       .write.mode("overwrite").parquet(outDir)
-    val outParts = fs.listStatus(new org.apache.hadoop.fs.Path(outDir))
-      .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-    (parts.length, outParts)
+    (parts.length, parquetFiles(outDir).length)
   }
 
   /** Bucketed write: hash-bucket a table by its join key so later

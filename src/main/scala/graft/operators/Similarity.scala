@@ -609,17 +609,22 @@ object Similarity {
       .withColumn("nrm", norm(col("v")))
     val wAssign = Window.partitionBy(col("vid"))
       .orderBy(col("sim").desc, col("cell_id").asc)
+    // persist the SLIM routing relation only (vid, cell_id, rk): the
+    // raw-twin discipline — keeping v here would cache every vector
+    // nProbe times; the residual builds re-join v from the scan
     val ranked = e.crossJoin(broadcast(cWith))
       .withColumn("sim",
         dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
       .withColumn("rk", row_number().over(wAssign))
       .filter(col("rk") <= math.max(nProbe, 1))
-      .select(col("vid"), col("v"), col("cell_id"), col("rk"))
-      .persistTracked() // assignment + probe list + residual sources
+      .select(col("vid"), col("cell_id"), col("rk"))
+      .persistTracked() // assignment + probe list
+    val vOf = emb.select(col(idCol).as("vid"), col(vecCol).as("v"))
     val resid = (v: Column, cv: Column) =>
       zip_with(v, cv, (x, c) => x - c)
     // corpus residuals in the ASSIGNED cell → PQ training + encoding
     val rcorpus = ranked.filter(col("rk") === 1)
+      .join(vOf, Seq("vid"))
       .join(broadcast(cWith.select(col("cell_id"), col("cv"))),
         Seq("cell_id"))
       .select(col("vid"), col("cell_id").as("cell"),
@@ -631,6 +636,7 @@ object Similarity {
     // query residual PER PROBED CELL → per-(query, cell) LUT
     val qids = queries.select(col(idCol).as("vid")).distinct()
     val qres = ranked.join(broadcast(qids), Seq("vid"))
+      .join(vOf, Seq("vid"))
       .join(broadcast(cWith.select(col("cell_id"), col("cv"))),
         Seq("cell_id"))
       .select(col("vid").as("qid"), col("cell_id"),

@@ -238,7 +238,11 @@ object Sketches {
     * inter_est). */
   def kmvSetOps(df: DataFrame, groupCol: Column, keyCol: Column,
       k: Int = 64, seed: Int = 97): DataFrame = {
-    val h = df.select(groupCol.as("t"), keyCol.as("u")).distinct()
+    val h = df.select(groupCol.as("t"), keyCol.as("u"))
+      .filter(col("u").isNotNull) // a null key is not a set member —
+      // and its null hash would sort NULLS FIRST into rank 1 in Spark
+      // but NULLS LAST in DuckDB, silently corrupting every sketch
+      .distinct()
       .select(col("t"), Tables.hashU32(col("u"), seed).as("hv"))
       .distinct() // u32 collisions within a group collapse (both engines)
     val w = Window.partitionBy(col("t")).orderBy(col("hv"))
@@ -275,12 +279,15 @@ object Sketches {
       .filter(col("hv") <= col("theta"))
       .groupBy(col("ta"), col("tb"))
       .agg(count(lit(1)).as("n_inter_mink"))
+    // coincidence estimator divides by the union sketch's ACTUAL size
+    // min(k, |union|) — dividing by k would underestimate exactly in
+    // the unsaturated regime where the sketch should be exact
     stats.join(inter, Seq("ta", "tb"), "left_outer")
       .na.fill(0L, Seq("n_inter_mink"))
       .select(col("ta").as("type_a"), col("tb").as("type_b"),
         col("n_union_mink"), col("union_est"), col("n_inter_mink"),
-        floor(col("n_inter_mink") * col("union_est") / k).cast("long")
-          .as("inter_est"))
+        floor(col("n_inter_mink") * col("union_est")
+          / col("n_union_mink")).cast("long").as("inter_est"))
   }
 
   def histogramQuantiles(df: DataFrame, valueCol: Column, nBins: Int,

@@ -122,4 +122,30 @@ class PipelineOpsSpec extends SparkSpec {
     assert(back.filter(col("split") === "validation").count() == 20)
     assert(back.count() == 100)
   }
+
+  test("compact shrinks fragmented dirs, including partitioned layouts") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_compact").toString
+    val df = spark.range(20000)
+      .withColumn("part", (col("id") % 4).cast("string"))
+      .withColumn("pad", md5(col("id").cast("string")))
+    // flat fragmentation: 32 slivers → few size-targeted files
+    df.repartition(32).write.mode("overwrite").parquet(s"$base/flat")
+    val (inFlat, outFlat) = PipelineOps.compact(spark, s"$base/flat",
+      s"$base/flat_out", targetBytes = 1L << 20)
+    assert(inFlat == 32 && outFlat < inFlat,
+      s"flat: $inFlat -> $outFlat")
+    // partitioned layout: files live in nested part= dirs — the
+    // recursive listing must measure them (a flat listing sees 0
+    // bytes and would funnel everything into one file)
+    df.repartition(16).write.mode("overwrite").partitionBy("part")
+      .parquet(s"$base/nested")
+    val (inN, outN) = PipelineOps.compact(spark, s"$base/nested",
+      s"$base/nested_out", targetBytes = 1L << 20)
+    assert(inN >= 32 && outN < inN, s"nested: $inN -> $outN")
+    // content identity both ways
+    assert(spark.read.parquet(s"$base/flat_out").count() == 20000)
+    assert(spark.read.parquet(s"$base/nested_out").count() == 20000)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
 }

@@ -19,14 +19,34 @@ class SketchGraphSpec extends SparkSpec {
     val out = Sketches.kmvSetOps(rows.toDF("t", "u"), col("t"),
         col("u"), k = 64, seed = 97)
       .collect().map(r => (r.getString(0), r.getString(1)) ->
-        ((r.getLong(3), r.getLong(5)))).toMap
-    val (abU, abI) = out(("A", "B"))
+        ((r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val (abU, _, abI) = out(("A", "B"))
     // KMV error ~ 1/sqrt(k) ≈ 12.5%; allow 3σ-ish
     assert(math.abs(abU - 1500) < 1500 * 0.4, s"union est $abU")
     assert(math.abs(abI - 501) < 501 * 0.5, s"inter est $abI")
-    // disjoint pair: the shared-hash count must be exactly zero
-    assert(out(("A", "C"))._2 == 0L)
+    // disjoint pairs: the shared-hash COUNT itself must be zero (not
+    // just the derived estimate, which can round to zero on its own)
+    assert(out(("A", "C"))._2 == 0L && out(("A", "C"))._3 == 0L)
     assert(out(("B", "C"))._2 == 0L)
+    // unsaturated regime (|union| < k): the sketch holds every hash,
+    // so union AND intersection must be EXACT — this is the regime a
+    // divide-by-k estimator gets wrong
+    val small = ((1L to 10L).map(("X", _)) ++ (1L to 10L).map(("Y", _))
+      ++ (6L to 15L).map(("Z", _))).toDF("t", "u")
+    val so = Sketches.kmvSetOps(small, col("t"), col("u"), k = 64,
+        seed = 97)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(3), r.getLong(5)))).toMap
+    assert(so(("X", "Y")) == ((10L, 10L)))  // identical sets
+    assert(so(("X", "Z")) == ((15L, 5L)))   // half overlap
+    // null keys are not set members and never corrupt a sketch
+    val withNull = small.union(Seq(("X", Option.empty[Long]),
+      ("Z", Option.empty[Long])).toDF("t", "u"))
+    val sn = Sketches.kmvSetOps(withNull, col("t"), col("u"), k = 64,
+        seed = 97)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(3), r.getLong(5)))).toMap
+    assert(sn == so)
   }
 
   import spark.implicits._
