@@ -80,11 +80,22 @@ object ChangeData {
     * (updates authoritative), this is ORDER-INDEPENDENT: applying
     * change batches in any grouping or arrival order converges to the
     * same table, which is what lets a streaming foreachBatch apply
-    * loop be restart- and replay-safe without coordination. */
+    * loop be restart- and replay-safe without coordination.
+    *
+    * Version contract: (tsCol, tbCol) SHOULD be unique per key (q65
+    * satisfies it via event_id as the tiebreak column). When two
+    * DIFFERING rows fully tie on it anyway, a content tiebreaker —
+    * md5 over the remaining columns — picks the survivor, so the
+    * result is still a pure function of the row multiset rather than
+    * of how updates happened to be batched. */
   def mergeLatest(target: DataFrame, updates: DataFrame, keyCol: String,
       tsCol: String, tbCol: String): DataFrame = {
+    val rest = target.columns.toSeq
+      .filterNot(c => c == keyCol || c == tsCol || c == tbCol)
+    val tie =
+      if (rest.isEmpty) lit("") else md5(to_json(struct(rest.map(col): _*)))
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(tsCol).desc, col(tbCol).desc)
+      .orderBy(col(tsCol).desc, col(tbCol).desc, tie.desc)
     target.unionByName(updates)
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") === 1).drop("__rk")

@@ -182,6 +182,15 @@ object PipelineOps {
     df.repartitionByRange(col(splitCol), col(shardCol))
       .write.mode("overwrite").partitionBy(splitCol).parquet(outDir)
 
+  /** Compaction outcome: input fragment count, files actually
+    * written, and the size-derived count the rewrite aimed for.
+    * `targetFiles` may legitimately EXCEED `inFiles` once the inputs
+    * total more than inFiles × targetBytes — compaction then re-sizes
+    * rather than shrinks, so callers must assert
+    * `outFiles <= max(inFiles, targetFiles)`, not strict shrink. */
+  final case class CompactStats(inFiles: Int, outFiles: Int,
+      targetFiles: Int, inBytes: Long)
+
   /** Small-files compaction — the standing maintenance job of any
     * 100 TB lake (streaming ingests and per-task writes strew tiny
     * files; every later scan pays per-file open/footer cost). Sizes
@@ -189,32 +198,52 @@ object PipelineOps {
     * file size (never from the partition count that caused the
     * problem), round-robin repartitions to exactly that many writers,
     * and rewrites. Content is untouched — callers verify via the same
-    * aggregate oracle as any round trip. Returns (inFiles, outFiles). */
+    * aggregate oracle as any round trip. */
   def compact(spark: org.apache.spark.sql.SparkSession, inDir: String,
-      outDir: String, targetBytes: Long = 128L << 20): (Int, Int) = {
-    val fs = new org.apache.hadoop.fs.Path(inDir)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    // RECURSIVE listing: partitioned layouts keep files in nested
-    // dirs, and spark.read.parquet reads them recursively — a flat
-    // listStatus would measure 0 bytes and funnel everything into one
-    // file
-    def parquetFiles(dir: String): Seq[org.apache.hadoop.fs.FileStatus] = {
-      val it = fs.listFiles(new org.apache.hadoop.fs.Path(dir), true)
-      val buf = scala.collection.mutable.ArrayBuffer
-        .empty[org.apache.hadoop.fs.FileStatus]
-      while (it.hasNext) {
-        val st = it.next()
-        if (st.getPath.getName.endsWith(".parquet")) buf += st
-      }
-      buf.toSeq
-    }
-    val parts = parquetFiles(inDir)
-    val nBytes = parts.map(_.getLen).sum
+      outDir: String, targetBytes: Long = 128L << 20): CompactStats = {
+    val (nIn, nBytes) = countParquet(spark, inDir)
     val nOut = math.max(1L,
       (nBytes + targetBytes - 1) / targetBytes).toInt
     spark.read.parquet(inDir).repartition(nOut)
       .write.mode("overwrite").parquet(outDir)
-    (parts.length, parquetFiles(outDir).length)
+    val (written, _) = countParquet(spark, outDir)
+    CompactStats(nIn.toInt, written.toInt, nOut, nBytes)
+  }
+
+  /** Distributed recursive parquet census: (fileCount, totalBytes).
+    * The driver lists only the DIRECT children of `dir`; each
+    * subdirectory's recursive walk (the Hadoop paginated
+    * remote-iterator, never a bulk listStatus) runs as an executor
+    * task and returns just its (count, bytes) pair. At lake scale —
+    * millions of files under thousands of partition dirs — listing
+    * throughput scales with the cluster and nothing per-file ever
+    * reaches the driver. */
+  def countParquet(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (Long, Long) = {
+    val hconf = new org.apache.spark.SerializableWritable(
+      spark.sessionState.newHadoopConf())
+    def walk(p: org.apache.hadoop.fs.Path,
+        conf: org.apache.hadoop.conf.Configuration): (Long, Long) = {
+      val it = p.getFileSystem(conf).listFiles(p, true)
+      var n = 0L; var b = 0L
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.getPath.getName.endsWith(".parquet")) { n += 1; b += st.getLen }
+      }
+      (n, b)
+    }
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val top = root.getFileSystem(hconf.value).listStatus(root)
+    val (dirs, files) = top.partition(_.isDirectory)
+    val direct = files.filter(_.getPath.getName.endsWith(".parquet"))
+    val fromDirs: (Long, Long) =
+      if (dirs.isEmpty) (0L, 0L)
+      else spark.sparkContext
+        .parallelize(dirs.map(_.getPath.toString).toSeq,
+          math.min(dirs.length, 64))
+        .map(d => walk(new org.apache.hadoop.fs.Path(d), hconf.value))
+        .fold((0L, 0L)) { case ((n1, b1), (n2, b2)) => (n1 + n2, b1 + b2) }
+    (fromDirs._1 + direct.length, fromDirs._2 + direct.map(_.getLen).sum)
   }
 
   /** Bucketed write: hash-bucket a table by its join key so later

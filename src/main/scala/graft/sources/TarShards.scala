@@ -26,6 +26,12 @@ import org.apache.spark.sql.types._
 object TarShards {
   private val BlockSize = 512
 
+  /** Hard cap on one member's payload, enforced symmetrically: the
+    * ustar octal size field could legally encode up to 8 GB, but
+    * read() materializes each member into one JVM byte array, so the
+    * sink must never write what the source cannot read back. */
+  private val MaxMemberBytes: Long = Int.MaxValue.toLong - 16
+
   /** Fixed-width octal field: width-1 digits, NUL terminator. */
   private def octal(v: Long, width: Int): Array[Byte] = {
     val s = java.lang.Long.toOctalString(v)
@@ -37,6 +43,9 @@ object TarShards {
   private def header(name: String, size: Long): Array[Byte] = {
     val nameB = name.getBytes(UTF_8)
     require(nameB.length <= 100, s"tar member name too long: $name")
+    require(size <= MaxMemberBytes,
+      s"tar member '$name' is $size bytes — exceeds the read-side " +
+        "2 GB limit; split the member before writing")
     val h = new Array[Byte](BlockSize)
     def put(b: Array[Byte], off: Int): Unit =
       System.arraycopy(b, 0, h, off, b.length)
@@ -162,7 +171,7 @@ object TarShards {
             // the 12-digit octal field can encode up to 8 GB; a JVM
             // byte array cannot hold it — fail loudly instead of
             // wrapping negative and desynchronizing the block framing
-            require(size <= Int.MaxValue - 16,
+            require(size <= MaxMemberBytes,
               s"tar member '$name' is $size bytes — exceeds the " +
                 "2 GB JVM array limit; split the member at write time")
             val data = new Array[Byte](size.toInt)

@@ -376,18 +376,21 @@ object TfRecords {
     * broadcast configuration — works against any Hadoop-supported FS.
     * Returns (shardPath, recordCount) for audit. */
   def write(df: DataFrame, dir: String, baseName: String,
-      numShards: Int): Seq[(String, Long)] = {
+      numShards: Int, gzip: Boolean = false): Seq[(String, Long)] = {
     require(numShards > 0, s"numShards must be positive, got $numShards")
     val schema = df.schema
     val sc = df.sparkSession.sparkContext
     val confB = sc.broadcast(new SerializableHadoopConf(
       df.sparkSession.sessionState.newHadoopConf()))
     df.repartition(numShards).rdd.mapPartitionsWithIndex { (pid, rows) =>
-      val name = f"${baseName}_$pid%05d-of-$numShards%05d.tfrecord"
+      val ext = if (gzip) "tfrecord.gz" else "tfrecord"
+      val name = f"${baseName}_$pid%05d-of-$numShards%05d.$ext"
       val path = new Path(dir, name)
       val fs = path.getFileSystem(confB.value.value)
-      val out = new DataOutputStream(
-        new BufferedOutputStream(fs.create(path, true), 1 << 16))
+      val raw: java.io.OutputStream = fs.create(path, true)
+      val out = new DataOutputStream(new BufferedOutputStream(
+        if (gzip) new java.util.zip.GZIPOutputStream(raw) else raw,
+        1 << 16))
       var n = 0L
       try {
         rows.foreach { row =>
@@ -406,15 +409,23 @@ object TfRecords {
     * Parallelism = files, the format's natural split unit — framing has
     * no sync markers, so a shard cannot be split mid-file; produce
     * enough shards at write time instead (the reference's own answer,
-    * 5 shards/split). Streams each shard — never buffers a whole file. */
+    * 5 shards/split). Streams each shard — never buffers a whole file.
+    * Shards named `*.gz` are transparently gunzipped (foreign TF
+    * corpora commonly ship gzip-compressed shards; gzip has no sync
+    * markers either, so the shard stays the split unit). */
   def read(spark: SparkSession, pattern: String, schema: StructType,
       minPartitions: Int = 0): DataFrame = {
     val mp = if (minPartitions > 0) minPartitions
       else spark.sparkContext.defaultMinPartitions
     val rows = spark.sparkContext.binaryFiles(pattern, mp)
-      .flatMap { case (_, pds) =>
+      .flatMap { case (path, pds) =>
+        val raw: java.io.InputStream =
+          new BufferedInputStream(pds.open(), 1 << 16)
         val in = new DataInputStream(
-          new BufferedInputStream(pds.open(), 1 << 16))
+          if (path.endsWith(".gz"))
+            new BufferedInputStream(
+              new java.util.zip.GZIPInputStream(raw), 1 << 16)
+          else raw)
         // close unconditionally at task end: the clean-EOF close below
         // never fires for a partially consumed partition (limit/take,
         // downstream exception), which would leak the file handle

@@ -74,6 +74,19 @@ class ChangeDataSpec extends SparkSpec {
     assert(out == Map(1L -> "new", 2L -> "keep", 3L -> "ins"))
   }
 
+  test("mergeLatest full (ts, tb) tie resolves batching-independently") {
+    // two DIFFERING rows tie on the whole version key — the content
+    // tiebreaker must pick the same survivor however the rows are
+    // split across target/updates (ADVICE r4)
+    val a = Seq((1L, 10L, 100L, "alpha")).toDF("k", "ts", "tb", "v")
+    val b = Seq((1L, 10L, 100L, "beta")).toDF("k", "ts", "tb", "v")
+    val ab = ChangeData.mergeLatest(a, b, "k", "ts", "tb")
+      .select("v").as[String].collect().toSeq
+    val ba = ChangeData.mergeLatest(b, a, "k", "ts", "tb")
+      .select("v").as[String].collect().toSeq
+    assert(ab.length == 1 && ab == ba, s"$ab vs $ba")
+  }
+
   test("mergeUpsert replaces rows wholesale, inserts, carries") {
     val target = Seq((1L, "seg1", 10.0), (2L, "seg2", 20.0))
       .toDF("k", "seg", "bal")

@@ -131,18 +131,28 @@ class PipelineOpsSpec extends SparkSpec {
       .withColumn("pad", md5(col("id").cast("string")))
     // flat fragmentation: 32 slivers → few size-targeted files
     df.repartition(32).write.mode("overwrite").parquet(s"$base/flat")
-    val (inFlat, outFlat) = PipelineOps.compact(spark, s"$base/flat",
+    val flat = PipelineOps.compact(spark, s"$base/flat",
       s"$base/flat_out", targetBytes = 1L << 20)
-    assert(inFlat == 32 && outFlat < inFlat,
-      s"flat: $inFlat -> $outFlat")
+    assert(flat.inFiles == 32 && flat.outFiles < flat.inFiles,
+      s"flat: $flat")
     // partitioned layout: files live in nested part= dirs — the
     // recursive listing must measure them (a flat listing sees 0
     // bytes and would funnel everything into one file)
     df.repartition(16).write.mode("overwrite").partitionBy("part")
       .parquet(s"$base/nested")
-    val (inN, outN) = PipelineOps.compact(spark, s"$base/nested",
+    val nested = PipelineOps.compact(spark, s"$base/nested",
       s"$base/nested_out", targetBytes = 1L << 20)
-    assert(inN >= 32 && outN < inN, s"nested: $inN -> $outN")
+    assert(nested.inFiles >= 32 && nested.outFiles < nested.inFiles,
+      s"nested: $nested")
+    // upward re-size: a tiny target makes targetFiles exceed the
+    // input count — the invariant is outFiles <= max(in, target),
+    // never strict shrink (ADVICE r4: q68 at larger SFs)
+    val grown = PipelineOps.compact(spark, s"$base/flat_out",
+      s"$base/grow_out", targetBytes = 16L << 10)
+    assert(grown.targetFiles > grown.inFiles, s"grow setup: $grown")
+    assert(grown.outFiles <= math.max(grown.inFiles, grown.targetFiles),
+      s"grow: $grown")
+    assert(spark.read.parquet(s"$base/grow_out").count() == 20000)
     // content identity both ways
     assert(spark.read.parquet(s"$base/flat_out").count() == 20000)
     assert(spark.read.parquet(s"$base/nested_out").count() == 20000)

@@ -106,6 +106,28 @@ class TfRecordsSpec extends SparkSpec {
     }
   }
 
+  test("gzip shards round-trip and are readable by system gunzip") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("tfgz").toString
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType)))
+    val rows = (0 until 23).map(i => Row(i.toLong, s"doc-$i"))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    val shards = TfRecords.write(df, dir, "g", numShards = 2, gzip = true)
+    assert(shards.head._1.endsWith("g_00000-of-00002.tfrecord.gz"))
+    val back = TfRecords.read(spark, s"$dir/g_*.tfrecord.gz", schema)
+    assert(back.collect().map(_.getLong(0)).sorted.toSeq == (0L until 23L))
+    // interop: a foreign gunzip of our shard must yield plain framing
+    // that the non-gzip read path accepts
+    import scala.sys.process._
+    val rc = Process(Seq("sh", "-c",
+      s"cd $dir && for f in *.gz; do gunzip -k $$f; done")).!
+    assert(rc == 0, "system gunzip failed")
+    val plain = TfRecords.read(spark, s"$dir/g_*.tfrecord", schema)
+    assert(plain.count() == 23)
+  }
+
   test("null columns come back null; unmappable types are rejected") {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("tfrec").toString
