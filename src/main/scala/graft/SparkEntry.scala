@@ -55,6 +55,57 @@ object SparkEntry {
   private val DuckToks =
     "list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0)"
 
+  // BPE hyperparameters (t16/t17). BpeMerges must stay small enough
+  // that pairs never exhaust at the smallest SF — the oracle unrolls
+  // exactly this many rounds and an empty round would NULL the chain.
+  private val BpeMerges = 16
+  private val BpeTopV = 4096
+
+  /** Unrolled DuckDB twin of [[Bpe.train]]: w0 is the encoded top-V
+    * vocab; round r counts adjacent symbol pairs over w(r-1), picks
+    * the argmax pair with the (cnt DESC, a, b) tiebreak into b(r),
+    * and applies the merge as a boundary-safe replace into w(r).
+    * MATERIALIZED is load-bearing: each round is referenced twice and
+    * the chain would otherwise inline exponentially. chr(1)/chr(2)
+    * are Bpe.Sym/Bpe.End; chr(3) separates pattern from replacement
+    * in the t17 fold. */
+  private def duckBpeCtes(n: Int, topV: Int): String = {
+    val S = "chr(1)"; val E = "chr(2)"
+    val sb = new StringBuilder
+    sb.append(
+      s"""w0 AS MATERIALIZED (
+         |  SELECT list_aggregate(list_transform(str_split(word, ''),
+         |      c -> $S || c || $E), 'string_agg', '') AS w,
+         |    CAST(count(*) AS BIGINT) AS f
+         |  FROM (SELECT unnest(string_split_regex(lower(text),
+         |      '[^a-z]+')) AS word FROM documents)
+         |  WHERE word <> '' GROUP BY word
+         |  ORDER BY f DESC, word ASC LIMIT $topV)""".stripMargin)
+    for (r <- 1 to n) {
+      val p = r - 1
+      sb.append(
+        s""",
+           |b$r AS MATERIALIZED (
+           |  SELECT a, b FROM (
+           |    SELECT u.a AS a, u.b AS b, sum(f) AS cnt FROM (
+           |      SELECT f, unnest(list_transform(range(1, len(sy)),
+           |        i -> struct_pack(a := sy[i], b := sy[i+1]))) AS u
+           |      FROM (SELECT f, string_split(trim(w, $S || $E),
+           |        $E || $S) AS sy FROM w$p)
+           |      WHERE len(sy) > 1)
+           |    GROUP BY 1, 2)
+           |  ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+           |w$r AS MATERIALIZED (
+           |  SELECT replace(w,
+           |    $S || (SELECT a FROM b$r) || $E ||
+           |      $S || (SELECT b FROM b$r) || $E,
+           |    $S || (SELECT a FROM b$r) ||
+           |      (SELECT b FROM b$r) || $E) AS w, f
+           |  FROM w$p)""".stripMargin)
+    }
+    sb.toString
+  }
+
   /** DuckDB fragment: u32 hash of expr-with-seed (twin of Tables.hashU32). */
   private def duckU32(expr: String, seed: Int): String =
     s"(('0x' || substr(md5($expr || '#$seed'), 1, 8))::BIGINT)"
@@ -804,6 +855,42 @@ object SparkEntry {
     "t15_nb_langid" -> ((s, d) =>
       TextAnalysis.nbLangIdConfusion(Tables.documents(s, d),
         col("doc_id"), col("text"), col("lang"), testMod = 5)),
+
+    // BPE tokenizer TRAINING (Sennrich-style greedy merges): the
+    // corpus-scale word count is distributed (explode + hash agg with
+    // map-side combine); the greedy rounds run over the bounded top-V
+    // vocab sketch. Output: the learned merge table itself. Oracle:
+    // the same N rounds unrolled as materialized DuckDB CTEs — pair
+    // argmax tie-broken (cnt DESC, a, b), merges applied as the
+    // boundary-safe control-char replace (see operators/Bpe.scala).
+    "t16_bpe_train" -> ((s, d) => {
+      import s.implicits._
+      val merges = Bpe.train(
+        Bpe.vocab(Tables.documents(s, d), col("text"), BpeTopV),
+        BpeMerges)
+      merges.zipWithIndex.map { case (m, i) =>
+        ((i + 1).toLong, m.a, m.b, m.a + m.b)
+      }.toDF("merge_rank", "left_sym", "right_sym", "merged")
+    }),
+
+    // engine-side BPE APPLICATION: the trained merge table compiles
+    // into a static nested-replace expression tree over every word
+    // (whole-stage codegen, no UDF); per-doc token stats plus an
+    // md5 checksum of each post-merge word encoding prove the full
+    // subword segmentation, not just token counts
+    "t17_bpe_apply" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = Bpe.train(
+        Bpe.vocab(docs, col("text"), BpeTopV), BpeMerges)
+      docs.select(col("doc_id"),
+          explode(split(lower(col("text")), "[^a-z]+")).as("word"))
+        .filter(col("word") =!= "")
+        .withColumn("w2", Bpe.applyMerges(col("word"), merges))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(Bpe.tokenCount(col("w2")).cast("long")).as("n_tokens"),
+          sum(Tables.hashU32(col("w2"), 11)).as("tok_sum"))
+    }),
 
     // capstone #2 — the RAG/pretrain CHUNK pipeline: overlapping
     // chunking (t14) → chunk-level exact dedup by fingerprint (first
@@ -3161,6 +3248,52 @@ object SparkEntry {
          |  FROM scored)
          |SELECT lang, pred, CAST(count(*) AS BIGINT) AS n
          |FROM best WHERE rk = 1 GROUP BY 1, 2""".stripMargin,
+
+    // the merge table from the unrolled greedy rounds (duckBpeCtes)
+    "t16_bpe_train" -> {
+      val union = (1 to BpeMerges).map(r =>
+        s"SELECT CAST($r AS BIGINT) AS merge_rank, a AS left_sym, " +
+          s"b AS right_sym, a || b AS merged FROM b$r")
+        .mkString("\nUNION ALL\n")
+      s"WITH ${duckBpeCtes(BpeMerges, BpeTopV)}\n$union"
+    },
+
+    // apply = list_reduce string fold: merges are encoded as
+    // 'pattern<chr3>replacement' strings so the accumulator (the
+    // encoded word) and the list elements share one VARCHAR type —
+    // the shape DuckDB's element-typed fold can express
+    "t17_bpe_apply" -> {
+      val union = (1 to BpeMerges).map(r =>
+        s"SELECT $r AS merge_rank, a, b FROM b$r").mkString(" UNION ALL ")
+      s"""WITH ${duckBpeCtes(BpeMerges, BpeTopV)},
+         |merges AS MATERIALIZED (
+         |  SELECT merge_rank, chr(1) || a || chr(2) || chr(1) || b ||
+         |    chr(2) || chr(3) || chr(1) || a || b || chr(2) AS m
+         |  FROM ($union)),
+         |mlist AS MATERIALIZED (
+         |  SELECT list(m ORDER BY merge_rank) AS ms FROM merges),
+         |dw AS (
+         |  SELECT doc_id, word FROM (
+         |    SELECT doc_id, unnest(string_split_regex(lower(text),
+         |      '[^a-z]+')) AS word FROM documents)
+         |  WHERE word <> ''),
+         |applied AS (
+         |  SELECT doc_id,
+         |    list_reduce(
+         |      list_prepend(
+         |        list_aggregate(list_transform(str_split(word, ''),
+         |          c -> chr(1) || c || chr(2)), 'string_agg', ''),
+         |        (SELECT ms FROM mlist)),
+         |      (acc, m) -> replace(acc, split_part(m, chr(3), 1),
+         |        split_part(m, chr(3), 2))) AS w2
+         |  FROM dw)
+         |SELECT doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(length(w2) - length(replace(w2, chr(1), '')))
+         |    AS BIGINT) AS n_tokens,
+         |  CAST(sum(${duckU32("w2", 11)}) AS BIGINT) AS tok_sum
+         |FROM applied GROUP BY doc_id""".stripMargin
+    },
 
     // denominator = left fold over the class list sorted by class name
     // (same pinned order as the Spark side's array_sort + aggregate)

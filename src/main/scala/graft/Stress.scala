@@ -57,7 +57,12 @@ object Stress {
     println(s"docs=${docs.count()} embeddings=${emb.count()} " +
       s"events=${ev.count()} (x$mult)")
 
+    // SPARK_GRAFT_STRESS_ONLY=name1,name2 runs a subset (substring
+    // match) — local iteration aid, mirrors SPARK_GRAFT_BENCH_ONLY
+    val only = sys.env.get("SPARK_GRAFT_STRESS_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def t(name: String)(f: => Long): Unit = {
+      if (only.exists(names => !names.exists(name.contains))) return
       val t0 = System.nanoTime()
       val n = f
       println(f"$name%-26s ${(System.nanoTime() - t0) / 1e9}%8.2fs rows=$n")
@@ -222,6 +227,16 @@ object Stress {
     t("t15_nb_classifier") {
       TextAnalysis.nbLangIdConfusion(docs, col("doc_id"), col("text"),
         col("lang")).count()
+    }
+    // BPE: word-count+top-V is the corpus-scale part; training cost
+    // is bounded by the vocab cap, apply is a codegen'd replace
+    // chain — total should grow ~linearly with corpus size
+    t("t16_bpe_train+apply") {
+      val merges = Bpe.train(Bpe.vocab(docs, col("text"), 4096), 16)
+      Bpe.words(docs, col("text"))
+        .select(sum(Bpe.tokenCount(
+          Bpe.applyMerges(col("word"), merges))).cast("long"))
+        .count()
     }
     // IVF-PQ with fixed queries: candidates/query ≈ n·nProbe/nCells;
     // with auto cells that is ~√n — sublinear per query where s6/s7
