@@ -1501,6 +1501,46 @@ object SparkEntry {
         .select("sig_key")
     }),
 
+    // STREAMING semantic dedup: the s8 ε-ball rule on an ingest
+    // stream — codebook trained offline (same quantized Lloyd), each
+    // arriving vector routes to its nearest cell and survives iff no
+    // already-KEPT member reaches tau. Source is 3 staged shards with
+    // pinned mtimes (vec_id % 3 — genuinely out-of-id-order batches);
+    // decisions are final at arrival, so the greedy (batch, vec_id)
+    // order is deterministic and the oracle replays it with a
+    // recursive CTE over the same kmeans CTEs.
+    "q70_stream_semantic_dedup" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = Similarity.trainCentroids(emb, "vec_id", "embedding",
+          nCells = 8, iters = 2)
+        .orderBy(col("cell_id")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray,
+          r.getDouble(2)))
+      val scratch = scratchDir("q70sem", d)
+      val streamDir = new java.io.File(scratch, "in")
+      streamDir.mkdirs()
+      for (i <- 0 until 3) {
+        val tmp = s"$scratch/shard$i"
+        emb.filter(col("vec_id") % 3 === i).coalesce(1)
+          .write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(streamDir, f"batch$i%02d.parquet")
+        java.nio.file.Files.copy(part.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        // pinned, strictly increasing mtimes: the file source orders
+        // micro-batches by modification time
+        dst.setLastModified(1000000L * (i + 1))
+      }
+      val stream = EventStream.parquetFileStream(s,
+        streamDir.getAbsolutePath)
+      val res = Similarity.streamingSemanticDedup(stream, "vec_id",
+        "embedding", cents, tau = 0.35)
+      EventStream.runOnce(res, s"q70sem_${System.nanoTime()}",
+        outputMode = "append")
+        .select(col("vec_id"), col("cell"), col("keep"))
+    }),
+
     // KMV/Theta-style sketch set ops: per-event-type k-minimum-value
     // sketches of the user set, then union AND INTERSECTION estimates
     // for every type pair — the set algebra HLL (q37/q46) cannot do
@@ -3449,6 +3489,56 @@ object SparkEntry {
 
     "s8_semantic_dedup" ->
       duckSemanticDedup(nc = 8, iters = 2, tau = 0.35),
+
+    // the streaming greedy ε-ball replayed exactly: same kmeans CTEs
+    // and assignment, then a RECURSIVE CTE walks each cell in the
+    // stream's (batch = vec_id % 3, vec_id) processing order, carrying
+    // the kept ε-net as a list of (vector, norm) structs — a member
+    // is kept iff no already-kept member reaches tau (same left-fold
+    // dot as everywhere)
+    "q70_stream_semantic_dedup" -> {
+      val base = duckKmeansCtes(8, 2)
+        .replaceFirst("WITH ", "WITH RECURSIVE ")
+      val hit =
+        """len(list_filter(g.kept, k ->
+          |        list_reduce(list_transform(range(1, len(m.v) + 1),
+          |          j -> m.v[j] * (k.kv)[j]), (x, y) -> x + y)
+          |        / (m.nrm * k.knrm) >= 0.35)) > 0""".stripMargin
+      s"""$base,
+         |${duckAssignCte(3, "cn2")},
+         |mem AS (
+         |  SELECT a.vec_id, a.cell_id AS cell, a.v, en.nrm,
+         |    a.vec_id % 3 AS b
+         |  FROM a3 a JOIN en USING (vec_id)),
+         |ord AS (
+         |  SELECT vec_id, cell, v, nrm, row_number() OVER (
+         |    PARTITION BY cell ORDER BY b, vec_id) AS rk
+         |  FROM mem),
+         |greedy AS (
+         |  SELECT cell, rk, [vec_id] AS kept_ids,
+         |    [struct_pack(kv := v, knrm := nrm)] AS kept
+         |  FROM ord WHERE rk = 1
+         |  UNION ALL
+         |  SELECT m.cell, m.rk,
+         |    CASE WHEN $hit THEN g.kept_ids
+         |      ELSE list_append(g.kept_ids, m.vec_id) END,
+         |    CASE WHEN $hit THEN g.kept
+         |      ELSE list_append(g.kept,
+         |        struct_pack(kv := m.v, knrm := m.nrm)) END
+         |  FROM greedy g JOIN ord m ON m.cell = g.cell
+         |    AND m.rk = g.rk + 1),
+         |fin AS (
+         |  SELECT cell, kept_ids, row_number() OVER (
+         |    PARTITION BY cell ORDER BY rk DESC) AS lastr
+         |  FROM greedy),
+         |keptf AS (
+         |  SELECT cell, unnest(kept_ids) AS vec_id FROM fin
+         |  WHERE lastr = 1)
+         |SELECT o.vec_id, o.cell,
+         |  CAST(CASE WHEN k.vec_id IS NULL THEN 0 ELSE 1 END AS INT)
+         |    AS keep
+         |FROM ord o LEFT JOIN keptf k USING (cell, vec_id)""".stripMargin
+    },
 
     // the persisted index must search identically to the live plan
     "s9_ivf_index_persist" ->

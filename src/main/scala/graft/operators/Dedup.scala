@@ -25,6 +25,25 @@ import graft.InternalCaches.TrackedPersist
   */
 object Dedup {
 
+  /** Materialize a loop iterate and truncate its lineage. Default is
+    * `localCheckpoint` — executor-local block storage, fast, but lost
+    * with the executor, so an executor failure mid-loop kills the job.
+    * With `reliableDir` set, a RELIABLE `checkpoint` into that
+    * directory (HDFS/object store on a cluster) makes every iterate
+    * recoverable — the deployment setting for long closures over
+    * 100 TB-scale graphs. An already-configured SparkContext
+    * checkpoint dir wins over `reliableDir` (setCheckpointDir is
+    * process-global; first caller pins it). */
+  private def truncateLineage(df: DataFrame,
+      reliableDir: Option[String]): DataFrame =
+    reliableDir match {
+      case Some(dir) =>
+        val sc = df.sparkSession.sparkContext
+        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+        df.checkpoint(true)
+      case None => df.localCheckpoint(true)
+    }
+
   /** Exact dedup: keep the lowest id per normalized-content fingerprint.
     * Returns (fingerprint, keep_id, dup_count). */
   def exact(docs: DataFrame, idCol: Column, textCol: Column): DataFrame =
@@ -328,8 +347,10 @@ object Dedup {
     * times (neighbor, pointer, identity), so without lineage
     * truncation the logical plan triples per round and Catalyst
     * re-analysis goes exponential (measured: minutes on a 9-edge
-    * graph). On a real cluster swap localCheckpoint for a
-    * reliable-checkpoint dir — same shape, fault-tolerant.
+    * graph). `reliableDir` swaps the executor-local checkpoint for a
+    * RELIABLE one (HDFS/object-store): same shape, but an executor
+    * loss mid-closure recovers from storage instead of killing the
+    * job — the right setting for cluster deployments.
     *
     * A PARTITION-LOCAL UNION-FIND PRE-PASS runs before the distributed
     * loop: the symmetric edge list is hash-partitioned by src (so each
@@ -349,7 +370,8 @@ object Dedup {
     * bounded by the shuffle partition sizing like any hash join.
     *
     * Returns (v, comp). */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20,
+      reliableDir: Option[String] = None): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     // No distinct on either side of the contraction: union-find is
@@ -372,10 +394,10 @@ object Dedup {
     // seed each vertex with min(self, direct neighbors) — the first
     // propagation round for free, as one groupBy on the edge relation
     // (same shuffle the distinct-vertices init would have paid)
-    var labels = sym.groupBy(col("src")).agg(min(col("dst")).as("m"))
-      .select(col("src").as("v"),
-        least(col("m"), col("src")).as("comp"))
-      .localCheckpoint(true)
+    var labels = truncateLineage(
+      sym.groupBy(col("src")).agg(min(col("dst")).as("m"))
+        .select(col("src").as("v"),
+          least(col("m"), col("src")).as("comp")), reliableDir)
     // one job for both probes: (sum of labels, vertex count) — labels
     // are checkpointed, so this scans cached partitions, no shuffle
     def labelProbe(df: DataFrame): (Long, Long) = {
@@ -407,8 +429,7 @@ object Dedup {
       // ONE step per materialization: a double step would re-execute
       // the un-materialized inner step at each of the outer step's
       // three references — measured slower than the extra driver sync
-      val next = step(labels)
-        .localCheckpoint(true) // materialize + truncate lineage
+      val next = truncateLineage(step(labels), reliableDir)
       val s = labelProbe(next)._1
       labels = next
       done = s == prevSum
@@ -475,7 +496,8 @@ object Dedup {
     * the exact shape GraphX's Pregel runs, minus the framework. Rank
     * mass lost to integer floors is deterministic and identical in
     * both engines. Returns (doc_id, pr6, deg). */
-  def pageRank(pairs: DataFrame, iters: Int = 3): DataFrame = {
+  def pageRank(pairs: DataFrame, iters: Int = 3,
+      reliableDir: Option[String] = None): DataFrame = {
     val sym = pairs
       .select(col("doc_a").cast("long").as("src"),
         col("doc_b").cast("long").as("dst"))
@@ -496,14 +518,14 @@ object Dedup {
         .select(col("dst"),
           floor(col("pr6") / col("deg")).cast("long").as("c6"))
         .groupBy(col("dst")).agg(sum(col("c6")).as("s6"))
-      pr = deg.select(col("src").as("v"), col("deg"))
-        .join(sums, col("v") === col("dst"), "left_outer")
-        .na.fill(0L, Seq("s6"))
-        .select(col("v"),
-          (lit(base6) + floor(col("s6") * 85 / 100).cast("long"))
-            .as("pr6"),
-          col("deg"))
-        .localCheckpoint(true) // materialize + truncate lineage
+      pr = truncateLineage(
+        deg.select(col("src").as("v"), col("deg"))
+          .join(sums, col("v") === col("dst"), "left_outer")
+          .na.fill(0L, Seq("s6"))
+          .select(col("v"),
+            (lit(base6) + floor(col("s6") * 85 / 100).cast("long"))
+              .as("pr6"),
+            col("deg")), reliableDir)
     }
     pr.select(col("v").as("doc_id"), col("pr6"), col("deg"))
   }
@@ -514,8 +536,9 @@ object Dedup {
     * survivor) and the cluster size. Returns
     * (doc_id, component, csize); docs not in any pair are untouched
     * upstream (they are their own survivors by definition). */
-  def dedupComponents(pairs: DataFrame): DataFrame = {
-    val comp = connectedComponents(pairs)
+  def dedupComponents(pairs: DataFrame,
+      reliableDir: Option[String] = None): DataFrame = {
+    val comp = connectedComponents(pairs, reliableDir = reliableDir)
     val sizes = comp.groupBy(col("comp")).agg(count(lit(1)).as("csize"))
     comp.join(sizes, Seq("comp"))
       .select(col("v").as("doc_id"), col("comp").as("component"),

@@ -369,6 +369,104 @@ object Similarity {
         when(col("hi_id").isNull, 1).otherwise(0).cast("int").as("keep"))
   }
 
+  /** The trained codebook relation (cell_id, cv, cnrm) by itself —
+    * the offline half of [[streamingSemanticDedup]]: at production
+    * scale the codebook is trained once on the corpus snapshot and
+    * the dedup rule runs on the ingest stream against it. */
+  def trainCentroids(emb: DataFrame, idCol: String, vecCol: String,
+      nCells: Int = -1, iters: Int = 2): DataFrame =
+    kmeansTrain(emb, idCol, vecCol, nCells, iters)._2
+      .select(col("cell_id"), col("cv").cast("array<double>").as("cv"),
+        col("cnrm"))
+
+  /** One arriving vector (embedding already cast to doubles). */
+  final case class StreamVec(vec_id: Long, v: Array[Double])
+  /** A kept cell member carried in streaming state. */
+  final case class KeptVec(kv: Array[Double], knrm: Double)
+  /** Per-cell state: the kept (surviving) members so far. */
+  final case class CellKept(members: Seq[KeptVec])
+  /** One emitted decision. */
+  final case class DedupDecision(vec_id: Long, cell: Long, keep: Int)
+
+  /** Left-fold double dot — the Scala twin of [[dot]]: a strict
+    * left-to-right IEEE double accumulation, so results are
+    * bit-identical to both the codegen'd expression and the DuckDB
+    * `list_reduce` oracle fold. */
+  private def dotD(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** Nearest trained cell by cosine; ties to the lowest cell_id
+    * (`cents` must be sorted by cell_id — strict `>` keeps the first
+    * maximum, matching the oracle's ORDER BY sim DESC, cell_id). */
+  private def nearestCell(v: Array[Double], nrm: Double,
+      cents: Array[(Long, Array[Double], Double)]): Long = {
+    var best = -1L; var bestSim = Double.NegativeInfinity
+    var i = 0
+    while (i < cents.length) {
+      val (cid, cv, cnrm) = cents(i)
+      val sim = dotD(v, cv) / (nrm * cnrm)
+      if (sim > bestSim) { bestSim = sim; best = cid }
+      i += 1
+    }
+    best
+  }
+
+  /** STREAMING SemDeDup (the s8 rule on an ingest stream): each
+    * arriving vector routes to its nearest trained cell and is kept
+    * iff no ALREADY-KEPT member of that cell reaches cosine `tau` —
+    * the greedy ε-ball rule, whose decisions are final at arrival
+    * (late lower-id vectors never retract an emitted keep, so append
+    * mode is sound). Keyed state holds only the KEPT members per
+    * cell — the surviving ε-net, whose size is bounded by packing
+    * (≤ the number of tau-separated directions), not by the corpus.
+    *
+    * Determinism: micro-batch rows are processed per cell in vec_id
+    * order, so the full processing order is (batch, vec_id) — a pure
+    * function of how the source shards the data, which the DuckDB
+    * oracle replays with a recursive CTE. All math is the same
+    * left-fold double arithmetic as the batch operators.
+    *
+    * `cents` is the collected codebook — bounded by nCells (the
+    * broadcast-model pattern of the IVF family), sorted by cell_id. */
+  def streamingSemanticDedup(stream: DataFrame, idCol: String,
+      vecCol: String, cents: Array[(Long, Array[Double], Double)],
+      tau: Double): org.apache.spark.sql.Dataset[DedupDecision] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val spark = stream.sparkSession
+    import spark.implicits._
+    require(cents.sameElements(cents.sortBy(_._1)),
+      "cents must be sorted by cell_id for deterministic tie-breaks")
+    val centsB = spark.sparkContext.broadcast(cents)
+    stream
+      .select(col(idCol).cast("long").as("vec_id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .as[StreamVec]
+      .groupByKey { sv =>
+        nearestCell(sv.v, math.sqrt(dotD(sv.v, sv.v)), centsB.value)
+      }
+      .flatMapGroupsWithState[CellKept, DedupDecision](OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (cell: Long, it: Iterator[StreamVec],
+            state: org.apache.spark.sql.streaming.GroupState[CellKept]) =>
+          val rows = it.toArray.sortBy(_.vec_id)
+          var kept = state.getOption.map(_.members).getOrElse(Seq.empty)
+          val out = scala.collection.mutable
+            .ArrayBuffer.empty[DedupDecision]
+          rows.foreach { sv =>
+            val nrm = math.sqrt(dotD(sv.v, sv.v))
+            val hit = kept.exists(k =>
+              dotD(sv.v, k.kv) / (nrm * k.knrm) >= tau)
+            if (!hit) kept = kept :+ KeptVec(sv.v, nrm)
+            out += DedupDecision(sv.vec_id, cell, if (hit) 0 else 1)
+          }
+          state.update(CellKept(kept))
+          out.iterator
+      }
+  }
+
   private def kmeansTrain(emb: DataFrame, idCol: String, vecCol: String,
       nCells: Int, iters: Int): (DataFrame, DataFrame) = {
     val nc = if (nCells > 0) nCells else autoCells(emb.count())

