@@ -1858,7 +1858,9 @@ object SparkEntry {
           sum(Tables.hashU32(col("text"), 19)).as("content_sum"))
     }),
 
-    // no oracle: mapPartitions path, covered by ExtendedOpsSpec)
+    // no oracle: mapPartitions path, covered by ExtendedOpsSpec.
+    // Both lanes are REAL kernels now: PNG decode for images, the
+    // RIFF/WAVE PCM decode for audio (m4 is the hash-checked twin)
     "m2_multimodal_features" -> ((s, d) => {
       val media = Multimodal.toMediaFrame(
         Tables.documents(s, d).select(col("doc_id").as("media_id"),
@@ -1867,12 +1869,34 @@ object SparkEntry {
           when(col("doc_id") % 2 === 0,
             graft.functions.ImageKernels.synthPngUdf(col("doc_id"),
               lit(8), lit(8)))
-            .otherwise(col("text").cast("binary")).as("blob")))
+            .otherwise(Multimodal.synthWavUdf(col("doc_id"),
+              (lit(160) + (col("doc_id") % 80) * 2).cast("int")))
+            .as("blob")))
       Multimodal.batchFeatures(media, 64)
         .groupBy(col("modality"))
         .agg(count(lit(1)).as("n"),
           round(avg(element_at(col("feature"), 1)), 4).as("avg_feat0"),
           sum(col("n_bytes")).as("total_bytes"))
+    }),
+
+    // WAV round trip, ORACLE-CHECKED end to end: PCM synthesized from
+    // a pure-arithmetic formula → encoded into a real RIFF/WAVE
+    // container → chunk-walked and decoded back → exact-integer
+    // windowed energy/zero-crossings. DuckDB computes the same
+    // features straight from the formula, so any header, framing, or
+    // sample-decode bug shifts every energy and fails the hash.
+    "m4_wav_features" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id").as("media_id"),
+          (lit(160) + (col("doc_id") % 80) * 2).cast("int").as("ns"))
+        .withColumn("blob",
+          Multimodal.synthWavUdf(col("media_id"), col("ns")))
+        .withColumn("st", Multimodal.wavStatsUdf(col("blob"), lit(40)))
+        .select(col("media_id"), col("st.n_samples").as("n_samples"),
+          posexplode(col("st.wins")).as(Seq("win_idx", "w")))
+        .select(col("media_id"), col("n_samples"),
+          col("win_idx").cast("long").as("win_idx"),
+          col("w.energy").as("energy"), col("w.zcr").as("zcr"))
     })
   )
 
@@ -3821,6 +3845,30 @@ object SparkEntry {
         | CAST(octet_length(encode(fr)) AS BIGINT) AS frame_len,
         | md5(fr) AS frame_md5
         |FROM s""".stripMargin,
+
+    // the WAV features straight from the PCM formula — the Spark side
+    // must reproduce these THROUGH the RIFF container round trip
+    "m4_wav_features" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |   160 + (doc_id % 80) * 2 AS ns FROM documents),
+        |s AS (
+        |  SELECT media_id, ns, i,
+        |   ((media_id * 37 + i * 193) % 4096) - 2048 AS smp,
+        |   i // 40 AS win_idx
+        |  FROM (SELECT media_id, ns, unnest(range(0, ns)) AS i FROM m)
+        |  WHERE i < (ns // 40) * 40),
+        |z AS (
+        |  SELECT media_id, ns, win_idx, i, smp,
+        |   lag(smp) OVER (PARTITION BY media_id ORDER BY i) AS prev
+        |  FROM s)
+        |SELECT media_id, CAST(max(ns) AS BIGINT) AS n_samples,
+        | CAST(win_idx AS BIGINT) AS win_idx,
+        | CAST(sum(smp * smp) AS BIGINT) AS energy,
+        | CAST(sum(CASE WHEN i % 40 <> 0
+        |   AND (smp < 0) <> (prev < 0) THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS zcr
+        |FROM z GROUP BY media_id, win_idx""".stripMargin,
 
     // HLL registers: bucket = low 8 bits of md5-u32, ρ = trailing
     // zeros of the high bits + 1 (pure integer ops — no log2, whose

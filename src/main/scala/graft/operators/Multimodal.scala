@@ -17,11 +17,15 @@ import graft.functions.ImageKernels
   * Kernels:
   *  - images (PNG/JPEG): REAL — javax.imageio decode + ImageKernels
   *    resize (no external deps needed on the JVM).
-  *  - audio/video: the container ships no codec libraries, so decode is
-  *    STUBBED behind `fakeWaveformFeatures` — a clearly-marked
-  *    deterministic stand-in (byte-windowed energy) with the real
-  *    batch/shape/schema plumbing around it. Swap the stub for a codec
-  *    call and nothing else changes.
+  *  - audio (WAV/PCM): REAL — a hand-rolled RIFF/WAVE chunk walker +
+  *    16-bit PCM decode ([[wavDecode]], pure JVM) with exact-integer
+  *    windowed energy/zero-crossing features, oracle-checked
+  *    end-to-end (m4).
+  *  - video & compressed audio: the container ships no codec
+  *    libraries, so decode is STUBBED behind `fakeWaveformFeatures` —
+  *    a clearly-marked deterministic stand-in (byte-windowed energy)
+  *    with the real batch/shape/schema plumbing around it. Swap the
+  *    stub for a codec call and nothing else changes.
   */
 object Multimodal {
 
@@ -95,10 +99,136 @@ object Multimodal {
           .as("meta"))
   }
 
-  /** STUB (no codecs in this environment): deterministic pseudo-features
-    * for non-image media — mean absolute byte value per fixed-size
+  // ———— WAV/PCM codec — REAL, pure JVM (no codec libs needed) ————
+
+  /** Decoded WAV: sample rate, channel count, interleaved 16-bit
+    * samples. */
+  final case class Wav(sampleRate: Int, channels: Int,
+      samples: Array[Short])
+
+  /** Encode 16-bit little-endian mono PCM into the canonical 44-byte
+    * RIFF/WAVE container — the layout every audio tool accepts. */
+  def wavEncodePcm16(samples: Array[Short], sampleRate: Int)
+      : Array[Byte] = {
+    val dataLen = samples.length * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+    buf.put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1)                     // PCM
+      .putShort(1)                     // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2)          // byte rate
+      .putShort(2)                     // block align
+      .putShort(16)                    // bits per sample
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < samples.length) { buf.putShort(samples(i)); i += 1 }
+    buf.array()
+  }
+
+  /** True iff the blob starts with a RIFF/WAVE signature. */
+  def isWav(blob: Array[Byte]): Boolean =
+    blob != null && blob.length >= 12 &&
+      blob(0) == 'R' && blob(1) == 'I' && blob(2) == 'F' &&
+      blob(3) == 'F' && blob(8) == 'W' && blob(9) == 'A' &&
+      blob(10) == 'V' && blob(11) == 'E'
+
+  /** Parse a RIFF/WAVE container: proper chunk walk (foreign files
+    * carry LIST/fact/cue chunks between fmt and data — skipped by
+    * their declared size, word-aligned per the RIFF spec), PCM
+    * (format 1) at 16 bits only. */
+  def wavDecode(blob: Array[Byte]): Wav = {
+    require(isWav(blob), "not a RIFF/WAVE blob")
+    val buf = java.nio.ByteBuffer.wrap(blob)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.position(12)
+    var rate = -1; var channels = -1; var bits = -1
+    var samples: Array[Short] = null
+    while (buf.remaining() >= 8 && samples == null) {
+      val tag = new String(Array(buf.get(), buf.get(), buf.get(),
+        buf.get()).map(_.toChar))
+      val size = buf.getInt()
+      tag match {
+        case "fmt " =>
+          val fmt = buf.getShort()
+          require(fmt == 1, s"only PCM supported, got format $fmt")
+          channels = buf.getShort().toInt
+          rate = buf.getInt()
+          buf.getInt(); buf.getShort() // byte rate, block align
+          bits = buf.getShort().toInt
+          require(bits == 16, s"only 16-bit PCM supported, got $bits")
+          // skip any fmt extension bytes
+          buf.position(buf.position() + (size - 16 + (size & 1)))
+        case "data" =>
+          require(rate > 0, "data chunk before fmt chunk")
+          val n = size / 2
+          val out = new Array[Short](n)
+          var i = 0
+          while (i < n) { out(i) = buf.getShort(); i += 1 }
+          samples = out
+        case _ =>
+          buf.position(buf.position() + size + (size & 1)) // skip
+      }
+    }
+    require(samples != null, "no data chunk found")
+    Wav(rate, channels, samples)
+  }
+
+  /** Per-window exact-integer audio features over mono samples —
+    * energy (sum of squared samples) and zero-crossing count (strict
+    * sign-class changes between adjacent samples WITHIN the window).
+    * Integers, so bit-deterministic and oracle-expressible — the
+    * audio twin of the micro-unit discipline. Full windows only. */
+  final case class WinStat(energy: Long, zcr: Long)
+  def wavWindowStats(samples: Array[Short], win: Int): Seq[WinStat] = {
+    require(win > 0, s"window must be positive, got $win")
+    val nWin = samples.length / win
+    (0 until nWin).map { w =>
+      var e = 0L; var z = 0L
+      var i = w * win
+      val end = i + win
+      while (i < end) {
+        val s = samples(i).toLong
+        e += s * s
+        if (i > w * win && ((samples(i) < 0) != (samples(i - 1) < 0)))
+          z += 1
+        i += 1
+      }
+      WinStat(e, z)
+    }
+  }
+
+  /** Decoded header + windowed stats in one pass (one decode). */
+  final case class WavStats(n_samples: Long, sample_rate: Int,
+      wins: Seq[WinStat])
+
+  /** Synthesize a WAV blob from the pure-arithmetic PCM formula
+    * sample(i) = ((id·37 + i·193) mod 4096) − 2048 — integer math the
+    * DuckDB oracle reproduces exactly, which makes the FULL
+    * encode→decode→feature path hash-checkable (m4): a header or
+    * framing bug would shift every downstream energy. */
+  val synthWavUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((mediaId: Long, ns: Int) =>
+      wavEncodePcm16(Array.tabulate(ns)(i =>
+        (((mediaId * 37L + i.toLong * 193L) % 4096L) - 2048L).toShort),
+        16000))
+
+  /** Decode a WAV blob and window it — the audio feature kernel. */
+  val wavStatsUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((blob: Array[Byte], win: Int) => {
+      val w = wavDecode(blob)
+      WavStats(w.samples.length.toLong, w.sampleRate,
+        wavWindowStats(w.samples, win))
+    })
+
+  /** STUB (no codecs in this environment) for the remaining non-WAV
+    * modalities (video; compressed audio): deterministic
+    * pseudo-features — mean absolute byte value per fixed-size
     * window. Replace with a real decoder without touching the
-    * surrounding batch plumbing. */
+    * surrounding batch plumbing. WAV audio no longer routes here —
+    * [[wavDecode]] is the real path. */
   def fakeWaveformFeatures(blob: Array[Byte], nWindows: Int): Array[Float] = {
     val out = new Array[Float](nWindows)
     if (blob.isEmpty) return out
@@ -150,6 +280,14 @@ object Multimodal {
                     p += 1
                   }
                   lum
+                } catch { case _: Exception => null }
+              case "audio" if isWav(blob) =>
+                // REAL path: RIFF/WAVE decode, per-window RMS
+                try {
+                  val w = wavDecode(blob)
+                  val win = math.max(1, w.samples.length / 16)
+                  wavWindowStats(w.samples, win).map(s =>
+                    math.sqrt(s.energy.toDouble / win).toFloat).toArray
                 } catch { case _: Exception => null }
               case _ => fakeWaveformFeatures(blob, 16)
             }

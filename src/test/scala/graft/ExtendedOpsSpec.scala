@@ -174,6 +174,41 @@ class ExtendedOpsSpec extends SparkSpec {
     assert(again == byId)
   }
 
+  test("WAV codec round-trips PCM and tolerates foreign chunks") {
+    import graft.operators.Multimodal
+    val samples = Array.tabulate[Short](100)(i =>
+      ((i * 193 % 4096) - 2048).toShort)
+    val blob = Multimodal.wavEncodePcm16(samples, 16000)
+    assert(blob.length == 44 + 200)
+    assert(Multimodal.isWav(blob))
+    val wav = Multimodal.wavDecode(blob)
+    assert(wav.sampleRate == 16000 && wav.channels == 1)
+    assert(wav.samples.toSeq == samples.toSeq)
+    // foreign file: a LIST chunk (odd size → word-aligned skip)
+    // between fmt and data must be walked over, not tripped on
+    val extra = Array[Byte]('L', 'I', 'S', 'T', 5, 0, 0, 0,
+      'I', 'N', 'F', 'O', 'x', 0 /* pad */)
+    val withList = blob.slice(0, 36) ++ extra ++ blob.slice(36, blob.length)
+    // fix RIFF size field (+14)
+    val bb = java.nio.ByteBuffer.wrap(withList)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(4, 36 + 200 + 14)
+    val wav2 = Multimodal.wavDecode(withList)
+    assert(wav2.samples.toSeq == samples.toSeq)
+    // non-WAV blobs are rejected, not misparsed
+    intercept[IllegalArgumentException] {
+      Multimodal.wavDecode("plainly not audio".getBytes)
+    }
+    // windowed stats: exact integers, full windows only
+    val st = Multimodal.wavWindowStats(samples, 40)
+    assert(st.length == 2) // 100 / 40
+    val e0 = (0 until 40).map(i => { val s = samples(i).toLong; s * s }).sum
+    assert(st.head.energy == e0)
+    val z0 = (1 until 40).count(i =>
+      (samples(i) < 0) != (samples(i - 1) < 0))
+    assert(st.head.zcr == z0)
+  }
+
   test("co-bucketed tables join without a shuffle") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_bkt_").toString
     val li = Tables.lineitem(spark, Sf0001)
