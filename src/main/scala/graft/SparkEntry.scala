@@ -644,6 +644,20 @@ object SparkEntry {
         xLo = 100L, xHi = 400L, yLo = 8766L, yHi = 9131L)
     }),
 
+    // NDV-weighted z-order (q50's successor for mixed-cardinality
+    // dims): quantize each dim to its cardinality-derived bit width
+    // and LEFT-ALIGN the lanes before the interleave. Raw uniform
+    // interleave of a 5-value dim leaves its high bits constant zero
+    // — the key order collapses to x-only and y-pruning evaporates;
+    // the audit shows all three layouts' must_read counts at
+    // identical key bytes
+    "q71_zorder_ndv" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_custkey"),
+        substring(col("o_orderpriority"), 1, 1).cast("long").as("prio"))
+      Layout.compareLayoutsNdv(o, col("o_custkey"), col("prio"),
+        buckets = 64, xLo = 100L, xHi = 400L, yLo = 2L, yHi = 2L)
+    }),
+
     // same as-of semantics, executed by the custom physical operator
     // (AsOfJoinPlan -> AsOfJoinStrategy -> AsOfJoinExec, injected via
     // SparkSessionExtensions); shares q20's oracle SQL verbatim, which
@@ -2579,6 +2593,63 @@ object SparkEntry {
         |     AS BIGINT) AS must_read
         |  FROM xbk GROUP BY 2)
         |SELECT * FROM zs UNION ALL SELECT * FROM xs""".stripMargin,
+
+    // the same integer bit-spread as q50, on NDV-quantized and
+    // lane-aligned inputs; bit widths from the pure-integer
+    // list_min/list_filter form (no float log2)
+    "q71_zorder_ndv" -> {
+      def morton(a: String, b: String) =
+        s"""CAST(list_sum(list_transform(range(0, 16),
+           |    i -> ((($a >> i) & 1) << (2*i))
+           |       + ((($b >> i) & 1) << (2*i+1)))) AS BIGINT)""".stripMargin
+      def stats(layout: String, key: String, lo: String, hi: String) =
+        s"""SELECT '$layout' AS layout, CAST(bucket AS BIGINT) AS bucket,
+           |   CAST(count(*) AS BIGINT) AS cnt,
+           |   CAST(min(x) AS BIGINT) AS min_x, CAST(max(x) AS BIGINT) AS max_x,
+           |   CAST(min(y) AS BIGINT) AS min_y, CAST(max(y) AS BIGINT) AS max_y,
+           |   CAST(CASE WHEN min(x) <= 400 AND max(x) >= 100
+           |     AND min(y) <= 2 AND max(y) >= 2 THEN 1 ELSE 0 END
+           |     AS BIGINT) AS must_read
+           |  FROM (SELECT least(63, (($key - $lo) * 64) // ($hi - $lo + 1))
+           |          AS bucket, x, y FROM k, ext)
+           |  GROUP BY 2""".stripMargin
+      s"""WITH base AS (
+         |  SELECT o_custkey AS x,
+         |   CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS y
+         |  FROM orders),
+         |nd AS (
+         |  SELECT count(DISTINCT x) AS ndx, count(DISTINCT y) AS ndy,
+         |   min(x) AS xmin, max(x) AS xmax,
+         |   min(y) AS ymin, max(y) AS ymax
+         |  FROM base),
+         |bits AS (
+         |  SELECT
+         |   list_min(list_filter(range(1, 17),
+         |     b -> (1::BIGINT << b) >= ndx)) AS bx,
+         |   list_min(list_filter(range(1, 17),
+         |     b -> (1::BIGINT << b) >= ndy)) AS byy,
+         |   xmin, xmax, ymin, ymax FROM nd),
+         |q AS (
+         |  SELECT x, y, bx, byy,
+         |   ((x - xmin) * (1::BIGINT << bx)) // (xmax - xmin + 1) AS qx,
+         |   ((y - ymin) * (1::BIGINT << byy)) // (ymax - ymin + 1) AS qy
+         |  FROM base, bits),
+         |k AS (
+         |  SELECT x, y,
+         |   ${morton("(qx << (16 - bx))", "(qy << (16 - byy))")} AS wk,
+         |   ${morton("qx", "qy")} AS uk
+         |  FROM q),
+         |ext AS (
+         |  SELECT min(wk) AS wmin, max(wk) AS wmax,
+         |   min(uk) AS umin, max(uk) AS umax,
+         |   min(x) AS xmin2, max(x) AS xmax2
+         |  FROM k)
+         |${stats("weighted", "wk", "wmin", "wmax")}
+         |UNION ALL
+         |${stats("uniform", "uk", "umin", "umax")}
+         |UNION ALL
+         |${stats("x_only", "x", "xmin2", "xmax2")}""".stripMargin
+    },
 
     // q49 runs the same as-of semantics through the custom physical
     // operator — the oracle SQL is q20's verbatim (shared via the map

@@ -47,6 +47,89 @@ object Layout {
       .sortWithinPartitions(col("zk"))
       .write.mode("overwrite").options(options).parquet(path)
 
+  /** Smallest bit width that distinguishes `ndv` values (2^b ≥ ndv),
+    * capped at the 16-bit interleave lane. Pure integer arithmetic —
+    * the DuckDB twin is `list_min(list_filter(range(1,17),
+    * b -> (1<<b) >= ndv))`, no float log2 anywhere. */
+  def bitsFor(ndv: Long): Int = {
+    var b = 1
+    while (b < 16 && (1L << b) < ndv) b += 1
+    b
+  }
+
+  /** NDV-weighted z-order key: each dimension is already quantized to
+    * its cardinality-derived width (`bitsFor`); LEFT-ALIGN each lane
+    * to the top of the 16-bit field before the standard Morton
+    * interleave. Why it matters: interleaving RAW values gives a
+    * low-cardinality dimension dead (constant-zero) high bits, so the
+    * key order degrades to x-only and y-pruning evaporates; aligning
+    * lanes puts both dimensions' INFORMATION bits at the top of the
+    * key in proportion to their cardinality — at identical key bytes.
+    * This is composition, not a new kernel: two shifts feeding the
+    * existing codegen'd [[graft.functions.ZOrderExpr]]. */
+  def weightedZorderKey(xq: Column, yq: Column, bx: Int, by: Int)
+      : Column = {
+    require(bx >= 1 && bx <= 16 && by >= 1 && by <= 16,
+      s"lane widths out of range: bx=$bx by=$by")
+    zorderKey(shiftleft(xq.cast("long"), 16 - bx),
+      shiftleft(yq.cast("long"), 16 - by))
+  }
+
+  /** The NDV-weighted layout audit (q71): same bucket-extent method
+    * as [[compareLayouts]], three layouts over the SAME quantized
+    * inputs — `weighted` (NDV-aligned lanes), `uniform` (plain
+    * interleave of the quantized values), `x_only` — so the only
+    * variable is where each dimension's bits land in the key.
+    *
+    * The layout DECISION (NDVs, extents → bit widths) comes from one
+    * bounded stats probe — exactly what a production OPTIMIZE job
+    * reads from table metadata before rewriting; the audit itself
+    * stays one aggregate per layout over one persisted projection. */
+  def compareLayoutsNdv(df: DataFrame, x: Column, y: Column,
+      buckets: Int, xLo: Long, xHi: Long, yLo: Long, yHi: Long)
+      : DataFrame = {
+    import graft.InternalCaches.TrackedPersist
+    val base = df.select(x.cast("long").as("x"), y.cast("long").as("y"))
+      .persistTracked()
+    val st = base.agg(
+      countDistinct(col("x")), countDistinct(col("y")),
+      min(col("x")), max(col("x")), min(col("y")), max(col("y"))).head()
+    val (ndvX, ndvY) = (st.getLong(0), st.getLong(1))
+    val (xMin, xMax) = (st.getLong(2), st.getLong(3))
+    val (yMin, yMax) = (st.getLong(4), st.getLong(5))
+    val bx = bitsFor(ndvX); val by = bitsFor(ndvY)
+    val qx = expr(
+      s"(x - $xMin) * ${1L << bx} div (${xMax - xMin} + 1)")
+    val qy = expr(
+      s"(y - $yMin) * ${1L << by} div (${yMax - yMin} + 1)")
+    val keyed = base
+      .withColumn("wk", weightedZorderKey(qx, qy, bx, by))
+      .withColumn("uk", zorderKey(qx, qy))
+      .persistTracked()
+    val ext = keyed.agg(
+      min(col("wk")).as("wmin"), max(col("wk")).as("wmax"),
+      min(col("uk")).as("umin"), max(col("uk")).as("umax"),
+      min(col("x")).as("xmin"), max(col("x")).as("xmax"))
+    val withExt = keyed.crossJoin(broadcast(ext))
+    def stats(layout: String, key: String, lo: String, hi: String) =
+      withExt
+        .withColumn("bucket", least(lit(buckets - 1L),
+          expr(s"($key - $lo) * $buckets div ($hi - $lo + 1)"))
+          .cast("long"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("cnt"),
+          min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+          min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+        .select(lit(layout).as("layout"), col("bucket"), col("cnt"),
+          col("min_x"), col("max_x"), col("min_y"), col("max_y"),
+          (col("min_x") <= xHi && col("max_x") >= xLo &&
+            col("min_y") <= yHi && col("max_y") >= yLo)
+            .cast("long").as("must_read"))
+    stats("weighted", "wk", "wmin", "wmax")
+      .unionByName(stats("uniform", "uk", "umin", "umax"))
+      .unionByName(stats("x_only", "x", "xmin", "xmax"))
+  }
+
   /** The audit proper: identical bucket stats for the z-order layout
     * and the x-only layout, one frame — the per-layout sum of
     * `must_read` is the number of buckets (≈ files) the box query

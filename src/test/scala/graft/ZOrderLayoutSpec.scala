@@ -126,4 +126,33 @@ class ZOrderLayoutSpec extends SparkSpec {
     // z-order must prune a strict majority of buckets for a ~2.5% y-slice
     assert(zs._1.toDouble / zs._2 < 0.5, s"zorder read too much: $zs")
   }
+
+  test("NDV-weighted interleave restores low-cardinality pruning") {
+    // x: 4096 distinct values (12 bits); y: 5 distinct (3 bits). With
+    // RAW uniform interleave y's high lane bits are constant zero, so
+    // the key order collapses to x-only and a y-selective box prunes
+    // nothing extra; NDV-aligned lanes give y its share of the key top
+    val n = 20000
+    val df = spark.range(n).select(
+      (col("id") * 7919L % 4096L).as("x"),
+      (col("id") * 104729L % 5L).as("y"))
+    val stats = Layout.compareLayoutsNdv(df, col("x"), col("y"),
+      buckets = 64, xLo = 0L, xHi = 4095L, yLo = 2L, yHi = 2L)
+      .groupBy("layout").agg(
+        sum(col("must_read")).as("read"),
+        count(lit(1)).as("buckets"))
+      .as[(String, Long, Long)].collect()
+      .map { case (l, r, b) => l -> (r.toDouble / b) }.toMap
+    // x-only reads everything (no y clustering at all); uniform's
+    // low-lane y bits salvage a little; weighted must beat uniform by
+    // at least 2x and read less than the y fraction suggests
+    assert(stats("x_only") > 0.9, s"x_only should read ~all: $stats")
+    assert(stats("weighted") * 2 < stats("uniform"),
+      s"weighting should at least halve the read fraction: $stats")
+    assert(stats("weighted") < 0.5, s"weighted should prune: $stats")
+    // bit-width policy is the pure-integer form
+    assert(Layout.bitsFor(1) == 1 && Layout.bitsFor(2) == 1 &&
+      Layout.bitsFor(5) == 3 && Layout.bitsFor(4096) == 12 &&
+      Layout.bitsFor(1L << 40) == 16)
+  }
 }
