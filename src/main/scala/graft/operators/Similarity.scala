@@ -581,7 +581,12 @@ object Similarity {
     * at 10× corpus: collect+sort per candidate pair dominates). ADC is
     * compressed EXHAUSTIVE search — q×n×m lightweight rows — which is
     * the point: at search time the corpus is m bytes of codes per
-    * vector, never the raw floats. Returns
+    * vector, never the raw floats. WARNING — deliberate baseline ONLY:
+    * the q×n scan goes quadratic if callers grow queries with the
+    * corpus (measured 31 s at 10× in Stress); any composed pipeline or
+    * corpus-scale deployment must route through the IVF pre-prune
+    * instead ([[ivfPqTopK]]/[[ivfPqResidualTopK]] bound candidates to
+    * the probed cells, ~q·√n·nProbe). Returns
     * (query_id, rank, neighbor_id, adc6) with adc6 in micro-units. */
   def pqTopK(emb: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, topK: Int, m: Int = 8, k: Int = 8, dim: Int = 64,
