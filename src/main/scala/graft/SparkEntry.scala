@@ -2624,10 +2624,10 @@ object SparkEntry {
          |  FROM base),
          |bits AS (
          |  SELECT
-         |   list_min(list_filter(range(1, 17),
-         |     b -> (1::BIGINT << b) >= ndx)) AS bx,
-         |   list_min(list_filter(range(1, 17),
-         |     b -> (1::BIGINT << b) >= ndy)) AS byy,
+         |   coalesce(list_min(list_filter(range(1, 17),
+         |     b -> (1::BIGINT << b) >= ndx)), 16) AS bx,
+         |   coalesce(list_min(list_filter(range(1, 17),
+         |     b -> (1::BIGINT << b) >= ndy)), 16) AS byy,
          |   xmin, xmax, ymin, ymax FROM nd),
          |q AS (
          |  SELECT x, y, bx, byy,

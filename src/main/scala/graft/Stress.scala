@@ -233,10 +233,13 @@ object Stress {
     // chain — total should grow ~linearly with corpus size
     t("t16_bpe_train+apply") {
       val merges = Bpe.train(Bpe.vocab(docs, col("text"), 4096), 16)
+      // head() on the sum, NOT count(): count() lets column pruning
+      // drop the aggregate expression and the apply chain would never
+      // execute — the probe would time only the scan
       Bpe.words(docs, col("text"))
         .select(sum(Bpe.tokenCount(
-          Bpe.applyMerges(col("word"), merges))).cast("long"))
-        .count()
+          Bpe.applyMerges(col("word"), merges))).cast("long").as("s"))
+        .head().getLong(0)
     }
     // IVF-PQ with fixed queries: candidates/query ≈ n·nProbe/nCells;
     // with auto cells that is ~√n — sublinear per query where s6/s7

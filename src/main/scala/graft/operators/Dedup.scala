@@ -40,7 +40,12 @@ object Dedup {
       case Some(dir) =>
         val sc = df.sparkSession.sparkContext
         if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
-        df.checkpoint(true)
+        // persist BEFORE checkpointing: reliable checkpoint runs one
+        // job to materialize and a second to write the files — without
+        // the persist, the second job recomputes the whole iterate
+        // (Spark's own checkpoint guidance)
+        df.persist()
+        try df.checkpoint(true) finally df.unpersist()
       case None => df.localCheckpoint(true)
     }
 

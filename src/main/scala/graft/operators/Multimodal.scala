@@ -150,8 +150,14 @@ object Multimodal {
       val tag = new String(Array(buf.get(), buf.get(), buf.get(),
         buf.get()).map(_.toChar))
       val size = buf.getInt()
+      // size fields are attacker-/corruption-controlled: a negative
+      // value would move the walk BACKWARDS (infinite loop) and a
+      // negative data size would blow up array allocation
+      require(size >= 0 && size <= buf.remaining(),
+        s"malformed chunk '$tag': size $size, ${buf.remaining()} left")
       tag match {
         case "fmt " =>
+          require(size >= 16, s"fmt chunk too short: $size")
           val fmt = buf.getShort()
           require(fmt == 1, s"only PCM supported, got format $fmt")
           channels = buf.getShort().toInt
@@ -160,7 +166,8 @@ object Multimodal {
           bits = buf.getShort().toInt
           require(bits == 16, s"only 16-bit PCM supported, got $bits")
           // skip any fmt extension bytes
-          buf.position(buf.position() + (size - 16 + (size & 1)))
+          buf.position(buf.position() +
+            math.min(buf.remaining(), size - 16 + (size & 1)))
         case "data" =>
           require(rate > 0, "data chunk before fmt chunk")
           val n = size / 2
@@ -169,12 +176,24 @@ object Multimodal {
           while (i < n) { out(i) = buf.getShort(); i += 1 }
           samples = out
         case _ =>
-          buf.position(buf.position() + size + (size & 1)) // skip
+          buf.position(buf.position() +
+            math.min(buf.remaining(), size + (size & 1))) // skip
       }
     }
     require(samples != null, "no data chunk found")
     Wav(rate, channels, samples)
   }
+
+  /** Mono view of a decoded WAV: channel 0 of the interleaved frames
+    * (deterministic, no averaging round-off). Feeding interleaved
+    * stereo into windowed stats would mix channels per window and
+    * count L→R sign flips as bogus zero-crossings. */
+  def monoSamples(w: Wav): Array[Short] =
+    if (w.channels <= 1) w.samples
+    else {
+      val n = w.samples.length / w.channels
+      Array.tabulate(n)(i => w.samples(i * w.channels))
+    }
 
   /** Per-window exact-integer audio features over mono samples —
     * energy (sum of squared samples) and zero-crossing count (strict
@@ -219,8 +238,9 @@ object Multimodal {
   val wavStatsUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((blob: Array[Byte], win: Int) => {
       val w = wavDecode(blob)
-      WavStats(w.samples.length.toLong, w.sampleRate,
-        wavWindowStats(w.samples, win))
+      val mono = monoSamples(w)
+      WavStats(mono.length.toLong, w.sampleRate,
+        wavWindowStats(mono, win))
     })
 
   /** STUB (no codecs in this environment) for the remaining non-WAV
@@ -284,9 +304,9 @@ object Multimodal {
               case "audio" if isWav(blob) =>
                 // REAL path: RIFF/WAVE decode, per-window RMS
                 try {
-                  val w = wavDecode(blob)
-                  val win = math.max(1, w.samples.length / 16)
-                  wavWindowStats(w.samples, win).map(s =>
+                  val mono = monoSamples(wavDecode(blob))
+                  val win = math.max(1, mono.length / 16)
+                  wavWindowStats(mono, win).map(s =>
                     math.sqrt(s.energy.toDouble / win).toFloat).toArray
                 } catch { case _: Exception => null }
               case _ => fakeWaveformFeatures(blob, 16)

@@ -421,17 +421,25 @@ object TfRecords {
       .flatMap { case (path, pds) =>
         val raw: java.io.InputStream =
           new BufferedInputStream(pds.open(), 1 << 16)
-        val in = new DataInputStream(
-          if (path.endsWith(".gz"))
-            new BufferedInputStream(
-              new java.util.zip.GZIPInputStream(raw), 1 << 16)
-          else raw)
         // close unconditionally at task end: the clean-EOF close below
         // never fires for a partially consumed partition (limit/take,
-        // downstream exception), which would leak the file handle
+        // downstream exception), which would leak the file handle.
+        // Registered on RAW before the gzip wrap — GZIPInputStream's
+        // constructor eagerly reads the header and THROWS on a
+        // corrupt/truncated shard, which would otherwise leak the
+        // handle before any listener exists (closing raw releases the
+        // fd; the gzip wrapper holds no other resource)
         Option(org.apache.spark.TaskContext.get()).foreach(
           _.addTaskCompletionListener[Unit](_ =>
-            try in.close() catch { case _: java.io.IOException => () }))
+            try raw.close() catch { case _: java.io.IOException => () }))
+        val in = new DataInputStream(
+          if (path.endsWith(".gz"))
+            try new BufferedInputStream(
+              new java.util.zip.GZIPInputStream(raw), 1 << 16)
+            catch {
+              case e: java.io.IOException => raw.close(); throw e
+            }
+          else raw)
         new Iterator[Row] {
           private var nextRec: Option[Array[Byte]] = advance()
           private def advance(): Option[Array[Byte]] = {

@@ -302,8 +302,10 @@ class DedupSimilaritySpec extends SparkSpec {
       .filter(p => p.getFileName.toString.startsWith("rdd-"))
       .count()
     assert(files > 0, "no reliable checkpoint data written")
-    org.apache.commons.io.FileUtils
-      .deleteQuietly(new java.io.File(ckpt))
+    // do NOT delete ckpt: setCheckpointDir is process-global with no
+    // unset, so the shared session keeps pointing here — deleting it
+    // would silently break any later reliable-checkpoint user in this
+    // JVM (it is a temp dir; the OS reaps it)
   }
 
   test("connected components converge with negative ids (seed sum 0)") {

@@ -199,6 +199,37 @@ class ExtendedOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Multimodal.wavDecode("plainly not audio".getBytes)
     }
+    // a NEGATIVE chunk size must fail fast, not walk backwards into
+    // an infinite loop (size fields are corruption-controlled)
+    val evil = blob.clone()
+    val eb = java.nio.ByteBuffer.wrap(evil)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    eb.putInt(16, -8) // fmt chunk size := -8
+    intercept[IllegalArgumentException] { Multimodal.wavDecode(evil) }
+    // declared size beyond the buffer is rejected too
+    val trunc = blob.clone()
+    java.nio.ByteBuffer.wrap(trunc)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(40, 1 << 20) // data size claims 1 MB
+    intercept[IllegalArgumentException] { Multimodal.wavDecode(trunc) }
+    // stereo: features must come from ONE channel, not interleaved
+    // frames (L/R sign flips are not zero-crossings)
+    val stereo = Array.tabulate[Short](80)(i =>
+      if (i % 2 == 0) 1000.toShort else -1000.toShort) // L=+, R=-
+    val sBlob = {
+      // hand-build a 2-channel container from the mono encoder's
+      // output by patching channels (the encoder itself is mono-only)
+      val b = Multimodal.wavEncodePcm16(stereo, 16000)
+      val bb = java.nio.ByteBuffer.wrap(b)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putShort(22, 2) // channels := 2
+      b
+    }
+    val mono = Multimodal.monoSamples(Multimodal.wavDecode(sBlob))
+    assert(mono.length == 40 && mono.forall(_ == 1000),
+      "mono view must be channel 0")
+    assert(Multimodal.wavWindowStats(mono, 40).head.zcr == 0,
+      "constant channel has zero crossings")
     // windowed stats: exact integers, full windows only
     val st = Multimodal.wavWindowStats(samples, 40)
     assert(st.length == 2) // 100 / 40
