@@ -833,6 +833,15 @@ object SparkEntry {
             col("text")), 3).select(col("doc_a"), col("doc_b")),
         iters = 3)),
 
+    // ExactSubstr span excision (Lee et al. 2021): L-token windows
+    // occurring more than once corpus-wide mark spans; surviving text
+    // is tokens minus the span union — the REMOVAL half of t11's
+    // coverage stats. surv_sum hashes the exact surviving stream, so
+    // the oracle proves the excision token by token
+    "d13_substring_dedup" -> ((s, d) =>
+      Dedup.exciseDuplicateSpans(Tables.documents(s, d), col("doc_id"),
+        col("text"), spanLen = 8)),
+
     // daily-ingest incremental near-dup: the batch (doc_id%10=7)
     // probes the stored corpus index and self-dedups within the batch
     "d11_incremental_neardup" -> ((s, d) => {
@@ -3172,6 +3181,38 @@ object SparkEntry {
          |SELECT v AS doc_id, component,
          | CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS csize
          |FROM comp""".stripMargin,
+
+    // the L-gram dup membership + per-doc span-union mask, list-HOF
+    // for list-HOF with the Spark plan
+    "d13_substring_dedup" ->
+      s"""WITH t AS (SELECT doc_id, $DuckToks AS w FROM documents),
+         |g AS (
+         |  SELECT doc_id, u.pos AS pos, u.gr AS gram FROM (
+         |    SELECT doc_id, unnest(list_transform(
+         |      range(0, greatest(0, len(w) - 8 + 1)),
+         |      i -> struct_pack(pos := i,
+         |        gr := array_to_string(w[i+1:i+8], ' ')))) AS u
+         |    FROM t)),
+         |dup AS (SELECT gram FROM g GROUP BY 1 HAVING count(*) >= 2),
+         |st AS (
+         |  SELECT doc_id, list(pos ORDER BY pos) AS starts
+         |  FROM g JOIN dup USING (gram) GROUP BY 1),
+         |m AS (
+         |  SELECT t.doc_id, w,
+         |    list_transform(range(0, len(w)),
+         |      p -> len(list_filter(coalesce(starts, []),
+         |        s -> s <= p AND p < s + 8)) > 0) AS mask
+         |  FROM t LEFT JOIN st USING (doc_id))
+         |SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_filter(mask, x -> x)) AS BIGINT) AS n_removed,
+         |  CAST(${duckU32(
+        // coalesce: DuckDB's array_to_string([]) is NULL, Spark's
+        // array_join([]) is '' — fully-excised docs must hash ''
+        "coalesce(array_to_string(list_filter(list_transform(" +
+          "range(1, len(w) + 1), " +
+          "j -> CASE WHEN mask[j] THEN NULL ELSE w[j] END), " +
+          "x -> x IS NOT NULL), ' '), '')", 13)} AS BIGINT) AS surv_sum
+         |FROM m""".stripMargin,
 
     // d8's simhash-pair CTEs, then 3 unrolled integer PageRank rounds
     "d12_pagerank" ->

@@ -228,6 +228,16 @@ object Stress {
       TextAnalysis.nbLangIdConfusion(docs, col("doc_id"), col("text"),
         col("lang")).count()
     }
+    // span excision: gram-explode + count + dup join + per-doc
+    // collect — every stage keyed, should grow ~linearly. Summing
+    // n_removed AND surv_sum: a bare count() would let Catalyst
+    // eliminate the 1:1 left join and prune the mask/hash work
+    t("d13_substring_dedup") {
+      Dedup.exciseDuplicateSpans(docs, col("doc_id"), col("text"),
+        spanLen = 8)
+        .agg(sum(col("n_removed")).as("r"), sum(col("surv_sum")))
+        .head().getLong(0)
+    }
     // BPE: word-count+top-V is the corpus-scale part; training cost
     // is bounded by the vocab cap, apply is a codegen'd replace
     // chain — total should grow ~linearly with corpus size

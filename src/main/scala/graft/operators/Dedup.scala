@@ -642,6 +642,65 @@ object Dedup {
         col("t")(2).as("tc"))
   }
 
+  /** ExactSubstr-style duplicate-SPAN excision (Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499, §4.1): every L-token window whose text occurs
+    * MORE THAN ONCE corpus-wide marks its span as duplicated; a
+    * document's surviving text is its tokens minus the union of its
+    * marked spans. This is the missing REMOVAL half of t11, which only
+    * measures duplicate-span coverage — together they are the
+    * boilerplate-excision stage of an LLM ingest (licence headers,
+    * templated paragraphs, copy-pasted snippets that document-level
+    * dedup cannot see).
+    *
+    * (The paper builds a corpus suffix array; the L-gram-count
+    * relational form computes the same "duplicated window of length
+    * ≥ L" membership for a FIXED L, which is how the technique is
+    * deployed per pass.)
+    *
+    * Scale shape: per-document arrays are bounded by document length
+    * (the unit of the format); the shuffles are one gram-count
+    * aggregate (map-side combined), one dup-membership equi-join, and
+    * one per-document position collect. No corpus-wide window, no
+    * driver state. Returns (doc_id, n_tokens, n_removed, surv_sum)
+    * where surv_sum hashes the exact surviving token stream.
+    */
+  def exciseDuplicateSpans(docs: DataFrame, idCol: Column,
+      textCol: Column, spanLen: Int): DataFrame = {
+    require(spanLen >= 2, s"spanLen must be >= 2, got $spanLen")
+    val t = docs.select(idCol.as("doc_id"),
+      TextAnalysis.tokens(textCol).as("w"))
+    // gram starts 0..n-L (guarded: Spark's sequence(0, -1) DESCENDS)
+    val g = t.select(col("doc_id"), posexplode(
+      when(size(col("w")) >= spanLen,
+        transform(sequence(lit(0), size(col("w")) - spanLen),
+          i => array_join(slice(col("w"), i + 1, lit(spanLen)), " ")))
+        .otherwise(array().cast("array<string>")))
+      .as(Seq("pos", "gram")))
+    val dup = g.groupBy(col("gram"))
+      .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+      .select(col("gram"))
+    val starts = g.join(dup, Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(col("pos"))).as("starts"))
+    t.join(starts, Seq("doc_id"), "left_outer")
+      .withColumn("starts",
+        coalesce(col("starts"), array().cast("array<int>")))
+      .withColumn("mask",
+        when(size(col("w")) > 0,
+          transform(sequence(lit(0), size(col("w")) - 1),
+            p => exists(col("starts"),
+              s => s <= p && p < s + spanLen)))
+          .otherwise(array().cast("array<boolean>")))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        size(filter(col("mask"), m => m)).cast("long").as("n_removed"),
+        graft.Tables.hashU32(array_join(
+          filter(zip_with(col("w"), col("mask"),
+            (tok, m) => when(m, lit(null)).otherwise(tok)),
+            x => x.isNotNull), " "), 13).as("surv_sum"))
+  }
+
   /** Embedding-cosine near-dup: all pairs with cosine ≥ threshold.
     * Brute-force O(n²) pairing — correct at verification scale; at 100 TB
     * route candidates through

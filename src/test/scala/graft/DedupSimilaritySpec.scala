@@ -251,6 +251,40 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, s"ANN recall too low: $recall")
   }
 
+  test("duplicate-span excision removes shared windows, merges overlaps") {
+    // docs 1 and 2 share the 5-token run "a b c d e" embedded in
+    // different contexts; doc 3 is unique; doc 4 is too short to form
+    // any window; doc 5 duplicates doc 1 wholesale (fully excised)
+    val docs = Seq(
+      (1L, "x a b c d e y z w v"),
+      (2L, "p q a b c d e r s t"),
+      (3L, "u1 u2 u3 u4 u5 u6 u7"),
+      (4L, "tiny doc"),
+      (5L, "x a b c d e y z w v")
+    ).toDF("doc_id", "text")
+    val out = Dedup.exciseDuplicateSpans(docs, col("doc_id"),
+        col("text"), spanLen = 5)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // doc 1: its whole text duplicates doc 5 → every window dups →
+    // all 10 tokens removed; same for 5
+    assert(out(1L) == ((10L, 10L)), s"doc1: ${out(1L)}")
+    assert(out(5L) == ((10L, 10L)))
+    // doc 2: only the "a b c d e" window (start pos 2) is shared →
+    // spans [2,7) → 5 tokens removed of 10
+    assert(out(2L) == ((10L, 5L)), s"doc2: ${out(2L)}")
+    // unique and too-short docs: untouched
+    assert(out(3L) == ((7L, 0L)) && out(4L) == ((2L, 0L)))
+    // surviving stream is the exact remainder: doc 2 keeps "p q r s t"
+    val surv2 = Dedup.exciseDuplicateSpans(docs, col("doc_id"),
+        col("text"), spanLen = 5)
+      .filter(col("doc_id") === 2L).select(col("surv_sum"))
+      .as[Long].head()
+    val expected = docs.sparkSession.range(1)
+      .select(graft.Tables.hashU32(lit("p q r s t"), 13)).as[Long].head()
+    assert(surv2 == expected, "doc 2 must keep exactly 'p q r s t'")
+  }
+
   test("connected components close duplicate chains to the min id") {
     // two chains (one long enough to need several propagation rounds)
     // and one isolated pair
