@@ -862,6 +862,32 @@ object SparkEntry {
         buckets = 8)
     }),
 
+    // capstone #4 — the TOKENIZER-AWARE packing pipeline: train BPE
+    // merges on the corpus (t16), apply them engine-side (t17), and
+    // pack documents into fixed context windows by their REAL
+    // post-merge token counts (p2's two-phase prefix sum) — the
+    // actual layout question a training run asks ("how many sequences
+    // does this corpus make under MY tokenizer"), answered in one
+    // oracle-checked plan
+    "p4_bpe_pack" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = Bpe.train(
+        Bpe.vocab(docs, col("text"), BpeTopV), BpeMerges)
+      val wordCounts = docs
+        .select(col("doc_id"),
+          explode(split(lower(col("text")), "[^a-z]+")).as("word"))
+        .filter(col("word") =!= "")
+        .withColumn("tc",
+          Bpe.tokenCount(Bpe.applyMerges(col("word"), merges)))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("tc")).cast("long").as("bpe_toks"))
+      val counts = docs.select(col("doc_id"), col("source"))
+        .join(wordCounts, Seq("doc_id"), "left_outer")
+        .na.fill(0L, Seq("bpe_toks"))
+      Curation.packSequences(counts, col("doc_id"), col("source"),
+        col("bpe_toks"), ctxLen = 128, seed = 17, buckets = 8)
+    }),
+
     // α-temperature mixture re-balancing across languages
     "t9_mixture_resample" -> ((s, d) =>
       Curation.temperatureResample(Tables.documents(s, d), col("doc_id"),
@@ -3321,6 +3347,59 @@ object SparkEntry {
          | CAST(floor((start_off + n_toks - 1) / 128.0) AS BIGINT)
          |   AS last_seq
          |FROM o""".stripMargin,
+
+    // t17's BPE apply CTEs feeding p2's packing window — merges,
+    // fold, per-doc counts, then the same (bk, h, doc_id) layout
+    "p4_bpe_pack" -> {
+      val union = (1 to BpeMerges).map(r =>
+        s"SELECT $r AS merge_rank, a, b FROM b$r").mkString(" UNION ALL ")
+      s"""WITH ${duckBpeCtes(BpeMerges, BpeTopV)},
+         |merges AS MATERIALIZED (
+         |  SELECT merge_rank, chr(1) || a || chr(2) || chr(1) || b ||
+         |    chr(2) || chr(3) || chr(1) || a || b || chr(2) AS m
+         |  FROM ($union)),
+         |mlist AS MATERIALIZED (
+         |  SELECT list(m ORDER BY merge_rank) AS ms FROM merges),
+         |dw AS (
+         |  SELECT doc_id, word FROM (
+         |    SELECT doc_id, unnest(string_split_regex(lower(text),
+         |      '[^a-z]+')) AS word FROM documents)
+         |  WHERE word <> ''),
+         |applied AS (
+         |  SELECT doc_id,
+         |    list_reduce(
+         |      list_prepend(
+         |        list_aggregate(list_transform(str_split(word, ''),
+         |          c -> chr(1) || c || chr(2)), 'string_agg', ''),
+         |        (SELECT ms FROM mlist)),
+         |      (acc, m) -> replace(acc, split_part(m, chr(3), 1),
+         |        split_part(m, chr(3), 2))) AS w2
+         |  FROM dw),
+         |cnts AS (
+         |  SELECT doc_id,
+         |    CAST(sum(length(w2) - length(replace(w2, chr(1), '')))
+         |      AS BIGINT) AS n_toks
+         |  FROM applied GROUP BY doc_id),
+         |t AS (
+         |  SELECT d.doc_id, d.source AS grp,
+         |   coalesce(c.n_toks, 0) AS n_toks
+         |  FROM documents d LEFT JOIN cnts c USING (doc_id)),
+         |bb AS (
+         |  SELECT doc_id, grp, n_toks,
+         |   md5(doc_id::VARCHAR || '#17') AS h,
+         |   ${duckU32("doc_id::VARCHAR", 18)} % 8 AS bk
+         |  FROM t),
+         |o AS (
+         |  SELECT doc_id, grp, n_toks,
+         |   CAST(sum(n_toks) OVER (PARTITION BY grp ORDER BY bk, h, doc_id
+         |     ROWS UNBOUNDED PRECEDING) - n_toks AS BIGINT) AS start_off
+         |  FROM bb)
+         |SELECT doc_id, grp, n_toks, start_off,
+         | CAST(floor(start_off / 128.0) AS BIGINT) AS first_seq,
+         | CAST(floor((start_off + n_toks - 1) / 128.0) AS BIGINT)
+         |   AS last_seq
+         |FROM o""".stripMargin
+    },
 
     // t14's chunk CTEs → first occurrence per fingerprint → lang stats
     "p3_chunk_pipeline" ->
