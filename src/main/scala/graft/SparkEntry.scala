@@ -842,6 +842,27 @@ object SparkEntry {
       Dedup.exciseDuplicateSpans(Tables.documents(s, d), col("doc_id"),
         col("text"), spanLen = 8)),
 
+    // content-defined chunking dedup (LBFS/FastCDC): boundaries are a
+    // pure function of content, so shared runs re-align on identical
+    // chunks regardless of offset; per-source stats over the chunk
+    // relation — total vs duplicated chunks/chars and distinct chunks
+    // (the chunk-store residency a dedup store would hold)
+    "d14_cdc_chunks" -> ((s, d) => {
+      // read twice (frequency build + membership join): chunk once
+      val c = Dedup.cdcChunks(Tables.documents(s, d), col("doc_id"),
+        col("source"), col("text"), window = 8, divisor = 64, seed = 29)
+        .persistTracked()
+      val freq = c.groupBy(col("ch")).agg(count(lit(1)).as("cnt"))
+      c.join(freq, Seq("ch"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("chunk_len")).as("chunk_chars"),
+          sum(when(col("cnt") >= 2, 1L).otherwise(0L)).as("dup_chunks"),
+          sum(when(col("cnt") >= 2, col("chunk_len")).otherwise(0L))
+            .as("dup_chars"),
+          countDistinct(col("ch")).as("uniq_chunks"))
+    }),
+
     // daily-ingest incremental near-dup: the batch (doc_id%10=7)
     // probes the stored corpus index and self-dedups within the batch
     "d11_incremental_neardup" -> ((s, d) => {
@@ -886,6 +907,41 @@ object SparkEntry {
         .na.fill(0L, Seq("bpe_toks"))
       Curation.packSequences(counts, col("doc_id"), col("source"),
         col("bpe_toks"), ctxLen = 128, seed = 17, buckets = 8)
+    }),
+
+    // interpolated Kneser-Ney bigram scores — t13's MLE upgraded with
+    // absolute discounting + continuation probability (how many
+    // contexts a word follows), micro-nat quantized at the model
+    // relation so the doc sums are exact longs
+    "t18_kn_logprob" -> ((s, d) =>
+      TextAnalysis.knBigramLogProb(Tables.documents(s, d),
+        col("doc_id"), col("text"))),
+
+    // capstone #5 — length-bucketed batch assembly: docs batched with
+    // similar-length neighbors (integer bit-length classes, no global
+    // pass) vs naive arrival-order batching, padding waste accounted
+    // per batch (n·max − sum); the bucketed strategy must pay far
+    // less padding at identical batch size — the data-loader layout
+    // receipt
+    "p5_length_batches" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("nt"))
+      def stats(strategy: String, byLength: Boolean) =
+        Curation.lengthBucketedBatches(docs, col("doc_id"), col("nt"),
+            batchSize = 16, shards = 4, seed = 41, byLength = byLength)
+          .groupBy(col("bucket"), col("shard"), col("batch_id"))
+          .agg(count(lit(1)).as("n"), max(col("n_toks")).as("mx"),
+            sum(col("n_toks")).as("sm"))
+          .groupBy(col("bucket"))
+          .agg(sum(col("n")).as("n_docs"),
+            count(lit(1)).as("n_batches"),
+            sum(col("sm")).as("real_toks"),
+            sum(col("n") * col("mx") - col("sm")).as("padded_toks"))
+          .withColumn("strategy", lit(strategy))
+      stats("bucketed", byLength = true)
+        .unionByName(stats("naive", byLength = false))
+        .select(col("strategy"), col("bucket"), col("n_docs"),
+          col("n_batches"), col("real_toks"), col("padded_toks"))
     }),
 
     // α-temperature mixture re-balancing across languages
@@ -1126,6 +1182,28 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"),
           sum(col("key")).as("id_sum"),
           sum(length(col("text"))).as("chars_sum"),
+          sum(Tables.hashU32(col("text"), 7)).as("content_sum"))
+    }),
+
+    // Avro object-container shards (the third interchange format next
+    // to TFRecord k2 and WebDataset tar k7, via the Avro library that
+    // ships with Spark): round-trip the documents table through
+    // deflate-compressed self-describing container files — the oracle
+    // aggregates the ORIGINAL parquet, so a hash match proves the
+    // round trip is lossless down to content
+    "k9_avro_roundtrip" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(
+        col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"))
+      val scratch = scratchDir("graft_avro", d)
+      graft.sources.AvroShards.write(docs, scratch, "documents",
+        numShards = 5, codec = "deflate")
+      val back = graft.sources.AvroShards.read(
+        s, s"$scratch/documents_*.avro", docs.schema)
+      back.groupBy(col("lang"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("doc_id")).as("id_sum"),
+          sum(col("n_chars")).as("nchars_sum"),
           sum(Tables.hashU32(col("text"), 7)).as("content_sum"))
     }),
 
@@ -1830,6 +1908,33 @@ object SparkEntry {
       val sunk = EventStream.runOnce(regs,
         s"stream_hll_${System.nanoTime()}", "complete")
       Sketches.estimateFromRegisters(sunk, p = 8)
+    }),
+
+    // STREAMING count-min maintenance (the counts twin of q47's HLL):
+    // each arriving event increments one register per hash row — a
+    // single order-independent streaming sum, d·w longs of state at
+    // any stream length — then the register file is probed in batch
+    // for the exact top-15 users, verifying the registers AND the
+    // one-sided error (est ≥ exact) — a continuously-updated
+    // heavy-hitters dashboard
+    "q72_stream_cms" -> ((s, d) => {
+      val regs = Sketches.cmsRegisters(
+        EventStream.eventsFileStream(s, s"$d/events.parquet")
+          .filter(col("user_id").isNotNull),
+        col("user_id"))
+      val sunk = EventStream.runOnce(regs,
+        s"stream_cms_${System.nanoTime()}", "complete")
+      val counts = Tables.events(s, d)
+        .filter(col("user_id").isNotNull)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("exact_c"))
+      val top = counts.withColumn("rk", row_number().over(
+          Window.orderBy(col("exact_c").desc, col("user_id").asc)))
+        .filter(col("rk") <= 15).drop("rk")
+      Sketches.cmsProbe(sunk,
+          top.select(col("user_id").cast("string").as("k"),
+            col("exact_c")))
+        .select(col("k").cast("long").as("user_id"), col("exact_c"),
+          col("est_c"))
     }),
 
     // ranking-function breadth: lead/lag/ntile/percent_rank/cume_dist
@@ -3240,6 +3345,41 @@ object SparkEntry {
           "x -> x IS NOT NULL), ' '), '')", 13)} AS BIGINT) AS surv_sum
          |FROM m""".stripMargin,
 
+    // the same content-defined boundary rule as list HOFs: boundary
+    // positions by trailing-window hash, chunks sliced between
+    // consecutive boundaries, then chunk-hash frequency stats
+    "d14_cdc_chunks" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source, text, length(text) AS n
+         |  FROM documents WHERE length(text) > 0),
+         |b AS (
+         |  SELECT source, text, n,
+         |    list_filter(range(8, n),
+         |      p -> ${duckU32("substr(text, p - 7, 8)", 29)} % 64 = 0)
+         |      AS bps
+         |  FROM t),
+         |e AS (
+         |  SELECT source, unnest(list_transform(range(1, len(bps) + 2),
+         |    i -> substr(text,
+         |      CASE WHEN i = 1 THEN 1 ELSE bps[i-1] + 1 END,
+         |      (CASE WHEN i = len(bps) + 1 THEN n ELSE bps[i] END) -
+         |      (CASE WHEN i = 1 THEN 1 ELSE bps[i-1] + 1 END) + 1)))
+         |    AS chunk
+         |  FROM b),
+         |c AS (
+         |  SELECT source, chunk, md5(chunk) AS ch,
+         |    length(chunk) AS len
+         |  FROM e),
+         |f AS (SELECT ch, count(*) AS cnt FROM c GROUP BY 1)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_chunks,
+         | CAST(sum(len) AS BIGINT) AS chunk_chars,
+         | CAST(sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS dup_chunks,
+         | CAST(sum(CASE WHEN cnt >= 2 THEN len ELSE 0 END) AS BIGINT)
+         |   AS dup_chars,
+         | CAST(count(DISTINCT ch) AS BIGINT) AS uniq_chunks
+         |FROM c JOIN f USING (ch) GROUP BY 1""".stripMargin,
+
     // d8's simhash-pair CTEs, then 3 unrolled integer PageRank rounds
     "d12_pagerank" ->
       s"""WITH t AS (SELECT doc_id, $DuckToks AS w FROM documents),
@@ -3399,6 +3539,39 @@ object SparkEntry {
          | CAST(floor((start_off + n_toks - 1) / 128.0) AS BIGINT)
          |   AS last_seq
          |FROM o""".stripMargin
+    },
+
+    // both strategies as window CTEs over the same token counts:
+    // bit-length bucket (or the constant naive bucket), md5 order,
+    // row_number-cut batches, per-batch padding closed per bucket
+    "p5_length_batches" -> {
+      def side(strategy: String, bucketExpr: String) =
+        s"""SELECT '$strategy' AS strategy, bucket,
+           | CAST(sum(n) AS BIGINT) AS n_docs,
+           | CAST(count(*) AS BIGINT) AS n_batches,
+           | CAST(sum(sm) AS BIGINT) AS real_toks,
+           | CAST(sum(n * mx - sm) AS BIGINT) AS padded_toks
+           |FROM (
+           |  SELECT bucket, shard, batch_id, count(*) AS n,
+           |    max(nt) AS mx, sum(nt) AS sm
+           |  FROM (
+           |    SELECT bucket, shard, nt,
+           |      CAST(floor((row_number() OVER (
+           |        PARTITION BY bucket, shard ORDER BY h, doc_id) - 1)
+           |        / 16) AS BIGINT) AS batch_id
+           |    FROM (
+           |      SELECT doc_id, nt, $bucketExpr AS bucket,
+           |        ${duckU32("doc_id::VARCHAR", 41)} % 4 AS shard,
+           |        md5(doc_id::VARCHAR || '#42') AS h
+           |      FROM t))
+           |  GROUP BY 1, 2, 3)
+           |GROUP BY 1, 2""".stripMargin
+      s"""WITH t AS (
+         |  SELECT doc_id, CAST(len($DuckToks) AS BIGINT) AS nt
+         |  FROM documents)
+         |${side("bucketed", "CAST(length(bin(nt + 1)) AS BIGINT)")}
+         |UNION ALL
+         |${side("naive", "CAST(0 AS BIGINT)")}""".stripMargin
     },
 
     // t14's chunk CTEs → first occurrence per fingerprint → lang stats
@@ -4010,6 +4183,15 @@ object SparkEntry {
          | CAST(sum(${duckU32("text", 7)}) AS BIGINT) AS content_sum
          |FROM documents GROUP BY 1""".stripMargin,
 
+    // identical oracle to k2/k8 by design: the Avro round trip must
+    // reproduce the original parquet content exactly
+    "k9_avro_roundtrip" ->
+      s"""SELECT lang, CAST(count(*) AS BIGINT) AS cnt,
+         | CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         | CAST(sum(n_chars) AS BIGINT) AS nchars_sum,
+         | CAST(sum(${duckU32("text", 7)}) AS BIGINT) AS content_sum
+         |FROM documents GROUP BY 1""".stripMargin,
+
     "k7_tar_roundtrip" ->
       s"""SELECT lang, CAST(count(*) AS BIGINT) AS cnt,
          | CAST(sum(doc_id) AS BIGINT) AS id_sum,
@@ -4189,6 +4371,35 @@ object SparkEntry {
          |  FROM c2 JOIN c1 USING (w1))
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
          | round(sum(lp6) / (count(*) * 1000000.0), 6) AS mean_logprob
+         |FROM wb JOIN lp USING (bg)
+         |GROUP BY 1""".stripMargin,
+
+    // t13's CTEs plus the KN model relations: forward/backward
+    // continuation counts and the 1-row bigram-type total; the score
+    // expression is written with IDENTICAL association both engines
+    "t18_kn_logprob" ->
+      s"""WITH t AS (SELECT doc_id, $DuckToks AS w FROM documents),
+         |big AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(w)),
+         |    i -> array_to_string(w[i:i+1], ' '))) AS bg
+         |  FROM t WHERE len(w) >= 2),
+         |wb AS (SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1,
+         |  split_part(bg, ' ', 2) AS w2 FROM big),
+         |c2 AS (SELECT bg, w1, w2, CAST(count(*) AS BIGINT) AS c2
+         |  FROM wb GROUP BY 1, 2, 3),
+         |c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1,
+         |  CAST(count(*) AS BIGINT) AS n1f FROM c2 GROUP BY 1),
+         |nb AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1b
+         |  FROM c2 GROUP BY 1),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS types FROM c2),
+         |lp AS (SELECT bg,
+         |  CAST(round(ln((c2 - 0.75) / c1
+         |    + 0.75 * n1f / c1 * (n1b / types)) * 1000000) AS BIGINT)
+         |    AS kn6
+         |  FROM c2 JOIN c1 USING (w1) JOIN nb USING (w2)
+         |  CROSS JOIN tot)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         | round(sum(kn6) / (count(*) * 1000000.0), 6) AS mean_kn_logprob
          |FROM wb JOIN lp USING (bg)
          |GROUP BY 1""".stripMargin,
 
@@ -4416,6 +4627,28 @@ object SparkEntry {
          |   ELSE ($a)::DOUBLE * 4294967296.0 / sum_int END, 4) AS est_hll
          |FROM agg JOIN ex USING (grp)""".stripMargin
     },
+
+    // the full CMS replicated relationally: registers from per-user
+    // exact counts (same totals the stream accumulates one event at a
+    // time), probed for the exact top-15
+    "q72_stream_cms" ->
+      s"""WITH c AS (
+         |  SELECT user_id, CAST(count(*) AS BIGINT) AS exact_c
+         |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+         |p AS (
+         |  SELECT user_id, exact_c, j,
+         |    ${duckU32("user_id::VARCHAR || '|' || j::VARCHAR", 333)}
+         |      % 512 AS pos
+         |  FROM c CROSS JOIN (SELECT unnest(range(4)) AS j) js),
+         |cms AS (
+         |  SELECT j, pos, CAST(sum(exact_c) AS BIGINT) AS reg
+         |  FROM p GROUP BY 1, 2),
+         |top AS (
+         |  SELECT user_id, exact_c FROM c
+         |  ORDER BY exact_c DESC, user_id LIMIT 15)
+         |SELECT t.user_id, t.exact_c, CAST(min(reg) AS BIGINT) AS est_c
+         |FROM top t JOIN p USING (user_id) JOIN cms USING (j, pos)
+         |GROUP BY 1, 2""".stripMargin,
 
     "q47_stream_hll" -> {
       val a = Sketches.alphaM2(256)

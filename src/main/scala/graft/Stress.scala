@@ -238,6 +238,22 @@ object Stress {
         .agg(sum(col("n_removed")).as("r"), sum(col("surv_sum")))
         .head().getLong(0)
     }
+    // CDC: boundary detection is per-row (no shuffle); the chunk-hash
+    // aggregate + membership join are md5-keyed — the curve should be
+    // near-linear while DUPLICATED chunk chars grow superlinearly
+    // (every copy shares chunks with every other copy)
+    t("d14_cdc_chunks") {
+      val c = Dedup.cdcChunks(docs, col("doc_id"), col("source"),
+        col("text"), window = 8, divisor = 64, seed = 29)
+        .persist()
+      try {
+        val freq = c.groupBy(col("ch")).agg(count(lit(1)).as("cnt"))
+        c.join(freq, Seq("ch"))
+          .agg(sum(when(col("cnt") >= 2, col("chunk_len")))
+            .as("dup_chars"))
+          .head().getLong(0)
+      } finally c.unpersist(false)
+    }
     // BPE: word-count+top-V is the corpus-scale part; training cost
     // is bounded by the vocab cap, apply is a codegen'd replace
     // chain — total should grow ~linearly with corpus size

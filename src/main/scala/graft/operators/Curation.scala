@@ -98,6 +98,47 @@ object Curation {
         col("start_off"), col("first_seq"), col("last_seq"))
   }
 
+  /** Length-bucketed batch assembly — the padding-waste minimizer of
+    * a training data loader: documents batched with SIMILAR-length
+    * neighbors pad to a near batch max, where arrival-order batching
+    * pads everything to whatever outlier landed in the batch.
+    *
+    * Buckets are `length(bin(n_toks + 1))` — the integer bit-length,
+    * i.e. power-of-two length classes — chosen over quantile ntile
+    * because it needs NO global pass (a corpus-wide ntile is a
+    * single-partition sort at 100 TB) and both engines compute it
+    * exactly (no transcendental parity risk). Within a bucket, docs
+    * are md5-ordered and cut into `batchSize` batches per
+    * (bucket, shard): the shard key bounds every window partition to
+    * ~n/(buckets·shards) rows, the packSequences trick — batches
+    * never cross shards, so assembly is embarrassingly parallel and
+    * deterministic at any partitioning.
+    *
+    * Returns the doc-level assignment (doc_id, n_toks, bucket, shard,
+    * batch_id); padding stats are one groupBy away (p5).
+    * `byLength = false` gives the naive arrival-order baseline (one
+    * bucket) for the comparison receipt. */
+  def lengthBucketedBatches(df: DataFrame, idCol: Column,
+      nToksCol: Column, batchSize: Int, shards: Int, seed: Int,
+      byLength: Boolean): DataFrame = {
+    require(batchSize > 0 && shards > 0,
+      s"batchSize=$batchSize shards=$shards must be positive")
+    val base = df.select(idCol.as("doc_id"),
+        nToksCol.cast("long").as("n_toks"))
+      .withColumn("bucket",
+        if (byLength) length(bin(col("n_toks") + 1)).cast("long")
+        else lit(0L))
+      .withColumn("shard",
+        pmod(Tables.hashU32(col("doc_id"), seed), lit(shards.toLong)))
+      .withColumn("__h", Tables.shuffleKey(col("doc_id"), seed + 1))
+    val w = Window.partitionBy(col("bucket"), col("shard"))
+      .orderBy(col("__h"), col("doc_id"))
+    base.withColumn("batch_id",
+        floor((row_number().over(w) - 1) / batchSize).cast("long"))
+      .select(col("doc_id"), col("n_toks"), col("bucket"), col("shard"),
+        col("batch_id"))
+  }
+
   /** Weighted sampling without replacement, Efraimidis–Spirakis style:
     * each row draws an md5-uniform u and scores key = u^(1/w); the k
     * largest keys ARE a weighted sample without replacement (heavier

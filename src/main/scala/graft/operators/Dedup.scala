@@ -701,6 +701,56 @@ object Dedup {
             x => x.isNotNull), " "), 13).as("surv_sum"))
   }
 
+  /** Content-defined chunking (CDC) — the blob-level dedup primitive
+    * for multimodal/file corpora (the chunk-store idea of LBFS,
+    * Muthitacharoen et al. SOSP'01, and FastCDC, Xia et al. ATC'16):
+    * chunk boundaries are a pure function of CONTENT (a boundary
+    * wherever the hash of the trailing `window` chars ≡ 0 mod
+    * `divisor`), so shared runs in different documents — or the same
+    * document shifted by an insertion — re-align on identical chunks
+    * after at most one boundary, where any fixed-size blocking stays
+    * misaligned forever. Mean chunk length ≈ `divisor` chars.
+    *
+    * Returns the chunk relation (doc_id, source, chunk_idx, chunk,
+    * ch = md5(chunk), chunk_len); dedup stats are one groupBy away
+    * (d14). Empty documents contribute no chunks.
+    *
+    * Scale shape: boundary detection and chunk slicing are per-row
+    * array HOFs (no shuffle, bounded by document length — the unit of
+    * the format); the only shuffles downstream are the chunk-hash
+    * aggregate and membership join, both keyed on md5 (uniform, no
+    * skew). The per-position md5 window hash here is the
+    * ORACLE-PARITY choice; a production 100 TB pass would swap in a
+    * rolling gear hash (O(1)/position, same boundary semantics) as a
+    * codegen'd Expression — the relational shape is unchanged.
+    */
+  def cdcChunks(docs: DataFrame, idCol: Column, srcCol: Column,
+      textCol: Column, window: Int, divisor: Int, seed: Int): DataFrame = {
+    require(window >= 2 && divisor >= 2,
+      s"window/divisor must be >= 2, got $window/$divisor")
+    docs.select(idCol.as("doc_id"), srcCol.as("source"),
+        textCol.as("text"))
+      .withColumn("n", length(col("text")))
+      .filter(col("n") > 0)
+      // boundary positions p (window <= p < n): chunk ends at p when
+      // the trailing window's hash divides; p = n is excluded so the
+      // final chunk is never empty
+      .withColumn("bps", when(col("n") > window,
+        filter(sequence(lit(window), col("n") - 1),
+          p => graft.Tables.hashU32(
+            col("text").substr(p - window + 1, lit(window)), seed)
+            % divisor === 0))
+        .otherwise(array().cast("array<int>")))
+      .withColumn("chunks", zip_with(
+        concat(array(lit(1)), transform(col("bps"), b => b + 1)),
+        concat(col("bps"), array(col("n"))),
+        (s, e) => col("text").substr(s, e - s + 1)))
+      .select(col("doc_id"), col("source"),
+        posexplode(col("chunks")).as(Seq("chunk_idx", "chunk")))
+      .withColumn("ch", md5(col("chunk")))
+      .withColumn("chunk_len", length(col("chunk")).cast("long"))
+  }
+
   /** Embedding-cosine near-dup: all pairs with cosine ≥ threshold.
     * Brute-force O(n²) pairing — correct at verification scale; at 100 TB
     * route candidates through

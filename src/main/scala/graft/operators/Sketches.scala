@@ -324,6 +324,40 @@ object Sketches {
           .as("est_value"))
   }
 
+  /** Count-min REGISTER maintenance from a raw (possibly streaming)
+    * key relation: each arriving key increments one register per hash
+    * row, so the register file is a single order-independent sum
+    * aggregate — legal as a streaming `complete`-mode aggregate and
+    * deterministic under any arrival order (the counts twin of
+    * [[hllRegisters]]). d·w longs of state regardless of stream
+    * length; the d-way explode of the stream is the honest streaming
+    * cost (exact pre-counting would need a second, disallowed,
+    * streaming aggregate). Probe with [[cmsProbe]]. */
+  def cmsRegisters(df: DataFrame, keyCol: Column, d: Int = 4,
+      w: Int = 512, seed: Int = 333): DataFrame =
+    df.select(keyCol.cast("string").as("k"))
+      .withColumn("j", explode(sequence(lit(0), lit(d - 1))))
+      .withColumn("pos", pmod(
+        Tables.hashU32(concat_ws("|", col("k"), col("j")), seed),
+        lit(w.toLong)))
+      .groupBy(col("j"), col("pos"))
+      .agg(count(lit(1)).as("reg"))
+
+  /** Probe a register file from [[cmsRegisters]] for the keys in
+    * `cand` (string column `k`, other columns carried through):
+    * est = min over the d row registers the key hashes to. */
+  def cmsProbe(regs: DataFrame, cand: DataFrame, d: Int = 4,
+      w: Int = 512, seed: Int = 333): DataFrame = {
+    val carry = cand.columns.map(col)
+    cand.withColumn("j", explode(sequence(lit(0), lit(d - 1))))
+      .withColumn("pos", pmod(
+        Tables.hashU32(concat_ws("|", col("k"), col("j")), seed),
+        lit(w.toLong)))
+      .join(regs, Seq("j", "pos"))
+      .groupBy(carry: _*)
+      .agg(min(col("reg")).as("est_c"))
+  }
+
   /** Count-min sketch heavy-hitter estimates: `d` hash rows × `w`
     * columns of integer counts (md5-positioned, bit_or-free plain sums
     * — order-independent, mergeable by addition), probed here for the

@@ -349,6 +349,54 @@ object TextAnalysis {
         round(col("s6") / (col("n_bigrams") * 1e6), 6).as("mean_logprob"))
   }
 
+  /** Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995; the
+    * Chen & Goodman 1998 interpolated form) — the modern-smoothing
+    * upgrade of [[bigramLogProb]]'s MLE scores and the LM
+    * quality-filter shape production corpora actually use:
+    *
+    *   P(w2|w1) = (c(w1w2) − D)/c(w1)
+    *            + D·N1+(w1·)/c(w1) · N1+(·w2)/|bigram types|
+    *
+    * with fixed discount D. The continuation weight N1+(·w2) scores
+    * how many CONTEXTS a word follows, not how often it occurs — the
+    * KN insight. Scoring corpus members against the corpus-trained
+    * model means every scored bigram has c ≥ 1, so the discounted
+    * term never clips (no unseen-backoff branch in either engine).
+    *
+    * Scale shape: identical to [[bigramLogProb]] — all model
+    * relations (c2/c1/N1+ forward/backward and the 1-row type count)
+    * aggregate the vocabulary-sized bigram relation, never the
+    * corpus, and broadcast back; log-probs are quantized to micro-nat
+    * integers AT the model relation (the t12/t13 parity discipline)
+    * so per-doc sums are order-independent longs. */
+  def knBigramLogProb(docs: DataFrame, idCol: Column, textCol: Column,
+      discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1, s"discount=$discount in (0,1)")
+    val big = explodedShingles(docs, idCol, textCol, 2)
+      .withColumn("w1", substring_index(col("shingle"), " ", 1))
+      .withColumn("w2", substring_index(col("shingle"), " ", -1))
+    val c2 = big.groupBy(col("shingle"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c2"))
+      .persistTracked() // read by c1, n1b, the type count, and lp
+    val c1 = c2.groupBy(col("w1"))
+      .agg(sum(col("c2")).as("c1"), count(lit(1)).as("n1f"))
+    val n1b = c2.groupBy(col("w2")).agg(count(lit(1)).as("n1b"))
+    val tot = c2.agg(count(lit(1)).as("types"))
+    val lp = c2.join(c1, "w1").join(n1b, "w2")
+      .crossJoin(broadcast(tot))
+      .select(col("shingle"),
+        round(log((col("c2") - lit(discount)) / col("c1")
+          + lit(discount) * col("n1f") / col("c1")
+            * (col("n1b") / col("types"))) * 1e6)
+          .cast("long").as("kn6"))
+    big.join(broadcast(lp), "shingle")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("kn6")).as("s6"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("s6") / (col("n_bigrams") * 1e6), 6)
+          .as("mean_kn_logprob"))
+  }
+
   /** Multinomial Naive Bayes language classifier trained INSIDE the
     * engine: word-count likelihoods with add-one smoothing on the
     * train split, argmax posterior on the test split, confusion

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.AvroShards
+
+class AvroShardsSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("name", StringType),
+    StructField("blob", BinaryType), StructField("score", DoubleType),
+    StructField("n", IntegerType), StructField("ok", BooleanType)))
+
+  private def mkDf(n: Int) = {
+    val rows = (0 until n).map { i =>
+      Row(i.toLong,
+        if (i % 7 == 3) null else s"doc-$i",
+        if (i % 5 == 4) null else Array.tabulate(i % 4)(j => (i + j).toByte),
+        i / 3.0, i * 2, i % 2 == 0)
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 3), schema)
+  }
+
+  test("container shards round-trip every supported type incl. nulls") {
+    val dir = java.nio.file.Files.createTempDirectory("avro").toString
+    val df = mkDf(57)
+    val shards = AvroShards.write(df, dir, "t", numShards = 4)
+    assert(shards.size == 4 && shards.map(_._2).sum == 57)
+    assert(shards.head._1.endsWith("t_00000-of-00004.avro"))
+    // on-disk files carry the container magic "Obj\x01"
+    val magic = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      shards.head._1.stripPrefix("file:"))).take(4)
+    assert(magic.toSeq == Seq[Byte]('O', 'b', 'j', 1))
+    val back = AvroShards.read(spark, s"$dir/t_*.avro", schema)
+    val a = df.orderBy("id").collect()
+    val b = back.orderBy("id").collect()
+    assert(b.length == 57)
+    a.zip(b).foreach { case (x, y) =>
+      assert(x.getLong(0) == y.getLong(0))
+      assert(x.isNullAt(1) == y.isNullAt(1))
+      if (!x.isNullAt(1)) assert(x.getString(1) == y.getString(1))
+      assert(x.isNullAt(2) == y.isNullAt(2))
+      if (!x.isNullAt(2))
+        assert(x.getAs[Array[Byte]](2).toSeq == y.getAs[Array[Byte]](2).toSeq)
+      assert(x.getDouble(3) == y.getDouble(3))
+      assert(x.getInt(4) == y.getInt(4))
+      assert(x.getBoolean(5) == y.getBoolean(5))
+    }
+  }
+
+  test("deflate codec round-trips and actually compresses") {
+    val dir = java.nio.file.Files.createTempDirectory("avro").toString
+    import spark.implicits._
+    // highly repetitive payload so deflate must win
+    val df = spark.range(200)
+      .select(col("id"), lit("a" * 500).as("pad"))
+    AvroShards.write(df, dir, "raw", 1, codec = "null")
+    AvroShards.write(df, dir, "z", 1, codec = "deflate")
+    def len(p: String) = new java.io.File(dir, p).length()
+    assert(len("z_00000-of-00001.avro") < len("raw_00000-of-00001.avro") / 5)
+    val back = AvroShards.read(spark, s"$dir/z_*.avro", df.schema)
+    assert(back.agg(sum("id")).head().getLong(0) == (0L until 200L).sum)
+    assert(back.select("pad").distinct().as[String].collect()
+      .toSeq == Seq("a" * 500))
+  }
+
+  test("reader resolves by name: reordered subset + absent field null") {
+    val dir = java.nio.file.Files.createTempDirectory("avro").toString
+    AvroShards.write(mkDf(10), dir, "t", 1)
+    val projected = StructType(Seq(
+      StructField("score", DoubleType),   // reordered vs writer
+      StructField("id", LongType),
+      StructField("missing", StringType))) // not written → null
+    val back = AvroShards.read(spark, s"$dir/t_*.avro", projected)
+      .orderBy("id").collect()
+    assert(back.length == 10)
+    back.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getDouble(0) == i / 3.0)
+      assert(r.getLong(1) == i.toLong)
+      assert(r.isNullAt(2))
+    }
+  }
+
+  test("unsupported leaf types are rejected at write time") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("avro").toString
+    val bad = Seq((1L, Seq(1.0, 2.0))).toDF("id", "arr")
+    val e = intercept[IllegalArgumentException] {
+      AvroShards.write(bad, dir, "bad", 1)
+    }
+    assert(e.getMessage.contains("unsupported Avro leaf type"))
+  }
+}

@@ -136,6 +136,41 @@ class CurationOpsSpec extends SparkSpec {
     assert(kept.toSet == again.toSet)
   }
 
+  test("lengthBucketedBatches: full batches, bounded waste, beats naive") {
+    // bimodal lengths (10s and 1000s): naive batches mix modes and pad
+    // the short docs to ~1000; bucketed batches keep modes apart
+    val df = spark.range(400)
+      .withColumn("n", when(col("id") % 2 === 0, col("id") % 7 + 10)
+        .otherwise(col("id") % 13 + 1000))
+    def assignment(byLength: Boolean) =
+      Curation.lengthBucketedBatches(df, col("id"), col("n"),
+        batchSize = 8, shards = 2, seed = 3, byLength = byLength)
+    val b = assignment(byLength = true)
+    // every doc assigned exactly once; batch sizes never exceed B and
+    // only the LAST batch of a (bucket, shard) may be short
+    assert(b.count() == 400 &&
+      b.select("doc_id").distinct().count() == 400)
+    val sizes = b.groupBy("bucket", "shard", "batch_id").count()
+    assert(sizes.filter(col("count") > 8).count() == 0)
+    val short = sizes.filter(col("count") < 8)
+      .select("bucket", "shard", "batch_id")
+      .as[(Long, Long, Long)].collect()
+    val lastBatch = b.groupBy("bucket", "shard")
+      .agg(max("batch_id").as("mx")).as[(Long, Long, Long)]
+      .collect().map { case (bu, sh, mx) => (bu, sh) -> mx }.toMap
+    short.foreach { case (bu, sh, bid) =>
+      assert(bid == lastBatch((bu, sh)), "short batch must be the last")
+    }
+    // bit-length classes bound within-batch spread → far less padding
+    def waste(byLength: Boolean): Long =
+      assignment(byLength)
+        .groupBy("bucket", "shard", "batch_id")
+        .agg((count(lit(1)) * max("n_toks") - sum("n_toks")).as("w"))
+        .agg(sum("w")).as[Long].head()
+    val (wb, wn) = (waste(true), waste(false))
+    assert(wb * 5 < wn, s"bucketed=$wb should be far below naive=$wn")
+  }
+
   test("weightedTopK: heavier rows overrepresented, sample deterministic") {
     // 500 light rows (w=10) + 500 heavy rows (w=1000): heavy rows carry
     // ~99% of the total weight and must dominate a 100-row sample

@@ -548,6 +548,50 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(counts.forall(_ <= 5))
   }
 
+  test("CDC chunking re-aligns shared content across shifted offsets") {
+    import spark.implicits._
+    // the same long payload embedded at DIFFERENT offsets in two docs:
+    // content-defined boundaries must re-align so the two docs share
+    // chunks; a third unrelated doc must share none. Payload is
+    // md5-varied (not periodic) so boundaries actually occur.
+    val payload = (0 until 40).map(i =>
+      java.util.UUID.nameUUIDFromBytes(s"cdc$i".getBytes).toString)
+      .mkString(" ")
+    val docs = Seq(
+      (1L, "a", "PREFIX-ONE " + payload),
+      (2L, "b", "a completely different and much longer prefix text " +
+        payload),
+      (3L, "c", (0 until 40).map(i =>
+        java.util.UUID.nameUUIDFromBytes(s"other$i".getBytes).toString)
+        .mkString(" "))
+    ).toDF("doc_id", "source", "text")
+    val c = Dedup.cdcChunks(docs, col("doc_id"), col("source"),
+      col("text"), window = 8, divisor = 64, seed = 29)
+    // chunks concatenate back to the exact original text per doc
+    val rebuilt = c.groupBy("doc_id")
+      .agg(concat_ws("", array_sort(collect_list(
+        struct(col("chunk_idx"), col("chunk")))).getField("chunk"))
+        .as("re"))
+      .join(docs, "doc_id")
+      .filter(col("re") =!= col("text")).count()
+    assert(rebuilt == 0, "chunks must reassemble the original text")
+    val byDoc = c.select("doc_id", "ch").as[(Long, String)].collect()
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val shared12 = (byDoc(1L) intersect byDoc(2L)).size
+    assert(shared12 >= 3,
+      s"shifted shared payload must re-align on chunks, got $shared12")
+    assert((byDoc(1L) intersect byDoc(3L)).isEmpty)
+    // fixed-size blocking at the same mean length finds NO shared
+    // blocks across the shifted copies — the property CDC buys
+    val fixed = docs.select(col("doc_id"), posexplode(
+      split(col("text"), "(?<=\\G.{64})")).as(Seq("i", "blk")))
+      .withColumn("bh", md5(col("blk")))
+      .select("doc_id", "bh").as[(Long, String)].collect()
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    assert((fixed(1L) intersect fixed(2L)).isEmpty,
+      "fixed blocking should stay misaligned under a shift")
+  }
+
   test("IVF ANN finds identical-direction vectors and bounds candidates") {
     val emb = Tables.embeddings(spark, Sf0001).filter(col("vec_id") % 5 === 0)
     val exact = Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", 5)

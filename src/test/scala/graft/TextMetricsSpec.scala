@@ -8,6 +8,48 @@ import graft.operators.{Metrics, TextAnalysis}
 class TextMetricsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("Kneser-Ney scores match a hand-computed model; mass sums to 1") {
+    val corpus = Seq((1L, "a b a b c"), (2L, "a b c d"), (3L, "d a"))
+    val docs = corpus.toDF("doc_id", "text")
+    // independent plain-Scala model build (same corpus, same formula)
+    val bigs = corpus.flatMap { case (id, t) =>
+      t.split(" ").sliding(2).filter(_.length == 2)
+        .map(p => (id, p(0), p(1)))
+    }
+    val c2 = bigs.groupBy(b => (b._2, b._3)).view.mapValues(_.size).toMap
+    val c1 = c2.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val n1f = c2.groupBy(_._1._1).view.mapValues(_.size).toMap
+    val n1b = c2.groupBy(_._1._2).view.mapValues(_.size).toMap
+    val types = c2.size.toDouble
+    val D = 0.75
+    def p(w1: String, w2: String): Double =
+      c2.getOrElse((w1, w2), 0) match {
+        case 0 => D * n1f(w1) / c1(w1) * (n1b(w2) / types)
+        case c => (c - D) / c1(w1) + D * n1f(w1) / c1(w1) *
+          (n1b(w2) / types)
+      }
+    // the KN invariant: P(·|w1) over the full vocab sums to exactly 1
+    val vocab = (n1b.keySet ++ c1.keySet).toSeq
+    c1.keys.foreach { w1 =>
+      val mass = vocab.map(p(w1, _)).sum
+      assert(math.abs(mass - 1.0) < 1e-9, s"mass($w1)=$mass")
+    }
+    def kn6(w1: String, w2: String): Long =
+      math.round(math.log(p(w1, w2)) * 1e6)
+    val expected = corpus.map { case (id, t) =>
+      val bs = t.split(" ").sliding(2).filter(_.length == 2).toSeq
+      val s6 = bs.map(b => kn6(b(0), b(1))).sum
+      id -> (bs.size.toLong,
+        BigDecimal(s6 / (bs.size * 1e6))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toMap
+    val got = TextAnalysis.knBigramLogProb(docs, col("doc_id"),
+        col("text"))
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == expected)
+  }
+
   test("NB classifier separates disjoint vocabularies perfectly") {
     // two languages with disjoint vocab; test docs (id%5=0) use only
     // their language's words → the confusion matrix must be diagonal
