@@ -850,7 +850,7 @@ object SparkEntry {
     "d14_cdc_chunks" -> ((s, d) => {
       // read twice (frequency build + membership join): chunk once
       val c = Dedup.cdcChunks(Tables.documents(s, d), col("doc_id"),
-        col("source"), col("text"), window = 8, divisor = 64, seed = 29)
+        col("source"), col("text"), window = 8, divisor = 61, seed = 29)
         .persistTracked()
       val freq = c.groupBy(col("ch")).agg(count(lit(1)).as("cnt"))
       c.join(freq, Seq("ch"))
@@ -908,6 +908,18 @@ object SparkEntry {
       Curation.packSequences(counts, col("doc_id"), col("source"),
         col("bpe_toks"), ctxLen = 128, seed = 17, buckets = 8)
     }),
+
+    // Gopher composite quality gate: seven rules, one bit per
+    // violation, all ratio thresholds as exact integer
+    // cross-multiplications — the audit-friendly corpus filter
+    // (minWords lowered and the stopword list corpus-adapted — the
+    // synthetic corpus has no English function words beyond the/a —
+    // so the gate exercises BOTH outcomes instead of one blanket
+    // flag; the operator's default list is the canonical Gopher one)
+    "t19_gopher_quality" -> ((s, d) =>
+      TextAnalysis.gopherQuality(Tables.documents(s, d), col("doc_id"),
+        col("text"), minWords = 20,
+        stops = Seq("the", "a", "data", "table", "value", "query"))),
 
     // interpolated Kneser-Ney bigram scores — t13's MLE upgraded with
     // absolute discounting + continuation probability (how many
@@ -1045,6 +1057,16 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       Similarity.pqTopK(emb, emb.filter(col("vec_id") % 25 === 0),
         "vec_id", "embedding", topK = 5)
+    }),
+
+    // scalar quantization (SQ8): per-dim 8-bit codes against the
+    // corpus [min,max] ranges, pair distance a pure integer sum of
+    // squared code deltas — the third compression scheme next to PQ
+    // (s6) and residual PQ (s11), byte-exact in both engines
+    "s12_sq8" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.sq8TopK(emb, emb.filter(col("vec_id") % 25 === 0),
+        "vec_id", "embedding", k = 5)
     }),
 
     // the full train→index→search loop: the trained codebook from s4's
@@ -1200,6 +1222,28 @@ object SparkEntry {
         numShards = 5, codec = "deflate")
       val back = graft.sources.AvroShards.read(
         s, s"$scratch/documents_*.avro", docs.schema)
+      back.groupBy(col("lang"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("doc_id")).as("id_sum"),
+          sum(col("n_chars")).as("nchars_sum"),
+          sum(Tables.hashU32(col("text"), 7)).as("content_sum"))
+    }),
+
+    // SPLITTABLE Avro read: the whole table in ONE container file,
+    // read back as sync-marker byte ranges (64 KB targets → many
+    // tasks over one shard) — the format property that outgrows the
+    // file-per-task contract; the k9 oracle proves every block is
+    // consumed by exactly one range (no loss, no double-read)
+    "k10_avro_split" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(
+        col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"))
+      val scratch = scratchDir("graft_avrosplit", d)
+      graft.sources.AvroShards.write(docs, scratch, "documents",
+        numShards = 1)
+      val back = graft.sources.AvroShards.readSplit(
+        s, s"$scratch/documents_*.avro", docs.schema,
+        targetSplitBytes = 64L << 10)
       back.groupBy(col("lang"))
         .agg(count(lit(1)).as("cnt"),
           sum(col("doc_id")).as("id_sum"),
@@ -3346,16 +3390,24 @@ object SparkEntry {
          |FROM m""".stripMargin,
 
     // the same content-defined boundary rule as list HOFs: boundary
-    // positions by trailing-window hash, chunks sliced between
-    // consecutive boundaries, then chunk-hash frequency stats
-    "d14_cdc_chunks" ->
+    // positions by the unrolled base-131 polynomial over the trailing
+    // window's (codepoint % 256)s — bit-identical integer math in
+    // both engines — chunks sliced between consecutive boundaries,
+    // then chunk-hash frequency stats
+    "d14_cdc_chunks" -> {
+      val poly = (0 until 8).map { j =>
+        val coef = (0 until j).foldLeft(1L)((a, _) => a * 131L)
+        s"(cps[p - $j]::BIGINT * ${coef}::BIGINT)"
+      }.mkString(" + ")
       s"""WITH t AS (
-         |  SELECT doc_id, source, text, length(text) AS n
+         |  SELECT doc_id, source, text, length(text) AS n,
+         |    list_transform(str_split(text, ''), c -> ord(c) % 256)
+         |      AS cps
          |  FROM documents WHERE length(text) > 0),
          |b AS (
          |  SELECT source, text, n,
          |    list_filter(range(8, n),
-         |      p -> ${duckU32("substr(text, p - 7, 8)", 29)} % 64 = 0)
+         |      p -> ($poly + 29) % 61 = 0)
          |      AS bps
          |  FROM t),
          |e AS (
@@ -3378,7 +3430,8 @@ object SparkEntry {
          | CAST(sum(CASE WHEN cnt >= 2 THEN len ELSE 0 END) AS BIGINT)
          |   AS dup_chars,
          | CAST(count(DISTINCT ch) AS BIGINT) AS uniq_chunks
-         |FROM c JOIN f USING (ch) GROUP BY 1""".stripMargin,
+         |FROM c JOIN f USING (ch) GROUP BY 1""".stripMargin
+    },
 
     // d8's simhash-pair CTEs, then 3 unrolled integer PageRank rounds
     "d12_pagerank" ->
@@ -3993,6 +4046,41 @@ object SparkEntry {
 
     // PQ: the seed ranks are subspace-independent (the sampler hashes
     // only vec_id), so one global row_number serves all 8 codebooks
+    // per-dim min/max as an ordered-list relation, codes by the same
+    // floor/clamp expression, integer squared-code-delta distances
+    "s12_sq8" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings),
+        |st AS (
+        |  SELECT u.pos AS pos, min(u.x) AS mn, max(u.x) AS mx FROM (
+        |    SELECT unnest(list_transform(range(0, len(v)),
+        |      j -> struct_pack(pos := j, x := v[j+1]))) AS u
+        |    FROM e) GROUP BY 1),
+        |stl AS (
+        |  SELECT list(mn ORDER BY pos) AS mns,
+        |    list(mx ORDER BY pos) AS mxs
+        |  FROM st),
+        |codes AS (
+        |  SELECT vec_id, list_transform(range(1, len(v) + 1),
+        |    j -> CASE WHEN mxs[j] > mns[j] THEN
+        |      least(255, greatest(0, CAST(floor(
+        |        (v[j] - mns[j]) / (mxs[j] - mns[j]) * 256) AS BIGINT)))
+        |      ELSE 0 END) AS cd
+        |  FROM e CROSS JOIN stl),
+        |sc AS (
+        |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+        |    CAST(list_reduce(list_transform(range(1, len(q.cd) + 1),
+        |      j -> (q.cd[j] - n.cd[j]) * (q.cd[j] - n.cd[j])),
+        |      (a, b) -> a + b) AS BIGINT) AS sqdist
+        |  FROM codes q CROSS JOIN codes n
+        |  WHERE q.vec_id % 25 = 0 AND n.vec_id <> q.vec_id)
+        |SELECT query_id, rank, neighbor_id, sqdist FROM (
+        |  SELECT query_id, neighbor_id, sqdist,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY sqdist, neighbor_id) AS BIGINT) AS rank
+        |  FROM sc) WHERE rank <= 5""".stripMargin,
+
     "s6_pq_adc" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
@@ -4192,6 +4280,15 @@ object SparkEntry {
          | CAST(sum(${duckU32("text", 7)}) AS BIGINT) AS content_sum
          |FROM documents GROUP BY 1""".stripMargin,
 
+    // identical oracle again: the split read must reproduce exactly
+    // the content the whole-file read does
+    "k10_avro_split" ->
+      s"""SELECT lang, CAST(count(*) AS BIGINT) AS cnt,
+         | CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         | CAST(sum(n_chars) AS BIGINT) AS nchars_sum,
+         | CAST(sum(${duckU32("text", 7)}) AS BIGINT) AS content_sum
+         |FROM documents GROUP BY 1""".stripMargin,
+
     "k7_tar_roundtrip" ->
       s"""SELECT lang, CAST(count(*) AS BIGINT) AS cnt,
          | CAST(sum(doc_id) AS BIGINT) AS id_sum,
@@ -4373,6 +4470,53 @@ object SparkEntry {
          | round(sum(lp6) / (count(*) * 1000000.0), 6) AS mean_logprob
          |FROM wb JOIN lp USING (bg)
          |GROUP BY 1""".stripMargin,
+
+    // the seven Gopher rules as list HOFs + integer cross-multiplied
+    // thresholds; regexp_replace carries the 'g' flag (DuckDB is
+    // first-match-only by default, Spark replaces all)
+    "t19_gopher_quality" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, lower(text) AS txt, $DuckToks AS w,
+         |    string_split(lower(text), chr(10)) AS lines
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id,
+         |   CAST(len(w) AS BIGINT) AS nw,
+         |   CAST(coalesce(list_sum(list_transform(w,
+         |     t -> length(t))), 0) AS BIGINT) AS chars,
+         |   CAST(len(lines) AS BIGINT) AS nlines,
+         |   CAST(len(list_filter(lines,
+         |     l -> regexp_matches(ltrim(l), '^[-*•]'))) AS BIGINT)
+         |     AS nbullet,
+         |   CAST(len(list_filter(lines,
+         |     l -> regexp_matches(rtrim(l), '\\.\\.\\.$$'))) AS BIGINT)
+         |     AS nell,
+         |   CAST(length(txt) - length(replace(txt, '#', ''))
+         |     + (length(txt) - length(replace(txt, '...', ''))) // 3
+         |     AS BIGINT) AS nsym,
+         |   CAST(len(list_filter(w,
+         |     t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS nalpha,
+         |   CAST(len(list_intersect(list_distinct(list_transform(w,
+         |     t -> regexp_replace(t, '^[^a-z]+|[^a-z]+$$', '', 'g'))),
+         |     ['the','a','data','table','value','query']))
+         |     AS BIGINT) AS nstop
+         |  FROM b),
+         |r AS (
+         |  SELECT doc_id, nw,
+         |   (CASE WHEN nw < 20 OR nw > 100000 THEN 1 ELSE 0 END
+         |    + CASE WHEN NOT (3 * nw <= chars AND chars <= 10 * nw)
+         |        THEN 2 ELSE 0 END
+         |    + CASE WHEN 10 * nsym > nw THEN 4 ELSE 0 END
+         |    + CASE WHEN 10 * nbullet > 9 * nlines THEN 8 ELSE 0 END
+         |    + CASE WHEN 10 * nell > 3 * nlines THEN 16 ELSE 0 END
+         |    + CASE WHEN 5 * nalpha < 4 * nw THEN 32 ELSE 0 END
+         |    + CASE WHEN nstop < 2 THEN 64 ELSE 0 END) AS reasons
+         |  FROM m)
+         |SELECT doc_id, CAST(nw AS BIGINT) AS n_words,
+         | CAST(reasons AS BIGINT) AS reasons,
+         | CAST(CASE WHEN reasons = 0 THEN 1 ELSE 0 END AS BIGINT)
+         |   AS keep
+         |FROM r""".stripMargin,
 
     // t13's CTEs plus the KN model relations: forward/backward
     // continuation counts and the 1-row bigram-type total; the score

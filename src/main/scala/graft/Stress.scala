@@ -244,7 +244,7 @@ object Stress {
     // (every copy shares chunks with every other copy)
     t("d14_cdc_chunks") {
       val c = Dedup.cdcChunks(docs, col("doc_id"), col("source"),
-        col("text"), window = 8, divisor = 64, seed = 29)
+        col("text"), window = 8, divisor = 61, seed = 29)
         .persist()
       try {
         val freq = c.groupBy(col("ch")).agg(count(lit(1)).as("cnt"))

@@ -719,15 +719,45 @@ object Dedup {
     * array HOFs (no shuffle, bounded by document length — the unit of
     * the format); the only shuffles downstream are the chunk-hash
     * aggregate and membership join, both keyed on md5 (uniform, no
-    * skew). The per-position md5 window hash here is the
-    * ORACLE-PARITY choice; a production 100 TB pass would swap in a
-    * rolling gear hash (O(1)/position, same boundary semantics) as a
-    * codegen'd Expression — the relational shape is unchanged.
+    * skew). The boundary hash is an unrolled degree-(window−1)
+    * polynomial over the trailing window's codepoints (base 131, the
+    * gear-hash family) — pure integer multiply-adds inside
+    * whole-stage codegen, ~8 scalar ops per position where an md5
+    * window hash costs a digest + hex decode per position (measured
+    * 5× slower at sf0.1). Both engines compute it bit-identically.
+    * Use a PRIME divisor: a power of two degenerates through the
+    * base's power cycle mod 2^k and fires boundaries off only a few
+    * character positions.
     */
   def cdcChunks(docs: DataFrame, idCol: Column, srcCol: Column,
       textCol: Column, window: Int, divisor: Int, seed: Int): DataFrame = {
     require(window >= 2 && divisor >= 2,
       s"window/divisor must be >= 2, got $window/$divisor")
+    // h(p) = seed + Σ_{j<window} (cp(text[p−j]) % 256)·131^j, read
+    // from a per-doc codepoint array decoded ONCE — substr(p, 1) on a
+    // UTF8 string is an O(p) walk (variable-length encoding), so
+    // per-position substrs would make boundary detection O(n²·w) per
+    // doc (measured 4× slower than even the md5 variant at sf0.1);
+    // element_at on the int array is O(1). The array is BOUND AS A
+    // LAMBDA VARIABLE (transform over a 1-element wrapper): a plain
+    // projected column gets inlined by CollapseProject into all
+    // `window` element_at references — re-decoding the whole string
+    // per position — while a lambda argument is evaluated exactly
+    // once per row, which Catalyst cannot inline through. The % 256
+    // caps each term so the sum stays ≤ 255·Σ131^j ≈ 1.3e15 — far
+    // inside BIGINT in BOTH engines (DuckDB THROWS on overflow where
+    // Java wraps, so unbounded codepoints would break parity on
+    // astral-plane text, not just hash badly).
+    require(window <= 8, s"window must be <= 8 (131^8 overflows), got $window")
+    val coef: IndexedSeq[Long] =
+      (0 until window).map(j => (0 until j).foldLeft(1L)((a, _) => a * 131L))
+    val cpsExpr = transform(
+      filter(split(col("text"), ""), ch => ch =!= ""),
+      ch => ascii(ch).cast("long") % 256)
+    def boundaryHash(cps: Column, p: Column): Column =
+      (0 until window).map(j =>
+        element_at(cps, p - j) * lit(coef(j)))
+        .reduce(_ + _) + lit(seed.toLong)
     docs.select(idCol.as("doc_id"), srcCol.as("source"),
         textCol.as("text"))
       .withColumn("n", length(col("text")))
@@ -736,10 +766,9 @@ object Dedup {
       // the trailing window's hash divides; p = n is excluded so the
       // final chunk is never empty
       .withColumn("bps", when(col("n") > window,
-        filter(sequence(lit(window), col("n") - 1),
-          p => graft.Tables.hashU32(
-            col("text").substr(p - window + 1, lit(window)), seed)
-            % divisor === 0))
+        element_at(transform(array(cpsExpr), cps =>
+          filter(sequence(lit(window), col("n") - 1),
+            p => boundaryHash(cps, p) % divisor === 0)), 1))
         .otherwise(array().cast("array<int>")))
       .withColumn("chunks", zip_with(
         concat(array(lit(1)), transform(col("bps"), b => b + 1)),

@@ -569,6 +569,65 @@ object Similarity {
     cb
   }
 
+  /** Scalar-quantized (SQ8) symmetric search — the third compression
+    * scheme next to product quantization (s6/s7) and residual PQ
+    * (s11), and the simplest one production vector stores ship: each
+    * DIMENSION is quantized independently to an 8-bit code against
+    * the corpus per-dimension [min, max] range, so a 64-dim float
+    * vector becomes 64 bytes and the pair distance is a pure INTEGER
+    * sum of squared code deltas (symmetric SQ distance — both sides
+    * quantized, no float math at search time, bit-exact in any
+    * engine and order-independent under any partitioning).
+    *
+    * Quantization: code = clamp(⌊(x − min)/(max − min)·256⌋, 0, 255)
+    * (floor, not round — no .5 tie to drift between engines);
+    * constant dimensions (max = min) code to 0. The per-dim stats are
+    * a d-row relation collected driver-side — bounded by
+    * DIMENSIONALITY, not the corpus (the centroid-collect precedent)
+    * — and embedded as array literals so codegen sees constants.
+    *
+    * Like s6, the q×n scan is the deliberate compressed-EXHAUSTIVE
+    * baseline (the corpus is d bytes per vector at search time);
+    * corpus-scale callers route candidates through the IVF pre-prune
+    * first ([[ivfTopKWith]]) and SQ-score inside probed cells only.
+    * Returns (query_id, rank, neighbor_id, sqdist). */
+  def sq8TopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val stats = corpus
+      .select(posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(min(col("x").cast("double")).as("mn"),
+        max(col("x").cast("double")).as("mx"))
+      .orderBy(col("pos")).collect()
+    val minsL = lit(stats.map(_.getDouble(1)))
+    val maxsL = lit(stats.map(_.getDouble(2)))
+    def codes(vec: Column): Column =
+      transform(vec, (x, i) => {
+        val mn = element_at(minsL, i + 1)
+        val mx = element_at(maxsL, i + 1)
+        when(mx > mn,
+          least(lit(255L), greatest(lit(0L),
+            floor((x.cast("double") - mn) / (mx - mn) * 256)
+              .cast("long"))))
+          .otherwise(lit(0L))
+      })
+    val q = queries.select(col(idCol).as("query_id"),
+      codes(col(vecCol)).as("qc"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      codes(col(vecCol)).as("cc"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sqdist", aggregate(
+        zip_with(col("qc"), col("cc"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, v) => acc + v))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sqdist").asc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("sqdist"))
+  }
+
   /** PQ-ADC approximate top-k: queries score every corpus vector as the
     * sum over subspaces of the query-to-centroid distance of the
     * vector's CODE — the classic asymmetric-distance computation. The

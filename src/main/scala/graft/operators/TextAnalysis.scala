@@ -349,6 +349,66 @@ object TextAnalysis {
         round(col("s6") / (col("n_bigrams") * 1e6), 6).as("mean_logprob"))
   }
 
+  /** Gopher-style composite quality gate (Rae et al. 2021,
+    * arXiv:2112.11446, Appendix A1.1 — the rule set production
+    * corpora actually deploy): seven document-level rules, each
+    * violation setting one bit of a `reasons` mask so downstream can
+    * audit WHY a document dropped, not just that it did:
+    *
+    *   bit 1  word count outside [minWords, maxWords]
+    *   bit 2  mean word length outside [3, 10]
+    *   bit 4  symbol-to-word ratio ('#' or '...') > 0.1
+    *   bit 8  > 90% of lines start with a bullet
+    *   bit 16 > 30% of lines end with an ellipsis
+    *   bit 32 < 80% of words contain an alphabetic character
+    *   bit 64 fewer than 2 distinct required stopwords present
+    *
+    * Every ratio rule is an exact INTEGER cross-multiplication
+    * (10·sym ≤ words, 5·alpha ≥ 4·words, …) — no float thresholds to
+    * drift between engines. Pure per-row map work: no shuffle, no
+    * model state; at 100 TB this is a scan-speed filter.
+    * Returns (doc_id, n_words, reasons, keep ∈ {0,1}). */
+  def gopherQuality(docs: DataFrame, idCol: Column, textCol: Column,
+      minWords: Int = 50, maxWords: Int = 100000,
+      stops: Seq[String] = Seq("the", "be", "to", "of", "and", "that",
+        "have", "with")): DataFrame = {
+    val base = docs.select(idCol.as("doc_id"),
+        lower(textCol).as("txt"), tokens(textCol).as("w"))
+      .withColumn("nw", size(col("w")).cast("long"))
+      .withColumn("chars", aggregate(col("w"), lit(0L),
+        (a, t) => a + length(t)))
+      .withColumn("lines", split(col("txt"), "\n"))
+      .withColumn("nlines", size(col("lines")).cast("long"))
+      .withColumn("nbullet", size(filter(col("lines"),
+        l => ltrim(l).rlike("^[-*•]"))).cast("long"))
+      .withColumn("nell", size(filter(col("lines"),
+        l => rtrim(l).rlike("\\.\\.\\.$"))).cast("long"))
+      .withColumn("nsym",
+        (length(col("txt")) - length(replace(col("txt"), lit("#"),
+          lit("")))).cast("long")
+          + floor((length(col("txt")) - length(replace(col("txt"),
+            lit("..."), lit("")))) / 3).cast("long"))
+      .withColumn("nalpha", size(filter(col("w"),
+        t => t.rlike("[a-z]"))).cast("long"))
+      .withColumn("nstop", size(array_intersect(
+        array_distinct(transform(col("w"),
+          t => regexp_replace(t, "^[^a-z]+|[^a-z]+$", ""))),
+        array(stops.map(lit): _*))).cast("long"))
+    def bit(cond: Column, b: Int): Column =
+      when(cond, lit(b.toLong)).otherwise(lit(0L))
+    base.withColumn("reasons",
+        bit(col("nw") < minWords || col("nw") > maxWords, 1)
+          + bit(!(lit(3) * col("nw") <= col("chars") &&
+            col("chars") <= lit(10) * col("nw")), 2)
+          + bit(lit(10) * col("nsym") > col("nw"), 4)
+          + bit(lit(10) * col("nbullet") > lit(9) * col("nlines"), 8)
+          + bit(lit(10) * col("nell") > lit(3) * col("nlines"), 16)
+          + bit(lit(5) * col("nalpha") < lit(4) * col("nw"), 32)
+          + bit(col("nstop") < 2, 64))
+      .select(col("doc_id"), col("nw").as("n_words"), col("reasons"),
+        when(col("reasons") === 0, 1L).otherwise(0L).as("keep"))
+  }
+
   /** Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995; the
     * Chen & Goodman 1998 interpolated form) — the modern-smoothing
     * upgrade of [[bigramLogProb]]'s MLE scores and the LM

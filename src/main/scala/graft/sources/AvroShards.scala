@@ -4,9 +4,11 @@ import java.io.BufferedInputStream
 import java.nio.ByteBuffer
 
 import org.apache.avro.{Schema, SchemaBuilder}
-import org.apache.avro.file.{CodecFactory, DataFileStream, DataFileWriter}
+import org.apache.avro.file.{CodecFactory, DataFileReader, DataFileStream,
+  DataFileWriter}
 import org.apache.avro.generic.{GenericData, GenericDatumReader,
   GenericDatumWriter, GenericRecord}
+import org.apache.avro.mapred.FsInput
 import org.apache.avro.util.Utf8
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
@@ -102,10 +104,30 @@ object AvroShards {
     }.collect().toSeq.sortBy(_._1)
   }
 
+  /** Convert one decoded record to a Row under the requested Spark
+    * schema: fields resolved BY NAME against the writer schema
+    * (absent → null), Avro runtime types unwrapped. */
+  private def toRow(rec: GenericRecord, fieldIdx: Array[Schema.Field],
+      types: Array[DataType]): Row =
+    Row.fromSeq(fieldIdx.indices.map { i =>
+      val f = fieldIdx(i)
+      val v = if (f == null) null else rec.get(f.pos())
+      (v, types(i)) match {
+        case (null, _) => null
+        case (u: Utf8, StringType) => u.toString
+        case (s: CharSequence, StringType) => s.toString
+        case (b: java.nio.ByteBuffer, BinaryType) =>
+          val a = new Array[Byte](b.remaining()); b.get(a); a
+        case (x, _) => x
+      }
+    })
+
   /** Read Avro container shards matching `pattern` into rows of
     * `schema`, resolving fields by name against each shard's embedded
     * writer schema (missing fields read as null, extra writer fields
-    * are ignored). Streams each shard; parallelism = files. */
+    * are ignored). Streams each shard; parallelism = files — see
+    * [[readSplit]] for the sync-marker byte-range path when shards
+    * are large. */
   def read(spark: SparkSession, pattern: String, schema: StructType,
       minPartitions: Int = 0): DataFrame = {
     val mp = if (minPartitions > 0) minPartitions
@@ -135,21 +157,61 @@ object AvroShards {
               h
             }
           }
-          override def next(): Row = {
-            val rec = in.next()
-            Row.fromSeq(fieldIdx.indices.map { i =>
-              val f = fieldIdx(i)
-              val v = if (f == null) null else rec.get(f.pos())
-              (v, types(i)) match {
-                case (null, _) => null
-                case (u: Utf8, StringType) => u.toString
-                case (s: CharSequence, StringType) => s.toString
-                case (b: ByteBuffer, BinaryType) =>
-                  val a = new Array[Byte](b.remaining()); b.get(a); a
-                case (x, _) => x
-              }
-            })
+          override def next(): Row = toRow(in.next(), fieldIdx, types)
+        }
+      }
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** SPLITTABLE read: one task per byte range, each range synced to
+    * the container's next 16-byte sync marker — the Hadoop Avro split
+    * contract (`sync(start)` then read while `!pastSync(end)`, so
+    * every block is consumed by exactly one range). This is the
+    * format property that makes Avro corpora scale past the
+    * file-per-task contract TFRecord/tar are stuck with: a single
+    * 100 GB shard still fans out across the cluster. The driver-side
+    * work is one glob listing (paths + lengths only). */
+  def readSplit(spark: SparkSession, pattern: String, schema: StructType,
+      targetSplitBytes: Long = 32L << 20): DataFrame = {
+    require(targetSplitBytes > 0,
+      s"targetSplitBytes must be positive, got $targetSplitBytes")
+    val names = schema.fieldNames
+    val types = schema.fields.map(_.dataType)
+    val conf = new SerializableHadoopConf(
+      spark.sessionState.newHadoopConf())
+    val globPath = new Path(pattern)
+    val fs = globPath.getFileSystem(conf.value)
+    val ranges = fs.globStatus(globPath).toSeq.flatMap { st =>
+      (0L until st.getLen by targetSplitBytes).map { start =>
+        (st.getPath.toString, start,
+          math.min(start + targetSplitBytes, st.getLen))
+      }
+    }
+    require(ranges.nonEmpty, s"no files match $pattern")
+    val rows = spark.sparkContext
+      .parallelize(ranges, ranges.size)
+      .flatMap { case (p, start, end) =>
+        val in = new FsInput(new Path(p), conf.value)
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ =>
+            try in.close() catch { case _: java.io.IOException => () }))
+        val reader = new DataFileReader[GenericRecord](in,
+          new GenericDatumReader[GenericRecord]())
+        reader.sync(start)
+        val writerSchema = reader.getSchema
+        val fieldIdx: Array[Schema.Field] =
+          names.map(n => writerSchema.getField(n))
+        new Iterator[Row] {
+          private var done = false
+          override def hasNext: Boolean = {
+            if (done) false
+            else {
+              val h = reader.hasNext && !reader.pastSync(end)
+              if (!h) { reader.close(); done = true }
+              h
+            }
           }
+          override def next(): Row = toRow(reader.next(), fieldIdx, types)
         }
       }
     spark.createDataFrame(rows, schema)

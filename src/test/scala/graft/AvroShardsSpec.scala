@@ -83,6 +83,31 @@ class AvroShardsSpec extends SparkSpec {
     }
   }
 
+  test("split read: byte ranges cover one shard exactly once") {
+    val dir = java.nio.file.Files.createTempDirectory("avro").toString
+    import spark.implicits._
+    // one ~1 MB shard: forces many 64 KB ranges, with split points
+    // landing mid-block — sync()/pastSync() must hand every block to
+    // exactly one range
+    val df = spark.range(4000)
+      .select(col("id"), concat(lit("pad-"), col("id"),
+        lit("x" * 200)).as("payload"))
+    AvroShards.write(df, dir, "big", numShards = 1)
+    val back = AvroShards.readSplit(spark, s"$dir/big_*.avro",
+      df.schema, targetSplitBytes = 64L << 10)
+    assert(back.rdd.getNumPartitions > 4, "expected many byte ranges")
+    // exactly-once: 4000 distinct ids, nothing lost, nothing doubled
+    assert(back.count() == 4000)
+    assert(back.select("id").distinct().count() == 4000)
+    val s = back.orderBy("id").as[(Long, String)].collect()
+    val o = df.orderBy("id").as[(Long, String)].collect()
+    assert(s.sameElements(o))
+    // degenerate split larger than the file behaves like read()
+    val one = AvroShards.readSplit(spark, s"$dir/big_*.avro",
+      df.schema, targetSplitBytes = 1L << 30)
+    assert(one.rdd.getNumPartitions == 1 && one.count() == 4000)
+  }
+
   test("unsupported leaf types are rejected at write time") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("avro").toString

@@ -566,7 +566,7 @@ class DedupSimilaritySpec extends SparkSpec {
         .mkString(" "))
     ).toDF("doc_id", "source", "text")
     val c = Dedup.cdcChunks(docs, col("doc_id"), col("source"),
-      col("text"), window = 8, divisor = 64, seed = 29)
+      col("text"), window = 8, divisor = 61, seed = 29)
     // chunks concatenate back to the exact original text per doc
     val rebuilt = c.groupBy("doc_id")
       .agg(concat_ws("", array_sort(collect_list(
@@ -590,6 +590,36 @@ class DedupSimilaritySpec extends SparkSpec {
       .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
     assert((fixed(1L) intersect fixed(2L)).isEmpty,
       "fixed blocking should stay misaligned under a shift")
+  }
+
+  test("SQ8 search matches a hand-computed quantizer bit for bit") {
+    val emb = Tables.embeddings(spark, Sf0001).filter(col("vec_id") % 5 === 0)
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().sortBy(_._1)
+    val dim = vecs.head._2.length
+    val mins = (0 until dim).map(j => vecs.map(_._2(j).toDouble).min)
+    val maxs = (0 until dim).map(j => vecs.map(_._2(j).toDouble).max)
+    def code(v: Seq[Float]): IndexedSeq[Long] =
+      (0 until dim).map { j =>
+        if (maxs(j) > mins(j))
+          math.min(255L, math.max(0L,
+            math.floor((v(j).toDouble - mins(j)) / (maxs(j) - mins(j))
+              * 256).toLong))
+        else 0L
+      }
+    val codes = vecs.map { case (id, v) => id -> code(v) }.toMap
+    val qs = vecs.map(_._1).filter(_ % 3 == 0)
+    val expected = qs.flatMap { q =>
+      codes.keys.toSeq.filter(_ != q)
+        .map(n => (n, (codes(q), codes(n)).zipped
+          .map((a, b) => (a - b) * (a - b)).sum))
+        .sortBy { case (n, d) => (d, n) }.take(5).zipWithIndex
+        .map { case ((n, d), i) => (q, i + 1L, n, d) }
+    }.toSet
+    val got = Similarity.sq8TopK(emb,
+        emb.filter(col("vec_id") % 3 === 0), "vec_id", "embedding", 5)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == expected)
   }
 
   test("IVF ANN finds identical-direction vectors and bounds candidates") {

@@ -8,6 +8,36 @@ import graft.operators.{Metrics, TextAnalysis}
 class TextMetricsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("gopherQuality sets exactly the violated rule bits") {
+    val good = "the cat and dog ran over the hill to find food today"
+    val docs = Seq(
+      (1L, good),                                   // clean → keep
+      (2L, "the and"),                              // too short → 1
+      (3L, ("extraordinarily " * 12) + "the and"),  // mean len > 10 → 2
+      (4L, good + " ab#cd ef#gh"),                  // symbols → 4
+      (5L, (1 to 10).map(_ => "- the and select items")
+        .mkString("\n")),                           // bullets → 8
+      (6L, (1 to 10).map(_ =>
+        "the and every single line over here keeps trailing off...")
+        .mkString("\n")),                           // ellipses → 16
+      (7L, good + (" 123" * 13)),                   // non-alpha words → 32
+      (8L, good.replace("the", "zzz").replace("and", "qqq")) // no stops → 64
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherQuality(docs, col("doc_id"),
+        col("text"), minWords = 5, stops = Seq("the", "and"))
+      .select("doc_id", "reasons", "keep")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L) == (0L, 1L))
+    assert(out(2L) == (1L, 0L))
+    assert((out(3L)._1 & 2L) == 2L && out(3L)._2 == 0L)
+    assert(out(4L) == (4L, 0L))
+    assert(out(5L) == (8L, 0L))
+    assert(out(6L) == (16L, 0L))
+    assert(out(7L) == (32L, 0L))
+    assert(out(8L) == (64L, 0L))
+  }
+
   test("Kneser-Ney scores match a hand-computed model; mass sums to 1") {
     val corpus = Seq((1L, "a b a b c"), (2L, "a b c d"), (3L, "d a"))
     val docs = corpus.toDF("doc_id", "text")
