@@ -289,6 +289,45 @@ object SparkEntry {
     dir.toString
   }
 
+  /** The SQ8 quantize-and-scan CTE chain (twin of
+    * Similarity.sq8TopK): per-dim min/max stats, ordered-list
+    * quantizer, integer squared-code-delta scan, `cand` = per-query
+    * top-`k` shortlist. Ends with `e` (double vectors) and `cand`
+    * available to downstream CTEs (s13's exact re-rank). */
+  private def duckSq8Ctes(k: Int): String =
+    s"""e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+       |  FROM embeddings),
+       |st AS (
+       |  SELECT u.pos AS pos, min(u.x) AS mn, max(u.x) AS mx FROM (
+       |    SELECT unnest(list_transform(range(0, len(v)),
+       |      j -> struct_pack(pos := j, x := v[j+1]))) AS u
+       |    FROM e) GROUP BY 1),
+       |stl AS (
+       |  SELECT list(mn ORDER BY pos) AS mns,
+       |    list(mx ORDER BY pos) AS mxs
+       |  FROM st),
+       |codes AS (
+       |  SELECT vec_id, list_transform(range(1, len(v) + 1),
+       |    j -> CASE WHEN mxs[j] > mns[j] THEN
+       |      least(255, greatest(0, CAST(floor(
+       |        (v[j] - mns[j]) / (mxs[j] - mns[j]) * 256) AS BIGINT)))
+       |      ELSE 0 END) AS cd
+       |  FROM e CROSS JOIN stl),
+       |sc AS (
+       |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+       |    CAST(list_reduce(list_transform(range(1, len(q.cd) + 1),
+       |      j -> (q.cd[j] - n.cd[j]) * (q.cd[j] - n.cd[j])),
+       |      (a, b) -> a + b) AS BIGINT) AS sqdist
+       |  FROM codes q CROSS JOIN codes n
+       |  WHERE q.vec_id % 25 = 0 AND n.vec_id <> q.vec_id),
+       |cand AS (
+       |  SELECT query_id, neighbor_id, sqdist, rank FROM (
+       |    SELECT query_id, neighbor_id, sqdist,
+       |      CAST(row_number() OVER (PARTITION BY query_id
+       |        ORDER BY sqdist, neighbor_id) AS BIGINT) AS rank
+       |    FROM sc) WHERE rank <= $k)""".stripMargin
+
   private def duckPqRound(i: Int, subLen: Int,
       subsName: String = "subs"): String = {
     val prev = if (i == 1) "cb" else s"cb${i - 1}"
@@ -1069,6 +1108,17 @@ object SparkEntry {
         "vec_id", "embedding", k = 5)
     }),
 
+    // two-stage retrieval: the s12 byte-code scan keeps a
+    // 50-candidate shortlist, then ONLY those pairs get the exact
+    // cosine — the FAISS refine shape; float math never touches the
+    // full corpus at search time
+    "s13_sq8_rerank" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.sq8RerankTopK(emb,
+        emb.filter(col("vec_id") % 25 === 0),
+        "vec_id", "embedding", candK = 50, k = 5)
+    }),
+
     // the full train→index→search loop: the trained codebook from s4's
     // k-means feeds the IVF search
     "s5_ann_ivf_trained" -> ((s, d) => {
@@ -1227,6 +1277,28 @@ object SparkEntry {
           sum(col("doc_id")).as("id_sum"),
           sum(col("n_chars")).as("nchars_sum"),
           sum(Tables.hashU32(col("text"), 7)).as("content_sum"))
+    }),
+
+    // versioned snapshot table with TIME TRAVEL (the manifest-commit
+    // protocol of the lakehouse formats): v0 = the full corpus,
+    // v1 = a delete commit; reading v0 AFTER v1 exists must still
+    // return the pre-delete content — the oracle replays both
+    // versions relationally and the per-version aggregates hash-match
+    "q73_time_travel" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(
+        col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"))
+      val dir = scratchDir("graft_vtab", d)
+      graft.sources.VersionedTable.commit(docs, dir)
+      graft.sources.VersionedTable.commit(
+        docs.filter(col("lang") =!= "de"), dir)
+      def agg(v: Int) =
+        graft.sources.VersionedTable.readVersion(s, dir, v)
+          .agg(count(lit(1)).as("cnt"), sum(col("doc_id")).as("id_sum"),
+            sum(Tables.hashU32(col("text"), 7)).as("content_sum"))
+          .select(lit(v.toLong).as("version"), col("cnt"),
+            col("id_sum"), col("content_sum"))
+      agg(0).unionByName(agg(1))
     }),
 
     // SPLITTABLE Avro read: the whole table in ONE container file,
@@ -4049,37 +4121,29 @@ object SparkEntry {
     // per-dim min/max as an ordered-list relation, codes by the same
     // floor/clamp expression, integer squared-code-delta distances
     "s12_sq8" ->
-      """WITH e AS (
-        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
-        |  FROM embeddings),
-        |st AS (
-        |  SELECT u.pos AS pos, min(u.x) AS mn, max(u.x) AS mx FROM (
-        |    SELECT unnest(list_transform(range(0, len(v)),
-        |      j -> struct_pack(pos := j, x := v[j+1]))) AS u
-        |    FROM e) GROUP BY 1),
-        |stl AS (
-        |  SELECT list(mn ORDER BY pos) AS mns,
-        |    list(mx ORDER BY pos) AS mxs
-        |  FROM st),
-        |codes AS (
-        |  SELECT vec_id, list_transform(range(1, len(v) + 1),
-        |    j -> CASE WHEN mxs[j] > mns[j] THEN
-        |      least(255, greatest(0, CAST(floor(
-        |        (v[j] - mns[j]) / (mxs[j] - mns[j]) * 256) AS BIGINT)))
-        |      ELSE 0 END) AS cd
-        |  FROM e CROSS JOIN stl),
-        |sc AS (
-        |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
-        |    CAST(list_reduce(list_transform(range(1, len(q.cd) + 1),
-        |      j -> (q.cd[j] - n.cd[j]) * (q.cd[j] - n.cd[j])),
-        |      (a, b) -> a + b) AS BIGINT) AS sqdist
-        |  FROM codes q CROSS JOIN codes n
-        |  WHERE q.vec_id % 25 = 0 AND n.vec_id <> q.vec_id)
-        |SELECT query_id, rank, neighbor_id, sqdist FROM (
-        |  SELECT query_id, neighbor_id, sqdist,
-        |    CAST(row_number() OVER (PARTITION BY query_id
-        |      ORDER BY sqdist, neighbor_id) AS BIGINT) AS rank
-        |  FROM sc) WHERE rank <= 5""".stripMargin,
+      s"""WITH ${duckSq8Ctes(5)}
+         |SELECT query_id, rank, neighbor_id, sqdist FROM cand""".stripMargin,
+
+    // the s12 CTEs widened to a 50-candidate shortlist, then the s1
+    // cosine fold over ONLY those pairs — the two-stage re-rank
+    "s13_sq8_rerank" ->
+      s"""WITH ${duckSq8Ctes(50)},
+         |rr AS (
+         |  SELECT ca.query_id, ca.neighbor_id,
+         |   list_reduce(list_transform(range(1, len(q.v) + 1),
+         |     i -> q.v[i] * c.v[i]), (x, y) -> x + y) /
+         |   (sqrt(list_reduce(list_transform(q.v, x -> x * x),
+         |      (x, y) -> x + y)) *
+         |    sqrt(list_reduce(list_transform(c.v, x -> x * x),
+         |      (x, y) -> x + y))) AS cosine
+         |  FROM cand ca
+         |  JOIN e q ON q.vec_id = ca.query_id
+         |  JOIN e c ON c.vec_id = ca.neighbor_id)
+         |SELECT query_id, rank, neighbor_id, cosine FROM (
+         |  SELECT query_id, neighbor_id, cosine,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+         |  FROM rr) WHERE rank <= 5""".stripMargin,
 
     "s6_pq_adc" ->
       """WITH e AS (
@@ -4279,6 +4343,20 @@ object SparkEntry {
          | CAST(sum(n_chars) AS BIGINT) AS nchars_sum,
          | CAST(sum(${duckU32("text", 7)}) AS BIGINT) AS content_sum
          |FROM documents GROUP BY 1""".stripMargin,
+
+    // both snapshots replayed relationally: v0 = everything,
+    // v1 = the post-delete state
+    "q73_time_travel" ->
+      s"""SELECT CAST(0 AS BIGINT) AS version,
+         | CAST(count(*) AS BIGINT) AS cnt,
+         | CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         | CAST(sum(${duckU32("text", 7)}) AS BIGINT) AS content_sum
+         |FROM documents
+         |UNION ALL
+         |SELECT CAST(1 AS BIGINT), CAST(count(*) AS BIGINT),
+         | CAST(sum(doc_id) AS BIGINT),
+         | CAST(sum(${duckU32("text", 7)}) AS BIGINT)
+         |FROM documents WHERE lang <> 'de'""".stripMargin,
 
     // identical oracle again: the split read must reproduce exactly
     // the content the whole-file read does

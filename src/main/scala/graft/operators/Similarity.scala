@@ -628,6 +628,39 @@ object Similarity {
         col("sqdist"))
   }
 
+  /** Two-stage retrieval: SQ8 coarse candidates re-ranked by EXACT
+    * cosine — the standard production search shape (a cheap
+    * quantized scan buys recall, an exact pass over the shortlist
+    * buys ranking quality; FAISS's refine step). Only `candK`
+    * candidates per query ever touch float math: the re-rank join is
+    * (queries·candK) rows against the vector relation, keyed on
+    * neighbor_id — corpus-sized float scans happen zero times at
+    * search. Cosine uses the same left-fold [[dot]] as s1, so the
+    * oracle reproduces the doubles bit-for-bit.
+    * Returns (query_id, rank, neighbor_id, cosine). */
+  def sq8RerankTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, candK: Int, k: Int): DataFrame = {
+    require(candK >= k, s"candK=$candK must be >= k=$k")
+    val cand = sq8TopK(corpus, queries, idCol, vecCol, candK)
+      .select(col("query_id"), col("neighbor_id"))
+    val vecs = corpus.select(col(idCol).as("vid"), col(vecCol).as("vec"))
+      .withColumn("nrm", norm(col("vec")))
+    val qv = vecs.select(col("vid").as("query_id"),
+      col("vec").as("q_vec"), col("nrm").as("q_norm"))
+    val cv = vecs.select(col("vid").as("neighbor_id"),
+      col("vec").as("c_vec"), col("nrm").as("c_norm"))
+    val scored = cand.join(broadcast(qv), "query_id")
+      .join(cv, "neighbor_id")
+      .withColumn("cosine",
+        dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("cosine"))
+  }
+
   /** PQ-ADC approximate top-k: queries score every corpus vector as the
     * sum over subspaces of the query-to-centroid distance of the
     * vector's CODE — the classic asymmetric-distance computation. The

@@ -622,6 +622,31 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("SQ8 re-rank with a full shortlist equals exact brute force") {
+    val emb = Tables.embeddings(spark, Sf0001).filter(col("vec_id") % 5 === 0)
+    val qs = emb.filter(col("vec_id") % 3 === 0)
+    val n = emb.count().toInt
+    def triples(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Long, Long)].collect().toSet
+    // shortlist = whole corpus → the quantized stage can drop nothing
+    // and the exact pass must reproduce brute force EXACTLY (same
+    // fold, same tiebreak)
+    val exact = triples(Similarity.bruteForceTopK(emb, qs,
+      "vec_id", "embedding", 5))
+    val full = triples(Similarity.sq8RerankTopK(emb, qs,
+      "vec_id", "embedding", candK = n, k = 5))
+    assert(full == exact)
+    // a narrow shortlist still recalls most of the exact top-5 — the
+    // two-stage bargain
+    val narrowIds = triples(Similarity.sq8RerankTopK(emb, qs,
+      "vec_id", "embedding", candK = 10, k = 5))
+      .map(t => (t._1, t._3))
+    val exactIds = exact.map(t => (t._1, t._3))
+    val recall = (narrowIds intersect exactIds).size.toDouble / exactIds.size
+    assert(recall >= 0.5, s"two-stage recall too low: $recall")
+  }
+
   test("IVF ANN finds identical-direction vectors and bounds candidates") {
     val emb = Tables.embeddings(spark, Sf0001).filter(col("vec_id") % 5 === 0)
     val exact = Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", 5)
