@@ -1279,6 +1279,28 @@ object SparkEntry {
           sum(Tables.hashU32(col("text"), 7)).as("content_sum"))
     }),
 
+    // APPEND commit with file-level reuse: v1's manifest lists v0's
+    // files UNCHANGED plus only the appended shard — daily ingest is
+    // O(new data), not O(table); reading v1 after the append returns
+    // base ∪ appended, v0 stays the pre-append state
+    "q74_append_commit" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(
+        col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"))
+      val dir = scratchDir("graft_vappend", d)
+      graft.sources.VersionedTable.commit(docs, dir)
+      graft.sources.VersionedTable.appendCommit(
+        docs.filter(col("lang") === "de")
+          .withColumn("doc_id", col("doc_id") + lit(1000000L)), dir)
+      def agg(v: Int) =
+        graft.sources.VersionedTable.readVersion(s, dir, v)
+          .agg(count(lit(1)).as("cnt"), sum(col("doc_id")).as("id_sum"),
+            sum(Tables.hashU32(col("text"), 7)).as("content_sum"))
+          .select(lit(v.toLong).as("version"), col("cnt"),
+            col("id_sum"), col("content_sum"))
+      agg(0).unionByName(agg(1))
+    }),
+
     // versioned snapshot table with TIME TRAVEL (the manifest-commit
     // protocol of the lakehouse formats): v0 = the full corpus,
     // v1 = a delete commit; reading v0 AFTER v1 exists must still
@@ -2002,6 +2024,31 @@ object SparkEntry {
           col("view_id"))
       EventStream.runOnce(joined,
         s"stream_stream_${System.nanoTime()}", "append")
+    }),
+
+    // stream-stream LEFT OUTER join: unmatched purchases must ALSO
+    // emit (null view) — but only once the watermark passes their
+    // join window, so state can evict; purchases inside the trailing
+    // watermark delay stay open and never emit, exactly like q16's
+    // trailing sessions — the oracle replays that cutoff
+    "q75_stream_outer_join" -> ((s, d) => {
+      val src = EventStream.eventsFileStream(s, s"$d/events.parquet")
+      val purchases = src.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("event_id").as("purchase_id"))
+        .withWatermark("p_ts", "2 hours")
+      val views = src.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+          col("event_id").as("view_id"))
+        .withWatermark("v_ts", "2 hours")
+      val joined = purchases.join(views,
+          col("p_user") === col("v_user") &&
+            col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+            col("v_ts") <= col("p_ts"), "leftOuter")
+        .select(col("p_user").as("user_id"), col("purchase_id"),
+          col("view_id"))
+      EventStream.runOnce(joined,
+        s"stream_outer_${System.nanoTime()}", "append")
     }),
 
     // per-group HLL: distinct users per event type — registers keyed
@@ -4344,6 +4391,22 @@ object SparkEntry {
          | CAST(sum(${duckU32("text", 7)}) AS BIGINT) AS content_sum
          |FROM documents GROUP BY 1""".stripMargin,
 
+    // v0 = everything; v1 = base ∪ the shifted-id appended shard
+    "q74_append_commit" ->
+      s"""SELECT CAST(0 AS BIGINT) AS version,
+         | CAST(count(*) AS BIGINT) AS cnt,
+         | CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         | CAST(sum(${duckU32("text", 7)}) AS BIGINT) AS content_sum
+         |FROM documents
+         |UNION ALL
+         |SELECT CAST(1 AS BIGINT), CAST(count(*) AS BIGINT),
+         | CAST(sum(doc_id) AS BIGINT),
+         | CAST(sum(${duckU32("text", 7)}) AS BIGINT)
+         |FROM (SELECT doc_id, text FROM documents
+         |      UNION ALL
+         |      SELECT doc_id + 1000000 AS doc_id, text
+         |      FROM documents WHERE lang = 'de')""".stripMargin,
+
     // both snapshots replayed relationally: v0 = everything,
     // v1 = the post-delete state
     "q73_time_travel" ->
@@ -4803,6 +4866,37 @@ object SparkEntry {
          |SELECT t.tok, t.exact_c, CAST(min(c.reg) AS BIGINT) AS est_c
          |FROM tpos t JOIN cms c ON c.j = t.j AND c.pos = t.pos
          |GROUP BY 1, 2""".stripMargin,
+
+    // inner matches plus the null-padded unmatched purchases whose
+    // join window closed before the FINAL watermark. Each side
+    // watermarks its own FILTERED input, and Spark's multi-watermark
+    // policy takes the MIN — so the cutoff is
+    // least(max purchase ts, max view ts) − 2h, NOT the global max
+    // (verified empirically: two late purchases sit between the two);
+    // purchases inside the trailing delay stay in state and never
+    // emit, like q16's open trailing sessions
+    "q75_stream_outer_join" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS ts_us
+        |  FROM events WHERE event_type = 'purchase'),
+        |v AS (
+        |  SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS ts_us
+        |  FROM events WHERE event_type = 'view'),
+        |wm AS (
+        |  SELECT least((SELECT max(ts_us) FROM p),
+        |    (SELECT max(ts_us) FROM v)) - 7200000000 AS w),
+        |matched AS (
+        |  SELECT p.user_id, p.event_id AS purchase_id,
+        |    v.event_id AS view_id
+        |  FROM p JOIN v ON v.user_id = p.user_id
+        |   AND v.ts_us BETWEEN p.ts_us - 3600000000 AND p.ts_us)
+        |SELECT user_id, purchase_id, view_id FROM matched
+        |UNION ALL
+        |SELECT p.user_id, p.event_id, CAST(NULL AS BIGINT)
+        |FROM p CROSS JOIN wm
+        |WHERE p.ts_us < wm.w AND NOT EXISTS (
+        |  SELECT 1 FROM v WHERE v.user_id = p.user_id
+        |   AND v.ts_us BETWEEN p.ts_us - 3600000000 AND p.ts_us)""".stripMargin,
 
     "q45_stream_stream_join" ->
       """SELECT p.user_id, p.event_id AS purchase_id,

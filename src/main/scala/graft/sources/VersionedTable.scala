@@ -51,6 +51,31 @@ object VersionedTable {
       .sorted
   }
 
+  /** Write the new version's data files and atomically publish its
+    * manifest; shared tail of [[commit]] and [[appendCommit]]. */
+  private def publish(df: DataFrame, dir: String, v: Int,
+      carriedFiles: Seq[String]): Int = {
+    val f = fs(df.sparkSession, dir)
+    val dataDir = new Path(dir, s"data/v$v")
+    df.write.mode("overwrite").parquet(dataDir.toString)
+    val newFiles = f.listStatus(dataDir).toSeq
+      .map(_.getPath.getName)
+      .filter(_.endsWith(".parquet"))
+      .sorted
+      .map(n => s"data/v$v/$n")
+    val files = carriedFiles ++ newFiles
+    val json = s"""{"version":$v,"files":[${
+      files.map(n => "\"" + n + "\"").mkString(",")}]}"""
+    val md = manifestDir(dir)
+    f.mkdirs(md)
+    val tmp = new Path(md, s"v$v.json.tmp")
+    val out = f.create(tmp, true)
+    try out.write(json.getBytes(UTF_8)) finally out.close()
+    if (!f.rename(tmp, new Path(md, s"v$v.json")))
+      throw new java.io.IOException(s"commit of v$v lost the rename race")
+    v
+  }
+
   /** Write `df` as the next snapshot version; returns its number.
     * The manifest rename is the commit point — readers never see a
     * version whose data is incomplete.
@@ -63,25 +88,38 @@ object VersionedTable {
     * believe they own a version). Readers are always safe. */
   def commit(df: DataFrame, dir: String): Int = {
     val spark = df.sparkSession
-    val f = fs(spark, dir)
     val v = versions(spark, dir).lastOption.map(_ + 1).getOrElse(0)
-    val dataDir = new Path(dir, s"data/v$v")
-    df.write.mode("overwrite").parquet(dataDir.toString)
-    val files = f.listStatus(dataDir).toSeq
-      .map(_.getPath.getName)
-      .filter(_.endsWith(".parquet"))
-      .sorted
-    val json =
-      s"""{"version":$v,"files":[${
-        files.map(n => "\"data/v" + v + "/" + n + "\"").mkString(",")}]}"""
-    val md = manifestDir(dir)
-    f.mkdirs(md)
-    val tmp = new Path(md, s"v$v.json.tmp")
-    val out = f.create(tmp, true)
-    try out.write(json.getBytes(UTF_8)) finally out.close()
-    if (!f.rename(tmp, new Path(md, s"v$v.json")))
-      throw new java.io.IOException(s"commit of v$v lost the rename race")
-    v
+    publish(df, dir, v, Seq.empty)
+  }
+
+  /** APPEND commit: the new version's manifest lists the previous
+    * version's files UNCHANGED plus the freshly written ones — no
+    * data is rewritten or copied (file-level reuse, the property that
+    * makes daily ingest O(new data) instead of O(table)). Requires a
+    * base version to append to. */
+  def appendCommit(df: DataFrame, dir: String): Int = {
+    val spark = df.sparkSession
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"appendCommit needs a base version at $dir")
+    val prev = vs.last
+    publish(df, dir, prev + 1, manifestFiles(spark, dir, prev))
+  }
+
+  /** The (dir-relative) file list of a committed version. */
+  private def manifestFiles(spark: SparkSession, dir: String,
+      v: Int): Seq[String] = {
+    val f = fs(spark, dir)
+    val mf = new Path(manifestDir(dir), s"v$v.json")
+    require(f.exists(mf), s"version $v was never committed at $dir")
+    val in = f.open(mf)
+    val json = try {
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      Iterator.continually(in.read(buf)).takeWhile(_ >= 0)
+        .foreach(n => bos.write(buf, 0, n))
+      new String(bos.toByteArray, UTF_8)
+    } finally in.close()
+    parseFiles(json)
   }
 
   /** Minimal extractor for the manifest's "files" array (the format
@@ -98,18 +136,8 @@ object VersionedTable {
   /** Time-travel read: exactly the files version `v`'s manifest
     * names, regardless of what later commits added. */
   def readVersion(spark: SparkSession, dir: String, v: Int): DataFrame = {
-    val f = fs(spark, dir)
-    val mf = new Path(manifestDir(dir), s"v$v.json")
-    require(f.exists(mf), s"version $v was never committed at $dir")
-    val in = f.open(mf)
-    val json = try {
-      val bos = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](8192)
-      Iterator.continually(in.read(buf)).takeWhile(_ >= 0)
-        .foreach(n => bos.write(buf, 0, n))
-      new String(bos.toByteArray, UTF_8)
-    } finally in.close()
-    val files = parseFiles(json).map(rel => new Path(dir, rel).toString)
+    val files = manifestFiles(spark, dir, v)
+      .map(rel => new Path(dir, rel).toString)
     require(files.nonEmpty, s"version $v manifest lists no files")
     spark.read.parquet(files: _*)
   }

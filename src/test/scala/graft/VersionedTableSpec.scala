@@ -48,6 +48,25 @@ class VersionedTableSpec extends SparkSpec {
       .as[(Long, String)].collect().toSet == Set((2L, "b")))
   }
 
+  test("append commit reuses base files verbatim; history intact") {
+    val dir = java.nio.file.Files.createTempDirectory("vtab").toString
+    VersionedTable.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), dir)
+    VersionedTable.appendCommit(Seq((3L, "c")).toDF("id", "s"), dir)
+    assert(VersionedTable.readVersion(spark, dir, 1)
+      .as[(Long, String)].collect().toSet
+      == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(VersionedTable.readVersion(spark, dir, 0)
+      .as[(Long, String)].collect().toSet == Set((1L, "a"), (2L, "b")))
+    // file-level reuse: v1's manifest lists v0's files UNCHANGED plus
+    // only files under data/v1 — the append rewrote nothing
+    def files(v: Int) = VersionedTable.parseFiles(new String(
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dir, "_manifests", s"v$v.json")))).toSet
+    assert(files(0).subsetOf(files(1)))
+    assert((files(1) -- files(0)).forall(_.startsWith("data/v1/")))
+    assert((files(1) -- files(0)).nonEmpty)
+  }
+
   test("manifest files parse round-trips including empty") {
     assert(VersionedTable.parseFiles(
       """{"version":3,"files":["data/v3/a.parquet","data/v3/b.parquet"]}""")
