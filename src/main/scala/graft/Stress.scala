@@ -249,8 +249,8 @@ object Stress {
       try {
         val freq = c.groupBy(col("ch")).agg(count(lit(1)).as("cnt"))
         c.join(freq, Seq("ch"))
-          .agg(sum(when(col("cnt") >= 2, col("chunk_len")))
-            .as("dup_chars"))
+          .agg(sum(when(col("cnt") >= 2, col("chunk_len"))
+            .otherwise(0L)).as("dup_chars"))
           .head().getLong(0)
       } finally c.unpersist(false)
     }

@@ -590,6 +590,12 @@ object Similarity {
     * baseline (the corpus is d bytes per vector at search time);
     * corpus-scale callers route candidates through the IVF pre-prune
     * first ([[ivfTopKWith]]) and SQ-score inside probed cells only.
+    *
+    * Id contract (the s1/s6 family convention): query ids share the
+    * corpus id space — the query_id ≠ neighbor_id filter is
+    * SELF-exclusion, so an external query set whose ids merely
+    * collide with corpus ids would wrongly drop those neighbors;
+    * re-key external queries into a disjoint id range first.
     * Returns (query_id, rank, neighbor_id, sqdist). */
   def sq8TopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
@@ -643,12 +649,15 @@ object Similarity {
     require(candK >= k, s"candK=$candK must be >= k=$k")
     val cand = sq8TopK(corpus, queries, idCol, vecCol, candK)
       .select(col("query_id"), col("neighbor_id"))
-    val vecs = corpus.select(col(idCol).as("vid"), col(vecCol).as("vec"))
-      .withColumn("nrm", norm(col("vec")))
-    val qv = vecs.select(col("vid").as("query_id"),
-      col("vec").as("q_vec"), col("nrm").as("q_norm"))
-    val cv = vecs.select(col("vid").as("neighbor_id"),
-      col("vec").as("c_vec"), col("nrm").as("c_norm"))
+    // query vectors come from the QUERY relation (external query sets
+    // are the normal case — corpus-sourced vectors would silently
+    // mismatch them) and only that query-sized side is broadcast
+    val qv = queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("q_vec"))
+      .withColumn("q_norm", norm(col("q_vec")))
+    val cv = corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("c_vec"))
+      .withColumn("c_norm", norm(col("c_vec")))
     val scored = cand.join(broadcast(qv), "query_id")
       .join(cv, "neighbor_id")
       .withColumn("cosine",

@@ -324,6 +324,16 @@ object Sketches {
           .as("est_value"))
   }
 
+  /** The CMS register positions of `keyCol`: one (j, pos) row per
+    * hash row — the ONE place the position hash lives (registers,
+    * probes, and the relational top-k all agree by construction). */
+  private def cmsPositions(df: DataFrame, keyCol: Column, d: Int,
+      w: Int, seed: Int): DataFrame = df
+    .withColumn("j", explode(sequence(lit(0), lit(d - 1))))
+    .withColumn("pos", pmod(
+      Tables.hashU32(concat_ws("|", keyCol, col("j")), seed),
+      lit(w.toLong)))
+
   /** Count-min REGISTER maintenance from a raw (possibly streaming)
     * key relation: each arriving key increments one register per hash
     * row, so the register file is a single order-independent sum
@@ -335,25 +345,23 @@ object Sketches {
     * streaming aggregate). Probe with [[cmsProbe]]. */
   def cmsRegisters(df: DataFrame, keyCol: Column, d: Int = 4,
       w: Int = 512, seed: Int = 333): DataFrame =
-    df.select(keyCol.cast("string").as("k"))
-      .withColumn("j", explode(sequence(lit(0), lit(d - 1))))
-      .withColumn("pos", pmod(
-        Tables.hashU32(concat_ws("|", col("k"), col("j")), seed),
-        lit(w.toLong)))
+    cmsPositions(df.select(keyCol.cast("string").as("k")), col("k"),
+      d, w, seed)
       .groupBy(col("j"), col("pos"))
       .agg(count(lit(1)).as("reg"))
 
   /** Probe a register file from [[cmsRegisters]] for the keys in
     * `cand` (string column `k`, other columns carried through):
-    * est = min over the d row registers the key hashes to. */
+    * est = min over the d row registers the key hashes to. A key the
+    * register file never saw reads its registers as 0 (left join +
+    * coalesce) — the CMS contract; an inner join would silently drop
+    * unseen keys, or overestimate them from a colliding subset. */
   def cmsProbe(regs: DataFrame, cand: DataFrame, d: Int = 4,
       w: Int = 512, seed: Int = 333): DataFrame = {
     val carry = cand.columns.map(col)
-    cand.withColumn("j", explode(sequence(lit(0), lit(d - 1))))
-      .withColumn("pos", pmod(
-        Tables.hashU32(concat_ws("|", col("k"), col("j")), seed),
-        lit(w.toLong)))
-      .join(regs, Seq("j", "pos"))
+    cmsPositions(cand, col("k"), d, w, seed)
+      .join(regs, Seq("j", "pos"), "left_outer")
+      .withColumn("reg", coalesce(col("reg"), lit(0L)))
       .groupBy(carry: _*)
       .agg(min(col("reg")).as("est_c"))
   }
@@ -377,11 +385,8 @@ object Sketches {
     val top = counts.withColumn("rk", row_number().over(
         Window.orderBy(col("exact_c").desc, col("tok").asc)))
       .filter(col("rk") <= topK).drop("rk")
-    def positions(df: DataFrame): DataFrame = df
-      .withColumn("j", explode(sequence(lit(0), lit(d - 1))))
-      .withColumn("pos", pmod(
-        Tables.hashU32(concat_ws("|", col("tok"), col("j")), seed),
-        lit(w.toLong)))
+    def positions(df: DataFrame): DataFrame =
+      cmsPositions(df, col("tok"), d, w, seed)
     // register build rides the exact counts relation (vocab-sized),
     // not the token stream — same registers, d× less explode
     val cms = positions(counts)

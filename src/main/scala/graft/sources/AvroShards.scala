@@ -106,7 +106,12 @@ object AvroShards {
 
   /** Convert one decoded record to a Row under the requested Spark
     * schema: fields resolved BY NAME against the writer schema
-    * (absent → null), Avro runtime types unwrapped. */
+    * (absent → null), Avro runtime types unwrapped, the Avro-legal
+    * numeric promotions (int→long, int/long/float→double,
+    * float→double) applied, and any OTHER writer/reader type
+    * difference rejected LOUDLY here — the fall-through used to hand
+    * the raw object to Catalyst, which died mid-scan with an opaque
+    * ClassCastException instead. */
   private def toRow(rec: GenericRecord, fieldIdx: Array[Schema.Field],
       types: Array[DataType]): Row =
     Row.fromSeq(fieldIdx.indices.map { i =>
@@ -118,7 +123,18 @@ object AvroShards {
         case (s: CharSequence, StringType) => s.toString
         case (b: java.nio.ByteBuffer, BinaryType) =>
           val a = new Array[Byte](b.remaining()); b.get(a); a
-        case (x, _) => x
+        case (x: java.lang.Integer, LongType) => x.longValue()
+        case (x: java.lang.Integer, DoubleType) => x.doubleValue()
+        case (x: java.lang.Long, DoubleType) => x.doubleValue()
+        case (x: java.lang.Float, DoubleType) => x.doubleValue()
+        case (x: java.lang.Integer, IntegerType) => x
+        case (x: java.lang.Long, LongType) => x
+        case (x: java.lang.Float, FloatType) => x
+        case (x: java.lang.Double, DoubleType) => x
+        case (x: java.lang.Boolean, BooleanType) => x
+        case (x, dt) => throw new IllegalArgumentException(
+          s"field '${f.name()}': writer value of ${x.getClass.getName} " +
+            s"cannot be read as ${dt.simpleString}")
       }
     })
 
@@ -181,13 +197,18 @@ object AvroShards {
       spark.sessionState.newHadoopConf())
     val globPath = new Path(pattern)
     val fs = globPath.getFileSystem(conf.value)
-    val ranges = fs.globStatus(globPath).toSeq.flatMap { st =>
+    // globStatus returns NULL (not empty) for a glob-free path that
+    // does not exist — guard or the .toSeq below NPEs
+    val matched = Option(fs.globStatus(globPath))
+      .map(_.toSeq).getOrElse(Seq.empty)
+    val ranges = matched.flatMap { st =>
       (0L until st.getLen by targetSplitBytes).map { start =>
         (st.getPath.toString, start,
           math.min(start + targetSplitBytes, st.getLen))
       }
     }
-    require(ranges.nonEmpty, s"no files match $pattern")
+    require(ranges.nonEmpty,
+      s"no non-empty files match $pattern (${matched.size} matched)")
     val rows = spark.sparkContext
       .parallelize(ranges, ranges.size)
       .flatMap { case (p, start, end) =>

@@ -108,6 +108,33 @@ class AvroShardsSpec extends SparkSpec {
     assert(one.rdd.getNumPartitions == 1 && one.count() == 4000)
   }
 
+  test("reader applies Avro-legal promotions and rejects the rest") {
+    val dir = java.nio.file.Files.createTempDirectory("avro").toString
+    import spark.implicits._
+    val df = Seq((1, 1.5f), (2, 2.5f)).toDF("i", "f")
+    AvroShards.write(df, dir, "p", 1)
+    // int→long and float→double resolve like Avro schema resolution
+    val promoted = StructType(Seq(
+      StructField("i", LongType), StructField("f", DoubleType)))
+    val back = AvroShards.read(spark, s"$dir/p_*.avro", promoted)
+      .orderBy("i").collect()
+    assert(back(0).getLong(0) == 1L && back(0).getDouble(1) == 1.5)
+    assert(back(1).getLong(0) == 2L && back(1).getDouble(1) == 2.5)
+    // an illegal resolution (int as boolean) fails loudly, not with
+    // an opaque Catalyst ClassCastException
+    val bad = StructType(Seq(StructField("i", BooleanType)))
+    val e = intercept[org.apache.spark.SparkException] {
+      AvroShards.read(spark, s"$dir/p_*.avro", bad).collect()
+    }
+    assert(e.getMessage.contains("cannot be read as") ||
+      Option(e.getCause).exists(_.getMessage.contains("cannot be read as")))
+    // a glob-free path that doesn't exist reports cleanly (no NPE)
+    val e2 = intercept[IllegalArgumentException] {
+      AvroShards.readSplit(spark, s"$dir/nope.avro", promoted)
+    }
+    assert(e2.getMessage.contains("no non-empty files"))
+  }
+
   test("unsupported leaf types are rejected at write time") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("avro").toString
