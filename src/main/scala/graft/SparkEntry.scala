@@ -960,6 +960,19 @@ object SparkEntry {
         col("text"), minWords = 20,
         stops = Seq("the", "a", "data", "table", "value", "query"))),
 
+    // DSIR data selection: hashed unigram+bigram log-likelihood ratio
+    // of the English-doc target distribution vs the raw corpus,
+    // Gumbel-top-k draw (= weighted sampling without replacement,
+    // md5-deterministic) — integer micro-nat weights end to end
+    "t20_dsir_select" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.dsirSelect(docs, "doc_id", "text",
+          col("lang") === "en", nBuckets = 256, k = 100)
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .select(col("doc_id"), col("lang"), col("weight6"),
+          col("score6"), col("rank"))
+    }),
+
     // interpolated Kneser-Ney bigram scores — t13's MLE upgraded with
     // absolute discounting + continuation probability (how many
     // contexts a word follows), micro-nat quantized at the model
@@ -1117,6 +1130,18 @@ object SparkEntry {
       Similarity.sq8RerankTopK(emb,
         emb.filter(col("vec_id") % 25 === 0),
         "vec_id", "embedding", candK = 50, k = 5)
+    }),
+
+    // binary sign quantization: 1 bit per dimension packed into two
+    // 32-bit lanes — 8 bytes per 64-dim vector, 32× under float32.
+    // The shortlist scan is XOR+popcount integer math over the code
+    // relation only; exact cosine touches just the candK survivors
+    // per query (the binary-embedding rerank shape)
+    "s14_sign_hamming" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.signHammingRerankTopK(emb,
+        emb.filter(col("vec_id") % 25 === 0),
+        "vec_id", "embedding", dim = 64, candK = 50, k = 5)
     }),
 
     // the full train→index→search loop: the trained codebook from s4's
@@ -1299,6 +1324,37 @@ object SparkEntry {
           .select(lit(v.toLong).as("version"), col("cnt"),
             col("id_sum"), col("content_sum"))
       agg(0).unionByName(agg(1))
+    }),
+
+    // row-level DELETEs as deletion vectors (merge-on-read) plus the
+    // copy-on-write rewrite: v0 = full corpus; v1 = delete commit —
+    // data files untouched, one key-list vector added; v2 = append on
+    // top of the live deletes; v3 = rewrite folding the delete debt
+    // into fresh files. The four censuses prove time travel still
+    // sees pre-delete v0, deletes survive an append, and the rewrite
+    // is content-identical to its merge-on-read parent
+    "q76_delete_vectors" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(
+        col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"))
+      val dir = scratchDir("graft_vdel", d)
+      val vt = graft.sources.VersionedTable
+      val v0 = vt.commit(docs, dir)
+      val v1 = vt.deleteCommit(
+        docs.filter(pmod(Tables.hashU32(col("doc_id"), 83), lit(5L)) === 0)
+          .select(col("doc_id")), dir)
+      val v2 = vt.appendCommit(
+        docs.filter(col("lang") === "de")
+          .withColumn("doc_id", col("doc_id") + lit(1000000L)), dir)
+      val v3 = vt.rewriteCommit(s, dir)
+      def agg(label: Int, v: Int) =
+        vt.readVersion(s, dir, v)
+          .agg(count(lit(1)).as("cnt"), sum(col("doc_id")).as("id_sum"),
+            sum(Tables.hashU32(col("text"), 7)).as("content_sum"))
+          .select(lit(label.toLong).as("version"), col("cnt"),
+            col("id_sum"), col("content_sum"))
+      agg(0, v0).unionByName(agg(1, v1)).unionByName(agg(2, v2))
+        .unionByName(agg(3, v3))
     }),
 
     // versioned snapshot table with TIME TRAVEL (the manifest-commit
@@ -4192,6 +4248,51 @@ object SparkEntry {
          |      ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
          |  FROM rr) WHERE rank <= 5""".stripMargin,
 
+    // sign bits as two 32-bit lanes (64-bit lanes would need
+    // 1::BIGINT << 63, which DuckDB overflow-checks); Hamming is
+    // bit_count(xor()) per lane summed — integer-exact, so the
+    // shortlist and the cosine rerank both hash-match
+    "s14_sign_hamming" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings),
+        |code AS (
+        |  SELECT vec_id,
+        |   list_reduce(list_transform(range(32), i -> CASE
+        |     WHEN embedding[i+1] > 0 THEN (1::BIGINT << i)
+        |     ELSE 0::BIGINT END), (a, b) -> a | b) AS c0,
+        |   list_reduce(list_transform(range(32), i -> CASE
+        |     WHEN embedding[i+33] > 0 THEN (1::BIGINT << i)
+        |     ELSE 0::BIGINT END), (a, b) -> a | b) AS c1
+        |  FROM embeddings),
+        |ham AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |   CAST(bit_count(xor(q.c0, c.c0)) AS BIGINT)
+        |     + CAST(bit_count(xor(q.c1, c.c1)) AS BIGINT) AS hamming
+        |  FROM code q JOIN code c
+        |    ON q.vec_id % 25 = 0 AND c.vec_id <> q.vec_id),
+        |cand AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY hamming, neighbor_id) AS rk
+        |    FROM ham) WHERE rk <= 50),
+        |rr AS (
+        |  SELECT ca.query_id, ca.neighbor_id,
+        |   list_reduce(list_transform(range(1, len(q.v) + 1),
+        |     i -> q.v[i] * c.v[i]), (x, y) -> x + y) /
+        |   (sqrt(list_reduce(list_transform(q.v, x -> x * x),
+        |      (x, y) -> x + y)) *
+        |    sqrt(list_reduce(list_transform(c.v, x -> x * x),
+        |      (x, y) -> x + y))) AS cosine
+        |  FROM cand ca
+        |  JOIN e q ON q.vec_id = ca.query_id
+        |  JOIN e c ON c.vec_id = ca.neighbor_id)
+        |SELECT query_id, rank, neighbor_id, cosine FROM (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+        |  FROM rr) WHERE rank <= 5""".stripMargin,
+
     "s6_pq_adc" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
@@ -4406,6 +4507,39 @@ object SparkEntry {
          |      UNION ALL
          |      SELECT doc_id + 1000000 AS doc_id, text
          |      FROM documents WHERE lang = 'de')""".stripMargin,
+
+    // the four version states replayed relationally: v0 everything,
+    // v1 minus the hashed delete keys, v2 = v1 ∪ shifted-id appends,
+    // v3 identical to v2 (the rewrite must change nothing)
+    "q76_delete_vectors" ->
+      s"""WITH live AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE ${duckU32("doc_id::VARCHAR", 83)} % 5 <> 0),
+         |v2 AS (
+         |  SELECT doc_id, text FROM live
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id, text
+         |  FROM documents WHERE lang = 'de')
+         |SELECT CAST(0 AS BIGINT) AS version,
+         | CAST(count(*) AS BIGINT) AS cnt,
+         | CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         | CAST(sum(${duckU32("text", 7)}) AS BIGINT) AS content_sum
+         |FROM documents
+         |UNION ALL
+         |SELECT CAST(1 AS BIGINT), CAST(count(*) AS BIGINT),
+         | CAST(sum(doc_id) AS BIGINT),
+         | CAST(sum(${duckU32("text", 7)}) AS BIGINT)
+         |FROM live
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+         | CAST(sum(doc_id) AS BIGINT),
+         | CAST(sum(${duckU32("text", 7)}) AS BIGINT)
+         |FROM v2
+         |UNION ALL
+         |SELECT CAST(3 AS BIGINT), CAST(count(*) AS BIGINT),
+         | CAST(sum(doc_id) AS BIGINT),
+         | CAST(sum(${duckU32("text", 7)}) AS BIGINT)
+         |FROM v2""".stripMargin,
 
     // both snapshots replayed relationally: v0 = everything,
     // v1 = the post-delete state
@@ -4658,6 +4792,44 @@ object SparkEntry {
          | CAST(CASE WHEN reasons = 0 THEN 1 ELSE 0 END AS BIGINT)
          |   AS keep
          |FROM r""".stripMargin,
+
+    // DSIR: the only transcendentals are ln over the 256-bucket
+    // relation (micro-nat quantized there) and one Gumbel per doc —
+    // identical double association both engines, integer sums between
+    "t20_dsir_select" ->
+      s"""WITH t AS (SELECT doc_id, lang, $DuckToks AS w FROM documents),
+         |ng AS (
+         |  SELECT doc_id, lang, unnest(list_concat(w,
+         |    list_transform(range(1, len(w)),
+         |      i -> array_to_string(w[i:i+1], ' ')))) AS ng
+         |  FROM t),
+         |b AS (SELECT doc_id, lang, ${duckU32("ng", 23)} % 256 AS bk
+         |  FROM ng),
+         |cr AS (SELECT bk, CAST(count(*) AS BIGINT) AS cr
+         |  FROM b GROUP BY 1),
+         |ctt AS (SELECT bk, CAST(count(*) AS BIGINT) AS ct
+         |  FROM b WHERE lang = 'en' GROUP BY 1),
+         |tots AS (SELECT CAST(count(*) AS BIGINT) AS tr,
+         |  CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS tt
+         |  FROM b),
+         |lr AS (
+         |  SELECT cr.bk, CAST(round(ln(
+         |    ((coalesce(ct, 0) + 1.0) * (tr + 256.0)) /
+         |    ((cr + 1.0) * (tt + 256.0))) * 1000000) AS BIGINT) AS lr6
+         |  FROM cr LEFT JOIN ctt USING (bk) CROSS JOIN tots),
+         |wgt AS (
+         |  SELECT doc_id, CAST(sum(lr6) AS BIGINT) AS weight6
+         |  FROM b JOIN lr USING (bk) GROUP BY 1),
+         |sc AS (
+         |  SELECT doc_id, weight6, weight6 + CAST(round(-ln(-ln(
+         |    (${duckU32("doc_id::VARCHAR", 57)} + 0.5) / 4294967296.0))
+         |    * 1000000) AS BIGINT) AS score6
+         |  FROM wgt),
+         |r AS (SELECT doc_id, weight6, score6, CAST(row_number() OVER (
+         |  ORDER BY score6 DESC, doc_id) AS BIGINT) AS rank FROM sc)
+         |SELECT r.doc_id, d.lang, weight6, score6, rank
+         |FROM r JOIN documents d USING (doc_id)
+         |WHERE rank <= 100""".stripMargin,
 
     // t13's CTEs plus the KN model relations: forward/backward
     // continuation counts and the 1-row bigram-type total; the score

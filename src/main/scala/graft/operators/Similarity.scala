@@ -670,6 +670,89 @@ object Similarity {
         col("cosine"))
   }
 
+  /** Sign-bit binary codes: bit i of lane (i/32) is set iff vec[i] > 0
+    * — the 1-bit-per-dimension quantization of binary-embedding search
+    * (32× smaller than float32; FAISS IndexBinaryFlat's encoding).
+    * Lanes are 32 bits wide so every code stays a POSITIVE long: DuckDB
+    * overflow-checks `1::BIGINT << 63`, so a 64-bit lane could never be
+    * oracle-checked. Returns ceil(dim/32) long columns named
+    * `<prefix>0..<prefix>N`. The bit values are a LITERAL array zipped
+    * against the vector slice (no shift expressions in the hot path);
+    * the fold is a bitwise OR, order-independent by construction. */
+  def signCodeLanes(vec: Column, dim: Int, prefix: String): Seq[Column] = {
+    require(dim >= 1, s"dim=$dim must be positive")
+    (0 until (dim + 31) / 32).map { lane =>
+      val lo = lane * 32
+      val w = math.min(dim, lo + 32) - lo
+      val bits = (0 until w).map(i => 1L << i)
+      aggregate(
+        zip_with(slice(vec, lo + 1, w), typedlit(bits),
+          (x, b) => when(x > lit(0.0d), b).otherwise(lit(0L))),
+        lit(0L), (acc, b) => acc.bitwiseOR(b))
+        .as(s"$prefix$lane")
+    }
+  }
+
+  /** Hamming distance between two lane-sets of sign codes:
+    * XOR + popcount per lane, summed — pure integer math, fully inside
+    * whole-stage codegen. */
+  private def hammingLanes(dim: Int, qPrefix: String,
+      cPrefix: String): Column =
+    (0 until (dim + 31) / 32).map { lane =>
+      bit_count(col(s"$qPrefix$lane").bitwiseXOR(col(s"$cPrefix$lane")))
+        .cast("long")
+    }.reduce(_ + _)
+
+  /** Binary sign-quantized Hamming search with exact re-rank — the
+    * third rerank family next to SQ8 ([[sq8RerankTopK]]) and PQ: the
+    * shortlist scan touches ONLY the packed sign codes (8 bytes per
+    * 64-dim vector, 32× smaller than the floats), scored by
+    * XOR+popcount; then exactly `candK` candidates per query get the
+    * exact left-fold cosine. At 100 TB the code relation is what a
+    * scan reads — a 64-dim float corpus of 25 TB becomes 0.8 TB of
+    * codes, and the distance is integer-only until the rerank join.
+    * The q×n code scan is the deliberate FLAT baseline (same caveat as
+    * [[pqTopK]]): corpus-scale deployments route the code scan through
+    * an IVF pre-prune first; the rerank stage is unchanged either way.
+    * Ties on integer Hamming are broken by neighbor_id, so the
+    * shortlist — and therefore the final ranking — is deterministic.
+    * Returns (query_id, rank, neighbor_id, cosine). */
+  def signHammingRerankTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, dim: Int, candK: Int,
+      k: Int): DataFrame = {
+    require(candK >= k, s"candK=$candK must be >= k=$k")
+    val c = corpus.select(
+      col(idCol).as("neighbor_id") +:
+        signCodeLanes(col(vecCol), dim, "c_code"): _*)
+    val q = queries.select(
+      col(idCol).as("query_id") +:
+        signCodeLanes(col(vecCol), dim, "q_code"): _*)
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("hamming", hammingLanes(dim, "q_code", "c_code"))
+    val ws = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming").asc, col("neighbor_id").asc)
+    val cand = scored.withColumn("rk", row_number().over(ws))
+      .filter(col("rk") <= candK)
+      .select(col("query_id"), col("neighbor_id"))
+    val qv = queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("q_vec"))
+      .withColumn("q_norm", norm(col("q_vec")))
+    val cv = corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("c_vec"))
+      .withColumn("c_norm", norm(col("c_vec")))
+    val rr = cand.join(broadcast(qv), "query_id")
+      .join(cv, "neighbor_id")
+      .withColumn("cosine",
+        dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    rr.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("cosine"))
+  }
+
   /** PQ-ADC approximate top-k: queries score every corpus vector as the
     * sum over subspaces of the query-to-centroid distance of the
     * vector's CODE — the classic asymmetric-distance computation. The

@@ -577,4 +577,70 @@ object TextAnalysis {
       .withColumn("tfidf", col("tf") * log((nDocs + 1.0) / (col("df") + 1.0)))
       .drop("__graft_n_docs")
   }
+
+  /** DSIR-style data selection via importance resampling (Xie et al.
+    * 2023, "Data Selection for Language Models via Importance
+    * Resampling"): score every document by the log-likelihood ratio of
+    * a TARGET distribution vs the RAW corpus over hashed n-gram
+    * buckets, then draw k documents by Gumbel-top-k — equivalent to
+    * sampling without replacement proportionally to the importance
+    * weights, but fully deterministic here (md5-derived Gumbel noise).
+    *
+    * Distribution estimates: unigram+bigram occurrences hash into
+    * `nBuckets` buckets; each gets add-one-smoothed probabilities under
+    * target (rows where `isTarget`) and raw (all rows). The per-bucket
+    * log-ratio is QUANTIZED to integer micro-nats at the bucket
+    * relation — the only transcendentals are over the nBuckets-sized
+    * aggregate, so every downstream per-document value is an exact
+    * integer sum (the t12/t15 discipline; oracle hash-matches).
+    *
+    * Scale shape: the bucket relation is nBuckets rows — broadcast to
+    * the occurrence relation (no shuffle of the corpus by bucket, no
+    * vocabulary skew: hot n-grams just add to a long sum map-side).
+    * The final draw is orderBy+limit — TakeOrderedAndProject keeps a
+    * k-row heap per partition and merges k·partitions rows on the
+    * driver; the corpus is never globally sorted. Rank assignment then
+    * windows over k rows only (bounded single partition).
+    *
+    * Returns (doc_id, weight6, score6, rank): weight6 the importance
+    * weight in micro-nats, score6 = weight6 + Gumbel noise (micro),
+    * rank 1..k by score6 desc. Documents with no tokens never enter
+    * the occurrence relation and cannot be drawn. */
+  def dsirSelect(docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, nBuckets: Int = 256, k: Int = 100,
+      hashSeed: Int = 23, gumbelSeed: Int = 57): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"),
+      isTarget.as("is_t"), tokens(col(textCol)).as("w"))
+    val ng = base.select(col("doc_id"), col("is_t"),
+      explode(concat(col("w"), shinglesOf(col("w"), 2))).as("ng"))
+    val bk = ng.select(col("doc_id"), col("is_t"),
+      pmod(Tables.hashU32(col("ng"), hashSeed), lit(nBuckets.toLong))
+        .as("bk"))
+    val cr = bk.groupBy(col("bk")).agg(count(lit(1)).as("cr"))
+    val ct = bk.filter(col("is_t")).groupBy(col("bk"))
+      .agg(count(lit(1)).as("ct"))
+    val tots = bk.agg(count(lit(1)).as("tr"),
+      sum(when(col("is_t"), lit(1L)).otherwise(lit(0L))).as("tt"))
+    val b = lit(nBuckets.toDouble)
+    val lr = cr.join(ct, Seq("bk"), "left")
+      .withColumn("ct", coalesce(col("ct"), lit(0L)))
+      .crossJoin(broadcast(tots))
+      .withColumn("lr6", round(log(
+        ((col("ct") + lit(1.0)) * (col("tr") + b)) /
+          ((col("cr") + lit(1.0)) * (col("tt") + b))) * 1e6)
+        .cast("long"))
+      .select(col("bk"), col("lr6"))
+    val wgt = bk.join(broadcast(lr), "bk")
+      .groupBy(col("doc_id")).agg(sum(col("lr6")).as("weight6"))
+    val scored = wgt.withColumn("gumbel6",
+        round(-log(-log(
+          (Tables.hashU32(col("doc_id"), gumbelSeed) + lit(0.5)) /
+            lit(4294967296.0))) * 1e6).cast("long"))
+      .withColumn("score6", col("weight6") + col("gumbel6"))
+    val top = scored.orderBy(col("score6").desc, col("doc_id").asc)
+      .limit(k)
+    val w = Window.orderBy(col("score6").desc, col("doc_id").asc)
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("weight6"), col("score6"), col("rank"))
+  }
 }

@@ -52,9 +52,11 @@ object VersionedTable {
   }
 
   /** Write the new version's data files and atomically publish its
-    * manifest; shared tail of [[commit]] and [[appendCommit]]. */
+    * manifest; shared tail of [[commit]], [[appendCommit]] and
+    * [[deleteCommit]]. `dvs` are deletion-vector files (see
+    * [[deleteCommit]]) the version carries alongside its data. */
   private def publish(df: DataFrame, dir: String, v: Int,
-      carriedFiles: Seq[String]): Int = {
+      carriedFiles: Seq[String], dvs: Seq[String] = Seq.empty): Int = {
     val f = fs(df.sparkSession, dir)
     val dataDir = new Path(dir, s"data/v$v")
     df.write.mode("overwrite").parquet(dataDir.toString)
@@ -63,9 +65,15 @@ object VersionedTable {
       .filter(_.endsWith(".parquet"))
       .sorted
       .map(n => s"data/v$v/$n")
-    val files = carriedFiles ++ newFiles
+    writeManifest(f, dir, v, carriedFiles ++ newFiles, dvs)
+    v
+  }
+
+  private def writeManifest(f: FileSystem, dir: String, v: Int,
+      files: Seq[String], dvs: Seq[String]): Unit = {
     val json = s"""{"version":$v,"files":[${
-      files.map(n => "\"" + n + "\"").mkString(",")}]}"""
+      files.map(n => "\"" + n + "\"").mkString(",")}],"dvs":[${
+      dvs.map(n => "\"" + n + "\"").mkString(",")}]}"""
     val md = manifestDir(dir)
     f.mkdirs(md)
     val tmp = new Path(md, s"v$v.json.tmp")
@@ -73,7 +81,6 @@ object VersionedTable {
     try out.write(json.getBytes(UTF_8)) finally out.close()
     if (!f.rename(tmp, new Path(md, s"v$v.json")))
       throw new java.io.IOException(s"commit of v$v lost the rename race")
-    v
   }
 
   /** Write `df` as the next snapshot version; returns its number.
@@ -102,44 +109,151 @@ object VersionedTable {
     val vs = versions(spark, dir)
     require(vs.nonEmpty, s"appendCommit needs a base version at $dir")
     val prev = vs.last
-    publish(df, dir, prev + 1, manifestFiles(spark, dir, prev))
+    publish(df, dir, prev + 1, manifestFiles(spark, dir, prev),
+      manifestDvs(spark, dir, prev))
   }
 
-  /** The (dir-relative) file list of a committed version. */
-  private def manifestFiles(spark: SparkSession, dir: String,
-      v: Int): Seq[String] = {
+  /** DELETE commit via a deletion vector: the new version's manifest
+    * lists the previous version's data files UNCHANGED plus one more
+    * deletion-vector file holding the deleted KEYS — no data file is
+    * rewritten (merge-on-read, the Delta/Iceberg deletion-vector
+    * idea at key granularity). `keys` must be a single-column frame;
+    * its column name is stored in the vector file's schema, which is
+    * what makes the vector self-describing at read time.
+    *
+    * A reader of any later version anti-joins the accumulated vectors
+    * out ([[readVersion]]); versions before this commit still see the
+    * rows — deletes are versioned like every other change. Delete
+    * debt accumulates until a [[rewriteCommit]] folds it into fresh
+    * data files. */
+  def deleteCommit(keys: DataFrame, dir: String): Int = {
+    require(keys.columns.length == 1,
+      s"deletion vector must be single-column, got ${
+        keys.columns.mkString(",")}")
+    val spark = keys.sparkSession
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"deleteCommit needs a base version at $dir")
+    val prev = vs.last
+    val v = prev + 1
+    val f = fs(spark, dir)
+    val dvDir = new Path(dir, s"deletes/v$v")
+    keys.write.mode("overwrite").parquet(dvDir.toString)
+    val newDvs = f.listStatus(dvDir).toSeq
+      .map(_.getPath.getName)
+      .filter(_.endsWith(".parquet"))
+      .sorted
+      .map(n => s"deletes/v$v/$n")
+    writeManifest(f, dir, v, manifestFiles(spark, dir, prev),
+      manifestDvs(spark, dir, prev) ++ newDvs)
+    v
+  }
+
+  /** Copy-on-write compaction: materialize the current version WITH
+    * its deletion vectors applied as the next full version (fresh data
+    * files, empty dvs) — pays off the merge-on-read debt so later
+    * scans are plain again. History stays intact: older versions still
+    * time-travel, including the merge-on-read ones. */
+  def rewriteCommit(spark: SparkSession, dir: String): Int = {
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"rewriteCommit needs a base version at $dir")
+    publish(readVersion(spark, dir, vs.last), dir, vs.last + 1, Seq.empty)
+  }
+
+  /** Retention vacuum: physically delete the data and deletion-vector
+    * files referenced ONLY by versions older than the newest
+    * `retainLast`, then drop those versions' manifests. Retained
+    * versions time-travel exactly as before (a file they share with a
+    * dropped version survives — reference counting by set membership);
+    * dropped versions are gone for good, which is the contract every
+    * lakehouse retention job has. Returns the deleted relative paths.
+    * Driver-side listing is O(retained + dropped manifests), not
+    * O(table files). */
+  def vacuum(spark: SparkSession, dir: String,
+      retainLast: Int): Seq[String] = {
+    require(retainLast >= 1, s"retainLast=$retainLast must be >= 1")
+    val vs = versions(spark, dir)
+    val drop = vs.dropRight(retainLast)
+    val keep = vs.takeRight(retainLast)
+    val f = fs(spark, dir)
+    val referenced = keep.flatMap(v =>
+      manifestFiles(spark, dir, v) ++ manifestDvs(spark, dir, v)).toSet
+    val doomed = drop.flatMap(v =>
+      manifestFiles(spark, dir, v) ++ manifestDvs(spark, dir, v))
+      .distinct.filterNot(referenced)
+    doomed.foreach(rel => f.delete(new Path(dir, rel), false))
+    drop.foreach(v =>
+      f.delete(new Path(manifestDir(dir), s"v$v.json"), false))
+    doomed
+  }
+
+  private def manifestJson(spark: SparkSession, dir: String,
+      v: Int): String = {
     val f = fs(spark, dir)
     val mf = new Path(manifestDir(dir), s"v$v.json")
     require(f.exists(mf), s"version $v was never committed at $dir")
     val in = f.open(mf)
-    val json = try {
+    try {
       val bos = new java.io.ByteArrayOutputStream()
       val buf = new Array[Byte](8192)
       Iterator.continually(in.read(buf)).takeWhile(_ >= 0)
         .foreach(n => bos.write(buf, 0, n))
       new String(bos.toByteArray, UTF_8)
     } finally in.close()
-    parseFiles(json)
   }
 
-  /** Minimal extractor for the manifest's "files" array (the format
-    * is fixed by [[commit]]; no JSON library on the classpath). */
-  private[graft] def parseFiles(json: String): Seq[String] = {
-    val m = """"files":\[([^\]]*)\]""".r.findFirstMatchIn(json)
+  /** The (dir-relative) file list of a committed version. */
+  private def manifestFiles(spark: SparkSession, dir: String,
+      v: Int): Seq[String] =
+    parseArray(manifestJson(spark, dir, v), "files")
       .getOrElse(throw new IllegalArgumentException(
+        s"manifest v$v missing files array"))
+
+  /** The (dir-relative) deletion-vector list of a committed version
+    * (empty for manifests written before deletes existed). */
+  private def manifestDvs(spark: SparkSession, dir: String,
+      v: Int): Seq[String] =
+    parseArray(manifestJson(spark, dir, v), "dvs").getOrElse(Seq.empty)
+
+  /** Minimal extractor for a manifest's string-array field (the format
+    * is fixed by [[writeManifest]]; no JSON library on the classpath). */
+  private[graft] def parseArray(json: String,
+      field: String): Option[Seq[String]] =
+    (s""""$field":\\[([^\\]]*)\\]""").r.findFirstMatchIn(json).map { m =>
+      val body = m.group(1).trim
+      if (body.isEmpty) Seq.empty
+      else body.split(",").toSeq
+        .map(_.trim.stripPrefix("\"").stripSuffix("\""))
+    }
+
+  /** Back-compat alias for the original files extractor. */
+  private[graft] def parseFiles(json: String): Seq[String] =
+    parseArray(json, "files").getOrElse(
+      throw new IllegalArgumentException(
         s"manifest missing files array: $json"))
-    val body = m.group(1).trim
-    if (body.isEmpty) Seq.empty
-    else body.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
-  }
 
   /** Time-travel read: exactly the files version `v`'s manifest
-    * names, regardless of what later commits added. */
+    * names, with the version's accumulated deletion vectors applied
+    * (anti-join on the vector's own key column — merge-on-read). The
+    * anti-join only exists for versions that carry deletes; plain
+    * versions scan untouched, and the join key side is the deleted-key
+    * relation, typically a sliver of the table (Spark broadcasts it
+    * when small; at worst it shuffles both sides on the key, the same
+    * cost every MERGE pays). */
   def readVersion(spark: SparkSession, dir: String, v: Int): DataFrame = {
     val files = manifestFiles(spark, dir, v)
       .map(rel => new Path(dir, rel).toString)
     require(files.nonEmpty, s"version $v manifest lists no files")
-    spark.read.parquet(files: _*)
+    val data = spark.read.parquet(files: _*)
+    val dvs = manifestDvs(spark, dir, v)
+      .map(rel => new Path(dir, rel).toString)
+    if (dvs.isEmpty) data
+    else {
+      val dv = spark.read.parquet(dvs: _*)
+      require(dv.columns.length == 1,
+        s"deletion vectors must be single-column, got ${
+          dv.columns.mkString(",")}")
+      data.join(dv, Seq(dv.columns.head), "left_anti")
+    }
   }
 
   /** Read the highest committed version. */

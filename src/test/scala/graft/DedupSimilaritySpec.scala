@@ -647,6 +647,45 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"two-stage recall too low: $recall")
   }
 
+  test("sign-Hamming codes pack the sign bits into 32-bit lanes exactly") {
+    val df = Seq(
+      (1L, Array.tabulate(64)(i => if (i % 3 == 0) 1.0f else -1.0f)),
+      (2L, Array.fill(64)(-0.5f)),
+      (3L, Array.fill(64)(0.0f))) // ties at zero are NOT set bits
+      .toDF("vec_id", "embedding")
+    val got = df.select(col("vec_id") +:
+        Similarity.signCodeLanes(col("embedding"), 64, "c"): _*)
+      .as[(Long, Long, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    // dims 0,3,…,63 positive: lane0 bits {0,3,…,30} = 0x49249249,
+    // lane1 bits {(33−32),(36−32),…,(63−32)} = {1,4,…,31} = 0x92492492
+    assert(got(1L) == ((0x49249249L, 0x92492492L)))
+    assert(got(2L) == ((0L, 0L)))
+    assert(got(3L) == ((0L, 0L)))
+  }
+
+  test("sign-Hamming re-rank with a full shortlist equals brute force") {
+    val emb = Tables.embeddings(spark, Sf0001).filter(col("vec_id") % 5 === 0)
+    val qs = emb.filter(col("vec_id") % 3 === 0)
+    val n = emb.count().toInt
+    def triples(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Long, Long)].collect().toSet
+    val exact = triples(Similarity.bruteForceTopK(emb, qs,
+      "vec_id", "embedding", 5))
+    val full = triples(Similarity.signHammingRerankTopK(emb, qs,
+      "vec_id", "embedding", dim = 64, candK = n, k = 5))
+    assert(full == exact)
+    // 1-bit codes still steer the shortlist: a narrow Hamming scan
+    // keeps most of the exact top-5
+    val narrowIds = triples(Similarity.signHammingRerankTopK(emb, qs,
+      "vec_id", "embedding", dim = 64, candK = 10, k = 5))
+      .map(t => (t._1, t._3))
+    val exactIds = exact.map(t => (t._1, t._3))
+    val recall = (narrowIds intersect exactIds).size.toDouble / exactIds.size
+    assert(recall >= 0.4, s"sign-Hamming recall too low: $recall")
+  }
+
   test("IVF ANN finds identical-direction vectors and bounds candidates") {
     val emb = Tables.embeddings(spark, Sf0001).filter(col("vec_id") % 5 === 0)
     val exact = Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", 5)

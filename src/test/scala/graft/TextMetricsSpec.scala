@@ -197,4 +197,37 @@ class TextMetricsSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(dict == Map("daisy" -> 0L, "roses" -> 1L, "tulips" -> 2L))
   }
+
+  test("DSIR weights favor documents that look like the target") {
+    // target docs share one vocabulary; off-target docs a disjoint one;
+    // probes match one side each — the likelihood-ratio weights must
+    // separate them regardless of the Gumbel draw
+    val docs = Seq(
+      (1L, "alpha beta alpha gamma beta", true),
+      (2L, "beta gamma alpha alpha beta", true),
+      (3L, "zed yak zed wol yak wol", false),
+      (4L, "yak wol zed zed yak", false),
+      (5L, "alpha beta gamma beta alpha", false), // target-like probe
+      (6L, "zed yak wol yak zed", false),         // off-target probe
+      (7L, "   ", false)                          // no tokens → undrawable
+    ).toDF("doc_id", "text", "is_t")
+    val out = TextAnalysis.dsirSelect(docs, "doc_id", "text",
+        col("is_t"), nBuckets = 64, k = 10)
+      .select("doc_id", "weight6", "rank")
+      .as[(Long, Long, Long)].collect()
+    val w = out.map(r => r._1 -> r._2).toMap
+    assert(!w.contains(7L), "token-less doc must be undrawable")
+    val targetLike = Set(1L, 2L, 5L).map(w)
+    val offTarget = Set(3L, 4L, 6L).map(w)
+    assert(targetLike.min > offTarget.max,
+      s"weights must separate: $w")
+    // ranks are a permutation of 1..n in score order
+    assert(out.map(_._3).sorted.toSeq == (1L to 6L))
+    // deterministic end to end
+    val again = TextAnalysis.dsirSelect(docs, "doc_id", "text",
+        col("is_t"), nBuckets = 64, k = 10)
+      .select("doc_id", "weight6", "rank")
+      .as[(Long, Long, Long)].collect()
+    assert(again.sorted.toSeq == out.sorted.toSeq)
+  }
 }

@@ -73,5 +73,69 @@ class VersionedTableSpec extends SparkSpec {
       == Seq("data/v3/a.parquet", "data/v3/b.parquet"))
     assert(VersionedTable.parseFiles("""{"version":0,"files":[]}""")
       == Seq.empty)
+    // pre-deletion-vector manifests have no dvs field — still parse
+    assert(VersionedTable.parseArray(
+      """{"version":0,"files":[]}""", "dvs").isEmpty)
+    assert(VersionedTable.parseArray(
+      """{"version":1,"files":[],"dvs":["deletes/v1/k.parquet"]}""",
+      "dvs").contains(Seq("deletes/v1/k.parquet")))
+  }
+
+  test("deletion vectors: merge-on-read, versioned, rewrite pays debt") {
+    val dir = java.nio.file.Files.createTempDirectory("vtab").toString
+    VersionedTable.commit(
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "s"), dir)
+    val v1 = VersionedTable.deleteCommit(Seq(2L, 4L).toDF("id"), dir)
+    assert(v1 == 1)
+    def rows(v: Int) = VersionedTable.readVersion(spark, dir, v)
+      .as[(Long, String)].collect().toSet
+    // v0 still sees everything; v1 hides the deleted keys
+    assert(rows(0) == Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+    assert(rows(1) == Set((1L, "a"), (3L, "c")))
+    // the delete rewrote NO data file: v1 lists exactly v0's files
+    def manifest(v: Int) = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_manifests", s"v$v.json")))
+    assert(VersionedTable.parseFiles(manifest(1))
+      == VersionedTable.parseFiles(manifest(0)))
+    assert(VersionedTable.parseArray(manifest(1), "dvs").get.nonEmpty)
+    // appends carry the live deletes along
+    val v2 = VersionedTable.appendCommit(Seq((9L, "z")).toDF("id", "s"), dir)
+    assert(rows(v2) == Set((1L, "a"), (3L, "c"), (9L, "z")))
+    // deletes stack: a second vector removes more rows
+    val v3 = VersionedTable.deleteCommit(Seq(1L).toDF("id"), dir)
+    assert(rows(v3) == Set((3L, "c"), (9L, "z")))
+    // rewrite: same content, fresh files, zero dvs
+    val v4 = VersionedTable.rewriteCommit(spark, dir)
+    assert(rows(v4) == rows(v3))
+    assert(VersionedTable.parseArray(manifest(v4), "dvs").get.isEmpty)
+    assert(VersionedTable.parseFiles(manifest(v4))
+      .forall(_.startsWith(s"data/v$v4/")))
+  }
+
+  test("vacuum drops only files unreachable from retained versions") {
+    val dir = java.nio.file.Files.createTempDirectory("vtab").toString
+    VersionedTable.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), dir)
+    VersionedTable.appendCommit(Seq((3L, "c")).toDF("id", "s"), dir)
+    VersionedTable.deleteCommit(Seq(2L).toDF("id"), dir)
+    VersionedTable.rewriteCommit(spark, dir) // v3: fresh files only
+    def rows(v: Int) = VersionedTable.readVersion(spark, dir, v)
+      .as[(Long, String)].collect().toSet
+    val v3Rows = rows(3)
+    // retain the last 2: v0/v1 manifests go; v2's files are shared
+    // with retained v2... retained = v2,v3 — v0's data files are
+    // still referenced by v2 (append lineage) so they must SURVIVE
+    val deleted = VersionedTable.vacuum(spark, dir, retainLast = 2)
+    assert(VersionedTable.versions(spark, dir) == Seq(2, 3))
+    assert(rows(2) == Set((1L, "a"), (3L, "c")))
+    assert(rows(3) == v3Rows)
+    // nothing reachable was deleted (v0/v1 files all carried into v2)
+    assert(deleted.isEmpty)
+    // drop down to just the rewritten version: now the old data files
+    // and the deletion vector really go away
+    val deleted2 = VersionedTable.vacuum(spark, dir, retainLast = 1)
+    assert(VersionedTable.versions(spark, dir) == Seq(3))
+    assert(deleted2.exists(_.startsWith("data/v0/")))
+    assert(deleted2.exists(_.startsWith("deletes/v2/")))
+    assert(rows(3) == v3Rows)
   }
 }
