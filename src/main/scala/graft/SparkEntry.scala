@@ -987,6 +987,34 @@ object SparkEntry {
     // per batch (n·max − sum); the bucketed strategy must pay far
     // less padding at identical batch size — the data-loader layout
     // receipt
+    // capstone #6: CANONICAL near-dup collapse — the d8 simhash
+    // cluster relation decides WHO is duplicated, the t3 quality
+    // score (micro-quantized) decides WHICH member survives (ties →
+    // lowest doc_id); singletons keep themselves. What production
+    // dedup actually ships: drop duplicates, keep the best copy,
+    // audit the loss per language
+    "p6_canonical_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.simhashPairs(
+        Dedup.simhash(docs, col("doc_id"), col("text")), 3)
+        .select(col("doc_a"), col("doc_b"))
+      val comp = Dedup.dedupComponents(pairs)
+        .select(col("doc_id"), col("component"))
+      val scored = docs.select(col("doc_id"), col("lang"),
+        round(TextAnalysis.qualityScore(col("text")) * 1e6)
+          .cast("long").as("q6"))
+      val withComp = scored.join(comp, Seq("doc_id"), "left")
+        .withColumn("component", coalesce(col("component"), col("doc_id")))
+      val w = Window.partitionBy(col("component"))
+        .orderBy(col("q6").desc, col("doc_id").asc)
+      withComp.withColumn("rk", row_number().over(w))
+        .groupBy(col("lang")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("rk") === 1, 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("rk") === 1, col("q6")).otherwise(0L))
+            .as("q6_kept_sum"))
+    }),
+
     "p5_length_batches" -> ((s, d) => {
       val docs = Tables.documents(s, d).select(col("doc_id"),
         size(TextAnalysis.tokens(col("text"))).cast("long").as("nt"))
@@ -1142,6 +1170,18 @@ object SparkEntry {
       Similarity.signHammingRerankTopK(emb,
         emb.filter(col("vec_id") % 25 === 0),
         "vec_id", "embedding", dim = 64, candK = 50, k = 5)
+    }),
+
+    // Matryoshka adaptive retrieval: shortlist on the FIRST 16 dims
+    // only (a prefix of an MRL embedding is itself an embedding),
+    // full 64-dim cosine re-ranks the survivors — dimension
+    // truncation as the compression axis, next to SQ8 bytes (s13)
+    // and sign bits (s14)
+    "s15_matryoshka" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.prefixRerankTopK(emb,
+        emb.filter(col("vec_id") % 25 === 0),
+        "vec_id", "embedding", pdim = 16, candK = 50, k = 5)
     }),
 
     // the full train→index→search loop: the trained codebook from s4's
@@ -1938,6 +1978,29 @@ object SparkEntry {
     // upsert-into-a-table loop (Delta-MERGE shape, hand-rolled on any
     // Hadoop FS). Order-independent + idempotent merge ⇒ the final
     // table is per-user argmax over event time regardless of batching
+    // incremental view maintenance: the aggregate view is refreshed
+    // per micro-batch from the batch's OWN keys only (subtract old
+    // contribution, add new — O(changed keys), never O(table));
+    // deletes are hash-derived ops kept as tombstones so replay is
+    // order-independent. The oracle RECOMPUTES the view from the full
+    // event history — hash equality IS the incremental==recompute
+    // proof (exact because the measure is integer micro-units)
+    "q77_ivm_view" -> ((s, d) => {
+      val scratch = scratchDir("q77ivm", d)
+      val baseDir = s"$scratch/table"
+      val src = EventStream.eventsFileStream(s, s"$d/events.parquet")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          round(col("value") * 1e6).cast("long").as("value6"),
+          unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+        .withColumn("op",
+          when(pmod(Tables.hashU32(col("event_id"), 91), lit(10L)) === 0,
+            lit("delete")).otherwise(lit("upsert")))
+      EventStream.ivmApplyOnce(src, baseDir, "user_id", "ts_us",
+        "event_id", "op", "event_type", "value6")
+      s.read.parquet(s"$baseDir/view")
+        .select(col("event_type"), col("cnt"), col("sum6"))
+    }),
+
     "q65_stream_cdc_apply" -> ((s, d) => {
       val scratch = scratchDir("q65cdc", d)
       val stateDir = s"$scratch/state"
@@ -2773,6 +2836,26 @@ object SparkEntry {
         |FROM d GROUP BY 1""".stripMargin,
 
     // the applied state table must equal per-user latest by event time
+    // the recompute the incremental path must equal: latest row per
+    // user over the WHOLE history, tombstoned users dropped, then the
+    // plain group aggregate
+    "q77_ivm_view" ->
+      s"""WITH e AS (
+         |  SELECT event_id, user_id, event_type,
+         |    CAST(round(value * 1000000) AS BIGINT) AS value6,
+         |    epoch_us(ts::TIMESTAMP) AS ts_us,
+         |    CASE WHEN ${duckU32("event_id::VARCHAR", 91)} % 10 = 0
+         |      THEN 'delete' ELSE 'upsert' END AS op
+         |  FROM events),
+         |latest AS (
+         |  SELECT * FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY user_id
+         |      ORDER BY ts_us DESC, event_id DESC) AS rk FROM e)
+         |  WHERE rk = 1 AND op <> 'delete')
+         |SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+         | CAST(sum(value6) AS BIGINT) AS sum6
+         |FROM latest GROUP BY 1""".stripMargin,
+
     "q65_stream_cdc_apply" ->
       """WITH latest AS (
         |  SELECT user_id, event_type, value, row_number() OVER (
@@ -3532,6 +3615,73 @@ object SparkEntry {
          | CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS csize
          |FROM comp""".stripMargin,
 
+    // d8's cluster chain verbatim through `comp`, then the t3 quality
+    // expression (micro-quantized) picks each cluster's survivor
+    "p6_canonical_dedup" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, $DuckToks AS w FROM documents),
+         |tok AS (
+         |  SELECT DISTINCT doc_id, unnest(list_transform(
+         |    range(1, len(w) - 1),
+         |    i -> array_to_string(w[i:i+2], ' '))) AS tok
+         |  FROM t WHERE len(w) >= 3),
+         |h AS (SELECT doc_id, tok, ${duckU32("tok", 13)} AS hu FROM tok),
+         |bits AS (
+         |  SELECT doc_id, b,
+         |   sum((CAST(floor(hu / power(2, b)) AS BIGINT) % 2) * 2 - 1) AS s
+         |  FROM h CROSS JOIN (SELECT unnest(range(32)) AS b) bs
+         |  GROUP BY 1, 2),
+         |fp AS (
+         |  SELECT doc_id,
+         |   CAST(sum(CASE WHEN s > 0 THEN CAST(power(2, b) AS BIGINT)
+         |     ELSE 0 END) AS BIGINT) AS simhash
+         |  FROM bits GROUP BY 1),
+         |banded AS (
+         |  SELECT doc_id, simhash, band,
+         |   CAST(floor(simhash / power(2, band * 8)) AS BIGINT) % 256 AS bkey
+         |  FROM fp CROSS JOIN (SELECT unnest(range(4)) AS band) bands),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(v, r) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.v),
+         |comp AS (SELECT v, min(r) AS component FROM reach GROUP BY 1),
+         |q AS (
+         |  SELECT doc_id, CAST(round(round(
+         |    least(len(w)::DOUBLE / 50.0, 1.0) * 0.5 +
+         |    (CASE WHEN mwl >= 3.0 AND mwl <= 10.0
+         |      THEN 1.0 ELSE 0.5 END) * 0.3 +
+         |    least(swr * 5.0, 1.0) * 0.2, 6) * 1000000) AS BIGINT) AS q6
+         |  FROM (
+         |    SELECT doc_id, w,
+         |     CASE WHEN len(w) = 0 THEN 0.0
+         |       ELSE len(list_filter(w, x -> list_contains(
+         |         ['the','a','of','and','to','in','is','it','that','for'],
+         |         x)))::DOUBLE / len(w) END AS swr,
+         |     CASE WHEN len(w) = 0 THEN 0.0
+         |       ELSE list_sum(list_transform(w, t -> len(t)))::DOUBLE
+         |         / len(w) END AS mwl
+         |    FROM t) z),
+         |wc AS (
+         |  SELECT q.doc_id, d.lang, q.q6,
+         |   coalesce(comp.component, q.doc_id) AS component
+         |  FROM q JOIN documents d USING (doc_id)
+         |  LEFT JOIN comp ON comp.v = q.doc_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY component
+         |  ORDER BY q6 DESC, doc_id) AS rk FROM wc)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         | CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_kept,
+         | CAST(sum(CASE WHEN rk = 1 THEN q6 ELSE 0 END) AS BIGINT)
+         |   AS q6_kept_sum
+         |FROM r GROUP BY 1""".stripMargin,
+
     // the L-gram dup membership + per-doc span-union mask, list-HOF
     // for list-HOF with the Spark plan
     "d13_substring_dedup" ->
@@ -4276,6 +4426,44 @@ object SparkEntry {
         |    SELECT query_id, neighbor_id, row_number() OVER (
         |      PARTITION BY query_id ORDER BY hamming, neighbor_id) AS rk
         |    FROM ham) WHERE rk <= 50),
+        |rr AS (
+        |  SELECT ca.query_id, ca.neighbor_id,
+        |   list_reduce(list_transform(range(1, len(q.v) + 1),
+        |     i -> q.v[i] * c.v[i]), (x, y) -> x + y) /
+        |   (sqrt(list_reduce(list_transform(q.v, x -> x * x),
+        |      (x, y) -> x + y)) *
+        |    sqrt(list_reduce(list_transform(c.v, x -> x * x),
+        |      (x, y) -> x + y))) AS cosine
+        |  FROM cand ca
+        |  JOIN e q ON q.vec_id = ca.query_id
+        |  JOIN e c ON c.vec_id = ca.neighbor_id)
+        |SELECT query_id, rank, neighbor_id, cosine FROM (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+        |  FROM rr) WHERE rank <= 5""".stripMargin,
+
+    // prefix cosine over v[1:16] for the shortlist, full-width cosine
+    // for the final ranking — both the same left-fold double math
+    "s15_matryoshka" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings),
+        |pre AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |   list_reduce(list_transform(range(1, 17),
+        |     i -> q.v[i] * c.v[i]), (x, y) -> x + y) /
+        |   (sqrt(list_reduce(list_transform(q.v[1:16], x -> x * x),
+        |      (x, y) -> x + y)) *
+        |    sqrt(list_reduce(list_transform(c.v[1:16], x -> x * x),
+        |      (x, y) -> x + y))) AS pre_cos
+        |  FROM e q JOIN e c ON q.vec_id % 25 = 0 AND c.vec_id <> q.vec_id),
+        |cand AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY pre_cos DESC, neighbor_id)
+        |      AS rk
+        |    FROM pre) WHERE rk <= 50),
         |rr AS (
         |  SELECT ca.query_id, ca.neighbor_id,
         |   list_reduce(list_transform(range(1, len(q.v) + 1),

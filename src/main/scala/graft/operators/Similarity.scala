@@ -753,6 +753,56 @@ object Similarity {
         col("cosine"))
   }
 
+  /** Matryoshka / adaptive retrieval: shortlist by exact cosine over
+    * only the FIRST `pdim` dimensions (MRL-style embeddings front-load
+    * information, so a prefix is itself a usable low-dim embedding),
+    * then re-rank the `candK` survivors with the full-width cosine —
+    * the dimension-truncation member of the rerank family next to SQ8
+    * ([[sq8RerankTopK]]) and sign-Hamming ([[signHammingRerankTopK]]).
+    * At pdim=16 of 64 the shortlist scan reads a quarter of the float
+    * lanes; at 100 TB that is what a prefix-only column (or a
+    * truncated copy of the index) would make a scan pay. Both stages
+    * are the same left-fold double math as s1, so the oracle
+    * reproduces shortlist AND final ranking bit-for-bit.
+    * Returns (query_id, rank, neighbor_id, cosine). */
+  def prefixRerankTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, pdim: Int, candK: Int,
+      k: Int): DataFrame = {
+    require(candK >= k, s"candK=$candK must be >= k=$k")
+    require(pdim >= 1, s"pdim=$pdim must be positive")
+    val qp = queries.select(col(idCol).as("query_id"),
+        slice(col(vecCol), 1, pdim).as("q_pre"))
+      .withColumn("qp_norm", norm(col("q_pre")))
+    val cp = corpus.select(col(idCol).as("neighbor_id"),
+        slice(col(vecCol), 1, pdim).as("c_pre"))
+      .withColumn("cp_norm", norm(col("c_pre")))
+    val pre = cp.crossJoin(broadcast(qp))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("pre_cos", dot(col("q_pre"), col("c_pre")) /
+        (col("qp_norm") * col("cp_norm")))
+    val ws = Window.partitionBy(col("query_id"))
+      .orderBy(col("pre_cos").desc, col("neighbor_id").asc)
+    val cand = pre.withColumn("rk", row_number().over(ws))
+      .filter(col("rk") <= candK)
+      .select(col("query_id"), col("neighbor_id"))
+    val qv = queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("q_vec"))
+      .withColumn("q_norm", norm(col("q_vec")))
+    val cv = corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("c_vec"))
+      .withColumn("c_norm", norm(col("c_vec")))
+    val rr = cand.join(broadcast(qv), "query_id")
+      .join(cv, "neighbor_id")
+      .withColumn("cosine",
+        dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    rr.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("cosine"))
+  }
+
   /** PQ-ADC approximate top-k: queries score every corpus vector as the
     * sum over subspaces of the query-to-centroid distance of the
     * vector's CODE — the classic asymmetric-distance computation. The

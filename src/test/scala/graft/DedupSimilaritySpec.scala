@@ -686,6 +686,27 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.4, s"sign-Hamming recall too low: $recall")
   }
 
+  test("Matryoshka prefix re-rank with a full shortlist equals brute force") {
+    val emb = Tables.embeddings(spark, Sf0001).filter(col("vec_id") % 5 === 0)
+    val qs = emb.filter(col("vec_id") % 3 === 0)
+    val n = emb.count().toInt
+    def triples(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Long, Long)].collect().toSet
+    val exact = triples(Similarity.bruteForceTopK(emb, qs,
+      "vec_id", "embedding", 5))
+    val full = triples(Similarity.prefixRerankTopK(emb, qs,
+      "vec_id", "embedding", pdim = 16, candK = n, k = 5))
+    assert(full == exact)
+    // a 16-of-64-dim shortlist still recalls most of the exact top-5
+    val narrowIds = triples(Similarity.prefixRerankTopK(emb, qs,
+      "vec_id", "embedding", pdim = 16, candK = 10, k = 5))
+      .map(t => (t._1, t._3))
+    val exactIds = exact.map(t => (t._1, t._3))
+    val recall = (narrowIds intersect exactIds).size.toDouble / exactIds.size
+    assert(recall >= 0.4, s"prefix recall too low: $recall")
+  }
+
   test("IVF ANN finds identical-direction vectors and bounds candidates") {
     val emb = Tables.embeddings(spark, Sf0001).filter(col("vec_id") % 5 === 0)
     val exact = Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", 5)

@@ -208,6 +208,62 @@ class EventsStreamingSpec extends SparkSpec {
     assert(recovered == state)
   }
 
+  test("IVM view tracks deletes/out-of-order across batches; equals recompute") {
+    import java.nio.file.{Files, Paths}
+    val streamDir = Files.createTempDirectory("graft_ivm").toString
+    val baseDir = streamDir + "_table"
+    // out-of-order upserts AND a tombstone that beats a later-arriving
+    // but OLDER upsert: u1's newest (ts30,"a") lands first; u3 is
+    // deleted at ts40 in b1 and must stay dead when its ts25 upsert
+    // arrives in b2
+    val batches = Seq(
+      Seq((101L, 1L, "upsert", "a", 10L, 30L),
+        (102L, 2L, "upsert", "a", 20L, 10L)),
+      Seq((103L, 1L, "upsert", "b", 90L, 20L),
+        (104L, 3L, "delete", "b", 0L, 40L)),
+      Seq((105L, 2L, "upsert", "c", 70L, 20L),
+        (106L, 3L, "upsert", "c", 80L, 25L),
+        (107L, 4L, "upsert", "a", 50L, 5L)))
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      val stage = Files.createTempDirectory(s"graft_ivm_stage$i").toString
+      rows.toDF("event_id", "user_id", "op", "event_type", "value6",
+          "ts_us")
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, Paths.get(streamDir, s"b$i.parquet"))
+    }
+    def runApply(): Unit = EventStream.ivmApplyOnce(
+      EventStream.parquetFileStream(spark, streamDir),
+      baseDir, "user_id", "ts_us", "event_id", "op", "event_type",
+      "value6")
+    runApply()
+    def view() = spark.read.parquet(s"$baseDir/view")
+      .as[(String, Long, Long)].collect().toSet
+    val expected = Set(("a", 2L, 60L), ("c", 1L, 70L))
+    assert(view() == expected)
+    // the maintained view must equal a recompute over the live state
+    val recomputed = spark.read.parquet(s"$baseDir/state")
+      .filter(col("op") =!= "delete")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), sum(col("value6")).as("sum6"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(recomputed == expected)
+    // tombstone retained in state (order-independence across replays)
+    assert(spark.read.parquet(s"$baseDir/state")
+      .filter(col("op") === "delete").count() == 1)
+    // full-stream replay is idempotent
+    runApply()
+    assert(view() == expected)
+    // crash between the two swap renames: only __old survives
+    val fs = new org.apache.hadoop.fs.Path(baseDir).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    assert(fs.rename(new org.apache.hadoop.fs.Path(baseDir),
+      new org.apache.hadoop.fs.Path(baseDir + "__old")))
+    runApply()
+    assert(view() == expected)
+  }
+
   test("transformWithState stats survive a genuinely multi-batch source") {
     // three parquet files in one stream dir; maxFilesPerTrigger=1 makes
     // each its own micro-batch, so every user emits three cumulative
