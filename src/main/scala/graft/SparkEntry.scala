@@ -1397,6 +1397,29 @@ object SparkEntry {
         .unionByName(agg(3, v3))
     }),
 
+    // CHANGE DATA FEED between two table versions: deletes, updates
+    // (null-safe all-column compare — no hashing) and inserts fall
+    // out of one full-outer key join; a downstream consumer syncs
+    // O(changes), never O(table). Census by op
+    "q78_change_feed" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(
+        col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"))
+      val dir = scratchDir("graft_cdf", d)
+      val vt = graft.sources.VersionedTable
+      val v0 = vt.commit(docs, dir)
+      val next = docs
+        .filter(pmod(Tables.hashU32(col("doc_id"), 87), lit(7L)) =!= 0)
+        .withColumn("text", when(col("lang") === "fr",
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        .unionByName(docs.filter(col("lang") === "zh")
+          .withColumn("doc_id", col("doc_id") + lit(2000000L)))
+      val v1 = vt.commit(next, dir)
+      vt.changes(s, dir, v0, v1, "doc_id")
+        .groupBy(col("op"))
+        .agg(count(lit(1)).as("cnt"), sum(col("doc_id")).as("id_sum"))
+    }),
+
     // versioned snapshot table with TIME TRAVEL (the manifest-commit
     // protocol of the lakehouse formats): v0 = the full corpus,
     // v1 = a delete commit; reading v0 AFTER v1 exists must still
@@ -4695,6 +4718,28 @@ object SparkEntry {
          |      UNION ALL
          |      SELECT doc_id + 1000000 AS doc_id, text
          |      FROM documents WHERE lang = 'de')""".stripMargin,
+
+    // the two table states replayed relationally; only text ever
+    // differs, so the text compare stands in for the all-column one
+    "q78_change_feed" ->
+      s"""WITH a AS (SELECT doc_id, text FROM documents),
+         |b AS (
+         |  SELECT doc_id,
+         |    CASE WHEN lang = 'fr' THEN text || ' v2' ELSE text END AS text
+         |  FROM documents
+         |  WHERE ${duckU32("doc_id::VARCHAR", 87)} % 7 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + 2000000 AS doc_id, text
+         |  FROM documents WHERE lang = 'zh'),
+         |d AS (
+         |  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+         |    CASE WHEN a.doc_id IS NULL THEN 'insert'
+         |         WHEN b.doc_id IS NULL THEN 'delete'
+         |         WHEN a.text <> b.text THEN 'update' END AS op
+         |  FROM a FULL JOIN b ON a.doc_id = b.doc_id)
+         |SELECT op, CAST(count(*) AS BIGINT) AS cnt,
+         | CAST(sum(doc_id) AS BIGINT) AS id_sum
+         |FROM d WHERE op IS NOT NULL GROUP BY 1""".stripMargin,
 
     // the four version states replayed relationally: v0 everything,
     // v1 minus the hashed delete keys, v2 = v1 ∪ shifted-id appends,

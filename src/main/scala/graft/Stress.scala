@@ -291,6 +291,45 @@ object Stress {
         nProbe = 2, m = 8, k = 8, dim = 64, pqIters = 2,
         seed = 777).count()
     }
+    // binary/truncated rerank family with FIXED queries: both scans
+    // are linear in the corpus per query (8 bytes/vector for s14,
+    // 16 of 64 float lanes for s15) — the curve should track s6's
+    // slope at a fraction of its constant
+    t("s14_sign_hamming") {
+      Similarity.signHammingRerankTopK(emb, pqQueries, "vec_id",
+        "embedding", dim = 64, candK = 50, k = 5).count()
+    }
+    t("s15_matryoshka") {
+      Similarity.prefixRerankTopK(emb, pqQueries, "vec_id",
+        "embedding", pdim = 16, candK = 50, k = 5).count()
+    }
+    // DSIR: two corpus-sized hash-agg passes plus a broadcast of the
+    // 256-bucket model — the curve should be linear with a flat model
+    // cost; the Gumbel draw is TakeOrdered (k·partitions rows merged)
+    t("t20_dsir_select") {
+      TextAnalysis.dsirSelect(docs, "doc_id", "text",
+        col("lang") === "en", nBuckets = 256, k = 100).count()
+    }
+    // canonical dedup = d8's cluster relation + one window over the
+    // membership — the delta over d8 must stay O(n log n)
+    t("p6_canonical_dedup") {
+      val pairs = Dedup.simhashPairs(
+        Dedup.simhash(docs, col("doc_id"), col("text")), 3)
+        .select(col("doc_a"), col("doc_b"))
+      val comp = Dedup.dedupComponents(pairs)
+        .select(col("doc_id"), col("component"))
+      val scored = docs.select(col("doc_id"), col("lang"),
+        round(TextAnalysis.qualityScore(col("text")) * 1e6)
+          .cast("long").as("q6"))
+      val withComp = scored.join(comp, Seq("doc_id"), "left")
+        .withColumn("component",
+          coalesce(col("component"), col("doc_id")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("component"))
+        .orderBy(col("q6").desc, col("doc_id").asc)
+      withComp.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1).count()
+    }
     spark.stop()
   }
 }

@@ -159,6 +159,38 @@ object VersionedTable {
     publish(readVersion(spark, dir, vs.last), dir, vs.last + 1, Seq.empty)
   }
 
+  /** Change data feed between two committed versions: every key that
+    * differs, labeled insert / delete / update (compared with
+    * null-safe equality on all non-key columns — no content hashing,
+    * so no hash-collision false-negatives). One full-outer join on
+    * the key — the same shuffle MERGE pays — and unchanged rows never
+    * leave it, so a consumer incrementally syncing a downstream table
+    * reads O(changes), not O(table). Both versions resolve with their
+    * deletion vectors applied, so a DV-only commit surfaces as plain
+    * `delete` rows here. Returns (keyCol, op). */
+  def changes(spark: SparkSession, dir: String, fromV: Int, toV: Int,
+      keyCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val a = readVersion(spark, dir, fromV)
+    val b = readVersion(spark, dir, toV)
+    require(a.columns.sorted.sameElements(b.columns.sorted),
+      s"schemas differ between v$fromV and v$toV")
+    val cols = a.columns.filterNot(_ == keyCol).sorted.toSeq
+    val aa = a.select(col(keyCol) +: lit(1).as("__a") +:
+      cols.map(c => col(c).as(s"a_$c")): _*)
+    val bb = b.select(col(keyCol) +: lit(1).as("__b") +:
+      cols.map(c => col(c).as(s"b_$c")): _*)
+    aa.join(bb, Seq(keyCol), "full_outer")
+      .withColumn("op",
+        when(col("__a").isNull, lit("insert"))
+          .when(col("__b").isNull, lit("delete"))
+          .when(cols.map(c => col(s"a_$c") <=> col(s"b_$c"))
+            .reduce(_ && _), lit(null).cast("string"))
+          .otherwise(lit("update")))
+      .filter(col("op").isNotNull)
+      .select(col(keyCol), col("op"))
+  }
+
   /** Retention vacuum: physically delete the data and deletion-vector
     * files referenced ONLY by versions older than the newest
     * `retainLast`, then drop those versions' manifests. Retained

@@ -112,6 +112,27 @@ class VersionedTableSpec extends SparkSpec {
       .forall(_.startsWith(s"data/v$v4/")))
   }
 
+  test("change feed labels inserts/updates/deletes; DV commits surface") {
+    val dir = java.nio.file.Files.createTempDirectory("vtab").toString
+    VersionedTable.commit(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s"), dir)
+    VersionedTable.commit(
+      Seq((1L, "a"), (3L, "c2"), (4L, "d")).toDF("id", "s"), dir)
+    def feed(a: Int, b: Int) = VersionedTable
+      .changes(spark, dir, a, b, "id")
+      .as[(Long, String)].collect().toSet
+    assert(feed(0, 1) == Set((2L, "delete"), (3L, "update"),
+      (4L, "insert")))
+    // a deletion-vector commit shows up as plain deletes
+    val v2 = VersionedTable.deleteCommit(Seq(1L).toDF("id"), dir)
+    assert(feed(1, v2) == Set((1L, "delete")))
+    // spans compose transitively
+    assert(feed(0, v2) == Set((1L, "delete"), (2L, "delete"),
+      (3L, "update"), (4L, "insert")))
+    // identical versions → empty feed
+    assert(feed(1, 1).isEmpty)
+  }
+
   test("vacuum drops only files unreachable from retained versions") {
     val dir = java.nio.file.Files.createTempDirectory("vtab").toString
     VersionedTable.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), dir)
