@@ -649,9 +649,20 @@ object Similarity {
     require(candK >= k, s"candK=$candK must be >= k=$k")
     val cand = sq8TopK(corpus, queries, idCol, vecCol, candK)
       .select(col("query_id"), col("neighbor_id"))
-    // query vectors come from the QUERY relation (external query sets
-    // are the normal case — corpus-sourced vectors would silently
-    // mismatch them) and only that query-sized side is broadcast
+    exactRerank(cand, corpus, queries, idCol, vecCol, k)
+  }
+
+  /** The exact-cosine re-rank tail every two-stage family shares
+    * (SQ8 / sign-Hamming / Matryoshka): join the (query_id,
+    * neighbor_id) shortlist back to the float vectors, score with the
+    * left-fold cosine, keep top-k per query. Query vectors come from
+    * the QUERY relation (external query sets are the normal case —
+    * corpus-sourced vectors would silently mismatch them) and only
+    * that query-sized side is broadcast; float math touches exactly
+    * queries·candK pairs. */
+  private def exactRerank(cand: DataFrame, corpus: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
     val qv = queries.select(col(idCol).as("query_id"),
         col(vecCol).as("q_vec"))
       .withColumn("q_norm", norm(col("q_vec")))
@@ -735,22 +746,7 @@ object Similarity {
     val cand = scored.withColumn("rk", row_number().over(ws))
       .filter(col("rk") <= candK)
       .select(col("query_id"), col("neighbor_id"))
-    val qv = queries.select(col(idCol).as("query_id"),
-        col(vecCol).as("q_vec"))
-      .withColumn("q_norm", norm(col("q_vec")))
-    val cv = corpus.select(col(idCol).as("neighbor_id"),
-        col(vecCol).as("c_vec"))
-      .withColumn("c_norm", norm(col("c_vec")))
-    val rr = cand.join(broadcast(qv), "query_id")
-      .join(cv, "neighbor_id")
-      .withColumn("cosine",
-        dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    rr.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        col("cosine"))
+    exactRerank(cand, corpus, queries, idCol, vecCol, k)
   }
 
   /** Matryoshka / adaptive retrieval: shortlist by exact cosine over
@@ -785,22 +781,7 @@ object Similarity {
     val cand = pre.withColumn("rk", row_number().over(ws))
       .filter(col("rk") <= candK)
       .select(col("query_id"), col("neighbor_id"))
-    val qv = queries.select(col(idCol).as("query_id"),
-        col(vecCol).as("q_vec"))
-      .withColumn("q_norm", norm(col("q_vec")))
-    val cv = corpus.select(col(idCol).as("neighbor_id"),
-        col(vecCol).as("c_vec"))
-      .withColumn("c_norm", norm(col("c_vec")))
-    val rr = cand.join(broadcast(qv), "query_id")
-      .join(cv, "neighbor_id")
-      .withColumn("cosine",
-        dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    rr.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        col("cosine"))
+    exactRerank(cand, corpus, queries, idCol, vecCol, k)
   }
 
   /** PQ-ADC approximate top-k: queries score every corpus vector as the

@@ -109,8 +109,8 @@ object VersionedTable {
     val vs = versions(spark, dir)
     require(vs.nonEmpty, s"appendCommit needs a base version at $dir")
     val prev = vs.last
-    publish(df, dir, prev + 1, manifestFiles(spark, dir, prev),
-      manifestDvs(spark, dir, prev))
+    val (files, dvs) = manifest(spark, dir, prev)
+    publish(df, dir, prev + 1, files, dvs)
   }
 
   /** DELETE commit via a deletion vector: the new version's manifest
@@ -134,6 +134,13 @@ object VersionedTable {
     val vs = versions(spark, dir)
     require(vs.nonEmpty, s"deleteCommit needs a base version at $dir")
     val prev = vs.last
+    // a misnamed key would COMMIT fine and then fail every later
+    // read's anti-join — reject it before anything is published
+    // (schema-only check: no job runs)
+    val tableCols = readVersion(spark, dir, prev).columns.toSet
+    require(tableCols.contains(keys.columns.head),
+      s"deletion-vector key '${keys.columns.head}' is not a column " +
+        s"of the table (${tableCols.toSeq.sorted.mkString(",")})")
     val v = prev + 1
     val f = fs(spark, dir)
     val dvDir = new Path(dir, s"deletes/v$v")
@@ -143,8 +150,8 @@ object VersionedTable {
       .filter(_.endsWith(".parquet"))
       .sorted
       .map(n => s"deletes/v$v/$n")
-    writeManifest(f, dir, v, manifestFiles(spark, dir, prev),
-      manifestDvs(spark, dir, prev) ++ newDvs)
+    val (files, dvs) = manifest(spark, dir, prev)
+    writeManifest(f, dir, v, files, dvs ++ newDvs)
     v
   }
 
@@ -207,14 +214,22 @@ object VersionedTable {
     val drop = vs.dropRight(retainLast)
     val keep = vs.takeRight(retainLast)
     val f = fs(spark, dir)
-    val referenced = keep.flatMap(v =>
-      manifestFiles(spark, dir, v) ++ manifestDvs(spark, dir, v)).toSet
-    val doomed = drop.flatMap(v =>
-      manifestFiles(spark, dir, v) ++ manifestDvs(spark, dir, v))
-      .distinct.filterNot(referenced)
+    def both(v: Int): Seq[String] = {
+      val (files, dvs) = manifest(spark, dir, v); files ++ dvs
+    }
+    val referenced = keep.flatMap(both).toSet
+    val doomed = drop.flatMap(both).distinct.filterNot(referenced)
     doomed.foreach(rel => f.delete(new Path(dir, rel), false))
     drop.foreach(v =>
       f.delete(new Path(manifestDir(dir), s"v$v.json"), false))
+    // version directories no retained manifest references at all go
+    // WHOLE (removes the committer's _SUCCESS markers and the empty
+    // dirs themselves — otherwise one orphan dir per vacuumed version
+    // accumulates forever)
+    def verDir(rel: String) = rel.split("/").take(2).mkString("/")
+    val dirsInUse = referenced.map(verDir)
+    (doomed.map(verDir).toSet -- dirsInUse)
+      .foreach(d => f.delete(new Path(dir, d), true))
     doomed
   }
 
@@ -233,18 +248,26 @@ object VersionedTable {
     } finally in.close()
   }
 
+  /** One manifest fetch → (files, dvs). Callers needing both lists
+    * MUST use this instead of the two single-field helpers below: on
+    * an object store each manifest read is a remote GET. */
+  private def manifest(spark: SparkSession, dir: String,
+      v: Int): (Seq[String], Seq[String]) = {
+    val json = manifestJson(spark, dir, v)
+    (parseArray(json, "files").getOrElse(
+      throw new IllegalArgumentException(
+        s"manifest v$v missing files array")),
+      parseArray(json, "dvs").getOrElse(Seq.empty))
+  }
+
   /** The (dir-relative) file list of a committed version. */
   private def manifestFiles(spark: SparkSession, dir: String,
-      v: Int): Seq[String] =
-    parseArray(manifestJson(spark, dir, v), "files")
-      .getOrElse(throw new IllegalArgumentException(
-        s"manifest v$v missing files array"))
+      v: Int): Seq[String] = manifest(spark, dir, v)._1
 
   /** The (dir-relative) deletion-vector list of a committed version
     * (empty for manifests written before deletes existed). */
   private def manifestDvs(spark: SparkSession, dir: String,
-      v: Int): Seq[String] =
-    parseArray(manifestJson(spark, dir, v), "dvs").getOrElse(Seq.empty)
+      v: Int): Seq[String] = manifest(spark, dir, v)._2
 
   /** Minimal extractor for a manifest's string-array field (the format
     * is fixed by [[writeManifest]]; no JSON library on the classpath). */
@@ -263,28 +286,52 @@ object VersionedTable {
       throw new IllegalArgumentException(
         s"manifest missing files array: $json"))
 
+  private val DvPathVersion = """deletes/v(\d+)/""".r
+
   /** Time-travel read: exactly the files version `v`'s manifest
     * names, with the version's accumulated deletion vectors applied
-    * (anti-join on the vector's own key column — merge-on-read). The
-    * anti-join only exists for versions that carry deletes; plain
-    * versions scan untouched, and the join key side is the deleted-key
-    * relation, typically a sliver of the table (Spark broadcasts it
-    * when small; at worst it shuffles both sides on the key, the same
-    * cost every MERGE pays). */
+    * (anti-join on the vector's own key column — merge-on-read).
+    *
+    * DVs are FILE-SCOPED, like the lakehouse formats': a vector
+    * committed at version N masks a key only in data files that
+    * already existed at N (every data file is immutably named
+    * `data/vK/…`, so "existed at N" is just K ≤ N — derivable from
+    * paths, no extra manifest state). A later append that re-inserts
+    * a previously deleted key is therefore VISIBLE — the delete is
+    * not a forever-tombstone. The anti-join only exists for versions
+    * that carry deletes; plain versions scan untouched, and the join
+    * key side is the deleted-key relation, typically a sliver of the
+    * table (Spark broadcasts it when small; at worst it shuffles both
+    * sides on the key, the same cost every MERGE pays). */
   def readVersion(spark: SparkSession, dir: String, v: Int): DataFrame = {
-    val files = manifestFiles(spark, dir, v)
-      .map(rel => new Path(dir, rel).toString)
-    require(files.nonEmpty, s"version $v manifest lists no files")
+    val (fileRels, dvRels) = manifest(spark, dir, v)
+    require(fileRels.nonEmpty, s"version $v manifest lists no files")
+    val files = fileRels.map(rel => new Path(dir, rel).toString)
     val data = spark.read.parquet(files: _*)
-    val dvs = manifestDvs(spark, dir, v)
-      .map(rel => new Path(dir, rel).toString)
-    if (dvs.isEmpty) data
+    if (dvRels.isEmpty) data
     else {
-      val dv = spark.read.parquet(dvs: _*)
-      require(dv.columns.length == 1,
+      import org.apache.spark.sql.functions._
+      val dv = dvRels.map { rel =>
+        val dvV = DvPathVersion.findFirstMatchIn(rel)
+          .map(_.group(1).toInt)
+          .getOrElse(throw new IllegalArgumentException(
+            s"deletion vector outside deletes/vN/: $rel"))
+        spark.read.parquet(new Path(dir, rel).toString)
+          .withColumn("__dv_v", lit(dvV))
+      }.reduce(_ unionByName _)
+      val keyCols = dv.columns.filterNot(_ == "__dv_v")
+      require(keyCols.length == 1,
         s"deletion vectors must be single-column, got ${
-          dv.columns.mkString(",")}")
-      data.join(dv, Seq(dv.columns.head), "left_anti")
+          keyCols.mkString(",")}")
+      val key = keyCols.head
+      val withFileV = data.withColumn("__file_v",
+        regexp_extract(col("_metadata.file_path"), "/data/v(\\d+)/", 1)
+          .cast("int"))
+      val dvk = dv.withColumnRenamed(key, "__dv_key")
+      withFileV.join(dvk,
+          withFileV(key) === dvk("__dv_key") &&
+            dvk("__dv_v") >= withFileV("__file_v"), "left_anti")
+        .drop("__file_v")
     }
   }
 

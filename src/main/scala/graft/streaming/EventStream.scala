@@ -333,7 +333,15 @@ object EventStream {
         val oldAffected = curState.join(keys, Seq(keyCol), "left_semi")
         val nextState = graft.operators.ChangeData.mergeLatest(
           curState, batchLatest, keyCol, tsCol, tbCol)
-        val newAffected = nextState.join(keys, Seq(keyCol), "left_semi")
+        // the state is WRITTEN first and the view's delta reads the
+        // written files back — deriving both from the nextState plan
+        // would execute the full-table latest-wins window twice per
+        // batch (lineage is not a cache)
+        val tmp = new Path(baseDir + "__swap")
+        fs.delete(tmp, true)
+        nextState.write.parquet(s"${tmp.toString}/state")
+        val newAffected = sess.read.parquet(s"${tmp.toString}/state")
+          .join(keys, Seq(keyCol), "left_semi")
         def contrib(df: DataFrame, sign: Long) = df
           .filter(col(opCol) =!= "delete")
           .groupBy(col(groupCol))
@@ -350,9 +358,6 @@ object EventStream {
             (coalesce(col("sum6"), lit(0L)) +
               coalesce(col("dsum6"), lit(0L))).as("sum6"))
           .filter(col("cnt") > 0)
-        val tmp = new Path(baseDir + "__swap")
-        fs.delete(tmp, true)
-        nextState.write.parquet(s"${tmp.toString}/state")
         nextView.write.parquet(s"${tmp.toString}/view")
         fs.delete(old, true)
         if (fs.exists(base))

@@ -112,6 +112,28 @@ class VersionedTableSpec extends SparkSpec {
       .forall(_.startsWith(s"data/v$v4/")))
   }
 
+  test("file-scoped DVs: re-inserting a deleted key becomes visible") {
+    val dir = java.nio.file.Files.createTempDirectory("vtab").toString
+    VersionedTable.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), dir)
+    val v1 = VersionedTable.deleteCommit(Seq(2L).toDF("id"), dir)
+    def rows(v: Int) = VersionedTable.readVersion(spark, dir, v)
+      .as[(Long, String)].collect().toSet
+    assert(rows(v1) == Set((1L, "a")))
+    // the vector only masks files that existed when it was committed:
+    // an append that re-inserts the key is visible (no forever-
+    // tombstone), while the ORIGINAL copy stays masked — no dup
+    val v2 = VersionedTable.appendCommit(Seq((2L, "b2")).toDF("id", "s"), dir)
+    assert(rows(v2) == Set((1L, "a"), (2L, "b2")))
+    // a fresh delete masks both the old file and the appended one
+    val v3 = VersionedTable.deleteCommit(Seq(2L).toDF("id"), dir)
+    assert(rows(v3) == Set((1L, "a")))
+    // a misnamed key column is rejected BEFORE anything publishes
+    intercept[IllegalArgumentException] {
+      VersionedTable.deleteCommit(Seq(1L).toDF("nope"), dir)
+    }
+    assert(VersionedTable.versions(spark, dir) == Seq(0, 1, 2, 3))
+  }
+
   test("change feed labels inserts/updates/deletes; DV commits surface") {
     val dir = java.nio.file.Files.createTempDirectory("vtab").toString
     VersionedTable.commit(
@@ -158,5 +180,9 @@ class VersionedTableSpec extends SparkSpec {
     assert(deleted2.exists(_.startsWith("data/v0/")))
     assert(deleted2.exists(_.startsWith("deletes/v2/")))
     assert(rows(3) == v3Rows)
+    // unreferenced version DIRECTORIES go whole (no _SUCCESS orphans)
+    assert(!new java.io.File(dir, "data/v0").exists())
+    assert(!new java.io.File(dir, "deletes/v2").exists())
+    assert(new java.io.File(dir, "data/v3").exists())
   }
 }
