@@ -1397,6 +1397,56 @@ object SparkEntry {
         .unionByName(agg(3, v3))
     }),
 
+    // atomic MERGE (upsert) commit: ONE version appends the update
+    // rows as fresh files and masks their old copies via a
+    // file-scoped deletion vector — matched keys update, unmatched
+    // insert, untouched rows are never rewritten (O(updates) I/O,
+    // the lakehouse MERGE-on-read shape). v0 must still read
+    // pre-merge; no intermediate deleted-only state ever exists
+    "q79_merge_commit" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(
+        col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"))
+      val dir = scratchDir("graft_vmerge", d)
+      val vt = graft.sources.VersionedTable
+      val v0 = vt.commit(docs, dir)
+      val updates = docs
+        .filter(pmod(Tables.hashU32(col("doc_id"), 91), lit(9L)) === 0)
+        .withColumn("text", concat(col("text"), lit(" v2")))
+        .unionByName(docs.filter(col("lang") === "ja")
+          .withColumn("doc_id", col("doc_id") + lit(3000000L)))
+      val v1 = vt.mergeCommit(updates, dir, "doc_id")
+      def agg(v: Int) =
+        vt.readVersion(s, dir, v)
+          .agg(count(lit(1)).as("cnt"), sum(col("doc_id")).as("id_sum"),
+            sum(Tables.hashU32(col("text"), 7)).as("content_sum"))
+          .select(lit(v.toLong).as("version"), col("cnt"),
+            col("id_sum"), col("content_sum"))
+      agg(v0).unionByName(agg(v1))
+    }),
+
+    // DATA SKIPPING via manifest min/max stats: the commit records
+    // per-file [min,max] of doc_id; a range read prunes files at the
+    // MANIFEST level (zero I/O for files outside the range — the
+    // O(selectivity) scan a 100 TB point-lookup needs), then applies
+    // the residual row filter. Data is range-clustered first: layout
+    // is what makes file stats sharp. The oracle sees only rows, so
+    // the hash match proves pruning lost nothing; the pruning-count
+    // receipt itself is asserted in VersionedTableSpec
+    "q80_data_skipping" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(
+        col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"))
+        .repartitionByRange(16, col("doc_id"))
+      val dir = scratchDir("graft_vskip", d)
+      val vt = graft.sources.VersionedTable
+      val v0 = vt.commit(docs, dir, statsCol = "doc_id")
+      vt.readVersionWhere(s, dir, v0, 100L, 220L)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("cnt"), sum(col("doc_id")).as("id_sum"),
+          sum(Tables.hashU32(col("text"), 7)).as("content_sum"))
+    }),
+
     // CHANGE DATA FEED between two table versions: deletes, updates
     // (null-safe all-column compare — no hashing) and inserts fall
     // out of one full-outer key join; a downstream consumer syncs
@@ -4718,6 +4768,40 @@ object SparkEntry {
          |      UNION ALL
          |      SELECT doc_id + 1000000 AS doc_id, text
          |      FROM documents WHERE lang = 'de')""".stripMargin,
+
+    // the merged state replayed relationally: updates ∪ the
+    // untouched remainder (anti-join on update keys)
+    "q79_merge_commit" ->
+      s"""WITH upd AS (
+         |  SELECT doc_id, text || ' v2' AS text FROM documents
+         |  WHERE ${duckU32("doc_id::VARCHAR", 91)} % 9 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 3000000 AS doc_id, text
+         |  FROM documents WHERE lang = 'ja'),
+         |v1 AS (
+         |  SELECT doc_id, text FROM upd
+         |  UNION ALL
+         |  SELECT doc_id, text FROM documents
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM upd))
+         |SELECT CAST(0 AS BIGINT) AS version,
+         | CAST(count(*) AS BIGINT) AS cnt,
+         | CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         | CAST(sum(${duckU32("text", 7)}) AS BIGINT) AS content_sum
+         |FROM documents
+         |UNION ALL
+         |SELECT CAST(1 AS BIGINT), CAST(count(*) AS BIGINT),
+         | CAST(sum(doc_id) AS BIGINT),
+         | CAST(sum(${duckU32("text", 7)}) AS BIGINT)
+         |FROM v1""".stripMargin,
+
+    // rows are what the oracle can see — the hash match proves the
+    // manifest-level file pruning dropped nothing in [100, 220]
+    "q80_data_skipping" ->
+      s"""SELECT lang, CAST(count(*) AS BIGINT) AS cnt,
+         | CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         | CAST(sum(${duckU32("text", 7)}) AS BIGINT) AS content_sum
+         |FROM documents WHERE doc_id BETWEEN 100 AND 220
+         |GROUP BY 1""".stripMargin,
 
     // the two table states replayed relationally; only text ever
     // differs, so the text compare stands in for the all-column one

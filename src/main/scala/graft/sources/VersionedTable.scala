@@ -56,7 +56,9 @@ object VersionedTable {
     * [[deleteCommit]]. `dvs` are deletion-vector files (see
     * [[deleteCommit]]) the version carries alongside its data. */
   private def publish(df: DataFrame, dir: String, v: Int,
-      carriedFiles: Seq[String], dvs: Seq[String] = Seq.empty): Int = {
+      carriedFiles: Seq[String], dvs: Seq[String] = Seq.empty,
+      statsCol: Option[String] = None,
+      carriedStats: Seq[String] = Seq.empty): Int = {
     val f = fs(df.sparkSession, dir)
     val dataDir = new Path(dir, s"data/v$v")
     df.write.mode("overwrite").parquet(dataDir.toString)
@@ -65,15 +67,43 @@ object VersionedTable {
       .filter(_.endsWith(".parquet"))
       .sorted
       .map(n => s"data/v$v/$n")
-    writeManifest(f, dir, v, carriedFiles ++ newFiles, dvs)
+    val newStats = statsCol.map(c =>
+      fileStats(df.sparkSession, dataDir, s"data/v$v", c))
+      .getOrElse(Seq.empty)
+    writeManifest(f, dir, v, carriedFiles ++ newFiles, dvs,
+      statsCol, carriedStats ++ newStats)
     v
   }
 
+  /** Per-file min/max of `statsCol` for the just-written files under
+    * `dataDir` — ONE scan of only the new files (the same read-back
+    * the committer already pays for its file listing on an object
+    * store), collected as O(files) pipe-packed `rel|min|max` strings.
+    * Integral columns only: values are stored as longs. */
+  private def fileStats(spark: SparkSession, dataDir: Path,
+      relPrefix: String, statsCol: String): Seq[String] = {
+    import org.apache.spark.sql.functions._
+    spark.read.parquet(dataDir.toString)
+      .groupBy(col("_metadata.file_path").as("fp"))
+      .agg(min(col(statsCol)).cast("long").as("mn"),
+        max(col(statsCol)).cast("long").as("mx"))
+      .collect().toSeq
+      .map { r =>
+        val name = r.getString(0).split("/").last
+        s"$relPrefix/$name|${r.getLong(1)}|${r.getLong(2)}"
+      }.sorted
+  }
+
   private def writeManifest(f: FileSystem, dir: String, v: Int,
-      files: Seq[String], dvs: Seq[String]): Unit = {
+      files: Seq[String], dvs: Seq[String],
+      statsCol: Option[String] = None,
+      stats: Seq[String] = Seq.empty): Unit = {
+    val statsPart = statsCol.map(c =>
+      s""","statsCol":"$c","stats":[${
+        stats.map(n => "\"" + n + "\"").mkString(",")}]""").getOrElse("")
     val json = s"""{"version":$v,"files":[${
       files.map(n => "\"" + n + "\"").mkString(",")}],"dvs":[${
-      dvs.map(n => "\"" + n + "\"").mkString(",")}]}"""
+      dvs.map(n => "\"" + n + "\"").mkString(",")}]$statsPart}"""
     val md = manifestDir(dir)
     f.mkdirs(md)
     val tmp = new Path(md, s"v$v.json.tmp")
@@ -99,6 +129,22 @@ object VersionedTable {
     publish(df, dir, v, Seq.empty)
   }
 
+  /** [[commit]] that also records per-file min/max of the integral
+    * column `statsCol` in the manifest — the data-skipping statistics
+    * every lakehouse format keeps. [[readVersionWhere]] then prunes
+    * files by range at the MANIFEST level: a 100 TB scan for a narrow
+    * key range opens only the files whose [min,max] overlaps it,
+    * deciding from O(files) metadata with zero data I/O for the rest.
+    * Cluster the data on `statsCol` first (`repartitionByRange`) or
+    * the per-file ranges all overlap and nothing can prune — layout
+    * is what makes the statistics sharp. Later commits of any kind
+    * carry and extend the stats automatically. */
+  def commit(df: DataFrame, dir: String, statsCol: String): Int = {
+    val spark = df.sparkSession
+    val v = versions(spark, dir).lastOption.map(_ + 1).getOrElse(0)
+    publish(df, dir, v, Seq.empty, statsCol = Some(statsCol))
+  }
+
   /** APPEND commit: the new version's manifest lists the previous
     * version's files UNCHANGED plus the freshly written ones — no
     * data is rewritten or copied (file-level reuse, the property that
@@ -109,8 +155,10 @@ object VersionedTable {
     val vs = versions(spark, dir)
     require(vs.nonEmpty, s"appendCommit needs a base version at $dir")
     val prev = vs.last
-    val (files, dvs) = manifest(spark, dir, prev)
-    publish(df, dir, prev + 1, files, dvs)
+    val json = manifestJson(spark, dir, prev)
+    val (files, dvs) = manifestLists(json, prev)
+    publish(df, dir, prev + 1, files, dvs,
+      statsColOf(json), parseArray(json, "stats").getOrElse(Seq.empty))
   }
 
   /** DELETE commit via a deletion vector: the new version's manifest
@@ -150,8 +198,63 @@ object VersionedTable {
       .filter(_.endsWith(".parquet"))
       .sorted
       .map(n => s"deletes/v$v/$n")
-    val (files, dvs) = manifest(spark, dir, prev)
-    writeManifest(f, dir, v, files, dvs ++ newDvs)
+    val json = manifestJson(spark, dir, prev)
+    val (files, dvs) = manifestLists(json, prev)
+    writeManifest(f, dir, v, files, dvs ++ newDvs,
+      statsColOf(json), parseArray(json, "stats").getOrElse(Seq.empty))
+    v
+  }
+
+  /** MERGE (upsert) commit — ONE atomic version: the update rows are
+    * appended as fresh data files AND a deletion vector over their
+    * keys masks any old copies in pre-existing files. Because DVs are
+    * file-scoped strictly (a vector at N masks only files from
+    * versions < N), the freshly appended rows survive their own
+    * vector — matched keys read as their update row, unmatched keys
+    * insert, untouched rows are never rewritten. Equivalent to
+    * [[deleteCommit]] + [[appendCommit]] but without the intermediate
+    * deleted-only version a time-traveling reader could observe, and
+    * with O(updates) I/O like every lakehouse MERGE-on-read.
+    *
+    * `updates` must carry the table's schema and at most one row per
+    * key (the standard MERGE source contract — duplicate update keys
+    * would ALL survive). The data files are written FIRST and the
+    * vector keys derive from reading them back, so `updates` is
+    * computed once and a crash before the manifest rename leaves
+    * nothing observable. */
+  def mergeCommit(updates: DataFrame, dir: String, keyCol: String): Int = {
+    import org.apache.spark.sql.functions.col
+    val spark = updates.sparkSession
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"mergeCommit needs a base version at $dir")
+    val prev = vs.last
+    val tableCols = readVersion(spark, dir, prev).columns
+    require(tableCols.sorted.sameElements(updates.columns.sorted),
+      s"update schema (${updates.columns.sorted.mkString(",")}) does " +
+        s"not match the table (${tableCols.sorted.mkString(",")})")
+    require(updates.columns.contains(keyCol),
+      s"merge key '$keyCol' is not a column of the updates")
+    val v = prev + 1
+    val f = fs(spark, dir)
+    def listed(p: Path, prefix: String): Seq[String] =
+      f.listStatus(p).toSeq.map(_.getPath.getName)
+        .filter(_.endsWith(".parquet")).sorted.map(n => s"$prefix/$n")
+    val dataDir = new Path(dir, s"data/v$v")
+    updates.write.mode("overwrite").parquet(dataDir.toString)
+    val newFiles = listed(dataDir, s"data/v$v")
+    val dvDir = new Path(dir, s"deletes/v$v")
+    spark.read.parquet(dataDir.toString)
+      .select(col(keyCol)).distinct()
+      .write.mode("overwrite").parquet(dvDir.toString)
+    val newDvs = listed(dvDir, s"deletes/v$v")
+    val json = manifestJson(spark, dir, prev)
+    val (files, dvs) = manifestLists(json, prev)
+    val statsCol = statsColOf(json)
+    val newStats = statsCol.map(c =>
+      fileStats(spark, dataDir, s"data/v$v", c)).getOrElse(Seq.empty)
+    writeManifest(f, dir, v, files ++ newFiles, dvs ++ newDvs,
+      statsCol,
+      parseArray(json, "stats").getOrElse(Seq.empty) ++ newStats)
     v
   }
 
@@ -163,7 +266,9 @@ object VersionedTable {
   def rewriteCommit(spark: SparkSession, dir: String): Int = {
     val vs = versions(spark, dir)
     require(vs.nonEmpty, s"rewriteCommit needs a base version at $dir")
-    publish(readVersion(spark, dir, vs.last), dir, vs.last + 1, Seq.empty)
+    val statsCol = statsColOf(manifestJson(spark, dir, vs.last))
+    publish(readVersion(spark, dir, vs.last), dir, vs.last + 1,
+      Seq.empty, statsCol = statsCol)
   }
 
   /** Change data feed between two committed versions: every key that
@@ -252,13 +357,23 @@ object VersionedTable {
     * MUST use this instead of the two single-field helpers below: on
     * an object store each manifest read is a remote GET. */
   private def manifest(spark: SparkSession, dir: String,
-      v: Int): (Seq[String], Seq[String]) = {
-    val json = manifestJson(spark, dir, v)
+      v: Int): (Seq[String], Seq[String]) =
+    manifestLists(manifestJson(spark, dir, v), v)
+
+  /** (files, dvs) out of an already-fetched manifest body — for
+    * callers that also need the stats fields from the same GET. */
+  private def manifestLists(json: String,
+      v: Int): (Seq[String], Seq[String]) =
     (parseArray(json, "files").getOrElse(
       throw new IllegalArgumentException(
         s"manifest v$v missing files array")),
       parseArray(json, "dvs").getOrElse(Seq.empty))
-  }
+
+  private val StatsColField = """"statsCol":"([^"]*)"""".r
+
+  /** The data-skipping stats column a manifest carries, if any. */
+  private def statsColOf(json: String): Option[String] =
+    StatsColField.findFirstMatchIn(json).map(_.group(1))
 
   /** The (dir-relative) file list of a committed version. */
   private def manifestFiles(spark: SparkSession, dir: String,
@@ -294,17 +409,25 @@ object VersionedTable {
     *
     * DVs are FILE-SCOPED, like the lakehouse formats': a vector
     * committed at version N masks a key only in data files that
-    * already existed at N (every data file is immutably named
-    * `data/vK/…`, so "existed at N" is just K ≤ N — derivable from
-    * paths, no extra manifest state). A later append that re-inserts
-    * a previously deleted key is therefore VISIBLE — the delete is
-    * not a forever-tombstone. The anti-join only exists for versions
+    * already existed WHEN the vector was committed (every data file
+    * is immutably named `data/vK/…`, so "existed before N" is just
+    * K < N — derivable from paths, no extra manifest state; the
+    * strict inequality is what lets [[mergeCommit]] append fresh
+    * copies of the very keys its vector masks). A later append that
+    * re-inserts a previously deleted key is therefore VISIBLE — the
+    * delete is not a forever-tombstone. The anti-join only exists for versions
     * that carry deletes; plain versions scan untouched, and the join
     * key side is the deleted-key relation, typically a sliver of the
     * table (Spark broadcasts it when small; at worst it shuffles both
     * sides on the key, the same cost every MERGE pays). */
   def readVersion(spark: SparkSession, dir: String, v: Int): DataFrame = {
     val (fileRels, dvRels) = manifest(spark, dir, v)
+    readFiles(spark, dir, v, fileRels, dvRels)
+  }
+
+  /** The shared scan core: exactly `fileRels`, DVs applied. */
+  private def readFiles(spark: SparkSession, dir: String, v: Int,
+      fileRels: Seq[String], dvRels: Seq[String]): DataFrame = {
     require(fileRels.nonEmpty, s"version $v manifest lists no files")
     val files = fileRels.map(rel => new Path(dir, rel).toString)
     val data = spark.read.parquet(files: _*)
@@ -330,9 +453,53 @@ object VersionedTable {
       val dvk = dv.withColumnRenamed(key, "__dv_key")
       withFileV.join(dvk,
           withFileV(key) === dvk("__dv_key") &&
-            dvk("__dv_v") >= withFileV("__file_v"), "left_anti")
+            dvk("__dv_v") > withFileV("__file_v"), "left_anti")
         .drop("__file_v")
     }
+  }
+
+  /** The manifest-level file-skipping decision for `statsCol ∈
+    * [lo, hi]` on version `v`: (files kept, total files). A file is
+    * kept iff its recorded [min,max] overlaps the range — or it has
+    * no stats (carried from a pre-stats commit: never wrongly
+    * pruned). Pure manifest metadata: no data file is opened. */
+  private[graft] def filesInRange(spark: SparkSession, dir: String,
+      v: Int, lo: Long, hi: Long): (Seq[String], Int) = {
+    val json = manifestJson(spark, dir, v)
+    val (fileRels, _) = manifestLists(json, v)
+    val stats = parseArray(json, "stats").getOrElse(Seq.empty)
+      .map { s =>
+        val parts = s.split('|')
+        parts(0) -> (parts(1).toLong, parts(2).toLong)
+      }.toMap
+    val kept = fileRels.filter { rel =>
+      stats.get(rel).forall { case (mn, mx) => mx >= lo && mn <= hi }
+    }
+    (kept, fileRels.length)
+  }
+
+  /** Range read with DATA SKIPPING: scans only the files whose
+    * manifest [min,max] stats overlap `[lo, hi]` (plus the residual
+    * row filter — overlap does not mean containment), DVs applied as
+    * in [[readVersion]]. On a range-clustered table this is the
+    * O(selectivity) scan a 100 TB point-lookup needs; without stats
+    * it degrades gracefully to readVersion + filter. */
+  def readVersionWhere(spark: SparkSession, dir: String, v: Int,
+      lo: Long, hi: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val json = manifestJson(spark, dir, v)
+    val (fileRels, dvRels) = manifestLists(json, v)
+    val statsCol = statsColOf(json).getOrElse(
+      throw new IllegalArgumentException(
+        s"version $v has no stats column — commit with statsCol " +
+          "to enable data skipping"))
+    val (kept, _) = filesInRange(spark, dir, v, lo, hi)
+    // an all-pruned range still needs the schema: filter(false)
+    // folds to an empty LocalRelation at plan time — zero I/O
+    if (kept.isEmpty)
+      readFiles(spark, dir, v, fileRels, dvRels).filter(lit(false))
+    else readFiles(spark, dir, v, kept, dvRels)
+      .filter(col(statsCol).between(lo, hi))
   }
 
   /** Read the highest committed version. */

@@ -134,6 +134,69 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.versions(spark, dir) == Seq(0, 1, 2, 3))
   }
 
+  test("mergeCommit upserts atomically in one version") {
+    val dir = java.nio.file.Files.createTempDirectory("vtab").toString
+    VersionedTable.commit(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s"), dir)
+    // one commit: 2 updates in place, 9 inserts, 1/3 untouched
+    val v = VersionedTable.mergeCommit(
+      Seq((2L, "b2"), (9L, "z")).toDF("id", "s"), dir, "id")
+    assert(v == 1)
+    def rows(v: Int) = VersionedTable.readVersion(spark, dir, v)
+      .as[(Long, String)].collect().toSet
+    assert(rows(1) == Set((1L, "a"), (2L, "b2"), (3L, "c"), (9L, "z")))
+    assert(rows(0) == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // exactly ONE version was created — no observable intermediate
+    // deleted-only state, unlike deleteCommit + appendCommit
+    assert(VersionedTable.versions(spark, dir) == Seq(0, 1))
+    // merges chain: a second merge re-updates an already-merged key
+    VersionedTable.mergeCommit(Seq((9L, "z2")).toDF("id", "s"), dir, "id")
+    assert(rows(2) == Set((1L, "a"), (2L, "b2"), (3L, "c"), (9L, "z2")))
+    // schema and key-column contracts are enforced up front
+    intercept[IllegalArgumentException] {
+      VersionedTable.mergeCommit(Seq(1L).toDF("id"), dir, "id")
+    }
+    intercept[IllegalArgumentException] {
+      VersionedTable.mergeCommit(
+        Seq((1L, "x")).toDF("id", "s"), dir, "nope")
+    }
+  }
+
+  test("manifest stats prune files; range read equals filtered full read") {
+    val dir = java.nio.file.Files.createTempDirectory("vtab").toString
+    val base = spark.range(0, 1000)
+      .select(col("id"), (col("id") % 7).as("m"))
+      .repartitionByRange(8, col("id"))
+    VersionedTable.commit(base, dir, statsCol = "id")
+    // the skipping decision is manifest metadata only
+    val (kept, total) = VersionedTable.filesInRange(spark, dir, 0, 100L, 220L)
+    assert(total == 8 && kept.nonEmpty && kept.length < total,
+      s"expected real pruning, got $kept of $total")
+    def rng(v: Int, lo: Long, hi: Long) =
+      VersionedTable.readVersionWhere(spark, dir, v, lo, hi)
+        .as[(Long, Long)].collect().toSet
+    assert(rng(0, 100L, 220L) ==
+      (100L to 220L).map(i => (i, i % 7)).toSet)
+    // an all-pruned range returns empty with the schema intact
+    assert(rng(0, 5000L, 6000L) == Set.empty)
+    // stats survive append (new files measured), merge and rewrite;
+    // DVs still apply inside a pruned read
+    VersionedTable.appendCommit(
+      spark.range(2000, 2100)
+        .select(col("id"), (col("id") % 7).as("m")), dir)
+    assert(rng(1, 1990L, 2005L) ==
+      (2000L to 2005L).map(i => (i, i % 7)).toSet)
+    VersionedTable.mergeCommit(
+      Seq((150L, -1L)).toDF("id", "m"), dir, "id")
+    assert(rng(2, 149L, 151L) ==
+      Set((149L, 149L % 7), (150L, -1L), (151L, 151L % 7)))
+    // rewrite re-measures stats over its fresh files (which may be
+    // few — compaction); the range read must stay correct through it
+    val v3 = VersionedTable.rewriteCommit(spark, dir)
+    assert(rng(v3, 149L, 151L) ==
+      Set((149L, 149L % 7), (150L, -1L), (151L, 151L % 7)))
+  }
+
   test("change feed labels inserts/updates/deletes; DV commits surface") {
     val dir = java.nio.file.Files.createTempDirectory("vtab").toString
     VersionedTable.commit(
