@@ -913,6 +913,22 @@ object SparkEntry {
         minJaccard = 0.5)
     }),
 
+    // benchmark DECONTAMINATION (fuzzy, whole-document): training
+    // docs that near-duplicate any benchmark doc get flagged for
+    // removal — minhash band buckets route candidates with the
+    // benchmark side BROADCAST (the corpus is the 100 TB side and is
+    // never shuffled corpus-wide), then EXACT trigram Jaccard
+    // verifies before anything is dropped. The fuzzy tier of the
+    // contamination family next to t7 (exact overlap) and t10 (Bloom)
+    "d15_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.decontaminate(
+        docs.filter(col("doc_id") % 10 =!= 3),
+        docs.filter(col("doc_id") % 10 === 3),
+        col("doc_id"), col("text"), numHashes = 8, rowsPerBand = 2,
+        minJaccard = 0.5)
+    }),
+
     // concat-and-chunk sequence packing per source shard — distributed
     // prefix sum, no global window
     "p2_sequence_packing" -> ((s, d) => {
@@ -3518,6 +3534,57 @@ object SparkEntry {
          |  f.dup_of
          |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 7) d
          |LEFT JOIN flag f ON d.doc_id = f.doc_id""".stripMargin,
+
+    // the cross-relation replay of the Spark plan: same one-
+    // permutation minhash bands for routing, same EXACT trigram
+    // Jaccard for the verdict
+    "d15_decontaminate" ->
+      s"""WITH t AS (SELECT doc_id, $DuckToks AS w FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, unnest(list_transform(
+         |    range(1, len(w) - 1),
+         |    i -> array_to_string(w[i:i+2], ' '))) AS shingle
+         |  FROM t WHERE len(w) >= 3),
+         |mh AS (
+         |  SELECT doc_id, h,
+         |   min(CASE WHEN h < 4 THEN substr(md5(shingle), 1 + 8*(h%4), 8)
+         |       ELSE substr(md5('x' || shingle), 1 + 8*(h%4), 8) END)
+         |    AS minhash
+         |  FROM sh CROSS JOIN (SELECT unnest(range(8)) AS h) hs
+         |  GROUP BY 1, 2),
+         |bands AS (
+         |  SELECT doc_id, h // 2 AS band,
+         |   md5(string_agg(minhash, '|' ORDER BY minhash)) AS bkey
+         |  FROM mh GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT c.doc_id, b.doc_id AS bench_id
+         |  FROM bands c JOIN bands b
+         |    ON c.band = b.band AND c.bkey = b.bkey
+         |  WHERE c.doc_id % 10 <> 3 AND b.doc_id % 10 = 3),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         |inter AS (
+         |  SELECT cd.doc_id, cd.bench_id, count(*) AS i
+         |  FROM cand cd
+         |  JOIN sh sa ON sa.doc_id = cd.doc_id
+         |  JOIN sh sb ON sb.doc_id = cd.bench_id
+         |    AND sb.shingle = sa.shingle
+         |  GROUP BY 1, 2),
+         |ver AS (
+         |  SELECT cd.doc_id, min(cd.bench_id) AS bench_id
+         |  FROM cand cd
+         |  LEFT JOIN inter i
+         |    ON i.doc_id = cd.doc_id AND i.bench_id = cd.bench_id
+         |  JOIN sizes za ON za.doc_id = cd.doc_id
+         |  JOIN sizes zb ON zb.doc_id = cd.bench_id
+         |  WHERE coalesce(i.i, 0)
+         |    / (za.sz + zb.sz - coalesce(i.i, 0))::DOUBLE >= 0.5
+         |  GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(CASE WHEN v.bench_id IS NULL THEN 0 ELSE 1 END AS INT)
+         |    AS contaminated,
+         |  v.bench_id
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 3) d
+         |LEFT JOIN ver v ON v.doc_id = d.doc_id""".stripMargin,
 
     "d3_ngram_jaccard" ->
       s"""WITH t AS (SELECT doc_id, source, $DuckToks AS w FROM documents),

@@ -218,6 +218,81 @@ object Dedup {
         col("dup_of"))
   }
 
+  /** Benchmark DECONTAMINATION — the whole-document fuzzy tier of
+    * the contamination family (t7 = exact n-gram overlap stats, t10 =
+    * Bloom n-gram membership): flag every TRAINING doc that is a
+    * verified near-duplicate of ANY benchmark doc, so it can be
+    * dropped before training (the eval-leak guard every published
+    * LLM data pipeline runs).
+    *
+    * Candidates route through the minhash band-bucket equi-join with
+    * the BENCHMARK side broadcast — benchmarks are eval-suite-sized
+    * while the corpus is the 100 TB side, so the corpus band relation
+    * is computed in one scan and NEVER shuffled corpus-wide; the
+    * broadcast-hash band probe is map-side. Candidates are then
+    * verified by EXACT word-n-gram Jaccard, not the signature
+    * estimate: a decision that deletes training data deserves the
+    * exact statistic, and the verify joins touch only
+    * candidate-matched docs (corpus shingles explode for candidates
+    * only; the benchmark shingle relation is benchmark-sized and
+    * broadcast too).
+    *
+    * Returns one row per corpus doc: (doc_id, contaminated 1/0,
+    * bench_id = lowest verified benchmark match or null). */
+  def decontaminate(corpus: DataFrame, benchmarks: DataFrame,
+      idCol: Column, textCol: Column, numHashes: Int = 8,
+      rowsPerBand: Int = 2, minJaccard: Double = 0.5,
+      shingleN: Int = 3): DataFrame = {
+    val cDocs = corpus.select(idCol.as("doc_id"), textCol.as("text"))
+    val bDocs = benchmarks.select(idCol.as("bench_id"),
+      textCol.as("text"))
+    val cSig = minhash(cDocs, col("doc_id"), col("text"), numHashes,
+      shingleN)
+    val bSig = minhash(
+      bDocs.select(col("bench_id").as("doc_id"), col("text")),
+      col("doc_id"), col("text"), numHashes, shingleN)
+    val bB = bandKeys(bSig, rowsPerBand)
+      .select(col("band"), col("bkey"), col("doc_id").as("bench_id"))
+    val cand = bandKeys(cSig, rowsPerBand)
+      .join(broadcast(bB), Seq("band", "bkey"))
+      .select(col("doc_id"), col("bench_id")).distinct()
+      .persistTracked() // reused: corpus-side semi-probe + verify join
+    val cSh = TextAnalysis.explodedShingles(
+        cDocs.join(broadcast(cand.select(col("doc_id")).distinct()),
+          Seq("doc_id")),
+        col("doc_id"), col("text"), shingleN)
+      .distinct().persistTracked() // reused: sizes + intersection
+    val bSh = TextAnalysis.explodedShingles(bDocs, col("bench_id"),
+        col("text"), shingleN)
+      .withColumnRenamed("doc_id", "bench_id")
+      .distinct().persistTracked() // reused: sizes + intersection
+    val cSz = cSh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz_c"))
+    val bSz = bSh.groupBy(col("bench_id")).agg(count(lit(1)).as("sz_b"))
+    val bShR = bSh.select(col("bench_id").as("b_id"),
+      col("shingle").as("s_b"))
+    val inter = cand
+      .join(cSh, Seq("doc_id"))
+      .join(broadcast(bShR),
+        col("bench_id") === col("b_id") && col("shingle") === col("s_b"))
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("inter"))
+    val verified = cand
+      .join(inter, Seq("doc_id", "bench_id"), "left")
+      .na.fill(0L, Seq("inter"))
+      .join(cSz, Seq("doc_id"))
+      .join(broadcast(bSz), Seq("bench_id"))
+      .filter(col("inter") /
+        (col("sz_c") + col("sz_b") - col("inter")).cast("double")
+        >= minJaccard)
+      .groupBy(col("doc_id")).agg(min(col("bench_id")).as("bench_id"))
+    cDocs.select(col("doc_id"))
+      .join(verified, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        when(col("bench_id").isNull, 0).otherwise(1).cast("int")
+          .as("contaminated"),
+        col("bench_id"))
+  }
+
   /** Exact n-gram Jaccard for given pairs: |A ∩ B| / |A ∪ B| over
     * distinct word n-grams, computed relationally (explode + join +
     * count), never materializing set products. */

@@ -62,6 +62,28 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out(27L) == ((0, None)))
   }
 
+  test("decontaminate flags verified benchmark near-dups only") {
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog today"),
+      (20L, "completely different content about spark engines here"),
+      (30L, "nothing shares any shingle with this sentence at all ok")
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      // near-identical to corpus 10 AND 20 (evidence = min bench id)
+      (2L, "the quick brown fox jumps over the lazy dog today"),
+      (1L, "completely different content about spark engines here"),
+      (9L, "the quick brown fox jumps over the lazy dog today")
+    ).toDF("doc_id", "text")
+    val out = Dedup.decontaminate(corpus, bench,
+        col("doc_id"), col("text"), 8, 2, 0.5)
+      .as[(Long, Int, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out.size == 3)
+    assert(out(10L) == ((1, Some(2L)))) // min of verified {2, 9}
+    assert(out(20L) == ((1, Some(1L))))
+    assert(out(30L) == ((0, None)))    // no band hit survives verify
+  }
+
   test("ngram jaccard: identical docs = 1.0, disjoint docs = 0.0") {
     val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("doc_a", "doc_b")
     val j = Dedup.ngramJaccard(pairs, docs, col("doc_id"), col("text"), 3)
