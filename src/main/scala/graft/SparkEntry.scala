@@ -1463,6 +1463,46 @@ object SparkEntry {
           sum(Tables.hashU32(col("text"), 7)).as("content_sum"))
     }),
 
+    // STREAMING INGEST into the versioned table: each micro-batch
+    // lands as one O(batch) append commit (file-level reuse), every
+    // batch boundary becomes a time-travelable version, and replays
+    // are idempotent (batch b owns version b — the txn-marker trick).
+    // Batch order is pinned by mtime; the per-version censuses replay
+    // the cumulative batch prefix relationally
+    "q81_stream_table_ingest" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(
+        col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"))
+      val scratch = scratchDir("q81ingest", d)
+      val streamDir = new java.io.File(scratch, "in")
+      streamDir.mkdirs()
+      for (i <- 0 until 3) {
+        val tmp = s"$scratch/shard$i"
+        docs.filter(col("doc_id") % 3 === i).coalesce(1)
+          .write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(streamDir, f"batch$i%02d.parquet")
+        java.nio.file.Files.copy(part.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        // pinned, strictly increasing mtimes: the file source orders
+        // micro-batches by modification time
+        dst.setLastModified(1000000L * (i + 1))
+      }
+      val dir = s"$scratch/table"
+      EventStream.tableIngestOnce(
+        EventStream.parquetFileStream(s, streamDir.getAbsolutePath),
+        dir)
+      val vt = graft.sources.VersionedTable
+      def agg(v: Int) =
+        vt.readVersion(s, dir, v)
+          .agg(count(lit(1)).as("cnt"), sum(col("doc_id")).as("id_sum"),
+            sum(Tables.hashU32(col("text"), 7)).as("content_sum"))
+          .select(lit(v.toLong).as("version"), col("cnt"),
+            col("id_sum"), col("content_sum"))
+      vt.versions(s, dir).map(agg).reduce(_ unionByName _)
+    }),
+
     // CHANGE DATA FEED between two table versions: deletes, updates
     // (null-safe all-column compare — no hashing) and inserts fall
     // out of one full-outer key join; a downstream consumer syncs
@@ -4860,6 +4900,17 @@ object SparkEntry {
          | CAST(sum(doc_id) AS BIGINT),
          | CAST(sum(${duckU32("text", 7)}) AS BIGINT)
          |FROM v1""".stripMargin,
+
+    // the three cumulative batch prefixes replayed relationally:
+    // batch i carries doc_id % 3 = i, versions accumulate them
+    "q81_stream_table_ingest" ->
+      s"""SELECT CAST(v AS BIGINT) AS version,
+         | CAST(count(*) AS BIGINT) AS cnt,
+         | CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         | CAST(sum(${duckU32("text", 7)}) AS BIGINT) AS content_sum
+         |FROM (SELECT unnest(range(3)) AS v) vs
+         |JOIN documents ON doc_id % 3 <= v
+         |GROUP BY 1""".stripMargin,
 
     // rows are what the oracle can see — the hash match proves the
     // manifest-level file pruning dropped nothing in [100, 220]

@@ -285,6 +285,43 @@ object EventStream {
     q.awaitTermination()
   }
 
+  /** Stream-to-TABLE ingest: every micro-batch lands as one APPEND
+    * commit on a [[graft.sources.VersionedTable]] — the streaming
+    * side of the lakehouse story. Each batch is O(batch) I/O
+    * (file-level reuse carries all earlier files unchanged), the
+    * manifest rename is the atomic publish, and every batch boundary
+    * becomes a time-travelable version: a consumer reads the table as
+    * of any micro-batch, or diffs two of them with the change feed.
+    *
+    * Replay idempotence without sink-side state: batch b owns version
+    * b exactly, so a batch whose version number already exists is a
+    * REPLAY (restart after a crash between commit and checkpoint, or
+    * a full re-run without a checkpoint) and is skipped — the same
+    * (appId, batchId) transaction-marker trick the lakehouse
+    * streaming sinks use, here folded into the version counter. */
+  def tableIngestOnce(src: DataFrame, dir: String): Unit = {
+    val q = src.writeStream
+      .foreachBatch {
+        (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val sess = batch.sparkSession
+        val vt = graft.sources.VersionedTable
+        val vs = vt.versions(sess, dir)
+        if (vs.length <= batchId) {
+          // the table dir is owned by this stream: versions and batch
+          // ids advance in lockstep, a gap means someone else wrote
+          require(vs.length == batchId,
+            s"table at $dir has ${vs.length} versions but batch " +
+              s"$batchId arrived — not this stream's table")
+          if (vs.isEmpty) vt.commit(batch.toDF(), dir)
+          else vt.appendCommit(batch.toDF(), dir)
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Incremental view maintenance (IVM) over a CDC stream: alongside
     * the latest-wins state table ([[cdcApplyOnce]]'s semantics, plus
     * delete tombstones), an aggregate VIEW — (group, cnt, sum6) over

@@ -79,6 +79,41 @@ class EventsStreamingSpec extends SparkSpec {
     assert(out == Set(("a", 1L, 9), ("a", 2L, 5), ("b", 1L, 2)))
   }
 
+  test("stream-to-table ingest: one version per batch, replay is a no-op") {
+    val scratch = java.nio.file.Files
+      .createTempDirectory("ingest").toString
+    val streamDir = new java.io.File(scratch, "in")
+    streamDir.mkdirs()
+    for (i <- 0 until 3) {
+      val tmp = s"$scratch/shard$i"
+      Seq((i.toLong, s"doc$i")).toDF("id", "s")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(streamDir, f"b$i%02d.parquet")
+      java.nio.file.Files.copy(part.toPath, dst.toPath)
+      dst.setLastModified(1000000L * (i + 1))
+    }
+    val dir = s"$scratch/table"
+    def ingest() = EventStream.tableIngestOnce(
+      EventStream.parquetFileStream(spark, streamDir.getAbsolutePath),
+      dir)
+    ingest()
+    val vt = graft.sources.VersionedTable
+    assert(vt.versions(spark, dir) == Seq(0, 1, 2))
+    def rows(v: Int) = vt.readVersion(spark, dir, v)
+      .as[(Long, String)].collect().toSet
+    assert(rows(0) == Set((0L, "doc0")))
+    assert(rows(1) == Set((0L, "doc0"), (1L, "doc1")))
+    assert(rows(2) ==
+      Set((0L, "doc0"), (1L, "doc1"), (2L, "doc2")))
+    // a full checkpoint-less re-run replays batches 0..2: every
+    // version number already exists, so nothing commits twice
+    ingest()
+    assert(vt.versions(spark, dir) == Seq(0, 1, 2))
+    assert(rows(2).size == 3)
+  }
+
   test("streaming minhash dedup emits each signature class once across batches") {
     import java.nio.file.{Files, Paths}
     val streamDir = Files.createTempDirectory("graft_snd").toString
