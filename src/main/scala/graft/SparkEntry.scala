@@ -1463,6 +1463,39 @@ object SparkEntry {
           sum(Tables.hashU32(col("text"), 7)).as("content_sum"))
     }),
 
+    // Partial OPTIMIZE (bin-packing compaction): only files below the
+    // target size are packed — their delete debt applied in passing —
+    // while at-target files CARRY by path, so the commit is O(small
+    // files), never O(table) (rewriteCommit's full copy-on-write is
+    // the thing a 100 TB table can't afford nightly). The target is
+    // the largest current file, making the run genuinely partial at
+    // any SF. The four censuses prove time travel survives and the
+    // optimize itself is content-invisible (v3 == v2)
+    "q82_optimize_compaction" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(
+        col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"))
+      val dir = scratchDir("graft_vopt", d)
+      val vt = graft.sources.VersionedTable
+      val v0 = vt.commit(
+        docs.filter(col("lang") =!= "de").repartition(10), dir)
+      val v1 = vt.appendCommit(
+        docs.filter(col("lang") === "de").coalesce(1), dir)
+      val v2 = vt.deleteCommit(
+        docs.filter(pmod(Tables.hashU32(col("doc_id"), 77), lit(6L)) === 0)
+          .select(col("doc_id")), dir)
+      val target = vt.fileSizes(s, dir, v2).map(_._2).max
+      val v3 = vt.optimizeCommit(s, dir, target)
+      def agg(label: Int, v: Int) =
+        vt.readVersion(s, dir, v)
+          .agg(count(lit(1)).as("cnt"), sum(col("doc_id")).as("id_sum"),
+            sum(Tables.hashU32(col("text"), 7)).as("content_sum"))
+          .select(lit(label.toLong).as("version"), col("cnt"),
+            col("id_sum"), col("content_sum"))
+      agg(0, v0).unionByName(agg(1, v1)).unionByName(agg(2, v2))
+        .unionByName(agg(3, v3))
+    }),
+
     // STREAMING INGEST into the versioned table: each micro-batch
     // lands as one O(batch) append commit (file-level reuse), every
     // batch boundary becomes a time-travelable version, and replays
@@ -4900,6 +4933,34 @@ object SparkEntry {
          | CAST(sum(doc_id) AS BIGINT),
          | CAST(sum(${duckU32("text", 7)}) AS BIGINT)
          |FROM v1""".stripMargin,
+
+    // the four version states replayed relationally: v0 = non-de,
+    // v1 = everything, v2 = v1 minus hashed delete keys, v3 = v2
+    // exactly (the optimize must be content-invisible)
+    "q82_optimize_compaction" ->
+      s"""WITH v2 AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE ${duckU32("doc_id::VARCHAR", 77)} % 6 <> 0)
+         |SELECT CAST(0 AS BIGINT) AS version,
+         | CAST(count(*) AS BIGINT) AS cnt,
+         | CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         | CAST(sum(${duckU32("text", 7)}) AS BIGINT) AS content_sum
+         |FROM documents WHERE lang <> 'de'
+         |UNION ALL
+         |SELECT CAST(1 AS BIGINT), CAST(count(*) AS BIGINT),
+         | CAST(sum(doc_id) AS BIGINT),
+         | CAST(sum(${duckU32("text", 7)}) AS BIGINT)
+         |FROM documents
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+         | CAST(sum(doc_id) AS BIGINT),
+         | CAST(sum(${duckU32("text", 7)}) AS BIGINT)
+         |FROM v2
+         |UNION ALL
+         |SELECT CAST(3 AS BIGINT), CAST(count(*) AS BIGINT),
+         | CAST(sum(doc_id) AS BIGINT),
+         | CAST(sum(${duckU32("text", 7)}) AS BIGINT)
+         |FROM v2""".stripMargin,
 
     // the three cumulative batch prefixes replayed relationally:
     // batch i carries doc_id % 3 = i, versions accumulate them

@@ -271,6 +271,73 @@ object VersionedTable {
       Seq.empty, statsCol = statsCol)
   }
 
+  /** (dir-relative path, bytes) of a version's data files — the
+    * O(files) driver-side metadata listing every lakehouse OPTIMIZE
+    * planner starts from; no data is read. */
+  def fileSizes(spark: SparkSession, dir: String,
+      v: Int): Seq[(String, Long)] = {
+    val f = fs(spark, dir)
+    manifestFiles(spark, dir, v).map(rel =>
+      rel -> f.getFileStatus(new Path(dir, rel)).getLen)
+  }
+
+  private val DataPathVersion = """data/v(\d+)/""".r
+
+  /** Partial OPTIMIZE (bin-packing compaction): rewrite ONLY the data
+    * files smaller than `targetBytes` — coalesced into ~target-sized
+    * outputs with the deletion-vector debt they carry already applied
+    * — and CARRY every file at or above target untouched, by path.
+    * The commit costs O(small files), not O(table): the difference
+    * between an affordable nightly OPTIMIZE on a 100 TB table and
+    * [[rewriteCommit]]'s full copy-on-write. Deletion vectors that no
+    * carried file predates are dropped (decided from path metadata
+    * alone — a vector at N masks only files from versions < N); the
+    * rest carry, and they cannot touch the freshly packed files,
+    * which sit at the new version by construction. Data-skipping
+    * stats carry for kept files and re-measure for packed ones.
+    *
+    * Returns the new version — or the current one UNCHANGED when
+    * fewer than two files are below target (nothing to pack; no
+    * empty commits). History is intact either way: older versions
+    * still time-travel, and [[vacuum]] reclaims the packed-away
+    * originals once they fall out of retention. */
+  def optimizeCommit(spark: SparkSession, dir: String,
+      targetBytes: Long): Int = {
+    require(targetBytes > 0, s"targetBytes=$targetBytes must be > 0")
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"optimizeCommit needs a base version at $dir")
+    val prev = vs.last
+    val json = manifestJson(spark, dir, prev)
+    val (files, dvs) = manifestLists(json, prev)
+    val f = fs(spark, dir)
+    val sized = files.map(rel =>
+      rel -> f.getFileStatus(new Path(dir, rel)).getLen)
+    val (small, large) = sized.partition(_._2 < targetBytes)
+    if (small.length < 2) prev
+    else {
+      val v = prev + 1
+      val largeRels = large.map(_._1)
+      // read ONLY the small files; ALL vectors apply here so the
+      // packed rows carry no debt (file-scoped masking comes from the
+      // path-derived version, exactly as in readVersion)
+      val nOut = math.max(1, math.ceil(
+        small.map(_._2).sum.toDouble / targetBytes).toInt)
+      val packed = readFiles(spark, dir, prev, small.map(_._1), dvs)
+        .coalesce(nOut)
+      def fileV(rel: String): Int = DataPathVersion
+        .findFirstMatchIn(rel).map(_.group(1).toInt).getOrElse(0)
+      def dvV(rel: String): Int = DvPathVersion
+        .findFirstMatchIn(rel).map(_.group(1).toInt).getOrElse(0)
+      val keptDvs = dvs.filter(dv =>
+        largeRels.exists(fileV(_) < dvV(dv)))
+      val largeSet = largeRels.toSet
+      val carriedStats = parseArray(json, "stats").getOrElse(Seq.empty)
+        .filter(s => largeSet.contains(s.split('|')(0)))
+      publish(packed, dir, v, largeRels, keptDvs,
+        statsColOf(json), carriedStats)
+    }
+  }
+
   /** Change data feed between two committed versions: every key that
     * differs, labeled insert / delete / update (compared with
     * null-safe equality on all non-key columns — no content hashing,

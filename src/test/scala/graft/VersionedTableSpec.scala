@@ -112,6 +112,74 @@ class VersionedTableSpec extends SparkSpec {
       .forall(_.startsWith(s"data/v$v4/")))
   }
 
+  test("optimize packs only small files, carries big ones by path, " +
+      "drops dead DVs") {
+    val dir = java.nio.file.Files.createTempDirectory("vtab").toString
+    // v0: four tiny files; v1: delete a key living only in them;
+    // v2: append one file far larger than any v0 file
+    VersionedTable.commit(
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "s")
+        .repartition(4), dir)
+    VersionedTable.deleteCommit(Seq(2L).toDF("id"), dir)
+    val big = spark.range(100L, 400L)
+      .select(col("id"), concat(lit("pad-pad-pad-"), col("id")).as("s"))
+    VersionedTable.appendCommit(big.coalesce(1), dir)
+    def rows(v: Int) = VersionedTable.readVersion(spark, dir, v)
+      .as[(Long, String)].collect().toSet
+    val before = rows(2)
+    val target = VersionedTable.fileSizes(spark, dir, 2).map(_._2).max
+    val v3 = VersionedTable.optimizeCommit(spark, dir, target)
+    assert(v3 == 3)
+    // content-invisible, history intact
+    assert(rows(3) == before)
+    assert(rows(0).map(_._1) == Set(1L, 2L, 3L, 4L))
+    def manifest(v: Int) = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_manifests", s"v$v.json")))
+    val files3 = VersionedTable.parseFiles(manifest(3))
+    val files2 = VersionedTable.parseFiles(manifest(2))
+    // the big v2 file carried by PATH; the four v0 files packed to one
+    val carried = files3.filter(_.startsWith("data/v2/"))
+    assert(carried == files2.filter(_.startsWith("data/v2/")))
+    assert(files3.count(_.startsWith("data/v3/")) == 1)
+    assert(files3.size == carried.size + 1)
+    // the v1 vector masked only v0 files — all packed away, so the
+    // vector is dead and dropped (path metadata alone decides this)
+    assert(VersionedTable.parseArray(manifest(2), "dvs").get.nonEmpty)
+    assert(VersionedTable.parseArray(manifest(3), "dvs").get.isEmpty)
+    // nothing below target twice over → no-op, same version back
+    assert(VersionedTable.optimizeCommit(spark, dir, 1L) == 3)
+    assert(VersionedTable.versions(spark, dir) == Seq(0, 1, 2, 3))
+  }
+
+  test("optimize carries stats for kept files, re-measures packed ones") {
+    val dir = java.nio.file.Files.createTempDirectory("vtab").toString
+    // v0: [0,100) range-clustered over four small files
+    VersionedTable.commit(
+      spark.range(0L, 100L).toDF("id").repartitionByRange(4, col("id")),
+      dir, statsCol = "id")
+    // v1: [1000,5000) appended as one large file
+    VersionedTable.appendCommit(
+      spark.range(1000L, 5000L).toDF("id").coalesce(1), dir)
+    val target = VersionedTable.fileSizes(spark, dir, 1).map(_._2).max
+    val v2 = VersionedTable.optimizeCommit(spark, dir, target)
+    assert(v2 == 2)
+    // low range prunes the carried file (its CARRIED stats decide);
+    // high range prunes the packed file (its RE-MEASURED stats decide)
+    assert(VersionedTable.filesInRange(spark, dir, v2, 0L, 50L)
+      == ((VersionedTable.parseFiles(new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+          dir, "_manifests", s"v$v2.json"))))
+        .filter(_.startsWith("data/v2/")), 2)))
+    assert(VersionedTable.filesInRange(spark, dir, v2, 2000L, 2500L)
+      ._1.forall(_.startsWith("data/v1/")))
+    assert(VersionedTable.filesInRange(spark, dir, v2, 2000L, 2500L)
+      ._1.size == 1)
+    assert(VersionedTable.readVersionWhere(spark, dir, v2, 0L, 50L)
+      .agg(sum(col("id"))).as[Long].head() == (0L to 50L).sum)
+    assert(VersionedTable.readVersionWhere(spark, dir, v2, 2000L, 2500L)
+      .agg(count(lit(1))).as[Long].head() == 501L)
+  }
+
   test("file-scoped DVs: re-inserting a deleted key becomes visible") {
     val dir = java.nio.file.Files.createTempDirectory("vtab").toString
     VersionedTable.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), dir)
