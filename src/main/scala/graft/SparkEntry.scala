@@ -1581,6 +1581,108 @@ object SparkEntry {
       agg(0).unionByName(agg(1))
     }),
 
+    // RESTORE (rollback) commit: v0 = the corpus, v1 = a bad delete,
+    // v2 = restore to v0 — a METADATA-ONLY commit (one manifest
+    // copied; rolling back a 100 TB table costs zero data I/O). v2's
+    // census must equal v0's, and the bad v1 stays time-travelable
+    "q83_restore" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(
+        col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"))
+      val dir = scratchDir("graft_vrestore", d)
+      val vt = graft.sources.VersionedTable
+      val v0 = vt.commit(docs, dir)
+      val v1 = vt.deleteCommit(
+        docs.filter(pmod(Tables.hashU32(col("doc_id"), 101), lit(4L)) === 0)
+          .select(col("doc_id")), dir)
+      val v2 = vt.restoreCommit(s, dir, v0)
+      def agg(label: Int, v: Int) =
+        vt.readVersion(s, dir, v)
+          .agg(count(lit(1)).as("cnt"), sum(col("doc_id")).as("id_sum"),
+            sum(Tables.hashU32(col("text"), 7)).as("content_sum"))
+          .select(lit(label.toLong).as("version"), col("cnt"),
+            col("id_sum"), col("content_sum"))
+      agg(0, v0).unionByName(agg(1, v1)).unionByName(agg(2, v2))
+    }),
+
+    // per-file BLOOM-index point lookups on a HASH-partitioned table —
+    // the layout min/max stats can never prune (q80 needs range
+    // clustering; blooms are layout-independent). Each probe opens
+    // only the files whose manifest bloom claims the key (expected 1
+    // of 16, zero false negatives by construction; the pruning
+    // receipt is asserted in VersionedTableSpec); the absent key
+    // returns an all-zero census. The hash match proves no probe
+    // lost or invented a row
+    "q84_bloom_point" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(
+        col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"))
+        .repartition(16, col("doc_id"))
+      val dir = scratchDir("graft_vbloom", d)
+      val vt = graft.sources.VersionedTable
+      val v0 = vt.commitWithBloom(docs, dir, "doc_id")
+      Seq(3L, 57L, 123L, 444L, 999999L).map { k =>
+        vt.readVersionPoint(s, dir, v0, k)
+          .agg(count(lit(1)).as("cnt"),
+            coalesce(sum(col("n_chars")), lit(0L)).as("nchars_sum"),
+            coalesce(sum(Tables.hashU32(col("text"), 7)), lit(0L))
+              .as("content_sum"))
+          .select(lit(k).as("probe_key"), col("cnt"),
+            col("nchars_sum"), col("content_sum"))
+      }.reduce(_ unionByName _)
+    }),
+
+    // SCHEMA EVOLUTION on the versioned table: an append WIDENS the
+    // schema with a quality column; the merged read null-fills the
+    // pre-widening rows (quality_cnt counts only evolved rows), while
+    // v0 still time-travels with its original narrow schema (asserted
+    // in VersionedTableSpec — the census here proves the merged read
+    // loses and invents nothing)
+    "q85_evolve_schema" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = scratchDir("graft_vevolve", d)
+      val vt = graft.sources.VersionedTable
+      vt.commit(docs.select(col("doc_id"), col("text"), col("lang")), dir)
+      val v1 = vt.appendCommit(
+        docs.filter(col("lang") === "de")
+          .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+            col("text"), col("lang"),
+            col("n_chars").cast("long").as("quality")), dir)
+      vt.readVersion(s, dir, v1)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("cnt"), sum(col("doc_id")).as("id_sum"),
+          count(col("quality")).as("quality_cnt"),
+          coalesce(sum(col("quality")), lit(0L)).as("quality_sum"),
+          sum(Tables.hashU32(col("text"), 7)).as("content_sum"))
+    }),
+
+    // retention VACUUM: v0 full corpus, v1 a fresh full rewrite,
+    // v2 = deletes on top of v1; vacuum retains the last 2 — v0's
+    // files (referenced by no retained manifest) are PHYSICALLY
+    // deleted (asserted in VersionedTableSpec), and the retained
+    // versions must read bit-identically afterwards, which is what
+    // the censuses prove
+    "q86_vacuum" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(
+        col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"))
+      val dir = scratchDir("graft_vvac", d)
+      val vt = graft.sources.VersionedTable
+      vt.commit(docs, dir)
+      val v1 = vt.commit(docs.filter(col("lang") =!= "de"), dir)
+      val v2 = vt.deleteCommit(
+        docs.filter(pmod(Tables.hashU32(col("doc_id"), 103), lit(5L)) === 0)
+          .select(col("doc_id")), dir)
+      vt.vacuum(s, dir, retainLast = 2)
+      def agg(label: Int, v: Int) =
+        vt.readVersion(s, dir, v)
+          .agg(count(lit(1)).as("cnt"), sum(col("doc_id")).as("id_sum"),
+            sum(Tables.hashU32(col("text"), 7)).as("content_sum"))
+          .select(lit(label.toLong).as("version"), col("cnt"),
+            col("id_sum"), col("content_sum"))
+      agg(1, v1).unionByName(agg(2, v2))
+    }),
+
     // SPLITTABLE Avro read: the whole table in ONE container file,
     // read back as sync-marker byte ranges (64 KB targets → many
     // tasks over one shard) — the format property that outgrows the
@@ -2495,6 +2597,25 @@ object SparkEntry {
         .select(col("media_id"), col("n_samples"),
           col("win_idx").cast("long").as("win_idx"),
           col("w.energy").as("energy"), col("w.zcr").as("zcr"))
+    }),
+
+    // Walsh–Hadamard band spectrum per 32-sample audio window — the
+    // integer-exact spectrogram stand-in (±1 basis → exact Longs; a
+    // float DFT could never hash-match across engines). Runs through
+    // the SAME synth→RIFF encode→decode path as m4, so the oracle
+    // checks container framing AND the transform: X[k] =
+    // Σ s[n]·(−1)^popcount(n&k), band b = Σ_{k∈[8b,8b+8)} X[k]²
+    "m5_walsh_bands" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id").as("media_id"),
+          (lit(160) + (col("doc_id") % 80) * 2).cast("int").as("ns"))
+        .withColumn("blob",
+          Multimodal.synthWavUdf(col("media_id"), col("ns")))
+        .select(col("media_id"),
+          explode(Multimodal.wavWalshUdf(col("blob"), lit(32))).as("w"))
+        .select(col("media_id"), col("w.win_idx").cast("long").as("win_idx"),
+          col("w.band0").as("band0"), col("w.band1").as("band1"),
+          col("w.band2").as("band2"), col("w.band3").as("band3"))
     })
   )
 
@@ -5051,6 +5172,76 @@ object SparkEntry {
          | CAST(sum(${duckU32("text", 7)}) AS BIGINT)
          |FROM documents WHERE lang <> 'de'""".stripMargin,
 
+    // v0 and the restored v2 replay as the full corpus; v1 is the
+    // post-delete state the restore rolled back
+    "q83_restore" ->
+      s"""WITH live AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE ${duckU32("doc_id::VARCHAR", 101)} % 4 <> 0)
+         |SELECT CAST(0 AS BIGINT) AS version,
+         | CAST(count(*) AS BIGINT) AS cnt,
+         | CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         | CAST(sum(${duckU32("text", 7)}) AS BIGINT) AS content_sum
+         |FROM documents
+         |UNION ALL
+         |SELECT CAST(1 AS BIGINT), CAST(count(*) AS BIGINT),
+         | CAST(sum(doc_id) AS BIGINT),
+         | CAST(sum(${duckU32("text", 7)}) AS BIGINT)
+         |FROM live
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+         | CAST(sum(doc_id) AS BIGINT),
+         | CAST(sum(${duckU32("text", 7)}) AS BIGINT)
+         |FROM documents""".stripMargin,
+
+    // every probe replays as a plain key lookup; the absent key's
+    // LEFT JOIN yields the same all-zero census the pruned read does
+    "q84_bloom_point" ->
+      s"""SELECT CAST(t.k AS BIGINT) AS probe_key,
+         | CAST(count(d.doc_id) AS BIGINT) AS cnt,
+         | CAST(coalesce(sum(d.n_chars), 0) AS BIGINT) AS nchars_sum,
+         | CAST(coalesce(sum(${duckU32("d.text", 7)}), 0) AS BIGINT)
+         |   AS content_sum
+         |FROM (VALUES (3), (57), (123), (444), (999999)) t(k)
+         |LEFT JOIN documents d ON d.doc_id = t.k
+         |GROUP BY t.k""".stripMargin,
+
+    // the widened table replays as narrow rows with NULL quality
+    // unioned with the evolved rows carrying n_chars as quality
+    "q85_evolve_schema" ->
+      s"""WITH ev AS (
+         |  SELECT doc_id, text, lang, CAST(NULL AS BIGINT) AS quality
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text, lang, CAST(n_chars AS BIGINT)
+         |  FROM documents WHERE lang = 'de')
+         |SELECT lang, CAST(count(*) AS BIGINT) AS cnt,
+         | CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         | CAST(count(quality) AS BIGINT) AS quality_cnt,
+         | CAST(coalesce(sum(quality), 0) AS BIGINT) AS quality_sum,
+         | CAST(sum(${duckU32("text", 7)}) AS BIGINT) AS content_sum
+         |FROM ev GROUP BY 1""".stripMargin,
+
+    // the two RETAINED versions replayed relationally — v1 is the
+    // non-de rewrite, v2 additionally drops the hash-selected keys;
+    // the physical file deletion is asserted in VersionedTableSpec
+    "q86_vacuum" ->
+      s"""WITH v1 AS (
+         |  SELECT doc_id, text FROM documents WHERE lang <> 'de'),
+         |v2 AS (
+         |  SELECT doc_id, text FROM v1
+         |  WHERE ${duckU32("doc_id::VARCHAR", 103)} % 5 <> 0)
+         |SELECT CAST(1 AS BIGINT) AS version,
+         | CAST(count(*) AS BIGINT) AS cnt,
+         | CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         | CAST(sum(${duckU32("text", 7)}) AS BIGINT) AS content_sum
+         |FROM v1
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+         | CAST(sum(doc_id) AS BIGINT),
+         | CAST(sum(${duckU32("text", 7)}) AS BIGINT)
+         |FROM v2""".stripMargin,
+
     // identical oracle again: the split read must reproduce exactly
     // the content the whole-file read does
     "k10_avro_split" ->
@@ -5110,6 +5301,35 @@ object SparkEntry {
         |   AND (smp < 0) <> (prev < 0) THEN 1 ELSE 0 END) AS BIGINT)
         |   AS zcr
         |FROM z GROUP BY media_id, win_idx""".stripMargin,
+
+    // the Walsh spectrum straight from the PCM formula: coefficient
+    // k of a window is Σ smp·(1 − 2·(bit_count(n&k) % 2)) — exact
+    // integer algebra both engines share; band energies are Σ coef²
+    // over the four 8-coefficient bands (Hadamard order)
+    "m5_walsh_bands" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |   160 + (doc_id % 80) * 2 AS ns FROM documents),
+        |s AS (
+        |  SELECT media_id, i // 32 AS win_idx, i % 32 AS n,
+        |   ((media_id * 37 + i * 193) % 4096) - 2048 AS smp
+        |  FROM (SELECT media_id, ns, unnest(range(0, ns)) AS i FROM m)
+        |  WHERE i < (ns // 32) * 32),
+        |x AS (
+        |  SELECT media_id, win_idx, k,
+        |   sum(smp * (1 - 2 * (bit_count(n & k) % 2))) AS coef
+        |  FROM s CROSS JOIN (SELECT unnest(range(0, 32)) AS k)
+        |  GROUP BY 1, 2, 3)
+        |SELECT media_id, CAST(win_idx AS BIGINT) AS win_idx,
+        | CAST(sum(CASE WHEN k // 8 = 0 THEN coef * coef ELSE 0 END)
+        |   AS BIGINT) AS band0,
+        | CAST(sum(CASE WHEN k // 8 = 1 THEN coef * coef ELSE 0 END)
+        |   AS BIGINT) AS band1,
+        | CAST(sum(CASE WHEN k // 8 = 2 THEN coef * coef ELSE 0 END)
+        |   AS BIGINT) AS band2,
+        | CAST(sum(CASE WHEN k // 8 = 3 THEN coef * coef ELSE 0 END)
+        |   AS BIGINT) AS band3
+        |FROM x GROUP BY 1, 2""".stripMargin,
 
     // HLL registers: bucket = low 8 bits of md5-u32, ρ = trailing
     // zeros of the high bits + 1 (pure integer ops — no log2, whose

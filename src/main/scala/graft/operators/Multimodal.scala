@@ -219,6 +219,64 @@ object Multimodal {
     }
   }
 
+  /** Walsh–Hadamard transform, natural (Hadamard) coefficient order:
+    * X[k] = Σ_n x[n]·(−1)^popcount(n AND k). Every basis coefficient
+    * is ±1, so the spectrum is EXACT integer math — bit-deterministic
+    * and oracle-expressible, which a float DFT is not (libm cos
+    * differs between engines at the last ulp). O(n log n) in-place
+    * butterfly; length must be a power of two. */
+  def walshTransform(x: Array[Long]): Array[Long] = {
+    val n = x.length
+    require(n > 0 && (n & (n - 1)) == 0,
+      s"WHT length must be a power of two, got $n")
+    val a = x.clone()
+    var h = 1
+    while (h < n) {
+      var i = 0
+      while (i < n) {
+        var j = i
+        while (j < i + h) {
+          val u = a(j); val v = a(j + h)
+          a(j) = u + v; a(j + h) = u - v
+          j += 1
+        }
+        i += h * 2
+      }
+      h *= 2
+    }
+    a
+  }
+
+  /** Per-window Walsh band energies: the `win`-point WHT of each full
+    * window, compressed to four equal coefficient bands (Σ X[k]² per
+    * band, Hadamard order) — a fixed-width frequency-content feature
+    * row per window, the integer-exact stand-in for a spectrogram
+    * column. Bounds: |X[k]| ≤ win·2^15, so a band sum fits a Long for
+    * any win ≤ 2^16. */
+  final case class WalshWin(win_idx: Int, band0: Long, band1: Long,
+      band2: Long, band3: Long)
+  def wavWalshBands(samples: Array[Short], win: Int): Seq[WalshWin] = {
+    require(win >= 4 && (win & (win - 1)) == 0,
+      s"window must be a power of two >= 4, got $win")
+    val nWin = samples.length / win
+    (0 until nWin).map { w =>
+      val sp = walshTransform(
+        Array.tabulate(win)(i => samples(w * win + i).toLong))
+      val q = win / 4
+      def band(b: Int): Long = {
+        var e = 0L; var i = b * q
+        while (i < (b + 1) * q) { e += sp(i) * sp(i); i += 1 }
+        e
+      }
+      WalshWin(w, band(0), band(1), band(2), band(3))
+    }
+  }
+
+  /** Decode a WAV blob and spectrum-window it — the m5 kernel. */
+  val wavWalshUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((blob: Array[Byte], win: Int) =>
+      wavWalshBands(monoSamples(wavDecode(blob)), win))
+
   /** Decoded header + windowed stats in one pass (one decode). */
   final case class WavStats(n_samples: Long, sample_rate: Int,
       wins: Seq[WinStat])

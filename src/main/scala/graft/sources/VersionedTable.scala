@@ -58,7 +58,9 @@ object VersionedTable {
   private def publish(df: DataFrame, dir: String, v: Int,
       carriedFiles: Seq[String], dvs: Seq[String] = Seq.empty,
       statsCol: Option[String] = None,
-      carriedStats: Seq[String] = Seq.empty): Int = {
+      carriedStats: Seq[String] = Seq.empty,
+      bloomMeta: Option[(String, Int, Int)] = None,
+      carriedBlooms: Seq[String] = Seq.empty): Int = {
     val f = fs(df.sparkSession, dir)
     val dataDir = new Path(dir, s"data/v$v")
     df.write.mode("overwrite").parquet(dataDir.toString)
@@ -70,8 +72,12 @@ object VersionedTable {
     val newStats = statsCol.map(c =>
       fileStats(df.sparkSession, dataDir, s"data/v$v", c))
       .getOrElse(Seq.empty)
+    val newBlooms = bloomMeta.map { case (c, bits, k) =>
+      fileBlooms(df.sparkSession, dataDir, s"data/v$v", c, bits, k)
+    }.getOrElse(Seq.empty)
     writeManifest(f, dir, v, carriedFiles ++ newFiles, dvs,
-      statsCol, carriedStats ++ newStats)
+      statsCol, carriedStats ++ newStats,
+      bloomMeta, carriedBlooms ++ newBlooms)
     v
   }
 
@@ -97,13 +103,18 @@ object VersionedTable {
   private def writeManifest(f: FileSystem, dir: String, v: Int,
       files: Seq[String], dvs: Seq[String],
       statsCol: Option[String] = None,
-      stats: Seq[String] = Seq.empty): Unit = {
+      stats: Seq[String] = Seq.empty,
+      bloomMeta: Option[(String, Int, Int)] = None,
+      blooms: Seq[String] = Seq.empty): Unit = {
     val statsPart = statsCol.map(c =>
       s""","statsCol":"$c","stats":[${
         stats.map(n => "\"" + n + "\"").mkString(",")}]""").getOrElse("")
+    val bloomPart = bloomMeta.map { case (c, bits, k) =>
+      s""","bloomCol":"$c","bloomBits":$bits,"bloomK":$k,"blooms":[${
+        blooms.map(n => "\"" + n + "\"").mkString(",")}]""" }.getOrElse("")
     val json = s"""{"version":$v,"files":[${
       files.map(n => "\"" + n + "\"").mkString(",")}],"dvs":[${
-      dvs.map(n => "\"" + n + "\"").mkString(",")}]$statsPart}"""
+      dvs.map(n => "\"" + n + "\"").mkString(",")}]$statsPart$bloomPart}"""
     val md = manifestDir(dir)
     f.mkdirs(md)
     val tmp = new Path(md, s"v$v.json.tmp")
@@ -145,6 +156,130 @@ object VersionedTable {
     publish(df, dir, v, Seq.empty, statsCol = Some(statsCol))
   }
 
+  /** Seeds for the bloom hash family start here; each of the k hashes
+    * is the md5-derived u32 of (value, seed) mod bloomBits — the same
+    * engine-pure primitive every oracle-checked hash in the repo uses
+    * ([[graft.Tables.hashU32]]), so membership is deterministic under
+    * retries and reproducible from the stored value alone. */
+  private val BloomSeedBase = 101
+
+  /** Per-file Bloom filters over the just-written files: ONE scan of
+    * the new files (same read-back [[fileStats]] pays), k md5-derived
+    * bit positions per row, bits OR-ed per file on the EXECUTORS
+    * (collect_set per file ≤ bloomBits ints) — the driver only packs
+    * ≤ bits/8 bytes per file into base64. O(files · bits/8) manifest
+    * bytes, exactly the footprint Delta's bloom index pays. */
+  private def fileBlooms(spark: SparkSession, dataDir: Path,
+      relPrefix: String, colName: String, bits: Int,
+      k: Int): Seq[String] = {
+    import org.apache.spark.sql.functions._
+    val pos = (0 until k).map(s => pmod(
+      graft.Tables.hashU32(col(colName), BloomSeedBase + s),
+      lit(bits.toLong)).cast("int"))
+    spark.read.parquet(dataDir.toString)
+      .select(col("_metadata.file_path").as("fp"),
+        explode(array(pos: _*)).as("p"))
+      .groupBy(col("fp")).agg(collect_set(col("p")).as("ps"))
+      .collect().toSeq
+      .map { r =>
+        val name = r.getString(0).split("/").last
+        val bytes = new Array[Byte](bits / 8)
+        r.getSeq[Int](1).foreach { p =>
+          bytes(p >> 3) = (bytes(p >> 3) | (1 << (p & 7))).toByte }
+        s"$relPrefix/$name|${
+          java.util.Base64.getEncoder.encodeToString(bytes)}"
+      }.sorted
+  }
+
+  /** [[commit]] that also records a PER-FILE BLOOM FILTER over
+    * `bloomCol` in the manifest — the point-lookup complement to
+    * min/max stats (which only help on range-clustered layouts): on
+    * ANY layout, a needle-in-100-TB key lookup via
+    * [[readVersionPoint]] opens only the files whose bloom claims the
+    * key — expected O(1 + fp·files) files instead of all of them, with
+    * zero false negatives by construction. `bloomBits`/`bloomK` size
+    * the filter: defaults suit ~1k rows/file (fp « 1%); size bits ≈
+    * 10× rows/file for ~1% fp at k=5. Later commits of any kind carry
+    * and extend the blooms automatically (files from pre-bloom
+    * commits are simply never pruned). */
+  def commitWithBloom(df: DataFrame, dir: String, bloomCol: String,
+      bloomBits: Int = 8192, bloomK: Int = 5): Int = {
+    require(bloomBits > 0 && (bloomBits & 7) == 0,
+      s"bloomBits=$bloomBits must be a positive multiple of 8")
+    require(bloomK >= 1, s"bloomK=$bloomK must be >= 1")
+    val spark = df.sparkSession
+    val v = versions(spark, dir).lastOption.map(_ + 1).getOrElse(0)
+    publish(df, dir, v, Seq.empty,
+      bloomMeta = Some((bloomCol, bloomBits, bloomK)))
+  }
+
+  private val BloomColField = """"bloomCol":"([^"]*)"""".r
+  private val BloomBitsField = """"bloomBits":(\d+)""".r
+  private val BloomKField = """"bloomK":(\d+)""".r
+
+  /** (bloomCol, bits, k) recorded in a manifest, if any. */
+  private def bloomMetaOf(json: String): Option[(String, Int, Int)] =
+    for {
+      c <- BloomColField.findFirstMatchIn(json).map(_.group(1))
+      b <- BloomBitsField.findFirstMatchIn(json).map(_.group(1).toInt)
+      k <- BloomKField.findFirstMatchIn(json).map(_.group(1).toInt)
+    } yield (c, b, k)
+
+  /** The manifest-level bloom pruning decision for `key` on version
+    * `v`: (files kept, total files). A file is kept iff its bloom has
+    * all k bits of the key set — or it carries no bloom (pre-bloom
+    * commit: never wrongly pruned). Pure manifest metadata plus one
+    * 1-row local job to evaluate the hash family exactly as the
+    * committer did. */
+  private[graft] def filesForKey(spark: SparkSession, dir: String,
+      v: Int, key: Long): (Seq[String], Int) = {
+    import org.apache.spark.sql.functions._
+    val json = manifestJson(spark, dir, v)
+    val (fileRels, _) = manifestLists(json, v)
+    val (_, bits, k) = bloomMetaOf(json).getOrElse(
+      throw new IllegalArgumentException(
+        s"version $v has no bloom filters — commitWithBloom to " +
+          "enable point-lookup skipping"))
+    val posCols = (0 until k).map(s => pmod(
+      graft.Tables.hashU32(lit(key), BloomSeedBase + s),
+      lit(bits.toLong)).cast("int"))
+    val pos = spark.range(1).select(array(posCols: _*).as("p"))
+      .head.getSeq[Int](0)
+    val blooms = parseArray(json, "blooms").getOrElse(Seq.empty)
+      .map { s =>
+        val i = s.lastIndexOf('|')
+        s.substring(0, i) ->
+          java.util.Base64.getDecoder.decode(s.substring(i + 1))
+      }.toMap
+    val kept = fileRels.filter { rel =>
+      blooms.get(rel).forall(bytes =>
+        pos.forall(p => (bytes(p >> 3) & (1 << (p & 7))) != 0))
+    }
+    (kept, fileRels.length)
+  }
+
+  /** Point lookup with BLOOM SKIPPING: scans only the files whose
+    * manifest bloom claims `key` (plus the exact row filter — blooms
+    * admit false positives, never false negatives), DVs applied as in
+    * [[readVersion]]. Layout-independent: unlike range stats this
+    * prunes on hash-partitioned and unsorted tables too — the
+    * O(matching files) lookup a 100 TB key fetch needs. */
+  def readVersionPoint(spark: SparkSession, dir: String, v: Int,
+      key: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val json = manifestJson(spark, dir, v)
+    val (fileRels, dvRels) = manifestLists(json, v)
+    val bloomCol = bloomMetaOf(json).map(_._1).getOrElse(
+      throw new IllegalArgumentException(
+        s"version $v has no bloom filters — commitWithBloom to " +
+          "enable point-lookup skipping"))
+    val (kept, _) = filesForKey(spark, dir, v, key)
+    if (kept.isEmpty)
+      readFiles(spark, dir, v, fileRels, dvRels).filter(lit(false))
+    else readFiles(spark, dir, v, kept, dvRels)
+      .filter(col(bloomCol) === lit(key))
+  }
+
   /** APPEND commit: the new version's manifest lists the previous
     * version's files UNCHANGED plus the freshly written ones — no
     * data is rewritten or copied (file-level reuse, the property that
@@ -158,7 +293,8 @@ object VersionedTable {
     val json = manifestJson(spark, dir, prev)
     val (files, dvs) = manifestLists(json, prev)
     publish(df, dir, prev + 1, files, dvs,
-      statsColOf(json), parseArray(json, "stats").getOrElse(Seq.empty))
+      statsColOf(json), parseArray(json, "stats").getOrElse(Seq.empty),
+      bloomMetaOf(json), parseArray(json, "blooms").getOrElse(Seq.empty))
   }
 
   /** DELETE commit via a deletion vector: the new version's manifest
@@ -201,7 +337,8 @@ object VersionedTable {
     val json = manifestJson(spark, dir, prev)
     val (files, dvs) = manifestLists(json, prev)
     writeManifest(f, dir, v, files, dvs ++ newDvs,
-      statsColOf(json), parseArray(json, "stats").getOrElse(Seq.empty))
+      statsColOf(json), parseArray(json, "stats").getOrElse(Seq.empty),
+      bloomMetaOf(json), parseArray(json, "blooms").getOrElse(Seq.empty))
     v
   }
 
@@ -252,9 +389,15 @@ object VersionedTable {
     val statsCol = statsColOf(json)
     val newStats = statsCol.map(c =>
       fileStats(spark, dataDir, s"data/v$v", c)).getOrElse(Seq.empty)
+    val bloomMeta = bloomMetaOf(json)
+    val newBlooms = bloomMeta.map { case (c, bits, k) =>
+      fileBlooms(spark, dataDir, s"data/v$v", c, bits, k)
+    }.getOrElse(Seq.empty)
     writeManifest(f, dir, v, files ++ newFiles, dvs ++ newDvs,
       statsCol,
-      parseArray(json, "stats").getOrElse(Seq.empty) ++ newStats)
+      parseArray(json, "stats").getOrElse(Seq.empty) ++ newStats,
+      bloomMeta,
+      parseArray(json, "blooms").getOrElse(Seq.empty) ++ newBlooms)
     v
   }
 
@@ -266,9 +409,10 @@ object VersionedTable {
   def rewriteCommit(spark: SparkSession, dir: String): Int = {
     val vs = versions(spark, dir)
     require(vs.nonEmpty, s"rewriteCommit needs a base version at $dir")
-    val statsCol = statsColOf(manifestJson(spark, dir, vs.last))
+    val json = manifestJson(spark, dir, vs.last)
     publish(readVersion(spark, dir, vs.last), dir, vs.last + 1,
-      Seq.empty, statsCol = statsCol)
+      Seq.empty, statsCol = statsColOf(json),
+      bloomMeta = bloomMetaOf(json))
   }
 
   /** (dir-relative path, bytes) of a version's data files — the
@@ -333,9 +477,37 @@ object VersionedTable {
       val largeSet = largeRels.toSet
       val carriedStats = parseArray(json, "stats").getOrElse(Seq.empty)
         .filter(s => largeSet.contains(s.split('|')(0)))
+      val carriedBlooms = parseArray(json, "blooms").getOrElse(Seq.empty)
+        .filter(s => largeSet.contains(s.substring(0, s.lastIndexOf('|'))))
       publish(packed, dir, v, largeRels, keptDvs,
-        statsColOf(json), carriedStats)
+        statsColOf(json), carriedStats,
+        bloomMetaOf(json), carriedBlooms)
     }
+  }
+
+  /** RESTORE (rollback) commit: publish version `v`'s exact manifest —
+    * files, deletion vectors, stats, blooms, everything — as the NEW
+    * current version. Zero data I/O (one manifest read + one write):
+    * rolling a 100 TB table back after a bad load costs the same as a
+    * metadata operation, which is the whole point of manifest-level
+    * versioning. History is append-only — the bad version stays
+    * time-travelable until [[vacuum]] retires it, and the restore
+    * itself is a first-class version later audits can see. */
+  def restoreCommit(spark: SparkSession, dir: String, v: Int): Int = {
+    val vs = versions(spark, dir)
+    require(vs.contains(v), s"cannot restore: version $v was never " +
+      s"committed at $dir (have ${vs.mkString(",")})")
+    val nv = vs.last + 1
+    val json = manifestJson(spark, dir, v)
+      .replaceFirst("\"version\":\\d+", s""""version":$nv""")
+    val f = fs(spark, dir)
+    val md = manifestDir(dir)
+    val tmp = new Path(md, s"v$nv.json.tmp")
+    val out = f.create(tmp, true)
+    try out.write(json.getBytes(UTF_8)) finally out.close()
+    if (!f.rename(tmp, new Path(md, s"v$nv.json")))
+      throw new java.io.IOException(s"restore to v$v lost the rename race")
+    nv
   }
 
   /** Change data feed between two committed versions: every key that
@@ -492,12 +664,20 @@ object VersionedTable {
     readFiles(spark, dir, v, fileRels, dvRels)
   }
 
-  /** The shared scan core: exactly `fileRels`, DVs applied. */
+  /** The shared scan core: exactly `fileRels`, DVs applied.
+    *
+    * SCHEMA EVOLUTION: footers are merged (`mergeSchema`), so an
+    * [[appendCommit]] may legally WIDEN the schema — rows from
+    * pre-widening files read the added columns as null, and
+    * time-traveling to a pre-widening version still returns exactly
+    * that version's narrower schema (its manifest lists only old
+    * files). Footer merging is a distributed O(files) metadata pass,
+    * the same cost the scan's split planning already pays. */
   private def readFiles(spark: SparkSession, dir: String, v: Int,
       fileRels: Seq[String], dvRels: Seq[String]): DataFrame = {
     require(fileRels.nonEmpty, s"version $v manifest lists no files")
     val files = fileRels.map(rel => new Path(dir, rel).toString)
-    val data = spark.read.parquet(files: _*)
+    val data = spark.read.option("mergeSchema", "true").parquet(files: _*)
     if (dvRels.isEmpty) data
     else {
       import org.apache.spark.sql.functions._

@@ -240,6 +240,44 @@ class ExtendedOpsSpec extends SparkSpec {
     assert(st.head.zcr == z0)
   }
 
+  test("Walsh transform: definition, Parseval, involution, bands") {
+    import graft.operators.Multimodal
+    // definition check against the popcount formula on a small case
+    val x = Array(3L, -1L, 4L, 1L, -5L, 9L, -2L, 6L)
+    val sp = Multimodal.walshTransform(x)
+    for (k <- 0 until 8) {
+      val direct = (0 until 8).map(n =>
+        x(n) * (if (Integer.bitCount(n & k) % 2 == 1) -1 else 1)).sum
+      assert(sp(k) == direct, s"coef $k: ${sp(k)} != $direct")
+    }
+    // constant input concentrates in k=0; a delta spreads flat
+    val const = Multimodal.walshTransform(Array.fill(16)(7L))
+    assert(const(0) == 112L && const.drop(1).forall(_ == 0L))
+    val delta = Multimodal.walshTransform(
+      Array.tabulate(16)(i => if (i == 3) 5L else 0L))
+    assert(delta.forall(c => c == 5L || c == -5L))
+    // Parseval: Σ X² = n · Σ x²
+    assert(sp.map(c => c * c).sum == 8L * x.map(v => v * v).sum)
+    // involution: WHT(WHT(x)) = n·x
+    assert(Multimodal.walshTransform(sp).toSeq == x.map(_ * 8L).toSeq)
+    // length contract
+    intercept[IllegalArgumentException] {
+      Multimodal.walshTransform(Array(1L, 2L, 3L))
+    }
+    // band energies over windows: full windows only, exact sums
+    val samples = Array.tabulate[Short](80)(i =>
+      ((i * 193 % 4096) - 2048).toShort)
+    val bands = Multimodal.wavWalshBands(samples, 32)
+    assert(bands.length == 2) // 80 / 32 full windows
+    val w0 = Multimodal.walshTransform(
+      Array.tabulate(32)(i => samples(i).toLong))
+    assert(bands.head.band0 == w0.slice(0, 8).map(c => c * c).sum)
+    assert(bands.head.band3 == w0.slice(24, 32).map(c => c * c).sum)
+    assert(bands.head.band0 + bands.head.band1 + bands.head.band2 +
+      bands.head.band3 ==
+      32L * (0 until 32).map(i => { val s = samples(i).toLong; s * s }).sum)
+  }
+
   test("co-bucketed tables join without a shuffle") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_bkt_").toString
     val li = Tables.lineitem(spark, Sf0001)

@@ -316,4 +316,86 @@ class VersionedTableSpec extends SparkSpec {
     assert(!new java.io.File(dir, "deletes/v2").exists())
     assert(new java.io.File(dir, "data/v3").exists())
   }
+
+  test("restore republishes an old manifest as a new version, zero I/O") {
+    val dir = java.nio.file.Files.createTempDirectory("vtab").toString
+    VersionedTable.commit(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s"), dir)
+    VersionedTable.deleteCommit(Seq(2L).toDF("id"), dir) // the bad load
+    def rows(v: Int) = VersionedTable.readVersion(spark, dir, v)
+      .as[(Long, String)].collect().toSet
+    assert(rows(1) == Set((1L, "a"), (3L, "c")))
+    val v2 = VersionedTable.restoreCommit(spark, dir, 0)
+    assert(v2 == 2)
+    // content rolled back; the bad version still time-travels
+    assert(rows(2) == rows(0))
+    assert(rows(1) == Set((1L, "a"), (3L, "c")))
+    assert(VersionedTable.readCurrent(spark, dir)
+      .as[(Long, String)].collect().toSet == rows(0))
+    // METADATA-ONLY: no new data directory was written
+    assert(!new java.io.File(dir, "data/v2").exists())
+    def manifest(v: Int) = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_manifests", s"v$v.json")))
+    assert(VersionedTable.parseFiles(manifest(2))
+      == VersionedTable.parseFiles(manifest(0)))
+    // restoring a DV-carrying version carries its vectors too
+    val v3 = VersionedTable.restoreCommit(spark, dir, 1)
+    assert(rows(v3) == Set((1L, "a"), (3L, "c")))
+    // a never-committed version is rejected
+    intercept[IllegalArgumentException] {
+      VersionedTable.restoreCommit(spark, dir, 99)
+    }
+  }
+
+  test("bloom point lookup prunes files with zero false negatives") {
+    val dir = java.nio.file.Files.createTempDirectory("vtab").toString
+    // hash-partitioned (NOT range-clustered) layout: min/max stats
+    // could never prune this, blooms still do
+    val base = spark.range(0, 2000)
+      .select(col("id"), (col("id") % 13).as("m"))
+      .repartition(16, col("id"))
+    VersionedTable.commitWithBloom(base, dir, "id")
+    // zero false negatives: every present key is found, exactly once
+    for (key <- Seq(0L, 7L, 999L, 1999L)) {
+      assert(VersionedTable.readVersionPoint(spark, dir, 0, key)
+        .as[(Long, Long)].collect().toSeq == Seq((key, key % 13)),
+        s"key $key lost by bloom pruning")
+      // genuine pruning: a key lives in ONE file; false positives
+      // should leave most of the other 15 pruned
+      val (kept, total) = VersionedTable.filesForKey(spark, dir, 0, key)
+      assert(total == 16 && kept.nonEmpty && kept.length < total / 2,
+        s"expected sharp pruning for $key, kept ${kept.length}/$total")
+    }
+    // absent keys: usually zero files open, never a wrong row
+    assert(VersionedTable.readVersionPoint(spark, dir, 0, 555555L)
+      .count() == 0)
+    // deletes mask inside a pruned read; appends extend the blooms
+    VersionedTable.deleteCommit(Seq(7L).toDF("id"), dir)
+    assert(VersionedTable.readVersionPoint(spark, dir, 1, 7L).count() == 0)
+    val v2 = VersionedTable.appendCommit(
+      Seq((5000L, -1L)).toDF("id", "m"), dir)
+    assert(VersionedTable.readVersionPoint(spark, dir, v2, 5000L)
+      .as[(Long, Long)].collect().toSeq == Seq((5000L, -1L)))
+    val (kept2, total2) = VersionedTable.filesForKey(spark, dir, v2, 5000L)
+    assert(total2 == 17 && kept2.contains(
+      kept2.find(_.startsWith("data/v2/")).get))
+    assert(kept2.length < total2 / 2)
+  }
+
+  test("append may widen the schema; old rows null-fill, history exact") {
+    val dir = java.nio.file.Files.createTempDirectory("vtab").toString
+    VersionedTable.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), dir)
+    // widened append: new column `q` exists only in v1's files
+    val v1 = VersionedTable.appendCommit(
+      Seq((3L, "c", 9L)).toDF("id", "s", "q"), dir)
+    val cur = VersionedTable.readVersion(spark, dir, v1)
+    assert(cur.columns.toSet == Set("id", "s", "q"))
+    assert(cur.as[(Long, String, Option[Long])].collect().toSet ==
+      Set((1L, "a", None), (2L, "b", None), (3L, "c", Some(9L))))
+    // time travel to the pre-widening version: narrow schema, exactly
+    assert(VersionedTable.readVersion(spark, dir, 0).columns.toSet
+      == Set("id", "s"))
+    assert(VersionedTable.readVersion(spark, dir, 0)
+      .as[(Long, String)].collect().toSet == Set((1L, "a"), (2L, "b")))
+  }
 }
