@@ -1057,6 +1057,17 @@ object SparkEntry {
       Curation.temperatureResample(Tables.documents(s, d), col("doc_id"),
         col("lang"), alpha = 0.5, targetCount = 300, seed = 41)),
 
+    // UniMax mixture PLANNING (the budget-allocation step t9's
+    // rate-sampling executes): √-temperature weights, per-language
+    // epoch cap at 1.2 passes, closed-form water-filling — one window
+    // pass over the ≤|langs| relation plus two integer cross-
+    // multiplications per candidate boundary, no iteration. On the
+    // test corpus the cap binds for 4 of 5 languages and the residual
+    // budget flows to `en` — the published UniMax behavior
+    "t21_unimax_mixture" -> ((s, d) =>
+      Curation.uniMaxMixture(Tables.documents(s, d), col("lang"),
+        col("n_chars"), capMilliEpochs = 1200)),
+
     // overlapping token-window chunking — shuffle-free map stage
     "t14_chunk_documents" -> ((s, d) =>
       Curation.chunkDocuments(Tables.documents(s, d), col("doc_id"),
@@ -1305,6 +1316,27 @@ object SparkEntry {
         numShards = 5, gzip = true)
       val back = graft.sources.TfRecords.read(
         s, s"$scratch/documents_*.tfrecord.gz", docs.schema)
+      back.groupBy(col("lang"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("doc_id")).as("id_sum"),
+          sum(col("n_chars")).as("nchars_sum"),
+          sum(Tables.hashU32(col("text"), 7)).as("content_sum"))
+    }),
+
+    // zstd-compressed TFRecord shards (the codec modern corpora
+    // actually ship — better ratio AND faster decode than gzip):
+    // same framed round trip as k2/k8 through ZstdOutputStream/
+    // ZstdInputStream; zstd frames carry no sync markers, so the
+    // shard stays the split unit here too
+    "k11_tfrecord_zstd" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(
+        col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"))
+      val scratch = scratchDir("graft_tfzst", d)
+      graft.sources.TfRecords.write(docs, scratch, "documents",
+        numShards = 5, codec = "zstd")
+      val back = graft.sources.TfRecords.read(
+        s, s"$scratch/documents_*.tfrecord.zst", docs.schema)
       back.groupBy(col("lang"))
         .agg(count(lit(1)).as("cnt"),
           sum(col("doc_id")).as("id_sum"),
@@ -1681,6 +1713,69 @@ object SparkEntry {
           .select(lit(label.toLong).as("version"), col("cnt"),
             col("id_sum"), col("content_sum"))
       agg(1, v1).unionByName(agg(2, v2))
+    }),
+
+    // CHECK-constraint ingest gate (Delta/DLT "expectations"): four
+    // declared row rules validated in ONE codegen'd map stage (no
+    // shuffle — gating 100 TB costs exactly the scan); violators
+    // carry a per-rule reasons bitmask (t19's audit convention),
+    // clean rows land as a versioned-table commit. Corruption is
+    // injected deterministically (doc_id≡3 mod 7 → unknown lang,
+    // ≡5 mod 11 → n_chars off by one; ≡38 mod 77 hits both, so the
+    // reasons=3 class is non-empty). The census unions the COMMITTED
+    // table read with the quarantine — a hash match proves the gate
+    // partitioned the input exactly (no row lost, none admitted twice)
+    "q87_constraints" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(
+        col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"))
+      val dirty = docs
+        .withColumn("lang", when(pmod(col("doc_id"), lit(7L)) === 3,
+          lit("xx")).otherwise(col("lang")))
+        .withColumn("n_chars", when(pmod(col("doc_id"), lit(11L)) === 5,
+          col("n_chars") + 1L).otherwise(col("n_chars")))
+      val rules = Seq(
+        "lang_known" -> col("lang").isin("en", "de", "fr", "es", "zh"),
+        "nchars_consistent" -> (col("n_chars") === length(col("text"))),
+        "nchars_bounds" -> col("n_chars").between(1L, 100000L),
+        "id_present" -> col("doc_id").isNotNull)
+      val dir = scratchDir("graft_vgate", d)
+      val (v, quarantine) = Constraints.gateCommit(dirty, rules, dir)
+      val clean = graft.sources.VersionedTable.readVersion(s, dir, v)
+        .withColumn("reasons", lit(0L))
+      clean.select(col("reasons"), col("doc_id"), col("text"))
+        .unionByName(
+          quarantine.select(col("reasons"), col("doc_id"), col("text")))
+        .groupBy(col("reasons"))
+        .agg(count(lit(1)).as("cnt"), sum(col("doc_id")).as("id_sum"),
+          sum(Tables.hashU32(col("text"), 7)).as("content_sum"))
+    }),
+
+    // DETERMINISTIC range-clustered layout — the write-side producer
+    // q80's data skipping is sharp on. repartitionByRange decides file
+    // boundaries by SAMPLING (layout varies run to run); here shard =
+    // exact rank arithmetic ((rn−1)·16 div N over the scalable sort
+    // rank — no single-partition window) and rows reach their file
+    // via an exact integer partitioner: 16 equal files, non-
+    // overlapping n_chars ranges, manifest stats, bit-reproducible.
+    // The census reads the COMMITTED table back, so a hash match
+    // proves the physical layout (shard membership and content), not
+    // just the plan; the file↔shard receipt and the pruning proof
+    // live in ZOrderLayoutSpec
+    "q88_range_cluster" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(
+        col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"))
+      val dir = scratchDir("graft_vcluster", d)
+      val (v, _) = Layout.rangeClusteredCommit(
+        docs, "n_chars", "doc_id", nShards = 16, dir = dir)
+      graft.sources.VersionedTable.readVersion(s, dir, v)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("cnt"),
+          min(col("n_chars")).as("min_key"),
+          max(col("n_chars")).as("max_key"),
+          sum(col("doc_id")).as("id_sum"),
+          sum(Tables.hashU32(col("text"), 7)).as("content_sum"))
     }),
 
     // SPLITTABLE Avro read: the whole table in ONE container file,
@@ -4455,6 +4550,53 @@ object SparkEntry {
          |FROM documents JOIN r USING (lang)
          |WHERE ${duckRand("doc_id::VARCHAR", 41)} * 1000000 < rate6""".stripMargin,
 
+    "t21_unimax_mixture" ->
+      """WITH c AS (
+        |  SELECT lang, CAST(sum(n_chars) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1),
+        |r AS (
+        |  SELECT lang, n,
+        |   CAST(round(sqrt(n::DOUBLE)) AS BIGINT) AS w,
+        |   CAST(row_number() OVER ord AS INT) AS rk,
+        |   CAST(sum(n) OVER ord AS BIGINT) AS cumN,
+        |   CAST(sum(CAST(round(sqrt(n::DOUBLE)) AS BIGINT)) OVER ord
+        |     AS BIGINT) AS cumW,
+        |   lead(n) OVER ord AS nextN,
+        |   lead(CAST(round(sqrt(n::DOUBLE)) AS BIGINT)) OVER ord AS nextW,
+        |   CAST(sum(n) OVER () AS BIGINT) AS totN,
+        |   CAST(sum(CAST(round(sqrt(n::DOUBLE)) AS BIGINT)) OVER ()
+        |     AS BIGINT) AS totW,
+        |   CAST(count(*) OVER () AS INT) AS nL
+        |  FROM c
+        |  WINDOW ord AS (ORDER BY n::DOUBLE / round(sqrt(n::DOUBLE)),
+        |    lang)),
+        |cand AS (
+        |  SELECT rk, cumN, cumW, nextN, nextW, n, w, totN, totW, nL
+        |  FROM r
+        |  UNION ALL
+        |  SELECT 0, 0, 0, n, w, NULL, NULL, totN, totW, nL
+        |  FROM r WHERE rk = 1),
+        |v AS (
+        |  SELECT rk AS kValid, totN * 1000 - 1200 * cumN AS bigR,
+        |   totW - cumW AS suffW
+        |  FROM cand
+        |  WHERE totN * 1000 - 1200 * cumN >= 0
+        |    AND (rk = 0 OR
+        |     (totN * 1000 - 1200 * cumN) * w >= 1200 * n * (totW - cumW))
+        |    AND (rk = nL OR
+        |     (totN * 1000 - 1200 * cumN) * nextW
+        |       < 1200 * nextN * (totW - cumW))),
+        |fin AS (
+        |  SELECT r.lang, r.n, r.w,
+        |   CASE WHEN r.rk <= v.kValid THEN 1 ELSE 0 END AS capped,
+        |   CASE WHEN r.rk <= v.kValid THEN 1200 * r.n
+        |     ELSE (v.bigR * r.w) // v.suffW END AS alloc3
+        |  FROM r CROSS JOIN v)
+        |SELECT lang, n, w, CAST(capped AS BIGINT) AS capped,
+        |  CAST(alloc3 AS BIGINT) AS alloc3,
+        |  CAST(alloc3 // n AS BIGINT) AS ep3
+        |FROM fin""".stripMargin,
+
     "s1_cosine_topk" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
@@ -5005,6 +5147,15 @@ object SparkEntry {
          | CAST(sum(${duckU32("text", 7)}) AS BIGINT) AS content_sum
          |FROM documents GROUP BY 1""".stripMargin,
 
+    // identical oracle to k2/k8 by design: the zstd round trip must
+    // reproduce the original parquet content exactly
+    "k11_tfrecord_zstd" ->
+      s"""SELECT lang, CAST(count(*) AS BIGINT) AS cnt,
+         | CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         | CAST(sum(n_chars) AS BIGINT) AS nchars_sum,
+         | CAST(sum(${duckU32("text", 7)}) AS BIGINT) AS content_sum
+         |FROM documents GROUP BY 1""".stripMargin,
+
     // identical oracle to k2/k8 by design: the Avro round trip must
     // reproduce the original parquet content exactly
     "k9_avro_roundtrip" ->
@@ -5241,6 +5392,45 @@ object SparkEntry {
          | CAST(sum(doc_id) AS BIGINT),
          | CAST(sum(${duckU32("text", 7)}) AS BIGINT)
          |FROM v2""".stripMargin,
+
+    // recompute the injected corruption and the bitmask; the reasons=0
+    // class in the Spark result comes from reading the COMMITTED table
+    "q87_constraints" ->
+      s"""WITH dirty AS (
+         |  SELECT doc_id, text,
+         |   CASE WHEN doc_id % 7 = 3 THEN 'xx' ELSE lang END AS lang,
+         |   CASE WHEN doc_id % 11 = 5 THEN n_chars + 1
+         |     ELSE n_chars END AS n_chars
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id, text,
+         |   (CASE WHEN lang IN ('en','de','fr','es','zh')
+         |      THEN 0 ELSE 1 END)
+         |   + (CASE WHEN n_chars = length(text) THEN 0 ELSE 2 END)
+         |   + (CASE WHEN n_chars BETWEEN 1 AND 100000 THEN 0 ELSE 4 END)
+         |   + (CASE WHEN doc_id IS NOT NULL THEN 0 ELSE 8 END) AS reasons
+         |  FROM dirty)
+         |SELECT CAST(reasons AS BIGINT) AS reasons,
+         | CAST(count(*) AS BIGINT) AS cnt,
+         | CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         | CAST(sum(${duckU32("text", 7)}) AS BIGINT) AS content_sum
+         |FROM m GROUP BY 1""".stripMargin,
+
+    // the exact-rank shard assignment replayed as a window ntile;
+    // the Spark side reads the physically committed files back
+    "q88_range_cluster" ->
+      s"""WITH r AS (
+         |  SELECT doc_id, text, n_chars,
+         |   row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS rn0,
+         |   CAST(count(*) OVER () AS BIGINT) AS n
+         |  FROM documents)
+         |SELECT CAST((rn0 * 16) // n AS BIGINT) AS shard,
+         | CAST(count(*) AS BIGINT) AS cnt,
+         | CAST(min(n_chars) AS BIGINT) AS min_key,
+         | CAST(max(n_chars) AS BIGINT) AS max_key,
+         | CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         | CAST(sum(${duckU32("text", 7)}) AS BIGINT) AS content_sum
+         |FROM r GROUP BY 1""".stripMargin,
 
     // identical oracle again: the split read must reproduce exactly
     // the content the whole-file read does

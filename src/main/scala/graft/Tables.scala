@@ -37,6 +37,12 @@ object Tables {
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // µs-unit parquet without isAdjustedToUTC infers as NTZ in Spark 4;
+      // the session zone is pinned UTC, so this cast keeps the exact
+      // same µs instants the nanos path produced (and watermarks need
+      // the LTZ type)
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
       case _ => raw
     }
   }

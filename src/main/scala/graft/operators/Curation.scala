@@ -213,4 +213,82 @@ object Curation {
       .filter(Tables.hashRand(col("doc_id"), seed) * 1e6 < col("rate6"))
       .select(col("doc_id"), col("cls"), col("rate6"))
   }
+
+  /** UniMax-style mixture planning (Chung et al. 2023): allocate a
+    * total training budget across languages proportionally to
+    * temperature-scaled size weights w_l = √n_l (τ = 2), but cap any
+    * language at `capMilliEpochs` passes over its own data — the
+    * published fix for temperature sampling epoching tiny languages
+    * hundreds of times. The capped allocation is the water-filling
+    * solution: languages sorted by cap threshold n_l/w_l; some prefix
+    * is capped and the residual budget distributes over the suffix by
+    * weight. Instead of iterating (cap → redistribute → recheck), the
+    * valid prefix length K is found in closed form: ONE window pass
+    * computes prefix sums, and each boundary k is checked by two
+    * integer cross-multiplications (row k still wants the cap under
+    * the residual rate; row k+1 does not). Everything after the √
+    * quantization (IEEE-exact in both engines) is BIGINT arithmetic —
+    * budgets in milli-chars — so the oracle hash-matches bit-exactly.
+    *
+    * The per-language relation is bounded by the language count (the
+    * window and the valid-K pick run on ≤ |langs| rows — the
+    * documented bounded-register class); the corpus-scale work is the
+    * one groupBy sum. Budget = total corpus size (1 pass-equivalent).
+    *
+    * Returns (lang, n, w, capped, alloc3, ep3): allocation and
+    * resulting epochs in milli-units. */
+  def uniMaxMixture(docs: DataFrame, classCol: Column, sizeCol: Column,
+      capMilliEpochs: Long): DataFrame = {
+    require(capMilliEpochs > 0, s"capMilliEpochs=$capMilliEpochs")
+    val e3 = lit(capMilliEpochs)
+    val counts = docs.groupBy(classCol.as("lang"))
+      .agg(sum(sizeCol).as("n"))
+      .withColumn("w", round(sqrt(col("n").cast("double"))).cast("long"))
+    // sort by cap threshold n/w ascending (float division is IEEE-exact
+    // and identical cross-engine; ties broken by lang)
+    val ord = Window.orderBy(
+      (col("n").cast("double") / col("w").cast("double")).asc,
+      col("lang").asc)
+    val all = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val ranked = counts
+      .withColumn("rk", row_number().over(ord))
+      .withColumn("cumN", sum(col("n")).over(ord))
+      .withColumn("cumW", sum(col("w")).over(ord))
+      .withColumn("nextN", lead(col("n"), 1).over(ord))
+      .withColumn("nextW", lead(col("w"), 1).over(ord))
+      .withColumn("totN", sum(col("n")).over(all))
+      .withColumn("totW", sum(col("w")).over(all))
+      .withColumn("nLangs", count(lit(1)).over(all))
+    // candidate boundaries k = 0..L: "rows 1..k capped"; k=0 is a
+    // synthetic row with empty prefix
+    val k0 = ranked.filter(col("rk") === 1)
+      .select(lit(0).as("rk"), lit(0L).as("cumN"), lit(0L).as("cumW"),
+        col("n").as("nextN"), col("w").as("nextW"),
+        lit(null).cast("long").as("n"), lit(null).cast("long").as("w"),
+        col("totN"), col("totW"), col("nLangs"))
+    val cands = ranked.select(col("rk"), col("cumN"), col("cumW"),
+        col("nextN"), col("nextW"), col("n"), col("w"),
+        col("totN"), col("totW"), col("nLangs"))
+      .unionByName(k0)
+      // budget A = totN milli-epoch-chars · 1000 (one full corpus pass)
+      .withColumn("bigR", col("totN") * 1000L - e3 * col("cumN"))
+      .withColumn("suffW", col("totW") - col("cumW"))
+      .filter(col("bigR") >= 0 &&
+        // row k itself must still hit the cap under the residual rate
+        (col("rk") === 0 ||
+          col("bigR") * col("w") >= e3 * col("n") * col("suffW")) &&
+        // row k+1 must not
+        (col("rk") === col("nLangs") ||
+          col("bigR") * col("nextW") < e3 * col("nextN") * col("suffW")))
+      .select(col("rk").as("kValid"), col("bigR"), col("suffW"))
+    ranked.crossJoin(broadcast(cands))
+      .withColumn("capped",
+        when(col("rk") <= col("kValid"), 1L).otherwise(0L))
+      .withColumn("alloc3", when(col("capped") === 1L, e3 * col("n"))
+        .otherwise(expr("(bigR * w) div suffW")))
+      .withColumn("ep3", expr("alloc3 div n"))
+      .select(col("lang"), col("n"), col("w"), col("capped"),
+        col("alloc3"), col("ep3"))
+  }
 }

@@ -165,4 +165,49 @@ object Layout {
     stats("zorder", "zk", "zmin", "zmax")
       .unionByName(stats("x_only", "x", "xmin", "xmax"))
   }
+
+  /** DETERMINISTIC range-clustered commit: the write-side producer of
+    * the layout [[graft.sources.VersionedTable.readVersionWhere]]'s
+    * data skipping is sharp on. `repartitionByRange` alone decides
+    * file boundaries by SAMPLING — file contents (and so manifest
+    * stats) vary run to run. Here shard assignment is exact
+    * arithmetic on the global sort rank (`shard = (rn−1)·S div N` —
+    * every shard within one row of N/S, boundaries a pure function
+    * of the data), and rows reach their shard's file through an
+    * exact integer partitioner, so the committed layout is
+    * bit-reproducible: equal-size files, non-overlapping [min,max]
+    * key ranges (adjacent files can share at most the boundary key
+    * value when `keyCol` has duplicates — `tieCol` makes the SORT
+    * total but cannot split a key value's stats), manifest stats on
+    * `keyCol`. Returns (version, N). Scale: one range shuffle + one
+    * shuffle to the exact partitioner — the same two passes any
+    * global sort pays; no single-partition stage anywhere. */
+  def rangeClusteredCommit(df: DataFrame, keyCol: String, tieCol: String,
+      nShards: Int, dir: String): (Int, Long) = {
+    require(nShards > 0, s"nShards=$nShards")
+    val spark = df.sparkSession
+    val (ranked, n) = PipelineOps.withGlobalSortRankAndCount(
+      df, Seq(col(keyCol), col(tieCol)), "__graft_rn")
+    // the shard id stays a real column of the committed table — shard
+    // membership is part of the layout contract and lets any reader
+    // audit it without re-deriving ranks
+    val sharded = ranked
+      .withColumn("shard", expr(s"((__graft_rn - 1) * $nShards) div $n"))
+      .drop("__graft_rn")
+    val schema = sharded.schema
+    val shardIdx = schema.fieldIndex("shard")
+    val exact = new org.apache.spark.Partitioner {
+      override def numPartitions: Int = nShards
+      override def getPartition(key: Any): Int =
+        key.asInstanceOf[Long].toInt
+    }
+    val rdd = sharded.rdd
+      .map(r => (r.getLong(shardIdx), r))
+      .partitionBy(exact)
+      .map(_._2)
+    // per-partition sort is a narrow op: file↔shard mapping survives
+    val clustered = spark.createDataFrame(rdd, schema)
+      .sortWithinPartitions(col(keyCol), col(tieCol))
+    (graft.sources.VersionedTable.commit(clustered, dir, keyCol), n)
+  }
 }

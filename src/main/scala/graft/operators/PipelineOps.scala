@@ -62,10 +62,26 @@ object PipelineOps {
       out: String = "rn"): (DataFrame, Long) = {
     val skCol = "__graft_sk"
     val keyed = df.withColumn(skCol, Tables.shuffleKey(key, seed))
+    val (ranked, total) =
+      withGlobalSortRankAndCount(keyed, Seq(col(skCol), key), out)
+    (ranked.drop(skCol), total)
+  }
+
+  /** Global rank 1..N in the total order given by `sortCols` (callers
+    * MUST include a tiebreak making the order total, or ranks are
+    * partition-dependent), plus the exact row count — the same
+    * range-repartition + per-partition zipWithIndex machinery as the
+    * seeded-shuffle rank, exposed for SORTED layouts (range-clustered
+    * sharding) where the order is a real key, not a permutation.
+    * RangePartitioner samples, so partition BOUNDS vary run to run —
+    * but the ranks are a pure function of the total order and never
+    * vary. */
+  def withGlobalSortRankAndCount(df: DataFrame, sortCols: Seq[Column],
+      out: String = "rn"): (DataFrame, Long) = {
     val parts = math.max(df.sparkSession.sessionState.conf.numShufflePartitions, 1)
-    val sorted = keyed
-      .repartitionByRange(parts, col(skCol), key)
-      .sortWithinPartitions(col(skCol), key)
+    val sorted = df
+      .repartitionByRange(parts, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
     val schema = sorted.schema.add(out, LongType, nullable = false)
     val rdd = sorted.rdd
     val counts = rdd
@@ -79,7 +95,7 @@ object PipelineOps {
       var i = offsets(pid)
       it.map { r => i += 1; Row.fromSeq(r.toSeq :+ i) }
     }
-    (df.sparkSession.createDataFrame(rowRdd, schema).drop(skCol), total)
+    (df.sparkSession.createDataFrame(rowRdd, schema), total)
   }
 
   /** Exact-count split (O2): first `valCount` rows of the seeded

@@ -376,20 +376,33 @@ object TfRecords {
     * broadcast configuration — works against any Hadoop-supported FS.
     * Returns (shardPath, recordCount) for audit. */
   def write(df: DataFrame, dir: String, baseName: String,
-      numShards: Int, gzip: Boolean = false): Seq[(String, Long)] = {
+      numShards: Int, gzip: Boolean = false,
+      codec: String = ""): Seq[(String, Long)] = {
     require(numShards > 0, s"numShards must be positive, got $numShards")
+    // `codec` ("none"|"gzip"|"zstd") supersedes the older boolean;
+    // empty string defers to it for source compatibility
+    val c = if (codec.nonEmpty) codec else if (gzip) "gzip" else "none"
+    require(Set("none", "gzip", "zstd")(c), s"unknown codec '$c'")
     val schema = df.schema
     val sc = df.sparkSession.sparkContext
     val confB = sc.broadcast(new SerializableHadoopConf(
       df.sparkSession.sessionState.newHadoopConf()))
     df.repartition(numShards).rdd.mapPartitionsWithIndex { (pid, rows) =>
-      val ext = if (gzip) "tfrecord.gz" else "tfrecord"
+      val ext = c match {
+        case "gzip" => "tfrecord.gz"
+        case "zstd" => "tfrecord.zst"
+        case _      => "tfrecord"
+      }
       val name = f"${baseName}_$pid%05d-of-$numShards%05d.$ext"
       val path = new Path(dir, name)
       val fs = path.getFileSystem(confB.value.value)
       val raw: java.io.OutputStream = fs.create(path, true)
       val out = new DataOutputStream(new BufferedOutputStream(
-        if (gzip) new java.util.zip.GZIPOutputStream(raw) else raw,
+        c match {
+          case "gzip" => new java.util.zip.GZIPOutputStream(raw)
+          case "zstd" => new com.github.luben.zstd.ZstdOutputStream(raw)
+          case _      => raw
+        },
         1 << 16))
       var n = 0L
       try {
@@ -432,6 +445,11 @@ object TfRecords {
         Option(org.apache.spark.TaskContext.get()).foreach(
           _.addTaskCompletionListener[Unit](_ =>
             try raw.close() catch { case _: java.io.IOException => () }))
+        // .zst rides the same path: zstd frames carry no sync markers
+        // either, so the shard remains the split unit; ZstdInputStream
+        // reads lazily, so the eager-header-throw note applies only to
+        // gzip (a corrupt zstd shard throws at first readRecord, after
+        // the completion listener exists)
         val in = new DataInputStream(
           if (path.endsWith(".gz"))
             try new BufferedInputStream(
@@ -439,6 +457,9 @@ object TfRecords {
             catch {
               case e: java.io.IOException => raw.close(); throw e
             }
+          else if (path.endsWith(".zst"))
+            new BufferedInputStream(
+              new com.github.luben.zstd.ZstdInputStream(raw), 1 << 16)
           else raw)
         new Iterator[Row] {
           private var nextRec: Option[Array[Byte]] = advance()

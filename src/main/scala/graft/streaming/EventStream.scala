@@ -71,6 +71,11 @@ object EventStream {
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // µs parquet without isAdjustedToUTC infers NTZ (Spark 4);
+      // watermarks require the LTZ type — UTC session zone makes the
+      // cast instant-preserving
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
       case _ => raw
     }
   }

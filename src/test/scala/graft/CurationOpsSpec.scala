@@ -297,4 +297,51 @@ class CurationOpsSpec extends SparkSpec {
     // the-quick-brown, quick-brown-fox, brown-fox-jumps, fox-jumps-over
     assert(out(3L) == 4L)
   }
+
+  test("uniMaxMixture: hand-computed water-filling, caps bind in order (t21)") {
+    // sizes 100/400/10000 → weights √n = 10/20/100, total budget =
+    // 10500 chars (10.5e6 milli). Uncapped √-temperature allocation
+    // gives `a` 8.08 epochs and `b` 4.33 — both beyond the 1.2-epoch
+    // cap — while the big class `c` ends at 0.99: K = 2, residual
+    // budget 9.9e6 milli-chars flows entirely to `c`
+    val docs = (Seq.fill(1)(("a", 100L)) ++ Seq.fill(2)(("b", 200L)) ++
+      Seq.fill(4)(("c", 2500L))).toDF("lang", "n_chars")
+    val out = Curation.uniMaxMixture(docs, col("lang"), col("n_chars"),
+        capMilliEpochs = 1200)
+      .select("lang", "n", "w", "capped", "alloc3", "ep3")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .sortBy(_._1)
+    assert(out.toSeq == Seq(
+      ("a", 100L, 10L, 1L, 120000L, 1200L),
+      ("b", 400L, 20L, 1L, 480000L, 1200L),
+      ("c", 10000L, 100L, 0L, 9900000L, 990L)))
+    // allocations never exceed the budget and capped rows sit exactly
+    // at the cap
+    assert(out.map(_._5).sum <= 10500L * 1000L)
+  }
+
+  test("uniMaxMixture: nothing capped when the cap is loose (K = 0)") {
+    val docs = Seq(("a", 100L), ("b", 400L), ("c", 10000L))
+      .toDF("lang", "n_chars")
+    val out = Curation.uniMaxMixture(docs, col("lang"), col("n_chars"),
+        capMilliEpochs = 10000) // 10 epochs — never binds
+      .select("lang", "capped", "alloc3")
+      .as[(String, Long, Long)].collect().sortBy(_._1)
+    assert(out.forall(_._2 == 0L))
+    // pure proportional split: alloc_i = A·w_i/totW (floor division)
+    val a = 10500L * 1000L
+    assert(out.map(_._3).toSeq ==
+      Seq(a * 10 / 130, a * 20 / 130, a * 100 / 130))
+  }
+
+  test("uniMaxMixture: everything capped when the cap is tight (K = L)") {
+    val docs = Seq(("a", 100L), ("b", 400L), ("c", 10000L))
+      .toDF("lang", "n_chars")
+    val out = Curation.uniMaxMixture(docs, col("lang"), col("n_chars"),
+        capMilliEpochs = 500) // 0.5 epochs — every class hits it
+      .select("lang", "capped", "alloc3", "ep3")
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.forall(r => r._2 == 1L && r._4 == 500L))
+    assert(out.map(_._3).toSeq == Seq(50000L, 200000L, 5000000L))
+  }
 }

@@ -398,4 +398,33 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.readVersion(spark, dir, 0)
       .as[(Long, String)].collect().toSet == Set((1L, "a"), (2L, "b")))
   }
+
+  test("constraint gate partitions rows exactly; null rule = violation") {
+    import graft.operators.Constraints
+    val dir = java.nio.file.Files.createTempDirectory("vgate").toString
+    val df = Seq(
+      (1L, Some("en"), 10L),   // clean
+      (2L, Some("xx"), 10L),   // bad lang           → bit 0
+      (3L, Some("en"), -5L),   // bad count          → bit 1
+      (4L, Some("xx"), -5L),   // both               → bits 0+1
+      (5L, None, 10L)          // NULL lang: rule is UNKNOWN → bit 0
+    ).toDF("id", "lang", "n")
+    val rules = Seq(
+      "lang_known" -> col("lang").isin("en", "de"),
+      "n_positive" -> (col("n") > 0))
+    val (v, quar) = Constraints.gateCommit(df, rules, dir)
+    val clean = VersionedTable.readVersion(spark, dir, v)
+      .select("id").as[Long].collect().toSet
+    val quarM = quar.select("id", "reasons")
+      .as[(Long, Long)].collect().toMap
+    assert(clean == Set(1L))
+    assert(quarM == Map(2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 1L))
+    // partition property: every input row in exactly one side
+    assert(clean.intersect(quarM.keySet).isEmpty)
+    assert((clean ++ quarM.keySet) == (1L to 5L).toSet)
+    // the gate plan is shuffle-free (one codegen'd map stage)
+    val plan = Constraints.check(df, rules)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
 }

@@ -155,4 +155,43 @@ class ZOrderLayoutSpec extends SparkSpec {
       Layout.bitsFor(5) == 3 && Layout.bitsFor(4096) == 12 &&
       Layout.bitsFor(1L << 40) == 16)
   }
+
+  test("rangeClusteredCommit: equal files, disjoint stats, sharp pruning") {
+    import graft.sources.VersionedTable
+    val dir = java.nio.file.Files.createTempDirectory("vclu").toString
+    // 1000 rows, key k = id*7 mod 1000 (a permutation → distinct keys),
+    // arriving in scrambled order across 8 partitions
+    val df = spark.range(1000)
+      .select(col("id"), (col("id") * 7L % 1000L).as("k"))
+      .repartition(8)
+    val (v, n) = Layout.rangeClusteredCommit(df, "k", "id",
+      nShards = 10, dir = dir)
+    assert(n == 1000L)
+    // exactly 10 files, each holding exactly one shard of 100 rows
+    val perFile = VersionedTable.readVersion(spark, dir, v)
+      .groupBy(col("_metadata.file_path").as("f"))
+      .agg(countDistinct(col("shard")).as("nsh"), count(lit(1)).as("cnt"),
+        min(col("k")).as("mn"), max(col("k")).as("mx"))
+      .collect()
+    assert(perFile.length == 10)
+    assert(perFile.forall(r => r.getLong(1) == 1L && r.getLong(2) == 100L))
+    // distinct keys → strictly disjoint per-file ranges: shard s holds
+    // exactly keys [100s, 100s+99]
+    val ranges = perFile.map(r => (r.getLong(3), r.getLong(4))).sorted
+    assert(ranges.toSeq ==
+      (0 until 10).map(s => (100L * s, 100L * s + 99L)))
+    // manifest pruning is sharp: a range inside one shard opens 1 file
+    assert(VersionedTable.filesInRange(spark, dir, v, 250L, 260L)
+      ._1.size == 1)
+    assert(VersionedTable.readVersionWhere(spark, dir, v, 250L, 260L)
+      .agg(sum(col("k"))).as[Long].head() == (250L to 260L).sum)
+    // bit-reproducible: a second commit of the same data yields
+    // identical per-file stats in the manifest
+    val dir2 = java.nio.file.Files.createTempDirectory("vclu2").toString
+    Layout.rangeClusteredCommit(df, "k", "id", nShards = 10, dir = dir2)
+    def stats(d: String) = VersionedTable.readVersion(spark, d, 0)
+      .groupBy(col("shard")).agg(min(col("k")), max(col("k")),
+        sum(col("id"))).collect().map(_.toSeq).toSet
+    assert(stats(dir) == stats(dir2))
+  }
 }
