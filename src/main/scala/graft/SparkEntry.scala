@@ -1068,6 +1068,20 @@ object SparkEntry {
       Curation.uniMaxMixture(Tables.documents(s, d), col("lang"),
         col("n_chars"), capMilliEpochs = 1200)),
 
+    // WordPiece tokenizer: frequency vocab (top-200 substrings of
+    // length 2..4 + coverage singles) and GREEDY longest-match-first
+    // segmentation — the BERT tokenizer family next to BPE t16/t17.
+    // Longest-match greedy is uniquely determined (a match of length
+    // L at a position IS that substring), so the engine fold and the
+    // oracle's recursive walk must agree exactly. Scale shape:
+    // segmentation once per DISTINCT word; candidates via 4 broadcast
+    // EQUI-joins (substring = piece — no vocab scan per char); the
+    // walk is an in-row fold over a pos→piece map. The census
+    // fingerprints every word's '|'-joined segmentation
+    "t22_wordpiece" -> ((s, d) =>
+      TextAnalysis.wordPieceSegment(Tables.documents(s, d),
+        col("doc_id"), col("text"), topV = 200)),
+
     // overlapping token-window chunking — shuffle-free map stage
     "t14_chunk_documents" -> ((s, d) =>
       Curation.chunkDocuments(Tables.documents(s, d), col("doc_id"),
@@ -4596,6 +4610,51 @@ object SparkEntry {
         |  CAST(alloc3 AS BIGINT) AS alloc3,
         |  CAST(alloc3 // n AS BIGINT) AS ep3
         |FROM fin""".stripMargin,
+
+    "t22_wordpiece" ->
+      s"""WITH RECURSIVE t AS (
+         |  SELECT doc_id, $DuckToks AS toks FROM documents),
+         |occ AS (SELECT doc_id, unnest(toks) AS word FROM t),
+         |subs AS (
+         |  SELECT piece, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |    SELECT substr(word, p + 1, l) AS piece
+         |    FROM occ,
+         |      unnest(range(len(word))) AS u1(p),
+         |      unnest([2, 3, 4]) AS u2(l)
+         |    WHERE p + l <= len(word))
+         |  GROUP BY 1 ORDER BY cnt DESC, piece LIMIT 200),
+         |vocab AS (
+         |  SELECT piece FROM subs
+         |  UNION ALL
+         |  SELECT DISTINCT substr(word, p + 1, 1) AS piece
+         |  FROM occ, unnest(range(len(word))) AS u(p)),
+         |w AS (SELECT DISTINCT word FROM occ),
+         |wp AS (
+         |  SELECT word, p AS pos
+         |  FROM w, unnest(range(len(word))) AS u(p)),
+         |m AS (
+         |  SELECT word, pos, v.piece FROM wp JOIN vocab v
+         |    ON substr(wp.word, wp.pos + 1, len(v.piece)) = v.piece),
+         |best AS (
+         |  SELECT word, pos, arg_max(piece, len(piece)) AS piece
+         |  FROM m GROUP BY 1, 2),
+         |walk AS (
+         |  SELECT word, len(word) AS wlen, 0 AS pos,
+         |   CAST(0 AS BIGINT) AS np, '' AS seg
+         |  FROM w
+         |  UNION ALL
+         |  SELECT wk.word, wk.wlen, wk.pos + len(b.piece), wk.np + 1,
+         |   CASE WHEN wk.seg = '' THEN b.piece
+         |     ELSE wk.seg || '|' || b.piece END
+         |  FROM walk wk JOIN best b
+         |    ON b.word = wk.word AND b.pos = wk.pos
+         |  WHERE wk.pos < wk.wlen),
+         |seg AS (SELECT word, np, seg FROM walk WHERE pos = wlen)
+         |SELECT o.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(s.np) AS BIGINT) AS n_pieces,
+         |  CAST(sum(${duckU32("s.seg", 11)}) AS BIGINT) AS seg_fp
+         |FROM occ o JOIN seg s USING (word)
+         |GROUP BY 1""".stripMargin,
 
     "s1_cosine_topk" ->
       """WITH e AS (

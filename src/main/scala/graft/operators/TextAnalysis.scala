@@ -643,4 +643,108 @@ object TextAnalysis {
     top.withColumn("rank", row_number().over(w).cast("long"))
       .select(col("doc_id"), col("weight6"), col("score6"), col("rank"))
   }
+
+  /** WordPiece-family vocabulary: the `topV` most frequent substrings
+    * of length 2..`maxLen` over all token occurrences (ties broken
+    * lexicographically — a total order, so both engines pick the same
+    * set), UNION every single character in the corpus (guaranteeing
+    * the greedy segmenter below always matches). Counting is one
+    * explode + hash aggregate with map-side combine; the top-V is
+    * TakeOrdered (per-partition heaps merged on k rows — never a
+    * global sort). Returns (piece, cnt) with cnt = −1 flagging
+    * coverage singles that didn't make the frequency cut. */
+  def wordPieceVocab(docs: DataFrame, textCol: Column, topV: Int,
+      maxLen: Int = 4): DataFrame = {
+    val toks = docs.select(explode(tokens(textCol)).as("word"))
+    val subs = toks
+      .select(col("word"), explode(sequence(lit(0),
+        length(col("word")) - 1)).as("pos"))
+      .select(col("word"), col("pos"),
+        explode(sequence(lit(2), lit(maxLen))).as("len"))
+      .filter(col("pos") + col("len") <= length(col("word")))
+      .select(expr("substring(word, pos + 1, len)").as("piece"))
+      .groupBy(col("piece")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("piece").asc)
+      .limit(topV)
+    // singles are length-1, the frequency cut is length ≥ 2 — the two
+    // sets can never collide, so the union needs no dedup
+    val singles = toks
+      .select(col("word"), explode(sequence(lit(0),
+        length(col("word")) - 1)).as("pos"))
+      .select(expr("substring(word, pos + 1, 1)").as("piece"))
+      .distinct()
+      .withColumn("cnt", lit(-1L))
+    subs.unionByName(singles)
+  }
+
+  /** Greedy longest-match-first segmentation (the WordPiece/BERT
+    * tokenizer algorithm) against [[wordPieceVocab]], applied
+    * engine-side, with a per-document census as the receipt.
+    *
+    * Longest-match greedy is UNIQUELY determined (a piece of length L
+    * matching at a position IS that substring — no ties to break), so
+    * the Spark fold and the oracle's recursive-CTE walk must agree
+    * exactly. The scale shape: segmentation is computed once per
+    * DISTINCT word, not per occurrence; candidate matches come from
+    * `maxLen` broadcast EQUI-joins (substring(pos, L) = piece — never
+    * a nested-loop scan of the vocab), reduced to a pos→piece map per
+    * word; the greedy walk is then one in-row fold over the word's
+    * characters consulting that map. Output:
+    * (doc_id, n_words, n_pieces, seg_fp) where seg_fp sums the
+    * md5-u32 of each word's '|'-joined segmentation. */
+  def wordPieceSegment(docs: DataFrame, idCol: Column, textCol: Column,
+      topV: Int, maxLen: Int = 4, seed: Int = 11): DataFrame = {
+    val occurrences = docs.select(idCol.as("doc_id"),
+      explode(tokens(textCol)).as("word"))
+    val wordSeg = wordSegments(docs, textCol, topV, maxLen)
+    occurrences.join(wordSeg, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("np")).as("n_pieces"),
+        sum(Tables.hashU32(col("seg"), seed)).as("seg_fp"))
+  }
+
+  /** The distinct-word → ('|'-joined pieces, piece count) relation
+    * [[wordPieceSegment]] aggregates — exposed for direct testing
+    * against a reference greedy. */
+  def wordSegments(docs: DataFrame, textCol: Column,
+      topV: Int, maxLen: Int = 4): DataFrame = {
+    val vocab = wordPieceVocab(docs, textCol, topV, maxLen)
+      .select(col("piece")).persistTracked()
+    val words = docs.select(explode(tokens(textCol)).as("word")).distinct()
+    val positions = words
+      .select(col("word"), explode(sequence(lit(0),
+        length(col("word")) - 1)).as("pos"))
+    // candidate matches per (word, pos): one broadcast equi-join per
+    // piece length — the join key is the substring itself
+    val cands = (1 to maxLen).map { l =>
+      positions
+        .filter(col("pos") + l <= length(col("word")))
+        .withColumn("piece", expr(s"substring(word, pos + 1, $l)"))
+        .join(broadcast(vocab.filter(length(col("piece")) === l)),
+          Seq("piece"))
+    }.reduce(_ unionByName _)
+    // longest match per (word, pos) is unique; max_by needs no tiebreak
+    val best = cands.groupBy(col("word"), col("pos"))
+      .agg(max_by(col("piece"), length(col("piece"))).as("best"))
+    best.groupBy(col("word"))
+      .agg(map_from_entries(
+        collect_list(struct(col("pos"), col("best")))).as("pm"))
+      .withColumn("st", aggregate(
+        sequence(lit(1), length(col("word"))),
+        struct(lit(0).as("pos"), lit("").as("seg"), lit(0L).as("np")),
+        (st, _) => {
+          val atEnd = st("pos") >= length(col("word"))
+          // coverage singles make the lookup total; the coalesce is a
+          // pure safety net (fall back to the raw character)
+          val piece = coalesce(element_at(col("pm"), st("pos")),
+            col("word").substr(st("pos") + 1, lit(1)))
+          when(atEnd, st).otherwise(struct(
+            (st("pos") + length(piece)).as("pos"),
+            when(st("seg") === "", piece)
+              .otherwise(concat(st("seg"), lit("|"), piece)).as("seg"),
+            (st("np") + 1L).as("np")))
+        }))
+      .select(col("word"), col("st.seg").as("seg"), col("st.np").as("np"))
+  }
 }

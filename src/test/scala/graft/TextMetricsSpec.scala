@@ -230,4 +230,50 @@ class TextMetricsSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect()
     assert(again.sorted.toSeq == out.sorted.toSeq)
   }
+
+  test("wordPiece greedy segmentation equals a reference greedy (t22)") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat the cat"),
+      (2L, "concatenation of cats and catamarans"),
+      (3L, "that mat cat the thematic theme")).toDF("doc_id", "text")
+    val topV = 6
+    // reference vocab: same rule in memory (counts over occurrences,
+    // ties piece-ascending; singles always in)
+    val words = docs.as[(Long, String)].collect()
+      .flatMap(_._2.toLowerCase.split("\\s+")).filter(_.nonEmpty)
+    val counts = scala.collection.mutable.Map[String, Long]()
+    for (w <- words; l <- 2 to 4; p <- 0 to w.length - l)
+      counts(w.substring(p, p + l)) =
+        counts.getOrElse(w.substring(p, p + l), 0L) + 1
+    val top = counts.toSeq.sortBy { case (p, c) => (-c, p) }
+      .take(topV).map(_._1)
+    val vocab = (top ++ words.flatMap(_.toCharArray).map(_.toString))
+      .toSet
+    val sparkVocab = TextAnalysis.wordPieceVocab(docs, col("text"), topV)
+      .select("piece").as[String].collect().toSet
+    assert(sparkVocab == vocab)
+    // reference greedy: longest vocab match first
+    def greedy(w: String): Seq[String] = {
+      var pos = 0
+      val out = Seq.newBuilder[String]
+      while (pos < w.length) {
+        val best = (4 to 1 by -1).iterator
+          .map(l => w.substring(pos, math.min(pos + l, w.length)))
+          .find(vocab.contains)
+          .getOrElse(w.substring(pos, pos + 1))
+        out += best; pos += best.length
+      }
+      out.result()
+    }
+    val got = TextAnalysis.wordSegments(docs, col("text"), topV)
+      .select("word", "seg", "np").as[(String, String, Long)]
+      .collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    for (w <- words.distinct) {
+      val exp = greedy(w)
+      assert(got(w) == ((exp.mkString("|"), exp.length.toLong)),
+        s"word '$w': got ${got(w)}, expected $exp")
+    }
+    // every segmentation concatenates back to its word
+    for ((w, (seg, _)) <- got) assert(seg.replace("|", "") == w)
+  }
 }
