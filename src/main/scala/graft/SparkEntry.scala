@@ -1582,6 +1582,64 @@ object SparkEntry {
       vt.versions(s, dir).map(agg).reduce(_ unionByName _)
     }),
 
+    // STREAMING expectations (q81 ingest × q87 gate — the DLT shape):
+    // each micro-batch is constraint-gated in one codegen'd map;
+    // clean rows append-commit to the table, violators (with their
+    // reasons bitmask) to a quarantine table, both in version↔batch
+    // lockstep so replays are idempotent with zero sink-side state —
+    // the two commits are SEPARATELY idempotent, so a crash between
+    // them cannot lose or duplicate a row. The census walks every
+    // clean version (the growth history) plus the final quarantine
+    // by reason
+    "q89_stream_gated_ingest" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(
+        col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"))
+        .withColumn("lang", when(pmod(col("doc_id"), lit(7L)) === 3,
+          lit("xx")).otherwise(col("lang")))
+        .withColumn("n_chars", when(pmod(col("doc_id"), lit(11L)) === 5,
+          col("n_chars") + 1L).otherwise(col("n_chars")))
+      val scratch = scratchDir("q89gate", d)
+      val streamDir = new java.io.File(scratch, "in")
+      streamDir.mkdirs()
+      for (i <- 0 until 3) {
+        val tmp = s"$scratch/shard$i"
+        docs.filter(col("doc_id") % 3 === i).coalesce(1)
+          .write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(streamDir, f"batch$i%02d.parquet")
+        java.nio.file.Files.copy(part.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        dst.setLastModified(1000000L * (i + 1))
+      }
+      val rules = Seq(
+        "lang_known" -> col("lang").isin("en", "de", "fr", "es", "zh"),
+        "nchars_consistent" -> (col("n_chars") === length(col("text"))),
+        "nchars_bounds" -> col("n_chars").between(1L, 100000L),
+        "id_present" -> col("doc_id").isNotNull)
+      val base = s"$scratch/gated"
+      EventStream.gatedIngestOnce(
+        EventStream.parquetFileStream(s, streamDir.getAbsolutePath),
+        rules, base)
+      val vt = graft.sources.VersionedTable
+      def cleanAgg(v: Int) =
+        vt.readVersion(s, s"$base/table", v)
+          .agg(count(lit(1)).as("cnt"), sum(col("doc_id")).as("id_sum"),
+            sum(Tables.hashU32(col("text"), 7)).as("content_sum"))
+          .select(lit("clean").as("part"), lit(v.toLong).as("k"),
+            col("cnt"), col("id_sum"), col("content_sum"))
+      val quar = vt.readCurrent(s, s"$base/quarantine")
+        .groupBy(col("reasons"))
+        .agg(count(lit(1)).as("cnt"), sum(col("doc_id")).as("id_sum"),
+          sum(Tables.hashU32(col("text"), 7)).as("content_sum"))
+        .select(lit("quar").as("part"), col("reasons").as("k"),
+          col("cnt"), col("id_sum"), col("content_sum"))
+      vt.versions(s, s"$base/table").map(cleanAgg)
+        .reduce(_ unionByName _)
+        .unionByName(quar)
+    }),
+
     // CHANGE DATA FEED between two table versions: deletes, updates
     // (null-safe all-column compare — no hashing) and inserts fall
     // out of one full-outer key join; a downstream consumer syncs
@@ -2706,6 +2764,56 @@ object SparkEntry {
         .select(col("media_id"), col("n_samples"),
           col("win_idx").cast("long").as("win_idx"),
           col("w.energy").as("energy"), col("w.zcr").as("zcr"))
+    }),
+
+    // IMAGE near-dup dedup (the multimodal twin of d2/d15): perceptual
+    // dHash over the real PNG decode path — each image also appears
+    // as a rescaled variant (11×13 vs 16×16), the "same photo,
+    // different resolution" case exact byte/pixel hashing can never
+    // catch. Near-dup search is banded Hamming: 8 bands × 8 bits
+    // (guaranteed recall for distance < 8 — pigeonhole), exact
+    // bit_count(xor) verification only on band-collision candidates —
+    // the s14 scale shape, never all-pairs. NO ORACLE by declared
+    // design (PNG decode is not SQL); the kernel's
+    // robustness/separation margins are golden-tested in
+    // ImageKernelsSpec, and the census separates same-image pairs
+    // from cross-image collisions
+    "m6_image_phash" -> ((s, d) => {
+      import graft.functions.ImageKernels
+      val imgs = Tables.documents(s, d).filter(col("doc_id") < 40)
+        .select(col("doc_id").as("media_id"))
+        .withColumn("enc", ImageKernels.synthPngSmoothUdf(
+          col("media_id"), lit(16), lit(16)))
+      val hashes = imgs.select(col("media_id"), lit(0L).as("variant"),
+          ImageKernels.dhashUdf(col("enc"), lit(16), lit(16)).as("h"))
+        .unionByName(imgs.select(col("media_id"), lit(1L).as("variant"),
+          ImageKernels.dhashUdf(col("enc"), lit(11), lit(13)).as("h")))
+        .persistTracked()
+      def side(p: String) = hashes.select(
+        col("media_id").as(s"${p}_id"), col("variant").as(s"${p}_var"),
+        col("h").as(s"${p}_h"))
+      val bands = (0 until 8).map { b =>
+        hashes.select(col("media_id"), col("variant"),
+          lit(b).as("band"),
+          shiftright(col("h"), 8 * b).bitwiseAND(255L).as("bkey"))
+      }.reduce(_ unionByName _)
+      val cands = bands.as("l")
+        .join(bands.as("r"), Seq("band", "bkey"))
+        .filter(struct(col("l.media_id"), col("l.variant")) <
+          struct(col("r.media_id"), col("r.variant")))
+        .select(col("l.media_id").as("l_id"), col("l.variant").as("l_var"),
+          col("r.media_id").as("r_id"), col("r.variant").as("r_var"))
+        .distinct()
+      cands
+        .join(side("l"), Seq("l_id", "l_var"))
+        .join(side("r"), Seq("r_id", "r_var"))
+        .withColumn("hamming",
+          bit_count(col("l_h").bitwiseXOR(col("r_h"))).cast("long"))
+        .filter(col("hamming") < 8)
+        .groupBy((col("l_id") === col("r_id")).as("same_image"))
+        .agg(count(lit(1)).as("n_pairs"),
+          min(col("hamming")).as("min_h"),
+          max(col("hamming")).as("max_h"))
     }),
 
     // Walsh–Hadamard band spectrum per 32-sample audio window — the
@@ -5451,6 +5559,38 @@ object SparkEntry {
          | CAST(sum(doc_id) AS BIGINT),
          | CAST(sum(${duckU32("text", 7)}) AS BIGINT)
          |FROM v2""".stripMargin,
+
+    // the same mask recomputed; clean versions = cumulative batches
+    // with mask 0, quarantine = every violator across all batches
+    "q89_stream_gated_ingest" ->
+      s"""WITH dirty AS (
+         |  SELECT doc_id, text,
+         |   CASE WHEN doc_id % 7 = 3 THEN 'xx' ELSE lang END AS lang,
+         |   CASE WHEN doc_id % 11 = 5 THEN n_chars + 1
+         |     ELSE n_chars END AS n_chars
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id, text,
+         |   (CASE WHEN lang IN ('en','de','fr','es','zh')
+         |      THEN 0 ELSE 1 END)
+         |   + (CASE WHEN n_chars = length(text) THEN 0 ELSE 2 END)
+         |   + (CASE WHEN n_chars BETWEEN 1 AND 100000 THEN 0 ELSE 4 END)
+         |   + (CASE WHEN doc_id IS NOT NULL THEN 0 ELSE 8 END) AS reasons
+         |  FROM dirty)
+         |SELECT 'clean' AS part, CAST(v AS BIGINT) AS k,
+         | CAST(count(*) AS BIGINT) AS cnt,
+         | CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         | CAST(sum(${duckU32("text", 7)}) AS BIGINT) AS content_sum
+         |FROM (SELECT unnest(range(3)) AS v) vs
+         |JOIN m ON doc_id % 3 <= v AND reasons = 0
+         |GROUP BY 1, 2
+         |UNION ALL
+         |SELECT 'quar' AS part, CAST(reasons AS BIGINT) AS k,
+         | CAST(count(*) AS BIGINT) AS cnt,
+         | CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         | CAST(sum(${duckU32("text", 7)}) AS BIGINT) AS content_sum
+         |FROM m WHERE reasons <> 0
+         |GROUP BY 1, 2""".stripMargin,
 
     // recompute the injected corruption and the bitmask; the reasons=0
     // class in the Spark result comes from reading the COMMITTED table

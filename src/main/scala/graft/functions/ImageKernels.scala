@@ -477,6 +477,92 @@ object ImageKernels {
 
   val synthPngUdf = udf((seed: Long, h: Int, w: Int) => synthPng(seed, h, w))
 
+  /** Smooth deterministic test image: a seed-derived bilinear corner
+    * ramp plus three seed-placed radial blobs. [[synthPng]] is pixel
+    * NOISE — fine for decode/round-trip tests, useless for perceptual
+    * hashing (no stable gradients survive a resize). This one has the
+    * low-frequency structure real photos do, so [[dHash64]] is stable
+    * under rescaling of the SAME image and far for different seeds. */
+  def synthPngSmooth(seed: Long, h: Int, w: Int): Array[Byte] = {
+    def p(i: Long): Long = ((seed * 1000003L + i) * 2654435761L) >>> 33
+    val c00 = (p(0) % 256).toDouble; val c01 = (p(1) % 256).toDouble
+    val c10 = (p(2) % 256).toDouble; val c11 = (p(3) % 256).toDouble
+    val blobs = (0 until 3).map { k =>
+      (p(10 + k) % w, p(20 + k) % h, (p(30 + k) % 171).toDouble - 85.0,
+        2.0 + (p(40 + k) % math.max(2, math.max(h, w) / 2)).toDouble)
+    }
+    val bi = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val fy = if (h > 1) y.toDouble / (h - 1) else 0.0
+        val fx = if (w > 1) x.toDouble / (w - 1) else 0.0
+        var v = c00 * (1 - fy) * (1 - fx) + c01 * (1 - fy) * fx +
+          c10 * fy * (1 - fx) + c11 * fy * fx
+        for ((bx, by, amp, r) <- blobs) {
+          val d2 = (x - bx) * (x - bx) + (y - by) * (y - by)
+          v += amp * math.exp(-d2 / (r * r))
+        }
+        val g = math.max(0, math.min(255, math.round(v).toInt))
+        bi.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    ImageIO.write(bi, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Perceptual difference hash (dHash): luma plane → 8×9 area resize
+    * → one bit per horizontal gradient sign (bit r·8+c = 1 iff
+    * g(r,c+1) > g(r,c)). 64 bits; robust to rescaling (the resize
+    * normalizes dimensions away), cheap enough for 100 TB (one
+    * kernel call per image, then near-dup search is the s14 banded
+    * Hamming machinery on the resulting longs). */
+  def dHash64(img: Img): Long = {
+    val gray = if (img.c == 1) img else {
+      val g = new Array[Float](img.h * img.w)
+      var i = 0
+      while (i < img.h * img.w) {
+        g(i) = (img.data(3 * i) + img.data(3 * i + 1) +
+          img.data(3 * i + 2)) / 3f
+        i += 1
+      }
+      Img(g, img.h, img.w, 1)
+    }
+    val rs = resizeArea(gray, 8, 9)
+    // compare QUANTIZED cell means (1/24 luma steps): in flat regions
+    // the raw means differ by resize jitter only — a strict float >
+    // would flip those bits on every rescale; after quantization both
+    // sides land on the same level and the bit is stably 0. Real
+    // edges (> one step) keep their sign. (The blockhash trick.)
+    def q(v: Float): Int = math.floor(v * 24f).toInt
+    var bits = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        if (q(rs(r, c + 1, 0)) > q(rs(r, c, 0))) bits |= 1L << (r * 8 + c)
+        c += 1
+      }
+      r += 1
+    }
+    bits
+  }
+
+  val synthPngSmoothUdf =
+    udf((seed: Long, h: Int, w: Int) => synthPngSmooth(seed, h, w))
+  /** dHash of an encoded image, optionally through a pre-resize (the
+    * "same photo, different resolution" path when oh/ow differ from
+    * the stored dims). */
+  val dhashUdf = udf((enc: Array[Byte], oh: Int, ow: Int) => {
+    val img = decode(enc)
+    dHash64(if (oh == img.h && ow == img.w) img
+      else resizeArea(img, oh, ow))
+  })
+
   val trainKernelUdf =
     udf((enc: Array[Byte], seed: Long, h: Int, w: Int) =>
       preprocessForTrain(enc, seed, h, w))

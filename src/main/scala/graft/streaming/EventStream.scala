@@ -308,18 +308,55 @@ object EventStream {
     val q = src.writeStream
       .foreachBatch {
         (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val sess = batch.sparkSession
-        val vt = graft.sources.VersionedTable
-        val vs = vt.versions(sess, dir)
-        if (vs.length <= batchId) {
-          // the table dir is owned by this stream: versions and batch
-          // ids advance in lockstep, a gap means someone else wrote
-          require(vs.length == batchId,
-            s"table at $dir has ${vs.length} versions but batch " +
-              s"$batchId arrived — not this stream's table")
-          if (vs.isEmpty) vt.commit(batch.toDF(), dir)
-          else vt.appendCommit(batch.toDF(), dir)
-        }
+        lockstepCommit(batch.toDF(), dir, batchId)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Batch b owns version b: commit only when the table has exactly
+    * `batchId` versions — a replayed batch (same id, table already
+    * advanced) is a no-op, so the ingest is idempotent with NO
+    * sink-side state; a version/batch mismatch in either direction
+    * means the dir is not this stream's table. */
+  private def lockstepCommit(df: org.apache.spark.sql.DataFrame,
+      dir: String, batchId: Long): Unit = {
+    val vt = graft.sources.VersionedTable
+    val vs = vt.versions(df.sparkSession, dir)
+    if (vs.length <= batchId) {
+      require(vs.length == batchId,
+        s"table at $dir has ${vs.length} versions but batch " +
+          s"$batchId arrived — not this stream's table")
+      if (vs.isEmpty) vt.commit(df, dir)
+      else vt.appendCommit(df, dir)
+    }
+  }
+
+  /** STREAMING expectations (the DLT shape): every micro-batch is
+    * gated by [[graft.operators.Constraints.check]] — clean rows
+    * append-commit to `baseDir/table`, violators (with their per-rule
+    * `reasons` bitmask) to `baseDir/quarantine`, each table advancing
+    * in version↔batch lockstep. The two commits are SEPARATELY
+    * idempotent: a crash between them replays the batch, the
+    * already-committed side no-ops, the missing side lands — every
+    * input row ends up in exactly one table exactly once, with no
+    * checkpoint-side state. Gating cost is one codegen'd map over the
+    * batch; both sinks are O(batch) appends, never O(table). */
+  def gatedIngestOnce(src: DataFrame,
+      rules: Seq[(String, org.apache.spark.sql.Column)],
+      baseDir: String): Unit = {
+    val q = src.writeStream
+      .foreachBatch {
+        (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val checked = graft.operators.Constraints.check(batch.toDF(), rules)
+          .localCheckpoint(true) // gate once, feed both sinks
+        lockstepCommit(
+          checked.filter(col("reasons") === 0L).drop("reasons"),
+          s"$baseDir/table", batchId)
+        lockstepCommit(checked.filter(col("reasons") =!= 0L),
+          s"$baseDir/quarantine", batchId)
         ()
       }
       .trigger(Trigger.AvailableNow())

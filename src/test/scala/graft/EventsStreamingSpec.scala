@@ -114,6 +114,47 @@ class EventsStreamingSpec extends SparkSpec {
     assert(rows(2).size == 3)
   }
 
+  test("gated ingest splits batches into table+quarantine; empty sides commit") {
+    val scratch = java.nio.file.Files
+      .createTempDirectory("gated").toString
+    val streamDir = new java.io.File(scratch, "in")
+    streamDir.mkdirs()
+    // batch 0 mixes clean/dirty; batch 1 is FULLY clean (its
+    // quarantine commit must still happen, empty, to keep lockstep)
+    val batches = Seq(
+      Seq((1L, 5L), (2L, -1L), (3L, 0L)), // -1, 0 violate n>0
+      Seq((10L, 7L), (11L, 8L)))
+    for ((rows, i) <- batches.zipWithIndex) {
+      val tmp = s"$scratch/shard$i"
+      rows.toDF("id", "n").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(streamDir, f"b$i%02d.parquet")
+      java.nio.file.Files.copy(part.toPath, dst.toPath)
+      dst.setLastModified(1000000L * (i + 1))
+    }
+    val base = s"$scratch/gated"
+    def run() = EventStream.gatedIngestOnce(
+      EventStream.parquetFileStream(spark, streamDir.getAbsolutePath),
+      Seq("n_positive" -> (col("n") > 0)), base)
+    run()
+    val vt = graft.sources.VersionedTable
+    assert(vt.versions(spark, s"$base/table") == Seq(0, 1))
+    assert(vt.versions(spark, s"$base/quarantine") == Seq(0, 1))
+    assert(vt.readCurrent(spark, s"$base/table")
+      .select("id").as[Long].collect().toSet == Set(1L, 10L, 11L))
+    assert(vt.readCurrent(spark, s"$base/quarantine")
+      .select("id", "reasons").as[(Long, Long)].collect().toSet ==
+      Set((2L, 1L), (3L, 1L)))
+    // quarantine v1 added nothing but the version exists (lockstep)
+    assert(vt.readVersion(spark, s"$base/quarantine", 1).count() == 2L)
+    // checkpoint-less replay: both tables already own every batch id
+    run()
+    assert(vt.versions(spark, s"$base/table") == Seq(0, 1))
+    assert(vt.readCurrent(spark, s"$base/quarantine").count() == 2L)
+  }
+
   test("streaming minhash dedup emits each signature class once across batches") {
     import java.nio.file.{Files, Paths}
     val streamDir = Files.createTempDirectory("graft_snd").toString
