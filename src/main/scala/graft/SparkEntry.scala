@@ -2768,26 +2768,27 @@ object SparkEntry {
 
     // IMAGE near-dup dedup (the multimodal twin of d2/d15): perceptual
     // dHash over the real PNG decode path — each image also appears
-    // as a rescaled variant (11×13 vs 16×16), the "same photo,
+    // as a rescaled variant (45×53 vs 64×64), the "same photo,
     // different resolution" case exact byte/pixel hashing can never
     // catch. Near-dup search is banded Hamming: 8 bands × 8 bits
     // (guaranteed recall for distance < 8 — pigeonhole), exact
     // bit_count(xor) verification only on band-collision candidates —
     // the s14 scale shape, never all-pairs. NO ORACLE by declared
-    // design (PNG decode is not SQL); the kernel's
-    // robustness/separation margins are golden-tested in
-    // ImageKernelsSpec, and the census separates same-image pairs
-    // from cross-image collisions
+    // design (PNG decode is not SQL); the kernel's margins are
+    // golden-tested in ImageKernelsSpec (measured same-image Hamming
+    // ≤ 2 across 45×53/31×37 rescales, cross-image ≥ 9 — the d<8 band
+    // guarantee holds with slack), and the census separates
+    // same-image pairs from cross-image collisions
     "m6_image_phash" -> ((s, d) => {
       import graft.functions.ImageKernels
       val imgs = Tables.documents(s, d).filter(col("doc_id") < 40)
         .select(col("doc_id").as("media_id"))
         .withColumn("enc", ImageKernels.synthPngSmoothUdf(
-          col("media_id"), lit(16), lit(16)))
+          col("media_id"), lit(64), lit(64)))
       val hashes = imgs.select(col("media_id"), lit(0L).as("variant"),
-          ImageKernels.dhashUdf(col("enc"), lit(16), lit(16)).as("h"))
+          ImageKernels.dhashUdf(col("enc"), lit(64), lit(64)).as("h"))
         .unionByName(imgs.select(col("media_id"), lit(1L).as("variant"),
-          ImageKernels.dhashUdf(col("enc"), lit(11), lit(13)).as("h")))
+          ImageKernels.dhashUdf(col("enc"), lit(45), lit(53)).as("h")))
         .persistTracked()
       def side(p: String) = hashes.select(
         col("media_id").as(s"${p}_id"), col("variant").as(s"${p}_var"),

@@ -478,15 +478,24 @@ object ImageKernels {
   val synthPngUdf = udf((seed: Long, h: Int, w: Int) => synthPng(seed, h, w))
 
   /** Smooth deterministic test image: a seed-derived bilinear corner
-    * ramp plus three seed-placed radial blobs. [[synthPng]] is pixel
-    * NOISE — fine for decode/round-trip tests, useless for perceptual
-    * hashing (no stable gradients survive a resize). This one has the
+    * ramp, one seed-oriented low-frequency sinusoid (≤1.6 cycles across
+    * the frame — the diversity source: orientation/phase/frequency vary
+    * per seed so different seeds get genuinely different structure),
+    * plus three seed-placed radial blobs. [[synthPng]] is pixel NOISE —
+    * fine for decode/round-trip tests, useless for perceptual hashing
+    * (no stable gradients survive a resize). This one has the
     * low-frequency structure real photos do, so [[dHash64]] is stable
-    * under rescaling of the SAME image and far for different seeds. */
+    * under rescaling of the SAME image and far for different seeds.
+    * Use sizes ≥ ~48×48: each dHash grid cell then averages ≥ ~25
+    * source pixels, which is what keeps cell means (and so the hash)
+    * stable across resolutions. */
   def synthPngSmooth(seed: Long, h: Int, w: Int): Array[Byte] = {
     def p(i: Long): Long = ((seed * 1000003L + i) * 2654435761L) >>> 33
     val c00 = (p(0) % 256).toDouble; val c01 = (p(1) % 256).toDouble
     val c10 = (p(2) % 256).toDouble; val c11 = (p(3) % 256).toDouble
+    val theta = (p(4) % 360) * math.Pi / 180.0
+    val phase = (p(5) % 628) / 100.0
+    val freq = 0.7 + (p(6) % 90) / 100.0
     val blobs = (0 until 3).map { k =>
       (p(10 + k) % w, p(20 + k) % h, (p(30 + k) % 171).toDouble - 85.0,
         2.0 + (p(40 + k) % math.max(2, math.max(h, w) / 2)).toDouble)
@@ -500,6 +509,8 @@ object ImageKernels {
         val fx = if (w > 1) x.toDouble / (w - 1) else 0.0
         var v = c00 * (1 - fy) * (1 - fx) + c01 * (1 - fy) * fx +
           c10 * fy * (1 - fx) + c11 * fy * fx
+        val u = fx * math.cos(theta) + fy * math.sin(theta)
+        v += 40.0 * math.sin(2 * math.Pi * freq * u + phase)
         for ((bx, by, amp, r) <- blobs) {
           val d2 = (x - bx) * (x - bx) + (y - by) * (y - by)
           v += amp * math.exp(-d2 / (r * r))
@@ -516,11 +527,29 @@ object ImageKernels {
   }
 
   /** Perceptual difference hash (dHash): luma plane → 8×9 area resize
-    * → one bit per horizontal gradient sign (bit r·8+c = 1 iff
-    * g(r,c+1) > g(r,c)). 64 bits; robust to rescaling (the resize
-    * normalizes dimensions away), cheap enough for 100 TB (one
-    * kernel call per image, then near-dup search is the s14 banded
-    * Hamming machinery on the resulting longs). */
+    * → contrast normalization → one bit per quantized horizontal
+    * gradient sign (bit r·8+c = 1 iff q(g(r,c+1)) > q(g(r,c))).
+    * 64 bits; robust to rescaling (the resize normalizes dimensions
+    * away), cheap enough for 100 TB (one kernel call per image, then
+    * near-dup search is the s14 banded Hamming machinery on the
+    * resulting longs).
+    *
+    * Two stability tricks, both required:
+    *  - quantize BEFORE comparing (the blockhash trick): in flat
+    *    regions the raw cell means differ by resize jitter only — a
+    *    strict float > would flip those bits on every rescale; after
+    *    quantization both sides land on the same level and the bit is
+    *    stably 0. Real edges (> one step) keep their sign.
+    *  - quantize in units of the GRID's OWN std (0.25·σ steps), not
+    *    absolute luma: a fixed absolute step (the old 1/24-luma
+    *    design) collapses every low-contrast image to hash 0 (no
+    *    separation) while being needlessly jitter-sensitive on
+    *    high-contrast ones. Resize jitter scales with image contrast,
+    *    so a σ-relative step gives a resolution-robust, contrast-
+    *    invariant margin on both kinds of image.
+    * Measured margins (ImageKernelsSpec m6 suite, 64×64 vs 45×53
+    * rescale): same-image Hamming ≤ 2, cross-image ≥ 9 — comfortably
+    * inside the 8-band × 8-bit banding's d<8 recall guarantee. */
   def dHash64(img: Img): Long = {
     val gray = if (img.c == 1) img else {
       val g = new Array[Float](img.h * img.w)
@@ -533,12 +562,18 @@ object ImageKernels {
       Img(g, img.h, img.w, 1)
     }
     val rs = resizeArea(gray, 8, 9)
-    // compare QUANTIZED cell means (1/24 luma steps): in flat regions
-    // the raw means differ by resize jitter only — a strict float >
-    // would flip those bits on every rescale; after quantization both
-    // sides land on the same level and the bit is stably 0. Real
-    // edges (> one step) keep their sign. (The blockhash trick.)
-    def q(v: Float): Int = math.floor(v * 24f).toInt
+    val n = 72
+    var mean = 0.0
+    var i = 0
+    while (i < n) { mean += rs.data(i); i += 1 }
+    mean /= n
+    var varSum = 0.0
+    i = 0
+    while (i < n) {
+      val d = rs.data(i) - mean; varSum += d * d; i += 1
+    }
+    val std = math.sqrt(varSum / n).max(1e-6)
+    def q(v: Float): Int = math.floor((v - mean) / std / 0.25).toInt
     var bits = 0L
     var r = 0
     while (r < 8) {

@@ -189,16 +189,21 @@ class ImageKernelsSpec extends SparkSpec {
   test("dHash: stable under rescale, separated across images (m6)") {
     import ImageKernels._
     def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
-    // same image at 16×16 vs rescaled to 11×13: the hash must move
-    // by < 8 bits (the m6 banding guarantee needs distance < 8)
-    val sames = (0L until 40L).map { seed =>
-      val img = decode(synthPngSmooth(seed, 16, 16))
-      hamming(dHash64(img), dHash64(resizeArea(img, 11, 13)))
+    // same image at 64×64 vs rescaled to 45×53 AND 31×37: the hash must
+    // move by < 8 bits (the m6 banding guarantee needs distance < 8);
+    // measured margin is ≤ 2, asserted at ≤ 4 to leave slack without
+    // weakening the pigeonhole bound
+    val sames = (0L until 40L).flatMap { seed =>
+      val img = decode(synthPngSmooth(seed, 64, 64))
+      val h = dHash64(img)
+      Seq(hamming(h, dHash64(resizeArea(img, 45, 53))),
+        hamming(h, dHash64(resizeArea(img, 31, 37))))
     }
     assert(sames.max < 8, s"rescale moved a hash too far: $sames")
+    assert(sames.max <= 4, s"rescale margin eroded (want ≤4): $sames")
     // different images: comfortably separated from the same-image band
     val origs = (0L until 15L).map(s =>
-      dHash64(decode(synthPngSmooth(s, 16, 16))))
+      dHash64(decode(synthPngSmooth(s, 64, 64))))
     val crosses = for {
       i <- origs.indices; j <- origs.indices if i < j
     } yield hamming(origs(i), origs(j))
@@ -206,12 +211,12 @@ class ImageKernelsSpec extends SparkSpec {
       s"cross-image min ${crosses.min} vs same-image max ${sames.max}")
     // the smooth generator really is smooth (hashing noise is
     // meaningless): neighboring-pixel luma deltas are small on average
-    val img = decode(synthPngSmooth(7L, 16, 16))
-    val deltas = for (y <- 0 until 16; x <- 0 until 15)
+    val img = decode(synthPngSmooth(7L, 64, 64))
+    val deltas = for (y <- 0 until 64; x <- 0 until 63)
       yield math.abs(img(y, x + 1, 0) - img(y, x, 0))
     assert(deltas.sum / deltas.size < 0.08)
     // decode path parity: the UDF-facing hash equals the direct one
-    assert(dHash64(decode(synthPngSmooth(3L, 16, 16))) ==
-      dHash64(resizeArea(decode(synthPngSmooth(3L, 16, 16)), 16, 16)))
+    assert(dHash64(decode(synthPngSmooth(3L, 64, 64))) ==
+      dHash64(resizeArea(decode(synthPngSmooth(3L, 64, 64)), 64, 64)))
   }
 }
