@@ -4700,19 +4700,23 @@ object SparkEntry {
         |  SELECT 0, 0, 0, n, w, NULL, NULL, totN, totW, nL
         |  FROM r WHERE rk = 1),
         |v AS (
-        |  SELECT rk AS kValid, totN * 1000 - 1200 * cumN AS bigR,
-        |   totW - cumW AS suffW
+        |  SELECT rk AS kValid,
+        |   CAST(totN AS HUGEINT) * 1000 - 1200 * CAST(cumN AS HUGEINT)
+        |     AS bigR,
+        |   CAST(totW - cumW AS HUGEINT) AS suffW
         |  FROM cand
-        |  WHERE totN * 1000 - 1200 * cumN >= 0
+        |  WHERE CAST(totN AS HUGEINT) * 1000 - 1200 * CAST(cumN AS HUGEINT)
+        |     >= 0
         |    AND (rk = 0 OR
-        |     (totN * 1000 - 1200 * cumN) * w >= 1200 * n * (totW - cumW))
+        |     (CAST(totN AS HUGEINT) * 1000 - 1200 * CAST(cumN AS HUGEINT))
+        |       * w >= 1200 * CAST(n AS HUGEINT) * (totW - cumW))
         |    AND (rk = nL OR
-        |     (totN * 1000 - 1200 * cumN) * nextW
-        |       < 1200 * nextN * (totW - cumW))),
+        |     (CAST(totN AS HUGEINT) * 1000 - 1200 * CAST(cumN AS HUGEINT))
+        |       * nextW < 1200 * CAST(nextN AS HUGEINT) * (totW - cumW))),
         |fin AS (
         |  SELECT r.lang, r.n, r.w,
         |   CASE WHEN r.rk <= v.kValid THEN 1 ELSE 0 END AS capped,
-        |   CASE WHEN r.rk <= v.kValid THEN 1200 * r.n
+        |   CASE WHEN r.rk <= v.kValid THEN 1200 * CAST(r.n AS HUGEINT)
         |     ELSE (v.bigR * r.w) // v.suffW END AS alloc3
         |  FROM r CROSS JOIN v)
         |SELECT lang, n, w, CAST(capped AS BIGINT) AS capped,

@@ -271,22 +271,33 @@ object Curation {
         col("nextN"), col("nextW"), col("n"), col("w"),
         col("totN"), col("totW"), col("nLangs"))
       .unionByName(k0)
-      // budget A = totN milli-epoch-chars · 1000 (one full corpus pass)
-      .withColumn("bigR", col("totN") * 1000L - e3 * col("cumN"))
-      .withColumn("suffW", col("totW") - col("cumW"))
+      // budget A = totN milli-epoch-chars · 1000 (one full corpus pass).
+      // All boundary products below run in decimal(38,0), not BIGINT:
+      // bigR ~ totN·1000 times w ~ √n reaches ~1e24 at the 100 TB
+      // design point, far past Long.MaxValue (9.2e18) — a Long product
+      // would wrap silently in Spark while DuckDB errors, so the
+      // "BIGINT-exact" cross-engine claim would break exactly at scale.
+      // decimal(38,0) holds 1e38, exact; the oracle mirrors with
+      // HUGEINT (int128). Outputs still fit BIGINT (alloc3 ≤ e3·n).
+      .withColumn("bigR", col("totN").cast("decimal(38,0)") * 1000L -
+        e3 * col("cumN").cast("decimal(38,0)"))
+      .withColumn("suffW",
+        (col("totW") - col("cumW")).cast("decimal(38,0)"))
       .filter(col("bigR") >= 0 &&
         // row k itself must still hit the cap under the residual rate
         (col("rk") === 0 ||
-          col("bigR") * col("w") >= e3 * col("n") * col("suffW")) &&
+          col("bigR") * col("w") >=
+            e3 * col("n").cast("decimal(38,0)") * col("suffW")) &&
         // row k+1 must not
         (col("rk") === col("nLangs") ||
-          col("bigR") * col("nextW") < e3 * col("nextN") * col("suffW")))
+          col("bigR") * col("nextW") <
+            e3 * col("nextN").cast("decimal(38,0)") * col("suffW")))
       .select(col("rk").as("kValid"), col("bigR"), col("suffW"))
     ranked.crossJoin(broadcast(cands))
       .withColumn("capped",
         when(col("rk") <= col("kValid"), 1L).otherwise(0L))
       .withColumn("alloc3", when(col("capped") === 1L, e3 * col("n"))
-        .otherwise(expr("(bigR * w) div suffW")))
+        .otherwise(expr("cast((bigR * w) div suffW as long)")))
       .withColumn("ep3", expr("alloc3 div n"))
       .select(col("lang"), col("n"), col("w"), col("capped"),
         col("alloc3"), col("ep3"))

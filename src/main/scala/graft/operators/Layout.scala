@@ -188,6 +188,13 @@ object Layout {
     val spark = df.sparkSession
     val (ranked, n) = PipelineOps.withGlobalSortRankAndCount(
       df, Seq(col(keyCol), col(tieCol)), "__graft_rn")
+    // n = 0 would make the shard expression a div-by-zero (null shard →
+    // NPE inside the exact partitioner); there is no meaningful "commit
+    // an empty clustered layout", so fail loudly. When nShards > n the
+    // arithmetic is still well-defined: shards 0..n-1 get exactly one
+    // row each and the higher shards are empty partitions, so the
+    // committed table simply has n single-row files.
+    require(n > 0, s"rangeClusteredCommit on an empty input (keyCol=$keyCol)")
     // the shard id stays a real column of the committed table — shard
     // membership is part of the layout contract and lets any reader
     // audit it without re-deriving ranks

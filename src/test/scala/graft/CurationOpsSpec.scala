@@ -344,4 +344,31 @@ class CurationOpsSpec extends SparkSpec {
     assert(out.forall(r => r._2 == 1L && r._4 == 500L))
     assert(out.map(_._3).toSeq == Seq(50000L, 200000L, 5000000L))
   }
+
+  test("uniMaxMixture: no Long overflow at 100 TB-scale class sizes") {
+    // Class sizes in the 1e13..5e15 char range (≈ the 100 TB corpus the
+    // framework targets): the boundary product bigR·w reaches ~1e24,
+    // which WRAPS in 64-bit arithmetic (Long.Max = 9.2e18). The decimal
+    // path must keep it exact: a wrapped product flips the cap
+    // comparisons, producing negative or budget-violating allocations.
+    val docs = Seq(("small", 10_000_000_000_000L), // 1e13
+      ("mid", 400_000_000_000_000L), // 4e14
+      ("big", 5_000_000_000_000_000L)) // 5e15
+      .toDF("lang", "n_chars")
+    val out = Curation.uniMaxMixture(docs, col("lang"), col("n_chars"),
+        capMilliEpochs = 1200)
+      .select("lang", "n", "capped", "alloc3", "ep3")
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(_._1)
+    val totN = docs.agg(sum(col("n_chars"))).as[Long].head()
+    // sanity under exact arithmetic: every allocation positive, capped
+    // rows sit exactly at the cap, nothing exceeds it, and the total
+    // stays within the one-pass budget A = totN·1000
+    assert(out.forall(_._4 > 0L), s"negative/zero alloc (overflow): ${out.toSeq}")
+    assert(out.forall(r => r._5 <= 1200L))
+    assert(out.filter(_._3 == 1L).forall(_._5 == 1200L))
+    assert(out.map(_._4).sum <= totN * 1000L)
+    // the small class is capped first (UniMax order), the big one isn't
+    assert(out.find(_._1 == "small").get._3 == 1L)
+    assert(out.find(_._1 == "big").get._3 == 0L)
+  }
 }

@@ -194,4 +194,27 @@ class ZOrderLayoutSpec extends SparkSpec {
         sum(col("id"))).collect().map(_.toSeq).toSet
     assert(stats(dir) == stats(dir2))
   }
+
+  test("rangeClusteredCommit: empty input rejected, nShards > n tolerated") {
+    import graft.sources.VersionedTable
+    // empty input: the shard rank expression would divide by n = 0 —
+    // must fail loudly at the operator boundary, not NPE mid-shuffle
+    val empty = spark.range(0)
+      .select(col("id"), (col("id") * 7L).as("k"))
+    val e = intercept[IllegalArgumentException] {
+      Layout.rangeClusteredCommit(empty, "k", "id", nShards = 4,
+        dir = java.nio.file.Files.createTempDirectory("vclu_e").toString)
+    }
+    assert(e.getMessage.contains("empty input"))
+    // more shards than rows: shards 0..n-1 get one row each, the rest
+    // stay empty — the table round-trips with all rows intact
+    val dir = java.nio.file.Files.createTempDirectory("vclu_s").toString
+    val tiny = spark.range(3).select(col("id"), (col("id") * 7L).as("k"))
+    val (v, n) = Layout.rangeClusteredCommit(tiny, "k", "id",
+      nShards = 8, dir = dir)
+    assert(n == 3L)
+    val back = VersionedTable.readVersion(spark, dir, v)
+    assert(back.count() == 3L)
+    assert(back.select("shard").distinct().count() == 3L)
+  }
 }
