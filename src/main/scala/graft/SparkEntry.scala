@@ -238,6 +238,92 @@ object SparkEntry {
        |SELECT query_id, rank, neighbor_id, cosine
        |FROM r2 WHERE rank <= $k""".stripMargin
 
+  /** The full s11 residual-IVF-PQ CTE chain through the ADC ranking
+    * `r` (train cells → assign/probe → residuals → PQ train →
+    * encode → per-(query, cell) LUTs → ADC pairs → rank). Shared
+    * verbatim by the s11 oracle (rank ≤ 5 head) and the s16 oracle
+    * (rank ≤ 25 shortlist + exact-cosine re-rank tail) so the two
+    * SQL mirrors can never drift apart. */
+  private lazy val duckS11Body: String =
+    s"""${duckKmeansCtes(8, 2)},
+       |cs AS (
+       |  SELECT en.vec_id, c.cell_id,
+       |   list_reduce(list_transform(range(1, len(en.v) + 1),
+       |     j -> en.v[j] * c.cv[j]), (a, b) -> a + b) / (en.nrm * c.cnrm)
+       |     AS sim
+       |  FROM en CROSS JOIN cn2 c),
+       |cranked AS (
+       |  SELECT vec_id, cell_id, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY sim DESC, cell_id) AS rk
+       |  FROM cs),
+       |cassigned AS (SELECT vec_id, cell_id FROM cranked WHERE rk = 1),
+       |cprobed AS (SELECT vec_id, cell_id FROM cranked
+       |            WHERE rk <= 2 AND vec_id % 25 = 0),
+       |rc AS (
+       |  SELECT a.vec_id, a.cell_id,
+       |   list_transform(range(1, len(en.v) + 1),
+       |     j -> en.v[j] - c.cv[j]) AS rv
+       |  FROM cassigned a
+       |  JOIN en ON en.vec_id = a.vec_id
+       |  JOIN cn2 c ON c.cell_id = a.cell_id),
+       |rsubs AS (
+       |  SELECT vec_id, s, rv[8*s+1 : 8*s+8] AS sub
+       |  FROM rc CROSS JOIN (SELECT unnest(range(8)) AS s) ss),
+       |sel AS (SELECT vec_id, row_number() OVER (
+       |  ORDER BY md5(vec_id::VARCHAR || '#777'), vec_id) AS rk
+       |  FROM rc),
+       |cb AS (
+       |  SELECT su.s, CAST(sel.rk AS BIGINT) AS cid, su.sub AS centroid
+       |  FROM rsubs su JOIN sel USING (vec_id) WHERE sel.rk <= 8),
+       |${duckPqRound(1, 8, "rsubs")},
+       |${duckPqRound(2, 8, "rsubs")},
+       |scored AS (
+       |  SELECT su.vec_id, su.s, c.cid,
+       |   list_reduce(list_transform(range(1, 9),
+       |     i -> (su.sub[i] - c.centroid[i]) * (su.sub[i] - c.centroid[i])),
+       |     (a, b) -> a + b) AS dist
+       |  FROM rsubs su JOIN cb2 c ON c.s = su.s),
+       |codes AS (
+       |  SELECT vec_id, s, cid FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, s
+       |      ORDER BY dist, cid) AS rk FROM scored) WHERE rk = 1),
+       |qres AS (
+       |  SELECT p.vec_id AS qid, p.cell_id,
+       |   list_transform(range(1, len(en.v) + 1),
+       |     j -> en.v[j] - c.cv[j]) AS rqv
+       |  FROM cprobed p
+       |  JOIN en ON en.vec_id = p.vec_id
+       |  JOIN cn2 c ON c.cell_id = p.cell_id),
+       |qsubs AS (
+       |  SELECT qid, cell_id, s, rqv[8*s+1 : 8*s+8] AS qsub
+       |  FROM qres CROSS JOIN (SELECT unnest(range(8)) AS s) ss),
+       |qd AS (
+       |  SELECT q.qid, q.cell_id, q.s, c.cid,
+       |   CAST(round(list_reduce(list_transform(range(1, 9),
+       |     i -> (q.qsub[i] - c.centroid[i]) * (q.qsub[i] - c.centroid[i])),
+       |     (a, b) -> a + b) * 1000000) AS BIGINT) AS qd6
+       |  FROM qsubs q JOIN cb2 c ON c.s = q.s),
+       |pair AS (
+       |  SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+       |   CAST(sum(q.qd6) AS BIGINT) AS adc6
+       |  FROM cprobed p
+       |  JOIN cassigned a ON a.cell_id = p.cell_id
+       |    AND a.vec_id <> p.vec_id
+       |  JOIN codes c2 ON c2.vec_id = a.vec_id
+       |  JOIN qd q ON q.qid = p.vec_id AND q.cell_id = p.cell_id
+       |    AND q.s = c2.s AND q.cid = c2.cid
+       |  GROUP BY 1, 2),
+       |r AS (
+       |  SELECT query_id, neighbor_id, adc6, CAST(row_number() OVER (
+       |    PARTITION BY query_id ORDER BY adc6, neighbor_id)
+       |    AS BIGINT) AS rank
+       |  FROM pair)""".stripMargin
+
+  private lazy val duckS11Sql: String =
+    s"""$duckS11Body
+       |SELECT query_id, rank, neighbor_id, adc6 FROM r
+       |WHERE rank <= 5""".stripMargin
+
   /** s8 oracle: the shared kmeans CTEs, then within-cell pairwise
     * cosine (same list_reduce fold order as the Spark dot) — a vector
     * is dropped iff a lower-id member of its cell reaches tau. */
@@ -1640,6 +1726,39 @@ object SparkEntry {
         .unionByName(quar)
     }),
 
+    // OPTIMISTIC CONCURRENCY (manifest CAS): two interleaved
+    // appenders, driven deterministically through the commit's
+    // read→claim window — A reads the base version, then (before A
+    // can claim) B lands its append; A's claim of that slot FAILS,
+    // A rebases onto B's commit and lands one version later. The
+    // three censuses prove serialization (winner, loser-rebased):
+    // label 1 = base∪B (B's commit intact), label 2 = base∪B∪A —
+    // a lost update (A blind-publishing its pre-claim view) would
+    // produce base∪A and hash-mismatch the oracle
+    "q90_concurrent_append" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(
+        col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"))
+      val dir = scratchDir("graft_vcas", d)
+      val vt = graft.sources.VersionedTable
+      val vBase = vt.commit(docs.filter(col("doc_id") % 4 === 0), dir)
+      val aRows = docs.filter(col("doc_id") % 4 === 1)
+      val bRows = docs.filter(col("doc_id") % 4 === 2)
+      // the test seam fires in A's read→claim window exactly once
+      var bV = -1
+      val vA = vt.appendCommitAtomic(aRows, dir,
+        onBeforeClaim = () => if (bV < 0)
+          bV = vt.appendCommitAtomic(bRows, dir))
+      assert(vA == bV + 1, s"expected A to rebase onto B: a=$vA b=$bV")
+      def agg(label: Int, v: Int) =
+        vt.readVersion(s, dir, v)
+          .agg(count(lit(1)).as("cnt"), sum(col("doc_id")).as("id_sum"),
+            sum(Tables.hashU32(col("text"), 7)).as("content_sum"))
+          .select(lit(label.toLong).as("label"), col("cnt"),
+            col("id_sum"), col("content_sum"))
+      agg(0, vBase).unionByName(agg(1, bV)).unionByName(agg(2, vA))
+    }),
+
     // CHANGE DATA FEED between two table versions: deletes, updates
     // (null-safe all-column compare — no hashing) and inserts fall
     // out of one full-outer key join; a downstream consumer syncs
@@ -2167,6 +2286,21 @@ object SparkEntry {
         emb.filter(col("vec_id") % 25 === 0), "vec_id", "embedding",
         topK = 5, nCells = 8, ivfIters = 2, nProbe = 2, m = 8, k = 8,
         dim = 64, pqIters = 2, seed = 777)
+    }),
+
+    // FAISS "refine" tail on s11: ADC ranks a 25-candidate shortlist,
+    // exact cosine re-scores only those 25 — recall rises toward the
+    // IVF routing ceiling at UNCHANGED code bytes (the quantizer only
+    // has to keep a true neighbor inside the top-25, not the top-5);
+    // measured 2× recall@5 over s11 on the synthetic frontier
+    // (BASELINE §6). The extra cost is one broadcast-shortlist join
+    // against the corpus scan — no new shuffle
+    "s16_ivfpq_rerank" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfPqResidualRerankTopK(emb,
+        emb.filter(col("vec_id") % 25 === 0), "vec_id", "embedding",
+        topK = 5, shortK = 25, nCells = 8, ivfIters = 2, nProbe = 2,
+        m = 8, k = 8, dim = 64, pqIters = 2, seed = 777)
     }),
 
     // CUBE: all four grouping combinations + grouping_id, completing
@@ -3826,81 +3960,28 @@ object SparkEntry {
     // residual IVF-PQ: kmeans cells + assignment; PQ CTEs retargeted
     // at the residual relation (rsubs); the query LUT is keyed
     // (query, probed cell) because the residual differs per cell
-    "s11_ivfpq_residual" ->
-      s"""${duckKmeansCtes(8, 2)},
-         |cs AS (
-         |  SELECT en.vec_id, c.cell_id,
-         |   list_reduce(list_transform(range(1, len(en.v) + 1),
-         |     j -> en.v[j] * c.cv[j]), (a, b) -> a + b) / (en.nrm * c.cnrm)
-         |     AS sim
-         |  FROM en CROSS JOIN cn2 c),
-         |cranked AS (
-         |  SELECT vec_id, cell_id, row_number() OVER (PARTITION BY vec_id
-         |    ORDER BY sim DESC, cell_id) AS rk
-         |  FROM cs),
-         |cassigned AS (SELECT vec_id, cell_id FROM cranked WHERE rk = 1),
-         |cprobed AS (SELECT vec_id, cell_id FROM cranked
-         |            WHERE rk <= 2 AND vec_id % 25 = 0),
-         |rc AS (
-         |  SELECT a.vec_id, a.cell_id,
-         |   list_transform(range(1, len(en.v) + 1),
-         |     j -> en.v[j] - c.cv[j]) AS rv
-         |  FROM cassigned a
-         |  JOIN en ON en.vec_id = a.vec_id
-         |  JOIN cn2 c ON c.cell_id = a.cell_id),
-         |rsubs AS (
-         |  SELECT vec_id, s, rv[8*s+1 : 8*s+8] AS sub
-         |  FROM rc CROSS JOIN (SELECT unnest(range(8)) AS s) ss),
-         |sel AS (SELECT vec_id, row_number() OVER (
-         |  ORDER BY md5(vec_id::VARCHAR || '#777'), vec_id) AS rk
-         |  FROM rc),
-         |cb AS (
-         |  SELECT su.s, CAST(sel.rk AS BIGINT) AS cid, su.sub AS centroid
-         |  FROM rsubs su JOIN sel USING (vec_id) WHERE sel.rk <= 8),
-         |${duckPqRound(1, 8, "rsubs")},
-         |${duckPqRound(2, 8, "rsubs")},
-         |scored AS (
-         |  SELECT su.vec_id, su.s, c.cid,
-         |   list_reduce(list_transform(range(1, 9),
-         |     i -> (su.sub[i] - c.centroid[i]) * (su.sub[i] - c.centroid[i])),
-         |     (a, b) -> a + b) AS dist
-         |  FROM rsubs su JOIN cb2 c ON c.s = su.s),
-         |codes AS (
-         |  SELECT vec_id, s, cid FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY vec_id, s
-         |      ORDER BY dist, cid) AS rk FROM scored) WHERE rk = 1),
-         |qres AS (
-         |  SELECT p.vec_id AS qid, p.cell_id,
-         |   list_transform(range(1, len(en.v) + 1),
-         |     j -> en.v[j] - c.cv[j]) AS rqv
-         |  FROM cprobed p
-         |  JOIN en ON en.vec_id = p.vec_id
-         |  JOIN cn2 c ON c.cell_id = p.cell_id),
-         |qsubs AS (
-         |  SELECT qid, cell_id, s, rqv[8*s+1 : 8*s+8] AS qsub
-         |  FROM qres CROSS JOIN (SELECT unnest(range(8)) AS s) ss),
-         |qd AS (
-         |  SELECT q.qid, q.cell_id, q.s, c.cid,
-         |   CAST(round(list_reduce(list_transform(range(1, 9),
-         |     i -> (q.qsub[i] - c.centroid[i]) * (q.qsub[i] - c.centroid[i])),
-         |     (a, b) -> a + b) * 1000000) AS BIGINT) AS qd6
-         |  FROM qsubs q JOIN cb2 c ON c.s = q.s),
-         |pair AS (
-         |  SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
-         |   CAST(sum(q.qd6) AS BIGINT) AS adc6
-         |  FROM cprobed p
-         |  JOIN cassigned a ON a.cell_id = p.cell_id
-         |    AND a.vec_id <> p.vec_id
-         |  JOIN codes c2 ON c2.vec_id = a.vec_id
-         |  JOIN qd q ON q.qid = p.vec_id AND q.cell_id = p.cell_id
-         |    AND q.s = c2.s AND q.cid = c2.cid
-         |  GROUP BY 1, 2),
-         |r AS (
-         |  SELECT query_id, neighbor_id, adc6, CAST(row_number() OVER (
-         |    PARTITION BY query_id ORDER BY adc6, neighbor_id)
+    "s11_ivfpq_residual" -> duckS11Sql,
+
+    // the s11 pipeline widened to a 25-candidate ADC shortlist, then
+    // the s1 exact-cosine fold re-ranks ONLY those 25 — textually the
+    // same CTE chain as s11 up through `pair`
+    "s16_ivfpq_rerank" ->
+      s"""$duckS11Body,
+         |short AS (SELECT query_id, neighbor_id FROM r WHERE rank <= 25),
+         |ex AS (
+         |  SELECT s.query_id, s.neighbor_id,
+         |   list_reduce(list_transform(range(1, len(q.v) + 1),
+         |     j -> q.v[j] * nb.v[j]), (a, b) -> a + b) / (q.nrm * nb.nrm)
+         |     AS cosine
+         |  FROM short s
+         |  JOIN en q ON q.vec_id = s.query_id
+         |  JOIN en nb ON nb.vec_id = s.neighbor_id),
+         |rr AS (
+         |  SELECT query_id, neighbor_id, cosine, CAST(row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)
          |    AS BIGINT) AS rank
-         |  FROM pair)
-         |SELECT query_id, rank, neighbor_id, adc6 FROM r
+         |  FROM ex)
+         |SELECT query_id, rank, neighbor_id, cosine FROM rr
          |WHERE rank <= 5""".stripMargin,
 
     // d2's shingle/minhash/band CTEs, probed asymmetrically: incoming
@@ -5352,6 +5433,31 @@ object SparkEntry {
          |      UNION ALL
          |      SELECT doc_id + 1000000 AS doc_id, text
          |      FROM documents WHERE lang = 'de')""".stripMargin,
+
+    // the serialized winner order replayed relationally: label 1 =
+    // base ∪ B (the interloper's commit), label 2 = base ∪ B ∪ A
+    // (the rebased loser) — a lost update could not hash-match both
+    "q90_concurrent_append" ->
+      s"""WITH base AS (SELECT doc_id, text FROM documents
+         |  WHERE doc_id % 4 = 0),
+         |a AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 1),
+         |b AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 2)
+         |SELECT CAST(0 AS BIGINT) AS label,
+         | CAST(count(*) AS BIGINT) AS cnt,
+         | CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         | CAST(sum(${duckU32("text", 7)}) AS BIGINT) AS content_sum
+         |FROM base
+         |UNION ALL
+         |SELECT CAST(1 AS BIGINT), CAST(count(*) AS BIGINT),
+         | CAST(sum(doc_id) AS BIGINT),
+         | CAST(sum(${duckU32("text", 7)}) AS BIGINT)
+         |FROM (SELECT * FROM base UNION ALL SELECT * FROM b)
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+         | CAST(sum(doc_id) AS BIGINT),
+         | CAST(sum(${duckU32("text", 7)}) AS BIGINT)
+         |FROM (SELECT * FROM base UNION ALL SELECT * FROM b
+         |      UNION ALL SELECT * FROM a)""".stripMargin,
 
     // the merged state replayed relationally: updates ∪ the
     // untouched remainder (anti-join on update keys)

@@ -45,19 +45,25 @@ object TuneIvfPq {
       m <- Seq(8, 16)
       k <- Seq(8, 16)
       np <- Seq(1, 2, 4, 8)
-      variant <- Seq("raw", "residual")
+      variant <- Seq("raw", "residual", "rerank")
     } {
       val t0 = System.nanoTime()
-      val res =
-        if (variant == "raw")
+      val res = variant match {
+        case "raw" =>
           Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding",
             topK = 5, nCells = cells, ivfIters = 2, nProbe = np, m = m,
             k = k, dim = 64, pqIters = 2, seed = 777)
-        else
+        case "residual" =>
           Similarity.ivfPqResidualTopK(emb, queries, "vec_id",
             "embedding", topK = 5, nCells = cells, ivfIters = 2,
             nProbe = np, m = m, k = k, dim = 64, pqIters = 2,
             seed = 777)
+        case _ => // s16: ADC shortlist 25 + exact-cosine re-rank
+          Similarity.ivfPqResidualRerankTopK(emb, queries, "vec_id",
+            "embedding", topK = 5, shortK = 25, nCells = cells,
+            ivfIters = 2, nProbe = np, m = m, k = k, dim = 64,
+            pqIters = 2, seed = 777)
+      }
       val got = res.select("query_id", "neighbor_id")
         .as[(Long, Long)].collect().toSet
       val sec = (System.nanoTime() - t0) / 1e9

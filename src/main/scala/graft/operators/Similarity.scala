@@ -989,6 +989,49 @@ object Similarity {
         col("nvid").as("neighbor_id"), col("adc6"))
   }
 
+  /** Residual IVF-PQ with an exact-cosine re-rank tail — the FAISS
+    * "refine" composition (IndexRefineFlat over IVFPQ), the standard
+    * recall repair for quantized search: ADC ranks a SHORTLIST of
+    * `shortK` candidates per query (cheap, code-bytes only), then the
+    * exact metric re-scores just those shortK vectors and keeps the
+    * true top-`topK`. ADC's quantization error only has to be small
+    * enough to keep a true neighbor inside the top-shortK — a far
+    * weaker demand than landing it in the top-topK — so recall rises
+    * toward the IVF routing ceiling at unchanged code bytes (measured
+    * on the synthetic frontier: 0.13 → 0.26 at m=8, k=8, nProbe=8;
+    * see BASELINE §6). Cost at scale: the re-rank joins shortK·q
+    * full vectors against the corpus scan with the shortlist side
+    * BROADCAST — one extra corpus scan, no shuffle, q·shortK window
+    * rows. The exact tail uses the s1 fold (dot/norms, left-fold
+    * zip_with), so the whole train→route→ADC→re-rank plan stays
+    * DuckDB-oracle-checkable bit-for-bit.
+    * Queries must be corpus members (the registered self-search
+    * shape). Returns (query_id, rank, neighbor_id, cosine). */
+  def ivfPqResidualRerankTopK(emb: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, topK: Int, shortK: Int,
+      nCells: Int, ivfIters: Int, nProbe: Int, m: Int, k: Int,
+      dim: Int, pqIters: Int, seed: Int): DataFrame = {
+    require(shortK >= topK, s"shortK=$shortK must be >= topK=$topK")
+    val short = ivfPqResidualTopK(emb, queries, idCol, vecCol, shortK,
+        nCells, ivfIters, nProbe, m, k, dim, pqIters, seed)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = queries.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("q_vec"))
+      .withColumn("q_norm", norm(col("q_vec")))
+    val c = emb.select(col(idCol).as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("c_vec"))
+      .withColumn("c_norm", norm(col("c_vec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    c.join(broadcast(short.join(q, Seq("query_id"))), Seq("neighbor_id"))
+      .withColumn("cosine",
+        dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("cosine"))
+  }
+
   /** LSH-accelerated ANN top-k: candidates are corpus vectors sharing
     * the query's bucket (multi-probe: Hamming-1 neighbours of the bucket
     * included when `probeBits > 0`), ranked by exact cosine within the

@@ -297,6 +297,126 @@ object VersionedTable {
       bloomMetaOf(json), parseArray(json, "blooms").getOrElse(Seq.empty))
   }
 
+  /** Atomically claim version `v`: the manifest CAS primitive. The
+    * claim token is an exclusive-create of `v$v.json.lock` — on HDFS
+    * `createNewFile` is an atomic namespace op; on a local FS it is
+    * exists+create (the same best-effort every local-mode lakehouse
+    * accepts); on an object store you would swap in a put-if-absent.
+    * A claim fails if the version's manifest OR lock already exists —
+    * i.e. some other committer owns that slot, published or in
+    * flight. The winner publishes under the claimed name (readers
+    * never see partial manifests — the tmp+rename inside
+    * [[writeManifest]] is unchanged) and releases the lock. A crashed
+    * winner leaves a stale lock that parks its slot; [[versions]]
+    * skips it (no manifest), and recovery is manual lock removal —
+    * the documented trade every lock-file protocol makes. */
+  private def tryClaim(f: FileSystem, dir: String, v: Int): Boolean = {
+    val md = manifestDir(dir)
+    f.mkdirs(md)
+    if (f.exists(new Path(md, s"v$v.json"))) false
+    else
+      try f.createNewFile(new Path(md, s"v$v.json.lock"))
+      catch { case _: java.io.IOException => false }
+  }
+
+  private def releaseClaim(f: FileSystem, dir: String, v: Int): Unit =
+    f.delete(new Path(manifestDir(dir), s"v$v.json.lock"), false)
+
+  /** Optimistic-concurrency APPEND: the multi-writer-safe twin of
+    * [[appendCommit]]. Data files are written ONCE under a
+    * nonce-keyed txn directory (never rewritten on conflict), then
+    * the committer loops: read the latest version, CAS-claim the next
+    * slot ([[tryClaim]]), and on success REBASE — carry the file/DV/
+    * stats lists of whatever version is latest NOW (not the one read
+    * before the claim), append the new files, publish. Appends
+    * commute, so rebase is always safe: two interleaved committers
+    * serialize as (winner, loser-rebased) and NEITHER commit is lost.
+    * A committer that cannot claim a slot within `maxRetries`
+    * rebases aborts with ConcurrentModificationException — its data
+    * files are removed, nothing observable remains.
+    *
+    * `onBeforeClaim` is a test seam: it runs between the latest-read
+    * and the claim, which is exactly the window a concurrent
+    * committer can steal the slot in (the q90 entry and the spec
+    * drive it deterministically). */
+  def appendCommitAtomic(df: DataFrame, dir: String,
+      maxRetries: Int = 5, onBeforeClaim: () => Unit = () => ()): Int = {
+    val spark = df.sparkSession
+    require(versions(spark, dir).nonEmpty,
+      s"appendCommitAtomic needs a base version at $dir")
+    val f = fs(spark, dir)
+    val nonce = java.util.UUID.randomUUID().toString.take(12)
+    val dataDir = new Path(dir, s"data/c$nonce")
+    df.write.mode("errorifexists").parquet(dataDir.toString)
+    val newFiles = f.listStatus(dataDir).toSeq
+      .map(_.getPath.getName)
+      .filter(_.endsWith(".parquet"))
+      .sorted
+      .map(n => s"data/c$nonce/$n")
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      val base = versions(spark, dir).last
+      val v = base + 1
+      onBeforeClaim()
+      if (tryClaim(f, dir, v)) {
+        try {
+          // rebase point: carry the lists of the version the claim
+          // actually landed on top of (v - 1), not the pre-claim read
+          val json = manifestJson(spark, dir, v - 1)
+          val (files, dvs) = manifestLists(json, v - 1)
+          val statsCol = statsColOf(json)
+          val newStats = statsCol.map(c =>
+            fileStats(spark, dataDir, s"data/c$nonce", c))
+            .getOrElse(Seq.empty)
+          writeManifest(f, dir, v, files ++ newFiles, dvs,
+            statsCol,
+            parseArray(json, "stats").getOrElse(Seq.empty) ++ newStats,
+            bloomMetaOf(json),
+            parseArray(json, "blooms").getOrElse(Seq.empty))
+          return v
+        } finally releaseClaim(f, dir, v)
+      }
+      attempt += 1
+    }
+    f.delete(dataDir, true) // abort: leave nothing observable
+    throw new java.util.ConcurrentModificationException(
+      s"appendCommitAtomic lost $maxRetries claim races at $dir")
+  }
+
+  /** Snapshot-commit CAS for NON-commuting transactions (overwrite,
+    * merge-shaped rewrites): publish `df` as the next version ONLY if
+    * the table is still at `expectedBase` when the slot is claimed —
+    * otherwise abort with ConcurrentModificationException. This is
+    * the conflict-DETECTION half of optimistic concurrency: a
+    * transaction that read version N and cannot re-validate its reads
+    * must not blind-publish over an interloper's commit (lost
+    * update); the caller re-reads the new latest and re-runs its
+    * transaction logic. */
+  def commitIfUnchanged(df: DataFrame, dir: String,
+      expectedBase: Int): Int = {
+    val spark = df.sparkSession
+    val f = fs(spark, dir)
+    val latest = versions(spark, dir).lastOption.getOrElse(-1)
+    if (latest != expectedBase)
+      throw new java.util.ConcurrentModificationException(
+        s"table at $dir moved: expected v$expectedBase, found v$latest")
+    val v = expectedBase + 1
+    if (!tryClaim(f, dir, v))
+      throw new java.util.ConcurrentModificationException(
+        s"version v$v at $dir already claimed by a concurrent committer")
+    try {
+      // re-validate INSIDE the claim: a committer may have published
+      // between the check above and the claim (it would have taken
+      // this slot, so tryClaim fails — this recheck is belt and
+      // braces against claim/publish orderings on non-atomic stores)
+      val nowLatest = versions(spark, dir).last
+      if (nowLatest != expectedBase)
+        throw new java.util.ConcurrentModificationException(
+          s"table at $dir moved to v$nowLatest during claim")
+      publish(df, dir, v, Seq.empty)
+    } finally releaseClaim(f, dir, v)
+  }
+
   /** DELETE commit via a deletion vector: the new version's manifest
     * lists the previous version's data files UNCHANGED plus one more
     * deletion-vector file holding the deleted KEYS — no data file is

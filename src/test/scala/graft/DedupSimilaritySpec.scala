@@ -669,6 +669,42 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"two-stage recall too low: $recall")
   }
 
+  test("IVF-PQ re-rank with all cells probed + full shortlist equals " +
+      "brute force (s16)") {
+    val emb = Tables.embeddings(spark, Sf0001).filter(col("vec_id") % 5 === 0)
+    val qs = emb.filter(col("vec_id") % 3 === 0)
+    val n = emb.count().toInt
+    def triples(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Long, Long)].collect().toSet
+    // nProbe = nCells covers every cell and shortK = n keeps every ADC
+    // candidate, so the quantized stage can drop nothing: the exact
+    // re-rank tail must reproduce brute force EXACTLY (same cosine
+    // fold, same neighbor_id tiebreak)
+    val exact = triples(Similarity.bruteForceTopK(emb, qs,
+      "vec_id", "embedding", 5))
+    val full = triples(Similarity.ivfPqResidualRerankTopK(emb, qs,
+      "vec_id", "embedding", topK = 5, shortK = n, nCells = 4,
+      ivfIters = 1, nProbe = 4, m = 8, k = 8, dim = 64, pqIters = 1,
+      seed = 777))
+    assert(full == exact)
+    // the production shape (narrow probes + 25-shortlist) still
+    // recalls well ABOVE the plain ADC top-5 — the refine bargain
+    def ids(df: org.apache.spark.sql.DataFrame) = triples(df)
+      .map(t => (t._1, t._3))
+    val exactIds = exact.map(t => (t._1, t._3))
+    val adc = ids(Similarity.ivfPqResidualTopK(emb, qs, "vec_id",
+      "embedding", topK = 5, nCells = 4, ivfIters = 1, nProbe = 2,
+      m = 8, k = 8, dim = 64, pqIters = 1, seed = 777))
+    val rr = ids(Similarity.ivfPqResidualRerankTopK(emb, qs, "vec_id",
+      "embedding", topK = 5, shortK = 25, nCells = 4, ivfIters = 1,
+      nProbe = 2, m = 8, k = 8, dim = 64, pqIters = 1, seed = 777))
+    val adcRecall = (adc intersect exactIds).size.toDouble / exactIds.size
+    val rrRecall = (rr intersect exactIds).size.toDouble / exactIds.size
+    assert(rrRecall > adcRecall,
+      s"re-rank did not improve recall: adc=$adcRecall rerank=$rrRecall")
+  }
+
   test("sign-Hamming codes pack the sign bits into 32-bit lanes exactly") {
     val df = Seq(
       (1L, Array.tabulate(64)(i => if (i % 3 == 0) 1.0f else -1.0f)),

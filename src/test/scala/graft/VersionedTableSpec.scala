@@ -427,4 +427,68 @@ class VersionedTableSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"))
   }
+
+  test("optimistic append: interleaved committers serialize, none lost") {
+    val dir = java.nio.file.Files.createTempDirectory("vcas").toString
+    VersionedTable.commit(Seq((1L, "base")).toDF("id", "s"), dir)
+    // A reads the latest, then B lands its append inside A's
+    // read→claim window: A's claim fails, A rebases and lands after B
+    var bV = -1
+    val aV = VersionedTable.appendCommitAtomic(
+      Seq((2L, "a")).toDF("id", "s"), dir,
+      onBeforeClaim = () => if (bV < 0)
+        bV = VersionedTable.appendCommitAtomic(
+          Seq((3L, "b")).toDF("id", "s"), dir))
+    assert(bV == 1 && aV == 2, s"serialization order broke: b=$bV a=$aV")
+    // B's version holds base∪B; A's rebased version holds everything
+    assert(VersionedTable.readVersion(spark, dir, bV)
+      .select("id").as[Long].collect().toSet == Set(1L, 3L))
+    assert(VersionedTable.readVersion(spark, dir, aV)
+      .select("id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+  }
+
+  test("optimistic append: claim-starved committer aborts, nothing " +
+      "observable remains") {
+    val dir = java.nio.file.Files.createTempDirectory("vcas2").toString
+    VersionedTable.commit(Seq((1L, "base")).toDF("id", "s"), dir)
+    // every retry finds its slot freshly taken (a new append lands in
+    // each read→claim window) → the loser must give up cleanly
+    val e = intercept[java.util.ConcurrentModificationException] {
+      VersionedTable.appendCommitAtomic(
+        Seq((99L, "loser")).toDF("id", "s"), dir, maxRetries = 2,
+        onBeforeClaim = () => VersionedTable.appendCommit(
+          Seq((50L, "noise")).toDF("id", "s"), dir))
+    }
+    assert(e.getMessage.contains("claim races"))
+    // the aborted txn's data is gone: the latest version census holds
+    // only base + the three noise appends
+    val ids = VersionedTable.readVersion(spark, dir,
+      VersionedTable.versions(spark, dir).last)
+      .select("id").as[Long].collect().toSeq
+    assert(!ids.contains(99L))
+    assert(ids.count(_ == 50L) == 3 && ids.contains(1L))
+    // no orphaned txn dirs under data/ either (the winner path keeps
+    // its c-dir, but this table's only atomic committer aborted)
+    val dataDirs = new java.io.File(dir, "data").listFiles().map(_.getName)
+    assert(!dataDirs.exists(_.startsWith("c")), dataDirs.mkString(","))
+  }
+
+  test("commitIfUnchanged: CAS succeeds at the expected base, aborts " +
+      "after an interloper") {
+    val dir = java.nio.file.Files.createTempDirectory("vcas3").toString
+    val v0 = VersionedTable.commit(Seq((1L, "x")).toDF("id", "s"), dir)
+    // clean CAS: table still at v0
+    val v1 = VersionedTable.commitIfUnchanged(
+      Seq((2L, "y")).toDF("id", "s"), dir, expectedBase = v0)
+    assert(v1 == 1)
+    // stale CAS: transaction read v0, but the table moved to v1
+    intercept[java.util.ConcurrentModificationException] {
+      VersionedTable.commitIfUnchanged(
+        Seq((3L, "z")).toDF("id", "s"), dir, expectedBase = v0)
+    }
+    // the abort published nothing: latest is still v1 with y's row
+    assert(VersionedTable.versions(spark, dir) == Seq(0, 1))
+    assert(VersionedTable.readVersion(spark, dir, 1)
+      .select("id").as[Long].collect().toSet == Set(2L))
+  }
 }
