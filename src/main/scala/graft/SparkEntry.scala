@@ -2774,9 +2774,9 @@ object SparkEntry {
       val counts = Tables.events(s, d)
         .filter(col("user_id").isNotNull)
         .groupBy(col("user_id")).agg(count(lit(1)).as("exact_c"))
-      val top = counts.withColumn("rk", row_number().over(
-          Window.orderBy(col("exact_c").desc, col("user_id").asc)))
-        .filter(col("rk") <= 15).drop("rk")
+      val top = PipelineOps.rankedTopK(counts,
+          Seq(col("exact_c").desc, col("user_id").asc), 15, "rk")
+        .drop("rk")
       Sketches.cmsProbe(sunk,
           top.select(col("user_id").cast("string").as("k"),
             col("exact_c")))

@@ -164,9 +164,8 @@ object Curation {
       .withColumn("key6",
         round(pow(Tables.hashRand(col("doc_id"), seed),
           lit(1.0) / col("weight")) * 1e6).cast("long"))
-    keyed.withColumn("rank", row_number().over(
-        Window.orderBy(col("key6").desc, col("doc_id").asc)).cast("long"))
-      .filter(col("rank") <= k)
+    PipelineOps.rankedTopK(keyed,
+      Seq(col("key6").desc, col("doc_id").asc), k)
   }
 
   /** Temperature-based mixture resampling: class `l` with count c_l is
@@ -244,22 +243,30 @@ object Curation {
     val counts = docs.groupBy(classCol.as("lang"))
       .agg(sum(sizeCol).as("n"))
       .withColumn("w", round(sqrt(col("n").cast("double"))).cast("long"))
-    // sort by cap threshold n/w ascending (float division is IEEE-exact
-    // and identical cross-engine; ties broken by lang)
-    val ord = Window.orderBy(
-      (col("n").cast("double") / col("w").cast("double")).asc,
-      col("lang").asc)
-    val all = Window.rowsBetween(Window.unboundedPreceding,
-      Window.unboundedFollowing)
-    val ranked = counts
-      .withColumn("rk", row_number().over(ord))
-      .withColumn("cumN", sum(col("n")).over(ord))
-      .withColumn("cumW", sum(col("w")).over(ord))
-      .withColumn("nextN", lead(col("n"), 1).over(ord))
-      .withColumn("nextW", lead(col("w"), 1).over(ord))
-      .withColumn("totN", sum(col("n")).over(all))
-      .withColumn("totW", sum(col("w")).over(all))
-      .withColumn("nLangs", count(lit(1)).over(all))
+      // cap threshold n/w (float division is IEEE-exact and identical
+      // cross-engine; ties broken by lang)
+      .withColumn("thr", col("n").cast("double") / col("w").cast("double"))
+    // rank + prefix sums over the ≤|langs| relation via a bounded
+    // θ-self-join (|langs|² tiny tuples) instead of empty-partition
+    // windows: rk = |{rows ≤ me in (thr, lang) order}|, cum sums
+    // likewise — same values as row_number/sum-over-window, but no
+    // WindowExec WARN burying real log signals
+    val tot = counts.agg(sum(col("n")).as("totN"),
+      sum(col("w")).as("totW"), count(lit(1)).as("nLangs"))
+    val pre = counts.as("c1")
+      .join(broadcast(counts.as("c2")),
+        col("c2.thr") < col("c1.thr") ||
+          (col("c2.thr") === col("c1.thr") &&
+            col("c2.lang") <= col("c1.lang")))
+      .groupBy(col("c1.lang").as("lang"), col("c1.n").as("n"),
+        col("c1.w").as("w"))
+      .agg(count(lit(1)).cast("int").as("rk"),
+        sum(col("c2.n")).as("cumN"), sum(col("c2.w")).as("cumW"))
+    // lead(n/w, 1) = the columns of the row ranked one later
+    val nxt = pre.select((col("rk") - 1).as("rk"),
+      col("n").as("nextN"), col("w").as("nextW"))
+    val ranked = pre.join(nxt, Seq("rk"), "left")
+      .crossJoin(broadcast(tot))
     // candidate boundaries k = 0..L: "rows 1..k capped"; k=0 is a
     // synthetic row with empty prefix
     val k0 = ranked.filter(col("rk") === 1)

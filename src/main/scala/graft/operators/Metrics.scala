@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Consumer-side aggregations of the reference training loops
@@ -19,9 +18,13 @@ object Metrics {
     * broadcast equi-join against the fact side. */
   def classDictionary(df: DataFrame, classCol: Column,
       nameOut: String = "class_name", idOut: String = "label"): DataFrame =
+    // the distinct-class relation is bounded by the class count, so
+    // one partition is the honest shape — but expressed as
+    // coalesce+sort+position, not an empty-partition window, so the
+    // "No Partition Defined" WARN never drowns a real one
     df.select(classCol.as(nameOut)).distinct()
-      .withColumn(idOut,
-        (row_number().over(Window.orderBy(col(nameOut))) - 1).cast("long"))
+      .coalesce(1).sortWithinPartitions(col(nameOut))
+      .withColumn(idOut, monotonically_increasing_id().cast("long"))
 
   /** Attach the dense label id by broadcast-joining the dictionary —
     * the Spark form of the reference's in-memory dict lookup. */

@@ -40,6 +40,23 @@ object PipelineOps {
       out: String = "rn"): DataFrame =
     df.withColumn(out, globalRowNumber(key, seed))
 
+  /** Global top-k with a dense 1..k rank column, WITHOUT an
+    * empty-partition window: `orderBy(sort).limit(k)` plans as
+    * TakeOrderedAndProject (per-partition top-k heaps, driver merge —
+    * the scalable shape for bounded k), then the rank is assigned by
+    * position over the k surviving rows. Replaces the
+    * `row_number().over(Window.orderBy(...))` idiom everywhere a rank
+    * on a bounded result is needed: same values, same total order,
+    * but no single-partition WindowExec and no "No Partition Defined"
+    * WARN drowning real signals in the logs. `sort` must be a total
+    * order (include a unique tiebreak) or ranks are ill-defined. */
+  def rankedTopK(df: DataFrame, sort: Seq[Column], k: Int,
+      rankOut: String = "rank"): DataFrame =
+    df.orderBy(sort: _*).limit(k)
+      .coalesce(1).sortWithinPartitions(sort: _*)
+      .withColumn(rankOut,
+        (monotonically_increasing_id() + 1).cast("long"))
+
   /** Scalable twin of [[withShuffleRank]]: range-repartition on the
     * shuffle key, sort within partitions, then assign global indices with
     * one extra count job (RDD zipWithIndex). Output is identical to the

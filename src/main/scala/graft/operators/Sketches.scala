@@ -305,12 +305,13 @@ object Sketches {
           floor((col("x") - col("lo")) /
             ((col("hi") - col("lo")) / nBins)).cast("long"))))
       .groupBy(col("bin")).agg(count(lit(1)).as("c"))
-    // CDF over the ≤ nBins histogram rows — bounded single partition,
-    // the same exempt class as scalar aggregates
-    val cum = binned
-      .withColumn("cum", sum(col("c")).over(
-        Window.orderBy(col("bin"))
-          .rowsBetween(Window.unboundedPreceding, 0)))
+    // CDF over the ≤ nBins histogram rows via a bounded θ-self-join
+    // (≤ nBins² tiny tuples) instead of an empty-partition window —
+    // same cumulative sums, no WindowExec WARN polluting the logs
+    val cum = binned.as("b1")
+      .join(broadcast(binned.as("b2")), col("b2.bin") <= col("b1.bin"))
+      .groupBy(col("b1.bin").as("bin"))
+      .agg(sum(col("b2.c")).as("cum"))
       .crossJoin(broadcast(bounds))
     val qdf = quantiles.toDF("q")
     cum.join(broadcast(qdf), col("cum") >= col("q") * col("n"))
@@ -381,10 +382,11 @@ object Sketches {
     val tok = docs.select(TextAnalysis.tokens(textCol).as("toks"))
       .select(explode(col("toks")).as("tok"))
     val counts = tok.groupBy(col("tok")).agg(count(lit(1)).as("exact_c"))
-    // exact top-k (count desc, token asc) — WindowGroupLimit-bounded
-    val top = counts.withColumn("rk", row_number().over(
-        Window.orderBy(col("exact_c").desc, col("tok").asc)))
-      .filter(col("rk") <= topK).drop("rk")
+    // exact top-k (count desc, token asc) — TakeOrderedAndProject,
+    // never a single-partition window
+    val top = PipelineOps.rankedTopK(counts,
+        Seq(col("exact_c").desc, col("tok").asc), topK, "rk")
+      .drop("rk")
     def positions(df: DataFrame): DataFrame =
       cmsPositions(df, col("tok"), d, w, seed)
     // register build rides the exact counts relation (vocab-sized),

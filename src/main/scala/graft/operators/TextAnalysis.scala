@@ -637,10 +637,8 @@ object TextAnalysis {
           (Tables.hashU32(col("doc_id"), gumbelSeed) + lit(0.5)) /
             lit(4294967296.0))) * 1e6).cast("long"))
       .withColumn("score6", col("weight6") + col("gumbel6"))
-    val top = scored.orderBy(col("score6").desc, col("doc_id").asc)
-      .limit(k)
-    val w = Window.orderBy(col("score6").desc, col("doc_id").asc)
-    top.withColumn("rank", row_number().over(w).cast("long"))
+    PipelineOps.rankedTopK(scored,
+        Seq(col("score6").desc, col("doc_id").asc), k)
       .select(col("doc_id"), col("weight6"), col("score6"), col("rank"))
   }
 
