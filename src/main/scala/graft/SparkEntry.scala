@@ -1168,6 +1168,19 @@ object SparkEntry {
       TextAnalysis.wordPieceSegment(Tables.documents(s, d),
         col("doc_id"), col("text"), topV = 200)),
 
+    // BYTE-FALLBACK WordPiece (SentencePiece/Llama): coverage singles
+    // restricted to [a-z], any uncovered codepoint tokenizes as its
+    // UTF-8 bytes (`<E4>|<B8>|<AD>` for 中) — no input can fail, the
+    // loss-free guarantee production tokenizers ship. The corpus is
+    // seeded with real multi-byte codepoints (q→中, v→ñ — both
+    // engines' replace/substr/len are codepoint-exact) so the
+    // fallback path carries live traffic, not a dead branch
+    "t23_wordpiece_bytes" -> ((s, d) =>
+      TextAnalysis.wordPieceSegmentByteFallback(
+        Tables.documents(s, d).withColumn("text",
+          expr("replace(replace(text, 'q', '中'), 'v', 'ñ')")),
+        col("doc_id"), col("text"), topV = 200)),
+
     // overlapping token-window chunking — shuffle-free map stage
     "t14_chunk_documents" -> ((s, d) =>
       Curation.chunkDocuments(Tables.documents(s, d), col("doc_id"),
@@ -4841,6 +4854,68 @@ object SparkEntry {
          |   CASE WHEN wk.seg = '' THEN b.piece
          |     ELSE wk.seg || '|' || b.piece END
          |  FROM walk wk JOIN best b
+         |    ON b.word = wk.word AND b.pos = wk.pos
+         |  WHERE wk.pos < wk.wlen),
+         |seg AS (SELECT word, np, seg FROM walk WHERE pos = wlen)
+         |SELECT o.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(s.np) AS BIGINT) AS n_pieces,
+         |  CAST(sum(${duckU32("s.seg", 11)}) AS BIGINT) AS seg_fp
+         |FROM occ o JOIN seg s USING (word)
+         |GROUP BY 1""".stripMargin,
+
+    // t22's recursive walk with the byte-fallback branch: coverage
+    // singles gated to [a-z]; at an uncovered position the LEFT join
+    // to `best` yields NULL and the walk emits the codepoint's UTF-8
+    // bytes as <XX> tokens (hex() is uppercase in both engines),
+    // advancing one character and np by octet_length
+    "t23_wordpiece_bytes" ->
+      s"""WITH RECURSIVE d2 AS (
+         |  SELECT doc_id,
+         |   replace(replace(text, 'q', '中'), 'v', 'ñ') AS text
+         |  FROM documents),
+         |t AS (SELECT doc_id, $DuckToks AS toks FROM d2),
+         |occ AS (SELECT doc_id, unnest(toks) AS word FROM t),
+         |subs AS (
+         |  SELECT piece, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |    SELECT substr(word, p + 1, l) AS piece
+         |    FROM occ,
+         |      unnest(range(len(word))) AS u1(p),
+         |      unnest([2, 3, 4]) AS u2(l)
+         |    WHERE p + l <= len(word))
+         |  GROUP BY 1 ORDER BY cnt DESC, piece LIMIT 200),
+         |vocab AS (
+         |  SELECT piece FROM subs
+         |  UNION ALL
+         |  SELECT piece FROM (
+         |    SELECT DISTINCT substr(word, p + 1, 1) AS piece
+         |    FROM occ, unnest(range(len(word))) AS u(p))
+         |  WHERE regexp_matches(piece, '^[a-z]$$')),
+         |w AS (SELECT DISTINCT word FROM occ),
+         |wp AS (
+         |  SELECT word, p AS pos
+         |  FROM w, unnest(range(len(word))) AS u(p)),
+         |m AS (
+         |  SELECT word, pos, v.piece FROM wp JOIN vocab v
+         |    ON substr(wp.word, wp.pos + 1, len(v.piece)) = v.piece),
+         |best AS (
+         |  SELECT word, pos, arg_max(piece, len(piece)) AS piece
+         |  FROM m GROUP BY 1, 2),
+         |walk AS (
+         |  SELECT word, len(word) AS wlen, 0 AS pos,
+         |   CAST(0 AS BIGINT) AS np, '' AS seg
+         |  FROM w
+         |  UNION ALL
+         |  SELECT wk.word, wk.wlen,
+         |   wk.pos + CASE WHEN b.piece IS NULL THEN 1
+         |     ELSE len(b.piece) END,
+         |   wk.np + CASE WHEN b.piece IS NULL THEN octet_length(
+         |     encode(substr(wk.word, wk.pos + 1, 1))) ELSE 1 END,
+         |   CASE WHEN wk.seg = '' THEN '' ELSE wk.seg || '|' END ||
+         |    CASE WHEN b.piece IS NULL THEN rtrim(regexp_replace(
+         |      hex(encode(substr(wk.word, wk.pos + 1, 1))),
+         |      '(..)', '<\\1>|', 'g'), '|')
+         |     ELSE b.piece END
+         |  FROM walk wk LEFT JOIN best b
          |    ON b.word = wk.word AND b.pos = wk.pos
          |  WHERE wk.pos < wk.wlen),
          |seg AS (SELECT word, np, seg FROM walk WHERE pos = wlen)

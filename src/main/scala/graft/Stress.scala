@@ -330,6 +330,59 @@ object Stress {
       withComp.withColumn("rk", row_number().over(w))
         .filter(col("rk") === 1).count()
     }
+    // —— round-6 additions: lakehouse scale claims ——
+    // q80/q88 data skipping: a range-clustered commit with file count
+    // ∝ corpus, then a FIXED-width key-range read. The claim under
+    // test: files opened / files total ≈ range fraction regardless of
+    // table size (manifest pruning decides from O(files) metadata,
+    // zero data I/O for the rest) — the probe prints the ratio next
+    // to the time so the curve and the selectivity are both receipts
+    t("q80_skipping(clustered)") {
+      import graft.sources.VersionedTable
+      val dir = java.nio.file.Files
+        .createTempDirectory("stress_q80").toString
+      val keyed = docs.select(col("doc_id"), col("lang"),
+        col("n_chars"))
+      val (v, n) = Layout.rangeClusteredCommit(keyed, "doc_id",
+        "doc_id", nShards = 16 * mult, dir = dir)
+      // fixed absolute key range over the base copy's id space
+      val (files, total) = VersionedTable.filesInRange(
+        spark, dir, v, 100L, 1099L)
+      val cnt = VersionedTable.readVersionWhere(spark, dir, v,
+        100L, 1099L).count()
+      println(f"    q80 receipt: opened=${files.size} of $total files " +
+        f"(n=$n rows)")
+      cnt
+    }
+    // q82 partial OPTIMIZE: the table carries mult-proportional BULK
+    // data in at-target files plus a CONSTANT 20 small appended
+    // shards. O(small files) means the probe's time stays flat as
+    // mult grows — a full copy-on-write would grow linearly
+    t("q82_optimize(small-files)") {
+      import graft.sources.VersionedTable
+      val dir = java.nio.file.Files
+        .createTempDirectory("stress_q82").toString
+      val bulk = docs.select(col("doc_id"), col("text"), col("lang"))
+      VersionedTable.commit(bulk.repartition(2), dir)
+      val small = Tables.documents(spark, sf)
+        .select(col("doc_id"), col("text"), col("lang"))
+        .filter(col("doc_id") % 100 === 0)
+      for (i <- 0 until 20)
+        VersionedTable.appendCommit(
+          small.withColumn("doc_id", col("doc_id") + lit(i * 100000000L))
+            .coalesce(1), dir)
+      val before = VersionedTable.fileSizes(spark, dir,
+        VersionedTable.versions(spark, dir).last)
+      val target = 96L * 1024
+      val t0 = System.nanoTime()
+      val v = VersionedTable.optimizeCommit(spark, dir, target)
+      val optSec = (System.nanoTime() - t0) / 1e9
+      val after = VersionedTable.fileSizes(spark, dir, v)
+      println(f"    q82 receipt: optimize=$optSec%.2fs files " +
+        f"${before.size}->${after.size} " +
+        f"(small=${before.count(_._2 < target)})")
+      after.size.toLong
+    }
     spark.stop()
   }
 }

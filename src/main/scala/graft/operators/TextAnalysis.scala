@@ -745,4 +745,82 @@ object TextAnalysis {
         }))
       .select(col("word"), col("st.seg").as("seg"), col("st.np").as("np"))
   }
+
+  /** BYTE-FALLBACK WordPiece (the SentencePiece/Llama trick that makes
+    * the tokenizer family loss-free on arbitrary input): the coverage
+    * guarantee of [[wordPieceVocab]]'s singles is deliberately
+    * RESTRICTED to the known alphabet `[a-z]`; any position no vocab
+    * piece matches falls back to the UTF-8 BYTES of that one
+    * codepoint, emitted as `<XX>` pseudo-tokens (uppercase hex — both
+    * engines' `hex` agree). '中' → `<E4>|<B8>|<AD>` (3 pieces), 'ñ' →
+    * `<C3>|<B1>` (2). No input can fail to tokenize and the byte
+    * vocabulary is closed (256 symbols), exactly why production
+    * tokenizers ship this path. Same scale shape as
+    * [[wordSegments]]: per-DISTINCT-word, broadcast equi-join
+    * candidates, one in-row fold. */
+  def wordSegmentsByteFallback(docs: DataFrame, textCol: Column,
+      topV: Int, maxLen: Int = 4): DataFrame = {
+    val vocab = wordPieceVocab(docs, textCol, topV, maxLen)
+      // the frequency tier keeps ALL pieces (multi-byte substrings
+      // included — a hot unicode bigram may earn a real vocab slot);
+      // the coverage tier is alphabet-gated, which is what CREATES
+      // the fallback surface
+      .filter(col("cnt") >= 0 || col("piece").rlike("^[a-z]$"))
+      .select(col("piece")).persistTracked()
+    val words = docs.select(explode(tokens(textCol)).as("word")).distinct()
+    val positions = words
+      .select(col("word"), explode(sequence(lit(0),
+        length(col("word")) - 1)).as("pos"))
+    val cands = (1 to maxLen).map { l =>
+      positions
+        .filter(col("pos") + l <= length(col("word")))
+        .withColumn("piece", expr(s"substring(word, pos + 1, $l)"))
+        .join(broadcast(vocab.filter(length(col("piece")) === l)),
+          Seq("piece"))
+    }.reduce(_ unionByName _)
+    val best = cands.groupBy(col("word"), col("pos"))
+      .agg(max_by(col("piece"), length(col("piece"))).as("best"))
+    words.join(
+        best.groupBy(col("word"))
+          .agg(map_from_entries(
+            collect_list(struct(col("pos"), col("best")))).as("pm")),
+        Seq("word"), "left")
+      .withColumn("st", aggregate(
+        sequence(lit(1), length(col("word"))),
+        struct(lit(0).as("pos"), lit("").as("seg"), lit(0L).as("np")),
+        (st, _) => {
+          val atEnd = st("pos") >= length(col("word"))
+          val mp = element_at(col("pm"), st("pos"))
+          val hexb = hex(encode(
+            col("word").substr(st("pos") + 1, lit(1)), "UTF-8"))
+          val fbTok = rtrim(
+            regexp_replace(hexb, "(..)", "<$1>|"), "|")
+          val piece = coalesce(mp, fbTok)
+          val step = when(mp.isNull, lit(1)).otherwise(length(mp))
+          val npInc = when(mp.isNull, (length(hexb) / 2).cast("long"))
+            .otherwise(lit(1L))
+          when(atEnd, st).otherwise(struct(
+            (st("pos") + step).as("pos"),
+            when(st("seg") === "", piece)
+              .otherwise(concat(st("seg"), lit("|"), piece)).as("seg"),
+            (st("np") + npInc).as("np")))
+        }))
+      .select(col("word"), col("st.seg").as("seg"), col("st.np").as("np"))
+  }
+
+  /** [[wordPieceSegment]]'s per-document census over the byte-fallback
+    * segmenter — (doc_id, n_words, n_pieces, seg_fp), t23's shape. */
+  def wordPieceSegmentByteFallback(docs: DataFrame, idCol: Column,
+      textCol: Column, topV: Int, maxLen: Int = 4,
+      seed: Int = 11): DataFrame = {
+    val occurrences = docs.select(idCol.as("doc_id"),
+      explode(tokens(textCol)).as("word"))
+    occurrences
+      .join(wordSegmentsByteFallback(docs, textCol, topV, maxLen),
+        Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("np")).as("n_pieces"),
+        sum(Tables.hashU32(col("seg"), seed)).as("seg_fp"))
+  }
 }

@@ -370,4 +370,76 @@ class EventsStreamingSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSeq
     assert(finals == Seq((12L, 2L)))
   }
+
+  test("left-outer emissions are monotone in the watermark delay (q75)") {
+    // the q75 pipeline swept across watermark delays on one bounded
+    // multi-batch source: matched (inner) rows must be IDENTICAL for
+    // every delay, and the unmatched-purchase (null-view) set must
+    // shrink monotonically as the delay grows — a purchase emits its
+    // outer row only once the watermark passes its join window, and a
+    // larger delay holds the watermark further back
+    val dir = java.nio.file.Files.createTempDirectory("wmsweep").toString
+    def write(name: String, rows: Seq[(Long, Long, String, Timestamp)])
+        : Unit = {
+      val tmp = s"$dir/_stage_$name"
+      rows.toDF("event_id", "user_id", "event_type", "ts")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        new java.io.File(dir, s"$name.parquet").toPath)
+    }
+    // batch 1 (early hours): u1 matched (view 30 min before purchase),
+    // u2 unmatched; batch 2: u3 unmatched, u4 unmatched near the end,
+    // u5's view at 12:00 pushes the event-time high-water mark;
+    // batch 3: one stale view (dropped as late for every delay) whose
+    // batch flushes the evictions the batch-2 watermark armed
+    write("00", Seq(
+      (1L, 1L, "view", ts("2024-01-01 01:30:00")),
+      (2L, 1L, "purchase", ts("2024-01-01 02:00:00")),
+      (3L, 2L, "purchase", ts("2024-01-01 03:00:00"))))
+    write("01", Seq(
+      (4L, 3L, "purchase", ts("2024-01-01 08:00:00")),
+      (5L, 4L, "purchase", ts("2024-01-01 11:30:00")),
+      (6L, 5L, "view", ts("2024-01-01 12:00:00"))))
+    write("02", Seq(
+      (7L, 99L, "view", ts("2024-01-01 00:10:00"))))
+    def run(delay: String): (Set[(Long, Long)], Set[Long]) = {
+      val src = EventStream.eventsFileStream(spark, dir)
+      val purchases = src.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("event_id").as("purchase_id"))
+        .withWatermark("p_ts", delay)
+      val views = src.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+          col("event_id").as("view_id"))
+        .withWatermark("v_ts", delay)
+      val joined = purchases.join(views,
+          col("p_user") === col("v_user") &&
+            col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+            col("v_ts") <= col("p_ts"), "leftOuter")
+        .select(col("purchase_id"), col("view_id"))
+      val rows = EventStream.runOnce(joined,
+          s"wm_sweep_${System.nanoTime()}", "append")
+        .as[(Long, Option[Long])].collect()
+      (rows.collect { case (p, Some(v)) => (p, v) }.toSet,
+        rows.collect { case (p, None) => p }.toSet)
+    }
+    val delays = Seq("30 minutes", "2 hours", "5 hours", "9 hours")
+    val results = delays.map(d => d -> run(d)).toMap
+    // inner rows: delay-invariant, exactly the one real match
+    for (d <- delays)
+      assert(results(d)._1 == Set((2L, 1L)), s"inner drifted at $d")
+    // outer rows: monotone ⊇-chain as the delay grows
+    for (Seq(d1, d2) <- delays.sliding(2))
+      assert(results(d2)._2.subsetOf(results(d1)._2),
+        s"outer set grew from $d1 to $d2: " +
+          s"${results(d1)._2} -> ${results(d2)._2}")
+    // and the cutoffs land where the watermark arithmetic says:
+    // wm(30m)=11:30 → u2(03:00) and u3(08:00) closed; wm(5h)=07:00 →
+    // only u2; wm(9h)=03:00 → nothing can close
+    assert(Set(3L, 4L).subsetOf(results("30 minutes")._2))
+    assert(results("5 hours")._2 == Set(3L))
+    assert(results("9 hours")._2.isEmpty)
+  }
 }

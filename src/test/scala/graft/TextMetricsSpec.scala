@@ -276,4 +276,44 @@ class TextMetricsSpec extends SparkSpec {
     // every segmentation concatenates back to its word
     for ((w, (seg, _)) <- got) assert(seg.replace("|", "") == w)
   }
+
+  test("byte-fallback wordPiece: unknown codepoints become UTF-8 byte " +
+      "tokens (t23)") {
+    val docs = Seq(
+      (1L, "the cat 中at sat"),      // 3-byte CJK inside a word
+      (2L, "niño the cat the cat"),  // 2-byte ñ
+      (3L, "中 the")                  // whole word = one unknown char
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis
+      .wordSegmentsByteFallback(docs, col("text"), topV = 4)
+      .select("word", "seg", "np").as[(String, String, Long)]
+      .collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    // golden bytes: 中 = E4 B8 AD, ñ = C3 B1
+    assert(got("中") == (("<E4>|<B8>|<AD>", 3L)))
+    val (segZh, npZh) = got("中at")
+    assert(segZh.startsWith("<E4>|<B8>|<AD>|"), segZh)
+    assert(npZh >= 4L) // 3 bytes + at least one piece for "at"
+    val (segN, _) = got("niño")
+    assert(segN.contains("<C3>|<B1>"), segN)
+    // loss-free: every segmentation reconstructs its word after
+    // decoding byte tokens back to characters
+    def unbyte(seg: String): String = {
+      val parts = seg.split("\\|")
+      val bytes = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      val sb = new StringBuilder
+      def flush(): Unit = if (bytes.nonEmpty) {
+        sb.append(new String(bytes.toArray, "UTF-8")); bytes.clear()
+      }
+      for (p <- parts) {
+        if (p.matches("<[0-9A-F]{2}>"))
+          bytes += Integer.parseInt(p.substring(1, 3), 16).toByte
+        else { flush(); sb.append(p) }
+      }
+      flush(); sb.result()
+    }
+    for ((w, (seg, _)) <- got)
+      assert(unbyte(seg) == w, s"lossy round trip for '$w': $seg")
+    // known-alphabet words never touch the fallback
+    assert(!got("the")._1.contains("<"))
+  }
 }
