@@ -1181,6 +1181,16 @@ object SparkEntry {
           expr("replace(replace(text, 'q', '中'), 'v', 'ñ')")),
         col("doc_id"), col("text"), topV = 200)),
 
+    // BLOCK-PARTITIONED inverted index: token → posting blocks of
+    // ≤ 64 docs each (block = doc_id div 64) — a stopword's corpus-
+    // sized posting list never lands on one reducer; postings sort by
+    // (doc_id, pos) and serialize as doc:pos, so the per-token census
+    // (df, cf, block count, summed payload fingerprint) hash-proves
+    // every posting in every block
+    "t24_inverted_index" -> ((s, d) =>
+      graft.operators.InvertedIndex.indexCensus(Tables.documents(s, d),
+        col("doc_id"), col("text"), blockSize = 64, seed = 13)),
+
     // overlapping token-window chunking — shuffle-free map stage
     "t14_chunk_documents" -> ((s, d) =>
       Curation.chunkDocuments(Tables.documents(s, d), col("doc_id"),
@@ -1770,6 +1780,41 @@ object SparkEntry {
           .select(lit(label.toLong).as("label"), col("cnt"),
             col("id_sum"), col("content_sum"))
       agg(0, vBase).unionByName(agg(1, bV)).unionByName(agg(2, vA))
+    }),
+
+    // SHALLOW CLONE: dst v0 = a metadata-only manifest pointing at
+    // the source version's files by absolute path (zero data I/O at
+    // any table size). The five censuses prove: clone ≡ source at
+    // clone time (0=1), the clone evolves independently (2 = base ∪
+    // appended), and a LATER source delete leaves the clone's pinned
+    // v0 untouched (3 shrinks, 4 still = 2)
+    "q91_shallow_clone" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(
+        col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"))
+      val vt = graft.sources.VersionedTable
+      val srcDir = scratchDir("graft_vclone", d)
+      // clone targets must start empty — nanoTime keeps re-runs fresh
+      val dstDir = s"${scratchDir("graft_vclone", d)}/c${System.nanoTime}"
+      val v0 = vt.commit(docs, srcDir)
+      val cv = vt.cloneCommit(s, srcDir, dstDir, v0)
+      val cv1 = vt.appendCommit(
+        docs.filter(col("lang") === "de")
+          .withColumn("doc_id", col("doc_id") + lit(2000000L)), dstDir)
+      val vDel = vt.deleteCommit(
+        docs.filter(col("doc_id") % 7 === 0).select(col("doc_id")),
+        srcDir)
+      def agg(label: Int, dir: String, v: Int) =
+        vt.readVersion(s, dir, v)
+          .agg(count(lit(1)).as("cnt"), sum(col("doc_id")).as("id_sum"),
+            sum(Tables.hashU32(col("text"), 7)).as("content_sum"))
+          .select(lit(label.toLong).as("label"), col("cnt"),
+            col("id_sum"), col("content_sum"))
+      agg(0, srcDir, v0)
+        .unionByName(agg(1, dstDir, cv))
+        .unionByName(agg(2, dstDir, cv1))
+        .unionByName(agg(3, srcDir, vDel))
+        .unionByName(agg(4, dstDir, cv1))
     }),
 
     // CHANGE DATA FEED between two table versions: deletes, updates
@@ -4863,6 +4908,30 @@ object SparkEntry {
          |FROM occ o JOIN seg s USING (word)
          |GROUP BY 1""".stripMargin,
 
+    // the same block partition, payload serialization and census
+    // relationally: string_agg ordered by (doc_id, pos) mirrors
+    // sort_array over the postings structs
+    "t24_inverted_index" ->
+      s"""WITH t AS (SELECT doc_id, $DuckToks AS toks FROM documents),
+         |occ AS (
+         |  SELECT doc_id, i AS pos, toks[i + 1] AS tok
+         |  FROM t, unnest(range(len(toks))) AS u(i)),
+         |blk AS (
+         |  SELECT tok, doc_id // 64 AS block,
+         |   string_agg(doc_id || ':' || pos, ',' ORDER BY doc_id, pos)
+         |     AS payload
+         |  FROM occ GROUP BY 1, 2),
+         |bc AS (
+         |  SELECT tok, CAST(count(*) AS BIGINT) AS n_blocks,
+         |   CAST(sum(${duckU32("payload", 13)}) AS BIGINT) AS postings_fp
+         |  FROM blk GROUP BY 1),
+         |st AS (
+         |  SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+         |   CAST(count(*) AS BIGINT) AS cf
+         |  FROM occ GROUP BY 1)
+         |SELECT tok, df, cf, n_blocks, postings_fp
+         |FROM bc JOIN st USING (tok)""".stripMargin,
+
     // t22's recursive walk with the byte-fallback branch: coverage
     // singles gated to [a-z]; at an uncovered position the LEFT join
     // to `best` yields NULL and the walk emits the codepoint's UTF-8
@@ -5533,6 +5602,34 @@ object SparkEntry {
          | CAST(sum(${duckU32("text", 7)}) AS BIGINT)
          |FROM (SELECT * FROM base UNION ALL SELECT * FROM b
          |      UNION ALL SELECT * FROM a)""".stripMargin,
+
+    // the clone lifecycle replayed relationally: labels 0/1 = full
+    // corpus, 2/4 = corpus ∪ shifted-de (the clone's append, immune
+    // to the later source delete), 3 = corpus minus doc_id%7=0
+    "q91_shallow_clone" ->
+      s"""WITH c0 AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS cnt,
+         |   CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         |   CAST(sum(${duckU32("text", 7)}) AS BIGINT) AS content_sum
+         |  FROM documents),
+         |c2 AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS cnt,
+         |   CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         |   CAST(sum(${duckU32("text", 7)}) AS BIGINT) AS content_sum
+         |  FROM (SELECT doc_id, text FROM documents
+         |        UNION ALL
+         |        SELECT doc_id + 2000000 AS doc_id, text
+         |        FROM documents WHERE lang = 'de')),
+         |c3 AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS cnt,
+         |   CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         |   CAST(sum(${duckU32("text", 7)}) AS BIGINT) AS content_sum
+         |  FROM documents WHERE doc_id % 7 <> 0)
+         |SELECT CAST(0 AS BIGINT) AS label, * FROM c0
+         |UNION ALL SELECT CAST(1 AS BIGINT), * FROM c0
+         |UNION ALL SELECT CAST(2 AS BIGINT), * FROM c2
+         |UNION ALL SELECT CAST(3 AS BIGINT), * FROM c3
+         |UNION ALL SELECT CAST(4 AS BIGINT), * FROM c2""".stripMargin,
 
     // the merged state replayed relationally: updates ∪ the
     // untouched remainder (anti-join on update keys)

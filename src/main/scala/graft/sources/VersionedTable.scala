@@ -417,6 +417,43 @@ object VersionedTable {
     } finally releaseClaim(f, dir, v)
   }
 
+  /** SHALLOW CLONE (Delta `CLONE` semantics): publish `dstDir`'s v0
+    * as a manifest whose entries point at the SOURCE version's data,
+    * DV, stats and bloom files by ABSOLUTE path — a metadata-only
+    * commit, O(files) strings, ZERO data I/O regardless of table
+    * size. Readers need no changes: `new Path(dir, rel)` keeps an
+    * absolute child as-is, and the DV file-version masking derives
+    * from the `/data/vN/` segment which absolute paths preserve. The
+    * clone then lives its own life — appends, deletes, MERGEs and
+    * OPTIMIZE land new files under `dstDir` and never touch the
+    * source; the source keeps evolving without affecting the clone's
+    * pinned v0. Documented hazard (exactly Delta's): a VACUUM on the
+    * SOURCE can reclaim files a clone still references — cloning pins
+    * nothing in the source's retention accounting. */
+  def cloneCommit(spark: SparkSession, srcDir: String, dstDir: String,
+      srcV: Int): Int = {
+    require(versions(spark, dstDir).isEmpty,
+      s"cloneCommit target $dstDir already has versions")
+    val json = manifestJson(spark, srcDir, srcV)
+    val (files, dvs) = manifestLists(json, srcV)
+    val srcRoot = fs(spark, srcDir)
+      .makeQualified(new Path(srcDir))
+    def abs(rel: String): String =
+      if (rel.startsWith("/") || rel.contains("://")) rel
+      else new Path(srcRoot, rel).toString
+    def absFirst(s: String): String = {
+      val parts = s.split('|')
+      (abs(parts(0)) +: parts.tail.toSeq).mkString("|")
+    }
+    writeManifest(fs(spark, dstDir), dstDir, 0,
+      files.map(abs), dvs.map(abs),
+      statsColOf(json),
+      parseArray(json, "stats").getOrElse(Seq.empty).map(absFirst),
+      bloomMetaOf(json),
+      parseArray(json, "blooms").getOrElse(Seq.empty).map(absFirst))
+    0
+  }
+
   /** DELETE commit via a deletion vector: the new version's manifest
     * lists the previous version's data files UNCHANGED plus one more
     * deletion-vector file holding the deleted KEYS — no data file is

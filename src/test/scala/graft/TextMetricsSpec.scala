@@ -277,6 +277,43 @@ class TextMetricsSpec extends SparkSpec {
     for ((w, (seg, _)) <- got) assert(seg.replace("|", "") == w)
   }
 
+  test("inverted index: blocks bound doc ranges, phrase search is " +
+      "exact (t24)") {
+    import graft.operators.InvertedIndex
+    val docs = Seq(
+      (0L, "the cat sat on the mat"),
+      (1L, "the cat the cat runs"),
+      (5L, "a cat the dog the cat"),
+      (9L, "mat the cat")).toDF("doc_id", "text")
+    val blocks = InvertedIndex
+      .postingBlocks(docs, col("doc_id"), col("text"), blockSize = 4)
+    // every (tok, block) cell holds only doc ids from its range —
+    // the bound that keeps hot posting lists off a single reducer
+    val cells = blocks.select(col("tok"), col("block"), col("payload"))
+      .as[(String, Long, String)].collect()
+    for ((_, b, payload) <- cells; dp <- payload.split(",")) {
+      val doc = dp.split(":")(0).toLong
+      assert(doc / 4 == b, s"doc $doc in block $b")
+    }
+    // payloads are (doc_id, pos)-ordered
+    for ((_, _, payload) <- cells) {
+      val pairs = payload.split(",").map { dp =>
+        val Array(d, p) = dp.split(":").map(_.toLong); (d, p)
+      }
+      assert(pairs.sameElements(pairs.sorted), payload)
+    }
+    // phrase search from the index alone equals a brute-force count
+    def brute(phrase: Seq[String]): Long = docs.as[(Long, String)]
+      .collect().map { case (_, t) =>
+        t.split("\\s+").sliding(phrase.length)
+          .count(_.sameElements(phrase))
+      }.sum
+    for (ph <- Seq(Seq("the", "cat"), Seq("cat", "the", "cat"),
+        Seq("the", "mat"), Seq("dog", "cat")))
+      assert(InvertedIndex.phraseCount(blocks, ph, 4) == brute(ph),
+        s"phrase $ph")
+  }
+
   test("byte-fallback wordPiece: unknown codepoints become UTF-8 byte " +
       "tokens (t23)") {
     val docs = Seq(

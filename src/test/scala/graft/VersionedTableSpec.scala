@@ -473,6 +473,36 @@ class VersionedTableSpec extends SparkSpec {
     assert(!dataDirs.exists(_.startsWith("c")), dataDirs.mkString(","))
   }
 
+  test("shallow clone is metadata-only and isolates both directions") {
+    val src = java.nio.file.Files.createTempDirectory("vclone_s").toString
+    val dst = java.nio.file.Files.createTempDirectory("vclone_d").toString
+    val v0 = VersionedTable.commit(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s"), src)
+    val cv = VersionedTable.cloneCommit(spark, src, dst, v0)
+    // metadata-only: the clone wrote NO data files, just one manifest
+    assert(!new java.io.File(dst, "data").exists())
+    assert(new java.io.File(dst, "_manifests").listFiles()
+      .count(_.getName.matches("v\\d+\\.json")) == 1)
+    // content identical to the source version
+    def ids(dir: String, v: Int) = VersionedTable
+      .readVersion(spark, dir, v).select("id").as[Long].collect().toSet
+    assert(ids(dst, cv) == Set(1L, 2L, 3L))
+    // clone append never touches the source...
+    val cv1 = VersionedTable.appendCommit(
+      Seq((9L, "z")).toDF("id", "s"), dst)
+    assert(ids(dst, cv1) == Set(1L, 2L, 3L, 9L))
+    assert(VersionedTable.versions(spark, src) == Seq(0))
+    assert(ids(src, v0) == Set(1L, 2L, 3L))
+    // ...and a later source delete never touches the clone
+    VersionedTable.deleteCommit(Seq(2L).toDF("id"), src)
+    assert(ids(src, 1) == Set(1L, 3L))
+    assert(ids(dst, cv1) == Set(1L, 2L, 3L, 9L))
+    // a clone must start from an empty table dir
+    intercept[IllegalArgumentException] {
+      VersionedTable.cloneCommit(spark, src, dst, v0)
+    }
+  }
+
   test("commitIfUnchanged: CAS succeeds at the expected base, aborts " +
       "after an interloper") {
     val dir = java.nio.file.Files.createTempDirectory("vcas3").toString
