@@ -1181,6 +1181,15 @@ object SparkEntry {
           expr("replace(replace(text, 'q', '中'), 'v', 'ñ')")),
         col("doc_id"), col("text"), topV = 200)),
 
+    // CCNet perplexity terciles: per-lang head/middle/tail triage by
+    // the t13 bigram LM score — rank from a lang-partitioned window
+    // (keyed shuffle-sort), bucket = (3·(rk−1)) div n, pure integer
+    // arithmetic on the rank so no float boundary can tie-break
+    // differently across engines
+    "t25_ccnet_buckets" -> ((s, d) =>
+      Curation.perplexityBuckets(Tables.documents(s, d),
+        col("doc_id"), col("text"), col("lang"))),
+
     // BLOCK-PARTITIONED inverted index: token → posting blocks of
     // ≤ 64 docs each (block = doc_id div 64) — a stopword's corpus-
     // sized posting list never lands on one reducer; postings sort by
@@ -1815,6 +1824,39 @@ object SparkEntry {
         .unionByName(agg(2, dstDir, cv1))
         .unionByName(agg(3, srcDir, vDel))
         .unionByName(agg(4, dstDir, cv1))
+    }),
+
+    // TIMESTAMP AS OF time travel: manifests carry a commit instant
+    // (pinned explicitly here via withCommitTimestamp so resolution
+    // is reproducible); readAsOf(t) resolves to the latest version
+    // committed at or before t — probes between/after the three
+    // commits must see exactly snapshot/append/delete states
+    "q92_time_travel_ts" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(
+        col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"))
+      val vt = graft.sources.VersionedTable
+      val dir = scratchDir("graft_vts", d)
+      vt.withCommitTimestamp(1000L) { vt.commit(docs, dir) }
+      vt.withCommitTimestamp(2000L) {
+        vt.appendCommit(docs.filter(col("lang") === "de")
+          .withColumn("doc_id", col("doc_id") + lit(2000000L)), dir)
+      }
+      vt.withCommitTimestamp(3000L) {
+        vt.deleteCommit(
+          docs.filter(col("doc_id") % 7 === 0).select(col("doc_id"))
+            .unionByName(docs.filter(col("lang") === "de")
+              .filter((col("doc_id") + 2000000L) % 7 === 0)
+              .select((col("doc_id") + 2000000L).as("doc_id"))), dir)
+      }
+      def agg(label: Int, ts: Long) =
+        vt.readAsOf(s, dir, ts)
+          .agg(count(lit(1)).as("cnt"), sum(col("doc_id")).as("id_sum"),
+            sum(Tables.hashU32(col("text"), 7)).as("content_sum"))
+          .select(lit(label.toLong).as("label"), col("cnt"),
+            col("id_sum"), col("content_sum"))
+      agg(0, 1500L).unionByName(agg(1, 2500L))
+        .unionByName(agg(2, 999999L))
     }),
 
     // CHANGE DATA FEED between two table versions: deletes, updates
@@ -3007,6 +3049,32 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_pairs"),
           min(col("hamming")).as("min_h"),
           max(col("hamming")).as("max_h"))
+    }),
+
+    // ViT patch extraction (m7): decode → non-overlapping 16×16
+    // patches, flattened channel-last in row-major patch order — the
+    // exact `rearrange('(hp p1)(wp p2) c -> (hp wp)(p1 p2 c)')`
+    // layout every ViT consumes; the engine side is the real
+    // plumbing (UDF → posexplode → per-image aggregate), the census
+    // fingerprints every patch's micro-quantized mean. NO ORACLE by
+    // declared design (PNG decode is not SQL); patchify/unpatchify
+    // exact-reconstruction is golden-tested in ImageKernelsSpec
+    "m7_image_patches" -> ((s, d) => {
+      import graft.functions.ImageKernels
+      Tables.documents(s, d).filter(col("doc_id") < 48)
+        .select(col("doc_id").as("media_id"))
+        .withColumn("enc", ImageKernels.synthPngSmoothUdf(
+          col("media_id"), lit(64), lit(64)))
+        .select(col("media_id"),
+          posexplode(ImageKernels.patchMeansUdf(col("enc"), lit(16)))
+            .as(Seq("patch_idx", "mean6")))
+        .groupBy(col("media_id"))
+        .agg(count(lit(1)).as("n_patches"),
+          sum(col("mean6")).as("mean6_sum"),
+          min(col("mean6")).as("mean6_min"),
+          max(col("mean6")).as("mean6_max"),
+          sum(Tables.hashU32(concat_ws(":", col("patch_idx"),
+            col("mean6")), 17)).as("patch_fp"))
     }),
 
     // Walsh–Hadamard band spectrum per 32-sample audio window — the
@@ -4908,6 +4976,43 @@ object SparkEntry {
          |FROM occ o JOIN seg s USING (word)
          |GROUP BY 1""".stripMargin,
 
+    // the t13 LM chain → per-doc lp6 → lang-partitioned rank →
+    // integer tercile — textually the same rounding as t13 so the
+    // scores cannot drift
+    "t25_ccnet_buckets" ->
+      s"""WITH t AS (SELECT doc_id, $DuckToks AS w FROM documents),
+         |big AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(w)),
+         |    i -> array_to_string(w[i:i+1], ' '))) AS bg
+         |  FROM t WHERE len(w) >= 2),
+         |wb AS (SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1 FROM big),
+         |c2 AS (SELECT bg, w1, CAST(count(*) AS BIGINT) AS c2
+         |  FROM wb GROUP BY 1, 2),
+         |c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1
+         |  FROM c2 GROUP BY 1),
+         |lp AS (SELECT bg,
+         |  CAST(round(ln(c2::DOUBLE / c1) * 1000000) AS BIGINT) AS lp6
+         |  FROM c2 JOIN c1 USING (w1)),
+         |ds AS (
+         |  SELECT doc_id, CAST(round(round(sum(lp6) /
+         |    (count(*) * 1000000.0), 6) * 1000000) AS BIGINT) AS lp6
+         |  FROM wb JOIN lp USING (bg) GROUP BY 1),
+         |j AS (
+         |  SELECT d.lang, ds.doc_id, ds.lp6
+         |  FROM ds JOIN documents d USING (doc_id)),
+         |r AS (
+         |  SELECT lang, doc_id, lp6,
+         |   CAST(row_number() OVER (PARTITION BY lang
+         |     ORDER BY lp6 DESC, doc_id) AS BIGINT) AS rk,
+         |   CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n
+         |  FROM j)
+         |SELECT lang, CAST((3 * (rk - 1)) // n AS BIGINT) AS bucket,
+         | CAST(count(*) AS BIGINT) AS cnt,
+         | CAST(sum(lp6) AS BIGINT) AS lp6_sum,
+         | CAST(min(lp6) AS BIGINT) AS lp6_min,
+         | CAST(max(lp6) AS BIGINT) AS lp6_max
+         |FROM r GROUP BY 1, 2""".stripMargin,
+
     // the same block partition, payload serialization and census
     // relationally: string_agg ordered by (doc_id, pos) mirrors
     // sort_array over the postings structs
@@ -5602,6 +5707,31 @@ object SparkEntry {
          | CAST(sum(${duckU32("text", 7)}) AS BIGINT)
          |FROM (SELECT * FROM base UNION ALL SELECT * FROM b
          |      UNION ALL SELECT * FROM a)""".stripMargin,
+
+    // the three AS OF probes replayed relationally: 0 = snapshot,
+    // 1 = snapshot ∪ shifted-de, 2 = that minus the deleted keys
+    // (the delete keys both original and appended ids mod 7)
+    "q92_time_travel_ts" ->
+      s"""WITH full2 AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 2000000 AS doc_id, text
+         |  FROM documents WHERE lang = 'de')
+         |SELECT CAST(0 AS BIGINT) AS label,
+         | CAST(count(*) AS BIGINT) AS cnt,
+         | CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         | CAST(sum(${duckU32("text", 7)}) AS BIGINT) AS content_sum
+         |FROM documents
+         |UNION ALL
+         |SELECT CAST(1 AS BIGINT), CAST(count(*) AS BIGINT),
+         | CAST(sum(doc_id) AS BIGINT),
+         | CAST(sum(${duckU32("text", 7)}) AS BIGINT)
+         |FROM full2
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+         | CAST(sum(doc_id) AS BIGINT),
+         | CAST(sum(${duckU32("text", 7)}) AS BIGINT)
+         |FROM full2 WHERE doc_id % 7 <> 0""".stripMargin,
 
     // the clone lifecycle replayed relationally: labels 0/1 = full
     // corpus, 2/4 = corpus ∪ shifted-de (the clone's append, immune

@@ -587,6 +587,84 @@ object ImageKernels {
     bits
   }
 
+  /** Non-overlapping p×p patch extraction — the ViT input path
+    * (image → sequence of flattened patches). Patches are emitted
+    * row-major (patch (0,0), (0,1), …), each flattened channel-last
+    * ((y, x, c) order within the patch) — the layout
+    * `einops.rearrange('(hp p1) (wp p2) c -> (hp wp) (p1 p2 c)')`
+    * produces and every ViT implementation consumes. Exact float
+    * copies, no arithmetic: [[unpatchify]] reconstructs the image
+    * bit-for-bit (golden-tested), so the patch pipeline is loss-free
+    * by construction. */
+  def patchify(img: Img, p: Int): Array[Array[Float]] = {
+    require(p > 0 && img.h % p == 0 && img.w % p == 0,
+      s"patch $p must divide ${img.h}x${img.w} (resize first)")
+    val (hp, wp) = (img.h / p, img.w / p)
+    val out = new Array[Array[Float]](hp * wp)
+    var py = 0
+    while (py < hp) {
+      var px = 0
+      while (px < wp) {
+        val patch = new Array[Float](p * p * img.c)
+        var y = 0
+        while (y < p) {
+          var x = 0
+          while (x < p) {
+            var c = 0
+            while (c < img.c) {
+              patch((y * p + x) * img.c + c) =
+                img(py * p + y, px * p + x, c)
+              c += 1
+            }
+            x += 1
+          }
+          y += 1
+        }
+        out(py * wp + px) = patch
+        px += 1
+      }
+      py += 1
+    }
+    out
+  }
+
+  /** Inverse of [[patchify]] — exact reconstruction. */
+  def unpatchify(patches: Array[Array[Float]], h: Int, w: Int, c: Int,
+      p: Int): Img = {
+    require(patches.length == (h / p) * (w / p),
+      s"${patches.length} patches cannot tile ${h}x$w at $p")
+    val wp = w / p
+    val data = new Array[Float](h * w * c)
+    var i = 0
+    while (i < patches.length) {
+      val (py, px) = (i / wp, i % wp)
+      var y = 0
+      while (y < p) {
+        var x = 0
+        while (x < p) {
+          var ch = 0
+          while (ch < c) {
+            data(((py * p + y) * w + (px * p + x)) * c + ch) =
+              patches(i)((y * p + x) * c + ch)
+            ch += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+      i += 1
+    }
+    Img(data, h, w, c)
+  }
+
+  /** Per-patch micro-quantized means of a decoded image — the m7
+    * census kernel (deterministic Longs, order = patch row-major). */
+  val patchMeansUdf = udf((enc: Array[Byte], p: Int) => {
+    val img = decode(enc)
+    patchify(img, p).map(patch =>
+      math.round(patch.map(_.toDouble).sum / patch.length * 1e6))
+  })
+
   val synthPngSmoothUdf =
     udf((seed: Long, h: Int, w: Int) => synthPngSmooth(seed, h, w))
   /** dHash of an encoded image, optionally through a pre-resize (the

@@ -309,4 +309,36 @@ object Curation {
       .select(col("lang"), col("n"), col("w"), col("capped"),
         col("alloc3"), col("ep3"))
   }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020,
+    * arXiv:1911.00359): per-language, documents are ranked by LM
+    * score and split into head / middle / tail TERCILES — the
+    * pretraining-corpus triage every CommonCrawl pipeline ships
+    * (head = cleanest third, tail = candidate discard). The LM is
+    * the in-engine t13 bigram model (its per-doc mean log-prob is
+    * already oracle-exact); ranks come from a LANG-PARTITIONED
+    * window (a real keyed shuffle-sort — the same cost CCNet's
+    * per-shard sort pays), bucket = (3·(rk−1)) div n so the split is
+    * pure integer arithmetic on the rank, no float boundary ties.
+    * Docs with < 2 tokens have no bigram score and are excluded
+    * (CCNet drops them pre-LM too). Census: (lang, bucket) →
+    * count + micro-nat score sum/min/max. */
+  def perplexityBuckets(docs: DataFrame, idCol: Column,
+      textCol: Column, classCol: Column): DataFrame = {
+    val scores = TextAnalysis.bigramLogProb(docs, idCol, textCol)
+      .withColumn("lp6",
+        round(col("mean_logprob") * 1e6).cast("long"))
+      .select(col("doc_id"), col("lp6"))
+    val keyed = docs.select(idCol.as("doc_id"), classCol.as("lang"))
+      .join(scores, "doc_id")
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("lp6").desc, col("doc_id").asc)
+    keyed
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("lang"))))
+      .withColumn("bucket", expr("(3 * (rk - 1)) div n"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"), sum(col("lp6")).as("lp6_sum"),
+        min(col("lp6")).as("lp6_min"), max(col("lp6")).as("lp6_max"))
+  }
 }

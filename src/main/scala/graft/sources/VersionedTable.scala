@@ -100,6 +100,22 @@ object VersionedTable {
       }.sorted
   }
 
+  /** Logical commit timestamp for the NEXT manifest written on this
+    * thread — the deterministic hook `TIMESTAMP AS OF` resolution
+    * rides on. Unset, manifests stamp wall-clock millis (the Delta
+    * behavior); tests and oracle-checked entries pin explicit instants
+    * via [[withCommitTimestamp]] so resolution is reproducible. */
+  private val commitTs = new ThreadLocal[Long] {
+    override def initialValue: Long = -1L
+  }
+
+  /** Run `body` with every manifest it commits stamped `tsMillis`
+    * (driver-side commits only — the stamp is thread-local). */
+  def withCommitTimestamp[T](tsMillis: Long)(body: => T): T = {
+    commitTs.set(tsMillis)
+    try body finally commitTs.set(-1L)
+  }
+
   private def writeManifest(f: FileSystem, dir: String, v: Int,
       files: Seq[String], dvs: Seq[String],
       statsCol: Option[String] = None,
@@ -112,7 +128,9 @@ object VersionedTable {
     val bloomPart = bloomMeta.map { case (c, bits, k) =>
       s""","bloomCol":"$c","bloomBits":$bits,"bloomK":$k,"blooms":[${
         blooms.map(n => "\"" + n + "\"").mkString(",")}]""" }.getOrElse("")
-    val json = s"""{"version":$v,"files":[${
+    val ts =
+      if (commitTs.get >= 0) commitTs.get else System.currentTimeMillis()
+    val json = s"""{"version":$v,"ts":$ts,"files":[${
       files.map(n => "\"" + n + "\"").mkString(",")}],"dvs":[${
       dvs.map(n => "\"" + n + "\"").mkString(",")}]$statsPart$bloomPart}"""
     val md = manifestDir(dir)
@@ -416,6 +434,35 @@ object VersionedTable {
       publish(df, dir, v, Seq.empty)
     } finally releaseClaim(f, dir, v)
   }
+
+  private val TsField = """"ts":(\d+)""".r
+
+  /** `TIMESTAMP AS OF` resolution: the LATEST version whose commit
+    * timestamp is ≤ `tsMillis`. Semantics match Delta's: the version
+    * you'd have read had you queried the table at that instant.
+    * Versions from pre-timestamp manifests (no "ts" field) are
+    * treated as ts = 0 (always visible). Timestamps are expected
+    * monotone in version order (single-writer or CAS committers make
+    * them so); resolution scans O(versions) manifests — driver-side
+    * metadata, the same cost [[versions]] pays. */
+  def versionAsOf(spark: SparkSession, dir: String,
+      tsMillis: Long): Int = {
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"no versions at $dir")
+    val visible = vs.filter { v =>
+      TsField.findFirstMatchIn(manifestJson(spark, dir, v))
+        .map(_.group(1).toLong).getOrElse(0L) <= tsMillis
+    }
+    require(visible.nonEmpty,
+      s"no version at or before ts=$tsMillis at $dir " +
+        s"(earliest commit is later)")
+    visible.max
+  }
+
+  /** [[readVersion]] at the version [[versionAsOf]] resolves. */
+  def readAsOf(spark: SparkSession, dir: String,
+      tsMillis: Long): DataFrame =
+    readVersion(spark, dir, versionAsOf(spark, dir, tsMillis))
 
   /** SHALLOW CLONE (Delta `CLONE` semantics): publish `dstDir`'s v0
     * as a manifest whose entries point at the SOURCE version's data,

@@ -186,6 +186,29 @@ class ImageKernelsSpec extends SparkSpec {
     assert(math.abs(dn.data(2)) < 1e-6)
   }
 
+  test("patchify: ViT layout exact, unpatchify reconstructs (m7)") {
+    import ImageKernels._
+    val img = decode(synthPngSmooth(11L, 64, 64))
+    val patches = patchify(img, 16)
+    assert(patches.length == 16 && patches.forall(_.length == 16 * 16 * 3))
+    // layout: patch (py,px) element (y,x,c) = img(16py+y, 16px+x, c)
+    for ((py, px, y, x, c) <- Seq((0, 0, 0, 0, 0), (1, 2, 5, 7, 1),
+        (3, 3, 15, 15, 2), (2, 0, 8, 0, 0)))
+      assert(patches(py * 4 + px)((y * 16 + x) * 3 + c) ==
+        img(py * 16 + y, px * 16 + x, c))
+    // exact loss-free reconstruction
+    val back = unpatchify(patches, 64, 64, 3, 16)
+    assert(back.h == 64 && back.w == 64 && back.c == 3)
+    assert(back.data.sameElements(img.data))
+    // non-divisible sizes are rejected, not silently cropped
+    intercept[IllegalArgumentException] { patchify(img, 24) }
+    // grayscale path (decodeGray is the 1-channel decoder)
+    val g = decodeGray(synthPngGray(3L, 32, 32))
+    val gp = patchify(g, 8)
+    assert(gp.length == 16 && gp.forall(_.length == 64))
+    assert(unpatchify(gp, 32, 32, 1, 8).data.sameElements(g.data))
+  }
+
   test("dHash: stable under rescale, separated across images (m6)") {
     import ImageKernels._
     def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)

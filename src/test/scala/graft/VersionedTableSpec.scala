@@ -473,6 +473,30 @@ class VersionedTableSpec extends SparkSpec {
     assert(!dataDirs.exists(_.startsWith("c")), dataDirs.mkString(","))
   }
 
+  test("TIMESTAMP AS OF resolves the latest commit at-or-before") {
+    val dir = java.nio.file.Files.createTempDirectory("vts").toString
+    VersionedTable.withCommitTimestamp(1000L) {
+      VersionedTable.commit(Seq((1L, "a")).toDF("id", "s"), dir)
+    }
+    VersionedTable.withCommitTimestamp(2000L) {
+      VersionedTable.appendCommit(Seq((2L, "b")).toDF("id", "s"), dir)
+    }
+    def idsAt(ts: Long) = VersionedTable.readAsOf(spark, dir, ts)
+      .select("id").as[Long].collect().toSet
+    assert(VersionedTable.versionAsOf(spark, dir, 1000L) == 0)
+    assert(idsAt(1000L) == Set(1L))            // exact boundary
+    assert(idsAt(1999L) == Set(1L))            // between commits
+    assert(idsAt(2000L) == Set(1L, 2L))        // second boundary
+    assert(idsAt(Long.MaxValue) == Set(1L, 2L)) // far future = latest
+    // before the first commit: no version existed
+    intercept[IllegalArgumentException] {
+      VersionedTable.versionAsOf(spark, dir, 999L)
+    }
+    // unstamped scope falls back to wall clock: still resolvable
+    VersionedTable.appendCommit(Seq((3L, "c")).toDF("id", "s"), dir)
+    assert(idsAt(Long.MaxValue) == Set(1L, 2L, 3L))
+  }
+
   test("shallow clone is metadata-only and isolates both directions") {
     val src = java.nio.file.Files.createTempDirectory("vclone_s").toString
     val dst = java.nio.file.Files.createTempDirectory("vclone_d").toString
