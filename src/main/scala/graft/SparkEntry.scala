@@ -1826,6 +1826,43 @@ object SparkEntry {
         .unionByName(agg(4, dstDir, cv1))
     }),
 
+    // streaming ingest + AUTO-COMPACTION: six single-file batches
+    // land as append commits; whenever more than 2 under-target
+    // files accumulate, a partial OPTIMIZE runs inline (O(small
+    // files)) — the Delta autoCompact loop that keeps a streaming
+    // table's file count bounded. Replays are detected by the
+    // per-batch commit stamp (not version lockstep — compaction
+    // commits extra versions), so the census is replay-stable; the
+    // hash match proves compaction lost and duplicated nothing
+    "q93_stream_autocompact" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(
+        col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"))
+      val scratch = scratchDir("q93compact", d)
+      val streamDir = new java.io.File(scratch, "in")
+      streamDir.mkdirs()
+      for (i <- 0 until 6) {
+        val tmp = s"$scratch/shard$i"
+        docs.filter(col("doc_id") % 6 === i).coalesce(1)
+          .write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(streamDir, f"batch$i%02d.parquet")
+        java.nio.file.Files.copy(part.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        dst.setLastModified(1000000L * (i + 1))
+      }
+      val table = s"$scratch/table"
+      EventStream.autoCompactIngestOnce(
+        EventStream.parquetFileStream(s, streamDir.getAbsolutePath),
+        table, targetBytes = 64L * 1024, maxSmallFiles = 2)
+      val vt = graft.sources.VersionedTable
+      vt.readVersion(s, table, vt.versions(s, table).last)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("cnt"), sum(col("doc_id")).as("id_sum"),
+          sum(Tables.hashU32(col("text"), 7)).as("content_sum"))
+    }),
+
     // TIMESTAMP AS OF time travel: manifests carry a commit instant
     // (pinned explicitly here via withCommitTimestamp so resolution
     // is reproducible); readAsOf(t) resolves to the latest version
@@ -5707,6 +5744,13 @@ object SparkEntry {
          | CAST(sum(${duckU32("text", 7)}) AS BIGINT)
          |FROM (SELECT * FROM base UNION ALL SELECT * FROM b
          |      UNION ALL SELECT * FROM a)""".stripMargin,
+
+    // compaction is content-neutral: the census is just the corpus
+    "q93_stream_autocompact" ->
+      s"""SELECT lang, CAST(count(*) AS BIGINT) AS cnt,
+         | CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         | CAST(sum(${duckU32("text", 7)}) AS BIGINT) AS content_sum
+         |FROM documents GROUP BY 1""".stripMargin,
 
     // the three AS OF probes replayed relationally: 0 = snapshot,
     // 1 = snapshot ∪ shifted-de, 2 = that minus the deleted keys

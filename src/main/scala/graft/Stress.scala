@@ -330,6 +330,24 @@ object Stress {
       withComp.withColumn("rk", row_number().over(w))
         .filter(col("rk") === 1).count()
     }
+    // inverted index: one explode + (tok, block)-keyed aggregate —
+    // should track t5's near-linear curve; block cells bound the
+    // payload any single reducer assembles even though hot tokens'
+    // full posting lists grow with the corpus
+    t("t24_inverted_index") {
+      graft.operators.InvertedIndex.indexCensus(docs, col("doc_id"),
+        col("text"), blockSize = 64, seed = 13).count()
+    }
+    // refine tail: s11's routed ADC plus ONE extra corpus scan for
+    // the broadcast-shortlist exact re-rank — the delta over s11
+    // should stay a near-constant increment, not a new growth term
+    t("s16_ivfpq_rerank") {
+      Similarity.ivfPqResidualRerankTopK(emb, pqQueries, "vec_id",
+        "embedding", topK = 5, shortK = 25,
+        nCells = Similarity.autoCells(emb.count()), ivfIters = 2,
+        nProbe = 2, m = 8, k = 8, dim = 64, pqIters = 2,
+        seed = 777).count()
+    }
     // —— round-6 additions: lakehouse scale claims ——
     // q80/q88 data skipping: a range-clustered commit with file count
     // ∝ corpus, then a FIXED-width key-range read. The claim under

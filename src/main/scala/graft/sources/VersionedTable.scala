@@ -437,6 +437,20 @@ object VersionedTable {
 
   private val TsField = """"ts":(\d+)""".r
 
+  /** The commit instant stamped in version `v`'s manifest (0 for
+    * pre-timestamp manifests) — [[versionAsOf]]'s raw material, also
+    * the replay-detection key streaming ingest protocols use. */
+  private[graft] def commitTsOf(spark: SparkSession, dir: String,
+      v: Int): Long =
+    TsField.findFirstMatchIn(manifestJson(spark, dir, v))
+      .map(_.group(1).toLong).getOrElse(0L)
+
+  /** Batch-id stamp space for streaming ingest replay detection:
+    * far enough past wall-clock millis (~1.7e12 in 2026) that an
+    * ingest stamp can never collide with a default-stamped commit
+    * (compactions, manual maintenance) on the same table. */
+  private[graft] val IngestTsBase = 2_000_000_000_000L
+
   /** `TIMESTAMP AS OF` resolution: the LATEST version whose commit
     * timestamp is ≤ `tsMillis`. Semantics match Delta's: the version
     * you'd have read had you queried the table at that instant.

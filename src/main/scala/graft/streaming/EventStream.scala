@@ -334,6 +334,50 @@ object EventStream {
     }
   }
 
+  /** Streaming table ingest with AUTO-COMPACTION (Delta's
+    * autoCompact): each micro-batch append-commits as usual, and
+    * whenever the table's under-target file count exceeds
+    * `maxSmallFiles` a partial OPTIMIZE ([[graft.sources
+    * .VersionedTable.optimizeCommit]], O(small files)) runs inline —
+    * the maintenance loop that keeps a streaming table's file count
+    * bounded instead of growing one sliver per batch forever.
+    *
+    * Replay idempotency CANNOT be q81's version↔batch lockstep here
+    * (compaction commits extra versions), so each ingest commit is
+    * stamped `IngestTsBase + batchId` and a replayed batch is
+    * detected by that stamp's presence — checkpoint-less, crash-safe
+    * in both windows (crash before the stamp lands → the append
+    * rolls forward on replay; crash before compaction → a later
+    * batch's check re-triggers it; compaction itself is
+    * content-neutral so replays never duplicate rows). */
+  def autoCompactIngestOnce(src: DataFrame, dir: String,
+      targetBytes: Long, maxSmallFiles: Int): Unit = {
+    val vt = graft.sources.VersionedTable
+    val q = src.writeStream
+      .foreachBatch {
+        (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val stamp = vt.IngestTsBase + batchId
+        val vs = vt.versions(spark, dir)
+        val replayed = vs.exists(v => vt.commitTsOf(spark, dir, v) == stamp)
+        if (!replayed) {
+          vt.withCommitTimestamp(stamp) {
+            if (vs.isEmpty) vt.commit(batch.toDF(), dir)
+            else vt.appendCommit(batch.toDF(), dir)
+          }
+          val latest = vt.versions(spark, dir).last
+          val smalls = vt.fileSizes(spark, dir, latest)
+            .count(_._2 < targetBytes)
+          if (smalls > maxSmallFiles)
+            vt.optimizeCommit(spark, dir, targetBytes)
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** STREAMING expectations (the DLT shape): every micro-batch is
     * gated by [[graft.operators.Constraints.check]] — clean rows
     * append-commit to `baseDir/table`, violators (with their per-rule

@@ -371,6 +371,51 @@ class EventsStreamingSpec extends SparkSpec {
     assert(finals == Seq((12L, 2L)))
   }
 
+  test("auto-compact ingest bounds small files; replay is a no-op (q93)") {
+    import graft.sources.VersionedTable
+    val base = java.nio.file.Files.createTempDirectory("q93").toString
+    val in = new java.io.File(base, "in"); in.mkdirs()
+    // 8 tiny single-file batches — without compaction the table ends
+    // with 8 sliver files
+    for (i <- 0 until 8) {
+      val tmp = s"$base/stage$i"
+      spark.range(i * 100, i * 100 + 50)
+        .select(col("id"), concat(lit("row"), col("id")).as("s"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        new java.io.File(in, f"b$i%02d.parquet").toPath)
+    }
+    val table = s"$base/table"
+    def run(): Unit = EventStream.autoCompactIngestOnce(
+      EventStream.parquetFileStream(spark, in.getAbsolutePath),
+      table, targetBytes = 1L << 20, maxSmallFiles = 2)
+    run()
+    val vLast = VersionedTable.versions(spark, table).last
+    // every batch's rows present exactly once, compaction lost nothing
+    val got = VersionedTable.readVersion(spark, table, vLast)
+      .select("id").as[Long].collect().sorted
+    val want = (0 until 8).flatMap(i => i * 100 until i * 100 + 50)
+      .map(_.toLong).sorted
+    assert(got.toSeq == want)
+    // the small-file bound held: every version's under-target file
+    // count stays ≤ maxSmallFiles + 1 (a batch may land one sliver
+    // past the bound before its compaction commits)
+    val finalSmalls = VersionedTable.fileSizes(spark, table, vLast)
+      .count(_._2 < (1L << 20))
+    assert(finalSmalls <= 3, s"final small files: $finalSmalls")
+    assert(VersionedTable.versions(spark, table).length > 8,
+      "no compaction commit ever ran")
+    // checkpoint-less replay: all 8 batches re-arrive, every one is
+    // detected by its stamp — no new versions, identical content
+    val before = VersionedTable.versions(spark, table)
+    run()
+    assert(VersionedTable.versions(spark, table) == before)
+    assert(VersionedTable.readVersion(spark, table, before.last)
+      .select("id").as[Long].collect().sorted.toSeq == want)
+  }
+
   test("left-outer emissions are monotone in the watermark delay (q75)") {
     // the q75 pipeline swept across watermark delays on one bounded
     // multi-batch source: matched (inner) rows must be IDENTICAL for
