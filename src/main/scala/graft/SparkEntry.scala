@@ -915,6 +915,21 @@ object SparkEntry {
       Dedup.minhashJaccard(cand, mh, 8)
     }),
 
+    // PLANNED banding: rowsPerBand comes from the S-curve optimizer
+    // (datasketch optimal_param) at threshold 0.75 instead of a
+    // hand-picked constant — planBands(8, 0.75) = (2 bands × 4 rows),
+    // implied collision threshold (1/2)^(1/4) ≈ 0.84; candidates are
+    // then exact-verified at the target threshold. Same scale shape
+    // as d2, tighter candidate budget at high thresholds
+    "d16_banded_planned" -> ((s, d) => {
+      val (_, r) = Dedup.planBands(8, 0.75)
+      val docs = Tables.documents(s, d)
+      val mh = Dedup.minhash(docs, col("doc_id"), col("text"), 8)
+        .persistTracked()
+      Dedup.minhashJaccard(Dedup.lshCandidates(mh, r), mh, 8)
+        .filter(col("est_jaccard") >= 0.75)
+    }),
+
     "d3_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardSameKey(Tables.documents(s, d), col("doc_id"),
         col("text"), col("source"), 3, 0.03)),
@@ -4119,6 +4134,43 @@ object SparkEntry {
          |JOIN mh ma ON ma.doc_id = doc_a
          |JOIN mh mb ON mb.doc_id = doc_b AND mb.h = ma.h
          |GROUP BY 1, 2""".stripMargin,
+
+    // d2's CTEs at the PLANNED banding: planBands(8, 0.75) = (2, 4)
+    // is deterministic, so both engines inline the same constants;
+    // the verify filter is the exact 6-of-8 match threshold
+    "d16_banded_planned" -> {
+      val (_, r16) = graft.operators.Dedup.planBands(8, 0.75)
+      s"""WITH t AS (SELECT doc_id, $DuckToks AS w FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, unnest(list_transform(
+         |    range(1, len(w) - 1),
+         |    i -> array_to_string(w[i:i+2], ' '))) AS shingle
+         |  FROM t WHERE len(w) >= 3),
+         |mh AS (
+         |  SELECT doc_id, h,
+         |   min(CASE WHEN h < 4 THEN substr(md5(shingle), 1 + 8*(h%4), 8)
+         |       ELSE substr(md5('x' || shingle), 1 + 8*(h%4), 8) END)
+         |    AS minhash
+         |  FROM sh CROSS JOIN (SELECT unnest(range(8)) AS h) hs
+         |  GROUP BY 1, 2),
+         |bands AS (
+         |  SELECT doc_id, h // $r16 AS band,
+         |   md5(string_agg(minhash, '|' ORDER BY minhash)) AS bkey
+         |  FROM mh GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b,
+         | sum(CASE WHEN ma.minhash = mb.minhash THEN 1 ELSE 0 END) / 8.0
+         |   AS est_jaccard
+         |FROM cand
+         |JOIN mh ma ON ma.doc_id = doc_a
+         |JOIN mh mb ON mb.doc_id = doc_b AND mb.h = ma.h
+         |GROUP BY 1, 2
+         |HAVING sum(CASE WHEN ma.minhash = mb.minhash THEN 1 ELSE 0 END)
+         |  / 8.0 >= 0.75""".stripMargin
+    },
 
     // residual IVF-PQ: kmeans cells + assignment; PQ CTEs retargeted
     // at the residual relation (rsubs); the query LUT is keyed

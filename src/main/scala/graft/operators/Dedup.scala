@@ -108,6 +108,42 @@ object Dedup {
       md5(concat_ws("|", parts: _*).cast("binary")))
   }
 
+  /** Optimal (bands, rowsPerBand) for a `numHashes`-position MinHash
+    * signature at a target Jaccard `threshold` — the datasketch
+    * `optimal_param` computation: a (b, r) banding's collision
+    * probability at similarity j is the S-curve 1 − (1 − j^r)^b, and
+    * the best split minimizes fpWeight·∫₀ᵗ S + (1−fpWeight)·∫ₜ¹(1−S)
+    * (weighted mass of false-positive candidates below the threshold
+    * and missed pairs above it). Pure driver-side arithmetic over the
+    * divisors of numHashes — call it once when configuring a dedup
+    * pass instead of hand-picking rowsPerBand; deterministic, so an
+    * oracle-checked entry can inline the planned constants on both
+    * engines. */
+  def planBands(numHashes: Int, threshold: Double,
+      fpWeight: Double = 0.5): (Int, Int) = {
+    require(numHashes > 0, s"numHashes=$numHashes")
+    require(threshold > 0 && threshold < 1, s"threshold=$threshold")
+    require(fpWeight >= 0 && fpWeight <= 1, s"fpWeight=$fpWeight")
+    val cands = (1 to numHashes).filter(numHashes % _ == 0)
+      .map(r => (numHashes / r, r))
+    def s(j: Double, b: Int, r: Int): Double =
+      1 - math.pow(1 - math.pow(j, r), b)
+    def err(b: Int, r: Int): Double = {
+      val n = 1024
+      var fp = 0.0
+      var fn = 0.0
+      var i = 0
+      while (i < n) {
+        fp += s(threshold * (i + 0.5) / n, b, r) * threshold / n
+        fn += (1 - s(threshold + (1 - threshold) * (i + 0.5) / n, b, r)) *
+          (1 - threshold) / n
+        i += 1
+      }
+      fpWeight * fp + (1 - fpWeight) * fn
+    }
+    cands.minBy { case (b, r) => err(b, r) }
+  }
+
   /** (doc_id, band, bkey) band keys from wide signatures: bands of
     * `rowsPerBand` minima, keyed by the md5 of the band's sorted
     * values — the bucketing both the self-join (batch) and the

@@ -38,6 +38,30 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(est == 1.0)
   }
 
+  test("planBands picks the S-curve-optimal banding (d16)") {
+    // knowns cross-checked against an independent integration of the
+    // same objective (datasketch optimal_param semantics)
+    assert(Dedup.planBands(8, 0.2) == ((8, 1)))
+    assert(Dedup.planBands(8, 0.5) == ((4, 2)))
+    assert(Dedup.planBands(8, 0.75) == ((2, 4)))
+    assert(Dedup.planBands(8, 0.85) == ((1, 8)))
+    assert(Dedup.planBands(128, 0.5) == ((32, 4)))
+    assert(Dedup.planBands(128, 0.8) == ((8, 16)))
+    // rows-per-band is monotone in the threshold: higher similarity
+    // targets want steeper S-curves
+    val rs = Seq(0.1, 0.3, 0.5, 0.7, 0.9)
+      .map(t => Dedup.planBands(128, t)._2)
+    assert(rs == rs.sorted, rs.toString)
+    // weighting toward fewer false positives never lowers r
+    assert(Dedup.planBands(128, 0.5, fpWeight = 0.9)._2 >=
+      Dedup.planBands(128, 0.5, fpWeight = 0.1)._2)
+    // b·r always reconstructs the signature length
+    for (t <- Seq(0.2, 0.5, 0.8); n <- Seq(8, 16, 128)) {
+      val (b, r) = Dedup.planBands(n, t)
+      assert(b * r == n)
+    }
+  }
+
   test("incremental near-dup flags vs corpus and within-batch, min ref") {
     val existing = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
