@@ -515,6 +515,39 @@ object VersionedTable {
     0
   }
 
+  /** CAS-guarded MERGE — [[mergeCommit]] wrapped in the
+    * [[commitIfUnchanged]] conflict-detection discipline: the merge
+    * plan (update files + deletion vector) is only published if the
+    * table is still at `expectedBase` when the slot is claimed.
+    * MERGE does NOT commute (its DV masks exactly the pre-merge
+    * files, and its update rows were computed against the base
+    * snapshot), so unlike [[appendCommitAtomic]] there is no safe
+    * rebase: a lost race aborts with ConcurrentModificationException
+    * and the CALLER re-reads the new latest and re-runs its merge
+    * logic — the standard optimistic-transaction retry loop every
+    * lakehouse MERGE runs. Nothing observable is left on abort (the
+    * conflict check precedes any write). */
+  def mergeCommitAtomic(updates: DataFrame, dir: String,
+      keyCol: String, expectedBase: Int): Int = {
+    val spark = updates.sparkSession
+    val f = fs(spark, dir)
+    val latest = versions(spark, dir).lastOption.getOrElse(-1)
+    if (latest != expectedBase)
+      throw new java.util.ConcurrentModificationException(
+        s"table at $dir moved: expected v$expectedBase, found v$latest")
+    val v = expectedBase + 1
+    if (!tryClaim(f, dir, v))
+      throw new java.util.ConcurrentModificationException(
+        s"version v$v at $dir already claimed by a concurrent committer")
+    try {
+      val nowLatest = versions(spark, dir).last
+      if (nowLatest != expectedBase)
+        throw new java.util.ConcurrentModificationException(
+          s"table at $dir moved to v$nowLatest during claim")
+      mergeCommit(updates, dir, keyCol)
+    } finally releaseClaim(f, dir, v)
+  }
+
   /** DELETE commit via a deletion vector: the new version's manifest
     * lists the previous version's data files UNCHANGED plus one more
     * deletion-vector file holding the deleted KEYS — no data file is

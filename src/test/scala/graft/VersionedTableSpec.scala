@@ -473,6 +473,35 @@ class VersionedTableSpec extends SparkSpec {
     assert(!dataDirs.exists(_.startsWith("c")), dataDirs.mkString(","))
   }
 
+  test("mergeCommitAtomic: CAS merge lands at the expected base, " +
+      "aborts after an interloper with nothing observable") {
+    val dir = java.nio.file.Files.createTempDirectory("vcasm").toString
+    val v0 = VersionedTable.commit(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "s"), dir)
+    // clean CAS merge: upsert id=2, insert id=3
+    val v1 = VersionedTable.mergeCommitAtomic(
+      Seq((2L, "b2"), (3L, "c")).toDF("id", "s"), dir, "id",
+      expectedBase = v0)
+    assert(v1 == 1)
+    assert(VersionedTable.readVersion(spark, dir, v1)
+      .as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b2"), (3L, "c")))
+    // stale CAS: a transaction that read v0 must NOT merge over v1
+    intercept[java.util.ConcurrentModificationException] {
+      VersionedTable.mergeCommitAtomic(
+        Seq((2L, "stale")).toDF("id", "s"), dir, "id",
+        expectedBase = v0)
+    }
+    // nothing observable: no new version, v1 content intact, and no
+    // data/deletes directories beyond v1's
+    assert(VersionedTable.versions(spark, dir) == Seq(0, 1))
+    assert(VersionedTable.readVersion(spark, dir, 1)
+      .as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b2"), (3L, "c")))
+    val dataDirs = new java.io.File(dir, "data").listFiles().map(_.getName)
+    assert(dataDirs.toSet == Set("v0", "v1"), dataDirs.mkString(","))
+  }
+
   test("TIMESTAMP AS OF resolves the latest commit at-or-before") {
     val dir = java.nio.file.Files.createTempDirectory("vts").toString
     VersionedTable.withCommitTimestamp(1000L) {
