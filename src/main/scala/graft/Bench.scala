@@ -90,13 +90,22 @@ object Bench {
     }
     // per-query reference bands from a quiet-window run (short name →
     // seconds); parsed with a dumb regex — the file is machine-written
-    // flat JSON of "key":number pairs, no nesting
+    // flat JSON of "key":number pairs, no nesting. Bands only apply
+    // when the reference was recorded at the SAME scale factor —
+    // against any other SF every query would trivially exceed its
+    // band and the "contended" signal would be pure noise.
     val reference: Map[String, Double] =
       try {
         val txt = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get("bench_reference.json")), "UTF-8")
-        "\"([a-z0-9]+)\":([0-9.]+)".r.findAllMatchIn(txt)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        val refSf = "\"sf\":([0-9.]+)".r.findFirstMatchIn(txt)
+          .map(_.group(1))
+        val curSf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
+          .map(_.group(1))
+        if (refSf.isEmpty || refSf != curSf) Map.empty
+        else "\"([a-z0-9]+)\":([0-9.]+)".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble)
+          .toMap - "sf" - "value"
       } catch { case _: Throwable => Map.empty }
     val contended = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = selected.flatMap { case (name, fn) =>

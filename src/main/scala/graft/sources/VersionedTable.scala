@@ -346,12 +346,18 @@ object VersionedTable {
     * the committer loops: read the latest version, CAS-claim the next
     * slot ([[tryClaim]]), and on success REBASE — carry the file/DV/
     * stats lists of whatever version is latest NOW (not the one read
-    * before the claim), append the new files, publish. Appends
-    * commute, so rebase is always safe: two interleaved committers
-    * serialize as (winner, loser-rebased) and NEITHER commit is lost.
-    * A committer that cannot claim a slot within `maxRetries`
-    * rebases aborts with ConcurrentModificationException — its data
-    * files are removed, nothing observable remains.
+    * before the claim), append the new files, publish. The claimed
+    * slot's exclusivity also lets the txn directory be RENAMED to the
+    * canonical `data/v<N>` before the manifest lands (one O(1)
+    * metadata op), so every committed file keeps the `/data/vN/` path
+    * the deletion-vector protocol derives file versions from — a
+    * later DELETE or MERGE masks atomically-appended rows exactly
+    * like lockstep-appended ones. Appends commute, so rebase is
+    * always safe: two interleaved committers serialize as (winner,
+    * loser-rebased) and NEITHER commit is lost. A committer that
+    * cannot claim a slot within `maxRetries` rebases aborts with
+    * ConcurrentModificationException — its data files are removed,
+    * nothing observable remains.
     *
     * `onBeforeClaim` is a test seam: it runs between the latest-read
     * and the claim, which is exactly the window a concurrent
@@ -366,11 +372,10 @@ object VersionedTable {
     val nonce = java.util.UUID.randomUUID().toString.take(12)
     val dataDir = new Path(dir, s"data/c$nonce")
     df.write.mode("errorifexists").parquet(dataDir.toString)
-    val newFiles = f.listStatus(dataDir).toSeq
+    val newNames = f.listStatus(dataDir).toSeq
       .map(_.getPath.getName)
       .filter(_.endsWith(".parquet"))
       .sorted
-      .map(n => s"data/c$nonce/$n")
     var attempt = 0
     while (attempt <= maxRetries) {
       val base = versions(spark, dir).last
@@ -378,13 +383,21 @@ object VersionedTable {
       onBeforeClaim()
       if (tryClaim(f, dir, v)) {
         try {
+          // the claim owns slot v exclusively, so data/v$v cannot be
+          // live (a leftover from a crashed claimer would mean a
+          // stale lock this claim could not have acquired)
+          val vDir = new Path(dir, s"data/v$v")
+          if (!f.rename(dataDir, vDir))
+            throw new java.io.IOException(
+              s"could not place data/v$v at $dir (stale dir?)")
+          val newFiles = newNames.map(n => s"data/v$v/$n")
           // rebase point: carry the lists of the version the claim
           // actually landed on top of (v - 1), not the pre-claim read
           val json = manifestJson(spark, dir, v - 1)
           val (files, dvs) = manifestLists(json, v - 1)
           val statsCol = statsColOf(json)
           val newStats = statsCol.map(c =>
-            fileStats(spark, dataDir, s"data/c$nonce", c))
+            fileStats(spark, vDir, s"data/v$v", c))
             .getOrElse(Seq.empty)
           writeManifest(f, dir, v, files ++ newFiles, dvs,
             statsCol,
@@ -401,20 +414,18 @@ object VersionedTable {
       s"appendCommitAtomic lost $maxRetries claim races at $dir")
   }
 
-  /** Snapshot-commit CAS for NON-commuting transactions (overwrite,
-    * merge-shaped rewrites): publish `df` as the next version ONLY if
-    * the table is still at `expectedBase` when the slot is claimed —
-    * otherwise abort with ConcurrentModificationException. This is
-    * the conflict-DETECTION half of optimistic concurrency: a
-    * transaction that read version N and cannot re-validate its reads
-    * must not blind-publish over an interloper's commit (lost
-    * update); the caller re-reads the new latest and re-runs its
-    * transaction logic. */
-  def commitIfUnchanged(df: DataFrame, dir: String,
-      expectedBase: Int): Int = {
-    val spark = df.sparkSession
+  /** The shared CAS discipline: verify the table is still at
+    * `expectedBase`, claim the next slot, re-validate inside the
+    * claim (belt and braces against claim/publish orderings on
+    * non-atomic stores), run `body`, release. `body` publishes
+    * version expectedBase + 1; any conflict aborts with
+    * ConcurrentModificationException BEFORE body runs, so an aborted
+    * transaction leaves nothing observable. */
+  private def withCas(spark: SparkSession, dir: String,
+      expectedBase: Int)(body: => Int): Int = {
     val f = fs(spark, dir)
-    val latest = versions(spark, dir).lastOption.getOrElse(-1)
+    def latestOrNone = versions(spark, dir).lastOption.getOrElse(-1)
+    val latest = latestOrNone
     if (latest != expectedBase)
       throw new java.util.ConcurrentModificationException(
         s"table at $dir moved: expected v$expectedBase, found v$latest")
@@ -423,17 +434,29 @@ object VersionedTable {
       throw new java.util.ConcurrentModificationException(
         s"version v$v at $dir already claimed by a concurrent committer")
     try {
-      // re-validate INSIDE the claim: a committer may have published
-      // between the check above and the claim (it would have taken
-      // this slot, so tryClaim fails — this recheck is belt and
-      // braces against claim/publish orderings on non-atomic stores)
-      val nowLatest = versions(spark, dir).last
-      if (nowLatest != expectedBase)
+      val now = latestOrNone
+      if (now != expectedBase)
         throw new java.util.ConcurrentModificationException(
-          s"table at $dir moved to v$nowLatest during claim")
-      publish(df, dir, v, Seq.empty)
+          s"table at $dir moved to v$now during claim")
+      body
     } finally releaseClaim(f, dir, v)
   }
+
+  /** Snapshot-commit CAS for NON-commuting transactions (overwrite,
+    * merge-shaped rewrites): publish `df` as the next version ONLY if
+    * the table is still at `expectedBase` when the slot is claimed —
+    * otherwise abort with ConcurrentModificationException. This is
+    * the conflict-DETECTION half of optimistic concurrency: a
+    * transaction that read version N and cannot re-validate its reads
+    * must not blind-publish over an interloper's commit (lost
+    * update); the caller re-reads the new latest and re-runs its
+    * transaction logic. `expectedBase = -1` CAS-creates version 0 of
+    * an empty table. */
+  def commitIfUnchanged(df: DataFrame, dir: String,
+      expectedBase: Int): Int =
+    withCas(df.sparkSession, dir, expectedBase) {
+      publish(df, dir, expectedBase + 1, Seq.empty)
+    }
 
   private val TsField = """"ts":(\d+)""".r
 
@@ -497,6 +520,16 @@ object VersionedTable {
       s"cloneCommit target $dstDir already has versions")
     val json = manifestJson(spark, srcDir, srcV)
     val (files, dvs) = manifestLists(json, srcV)
+    // DV file-version masking derives versions from paths, and a
+    // carried DV's source version number is meaningless against the
+    // clone's own counter (it would wrongly mask rows the clone
+    // appends, or wrongly spare rows the source DV masked). Rather
+    // than ship subtly-wrong deletes, require the source version to
+    // be DV-free — rewriteCommit folds delete debt into clean files.
+    require(dvs.isEmpty,
+      s"cloneCommit source v$srcV at $srcDir carries deletion " +
+        "vectors; run rewriteCommit on the source (or clone the " +
+        "rewritten version) first")
     val srcRoot = fs(spark, srcDir)
       .makeQualified(new Path(srcDir))
     def abs(rel: String): String =
@@ -507,7 +540,7 @@ object VersionedTable {
       (abs(parts(0)) +: parts.tail.toSeq).mkString("|")
     }
     writeManifest(fs(spark, dstDir), dstDir, 0,
-      files.map(abs), dvs.map(abs),
+      files.map(abs), Seq.empty,
       statsColOf(json),
       parseArray(json, "stats").getOrElse(Seq.empty).map(absFirst),
       bloomMetaOf(json),
@@ -528,25 +561,10 @@ object VersionedTable {
     * lakehouse MERGE runs. Nothing observable is left on abort (the
     * conflict check precedes any write). */
   def mergeCommitAtomic(updates: DataFrame, dir: String,
-      keyCol: String, expectedBase: Int): Int = {
-    val spark = updates.sparkSession
-    val f = fs(spark, dir)
-    val latest = versions(spark, dir).lastOption.getOrElse(-1)
-    if (latest != expectedBase)
-      throw new java.util.ConcurrentModificationException(
-        s"table at $dir moved: expected v$expectedBase, found v$latest")
-    val v = expectedBase + 1
-    if (!tryClaim(f, dir, v))
-      throw new java.util.ConcurrentModificationException(
-        s"version v$v at $dir already claimed by a concurrent committer")
-    try {
-      val nowLatest = versions(spark, dir).last
-      if (nowLatest != expectedBase)
-        throw new java.util.ConcurrentModificationException(
-          s"table at $dir moved to v$nowLatest during claim")
+      keyCol: String, expectedBase: Int): Int =
+    withCas(updates.sparkSession, dir, expectedBase) {
       mergeCommit(updates, dir, keyCol)
-    } finally releaseClaim(f, dir, v)
-  }
+    }
 
   /** DELETE commit via a deletion vector: the new version's manifest
     * lists the previous version's data files UNCHANGED plus one more
@@ -719,8 +737,16 @@ object VersionedTable {
         small.map(_._2).sum.toDouble / targetBytes).toInt)
       val packed = readFiles(spark, dir, prev, small.map(_._1), dvs)
         .coalesce(nOut)
-      def fileV(rel: String): Int = DataPathVersion
-        .findFirstMatchIn(rel).map(_.group(1).toInt).getOrElse(0)
+      // shallow-clone carried entries are absolute paths whose
+      // /data/vN/ numbers come from the SOURCE's counter — against
+      // this table's DV counter they are version 0 (pre-everything),
+      // the same rule readFiles applies
+      def external(rel: String): Boolean =
+        rel.startsWith("/") || rel.contains("://")
+      def fileV(rel: String): Int =
+        if (external(rel)) 0
+        else DataPathVersion
+          .findFirstMatchIn(rel).map(_.group(1).toInt).getOrElse(0)
       def dvV(rel: String): Int = DvPathVersion
         .findFirstMatchIn(rel).map(_.group(1).toInt).getOrElse(0)
       val keptDvs = dvs.filter(dv =>
@@ -945,9 +971,20 @@ object VersionedTable {
         s"deletion vectors must be single-column, got ${
           keyCols.mkString(",")}")
       val key = keyCols.head
+      // file version from the path — but ONLY for this table's own
+      // files: a shallow-cloned (carried, absolute-path) file keeps
+      // its SOURCE dir's /data/vN/ segment, whose number is from a
+      // different counter. Carried files all predate every clone-
+      // local DV by construction, so they read as version 0. Own-ness
+      // is decided scheme-insensitively (_metadata.file_path may
+      // carry file:// while makeQualified renders file:/).
+      val ownData = fs(spark, dir)
+        .makeQualified(new Path(dir, "data")).toUri.getPath + "/"
       val withFileV = data.withColumn("__file_v",
-        regexp_extract(col("_metadata.file_path"), "/data/v(\\d+)/", 1)
-          .cast("int"))
+        when(col("_metadata.file_path").contains(ownData),
+          regexp_extract(col("_metadata.file_path"), "/data/v(\\d+)/", 1)
+            .cast("int"))
+          .otherwise(lit(0)))
       val dvk = dv.withColumnRenamed(key, "__dv_key")
       withFileV.join(dvk,
           withFileV(key) === dvk("__dv_key") &&

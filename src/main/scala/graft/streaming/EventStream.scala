@@ -365,12 +365,16 @@ object EventStream {
             if (vs.isEmpty) vt.commit(batch.toDF(), dir)
             else vt.appendCommit(batch.toDF(), dir)
           }
-          val latest = vt.versions(spark, dir).last
-          val smalls = vt.fileSizes(spark, dir, latest)
-            .count(_._2 < targetBytes)
-          if (smalls > maxSmallFiles)
-            vt.optimizeCommit(spark, dir, targetBytes)
         }
+        // the compaction check runs for REPLAYED batches too: a crash
+        // between the final batch's append and its compaction would
+        // otherwise never be repaired (every replayed batch skips the
+        // ingest, and no new batch arrives to re-trigger the check)
+        val latest = vt.versions(spark, dir).last
+        val smalls = vt.fileSizes(spark, dir, latest)
+          .count(_._2 < targetBytes)
+        if (smalls > maxSmallFiles)
+          vt.optimizeCommit(spark, dir, targetBytes)
         ()
       }
       .trigger(Trigger.AvailableNow())

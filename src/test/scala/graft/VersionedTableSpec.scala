@@ -445,6 +445,14 @@ class VersionedTableSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet == Set(1L, 3L))
     assert(VersionedTable.readVersion(spark, dir, aV)
       .select("id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+    // atomically-appended files live at canonical data/vN paths, so
+    // the DV protocol masks their rows like any other file's: delete
+    // one row from each atomic append and one from the base
+    VersionedTable.deleteCommit(Seq(1L, 2L, 3L).toDF("id"), dir)
+    assert(VersionedTable.readVersion(spark, dir,
+        VersionedTable.versions(spark, dir).last)
+      .select("id").as[Long].collect().isEmpty,
+      "deletion vectors failed to mask atomically-appended rows")
   }
 
   test("optimistic append: claim-starved committer aborts, nothing " +
@@ -546,6 +554,12 @@ class VersionedTableSpec extends SparkSpec {
     assert(ids(dst, cv1) == Set(1L, 2L, 3L, 9L))
     assert(VersionedTable.versions(spark, src) == Seq(0))
     assert(ids(src, v0) == Set(1L, 2L, 3L))
+    // clone-local DELETEs mask carried files correctly (carried
+    // absolute-path files read as version 0 against the clone's own
+    // DV counter — the cross-counter trap)
+    VersionedTable.deleteCommit(Seq(3L).toDF("id"), dst)
+    assert(ids(dst, VersionedTable.versions(spark, dst).last) ==
+      Set(1L, 2L, 9L))
     // ...and a later source delete never touches the clone
     VersionedTable.deleteCommit(Seq(2L).toDF("id"), src)
     assert(ids(src, 1) == Set(1L, 3L))
@@ -554,6 +568,19 @@ class VersionedTableSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       VersionedTable.cloneCommit(spark, src, dst, v0)
     }
+    // a DV-carrying source version cannot be shallow-cloned (its DV
+    // version numbers are meaningless against the clone's counter) —
+    // the error directs to rewriteCommit
+    val dst2 = java.nio.file.Files.createTempDirectory("vclone_d2").toString
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.cloneCommit(spark, src, dst2,
+        VersionedTable.versions(spark, src).last)
+    }
+    assert(e.getMessage.contains("rewriteCommit"))
+    // the rewritten (DV-free) version clones fine
+    val vr = VersionedTable.rewriteCommit(spark, src)
+    assert(VersionedTable.cloneCommit(spark, src, dst2, vr) == 0)
+    assert(ids(dst2, 0) == Set(1L, 3L))
   }
 
   test("commitIfUnchanged: CAS succeeds at the expected base, aborts " +
