@@ -141,57 +141,67 @@ object SparkEntry {
   private def duckNormOf(v: String) =
     s"sqrt(list_reduce(list_transform($v, x -> x*x), (a, b) -> a + b))"
 
-  private def duckAssignCte(i: Int, cents: String) =
-    s"""s$i AS (
+  private def duckAssignCte(i: Int, cents: String, p: String = "",
+      src: String = "en") =
+    s"""${p}s$i AS (
        |  SELECT en.vec_id, en.v, c.cell_id,
        |   list_reduce(list_transform(range(1, len(en.v) + 1),
        |     j -> en.v[j] * c.cv[j]), (a, b) -> a + b) / (en.nrm * c.cnrm)
        |     AS sim
-       |  FROM en CROSS JOIN $cents c),
-       |a$i AS (
+       |  FROM $src en CROSS JOIN $cents c),
+       |${p}a$i AS (
        |  SELECT vec_id, v, cell_id, sim FROM (
        |    SELECT *, row_number() OVER (
        |      PARTITION BY vec_id ORDER BY sim DESC, cell_id) AS rk
-       |    FROM s$i) WHERE rk = 1)""".stripMargin
+       |    FROM ${p}s$i) WHERE rk = 1)""".stripMargin
 
-  private def duckUpdateCte(i: Int) =
-    s"""x$i AS (
+  private def duckUpdateCte(i: Int, p: String = "") =
+    s"""${p}x$i AS (
        |  SELECT cell_id, u.pos AS pos, u.x AS x FROM (
        |    SELECT cell_id, unnest(list_transform(range(0, len(v)),
        |      j -> struct_pack(pos := j, x := v[j+1]))) AS u
-       |    FROM a$i)),
-       |q$i AS (
+       |    FROM ${p}a$i)),
+       |${p}q$i AS (
        |  SELECT cell_id, pos,
        |   CAST(sum(CAST(round(x * 1000000) AS BIGINT)) AS BIGINT) AS qs,
        |   CAST(count(*) AS BIGINT) AS cnt
-       |  FROM x$i GROUP BY 1, 2),
-       |c$i AS (
+       |  FROM ${p}x$i GROUP BY 1, 2),
+       |${p}c$i AS (
        |  SELECT cell_id,
        |   list(CAST(qs AS DOUBLE) / (CAST(cnt AS DOUBLE) * 1000000.0)
        |     ORDER BY pos) AS cv
-       |  FROM q$i GROUP BY 1),
-       |cn$i AS (SELECT cell_id, cv, ${duckNormOf("cv")} AS cnrm FROM c$i)"""
+       |  FROM ${p}q$i GROUP BY 1),
+       |${p}cn$i AS (SELECT cell_id, cv, ${duckNormOf("cv")} AS cnrm
+       |  FROM ${p}c$i)"""
       .stripMargin
+
+  /** A prefixed quantized-Lloyd chain over any (vec_id, v, nrm)
+    * source CTE: seeds `${p}c0` by the md5-u32 order, then `iters`
+    * assign→update rounds ending at `${p}cn$iters`. The unprefixed
+    * en-sourced instance is exactly the historical s4/s5 chain. */
+  private def duckKmeansChain(nc: Int, iters: Int, p: String,
+      src: String): String = {
+    val rounds = (1 to iters).map { i =>
+      val cents = if (i == 1) s"${p}c0" else s"${p}cn${i - 1}"
+      duckAssignCte(i, cents, p, src) + ",\n" + duckUpdateCte(i, p)
+    }.mkString(",\n")
+    s"""${p}c0 AS (
+       |  SELECT cell_id, cv, cnrm FROM (
+       |    SELECT vec_id AS cell_id, v AS cv, nrm AS cnrm,
+       |     ${duckU32("vec_id::VARCHAR", 77)} AS h
+       |    FROM $src ORDER BY h, cell_id LIMIT $nc)),
+       |$rounds""".stripMargin
+  }
 
   /** WITH-clause prefix shared by the s4/s5 oracles: embeddings → md5
     * seed codebook c0 → `iters` quantized Lloyd rounds ending at
     * cn`iters`. No trailing comma. */
-  private def duckKmeansCtes(nc: Int, iters: Int): String = {
-    val rounds = (1 to iters).map { i =>
-      val cents = if (i == 1) "c0" else s"cn${i - 1}"
-      duckAssignCte(i, cents) + ",\n" + duckUpdateCte(i)
-    }.mkString(",\n")
+  private def duckKmeansCtes(nc: Int, iters: Int): String =
     s"""WITH e AS (
        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
        |  FROM embeddings),
        |en AS (SELECT vec_id, v, ${duckNormOf("v")} AS nrm FROM e),
-       |c0 AS (
-       |  SELECT cell_id, cv, cnrm FROM (
-       |    SELECT vec_id AS cell_id, v AS cv, nrm AS cnrm,
-       |     ${duckU32("vec_id::VARCHAR", 77)} AS h
-       |    FROM en ORDER BY h, cell_id LIMIT $nc)),
-       |$rounds""".stripMargin
-  }
+       |${duckKmeansChain(nc, iters, "", "en")}""".stripMargin
 
   private def duckKmeans(nc: Int, iters: Int): String = {
     val last = iters + 1
@@ -2440,6 +2450,18 @@ object SparkEntry {
         dim = 64, pqIters = 2, seed = 777)
     }),
 
+    // TWO-LEVEL IVF: the C cell centroids are themselves clustered
+    // into G groups; vectors route group-first (n·(G + C/G) dots
+    // instead of the flat n·C — n^1.25 at G=√C, the IMI hierarchy),
+    // queries probe nProbe cells WITHIN their group, exact cosine
+    // re-ranks — the repair for the flat assignment's n^1.5 term
+    "s17_ivf_twolevel" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfTwoLevelTopK(emb,
+        emb.filter(col("vec_id") % 25 === 0), "vec_id", "embedding",
+        k = 5, nCells = 8, nGroups = 2, iters = 2, nProbe = 2)
+    }),
+
     // FAISS "refine" tail on s11: ADC ranks a 25-candidate shortlist,
     // exact cosine re-scores only those 25 — recall rises toward the
     // IVF routing ceiling at UNCHANGED code bytes (the quantizer only
@@ -4176,6 +4198,69 @@ object SparkEntry {
     // at the residual relation (rsubs); the query LUT is keyed
     // (query, probed cell) because the residual differs per cell
     "s11_ivfpq_residual" -> duckS11Sql,
+
+    // L1 kmeans over embeddings (the shared chain), an L2 kmeans over
+    // the L1 centroids (the prefixed chain on gsrc), then the
+    // two-level routing replayed relationally: cell→group and
+    // vector→group argmaxes, within-group cell pick, nProbe probe,
+    // exact-cosine tail
+    "s17_ivf_twolevel" ->
+      s"""${duckKmeansCtes(8, 2)},
+         |gsrc AS (SELECT cell_id AS vec_id, cv AS v, cnrm AS nrm
+         |  FROM cn2),
+         |${duckKmeansChain(2, 2, "g", "gsrc")},
+         |memb AS (
+         |  SELECT cell_id, group_id FROM (
+         |    SELECT c.cell_id, g.cell_id AS group_id,
+         |     row_number() OVER (PARTITION BY c.cell_id ORDER BY
+         |      list_reduce(list_transform(range(1, len(c.cv) + 1),
+         |        j -> c.cv[j] * g.cv[j]), (a, b) -> a + b)
+         |        / (c.cnrm * g.cnrm) DESC, g.cell_id) AS rk
+         |    FROM cn2 c CROSS JOIN gcn2 g) WHERE rk = 1),
+         |vg AS (
+         |  SELECT vec_id, group_id FROM (
+         |    SELECT en.vec_id, g.cell_id AS group_id,
+         |     row_number() OVER (PARTITION BY en.vec_id ORDER BY
+         |      list_reduce(list_transform(range(1, len(en.v) + 1),
+         |        j -> en.v[j] * g.cv[j]), (a, b) -> a + b)
+         |        / (en.nrm * g.cnrm) DESC, g.cell_id) AS rk
+         |    FROM en CROSS JOIN gcn2 g) WHERE rk = 1),
+         |vcs AS (
+         |  SELECT en.vec_id, c.cell_id,
+         |   list_reduce(list_transform(range(1, len(en.v) + 1),
+         |     j -> en.v[j] * c.cv[j]), (a, b) -> a + b)
+         |     / (en.nrm * c.cnrm) AS sim,
+         |   row_number() OVER (PARTITION BY en.vec_id ORDER BY
+         |    list_reduce(list_transform(range(1, len(en.v) + 1),
+         |      j -> en.v[j] * c.cv[j]), (a, b) -> a + b)
+         |      / (en.nrm * c.cnrm) DESC, c.cell_id) AS rk
+         |  FROM en
+         |  JOIN vg ON vg.vec_id = en.vec_id
+         |  JOIN memb m ON m.group_id = vg.group_id
+         |  JOIN cn2 c ON c.cell_id = m.cell_id),
+         |assigned AS (SELECT vec_id, cell_id FROM vcs WHERE rk = 1),
+         |probed AS (
+         |  SELECT vec_id, cell_id FROM vcs
+         |  WHERE rk <= 2 AND vec_id % 25 = 0),
+         |cand AS (
+         |  SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id
+         |  FROM probed p JOIN assigned a
+         |    ON a.cell_id = p.cell_id AND a.vec_id <> p.vec_id),
+         |scored AS (
+         |  SELECT c.query_id, c.neighbor_id,
+         |   list_reduce(list_transform(range(1, len(q.v) + 1),
+         |     j -> q.v[j] * nb.v[j]), (a, b) -> a + b) / (q.nrm * nb.nrm)
+         |     AS cosine
+         |  FROM cand c
+         |  JOIN en q ON q.vec_id = c.query_id
+         |  JOIN en nb ON nb.vec_id = c.neighbor_id),
+         |r2 AS (
+         |  SELECT query_id, neighbor_id, cosine, CAST(row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)
+         |    AS BIGINT) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, neighbor_id, cosine
+         |FROM r2 WHERE rank <= 5""".stripMargin,
 
     // the s11 pipeline widened to a 25-candidate ADC shortlist, then
     // the s1 exact-cosine fold re-ranks ONLY those 25 — textually the

@@ -348,6 +348,15 @@ object Stress {
         nProbe = 2, m = 8, k = 8, dim = 64, pqIters = 2,
         seed = 777).count()
     }
+    // two-level routing: n·(G + C/G) dots vs the flat n·C — compare
+    // against s3/s5's flat curves; G = ⌈√C⌉ gives the n^1.25 shape
+    t("s17_ivf_twolevel") {
+      val cells = Similarity.autoCells(emb.count())
+      Similarity.ivfTwoLevelTopK(emb, pqQueries, "vec_id", "embedding",
+        k = 5, nCells = cells,
+        nGroups = math.max(2, math.ceil(math.sqrt(cells)).toInt),
+        iters = 2, nProbe = 2).count()
+    }
     // —— round-6 additions: lakehouse scale claims ——
     // q80/q88 data skipping: a range-clustered commit with file count
     // ∝ corpus, then a FIXED-width key-range read. The claim under

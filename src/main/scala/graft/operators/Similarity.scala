@@ -989,6 +989,104 @@ object Similarity {
         col("nvid").as("neighbor_id"), col("adc6"))
   }
 
+  /** TWO-LEVEL (hierarchical) IVF routing — the assignment-cost
+    * repair for the flat quantizer's n·C dot products (the n^1.5
+    * term every flat-IVF probe in BASELINE §4 documents, since
+    * C = ⌈√n⌉): cluster the C cell centroids themselves into G
+    * groups (C·G work — trivial), then route each vector through its
+    * nearest GROUP (n·G dots) and only score the cells inside that
+    * group (n·C/G average). With G = √C total routing work is
+    * n·2√C = n^1.25 — the IMI/coarse-hierarchy idea production ANN
+    * systems use. Routing is approximate (a vector whose true
+    * nearest cell sits in a losing group lands in its second-best
+    * cell — the standard recall trade; queries probe `nProbe` cells
+    * WITHIN their group, and the exact-cosine tail re-ranks as in
+    * s5). Every argmax is a map-side-combinable groupBy-max (never a
+    * corpus-×-C window), so shuffle volume also drops from n·C
+    * scored rows to n. Deterministic end to end (same quantized
+    * Lloyd, same (sim desc, id asc) tie order), so the whole
+    * two-level train→route→search plan is DuckDB-oracle-checkable.
+    * Returns (query_id, rank, neighbor_id, cosine). */
+  def ivfTwoLevelTopK(emb: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nCells: Int, nGroups: Int,
+      iters: Int, nProbe: Int): DataFrame = {
+    val cents = kmeansCentroids(emb, idCol, vecCol, nCells, iters)
+      .persistTracked() // membership + both routing joins
+    val cWith = cents.select(col("cell_id"), col("centroid").as("cv"))
+      .withColumn("cnrm", norm(col("cv")))
+    val groups = kmeansCentroids(
+        cents.select(col("cell_id").as("gvid"),
+          col("centroid").as("gv0")), "gvid", "gv0", nGroups, iters)
+      .select(col("cell_id").as("group_id"), col("centroid").as("gv"))
+      .withColumn("gnrm", norm(col("gv")))
+    // cell → group membership (argmax cosine, ties to the low group)
+    val memb = cWith.crossJoin(broadcast(groups))
+      .withColumn("sim",
+        dot(col("cv"), col("gv")) / (col("cnrm") * col("gnrm")))
+      .groupBy(col("cell_id"))
+      .agg(max(struct(col("sim"), (-col("group_id")).as("ng"),
+        col("group_id").as("g"))).as("m"))
+      .select(col("cell_id"), col("m.g").as("group_id"))
+    val cellsOfGroup = cWith.join(broadcast(memb), Seq("cell_id"))
+      .persistTracked() // assignment pass + query probe pass
+    val e = emb.select(col(idCol).as("vid"), col(vecCol).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    // vector → group (n·G dots, map-side argmax). Persist the SLIM
+    // (vid, group_id) routing relation only — the raw-twin
+    // discipline: carrying v through the cache would store every
+    // vector again; the downstream passes re-join v from the scan
+    val vGroup = e.crossJoin(broadcast(groups))
+      .withColumn("sim",
+        dot(col("v"), col("gv")) / (col("nrm") * col("gnrm")))
+      .groupBy(col("vid"))
+      .agg(max(struct(col("sim"), (-col("group_id")).as("ng"),
+        col("group_id").as("g"))).as("m"))
+      .select(col("vid"), col("m.g").as("group_id"))
+      .persistTracked()
+    // vector → cell inside its group (n·C/G average, map-side argmax)
+    val assigned = e.join(vGroup, Seq("vid"))
+      .join(broadcast(cellsOfGroup), Seq("group_id"))
+      .withColumn("sim",
+        dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+      .groupBy(col("vid"))
+      .agg(max(struct(col("sim"), (-col("cell_id")).as("nc"),
+        col("cell_id").as("c"))).as("m"))
+      .select(col("vid").as("nvid"), col("m.c").as("cell_id"))
+    // queries probe the nProbe best cells WITHIN their group — the
+    // qids filter lands BEFORE any scoring, so the probe pass scores
+    // q·C/G rows, never the corpus
+    val qids = queries.select(col(idCol).as("vid")).distinct()
+    val wProbe = Window.partitionBy(col("vid"))
+      .orderBy(col("sim").desc, col("cell_id").asc)
+    val probed = e.join(broadcast(qids), Seq("vid"))
+      .join(vGroup, Seq("vid"))
+      .join(broadcast(cellsOfGroup), Seq("group_id"))
+      .withColumn("sim",
+        dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+      .withColumn("rk", row_number().over(wProbe))
+      .filter(col("rk") <= math.max(nProbe, 1))
+      .select(col("vid").as("qid"), col("cell_id"))
+    // exact-cosine tail over probed cells (the s5 shape)
+    val cand = probed.join(assigned, Seq("cell_id"))
+      .filter(col("qid") =!= col("nvid"))
+      .select(col("qid"), col("nvid"))
+    val q = queries.select(col(idCol).as("qid"),
+        col(vecCol).as("q_vec"))
+      .withColumn("q_norm", norm(col("q_vec")))
+    val c = emb.select(col(idCol).as("nvid"), col(vecCol).as("c_vec"))
+      .withColumn("c_norm", norm(col("c_vec")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("nvid").asc)
+    cand.join(broadcast(q), Seq("qid"))
+      .join(c, Seq("nvid"))
+      .withColumn("cosine",
+        dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("rank"),
+        col("nvid").as("neighbor_id"), col("cosine"))
+  }
+
   /** Residual IVF-PQ with an exact-cosine re-rank tail — the FAISS
     * "refine" composition (IndexRefineFlat over IVFPQ), the standard
     * recall repair for quantized search: ADC ranks a SHORTLIST of

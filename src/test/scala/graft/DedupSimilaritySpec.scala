@@ -693,6 +693,36 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"two-stage recall too low: $recall")
   }
 
+  test("two-level IVF with one group degenerates to flat IVF (s17)") {
+    val emb = Tables.embeddings(spark, Sf0001)
+    val qs = emb.filter(col("vec_id") % 5 === 0)
+    def triples(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Long, Long)].collect().toSet
+    // G = 1 puts every cell in the single group: the within-group
+    // argmax ranges over ALL cells, so assignment, probing and the
+    // exact tail must all reproduce the flat trained-IVF search
+    val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+      nCells = 6, iters = 2)
+    val flat = triples(Similarity.ivfTopKWith(emb, cents, "vec_id",
+      "embedding", k = 5, nProbe = 2)
+      .filter(col("query_id") % 5 === 0))
+    val two = triples(Similarity.ivfTwoLevelTopK(emb, qs, "vec_id",
+      "embedding", k = 5, nCells = 6, nGroups = 1, iters = 2,
+      nProbe = 2))
+    assert(two == flat, s"two-level(G=1) diverged from flat IVF")
+    // with real groups the search still returns k well-formed rows
+    // per query and respects the self-exclusion contract
+    val routed = Similarity.ivfTwoLevelTopK(emb, qs, "vec_id",
+      "embedding", k = 3, nCells = 6, nGroups = 2, iters = 2,
+      nProbe = 2)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Long, Long)].collect()
+    assert(routed.forall { case (q, _, n) => q != n })
+    assert(routed.groupBy(_._1).values
+      .forall(rs => rs.map(_._2).sorted.sameElements(1L to rs.length)))
+  }
+
   test("IVF-PQ re-rank with all cells probed + full shortlist equals " +
       "brute force (s16)") {
     val emb = Tables.embeddings(spark, Sf0001).filter(col("vec_id") % 5 === 0)
