@@ -1179,4 +1179,40 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of two ranked
+    * retrieval lists — the standard hybrid-search combiner (lexical
+    * BM25 ⊕ dense cosine). Inputs are (query_id, doc_id, rank)
+    * relations; a document absent from one list simply contributes
+    * nothing from it (the full-outer-join semantics every RRF
+    * implementation uses). Output: (query_id, rank, doc_id, rrf6,
+    * lex_rank, dense_rank), top `k` per query by fused score.
+    *
+    * Exactness: each leg's contribution is round(1e6/(k0 + rank)) —
+    * one IEEE division of exact integers, quantized to integer micro
+    * units at the ROW, so the fused score is an exact BIGINT sum and
+    * hash-stable across engines. Fusion happens entirely in rank
+    * space: the legs are pluggable (swap brute-force cosine for the
+    * s16 routed re-rank at scale) without touching the combiner.
+    *
+    * Scale shape: both inputs are already top-shortK-per-query (k·|Q|
+    * rows, corpus-independent), so the join and the per-query window
+    * are bounded by the shortlist size, never the corpus. */
+  def rrfFuseTopK(lex: DataFrame, dense: DataFrame, k: Int,
+      k0: Int = 60): DataFrame = {
+    val l = lex.select(col("query_id"), col("doc_id"),
+      col("rank").as("lex_rank"))
+    val dn = dense.select(col("query_id"), col("doc_id"),
+      col("rank").as("dense_rank"))
+    val fused = l.join(dn, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf6",
+        coalesce(round(lit(1e6) / (lit(k0.toDouble) + col("lex_rank")))
+          .cast("long"), lit(0L)) +
+        coalesce(round(lit(1e6) / (lit(k0.toDouble) + col("dense_rank")))
+          .cast("long"), lit(0L)))
+    Events.topKPerGroup(fused, Seq(col("query_id")),
+      Seq(col("rrf6").desc, col("doc_id").asc), k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("rrf6"),
+        col("lex_rank"), col("dense_rank"))
+  }
 }

@@ -823,4 +823,64 @@ object TextAnalysis {
         sum(col("np")).as("n_pieces"),
         sum(Tables.hashU32(col("seg"), seed)).as("seg_fp"))
   }
+
+  /** Okapi BM25 top-k retrieval: every document where `isQuery` holds
+    * is a query (its DISTINCT tokens are the query terms) ranked
+    * against the whole corpus; returns
+    * (query_id, rank, doc_id, score6) with rank 1..k by BM25 desc,
+    * doc_id tiebreak, self excluded.
+    *
+    * Exactness discipline (the t12/t20 rule): the ONLY transcendental
+    * — idf = ln(1 + (N - df + 0.5)/(df + 0.5)) — is evaluated on the
+    * VOCABULARY relation and quantized to integer micro-nats there;
+    * the per-(query, doc, term) contribution multiplies that integer
+    * by the tf-saturation fraction
+    * tf·(k1+1) / (tf + k1·(1 - b + b·dl·N/tot)) — pure IEEE +,*,/
+    * over exactly-representable integers, bit-identical across
+    * engines — and is itself rounded to an integer, so the final
+    * per-pair score is an order-independent BIGINT SUM the oracle
+    * hash-matches.
+    *
+    * Scale shape: df/idf live on the vocab relation (broadcast); the
+    * query-term relation (queries × ≤vocab terms) is broadcast against
+    * tf, so the corpus-sized side never shuffles for the candidate
+    * join; only the (query, doc) pair relation shuffles, once, for the
+    * score aggregation. At 100 TB with a real open vocabulary you
+    * would serve this from the t24 block-partitioned inverted index
+    * with WAND upper-bound pruning (skip terms whose idf ceiling
+    * cannot lift a doc into the current top-k); the scoring semantics
+    * here are exactly what that index would rank with. */
+  def bm25TopK(docs: DataFrame, idCol: Column, textCol: Column,
+      isQuery: Column, k: Int = 5, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val tok = docs.select(idCol.as("doc_id"),
+      explode(tokens(textCol)).as("token"))
+    val tf = tok.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val dfq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val tots = dl.agg(count(lit(1)).cast("double").as("n"),
+      sum(col("dl")).cast("double").as("tot"))
+    val idf6 = dfq.crossJoin(broadcast(tots))
+      .withColumn("idf6", round(log(lit(1.0) +
+        (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+        * lit(1e6)).cast("long"))
+      .select(col("token"), col("idf6"), col("n"), col("tot"))
+    val qterms = docs.filter(isQuery)
+      .select(idCol.as("query_id"),
+        explode(array_distinct(tokens(textCol))).as("token"))
+    val cand = tf.join(broadcast(qterms), Seq("token"))
+      .filter(col("query_id") =!= col("doc_id"))
+      .join(broadcast(idf6), Seq("token"))
+      .join(dl, Seq("doc_id"))
+      .withColumn("contrib6", round(col("idf6") *
+        (col("tf") * lit(k1 + 1.0)) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) +
+          lit(b) * col("dl") * col("n") / col("tot")))).cast("long"))
+    val scored = cand.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("contrib6")).as("score6"))
+    Events.topKPerGroup(scored, Seq(col("query_id")),
+      Seq(col("score6").desc, col("doc_id").asc), k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score6"))
+  }
 }

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Similarity, TextAnalysis}
+
+/** BM25 ranking (t26) and reciprocal-rank hybrid fusion (s18). */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Hand-computed Okapi BM25 on a 4-doc corpus, mirroring the
+    * operator's integer-quantization discipline step for step. */
+  test("bm25TopK matches a hand-computed reference ranking") {
+    val docs = Seq(
+      (0L, "apple banana apple"),
+      (1L, "apple banana banana cherry"),
+      (2L, "cherry cherry cherry durian"),
+      (3L, "banana durian")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25TopK(docs, col("doc_id"), col("text"),
+        col("doc_id") === 0, k = 3)
+      .select("query_id", "rank", "doc_id", "score6")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._2)
+
+    // reference computation (k1=1.2, b=0.75)
+    val tf = Map( // (doc, token) -> tf
+      (0L, "apple") -> 2L, (0L, "banana") -> 1L,
+      (1L, "apple") -> 1L, (1L, "banana") -> 2L, (1L, "cherry") -> 1L,
+      (2L, "cherry") -> 3L, (2L, "durian") -> 1L,
+      (3L, "banana") -> 1L, (3L, "durian") -> 1L)
+    val dl = Map(0L -> 3L, 1L -> 4L, 2L -> 4L, 3L -> 2L)
+    val dfm = Map("apple" -> 2L, "banana" -> 3L, "cherry" -> 2L,
+      "durian" -> 2L)
+    val n = 4.0; val tot = 13.0
+    def idf6(t: String): Long =
+      math.round(math.log(1.0 + (n - dfm(t) + 0.5) / (dfm(t) + 0.5)) * 1e6)
+    def contrib6(d: Long, t: String): Long = {
+      val f = tf((d, t)).toDouble
+      math.round(idf6(t) * (f * (1.2 + 1.0)) /
+        (f + 1.2 * (0.25 + 0.75 * dl(d) * n / tot)))
+    }
+    // query 0 terms: apple, banana; candidates 1, 3 (2 shares nothing)
+    val s1 = contrib6(1L, "apple") + contrib6(1L, "banana")
+    val s3 = contrib6(3L, "banana")
+    assert(s1 > s3, "doc 1 matches both terms and must outrank doc 3")
+    assert(out.toSeq == Seq((0L, 1L, 1L, s1), (0L, 2L, 3L, s3)),
+      s"got ${out.toSeq}")
+  }
+
+  test("bm25TopK: rarer term outweighs common term at equal tf") {
+    // "rare" appears in 1 of 6 docs, "common" in all 6: one query
+    // holding both terms must rank the rare-term doc first
+    val docs = Seq(
+      (0L, "rare common"), (10L, "rare common extra"),
+      (20L, "common extra"), (30L, "common extra"),
+      (40L, "common extra"), (50L, "common extra")
+    ).toDF("doc_id", "text")
+    val top = TextAnalysis.bm25TopK(docs, col("doc_id"), col("text"),
+        col("doc_id") === 0, k = 5)
+      .select("rank", "doc_id").as[(Long, Long)].collect().toMap
+    assert(top(1L) == 10L, "the only other rare-term doc must rank 1")
+  }
+
+  test("bm25TopK excludes the query document itself") {
+    val docs = Seq((0L, "a b"), (25L, "a b"), (1L, "a c"))
+      .toDF("doc_id", "text")
+    val ids = TextAnalysis.bm25TopK(docs, col("doc_id"), col("text"),
+        col("doc_id") % 25 === 0, k = 10)
+      .select("query_id", "doc_id").as[(Long, Long)].collect()
+    assert(ids.forall { case (q, d) => q != d })
+    // both queries see each other and doc 1
+    assert(ids.toSet == Set((0L, 25L), (0L, 1L), (25L, 0L), (25L, 1L)))
+  }
+
+  test("rrfFuseTopK fuses integer rank contributions exactly") {
+    val lex = Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L))
+      .toDF("query_id", "doc_id", "rank")
+    val dense = Seq((1L, 11L, 1L), (1L, 13L, 2L))
+      .toDF("query_id", "doc_id", "rank")
+    val out = Similarity.rrfFuseTopK(lex, dense, k = 4)
+      .select("rank", "doc_id", "rrf6")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    def r6(r: Long): Long = math.round(1e6 / (60.0 + r))
+    // doc 11: lex rank 2 + dense rank 1 — only doc in both lists
+    assert(out.head == (1L, 11L, r6(2) + r6(1)))
+    val byDoc = out.map(t => t._2 -> t._3).toMap
+    assert(byDoc(10L) == r6(1) && byDoc(12L) == r6(3) &&
+      byDoc(13L) == r6(2))
+    // one-list docs: higher single rank beats lower single rank;
+    // doc_id breaks the 10-vs-13 tie? no tie: r6(1) > r6(2) > r6(3)
+    assert(out.map(_._2).toSeq == Seq(11L, 10L, 13L, 12L))
+  }
+
+  test("rrfFuseTopK keeps per-query lists independent") {
+    val lex = Seq((1L, 10L, 1L), (2L, 20L, 1L))
+      .toDF("query_id", "doc_id", "rank")
+    val dense = Seq((1L, 10L, 1L), (2L, 21L, 1L))
+      .toDF("query_id", "doc_id", "rank")
+    val out = Similarity.rrfFuseTopK(lex, dense, k = 2)
+      .select("query_id", "rank", "doc_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 1L, 10L), (2L, 1L, 20L), (2L, 2L, 21L)))
+  }
+}
