@@ -140,7 +140,82 @@ object VersionedTable {
     try out.write(json.getBytes(UTF_8)) finally out.close()
     if (!f.rename(tmp, new Path(md, s"v$v.json")))
       throw new java.io.IOException(s"commit of v$v lost the rename race")
+    writeHint(f, dir, v)
   }
+
+  /** `_manifests/_latest` — a best-effort O(1) pointer to the newest
+    * committed version, the Delta `_last_checkpoint` pattern. On an
+    * object store, discovering the tip via LIST is a paged,
+    * eventually-consistent scan over O(commits) keys (a year of
+    * minutely streaming commits is ~500k manifests); one GET of this
+    * hint plus a bounded probe-forward replaces it. The hint is NEVER
+    * load-bearing: it is written after the manifest rename (the commit
+    * point), so it can only LAG — a crash between the two, an
+    * interleaved committer pair finishing out of order, or a lost
+    * hint file all leave a stale-or-missing hint that
+    * [[currentVersionFast]] repairs by probing v+1, v+2, … until a
+    * miss. Correctness never depends on it. */
+  private def hintPath(dir: String) = new Path(manifestDir(dir), "_latest")
+
+  private[graft] def writeHint(f: FileSystem, dir: String,
+      v: Int): Unit =
+    try {
+      val tmp = new Path(manifestDir(dir), "_latest.tmp")
+      val out = f.create(tmp, true)
+      try out.write(v.toString.getBytes(UTF_8)) finally out.close()
+      val dst = hintPath(dir)
+      if (f.exists(dst)) f.delete(dst, false)
+      if (!f.rename(tmp, dst)) f.delete(tmp, false)
+    } catch { case _: Throwable => () } // a hint, never a gate
+
+  /** Test/entry seam: plant a (possibly stale) hint value directly. */
+  private[graft] def writeHint(spark: SparkSession, dir: String,
+      v: Int): Unit = writeHint(fs(spark, dir), dir, v)
+
+  private[graft] def readHint(spark: SparkSession,
+      dir: String): Option[Int] = readHint(fs(spark, dir), dir)
+
+  private[graft] def readHint(f: FileSystem, dir: String): Option[Int] =
+    try {
+      val p = hintPath(dir)
+      if (!f.exists(p)) None
+      else {
+        val in = f.open(p)
+        val txt =
+          try {
+            val bos = new java.io.ByteArrayOutputStream()
+            val buf = new Array[Byte](64)
+            Iterator.continually(in.read(buf)).takeWhile(_ >= 0)
+              .foreach(n => bos.write(buf, 0, n))
+            new String(bos.toByteArray, UTF_8).trim
+          } finally in.close()
+        if (txt.matches("\\d+")) Some(txt.toInt) else None
+      }
+    } catch { case _: Throwable => None }
+
+  /** The newest committed version in O(1) manifest-store requests:
+    * one hint GET, one existence check, then probe-forward past any
+    * commits the hint missed. Falls back to the full LIST when the
+    * hint is absent, unparseable, or names a vacuumed/never-committed
+    * version. The probe loop is bounded by the number of commits that
+    * landed since the hint was written — normally 0 or 1. */
+  def currentVersionFast(spark: SparkSession, dir: String): Int = {
+    val f = fs(spark, dir)
+    def manifestOf(v: Int) = new Path(manifestDir(dir), s"v$v.json")
+    val start = readHint(f, dir).filter(v => f.exists(manifestOf(v)))
+      .getOrElse {
+        val vs = versions(spark, dir)
+        require(vs.nonEmpty, s"no committed versions at $dir")
+        vs.last
+      }
+    var v = start
+    while (f.exists(manifestOf(v + 1))) v += 1
+    v
+  }
+
+  /** [[readCurrent]] resolved through the O(1) hint protocol. */
+  def readCurrentFast(spark: SparkSession, dir: String): DataFrame =
+    readVersion(spark, dir, currentVersionFast(spark, dir))
 
   /** Write `df` as the next snapshot version; returns its number.
     * The manifest rename is the commit point — readers never see a

@@ -601,4 +601,41 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.readVersion(spark, dir, 1)
       .select("id").as[Long].collect().toSet == Set(2L))
   }
+
+  test("latest hint: every commit flavor refreshes it") {
+    val dir = java.nio.file.Files.createTempDirectory("vtab").toString
+    VersionedTable.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), dir)
+    assert(VersionedTable.readHint(spark, dir) == Some(0))
+    VersionedTable.appendCommit(Seq((3L, "c")).toDF("id", "s"), dir)
+    assert(VersionedTable.readHint(spark, dir) == Some(1))
+    VersionedTable.deleteCommit(Seq(Tuple1(2L)).toDF("id"), dir)
+    assert(VersionedTable.readHint(spark, dir) == Some(2))
+    assert(VersionedTable.currentVersionFast(spark, dir) == 2)
+    assert(VersionedTable.readCurrentFast(spark, dir)
+      .select("id").as[Long].collect().toSet == Set(1L, 3L))
+  }
+
+  test("latest hint: stale, missing, corrupt, and phantom hints all recover") {
+    val dir = java.nio.file.Files.createTempDirectory("vtab").toString
+    (0 to 3).foreach(i =>
+      VersionedTable.commit(Seq((i.toLong, "x")).toDF("id", "s"), dir))
+    // stale (committer crashed before refresh): probe-forward repairs
+    VersionedTable.writeHint(spark, dir, 1)
+    assert(VersionedTable.currentVersionFast(spark, dir) == 3)
+    // missing: falls back to the LIST
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(dir, "_manifests", "_latest"))
+    assert(VersionedTable.currentVersionFast(spark, dir) == 3)
+    // corrupt: unparseable content falls back to the LIST
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_manifests", "_latest"),
+      "not-a-number".getBytes)
+    assert(VersionedTable.currentVersionFast(spark, dir) == 3)
+    // phantom: hint names a version with no manifest → LIST fallback
+    VersionedTable.writeHint(spark, dir, 99)
+    assert(VersionedTable.currentVersionFast(spark, dir) == 3)
+    // reads resolve identically through either path
+    assert(VersionedTable.readCurrentFast(spark, dir)
+      .select("id").as[Long].collect().toSet == Set(3L))
+  }
 }
