@@ -55,6 +55,45 @@ object SparkEntry {
   private val DuckToks =
     "list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0)"
 
+  /** DuckDB twin of TextAnalysis.bm25TopK (k1=1.2, b=0.75, queries =
+    * doc_id %% 25 = 0): WITH-chain ending at `bmr` = (query_id,
+    * doc_id, score6, rank). Every arithmetic step mirrors the Spark
+    * operand order — the only transcendental (idf ln) is quantized to
+    * micro-nats on the vocab relation, contributions are rounded to
+    * integers at the row, scores are exact BIGINT sums. */
+  private def duckBm25Ctes: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest($DuckToks) AS token FROM documents),
+       |btf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+       |  FROM tok GROUP BY 1, 2),
+       |bdl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+       |  FROM btf GROUP BY 1),
+       |bdf AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+       |  FROM btf GROUP BY 1),
+       |btot AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+       |  CAST(sum(dl) AS DOUBLE) AS tot FROM bdl),
+       |bidf AS (SELECT token,
+       |  CAST(round(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * 1e6)
+       |    AS BIGINT) AS idf6, n, tot
+       |  FROM bdf CROSS JOIN btot),
+       |bqt AS (SELECT doc_id AS query_id,
+       |  unnest(list_distinct($DuckToks)) AS token
+       |  FROM documents WHERE doc_id % 25 = 0),
+       |bcand AS (
+       |  SELECT bqt.query_id, btf.doc_id,
+       |   CAST(round(i.idf6 * (btf.tf * (1.2 + 1.0)) /
+       |     (btf.tf + 1.2 * (0.25 + 0.75 * bdl.dl * i.n / i.tot)))
+       |     AS BIGINT) AS contrib6
+       |  FROM btf JOIN bqt USING (token) JOIN bidf i USING (token)
+       |  JOIN bdl ON bdl.doc_id = btf.doc_id
+       |  WHERE btf.doc_id <> bqt.query_id),
+       |bsc AS (SELECT query_id, doc_id, CAST(sum(contrib6) AS BIGINT)
+       |  AS score6 FROM bcand GROUP BY 1, 2),
+       |bmr AS (SELECT query_id, doc_id, score6,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY score6 DESC, doc_id) AS BIGINT) AS rank
+       |  FROM bsc)""".stripMargin
+
   // BPE hyperparameters (t16/t17). BpeMerges must stay small enough
   // that pairs never exhaust at the smallest SF — the oracle unrolls
   // exactly this many rounds and an empty round would NULL the chain.
@@ -1225,6 +1264,38 @@ object SparkEntry {
       Curation.perplexityBuckets(Tables.documents(s, d),
         col("doc_id"), col("text"), col("lang"))),
 
+    // Unicode NFC canonicalization via the native codegen'd
+    // NfcNormalizeExpr (ASCII fast path returns the input
+    // UTF8String): the corpus is ASCII, so deterministic decomposed
+    // suffixes are injected — docs %3 = 0 get e + COMBINING ACUTE
+    // (2 codepoints), the rest get precomposed é (1) — and the per-
+    // lang census proves NFC collapses both spellings to identical
+    // fingerprints while chars_raw still sees the pre-NFC lengths
+    "t27_nfc_normalize" -> ((s, d) => {
+      val raw = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        concat(col("text"), lit(" caf"),
+          when(col("doc_id") % 3 === 0, lit("é"))
+            .otherwise(lit("é"))).as("raw"))
+      raw.withColumn("nrm",
+          graft.functions.NfcNormalizeExpr.nfc(col("raw")))
+        .groupBy(col("lang")).agg(
+          count(lit(1)).as("cnt"),
+          sum(length(col("raw"))).as("chars_raw"),
+          sum(length(col("nrm"))).as("chars_norm"),
+          sum(when(col("nrm") =!= col("raw"), lit(1L))
+            .otherwise(lit(0L))).as("n_changed"),
+          sum(Tables.hashU32(col("nrm"), 7)).as("norm_fp"))
+    }),
+
+    // Okapi BM25 top-5 retrieval (k1=1.2, b=0.75): idf quantized to
+    // integer micro-nats on the vocab relation, per-term contributions
+    // integer-rounded, scores exact BIGINT sums — the t12 exactness
+    // discipline applied to ranking. Query terms broadcast; the
+    // corpus never shuffles for the candidate join
+    "t26_bm25_topk" -> ((s, d) =>
+      TextAnalysis.bm25TopK(Tables.documents(s, d), col("doc_id"),
+        col("text"), col("doc_id") % 25 === 0, k = 5)),
+
     // BLOCK-PARTITIONED inverted index: token → posting blocks of
     // ≤ 64 docs each (block = doc_id div 64) — a stopword's corpus-
     // sized posting list never lands on one reducer; postings sort by
@@ -1824,6 +1895,33 @@ object SparkEntry {
           .select(lit(label.toLong).as("label"), col("cnt"),
             col("id_sum"), col("content_sum"))
       agg(0, vBase).unionByName(agg(1, bV)).unionByName(agg(2, vA))
+    }),
+
+    // O(1) tip resolution (the Delta _last_checkpoint pattern): every
+    // commit refreshes a _latest hint; resolution is one GET + a
+    // probe-forward past commits the hint missed — never a LIST over
+    // O(commits) manifests. The entry plants a hint 4 commits stale
+    // (a committer crashing between manifest rename and hint refresh)
+    // and proves probe-forward still lands on the true tip: hint_gap
+    // is the distance repaired, and the census reads the resolved
+    // version's full state
+    "q94_latest_hint" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(
+        col("doc_id"), col("text"), col("lang"))
+      val dir = scratchDir("graft_vhint", d)
+      val vt = graft.sources.VersionedTable
+      val v0 = vt.commit(docs.filter(col("doc_id") % 5 === 0), dir)
+      val last = (1 to 4).map(m =>
+        vt.appendCommit(docs.filter(col("doc_id") % 5 === m), dir)).last
+      vt.writeHint(s, dir, v0) // stale: tip is 4 commits ahead
+      val resolved = vt.currentVersionFast(s, dir)
+      assert(resolved == last,
+        s"probe-forward must land on $last, got $resolved")
+      vt.readVersion(s, dir, resolved)
+        .agg(count(lit(1)).as("cnt"), sum(col("doc_id")).as("id_sum"),
+          sum(Tables.hashU32(col("text"), 7)).as("content_sum"))
+        .select(lit((resolved - v0).toLong).as("hint_gap"), col("cnt"),
+          col("id_sum"), col("content_sum"))
     }),
 
     // SHALLOW CLONE: dst v0 = a metadata-only manifest pointing at
@@ -2485,6 +2583,23 @@ object SparkEntry {
         emb.filter(col("vec_id") % 25 === 0), "vec_id", "embedding",
         topK = 5, shortK = 25, nCells = 8, ivfIters = 2, nProbe = 2,
         m = 8, k = 8, dim = 64, pqIters = 2, seed = 777)
+    }),
+
+    // HYBRID retrieval: lexical BM25 top-20 ⊕ dense cosine top-20,
+    // fused by reciprocal-rank fusion (1e6/(60+rank) integer micro
+    // units, exact BIGINT sums). Fusion is rank-space so the legs are
+    // pluggable — at 100 TB the dense leg swaps to the s16 routed
+    // re-rank and the lexical leg serves from the t24 inverted index
+    // with WAND pruning; the combiner is untouched. documents and
+    // embeddings share ids by construction (TESTDATA.md)
+    "s18_hybrid_rrf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val lex = TextAnalysis.bm25TopK(Tables.documents(s, d),
+        col("doc_id"), col("text"), col("doc_id") % 25 === 0, k = 20)
+      val dense = Similarity.bruteForceTopK(emb,
+        emb.filter(col("vec_id") % 25 === 0), "vec_id", "embedding", 20)
+        .withColumnRenamed("neighbor_id", "doc_id")
+      Similarity.rrfFuseTopK(lex, dense, k = 5)
     }),
 
     // CUBE: all four grouping combinations + grouping_id, completing
@@ -5234,6 +5349,70 @@ object SparkEntry {
          | CAST(max(lp6) AS BIGINT) AS lp6_max
          |FROM r GROUP BY 1, 2""".stripMargin,
 
+    "t26_bm25_topk" ->
+      s"""$duckBm25Ctes
+         |SELECT query_id, rank, doc_id, score6
+         |FROM bmr WHERE rank <= 5""".stripMargin,
+
+    // chr(769) = COMBINING ACUTE (decomposed), chr(233) = é; DuckDB's
+    // nfc_normalize is the oracle twin of the native Expression
+    "t27_nfc_normalize" ->
+      s"""WITH raw AS (
+         |  SELECT doc_id, lang, text || ' caf' ||
+         |   (CASE WHEN doc_id % 3 = 0 THEN 'e' || chr(769)
+         |    ELSE chr(233) END) AS raw
+         |  FROM documents),
+         |n AS (SELECT lang, raw, nfc_normalize(raw) AS nrm FROM raw)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS cnt,
+         | CAST(sum(len(raw)) AS BIGINT) AS chars_raw,
+         | CAST(sum(len(nrm)) AS BIGINT) AS chars_norm,
+         | CAST(sum(CASE WHEN nrm <> raw THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_changed,
+         | CAST(sum(${duckU32("nrm", 7)}) AS BIGINT) AS norm_fp
+         |FROM n GROUP BY lang""".stripMargin,
+
+    // BM25 CTE chain (top-20) ⊕ the s1 exact-cosine text (top-20,
+    // same fold order) → RRF in integer micro units
+    "s18_hybrid_rrf" ->
+      s"""$duckBm25Ctes,
+         |lexr AS (SELECT query_id, doc_id, rank AS lex_rank
+         |  FROM bmr WHERE rank <= 20),
+         |e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+         |  FROM embeddings),
+         |dsc AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+         |   list_reduce(list_transform(range(1, len(q.v) + 1),
+         |     i -> q.v[i] * c.v[i]), (x, y) -> x + y) /
+         |   (sqrt(list_reduce(list_transform(q.v, x -> x * x),
+         |      (x, y) -> x + y)) *
+         |    sqrt(list_reduce(list_transform(c.v, x -> x * x),
+         |      (x, y) -> x + y))) AS cosine
+         |  FROM e q JOIN e c ON q.vec_id % 25 = 0 AND c.vec_id <> q.vec_id),
+         |dr AS (
+         |  SELECT query_id, doc_id, CAST(row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cosine DESC, doc_id)
+         |    AS BIGINT) AS dense_rank
+         |  FROM dsc),
+         |denser AS (SELECT query_id, doc_id, dense_rank
+         |  FROM dr WHERE dense_rank <= 20),
+         |fused AS (
+         |  SELECT coalesce(l.query_id, dn.query_id) AS query_id,
+         |   coalesce(l.doc_id, dn.doc_id) AS doc_id,
+         |   l.lex_rank, dn.dense_rank,
+         |   coalesce(CAST(round(1e6 / (60.0 + l.lex_rank)) AS BIGINT), 0)
+         |   + coalesce(CAST(round(1e6 / (60.0 + dn.dense_rank))
+         |       AS BIGINT), 0) AS rrf6
+         |  FROM lexr l FULL OUTER JOIN denser dn
+         |    ON l.query_id = dn.query_id AND l.doc_id = dn.doc_id),
+         |fr AS (
+         |  SELECT query_id, doc_id, rrf6, lex_rank, dense_rank,
+         |   CAST(row_number() OVER (PARTITION BY query_id
+         |     ORDER BY rrf6 DESC, doc_id) AS BIGINT) AS rank
+         |  FROM fused)
+         |SELECT query_id, rank, doc_id, rrf6, lex_rank, dense_rank
+         |FROM fr WHERE rank <= 5""".stripMargin,
+
     // the same block partition, payload serialization and census
     // relationally: string_agg ordered by (doc_id, pos) mirrors
     // sort_array over the postings structs
@@ -5903,6 +6082,15 @@ object SparkEntry {
          |      UNION ALL
          |      SELECT doc_id + 1000000 AS doc_id, text
          |      FROM documents WHERE lang = 'de')""".stripMargin,
+
+    // the five %5 slices union to the whole corpus; hint_gap = 4 is
+    // the planted staleness the probe must repair
+    "q94_latest_hint" ->
+      s"""SELECT CAST(4 AS BIGINT) AS hint_gap,
+         | CAST(count(*) AS BIGINT) AS cnt,
+         | CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         | CAST(sum(${duckU32("text", 7)}) AS BIGINT) AS content_sum
+         |FROM documents""".stripMargin,
 
     // the serialized winner order replayed relationally: label 1 =
     // base ∪ B (the interloper's commit), label 2 = base ∪ B ∪ A

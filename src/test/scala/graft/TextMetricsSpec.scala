@@ -353,4 +353,28 @@ class TextMetricsSpec extends SparkSpec {
     // known-alphabet words never touch the fallback
     assert(!got("the")._1.contains("<"))
   }
+
+  test("NfcNormalizeExpr: composes, idempotent, null-safe, codegen ≡ eval") {
+    import graft.functions.NfcNormalizeExpr.nfc
+    val composed = "café"          // é precomposed
+    val decomposed = "café"       // e + combining acute
+    val df = Seq(
+      (1L, decomposed), (2L, composed), (3L, "plain ascii"), (4L, null)
+    ).toDF("id", "s")
+    val out = df.select(col("id"), nfc(col("s")).as("n"),
+        length(nfc(col("s"))).as("len"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.getString(1)), if (r.isNullAt(2)) -1 else r.getInt(2)))
+      .toMap
+    assert(out(1L) == (Some(composed), 4),
+      "decomposed input must compose to the 4-codepoint form")
+    assert(out(2L) == (Some(composed), 4), "NFC input unchanged")
+    assert(out(3L) == (Some("plain ascii"), 11), "ASCII fast path")
+    assert(out(4L) == (None, -1), "null in, null out")
+    // interpreted path (no codegen) must agree bit-for-bit
+    val expr = graft.functions.NfcNormalizeExpr(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(decomposed)))
+    assert(expr.eval(null).toString == composed)
+  }
 }
