@@ -1264,6 +1264,19 @@ object SparkEntry {
       Curation.perplexityBuckets(Tables.documents(s, d),
         col("doc_id"), col("text"), col("lang"))),
 
+    // Luhn-validated card redaction (the t6 scrubber's precision
+    // upgrade): docs %4=0 get a VALID test PAN injected, %4=1 an
+    // INVALID one — only the valid run may be redacted, proving the
+    // checksum gate. Pure per-row regex + integer fold, shuffle-free
+    "t28_luhn_redact" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val txt = concat(col("text"),
+        when(col("doc_id") % 4 === 0, lit(" pay 4111111111111111 now"))
+          .when(col("doc_id") % 4 === 1, lit(" ref 4111111111111112 end"))
+          .otherwise(lit("")))
+      TextAnalysis.luhnRedact(docs, col("doc_id"), txt)
+    }),
+
     // Unicode NFC canonicalization via the native codegen'd
     // NfcNormalizeExpr (ASCII fast path returns the input
     // UTF8String): the corpus is ASCII, so deterministic decomposed
@@ -2583,6 +2596,35 @@ object SparkEntry {
         emb.filter(col("vec_id") % 25 === 0), "vec_id", "embedding",
         topK = 5, shortK = 25, nCells = 8, ivfIters = 2, nProbe = 2,
         m = 8, k = 8, dim = 64, pqIters = 2, seed = 777)
+    }),
+
+    // recall@5 census of the trained-IVF retrieval (s5 config)
+    // against the exact top-5 — the oracle-checked evaluation receipt
+    // for the ANN family: every deployment measures recall before
+    // trusting an index, so the evaluator is itself a first-class,
+    // hash-verified operator. The exact leg is the d6-shaped
+    // all-pairs baseline; the census join is bounded by k·|Q|
+    "s19_recall_eval" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val codebook = Similarity.kmeansCentroids(emb, "vec_id",
+        "embedding", nCells = 8, iters = 2)
+      val approx = Similarity.ivfTopKWith(emb, codebook, "vec_id",
+        "embedding", k = 5, nProbe = 2)
+      val exact = Similarity.bruteForceTopK(emb, emb, "vec_id",
+        "embedding", 5)
+      Similarity.recallCensus(exact, approx)
+    }),
+
+    // hard-negative mining (contrastive-training recipe): nearest
+    // cross-`source` neighbors per query — the label filter sits
+    // BEFORE the top-k window so k is always filled; at corpus scale
+    // the exact leg swaps to IVF-probed candidates, filter unchanged
+    "d18_hard_negatives" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val labels = Tables.documents(s, d)
+        .select(col("doc_id").as("vec_id"), col("source"))
+      Similarity.hardNegativeTopK(emb, labels, "vec_id", "embedding",
+        "source", col("vec_id") % 25 === 0, k = 3)
     }),
 
     // HYBRID retrieval: lexical BM25 top-20 ⊕ dense cosine top-20,
@@ -5353,6 +5395,111 @@ object SparkEntry {
       s"""$duckBm25Ctes
          |SELECT query_id, rank, doc_id, score6
          |FROM bmr WHERE rank <= 5""".stripMargin,
+
+    // exact leg = the s1 text without the query filter; approx leg =
+    // the s5 oracle verbatim as a nested-WITH subquery; the census
+    // mirrors recallCensus' left-semi + left-outer shape
+    "s19_recall_eval" ->
+      s"""WITH exact AS (
+         |  WITH e AS (
+         |    SELECT vec_id, list_transform(embedding, x -> x::DOUBLE)
+         |      AS v FROM embeddings),
+         |  scored AS (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |     list_reduce(list_transform(range(1, len(q.v) + 1),
+         |       i -> q.v[i] * c.v[i]), (x, y) -> x + y) /
+         |     (sqrt(list_reduce(list_transform(q.v, x -> x * x),
+         |        (x, y) -> x + y)) *
+         |      sqrt(list_reduce(list_transform(c.v, x -> x * x),
+         |        (x, y) -> x + y))) AS cosine
+         |    FROM e q JOIN e c ON c.vec_id <> q.vec_id),
+         |  ranked AS (
+         |    SELECT query_id, neighbor_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)
+         |      AS rank
+         |    FROM scored)
+         |  SELECT query_id, neighbor_id FROM ranked WHERE rank <= 5),
+         |approx AS (
+         |  ${duckKmeansIvf(nc = 8, iters = 2, nProbe = 2, k = 5)}),
+         |hits AS (
+         |  SELECT e.query_id, CAST(count(*) AS BIGINT) AS hits
+         |  FROM exact e JOIN approx a
+         |    ON a.query_id = e.query_id
+         |   AND a.neighbor_id = e.neighbor_id
+         |  GROUP BY 1),
+         |qs AS (SELECT DISTINCT query_id FROM exact),
+         |perq AS (
+         |  SELECT qs.query_id,
+         |   coalesce(h.hits, CAST(0 AS BIGINT)) AS hits
+         |  FROM qs LEFT JOIN hits h USING (query_id))
+         |SELECT hits, CAST(count(*) AS BIGINT) AS n_queries
+         |FROM perq GROUP BY 1""".stripMargin,
+
+    // the s1 cosine text with the label join and the cross-source
+    // filter BEFORE the ranking window
+    "d18_hard_negatives" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings),
+        |lab AS (SELECT doc_id AS vec_id, source FROM documents),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |   cl.source AS neg_label,
+        |   list_reduce(list_transform(range(1, len(q.v) + 1),
+        |     i -> q.v[i] * c.v[i]), (x, y) -> x + y) /
+        |   (sqrt(list_reduce(list_transform(q.v, x -> x * x),
+        |      (x, y) -> x + y)) *
+        |    sqrt(list_reduce(list_transform(c.v, x -> x * x),
+        |      (x, y) -> x + y))) AS cosine
+        |  FROM e q
+        |  JOIN lab ql ON ql.vec_id = q.vec_id
+        |  JOIN e c ON c.vec_id <> q.vec_id
+        |  JOIN lab cl ON cl.vec_id = c.vec_id
+        |  WHERE q.vec_id % 25 = 0 AND cl.source <> ql.source),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, neg_label, cosine,
+        |   CAST(row_number() OVER (PARTITION BY query_id
+        |     ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, neighbor_id, cosine, neg_label
+        |FROM ranked WHERE rank <= 3""".stripMargin,
+
+    // the Luhn fold as a list_reduce over digit positions counted
+    // from the right; redaction folds txt through the VALID subset
+    // (the Spark side folds all candidates with a conditional — the
+    // same replace sequence)
+    "t28_luhn_redact" ->
+      s"""WITH raw AS (
+         |  SELECT doc_id, text ||
+         |   (CASE WHEN doc_id % 4 = 0 THEN ' pay 4111111111111111 now'
+         |         WHEN doc_id % 4 = 1 THEN ' ref 4111111111111112 end'
+         |         ELSE '' END) AS txt
+         |  FROM documents),
+         |c AS (SELECT doc_id, txt,
+         |  regexp_extract_all(txt, '[0-9]{13,19}') AS cands FROM raw),
+         |v AS (SELECT doc_id, txt, cands,
+         |  list_filter(cands, x ->
+         |    list_reduce(list_transform(range(1, len(x) + 1),
+         |      i -> CASE WHEN i % 2 = 1
+         |        THEN CAST(substr(x, len(x) - i + 1, 1) AS BIGINT)
+         |        ELSE (CASE
+         |          WHEN CAST(substr(x, len(x) - i + 1, 1) AS BIGINT)
+         |            * 2 > 9
+         |          THEN CAST(substr(x, len(x) - i + 1, 1) AS BIGINT)
+         |            * 2 - 9
+         |          ELSE CAST(substr(x, len(x) - i + 1, 1) AS BIGINT)
+         |            * 2 END) END),
+         |      (a, b) -> a + b) % 10 = 0) AS valid
+         |  FROM c),
+         |r AS (SELECT doc_id, cands, valid,
+         |  list_reduce(list_concat([txt], valid),
+         |    (a, b) -> replace(a, b, '<CARD>')) AS red
+         |  FROM v)
+         |SELECT doc_id, CAST(len(cands) AS BIGINT) AS n_cand,
+         | CAST(len(valid) AS BIGINT) AS n_valid,
+         | CAST(len(red) AS BIGINT) AS red_len,
+         | CAST(${duckU32("red", 7)} AS BIGINT) AS red_fp
+         |FROM r""".stripMargin,
 
     // chr(769) = COMBINING ACUTE (decomposed), chr(233) = é; DuckDB's
     // nfc_normalize is the oracle twin of the native Expression

@@ -410,6 +410,29 @@ object Stress {
         f"(small=${before.count(_._2 < target)})")
       after.size.toLong
     }
+    // t26 BM25: the vocab relation stays CONSTANT as the corpus grows
+    // (copies reuse the base vocabulary + one marker token per copy),
+    // so idf/query-term broadcasts are flat and the only growing
+    // relation is the (query, doc) candidate pair set — linear with a
+    // FIXED query count (base-copy queries only)
+    t("t26_bm25(fixed-queries)") {
+      TextAnalysis.bm25TopK(docs, col("doc_id"), col("text"),
+        col("doc_id") % 500 === 0 && col("doc_id") < 10000000L,
+        k = 5).count()
+    }
+    // s18 fusion legs: both shortlists are k·|Q| rows independent of
+    // the corpus — the fusion join/window must stay FLAT as mult grows
+    // (only the legs' own generation cost scales)
+    t("s18_rrf_fusion(fixed-queries)") {
+      val isQ = col("doc_id") % 500 === 0 && col("doc_id") < 10000000L
+      val lex = TextAnalysis.bm25TopK(docs, col("doc_id"), col("text"),
+        isQ, k = 20)
+      val dense = Similarity.bruteForceTopK(emb,
+        emb.filter(col("vec_id") % 500 === 0 &&
+          col("vec_id") < 10000000L), "vec_id", "embedding", 20)
+        .withColumnRenamed("neighbor_id", "doc_id")
+      Similarity.rrfFuseTopK(lex, dense, k = 5).count()
+    }
     spark.stop()
   }
 }

@@ -1215,4 +1215,62 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("doc_id"), col("rrf6"),
         col("lex_rank"), col("dense_rank"))
   }
+
+  /** Recall@k distribution of an approximate retrieval against the
+    * exact one — the evaluation every ANN deployment runs before
+    * trusting an index. Inputs are two (query_id, neighbor_id, …)
+    * top-k relations; output is the census (hits, n_queries): how many
+    * queries recovered 0, 1, …, k of their true top-k. Queries present
+    * in `exact` but absent from `approx` count as 0 hits (an index
+    * that silently drops a query can't inflate its recall).
+    *
+    * Scale shape: both inputs are k·|Q| rows; the semi-join and both
+    * aggregations are bounded by the shortlist size, never the
+    * corpus. */
+  def recallCensus(exact: DataFrame, approx: DataFrame): DataFrame = {
+    val e = exact.select(col("query_id"), col("neighbor_id"))
+    val a = approx.select(col("query_id"), col("neighbor_id"))
+    val hits = e.join(a, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+    e.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left_outer")
+      .select(coalesce(col("hits"), lit(0L)).as("hits"))
+      .groupBy(col("hits")).agg(count(lit(1)).as("n_queries"))
+  }
+
+  /** Hard-negative mining for contrastive training (the retrieval-
+    * training recipe of DPR/SimCSE-style pipelines): for each query
+    * vector, the k nearest neighbors whose label (source, domain,
+    * dedup-cluster, …) DIFFERS from the query's — near-misses that
+    * teach the model the decision boundary. `labels` maps `idCol` to
+    * `labelCol`. Exact cosine leg here (the measured baseline); at
+    * corpus scale the candidate generation swaps to the trained-IVF
+    * probe ([[ivfTopKWith]]) and the label filter is unchanged —
+    * filtering AFTER candidate ranking would undershoot k, so the
+    * filter sits before the window in both variants. */
+  def hardNegativeTopK(emb: DataFrame, labels: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, isQuery: Column,
+      k: Int): DataFrame = {
+    val lb = labels.select(col(idCol).as("__hn_id"),
+      col(labelCol).as("__hn_lab"))
+    val q = emb.filter(isQuery)
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .withColumn("q_norm", norm(col("q_vec")))
+      .join(lb.select(col("__hn_id").as("query_id"),
+        col("__hn_lab").as("q_lab")), Seq("query_id"))
+    val c = emb.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("c_vec"))
+      .withColumn("c_norm", norm(col("c_vec")))
+      .join(lb.select(col("__hn_id").as("neighbor_id"),
+        col("__hn_lab").as("neg_label")), Seq("neighbor_id"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .filter(col("neg_label") =!= col("q_lab"))
+      .withColumn("cosine",
+        dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
+    Events.topKPerGroup(scored, Seq(col("query_id")),
+      Seq(col("cosine").desc, col("neighbor_id").asc), k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("cosine"), col("neg_label"))
+  }
 }

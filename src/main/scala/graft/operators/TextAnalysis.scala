@@ -883,4 +883,40 @@ object TextAnalysis {
       Seq(col("score6").desc, col("doc_id").asc), k)
       .select(col("query_id"), col("rank"), col("doc_id"), col("score6"))
   }
+
+  /** Luhn checksum over a digit string as a Column: position i counts
+    * from the RIGHT starting at 1; odd positions add the digit, even
+    * positions add the doubled digit minus 9 when it exceeds 9. Valid
+    * iff the sum ≡ 0 (mod 10). Pure integer fold — engine-exact. */
+  def luhnValid(digits: Column): Column = {
+    val n = length(digits)
+    val s = aggregate(sequence(lit(1), n), lit(0L), (acc, i) => {
+      val d = digits.substr(n - i + 1, lit(1)).cast("long")
+      acc + when(i % 2 === 1, d)
+        .otherwise(when(d * 2 > 9, d * 2 - 9).otherwise(d * 2))
+    })
+    s % 10 === 0
+  }
+
+  /** Checksum-validated PII redaction (the t6 scrubber's precision
+    * upgrade): candidate card-like digit runs (13–19 digits) are
+    * redacted ONLY when they pass the Luhn check — a naive
+    * all-digit-runs scrub would destroy order ids, timestamps and
+    * phone numbers, so real pipelines validate before redacting.
+    * Returns (doc_id, n_cand, n_valid, red_len, red_fp): candidate
+    * and validated counts plus the redacted text's length and
+    * fingerprint. Shuffle-free map stage — per-row regex + integer
+    * fold, codegen'd end to end. */
+  def luhnRedact(docs: DataFrame, idCol: Column, textCol: Column,
+      seed: Int = 7): DataFrame = {
+    val cands = regexp_extract_all(textCol, lit("[0-9]{13,19}"), lit(0))
+    val redacted = aggregate(cands, textCol,
+      (acc, c) => when(luhnValid(c),
+        replace(acc, c, lit("<CARD>"))).otherwise(acc))
+    docs.select(idCol.as("doc_id"),
+      size(cands).cast("long").as("n_cand"),
+      size(filter(cands, c => luhnValid(c))).cast("long").as("n_valid"),
+      length(redacted).cast("long").as("red_len"),
+      Tables.hashU32(redacted, seed).as("red_fp"))
+  }
 }

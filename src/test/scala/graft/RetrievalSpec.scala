@@ -91,6 +91,33 @@ class RetrievalSpec extends SparkSpec {
     assert(out.map(_._2).toSeq == Seq(11L, 10L, 13L, 12L))
   }
 
+  test("recallCensus counts overlap per query; absent queries are 0") {
+    val exact = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L),
+      (3L, 30L), (3L, 31L)).toDF("query_id", "neighbor_id")
+    val approx = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 99L))
+      .toDF("query_id", "neighbor_id") // q3 dropped entirely
+    val census = Similarity.recallCensus(exact, approx)
+      .as[(Long, Long)].collect().toMap
+    assert(census == Map(2L -> 1L, 1L -> 1L, 0L -> 1L),
+      s"got $census") // q1: 2 hits, q2: 1 hit, q3: 0 hits
+  }
+
+  test("hardNegativeTopK returns only cross-label neighbors, ranked") {
+    // query 0 (label a) at origin-ish; same-label 1 is nearest but
+    // must be excluded; cross-label 2 nearer than cross-label 3
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.99f, 0.1f)),
+      (2L, Array(0.9f, 0.4f)), (3L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val lab = Seq((0L, "a"), (1L, "a"), (2L, "b"), (3L, "c"))
+      .toDF("vec_id", "source")
+    val out = Similarity.hardNegativeTopK(emb, lab, "vec_id",
+        "embedding", "source", col("vec_id") === 0, k = 2)
+      .select("rank", "neighbor_id", "neg_label")
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 2L, "b"), (2L, 3L, "c")), s"got ${out.toSeq}")
+  }
+
   test("rrfFuseTopK keeps per-query lists independent") {
     val lex = Seq((1L, 10L, 1L), (2L, 20L, 1L))
       .toDF("query_id", "doc_id", "rank")

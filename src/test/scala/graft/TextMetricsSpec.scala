@@ -354,6 +354,34 @@ class TextMetricsSpec extends SparkSpec {
     assert(!got("the")._1.contains("<"))
   }
 
+  test("luhnValid implements the Luhn checksum; redaction gates on it") {
+    import graft.operators.TextAnalysis.{luhnValid, luhnRedact}
+    val checks = Seq("4111111111111111" -> true,  // classic valid PAN
+      "4111111111111112" -> false,
+      "79927398713" -> true,                     // Wikipedia example
+      "79927398710" -> false,
+      "0000000000000" -> true)
+    val df = checks.map(_._1).toDF("d")
+      .select(col("d"), luhnValid(col("d")).as("ok"))
+      .as[(String, Boolean)].collect().toMap
+    checks.foreach { case (num, exp) =>
+      assert(df(num) == exp, s"luhn($num) should be $exp") }
+
+    // redaction: the valid PAN goes, the invalid and short runs stay
+    val docs = Seq(
+      (1L, "pay 4111111111111111 or 4111111111111112 ref 12345"),
+      (2L, "no digits here"),
+      (3L, "two valid 4111111111111111 and 5500005555555559 cards")
+    ).toDF("doc_id", "text")
+    val out = luhnRedact(docs, col("doc_id"), col("text"))
+      .select("doc_id", "n_cand", "n_valid")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L) == (2L, 1L))
+    assert(out(2L) == (0L, 0L))
+    assert(out(3L) == (2L, 2L))
+  }
+
   test("NfcNormalizeExpr: composes, idempotent, null-safe, codegen ≡ eval") {
     import graft.functions.NfcNormalizeExpr.nfc
     val composed = "café"          // é precomposed
