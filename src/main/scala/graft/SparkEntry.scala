@@ -1910,6 +1910,68 @@ object SparkEntry {
       agg(0, vBase).unionByName(agg(1, bV)).unionByName(agg(2, vA))
     }),
 
+    // CATEGORICAL partition pruning — hive-style partitioning
+    // dissolved into its modern lakehouse form (Delta liquid
+    // clustering / Iceberg hidden partitioning): dictionary-encode
+    // the category (q03 pattern, sorted dense ids), range-cluster the
+    // commit on the id (q88 exact arithmetic), and a lang = 'de' read
+    // prunes at the MANIFEST to the shards whose [min,max] id range
+    // covers it — files_opened vs files_total is the receipt, and the
+    // oracle recomputes the exact shard arithmetic to prove the
+    // pruned read lost nothing
+    "q95_partition_prune" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(
+        col("doc_id"), col("text"), col("lang"))
+      val dict = Metrics.classDictionary(docs, col("lang"),
+        "lang", "lang_id")
+      val keyed = docs.join(broadcast(dict), Seq("lang"))
+      val dir = scratchDir("graft_vpart", d)
+      val (v, _) = Layout.rangeClusteredCommit(keyed, "lang_id",
+        "doc_id", nShards = 8, dir = dir)
+      // O(categories) dictionary probe — metadata-sized by definition
+      val deId = dict.filter(col("lang") === "de")
+        .select(col("lang_id")).collect().head.getLong(0)
+      val (files, total) = graft.sources.VersionedTable.filesInRange(
+        s, dir, v, deId, deId)
+      graft.sources.VersionedTable.readVersionWhere(s, dir, v,
+          deId, deId)
+        .filter(col("lang") === "de")
+        .agg(count(lit(1)).as("cnt"), sum(col("doc_id")).as("id_sum"),
+          sum(Tables.hashU32(col("text"), 7)).as("content_sum"))
+        .select(lit(files.size.toLong).as("files_opened"),
+          lit(total.toLong).as("files_total"), col("cnt"),
+          col("id_sum"), col("content_sum"))
+    }),
+
+    // LOCF time-grid resampling (gap filling): per user, the hourly
+    // grid over the corpus span takes the value of the last event
+    // at-or-before each grid instant — the as-of join (q20 machinery)
+    // against a generated grid, the standard time-series densify.
+    // Values quantized to cents so per-user sums are exact BIGINTs
+    "q96_resample_locf" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val withT = ev.select(col("user_id"), col("event_id"),
+        col("value"), unix_micros(col("ts").cast("timestamp")).as("tus"))
+      val bounds = withT.agg(
+        expr("min(tus) div 3600000000").as("h0"),
+        expr("max(tus) div 3600000000").as("h1"))
+      val grid = withT.select(col("user_id")).distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("user_id"),
+          explode(sequence(col("h0"), col("h1"))).as("h"))
+        .withColumn("ts", timestamp_micros(col("h") * lit(3600000000L)))
+      val joined = Events.asofJoin(grid, ev, "user_id", "ts",
+        "h", "event_id")
+      val cents = withT.select(col("event_id").as("asof_event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      joined.join(cents, Seq("asof_event_id"), "left")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_points"),
+          sum(when(col("asof_event_id").isNotNull, lit(1L))
+            .otherwise(lit(0L))).as("n_filled"),
+          sum(coalesce(col("cents"), lit(0L))).as("cents_sum"))
+    }),
+
     // O(1) tip resolution (the Delta _last_checkpoint pattern): every
     // commit refreshes a _latest hint; resolution is one GET + a
     // probe-forward past commits the hint missed — never a LIST over
@@ -6229,6 +6291,70 @@ object SparkEntry {
          |      UNION ALL
          |      SELECT doc_id + 1000000 AS doc_id, text
          |      FROM documents WHERE lang = 'de')""".stripMargin,
+
+    // the exact shard arithmetic ((rn-1)*8) // n over rows ordered by
+    // (dictionary id, doc_id) reproduces the committed layout; opened
+    // = shards whose [min,max] id range covers 'de'
+    "q95_partition_prune" ->
+      s"""WITH dict AS (
+         |  SELECT lang, dense_rank() OVER (ORDER BY lang) - 1 AS lid
+         |  FROM (SELECT DISTINCT lang FROM documents)),
+         |deid AS (SELECT lid FROM dict WHERE lang = 'de'),
+         |r AS (
+         |  SELECT d.doc_id, d.lang, k.lid,
+         |   row_number() OVER (ORDER BY k.lid, d.doc_id) AS rn,
+         |   count(*) OVER () AS n
+         |  FROM documents d JOIN dict k USING (lang)),
+         |sh AS (SELECT *, ((rn - 1) * 8) // n AS shard FROM r),
+         |fr AS (SELECT shard, min(lid) AS mn, max(lid) AS mx
+         |  FROM sh GROUP BY 1),
+         |opened AS (SELECT count(*) AS fo FROM fr, deid
+         |  WHERE mn <= lid AND mx >= lid),
+         |tot AS (SELECT count(*) AS ft FROM fr)
+         |SELECT CAST(opened.fo AS BIGINT) AS files_opened,
+         | CAST(tot.ft AS BIGINT) AS files_total,
+         | CAST((SELECT count(*) FROM documents WHERE lang = 'de')
+         |   AS BIGINT) AS cnt,
+         | CAST((SELECT sum(doc_id) FROM documents WHERE lang = 'de')
+         |   AS BIGINT) AS id_sum,
+         | CAST((SELECT sum(${duckU32("text", 7)}) FROM documents
+         |   WHERE lang = 'de') AS BIGINT) AS content_sum
+         |FROM opened, tot""".stripMargin,
+
+    // grid = users × hourly range over the span; the q20 union+window
+    // as-of idiom fills each grid instant with the last event id
+    // at-or-before it; cents join + exact integer sums
+    "q96_resample_locf" ->
+      s"""WITH b AS (
+         |  SELECT epoch_us(min(ts)::TIMESTAMP) // 3600000000 AS h0,
+         |   epoch_us(max(ts)::TIMESTAMP) // 3600000000 AS h1
+         |  FROM events),
+         |g AS (
+         |  SELECT user_id, unnest(range(h0, h1 + 1)) AS h
+         |  FROM (SELECT DISTINCT user_id FROM events) CROSS JOIN b),
+         |r0 AS (
+         |  SELECT user_id AS k, epoch_us(ts::TIMESTAMP) AS t,
+         |   CAST(max(event_id) AS BIGINT) AS rid
+         |  FROM events GROUP BY 1, 2),
+         |u AS (
+         |  SELECT user_id AS k, h * 3600000000 AS t, 1 AS side,
+         |   h AS lid, NULL::BIGINT AS rid FROM g
+         |  UNION ALL
+         |  SELECT k, t, 0 AS side, NULL::BIGINT AS lid, rid FROM r0),
+         |c AS (
+         |  SELECT *, last_value(rid IGNORE NULLS) OVER
+         |    (PARTITION BY k ORDER BY t, side ROWS UNBOUNDED PRECEDING)
+         |    AS aeid
+         |  FROM u),
+         |filt AS (SELECT k AS user_id, aeid FROM c WHERE side = 1),
+         |v AS (SELECT event_id,
+         |  CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+         |SELECT user_id, CAST(count(*) AS BIGINT) AS n_points,
+         | CAST(sum(CASE WHEN aeid IS NOT NULL THEN 1 ELSE 0 END)
+         |   AS BIGINT) AS n_filled,
+         | CAST(sum(coalesce(v.cents, 0)) AS BIGINT) AS cents_sum
+         |FROM filt LEFT JOIN v ON v.event_id = filt.aeid
+         |GROUP BY 1""".stripMargin,
 
     // the five %5 slices union to the whole corpus; hint_gap = 4 is
     // the planted staleness the probe must repair
