@@ -1277,6 +1277,13 @@ object SparkEntry {
       TextAnalysis.luhnRedact(docs, col("doc_id"), txt)
     }),
 
+    // Shannon char-entropy band-pass gate — the gibberish detector
+    // ratio gates miss; shuffle-free row-local HOF fold over the
+    // SORTED alphabet so the IEEE summation order is canonical
+    "t29_char_entropy" -> ((s, d) =>
+      TextAnalysis.charEntropy(Tables.documents(s, d), col("doc_id"),
+        col("text"))),
+
     // Unicode NFC canonicalization via the native codegen'd
     // NfcNormalizeExpr (ASCII fast path returns the input
     // UTF8String): the corpus is ASCII, so deterministic decomposed
@@ -1971,6 +1978,14 @@ object SparkEntry {
             .otherwise(lit(0L))).as("n_filled"),
           sum(coalesce(col("cents"), lit(0L))).as("cents_sum"))
     }),
+
+    // robust median/MAD outlier gate: exact percentiles at test SF
+    // (swap to percentile_approx at corpus scale — see Scaladoc); the
+    // tiny (median, MAD)-per-group relation broadcasts back, the fact
+    // table never shuffle-joins
+    "q97_robust_outliers" -> ((s, d) =>
+      Events.robustOutliers(Tables.events(s, d), "event_type",
+        "event_id", "value", cutoff = 3.5)),
 
     // O(1) tip resolution (the Delta _last_checkpoint pattern): every
     // commit refreshes a _latest hint; resolution is one GET + a
@@ -2675,6 +2690,16 @@ object SparkEntry {
       val exact = Similarity.bruteForceTopK(emb, emb, "vec_id",
         "embedding", 5)
       Similarity.recallCensus(exact, approx)
+    }),
+
+    // MMR diversity re-rank: greedy λ·rel − (1−λ)·max-sim over a
+    // per-query top-8 shortlist, k=3 picks — all relational (window
+    // argmax per round, no driver loop); λ=0.5 is exactly
+    // representable so both engines' IEEE products agree bit-for-bit
+    "s20_mmr_diversify" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.mmrDiversify(emb, emb.filter(col("vec_id") % 50 === 0),
+        "vec_id", "embedding", m = 8, k = 3, lambda = 0.5)
     }),
 
     // hard-negative mining (contrastive-training recipe): nearest
@@ -5497,6 +5522,91 @@ object SparkEntry {
          |SELECT hits, CAST(count(*) AS BIGINT) AS n_queries
          |FROM perq GROUP BY 1""".stripMargin,
 
+    // the k=3 greedy unrolled: pick1 = argmax rel, then two rounds of
+    // (max-sim-to-selected join → λ·rel − (1−λ)·max_sim argmax); same
+    // left-fold dots, same id tie-breaks, λ = 0.5 exact in IEEE
+    "s20_mmr_diversify" ->
+      """WITH n AS (
+        |  SELECT vec_id, v, sqrt(list_reduce(list_transform(v,
+        |    x -> x * x), (x, y) -> x + y)) AS nrm
+        |  FROM (SELECT vec_id,
+        |    list_transform(embedding, x -> x::DOUBLE) AS v
+        |    FROM embeddings)),
+        |sl AS (
+        |  SELECT query_id, cand_id, cv, cn, rel FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |     c.v AS cv, c.nrm AS cn,
+        |     list_reduce(list_transform(range(1, len(q.v) + 1),
+        |       i -> q.v[i] * c.v[i]), (x, y) -> x + y)
+        |       / (q.nrm * c.nrm) AS rel,
+        |     row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |       list_reduce(list_transform(range(1, len(q.v) + 1),
+        |         i -> q.v[i] * c.v[i]), (x, y) -> x + y)
+        |         / (q.nrm * c.nrm) DESC, c.vec_id) AS rn
+        |    FROM n q JOIN n c
+        |      ON q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id)
+        |  WHERE rn <= 8),
+        |ps AS (
+        |  SELECT a.query_id, a.cand_id AS a_id, b.cand_id AS b_id,
+        |   list_reduce(list_transform(range(1, len(a.cv) + 1),
+        |     i -> a.cv[i] * b.cv[i]), (x, y) -> x + y)
+        |     / (a.cn * b.cn) AS sim
+        |  FROM sl a JOIN sl b ON a.query_id = b.query_id
+        |    AND a.cand_id <> b.cand_id),
+        |p1 AS (
+        |  SELECT query_id, cand_id, CAST(0.5 AS DOUBLE) * rel AS mmr
+        |  FROM (SELECT query_id, cand_id, rel, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY rel DESC, cand_id) AS rn
+        |    FROM sl) WHERE rn = 1),
+        |r1 AS (
+        |  SELECT sl.* FROM sl LEFT JOIN p1
+        |    ON sl.query_id = p1.query_id AND sl.cand_id = p1.cand_id
+        |  WHERE p1.cand_id IS NULL),
+        |m2 AS (
+        |  SELECT ps.query_id, ps.a_id AS cand_id,
+        |   max(ps.sim) AS max_sim
+        |  FROM ps JOIN p1 ON ps.query_id = p1.query_id
+        |    AND ps.b_id = p1.cand_id
+        |  GROUP BY 1, 2),
+        |p2 AS (
+        |  SELECT query_id, cand_id, mmr FROM (
+        |    SELECT r1.query_id, r1.cand_id,
+        |     CAST(0.5 AS DOUBLE) * r1.rel
+        |       - CAST(0.5 AS DOUBLE) * m2.max_sim AS mmr,
+        |     row_number() OVER (PARTITION BY r1.query_id ORDER BY
+        |       CAST(0.5 AS DOUBLE) * r1.rel
+        |         - CAST(0.5 AS DOUBLE) * m2.max_sim DESC,
+        |       r1.cand_id) AS rn
+        |    FROM r1 JOIN m2 ON r1.query_id = m2.query_id
+        |      AND r1.cand_id = m2.cand_id) WHERE rn = 1),
+        |r2 AS (
+        |  SELECT r1.* FROM r1 LEFT JOIN p2
+        |    ON r1.query_id = p2.query_id AND r1.cand_id = p2.cand_id
+        |  WHERE p2.cand_id IS NULL),
+        |m3 AS (
+        |  SELECT ps.query_id, ps.a_id AS cand_id,
+        |   max(ps.sim) AS max_sim
+        |  FROM ps JOIN (SELECT query_id, cand_id FROM p1
+        |    UNION ALL SELECT query_id, cand_id FROM p2) sel
+        |    ON ps.query_id = sel.query_id AND ps.b_id = sel.cand_id
+        |  GROUP BY 1, 2),
+        |p3 AS (
+        |  SELECT query_id, cand_id, mmr FROM (
+        |    SELECT r2.query_id, r2.cand_id,
+        |     CAST(0.5 AS DOUBLE) * r2.rel
+        |       - CAST(0.5 AS DOUBLE) * m3.max_sim AS mmr,
+        |     row_number() OVER (PARTITION BY r2.query_id ORDER BY
+        |       CAST(0.5 AS DOUBLE) * r2.rel
+        |         - CAST(0.5 AS DOUBLE) * m3.max_sim DESC,
+        |       r2.cand_id) AS rn
+        |    FROM r2 JOIN m3 ON r2.query_id = m3.query_id
+        |      AND r2.cand_id = m3.cand_id) WHERE rn = 1)
+        |SELECT query_id, CAST(pick AS BIGINT) AS pick,
+        | cand_id AS neighbor_id, round(mmr, 6) AS mmr_score
+        |FROM (SELECT query_id, 1 AS pick, cand_id, mmr FROM p1
+        |  UNION ALL SELECT query_id, 2, cand_id, mmr FROM p2
+        |  UNION ALL SELECT query_id, 3, cand_id, mmr FROM p3)""".stripMargin,
+
     // the s1 cosine text with the label join and the cross-source
     // filter BEFORE the ranking window
     "d18_hard_negatives" ->
@@ -5562,6 +5672,33 @@ object SparkEntry {
          | CAST(len(red) AS BIGINT) AS red_len,
          | CAST(${duckU32("red", 7)} AS BIGINT) AS red_fp
          |FROM r""".stripMargin,
+
+    // same sorted-alphabet left fold as the Spark HOF (0.0 prepended
+    // so the first step is 0 − t₁, matching aggregate's zero): IEEE
+    // summation order identical → bit-identical entropy before round
+    "t29_char_entropy" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |   list_filter(string_split(text, ''), x -> len(x) > 0) AS cs
+        |  FROM documents),
+        |a AS (
+        |  SELECT doc_id, cs, list_sort(list_distinct(cs)) AS al,
+        |   CAST(len(cs) AS DOUBLE) AS n
+        |  FROM c),
+        |e AS (
+        |  SELECT doc_id, cs, al,
+        |   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |     list_transform(al, ch ->
+        |       (CAST(len(list_filter(cs, x -> x = ch)) AS DOUBLE) / n)
+        |       * log2(CAST(len(list_filter(cs, x -> x = ch)) AS DOUBLE)
+        |         / n))),
+        |     (acc, t) -> acc - t) AS ent
+        |  FROM a)
+        |SELECT doc_id, CAST(len(cs) AS BIGINT) AS n_chars_text,
+        | CAST(len(al) AS BIGINT) AS n_distinct,
+        | round(ent, 4) AS entropy_bits,
+        | (ent >= 3.0 AND ent <= 5.5) AS pass_gate
+        |FROM e""".stripMargin,
 
     // chr(769) = COMBINING ACUTE (decomposed), chr(233) = é; DuckDB's
     // nfc_normalize is the oracle twin of the native Expression
@@ -6355,6 +6492,22 @@ object SparkEntry {
          | CAST(sum(coalesce(v.cents, 0)) AS BIGINT) AS cents_sum
          |FROM filt LEFT JOIN v ON v.event_id = filt.aeid
          |GROUP BY 1""".stripMargin,
+
+    // exact medians (both engines interpolate even-count middles as
+    // lower + (upper-lower)*0.5); the unrounded |rz| > 3.5 gate and
+    // the rounded output replay Spark's operand order exactly
+    "q97_robust_outliers" ->
+      """WITH med AS (
+        |  SELECT event_type, median(value) AS med FROM events
+        |  GROUP BY 1),
+        |mad AS (
+        |  SELECT e.event_type, median(abs(e.value - m.med)) AS mad,
+        |   max(m.med) AS med
+        |  FROM events e JOIN med m USING (event_type) GROUP BY 1)
+        |SELECT e.event_type, e.event_id, e.value,
+        | round(0.6745 * (e.value - m.med) / m.mad, 4) AS robust_z
+        |FROM events e JOIN mad m USING (event_type)
+        |WHERE abs(0.6745 * (e.value - m.med) / m.mad) > 3.5""".stripMargin,
 
     // the five %5 slices union to the whole corpus; hint_gap = 4 is
     // the planted staleness the probe must repair

@@ -174,4 +174,34 @@ object Events {
     df.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
   }
+
+  /** Robust per-group outlier flagging via the median/MAD z-score
+    *   rz = 0.6745·(x − median) / MAD,  MAD = median(|x − median|)
+    * — the monitoring gate that survives the outliers it hunts (a
+    * plain mean/stddev z-score is dragged by the very tail it should
+    * flag). Rows with |rz| > cutoff come back with their score.
+    *
+    * Scale shape: two exact-percentile aggregations over the fact
+    * table (each one shuffle on the group key; group cardinality is
+    * assumed ≪ rows, e.g. event types, tenants, sources) producing a
+    * group-cardinality-sized (median, MAD) relation that is BROADCAST
+    * back — the fact table is never joined shuffle-to-shuffle. At
+    * 100 TB swap `percentile` for `percentile_approx` (t-digest-style
+    * mergeable sketch, no per-group sort) — the flag threshold cares
+    * about the far tail, not the 5th decimal of the median. */
+  def robustOutliers(events: DataFrame, group: String, id: String,
+      value: String, cutoff: Double = 3.5): DataFrame = {
+    val med = events.groupBy(col(group))
+      .agg(percentile(col(value), lit(0.5)).as("med"))
+    val mad = events.join(broadcast(med), Seq(group))
+      .groupBy(col(group))
+      .agg(percentile(abs(col(value) - col("med")), lit(0.5)).as("mad"),
+        max(col("med")).as("med")) // constant within the group
+    events.join(broadcast(mad), Seq(group))
+      .withColumn("rz",
+        lit(0.6745) * (col(value) - col("med")) / col("mad"))
+      .filter(abs(col("rz")) > cutoff)
+      .select(col(group), col(id), col(value),
+        round(col("rz"), 4).as("robust_z"))
+  }
 }

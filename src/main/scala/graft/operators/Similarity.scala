@@ -1273,4 +1273,87 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         col("cosine"), col("neg_label"))
   }
+
+  /** Maximal-Marginal-Relevance diversification (Carbonell & Goldstein
+    * 1998): greedily re-rank a relevance shortlist so each pick trades
+    * relevance against redundancy with what is already picked —
+    *   mmr(c) = λ·rel(q,c) − (1−λ)·max_{s∈selected} sim(c,s)
+    * (empty-selected max = 0, so pick 1 scores λ·rel). The dedup-aware
+    * retrieval step of RAG context assembly and training-example
+    * selection: top-k alone returns k near-copies of the same document.
+    *
+    * Everything is relational — no driver-side loop over rows. Stage 1
+    * builds the per-query top-`m` relevance shortlist (exact cosine leg
+    * here; at corpus scale swap candidate generation for the trained-IVF
+    * probe — MMR itself only ever touches m rows per query). Stage 2
+    * materializes the m×m pairwise sims within each shortlist (bounded
+    * by m², never corpus-sized). Stage 3 runs k greedy rounds, each a
+    * join + per-query window argmax; `k` is a plan-time constant, so
+    * the loop unrolls into one DAG. Both intermediates are reused every
+    * round → persistTracked.
+    *
+    * Ties break by candidate id ascending; dot products are the shared
+    * left-fold-double kernel, so the DuckDB oracle (same unrolled CTEs)
+    * is bit-identical and the output hash-stable. */
+  def mmrDiversify(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, m: Int, k: Int, lambda: Double): DataFrame = {
+    require(k >= 1 && m >= k, s"need m >= k >= 1, got m=$m k=$k")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .withColumn("q_norm", norm(col("q_vec")))
+    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("c_vec"))
+      .withColumn("c_norm", norm(col("c_vec")))
+    val wRel = Window.partitionBy(col("query_id"))
+      .orderBy(col("rel").desc, col("cand_id").asc)
+    val shortlist = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("rel",
+        dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
+      .withColumn("rn", row_number().over(wRel)).filter(col("rn") <= m)
+      .select(col("query_id"), col("cand_id"), col("c_vec"),
+        col("c_norm"), col("rel"))
+      .persistTracked() // probed every greedy round + both pair sides
+    val pairs = shortlist
+      .select(col("query_id"), col("cand_id").as("a_id"),
+        col("c_vec").as("a_vec"), col("c_norm").as("a_norm"))
+      .join(shortlist.select(col("query_id"), col("cand_id").as("b_id"),
+        col("c_vec").as("b_vec"), col("c_norm").as("b_norm")),
+        Seq("query_id"))
+      .filter(col("a_id") =!= col("b_id"))
+      .withColumn("sim",
+        dot(col("a_vec"), col("b_vec")) / (col("a_norm") * col("b_norm")))
+      .select(col("query_id"), col("a_id"), col("b_id"), col("sim"))
+      .persistTracked() // max-sim probe in every round after the first
+    val wPick = Window.partitionBy(col("query_id"))
+      .orderBy(col("mmr").desc, col("cand_id").asc)
+    var selected = shortlist
+      .withColumn("mmr", lit(lambda) * col("rel"))
+      .withColumn("rn", row_number().over(wPick)).filter(col("rn") === 1)
+      .select(col("query_id"), col("cand_id"), lit(1L).as("pick"),
+        col("mmr"))
+    var remaining = shortlist
+      .join(selected.select(col("query_id"), col("cand_id")),
+        Seq("query_id", "cand_id"), "left_anti")
+    for (i <- 2 to k) {
+      // pairs is complete over the shortlist, so every remaining
+      // candidate has a sim row against every selected one: inner joins
+      val maxSel = pairs
+        .join(selected.select(col("query_id"), col("cand_id").as("b_id")),
+          Seq("query_id", "b_id"))
+        .groupBy(col("query_id"), col("a_id"))
+        .agg(max(col("sim")).as("max_sim"))
+        .withColumnRenamed("a_id", "cand_id")
+      val pick = remaining.join(maxSel, Seq("query_id", "cand_id"))
+        .withColumn("mmr",
+          lit(lambda) * col("rel") - lit(1.0 - lambda) * col("max_sim"))
+        .withColumn("rn", row_number().over(wPick)).filter(col("rn") === 1)
+        .select(col("query_id"), col("cand_id"), lit(i.toLong).as("pick"),
+          col("mmr"))
+      selected = selected.union(pick)
+      remaining = remaining
+        .join(pick.select(col("query_id"), col("cand_id")),
+          Seq("query_id", "cand_id"), "left_anti")
+    }
+    selected.select(col("query_id"), col("pick"),
+      col("cand_id").as("neighbor_id"), round(col("mmr"), 6).as("mmr_score"))
+  }
 }

@@ -919,4 +919,35 @@ object TextAnalysis {
       length(redacted).cast("long").as("red_len"),
       Tables.hashU32(redacted, seed).as("red_fp"))
   }
+
+  /** Shannon character-entropy quality gate: H = −Σ p(c)·log₂ p(c) over
+    * the document's character distribution. The gibberish detector the
+    * ratio-based t3/t19 gates can't replace — base64 blobs and
+    * key-mash rows sail through length/punct/stopword checks but sit at
+    * the entropy extremes (repeated-char runs ≈ 0 bits, uniform random
+    * ≈ log₂|alphabet|), so curation pipelines band-pass on H.
+    *
+    * Scale shape: entirely row-local higher-order functions — the
+    * distinct-char alphabet and the count-per-char fold never leave the
+    * row, so the operator is a shuffle-free codegen'd map stage
+    * (embarrassingly parallel at 100 TB; cost O(len·|alphabet|) per
+    * row, alphabet ≤ ~100 for real text). The fold walks the alphabet
+    * in SORTED order so the IEEE summation order is canonical and the
+    * DuckDB oracle (same sorted-list left fold) matches bit-for-bit
+    * before the round. */
+  def charEntropy(docs: DataFrame, idCol: Column, textCol: Column,
+      loBits: Double = 3.0, hiBits: Double = 5.5): DataFrame = {
+    val chars = split(textCol, "")
+    val alphabet = array_sort(array_distinct(chars))
+    val n = size(chars).cast("double")
+    val ent = aggregate(alphabet, lit(0.0), (acc, ch) => {
+      val p = size(filter(chars, x => x === ch)).cast("double") / n
+      acc - p * log2(p)
+    })
+    docs.select(idCol.as("doc_id"),
+      size(chars).cast("long").as("n_chars_text"),
+      size(alphabet).cast("long").as("n_distinct"),
+      round(ent, 4).as("entropy_bits"),
+      (ent >= loBits && ent <= hiBits).as("pass_gate"))
+  }
 }
