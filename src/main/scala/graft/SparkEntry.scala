@@ -1191,6 +1191,14 @@ object SparkEntry {
             .as("q6_kept_sum"))
     }),
 
+    // curriculum schedule: difficulty-ranked contiguous stages with a
+    // deterministic md5 pseudo-shuffle inside each; both ranks are the
+    // scalable range-rank, within-stage position is global rank minus
+    // the closed-form stage start — NO per-stage window
+    "p7_curriculum" -> ((s, d) =>
+      Curation.curriculumOrder(Tables.documents(s, d), col("doc_id"),
+        col("n_chars"), nStages = 4, seed = 11)),
+
     "p5_length_batches" -> ((s, d) => {
       val docs = Tables.documents(s, d).select(col("doc_id"),
         size(TextAnalysis.tokens(col("text"))).cast("long").as("nt"))
@@ -1986,6 +1994,34 @@ object SparkEntry {
     "q97_robust_outliers" -> ((s, d) =>
       Events.robustOutliers(Tables.events(s, d), "event_type",
         "event_id", "value", cutoff = 3.5)),
+
+    // join-view IVM: V = γ(orders ⋈ customer) materialized from the
+    // base split, then refreshed from the THREE delta joins only
+    // (ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB) merged group-wise — A₀⋈B₀ is never
+    // rescanned; oracle recomputes the view from the full final
+    // relations, so hash equality IS the incremental==recompute
+    // proof (delta_cnt pins the split, ruling out a quiet recompute)
+    "q98_ivm_join_view" -> ((s, d) => {
+      val scratch = scratchDir("q98ivm", d)
+      val ord = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_custkey").as("custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+      val a0 = ord.filter(col("o_orderkey") % 3 =!= 0)
+      val da = ord.filter(col("o_orderkey") % 3 === 0)
+      val b0 = cust.filter(col("custkey") % 4 =!= 0)
+      val db = cust.filter(col("custkey") % 4 === 0)
+      a0.join(b0, Seq("custkey")).groupBy(col("c_mktsegment").as("grp"))
+        .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("msum"))
+        .write.mode("overwrite").parquet(s"$scratch/v0")
+      val v0 = s.read.parquet(s"$scratch/v0")
+      val dv = ChangeData.joinAggDelta(a0, da, b0, db, "custkey",
+        col("c_mktsegment"), col("cents"))
+      ChangeData.viewMergeAdd(v0, dv)
+        .select(col("grp").as("mktsegment"), col("cnt"),
+          col("msum").as("cents_sum"), col("delta_cnt"))
+    }),
 
     // O(1) tip resolution (the Delta _last_checkpoint pattern): every
     // commit refreshes a _latest hint; resolution is one GET + a
@@ -4839,6 +4875,29 @@ object SparkEntry {
          | CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS csize
          |FROM comp""".stripMargin,
 
+    // the same stage arithmetic with DuckDB's global windows (fine in
+    // the oracle; the Spark side must avoid them): stage from the
+    // difficulty rank, pos from a stage-partitioned hash-ordered rank
+    "p7_curriculum" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, CAST(n_chars AS BIGINT) AS difficulty
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, difficulty,
+         |   row_number() OVER (ORDER BY difficulty, doc_id) AS drank,
+         |   count(*) OVER () AS n
+         |  FROM b),
+         |st AS (
+         |  SELECT doc_id, difficulty,
+         |   ((drank - 1) * 4) // n AS stage,
+         |   ${duckU32("doc_id::VARCHAR", 11)} AS h
+         |  FROM r)
+         |SELECT CAST(stage AS BIGINT) AS stage,
+         | CAST(row_number() OVER (PARTITION BY stage
+         |   ORDER BY h, doc_id) AS BIGINT) AS pos,
+         | doc_id, difficulty
+         |FROM st""".stripMargin,
+
     // d8's cluster chain verbatim through `comp`, then the t3 quality
     // expression (micro-quantized) picks each cluster's survivor
     "p6_canonical_dedup" ->
@@ -6508,6 +6567,28 @@ object SparkEntry {
         | round(0.6745 * (e.value - m.med) / m.mad, 4) AS robust_z
         |FROM events e JOIN mad m USING (event_type)
         |WHERE abs(0.6745 * (e.value - m.med) / m.mad) > 3.5""".stripMargin,
+
+    // the view recomputed from the FULL final relations; delta_cnt =
+    // full − base pins the incremental/base split the Spark side took
+    "q98_ivm_join_view" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey AS custkey,
+        |   CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |c AS (SELECT c_custkey AS custkey, c_mktsegment FROM customer),
+        |fullv AS (
+        |  SELECT c_mktsegment AS mktsegment,
+        |   CAST(count(*) AS BIGINT) AS cnt,
+        |   CAST(sum(cents) AS BIGINT) AS cents_sum
+        |  FROM o JOIN c USING (custkey) GROUP BY 1),
+        |base AS (
+        |  SELECT c_mktsegment AS mktsegment,
+        |   CAST(count(*) AS BIGINT) AS bcnt
+        |  FROM o JOIN c USING (custkey)
+        |  WHERE o_orderkey % 3 <> 0 AND custkey % 4 <> 0 GROUP BY 1)
+        |SELECT f.mktsegment, f.cnt, f.cents_sum,
+        | CAST(f.cnt - coalesce(b.bcnt, 0) AS BIGINT) AS delta_cnt
+        |FROM fullv f LEFT JOIN base b USING (mktsegment)""".stripMargin,
 
     // the five %5 slices union to the whole corpus; hint_gap = 4 is
     // the planted staleness the probe must repair

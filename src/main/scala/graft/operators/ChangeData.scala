@@ -123,4 +123,44 @@ object ChangeData {
           .when(col("u_present").isNotNull, lit("inserted"))
           .otherwise(lit("carried")).as("src"): _*)
   }
+
+  /** The delta terms of an aggregate-over-join view
+    *   V = γ_{grp; count, sum(measure)}(A ⋈ₖ B)
+    * under insert-only deltas on BOTH sides — the textbook IVM rule
+    *   (A₀∪ΔA) ⋈ (B₀∪ΔB) = A₀⋈B₀ ∪ ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB
+    * so the view refresh aggregates only the three delta joins and
+    * merges group-wise into the materialized V₀: the A₀⋈B₀ bulk is
+    * NEVER rescanned. (Updates/deletes generalize by signed
+    * multiplicities — same plan, measure negated on retractions.)
+    *
+    * Scale shape: each delta join shuffles (or broadcasts) a delta
+    * side, sized by the change rate, not the table; the merge is a
+    * full-outer join on the group key against the view, which is
+    * group-cardinality-sized. */
+  def joinAggDelta(a0: DataFrame, da: DataFrame, b0: DataFrame,
+      db: DataFrame, key: String, grp: Column, measure: Column)
+      : DataFrame = {
+    val terms = da.join(b0, Seq(key))
+      .unionByName(a0.join(db, Seq(key)))
+      .unionByName(da.join(db, Seq(key)))
+    terms.groupBy(grp.as("grp"))
+      .agg(count(lit(1)).as("cnt"), sum(measure).as("msum"))
+  }
+
+  /** Merge a delta aggregate into a materialized view (both shaped
+    * (grp, cnt, msum)): group-wise sum via one full-outer join —
+    * O(|view| + |delta groups|), never O(base data). */
+  def viewMergeAdd(v0: DataFrame, dv: DataFrame): DataFrame = {
+    val t = v0.select(col("grp"), col("cnt").as("t_cnt"),
+      col("msum").as("t_msum"))
+    val u = dv.select(col("grp"), col("cnt").as("u_cnt"),
+      col("msum").as("u_msum"))
+    t.join(u, Seq("grp"), "full_outer")
+      .select(col("grp"),
+        (coalesce(col("t_cnt"), lit(0L)) +
+          coalesce(col("u_cnt"), lit(0L))).as("cnt"),
+        (coalesce(col("t_msum"), lit(0L)) +
+          coalesce(col("u_msum"), lit(0L))).as("msum"),
+        coalesce(col("u_cnt"), lit(0L)).as("delta_cnt"))
+  }
 }

@@ -341,4 +341,41 @@ object Curation {
       .agg(count(lit(1)).as("cnt"), sum(col("lp6")).as("lp6_sum"),
         min(col("lp6")).as("lp6_min"), max(col("lp6")).as("lp6_max"))
   }
+
+  /** Curriculum-learning schedule (Bengio et al. 2009): rank the
+    * corpus by a difficulty measure, cut it into `nStages` contiguous
+    * easy→hard stages, and give every row a deterministic position
+    * within its stage (an md5 pseudo-shuffle — stages present examples
+    * in random order, the STAGES are what's ordered). Emits
+    * (stage, pos, doc_id, difficulty): the training loader reads
+    * stage 0 in pos order, then stage 1, …
+    *
+    * Scale shape: both ranks ride the scalable range-rank
+    * ([[PipelineOps.withGlobalSortRankAndCount]] — range partition +
+    * per-partition offsets, no single-partition window), and the
+    * within-stage position comes from the SECOND global rank minus the
+    * stage's closed-form start offset ceil(s·N/nStages) — a
+    * per-stage window would put each stage on one reducer, which at
+    * nStages ≈ 4 is a four-partition plan no matter the cluster. */
+  def curriculumOrder(docs: DataFrame, idCol: Column, difficulty: Column,
+      nStages: Int, seed: Int): DataFrame = {
+    require(nStages >= 1, s"nStages must be >= 1, got $nStages")
+    val base = docs.select(idCol.as("doc_id"),
+      difficulty.cast("long").as("difficulty"))
+    val (ranked, total) = PipelineOps.withGlobalSortRankAndCount(
+      base, Seq(col("difficulty").asc, col("doc_id").asc), "drank")
+    require(total > 0, "curriculumOrder needs a non-empty corpus")
+    val staged = ranked
+      .withColumn("stage",
+        expr(s"((drank - 1) * $nStages) div ${total}L"))
+      .withColumn("h", Tables.hashU32(col("doc_id"), seed))
+    val (pos, _) = PipelineOps.withGlobalSortRankAndCount(
+      staged, Seq(col("stage").asc, col("h").asc, col("doc_id").asc),
+      "grank")
+    pos
+      .withColumn("pos",
+        col("grank") - expr(s"(stage * ${total}L + ${nStages - 1}) " +
+          s"div $nStages"))
+      .select(col("stage"), col("pos"), col("doc_id"), col("difficulty"))
+  }
 }

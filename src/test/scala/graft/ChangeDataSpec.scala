@@ -100,4 +100,30 @@ class ChangeDataSpec extends SparkSpec {
       (2L, None, 99.0, "updated"),
       (3L, Some("seg3"), 30.0, "inserted")))
   }
+
+  test("joinAggDelta + viewMergeAdd == full recompute (two-sided inserts)") {
+    // A side: (key, measure); B side: (key, group). Deltas on BOTH
+    // sides, including a key (30) whose A and B rows BOTH arrive in
+    // the delta (the ΔA⋈ΔB term) and a group ("z") born in the delta.
+    val a0 = Seq((10L, 1L), (10L, 2L), (20L, 3L)).toDF("k", "m")
+    val da = Seq((10L, 4L), (30L, 5L)).toDF("k", "m")
+    val b0 = Seq((10L, "x"), (20L, "y")).toDF("k", "g")
+    val db = Seq((30L, "z")).toDF("k", "g")
+    val v0 = a0.join(b0, Seq("k")).groupBy(col("g").as("grp"))
+      .agg(count(lit(1)).as("cnt"), sum(col("m")).as("msum"))
+    val dv = ChangeData.joinAggDelta(a0, da, b0, db, "k", col("g"),
+      col("m"))
+    val v1 = ChangeData.viewMergeAdd(v0, dv)
+      .select("grp", "cnt", "msum", "delta_cnt")
+      .as[(String, Long, Long, Long)].collect().toSet
+    // full recompute from the final relations
+    val full = a0.union(da).join(b0.union(db), Seq("k"))
+      .groupBy(col("g")).agg(count(lit(1)).as("cnt"),
+        sum(col("m")).as("msum"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(v1.map(t => (t._1, t._2, t._3)) == full)
+    // delta split: x gained the (10,4) row, y nothing, z is all-delta
+    assert(v1.map(t => (t._1, t._4)) ==
+      Set(("x", 1L), ("y", 0L), ("z", 1L)))
+  }
 }

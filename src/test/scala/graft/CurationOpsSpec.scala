@@ -371,4 +371,40 @@ class CurationOpsSpec extends SparkSpec {
     assert(out.find(_._1 == "small").get._3 == 1L)
     assert(out.find(_._1 == "big").get._3 == 0L)
   }
+
+  test("curriculumOrder: contiguous easy→hard stages, exact sizes, " +
+      "shuffled-but-deterministic positions") {
+    // N=10, 4 stages → stage sizes ceil((s+1)N/4)−ceil(sN/4) = 3,2,3,2
+    val docs = (1 to 10).map(i => (i.toLong, (11 - i).toLong * 10))
+      .toDF("doc_id", "nch") // difficulty DESCENDS in doc_id
+    val out = Curation.curriculumOrder(docs, col("doc_id"), col("nch"),
+        nStages = 4, seed = 11)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.length == 10)
+    val byStage = out.groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    assert(byStage.keySet == Set(0L, 1L, 2L, 3L))
+    assert(byStage.view.mapValues(_.length).toMap ==
+      Map(0L -> 3, 1L -> 2, 2L -> 3, 3L -> 2))
+    // positions are 1..size within each stage
+    byStage.foreach { case (_, rows) =>
+      assert(rows.map(_._2).toSeq == (1 to rows.length).map(_.toLong))
+    }
+    // stages are contiguous difficulty ranges: max(s) <= min(s+1)
+    val maxD = byStage.view.mapValues(_.map(_._4).max).toMap
+    val minD = byStage.view.mapValues(_.map(_._4).min).toMap
+    for (s <- 0L to 2L) assert(maxD(s) <= minD(s + 1))
+    // determinism
+    val again = Curation.curriculumOrder(docs, col("doc_id"),
+        col("nch"), nStages = 4, seed = 11)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.sortBy(r => (r._1, r._2)).toSeq ==
+      again.sortBy(r => (r._1, r._2)).toSeq)
+    // a different seed permutes within-stage order but not membership
+    val other = Curation.curriculumOrder(docs, col("doc_id"),
+        col("nch"), nStages = 4, seed = 12)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(other.groupBy(_._1).view
+      .mapValues(_.map(_._3).toSet).toMap ==
+      byStage.view.mapValues(_.map(_._3).toSet).toMap)
+  }
 }
