@@ -1995,6 +1995,13 @@ object SparkEntry {
       Events.robustOutliers(Tables.events(s, d), "event_type",
         "event_id", "value", cutoff = 3.5)),
 
+    // ordered-event funnel: anchor → first-after-previous within a
+    // 24 h window of the anchor; one user-keyed shuffle per step,
+    // exact integer-µs wait sums
+    "q99_funnel" -> ((s, d) =>
+      Events.funnel(Tables.events(s, d), "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), windowUs = 86400000000L)),
+
     // join-view IVM: V = γ(orders ⋈ customer) materialized from the
     // base split, then refreshed from the THREE delta joins only
     // (ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB) merged group-wise — A₀⋈B₀ is never
@@ -2736,6 +2743,22 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       Similarity.mmrDiversify(emb, emb.filter(col("vec_id") % 50 === 0),
         "vec_id", "embedding", m = 8, k = 3, lambda = 0.5)
+    }),
+
+    // OPQ-lite: energy-balanced snake permutation of dims BEFORE the
+    // s7 PQ train/encode/search — permutation from exact-integer
+    // per-dim energies (fp variance would make the ranking
+    // engine-dependent), O(dims) metadata collect only
+    "s21_opq_permuted" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val perm = Similarity.dimEnergyPermutation(emb, "embedding",
+        dim = 64, m = 8)
+      val p = Similarity.permuteVec(emb, "embedding", perm)
+      val cb = Similarity.pqTrainCodebooks(p, "vec_id", "embedding",
+        m = 8, k = 8, dim = 64, iters = 2, seed = 777)
+      Similarity.pqTopKWith(p, cb,
+        p.filter(col("vec_id") % 25 === 0), "vec_id", "embedding",
+        topK = 5, m = 8, dim = 64)
     }),
 
     // hard-negative mining (contrastive-training recipe): nearest
@@ -6568,6 +6591,36 @@ object SparkEntry {
         |FROM events e JOIN mad m USING (event_type)
         |WHERE abs(0.6745 * (e.value - m.med) / m.mad) > 3.5""".stripMargin,
 
+    // stepwise min-filter CTEs replay the anchor/window semantics;
+    // counts and µs wait sums are exact BIGINTs
+    "q99_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, min(epoch_us(ts::TIMESTAMP)) AS t1
+        |  FROM events WHERE event_type = 'view' GROUP BY 1),
+        |c AS (
+        |  SELECT e.user_id, min(epoch_us(e.ts::TIMESTAMP)) AS t2,
+        |   max(v.t1) AS t1
+        |  FROM events e JOIN v USING (user_id)
+        |  WHERE e.event_type = 'click'
+        |    AND epoch_us(e.ts::TIMESTAMP) > v.t1
+        |    AND epoch_us(e.ts::TIMESTAMP) <= v.t1 + 86400000000
+        |  GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, min(epoch_us(e.ts::TIMESTAMP)) AS t3,
+        |   max(c.t1) AS t1
+        |  FROM events e JOIN c USING (user_id)
+        |  WHERE e.event_type = 'purchase'
+        |    AND epoch_us(e.ts::TIMESTAMP) > c.t2
+        |    AND epoch_us(e.ts::TIMESTAMP) <= c.t1 + 86400000000
+        |  GROUP BY 1)
+        |SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
+        | CAST((SELECT count(*) FROM v) AS BIGINT) AS n_users,
+        | CAST(0 AS BIGINT) AS wait_us_sum
+        |UNION ALL SELECT 2, 'click', CAST(count(*) AS BIGINT),
+        | CAST(coalesce(sum(t2 - t1), 0) AS BIGINT) FROM c
+        |UNION ALL SELECT 3, 'purchase', CAST(count(*) AS BIGINT),
+        | CAST(coalesce(sum(t3 - t1), 0) AS BIGINT) FROM p""".stripMargin,
+
     // the view recomputed from the FULL final relations; delta_cnt =
     // full − base pins the incremental/base split the Spark side took
     "q98_ivm_join_view" ->
@@ -7349,6 +7402,68 @@ object SparkEntry {
       s"""WITH e AS (
          |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
          |  FROM embeddings),
+         |subs AS (
+         |  SELECT vec_id, s, v[8*s+1 : 8*s+8] AS sub
+         |  FROM e CROSS JOIN (SELECT unnest(range(8)) AS s) ss),
+         |sel AS (SELECT vec_id, row_number() OVER (
+         |  ORDER BY md5(vec_id::VARCHAR || '#777'), vec_id) AS rk FROM e),
+         |cb AS (
+         |  SELECT su.s, CAST(sel.rk AS BIGINT) AS cid, su.sub AS centroid
+         |  FROM subs su JOIN sel USING (vec_id) WHERE sel.rk <= 8),
+         |${duckPqRound(1, 8)},
+         |${duckPqRound(2, 8)},
+         |scored AS (
+         |  SELECT su.vec_id, su.s, c.cid,
+         |   list_reduce(list_transform(range(1, 9),
+         |     i -> (su.sub[i] - c.centroid[i]) * (su.sub[i] - c.centroid[i])),
+         |     (a, b) -> a + b) AS dist
+         |  FROM subs su JOIN cb2 c ON c.s = su.s),
+         |codes AS (
+         |  SELECT vec_id, s, cid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id, s
+         |      ORDER BY dist, cid) AS rk FROM scored) WHERE rk = 1),
+         |qd AS (
+         |  SELECT vec_id AS qid, s, cid,
+         |   CAST(round(dist * 1000000) AS BIGINT) AS qd6
+         |  FROM scored WHERE vec_id % 25 = 0),
+         |pair AS (
+         |  SELECT q.qid AS query_id, c.vec_id AS neighbor_id,
+         |   CAST(sum(q.qd6) AS BIGINT) AS adc6
+         |  FROM codes c JOIN qd q ON q.s = c.s AND q.cid = c.cid
+         |    AND q.qid <> c.vec_id
+         |  GROUP BY 1, 2),
+         |r AS (SELECT query_id, neighbor_id, adc6,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY adc6, neighbor_id) AS BIGINT) AS rank FROM pair)
+         |SELECT query_id, rank, neighbor_id, adc6
+         |FROM r WHERE rank <= 5""".stripMargin,
+
+    // the s7 chain verbatim, prefixed by the snake permutation: exact
+    // BIGINT per-dim energies rank the dims, boustrophedon deal to
+    // subspaces, `e` becomes the permuted corpus
+    "s21_opq_permuted" ->
+      s"""WITH raw AS (
+         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE)
+         |    AS v0 FROM embeddings),
+         |dx AS (
+         |  SELECT u.pos AS dim,
+         |   CAST(round(u.x * 1000000) AS BIGINT) AS x6
+         |  FROM (SELECT unnest(list_transform(range(0, len(v0)),
+         |    j -> struct_pack(pos := j, x := v0[j+1]))) AS u
+         |    FROM raw)),
+         |en AS (SELECT dim, CAST(sum(x6 * x6) AS BIGINT) AS energy
+         |  FROM dx GROUP BY 1),
+         |rk AS (SELECT dim,
+         |  row_number() OVER (ORDER BY energy DESC, dim) - 1 AS r
+         |  FROM en),
+         |pm AS (SELECT dim,
+         |  (CASE WHEN (r // 8) % 2 = 0 THEN r % 8
+         |    ELSE 7 - (r % 8) END) * 8 + (r // 8) AS newpos
+         |  FROM rk),
+         |plist AS (SELECT list(dim ORDER BY newpos) AS perm FROM pm),
+         |e AS (
+         |  SELECT vec_id, list_transform(perm, d -> v0[d + 1]) AS v
+         |  FROM raw CROSS JOIN plist),
          |subs AS (
          |  SELECT vec_id, s, v[8*s+1 : 8*s+8] AS sub
          |  FROM e CROSS JOIN (SELECT unnest(range(8)) AS s) ss),

@@ -175,6 +175,50 @@ object Events {
       .filter(col("rank") <= k)
   }
 
+  /** Ordered-event funnel (the MATCH_RECOGNIZE-style product-analytics
+    * staple): for each user, the first `steps.head` event anchors the
+    * funnel; each later step must be the user's FIRST matching event
+    * strictly after the previous step and within `windowUs` of the
+    * anchor. Emits one row per step: users reaching it and the exact
+    * integer-µs sum of anchor→step waits (step 1 waits are 0).
+    *
+    * Scale shape: one shuffle on the user key per step (each step is a
+    * join of the type-filtered fact slice against the
+    * users-reached-so-far relation + a min-aggregation — all keyed by
+    * user, so with AQE these collapse onto one exchange footprint); no
+    * windows, no collects; the per-step census rows are single
+    * aggregates. Step count is a plan-time constant — the loop unrolls
+    * into one DAG. */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String], windowUs: Long): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val ev = events.select(col(userCol).as("u"),
+      unix_micros(col(tsCol).cast("timestamp")).as("t"),
+      col(typeCol).as("ty"))
+    var reached = ev.filter(col("ty") === steps.head).groupBy(col("u"))
+      .agg(min(col("t")).as("t1"))
+      .withColumn("tprev", col("t1"))
+    def census(idx: Int, name: String, r: DataFrame): DataFrame =
+      r.agg(count(lit(1)).as("n_users"),
+          coalesce(sum(col("tprev") - col("t1")), lit(0L))
+            .as("wait_us_sum"))
+        .select(lit(idx.toLong).as("step"), lit(name).as("step_name"),
+          col("n_users"), col("wait_us_sum"))
+    var out = census(1, steps.head, reached)
+    for ((stepName, i) <- steps.tail.zipWithIndex) {
+      val nextT = ev.filter(col("ty") === stepName)
+        .join(reached, Seq("u"))
+        .filter(col("t") > col("tprev") &&
+          col("t") <= col("t1") + lit(windowUs))
+        .groupBy(col("u"))
+        .agg(min(col("t")).as("tn"), max(col("t1")).as("t1n"))
+      reached = nextT.select(col("u"), col("t1n").as("t1"),
+        col("tn").as("tprev"))
+      out = out.unionByName(census(i + 2, stepName, reached))
+    }
+    out
+  }
+
   /** Robust per-group outlier flagging via the median/MAD z-score
     *   rz = 0.6745·(x − median) / MAD,  MAD = median(|x − median|)
     * — the monitoring gate that survives the outliers it hunts (a

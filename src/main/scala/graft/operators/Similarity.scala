@@ -1274,6 +1274,55 @@ object Similarity {
         col("cosine"), col("neg_label"))
   }
 
+  /** OPQ-lite dimension permutation: PQ quality depends on how the
+    * vector is CUT into subspaces — if high-energy dimensions cluster
+    * in one subspace, its k centroids are spent on a hard subproblem
+    * while low-energy subspaces waste theirs (the imbalance OPQ's
+    * learned rotation fixes; Ge et al. 2013). This is the
+    * permutation-only member of that family: rank dimensions by total
+    * energy and deal them to the m subspaces boustrophedon (snake)
+    * order, so every subspace gets one dim per energy tier.
+    *
+    * Determinism discipline: energy = Σ round(x·1e6)² summed as exact
+    * BIGINTs — an fp variance would make the RANKING engine-dependent
+    * at near-ties and diverge the whole downstream index. Bound: |x|≤1
+    * ⇒ per-row term ≤ 1e12, so ~9e6 rows per dim fit in a signed
+    * long; beyond that, re-quantize to 1e3 units or sum in
+    * decimal(38). The per-dim aggregate is `dim`-sized metadata — the
+    * collect is O(dims), the [[deterministicPlanes]] pattern.
+    *
+    * Returns `perm` with `perm(newPos) = oldDim`: subspace s occupies
+    * newPos [s·dim/m, (s+1)·dim/m), filled in energy-rank order. */
+  def dimEnergyPermutation(emb: DataFrame, vecCol: String, dim: Int,
+      m: Int): Seq[Int] = {
+    require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    val energy = emb
+      .select(posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .select(col("pos"),
+        round(col("x").cast("double") * 1e6).cast("long").as("x6"))
+      .groupBy(col("pos")).agg(sum(col("x6") * col("x6")).as("energy"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val ranked = (0 until dim).sortBy(d => (-energy.getOrElse(d, 0L), d))
+    val perm = new Array[Int](dim)
+    val rounds = dim / m
+    for ((d, r) <- ranked.zipWithIndex) {
+      val round = r / m
+      val posInRound = r % m
+      val s = if (round % 2 == 0) posInRound else m - 1 - posInRound
+      perm(s * rounds + round) = d
+    }
+    perm.toSeq
+  }
+
+  /** Apply a dimension permutation to a float-vector column (plain
+    * element projection — codegen'd, shuffle-free). Distances are
+    * permutation-invariant, so search semantics are unchanged; only
+    * the subspace CUTS (and therefore PQ quality) move. */
+  def permuteVec(emb: DataFrame, vecCol: String, perm: Seq[Int])
+      : DataFrame =
+    emb.withColumn(vecCol,
+      array(perm.map(i => col(vecCol).getItem(i)): _*))
+
   /** Maximal-Marginal-Relevance diversification (Carbonell & Goldstein
     * 1998): greedily re-rank a relevance shortlist so each pick trades
     * relevance against redundancy with what is already picked —

@@ -121,4 +121,32 @@ class DiversityOutlierSpec extends SparkSpec {
     val rz = 0.6745 * (1e7 - med) / mad
     assert(rz > 1e5)
   }
+
+  test("funnel: ordering, windowing, and first-match anchoring") {
+    def ts(min: Long) = java.sql.Timestamp.valueOf(
+      java.time.LocalDateTime.of(2024, 1, 1, 0, 0).plusMinutes(min))
+    val rows = Seq(
+      // A completes in order: view@0, click@10, purchase@20
+      (1L, ts(0), "view"), (1L, ts(10), "click"), (1L, ts(20), "purchase"),
+      // B: click lands OUTSIDE the 60-min window of the anchor
+      (2L, ts(0), "view"), (2L, ts(90), "click"),
+      // C: purchase BEFORE click — order violated, stops at click
+      (3L, ts(0), "view"), (3L, ts(5), "purchase"), (3L, ts(10), "click"),
+      // D: view only
+      (4L, ts(0), "view"),
+      // E: click with no view — never enters the funnel
+      (5L, ts(0), "click"),
+      // A extra: a second, later view must NOT re-anchor (first wins)
+      (1L, ts(30), "view"))
+    val ev = rows.toDF("user_id", "ts", "event_type")
+    val out = Events.funnel(ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), windowUs = 3600000000L)
+      .select("step", "step_name", "n_users", "wait_us_sum")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, "view", 4L, 0L)))      // A B C D
+    assert(out(1) == ((2L, "click", 2L,           // A@10min, C@10min
+      2L * 10L * 60000000L)))
+    assert(out(2) == ((3L, "purchase", 1L,        // A@20min only
+      20L * 60000000L)))
+  }
 }

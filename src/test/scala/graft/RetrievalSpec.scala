@@ -128,4 +128,91 @@ class RetrievalSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
     assert(out == Set((1L, 1L, 10L), (2L, 1L, 20L), (2L, 2L, 21L)))
   }
+
+  test("dimEnergyPermutation: valid snake deal, energy tiers spread") {
+    // 8 dims, m=2 subspaces: dim d has energy ∝ (8−d)² so the energy
+    // rank IS 0,1,2,…; snake deal with m=2 → ranks 0,3,4,7 in one
+    // subspace and 1,2,5,6 in the other (boustrophedon rounds)
+    val vecs = (1 to 50).map { i =>
+      (i.toLong, (0 until 8).map(d => (8 - d) * 0.1f * (if (i % 2 == 0) 1 else -1)).toArray)
+    }.toDF("vec_id", "embedding")
+    val perm = Similarity.dimEnergyPermutation(vecs, "embedding",
+      dim = 8, m = 2)
+    assert(perm.sorted == (0 until 8)) // a true permutation
+    // perm(newPos)=oldDim; subspace 0 = newPos 0..3, subspace 1 = 4..7
+    // energy rank of dim d is d itself here
+    assert(perm.take(4).toSet == Set(0, 3, 4, 7))
+    assert(perm.drop(4).toSet == Set(1, 2, 5, 6))
+    // deterministic
+    assert(perm == Similarity.dimEnergyPermutation(vecs, "embedding",
+      dim = 8, m = 2))
+  }
+
+  test("permuteVec preserves values and pairwise distances") {
+    val emb = Tables.embeddings(spark, Sf0001)
+    val perm = Similarity.dimEnergyPermutation(emb, "embedding",
+      dim = 64, m = 8)
+    val p = Similarity.permuteVec(emb, "embedding", perm)
+    // multiset of elements per row unchanged
+    val orig = emb.select(col("vec_id"),
+        array_sort(col("embedding")).as("s"))
+      .as[(Long, Seq[Float])].collect().toMap
+    val perd = p.select(col("vec_id"),
+        array_sort(col("embedding")).as("s"))
+      .as[(Long, Seq[Float])].collect().toMap
+    assert(orig == perd)
+    // cosine top-1 is permutation-invariant (distances unchanged)
+    val q = emb.filter(col("vec_id") % 40 === 0)
+    val qp = p.filter(col("vec_id") % 40 === 0)
+    val t1 = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val t1p = Similarity.bruteForceTopK(p, qp, "vec_id", "embedding", 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(t1 == t1p)
+  }
+
+  test("snake permutation beats the contiguous cut on anisotropic data") {
+    // dim=16, m=4, all signal energy in dims 0–3: the contiguous cut
+    // spends one 8-centroid codebook on the whole 4-D signal and
+    // wastes three codebooks on noise; the energy-snake deal gives
+    // every subspace exactly one signal dim (k=8 on a 1-D signal).
+    // (On isotropic corpora — e.g. the synthetic testdata embeddings,
+    // per-dim energy 7.0–9.1 — the permutation is neutral by design.)
+    def u(i: Int, d: Int): Float = { // deterministic pseudo-uniform
+      val h = ((i * 1315423911L + d * 2654435761L) & 0xffffL).toFloat
+      (h / 0xffff.toFloat - 0.5f)
+    }
+    // unit-normalized so the exact leg's cosine order IS the ADC
+    // family's L2 order — the comparison isolates quantization error
+    val vecs = (0 until 200).map { i =>
+      val raw = (0 until 16).map(d =>
+        if (d < 4) u(i, d) else 0.001f * u(i, d + 100))
+      val n = math.sqrt(raw.map(x => x.toDouble * x).sum).toFloat
+      (i.toLong, raw.map(_ / n).toArray)
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") % 5 === 0)
+    val exact = Similarity.bruteForceTopK(vecs, queries, "vec_id",
+        "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recall(corpus: org.apache.spark.sql.DataFrame): Double = {
+      val cb = Similarity.pqTrainCodebooks(corpus, "vec_id", "embedding",
+        m = 4, k = 8, dim = 16, iters = 2, seed = 777)
+      val got = Similarity.pqTopKWith(corpus, cb,
+          corpus.filter(col("vec_id") % 5 === 0), "vec_id", "embedding",
+          topK = 5, m = 4, dim = 16)
+        .select("query_id", "neighbor_id")
+        .as[(Long, Long)].collect().toSet
+      exact.intersect(got).size.toDouble / exact.size
+    }
+    val plain = recall(vecs)
+    val perm = Similarity.dimEnergyPermutation(vecs, "embedding",
+      dim = 16, m = 4)
+    // the four signal dims must land in four DIFFERENT subspaces
+    val signalSubspace = (0 until 4).map(d => perm.indexOf(d) / 4)
+    assert(signalSubspace.toSet.size == 4, s"deal: $signalSubspace")
+    val permuted = recall(Similarity.permuteVec(vecs, "embedding", perm))
+    info(f"recall@5 plain=$plain%.3f permuted=$permuted%.3f")
+    assert(permuted > plain,
+      f"permuted $permuted%.3f should beat plain $plain%.3f")
+  }
 }
