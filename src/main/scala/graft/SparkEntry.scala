@@ -3146,6 +3146,26 @@ object SparkEntry {
           sum(Tables.hashU32(col("text"), 11)).as("content_sum"))
     }),
 
+    // sharded gzip-JSONL (the RedPajama/Dolma interchange format):
+    // exact shard count + %05d-of-%05d naming, to_json/read.json
+    // round-trip; n_files pins the shard census alongside content
+    "k12_jsonl_shards" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(
+        col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"))
+      val scratch = scratchDir("graft_jsonl", d)
+      val receipts = graft.sources.JsonlShards.write(docs, scratch,
+        "documents", numShards = 5)
+      val back = graft.sources.JsonlShards.read(
+        s, s"$scratch/documents_*.jsonl.gz", docs.schema)
+      back.groupBy(col("lang"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("doc_id")).as("id_sum"),
+          sum(col("n_chars")).as("nchars_sum"),
+          sum(Tables.hashU32(col("text"), 11)).as("content_sum"))
+        .withColumn("n_files", lit(receipts.size.toLong))
+    }),
+
     // partition-pruned layout: write partitioned by lang, read back
     // with a partition filter — the scan must touch only 2 of the
     // lang directories (PlanAudit shows the pruned partition count)
@@ -7538,6 +7558,16 @@ object SparkEntry {
          | CAST(sum(doc_id) AS BIGINT) AS id_sum,
          | CAST(sum(n_chars) AS BIGINT) AS nchars_sum,
          | CAST(sum(${duckU32("text", 11)}) AS BIGINT) AS content_sum
+         |FROM documents GROUP BY 1""".stripMargin,
+
+    // k3's census through the sharded-gzip round-trip; n_files = the
+    // requested shard count (the writer's naming contract)
+    "k12_jsonl_shards" ->
+      s"""SELECT lang, CAST(count(*) AS BIGINT) AS cnt,
+         | CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         | CAST(sum(n_chars) AS BIGINT) AS nchars_sum,
+         | CAST(sum(${duckU32("text", 11)}) AS BIGINT) AS content_sum,
+         | CAST(5 AS BIGINT) AS n_files
          |FROM documents GROUP BY 1""".stripMargin,
 
     "q42_partition_pruning" ->

@@ -433,6 +433,63 @@ object Stress {
         .withColumnRenamed("neighbor_id", "doc_id")
       Similarity.rrfFuseTopK(lex, dense, k = 5).count()
     }
+    // shuffle-free map stage: must be exactly linear in corpus bytes
+    t("t29_char_entropy") {
+      TextAnalysis.charEntropy(docs, col("doc_id"), col("text")).count()
+    }
+    // two percentile aggs + broadcast-back: linear, no fact-side join
+    t("q97_robust_outliers") {
+      Events.robustOutliers(ev, "event_type", "event_id", "value",
+        cutoff = 3.5).count()
+    }
+    // per-step user-keyed min-joins: linear in events, state ∝ users
+    t("q99_funnel") {
+      Events.funnel(ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), windowUs = 86400000000L)
+        .count()
+    }
+    // two scalable range-ranks: near-linear, no per-stage window
+    t("p7_curriculum") {
+      Curation.curriculumOrder(docs, col("doc_id"), col("n_chars"),
+        nStages = 4, seed = 11).count()
+    }
+    // fixed query set: candidate generation scales with the corpus,
+    // but the MMR rounds only ever touch m rows per query — the gap
+    // between this curve and s1's IS the bounded-shortlist claim
+    t("s20_mmr(fixed-queries)") {
+      Similarity.mmrDiversify(emb,
+        emb.filter(col("vec_id") % 500 === 0 &&
+          col("vec_id") < 10000000L),
+        "vec_id", "embedding", m = 8, k = 3, lambda = 0.5).count()
+    }
+    // one-sided delta refresh (the fact-append case): the delta stays
+    // the original sf0.1 slice while the base grows with mult — the
+    // refresh cost must track the DELTA (AQE collapses the empty-ΔB
+    // join terms), not the base
+    t("q98_ivm_delta(fixed-delta)") {
+      val a = ev.select(col("user_id").as("k"),
+        round(col("value") * 1e6).cast("long").as("m6"))
+      val da = ev.filter(col("event_id") < 10000000L)
+        .select(col("user_id").as("k"),
+          round(col("value") * 1e6).cast("long").as("m6"))
+      val a0 = ev.filter(col("event_id") >= 10000000L)
+        .select(col("user_id").as("k"),
+          round(col("value") * 1e6).cast("long").as("m6"))
+      val b0 = a.select(col("k")).distinct()
+        .withColumn("g", (col("k") % 16).cast("string"))
+      val db = b0.limit(0)
+      val v0 = b0.select(col("g").as("grp")).distinct()
+        .withColumn("cnt", lit(0L)).withColumn("msum", lit(0L))
+      ChangeData.viewMergeAdd(v0,
+        ChangeData.joinAggDelta(a0, da, b0, db, "k", col("g"),
+          col("m6"))).count()
+    }
+    // O(dims) metadata collect + a shuffle-free projection
+    t("s21_opq_permute") {
+      val perm = Similarity.dimEnergyPermutation(emb, "embedding",
+        dim = 64, m = 8)
+      Similarity.permuteVec(emb, "embedding", perm).count()
+    }
     spark.stop()
   }
 }

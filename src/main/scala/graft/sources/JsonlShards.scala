@@ -1,0 +1,64 @@
+package graft.sources
+
+import java.io.{BufferedOutputStream, DataOutputStream}
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Sharded gzip-JSONL corpus writer/reader — the de-facto interchange
+  * format of public LLM training corpora (RedPajama, Dolma, HF
+  * datasets ship `*.jsonl.gz` shards). Same contract as the TFRecord
+  * sink (reference naming `%05d-of-%05d`, cf.
+  * reference make_tf_record.py:57-63 for the shard-name scheme): the
+  * writer controls shard COUNT and NAMING exactly — Spark's native
+  * json sink emits opaque part-files, which is the wrong contract for
+  * a corpus that downstream loaders address by shard index.
+  *
+  * Row→line serialization happens in codegen'd Catalyst (`to_json` on
+  * a struct of every column) BEFORE the writer sees the data; the
+  * executor-side writer only streams UTF-8 bytes through gzip. Shards
+  * are the split unit on read (gzip has no sync markers) — produce
+  * enough shards at write time, the same answer TFRecord gives.
+  */
+object JsonlShards {
+
+  /** Write `df` as `numShards` gzip JSONL shards under `dir`, named
+    * `{baseName}_{i}%05d-of-{numShards}%05d.jsonl.gz`. Returns the
+    * (path, rowCount) receipt per shard — metadata-sized, the only
+    * thing collected. */
+  def write(df: DataFrame, dir: String, baseName: String,
+      numShards: Int): Seq[(String, Long)] = {
+    require(numShards > 0, s"numShards must be positive, got $numShards")
+    val lines = df
+      .select(to_json(struct(df.columns.map(col): _*)).as("line"))
+    val confB = df.sparkSession.sparkContext.broadcast(
+      new SerializableHadoopConf(
+        df.sparkSession.sessionState.newHadoopConf()))
+    lines.repartition(numShards).rdd.mapPartitionsWithIndex {
+      (pid, rows) =>
+        val name = f"${baseName}_$pid%05d-of-$numShards%05d.jsonl.gz"
+        val path = new Path(dir, name)
+        val fs = path.getFileSystem(confB.value.value)
+        val out = new DataOutputStream(new BufferedOutputStream(
+          new java.util.zip.GZIPOutputStream(fs.create(path, true)),
+          1 << 16))
+        var n = 0L
+        try rows.foreach { r =>
+          out.write(r.getString(0).getBytes("UTF-8"))
+          out.write('\n')
+          n += 1
+        } finally out.close()
+        Iterator.single(path.toString -> n)
+    }.collect().toSeq.sortBy(_._1)
+  }
+
+  /** Read JSONL shards matching `pattern` with an explicit schema
+    * (schema inference would scan twice AND let a corrupt shard morph
+    * the schema silently). Gzip is decompressed by extension;
+    * parallelism = shards. */
+  def read(spark: SparkSession, pattern: String, schema: StructType)
+      : DataFrame =
+    spark.read.schema(schema).json(pattern)
+}
