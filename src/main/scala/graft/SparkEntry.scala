@@ -145,6 +145,37 @@ object SparkEntry {
     sb.toString
   }
 
+  /** The funnel census (q99 batch AND q100 streaming — one oracle
+    * text, two execution paths): stepwise min-filter CTEs, exact
+    * BIGINT counts and µs wait sums. */
+  private def duckFunnelSql: String =
+    """WITH v AS (
+      |  SELECT user_id, min(epoch_us(ts::TIMESTAMP)) AS t1
+      |  FROM events WHERE event_type = 'view' GROUP BY 1),
+      |c AS (
+      |  SELECT e.user_id, min(epoch_us(e.ts::TIMESTAMP)) AS t2,
+      |   max(v.t1) AS t1
+      |  FROM events e JOIN v USING (user_id)
+      |  WHERE e.event_type = 'click'
+      |    AND epoch_us(e.ts::TIMESTAMP) > v.t1
+      |    AND epoch_us(e.ts::TIMESTAMP) <= v.t1 + 86400000000
+      |  GROUP BY 1),
+      |p AS (
+      |  SELECT e.user_id, min(epoch_us(e.ts::TIMESTAMP)) AS t3,
+      |   max(c.t1) AS t1
+      |  FROM events e JOIN c USING (user_id)
+      |  WHERE e.event_type = 'purchase'
+      |    AND epoch_us(e.ts::TIMESTAMP) > c.t2
+      |    AND epoch_us(e.ts::TIMESTAMP) <= c.t1 + 86400000000
+      |  GROUP BY 1)
+      |SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
+      | CAST((SELECT count(*) FROM v) AS BIGINT) AS n_users,
+      | CAST(0 AS BIGINT) AS wait_us_sum
+      |UNION ALL SELECT 2, 'click', CAST(count(*) AS BIGINT),
+      | CAST(coalesce(sum(t2 - t1), 0) AS BIGINT) FROM c
+      |UNION ALL SELECT 3, 'purchase', CAST(count(*) AS BIGINT),
+      | CAST(coalesce(sum(t3 - t1), 0) AS BIGINT) FROM p""".stripMargin
+
   /** DuckDB fragment: u32 hash of expr-with-seed (twin of Tables.hashU32). */
   private def duckU32(expr: String, seed: Int): String =
     s"(('0x' || substr(md5($expr || '#$seed'), 1, 8))::BIGINT)"
@@ -2001,6 +2032,35 @@ object SparkEntry {
     "q99_funnel" -> ((s, d) =>
       Events.funnel(Tables.events(s, d), "user_id", "ts", "event_type",
         Seq("view", "click", "purchase"), windowUs = 86400000000L)),
+
+    // the same funnel as keyed streaming state (transformWithState
+    // ValueState step-vector, RocksDB store): sorted in-batch replay
+    // sets each step time at most once; exact == q99 under the
+    // event-time-order / single-batch condition, so the ORACLE IS
+    // q99's — the streaming path must land on the batch answer
+    "q100_stream_funnel" -> ((s, d) => {
+      val reach = EventStream.funnelStream(
+        EventStream.eventsFileStream(s, s"$d/events.parquet"),
+        Seq("view", "click", "purchase"), windowUs = 86400000000L)
+      val per = EventStream.runOnce(reach,
+          s"stream_funnel_${System.nanoTime()}",
+          outputMode = "append", rocksdb = true)
+        .groupBy(col("user_id"))
+        .agg(max(col("reached")).as("reached"),
+          max(element_at(col("times"), 1)).as("t1"),
+          max(element_at(col("times"), 2)).as("t2"),
+          max(element_at(col("times"), 3)).as("t3"))
+      def census(i: Int, name: String, t: String) =
+        per.filter(col("reached") >= i)
+          .agg(count(lit(1)).as("n_users"),
+            coalesce(sum(col(t) - col("t1")), lit(0L))
+              .as("wait_us_sum"))
+          .select(lit(i.toLong).as("step"), lit(name).as("step_name"),
+            col("n_users"), col("wait_us_sum"))
+      census(1, "view", "t1")
+        .unionByName(census(2, "click", "t2"))
+        .unionByName(census(3, "purchase", "t3"))
+    }),
 
     // join-view IVM: V = γ(orders ⋈ customer) materialized from the
     // base split, then refreshed from the THREE delta joins only
@@ -6613,33 +6673,11 @@ object SparkEntry {
 
     // stepwise min-filter CTEs replay the anchor/window semantics;
     // counts and µs wait sums are exact BIGINTs
-    "q99_funnel" ->
-      """WITH v AS (
-        |  SELECT user_id, min(epoch_us(ts::TIMESTAMP)) AS t1
-        |  FROM events WHERE event_type = 'view' GROUP BY 1),
-        |c AS (
-        |  SELECT e.user_id, min(epoch_us(e.ts::TIMESTAMP)) AS t2,
-        |   max(v.t1) AS t1
-        |  FROM events e JOIN v USING (user_id)
-        |  WHERE e.event_type = 'click'
-        |    AND epoch_us(e.ts::TIMESTAMP) > v.t1
-        |    AND epoch_us(e.ts::TIMESTAMP) <= v.t1 + 86400000000
-        |  GROUP BY 1),
-        |p AS (
-        |  SELECT e.user_id, min(epoch_us(e.ts::TIMESTAMP)) AS t3,
-        |   max(c.t1) AS t1
-        |  FROM events e JOIN c USING (user_id)
-        |  WHERE e.event_type = 'purchase'
-        |    AND epoch_us(e.ts::TIMESTAMP) > c.t2
-        |    AND epoch_us(e.ts::TIMESTAMP) <= c.t1 + 86400000000
-        |  GROUP BY 1)
-        |SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
-        | CAST((SELECT count(*) FROM v) AS BIGINT) AS n_users,
-        | CAST(0 AS BIGINT) AS wait_us_sum
-        |UNION ALL SELECT 2, 'click', CAST(count(*) AS BIGINT),
-        | CAST(coalesce(sum(t2 - t1), 0) AS BIGINT) FROM c
-        |UNION ALL SELECT 3, 'purchase', CAST(count(*) AS BIGINT),
-        | CAST(coalesce(sum(t3 - t1), 0) AS BIGINT) FROM p""".stripMargin,
+    "q99_funnel" -> duckFunnelSql,
+
+    // the streaming funnel must land on the BATCH answer — one oracle
+    // text, two execution paths
+    "q100_stream_funnel" -> duckFunnelSql,
 
     // the view recomputed from the FULL final relations; delta_cnt =
     // full − base pins the incremental/base split the Spark side took

@@ -189,6 +189,70 @@ object EventStream {
     }
   }
 
+  /** One event for the streaming funnel. */
+  final case class FunnelEvent(user_id: Long, ts_us: Long,
+      event_type: String)
+  /** Per-user funnel progress: step times so far (-1 = unreached). */
+  final case class FunnelTimes(t: Seq[Long])
+  final case class FunnelReach(user_id: Long, reached: Long,
+      times: Seq[Long])
+
+  /** The q99 funnel automaton as keyed streaming state: per user, the
+    * step-time vector rides a ValueState; each micro-batch sorts its
+    * rows by event time and replays the "first matching event strictly
+    * after the previous step, within the anchor window" rule, setting
+    * each step time at most once. Because sorted single-batch replay
+    * picks the MINIMUM qualifying timestamp per step, the result is
+    * exactly the batch funnel whenever each user's events arrive in
+    * event-time order across batches (trivially true for a one-batch
+    * AvailableNow source; in production the same guarantee comes from
+    * the watermark's bounded-lateness contract — the funnel's version
+    * of every streaming aggregation's correctness condition). */
+  class FunnelProcessor(steps: Array[String], windowUs: Long)
+      extends StatefulProcessor[Long, FunnelEvent, FunnelReach] {
+    @transient private var times: ValueState[FunnelTimes] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      times = getHandle.getValueState[FunnelTimes]("step_times",
+        org.apache.spark.sql.Encoders.product[FunnelTimes], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[FunnelEvent],
+        timerValues: TimerValues): Iterator[FunnelReach] = {
+      val cur: Array[Long] =
+        if (times.exists()) times.get().t.toArray
+        else Array.fill(steps.length)(-1L)
+      rows.toArray.sortBy(_.ts_us).foreach { e =>
+        val i = steps.indexOf(e.event_type)
+        if (i == 0) {
+          if (cur(0) < 0) cur(0) = e.ts_us
+        } else if (i > 0 && cur(i) < 0 && cur(i - 1) >= 0 &&
+            e.ts_us > cur(i - 1) && e.ts_us <= cur(0) + windowUs) {
+          cur(i) = e.ts_us
+        }
+      }
+      times.update(FunnelTimes(cur.toSeq))
+      Iterator.single(
+        FunnelReach(key, cur.takeWhile(_ >= 0).length.toLong, cur.toSeq))
+    }
+  }
+
+  /** Streaming funnel over the typed event stream (see
+    * [[FunnelProcessor]]); `Events.funnel` is the bounded oracle
+    * twin. */
+  def funnelStream(events: DataFrame, steps: Seq[String],
+      windowUs: Long): Dataset[FunnelReach] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+        col("event_type"))
+      .as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new FunnelProcessor(steps.toArray, windowUs),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** Run a streaming DataFrame to completion (AvailableNow ≈ the
     * reference's bounded, epoch-limited queue that closes and signals
     * OutOfRange — B5) into a memory sink; return the bounded result.

@@ -149,4 +149,44 @@ class DiversityOutlierSpec extends SparkSpec {
     assert(out(2) == ((3L, "purchase", 1L,        // A@20min only
       20L * 60000000L)))
   }
+
+  test("streaming funnel across event-time-ordered batches == batch funnel") {
+    import java.nio.file.{Files, Paths}
+    import graft.streaming.EventStream
+    def ts(min: Long) = java.sql.Timestamp.valueOf(
+      java.time.LocalDateTime.of(2024, 3, 1, 0, 0).plusMinutes(min))
+    // batch 0: early events; batch 1: later events — user 1 converts
+    // ACROSS the batch boundary (view+click in b0, purchase in b1),
+    // user 2's purchase falls outside the window, user 3 joins late
+    val b0 = Seq((1L, ts(0), "view"), (1L, ts(5), "click"),
+      (2L, ts(0), "view"))
+    val b1 = Seq((1L, ts(40), "purchase"), (2L, ts(200), "click"),
+      (3L, ts(100), "view"), (3L, ts(110), "click"),
+      (3L, ts(120), "purchase"))
+    val streamDir = Files.createTempDirectory("graft_funnel").toString
+    Seq(b0, b1).zipWithIndex.foreach { case (rows, i) =>
+      val stage = Files.createTempDirectory(s"graft_funnel_s$i").toString
+      rows.toDF("user_id", "ts", "event_type").coalesce(1)
+        .write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, Paths.get(streamDir, s"batch$i.parquet"))
+    }
+    val steps = Seq("view", "click", "purchase")
+    val winUs = 3600000000L // 60 min
+    val reach = EventStream.funnelStream(
+      EventStream.eventsFileStream(spark, streamDir), steps, winUs)
+    val per = EventStream.runOnce(reach,
+        s"funnel_mb_${System.nanoTime()}", outputMode = "append",
+        rocksdb = true)
+      .groupBy(col("user_id"))
+      .agg(max(col("reached")).as("reached"))
+      .as[(Long, Long)].collect().toMap
+    assert(per == Map(1L -> 3L, 2L -> 1L, 3L -> 3L))
+    // and the batch twin agrees on the census
+    val batch = Events.funnel((b0 ++ b1).toDF("user_id", "ts",
+        "event_type"), "user_id", "ts", "event_type", steps, winUs)
+      .select("step", "n_users").as[(Long, Long)].collect().toMap
+    assert(batch == Map(1L -> 3L, 2L -> 2L, 3L -> 2L))
+  }
 }
