@@ -855,8 +855,11 @@ object TextAnalysis {
       b: Double = 0.75): DataFrame = {
     val tok = docs.select(idCol.as("doc_id"),
       explode(tokens(textCol)).as("token"))
+    // tf feeds THREE consumers (dl, df, candidate join) — without the
+    // persist the corpus tokenize+shuffle re-executes for each
     val tf = tok.groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
+      .persistTracked()
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val dfq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val tots = dl.agg(count(lit(1)).cast("double").as("n"),
