@@ -1063,6 +1063,17 @@ object SparkEntry {
             col("text")), 3).select(col("doc_a"), col("doc_b")),
         iters = 3)),
 
+    // community detection over the same near-dup graph: synchronous
+    // LPA, 3 unrolled rounds, mode-of-neighbor-labels with min
+    // tie-break — the finer clustering d8's transitive closure can't
+    // give (closure merges chains; LPA keeps dense cores apart)
+    "d19_label_propagation" -> ((s, d) =>
+      Dedup.labelPropagation(
+        Dedup.simhashPairs(
+          Dedup.simhash(Tables.documents(s, d), col("doc_id"),
+            col("text")), 3).select(col("doc_a"), col("doc_b")),
+        iters = 3)),
+
     // ExactSubstr span excision (Lee et al. 2021): L-token windows
     // occurring more than once corpus-wide mark spans; surviving text
     // is tokens minus the span union — the REMOVAL half of t11's
@@ -5145,6 +5156,59 @@ object SparkEntry {
     },
 
     // d8's simhash-pair CTEs, then 3 unrolled integer PageRank rounds
+    // d12's edge CTEs, then 3 unrolled synchronous LPA rounds: count
+    // neighbor labels, argmax with (count desc, label asc) tie-break
+    "d19_label_propagation" ->
+      s"""WITH t AS (SELECT doc_id, $DuckToks AS w FROM documents),
+         |tok AS (
+         |  SELECT DISTINCT doc_id, unnest(list_transform(
+         |    range(1, len(w) - 1),
+         |    i -> array_to_string(w[i:i+2], ' '))) AS tok
+         |  FROM t WHERE len(w) >= 3),
+         |h AS (SELECT doc_id, tok, ${duckU32("tok", 13)} AS hu FROM tok),
+         |bits AS (
+         |  SELECT doc_id, b,
+         |   sum((CAST(floor(hu / power(2, b)) AS BIGINT) % 2) * 2 - 1) AS s
+         |  FROM h CROSS JOIN (SELECT unnest(range(32)) AS b) bs
+         |  GROUP BY 1, 2),
+         |fp AS (
+         |  SELECT doc_id,
+         |   CAST(sum(CASE WHEN s > 0 THEN CAST(power(2, b) AS BIGINT)
+         |     ELSE 0 END) AS BIGINT) AS simhash
+         |  FROM bits GROUP BY 1),
+         |banded AS (
+         |  SELECT doc_id, simhash, band,
+         |   CAST(floor(simhash / power(2, band * 8)) AS BIGINT) % 256 AS bkey
+         |  FROM fp CROSS JOIN (SELECT unnest(range(4)) AS band) bands),
+         |prs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM prs
+         |  UNION SELECT doc_b, doc_a FROM prs),
+         |l0 AS (SELECT DISTINCT src AS v, src AS lab FROM edges),
+         |n1 AS (SELECT e.dst, l.lab, CAST(count(*) AS BIGINT) AS c
+         |  FROM edges e JOIN l0 l ON l.v = e.src GROUP BY 1, 2),
+         |l1 AS (SELECT dst AS v, lab FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY dst
+         |    ORDER BY c DESC, lab) AS rn FROM n1) WHERE rn = 1),
+         |n2 AS (SELECT e.dst, l.lab, CAST(count(*) AS BIGINT) AS c
+         |  FROM edges e JOIN l1 l ON l.v = e.src GROUP BY 1, 2),
+         |l2 AS (SELECT dst AS v, lab FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY dst
+         |    ORDER BY c DESC, lab) AS rn FROM n2) WHERE rn = 1),
+         |n3 AS (SELECT e.dst, l.lab, CAST(count(*) AS BIGINT) AS c
+         |  FROM edges e JOIN l2 l ON l.v = e.src GROUP BY 1, 2),
+         |l3 AS (SELECT dst AS v, lab FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY dst
+         |    ORDER BY c DESC, lab) AS rn FROM n3) WHERE rn = 1),
+         |sz AS (SELECT lab, CAST(count(*) AS BIGINT) AS csize
+         |  FROM l3 GROUP BY 1)
+         |SELECT l.v AS doc_id, l.lab AS community, sz.csize
+         |FROM l3 l JOIN sz USING (lab)""".stripMargin,
+
     "d12_pagerank" ->
       s"""WITH t AS (SELECT doc_id, $DuckToks AS w FROM documents),
          |tok AS (

@@ -707,6 +707,46 @@ object Dedup {
     pr.select(col("v").as("doc_id"), col("pr6"), col("deg"))
   }
 
+  /** Synchronous label propagation (Raghavan et al. 2007) over a
+    * candidate-pair relation: each vertex starts as its own label;
+    * every round it adopts the MODE of its neighbors' labels (ties →
+    * smallest label). Where d8's closure answers "which docs are
+    * transitively connected", LPA answers the finer "which docs form
+    * a densely-linked community" — the clustering step of
+    * cluster-then-curate pipelines. Fixed `iters` synchronous rounds
+    * with deterministic tie-breaks ⇒ engine-reproducible (the
+    * asynchronous variant of the paper is order-dependent and could
+    * never hash-match an oracle).
+    *
+    * Scale shape: each round is one edge⋈label join (shuffle on the
+    * vertex key) + a (dst,label)-keyed count + a dst-keyed window
+    * argmax — all keyed by vertex, no global state; rounds unroll at
+    * plan time. Returns (doc_id, community, csize). */
+  def labelPropagation(pairs: DataFrame, iters: Int = 3): DataFrame = {
+    val sym = pairs
+      .select(col("doc_a").cast("long").as("src"),
+        col("doc_b").cast("long").as("dst"))
+      .union(pairs.select(col("doc_b").cast("long").as("src"),
+        col("doc_a").cast("long").as("dst")))
+      .distinct()
+      .persistTracked() // joined against every round's labels
+    var lab = sym.select(col("src").as("v")).distinct()
+      .withColumn("lab", col("v"))
+    val w = Window.partitionBy(col("dst"))
+      .orderBy(col("c").desc, col("lab").asc)
+    for (_ <- 0 until iters) {
+      lab = sym.join(lab, sym("src") === lab("v"))
+        .select(col("dst"), col("lab"))
+        .groupBy(col("dst"), col("lab")).agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("dst").as("v"), col("lab"))
+    }
+    val sizes = lab.groupBy(col("lab")).agg(count(lit(1)).as("csize"))
+    lab.join(sizes, Seq("lab"))
+      .select(col("v").as("doc_id"), col("lab").as("community"),
+        col("csize"))
+  }
+
   /** Duplicate-cluster assignment for a candidate-pair relation:
     * closes the pairs into components and annotates each member with
     * its cluster id (= min doc id in the cluster — the canonical

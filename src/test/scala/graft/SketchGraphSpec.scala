@@ -277,4 +277,27 @@ class SketchGraphSpec extends SparkSpec {
       .select(col("s"), col("cid"), col("centroid").cast("string"))
       .collect().map(_.toSeq).toSet)
   }
+
+  test("labelPropagation separates bridged triangles that closure merges") {
+    // two dense triangles {1,2,3} and {4,5,6} joined by one bridge
+    // edge 3–4: transitive closure (d8) sees ONE component of 6; LPA
+    // keeps the dense cores apart (traced by hand for 3 sync rounds
+    // with the (count desc, label asc) tie-break)
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+      .toDF("doc_a", "doc_b")
+    val lpa = Dedup.labelPropagation(pairs, iters = 3)
+      .select("doc_id", "community", "csize")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(lpa == Set((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (4L, 3L, 3L), (5L, 3L, 3L), (6L, 3L, 3L)))
+    val comp = Dedup.dedupComponents(pairs)
+      .select("component").distinct().as[Long].collect()
+    assert(comp.length == 1) // closure: one blob — LPA is the finer cut
+    // deterministic across runs
+    val again = Dedup.labelPropagation(pairs, iters = 3)
+      .select("doc_id", "community", "csize")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(again == lpa)
+  }
 }
