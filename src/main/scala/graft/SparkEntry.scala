@@ -3478,6 +3478,19 @@ object SparkEntry {
           col("w.energy").as("energy"), col("w.zcr").as("zcr"))
     }),
 
+    // VAD segmentation through the REAL codec path: burst-gated PCM →
+    // RIFF encode → decode → frame energies → threshold →
+    // gaps-and-islands; the oracle computes segments straight from
+    // the gate formula, so a codec/framing bug breaks every segment
+    "m8_audio_vad" -> ((s, d) =>
+      Multimodal.vadSegments(
+        Tables.documents(s, d)
+          .select(col("doc_id").as("media_id"),
+            (lit(160) + (col("doc_id") % 80) * 2).cast("int").as("ns"))
+          .withColumn("blob",
+            Multimodal.synthBurstWavUdf(col("media_id"), col("ns"))),
+        col("media_id"), col("blob"), win = 40, threshold = 1000000L)),
+
     // IMAGE near-dup dedup (the multimodal twin of d2/d15): perceptual
     // dHash over the real PNG decode path — each image also appears
     // as a rescaled variant (45×53 vs 64×64), the "same photo,
@@ -7177,6 +7190,35 @@ object SparkEntry {
         | CAST(octet_length(encode(fr)) AS BIGINT) AS frame_len,
         | md5(fr) AS frame_md5
         |FROM s""".stripMargin,
+
+    // segments straight from the burst-gate formula: frame energies,
+    // threshold, islands by (frame_idx − row_number) per media
+    "m8_audio_vad" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |   160 + (doc_id % 80) * 2 AS ns FROM documents),
+        |s AS (
+        |  SELECT media_id, i, i // 40 AS frame_idx,
+        |   CASE WHEN (media_id * 7 + (i // 40) * 13) % 5 >= 2
+        |     THEN ((media_id * 37 + i * 193) % 4096) - 2048
+        |     ELSE ((media_id * 37 + i * 193) % 64) - 32 END AS smp
+        |  FROM (SELECT media_id, ns, unnest(range(0, ns)) AS i FROM m)
+        |  WHERE i < (ns // 40) * 40),
+        |e AS (
+        |  SELECT media_id, frame_idx,
+        |   CAST(sum(smp * smp) AS BIGINT) AS energy
+        |  FROM s GROUP BY 1, 2),
+        |a AS (
+        |  SELECT media_id, frame_idx, energy,
+        |   frame_idx - row_number() OVER (PARTITION BY media_id
+        |     ORDER BY frame_idx) AS grp
+        |  FROM e WHERE energy > 1000000)
+        |SELECT media_id,
+        | CAST(min(frame_idx) AS BIGINT) AS start_frame,
+        | CAST(max(frame_idx) AS BIGINT) AS end_frame,
+        | CAST(count(*) AS BIGINT) AS n_frames,
+        | CAST(sum(energy) AS BIGINT) AS energy_sum
+        |FROM a GROUP BY media_id, grp""".stripMargin,
 
     // the WAV features straight from the PCM formula — the Spark side
     // must reproduce these THROUGH the RIFF container round trip

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -300,6 +301,49 @@ object Multimodal {
       WavStats(mono.length.toLong, w.sampleRate,
         wavWindowStats(mono, win))
     })
+
+  /** Burst-gated variant of [[synthWavUdf]] for VAD testing: frame f
+    * (40 samples) is ACTIVE iff (id·7 + f·13) mod 5 ≥ 2 — active
+    * frames carry the full ±2048 pseudo-noise, silent frames a ±32
+    * residual (≈4000× energy ratio), giving variable-length speech
+    * bursts from pure integer math the oracle reproduces. */
+  val synthBurstWavUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((mediaId: Long, ns: Int) =>
+      wavEncodePcm16(Array.tabulate(ns) { i =>
+        val frame = i / 40
+        val base = mediaId * 37L + i.toLong * 193L
+        val active = (mediaId * 7L + frame.toLong * 13L) % 5L >= 2L
+        (if (active) (base % 4096L) - 2048L
+         else (base % 64L) - 32L).toShort
+      }, 16000))
+
+  /** Energy-threshold voice-activity segmentation: decode the WAV,
+    * window into `win`-sample frames (the m4 kernel), keep frames with
+    * energy > threshold, and collapse consecutive active frames into
+    * segments via gaps-and-islands (frame_idx − row_number per media).
+    * Emits (media_id, start_frame, end_frame, n_frames, energy_sum) —
+    * the speech-segment manifest an ASR-data pipeline cuts clips from.
+    *
+    * Scale shape: decode + framing are per-row; the islands window is
+    * keyed by media (frames-per-clip bounded), never global. */
+  def vadSegments(df: DataFrame, idCol: Column, blobCol: Column,
+      win: Int, threshold: Long): DataFrame = {
+    val frames = df
+      .select(idCol.as("media_id"), wavStatsUdf(blobCol, lit(win)).as("st"))
+      .select(col("media_id"), posexplode(col("st.wins"))
+        .as(Seq("frame_idx", "w")))
+      .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+        col("w.energy").as("energy"))
+    val wOrd = Window.partitionBy(col("media_id")).orderBy(col("frame_idx"))
+    frames.filter(col("energy") > threshold)
+      .withColumn("grp", col("frame_idx") - row_number().over(wOrd))
+      .groupBy(col("media_id"), col("grp"))
+      .agg(min(col("frame_idx")).as("start_frame"),
+        max(col("frame_idx")).as("end_frame"),
+        count(lit(1)).as("n_frames"),
+        sum(col("energy")).as("energy_sum"))
+      .drop("grp")
+  }
 
   /** STUB (no codecs in this environment) for the remaining non-WAV
     * modalities (video; compressed audio): deterministic

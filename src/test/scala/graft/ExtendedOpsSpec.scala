@@ -240,6 +240,29 @@ class ExtendedOpsSpec extends SparkSpec {
     assert(st.head.zcr == z0)
   }
 
+  test("VAD: islands of active frames through the codec round trip") {
+    import spark.implicits._
+    // media 0, gate (0·7 + f·13) % 5 >= 2 over 6 frames (240 samples):
+    // f: 0→0 silent, 1→3 act, 2→1 silent, 3→4 act, 4→2 act, 5→0 silent
+    // ⇒ segments [1,1] and [3,4]
+    val df = Seq((0L, 240)).toDF("media_id", "ns")
+      .withColumn("blob",
+        Multimodal.synthBurstWavUdf(col("media_id"), col("ns")))
+    val segs = Multimodal.vadSegments(df, col("media_id"), col("blob"),
+        win = 40, threshold = 1000000L)
+      .select("start_frame", "end_frame", "n_frames")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(segs == Set((1L, 1L, 1L), (3L, 4L, 2L)))
+    // silent frames carry real (small) energy — the threshold, not
+    // zero-energy, is what separates; verify a silent frame is > 0
+    val energies = df
+      .select(Multimodal.wavStatsUdf(col("blob"), lit(40)).as("st"))
+      .select(posexplode(col("st.wins")).as(Seq("i", "w")))
+      .select(col("i"), col("w.energy")).as[(Int, Long)].collect().toMap
+    assert(energies(0) > 0L && energies(0) <= 40L * 32 * 32)
+    assert(energies(1) > 1000000L)
+  }
+
   test("Walsh transform: definition, Parseval, involution, bands") {
     import graft.operators.Multimodal
     // definition check against the popcount formula on a small case
