@@ -1140,6 +1140,17 @@ object SparkEntry {
         buckets = 8)
     }),
 
+    // the p2 layout inverted to per-WINDOW rows: doc slices, position
+    // resets, fill, and the md5'd relative-offset mask plan — what
+    // the packed-attention trainer actually consumes
+    "p8_window_manifest" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val packed = Curation.packSequences(docs, col("doc_id"),
+        col("source"), size(TextAnalysis.tokens(col("text"))),
+        ctxLen = 128, seed = 17, buckets = 8)
+      Curation.packedWindowManifest(packed, ctxLen = 128)
+    }),
+
     // capstone #4 — the TOKENIZER-AWARE packing pipeline: train BPE
     // merges on the corpus (t16), apply them engine-side (t17), and
     // pack documents into fixed context windows by their REAL
@@ -5328,6 +5339,48 @@ object SparkEntry {
          | CAST(floor((start_off + n_toks - 1) / 128.0) AS BIGINT)
          |   AS last_seq
          |FROM o""".stripMargin,
+
+    // p2's layout CTEs, then the window explode: slice bounds by
+    // greatest/least, resets where a doc starts strictly inside,
+    // seg_fp = md5 of the ascending relative offsets
+    "p8_window_manifest" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source AS grp,
+         |   CAST(len($DuckToks) AS BIGINT) AS n_toks
+         |  FROM documents),
+         |b AS (
+         |  SELECT doc_id, grp, n_toks,
+         |   md5(doc_id::VARCHAR || '#17') AS h,
+         |   ${duckU32("doc_id::VARCHAR", 18)} % 8 AS bk
+         |  FROM t),
+         |o AS (
+         |  SELECT doc_id, grp, n_toks,
+         |   CAST(sum(n_toks) OVER (PARTITION BY grp ORDER BY bk, h, doc_id
+         |     ROWS UNBOUNDED PRECEDING) - n_toks AS BIGINT) AS start_off
+         |  FROM b),
+         |sp AS (
+         |  SELECT doc_id, grp, n_toks, start_off,
+         |   CAST(floor(start_off / 128.0) AS BIGINT) AS first_seq,
+         |   CAST(floor((start_off + n_toks - 1) / 128.0) AS BIGINT)
+         |     AS last_seq
+         |  FROM o),
+         |w AS (
+         |  SELECT doc_id, grp, n_toks, start_off,
+         |   unnest(range(first_seq, last_seq + 1)) AS seq_id
+         |  FROM sp),
+         |x AS (
+         |  SELECT grp, seq_id, start_off,
+         |   greatest(start_off, seq_id * 128) AS s,
+         |   least(start_off + n_toks, (seq_id + 1) * 128) AS e
+         |  FROM w)
+         |SELECT grp, CAST(seq_id AS BIGINT) AS seq_id,
+         | CAST(count(*) AS BIGINT) AS n_docs,
+         | CAST(sum(CASE WHEN start_off > seq_id * 128 THEN 1 ELSE 0
+         |   END) AS BIGINT) AS n_resets,
+         | CAST(sum(e - s) AS BIGINT) AS filled,
+         | md5(string_agg((s - seq_id * 128)::VARCHAR, ','
+         |   ORDER BY s)) AS seg_fp
+         |FROM x GROUP BY grp, seq_id""".stripMargin,
 
     // t17's BPE apply CTEs feeding p2's packing window — merges,
     // fold, per-doc counts, then the same (bk, h, doc_id) layout

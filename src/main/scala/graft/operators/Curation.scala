@@ -98,6 +98,36 @@ object Curation {
         col("start_off"), col("first_seq"), col("last_seq"))
   }
 
+  /** Per-WINDOW manifest of a [[packSequences]] layout — the inverse
+    * view: for every ctxLen training window, which document slices
+    * occupy it. Emits (grp, seq_id, n_docs, n_resets, filled, seg_fp):
+    * docs overlapping the window, position-id RESETS (doc starts
+    * strictly inside — exactly the offsets where a packed-attention
+    * trainer restarts position ids and masks cross-doc attention),
+    * tokens filled, and an md5 fingerprint of the ascending relative
+    * slice-start offsets (the mask plan itself, hash-checkable).
+    *
+    * Scale shape: explode of ≤ (n_toks/ctxLen + 1) windows per doc,
+    * then one (grp, seq_id)-keyed aggregate; the collect_list is
+    * bounded by docs-per-window ≤ ctxLen. */
+  def packedWindowManifest(packed: DataFrame, ctxLen: Int): DataFrame = {
+    val w = packed.select(col("doc_id"), col("grp"), col("n_toks"),
+        col("start_off"),
+        explode(sequence(col("first_seq"), col("last_seq"))).as("seq_id"))
+      .withColumn("ws", col("seq_id") * ctxLen)
+      .withColumn("s", greatest(col("start_off"), col("ws")))
+      .withColumn("e",
+        least(col("start_off") + col("n_toks"), col("ws") + ctxLen))
+    w.groupBy(col("grp"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("start_off") > col("ws"), 1L).otherwise(0L))
+          .as("n_resets"),
+        sum(col("e") - col("s")).as("filled"),
+        md5(concat_ws(",",
+          sort_array(collect_list(col("s") - col("ws")))
+            .cast("array<string>")).cast("binary")).as("seg_fp"))
+  }
+
   /** Length-bucketed batch assembly — the padding-waste minimizer of
     * a training data loader: documents batched with SIMILAR-length
     * neighbors pad to a near batch max, where arrival-order batching

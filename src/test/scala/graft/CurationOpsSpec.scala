@@ -407,4 +407,43 @@ class CurationOpsSpec extends SparkSpec {
       .mapValues(_.map(_._3).toSet).toMap ==
       byStage.view.mapValues(_.map(_._3).toSet).toMap)
   }
+
+  test("packedWindowManifest: dense-layout invariants on the corpus") {
+    val docs = Tables.documents(spark, Sf0001)
+    val ctx = 128
+    val packed = Curation.packSequences(docs, col("doc_id"),
+      col("source"),
+      size(graft.operators.TextAnalysis.tokens(col("text"))),
+      ctxLen = ctx, seed = 17, buckets = 8)
+    val man = Curation.packedWindowManifest(packed, ctx)
+    val rows = man.select("grp", "seq_id", "n_docs", "n_resets",
+        "filled").as[(String, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    // the concat stream is dense: every window's start is covered by
+    // exactly one slice (a continuation or an exactly-aligned start),
+    // so n_docs == n_resets + 1 for EVERY window
+    rows.foreach { case (g, sq, nd, nr, _) =>
+      assert(nd == nr + 1, s"($g,$sq): n_docs=$nd n_resets=$nr")
+    }
+    // fill conservation: windows of a group sum to the group's tokens,
+    // and every non-final window is exactly full
+    val byGrp = rows.groupBy(_._1)
+    val toks = packed.groupBy(col("grp"))
+      .agg(sum(col("n_toks")).as("t"))
+      .as[(String, Long)].collect().toMap
+    byGrp.foreach { case (g, ws) =>
+      assert(ws.map(_._5).sum == toks(g))
+      val lastSeq = ws.map(_._2).max
+      ws.filter(_._2 != lastSeq).foreach { w =>
+        assert(w._5 == ctx, s"non-final window underfilled: $w")
+      }
+    }
+    // deterministic fingerprints
+    val fp1 = man.select("grp", "seq_id", "seg_fp")
+      .as[(String, Long, String)].collect().toSet
+    val fp2 = Curation.packedWindowManifest(packed, ctx)
+      .select("grp", "seq_id", "seg_fp")
+      .as[(String, Long, String)].collect().toSet
+    assert(fp1 == fp2)
+  }
 }
