@@ -448,6 +448,45 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Exact n-gram CONTAINMENT join: |A∩B| / min(|A|,|B|) over distinct
+    * word n-grams — the asymmetric-duplicate semantic Jaccard dedup
+    * systematically misses (a short doc quoted verbatim inside a long
+    * one has containment ≈ 1 while Jaccard ≈ |A|/|B| can sit far
+    * below any dedup threshold; C4/RealNews-style pipelines filter on
+    * containment for exactly this). Same candidate shape as
+    * [[ngramJaccardSameKey]]: self-join the shingle relation on
+    * (key, shingle) so only co-occurring shingles generate rows —
+    * a zero-intersection pair can never pass a positive threshold.
+    * Emits both metrics so the caller sees what Jaccard would have
+    * said about each caught pair. */
+  def containmentSameKey(docs: DataFrame, idCol: Column, textCol: Column,
+      keyCol: Column, n: Int, minContainment: Double): DataFrame = {
+    val sh = docs.select(idCol.as("id"), keyCol.as("k"),
+        TextAnalysis.tokens(textCol).as("toks"))
+      .select(col("id"), col("k"),
+        explode(TextAnalysis.shinglesOf(col("toks"), n)).as("s"))
+      .distinct()
+      .persistTracked() // both sides of the co-occurrence join + sizes
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    sh.as("a").join(sh.as("b"),
+        col("a.k") === col("b.k") && col("a.s") === col("b.s") &&
+          col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("id").as("doc_a"), col("sz").as("sz_a")),
+        "doc_a")
+      .join(sizes.select(col("id").as("doc_b"), col("sz").as("sz_b")),
+        "doc_b")
+      .withColumn("containment",
+        col("inter") / least(col("sz_a"), col("sz_b")).cast("double"))
+      .withColumn("jaccard",
+        col("inter") / (col("sz_a") + col("sz_b") - col("inter"))
+          .cast("double"))
+      .filter(col("containment") >= minContainment)
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        col("containment"), col("jaccard"))
+  }
+
   /** 32-bit SimHash fingerprint per doc over distinct word-3-gram
     * shingle features: for each bit b, sum +1/-1 over features whose
     * md5-derived u32 has bit b set/clear; bit b of the fingerprint is 1

@@ -869,4 +869,29 @@ class DedupSimilaritySpec extends SparkSpec {
       .groupBy("query_id").count().select("count").as[Long].collect()
     assert(counts.forall(_ <= 5))
   }
+
+  test("containment catches the quoted-inside pair that Jaccard misses") {
+    // doc 1 is quoted verbatim inside doc 2 (with heavy wrapper), so
+    // containment(1⊂2) = 1 while Jaccard is small; docs 3/4 share a
+    // few trigrams but no containment
+    val short1 = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, short1, "s"),
+      (2L, ("intro words before the quote " + short1 +
+        " and a long trailing commentary with many additional words " +
+        "stretching the wrapper document much further onward still " +
+        "even more filler words beyond any reasonable quote length"), "s"),
+      (3L, "alpha beta gamma completely different ending here", "s"),
+      (4L, "unrelated text with no shared trigrams at all present", "s")
+    ).toDF("doc_id", "text", "source")
+    val out = Dedup.containmentSameKey(docs, col("doc_id"), col("text"),
+        col("source"), n = 3, minContainment = 0.9)
+      .select("doc_a", "doc_b", "containment", "jaccard")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(out.length == 1)
+    val (a, b, c, j) = (out.head._1, out.head._2, out.head._3, out.head._4)
+    assert(a == 1L && b == 2L)
+    assert(c == 1.0) // every trigram of the short doc is in the wrapper
+    assert(j < 0.5, s"the caught pair must be one Jaccard would drop: $j")
+  }
 }
