@@ -490,6 +490,38 @@ object Stress {
         dim = 64, m = 8)
       Similarity.permuteVec(emb, "embedding", perm).count()
     }
+    // 3 synchronous rounds over the near-dup graph: edge relation
+    // grows with the copy cliques (the d8/d12 workload), each round a
+    // vertex-keyed join + count + window argmax
+    t("d19_label_propagation") {
+      Dedup.labelPropagation(
+        Dedup.simhashPairs(
+          Dedup.simhash(docs, col("doc_id"), col("text")), 3)
+          .select(col("doc_a"), col("doc_b")), iters = 3).count()
+    }
+    // (key, shingle) co-occurrence self-join: output-bound like d3 —
+    // copy cliques inflate co-occurring pairs
+    t("d20_containment") {
+      Dedup.containmentSameKey(docs, col("doc_id"), col("text"),
+        col("source"), n = 3, minContainment = 0.9).count()
+    }
+    // p2's prefix-sum layout + the window explode: near-linear
+    t("p8_window_manifest") {
+      Curation.packedWindowManifest(
+        Curation.packSequences(docs, col("doc_id"), col("source"),
+          size(TextAnalysis.tokens(col("text"))), ctxLen = 128,
+          seed = 17, buckets = 8), ctxLen = 128).count()
+    }
+    // per-row codec decode + media-keyed islands: linear map stage
+    t("m8_audio_vad") {
+      Multimodal.vadSegments(
+        docs.select(col("doc_id").as("media_id"),
+          (lit(160) + (col("doc_id") % 80) * 2).cast("int").as("ns"))
+          .withColumn("blob",
+            Multimodal.synthBurstWavUdf(col("media_id"), col("ns"))),
+        col("media_id"), col("blob"), win = 40,
+        threshold = 1000000L).count()
+    }
     spark.stop()
   }
 }

@@ -186,9 +186,12 @@ object Events {
     * join of the type-filtered fact slice against the
     * users-reached-so-far relation + a min-aggregation — all keyed by
     * user, so with AQE these collapse onto one exchange footprint); no
-    * windows, no collects; the per-step census rows are single
-    * aggregates. Step count is a plan-time constant — the loop unrolls
-    * into one DAG. */
+    * windows, no collects. The per-step census rows are scalar global
+    * aggregates — their SinglePartition exchange is the benign kind:
+    * partial aggregation reduces every partition to ONE row before the
+    * exchange (the same shape as any `df.count()`), so it carries
+    * #partitions rows at any corpus size. Step count is a plan-time
+    * constant — the loop unrolls into one DAG. */
   def funnel(events: DataFrame, userCol: String, tsCol: String,
       typeCol: String, steps: Seq[String], windowUs: Long): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
