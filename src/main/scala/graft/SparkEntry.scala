@@ -2101,6 +2101,27 @@ object SparkEntry {
         .unionByName(census(3, "purchase", "t3"))
     }),
 
+    // metadata-only COUNT(*) (the Delta numRecords query): counts
+    // recorded at commit, carried through append and delete; the
+    // post-delete append's files answer from the MANIFEST while only
+    // the DV-maskable older files scan — (files_scanned, files_meta)
+    // is the receipt the answer didn't come from a full scan
+    "q101_count_fast" -> ((s, d) => {
+      val dir = scratchDir("q101cnt", d)
+      val vt = graft.sources.VersionedTable
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      vt.commitWithCounts(
+        docs.filter(col("doc_id") % 3 === 0).repartition(2), dir)
+      vt.appendCommit(
+        docs.filter(col("doc_id") % 3 === 1).repartition(2), dir)
+      vt.deleteCommit(
+        docs.filter(col("doc_id") % 9 === 0).select(col("doc_id")), dir)
+      val v3 = vt.appendCommit(
+        docs.filter(col("doc_id") % 3 === 2).repartition(2), dir)
+      vt.countFast(s, dir, v3)
+    }),
+
     // join-view IVM: V = γ(orders ⋈ customer) materialized from the
     // base split, then refreshed from the THREE delta joins only
     // (ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB) merged group-wise — A₀⋈B₀ is never
@@ -6859,6 +6880,16 @@ object SparkEntry {
     // the streaming funnel must land on the BATCH answer — one oracle
     // text, two execution paths
     "q100_stream_funnel" -> duckFunnelSql,
+
+    // the survivor count recomputed relationally (every %9 key lives
+    // in the %3==0 base slice, so the DV deletes exactly those rows);
+    // 4 scanned = the two pre-delete versions' files, 2 meta = the
+    // post-delete append's
+    "q101_count_fast" ->
+      """SELECT CAST(count(*) AS BIGINT) AS cnt,
+        | CAST(4 AS BIGINT) AS files_scanned,
+        | CAST(2 AS BIGINT) AS files_meta
+        |FROM documents WHERE doc_id % 9 <> 0""".stripMargin,
 
     // the view recomputed from the FULL final relations; delta_cnt =
     // full − base pins the incremental/base split the Spark side took

@@ -60,7 +60,9 @@ object VersionedTable {
       statsCol: Option[String] = None,
       carriedStats: Seq[String] = Seq.empty,
       bloomMeta: Option[(String, Int, Int)] = None,
-      carriedBlooms: Seq[String] = Seq.empty): Int = {
+      carriedBlooms: Seq[String] = Seq.empty,
+      carriedCounts: Seq[String] = Seq.empty,
+      countRows: Boolean = false): Int = {
     val f = fs(df.sparkSession, dir)
     val dataDir = new Path(dir, s"data/v$v")
     df.write.mode("overwrite").parquet(dataDir.toString)
@@ -75,10 +77,32 @@ object VersionedTable {
     val newBlooms = bloomMeta.map { case (c, bits, k) =>
       fileBlooms(df.sparkSession, dataDir, s"data/v$v", c, bits, k)
     }.getOrElse(Seq.empty)
+    val newCounts =
+      if (countRows) fileCounts(df.sparkSession, dataDir, s"data/v$v")
+      else Seq.empty
     writeManifest(f, dir, v, carriedFiles ++ newFiles, dvs,
       statsCol, carriedStats ++ newStats,
-      bloomMeta, carriedBlooms ++ newBlooms)
+      bloomMeta, carriedBlooms ++ newBlooms,
+      carriedCounts ++ newCounts)
     v
+  }
+
+  /** Per-file ROW COUNTS of the just-written files (Delta's
+    * `numRecords` statistic): one scan of only the new files — the
+    * same read-back [[fileStats]] pays — collected as O(files)
+    * `rel|n` strings. What makes [[countFast]]'s metadata-only
+    * COUNT(*) possible. */
+  private def fileCounts(spark: SparkSession, dataDir: Path,
+      relPrefix: String): Seq[String] = {
+    import org.apache.spark.sql.functions._
+    spark.read.parquet(dataDir.toString)
+      .groupBy(col("_metadata.file_path").as("fp"))
+      .agg(count(lit(1)).as("n"))
+      .collect().toSeq
+      .map { r =>
+        val name = r.getString(0).split("/").last
+        s"$relPrefix/$name|${r.getLong(1)}"
+      }.sorted
   }
 
   /** Per-file min/max of `statsCol` for the just-written files under
@@ -121,18 +145,24 @@ object VersionedTable {
       statsCol: Option[String] = None,
       stats: Seq[String] = Seq.empty,
       bloomMeta: Option[(String, Int, Int)] = None,
-      blooms: Seq[String] = Seq.empty): Unit = {
+      blooms: Seq[String] = Seq.empty,
+      counts: Seq[String] = Seq.empty): Unit = {
     val statsPart = statsCol.map(c =>
       s""","statsCol":"$c","stats":[${
         stats.map(n => "\"" + n + "\"").mkString(",")}]""").getOrElse("")
     val bloomPart = bloomMeta.map { case (c, bits, k) =>
       s""","bloomCol":"$c","bloomBits":$bits,"bloomK":$k,"blooms":[${
         blooms.map(n => "\"" + n + "\"").mkString(",")}]""" }.getOrElse("")
+    val countsPart =
+      if (counts.isEmpty) ""
+      else s""","counts":[${
+        counts.map(n => "\"" + n + "\"").mkString(",")}]"""
     val ts =
       if (commitTs.get >= 0) commitTs.get else System.currentTimeMillis()
     val json = s"""{"version":$v,"ts":$ts,"files":[${
       files.map(n => "\"" + n + "\"").mkString(",")}],"dvs":[${
-      dvs.map(n => "\"" + n + "\"").mkString(",")}]$statsPart$bloomPart}"""
+      dvs.map(n => "\"" + n + "\"").mkString(",")
+      }]$statsPart$bloomPart$countsPart}"""
     val md = manifestDir(dir)
     f.mkdirs(md)
     val tmp = new Path(md, s"v$v.json.tmp")
@@ -247,6 +277,18 @@ object VersionedTable {
     val spark = df.sparkSession
     val v = versions(spark, dir).lastOption.map(_ + 1).getOrElse(0)
     publish(df, dir, v, Seq.empty, statsCol = Some(statsCol))
+  }
+
+  /** [[commit]] that also records per-file ROW COUNTS in the manifest
+    * (Delta's `numRecords`), enabling [[countFast]]'s metadata-only
+    * COUNT(*). [[appendCommit]] and [[deleteCommit]] carry and extend
+    * the counts automatically; commit paths that don't (MERGE,
+    * OPTIMIZE, …) simply drop them and countFast degrades to a scan —
+    * never wrong, only slower. */
+  def commitWithCounts(df: DataFrame, dir: String): Int = {
+    val spark = df.sparkSession
+    val v = versions(spark, dir).lastOption.map(_ + 1).getOrElse(0)
+    publish(df, dir, v, Seq.empty, countRows = true)
   }
 
   /** Seeds for the bloom hash family start here; each of the k hashes
@@ -385,9 +427,11 @@ object VersionedTable {
     val prev = vs.last
     val json = manifestJson(spark, dir, prev)
     val (files, dvs) = manifestLists(json, prev)
+    val carriedCounts = parseArray(json, "counts").getOrElse(Seq.empty)
     publish(df, dir, prev + 1, files, dvs,
       statsColOf(json), parseArray(json, "stats").getOrElse(Seq.empty),
-      bloomMetaOf(json), parseArray(json, "blooms").getOrElse(Seq.empty))
+      bloomMetaOf(json), parseArray(json, "blooms").getOrElse(Seq.empty),
+      carriedCounts, countRows = carriedCounts.nonEmpty)
   }
 
   /** Atomically claim version `v`: the manifest CAS primitive. The
@@ -682,7 +726,8 @@ object VersionedTable {
     val (files, dvs) = manifestLists(json, prev)
     writeManifest(f, dir, v, files, dvs ++ newDvs,
       statsColOf(json), parseArray(json, "stats").getOrElse(Seq.empty),
-      bloomMetaOf(json), parseArray(json, "blooms").getOrElse(Seq.empty))
+      bloomMetaOf(json), parseArray(json, "blooms").getOrElse(Seq.empty),
+      parseArray(json, "counts").getOrElse(Seq.empty))
     v
   }
 
@@ -1014,6 +1059,51 @@ object VersionedTable {
   def readVersion(spark: SparkSession, dir: String, v: Int): DataFrame = {
     val (fileRels, dvRels) = manifest(spark, dir, v)
     readFiles(spark, dir, v, fileRels, dvRels)
+  }
+
+  /** Metadata-only COUNT(*) (the Delta "metadata-only query"): when
+    * the manifest carries per-file row counts ([[commitWithCounts]]),
+    * a version's count is answered by SUMMING O(files) manifest
+    * integers — zero data I/O. Deletion vectors narrow, not break,
+    * the optimization: a DV at version N only masks rows in files of
+    * version < N, so files newer than every DV stay metadata-counted
+    * and ONLY the maskable older files are scanned (with DVs applied).
+    * Files without a recorded count force themselves into the scanned
+    * set — countFast is never wrong, only slower, when a commit path
+    * dropped the counts.
+    *
+    * Returns one row (cnt, files_scanned, files_meta) — the file
+    * split is the receipt that the answer did not come from a full
+    * scan. */
+  def countFast(spark: SparkSession, dir: String, v: Int): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val json = manifestJson(spark, dir, v)
+    val (fileRels, dvRels) = manifestLists(json, v)
+    val counts: Map[String, Long] =
+      parseArray(json, "counts").getOrElse(Seq.empty)
+        .map { s =>
+          val i = s.lastIndexOf('|')
+          s.substring(0, i) -> s.substring(i + 1).toLong
+        }.toMap
+    val maxDvV = dvRels
+      .flatMap(rel => DvPathVersion.findFirstMatchIn(rel)
+        .map(_.group(1).toInt))
+      .foldLeft(-1)(math.max)
+    def fileV(rel: String): Int =
+      "data/v(\\d+)/".r.findFirstMatchIn(rel)
+        .map(_.group(1).toInt).getOrElse(0)
+    // a DV masks rows only where dv_v > file_v (strict — see
+    // readFiles), so a file at version ≥ every DV's version is safe
+    val (metaFiles, scanFiles) = fileRels.partition(rel =>
+      fileV(rel) >= maxDvV && counts.contains(rel))
+    val metaSum = metaFiles.map(counts).sum
+    val scanned =
+      if (scanFiles.isEmpty) 0L
+      else readFiles(spark, dir, v, scanFiles, dvRels).count()
+    spark.range(1).select(
+      lit(metaSum + scanned).as("cnt"),
+      lit(scanFiles.size.toLong).as("files_scanned"),
+      lit(metaFiles.size.toLong).as("files_meta"))
   }
 
   /** The shared scan core: exactly `fileRels`, DVs applied.

@@ -638,4 +638,35 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.readCurrentFast(spark, dir)
       .select("id").as[Long].collect().toSet == Set(3L))
   }
+
+  test("countFast: metadata-only, DV-narrowed, and degraded-but-correct") {
+    val dir = java.nio.file.Files.createTempDirectory("vtab").toString
+    def cf(v: Int) = VersionedTable.countFast(spark, dir, v)
+      .as[(Long, Long, Long)].collect().head
+    val base = (1L to 100L).map(i => (i, s"r$i")).toDF("id", "s")
+    // v0+v1 counted commits: pure metadata, zero files scanned
+    VersionedTable.commitWithCounts(base.filter(col("id") <= 60)
+      .repartition(2), dir)
+    VersionedTable.appendCommit(base.filter(col("id") > 60)
+      .repartition(2), dir)
+    assert(cf(1) == ((100L, 0L, 4L)))
+    // v2 deletes 10 keys: every pre-delete file becomes scannable,
+    // and the count is exact
+    VersionedTable.deleteCommit(
+      base.filter(col("id") % 10 === 0).select(col("id")), dir)
+    assert(cf(2) == ((90L, 4L, 0L)))
+    // v3 appends post-delete: its files answer from the manifest
+    // while only the maskable older ones scan
+    VersionedTable.appendCommit(
+      (101L to 120L).map(i => (i, s"r$i")).toDF("id", "s")
+        .repartition(2), dir)
+    assert(cf(3) == ((110L, 4L, 2L)))
+    // time travel still answers the pre-delete versions
+    assert(cf(0) == ((60L, 0L, 2L)))
+    // a counts-free table degrades to a full scan - correct, 0 meta
+    val dir2 = java.nio.file.Files.createTempDirectory("vtab").toString
+    VersionedTable.commit(base.repartition(3), dir2)
+    assert(VersionedTable.countFast(spark, dir2, 0)
+      .as[(Long, Long, Long)].collect().head == ((100L, 3L, 0L)))
+  }
 }
