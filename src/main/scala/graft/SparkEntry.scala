@@ -5217,7 +5217,6 @@ object SparkEntry {
          |FROM c JOIN f USING (ch) GROUP BY 1""".stripMargin
     },
 
-    // d8's simhash-pair CTEs, then 3 unrolled integer PageRank rounds
     // d3's shingle/size/co-occurrence CTEs over the quote-injected
     // corpus; containment = i / least(sz_a, sz_b)
     "d20_containment" ->
@@ -5305,6 +5304,7 @@ object SparkEntry {
          |SELECT l.v AS doc_id, l.lab AS community, sz.csize
          |FROM l3 l JOIN sz USING (lab)""".stripMargin,
 
+    // d8's simhash-pair CTEs, then 3 unrolled integer PageRank rounds
     "d12_pagerank" ->
       s"""WITH t AS (SELECT doc_id, $DuckToks AS w FROM documents),
          |tok AS (
@@ -6859,7 +6859,9 @@ object SparkEntry {
 
     // exact medians (both engines interpolate even-count middles as
     // lower + (upper-lower)*0.5); the unrounded |rz| > 3.5 gate and
-    // the rounded output replay Spark's operand order exactly
+    // the rounded output replay Spark's operand order exactly; the
+    // MAD=0 branch (off-median rows flagged, NULL score) avoids the
+    // divide-by-zero divergence (Spark NULL vs DuckDB inf)
     "q97_robust_outliers" ->
       """WITH med AS (
         |  SELECT event_type, median(value) AS med FROM events
@@ -6869,9 +6871,13 @@ object SparkEntry {
         |   max(m.med) AS med
         |  FROM events e JOIN med m USING (event_type) GROUP BY 1)
         |SELECT e.event_type, e.event_id, e.value,
-        | round(0.6745 * (e.value - m.med) / m.mad, 4) AS robust_z
+        | CASE WHEN m.mad > 0
+        |   THEN round(0.6745 * (e.value - m.med) / m.mad, 4)
+        |   ELSE NULL END AS robust_z
         |FROM events e JOIN mad m USING (event_type)
-        |WHERE abs(0.6745 * (e.value - m.med) / m.mad) > 3.5""".stripMargin,
+        |WHERE (m.mad > 0
+        |    AND abs(0.6745 * (e.value - m.med) / m.mad) > 3.5)
+        |  OR (m.mad = 0 AND e.value <> m.med)""".stripMargin,
 
     // stepwise min-filter CTEs replay the anchor/window semantics;
     // counts and µs wait sums are exact BIGINTs

@@ -111,7 +111,11 @@ object Curation {
     * then one (grp, seq_id)-keyed aggregate; the collect_list is
     * bounded by docs-per-window ≤ ctxLen. */
   def packedWindowManifest(packed: DataFrame, ctxLen: Int): DataFrame = {
-    val w = packed.select(col("doc_id"), col("grp"), col("n_toks"),
+    // zero-token docs have last_seq < first_seq; Spark's sequence()
+    // would WALK BACKWARDS (step -1) and fabricate phantom windows —
+    // they occupy no window, drop them before the explode
+    val w = packed.filter(col("n_toks") > 0)
+      .select(col("doc_id"), col("grp"), col("n_toks"),
         col("start_off"),
         explode(sequence(col("first_seq"), col("last_seq"))).as("seq_id"))
       .withColumn("ws", col("seq_id") * ctxLen)
@@ -399,6 +403,10 @@ object Curation {
       .withColumn("stage",
         expr(s"((drank - 1) * $nStages) div ${total}L"))
       .withColumn("h", Tables.hashU32(col("doc_id"), seed))
+      // the second range-rank re-traverses its input twice (partition
+      // counts + the ranked rows) — pin the first global sort so the
+      // difficulty pass runs once
+      .persistTracked()
     val (pos, _) = PipelineOps.withGlobalSortRankAndCount(
       staged, Seq(col("stage").asc, col("h").asc, col("doc_id").asc),
       "grank")

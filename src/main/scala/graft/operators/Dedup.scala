@@ -780,8 +780,12 @@ object Dedup {
         .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         .select(col("dst").as("v"), col("lab"))
     }
-    val sizes = lab.groupBy(col("lab")).agg(count(lit(1)).as("csize"))
-    lab.join(sizes, Seq("lab"))
+    // lab feeds BOTH the size aggregate and the final join — without
+    // the persist the whole unrolled round chain executes twice
+    val finalLab = lab.persistTracked()
+    val sizes = finalLab.groupBy(col("lab"))
+      .agg(count(lit(1)).as("csize"))
+    finalLab.join(sizes, Seq("lab"))
       .select(col("v").as("doc_id"), col("lab").as("community"),
         col("csize"))
   }

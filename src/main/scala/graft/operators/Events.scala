@@ -195,6 +195,11 @@ object Events {
   def funnel(events: DataFrame, userCol: String, tsCol: String,
       typeCol: String, steps: Seq[String], windowUs: Long): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
+    // the streaming twin matches events to steps by indexOf, which
+    // cannot represent the same type at two positions — reject the
+    // shape loudly in BOTH variants rather than diverge silently
+    require(steps.distinct.size == steps.size,
+      s"funnel steps must be distinct, got $steps")
     val ev = events.select(col(userCol).as("u"),
       unix_micros(col(tsCol).cast("timestamp")).as("t"),
       col(typeCol).as("ty"))
@@ -235,7 +240,14 @@ object Events {
     * back — the fact table is never joined shuffle-to-shuffle. At
     * 100 TB swap `percentile` for `percentile_approx` (t-digest-style
     * mergeable sketch, no per-group sort) — the flag threshold cares
-    * about the far tail, not the 5th decimal of the median. */
+    * about the far tail, not the 5th decimal of the median.
+    *
+    * MAD = 0 (a majority-constant group — the degenerate flat-metric-
+    * with-a-spike case) gets an explicit branch instead of a division:
+    * every off-median row is flagged with a NULL score. A naive
+    * rz = Δ/0 would also DIVERGE cross-engine (Spark double division
+    * by zero yields NULL, DuckDB yields ±inf), silently dropping
+    * exactly the spikes the op exists to catch. */
   def robustOutliers(events: DataFrame, group: String, id: String,
       value: String, cutoff: Double = 3.5): DataFrame = {
     val med = events.groupBy(col(group))
@@ -246,8 +258,11 @@ object Events {
         max(col("med")).as("med")) // constant within the group
     events.join(broadcast(mad), Seq(group))
       .withColumn("rz",
-        lit(0.6745) * (col(value) - col("med")) / col("mad"))
-      .filter(abs(col("rz")) > cutoff)
+        when(col("mad") > 0,
+          lit(0.6745) * (col(value) - col("med")) / col("mad")))
+      .filter(
+        (col("mad") > 0 && abs(col("rz")) > cutoff) ||
+        (col("mad") === 0 && col(value) =!= col("med")))
       .select(col(group), col(id), col(value),
         round(col("rz"), 4).as("robust_z"))
   }

@@ -518,11 +518,21 @@ object VersionedTable {
           val newStats = statsCol.map(c =>
             fileStats(spark, vDir, s"data/v$v", c))
             .getOrElse(Seq.empty)
+          // carry + extend row counts like the lockstep appendCommit:
+          // dropping them here would disable countFast's metadata
+          // path forever after one atomic append
+          val carriedCounts =
+            parseArray(json, "counts").getOrElse(Seq.empty)
+          val newCounts =
+            if (carriedCounts.nonEmpty)
+              fileCounts(spark, vDir, s"data/v$v")
+            else Seq.empty
           writeManifest(f, dir, v, files ++ newFiles, dvs,
             statsCol,
             parseArray(json, "stats").getOrElse(Seq.empty) ++ newStats,
             bloomMetaOf(json),
-            parseArray(json, "blooms").getOrElse(Seq.empty))
+            parseArray(json, "blooms").getOrElse(Seq.empty),
+            carriedCounts ++ newCounts)
           return v
         } finally releaseClaim(f, dir, v)
       }
@@ -1089,8 +1099,15 @@ object VersionedTable {
       .flatMap(rel => DvPathVersion.findFirstMatchIn(rel)
         .map(_.group(1).toInt))
       .foldLeft(-1)(math.max)
+    // own-ness mirrors readFiles: only THIS table's relative
+    // "data/vN/" paths carry a version from our counter — a
+    // shallow-cloned absolute path keeps its SOURCE dir's /data/vN/
+    // segment (a different counter) and must read as version 0, or
+    // countFast and the DV mask would disagree on which files a
+    // delete touches
     def fileV(rel: String): Int =
-      "data/v(\\d+)/".r.findFirstMatchIn(rel)
+      if (!rel.startsWith("data/v")) 0
+      else "^data/v(\\d+)/".r.findFirstMatchIn(rel)
         .map(_.group(1).toInt).getOrElse(0)
     // a DV masks rows only where dv_v > file_v (strict — see
     // readFiles), so a file at version ≥ every DV's version is safe

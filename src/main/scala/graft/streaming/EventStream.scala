@@ -241,6 +241,8 @@ object EventStream {
     * twin. */
   def funnelStream(events: DataFrame, steps: Seq[String],
       windowUs: Long): Dataset[FunnelReach] = {
+    require(steps.distinct.size == steps.size,
+      s"funnel steps must be distinct, got $steps") // indexOf matching
     val spark = events.sparkSession
     import spark.implicits._
     events

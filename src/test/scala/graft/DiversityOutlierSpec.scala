@@ -122,6 +122,19 @@ class DiversityOutlierSpec extends SparkSpec {
     assert(rz > 1e5)
   }
 
+  test("robustOutliers MAD=0: off-median rows flagged with NULL score") {
+    // majority-constant group: median=5, MAD=0 — a naive rz = Δ/0
+    // would be NULL in Spark (dropped!) and inf in DuckDB; the
+    // explicit branch flags the spike with a NULL score instead
+    val rows = (1 to 9).map(i => ("flat", i.toLong, 5.0)) ++
+      Seq(("flat", 99L, 1000.0))
+    val out = Events.robustOutliers(rows.toDF("event_type", "event_id",
+        "value"), "event_type", "event_id", "value", cutoff = 3.5)
+      .select("event_id", "robust_z")
+      .as[(Long, Option[Double])].collect()
+    assert(out.toSeq == Seq((99L, None)))
+  }
+
   test("funnel: ordering, windowing, and first-match anchoring") {
     def ts(min: Long) = java.sql.Timestamp.valueOf(
       java.time.LocalDateTime.of(2024, 1, 1, 0, 0).plusMinutes(min))

@@ -668,5 +668,14 @@ class VersionedTableSpec extends SparkSpec {
     VersionedTable.commit(base.repartition(3), dir2)
     assert(VersionedTable.countFast(spark, dir2, 0)
       .as[(Long, Long, Long)].collect().head == ((100L, 3L, 0L)))
+    // the ATOMIC append carries + extends counts like the lockstep
+    // one: the metadata path survives a multi-writer commit
+    val dir3 = java.nio.file.Files.createTempDirectory("vtab").toString
+    VersionedTable.commitWithCounts(base.repartition(2), dir3)
+    VersionedTable.appendCommitAtomic(
+      (101L to 110L).map(i => (i, s"r$i")).toDF("id", "s")
+        .repartition(1), dir3)
+    assert(VersionedTable.countFast(spark, dir3, 1)
+      .as[(Long, Long, Long)].collect().head == ((110L, 0L, 3L)))
   }
 }
