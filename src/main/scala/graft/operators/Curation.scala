@@ -394,8 +394,12 @@ object Curation {
   def curriculumOrder(docs: DataFrame, idCol: Column, difficulty: Column,
       nStages: Int, seed: Int): DataFrame = {
     require(nStages >= 1, s"nStages must be >= 1, got $nStages")
+    // the range-rank helper traverses its sorted input twice
+    // (partition-count collect + ranked rows) — pin the difficulty
+    // relation so the full-corpus difficulty pass runs once
     val base = docs.select(idCol.as("doc_id"),
       difficulty.cast("long").as("difficulty"))
+      .persistTracked()
     val (ranked, total) = PipelineOps.withGlobalSortRankAndCount(
       base, Seq(col("difficulty").asc, col("doc_id").asc), "drank")
     require(total > 0, "curriculumOrder needs a non-empty corpus")

@@ -940,7 +940,10 @@ object TextAnalysis {
     * before the round. */
   def charEntropy(docs: DataFrame, idCol: Column, textCol: Column,
       loBits: Double = 3.0, hiBits: Double = 5.5): DataFrame = {
-    val chars = split(textCol, "")
+    // drop zero-length elements: Spark's split('', '') yields [""],
+    // which would count one phantom char on empty text and diverge
+    // from the oracle's len>0-filtered list
+    val chars = filter(split(textCol, ""), c => length(c) > 0)
     val alphabet = array_sort(array_distinct(chars))
     val n = size(chars).cast("double")
     val ent = aggregate(alphabet, lit(0.0), (acc, ch) => {

@@ -41,8 +41,15 @@ object JsonlShards {
         val name = f"${baseName}_$pid%05d-of-$numShards%05d.jsonl.gz"
         val path = new Path(dir, name)
         val fs = path.getFileSystem(confB.value.value)
+        // attempt-unique tmp + rename commit: a retried or speculative
+        // task attempt must never interleave with another writer on the
+        // final path (a half-written gzip stream is silently truncated
+        // on read) — the same publish discipline as the manifest writer
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(_.taskAttemptId()).getOrElse(0L)
+        val tmp = new Path(dir, s".$name.tmp-$attempt")
         val out = new DataOutputStream(new BufferedOutputStream(
-          new java.util.zip.GZIPOutputStream(fs.create(path, true)),
+          new java.util.zip.GZIPOutputStream(fs.create(tmp, true)),
           1 << 16))
         var n = 0L
         try rows.foreach { r =>
@@ -50,6 +57,9 @@ object JsonlShards {
           out.write('\n')
           n += 1
         } finally out.close()
+        fs.delete(path, false) // replace a prior attempt's shard, if any
+        if (!fs.rename(tmp, path))
+          throw new java.io.IOException(s"rename $tmp -> $path failed")
         Iterator.single(path.toString -> n)
     }.collect().toSeq.sortBy(_._1)
   }

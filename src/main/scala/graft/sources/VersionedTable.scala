@@ -95,14 +95,22 @@ object VersionedTable {
   private def fileCounts(spark: SparkSession, dataDir: Path,
       relPrefix: String): Seq[String] = {
     import org.apache.spark.sql.functions._
-    spark.read.parquet(dataDir.toString)
+    val counted = spark.read.parquet(dataDir.toString)
       .groupBy(col("_metadata.file_path").as("fp"))
       .agg(count(lit(1)).as("n"))
       .collect().toSeq
-      .map { r =>
-        val name = r.getString(0).split("/").last
-        s"$relPrefix/$name|${r.getLong(1)}"
-      }.sorted
+      .map(r => r.getString(0).split("/").last -> r.getLong(1))
+      .toMap
+    // seed from the directory listing: a zero-row part file emits no
+    // groupBy row, but it still needs an explicit |0 entry or countFast
+    // forever classifies it as a scan file
+    val fsys = dataDir.getFileSystem(
+      spark.sessionState.newHadoopConf())
+    fsys.listStatus(dataDir).toSeq
+      .map(_.getPath.getName)
+      .filter(_.endsWith(".parquet"))
+      .map(name => s"$relPrefix/$name|${counted.getOrElse(name, 0L)}")
+      .sorted
   }
 
   /** Per-file min/max of `statsCol` for the just-written files under

@@ -192,10 +192,14 @@ object EventStream {
   /** One event for the streaming funnel. */
   final case class FunnelEvent(user_id: Long, ts_us: Long,
       event_type: String)
-  /** Per-user funnel progress: step times so far (-1 = unreached). */
-  final case class FunnelTimes(t: Seq[Long])
+  /** Per-user funnel progress: step times so far (-1 = unreached),
+    * the max event time processed so far, and the cumulative count of
+    * cross-batch disorder violations (events arriving in a later
+    * micro-batch with ts below an already-processed event's). */
+  final case class FunnelTimes(t: Seq[Long], maxSeen: Long,
+      disordered: Long)
   final case class FunnelReach(user_id: Long, reached: Long,
-      times: Seq[Long])
+      times: Seq[Long], disordered: Long)
 
   /** The q99 funnel automaton as keyed streaming state: per user, the
     * step-time vector rides a ValueState; each micro-batch sorts its
@@ -218,10 +222,21 @@ object EventStream {
 
     override def handleInputRows(key: Long, rows: Iterator[FunnelEvent],
         timerValues: TimerValues): Iterator[FunnelReach] = {
-      val cur: Array[Long] =
-        if (times.exists()) times.get().t.toArray
-        else Array.fill(steps.length)(-1L)
-      rows.toArray.sortBy(_.ts_us).foreach { e =>
+      val st =
+        if (times.exists()) times.get()
+        else FunnelTimes(Seq.fill(steps.length)(-1L), Long.MinValue, 0L)
+      val cur: Array[Long] = st.t.toArray
+      // batch≡stream holds only when each user's events arrive in
+      // event-time order ACROSS batches; count violations (an event in
+      // this batch older than anything already folded) so a silent
+      // divergence from the q99 batch answer becomes a visible signal
+      val sorted = rows.toArray.sortBy(_.ts_us)
+      val disordered = st.disordered +
+        sorted.count(_.ts_us < st.maxSeen)
+      val maxSeen =
+        if (sorted.isEmpty) st.maxSeen
+        else math.max(st.maxSeen, sorted.last.ts_us)
+      sorted.foreach { e =>
         val i = steps.indexOf(e.event_type)
         if (i == 0) {
           if (cur(0) < 0) cur(0) = e.ts_us
@@ -230,9 +245,9 @@ object EventStream {
           cur(i) = e.ts_us
         }
       }
-      times.update(FunnelTimes(cur.toSeq))
-      Iterator.single(
-        FunnelReach(key, cur.takeWhile(_ >= 0).length.toLong, cur.toSeq))
+      times.update(FunnelTimes(cur.toSeq, maxSeen, disordered))
+      Iterator.single(FunnelReach(key,
+        cur.takeWhile(_ >= 0).length.toLong, cur.toSeq, disordered))
     }
   }
 
