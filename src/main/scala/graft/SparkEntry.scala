@@ -1394,6 +1394,17 @@ object SparkEntry {
       TextAnalysis.bm25TopK(Tables.documents(s, d), col("doc_id"),
         col("text"), col("doc_id") % 25 === 0, k = 5)),
 
+    // the same BM25 top-5 SERVED FROM the t24 impact-ordered inverted
+    // index with block-max WAND pruning: per-(query, block) upper
+    // bounds from block-max metadata, θ from an exactly-scored seed,
+    // blocks with ub < θ skipped — provably identical output (doc-range
+    // blocks make block reads complete-score reads), so the ORACLE IS
+    // t26's verbatim; the blocks-read-vs-skipped receipt is spec- and
+    // stress-covered
+    "t30_bm25_wand" -> ((s, d) =>
+      graft.operators.InvertedIndex.bm25FromIndex(Tables.documents(s, d),
+        col("doc_id"), col("text"), col("doc_id") % 25 === 0, k = 5)),
+
     // BLOCK-PARTITIONED inverted index: token → posting blocks of
     // ≤ 64 docs each (block = doc_id div 64) — a stopword's corpus-
     // sized posting list never lands on one reducer; postings sort by
@@ -5843,6 +5854,13 @@ object SparkEntry {
          |FROM r GROUP BY 1, 2""".stripMargin,
 
     "t26_bm25_topk" ->
+      s"""$duckBm25Ctes
+         |SELECT query_id, rank, doc_id, score6
+         |FROM bmr WHERE rank <= 5""".stripMargin,
+
+    // t30 must land on t26's answer exactly — same oracle, verbatim:
+    // the WAND pruning is a plan change, never a semantics change
+    "t30_bm25_wand" ->
       s"""$duckBm25Ctes
          |SELECT query_id, rank, doc_id, score6
          |FROM bmr WHERE rank <= 5""".stripMargin,

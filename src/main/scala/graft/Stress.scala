@@ -433,6 +433,38 @@ object Stress {
         .withColumnRenamed("neighbor_id", "doc_id")
       Similarity.rrfFuseTopK(lex, dense, k = 5).count()
     }
+    // s19 recall census with FIXED queries: the exact leg is linear in
+    // the corpus per query (it IS the ground truth), the trained-IVF
+    // leg is sublinear, and the census join is k·|Q| — flat
+    t("s19_recall(fixed-queries)") {
+      val q = emb.filter(col("vec_id") % 500 === 0 &&
+        col("vec_id") < 10000000L)
+      val codebook = Similarity.kmeansCentroids(emb, "vec_id",
+        "embedding", nCells = Similarity.autoCells(emb.count()),
+        iters = 2)
+      val approx = Similarity.ivfTopKWithQueries(emb, codebook, q,
+        "vec_id", "embedding", k = 5, nProbe = 2)
+      val exact = Similarity.bruteForceTopK(emb, q, "vec_id",
+        "embedding", 5)
+      Similarity.recallCensus(exact, approx).count()
+    }
+    // t30 index-served BM25 with the SAME fixed queries as the t26 row
+    // above — the head-to-head is the index-vs-rescan claim; the
+    // blocks receipt is the pruning evidence (on this closed-vocab
+    // corpus every block posts every term, so read≈total here — the
+    // Zipf-corpus spec is the skip-rate proof; what must NOT grow is
+    // the per-query read count relative to blocks_total)
+    t("t30_bm25_wand(fixed-queries)") {
+      val isQ = col("doc_id") % 500 === 0 && col("doc_id") < 10000000L
+      val n = InvertedIndex.bm25FromIndex(docs, col("doc_id"),
+        col("text"), isQ, k = 5).count()
+      val r = InvertedIndex.bm25WandReceipts(docs, col("doc_id"),
+          col("text"), isQ, k = 5)
+        .agg(sum("blocks_total"), sum("blocks_read")).head()
+      println(s"    t30 receipt: blocks total=${r.getLong(0)} " +
+        s"read=${r.getLong(1)}")
+      n
+    }
     // shuffle-free map stage: must be exactly linear in corpus bytes
     t("t29_char_entropy") {
       TextAnalysis.charEntropy(docs, col("doc_id"), col("text")).count()

@@ -1,8 +1,10 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.InternalCaches.TrackedPersist
 import graft.Tables
 
 /** Block-partitioned inverted index — the token → posting-list
@@ -61,6 +63,204 @@ object InvertedIndex {
       .join(stats, Seq("tok"))
       .select(col("tok"), col("df"), col("cf"), col("n_blocks"),
         col("postings_fp"))
+  }
+
+  /** Impact-ordered BM25 index: quantized per-(term, doc) impacts laid
+    * out in the t24 doc-range blocks, plus the per-(term, block) MAX
+    * impact — the block-max metadata WAND/BMW pruning reads instead of
+    * the postings themselves.
+    *
+    * `impacts`  — (token, block, doc_id, contrib6): the FULL BM25
+    *              contribution of term→doc, precomputed at build time
+    *              with the t26 integer-micro-nat discipline (so query
+    *              scoring is a pure lookup + BIGINT sum — the real-world
+    *              impact-quantized index layout).
+    * `blockMax` — (token, block, ub6): max impact within the block.
+    *
+    * The load-bearing property of DOC-RANGE blocks (`block = doc_id div
+    * blockSize`): every term's postings for a given doc share ONE block
+    * id, so (a) Σ_t blockMax(t, b) upper-bounds ANY doc score in block
+    * b across the whole query, and (b) reading block b yields COMPLETE
+    * exact scores for its docs — none of the partial-score hazard
+    * term-at-a-time pruning has to fight. */
+  final case class Bm25Index(impacts: DataFrame, blockMax: DataFrame)
+
+  /** Build the impact-ordered index. One corpus tokenize; tf persisted
+    * for its three consumers (dl, df, impacts), impacts persisted for
+    * the seed-scoring and final-scoring probes. */
+  def buildBm25Index(docs: DataFrame, idCol: Column, textCol: Column,
+      blockSize: Int = 64, k1: Double = 1.2, b: Double = 0.75)
+      : Bm25Index = {
+    require(blockSize > 0, s"blockSize=$blockSize")
+    val tf = docs.select(idCol.as("doc_id"),
+        explode(TextAnalysis.tokens(textCol)).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .persistTracked()
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val dfq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val tots = dl.agg(count(lit(1)).cast("double").as("n"),
+      sum(col("dl")).cast("double").as("tot"))
+    val idf6 = dfq.crossJoin(broadcast(tots))
+      .withColumn("idf6", round(log(lit(1.0) +
+        (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+        * lit(1e6)).cast("long"))
+      .select(col("token"), col("idf6"), col("n"), col("tot"))
+    val impacts = tf
+      .join(dl, Seq("doc_id"))
+      .join(idf6, Seq("token"))
+      .withColumn("block", expr(s"doc_id div $blockSize"))
+      .withColumn("contrib6", round(col("idf6") *
+        (col("tf") * lit(k1 + 1.0)) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) +
+          lit(b) * col("dl") * col("n") / col("tot")))).cast("long"))
+      .select(col("token"), col("block"), col("doc_id"), col("contrib6"))
+      .persistTracked()
+    val blockMax = impacts.groupBy(col("token"), col("block"))
+      .agg(max(col("contrib6")).as("ub6"))
+    Bm25Index(impacts, blockMax)
+  }
+
+  /** Exact scores for a (query_id, block) read set: pull every query
+    * term's impacts in the selected blocks, sum per doc. Because blocks
+    * are doc ranges, the per-doc sum inside a read block is the doc's
+    * COMPLETE score — exact by construction. */
+  private def scoreBlocks(sel: DataFrame, qterms: DataFrame,
+      impacts: DataFrame): DataFrame =
+    sel.join(qterms, Seq("query_id"))
+      .join(impacts, Seq("token", "block"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("contrib6")).as("score6"))
+
+  /** BM25 top-k SERVED FROM THE INDEX with block-max WAND pruning —
+    * the retrieval-shaped twin of [[TextAnalysis.bm25TopK]] (which
+    * rescans + reshuffles the corpus per query batch; right for
+    * one-shot batch scoring, wrong for the repeated-query workload an
+    * index exists for). Provably identical output:
+    *
+    *  1. UB pass (metadata only): ub(q, b) = Σ_{t∈T(q)} blockMax(t, b)
+    *     over the query's terms — an upper bound on any doc score in b.
+    *  2. Seed: exactly score the `seedBlocks` highest-UB blocks per
+    *     query; θ_q = the k-th best seed score (a LOWER bound on the
+    *     true k-th best, since adding docs only raises the k-th best).
+    *  3. Prune: skip every block with ub < θ_q — its docs score
+    *     ≤ ub < θ_q ≤ true k-th score, so they cannot enter the top-k
+    *     even via the doc_id tiebreak (strictly lower score). Blocks
+    *     with ub ≥ θ_q are read and scored exactly; queries whose seed
+    *     produced < k docs take θ = −∞ (read everything — the t26
+    *     plan, so degenerate queries stay exact too).
+    *
+    * Scale shape: the corpus is touched once at index build; per query
+    * batch the plan joins query terms against BLOCK METADATA (rows =
+    * Σ_t n_blocks(t), not postings), then probes only the read-set
+    * blocks of the impact relation — work proportional to the
+    * shortlist, not the corpus. All joins are equi-joins on
+    * (token, block) / query_id; θ is a one-row-per-query relation,
+    * broadcast into the prune filter. */
+  def bm25FromIndex(docs: DataFrame, idCol: Column, textCol: Column,
+      isQuery: Column, k: Int = 5, blockSize: Int = 64,
+      seedBlocks: Int = 4, k1: Double = 1.2, b: Double = 0.75)
+      : DataFrame = {
+    val (topk, _) = bm25WandCore(docs, idCol, textCol, isQuery, k,
+      blockSize, seedBlocks, k1, b)
+    topk
+  }
+
+  /** The WAND pruning receipt: per query, how many candidate blocks
+    * the query's terms touch (blocks_total), how many the θ bound let
+    * it READ (blocks_read) and skip (blocks_skipped) — the proof the
+    * upper bound actually prunes. Grows with the shortlist, not the
+    * corpus (Stress records the curve). */
+  def bm25WandReceipts(docs: DataFrame, idCol: Column, textCol: Column,
+      isQuery: Column, k: Int = 5, blockSize: Int = 64,
+      seedBlocks: Int = 4, k1: Double = 1.2, b: Double = 0.75)
+      : DataFrame = {
+    val (_, receipts) = bm25WandCore(docs, idCol, textCol, isQuery, k,
+      blockSize, seedBlocks, k1, b)
+    receipts
+  }
+
+  /** The pruning core — MaxScore essential terms × block-max WAND,
+    * both driven by the same θ, both provably lossless:
+    *
+    *  - θ (a lower bound on the true k-th best score) comes from
+    *    exactly scoring the `seedBlocks` highest-UB blocks per query.
+    *  - MAXSCORE (term-level, the long-query pruner): sort the query's
+    *    terms by global max impact ascending; the maximal prefix whose
+    *    impacts sum < θ is NON-ESSENTIAL — a doc containing only those
+    *    terms scores strictly below θ, so candidates are generated
+    *    from the remaining (essential) terms' postings alone. This is
+    *    what bites on whole-document queries, where dozens of low-idf
+    *    terms carry most of the summed block-max bound but no doc can
+    *    collect them all.
+    *  - BMW (block-level): among candidate blocks, skip any with
+    *    Σ_t blockMax(t, b) < θ — every doc there is bounded below θ.
+    *
+    * Every surviving block is scored COMPLETELY (doc-range blocks ⇒
+    * complete scores), so any doc with score ≥ θ — in particular the
+    * whole true top-k — is scored exactly; pruned docs score < θ
+    * strictly and cannot displace even via the doc_id tiebreak. */
+  private def bm25WandCore(docs: DataFrame, idCol: Column,
+      textCol: Column, isQuery: Column, k: Int, blockSize: Int,
+      seedBlocks: Int, k1: Double, b: Double)
+      : (DataFrame, DataFrame) = {
+    require(k > 0, s"k=$k")
+    require(seedBlocks > 0, s"seedBlocks=$seedBlocks")
+    val idx = buildBm25Index(docs, idCol, textCol, blockSize, k1, b)
+    val termMax = idx.blockMax.groupBy(col("token"))
+      .agg(max(col("ub6")).as("gmax6"))
+    val qterms = docs.filter(isQuery)
+      .select(idCol.as("query_id"),
+        explode(array_distinct(TextAnalysis.tokens(textCol)))
+          .as("token"))
+      .persistTracked() // UB pass, essential-term pass, scoring probes
+    // per-(query, block) upper bound from block-max metadata alone
+    val ub = idx.blockMax.join(qterms, Seq("token"))
+      .groupBy(col("query_id"), col("block"))
+      .agg(sum(col("ub6")).as("ub"))
+      .persistTracked() // seed selection + prune filter + receipts
+    val seed = Events.topKPerGroup(ub, Seq(col("query_id")),
+        Seq(col("ub").desc, col("block").asc), seedBlocks)
+      .select(col("query_id"), col("block"))
+    val theta = Events.topKPerGroup(
+        scoreBlocks(seed, qterms, idx.impacts), Seq(col("query_id")),
+        Seq(col("score6").desc, col("doc_id").asc), k)
+      .filter(col("rank") === k)
+      .select(col("query_id"), col("score6").as("theta"))
+    // MaxScore: ascending-gmax running sum per query; a term is
+    // essential iff the cumulative sum through it reaches θ (the
+    // strict-prefix below θ is exactly the maximal ignorable set)
+    val wCum = Window.partitionBy(col("query_id"))
+      .orderBy(col("gmax6").asc, col("token").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val essential = qterms.join(termMax, Seq("token"))
+      .join(broadcast(theta), Seq("query_id"), "left")
+      .withColumn("cum", sum(col("gmax6")).over(wCum))
+      .filter(col("theta").isNull || col("cum") >= col("theta"))
+      .select(col("query_id"), col("token"))
+    // candidate blocks: blocks holding ≥1 essential-term posting —
+    // block METADATA suffices (which (token, block) cells exist), no
+    // posting payloads are touched to build the read set
+    val candBlocks = idx.blockMax.join(essential, Seq("token"))
+      .select(col("query_id"), col("block")).distinct()
+    val readSet = candBlocks.join(ub, Seq("query_id", "block"))
+      .join(broadcast(theta), Seq("query_id"), "left")
+      .filter(col("theta").isNull || col("ub") >= col("theta"))
+      .select(col("query_id"), col("block"))
+      .persistTracked() // final scoring + receipts
+    val topk = Events.topKPerGroup(
+        scoreBlocks(readSet, qterms, idx.impacts), Seq(col("query_id")),
+        Seq(col("score6").desc, col("doc_id").asc), k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("score6"))
+    val receipts = ub.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("blocks_total"))
+      .join(readSet.groupBy(col("query_id"))
+        .agg(count(lit(1)).as("blocks_read")), Seq("query_id"))
+      .select(col("query_id"), col("blocks_total"), col("blocks_read"),
+        (col("blocks_total") - col("blocks_read")).as("blocks_skipped"))
+    (topk, receipts)
   }
 
   /** Exact-phrase occurrence count from the index alone (no rescan of

@@ -173,7 +173,22 @@ object Similarity {
     * (broadcast codebook for assignment, equi-join on cell id for
     * candidates), with a trained quantizer instead of raw seeds. */
   def ivfTopKWith(emb: DataFrame, centroids: DataFrame, idCol: String,
-      vecCol: String, k: Int, nProbe: Int = 2): DataFrame = {
+      vecCol: String, k: Int, nProbe: Int = 2): DataFrame =
+    ivfTopKCore(emb, centroids, None, idCol, vecCol, k, nProbe)
+
+  /** [[ivfTopKWith]] restricted to an explicit QUERY subset: the whole
+    * corpus is still assigned (it is the searched side), but only
+    * `queries`' rows probe — the retrieval-service shape where |Q| is
+    * fixed while the corpus grows. */
+  def ivfTopKWithQueries(emb: DataFrame, centroids: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      nProbe: Int = 2): DataFrame =
+    ivfTopKCore(emb, centroids, Some(queries.select(col(idCol))),
+      idCol, vecCol, k, nProbe)
+
+  private def ivfTopKCore(emb: DataFrame, centroids: DataFrame,
+      queries: Option[DataFrame], idCol: String,
+      vecCol: String, k: Int, nProbe: Int): DataFrame = {
     // cell assignment: nearest centroid by cosine (norms precomputed)
     val withNorm = emb.select(col(idCol), col(vecCol))
       .withColumn("nrm", norm(col(vecCol)))
@@ -192,7 +207,11 @@ object Similarity {
     val assigned = ranked.filter(col("rk") === 1)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
         col("nrm").as("c_nrm"), col("cell_id"))
-    val probed = ranked
+    val probeSide = queries match {
+      case Some(q) => ranked.join(broadcast(q), Seq(idCol), "left_semi")
+      case None => ranked
+    }
+    val probed = probeSide
       .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
         col("nrm").as("q_nrm"), col("cell_id").as("probe_cell"))
     val cand = probed.join(assigned,

@@ -72,6 +72,92 @@ class RetrievalSpec extends SparkSpec {
     assert(ids.toSet == Set((0L, 25L), (0L, 1L), (25L, 0L), (25L, 1L)))
   }
 
+  test("bm25FromIndex (WAND) lands on bm25TopK's exact answer") {
+    val docs = Tables.documents(spark, Sf0001)
+    val isQ = col("doc_id") % 25 === 0
+    val full = TextAnalysis.bm25TopK(docs, col("doc_id"), col("text"),
+        isQ, k = 5)
+      .select("query_id", "rank", "doc_id", "score6")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val wand = graft.operators.InvertedIndex.bm25FromIndex(docs,
+        col("doc_id"), col("text"), isQ, k = 5)
+      .select("query_id", "rank", "doc_id", "score6")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(wand == full,
+      s"WAND diverged: only-wand=${(wand -- full).take(5)} " +
+        s"only-full=${(full -- wand).take(5)}")
+  }
+
+  test("bm25FromIndex handles degenerate (< k candidates) queries") {
+    // query 0's sole term is shared with one doc → 1 result, no θ
+    val docs = Seq((0L, "zzz"), (1L, "zzz aaa"), (2L, "bbb ccc"),
+      (3L, "ccc ddd")).toDF("doc_id", "text")
+    val out = graft.operators.InvertedIndex.bm25FromIndex(docs,
+        col("doc_id"), col("text"), col("doc_id") === 0, k = 5)
+      .select("query_id", "rank", "doc_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((0L, 1L, 1L)), s"got $out")
+  }
+
+  test("bm25WandReceipts: read + skipped = total on the sf corpus") {
+    // the sf documents table has a ~30-token CLOSED vocabulary — every
+    // term posts in every block, so no index scheme can skip here (each
+    // block really holds near-top docs); this test checks the receipt
+    // INVARIANTS, the Zipf test below proves the pruning
+    val docs = Tables.documents(spark, Sf0001)
+    val rec = graft.operators.InvertedIndex.bm25WandReceipts(docs,
+        col("doc_id"), col("text"), col("doc_id") % 25 === 0, k = 5)
+      .select("query_id", "blocks_total", "blocks_read", "blocks_skipped")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rec.nonEmpty)
+    rec.foreach { case (q, tot, rd, sk) =>
+      assert(rd + sk == tot, s"q$q: $rd + $sk != $tot")
+      assert(rd >= 1 && rd <= tot, s"q$q read $rd of $tot")
+    }
+  }
+
+  /** A Zipf-shaped corpus (what real text is): a small stopword pool
+    * every doc shares plus rare content terms with df ≈ 4. MaxScore
+    * makes the stopwords non-essential once θ is known, so candidate
+    * blocks come from the rare terms' few postings alone. */
+  private def zipfCorpus(nDocs: Int) = {
+    (0 until nDocs).map { i =>
+      // 12 of 20 stopwords (df ≈ 0.6·N) + one df=8 content term whose
+      // sharers are spread 256 ids (≥ 4 blocks) apart + one df=1 term
+      val stop = (0 until 12).map(j => s"the${(i + j) % 20}")
+      val rare = Seq(s"r${i % (nDocs / 8)}", s"u$i")
+      (i.toLong, (stop ++ rare).mkString(" "))
+    }.toDF("doc_id", "text")
+  }
+
+  test("bm25 WAND: MaxScore prunes most blocks on a Zipf corpus") {
+    val docs = zipfCorpus(2048)
+    val isQ = col("doc_id") % 512 === 0
+    // seedBlocks = 8 so the seed covers the content term's sharer
+    // blocks and θ clears the total stopword mass — then every
+    // stopword goes non-essential and candidates come from the rare
+    // terms' ~9 blocks alone
+    val rec = graft.operators.InvertedIndex.bm25WandReceipts(docs,
+        col("doc_id"), col("text"), isQ, k = 5, seedBlocks = 8)
+      .select("query_id", "blocks_total", "blocks_read", "blocks_skipped")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rec.nonEmpty)
+    val (tot, rd) = (rec.map(_._2).sum, rec.map(_._3).sum)
+    info(s"zipf: blocks total=$tot read=$rd skipped=${tot - rd}")
+    assert(rd * 2 < tot,
+      s"expected >50% of blocks skipped on a Zipf corpus, read $rd/$tot")
+    // and the pruned plan still lands on the full-scan answer
+    val full = TextAnalysis.bm25TopK(docs, col("doc_id"), col("text"),
+        isQ, k = 5)
+      .select("query_id", "rank", "doc_id", "score6")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val wand = graft.operators.InvertedIndex.bm25FromIndex(docs,
+        col("doc_id"), col("text"), isQ, k = 5, seedBlocks = 8)
+      .select("query_id", "rank", "doc_id", "score6")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(wand == full)
+  }
+
   test("rrfFuseTopK fuses integer rank contributions exactly") {
     val lex = Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L))
       .toDF("query_id", "doc_id", "rank")
