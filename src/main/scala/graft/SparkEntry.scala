@@ -1080,6 +1080,25 @@ object SparkEntry {
         col("text"), col("source"), n = 3, minContainment = 0.9)
     }),
 
+    // the candidate-BOUNDED exact containment tier: same semantics,
+    // same quote-injected corpus, same oracle as d20 — but candidates
+    // come from each doc's ⌊(1−τ)·sz⌋+1 globally-rarest shingles
+    // joined against full same-key sets (zero-miss by the asymmetric
+    // prefix lemma), not the df²-per-shingle co-occurrence self-join
+    "d21_prefix_containment" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), col("source"))
+      val quotes = docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          concat(lit("begin quoted passage "), col("text"),
+            lit(" end of quoted passage with additional wrapper " +
+              "commentary appended here")).as("text"),
+          col("source"))
+      Dedup.prefixContainmentJoin(docs.unionByName(quotes),
+        col("doc_id"), col("text"), col("source"), n = 3,
+        thresholdPct = 90)
+    }),
+
     // community detection over the same near-dup graph: synchronous
     // LPA, 3 unrolled rounds, mode-of-neighbor-labels with min
     // tie-break — the finer clustering d8's transitive closure can't
@@ -5231,6 +5250,41 @@ object SparkEntry {
     // d3's shingle/size/co-occurrence CTEs over the quote-injected
     // corpus; containment = i / least(sz_a, sz_b)
     "d20_containment" ->
+      s"""WITH corp AS (
+         |  SELECT doc_id, text, source FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000 AS doc_id,
+         |   'begin quoted passage ' || text ||
+         |   ' end of quoted passage with additional wrapper ' ||
+         |   'commentary appended here' AS text, source
+         |  FROM documents WHERE doc_id % 7 = 0),
+         |t AS (SELECT doc_id, source, $DuckToks AS w FROM corp),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, source, unnest(list_transform(
+         |    range(1, len(w) - 1),
+         |    i -> array_to_string(w[i:i+2], ' '))) AS s
+         |  FROM t WHERE len(w) >= 3),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |   CAST(count(*) AS BIGINT) AS inter
+         |  FROM sh a JOIN sh b
+         |    ON a.source = b.source AND a.s = b.s
+         |    AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT i.doc_a, i.doc_b, i.inter,
+         | i.inter / least(za.sz, zb.sz)::DOUBLE AS containment,
+         | i.inter / (za.sz + zb.sz - i.inter)::DOUBLE AS jaccard
+         |FROM inter i
+         |JOIN sizes za ON za.doc_id = i.doc_a
+         |JOIN sizes zb ON zb.doc_id = i.doc_b
+         |WHERE i.inter / least(za.sz, zb.sz)::DOUBLE >= 0.9"""
+        .stripMargin,
+
+    // d21 must land on d20's pairs exactly — the prefix filter is a
+    // candidate-generation change, never a semantics change, so the
+    // oracle is d20's verbatim
+    "d21_prefix_containment" ->
       s"""WITH corp AS (
          |  SELECT doc_id, text, source FROM documents
          |  UNION ALL

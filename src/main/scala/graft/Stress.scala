@@ -537,6 +537,18 @@ object Stress {
       Dedup.containmentSameKey(docs, col("doc_id"), col("text"),
         col("source"), n = 3, minContainment = 0.9).count()
     }
+    // the candidate-bounded twin: same pairs, but candidates come from
+    // rarest-prefix × full-set joins — the receipt (prefix vs cooc
+    // candidate pairs) is the df²-term kill, head-to-head with d20
+    t("d21_prefix_containment") {
+      val n = Dedup.prefixContainmentJoin(docs, col("doc_id"),
+        col("text"), col("source"), n = 3, thresholdPct = 90).count()
+      val (pp, cp) = Dedup.prefixContainmentReceipt(docs,
+        col("doc_id"), col("text"), col("source"), n = 3,
+        thresholdPct = 90)
+      println(s"    d21 receipt: prefix candidates=$pp cooc=$cp")
+      n
+    }
     // p2's prefix-sum layout + the window explode: near-linear
     t("p8_window_manifest") {
       Curation.packedWindowManifest(

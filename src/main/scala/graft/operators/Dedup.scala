@@ -487,6 +487,115 @@ object Dedup {
         col("containment"), col("jaccard"))
   }
 
+  /** Candidate-BOUNDED exact containment join — [[containmentSameKey]]
+    * re-armed with the prefix filter, killing the df² hot-shingle term
+    * that is the co-occurrence join's 100 TB liability (a stop-shingle
+    * like "one of the" has corpus-scale df, and the (key, shingle)
+    * self-join emits df² candidate rows per shingle BEFORE any
+    * containment math).
+    *
+    * Containment-specific prefix lemma (the asymmetric variant of
+    * d17's): order all shingles by global (df asc, shingle asc) —
+    * rarest first. For a pair with sz_S ≤ sz_L, containment ≥ τ means
+    * |S∩L| ≥ ⌈τ·sz_S⌉; if none of S's first ⌊(1−τ)·sz_S⌋+1 shingles
+    * (its PREFIX) occurs in L, every shared shingle sits in S's
+    * suffix, which holds only ⌈τ·sz_S⌉ − 1 shingles — contradiction.
+    * So joining each doc's prefix (as the smaller side) against FULL
+    * shingle sets of same-key docs no smaller than it is zero-miss;
+    * candidate rows per shingle are prefixDf·df instead of df², and
+    * stop-shingles never enter prefixes, so prefixDf ≈ 0 exactly where
+    * df explodes. Candidates are then verified EXACTLY (full
+    * intersection count), emitting [[containmentSameKey]]'s columns —
+    * the two operators are hash-equal at equal τ by construction. */
+  def prefixContainmentJoin(docs: DataFrame, idCol: Column,
+      textCol: Column, keyCol: Column, n: Int,
+      thresholdPct: Int): DataFrame = {
+    require(thresholdPct > 0 && thresholdPct <= 100,
+      s"thresholdPct=$thresholdPct")
+    val sh = docs.select(idCol.as("id"), keyCol.as("k"),
+        TextAnalysis.tokens(textCol).as("toks"))
+      .select(col("id"), col("k"),
+        explode(TextAnalysis.shinglesOf(col("toks"), n)).as("s"))
+      .distinct()
+    val df_ = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    // rarest-first rank within each doc + set size; persisted for the
+    // prefix join (small side), the full-set join (big side) and both
+    // verification sides
+    val wDoc = Window.partitionBy(col("id"))
+      .orderBy(col("df").asc, col("s").asc)
+    val ranked = sh.join(df_, Seq("s"))
+      .withColumn("rk", row_number().over(wDoc))
+      .withColumn("sz",
+        count(lit(1)).over(Window.partitionBy(col("id"))))
+      .persistTracked()
+    // prefix length ⌊(1−τ)·sz⌋+1 = sz − ⌈τ·sz⌉ + 1 via integer ceil
+    val prefix = ranked.filter(col("rk") <=
+      col("sz") - expr(s"cast((sz * $thresholdPct + 99) div 100 as int)")
+        + 1)
+    // smaller-side prefix × full sets of same-key docs no smaller
+    // ((sz, id)-lexicographic makes "smaller" total, so each unordered
+    // pair is generated from exactly one orientation)
+    val cand = prefix.as("a").join(ranked.as("b"),
+        col("a.k") === col("b.k") && col("a.s") === col("b.s") &&
+          (col("a.sz") < col("b.sz") ||
+            (col("a.sz") === col("b.sz") && col("a.id") < col("b.id"))))
+      .select(least(col("a.id"), col("b.id")).as("doc_a"),
+        greatest(col("a.id"), col("b.id")).as("doc_b"))
+      .distinct()
+    val inter = cand
+      .join(ranked.select(col("id").as("doc_a"), col("s"),
+        col("sz").as("sz_a")), Seq("doc_a"))
+      .join(ranked.select(col("id").as("doc_b"), col("s"),
+        col("sz").as("sz_b")), Seq("doc_b", "s"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"), first(col("sz_a")).as("sz_a"),
+        first(col("sz_b")).as("sz_b"))
+    inter
+      .withColumn("containment",
+        col("inter") / least(col("sz_a"), col("sz_b")).cast("double"))
+      .withColumn("jaccard",
+        col("inter") / (col("sz_a") + col("sz_b") - col("inter"))
+          .cast("double"))
+      .filter(col("containment") >= thresholdPct / 100.0)
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        col("containment"), col("jaccard"))
+  }
+
+  /** The d21 pruning receipt: prefix-filter candidate pairs vs the
+    * co-occurrence join's candidate pairs on the same corpus — the
+    * evidence the prefix bound is doing its job. */
+  def prefixContainmentReceipt(docs: DataFrame, idCol: Column,
+      textCol: Column, keyCol: Column, n: Int,
+      thresholdPct: Int): (Long, Long) = {
+    val sh = docs.select(idCol.as("id"), keyCol.as("k"),
+        TextAnalysis.tokens(textCol).as("toks"))
+      .select(col("id"), col("k"),
+        explode(TextAnalysis.shinglesOf(col("toks"), n)).as("s"))
+      .distinct()
+      .persistTracked()
+    val df_ = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy(col("id"))
+      .orderBy(col("df").asc, col("s").asc)
+    val ranked = sh.join(df_, Seq("s"))
+      .withColumn("rk", row_number().over(wDoc))
+      .withColumn("sz",
+        count(lit(1)).over(Window.partitionBy(col("id"))))
+      .persistTracked()
+    val prefix = ranked.filter(col("rk") <=
+      col("sz") - expr(s"cast((sz * $thresholdPct + 99) div 100 as int)")
+        + 1)
+    val prefixPairs = prefix.as("a").join(ranked.as("b"),
+        col("a.k") === col("b.k") && col("a.s") === col("b.s") &&
+          (col("a.sz") < col("b.sz") ||
+            (col("a.sz") === col("b.sz") && col("a.id") < col("b.id"))))
+      .select(col("a.id"), col("b.id")).distinct().count()
+    val coocPairs = sh.as("a").join(sh.as("b"),
+        col("a.k") === col("b.k") && col("a.s") === col("b.s") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id"), col("b.id")).distinct().count()
+    (prefixPairs, coocPairs)
+  }
+
   /** 32-bit SimHash fingerprint per doc over distinct word-3-gram
     * shingle features: for each bit b, sum +1/-1 over features whose
     * md5-derived u32 has bit b set/clear; bit b of the fingerprint is 1

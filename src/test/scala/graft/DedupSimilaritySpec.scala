@@ -73,6 +73,40 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got.exists { case (a, b, i, u) => a == 1L && b == 3L && i == u })
   }
 
+  test("prefix containment join is EXACT: equals the co-occurrence " +
+      "join and prunes candidates (d21)") {
+    // the d20 corpus shape: base docs + quote-wrapped injections whose
+    // containment is ~1 while Jaccard sits low, plus stop-shingle-heavy
+    // docs that blow up the co-occurrence join's candidate set
+    val base = Tables.documents(spark, Sf0001)
+      .select(col("doc_id"), col("text"), col("source"))
+    val quotes = base.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"),
+        concat(lit("begin quoted passage "), col("text"),
+          lit(" end of quoted passage with additional wrapper " +
+            "commentary appended here")).as("text"),
+        col("source"))
+    val docs = base.unionByName(quotes)
+    val brute = Dedup.containmentSameKey(docs, col("doc_id"),
+        col("text"), col("source"), n = 3, minContainment = 0.9)
+      .select("doc_a", "doc_b", "inter", "containment", "jaccard")
+      .as[(Long, Long, Long, Double, Double)].collect().toSet
+    val pref = Dedup.prefixContainmentJoin(docs, col("doc_id"),
+        col("text"), col("source"), n = 3, thresholdPct = 90)
+      .select("doc_a", "doc_b", "inter", "containment", "jaccard")
+      .as[(Long, Long, Long, Double, Double)].collect().toSet
+    assert(pref == brute,
+      s"zero-miss broke: only-prefix=${(pref -- brute).take(3)} " +
+        s"only-brute=${(brute -- pref).take(3)}")
+    assert(brute.nonEmpty, "corpus produced no containment pairs")
+    val (prefixPairs, coocPairs) = Dedup.prefixContainmentReceipt(docs,
+      col("doc_id"), col("text"), col("source"), n = 3,
+      thresholdPct = 90)
+    info(s"candidate pairs: prefix=$prefixPairs cooc=$coocPairs")
+    assert(prefixPairs < coocPairs,
+      s"prefix filter must shrink candidates: $prefixPairs vs $coocPairs")
+  }
+
   test("planBands picks the S-curve-optimal banding (d16)") {
     // knowns cross-checked against an independent integration of the
     // same objective (datasketch optimal_param semantics)
