@@ -2312,6 +2312,42 @@ object SparkEntry {
         .unionByName(agg(2, 999999L))
     }),
 
+    // manifest CHECKPOINT compaction (the Delta _checkpoint pattern):
+    // 20 pinned-ts commits with a checkpoint every 8 (v7, v15);
+    // TIMESTAMP AS OF resolves from the newest checkpoint's history +
+    // suffix-manifest probes only — the manifests_loaded column IS the
+    // O(1)+suffix receipt, pinned by the oracle (0 for a
+    // pre-checkpoint target, 1 for a just-past-checkpoint target, 4
+    // for the tip), and the label-1 read is served from checkpoint
+    // parquet state, no manifest GET at all
+    "q102_ckpt_compaction" -> ((s, d) => {
+      val vt = graft.sources.VersionedTable
+      val dir = scratchDir("q102ckpt", d)
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), col("lang"))
+      vt.withCommitTimestamp(1000L) { vt.commit(docs, dir) }
+      for (v <- 1 to 19) {
+        vt.withCommitTimestamp(1000L * (v + 1)) {
+          vt.appendCommit(docs.filter(col("doc_id") % 19 === (v - 1))
+            .withColumn("doc_id", col("doc_id") + lit(v * 10000000L)),
+            dir)
+        }
+        vt.maybeCheckpoint(s, dir, every = 8)
+      }
+      def probe(label: Long, ts: Long) = {
+        val (rv, loads) = vt.versionAsOfCheckpointed(s, dir, ts)
+        vt.readVersionCheckpointed(s, dir, rv)
+          .agg(count(lit(1)).as("cnt"), sum(col("doc_id")).as("id_sum"),
+            sum(Tables.hashU32(col("text"), 7)).as("content_sum"))
+          .select(lit(label).as("label"),
+            lit(rv.toLong).as("resolved_v"),
+            lit(loads.toLong).as("manifests_loaded"),
+            col("cnt"), col("id_sum"), col("content_sum"))
+      }
+      probe(0, 4500L).unionByName(probe(1, 16500L))
+        .unionByName(probe(2, 999999L))
+    }),
+
     // CHANGE DATA FEED between two table versions: deletes, updates
     // (null-safe all-column compare — no hashing) and inserts fall
     // out of one full-outer key join; a downstream consumer syncs
@@ -7035,6 +7071,29 @@ object SparkEntry {
     // the three AS OF probes replayed relationally: 0 = snapshot,
     // 1 = snapshot ∪ shifted-de, 2 = that minus the deleted keys
     // (the delete keys both original and appended ids mod 7)
+    // each probe's table state replayed relationally (base + appends
+    // ≤ resolved version); resolved_v and manifests_loaded are
+    // LITERALS — the oracle pins the resolution receipt, not just the
+    // data
+    "q102_ckpt_compaction" -> {
+      def stateSql(v: Int): String =
+        (Seq("SELECT doc_id, text FROM documents") ++
+          (1 to v).map(k =>
+            s"SELECT doc_id + ${k}*10000000 AS doc_id, text " +
+              s"FROM documents WHERE doc_id % 19 = ${k - 1}"))
+          .mkString(" UNION ALL ")
+      def probeSql(label: Int, rv: Int, loads: Int): String =
+        s"""SELECT CAST($label AS BIGINT) AS label,
+           | CAST($rv AS BIGINT) AS resolved_v,
+           | CAST($loads AS BIGINT) AS manifests_loaded,
+           | CAST(count(*) AS BIGINT) AS cnt,
+           | CAST(sum(doc_id) AS BIGINT) AS id_sum,
+           | CAST(sum(${duckU32("text", 7)}) AS BIGINT) AS content_sum
+           |FROM (${stateSql(rv)})""".stripMargin
+      Seq(probeSql(0, 3, 0), probeSql(1, 15, 1), probeSql(2, 19, 4))
+        .mkString("\nUNION ALL\n")
+    },
+
     "q92_time_travel_ts" ->
       s"""WITH full2 AS (
          |  SELECT doc_id, text FROM documents

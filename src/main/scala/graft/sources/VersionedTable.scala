@@ -638,6 +638,201 @@ object VersionedTable {
       tsMillis: Long): DataFrame =
     readVersion(spark, dir, versionAsOf(spark, dir, tsMillis))
 
+  // ———— manifest checkpoint compaction (q102) ————
+  //
+  // The Delta `_checkpoint` pattern: every N commits, the full table
+  // state (files, DVs, stats, blooms, counts) PLUS the complete
+  // (version → commit-ts) history up to that version is written as
+  // one parquet checkpoint. Metadata readers then load the latest
+  // checkpoint plus only the SUFFIX manifests committed after it —
+  // after thousands of streaming commits (q81/q89/q93 make that
+  // normal) `TIMESTAMP AS OF` resolution stops being an O(versions)
+  // JSON-GET chain and becomes one parquet read + O(interval) GETs.
+  // Checkpoints are derived state: losing every checkpoint loses no
+  // data, only the O(1) resolution shortcut.
+
+  private def checkpointRoot(dir: String) = new Path(dir, "_checkpoints")
+
+  private def ckptHintPath(dir: String) =
+    new Path(checkpointRoot(dir), "_last_checkpoint")
+
+  /** Committed checkpoint versions, ascending (empty if none). */
+  def checkpoints(spark: SparkSession, dir: String): Seq[Int] = {
+    val f = fs(spark, dir)
+    val cd = checkpointRoot(dir)
+    if (!f.exists(cd)) Seq.empty
+    else f.listStatus(cd).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case n if n.matches("v\\d+") =>
+        n.stripPrefix("v").toInt }
+      .sorted
+  }
+
+  /** The newest checkpoint in O(1) requests via the `_last_checkpoint`
+    * hint (Delta's exact file), falling back to a listing. Like the
+    * q94 tip hint, it is NEVER load-bearing: a lagging hint only
+    * means extra suffix-manifest probes during resolution, never a
+    * wrong answer. */
+  def latestCheckpoint(spark: SparkSession, dir: String): Option[Int] = {
+    val f = fs(spark, dir)
+    val hinted =
+      try {
+        val p = ckptHintPath(dir)
+        if (!f.exists(p)) None
+        else {
+          val in = f.open(p)
+          val txt =
+            try {
+              val bos = new java.io.ByteArrayOutputStream()
+              val buf = new Array[Byte](64)
+              Iterator.continually(in.read(buf)).takeWhile(_ >= 0)
+                .foreach(n => bos.write(buf, 0, n))
+              new String(bos.toByteArray, UTF_8).trim
+            } finally in.close()
+          if (txt.matches("\\d+")) Some(txt.toInt) else None
+        }
+      } catch { case _: Throwable => None }
+    hinted.filter(v => f.exists(new Path(checkpointRoot(dir), s"v$v")))
+      .orElse(checkpoints(spark, dir).lastOption)
+  }
+
+  /** Write the checkpoint for version `v`: the version's full manifest
+    * state plus the (version, ts) history ≤ v, one parquet directory
+    * under `_checkpoints/v<v>/`, published by directory rename (same
+    * tmp+rename discipline as the manifest itself). History is
+    * assembled INCREMENTALLY — the previous checkpoint's history rows
+    * plus the manifests committed since — so each checkpoint write
+    * loads O(interval) manifest JSONs, not O(versions). */
+  def checkpointCommit(spark: SparkSession, dir: String, v: Int): Unit = {
+    val f = fs(spark, dir)
+    val json = manifestJson(spark, dir, v)
+    val (files, dvs) = manifestLists(json, v)
+    val stats = parseArray(json, "stats").getOrElse(Seq.empty)
+    val blooms = parseArray(json, "blooms").getOrElse(Seq.empty)
+    val counts = parseArray(json, "counts").getOrElse(Seq.empty)
+    val metaRows = Seq.newBuilder[(String, String, Int, Long)]
+    files.foreach(r => metaRows += (("file", r, v, 0L)))
+    dvs.foreach(r => metaRows += (("dv", r, v, 0L)))
+    stats.foreach(r => metaRows += (("stat", r, v, 0L)))
+    blooms.foreach(r => metaRows += (("bloom", r, v, 0L)))
+    counts.foreach(r => metaRows += (("count", r, v, 0L)))
+    statsColOf(json).foreach(c => metaRows += (("statscol", c, v, 0L)))
+    bloomMetaOf(json).foreach { case (c, bits, k) =>
+      metaRows += (("bloommeta", s"$c|$bits|$k", v, 0L)) }
+    // history ≤ v: previous checkpoint's rows + the suffix manifests
+    val prev = checkpoints(spark, dir).filter(_ < v).lastOption
+    val carried: Seq[(String, String, Int, Long)] = prev match {
+      case Some(p) =>
+        checkpointRows(spark, dir, p)
+          .filter(_._1 == "hist").filter(_._3 <= v)
+      case None => Seq.empty
+    }
+    val carriedMax = carried.map(_._3).foldLeft(-1)(math.max)
+    val fresh = ((carriedMax + 1) to v).map(vv =>
+      ("hist", "", vv, commitTsOf(spark, dir, vv)))
+    val all = metaRows.result() ++ carried ++ fresh
+    import spark.implicits._
+    val tmp = new Path(checkpointRoot(dir), s".v$v.tmp-${
+      System.nanoTime()}")
+    all.toDF("kind", "rel", "ver", "ts")
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val dst = new Path(checkpointRoot(dir), s"v$v")
+    if (f.exists(dst)) { f.delete(tmp, true) } // idempotent re-write
+    else if (!f.rename(tmp, dst))
+      throw new java.io.IOException(s"checkpoint v$v lost the rename race")
+    try {
+      val htmp = new Path(checkpointRoot(dir), "_last_checkpoint.tmp")
+      val out = f.create(htmp, true)
+      try out.write(v.toString.getBytes(UTF_8)) finally out.close()
+      val hp = ckptHintPath(dir)
+      if (f.exists(hp)) f.delete(hp, false)
+      if (!f.rename(htmp, hp)) f.delete(htmp, false)
+    } catch { case _: Throwable => () } // a hint, never a gate
+  }
+
+  /** Write a checkpoint at the current tip iff `every` commits have
+    * landed since the last one (or none exists) — the call streaming
+    * committers drop after each commit. */
+  def maybeCheckpoint(spark: SparkSession, dir: String,
+      every: Int): Boolean = {
+    require(every > 0, s"every=$every")
+    versions(spark, dir).lastOption match {
+      case None => false
+      case Some(tip) =>
+        val since = latestCheckpoint(spark, dir) match {
+          case Some(c) => tip - c
+          case None => tip + 1
+        }
+        if (since >= every) { checkpointCommit(spark, dir, tip); true }
+        else false
+    }
+  }
+
+  private def checkpointRows(spark: SparkSession, dir: String,
+      v: Int): Seq[(String, String, Int, Long)] = {
+    import spark.implicits._
+    spark.read.parquet(new Path(checkpointRoot(dir), s"v$v").toString)
+      .select("kind", "rel", "ver", "ts")
+      .as[(String, String, Int, Long)].collect().toSeq
+  }
+
+  /** `TIMESTAMP AS OF` served from the checkpoint: the (version, ts)
+    * answer comes from the newest checkpoint's history rows (one
+    * parquet read, zero manifest GETs) plus probes of only the
+    * manifests committed AFTER the checkpoint — and none at all when
+    * the target instant predates the checkpoint itself. Returns
+    * (resolved version, suffix manifests loaded) so callers can
+    * assert the O(1)+suffix claim; falls back to the chain scan when
+    * no checkpoint exists (manifests loaded = all of them). Same
+    * monotone-timestamp contract as [[versionAsOf]]. */
+  def versionAsOfCheckpointed(spark: SparkSession, dir: String,
+      tsMillis: Long): (Int, Int) = {
+    val f = fs(spark, dir)
+    latestCheckpoint(spark, dir) match {
+      case None =>
+        (versionAsOf(spark, dir, tsMillis),
+          versions(spark, dir).size)
+      case Some(c) =>
+        val hist = checkpointRows(spark, dir, c)
+          .filter(_._1 == "hist").map(r => r._3 -> r._4).toMap
+        var cand = hist.filter(_._2 <= tsMillis).keys
+          .foldLeft(-1)(math.max)
+        var loads = 0
+        // suffix probes only when the target could postdate the
+        // checkpoint (ts monotone ⇒ nothing newer qualifies otherwise;
+        // non-strict so exact-tie targets still see same-ts successors)
+        if (hist.get(c).forall(_ <= tsMillis)) {
+          var vv = c + 1
+          var stop = false
+          while (!stop &&
+              f.exists(new Path(manifestDir(dir), s"v$vv.json"))) {
+            loads += 1
+            if (commitTsOf(spark, dir, vv) <= tsMillis) {
+              cand = vv; vv += 1
+            } else stop = true
+          }
+        }
+        require(cand >= 0,
+          s"no version at or before ts=$tsMillis at $dir " +
+            s"(earliest commit is later)")
+        (cand, loads)
+    }
+  }
+
+  /** [[readVersion]] that serves the file/DV lists from the checkpoint
+    * when one exists at exactly `v` — zero manifest GETs on the
+    * dominant read-the-checkpointed-tip path — and from the (single,
+    * self-contained) manifest otherwise. */
+  def readVersionCheckpointed(spark: SparkSession, dir: String,
+      v: Int): DataFrame =
+    if (checkpoints(spark, dir).contains(v)) {
+      val rows = checkpointRows(spark, dir, v)
+      val files = rows.filter(_._1 == "file").map(_._2)
+      val dvs = rows.filter(_._1 == "dv").map(_._2)
+      readFiles(spark, dir, v, files, dvs)
+    } else readVersion(spark, dir, v)
+
   /** SHALLOW CLONE (Delta `CLONE` semantics): publish `dstDir`'s v0
     * as a manifest whose entries point at the SOURCE version's data,
     * DV, stats and bloom files by ABSOLUTE path — a metadata-only
@@ -650,7 +845,16 @@ object VersionedTable {
     * source; the source keeps evolving without affecting the clone's
     * pinned v0. Documented hazard (exactly Delta's): a VACUUM on the
     * SOURCE can reclaim files a clone still references — cloning pins
-    * nothing in the source's retention accounting. */
+    * nothing in the source's retention accounting.
+    *
+    * Concurrency guarantee (spec-proven): a clone racing a CAS
+    * committer on the source is STALE BUT CONSISTENT, never torn.
+    * Manifests are immutable once renamed in, so `srcV`'s file list
+    * cannot change under the clone no matter how many commits land
+    * concurrently — the clone materializes exactly the version it was
+    * given; and the clone never touches the source's version counter,
+    * so concurrent CAS commits against the source win or abort
+    * exactly as they would without the clone. */
   def cloneCommit(spark: SparkSession, srcDir: String, dstDir: String,
       srcV: Int): Int = {
     require(versions(spark, dstDir).isEmpty,

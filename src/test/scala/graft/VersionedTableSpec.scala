@@ -678,4 +678,115 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.countFast(spark, dir3, 1)
       .as[(Long, Long, Long)].collect().head == ((110L, 0L, 3L)))
   }
+
+  test("checkpointed resolution == chain resolution; loads = suffix") {
+    val dir = java.nio.file.Files.createTempDirectory("vtab").toString
+    val base = (1L to 30L).map(i => (i, s"r$i")).toDF("id", "s")
+    VersionedTable.withCommitTimestamp(1000L) {
+      VersionedTable.commit(base, dir)
+    }
+    for (v <- 1 to 9) {
+      VersionedTable.withCommitTimestamp(1000L * (v + 1)) {
+        VersionedTable.appendCommit(
+          Seq((100L + v, s"a$v")).toDF("id", "s"), dir)
+      }
+      VersionedTable.maybeCheckpoint(spark, dir, every = 4)
+    }
+    // every 4: checkpoints land at v3 and v7
+    assert(VersionedTable.checkpoints(spark, dir) == Seq(3, 7))
+    assert(VersionedTable.latestCheckpoint(spark, dir).contains(7))
+    // sweep: checkpointed resolution equals the chain scan everywhere,
+    // and suffix loads are bounded by tip − checkpoint (+1 stop probe)
+    for (ts <- Seq(1000L, 1500L, 4000L, 7999L, 8000L, 9500L, 99999L)) {
+      val chain = VersionedTable.versionAsOf(spark, dir, ts)
+      val (ck, loads) = VersionedTable.versionAsOfCheckpointed(
+        spark, dir, ts)
+      assert(ck == chain, s"ts=$ts: checkpointed $ck vs chain $chain")
+      assert(loads <= 3, s"ts=$ts loaded $loads suffix manifests")
+      if (ts < 8000L) assert(loads == 0,
+        s"pre-checkpoint target ts=$ts must load zero manifests")
+    }
+    // checkpointed read == manifest read, at a checkpointed version
+    // AND an ordinary one
+    for (v <- Seq(3, 7, 5, 9)) {
+      val a = VersionedTable.readVersion(spark, dir, v)
+        .as[(Long, String)].collect().toSet
+      val b = VersionedTable.readVersionCheckpointed(spark, dir, v)
+        .as[(Long, String)].collect().toSet
+      assert(a == b, s"v$v: checkpointed read diverged")
+    }
+    // the hint is never load-bearing: delete it, everything still works
+    val f = new org.apache.hadoop.fs.Path(dir, "_checkpoints/_last_checkpoint")
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    f.delete(new org.apache.hadoop.fs.Path(
+      dir, "_checkpoints/_last_checkpoint"), false)
+    assert(VersionedTable.latestCheckpoint(spark, dir).contains(7))
+    assert(VersionedTable.versionAsOfCheckpointed(spark, dir, 5500L)
+      ._1 == VersionedTable.versionAsOf(spark, dir, 5500L))
+  }
+
+  test("checkpoint carries DV state: checkpointed read applies deletes") {
+    val dir = java.nio.file.Files.createTempDirectory("vtab").toString
+    val base = (1L to 40L).map(i => (i, s"r$i")).toDF("id", "s")
+    VersionedTable.commit(base, dir)
+    VersionedTable.deleteCommit(
+      base.filter(col("id") % 4 === 0).select(col("id")), dir)
+    VersionedTable.checkpointCommit(spark, dir, 1)
+    val viaCkpt = VersionedTable.readVersionCheckpointed(spark, dir, 1)
+      .as[(Long, String)].collect().toSet
+    val viaManifest = VersionedTable.readVersion(spark, dir, 1)
+      .as[(Long, String)].collect().toSet
+    assert(viaCkpt == viaManifest)
+    assert(viaCkpt.size == 30 && !viaCkpt.exists(_._1 % 4 == 0))
+  }
+
+  test("incremental checkpoint history: later checkpoints keep the " +
+      "full (version, ts) map") {
+    val dir = java.nio.file.Files.createTempDirectory("vtab").toString
+    VersionedTable.withCommitTimestamp(1000L) {
+      VersionedTable.commit(Seq((1L, "a")).toDF("id", "s"), dir)
+    }
+    for (v <- 1 to 6) {
+      VersionedTable.withCommitTimestamp(1000L * (v + 1)) {
+        VersionedTable.appendCommit(
+          Seq((10L + v, s"b$v")).toDF("id", "s"), dir)
+      }
+      VersionedTable.maybeCheckpoint(spark, dir, every = 3)
+    }
+    assert(VersionedTable.checkpoints(spark, dir) == Seq(2, 5))
+    // a target far before the NEWEST checkpoint still resolves with
+    // zero manifest loads — only possible if v5's checkpoint carried
+    // v0/v1's history forward from v2's
+    val (rv, loads) = VersionedTable.versionAsOfCheckpointed(
+      spark, dir, 1500L)
+    assert(rv == 0 && loads == 0, s"got v$rv with $loads loads")
+  }
+
+  test("a clone pins the version it was given while a CAS commit " +
+      "races the source: stale but consistent, never torn") {
+    val src = java.nio.file.Files.createTempDirectory("vtab_src").toString
+    val dst = java.nio.file.Files.createTempDirectory("vtab_dst")
+    java.nio.file.Files.delete(dst) // cloneCommit wants a fresh target
+    val contentA = (1L to 20L).map(i => (i, s"a$i")).toDF("id", "s")
+    val contentB = (1L to 5L).map(i => (i, s"b$i")).toDF("id", "s")
+    VersionedTable.commit(contentA, src)
+    // the race: the cloner read tip = v0, and BEFORE cloneCommit runs
+    // an interloper CAS-commits v1 over the source. Manifests are
+    // immutable — v0's manifest cannot change under the clone — so
+    // the clone lands on exactly the v0 content it pinned.
+    val pinned = VersionedTable.versions(spark, src).last
+    assert(VersionedTable.commitIfUnchanged(contentB, src, 0) == 1)
+    VersionedTable.cloneCommit(spark, src, dst.toString, pinned)
+    val cloned = VersionedTable.readCurrent(spark, dst.toString)
+      .as[(Long, String)].collect().toSet
+    assert(cloned == contentA.as[(Long, String)].collect().toSet,
+      "clone must see the pinned v0 content, not the racer's v1")
+    // and the clone did not perturb the source's version counter: a
+    // CAS committer expecting the racer's v1 still wins cleanly
+    assert(VersionedTable.commitIfUnchanged(contentA, src, 1) == 2)
+    // while a CAS expecting the stale base correctly aborts
+    intercept[java.util.ConcurrentModificationException] {
+      VersionedTable.commitIfUnchanged(contentB, src, 0)
+    }
+  }
 }
