@@ -100,6 +100,107 @@ object SparkEntry {
   private val BpeMerges = 16
   private val BpeTopV = 4096
 
+  // Unigram-LM hyperparameters (t31/t32): multi-char seed-vocab cap.
+  private val UnigramTopV = 200
+
+  /** DuckDB twin of operators/Unigram: seed vocab → Viterbi E-step
+    * (recursive-CTE DP carrying the dp/bp arrays as lists) →
+    * prune + M-step → second Viterbi under the final model. Ends at
+    * `ulp1` (piece, cnt, lp6) and `useg2` (word, seg, np). The DP
+    * argmax tie-break mirrors the Spark fold exactly: max score, then
+    * SMALLEST piece length — candidate lists are ordered by l ASC and
+    * the fold only replaces on strictly-greater score. Must be
+    * embedded under WITH RECURSIVE. */
+  private def duckUnigramCtes: String = {
+    def viterbi(s: Int, lpRel: String): String = {
+      val best =
+        s"""(list_reduce(list_transform(c.cs, x -> struct_pack(
+           |         sc := d.dp[d.j + 2 - x.l] + x.lp, l := x.l)),
+           |       (a, b) -> CASE WHEN b.sc > a.sc THEN b ELSE a END))"""
+          .stripMargin
+      s"""ucand$s AS MATERIALIZED (
+         |  SELECT w.word, u.p + len(v.piece) AS endp,
+         |    len(v.piece) AS l, v.lp6
+         |  FROM uw w, unnest(range(len(w.word))) AS u(p)
+         |  JOIN $lpRel v
+         |    ON substr(w.word, u.p + 1, len(v.piece)) = v.piece
+         |  WHERE u.p + len(v.piece) <= len(w.word)),
+         |ucmap$s AS MATERIALIZED (
+         |  SELECT word, endp,
+         |    list(struct_pack(l := l, lp := lp6) ORDER BY l) AS cs
+         |  FROM ucand$s GROUP BY 1, 2),
+         |udp$s AS (
+         |  SELECT word, len(word) AS wlen, CAST(0 AS BIGINT) AS j,
+         |    [CAST(0 AS BIGINT)] AS dp, [CAST(0 AS BIGINT)] AS bp
+         |  FROM uw
+         |  UNION ALL
+         |  SELECT d.word, d.wlen, d.j + 1,
+         |    list_append(d.dp, $best.sc),
+         |    list_append(d.bp, $best.l)
+         |  FROM udp$s d JOIN ucmap$s c
+         |    ON c.word = d.word AND c.endp = d.j + 1
+         |  WHERE d.j < d.wlen),
+         |ubt$s AS (
+         |  SELECT word, wlen AS pos, bp, '' AS seg,
+         |    CAST(0 AS BIGINT) AS np
+         |  FROM udp$s WHERE j = wlen
+         |  UNION ALL
+         |  SELECT word, pos - bp[pos + 1], bp,
+         |    CASE WHEN seg = ''
+         |      THEN substr(word, pos - bp[pos + 1] + 1, bp[pos + 1])
+         |      ELSE substr(word, pos - bp[pos + 1] + 1, bp[pos + 1]) ||
+         |        '|' || seg END,
+         |    np + 1
+         |  FROM ubt$s WHERE pos > 0),
+         |useg$s AS MATERIALIZED (
+         |  SELECT word, seg, np FROM ubt$s WHERE pos = 0)""".stripMargin
+    }
+    s"""uocc AS MATERIALIZED (
+       |  SELECT doc_id, unnest($DuckToks) AS word FROM documents),
+       |uwf AS MATERIALIZED (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS f
+       |  FROM uocc GROUP BY 1),
+       |uw AS MATERIALIZED (SELECT word FROM uwf),
+       |usub AS (
+       |  SELECT substr(word, p + 1, l) AS piece,
+       |    CAST(sum(f) AS BIGINT) AS cnt
+       |  FROM uwf, unnest(range(len(word))) AS u1(p),
+       |    unnest([1, 2, 3, 4]) AS u2(l)
+       |  WHERE p + l <= len(word)
+       |  GROUP BY 1),
+       |umulti0 AS MATERIALIZED (
+       |  SELECT piece, cnt FROM usub WHERE len(piece) >= 2
+       |  ORDER BY cnt DESC, piece LIMIT $UnigramTopV),
+       |usng0 AS MATERIALIZED (
+       |  SELECT piece, cnt FROM usub WHERE len(piece) = 1),
+       |uv0 AS (SELECT piece, cnt FROM umulti0
+       |  UNION ALL SELECT piece, cnt FROM usng0),
+       |ut0 AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM uv0),
+       |ulp0 AS MATERIALIZED (
+       |  SELECT piece,
+       |    CAST(round(ln(cnt::DOUBLE / tot) * 1e6) AS BIGINT) AS lp6
+       |  FROM uv0 CROSS JOIN ut0),
+       |${viterbi(1, "ulp0")},
+       |uc1 AS (
+       |  SELECT piece, CAST(sum(f) AS BIGINT) AS cnt FROM (
+       |    SELECT unnest(string_split(s.seg, '|')) AS piece, w.f
+       |    FROM useg1 s JOIN uwf w USING (word))
+       |  GROUP BY 1),
+       |uv1 AS (
+       |  SELECT piece, cnt FROM uc1 WHERE len(piece) >= 2
+       |  UNION ALL
+       |  SELECT s.piece,
+       |    greatest(coalesce(c.cnt, CAST(0 AS BIGINT)),
+       |      CAST(1 AS BIGINT)) AS cnt
+       |  FROM usng0 s LEFT JOIN uc1 c USING (piece)),
+       |ut1 AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM uv1),
+       |ulp1 AS MATERIALIZED (
+       |  SELECT piece, cnt,
+       |    CAST(round(ln(cnt::DOUBLE / tot) * 1e6) AS BIGINT) AS lp6
+       |  FROM uv1 CROSS JOIN ut1),
+       |${viterbi(2, "ulp1")}""".stripMargin
+  }
+
   /** Unrolled DuckDB twin of [[Bpe.train]]: w0 is the encoded top-V
     * vocab; round r counts adjacent symbol pairs over w(r-1), picks
     * the argmax pair with the (cnt DESC, a, b) tiebreak into b(r),
@@ -1351,6 +1452,25 @@ object SparkEntry {
         Tables.documents(s, d).withColumn("text",
           expr("replace(replace(text, 'q', '中'), 'v', 'ñ')")),
         col("doc_id"), col("text"), topV = 200)),
+
+    // Unigram-LM (SentencePiece-style) tokenizer TRAINING — the third
+    // production tokenizer family next to BPE t16 and WordPiece t22:
+    // substring-seeded vocab + one hard-EM round (Viterbi E-step over
+    // DISTINCT words, frequency-weighted piece counts, zero-loss prune
+    // of unused multi-char pieces, micro-nat re-quantization). Output:
+    // the final (piece, cnt, lp6) model itself. Oracle: the same EM
+    // round with the Viterbi DP as a recursive-CTE carrying dp/bp
+    // lists — argmax tie-break (score DESC, piece-length ASC) in both
+    "t31_unigram_train" -> ((s, d) =>
+      Unigram.train(Tables.documents(s, d), col("text"), UnigramTopV)),
+
+    // unigram-LM APPLICATION census: a second Viterbi pass under the
+    // trained model; per-doc (n_words, n_pieces, seg_fp) with seg_fp
+    // summing the md5-u32 of each word's '|'-joined segmentation —
+    // fingerprints the full subword segmentation, t22's receipt shape
+    "t32_unigram_apply" -> ((s, d) =>
+      Unigram.applyCensus(Tables.documents(s, d), col("doc_id"),
+        col("text"), UnigramTopV)),
 
     // CCNet perplexity terciles: per-lang head/middle/tail triage by
     // the t13 bigram LM score — rank from a lang-partitioned window
@@ -5904,6 +6024,22 @@ object SparkEntry {
          |  CAST(sum(s.np) AS BIGINT) AS n_pieces,
          |  CAST(sum(${duckU32("s.seg", 11)}) AS BIGINT) AS seg_fp
          |FROM occ o JOIN seg s USING (word)
+         |GROUP BY 1""".stripMargin,
+
+    // the final post-EM unigram model verbatim — proves TRAINING
+    // (seed counts, Viterbi piece counts, prune set, quantized probs)
+    "t31_unigram_train" ->
+      s"""WITH RECURSIVE $duckUnigramCtes
+         |SELECT piece, cnt, lp6 FROM ulp1""".stripMargin,
+
+    // the second-pass Viterbi census — proves APPLICATION: any
+    // divergence in model OR segmentation flips a seg_fp
+    "t32_unigram_apply" ->
+      s"""WITH RECURSIVE $duckUnigramCtes
+         |SELECT o.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(s.np) AS BIGINT) AS n_pieces,
+         |  CAST(sum(${duckU32("s.seg", 11)}) AS BIGINT) AS seg_fp
+         |FROM uocc o JOIN useg2 s USING (word)
          |GROUP BY 1""".stripMargin,
 
     // the t13 LM chain → per-doc lp6 → lang-partitioned rank →
