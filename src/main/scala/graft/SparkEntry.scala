@@ -419,6 +419,328 @@ object SparkEntry {
        |SELECT query_id, rank, neighbor_id, cosine
        |FROM r2 WHERE rank <= $k""".stripMargin
 
+  /** p9 oracle: the five-tier corpus build replayed as one WITH
+    * chain over the SAME augmented corpus (exact-duplicate and
+    * benchmark-leak fixtures injected so every tier carries live
+    * traffic). Stage fragments are the registered oracles' own text
+    * re-based onto the survivor CTEs: t19+t29 gates → d1 exact → p6
+    * canonical near-dup (simhash bands → recursive components → t3
+    * quality argmax) → t7 trigram decontamination → t17 BPE counts +
+    * p2 packing. Ends with the 5-row census. Must be embedded under
+    * WITH RECURSIVE (the component closure). */
+  private def duckCorpusBuildCtes: String =
+    s"""p9a AS MATERIALIZED (
+       |  SELECT doc_id, text, source AS grp FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 970000, text, source FROM documents
+       |  WHERE doc_id % 13 = 0 AND doc_id % 97 <> 0
+       |  UNION ALL
+       |  SELECT doc_id + 1940001, text, source FROM documents
+       |  WHERE doc_id % 97 = 0),
+       |p9c0 AS MATERIALIZED (
+       |  SELECT * FROM p9a WHERE doc_id % 97 <> 0),
+       |p9bench AS (SELECT * FROM p9a WHERE doc_id % 97 = 0),
+       |p9gb AS (
+       |  SELECT doc_id, lower(text) AS txt, $DuckToks AS w,
+       |    string_split(lower(text), chr(10)) AS lines
+       |  FROM p9c0),
+       |p9gm AS (
+       |  SELECT doc_id,
+       |   CAST(len(w) AS BIGINT) AS nw,
+       |   CAST(coalesce(list_sum(list_transform(w,
+       |     t -> length(t))), 0) AS BIGINT) AS chars,
+       |   CAST(len(lines) AS BIGINT) AS nlines,
+       |   CAST(len(list_filter(lines,
+       |     l -> regexp_matches(ltrim(l), '^[-*•]'))) AS BIGINT)
+       |     AS nbullet,
+       |   CAST(len(list_filter(lines,
+       |     l -> regexp_matches(rtrim(l), '\\.\\.\\.$$'))) AS BIGINT)
+       |     AS nell,
+       |   CAST(length(txt) - length(replace(txt, '#', ''))
+       |     + (length(txt) - length(replace(txt, '...', ''))) // 3
+       |     AS BIGINT) AS nsym,
+       |   CAST(len(list_filter(w,
+       |     t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS nalpha,
+       |   CAST(len(list_intersect(list_distinct(list_transform(w,
+       |     t -> regexp_replace(t, '^[^a-z]+|[^a-z]+$$', '', 'g'))),
+       |     ['the','a','data','table','value','query']))
+       |     AS BIGINT) AS nstop
+       |  FROM p9gb),
+       |p9gk AS (
+       |  SELECT doc_id FROM p9gm
+       |  WHERE NOT (nw < 20 OR nw > 100000)
+       |    AND (3 * nw <= chars AND chars <= 10 * nw)
+       |    AND 10 * nsym <= nw
+       |    AND 10 * nbullet <= 9 * nlines
+       |    AND 10 * nell <= 3 * nlines
+       |    AND 5 * nalpha >= 4 * nw
+       |    AND nstop >= 2),
+       |p9ec AS (
+       |  SELECT doc_id,
+       |   list_filter(string_split(text, ''), x -> len(x) > 0) AS cs
+       |  FROM p9c0),
+       |p9ea AS (
+       |  SELECT doc_id, cs, list_sort(list_distinct(cs)) AS al,
+       |   CAST(len(cs) AS DOUBLE) AS n
+       |  FROM p9ec),
+       |p9ek AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id,
+       |     list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |       list_transform(al, ch ->
+       |         (CAST(len(list_filter(cs, x -> x = ch)) AS DOUBLE) / n)
+       |         * log2(CAST(len(list_filter(cs, x -> x = ch))
+       |             AS DOUBLE) / n))),
+       |       (acc, t) -> acc - t) AS ent
+       |    FROM p9ea)
+       |  WHERE ent >= 3.0 AND ent <= 5.5),
+       |p9s1 AS MATERIALIZED (
+       |  SELECT c.* FROM p9c0 c
+       |  JOIN p9gk USING (doc_id) JOIN p9ek USING (doc_id)),
+       |p9f2 AS (
+       |  SELECT md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+       |    AS fp, min(doc_id) AS keep_id
+       |  FROM p9s1 GROUP BY 1),
+       |p9s2 AS MATERIALIZED (
+       |  SELECT s.* FROM p9s1 s
+       |  JOIN p9f2 ON p9f2.keep_id = s.doc_id),
+       |p9t AS (SELECT doc_id, $DuckToks AS w FROM p9s2),
+       |p9tok AS (
+       |  SELECT DISTINCT doc_id, unnest(list_transform(
+       |    range(1, len(w) - 1),
+       |    i -> array_to_string(w[i:i+2], ' '))) AS tok
+       |  FROM p9t WHERE len(w) >= 3),
+       |p9h AS (SELECT doc_id, tok,
+       |  (('0x' || substr(md5(tok || '#13'), 1, 8))::BIGINT) AS hu
+       |  FROM p9tok),
+       |p9bits AS (
+       |  SELECT doc_id, b,
+       |   sum((CAST(floor(hu / power(2, b)) AS BIGINT) % 2) * 2 - 1)
+       |     AS s
+       |  FROM p9h CROSS JOIN (SELECT unnest(range(32)) AS b) bs
+       |  GROUP BY 1, 2),
+       |p9fp AS (
+       |  SELECT doc_id,
+       |   CAST(sum(CASE WHEN s > 0 THEN CAST(power(2, b) AS BIGINT)
+       |     ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM p9bits GROUP BY 1),
+       |p9band AS (
+       |  SELECT doc_id, simhash, band,
+       |   CAST(floor(simhash / power(2, band * 8)) AS BIGINT) % 256
+       |     AS bkey
+       |  FROM p9fp CROSS JOIN (SELECT unnest(range(4)) AS band) bands),
+       |p9pair AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM p9band a JOIN p9band b
+       |    ON a.band = b.band AND a.bkey = b.bkey
+       |   AND a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+       |p9edge AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM p9pair
+       |  UNION SELECT doc_b, doc_a FROM p9pair),
+       |p9reach(v, r) AS (
+       |  SELECT src, src FROM p9edge
+       |  UNION
+       |  SELECT e.dst, p9reach.r FROM p9reach
+       |  JOIN p9edge e ON e.src = p9reach.v),
+       |p9comp AS (SELECT v, min(r) AS component FROM p9reach
+       |  GROUP BY 1),
+       |p9q AS (
+       |  SELECT doc_id, CAST(round(round(
+       |    least(len(w)::DOUBLE / 50.0, 1.0) * 0.5 +
+       |    (CASE WHEN mwl >= 3.0 AND mwl <= 10.0
+       |      THEN 1.0 ELSE 0.5 END) * 0.3 +
+       |    least(swr * 5.0, 1.0) * 0.2, 6) * 1000000) AS BIGINT) AS q6
+       |  FROM (
+       |    SELECT doc_id, w,
+       |     CASE WHEN len(w) = 0 THEN 0.0
+       |       ELSE len(list_filter(w, x -> list_contains(
+       |         ['the','a','of','and','to','in','is','it','that','for'],
+       |         x)))::DOUBLE / len(w) END AS swr,
+       |     CASE WHEN len(w) = 0 THEN 0.0
+       |       ELSE list_sum(list_transform(w, t -> len(t)))::DOUBLE
+       |         / len(w) END AS mwl
+       |    FROM p9t) z),
+       |p9k3 AS (
+       |  SELECT doc_id FROM (
+       |    SELECT q.doc_id, row_number() OVER (
+       |      PARTITION BY coalesce(c.component, q.doc_id)
+       |      ORDER BY q.q6 DESC, q.doc_id) AS rk
+       |    FROM p9q q LEFT JOIN p9comp c ON c.v = q.doc_id)
+       |  WHERE rk = 1),
+       |p9s3 AS MATERIALIZED (
+       |  SELECT s.* FROM p9s2 s JOIN p9k3 USING (doc_id)),
+       |p9dsh AS (
+       |  SELECT DISTINCT doc_id, unnest(list_transform(
+       |    range(1, len(w) - 1),
+       |    i -> array_to_string(w[i:i+2], ' '))) AS s
+       |  FROM (SELECT doc_id, $DuckToks AS w FROM p9s3)
+       |  WHERE len(w) >= 3),
+       |p9bsh AS (
+       |  SELECT DISTINCT unnest(list_transform(
+       |    range(1, len(w) - 1),
+       |    i -> array_to_string(w[i:i+2], ' '))) AS s
+       |  FROM (SELECT $DuckToks AS w FROM p9bench)
+       |  WHERE len(w) >= 3),
+       |p9dirty AS (
+       |  SELECT doc_id FROM (
+       |    SELECT sh.doc_id,
+       |     round(count(*) FILTER (WHERE bs.s IS NOT NULL)
+       |       / count(*)::DOUBLE, 6) AS contamination
+       |    FROM p9dsh sh LEFT JOIN p9bsh bs USING (s)
+       |    GROUP BY 1)
+       |  WHERE contamination >= 0.5),
+       |p9s4 AS MATERIALIZED (
+       |  SELECT s.* FROM p9s3 s
+       |  LEFT JOIN p9dirty d USING (doc_id)
+       |  WHERE d.doc_id IS NULL),
+       |p9merges AS MATERIALIZED (
+       |  SELECT merge_rank, chr(1) || a || chr(2) || chr(1) || b ||
+       |    chr(2) || chr(3) || chr(1) || a || b || chr(2) AS m
+       |  FROM (${(1 to BpeMerges).map(r =>
+            s"SELECT $r AS merge_rank, a, b FROM b$r")
+            .mkString(" UNION ALL ")})),
+       |p9ml AS MATERIALIZED (
+       |  SELECT list(m ORDER BY merge_rank) AS ms FROM p9merges),
+       |p9dw AS (
+       |  SELECT doc_id, word FROM (
+       |    SELECT doc_id, unnest(string_split_regex(lower(text),
+       |      '[^a-z]+')) AS word FROM p9s4)
+       |  WHERE word <> ''),
+       |p9app AS (
+       |  SELECT doc_id,
+       |    list_reduce(
+       |      list_prepend(
+       |        list_aggregate(list_transform(str_split(word, ''),
+       |          c -> chr(1) || c || chr(2)), 'string_agg', ''),
+       |        (SELECT ms FROM p9ml)),
+       |      (acc, m) -> replace(acc, split_part(m, chr(3), 1),
+       |        split_part(m, chr(3), 2))) AS w2
+       |  FROM p9dw),
+       |p9cnt AS (
+       |  SELECT doc_id,
+       |    CAST(sum(length(w2) - length(replace(w2, chr(1), '')))
+       |      AS BIGINT) AS n_toks
+       |  FROM p9app GROUP BY doc_id),
+       |p9pin AS (
+       |  SELECT s.doc_id, s.grp, coalesce(c.n_toks, 0) AS n_toks
+       |  FROM p9s4 s LEFT JOIN p9cnt c USING (doc_id)),
+       |p9bb AS (
+       |  SELECT doc_id, grp, n_toks,
+       |   md5(doc_id::VARCHAR || '#17') AS h,
+       |   (('0x' || substr(md5(doc_id::VARCHAR || '#18'), 1, 8))
+       |     ::BIGINT) % 8 AS bk
+       |  FROM p9pin),
+       |p9pack AS (
+       |  SELECT doc_id, grp, n_toks,
+       |   CAST(sum(n_toks) OVER (PARTITION BY grp
+       |     ORDER BY bk, h, doc_id ROWS UNBOUNDED PRECEDING) - n_toks
+       |     AS BIGINT) AS start_off
+       |  FROM p9bb)""".stripMargin
+
+  /** s22 oracle: a deterministically SKEWED corpus (4/5 of vectors
+    * pulled toward the all-ones direction) → flat quantized-Lloyd
+    * training → the cell-balance repair (cap = ⌈2n/C⌉, hot cells
+    * split by one in-cell Lloyd round over ⌈cnt/cap⌉ md5-seeded
+    * sub-centroids, ids cell·1024+sub, cold cells cell·1024) → the
+    * s5-shaped probe against the BALANCED codebook. Mirrors
+    * Similarity.balancedCentroids / balancedIvfTopK step for step. */
+  private def duckBalancedIvf(nc: Int, iters: Int, nProbe: Int,
+      k: Int): String =
+    s"""WITH e0 AS (
+       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v0
+       |  FROM embeddings),
+       |e AS (
+       |  SELECT vec_id,
+       |    CASE WHEN vec_id % 5 = 0 THEN v0
+       |      ELSE list_transform(v0, x -> 1.0 + 0.1 * x) END AS v
+       |  FROM e0),
+       |en AS (SELECT vec_id, v, ${duckNormOf("v")} AS nrm FROM e),
+       |${duckKmeansChain(nc, iters, "", "en")},
+       |${duckAssignCte(iters + 1, s"cn$iters")},
+       |btot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM en),
+       |bcap AS (SELECT CAST(ceil(2.0 * n / $nc) AS BIGINT) AS cap
+       |  FROM btot),
+       |bsz AS (SELECT cell_id, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM a${iters + 1} GROUP BY 1),
+       |bhot AS (
+       |  SELECT cell_id, CAST(ceil(cnt::DOUBLE / cap) AS BIGINT) AS ns
+       |  FROM bsz CROSS JOIN bcap WHERE cnt > cap),
+       |bhm AS (
+       |  SELECT a.vec_id, a.v, a.cell_id, h.ns
+       |  FROM a${iters + 1} a JOIN bhot h USING (cell_id)),
+       |bseed AS (
+       |  SELECT cell_id, CAST(rk AS BIGINT) AS sub, scv,
+       |    ${duckNormOf("scv")} AS snrm
+       |  FROM (
+       |    SELECT cell_id, ns, v AS scv, row_number() OVER (
+       |      PARTITION BY cell_id
+       |      ORDER BY ${duckU32("vec_id::VARCHAR", 79)}, vec_id) AS rk
+       |    FROM bhm)
+       |  WHERE rk <= ns),
+       |bsa AS (
+       |  SELECT cell_id, sub, v FROM (
+       |    SELECT m.cell_id, s.sub, m.v, row_number() OVER (
+       |      PARTITION BY m.vec_id ORDER BY
+       |        (list_reduce(list_transform(range(1, len(m.v) + 1),
+       |          j -> m.v[j] * s.scv[j]), (a, b) -> a + b) /
+       |         (${duckNormOf("m.v")} * s.snrm)) DESC, s.sub) AS rk
+       |    FROM bhm m JOIN bseed s USING (cell_id))
+       |  WHERE rk = 1),
+       |bsx AS (
+       |  SELECT cell_id, sub, u.pos AS pos, u.x AS x FROM (
+       |    SELECT cell_id, sub, unnest(list_transform(range(0, len(v)),
+       |      j -> struct_pack(pos := j, x := v[j+1]))) AS u
+       |    FROM bsa)),
+       |bsq AS (
+       |  SELECT cell_id, sub, pos,
+       |   CAST(sum(CAST(round(x * 1000000) AS BIGINT)) AS BIGINT) AS qs,
+       |   CAST(count(*) AS BIGINT) AS cnt
+       |  FROM bsx GROUP BY 1, 2, 3),
+       |bsc AS (
+       |  SELECT cell_id, sub,
+       |   list(CAST(qs AS DOUBLE) / (CAST(cnt AS DOUBLE) * 1000000.0)
+       |     ORDER BY pos) AS cv
+       |  FROM bsq GROUP BY 1, 2),
+       |bbal AS (
+       |  SELECT cell_id * 1024 AS cell_id, cv, cnrm FROM cn$iters
+       |  WHERE cell_id NOT IN (SELECT cell_id FROM bhot)
+       |  UNION ALL
+       |  SELECT cell_id * 1024 + sub, cv, ${duckNormOf("cv")}
+       |  FROM bsc),
+       |bcs AS (
+       |  SELECT en.vec_id, c.cell_id,
+       |   list_reduce(list_transform(range(1, len(en.v) + 1),
+       |     j -> en.v[j] * c.cv[j]), (a, b) -> a + b) / (en.nrm * c.cnrm)
+       |     AS sim
+       |  FROM en CROSS JOIN bbal c),
+       |branked AS (
+       |  SELECT vec_id, cell_id, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY sim DESC, cell_id) AS rk
+       |  FROM bcs),
+       |bassigned AS (SELECT vec_id, cell_id FROM branked WHERE rk = 1),
+       |bprobed AS (SELECT vec_id, cell_id FROM branked
+       |            WHERE rk <= $nProbe AND vec_id % 25 = 0),
+       |bcand AS (
+       |  SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id
+       |  FROM bprobed p JOIN bassigned a
+       |    ON a.cell_id = p.cell_id AND a.vec_id <> p.vec_id),
+       |bscored AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |   list_reduce(list_transform(range(1, len(q.v) + 1),
+       |     j -> q.v[j] * nb.v[j]), (a, b) -> a + b) / (q.nrm * nb.nrm)
+       |     AS cosine
+       |  FROM bcand c
+       |  JOIN en q ON q.vec_id = c.query_id
+       |  JOIN en nb ON nb.vec_id = c.neighbor_id),
+       |br AS (
+       |  SELECT query_id, neighbor_id, cosine, CAST(row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)
+       |    AS BIGINT) AS rank
+       |  FROM bscored)
+       |SELECT query_id, rank, neighbor_id, cosine
+       |FROM br WHERE rank <= $k""".stripMargin
+
   /** The full s11 residual-IVF-PQ CTE chain through the ADC ranking
     * `r` (train cells → assign/probe → residuals → PQ train →
     * encode → per-(query, cell) LUTs → ADC pairs → rank). Shared
@@ -1379,6 +1701,29 @@ object SparkEntry {
           sum(when(col("rk") === 1, 1L).otherwise(0L)).as("n_kept"),
           sum(when(col("rk") === 1, col("q6")).otherwise(0L))
             .as("q6_kept_sum"))
+    }),
+
+    // capstone #7 — the CORPUS BUILD end to end: quality gates
+    // (t19+t29) → exact dedup (d1) → canonical near-dup collapse
+    // (p6) → benchmark decontamination (t7) → BPE tokenize + pack
+    // (t17+p2), with a per-stage census (docs in/out + survivor
+    // fingerprint) as the receipt. Deterministic fixtures make every
+    // tier carry live traffic: exact duplicates injected at
+    // +970000 (≡ mod 97, so they stay corpus) and benchmark LEAKS at
+    // +1940001 (bench text re-entering the corpus under a non-bench
+    // id — caught by the decontamination tier, contamination = 1)
+    "p9_corpus_build" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+      val dupes = base.filter(col("doc_id") % 13 === 0 &&
+          col("doc_id") % 97 =!= 0)
+        .withColumn("doc_id", col("doc_id") + 970000L)
+      val leaks = base.filter(col("doc_id") % 97 === 0)
+        .withColumn("doc_id", col("doc_id") + 1940001L)
+      val aug = base.unionByName(dupes).unionByName(leaks)
+      val merges = Bpe.train(
+        Bpe.vocab(base, col("text"), BpeTopV), BpeMerges)
+      Curation.corpusBuildCensus(aug, col("doc_id"), col("text"),
+        col("source"), merges)
     }),
 
     // curriculum schedule: difficulty-ranked contiguous stages with a
@@ -3007,6 +3352,27 @@ object SparkEntry {
       Similarity.ivfTwoLevelTopK(emb,
         emb.filter(col("vec_id") % 25 === 0), "vec_id", "embedding",
         k = 5, nCells = 8, nGroups = 2, iters = 2, nProbe = 2)
+    }),
+
+    // CELL-BALANCED IVF under skew: the corpus is deterministically
+    // skewed (4/5 of vectors pulled toward the all-ones direction so
+    // one trained cell swallows most of the mass), then the hot cell
+    // is split by an in-cell Lloyd round (cap = ⌈2n/C⌉, ⌈cnt/cap⌉
+    // sub-centroids) and the s5 probe runs against the BALANCED
+    // codebook — nProbe mass spreads across the split instead of
+    // drowning in one cell. The split path carries live traffic by
+    // construction, not as a dead branch
+    "s22_ivf_balanced" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val skewed = emb.select(col("vec_id"),
+        when(col("vec_id") % 5 === 0,
+            transform(col("embedding"), x => x.cast("double")))
+          .otherwise(transform(col("embedding"),
+            x => lit(1.0) + lit(0.1) * x.cast("double")))
+          .as("embedding"))
+      Similarity.balancedIvfTopK(skewed,
+        skewed.filter(col("vec_id") % 25 === 0), "vec_id", "embedding",
+        k = 5, nCells = 8, iters = 2, nProbe = 2)
     }),
 
     // FAISS "refine" tail on s11: ADC ranks a 25-candidate shortlist,
@@ -6026,6 +6392,35 @@ object SparkEntry {
          |FROM occ o JOIN seg s USING (word)
          |GROUP BY 1""".stripMargin,
 
+    // the five-tier corpus build census: each row is three scalar
+    // subqueries over the stage CTEs; survivor fingerprints make the
+    // whole composition hash-checked, not just the counts
+    "p9_corpus_build" -> {
+      def fp(rel: String) =
+        s"CAST((SELECT coalesce(sum(${duckU32("doc_id::VARCHAR", 29)}), " +
+          s"0) FROM $rel) AS BIGINT)"
+      def cnt(rel: String) =
+        s"CAST((SELECT count(*) FROM $rel) AS BIGINT)"
+      val packFp = "CAST((SELECT coalesce(sum(" +
+        duckU32("doc_id::VARCHAR || '|' || grp || '|' || " +
+          "n_toks::VARCHAR || '|' || start_off::VARCHAR", 29) +
+        "), 0) FROM p9pack) AS BIGINT)"
+      s"""WITH RECURSIVE ${duckBpeCtes(BpeMerges, BpeTopV)},
+         |$duckCorpusBuildCtes
+         |SELECT CAST(1 AS BIGINT) AS stage, 'gate' AS stage_name,
+         |  ${cnt("p9c0")} AS docs_in,
+         |  ${cnt("p9s1")} AS docs_out,
+         |  ${fp("p9s1")} AS kept_fp
+         |UNION ALL SELECT CAST(2 AS BIGINT), 'exact', ${cnt("p9s1")},
+         |  ${cnt("p9s2")}, ${fp("p9s2")}
+         |UNION ALL SELECT CAST(3 AS BIGINT), 'neardup', ${cnt("p9s2")},
+         |  ${cnt("p9s3")}, ${fp("p9s3")}
+         |UNION ALL SELECT CAST(4 AS BIGINT), 'decontam', ${cnt("p9s3")},
+         |  ${cnt("p9s4")}, ${fp("p9s4")}
+         |UNION ALL SELECT CAST(5 AS BIGINT), 'pack', ${cnt("p9s4")},
+         |  ${cnt("p9pack")}, $packFp""".stripMargin
+    },
+
     // the final post-EM unigram model verbatim — proves TRAINING
     // (seed counts, Viterbi piece counts, prune set, quantized probs)
     "t31_unigram_train" ->
@@ -6584,6 +6979,9 @@ object SparkEntry {
 
     "s5_ann_ivf_trained" ->
       duckKmeansIvf(nc = 8, iters = 2, nProbe = 2, k = 5),
+
+    "s22_ivf_balanced" ->
+      duckBalancedIvf(nc = 8, iters = 2, nProbe = 2, k = 5),
 
     "s8_semantic_dedup" ->
       duckSemanticDedup(nc = 8, iters = 2, tau = 0.35),

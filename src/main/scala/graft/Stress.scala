@@ -448,6 +448,45 @@ object Stress {
         "embedding", 5)
       Similarity.recallCensus(exact, approx).count()
     }
+    // s22 cell balance on a DETERMINISTICALLY SKEWED corpus (4/5 of
+    // vectors pulled toward the all-ones direction): the repair cost
+    // is proportional to the HOT population, and the receipt is the
+    // before/after max-cell census — the hot-reducer (and recall-sink)
+    // bound the balanced codebook must restore at any corpus size
+    t("s22_ivf_balanced(skew)") {
+      val skew = emb.select(col("vec_id"),
+        when(col("vec_id") % 5 === 0,
+            transform(col("embedding"), x => x.cast("double")))
+          .otherwise(transform(col("embedding"),
+            x => lit(1.0) + lit(0.1) * x.cast("double")))
+          .as("embedding")).persist()
+      val n = skew.count()
+      val nc = Similarity.autoCells(n)
+      val cap = math.ceil(2.0 * n / nc).toLong
+      def maxCell(cents: DataFrame): Long = {
+        val e = skew.select(col("vec_id"), col("embedding").as("v"))
+          .withColumn("nrm", Similarity.norm(col("v")))
+        val cw = cents.select(col("cell_id"), col("centroid").as("cv"))
+          .withColumn("cnrm", Similarity.norm(col("cv")))
+        e.crossJoin(broadcast(cw))
+          .withColumn("sim", Similarity.dot(col("v"), col("cv")) /
+            (col("nrm") * col("cnrm")))
+          .groupBy(col("vec_id"))
+          .agg(max(struct(col("sim"), (-col("cell_id")).as("ng"),
+            col("cell_id").as("c"))).as("m"))
+          .groupBy(col("m.c")).agg(count(lit(1)).as("cnt"))
+          .agg(max("cnt")).head().getLong(0)
+      }
+      val flat = Similarity.kmeansCentroids(skew, "vec_id",
+        "embedding", nc, iters = 2).persist()
+      val bal = Similarity.balancedCentroids(skew, "vec_id",
+        "embedding", nc, iters = 2).persist()
+      val nBal = bal.count()
+      println(s"    s22 receipt: cells $nc->$nBal cap=$cap " +
+        s"maxCell flat=${maxCell(flat)} balanced=${maxCell(bal)}")
+      skew.unpersist()
+      nBal
+    }
     // t30 index-served BM25 with the SAME fixed queries as the t26 row
     // above — the head-to-head is the index-vs-rescan claim; the
     // blocks receipt is the pruning evidence (on this closed-vocab

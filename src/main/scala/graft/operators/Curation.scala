@@ -420,4 +420,117 @@ object Curation {
           s"div $nStages"))
       .select(col("stage"), col("pos"), col("doc_id"), col("difficulty"))
   }
+
+  /** CORPUS-BUILD CAPSTONE (p9) — the end-to-end pipeline a
+    * pretraining-data team actually ships, composed from the
+    * engine's own tiers with a per-stage census as the receipt:
+    *
+    *   1. GATE      — Gopher composite quality (t19) AND char-entropy
+    *                  band-pass (t29); benchmark docs
+    *                  (doc_id % benchMod = 0) are the EVAL set and
+    *                  never enter the corpus.
+    *   2. EXACT     — content-fingerprint dedup (d1): the lowest
+    *                  doc_id of each exact-duplicate group survives.
+    *   3. NEARDUP   — canonical near-dup collapse (p6 shape): simhash
+    *                  band candidates → connected components → the
+    *                  best t3-quality member per component survives.
+    *   4. DECONTAM  — benchmark n-gram overlap (t7/t10): docs whose
+    *                  shingle contamination reaches `contamTau` drop.
+    *   5. PACK      — BPE token counts (t17, merges trained ONCE on
+    *                  the raw corpus) → fixed-length context packing
+    *                  (p2/p4); the census fingerprints the packed
+    *                  layout itself.
+    *
+    * Returns one row per stage: (stage, stage_name, docs_in,
+    * docs_out, kept_fp) where kept_fp sums the md5-u32 of surviving
+    * doc_ids (stage 5: of the packed (doc, offset) layout) — any
+    * divergence anywhere in the five-tier composition flips a
+    * fingerprint.
+    *
+    * Scale shape: each stage is the REGISTERED operator's own plan
+    * (per-row gates, fp-keyed groupBy, banded candidates — never
+    * all-pairs, broadcast benchmark probe, distributed prefix-sum
+    * pack); survivors persist once per stage boundary and the census
+    * rows are five metadata-sized aggregates. */
+  def corpusBuildCensus(docs: DataFrame, idCol: Column, textCol: Column,
+      groupCol: Column, merges: Seq[Bpe.Merge], benchMod: Int = 97,
+      minWords: Int = 20,
+      stops: Seq[String] = Seq("the", "a", "data", "table", "value",
+        "query"),
+      contamTau: Double = 0.5, ctxLen: Int = 128, packSeed: Int = 17,
+      packBuckets: Int = 8, fpSeed: Int = 29): DataFrame = {
+    val base = docs.select(idCol.as("doc_id"), textCol.as("text"),
+      groupCol.as("grp")).persistTracked()
+    val corpus0 = base.filter(pmod(col("doc_id"), lit(benchMod)) =!= 0)
+    val bench = base.filter(pmod(col("doc_id"), lit(benchMod)) === 0)
+    // stage 1: per-row quality gates
+    val gq = TextAnalysis.gopherQuality(corpus0, col("doc_id"),
+        col("text"), minWords = minWords, stops = stops)
+      .filter(col("keep") === 1L).select(col("doc_id"))
+    val ce = TextAnalysis.charEntropy(corpus0, col("doc_id"),
+        col("text"))
+      .filter(col("pass_gate")).select(col("doc_id"))
+    val s1 = corpus0.join(gq, Seq("doc_id")).join(ce, Seq("doc_id"))
+      .persistTracked()
+    // stage 2: exact dedup — lowest doc_id per content fingerprint
+    val keep2 = Dedup.exact(s1, col("doc_id"), col("text"))
+      .select(col("keep_id").as("doc_id"))
+    val s2 = s1.join(keep2, Seq("doc_id")).persistTracked()
+    // stage 3: canonical near-dup collapse (the p6 shape over s2)
+    val pairs = Dedup.simhashPairs(
+        Dedup.simhash(s2, col("doc_id"), col("text")), 3)
+      .select(col("doc_a"), col("doc_b"))
+    val comp = Dedup.dedupComponents(pairs)
+      .select(col("doc_id"), col("component"))
+    val keep3 = s2.select(col("doc_id"),
+        round(TextAnalysis.qualityScore(col("text")) * 1e6)
+          .cast("long").as("q6"))
+      .join(comp, Seq("doc_id"), "left")
+      .withColumn("component",
+        coalesce(col("component"), col("doc_id")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("component"))
+          .orderBy(col("q6").desc, col("doc_id").asc)))
+      .filter(col("rk") === 1).select(col("doc_id"))
+    val s3 = s2.join(keep3, Seq("doc_id")).persistTracked()
+    // stage 4: drop docs whose benchmark-shingle overlap reaches tau
+    val dirty = TextAnalysis.contamination(s3, bench, col("doc_id"),
+        col("text"), n = 3)
+      .filter(col("contamination") >= contamTau).select(col("doc_id"))
+    val s4 = s3.join(dirty, Seq("doc_id"), "left_anti").persistTracked()
+    // stage 5: BPE token counts + context packing over the survivors
+    val counts = s4.select(col("doc_id"),
+        explode(split(lower(col("text")), "[^a-z]+")).as("word"))
+      .filter(col("word") =!= "")
+      .withColumn("tc", Bpe.tokenCount(Bpe.applyMerges(col("word"),
+        merges)))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tc")).cast("long").as("bpe_toks"))
+    val packIn = s4.select(col("doc_id"), col("grp"))
+      .join(counts, Seq("doc_id"), "left_outer")
+      .na.fill(0L, Seq("bpe_toks"))
+    val packed = packSequences(packIn, col("doc_id"), col("grp"),
+      col("bpe_toks"), ctxLen, packSeed, packBuckets)
+    val fpCol =
+      coalesce(sum(Tables.hashU32(col("doc_id"), fpSeed)), lit(0L))
+    def row(stage: Long, name: String, din: DataFrame,
+        dout: DataFrame): DataFrame =
+      din.agg(count(lit(1)).as("docs_in")).crossJoin(
+          dout.agg(count(lit(1)).as("docs_out"),
+            fpCol.as("kept_fp")))
+        .select(lit(stage).as("stage"), lit(name).as("stage_name"),
+          col("docs_in"), col("docs_out"), col("kept_fp"))
+    val packRow = s4.agg(count(lit(1)).as("docs_in")).crossJoin(
+        packed.agg(count(lit(1)).as("docs_out"),
+          coalesce(sum(Tables.hashU32(concat_ws("|", col("doc_id"),
+            col("grp"), col("n_toks"), col("start_off")), fpSeed)),
+            lit(0L)).as("kept_fp")))
+      .select(lit(5L).as("stage"), lit("pack").as("stage_name"),
+        col("docs_in"), col("docs_out"), col("kept_fp"))
+    row(1L, "gate", corpus0, s1)
+      .unionByName(row(2L, "exact", s1, s2))
+      .unionByName(row(3L, "neardup", s2, s3))
+      .unionByName(row(4L, "decontam", s3, s4))
+      .unionByName(packRow)
+  }
 }

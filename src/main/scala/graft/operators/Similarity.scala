@@ -1106,6 +1106,112 @@ object Similarity {
         col("nvid").as("neighbor_id"), col("cosine"))
   }
 
+  /** CELL-BALANCED IVF codebook — the skew repair for trained
+    * quantizers (verdict round-6 #5): trained cells inherit data
+    * skew, and a hot cell is simultaneously a hot reducer (one
+    * partition holds the cell's whole posting) and a recall sink
+    * (one probe slot swallows most of the corpus mass, starving the
+    * other nProbe−1). Repair: after flat Lloyd training, any cell
+    * whose population exceeds cap = ⌈capFactor·n/C⌉ is SPLIT by
+    * re-running one quantized-Lloyd round INSIDE the cell with
+    * ⌈cnt/cap⌉ md5-seeded sub-centroids (the FAISS
+    * `IndexIVF.split`-style local re-train); cold cells keep their
+    * centroid. Sub-cell ids are `cell·1024 + subRank` (cold cells map
+    * to `cell·1024`) — deterministic, collision-free, and order-
+    * independent.
+    *
+    * Scale shape: the census is one groupBy off the (already
+    * computed) assignment; hot members re-score only against their
+    * OWN cell's sub-seeds (a broadcast join keyed by cell — never a
+    * corpus × seeds cross); the update is the same integer-quantized
+    * (cell, sub, pos) aggregate as [[kmeansRefine]], so the whole
+    * repair is bit-deterministic and oracle-checkable. Work is
+    * proportional to the HOT population only — at a balanced corpus
+    * the operator is a no-op census.
+    *
+    * Returns the balanced (cell_id, centroid) codebook — feed it to
+    * [[ivfTopKWith]]/[[ivfTopKWithQueries]]; probing treats
+    * sub-centroids as ordinary cells, so nProbe mass spreads across
+    * the split instead of drowning in one cell. */
+  def balancedCentroids(emb: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, iters: Int, capFactor: Double = 2.0,
+      seed: Int = 79): DataFrame = {
+    val e = emb.select(col(idCol).as("vid"), col(vecCol).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val cw = kmeansCentroids(emb, idCol, vecCol, nCells, iters)
+      .select(col("cell_id"), col("centroid").as("cv"))
+      .withColumn("cnrm", norm(col("cv")))
+      .persistTracked() // membership assignment + cold-cell carryover
+    val assigned = assignCells(e, cw)
+      .select(col("vid"), col("v"), col("cell"))
+      .persistTracked() // census + hot-member re-score
+    val sizes = assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("cnt"))
+    val hot = sizes
+      .crossJoin(broadcast(assigned.agg(count(lit(1)).as("n"))))
+      .withColumn("cap",
+        ceil(lit(capFactor) * col("n") / nCells).cast("long"))
+      .filter(col("cnt") > col("cap"))
+      .withColumn("ns",
+        ceil(col("cnt").cast("double") / col("cap")).cast("long"))
+      .select(col("cell"), col("ns"))
+    val hm = assigned.join(broadcast(hot), Seq("cell"))
+      .withColumn("nrm", norm(col("v")))
+    val wSeed = Window.partitionBy(col("cell"))
+      .orderBy(col("h"), col("vid"))
+    val seeds = hm
+      .withColumn("h", Tables.hashU32(col("vid"), seed))
+      .withColumn("rk", row_number().over(wSeed))
+      .filter(col("rk") <= col("ns"))
+      .select(col("cell"), col("rk").cast("long").as("sub"),
+        col("v").as("scv"))
+      .withColumn("snrm", norm(col("scv")))
+    // one quantized-Lloyd round INSIDE each hot cell: argmax over the
+    // cell's own sub-seeds (map-side-combinable groupBy-max), then the
+    // integer-quantized mean per (cell, sub, pos)
+    val sa = hm.join(broadcast(seeds), Seq("cell"))
+      .withColumn("ssim",
+        dot(col("v"), col("scv")) / (col("nrm") * col("snrm")))
+      .groupBy(col("vid"))
+      .agg(max(struct(col("ssim"), (-col("sub")).as("negs"),
+        col("sub").as("s"), col("cell").as("cell"),
+        col("v").as("v"))).as("m"))
+      .select(col("m.cell").as("cell"), col("m.s").as("sub"),
+        col("m.v").as("v"))
+    val su = sa
+      .select(col("cell"), col("sub"),
+        posexplode(col("v")).as(Seq("pos", "x")))
+      .withColumn("qx", round(col("x") * 1e6).cast("long"))
+      .groupBy(col("cell"), col("sub"), col("pos"))
+      .agg(sum(col("qx")).as("qs"), count(lit(1)).as("cnt"))
+      .withColumn("comp",
+        col("qs").cast("double") / (col("cnt").cast("double") * 1e6))
+      .groupBy(col("cell"), col("sub"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("comp"))))
+        .as("pc"))
+      .select(col("cell"), col("sub"),
+        transform(col("pc"), x => x("comp")).as("cv"))
+    val cold = cw.join(broadcast(hot), cw("cell_id") === hot("cell"),
+        "left_anti")
+      .select((col("cell_id") * 1024).as("cell_id"),
+        col("cv").as("centroid"))
+    val split = su
+      .select((col("cell") * 1024 + col("sub")).as("cell_id"),
+        col("cv").as("centroid"))
+    cold.unionByName(split)
+  }
+
+  /** [[balancedCentroids]] + the s5-shaped search: train flat, split
+    * hot cells, probe the BALANCED codebook with an explicit query
+    * subset. Returns (query_id, rank, neighbor_id, cosine). */
+  def balancedIvfTopK(emb: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nCells: Int, iters: Int,
+      nProbe: Int, capFactor: Double = 2.0): DataFrame = {
+    val bal = balancedCentroids(emb, idCol, vecCol, nCells, iters,
+      capFactor)
+    ivfTopKWithQueries(emb, bal, queries, idCol, vecCol, k, nProbe)
+  }
+
   /** Residual IVF-PQ with an exact-cosine re-rank tail — the FAISS
     * "refine" composition (IndexRefineFlat over IVFPQ), the standard
     * recall repair for quantized search: ADC ranks a SHORTLIST of

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Curation, PipelineOps, TextAnalysis}
+import graft.operators.{Bpe, Curation, PipelineOps, TextAnalysis}
 
 /** Tests for the round-2 curation operators: stratified sampling, PII
   * scrubbing, repetition metrics, contamination. */
@@ -445,5 +445,30 @@ class CurationOpsSpec extends SparkSpec {
       .select("grp", "seq_id", "seg_fp")
       .as[(String, Long, String)].collect().toSet
     assert(fp1 == fp2)
+  }
+
+  test("p9 corpus build: every tier carries live traffic; pack drops none") {
+    val base = Tables.documents(spark, Sf0001)
+    val dupes = base.filter(col("doc_id") % 13 === 0 &&
+        col("doc_id") % 97 =!= 0)
+      .withColumn("doc_id", col("doc_id") + 970000L)
+    val leaks = base.filter(col("doc_id") % 97 === 0)
+      .withColumn("doc_id", col("doc_id") + 1940001L)
+    val aug = base.unionByName(dupes).unionByName(leaks)
+    val merges = Bpe.train(Bpe.vocab(base, col("text"), 4096), 16)
+    val census = Curation.corpusBuildCensus(aug, col("doc_id"),
+        col("text"), col("source"), merges)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // chain consistency: stage N's input is stage N-1's output
+    (2L to 5L).foreach { s =>
+      assert(census(s)._1 == census(s - 1)._2, s"stage $s input")
+    }
+    // live traffic: every filtering tier drops at least one doc
+    (1L to 4L).foreach { s =>
+      assert(census(s)._2 < census(s)._1, s"stage $s must drop docs")
+    }
+    // packing assigns offsets, never drops documents
+    assert(census(5L)._2 == census(5L)._1)
   }
 }
