@@ -111,18 +111,61 @@ object SparkEntry {
     * SMALLEST piece length — candidate lists are ordered by l ASC and
     * the fold only replaces on strictly-greater score. Must be
     * embedded under WITH RECURSIVE. */
-  private def duckUnigramCtes: String = {
-    def viterbi(s: Int, lpRel: String): String = {
+  private def duckUnigramCtes(src: String = "documents",
+      fbApply: Boolean = false): String = {
+    def viterbi(s: Int, lpRel: String, fb: Boolean = false): String = {
+      // fb: the byte-fallback DP — vocab singles gated to [a-z], a
+      // LEFT JOIN so candidate-free positions still step, and an
+      // always-available fallback candidate (l = 9 sentinel, fixed
+      // floor score -30e6 micro-nats) appended LAST so a real piece
+      // wins score ties (the Spark fold's negl = -9 rule)
+      val vocabRel =
+        if (fb)
+          s"(SELECT piece, lp6 FROM $lpRel WHERE len(piece) >= 2 " +
+            "OR regexp_matches(piece, '^[a-z]$$'))"
+        else lpRel
+      val joinKind = if (fb) "LEFT JOIN" else "JOIN"
+      val candList =
+        if (fb)
+          """list_append(
+            |       list_transform(coalesce(c.cs,
+            |         CAST([] AS STRUCT(l BIGINT, lp BIGINT)[])),
+            |         x -> struct_pack(
+            |           sc := d.dp[d.j + 2 - x.l] + x.lp, l := x.l)),
+            |       struct_pack(sc := d.dp[d.j + 1]
+            |           + CAST(-30000000 AS BIGINT),
+            |         l := CAST(9 AS BIGINT)))""".stripMargin
+        else
+          """list_transform(c.cs, x -> struct_pack(
+            |         sc := d.dp[d.j + 2 - x.l] + x.lp, l := x.l))"""
+            .stripMargin
       val best =
-        s"""(list_reduce(list_transform(c.cs, x -> struct_pack(
-           |         sc := d.dp[d.j + 2 - x.l] + x.lp, l := x.l)),
+        s"""(list_reduce($candList,
            |       (a, b) -> CASE WHEN b.sc > a.sc THEN b ELSE a END))"""
           .stripMargin
+      val btPiece =
+        if (fb)
+          """CASE WHEN bp[pos + 1] = 9 THEN rtrim(regexp_replace(
+            |        hex(encode(substr(word, pos, 1))),
+            |        '(..)', '<\1>' || chr(124), 'g'), chr(124))
+            |      ELSE substr(word, pos - bp[pos + 1] + 1,
+            |        bp[pos + 1]) END""".stripMargin
+        else
+          "substr(word, pos - bp[pos + 1] + 1, bp[pos + 1])"
+      val btStep =
+        if (fb) "CASE WHEN bp[pos + 1] = 9 THEN 1 ELSE bp[pos + 1] END"
+        else "bp[pos + 1]"
+      val btNp =
+        if (fb)
+          """CASE WHEN bp[pos + 1] = 9
+            |      THEN octet_length(encode(substr(word, pos, 1)))
+            |      ELSE 1 END""".stripMargin
+        else "1"
       s"""ucand$s AS MATERIALIZED (
          |  SELECT w.word, u.p + len(v.piece) AS endp,
          |    len(v.piece) AS l, v.lp6
          |  FROM uw w, unnest(range(len(w.word))) AS u(p)
-         |  JOIN $lpRel v
+         |  JOIN $vocabRel v
          |    ON substr(w.word, u.p + 1, len(v.piece)) = v.piece
          |  WHERE u.p + len(v.piece) <= len(w.word)),
          |ucmap$s AS MATERIALIZED (
@@ -137,7 +180,7 @@ object SparkEntry {
          |  SELECT d.word, d.wlen, d.j + 1,
          |    list_append(d.dp, $best.sc),
          |    list_append(d.bp, $best.l)
-         |  FROM udp$s d JOIN ucmap$s c
+         |  FROM udp$s d $joinKind ucmap$s c
          |    ON c.word = d.word AND c.endp = d.j + 1
          |  WHERE d.j < d.wlen),
          |ubt$s AS (
@@ -145,18 +188,16 @@ object SparkEntry {
          |    CAST(0 AS BIGINT) AS np
          |  FROM udp$s WHERE j = wlen
          |  UNION ALL
-         |  SELECT word, pos - bp[pos + 1], bp,
-         |    CASE WHEN seg = ''
-         |      THEN substr(word, pos - bp[pos + 1] + 1, bp[pos + 1])
-         |      ELSE substr(word, pos - bp[pos + 1] + 1, bp[pos + 1]) ||
-         |        '|' || seg END,
-         |    np + 1
+         |  SELECT word, pos - $btStep, bp,
+         |    $btPiece ||
+         |      CASE WHEN seg = '' THEN '' ELSE chr(124) || seg END,
+         |    np + $btNp
          |  FROM ubt$s WHERE pos > 0),
          |useg$s AS MATERIALIZED (
          |  SELECT word, seg, np FROM ubt$s WHERE pos = 0)""".stripMargin
     }
     s"""uocc AS MATERIALIZED (
-       |  SELECT doc_id, unnest($DuckToks) AS word FROM documents),
+       |  SELECT doc_id, unnest($DuckToks) AS word FROM $src),
        |uwf AS MATERIALIZED (
        |  SELECT word, CAST(count(*) AS BIGINT) AS f
        |  FROM uocc GROUP BY 1),
@@ -198,7 +239,7 @@ object SparkEntry {
        |  SELECT piece, cnt,
        |    CAST(round(ln(cnt::DOUBLE / tot) * 1e6) AS BIGINT) AS lp6
        |  FROM uv1 CROSS JOIN ut1),
-       |${viterbi(2, "ulp1")}""".stripMargin
+       |${viterbi(2, "ulp1", fbApply)}""".stripMargin
   }
 
   /** Unrolled DuckDB twin of [[Bpe.train]]: w0 is the encoded top-V
@@ -1816,6 +1857,19 @@ object SparkEntry {
     "t32_unigram_apply" -> ((s, d) =>
       Unigram.applyCensus(Tables.documents(s, d), col("doc_id"),
         col("text"), UnigramTopV)),
+
+    // BYTE-FALLBACK unigram-LM application (t23's loss-free guarantee
+    // on the t31 model): coverage singles gated to [a-z] at apply
+    // time, uncovered codepoints route through the UTF-8 byte
+    // expansion as an always-available DP candidate with a fixed
+    // floor score — the fallback COMPETES in the Viterbi instead of
+    // being a post-hoc patch. Corpus seeded with real multi-byte
+    // codepoints (q→中, v→ñ) so the path carries live traffic
+    "t33_unigram_bytes" -> ((s, d) =>
+      Unigram.applyCensusByteFallback(
+        Tables.documents(s, d).withColumn("text",
+          expr("replace(replace(text, 'q', '中'), 'v', 'ñ')")),
+        col("doc_id"), col("text"), UnigramTopV)),
 
     // CCNet perplexity terciles: per-lang head/middle/tail triage by
     // the t13 bigram LM score — rank from a lang-partitioned window
@@ -6424,13 +6478,27 @@ object SparkEntry {
     // the final post-EM unigram model verbatim — proves TRAINING
     // (seed counts, Viterbi piece counts, prune set, quantized probs)
     "t31_unigram_train" ->
-      s"""WITH RECURSIVE $duckUnigramCtes
+      s"""WITH RECURSIVE ${duckUnigramCtes()}
          |SELECT piece, cnt, lp6 FROM ulp1""".stripMargin,
 
     // the second-pass Viterbi census — proves APPLICATION: any
     // divergence in model OR segmentation flips a seg_fp
     "t32_unigram_apply" ->
-      s"""WITH RECURSIVE $duckUnigramCtes
+      s"""WITH RECURSIVE ${duckUnigramCtes()}
+         |SELECT o.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(s.np) AS BIGINT) AS n_pieces,
+         |  CAST(sum(${duckU32("s.seg", 11)}) AS BIGINT) AS seg_fp
+         |FROM uocc o JOIN useg2 s USING (word)
+         |GROUP BY 1""".stripMargin,
+
+    // the byte-fallback census: same chain over the codepoint-seeded
+    // corpus, the apply DP carrying the gated vocab + byte candidate
+    "t33_unigram_bytes" ->
+      s"""WITH RECURSIVE ud33 AS (
+         |  SELECT doc_id,
+         |   replace(replace(text, 'q', '中'), 'v', 'ñ') AS text
+         |  FROM documents),
+         |${duckUnigramCtes("ud33", fbApply = true)}
          |SELECT o.doc_id, CAST(count(*) AS BIGINT) AS n_words,
          |  CAST(sum(s.np) AS BIGINT) AS n_pieces,
          |  CAST(sum(${duckU32("s.seg", 11)}) AS BIGINT) AS seg_fp

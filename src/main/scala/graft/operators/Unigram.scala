@@ -85,11 +85,18 @@ object Unigram {
     * expression the DuckDB twin evaluates, so the quantized model is
     * engine-identical. Probabilities sum to 1 by construction
     * (Σ cnt / tot = 1). */
-  def withLogProbs(vocab: DataFrame): DataFrame =
-    vocab.crossJoin(broadcast(vocab.agg(sum(col("cnt")).as("tot"))))
+  def withLogProbs(vocab: DataFrame): DataFrame = {
+    // the vocab relation feeds both the total and the rows, and the
+    // result fans out into one broadcast join per piece length in
+    // [[viterbiSegments]] — pin it so the (possibly Viterbi-deep)
+    // training lineage runs once, not once per consumer
+    val v = vocab.persistTracked()
+    v.crossJoin(broadcast(v.agg(sum(col("cnt")).as("tot"))))
       .withColumn("lp6",
         round(log(col("cnt") / col("tot")) * 1e6).cast("long"))
       .select(col("piece"), col("cnt"), col("lp6"))
+      .persistTracked()
+  }
 
   /** Viterbi segmentation of every distinct word in `words` under the
     * (piece, lp6) model: returns (word, seg, np, score6) with seg the
@@ -165,9 +172,12 @@ object Unigram {
     * re-quantize log-probs. Returns the new (piece, cnt, lp6). */
   def emRound(wordsF: DataFrame, vocab: DataFrame): DataFrame = {
     val segs = viterbiSegments(wordsF.select(col("word")), vocab)
+    // counts feed the multi-char tier AND the singles left-join — pin
+    // so the E-step (a full Viterbi pass) executes once
     val counts = segs.join(wordsF, Seq("word"))
       .select(explode(split(col("seg"), "\\|")).as("piece"), col("f"))
       .groupBy(col("piece")).agg(sum(col("f")).as("cnt"))
+      .persistTracked()
     val multi = counts.filter(length(col("piece")) >= 2)
     val singles = vocab.filter(length(col("piece")) === 1)
       .select(col("piece"))
@@ -198,6 +208,25 @@ object Unigram {
     val wf = wordFreq(docs, textCol).persistTracked()
     val model = trainFromWords(wf, topV)
     val segs = viterbiSegments(wf.select(col("word")), model)
+    docs.select(idCol.as("doc_id"),
+        explode(TextAnalysis.tokens(textCol)).as("word"))
+      .join(segs, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("np")).as("n_pieces"),
+        sum(Tables.hashU32(col("seg"), seed)).as("seg_fp"))
+  }
+
+  /** [[applyCensus]] with the BYTE-FALLBACK segmenter — the t33
+    * entry: the model trains on the corpus with full coverage (EM
+    * semantics unchanged), application gates coverage singles to
+    * `[a-z]` and routes uncovered codepoints through the UTF-8 byte
+    * expansion. Same census shape as t32. */
+  def applyCensusByteFallback(docs: DataFrame, idCol: Column,
+      textCol: Column, topV: Int, seed: Int = 11): DataFrame = {
+    val wf = wordFreq(docs, textCol).persistTracked()
+    val model = trainFromWords(wf, topV)
+    val segs = viterbiSegmentsByteFallback(wf.select(col("word")), model)
     docs.select(idCol.as("doc_id"),
         explode(TextAnalysis.tokens(textCol)).as("word"))
       .join(segs, Seq("word"))
