@@ -495,11 +495,12 @@ object Stress {
     // the per-query read count relative to blocks_total)
     t("t30_bm25_wand(fixed-queries)") {
       val isQ = col("doc_id") % 500 === 0 && col("doc_id") < 10000000L
-      val n = InvertedIndex.bm25FromIndex(docs, col("doc_id"),
-        col("text"), isQ, k = 5).count()
-      val r = InvertedIndex.bm25WandReceipts(docs, col("doc_id"),
-          col("text"), isQ, k = 5)
-        .agg(sum("blocks_total"), sum("blocks_read")).head()
+      // one core pass serves both outputs — the separate wrappers
+      // would build the index and compute θ twice
+      val (topk, rec) = InvertedIndex.bm25FromIndexWithReceipts(docs,
+        col("doc_id"), col("text"), isQ, k = 5)
+      val n = topk.count()
+      val r = rec.agg(sum("blocks_total"), sum("blocks_read")).head()
       println(s"    t30 receipt: blocks total=${r.getLong(0)} " +
         s"read=${r.getLong(1)}")
       n

@@ -512,36 +512,8 @@ object Dedup {
       thresholdPct: Int): DataFrame = {
     require(thresholdPct > 0 && thresholdPct <= 100,
       s"thresholdPct=$thresholdPct")
-    val sh = docs.select(idCol.as("id"), keyCol.as("k"),
-        TextAnalysis.tokens(textCol).as("toks"))
-      .select(col("id"), col("k"),
-        explode(TextAnalysis.shinglesOf(col("toks"), n)).as("s"))
-      .distinct()
-    val df_ = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
-    // rarest-first rank within each doc + set size; persisted for the
-    // prefix join (small side), the full-set join (big side) and both
-    // verification sides
-    val wDoc = Window.partitionBy(col("id"))
-      .orderBy(col("df").asc, col("s").asc)
-    val ranked = sh.join(df_, Seq("s"))
-      .withColumn("rk", row_number().over(wDoc))
-      .withColumn("sz",
-        count(lit(1)).over(Window.partitionBy(col("id"))))
-      .persistTracked()
-    // prefix length ⌊(1−τ)·sz⌋+1 = sz − ⌈τ·sz⌉ + 1 via integer ceil
-    val prefix = ranked.filter(col("rk") <=
-      col("sz") - expr(s"cast((sz * $thresholdPct + 99) div 100 as int)")
-        + 1)
-    // smaller-side prefix × full sets of same-key docs no smaller
-    // ((sz, id)-lexicographic makes "smaller" total, so each unordered
-    // pair is generated from exactly one orientation)
-    val cand = prefix.as("a").join(ranked.as("b"),
-        col("a.k") === col("b.k") && col("a.s") === col("b.s") &&
-          (col("a.sz") < col("b.sz") ||
-            (col("a.sz") === col("b.sz") && col("a.id") < col("b.id"))))
-      .select(least(col("a.id"), col("b.id")).as("doc_a"),
-        greatest(col("a.id"), col("b.id")).as("doc_b"))
-      .distinct()
+    val (_, ranked, cand) = prefixContainmentCandidates(docs, idCol,
+      textCol, keyCol, n, thresholdPct)
     val inter = cand
       .join(ranked.select(col("id").as("doc_a"), col("s"),
         col("sz").as("sz_a")), Seq("doc_a"))
@@ -567,13 +539,35 @@ object Dedup {
   def prefixContainmentReceipt(docs: DataFrame, idCol: Column,
       textCol: Column, keyCol: Column, n: Int,
       thresholdPct: Int): (Long, Long) = {
+    val (sh, _, cand) = prefixContainmentCandidates(docs, idCol,
+      textCol, keyCol, n, thresholdPct)
+    val coocPairs = sh.as("a").join(sh.as("b"),
+        col("a.k") === col("b.k") && col("a.s") === col("b.s") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id"), col("b.id")).distinct().count()
+    (cand.count(), coocPairs)
+  }
+
+  /** The d21 candidate machinery shared by [[prefixContainmentJoin]]
+    * and [[prefixContainmentReceipt]] — ONE definition of the shingle
+    * relation, the rarest-first rank, the prefix length, and the
+    * orientation join, so the receipt can never drift from the
+    * operator it measures. Returns (sh, ranked, candidatePairs). */
+  private def prefixContainmentCandidates(docs: DataFrame, idCol: Column,
+      textCol: Column, keyCol: Column, n: Int, thresholdPct: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
+    require(thresholdPct > 0 && thresholdPct <= 100,
+      s"thresholdPct=$thresholdPct")
     val sh = docs.select(idCol.as("id"), keyCol.as("k"),
         TextAnalysis.tokens(textCol).as("toks"))
       .select(col("id"), col("k"),
         explode(TextAnalysis.shinglesOf(col("toks"), n)).as("s"))
       .distinct()
-      .persistTracked()
+      .persistTracked() // df aggregate + (receipt only) cooc self-join
     val df_ = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    // rarest-first rank within each doc + set size; persisted for the
+    // prefix join (small side), the full-set join (big side) and both
+    // verification sides
     val wDoc = Window.partitionBy(col("id"))
       .orderBy(col("df").asc, col("s").asc)
     val ranked = sh.join(df_, Seq("s"))
@@ -581,19 +575,21 @@ object Dedup {
       .withColumn("sz",
         count(lit(1)).over(Window.partitionBy(col("id"))))
       .persistTracked()
+    // prefix length ⌊(1−τ)·sz⌋+1 = sz − ⌈τ·sz⌉ + 1 via integer ceil
     val prefix = ranked.filter(col("rk") <=
       col("sz") - expr(s"cast((sz * $thresholdPct + 99) div 100 as int)")
         + 1)
-    val prefixPairs = prefix.as("a").join(ranked.as("b"),
+    // smaller-side prefix × full sets of same-key docs no smaller
+    // ((sz, id)-lexicographic makes "smaller" total, so each unordered
+    // pair is generated from exactly one orientation)
+    val cand = prefix.as("a").join(ranked.as("b"),
         col("a.k") === col("b.k") && col("a.s") === col("b.s") &&
           (col("a.sz") < col("b.sz") ||
             (col("a.sz") === col("b.sz") && col("a.id") < col("b.id"))))
-      .select(col("a.id"), col("b.id")).distinct().count()
-    val coocPairs = sh.as("a").join(sh.as("b"),
-        col("a.k") === col("b.k") && col("a.s") === col("b.s") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id"), col("b.id")).distinct().count()
-    (prefixPairs, coocPairs)
+      .select(least(col("a.id"), col("b.id")).as("doc_a"),
+        greatest(col("a.id"), col("b.id")).as("doc_b"))
+      .distinct()
+    (sh, ranked, cand)
   }
 
   /** 32-bit SimHash fingerprint per doc over distinct word-3-gram

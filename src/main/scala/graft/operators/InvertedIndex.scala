@@ -181,6 +181,17 @@ object InvertedIndex {
     receipts
   }
 
+  /** Top-k AND pruning receipts from ONE core pass — for callers that
+    * want both (the Stress probe, a serving audit): the separate
+    * [[bm25FromIndex]]/[[bm25WandReceipts]] wrappers would each build
+    * the index, score the seeds, and compute θ from scratch. */
+  def bm25FromIndexWithReceipts(docs: DataFrame, idCol: Column,
+      textCol: Column, isQuery: Column, k: Int = 5, blockSize: Int = 64,
+      seedBlocks: Int = 4, k1: Double = 1.2, b: Double = 0.75)
+      : (DataFrame, DataFrame) =
+    bm25WandCore(docs, idCol, textCol, isQuery, k, blockSize,
+      seedBlocks, k1, b)
+
   /** The pruning core — MaxScore essential terms × block-max WAND,
     * both driven by the same θ, both provably lossless:
     *

@@ -1116,9 +1116,11 @@ object Similarity {
     * re-running one quantized-Lloyd round INSIDE the cell with
     * ⌈cnt/cap⌉ md5-seeded sub-centroids (the FAISS
     * `IndexIVF.split`-style local re-train); cold cells keep their
-    * centroid. Sub-cell ids are `cell·1024 + subRank` (cold cells map
-    * to `cell·1024`) — deterministic, collision-free, and order-
-    * independent.
+    * centroid. Sub-cell ids are `cell·M + subRank` with
+    * M = max(1024, nCells + 1) (cold cells map to `cell·M`) —
+    * deterministic, order-independent, and collision-free: subRank ≤
+    * ⌈cnt/cap⌉ ≤ ⌈nCells/capFactor⌉ ≤ nCells < M (capFactor ≥ 1), so
+    * a split id can never reach the next cell's `(cell+1)·M`.
     *
     * Scale shape: the census is one groupBy off the (already
     * computed) assignment; hot members re-score only against their
@@ -1136,6 +1138,8 @@ object Similarity {
   def balancedCentroids(emb: DataFrame, idCol: String, vecCol: String,
       nCells: Int, iters: Int, capFactor: Double = 2.0,
       seed: Int = 79): DataFrame = {
+    require(capFactor >= 1.0, s"capFactor must be >= 1, got $capFactor")
+    val subIdBase = math.max(1024L, nCells + 1L)
     val e = emb.select(col(idCol).as("vid"), col(vecCol).as("v"))
       .withColumn("nrm", norm(col("v")))
     val cw = kmeansCentroids(emb, idCol, vecCol, nCells, iters)
@@ -1193,10 +1197,10 @@ object Similarity {
         transform(col("pc"), x => x("comp")).as("cv"))
     val cold = cw.join(broadcast(hot), cw("cell_id") === hot("cell"),
         "left_anti")
-      .select((col("cell_id") * 1024).as("cell_id"),
+      .select((col("cell_id") * subIdBase).as("cell_id"),
         col("cv").as("centroid"))
     val split = su
-      .select((col("cell") * 1024 + col("sub")).as("cell_id"),
+      .select((col("cell") * subIdBase + col("sub")).as("cell_id"),
         col("cv").as("centroid"))
     cold.unionByName(split)
   }

@@ -50,6 +50,12 @@ object Unigram {
   /** Maximum piece length considered for the vocabulary. */
   val MaxPieceLen = 4
 
+  /** The byte-fallback sentinel stored in the back-pointer array: a
+    * value no real piece length (1..[[MaxPieceLen]]) can take. Its
+    * negation (-9) also loses score ties against every real piece
+    * (negl -1..-4), so a covered position never falls back. */
+  private val FbSentinel = 9
+
   /** Distinct-word frequencies (word, f) under the whitespace
     * tokenizer shared with the t-family. One corpus-scale aggregate;
     * every later stage is bounded by the distinct vocabulary. */
@@ -101,7 +107,32 @@ object Unigram {
   /** Viterbi segmentation of every distinct word in `words` under the
     * (piece, lp6) model: returns (word, seg, np, score6) with seg the
     * '|'-joined best segmentation, np its piece count, score6 its
-    * exact integer score.
+    * exact integer score. Coverage singles make every position
+    * reachable, so the candidate set is never empty. */
+  def viterbiSegments(words: DataFrame, vocab: DataFrame): DataFrame =
+    viterbiCore(words, vocab.select(col("piece"), col("lp6")), None)
+
+  /** Byte-fallback Viterbi (the t23 trick applied to the unigram
+    * segmenter, APPLY-time only — training keeps full coverage, see
+    * [[applyCensusByteFallback]]): coverage singles are RESTRICTED to
+    * `[a-z]`, and every position additionally offers the UTF-8 bytes
+    * of its one codepoint as `<XX>` pseudo-pieces scored with the
+    * fixed floor penalty `fbLp6` — the DP stays total on arbitrary
+    * input (the loss-free guarantee) and the fallback competes
+    * honestly with real pieces instead of patching after the fact.
+    * Returns (word, seg, np, score6); np counts BYTES on fallback
+    * positions, mirroring t23. */
+  def viterbiSegmentsByteFallback(words: DataFrame, vocab: DataFrame,
+      fbLp6: Long = -30000000L): DataFrame =
+    viterbiCore(words,
+      vocab.filter(length(col("piece")) >= 2 ||
+          col("piece").rlike("^[a-z]$"))
+        .select(col("piece"), col("lp6")),
+      Some(fbLp6))
+
+  /** The ONE segmenter both public variants share — candidate
+    * generation, DP fold, and backtrack have a single definition so
+    * the t32 and t33 paths cannot drift.
     *
     * Candidates per (word, end-position, length) come from
     * [[MaxPieceLen]] broadcast equi-joins keyed by the substring
@@ -109,12 +140,12 @@ object Unigram {
     * single in-row fold j = 1..len(word): dp[j] = max over l of
     * dp[j−l] + lp(piece ending at j with length l), tie-break on
     * smaller l (realized as array_max over struct(score, −l) — max
-    * score, then max −l = min l). Coverage singles make every
-    * position reachable, so the candidate set is never empty. A
-    * second fold walks the back-pointers right-to-left to emit the
-    * segmentation. */
-  def viterbiSegments(words: DataFrame, vocab: DataFrame): DataFrame = {
-    val v = vocab.select(col("piece"), col("lp6"))
+    * score, then max −l = min l). With `fallback` set, an extra
+    * length-1 byte-expansion candidate (negl −[[FbSentinel]], so it
+    * loses all ties) is always available. A second fold walks the
+    * back-pointers right-to-left to emit the segmentation. */
+  private def viterbiCore(words: DataFrame, v: DataFrame,
+      fallback: Option[Long]): DataFrame = {
     val positions = words.select(col("word"),
       explode(sequence(lit(0), length(col("word")) - 1)).as("pos"))
     val cands = (1 to MaxPieceLen).map { l =>
@@ -125,14 +156,19 @@ object Unigram {
         .select(col("word"),
           ((col("pos") + l) * 8 + l).as("k"), col("lp6"))
     }.reduce(_ unionByName _)
-    val pm = cands.groupBy(col("word"))
-      .agg(map_from_entries(
-        collect_list(struct(col("k"), col("lp6")))).as("pm"))
+    // left join: with full coverage every word has candidates, with
+    // the gated fallback vocab an all-uncovered word legitimately has
+    // none — the fallback option keeps the DP total either way
+    val pm = words.join(
+      cands.groupBy(col("word"))
+        .agg(map_from_entries(
+          collect_list(struct(col("k"), col("lp6")))).as("pm")),
+      Seq("word"), "left")
     val dp = pm.withColumn("st", aggregate(
       sequence(lit(1), length(col("word"))),
       struct(array(lit(0L)).as("dp"), array(lit(0)).as("bp")),
       (acc, j) => {
-        val options = array((1 to MaxPieceLen).map { l =>
+        val real = (1 to MaxPieceLen).map { l =>
           val lp = element_at(col("pm"), (j * 8 + lit(l)).cast("int"))
           when(j >= l && lp.isNotNull,
             struct(
@@ -140,7 +176,13 @@ object Unigram {
                 .as("sc"),
               lit(-l).as("negl")))
             .otherwise(lit(null))
-        }: _*)
+        }
+        val options = fallback match {
+          case Some(fb) => array((real :+
+            struct((element_at(acc("dp"), j.cast("int")) + fb).as("sc"),
+              lit(-FbSentinel).as("negl"))): _*)
+          case None => array(real: _*)
+        }
         val best = array_max(filter(options, c => c.isNotNull))
         struct(
           concat(acc("dp"), array(best("sc"))).as("dp"),
@@ -153,13 +195,21 @@ object Unigram {
         struct(length(col("word")).as("pos"), lit("").as("seg"),
           lit(0L).as("np")),
         (st, _) => {
-          val l = element_at(col("st.bp"), (st("pos") + 1).cast("int"))
-          val piece = col("word").substr(st("pos") - l + 1, l)
+          val rawL = element_at(col("st.bp"), (st("pos") + 1).cast("int"))
+          val isFb = rawL === FbSentinel
+          val l = when(isFb, lit(1)).otherwise(rawL)
+          val hexb = hex(encode(
+            col("word").substr(st("pos"), lit(1)), "UTF-8"))
+          val piece = when(isFb,
+              rtrim(regexp_replace(hexb, "(..)", "<$1>|"), "|"))
+            .otherwise(col("word").substr(st("pos") - l + 1, l))
+          val npInc = when(isFb, (length(hexb) / 2).cast("long"))
+            .otherwise(lit(1L))
           when(st("pos") <= 0, st).otherwise(struct(
             (st("pos") - l).as("pos"),
             when(st("seg") === "", piece)
               .otherwise(concat(piece, lit("|"), st("seg"))).as("seg"),
-            (st("np") + 1L).as("np")))
+            (st("np") + npInc).as("np")))
         }))
       .select(col("word"), col("bt.seg").as("seg"),
         col("bt.np").as("np"), col("score6"))
@@ -204,18 +254,8 @@ object Unigram {
     * sums the md5-u32 of each word's '|'-joined segmentation —
     * fingerprinting the full subword segmentation, not just counts. */
   def applyCensus(docs: DataFrame, idCol: Column, textCol: Column,
-      topV: Int, seed: Int = 11): DataFrame = {
-    val wf = wordFreq(docs, textCol).persistTracked()
-    val model = trainFromWords(wf, topV)
-    val segs = viterbiSegments(wf.select(col("word")), model)
-    docs.select(idCol.as("doc_id"),
-        explode(TextAnalysis.tokens(textCol)).as("word"))
-      .join(segs, Seq("word"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_words"),
-        sum(col("np")).as("n_pieces"),
-        sum(Tables.hashU32(col("seg"), seed)).as("seg_fp"))
-  }
+      topV: Int, seed: Int = 11): DataFrame =
+    censusWith(docs, idCol, textCol, topV, seed, viterbiSegments)
 
   /** [[applyCensus]] with the BYTE-FALLBACK segmenter — the t33
     * entry: the model trains on the corpus with full coverage (EM
@@ -223,10 +263,18 @@ object Unigram {
     * `[a-z]` and routes uncovered codepoints through the UTF-8 byte
     * expansion. Same census shape as t32. */
   def applyCensusByteFallback(docs: DataFrame, idCol: Column,
-      textCol: Column, topV: Int, seed: Int = 11): DataFrame = {
+      textCol: Column, topV: Int, seed: Int = 11): DataFrame =
+    censusWith(docs, idCol, textCol, topV, seed,
+      viterbiSegmentsByteFallback(_, _))
+
+  /** Train + segment + per-doc census, parameterized over the
+    * segmenter — the one census definition t32 and t33 share. */
+  private def censusWith(docs: DataFrame, idCol: Column,
+      textCol: Column, topV: Int, seed: Int,
+      segmenter: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     val wf = wordFreq(docs, textCol).persistTracked()
     val model = trainFromWords(wf, topV)
-    val segs = viterbiSegmentsByteFallback(wf.select(col("word")), model)
+    val segs = segmenter(wf.select(col("word")), model)
     docs.select(idCol.as("doc_id"),
         explode(TextAnalysis.tokens(textCol)).as("word"))
       .join(segs, Seq("word"))
@@ -234,84 +282,5 @@ object Unigram {
       .agg(count(lit(1)).as("n_words"),
         sum(col("np")).as("n_pieces"),
         sum(Tables.hashU32(col("seg"), seed)).as("seg_fp"))
-  }
-
-  /** Byte-fallback composition (the t23 trick applied to the unigram
-    * segmenter): coverage singles are RESTRICTED to `[a-z]` at both
-    * train and apply time, and any position no vocab piece covers
-    * falls back to the UTF-8 bytes of that one codepoint as `<XX>`
-    * pseudo-pieces scored with a fixed floor penalty `fbLp6` — the
-    * DP stays total on arbitrary input (the loss-free guarantee) and
-    * the fallback competes honestly with real pieces. Returns
-    * (word, seg, np, score6) like [[viterbiSegments]]; np counts
-    * BYTES on fallback positions, mirroring t23. */
-  def viterbiSegmentsByteFallback(words: DataFrame, vocab: DataFrame,
-      fbLp6: Long = -30000000L): DataFrame = {
-    val v = vocab.filter(length(col("piece")) >= 2 ||
-        col("piece").rlike("^[a-z]$"))
-      .select(col("piece"), col("lp6"))
-    val positions = words.select(col("word"),
-      explode(sequence(lit(0), length(col("word")) - 1)).as("pos"))
-    val cands = (1 to MaxPieceLen).map { l =>
-      positions.filter(col("pos") + l <= length(col("word")))
-        .withColumn("piece", expr(s"substring(word, pos + 1, $l)"))
-        .join(broadcast(v.filter(length(col("piece")) === l)),
-          Seq("piece"))
-        .select(col("word"),
-          ((col("pos") + l) * 8 + l).as("k"), col("lp6"))
-    }.reduce(_ unionByName _)
-    val pm = words.join(
-      cands.groupBy(col("word"))
-        .agg(map_from_entries(
-          collect_list(struct(col("k"), col("lp6")))).as("pm")),
-      Seq("word"), "left")
-    val dp = pm.withColumn("st", aggregate(
-      sequence(lit(1), length(col("word"))),
-      struct(array(lit(0L)).as("dp"), array(lit(0)).as("bp")),
-      (acc, j) => {
-        val options = array(((1 to MaxPieceLen).map { l =>
-          val lp = element_at(col("pm"), (j * 8 + lit(l)).cast("int"))
-          when(j >= l && lp.isNotNull,
-            struct(
-              (element_at(acc("dp"), (j - l + 1).cast("int")) + lp)
-                .as("sc"),
-              lit(-l).as("negl")))
-            .otherwise(lit(null))
-        } :+
-          // the always-available single-codepoint byte fallback:
-          // length 1, fixed floor score, encoded as negl = -9 so a
-          // REAL single-char piece at the same score still wins
-          struct((element_at(acc("dp"), j.cast("int")) + fbLp6).as("sc"),
-            lit(-9).as("negl"))): _*)
-        val best = array_max(filter(options, c => c.isNotNull))
-        struct(
-          concat(acc("dp"), array(best("sc"))).as("dp"),
-          concat(acc("bp"), array(-best("negl"))).as("bp"))
-      }))
-    dp.withColumn("score6",
-        element_at(col("st.dp"), length(col("word")) + 1))
-      .withColumn("bt", aggregate(
-        sequence(lit(1), length(col("word"))),
-        struct(length(col("word")).as("pos"), lit("").as("seg"),
-          lit(0L).as("np")),
-        (st, _) => {
-          val rawL = element_at(col("st.bp"), (st("pos") + 1).cast("int"))
-          val isFb = rawL === 9
-          val l = when(isFb, lit(1)).otherwise(rawL)
-          val ch = col("word").substr(st("pos"), lit(1))
-          val hexb = hex(encode(ch, "UTF-8"))
-          val fbTok = rtrim(regexp_replace(hexb, "(..)", "<$1>|"), "|")
-          val piece = when(isFb, fbTok)
-            .otherwise(col("word").substr(st("pos") - l + 1, l))
-          val npInc = when(isFb, (length(hexb) / 2).cast("long"))
-            .otherwise(lit(1L))
-          when(st("pos") <= 0, st).otherwise(struct(
-            (st("pos") - l).as("pos"),
-            when(st("seg") === "", piece)
-              .otherwise(concat(piece, lit("|"), st("seg"))).as("seg"),
-            (st("np") + npInc).as("np")))
-        }))
-      .select(col("word"), col("bt.seg").as("seg"),
-        col("bt.np").as("np"), col("score6"))
   }
 }

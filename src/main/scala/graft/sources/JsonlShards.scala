@@ -36,6 +36,20 @@ object JsonlShards {
     val confB = df.sparkSession.sparkContext.broadcast(
       new SerializableHadoopConf(
         df.sparkSession.sessionState.newHadoopConf()))
+    // overwrite semantics live on the DRIVER, before any task runs: a
+    // shard left by a PREVIOUS job is deleted here, so the executor
+    // publish below never needs delete-then-rename (whose delete can
+    // land after a sibling attempt's rename and then die, losing the
+    // shard) — within one job, first-rename-wins decides attempts
+    locally {
+      val hc = df.sparkSession.sessionState.newHadoopConf()
+      (0 until numShards).foreach { pid =>
+        val p = new Path(dir,
+          f"${baseName}_$pid%05d-of-$numShards%05d.jsonl.gz")
+        val fs = p.getFileSystem(hc)
+        if (fs.exists(p)) fs.delete(p, false)
+      }
+    }
     lines.repartition(numShards).rdd.mapPartitionsWithIndex {
       (pid, rows) =>
         val name = f"${baseName}_$pid%05d-of-$numShards%05d.jsonl.gz"
@@ -57,9 +71,17 @@ object JsonlShards {
           out.write('\n')
           n += 1
         } finally out.close()
-        fs.delete(path, false) // replace a prior attempt's shard, if any
-        if (!fs.rename(tmp, path))
-          throw new java.io.IOException(s"rename $tmp -> $path failed")
+        // first-rename-wins publish: rename onto an existing path FAILS
+        // on HDFS and the local FS, so the winner is decided atomically
+        // by the filesystem — a loser must NOT delete-then-rename (the
+        // delete could land after the winner's rename and then die,
+        // leaving the shard missing after the job reported success).
+        // Losers discard their tmp; shard content is attempt-invariant
+        // (same partition, same rows), so either winner is correct.
+        if (!fs.rename(tmp, path)) {
+          if (fs.exists(path)) fs.delete(tmp, false)
+          else throw new java.io.IOException(s"rename $tmp -> $path failed")
+        }
         Iterator.single(path.toString -> n)
     }.collect().toSeq.sortBy(_._1)
   }
