@@ -426,7 +426,8 @@ object SparkEntry {
     * s3-shaped IVF search — probe the nProbe nearest trained cells,
     * exact cosine rank within candidates. */
   private def duckKmeansIvf(nc: Int, iters: Int, nProbe: Int,
-      k: Int): String =
+      k: Int, neighborWhere: String = "",
+      queryWhere: String = ""): String =
     s"""${duckKmeansCtes(nc, iters)},
        |cs AS (
        |  SELECT en.vec_id, c.cell_id,
@@ -438,8 +439,10 @@ object SparkEntry {
        |  SELECT vec_id, cell_id, row_number() OVER (PARTITION BY vec_id
        |    ORDER BY sim DESC, cell_id) AS rk
        |  FROM cs),
-       |assigned AS (SELECT vec_id, cell_id FROM ranked WHERE rk = 1),
-       |probed AS (SELECT vec_id, cell_id FROM ranked WHERE rk <= $nProbe),
+       |assigned AS (SELECT vec_id, cell_id FROM ranked
+       |             WHERE rk = 1$neighborWhere),
+       |probed AS (SELECT vec_id, cell_id FROM ranked
+       |           WHERE rk <= $nProbe$queryWhere),
        |cand AS (
        |  SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id
        |  FROM probed p JOIN assigned a
@@ -678,6 +681,126 @@ object SparkEntry {
        |     ORDER BY bk, h, doc_id ROWS UNBOUNDED PRECEDING) - n_toks
        |     AS BIGINT) AS start_off
        |  FROM p9bb)""".stripMargin
+
+  /** p10 oracle: the incremental refresh replayed — batch (with
+    * injected exact re-submissions) → t19+t29 gates → exact-vs-state
+    * fingerprint ANTI join (+ within-batch min-id collapse) → the d11
+    * minhash band probe against state ∪ surviving batch. Ends at
+    * p10b0/p10b1/p10b2/p10b3 for the census. */
+  private def duckCorpusRefreshCtes: String =
+    s"""p10st AS MATERIALIZED (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 7),
+       |p10b0 AS MATERIALIZED (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 7
+       |  UNION ALL
+       |  SELECT doc_id + 1000007, text FROM documents
+       |  WHERE doc_id % 10 <> 7 AND doc_id % 50 = 0),
+       |p10gb AS (
+       |  SELECT doc_id, lower(text) AS txt, $DuckToks AS w,
+       |    string_split(lower(text), chr(10)) AS lines
+       |  FROM p10b0),
+       |p10gm AS (
+       |  SELECT doc_id,
+       |   CAST(len(w) AS BIGINT) AS nw,
+       |   CAST(coalesce(list_sum(list_transform(w,
+       |     t -> length(t))), 0) AS BIGINT) AS chars,
+       |   CAST(len(lines) AS BIGINT) AS nlines,
+       |   CAST(len(list_filter(lines,
+       |     l -> regexp_matches(ltrim(l), '^[-*•]'))) AS BIGINT)
+       |     AS nbullet,
+       |   CAST(len(list_filter(lines,
+       |     l -> regexp_matches(rtrim(l), '\\.\\.\\.$$'))) AS BIGINT)
+       |     AS nell,
+       |   CAST(length(txt) - length(replace(txt, '#', ''))
+       |     + (length(txt) - length(replace(txt, '...', ''))) // 3
+       |     AS BIGINT) AS nsym,
+       |   CAST(len(list_filter(w,
+       |     t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS nalpha,
+       |   CAST(len(list_intersect(list_distinct(list_transform(w,
+       |     t -> regexp_replace(t, '^[^a-z]+|[^a-z]+$$', '', 'g'))),
+       |     ['the','a','data','table','value','query']))
+       |     AS BIGINT) AS nstop
+       |  FROM p10gb),
+       |p10gk AS (
+       |  SELECT doc_id FROM p10gm
+       |  WHERE NOT (nw < 20 OR nw > 100000)
+       |    AND (3 * nw <= chars AND chars <= 10 * nw)
+       |    AND 10 * nsym <= nw
+       |    AND 10 * nbullet <= 9 * nlines
+       |    AND 10 * nell <= 3 * nlines
+       |    AND 5 * nalpha >= 4 * nw
+       |    AND nstop >= 2),
+       |p10ec AS (
+       |  SELECT doc_id,
+       |   list_filter(string_split(text, ''), x -> len(x) > 0) AS cs
+       |  FROM p10b0),
+       |p10ek AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id,
+       |     list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |       list_transform(list_sort(list_distinct(cs)), ch ->
+       |         (CAST(len(list_filter(cs, x -> x = ch)) AS DOUBLE)
+       |            / len(cs))
+       |         * log2(CAST(len(list_filter(cs, x -> x = ch))
+       |             AS DOUBLE) / len(cs)))),
+       |       (acc, t) -> acc - t) AS ent
+       |    FROM p10ec)
+       |  WHERE ent >= 3.0 AND ent <= 5.5),
+       |p10b1 AS MATERIALIZED (
+       |  SELECT b.* FROM p10b0 b
+       |  JOIN p10gk USING (doc_id) JOIN p10ek USING (doc_id)),
+       |p10sf AS (
+       |  SELECT DISTINCT md5(regexp_replace(lower(text), '\\s+', ' ',
+       |    'g')) AS fp
+       |  FROM p10st),
+       |p10k2 AS (
+       |  SELECT min(doc_id) AS doc_id FROM (
+       |    SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ',
+       |      'g')) AS fp
+       |    FROM p10b1) b
+       |  ANTI JOIN p10sf USING (fp)
+       |  GROUP BY fp),
+       |p10b2 AS MATERIALIZED (
+       |  SELECT b.* FROM p10b1 b JOIN p10k2 USING (doc_id)),
+       |p10all AS (
+       |  SELECT doc_id, text, FALSE AS inb FROM p10st
+       |  UNION ALL SELECT doc_id, text, TRUE FROM p10b2),
+       |p10t AS (SELECT doc_id, inb, $DuckToks AS w FROM p10all),
+       |p10sh AS (
+       |  SELECT DISTINCT doc_id, inb, unnest(list_transform(
+       |    range(1, len(w) - 1),
+       |    i -> array_to_string(w[i:i+2], ' '))) AS shingle
+       |  FROM p10t WHERE len(w) >= 3),
+       |p10mh AS MATERIALIZED (
+       |  SELECT doc_id, inb, h,
+       |   min(CASE WHEN h < 4 THEN substr(md5(shingle), 1 + 8*(h%4), 8)
+       |       ELSE substr(md5('x' || shingle), 1 + 8*(h%4), 8) END)
+       |    AS minhash
+       |  FROM p10sh CROSS JOIN (SELECT unnest(range(8)) AS h) hs
+       |  GROUP BY 1, 2, 3),
+       |p10bd AS (
+       |  SELECT doc_id, inb, h // 2 AS band,
+       |   md5(string_agg(minhash, '|' ORDER BY minhash)) AS bkey
+       |  FROM p10mh GROUP BY 1, 2, 3),
+       |p10cd AS (
+       |  SELECT DISTINCT p.doc_id, r.doc_id AS ref_id
+       |  FROM p10bd p JOIN p10bd r
+       |    ON p.band = r.band AND p.bkey = r.bkey
+       |  WHERE p.inb AND (NOT r.inb OR r.doc_id < p.doc_id)),
+       |p10vr AS (
+       |  SELECT c.doc_id, c.ref_id,
+       |   sum(CASE WHEN ma.minhash = mb.minhash THEN 1 ELSE 0 END)
+       |     / 8.0 AS est
+       |  FROM p10cd c
+       |  JOIN p10mh ma ON ma.doc_id = c.doc_id AND ma.inb
+       |  JOIN p10mh mb ON mb.doc_id = c.ref_id AND mb.h = ma.h
+       |  GROUP BY 1, 2),
+       |p10fl AS (
+       |  SELECT DISTINCT doc_id FROM p10vr WHERE est >= 0.5),
+       |p10b3 AS MATERIALIZED (
+       |  SELECT b.* FROM p10b2 b
+       |  LEFT JOIN p10fl f USING (doc_id)
+       |  WHERE f.doc_id IS NULL)""".stripMargin
 
   /** s22 oracle: a deterministically SKEWED corpus (4/5 of vectors
     * pulled toward the all-ones direction) → flat quantized-Lloyd
@@ -1765,6 +1888,24 @@ object SparkEntry {
         Bpe.vocab(base, col("text"), BpeTopV), BpeMerges)
       Curation.corpusBuildCensus(aug, col("doc_id"), col("text"),
         col("source"), merges)
+    }),
+
+    // capstone #8 — the INCREMENTAL corpus REFRESH: a new batch
+    // admitted against the already-curated corpus STATE (gates →
+    // exact-vs-state fingerprints → d11 near-dup-vs-state band
+    // probe), per-stage census. Exact re-submissions injected (state
+    // docs re-entering under new ids) so the exact-vs-state tier
+    // carries live traffic; the synthetic corpus supplies natural
+    // cross-set near-dups for the band tier
+    "p10_corpus_refresh" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val state = docs.filter(col("doc_id") % 10 =!= 7)
+      val resub = state.filter(col("doc_id") % 50 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000007L)
+      val batch = docs.filter(col("doc_id") % 10 === 7)
+        .unionByName(resub)
+      Curation.corpusRefreshCensus(state, batch, col("doc_id"),
+        col("text"))
     }),
 
     // curriculum schedule: difficulty-ranked contiguous stages with a
@@ -3427,6 +3568,20 @@ object SparkEntry {
       Similarity.balancedIvfTopK(skewed,
         skewed.filter(col("vec_id") % 25 === 0), "vec_id", "embedding",
         k = 5, nCells = 8, iters = 2, nProbe = 2)
+    }),
+
+    // FILTERED ANN — the vector-DB "metadata predicate + top-k" query:
+    // only vectors with vec_id % 3 = 0 are eligible neighbors. The
+    // predicate prunes the assigned index relation BEFORE any pair
+    // scoring (pre-filtering); post-filtering a plain top-k would
+    // return < k rows exactly when the filter is selective
+    "s23_ivf_filtered" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val codebook = Similarity.kmeansCentroids(emb, "vec_id",
+        "embedding", nCells = 8, iters = 2)
+      Similarity.ivfFilteredTopK(emb, codebook,
+        emb.filter(col("vec_id") % 25 === 0), "vec_id", "embedding",
+        col("vec_id") % 3 === 0, k = 5, nProbe = 2)
     }),
 
     // FAISS "refine" tail on s11: ADC ranks a 25-candidate shortlist,
@@ -6475,6 +6630,26 @@ object SparkEntry {
          |  ${cnt("p9pack")}, $packFp""".stripMargin
     },
 
+    // the three-tier refresh census: counts + survivor fingerprints
+    // hash-check the whole admission decision against the state
+    "p10_corpus_refresh" -> {
+      def fp(rel: String) =
+        s"CAST((SELECT coalesce(sum(${duckU32("doc_id::VARCHAR", 29)}), " +
+          s"0) FROM $rel) AS BIGINT)"
+      def cnt(rel: String) =
+        s"CAST((SELECT count(*) FROM $rel) AS BIGINT)"
+      s"""WITH $duckCorpusRefreshCtes
+         |SELECT CAST(1 AS BIGINT) AS stage, 'gate' AS stage_name,
+         |  ${cnt("p10b0")} AS docs_in,
+         |  ${cnt("p10b1")} AS docs_out,
+         |  ${fp("p10b1")} AS kept_fp
+         |UNION ALL SELECT CAST(2 AS BIGINT), 'exact_vs_state',
+         |  ${cnt("p10b1")}, ${cnt("p10b2")}, ${fp("p10b2")}
+         |UNION ALL SELECT CAST(3 AS BIGINT), 'neardup_vs_state',
+         |  ${cnt("p10b2")}, ${cnt("p10b3")}, ${fp("p10b3")}"""
+        .stripMargin
+    },
+
     // the final post-EM unigram model verbatim — proves TRAINING
     // (seed counts, Viterbi piece counts, prune set, quantized probs)
     "t31_unigram_train" ->
@@ -7050,6 +7225,13 @@ object SparkEntry {
 
     "s22_ivf_balanced" ->
       duckBalancedIvf(nc = 8, iters = 2, nProbe = 2, k = 5),
+
+    // the s5 chain with the neighbor-eligibility predicate applied to
+    // the assigned relation — pre-filtering, the plan the entry runs
+    "s23_ivf_filtered" ->
+      duckKmeansIvf(nc = 8, iters = 2, nProbe = 2, k = 5,
+        neighborWhere = " AND vec_id % 3 = 0",
+        queryWhere = " AND vec_id % 25 = 0"),
 
     "s8_semantic_dedup" ->
       duckSemanticDedup(nc = 8, iters = 2, tau = 0.35),

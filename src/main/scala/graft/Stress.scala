@@ -505,6 +505,21 @@ object Stress {
         s"read=${r.getLong(1)}")
       n
     }
+    // the five-tier corpus build end to end: gates are map stages,
+    // exact dedup a fingerprint groupBy, near-dup the banded simhash +
+    // component closure (the copy cliques make it the dominant tier),
+    // decontamination a broadcast probe, packing a prefix sum — the
+    // census receipt shows where the corpus thins at every scale
+    t("p9_corpus_build") {
+      val merges = Bpe.train(Bpe.vocab(docs, col("text"), 4096), 16)
+      val census = Curation.corpusBuildCensus(docs, col("doc_id"),
+        col("text"), col("source"), merges)
+      val rows = census.collect().sortBy(_.getLong(0))
+      println("    p9 receipt: " + rows.map(r =>
+        s"${r.getString(1)} ${r.getLong(2)}->${r.getLong(3)}")
+        .mkString(", "))
+      rows.length.toLong
+    }
     // shuffle-free map stage: must be exactly linear in corpus bytes
     t("t29_char_entropy") {
       TextAnalysis.charEntropy(docs, col("doc_id"), col("text")).count()

@@ -511,15 +511,9 @@ object Curation {
       .na.fill(0L, Seq("bpe_toks"))
     val packed = packSequences(packIn, col("doc_id"), col("grp"),
       col("bpe_toks"), ctxLen, packSeed, packBuckets)
-    val fpCol =
-      coalesce(sum(Tables.hashU32(col("doc_id"), fpSeed)), lit(0L))
     def row(stage: Long, name: String, din: DataFrame,
         dout: DataFrame): DataFrame =
-      din.agg(count(lit(1)).as("docs_in")).crossJoin(
-          dout.agg(count(lit(1)).as("docs_out"),
-            fpCol.as("kept_fp")))
-        .select(lit(stage).as("stage"), lit(name).as("stage_name"),
-          col("docs_in"), col("docs_out"), col("kept_fp"))
+      censusRow(stage, name, din, dout, fpSeed)
     val packRow = s4.agg(count(lit(1)).as("docs_in")).crossJoin(
         packed.agg(count(lit(1)).as("docs_out"),
           coalesce(sum(Tables.hashU32(concat_ws("|", col("doc_id"),
@@ -532,5 +526,74 @@ object Curation {
       .unionByName(row(3L, "neardup", s2, s3))
       .unionByName(row(4L, "decontam", s3, s4))
       .unionByName(packRow)
+  }
+
+  /** One census row: (stage, stage_name, docs_in, docs_out, kept_fp)
+    * with kept_fp the md5-u32 sum of surviving doc_ids — shared by
+    * the corpus-build (p9) and corpus-refresh (p10) capstones. */
+  private def censusRow(stage: Long, name: String, din: DataFrame,
+      dout: DataFrame, fpSeed: Int): DataFrame =
+    din.agg(count(lit(1)).as("docs_in")).crossJoin(
+        dout.agg(count(lit(1)).as("docs_out"),
+          coalesce(sum(Tables.hashU32(col("doc_id"), fpSeed)), lit(0L))
+            .as("kept_fp")))
+      .select(lit(stage).as("stage"), lit(name).as("stage_name"),
+        col("docs_in"), col("docs_out"), col("kept_fp"))
+
+  /** CORPUS REFRESH (p10) — the INCREMENTAL counterpart of the p9
+    * build: a new batch arrives against an already-curated corpus
+    * STATE, and admission runs against the state, not just within the
+    * batch — the shape every recurring crawl/refresh pipeline has:
+    *
+    *   1. GATE           — the per-row quality gates (t19+t29) on the
+    *                       batch alone.
+    *   2. EXACT-vs-STATE — batch docs whose content fingerprint
+    *                       already exists in the state drop (a
+    *                       re-submission); within-batch exact dups
+    *                       collapse to the lowest doc_id.
+    *   3. NEARDUP-vs-STATE — the d11 incremental tier: batch minhash
+    *                       bands probe the stored band index (state ∪
+    *                       earlier batch docs), candidates verify by
+    *                       signature agreement, flagged docs drop.
+    *
+    * Returns the same census shape as [[corpusBuildCensus]] — one row
+    * per stage, survivor fingerprints hash-checking the whole
+    * admission decision. Scale shape: the state is the 100 TB side
+    * and is never shuffled corpus-wide (the batch-bounded candidate
+    * set broadcasts AGAINST it — [[Dedup.incrementalNearDup]]'s
+    * contract); everything else is batch-sized. */
+  def corpusRefreshCensus(existing: DataFrame, incoming: DataFrame,
+      idCol: Column, textCol: Column, minWords: Int = 20,
+      stops: Seq[String] = Seq("the", "a", "data", "table", "value",
+        "query"),
+      numHashes: Int = 8, rowsPerBand: Int = 2,
+      minJaccard: Double = 0.5, fpSeed: Int = 29): DataFrame = {
+    val state = existing.select(idCol.as("doc_id"), textCol.as("text"))
+      .persistTracked()
+    val b0 = incoming.select(idCol.as("doc_id"), textCol.as("text"))
+      .persistTracked()
+    val gq = TextAnalysis.gopherQuality(b0, col("doc_id"), col("text"),
+        minWords = minWords, stops = stops)
+      .filter(col("keep") === 1L).select(col("doc_id"))
+    val ce = TextAnalysis.charEntropy(b0, col("doc_id"), col("text"))
+      .filter(col("pass_gate")).select(col("doc_id"))
+    val b1 = b0.join(gq, Seq("doc_id")).join(ce, Seq("doc_id"))
+      .persistTracked()
+    val stateFps = state
+      .select(TextAnalysis.contentFingerprint(col("text")).as("fp"))
+      .distinct()
+    val keep2 = b1
+      .withColumn("fp", TextAnalysis.contentFingerprint(col("text")))
+      .join(stateFps, Seq("fp"), "left_anti")
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val b2 = b1.join(keep2, Seq("doc_id")).persistTracked()
+    val nd = Dedup.incrementalNearDup(state, b2, col("doc_id"),
+      col("text"), numHashes, rowsPerBand, minJaccard)
+    val b3 = b2.join(nd.filter(col("is_dup") === 0)
+      .select(col("doc_id")), Seq("doc_id")).persistTracked()
+    censusRow(1L, "gate", b0, b1, fpSeed)
+      .unionByName(censusRow(2L, "exact_vs_state", b1, b2, fpSeed))
+      .unionByName(censusRow(3L, "neardup_vs_state", b2, b3, fpSeed))
   }
 }

@@ -186,9 +186,25 @@ object Similarity {
     ivfTopKCore(emb, centroids, Some(queries.select(col(idCol))),
       idCol, vecCol, k, nProbe)
 
+  /** FILTERED ANN search — the vector-DB "metadata predicate +
+    * top-k" query (every production store ships it: Qdrant/pgvector
+    * filtered search, FAISS IDSelector): only corpus vectors
+    * satisfying `pred` are eligible NEIGHBORS; queries probe as
+    * usual. The predicate lands on the assigned index relation
+    * BEFORE any pair scoring, so at scale the per-cell posting lists
+    * shrink by the filter's selectivity ahead of the distance math —
+    * post-filtering the top-k instead would return < k rows exactly
+    * when the filter is selective (the classic filtered-ANN bug). */
+  def ivfFilteredTopK(emb: DataFrame, centroids: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String, pred: Column,
+      k: Int, nProbe: Int = 2): DataFrame =
+    ivfTopKCore(emb, centroids, Some(queries.select(col(idCol))),
+      idCol, vecCol, k, nProbe, Some(pred))
+
   private def ivfTopKCore(emb: DataFrame, centroids: DataFrame,
       queries: Option[DataFrame], idCol: String,
-      vecCol: String, k: Int, nProbe: Int): DataFrame = {
+      vecCol: String, k: Int, nProbe: Int,
+      neighborFilter: Option[Column] = None): DataFrame = {
     // cell assignment: nearest centroid by cosine (norms precomputed)
     val withNorm = emb.select(col(idCol), col(vecCol))
       .withColumn("nrm", norm(col(vecCol)))
@@ -204,7 +220,9 @@ object Similarity {
       .filter(col("rk") <= math.max(nProbe, 1))
       .select(col(idCol), col(vecCol), col("nrm"), col("cell_id"), col("rk"))
       .persistTracked()
-    val assigned = ranked.filter(col("rk") === 1)
+    val eligible = neighborFilter
+      .foldLeft(ranked.filter(col("rk") === 1))(_ filter _)
+    val assigned = eligible
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
         col("nrm").as("c_nrm"), col("cell_id"))
     val probeSide = queries match {

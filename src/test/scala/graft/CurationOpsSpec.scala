@@ -471,4 +471,37 @@ class CurationOpsSpec extends SparkSpec {
     // packing assigns offsets, never drops documents
     assert(census(5L)._2 == census(5L)._1)
   }
+
+  test("p10 corpus refresh: resubmissions die at the exact tier") {
+    val docs = Tables.documents(spark, Sf0001)
+    val state = docs.filter(col("doc_id") % 10 =!= 7)
+    val resub = state.filter(col("doc_id") % 50 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000007L)
+    val batch = docs.filter(col("doc_id") % 10 === 7)
+      .unionByName(resub)
+    val census = Curation.corpusRefreshCensus(state, batch,
+        col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    (2L to 3L).foreach { s =>
+      assert(census(s)._1 == census(s - 1)._2, s"stage $s input")
+    }
+    // every tier drops at least one doc (gates, exact resubmissions,
+    // natural cross-set near-dups)
+    (1L to 3L).foreach { s =>
+      assert(census(s)._2 < census(s)._1, s"stage $s must drop docs")
+    }
+    // every injected resubmission that survived the gates is caught
+    // at the exact tier: run with NO resubmissions and compare —
+    // stage-2 drops shrink by exactly the surviving resub count
+    val noResub = Curation.corpusRefreshCensus(state,
+        docs.filter(col("doc_id") % 10 === 7), col("doc_id"),
+        col("text"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val resubSurvivingGates = census(1L)._2 - noResub(1L)._2
+    val dropsWith = census(2L)._1 - census(2L)._2
+    val dropsWithout = noResub(2L)._1 - noResub(2L)._2
+    assert(dropsWith - dropsWithout == resubSurvivingGates)
+  }
 }

@@ -102,4 +102,28 @@ class SimilarityBalanceSpec extends SparkSpec {
     assert(rBal >= rFlat,
       s"balanced recall $rBal must not regress vs flat $rFlat")
   }
+
+  test("s23 filtered ANN: pre-filter fills k where post-filter starves") {
+    val emb = Tables.embeddings(spark, Sf0001).persist()
+    val queries = emb.filter(col("vec_id") % 25 === 0)
+    val pred = col("vec_id") % 3 === 0
+    val flat = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+      NC, Iters)
+    val pre = Similarity.ivfFilteredTopK(emb, flat, queries,
+      "vec_id", "embedding", pred, K, NProbe).collect()
+    // every neighbor satisfies the predicate
+    assert(pre.forall(_.getLong(2) % 3 == 0))
+    // pre-filtering fills k for every query
+    val preCounts = pre.groupBy(_.getLong(0)).map(_._2.length)
+    assert(preCounts.forall(_ == K))
+    // the naive alternative — post-filtering an unfiltered top-k —
+    // starves: at 1/3 selectivity most queries keep < k of their 5
+    val post = Similarity.ivfTopKWithQueries(emb, flat, queries,
+        "vec_id", "embedding", K, NProbe)
+      .filter(col("neighbor_id") % 3 === 0)
+      .groupBy(col("query_id")).count()
+      .collect().map(_.getLong(1))
+    assert(post.exists(_ < K),
+      "post-filtering must starve at least one query at 1/3 selectivity")
+  }
 }

@@ -121,6 +121,42 @@ class UnigramSpec extends SparkSpec {
     assert(survivors.subsetOf(used))
   }
 
+  test("Viterbi is optimal against exhaustive enumeration (property)") {
+    // independent check: the engine's DP must achieve the max score
+    // over ALL segmentations, enumerated brute-force — seeded-random
+    // vocab and words so the check isn't shaped by the fixed corpus
+    val rng = new scala.util.Random(42)
+    val alphabet = "abcde"
+    val multis = Seq.fill(30)(2 + rng.nextInt(3))
+      .map(l => Seq.fill(l)(alphabet(rng.nextInt(5))).mkString)
+      .distinct
+    val lp: Map[String, Long] =
+      (alphabet.map(_.toString) ++ multis).distinct
+        .map(p => p -> -(1000000L + rng.nextInt(20000000))).toMap
+    def bruteMax(word: String): Long = {
+      if (word.isEmpty) 0L
+      else (1 to math.min(Unigram.MaxPieceLen, word.length)).flatMap {
+        l => lp.get(word.take(l)).map(_ + bruteMax(word.drop(l)))
+      }.max
+    }
+    val words = Seq.fill(40)(
+      Seq.fill(1 + rng.nextInt(10))(alphabet(rng.nextInt(5))).mkString)
+      .distinct
+    val model = lp.toSeq.map { case (p, v) => (p, 1L, v) }
+      .toDF("piece", "cnt", "lp6")
+    val got = Unigram.viterbiSegments(words.toDF("word"), model)
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), r.getLong(3))).toMap
+    assert(got.size == words.size)
+    words.foreach { w =>
+      val (seg, score6) = got(w)
+      assert(score6 == bruteMax(w), s"word=$w seg=$seg")
+      // the emitted segmentation realizes its reported score exactly
+      assert(seg.split("\\|").map(lp).sum == score6, s"word=$w")
+      assert(seg.replace("|", "") == w)
+    }
+  }
+
   test("byte fallback: uncovered codepoints expand to UTF-8 byte tokens") {
     val text = Seq((1L, "low rates 中 lowñer")).toDF("doc_id", "text")
     val wf = Unigram.wordFreq(docs, col("text")).persist()
