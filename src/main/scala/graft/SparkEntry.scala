@@ -2012,6 +2012,50 @@ object SparkEntry {
           expr("replace(replace(text, 'q', '中'), 'v', 'ñ')")),
         col("doc_id"), col("text"), UnigramTopV)),
 
+    // TOKENIZER BAKE-OFF — the evaluation every tokenizer choice
+    // rests on: all three trained families (BPE t16, WordPiece t22,
+    // unigram-LM t31) applied to the same corpus, reporting each
+    // family's word count, piece count, and FERTILITY (pieces per
+    // word, in exact integer micro-units: pieces·1e6 div words — no
+    // float parity risk). BPE counts over its own [a-z]+
+    // pre-tokenization; WordPiece/unigram over whitespace words —
+    // each family measured under its own contract
+    "t34_tokenizer_bakeoff" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = Bpe.train(
+        Bpe.vocab(docs, col("text"), BpeTopV), BpeMerges)
+      val bpe = docs
+        .select(explode(split(lower(col("text")), "[^a-z]+")).as("word"))
+        .filter(col("word") =!= "")
+        .withColumn("w2", Bpe.applyMerges(col("word"), merges))
+        .select(Bpe.tokenCount(col("w2")).cast("long").as("np"),
+          Tables.hashU32(col("w2"), 11).as("h"))
+        .agg(count(lit(1)).as("n_words"), sum(col("np")).as("n_pieces"),
+          sum(col("h")).as("seg_fp"))
+      val occ = docs
+        .select(explode(TextAnalysis.tokens(col("text"))).as("word"))
+      val wp = occ
+        .join(TextAnalysis.wordSegments(docs, col("text"), topV = 200),
+          Seq("word"))
+        .agg(count(lit(1)).as("n_words"), sum(col("np")).as("n_pieces"),
+          sum(Tables.hashU32(col("seg"), 11)).as("seg_fp"))
+      val wf = Unigram.wordFreq(docs, col("text")).persistTracked()
+      val uni = occ
+        .join(Unigram.viterbiSegments(wf.select(col("word")),
+          Unigram.trainFromWords(wf, UnigramTopV)), Seq("word"))
+        .agg(count(lit(1)).as("n_words"), sum(col("np")).as("n_pieces"),
+          sum(Tables.hashU32(col("seg"), 11)).as("seg_fp"))
+      def tag(df: DataFrame, name: String) =
+        df.select(lit(name).as("family"),
+          col("n_words").cast("long").as("n_words"),
+          col("n_pieces").cast("long").as("n_pieces"),
+          expr("n_pieces * 1000000L div n_words").as("fert6"),
+          col("seg_fp").cast("long").as("seg_fp"))
+      tag(bpe, "bpe")
+        .unionByName(tag(wp, "wordpiece"))
+        .unionByName(tag(uni, "unigram"))
+    }),
+
     // CCNet perplexity terciles: per-lang head/middle/tail triage by
     // the t13 bigram LM score — rank from a lang-partitioned window
     // (keyed shuffle-sort), bucket = (3·(rk−1)) div n, pure integer
@@ -6665,6 +6709,99 @@ object SparkEntry {
          |  CAST(sum(${duckU32("s.seg", 11)}) AS BIGINT) AS seg_fp
          |FROM uocc o JOIN useg2 s USING (word)
          |GROUP BY 1""".stripMargin,
+
+    // all three trained tokenizer chains in one WITH: the BPE merges
+    // (shared b1..bN CTEs) re-applied, the t22 greedy walk
+    // (z-prefixed), and the unigram EM+DP (u-prefixed); fertility in
+    // exact integer micro-units so the bake-off rows hash-match
+    "t34_tokenizer_bakeoff" -> {
+      val mergesUnion = (1 to BpeMerges)
+        .map(r => s"SELECT $r AS merge_rank, a, b FROM b$r")
+        .mkString(" UNION ALL ")
+      s"""WITH RECURSIVE ${duckBpeCtes(BpeMerges, BpeTopV)},
+         |${duckUnigramCtes()},
+         |zmg AS MATERIALIZED (
+         |  SELECT merge_rank, chr(1) || a || chr(2) || chr(1) || b ||
+         |    chr(2) || chr(3) || chr(1) || a || b || chr(2) AS m
+         |  FROM ($mergesUnion)),
+         |zml AS MATERIALIZED (
+         |  SELECT list(m ORDER BY merge_rank) AS ms FROM zmg),
+         |zdw AS (
+         |  SELECT word FROM (
+         |    SELECT unnest(string_split_regex(lower(text),
+         |      '[^a-z]+')) AS word
+         |    FROM documents)
+         |  WHERE word <> ''),
+         |zap AS (
+         |  SELECT list_reduce(list_prepend(
+         |      list_aggregate(list_transform(str_split(word, ''),
+         |        c -> chr(1) || c || chr(2)), 'string_agg', ''),
+         |      (SELECT ms FROM zml)),
+         |    (acc, m) -> replace(acc, split_part(m, chr(3), 1),
+         |      split_part(m, chr(3), 2))) AS w2
+         |  FROM zdw),
+         |zbpe AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_words,
+         |   CAST(sum(length(w2) - length(replace(w2, chr(1), '')))
+         |     AS BIGINT) AS n_pieces,
+         |   CAST(sum((('0x' || substr(md5(w2 || '#11'), 1, 8))::BIGINT))
+         |     AS BIGINT) AS seg_fp
+         |  FROM zap),
+         |zt AS (SELECT doc_id, $DuckToks AS toks FROM documents),
+         |zocc AS (SELECT doc_id, unnest(toks) AS word FROM zt),
+         |zsub AS (
+         |  SELECT piece, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |    SELECT substr(word, p + 1, l) AS piece
+         |    FROM zocc,
+         |      unnest(range(len(word))) AS u1(p),
+         |      unnest([2, 3, 4]) AS u2(l)
+         |    WHERE p + l <= len(word))
+         |  GROUP BY 1 ORDER BY cnt DESC, piece LIMIT 200),
+         |zvoc AS (
+         |  SELECT piece FROM zsub
+         |  UNION ALL
+         |  SELECT DISTINCT substr(word, p + 1, 1) AS piece
+         |  FROM zocc, unnest(range(len(word))) AS u(p)),
+         |zw AS (SELECT DISTINCT word FROM zocc),
+         |zwp AS (SELECT word, p AS pos
+         |  FROM zw, unnest(range(len(word))) AS u(p)),
+         |zm AS (
+         |  SELECT word, pos, v.piece FROM zwp JOIN zvoc v
+         |    ON substr(zwp.word, zwp.pos + 1, len(v.piece)) = v.piece),
+         |zbest AS (
+         |  SELECT word, pos, arg_max(piece, len(piece)) AS piece
+         |  FROM zm GROUP BY 1, 2),
+         |zwalk AS (
+         |  SELECT word, len(word) AS wlen, 0 AS pos,
+         |   CAST(0 AS BIGINT) AS np, '' AS seg
+         |  FROM zw
+         |  UNION ALL
+         |  SELECT wk.word, wk.wlen, wk.pos + len(b.piece), wk.np + 1,
+         |   CASE WHEN wk.seg = '' THEN b.piece
+         |     ELSE wk.seg || '|' || b.piece END
+         |  FROM zwalk wk JOIN zbest b
+         |    ON b.word = wk.word AND b.pos = wk.pos
+         |  WHERE wk.pos < wk.wlen),
+         |zseg AS (SELECT word, np, seg FROM zwalk WHERE pos = wlen),
+         |zwpc AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_words,
+         |   CAST(sum(s.np) AS BIGINT) AS n_pieces,
+         |   CAST(sum((('0x' || substr(md5(s.seg || '#11'), 1, 8))
+         |     ::BIGINT)) AS BIGINT) AS seg_fp
+         |  FROM zocc o JOIN zseg s USING (word)),
+         |zuni AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_words,
+         |   CAST(sum(s.np) AS BIGINT) AS n_pieces,
+         |   CAST(sum((('0x' || substr(md5(s.seg || '#11'), 1, 8))
+         |     ::BIGINT)) AS BIGINT) AS seg_fp
+         |  FROM uocc o JOIN useg2 s USING (word))
+         |SELECT 'bpe' AS family, n_words, n_pieces,
+         |  n_pieces * 1000000 // n_words AS fert6, seg_fp FROM zbpe
+         |UNION ALL SELECT 'wordpiece', n_words, n_pieces,
+         |  n_pieces * 1000000 // n_words, seg_fp FROM zwpc
+         |UNION ALL SELECT 'unigram', n_words, n_pieces,
+         |  n_pieces * 1000000 // n_words, seg_fp FROM zuni""".stripMargin
+    },
 
     // the byte-fallback census: same chain over the codepoint-seeded
     // corpus, the apply DP carrying the gated vocab + byte candidate
