@@ -287,6 +287,150 @@ object SparkEntry {
     sb.toString
   }
 
+  /** Shared BPE-APPLY CTE fragment: the merge list (reading the
+    * shared b1..bN training CTEs of [[duckBpeCtes]]) plus the
+    * boundary-safe fold applying it to `src`'s words. Emits
+    * `${p}mg`/`${p}ml`/`${p}dw`/`${p}ap` (with column w2); `carry`
+    * names a column carried through (e.g. doc_id), empty for none.
+    * ONE definition serving t17, p4, p9 and t34 — the apply fold can
+    * never drift between its consumers. */
+  private def duckBpeApplyCtes(p: String, n: Int, src: String,
+      carry: String): String = {
+    val union = (1 to n)
+      .map(r => s"SELECT $r AS merge_rank, a, b FROM b$r")
+      .mkString(" UNION ALL ")
+    val cs = if (carry.isEmpty) "" else s"$carry, "
+    s"""${p}mg AS MATERIALIZED (
+       |  SELECT merge_rank, chr(1) || a || chr(2) || chr(1) || b ||
+       |    chr(2) || chr(3) || chr(1) || a || b || chr(2) AS m
+       |  FROM ($union)),
+       |${p}ml AS MATERIALIZED (
+       |  SELECT list(m ORDER BY merge_rank) AS ms FROM ${p}mg),
+       |${p}dw AS (
+       |  SELECT ${cs}word FROM (
+       |    SELECT ${cs}unnest(string_split_regex(lower(text),
+       |      '[^a-z]+')) AS word FROM $src)
+       |  WHERE word <> ''),
+       |${p}ap AS (
+       |  SELECT ${cs}list_reduce(
+       |      list_prepend(
+       |        list_aggregate(list_transform(str_split(word, ''),
+       |          c -> chr(1) || c || chr(2)), 'string_agg', ''),
+       |        (SELECT ms FROM ${p}ml)),
+       |      (acc, m) -> replace(acc, split_part(m, chr(3), 1),
+       |        split_part(m, chr(3), 2))) AS w2
+       |  FROM ${p}dw)""".stripMargin
+  }
+
+  /** Shared WordPiece-chain CTE fragment (the t22 greedy segmenter):
+    * tokens → occurrences → top-V substring vocab + coverage singles
+    * → longest-match map → recursive walk carrying (np, seg). Emits
+    * `${p}t`/`${p}occ`/`${p}subs`/`${p}voc`/`${p}w`/`${p}wp`/`${p}m`/
+    * `${p}best`/`${p}walk`/`${p}seg`. ONE definition serving the t22
+    * oracle and the t34 bake-off. */
+  private def duckWordPieceCtes(p: String, topV: Int): String =
+    s"""${p}t AS (
+       |  SELECT doc_id, $DuckToks AS toks FROM documents),
+       |${p}occ AS (SELECT doc_id, unnest(toks) AS word FROM ${p}t),
+       |${p}subs AS (
+       |  SELECT piece, CAST(count(*) AS BIGINT) AS cnt FROM (
+       |    SELECT substr(word, p + 1, l) AS piece
+       |    FROM ${p}occ,
+       |      unnest(range(len(word))) AS u1(p),
+       |      unnest([2, 3, 4]) AS u2(l)
+       |    WHERE p + l <= len(word))
+       |  GROUP BY 1 ORDER BY cnt DESC, piece LIMIT $topV),
+       |${p}voc AS (
+       |  SELECT piece FROM ${p}subs
+       |  UNION ALL
+       |  SELECT DISTINCT substr(word, p + 1, 1) AS piece
+       |  FROM ${p}occ, unnest(range(len(word))) AS u(p)),
+       |${p}w AS (SELECT DISTINCT word FROM ${p}occ),
+       |${p}wp AS (
+       |  SELECT word, p AS pos
+       |  FROM ${p}w, unnest(range(len(word))) AS u(p)),
+       |${p}m AS (
+       |  SELECT word, pos, v.piece FROM ${p}wp JOIN ${p}voc v
+       |    ON substr(${p}wp.word, ${p}wp.pos + 1, len(v.piece))
+       |      = v.piece),
+       |${p}best AS (
+       |  SELECT word, pos, arg_max(piece, len(piece)) AS piece
+       |  FROM ${p}m GROUP BY 1, 2),
+       |${p}walk AS (
+       |  SELECT word, len(word) AS wlen, 0 AS pos,
+       |   CAST(0 AS BIGINT) AS np, '' AS seg
+       |  FROM ${p}w
+       |  UNION ALL
+       |  SELECT wk.word, wk.wlen, wk.pos + len(b.piece), wk.np + 1,
+       |   CASE WHEN wk.seg = '' THEN b.piece
+       |     ELSE wk.seg || chr(124) || b.piece END
+       |  FROM ${p}walk wk JOIN ${p}best b
+       |    ON b.word = wk.word AND b.pos = wk.pos
+       |  WHERE wk.pos < wk.wlen),
+       |${p}seg AS (SELECT word, np, seg FROM ${p}walk
+       |  WHERE pos = wlen)""".stripMargin
+
+  /** Shared quality-gate CTE fragment — the t19 Gopher rules AND the
+    * t29 entropy band over `src` (doc_id, text): emits the gopher
+    * keepers `${p}gk` and entropy keepers `${p}ek` (plus their
+    * intermediates). ONE definition serving the p9 and p10 oracles so
+    * the gate thresholds cannot drift between them. */
+  private def duckGateCtes(p: String, src: String): String =
+    s"""${p}gb AS (
+       |  SELECT doc_id, lower(text) AS txt, $DuckToks AS w,
+       |    string_split(lower(text), chr(10)) AS lines
+       |  FROM $src),
+       |${p}gm AS (
+       |  SELECT doc_id,
+       |   CAST(len(w) AS BIGINT) AS nw,
+       |   CAST(coalesce(list_sum(list_transform(w,
+       |     t -> length(t))), 0) AS BIGINT) AS chars,
+       |   CAST(len(lines) AS BIGINT) AS nlines,
+       |   CAST(len(list_filter(lines,
+       |     l -> regexp_matches(ltrim(l), '^[-*•]'))) AS BIGINT)
+       |     AS nbullet,
+       |   CAST(len(list_filter(lines,
+       |     l -> regexp_matches(rtrim(l), '\\.\\.\\.$$'))) AS BIGINT)
+       |     AS nell,
+       |   CAST(length(txt) - length(replace(txt, '#', ''))
+       |     + (length(txt) - length(replace(txt, '...', ''))) // 3
+       |     AS BIGINT) AS nsym,
+       |   CAST(len(list_filter(w,
+       |     t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS nalpha,
+       |   CAST(len(list_intersect(list_distinct(list_transform(w,
+       |     t -> regexp_replace(t, '^[^a-z]+|[^a-z]+$$', '', 'g'))),
+       |     ['the','a','data','table','value','query']))
+       |     AS BIGINT) AS nstop
+       |  FROM ${p}gb),
+       |${p}gk AS (
+       |  SELECT doc_id FROM ${p}gm
+       |  WHERE NOT (nw < 20 OR nw > 100000)
+       |    AND (3 * nw <= chars AND chars <= 10 * nw)
+       |    AND 10 * nsym <= nw
+       |    AND 10 * nbullet <= 9 * nlines
+       |    AND 10 * nell <= 3 * nlines
+       |    AND 5 * nalpha >= 4 * nw
+       |    AND nstop >= 2),
+       |${p}ec AS (
+       |  SELECT doc_id,
+       |   list_filter(string_split(text, ''), x -> len(x) > 0) AS cs
+       |  FROM $src),
+       |${p}ea AS (
+       |  SELECT doc_id, cs, list_sort(list_distinct(cs)) AS al,
+       |   CAST(len(cs) AS DOUBLE) AS n
+       |  FROM ${p}ec),
+       |${p}ek AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id,
+       |     list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |       list_transform(al, ch ->
+       |         (CAST(len(list_filter(cs, x -> x = ch)) AS DOUBLE) / n)
+       |         * log2(CAST(len(list_filter(cs, x -> x = ch))
+       |             AS DOUBLE) / n))),
+       |       (acc, t) -> acc - t) AS ent
+       |    FROM ${p}ea)
+       |  WHERE ent >= 3.0 AND ent <= 5.5)""".stripMargin
+
   /** The funnel census (q99 batch AND q100 streaming — one oracle
     * text, two execution paths): stepwise min-filter CTEs, exact
     * BIGINT counts and µs wait sums. */
@@ -484,60 +628,7 @@ object SparkEntry {
        |p9c0 AS MATERIALIZED (
        |  SELECT * FROM p9a WHERE doc_id % 97 <> 0),
        |p9bench AS (SELECT * FROM p9a WHERE doc_id % 97 = 0),
-       |p9gb AS (
-       |  SELECT doc_id, lower(text) AS txt, $DuckToks AS w,
-       |    string_split(lower(text), chr(10)) AS lines
-       |  FROM p9c0),
-       |p9gm AS (
-       |  SELECT doc_id,
-       |   CAST(len(w) AS BIGINT) AS nw,
-       |   CAST(coalesce(list_sum(list_transform(w,
-       |     t -> length(t))), 0) AS BIGINT) AS chars,
-       |   CAST(len(lines) AS BIGINT) AS nlines,
-       |   CAST(len(list_filter(lines,
-       |     l -> regexp_matches(ltrim(l), '^[-*•]'))) AS BIGINT)
-       |     AS nbullet,
-       |   CAST(len(list_filter(lines,
-       |     l -> regexp_matches(rtrim(l), '\\.\\.\\.$$'))) AS BIGINT)
-       |     AS nell,
-       |   CAST(length(txt) - length(replace(txt, '#', ''))
-       |     + (length(txt) - length(replace(txt, '...', ''))) // 3
-       |     AS BIGINT) AS nsym,
-       |   CAST(len(list_filter(w,
-       |     t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS nalpha,
-       |   CAST(len(list_intersect(list_distinct(list_transform(w,
-       |     t -> regexp_replace(t, '^[^a-z]+|[^a-z]+$$', '', 'g'))),
-       |     ['the','a','data','table','value','query']))
-       |     AS BIGINT) AS nstop
-       |  FROM p9gb),
-       |p9gk AS (
-       |  SELECT doc_id FROM p9gm
-       |  WHERE NOT (nw < 20 OR nw > 100000)
-       |    AND (3 * nw <= chars AND chars <= 10 * nw)
-       |    AND 10 * nsym <= nw
-       |    AND 10 * nbullet <= 9 * nlines
-       |    AND 10 * nell <= 3 * nlines
-       |    AND 5 * nalpha >= 4 * nw
-       |    AND nstop >= 2),
-       |p9ec AS (
-       |  SELECT doc_id,
-       |   list_filter(string_split(text, ''), x -> len(x) > 0) AS cs
-       |  FROM p9c0),
-       |p9ea AS (
-       |  SELECT doc_id, cs, list_sort(list_distinct(cs)) AS al,
-       |   CAST(len(cs) AS DOUBLE) AS n
-       |  FROM p9ec),
-       |p9ek AS (
-       |  SELECT doc_id FROM (
-       |    SELECT doc_id,
-       |     list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-       |       list_transform(al, ch ->
-       |         (CAST(len(list_filter(cs, x -> x = ch)) AS DOUBLE) / n)
-       |         * log2(CAST(len(list_filter(cs, x -> x = ch))
-       |             AS DOUBLE) / n))),
-       |       (acc, t) -> acc - t) AS ent
-       |    FROM p9ea)
-       |  WHERE ent >= 3.0 AND ent <= 5.5),
+       |${duckGateCtes("p9", "p9c0")},
        |p9s1 AS MATERIALIZED (
        |  SELECT c.* FROM p9c0 c
        |  JOIN p9gk USING (doc_id) JOIN p9ek USING (doc_id)),
@@ -638,34 +729,12 @@ object SparkEntry {
        |  SELECT s.* FROM p9s3 s
        |  LEFT JOIN p9dirty d USING (doc_id)
        |  WHERE d.doc_id IS NULL),
-       |p9merges AS MATERIALIZED (
-       |  SELECT merge_rank, chr(1) || a || chr(2) || chr(1) || b ||
-       |    chr(2) || chr(3) || chr(1) || a || b || chr(2) AS m
-       |  FROM (${(1 to BpeMerges).map(r =>
-            s"SELECT $r AS merge_rank, a, b FROM b$r")
-            .mkString(" UNION ALL ")})),
-       |p9ml AS MATERIALIZED (
-       |  SELECT list(m ORDER BY merge_rank) AS ms FROM p9merges),
-       |p9dw AS (
-       |  SELECT doc_id, word FROM (
-       |    SELECT doc_id, unnest(string_split_regex(lower(text),
-       |      '[^a-z]+')) AS word FROM p9s4)
-       |  WHERE word <> ''),
-       |p9app AS (
-       |  SELECT doc_id,
-       |    list_reduce(
-       |      list_prepend(
-       |        list_aggregate(list_transform(str_split(word, ''),
-       |          c -> chr(1) || c || chr(2)), 'string_agg', ''),
-       |        (SELECT ms FROM p9ml)),
-       |      (acc, m) -> replace(acc, split_part(m, chr(3), 1),
-       |        split_part(m, chr(3), 2))) AS w2
-       |  FROM p9dw),
+       |${duckBpeApplyCtes("p9", BpeMerges, "p9s4", "doc_id")},
        |p9cnt AS (
        |  SELECT doc_id,
        |    CAST(sum(length(w2) - length(replace(w2, chr(1), '')))
        |      AS BIGINT) AS n_toks
-       |  FROM p9app GROUP BY doc_id),
+       |  FROM p9ap GROUP BY doc_id),
        |p9pin AS (
        |  SELECT s.doc_id, s.grp, coalesce(c.n_toks, 0) AS n_toks
        |  FROM p9s4 s LEFT JOIN p9cnt c USING (doc_id)),
@@ -695,57 +764,7 @@ object SparkEntry {
        |  UNION ALL
        |  SELECT doc_id + 1000007, text FROM documents
        |  WHERE doc_id % 10 <> 7 AND doc_id % 50 = 0),
-       |p10gb AS (
-       |  SELECT doc_id, lower(text) AS txt, $DuckToks AS w,
-       |    string_split(lower(text), chr(10)) AS lines
-       |  FROM p10b0),
-       |p10gm AS (
-       |  SELECT doc_id,
-       |   CAST(len(w) AS BIGINT) AS nw,
-       |   CAST(coalesce(list_sum(list_transform(w,
-       |     t -> length(t))), 0) AS BIGINT) AS chars,
-       |   CAST(len(lines) AS BIGINT) AS nlines,
-       |   CAST(len(list_filter(lines,
-       |     l -> regexp_matches(ltrim(l), '^[-*•]'))) AS BIGINT)
-       |     AS nbullet,
-       |   CAST(len(list_filter(lines,
-       |     l -> regexp_matches(rtrim(l), '\\.\\.\\.$$'))) AS BIGINT)
-       |     AS nell,
-       |   CAST(length(txt) - length(replace(txt, '#', ''))
-       |     + (length(txt) - length(replace(txt, '...', ''))) // 3
-       |     AS BIGINT) AS nsym,
-       |   CAST(len(list_filter(w,
-       |     t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS nalpha,
-       |   CAST(len(list_intersect(list_distinct(list_transform(w,
-       |     t -> regexp_replace(t, '^[^a-z]+|[^a-z]+$$', '', 'g'))),
-       |     ['the','a','data','table','value','query']))
-       |     AS BIGINT) AS nstop
-       |  FROM p10gb),
-       |p10gk AS (
-       |  SELECT doc_id FROM p10gm
-       |  WHERE NOT (nw < 20 OR nw > 100000)
-       |    AND (3 * nw <= chars AND chars <= 10 * nw)
-       |    AND 10 * nsym <= nw
-       |    AND 10 * nbullet <= 9 * nlines
-       |    AND 10 * nell <= 3 * nlines
-       |    AND 5 * nalpha >= 4 * nw
-       |    AND nstop >= 2),
-       |p10ec AS (
-       |  SELECT doc_id,
-       |   list_filter(string_split(text, ''), x -> len(x) > 0) AS cs
-       |  FROM p10b0),
-       |p10ek AS (
-       |  SELECT doc_id FROM (
-       |    SELECT doc_id,
-       |     list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-       |       list_transform(list_sort(list_distinct(cs)), ch ->
-       |         (CAST(len(list_filter(cs, x -> x = ch)) AS DOUBLE)
-       |            / len(cs))
-       |         * log2(CAST(len(list_filter(cs, x -> x = ch))
-       |             AS DOUBLE) / len(cs)))),
-       |       (acc, t) -> acc - t) AS ent
-       |    FROM p10ec)
-       |  WHERE ent >= 3.0 AND ent <= 5.5),
+       |${duckGateCtes("p10", "p10b0")},
        |p10b1 AS MATERIALIZED (
        |  SELECT b.* FROM p10b0 b
        |  JOIN p10gk USING (doc_id) JOIN p10ek USING (doc_id)),
@@ -2024,9 +2043,7 @@ object SparkEntry {
       val docs = Tables.documents(s, d)
       val merges = Bpe.train(
         Bpe.vocab(docs, col("text"), BpeTopV), BpeMerges)
-      val bpe = docs
-        .select(explode(split(lower(col("text")), "[^a-z]+")).as("word"))
-        .filter(col("word") =!= "")
+      val bpe = Bpe.words(docs, col("text"))
         .withColumn("w2", Bpe.applyMerges(col("word"), merges))
         .select(Bpe.tokenCount(col("w2")).cast("long").as("np"),
           Tables.hashU32(col("w2"), 11).as("h"))
@@ -6297,35 +6314,13 @@ object SparkEntry {
     // t17's BPE apply CTEs feeding p2's packing window — merges,
     // fold, per-doc counts, then the same (bk, h, doc_id) layout
     "p4_bpe_pack" -> {
-      val union = (1 to BpeMerges).map(r =>
-        s"SELECT $r AS merge_rank, a, b FROM b$r").mkString(" UNION ALL ")
       s"""WITH ${duckBpeCtes(BpeMerges, BpeTopV)},
-         |merges AS MATERIALIZED (
-         |  SELECT merge_rank, chr(1) || a || chr(2) || chr(1) || b ||
-         |    chr(2) || chr(3) || chr(1) || a || b || chr(2) AS m
-         |  FROM ($union)),
-         |mlist AS MATERIALIZED (
-         |  SELECT list(m ORDER BY merge_rank) AS ms FROM merges),
-         |dw AS (
-         |  SELECT doc_id, word FROM (
-         |    SELECT doc_id, unnest(string_split_regex(lower(text),
-         |      '[^a-z]+')) AS word FROM documents)
-         |  WHERE word <> ''),
-         |applied AS (
-         |  SELECT doc_id,
-         |    list_reduce(
-         |      list_prepend(
-         |        list_aggregate(list_transform(str_split(word, ''),
-         |          c -> chr(1) || c || chr(2)), 'string_agg', ''),
-         |        (SELECT ms FROM mlist)),
-         |      (acc, m) -> replace(acc, split_part(m, chr(3), 1),
-         |        split_part(m, chr(3), 2))) AS w2
-         |  FROM dw),
+         |${duckBpeApplyCtes("", BpeMerges, "documents", "doc_id")},
          |cnts AS (
          |  SELECT doc_id,
          |    CAST(sum(length(w2) - length(replace(w2, chr(1), '')))
          |      AS BIGINT) AS n_toks
-         |  FROM applied GROUP BY doc_id),
+         |  FROM ap GROUP BY doc_id),
          |t AS (
          |  SELECT d.doc_id, d.source AS grp,
          |   coalesce(c.n_toks, 0) AS n_toks
@@ -6496,38 +6491,15 @@ object SparkEntry {
     // 'pattern<chr3>replacement' strings so the accumulator (the
     // encoded word) and the list elements share one VARCHAR type —
     // the shape DuckDB's element-typed fold can express
-    "t17_bpe_apply" -> {
-      val union = (1 to BpeMerges).map(r =>
-        s"SELECT $r AS merge_rank, a, b FROM b$r").mkString(" UNION ALL ")
+    "t17_bpe_apply" ->
       s"""WITH ${duckBpeCtes(BpeMerges, BpeTopV)},
-         |merges AS MATERIALIZED (
-         |  SELECT merge_rank, chr(1) || a || chr(2) || chr(1) || b ||
-         |    chr(2) || chr(3) || chr(1) || a || b || chr(2) AS m
-         |  FROM ($union)),
-         |mlist AS MATERIALIZED (
-         |  SELECT list(m ORDER BY merge_rank) AS ms FROM merges),
-         |dw AS (
-         |  SELECT doc_id, word FROM (
-         |    SELECT doc_id, unnest(string_split_regex(lower(text),
-         |      '[^a-z]+')) AS word FROM documents)
-         |  WHERE word <> ''),
-         |applied AS (
-         |  SELECT doc_id,
-         |    list_reduce(
-         |      list_prepend(
-         |        list_aggregate(list_transform(str_split(word, ''),
-         |          c -> chr(1) || c || chr(2)), 'string_agg', ''),
-         |        (SELECT ms FROM mlist)),
-         |      (acc, m) -> replace(acc, split_part(m, chr(3), 1),
-         |        split_part(m, chr(3), 2))) AS w2
-         |  FROM dw)
+         |${duckBpeApplyCtes("", BpeMerges, "documents", "doc_id")}
          |SELECT doc_id,
          |  CAST(count(*) AS BIGINT) AS n_words,
          |  CAST(sum(length(w2) - length(replace(w2, chr(1), '')))
          |    AS BIGINT) AS n_tokens,
          |  CAST(sum(${duckU32("w2", 11)}) AS BIGINT) AS tok_sum
-         |FROM applied GROUP BY doc_id""".stripMargin
-    },
+         |FROM ap GROUP BY doc_id""".stripMargin,
 
     // denominator = left fold over the class list sorted by class name
     // (same pinned order as the Spark side's array_sort + aggregate)
@@ -6601,44 +6573,7 @@ object SparkEntry {
         |FROM fin""".stripMargin,
 
     "t22_wordpiece" ->
-      s"""WITH RECURSIVE t AS (
-         |  SELECT doc_id, $DuckToks AS toks FROM documents),
-         |occ AS (SELECT doc_id, unnest(toks) AS word FROM t),
-         |subs AS (
-         |  SELECT piece, CAST(count(*) AS BIGINT) AS cnt FROM (
-         |    SELECT substr(word, p + 1, l) AS piece
-         |    FROM occ,
-         |      unnest(range(len(word))) AS u1(p),
-         |      unnest([2, 3, 4]) AS u2(l)
-         |    WHERE p + l <= len(word))
-         |  GROUP BY 1 ORDER BY cnt DESC, piece LIMIT 200),
-         |vocab AS (
-         |  SELECT piece FROM subs
-         |  UNION ALL
-         |  SELECT DISTINCT substr(word, p + 1, 1) AS piece
-         |  FROM occ, unnest(range(len(word))) AS u(p)),
-         |w AS (SELECT DISTINCT word FROM occ),
-         |wp AS (
-         |  SELECT word, p AS pos
-         |  FROM w, unnest(range(len(word))) AS u(p)),
-         |m AS (
-         |  SELECT word, pos, v.piece FROM wp JOIN vocab v
-         |    ON substr(wp.word, wp.pos + 1, len(v.piece)) = v.piece),
-         |best AS (
-         |  SELECT word, pos, arg_max(piece, len(piece)) AS piece
-         |  FROM m GROUP BY 1, 2),
-         |walk AS (
-         |  SELECT word, len(word) AS wlen, 0 AS pos,
-         |   CAST(0 AS BIGINT) AS np, '' AS seg
-         |  FROM w
-         |  UNION ALL
-         |  SELECT wk.word, wk.wlen, wk.pos + len(b.piece), wk.np + 1,
-         |   CASE WHEN wk.seg = '' THEN b.piece
-         |     ELSE wk.seg || '|' || b.piece END
-         |  FROM walk wk JOIN best b
-         |    ON b.word = wk.word AND b.pos = wk.pos
-         |  WHERE wk.pos < wk.wlen),
-         |seg AS (SELECT word, np, seg FROM walk WHERE pos = wlen)
+      s"""WITH RECURSIVE ${duckWordPieceCtes("", topV = 200)}
          |SELECT o.doc_id, CAST(count(*) AS BIGINT) AS n_words,
          |  CAST(sum(s.np) AS BIGINT) AS n_pieces,
          |  CAST(sum(${duckU32("s.seg", 11)}) AS BIGINT) AS seg_fp
@@ -6715,85 +6650,25 @@ object SparkEntry {
     // (z-prefixed), and the unigram EM+DP (u-prefixed); fertility in
     // exact integer micro-units so the bake-off rows hash-match
     "t34_tokenizer_bakeoff" -> {
-      val mergesUnion = (1 to BpeMerges)
-        .map(r => s"SELECT $r AS merge_rank, a, b FROM b$r")
-        .mkString(" UNION ALL ")
       s"""WITH RECURSIVE ${duckBpeCtes(BpeMerges, BpeTopV)},
          |${duckUnigramCtes()},
-         |zmg AS MATERIALIZED (
-         |  SELECT merge_rank, chr(1) || a || chr(2) || chr(1) || b ||
-         |    chr(2) || chr(3) || chr(1) || a || b || chr(2) AS m
-         |  FROM ($mergesUnion)),
-         |zml AS MATERIALIZED (
-         |  SELECT list(m ORDER BY merge_rank) AS ms FROM zmg),
-         |zdw AS (
-         |  SELECT word FROM (
-         |    SELECT unnest(string_split_regex(lower(text),
-         |      '[^a-z]+')) AS word
-         |    FROM documents)
-         |  WHERE word <> ''),
-         |zap AS (
-         |  SELECT list_reduce(list_prepend(
-         |      list_aggregate(list_transform(str_split(word, ''),
-         |        c -> chr(1) || c || chr(2)), 'string_agg', ''),
-         |      (SELECT ms FROM zml)),
-         |    (acc, m) -> replace(acc, split_part(m, chr(3), 1),
-         |      split_part(m, chr(3), 2))) AS w2
-         |  FROM zdw),
+         |${duckBpeApplyCtes("z", BpeMerges, "documents", "")},
          |zbpe AS (
          |  SELECT CAST(count(*) AS BIGINT) AS n_words,
          |   CAST(sum(length(w2) - length(replace(w2, chr(1), '')))
          |     AS BIGINT) AS n_pieces,
-         |   CAST(sum((('0x' || substr(md5(w2 || '#11'), 1, 8))::BIGINT))
-         |     AS BIGINT) AS seg_fp
+         |   CAST(sum(${duckU32("w2", 11)}) AS BIGINT) AS seg_fp
          |  FROM zap),
-         |zt AS (SELECT doc_id, $DuckToks AS toks FROM documents),
-         |zocc AS (SELECT doc_id, unnest(toks) AS word FROM zt),
-         |zsub AS (
-         |  SELECT piece, CAST(count(*) AS BIGINT) AS cnt FROM (
-         |    SELECT substr(word, p + 1, l) AS piece
-         |    FROM zocc,
-         |      unnest(range(len(word))) AS u1(p),
-         |      unnest([2, 3, 4]) AS u2(l)
-         |    WHERE p + l <= len(word))
-         |  GROUP BY 1 ORDER BY cnt DESC, piece LIMIT 200),
-         |zvoc AS (
-         |  SELECT piece FROM zsub
-         |  UNION ALL
-         |  SELECT DISTINCT substr(word, p + 1, 1) AS piece
-         |  FROM zocc, unnest(range(len(word))) AS u(p)),
-         |zw AS (SELECT DISTINCT word FROM zocc),
-         |zwp AS (SELECT word, p AS pos
-         |  FROM zw, unnest(range(len(word))) AS u(p)),
-         |zm AS (
-         |  SELECT word, pos, v.piece FROM zwp JOIN zvoc v
-         |    ON substr(zwp.word, zwp.pos + 1, len(v.piece)) = v.piece),
-         |zbest AS (
-         |  SELECT word, pos, arg_max(piece, len(piece)) AS piece
-         |  FROM zm GROUP BY 1, 2),
-         |zwalk AS (
-         |  SELECT word, len(word) AS wlen, 0 AS pos,
-         |   CAST(0 AS BIGINT) AS np, '' AS seg
-         |  FROM zw
-         |  UNION ALL
-         |  SELECT wk.word, wk.wlen, wk.pos + len(b.piece), wk.np + 1,
-         |   CASE WHEN wk.seg = '' THEN b.piece
-         |     ELSE wk.seg || '|' || b.piece END
-         |  FROM zwalk wk JOIN zbest b
-         |    ON b.word = wk.word AND b.pos = wk.pos
-         |  WHERE wk.pos < wk.wlen),
-         |zseg AS (SELECT word, np, seg FROM zwalk WHERE pos = wlen),
+         |${duckWordPieceCtes("z", topV = 200)},
          |zwpc AS (
          |  SELECT CAST(count(*) AS BIGINT) AS n_words,
          |   CAST(sum(s.np) AS BIGINT) AS n_pieces,
-         |   CAST(sum((('0x' || substr(md5(s.seg || '#11'), 1, 8))
-         |     ::BIGINT)) AS BIGINT) AS seg_fp
+         |   CAST(sum(${duckU32("s.seg", 11)}) AS BIGINT) AS seg_fp
          |  FROM zocc o JOIN zseg s USING (word)),
          |zuni AS (
          |  SELECT CAST(count(*) AS BIGINT) AS n_words,
          |   CAST(sum(s.np) AS BIGINT) AS n_pieces,
-         |   CAST(sum((('0x' || substr(md5(s.seg || '#11'), 1, 8))
-         |     ::BIGINT)) AS BIGINT) AS seg_fp
+         |   CAST(sum(${duckU32("s.seg", 11)}) AS BIGINT) AS seg_fp
          |  FROM uocc o JOIN useg2 s USING (word))
          |SELECT 'bpe' AS family, n_words, n_pieces,
          |  n_pieces * 1000000 // n_words AS fert6, seg_fp FROM zbpe

@@ -591,7 +591,7 @@ object Curation {
     val nd = Dedup.incrementalNearDup(state, b2, col("doc_id"),
       col("text"), numHashes, rowsPerBand, minJaccard)
     val b3 = b2.join(nd.filter(col("is_dup") === 0)
-      .select(col("doc_id")), Seq("doc_id")).persistTracked()
+      .select(col("doc_id")), Seq("doc_id"))
     censusRow(1L, "gate", b0, b1, fpSeed)
       .unionByName(censusRow(2L, "exact_vs_state", b1, b2, fpSeed))
       .unionByName(censusRow(3L, "neardup_vs_state", b2, b3, fpSeed))
