@@ -520,6 +520,25 @@ object Stress {
         .mkString(", "))
       rows.length.toLong
     }
+    // incremental refresh with the BATCH HELD FIXED while the state
+    // grows with the corpus — the claim under test: admission cost
+    // tracks the batch and its candidate set, with the state
+    // contributing one linear signature scan (no state-wide shuffle;
+    // the batch-bounded candidate set broadcasts AGAINST it). Compare
+    // against the p9 rebuild at the same multiplier: rebuilding
+    // re-pays the whole corpus every time, refreshing does not
+    t("p10_corpus_refresh(fixed-batch)") {
+      val state = docs.filter(col("doc_id") % 10 =!= 7)
+      val batch = docs.filter(col("doc_id") % 10 === 7 &&
+        col("doc_id") < 10000000L)
+      val census = Curation.corpusRefreshCensus(state, batch,
+        col("doc_id"), col("text"))
+      val rows = census.collect().sortBy(_.getLong(0))
+      println("    p10 receipt: " + rows.map(r =>
+        s"${r.getString(1)} ${r.getLong(2)}->${r.getLong(3)}")
+        .mkString(", "))
+      rows.length.toLong
+    }
     // shuffle-free map stage: must be exactly linear in corpus bytes
     t("t29_char_entropy") {
       TextAnalysis.charEntropy(docs, col("doc_id"), col("text")).count()
