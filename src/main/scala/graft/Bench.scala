@@ -33,6 +33,39 @@ import org.apache.spark.sql.SparkSession
   * a polluted run is self-diagnosing rather than silently gate-failing.
   */
 object Bench {
+
+  /** Parse the reference-band file into (short query name → seconds).
+    * Whitespace-tolerant on purpose: the round-7 re-recording was
+    * written with spaces after colons and the previous no-whitespace
+    * regex matched ZERO bands, silently disabling the contention
+    * guard for a whole round. Returns empty when the file's sf does
+    * not match the current sf dir (bands from another scale are pure
+    * noise); HARD-errors when the sf matches but zero bands parse —
+    * that is the disabled-guard failure mode and must never be
+    * silent again. Exposed for BenchGuardSpec. */
+  def parseReference(txt: String, sfDir: String): Map[String, Double] = {
+    val refSf = "\"sf\"\\s*:\\s*([0-9.]+)".r.findFirstMatchIn(txt)
+      .map(_.group(1))
+    val curSf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1))
+    if (refSf.isEmpty || refSf != curSf) Map.empty
+    else {
+      val bands = "\"([A-Za-z0-9]+)\"\\s*:\\s*([0-9.]+)".r
+        .findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble)
+        .toMap - "sf" - "value"
+      if (bands.isEmpty)
+        sys.error(
+          "bench_reference.json exists at the current SF but parsed " +
+          "to ZERO bands — the contention guard would run disabled. " +
+          "Fix the file format or delete it.")
+      bands
+    }
+  }
+
+  /** A measured time is contention-suspect when it exceeds
+    * max(3× band, band + 1 s). Exposed for BenchGuardSpec. */
+  def bandLimit(ref: Double): Double = math.max(3 * ref, ref + 1.0)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -89,31 +122,32 @@ object Bench {
       case None => SparkEntry.queries
     }
     // per-query reference bands from a quiet-window run (short name →
-    // seconds); parsed with a dumb regex — the file is machine-written
-    // flat JSON of "key":number pairs, no nesting. Bands only apply
-    // when the reference was recorded at the SAME scale factor —
-    // against any other SF every query would trivially exceed its
-    // band and the "contended" signal would be pure noise.
-    val reference: Map[String, Double] =
-      try {
-        val txt = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get("bench_reference.json")), "UTF-8")
-        val refSf = "\"sf\":([0-9.]+)".r.findFirstMatchIn(txt)
-          .map(_.group(1))
-        val curSf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
-          .map(_.group(1))
-        if (refSf.isEmpty || refSf != curSf) Map.empty
-        else "\"([a-z0-9]+)\":([0-9.]+)".r.findAllMatchIn(txt)
-          .map(m => m.group(1) -> m.group(2).toDouble)
-          .toMap - "sf" - "value"
-      } catch { case _: Throwable => Map.empty }
+    // seconds); parsed with a whitespace-tolerant regex (the round-7
+    // re-recording was written with spaces after colons and the old
+    // no-whitespace regex silently matched ZERO bands, disabling the
+    // guard for a whole round). Bands only apply when the reference
+    // was recorded at the SAME scale factor — against any other SF
+    // every query would trivially exceed its band and the "contended"
+    // signal would be pure noise. A reference file that exists, names
+    // the current SF, and still parses to zero bands is a HARD error:
+    // that exact failure mode already shipped once.
+    val reference: Map[String, Double] = {
+      val refPath = java.nio.file.Paths.get("bench_reference.json")
+      if (!java.nio.file.Files.exists(refPath)) Map.empty
+      else parseReference(
+        new String(java.nio.file.Files.readAllBytes(refPath), "UTF-8"),
+        sfDir)
+    }
+    if (only.isEmpty && reference.isEmpty)
+      System.err.println(
+        "BENCH WARNING: no reference bands loaded; contention guard is OFF")
     val contended = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = selected.flatMap { case (name, fn) =>
       val times = (1 to runs).flatMap(_ => timeOnce(name, fn))
       if (times.isEmpty) { failed += name; None }
       else {
         val band = reference.get(name.takeWhile(_ != '_'))
-          .map(r => math.max(3 * r, r + 1.0))
+          .map(bandLimit)
         val best = band match {
           case Some(b) if times.min > b =>
             val retried = (times ++ timeOnce(name, fn)).min
@@ -134,20 +168,23 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val contendedJson =
       contended.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // Two result lines. The full-name line is for humans/logs. The
-    // LAST line is the machine-readable one and is kept compact (short
-    // per-query keys = the name prefix before the first '_', unique by
-    // construction; 2-decimal seconds) so the whole line plus sbt's
-    // trailing "[success]" fits inside a 2000-char log tail window —
-    // at 88 queries the full-name line alone is >3 KB and gets
-    // truncated by tail capture, losing the JSON.
+    // Three result lines, ordered so the CRITICAL fields are the last
+    // bytes on stdout. Tail capture keeps the final ~2000 chars of the
+    // log; at 210 queries the per-query dict alone is ~2.4 KB, so a
+    // single line carrying everything loses its FRONT — which is
+    // exactly where total/failed/contended live (this nulled the
+    // driver's parse in rounds 6 and 7). Order now: (1) full-name
+    // per-query line, (2) compact short-key per-query line, (3) a
+    // short summary line LAST with total/failed/contended/sf plus only
+    // the top-12 heaviest queries — sized to survive any tail window.
+    // The full compact line is also written to bench_last.json and
+    // echoed on stderr.
     val qsFull = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     println(s"""{"detail":"per_query_full","total":$totalR,"runs_per_query":$runs,"failed":$failedJson,"contended":$contendedJson,"queries_full":$qsFull,"sf":"$sfDir"}""")
+    def round2(v: Double) = math.round(v * 100) / 100.0
     val qs = results.map { case (k, v) =>
-      val short = k.takeWhile(_ != '_')
-      val sec = math.round(v * 100) / 100.0
-      "\"" + short + "\":" + sec
+      "\"" + k.takeWhile(_ != '_') + "\":" + round2(v)
     }.mkString("{", ",", "}")
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
       .map(_.group(1)).getOrElse("0")
@@ -159,7 +196,13 @@ object Bench {
       try w.println(compact) finally w.close()
     } catch { case _: Throwable => () }
     System.err.println(compact) // unprefixed stderr copy
-    println(compact)            // stdout tail copy (LAST line)
+    println(compact)            // full per-query stdout copy
+    val topQs = results.toSeq.sortBy(-_._2).take(12).map { case (k, v) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + round2(v)
+    }.mkString("{", ",", "}")
+    // LAST line: short enough (~400 chars) that total/failed/contended
+    // always land inside the tail window
+    println(s"""{"metric":"total","value":$totalR,"unit":"sec","failed":$failedJson,"contended":$contendedJson,"queries":$topQs,"queries_file":"bench_last.json","sf":$sfNum}""")
     if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -27,7 +27,31 @@ object JsonlShards {
   /** Write `df` as `numShards` gzip JSONL shards under `dir`, named
     * `{baseName}_{i}%05d-of-{numShards}%05d.jsonl.gz`. Returns the
     * (path, rowCount) receipt per shard — metadata-sized, the only
-    * thing collected. */
+    * thing collected.
+    *
+    * Publish protocol — write-tmp-then-swap, with the swap on the
+    * DRIVER after the whole job succeeds:
+    *   1. every task attempt writes an attempt-unique hidden tmp file
+    *      and NEVER touches a final shard path (a retried/speculative
+    *      attempt can therefore never interleave with a published
+    *      shard — a half-written gzip stream is silently truncated on
+    *      read);
+    *   2. only after collect() proves every partition wrote its tmp
+    *      does the driver (a) delete stale shards from any prior run —
+    *      including shards named with a DIFFERENT -of-NNNNN count,
+    *      which a per-path pre-delete would miss — then (b) rename one
+    *      winning tmp per shard index into place and drop tmp litter.
+    * A job that fails mid-write leaves the previous run's output fully
+    * intact (the old eager pre-delete destroyed it before the first
+    * task ran). The swap window itself is numShards metadata renames,
+    * not data writes. Attempt winners are arbitrary but shard content
+    * is attempt-invariant (same partition, same rows), so any winner
+    * is correct; note that local-FS rename overwrites an existing
+    * destination (POSIX last-rename-wins) — safe here because finals
+    * are only written in step 2b after stale paths are gone, by a
+    * single driver thread. Concurrent jobs writing the same
+    * dir/baseName are NOT supported (same as any directory-swap sink).
+    */
   def write(df: DataFrame, dir: String, baseName: String,
       numShards: Int): Seq[(String, Long)] = {
     require(numShards > 0, s"numShards must be positive, got $numShards")
@@ -36,32 +60,13 @@ object JsonlShards {
     val confB = df.sparkSession.sparkContext.broadcast(
       new SerializableHadoopConf(
         df.sparkSession.sessionState.newHadoopConf()))
-    // overwrite semantics live on the DRIVER, before any task runs: a
-    // shard left by a PREVIOUS job is deleted here, so the executor
-    // publish below never needs delete-then-rename (whose delete can
-    // land after a sibling attempt's rename and then die, losing the
-    // shard) — within one job, first-rename-wins decides attempts
-    locally {
-      val hc = df.sparkSession.sessionState.newHadoopConf()
-      (0 until numShards).foreach { pid =>
-        val p = new Path(dir,
-          f"${baseName}_$pid%05d-of-$numShards%05d.jsonl.gz")
-        val fs = p.getFileSystem(hc)
-        if (fs.exists(p)) fs.delete(p, false)
-      }
-    }
-    lines.repartition(numShards).rdd.mapPartitionsWithIndex {
-      (pid, rows) =>
+    val tmpResults = lines.repartition(numShards).rdd
+      .mapPartitionsWithIndex { (pid, rows) =>
         val name = f"${baseName}_$pid%05d-of-$numShards%05d.jsonl.gz"
-        val path = new Path(dir, name)
-        val fs = path.getFileSystem(confB.value.value)
-        // attempt-unique tmp + rename commit: a retried or speculative
-        // task attempt must never interleave with another writer on the
-        // final path (a half-written gzip stream is silently truncated
-        // on read) — the same publish discipline as the manifest writer
         val attempt = Option(org.apache.spark.TaskContext.get())
           .map(_.taskAttemptId()).getOrElse(0L)
         val tmp = new Path(dir, s".$name.tmp-$attempt")
+        val fs = tmp.getFileSystem(confB.value.value)
         val out = new DataOutputStream(new BufferedOutputStream(
           new java.util.zip.GZIPOutputStream(fs.create(tmp, true)),
           1 << 16))
@@ -71,19 +76,31 @@ object JsonlShards {
           out.write('\n')
           n += 1
         } finally out.close()
-        // first-rename-wins publish: rename onto an existing path FAILS
-        // on HDFS and the local FS, so the winner is decided atomically
-        // by the filesystem — a loser must NOT delete-then-rename (the
-        // delete could land after the winner's rename and then die,
-        // leaving the shard missing after the job reported success).
-        // Losers discard their tmp; shard content is attempt-invariant
-        // (same partition, same rows), so either winner is correct.
-        if (!fs.rename(tmp, path)) {
-          if (fs.exists(path)) fs.delete(tmp, false)
-          else throw new java.io.IOException(s"rename $tmp -> $path failed")
-        }
-        Iterator.single(path.toString -> n)
-    }.collect().toSeq.sortBy(_._1)
+        Iterator.single((pid, tmp.toString, n))
+      }.collect()
+    // the job succeeded — swap. One winner per shard index (duplicates
+    // only arise from speculative attempts whose results both reached
+    // the driver; content is attempt-invariant so the choice is moot).
+    val hc = df.sparkSession.sessionState.newHadoopConf()
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(hc)
+    val stale = fs.globStatus(
+      new Path(dir, s"${baseName}_*-of-*.jsonl.gz"))
+    if (stale != null) stale.foreach(s => fs.delete(s.getPath, false))
+    val winners = tmpResults.groupBy(_._1).toSeq.map(_._2.head)
+    val published = winners.map { case (pid, tmpPath, n) =>
+      val finalPath = new Path(dir,
+        f"${baseName}_$pid%05d-of-$numShards%05d.jsonl.gz")
+      if (!fs.rename(new Path(tmpPath), finalPath))
+        throw new java.io.IOException(
+          s"publish rename $tmpPath -> $finalPath failed")
+      finalPath.toString -> n
+    }
+    // tmp litter from losing attempts (and nothing else — the glob is
+    // anchored on this baseName's hidden tmp prefix)
+    val litter = fs.globStatus(new Path(dir, s".${baseName}_*.tmp-*"))
+    if (litter != null) litter.foreach(l => fs.delete(l.getPath, false))
+    published.sortBy(_._1)
   }
 
   /** Read JSONL shards matching `pattern` with an explicit schema
