@@ -206,7 +206,7 @@ object SparkEntry {
        |  SELECT substr(word, p + 1, l) AS piece,
        |    CAST(sum(f) AS BIGINT) AS cnt
        |  FROM uwf, unnest(range(len(word))) AS u1(p),
-       |    unnest([1, 2, 3, 4]) AS u2(l)
+       |    unnest([${(1 to graft.operators.Unigram.MaxPieceLen).mkString(", ")}]) AS u2(l)
        |  WHERE p + l <= len(word)
        |  GROUP BY 1),
        |umulti0 AS MATERIALIZED (
@@ -829,7 +829,10 @@ object SparkEntry {
     * s5-shaped probe against the BALANCED codebook. Mirrors
     * Similarity.balancedCentroids / balancedIvfTopK step for step. */
   private def duckBalancedIvf(nc: Int, iters: Int, nProbe: Int,
-      k: Int): String =
+      k: Int): String = {
+    // MUST track Similarity.balancedCentroids' sub-id arithmetic — a
+    // literal 1024 would silently diverge the oracle for nc >= 1024
+    val subIdBase = math.max(1024L, nc + 1L)
     s"""WITH e0 AS (
        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v0
        |  FROM embeddings),
@@ -886,10 +889,10 @@ object SparkEntry {
        |     ORDER BY pos) AS cv
        |  FROM bsq GROUP BY 1, 2),
        |bbal AS (
-       |  SELECT cell_id * 1024 AS cell_id, cv, cnrm FROM cn$iters
+       |  SELECT cell_id * $subIdBase AS cell_id, cv, cnrm FROM cn$iters
        |  WHERE cell_id NOT IN (SELECT cell_id FROM bhot)
        |  UNION ALL
-       |  SELECT cell_id * 1024 + sub, cv, ${duckNormOf("cv")}
+       |  SELECT cell_id * $subIdBase + sub, cv, ${duckNormOf("cv")}
        |  FROM bsc),
        |bcs AS (
        |  SELECT en.vec_id, c.cell_id,
@@ -923,6 +926,92 @@ object SparkEntry {
        |  FROM bscored)
        |SELECT query_id, rank, neighbor_id, cosine
        |FROM br WHERE rank <= $k""".stripMargin
+  }
+
+  /** s24 oracle: the relational NSW beam search replayed step for
+    * step — shared kmeans CTEs → the s5-shaped banded candidates →
+    * degree-capped kNN graph (ties dst asc) → `rounds` unrolled beam
+    * rounds, each expanding only the nodes that ENTERED the beam last
+    * round (gf), scoring unseen destinations (gn/gs), re-cutting the
+    * beam over everything visited (gv/gb). Mirrors
+    * Similarity.knnGraph + nswBeamTopK exactly. */
+  private def duckNswTopK(nc: Int, iters: Int, nProbeBuild: Int,
+      degree: Int, beam: Int, rounds: Int, k: Int): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      s"""ge$r AS (
+         |  SELECT DISTINCT f.query_id, g.dst AS node_id
+         |  FROM gf${r - 1} f JOIN ggraph g ON g.src = f.node_id),
+         |gn$r AS (
+         |  SELECT e.query_id, e.node_id FROM ge$r e
+         |  LEFT JOIN gv${r - 1} v
+         |    ON v.query_id = e.query_id AND v.node_id = e.node_id
+         |  WHERE v.node_id IS NULL),
+         |gs$r AS (
+         |  SELECT n.query_id, n.node_id,
+         |   list_reduce(list_transform(range(1, len(q.v) + 1),
+         |     j -> q.v[j] * c.v[j]), (a, b) -> a + b) / (q.nrm * c.nrm)
+         |     AS cosine
+         |  FROM gn$r n
+         |  JOIN en c ON c.vec_id = n.node_id
+         |  JOIN gq q ON q.query_id = n.query_id),
+         |gv$r AS (
+         |  SELECT query_id, node_id, cosine FROM gv${r - 1}
+         |  UNION ALL SELECT query_id, node_id, cosine FROM gs$r),
+         |gb$r AS (
+         |  SELECT query_id, node_id FROM (
+         |    SELECT query_id, node_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY cosine DESC, node_id)
+         |      AS rk
+         |    FROM gv$r) WHERE rk <= $beam),
+         |gf$r AS (
+         |  SELECT b.query_id, b.node_id FROM gb$r b
+         |  JOIN gs$r sn ON sn.query_id = b.query_id
+         |    AND sn.node_id = b.node_id)""".stripMargin
+    }.mkString(",\n")
+    s"""${duckKmeansCtes(nc, iters)},
+       |cs AS (
+       |  SELECT en.vec_id, c.cell_id,
+       |   list_reduce(list_transform(range(1, len(en.v) + 1),
+       |     j -> en.v[j] * c.cv[j]), (a, b) -> a + b) / (en.nrm * c.cnrm)
+       |     AS sim
+       |  FROM en CROSS JOIN cn$iters c),
+       |ranked AS (
+       |  SELECT vec_id, cell_id, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY sim DESC, cell_id) AS rk
+       |  FROM cs),
+       |assigned AS (SELECT vec_id, cell_id FROM ranked WHERE rk = 1),
+       |probed AS (SELECT vec_id, cell_id FROM ranked
+       |           WHERE rk <= $nProbeBuild),
+       |gcand AS (
+       |  SELECT p.vec_id AS src, a.vec_id AS dst
+       |  FROM probed p JOIN assigned a
+       |    ON a.cell_id = p.cell_id AND a.vec_id <> p.vec_id),
+       |gsc AS (
+       |  SELECT g.src, g.dst,
+       |   list_reduce(list_transform(range(1, len(s.v) + 1),
+       |     j -> s.v[j] * d.v[j]), (a, b) -> a + b) / (s.nrm * d.nrm)
+       |     AS sim
+       |  FROM gcand g
+       |  JOIN en s ON s.vec_id = g.src
+       |  JOIN en d ON d.vec_id = g.dst),
+       |ggraph AS (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst, row_number() OVER (
+       |      PARTITION BY src ORDER BY sim DESC, dst) AS rk
+       |    FROM gsc) WHERE rk <= $degree),
+       |gq AS (SELECT vec_id AS query_id, v, nrm FROM en
+       |       WHERE vec_id % 25 = 0),
+       |gv0 AS (SELECT query_id, query_id AS node_id,
+       |        CAST(1.0 AS DOUBLE) AS cosine FROM gq),
+       |gf0 AS (SELECT query_id, node_id FROM gv0),
+       |$roundCtes
+       |SELECT query_id, rank, neighbor_id, cosine FROM (
+       |  SELECT query_id, node_id AS neighbor_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, node_id) AS BIGINT) AS rank
+       |  FROM gv$rounds WHERE node_id <> query_id)
+       |WHERE rank <= $k""".stripMargin
+  }
 
   /** The full s11 residual-IVF-PQ CTE chain through the ADC ranking
     * `r` (train cells → assign/probe → residuals → PQ train →
@@ -3643,6 +3732,20 @@ object SparkEntry {
       Similarity.ivfFilteredTopK(emb, codebook,
         emb.filter(col("vec_id") % 25 === 0), "vec_id", "embedding",
         col("vec_id") % 3 === 0, k = 5, nProbe = 2)
+    }),
+
+    // GRAPH-TIER ANN — beam search over a bounded-degree kNN graph
+    // (the NSW/Vamana family, relationally): the degree-6 graph is the
+    // banded IVF top-k re-labelled as edges, then 3 unrolled beam
+    // rounds (beam 8) from each query's own node. Distance evals per
+    // query bounded by beam*degree*rounds; multi-hop expansion reaches
+    // neighbors a fixed-nProbe IVF probe misses (recall receipt in
+    // SimilarityGraphSpec + BASELINE §6)
+    "s24_nsw_beam" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.nswTopK(emb, emb.filter(col("vec_id") % 25 === 0),
+        "vec_id", "embedding", k = 5, nCells = 8, iters = 2,
+        degree = 6, nProbeBuild = 2, beamWidth = 8, rounds = 3)
     }),
 
     // FAISS "refine" tail on s11: ADC ranks a 25-candidate shortlist,
@@ -7245,6 +7348,10 @@ object SparkEntry {
         neighborWhere = " AND vec_id % 3 = 0",
         queryWhere = " AND vec_id % 25 = 0"),
 
+    "s24_nsw_beam" ->
+      duckNswTopK(nc = 8, iters = 2, nProbeBuild = 2, degree = 6,
+        beam = 8, rounds = 3, k = 5),
+
     "s8_semantic_dedup" ->
       duckSemanticDedup(nc = 8, iters = 2, tau = 0.35),
 
@@ -7870,7 +7977,13 @@ object SparkEntry {
     // each probe's table state replayed relationally (base + appends
     // ≤ resolved version); resolved_v and manifests_loaded are
     // LITERALS — the oracle pins the resolution receipt, not just the
-    // data
+    // data. The literals re-derive from the Spark fixture above
+    // (20 commits v0..v19, maybeCheckpoint(every = 8) → checkpoints
+    // at v7 and v15): ts 4500 resolves to v3 (pre-checkpoint, loads
+    // per the versionAsOfCheckpointed contract = 0 here), ts 16500 to
+    // v15 (the checkpoint version itself, 1), tip to v19 (checkpoint
+    // v15 + suffix v16..v19 = 4). Change `every` or the commit count
+    // and these literals MUST be re-derived from that contract.
     "q102_ckpt_compaction" -> {
       def stateSql(v: Int): String =
         (Seq("SELECT doc_id, text FROM documents") ++

@@ -1552,4 +1552,100 @@ object Similarity {
     selected.select(col("query_id"), col("pick"),
       col("cand_id").as("neighbor_id"), round(col("mmr"), 6).as("mmr_score"))
   }
+
+  /** s24 graph build: a bounded-degree directed kNN graph — each
+    * node's `degree` nearest neighbours under the banded IVF candidate
+    * generation (probe `nProbe` trained cells, exact cosine within
+    * candidates, deterministic ties to the lower id). This IS
+    * [[ivfTopKWith]] with every corpus node as a query, re-labelled as
+    * an edge relation — the approximate-kNN-graph construction public
+    * graph-ANN systems bootstrap from (NN-descent seeds, DiskANN's
+    * initial graph), expressed with zero new candidate machinery. At
+    * scale the work is ∝ n·cellPopulation·nProbe, never n². */
+  def knnGraph(emb: DataFrame, centroids: DataFrame, idCol: String,
+      vecCol: String, degree: Int, nProbe: Int = 2): DataFrame =
+    ivfTopKWith(emb, centroids, idCol, vecCol, degree, nProbe)
+      .select(col("query_id").as("src"), col("neighbor_id").as("dst"),
+        col("cosine").as("sim"))
+
+  /** s24: graph-tier ANN — round-synchronous beam search over a
+    * bounded-degree neighbour graph (the NSW / Vamana family: Malkov &
+    * Yashunin 2016, Subramanya et al. 2019 — re-expressed
+    * relationally; beyond-reference LLM-pipeline surface, the
+    * reference pipeline has no similarity search).
+    * Queries are corpus members and enter at their OWN node (cosine
+    * 1.0 — it occupies one beam slot and is excluded from the
+    * result). Each round, every node that ENTERED the beam last round
+    * expands its out-edges; unseen destinations are scored against
+    * the query; the beam is re-cut to `beamWidth` over everything
+    * visited. A node that entered `visited` without making the beam
+    * is never expanded (same pruning as a classic best-first search
+    * with a bounded candidate pool). After `rounds` rounds the top-k
+    * of the visited set is the answer.
+    *
+    * Every step is an equi-join or a per-query window: frontier ⋈
+    * graph (partitioned by src), fresh ⋈ corpus (by node id), beam
+    * cut (window by query). Distance evaluations per query are
+    * bounded by beamWidth·degree·rounds — the work is shortlist-
+    * sized regardless of corpus size, and rounds is a fixed unroll
+    * (no driver-side convergence loop). Deterministic throughout, so
+    * the DuckDB mirror is exact. */
+  def nswBeamTopK(emb: DataFrame, graph: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, beamWidth: Int,
+      rounds: Int): DataFrame = {
+    require(k >= 1 && beamWidth >= k && rounds >= 1,
+      s"need beamWidth >= k >= 1 and rounds >= 1, " +
+        s"got k=$k beamWidth=$beamWidth rounds=$rounds")
+    val q = queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("q_vec"))
+      .withColumn("q_norm", norm(col("q_vec")))
+      .persistTracked() // probed by every round's scoring join
+    val c = emb.select(col(idCol).as("node_id"), col(vecCol).as("n_vec"))
+      .withColumn("n_norm", norm(col("n_vec")))
+    val g = graph.select(col("src"), col("dst"))
+      .persistTracked() // probed by every round's expansion join
+    val wBeam = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("node_id").asc)
+    var visited = q.select(col("query_id"),
+      col("query_id").as("node_id"), lit(1.0).as("cosine"))
+    var frontier = visited.select(col("query_id"), col("node_id"))
+    for (_ <- 1 to rounds) {
+      val expanded = frontier.join(g, frontier("node_id") === g("src"))
+        .select(col("query_id"), col("dst").as("node_id"))
+        .distinct()
+      val fresh = expanded
+        .join(visited.select(col("query_id"), col("node_id")),
+          Seq("query_id", "node_id"), "left_anti")
+      val scored = fresh.join(c, Seq("node_id"))
+        .join(broadcast(q), Seq("query_id"))
+        .withColumn("cosine", dot(col("q_vec"), col("n_vec")) /
+          (col("q_norm") * col("n_norm")))
+        .select(col("query_id"), col("node_id"), col("cosine"))
+        .persistTracked() // read by visited-union AND next frontier
+      visited = visited.unionByName(scored)
+        .persistTracked() // cuts the per-round lineage recursion
+      frontier = visited
+        .withColumn("rn", row_number().over(wBeam))
+        .filter(col("rn") <= beamWidth)
+        .join(scored.select(col("query_id"), col("node_id")),
+          Seq("query_id", "node_id"), "left_semi")
+        .select(col("query_id"), col("node_id"))
+    }
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("node_id").asc)
+    visited.filter(col("query_id") =!= col("node_id"))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"),
+        col("node_id").as("neighbor_id"), col("cosine"))
+  }
+
+  /** Train → graph-build → beam-search composition for s24. */
+  def nswTopK(emb: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nCells: Int, iters: Int, degree: Int,
+      nProbeBuild: Int, beamWidth: Int, rounds: Int): DataFrame = {
+    val cents = kmeansCentroids(emb, idCol, vecCol, nCells, iters)
+    val g = knnGraph(emb, cents, idCol, vecCol, degree, nProbeBuild)
+    nswBeamTopK(emb, g, queries, idCol, vecCol, k, beamWidth, rounds)
+  }
 }
