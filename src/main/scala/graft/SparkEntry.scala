@@ -250,41 +250,99 @@ object SparkEntry {
     * the chain would otherwise inline exponentially. chr(1)/chr(2)
     * are Bpe.Sym/Bpe.End; chr(3) separates pattern from replacement
     * in the t17 fold. */
-  private def duckBpeCtes(n: Int, topV: Int): String = {
+  /** The unrolled greedy-merge rounds (${q}b1/${q}w1 ... ${q}bN/
+    * ${q}wN) over an already-materialized encoded vocab ${q}w0 —
+    * alphabet-agnostic, shared by the char-level (unprefixed) and
+    * byte-level ("y") chains. */
+  private def duckBpeRounds(n: Int, q: String): String = {
     val S = "chr(1)"; val E = "chr(2)"
     val sb = new StringBuilder
-    sb.append(
-      s"""w0 AS MATERIALIZED (
-         |  SELECT list_aggregate(list_transform(str_split(word, ''),
-         |      c -> $S || c || $E), 'string_agg', '') AS w,
-         |    CAST(count(*) AS BIGINT) AS f
-         |  FROM (SELECT unnest(string_split_regex(lower(text),
-         |      '[^a-z]+')) AS word FROM documents)
-         |  WHERE word <> '' GROUP BY word
-         |  ORDER BY f DESC, word ASC LIMIT $topV)""".stripMargin)
     for (r <- 1 to n) {
       val p = r - 1
       sb.append(
         s""",
-           |b$r AS MATERIALIZED (
+           |${q}b$r AS MATERIALIZED (
            |  SELECT a, b FROM (
            |    SELECT u.a AS a, u.b AS b, sum(f) AS cnt FROM (
            |      SELECT f, unnest(list_transform(range(1, len(sy)),
            |        i -> struct_pack(a := sy[i], b := sy[i+1]))) AS u
            |      FROM (SELECT f, string_split(trim(w, $S || $E),
-           |        $E || $S) AS sy FROM w$p)
+           |        $E || $S) AS sy FROM ${q}w$p)
            |      WHERE len(sy) > 1)
            |    GROUP BY 1, 2)
            |  ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
-           |w$r AS MATERIALIZED (
+           |${q}w$r AS MATERIALIZED (
            |  SELECT replace(w,
-           |    $S || (SELECT a FROM b$r) || $E ||
-           |      $S || (SELECT b FROM b$r) || $E,
-           |    $S || (SELECT a FROM b$r) ||
-           |      (SELECT b FROM b$r) || $E) AS w, f
-           |  FROM w$p)""".stripMargin)
+           |    $S || (SELECT a FROM ${q}b$r) || $E ||
+           |      $S || (SELECT b FROM ${q}b$r) || $E,
+           |    $S || (SELECT a FROM ${q}b$r) ||
+           |      (SELECT b FROM ${q}b$r) || $E) AS w, f
+           |  FROM ${q}w$p)""".stripMargin)
     }
     sb.toString
+  }
+
+  private def duckBpeCtes(n: Int, topV: Int): String = {
+    val S = "chr(1)"; val E = "chr(2)"
+    s"""w0 AS MATERIALIZED (
+       |  SELECT list_aggregate(list_transform(str_split(word, ''),
+       |      c -> $S || c || $E), 'string_agg', '') AS w,
+       |    CAST(count(*) AS BIGINT) AS f
+       |  FROM (SELECT unnest(string_split_regex(lower(text),
+       |      '[^a-z]+')) AS word FROM documents)
+       |  WHERE word <> '' GROUP BY word
+       |  ORDER BY f DESC, word ASC LIMIT $topV)""".stripMargin +
+      duckBpeRounds(n, "")
+  }
+
+  /** Single-line DuckDB fragment: a pre-token column re-expressed as
+    * wrapped two-hex-digit UTF-8 byte symbols — the t35 byte-level
+    * alphabet (twin of Bpe.encodeByteWord; hex(encode(..)) is
+    * uppercase in both engines, the parity t33 already leans on). */
+  private def duckByteEnc(w: String): String =
+    s"list_aggregate(list_transform(range(0, length(hex(encode($w))) " +
+      s"// 2), i -> chr(1) || substr(hex(encode($w)), i*2 + 1, 2) || " +
+      s"chr(2)), 'string_agg', '')"
+
+  /** Byte-level BPE training chain: space-prefixed pre-tokens
+    * (` ?[^ ]+`, raw text), top-V byte-encoded vocab, then the shared
+    * greedy rounds under prefix `p`. */
+  private def duckByteBpeCtes(n: Int, topV: Int, p: String,
+      src: String = "documents"): String =
+    s"""${p}w0 AS MATERIALIZED (
+       |  SELECT ${duckByteEnc("word")} AS w,
+       |    CAST(f AS BIGINT) AS f
+       |  FROM (
+       |    SELECT word, count(*) AS f
+       |    FROM (SELECT unnest(regexp_extract_all(text, ' ?[^ ]+'))
+       |          AS word FROM $src)
+       |    GROUP BY word ORDER BY f DESC, word ASC LIMIT $topV))"""
+      .stripMargin + duckBpeRounds(n, p)
+
+  /** Byte-level BPE apply: the ${p}b1..N merge table folded over
+    * every pre-token of `src` (twin of Bpe.applyByteMerges). */
+  private def duckByteBpeApplyCtes(p: String, n: Int, src: String,
+      carry: String): String = {
+    val union = (1 to n)
+      .map(r => s"SELECT $r AS merge_rank, a, b FROM ${p}b$r")
+      .mkString(" UNION ALL ")
+    val cs = if (carry.isEmpty) "" else s"$carry, "
+    s"""${p}mg AS MATERIALIZED (
+       |  SELECT merge_rank, chr(1) || a || chr(2) || chr(1) || b ||
+       |    chr(2) || chr(3) || chr(1) || a || b || chr(2) AS m
+       |  FROM ($union)),
+       |${p}ml AS MATERIALIZED (
+       |  SELECT list(m ORDER BY merge_rank) AS ms FROM ${p}mg),
+       |${p}dw AS (
+       |  SELECT ${cs}unnest(regexp_extract_all(text, ' ?[^ ]+'))
+       |    AS word FROM $src),
+       |${p}ap AS (
+       |  SELECT ${cs}list_reduce(
+       |      list_prepend(${duckByteEnc("word")},
+       |        (SELECT ms FROM ${p}ml)),
+       |      (acc, m) -> replace(acc, split_part(m, chr(3), 1),
+       |        split_part(m, chr(3), 2))) AS w2
+       |  FROM ${p}dw)""".stripMargin
   }
 
   /** Shared BPE-APPLY CTE fragment: the merge list (reading the
@@ -2120,20 +2178,54 @@ object SparkEntry {
           expr("replace(replace(text, 'q', '中'), 'v', 'ñ')")),
         col("doc_id"), col("text"), UnigramTopV)),
 
+    // BYTE-LEVEL BPE (t35) — the GPT-2 tokenizer family (Radford et
+    // al. 2019), the variant production LLM pipelines actually ship:
+    // pre-tokens KEEP their leading space (` ?[^ ]+` on raw text —
+    // GPT-2's regex minus the RE2-inexpressible contraction/lookahead
+    // clauses), the base alphabet is the pre-token's UTF-8 bytes as
+    // hex-pair symbols (256 symbols, no UNK, no normalization), and
+    // merges train greedily over the top-V vocab sketch. The corpus
+    // is seeded with multi-byte codepoints (q→中, v→ñ) so the
+    // multi-byte path carries live traffic. Census pins the full
+    // segmentation via the md5-u32 of each post-merge encoding.
+    "t35_byte_bpe" -> ((s, d) => {
+      val docs = Tables.documents(s, d).withColumn("text",
+        expr("replace(replace(text, 'q', '中'), 'v', 'ñ')"))
+      val merges = Bpe.trainEncoded(
+        Bpe.byteVocab(docs, col("text"), BpeTopV), BpeMerges)
+      docs.select(col("doc_id"), explode(
+          regexp_extract_all(col("text"), lit("( ?[^ ]+)"), lit(1)))
+          .as("word"))
+        .withColumn("w2", Bpe.applyByteMerges(col("word"), merges))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(Bpe.tokenCount(col("w2")).cast("long")).as("n_tokens"),
+          sum(Tables.hashU32(col("w2"), 11)).as("tok_sum"))
+    }),
+
     // TOKENIZER BAKE-OFF — the evaluation every tokenizer choice
-    // rests on: all three trained families (BPE t16, WordPiece t22,
-    // unigram-LM t31) applied to the same corpus, reporting each
-    // family's word count, piece count, and FERTILITY (pieces per
-    // word, in exact integer micro-units: pieces·1e6 div words — no
-    // float parity risk). BPE counts over its own [a-z]+
-    // pre-tokenization; WordPiece/unigram over whitespace words —
-    // each family measured under its own contract
+    // rests on: all four trained families (BPE t16, WordPiece t22,
+    // unigram-LM t31, byte-level BPE t35) applied to the same corpus,
+    // reporting each family's word count, piece count, and FERTILITY
+    // (pieces per word, in exact integer micro-units: pieces·1e6 div
+    // words — no float parity risk). BPE counts over its own [a-z]+
+    // pre-tokenization, byte-BPE over its space-prefixed pre-tokens;
+    // WordPiece/unigram over whitespace words — each family measured
+    // under its own contract
     "t34_tokenizer_bakeoff" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val merges = Bpe.train(
         Bpe.vocab(docs, col("text"), BpeTopV), BpeMerges)
       val bpe = Bpe.words(docs, col("text"))
         .withColumn("w2", Bpe.applyMerges(col("word"), merges))
+        .select(Bpe.tokenCount(col("w2")).cast("long").as("np"),
+          Tables.hashU32(col("w2"), 11).as("h"))
+        .agg(count(lit(1)).as("n_words"), sum(col("np")).as("n_pieces"),
+          sum(col("h")).as("seg_fp"))
+      val bMerges = Bpe.trainEncoded(
+        Bpe.byteVocab(docs, col("text"), BpeTopV), BpeMerges)
+      val byteBpe = Bpe.byteWords(docs, col("text"))
+        .withColumn("w2", Bpe.applyByteMerges(col("word"), bMerges))
         .select(Bpe.tokenCount(col("w2")).cast("long").as("np"),
           Tables.hashU32(col("w2"), 11).as("h"))
         .agg(count(lit(1)).as("n_words"), sum(col("np")).as("n_pieces"),
@@ -2158,6 +2250,7 @@ object SparkEntry {
           expr("n_pieces * 1000000L div n_words").as("fert6"),
           col("seg_fp").cast("long").as("seg_fp"))
       tag(bpe, "bpe")
+        .unionByName(tag(byteBpe, "bytebpe"))
         .unionByName(tag(wp, "wordpiece"))
         .unionByName(tag(uni, "unigram"))
     }),
@@ -6752,6 +6845,23 @@ object SparkEntry {
     // (shared b1..bN CTEs) re-applied, the t22 greedy walk
     // (z-prefixed), and the unigram EM+DP (u-prefixed); fertility in
     // exact integer micro-units so the bake-off rows hash-match
+    // byte-level BPE train+apply over the codepoint-seeded corpus —
+    // the y-prefixed chain shares the greedy rounds (duckBpeRounds)
+    // with t16's char-level chain, differing only in the w0 alphabet
+    "t35_byte_bpe" ->
+      s"""WITH d35 AS (
+         |  SELECT doc_id,
+         |   replace(replace(text, 'q', '中'), 'v', 'ñ') AS text
+         |  FROM documents),
+         |${duckByteBpeCtes(BpeMerges, BpeTopV, "y", "d35")},
+         |${duckByteBpeApplyCtes("y", BpeMerges, "d35", "doc_id")}
+         |SELECT doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(length(w2) - length(replace(w2, chr(1), '')))
+         |    AS BIGINT) AS n_tokens,
+         |  CAST(sum(${duckU32("w2", 11)}) AS BIGINT) AS tok_sum
+         |FROM yap GROUP BY doc_id""".stripMargin,
+
     "t34_tokenizer_bakeoff" -> {
       s"""WITH RECURSIVE ${duckBpeCtes(BpeMerges, BpeTopV)},
          |${duckUnigramCtes()},
@@ -6762,6 +6872,14 @@ object SparkEntry {
          |     AS BIGINT) AS n_pieces,
          |   CAST(sum(${duckU32("w2", 11)}) AS BIGINT) AS seg_fp
          |  FROM zap),
+         |${duckByteBpeCtes(BpeMerges, BpeTopV, "y")},
+         |${duckByteBpeApplyCtes("y", BpeMerges, "documents", "")},
+         |ybb AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_words,
+         |   CAST(sum(length(w2) - length(replace(w2, chr(1), '')))
+         |     AS BIGINT) AS n_pieces,
+         |   CAST(sum(${duckU32("w2", 11)}) AS BIGINT) AS seg_fp
+         |  FROM yap),
          |${duckWordPieceCtes("z", topV = 200)},
          |zwpc AS (
          |  SELECT CAST(count(*) AS BIGINT) AS n_words,
@@ -6775,6 +6893,8 @@ object SparkEntry {
          |  FROM uocc o JOIN useg2 s USING (word))
          |SELECT 'bpe' AS family, n_words, n_pieces,
          |  n_pieces * 1000000 // n_words AS fert6, seg_fp FROM zbpe
+         |UNION ALL SELECT 'bytebpe', n_words, n_pieces,
+         |  n_pieces * 1000000 // n_words, seg_fp FROM ybb
          |UNION ALL SELECT 'wordpiece', n_words, n_pieces,
          |  n_pieces * 1000000 // n_words, seg_fp FROM zwpc
          |UNION ALL SELECT 'unigram', n_words, n_pieces,

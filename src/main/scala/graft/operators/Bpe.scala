@@ -87,10 +87,17 @@ object Bpe {
     * every adjacent position by word frequency (overlaps count, per
     * the reference algorithm); application within a round is
     * left-to-right non-overlapping. Stops early if no pair remains. */
-  def train(vocab: Array[(String, Long)], nMerges: Int): Seq[Merge] = {
-    var ws = vocab.map { case (w, f) =>
+  def train(vocab: Array[(String, Long)], nMerges: Int): Seq[Merge] =
+    trainEncoded(vocab.map { case (w, f) =>
       (w.map(ch => s"$Sym$ch$End").mkString, f)
-    }
+    }, nMerges)
+
+  /** [[train]] over an ALREADY symbol-encoded vocab — the byte-level
+    * variant hands in hex-pair symbols instead of characters; the
+    * greedy rounds are alphabet-agnostic. */
+  def trainEncoded(vocab0: Array[(String, Long)], nMerges: Int)
+      : Seq[Merge] = {
+    var ws = vocab0
     val out = Seq.newBuilder[Merge]
     var r = 0
     var exhausted = false
@@ -132,4 +139,56 @@ object Bpe {
     * symbol. */
   def tokenCount(encCol: Column): Column =
     length(encCol) - length(replace(encCol, lit(Sym), lit("")))
+
+  // ——— byte-level BPE (t35): the GPT-2 family ———————————————————————
+  // The variant production LLM tokenizers actually ship (GPT-2/RoBERTa
+  // /Llama byte-level BPE, Radford et al. 2019): pre-tokens keep their
+  // LEADING SPACE, the base alphabet is the 256 possible bytes of the
+  // pre-token's UTF-8 encoding (no UNK by construction, no
+  // normalization), and merges are learned over byte symbols. Symbols
+  // here are two-hex-digit byte codes — hex(encode(word)) agrees
+  // byte-for-byte between Spark and DuckDB (the t33 byte-fallback
+  // already leans on that parity), and the hex alphabet keeps the
+  // control-char word encoding unambiguous for ANY input byte.
+  // Pre-tokenization is the alternation-free ` ?[^ ]+` — GPT-2's
+  // regex minus the contraction/lookahead clauses, which RE2 (the
+  // DuckDB oracle's engine) cannot express; documented deviation, and
+  // deterministic in BOTH engines because a single-alternative greedy
+  // pattern has no alternation-preference ambiguity.
+
+  /** Byte-level pre-tokenization: space-prefixed runs (` ?[^ ]+`,
+    * raw text — byte-level BPE never lowercases). */
+  def byteWords(docs: DataFrame, textCol: Column): DataFrame =
+    docs.select(explode(
+        regexp_extract_all(textCol, lit("( ?[^ ]+)"), lit(1)))
+      .as("word"))
+
+  /** Encode a pre-token as wrapped two-hex-digit byte symbols:
+    * "Ab" → SOH"41"STX SOH"62"STX (uppercase hex, UTF-8 bytes). */
+  def encodeByteWord(c: Column): Column = {
+    val hx = hex(encode(c, "UTF-8"))
+    array_join(
+      transform(sequence(lit(0), (length(hx) / 2 - 1).cast("int")),
+        i => concat(lit(Sym), hx.substr(i * lit(2) + lit(1), lit(2)),
+          lit(End))), "")
+  }
+
+  /** Distributed pre-token count, frequency-capped to the top-V vocab,
+    * returned ALREADY byte-encoded for [[trainEncoded]]. Bounded by V
+    * like [[vocab]] — the only collect, metadata-sized. */
+  def byteVocab(docs: DataFrame, textCol: Column, topV: Int)
+      : Array[(String, Long)] =
+    byteWords(docs, textCol)
+      .groupBy("word").agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("word").asc)
+      .limit(topV)
+      .select(encodeByteWord(col("word")).as("w"), col("f"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+
+  /** Engine-side byte-level application: same static nested-replace
+    * fold as [[applyMerges]], over the byte-symbol encoding. */
+  def applyByteMerges(wordCol: Column, merges: Seq[Merge]): Column =
+    merges.foldLeft(encodeByteWord(wordCol)) { (acc, m) =>
+      replace(acc, lit(m.pattern), lit(m.replacement))
+    }
 }

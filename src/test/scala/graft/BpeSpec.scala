@@ -71,4 +71,52 @@ class BpeSpec extends SparkSpec {
     val v = Bpe.vocab(docs, col("text"), 2)
     assert(v.toSeq == Seq(("aa", 2L), ("bb", 2L)))
   }
+
+  // ——— byte-level (t35) ———
+
+  test("byte pre-tokens keep their leading space, first word bare") {
+    val docs = Seq((1L, "The cat,  sat!")).toDF("doc_id", "text")
+    val ws = Bpe.byteWords(docs, col("text")).as[String].collect().toSeq
+    // double space: the token needs a non-space, so the first of the
+    // two spaces is dropped (the RE2-compatible deviation from GPT-2)
+    assert(ws == Seq("The", " cat,", " sat!"))
+  }
+
+  test("byte encoding is the UTF-8 hex expansion, multi-byte intact") {
+    val docs = Seq((1L, "a中")).toDF("doc_id", "text")
+    val enc = docs.select(Bpe.encodeByteWord(lit("a中")).as("e"))
+      .as[String].head()
+    // 'a' = 0x61; 中 = E4 B8 AD (3 bytes) → 4 symbols
+    val syms = enc.substring(1, enc.length - 1)
+      .split(Bpe.End + Bpe.Sym, -1).toSeq
+    assert(syms == Seq("61", "E4", "B8", "AD"))
+  }
+
+  test("byte-level train+apply: no UNK, every byte covered, counts shrink") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the mat the cat 中文 the end"),
+      (3L, "cat and mat and the")).toDF("doc_id", "text")
+    val vocab = Bpe.byteVocab(docs, col("text"), 100)
+    val merges = Bpe.trainEncoded(vocab, 8)
+    assert(merges.nonEmpty)
+    // " the" (with leading space) is the most frequent pre-token →
+    // early merges fuse its bytes: 20/74/68/65
+    assert(merges.head.a.matches("[0-9A-F]{2}") &&
+      merges.head.b.matches("[0-9A-F]{2}"))
+    val words = Bpe.byteWords(docs, col("text"))
+    val n0 = words.select(sum(Bpe.tokenCount(
+      Bpe.applyByteMerges(col("word"), Nil))).cast("long"))
+      .as[Long].head()
+    val n8 = words.select(sum(Bpe.tokenCount(
+      Bpe.applyByteMerges(col("word"), merges))).cast("long"))
+      .as[Long].head()
+    assert(n8 < n0, s"merges must shorten: $n0 -> $n8")
+    // n0 = total UTF-8 bytes of all pre-tokens (the no-UNK property:
+    // the base segmentation is exactly the byte sequence)
+    val totalBytes = words
+      .select(sum(length(encode(col("word"), "UTF-8"))).cast("long"))
+      .as[Long].head()
+    assert(n0 == totalBytes)
+  }
 }
