@@ -2327,6 +2327,18 @@ object SparkEntry {
       graft.operators.InvertedIndex.bm25FromIndex(Tables.documents(s, d),
         col("doc_id"), col("text"), col("doc_id") % 25 === 0, k = 5)),
 
+    // INCREMENTAL INDEX MAINTENANCE (t36) — the Lucene segment model:
+    // 11 doc batches each build their own posting segment, compaction
+    // every 4 segments merges the prefix (newest boundary = seg 7), a
+    // tip reader loads compaction + 3 suffix segments only
+    // (segments_loaded = 4, pinned by the oracle), and BM25 served
+    // from the reassembled postings is hash-equal to t26's
+    // full-rebuild scoring — the merged-index ≡ rebuild proof
+    "t36_segment_merge" -> ((s, d) =>
+      graft.operators.InvertedIndex.segmentServedBm25(
+        Tables.documents(s, d), col("doc_id"), col("text"),
+        col("doc_id") % 25 === 0, nBatches = 11, every = 4, k = 5)),
+
     // BLOCK-PARTITIONED inverted index: token → posting blocks of
     // ≤ 64 docs each (block = doc_id div 64) — a stopword's corpus-
     // sized posting list never lands on one reducer; postings sort by
@@ -6962,6 +6974,20 @@ object SparkEntry {
     "t30_bm25_wand" ->
       s"""$duckBm25Ctes
          |SELECT query_id, rank, doc_id, score6
+         |FROM bmr WHERE rank <= 5""".stripMargin,
+
+    // t36 must ALSO land on t26's answer exactly (segment storage is
+    // a layout change, never a semantics change) — same oracle plus
+    // the pinned resolution receipt. Literals re-derive from the
+    // fixture (nBatches = 11 → tip seg 10, every = 4): newest
+    // compaction boundary = ((10+1)/4)*4 - 1 = 7, segments_loaded =
+    // 1 + (10 - 7) = 4. Change either parameter and these literals
+    // MUST be re-derived.
+    "t36_segment_merge" ->
+      s"""$duckBm25Ctes
+         |SELECT query_id, rank, doc_id, score6,
+         |  CAST(7 AS BIGINT) AS ckpt_seg,
+         |  CAST(4 AS BIGINT) AS segments_loaded
          |FROM bmr WHERE rank <= 5""".stripMargin,
 
     // exact leg = the s1 text without the query filter; approx leg =

@@ -274,6 +274,121 @@ object InvertedIndex {
     (topk, receipts)
   }
 
+  // ——— t36: incremental index maintenance (segment model) ———————————
+  // The Lucene/Delta discipline applied to the t24 posting blocks: a
+  // new document batch builds ITS OWN segment of block-partitioned
+  // postings (touching only the batch's docs — the incremental
+  // property p10 gives the corpus but the retrieval index lacked);
+  // every `every` segments a COMPACTION merges the prefix into one
+  // segment (the q102 checkpoint discipline applied to postings); a
+  // reader at the tip loads the newest compaction plus the suffix
+  // segments only — segments_loaded is the O(1)+suffix receipt.
+  // Search is served from the reassembled postings through the SAME
+  // scoring as t26 (TextAnalysis.bm25FromTf), and is hash-equal to a
+  // full rebuild because (a) batches PARTITION docs, so every
+  // (doc, token) tf lives wholly inside one segment, and (b)
+  // compaction is a multiset-preserving re-aggregation of postings —
+  // the union [compacted prefix] ∪ [suffix segments] carries exactly
+  // the rebuild's postings.
+
+  /** Per-segment posting blocks, one pass: key the t24 aggregate by
+    * (seg, tok, block) with seg = doc_id mod nBatches. Because seg is
+    * a function of doc_id, each (seg, tok, block) cell's content is
+    * IDENTICAL to building that batch alone — one corpus scan stands
+    * in for nBatches incremental builds (each of which would only
+    * aggregate its own batch's docs at ingest time). */
+  def segmentedPostings(docs: DataFrame, idCol: Column, textCol: Column,
+      nBatches: Int, blockSize: Int = 64): DataFrame = {
+    require(nBatches > 0 && blockSize > 0,
+      s"nBatches=$nBatches blockSize=$blockSize")
+    docs.select(idCol.as("doc_id"),
+        posexplode(TextAnalysis.tokens(textCol)).as(Seq("pos", "tok")))
+      .withColumn("seg", col("doc_id") % nBatches)
+      .withColumn("block", expr(s"doc_id div $blockSize"))
+      .groupBy(col("seg"), col("tok"), col("block"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("pos"))))
+        .as("ps"))
+      .select(col("seg"), col("tok"), col("block"),
+        array_join(transform(col("ps"),
+          p => concat_ws(":", p("doc_id"), p("pos"))), ",")
+          .as("payload"),
+        size(col("ps")).cast("long").as("n"))
+  }
+
+  /** Compaction: merge segments 0..upTo into ONE segment — explode
+    * the payloads back to (doc_id, pos) postings and re-run the t24
+    * cell aggregate. The (doc_id, pos) sort is a total order, so a
+    * compacted cell is STRING-IDENTICAL to the cell a from-scratch
+    * build of those batches would produce (spec-proven by payload
+    * fingerprint). Work ∝ the compacted segments' postings; at scale
+    * this is the background merge that bounds the reader's
+    * segment count, exactly Lucene's tiered merge. */
+  def compactSegments(segs: DataFrame, upTo: Int): DataFrame =
+    segs.filter(col("seg") <= upTo)
+      .select(col("tok"), col("block"),
+        explode(split(col("payload"), ",")).as("dp"))
+      .select(col("tok"), col("block"),
+        split(col("dp"), ":").getItem(0).cast("long").as("doc_id"),
+        split(col("dp"), ":").getItem(1).cast("int").as("pos"))
+      .groupBy(col("tok"), col("block"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("pos"))))
+        .as("ps"))
+      .select(lit(upTo.toLong).as("seg"), col("tok"), col("block"),
+        array_join(transform(col("ps"),
+          p => concat_ws(":", p("doc_id"), p("pos"))), ",")
+          .as("payload"),
+        size(col("ps")).cast("long").as("n"))
+
+  /** The newest compaction boundary at or below `tip` under a
+    * compact-every-`every`-segments policy (segments 0-indexed): the
+    * largest c with (c+1) % every == 0, or -1 when none exists. */
+  def newestCompaction(tip: Int, every: Int): Int =
+    ((tip + 1) / every) * every - 1
+
+  /** BM25 top-k served from a posting relation (any union of
+    * segments): tf is reassembled by counting each doc's occurrences
+    * in the payloads, then scored by the SAME definition as t26
+    * ([[TextAnalysis.bm25FromTf]]). */
+  def bm25FromPostings(postings: DataFrame, qterms: DataFrame,
+      k: Int = 5, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val tf = postings
+      .select(col("tok").as("token"),
+        explode(split(col("payload"), ",")).as("dp"))
+      .select(col("token"),
+        split(col("dp"), ":").getItem(0).cast("long").as("doc_id"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .persistTracked() // three consumers inside bm25FromTf
+    TextAnalysis.bm25FromTf(tf, qterms, k, k1, b)
+  }
+
+  /** The full t36 composition: build per-batch segments, compact at
+    * the newest policy boundary, read compaction + suffix, serve the
+    * t26-shaped BM25 from the reassembled postings. Output carries
+    * the resolution receipt (ckpt_seg, segments_loaded) on every row
+    * — the oracle pins both, q102-style. */
+  def segmentServedBm25(docs: DataFrame, idCol: Column,
+      textCol: Column, isQuery: Column, nBatches: Int, every: Int,
+      k: Int = 5, blockSize: Int = 64): DataFrame = {
+    require(every > 0, s"every=$every")
+    val tip = nBatches - 1
+    val segs = segmentedPostings(docs, idCol, textCol, nBatches,
+      blockSize).persistTracked() // compaction + suffix reads
+    val ckpt = newestCompaction(tip, every)
+    val loaded =
+      if (ckpt < 0) segs
+      else compactSegments(segs, ckpt)
+        .unionByName(segs.filter(col("seg") > ckpt))
+    val segmentsLoaded = if (ckpt < 0) tip + 1 else 1 + (tip - ckpt)
+    val qterms = docs.filter(isQuery)
+      .select(idCol.as("query_id"),
+        explode(array_distinct(TextAnalysis.tokens(textCol)))
+          .as("token"))
+    bm25FromPostings(loaded, qterms, k)
+      .withColumn("ckpt_seg", lit(ckpt.toLong))
+      .withColumn("segments_loaded", lit(segmentsLoaded.toLong))
+  }
+
   /** Exact-phrase occurrence count from the index alone (no rescan of
     * the corpus): adjacent-position self-joins of the query terms'
     * postings — the operation the positional index exists for. The

@@ -860,6 +860,20 @@ object TextAnalysis {
     val tf = tok.groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
       .persistTracked()
+    val qterms = docs.filter(isQuery)
+      .select(idCol.as("query_id"),
+        explode(array_distinct(tokens(textCol))).as("token"))
+    bm25FromTf(tf, qterms, k, k1, b)
+  }
+
+  /** [[bm25TopK]]'s scoring from an ALREADY-materialized (doc_id,
+    * token, tf) relation — the single scoring definition shared by
+    * the corpus-rescan path (t26) and the segment-served path (t36,
+    * whose tf is reassembled from stored posting blocks), so the two
+    * can never drift. `tf` should be persisted by the caller (three
+    * consumers: dl, df, candidate join). */
+  def bm25FromTf(tf: DataFrame, qterms: DataFrame, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val dfq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val tots = dl.agg(count(lit(1)).cast("double").as("n"),
@@ -869,9 +883,6 @@ object TextAnalysis {
         (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
         * lit(1e6)).cast("long"))
       .select(col("token"), col("idf6"), col("n"), col("tot"))
-    val qterms = docs.filter(isQuery)
-      .select(idCol.as("query_id"),
-        explode(array_distinct(tokens(textCol))).as("token"))
     val cand = tf.join(broadcast(qterms), Seq("token"))
       .filter(col("query_id") =!= col("doc_id"))
       .join(broadcast(idf6), Seq("token"))
