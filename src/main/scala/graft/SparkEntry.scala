@@ -2255,6 +2255,27 @@ object SparkEntry {
         .unionByName(tag(uni, "unigram"))
     }),
 
+    // CROSS-SOURCE BOILERPLATE REMOVAL (t37) — the C4/RefinedWeb
+    // template rule: a line in > 30% of a SOURCE's docs is boilerplate
+    // (the per-site template d9's corpus-wide duplicate rule can't
+    // see). The corpus has no newlines, so per-source templates are
+    // seeded: 3/4 of docs get a navigation header line, 1/2 a
+    // copyright footer — both cross the threshold and are stripped;
+    // body lines stay. Census per source: docs, distinct templates,
+    // dropped instances, docs changed, summed reassembly fingerprint
+    "t37_boilerplate" -> ((s, d) => {
+      val docs = Tables.documents(s, d).withColumn("text",
+        concat_ws("\n",
+          when(col("doc_id") % 4 =!= 3,
+            concat(lit("navigation home about contact "), col("source"))),
+          col("text"),
+          when(col("doc_id") % 2 === 0,
+            concat(lit("copyright "), col("source"),
+              lit(" all rights reserved")))))
+      Curation.boilerplateCensus(docs, col("doc_id"), col("text"),
+        col("source"), frac = 0.3)
+    }),
+
     // CCNet perplexity terciles: per-lang head/middle/tail triage by
     // the t13 bigram LM score — rank from a lang-partitioned window
     // (keyed shuffle-sort), bucket = (3·(rk−1)) div n, pure integer
@@ -6925,6 +6946,67 @@ object SparkEntry {
          |  CAST(sum(s.np) AS BIGINT) AS n_pieces,
          |  CAST(sum(${duckU32("s.seg", 11)}) AS BIGINT) AS seg_fp
          |FROM uocc o JOIN useg2 s USING (word)
+         |GROUP BY 1""".stripMargin,
+
+    // the seeded corpus rebuilt, line relation with ordinals, template
+    // mining per source (> 30% of the source's docs), anti-join strip,
+    // ordered reassembly (string_agg ORDER BY li = the Spark side's
+    // position-sorted collect), per-source census
+    "t37_boilerplate" ->
+      s"""WITH d37 AS (
+         |  SELECT doc_id, source,
+         |   concat_ws(chr(10),
+         |     CASE WHEN doc_id % 4 <> 3
+         |       THEN 'navigation home about contact ' || source END,
+         |     text,
+         |     CASE WHEN doc_id % 2 = 0
+         |       THEN 'copyright ' || source || ' all rights reserved'
+         |       END) AS text
+         |  FROM documents),
+         |l0 AS (
+         |  SELECT doc_id, source, li, line FROM (
+         |    SELECT doc_id, source, u.li AS li, u.line AS line FROM (
+         |      SELECT doc_id, source,
+         |        unnest(list_transform(range(0, len(ls)),
+         |          i -> struct_pack(li := i, line := ls[i+1]))) AS u
+         |      FROM (SELECT doc_id, source,
+         |            string_split(text, chr(10)) AS ls FROM d37)))
+         |  WHERE line <> ''),
+         |nd AS (SELECT source,
+         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+         |  FROM d37 GROUP BY 1),
+         |tpl AS (
+         |  SELECT lf.source, lf.line
+         |  FROM (SELECT source, line, count(DISTINCT doc_id) AS cnt
+         |        FROM l0 GROUP BY 1, 2) lf
+         |  JOIN nd USING (source)
+         |  WHERE lf.cnt > nd.n_docs * 0.3),
+         |tot AS (SELECT doc_id, source,
+         |  CAST(count(*) AS BIGINT) AS n_lines
+         |  FROM l0 GROUP BY 1, 2),
+         |kp AS (
+         |  SELECT l.doc_id, l.source, CAST(count(*) AS BIGINT) AS n_kept,
+         |    string_agg(l.line, chr(10) ORDER BY l.li) AS text2
+         |  FROM l0 l LEFT JOIN tpl t
+         |    ON t.source = l.source AND t.line = l.line
+         |  WHERE t.line IS NULL
+         |  GROUP BY 1, 2),
+         |per AS (
+         |  SELECT tot.doc_id, tot.source, tot.n_lines,
+         |    coalesce(kp.n_kept, 0) AS n_kept,
+         |    coalesce(kp.text2, '') AS text2
+         |  FROM tot LEFT JOIN kp USING (doc_id, source)),
+         |ntpl AS (SELECT source, CAST(count(*) AS BIGINT) AS n_templates
+         |  FROM tpl GROUP BY 1)
+         |SELECT p.source,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(coalesce(max(nt.n_templates), 0) AS BIGINT)
+         |    AS n_templates,
+         |  CAST(sum(p.n_lines - p.n_kept) AS BIGINT) AS inst_dropped,
+         |  CAST(sum(CASE WHEN p.n_kept < p.n_lines THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS docs_changed,
+         |  CAST(sum(${duckU32("p.text2", 37)}) AS BIGINT) AS kept_fp_sum
+         |FROM per p LEFT JOIN ntpl nt ON nt.source = p.source
          |GROUP BY 1""".stripMargin,
 
     // the t13 LM chain → per-doc lp6 → lang-partitioned rank →

@@ -596,4 +596,96 @@ object Curation {
       .unionByName(censusRow(2L, "exact_vs_state", b1, b2, fpSeed))
       .unionByName(censusRow(3L, "neardup_vs_state", b2, b3, fpSeed))
   }
+
+  // ——— t37: cross-source boilerplate removal ————————————————————————
+  // The C4/RefinedWeb template rule: a LINE whose exact text appears
+  // in more than `frac` of a SOURCE's documents is boilerplate
+  // (navigation bars, cookie banners, copyright footers — the
+  // per-site template d9's corpus-wide duplicate-segment rule cannot
+  // see, because a template is frequent only WITHIN its site). Strip
+  // every occurrence and reassemble each document from its surviving
+  // lines in order.
+
+  /** The per-source template-line relation: (source, line) for lines
+    * in > frac of the source's docs. Line frequency is a
+    * (source, line)-keyed distinct-doc count — map-side combinable,
+    * partitions bounded by a single source's repetition of one line;
+    * per-source doc totals are a broadcast-sized relation. */
+  def boilerplateLines(docs: DataFrame, idCol: Column, textCol: Column,
+      sourceCol: Column, frac: Double): DataFrame = {
+    require(frac > 0 && frac < 1, s"frac=$frac")
+    val lines = splitLines(docs, idCol, textCol, sourceCol)
+    val nDocs = docs.groupBy(sourceCol.as("source"))
+      .agg(countDistinct(idCol).as("n_docs"))
+    lines.groupBy(col("source"), col("line"))
+      .agg(countDistinct(col("doc_id")).as("cnt"))
+      .join(broadcast(nDocs), Seq("source"))
+      .filter(col("cnt") > col("n_docs") * lit(frac))
+      .select(col("source"), col("line"))
+  }
+
+  private def splitLines(docs: DataFrame, idCol: Column,
+      textCol: Column, sourceCol: Column): DataFrame =
+    docs.select(idCol.as("doc_id"), sourceCol.as("source"),
+        posexplode(split(textCol, "\n")).as(Seq("li", "line")))
+      .filter(col("line") =!= "")
+
+  /** Strip template lines and reassemble: (doc_id, source, n_lines,
+    * n_kept, text2) — text2 is the document rebuilt from surviving
+    * lines in original order (d9's reassembly discipline: array_sort
+    * on (position, line) structs so the collect is order-
+    * independent). The anti-join keys on (source, line) — the
+    * template relation is per-source-bounded and broadcastable. */
+  def boilerplateStrip(docs: DataFrame, idCol: Column, textCol: Column,
+      sourceCol: Column, frac: Double): DataFrame = {
+    val lines = splitLines(docs, idCol, textCol, sourceCol)
+      .persistTracked() // template mining + the anti-join + totals
+    val nDocs = docs.groupBy(sourceCol.as("source"))
+      .agg(countDistinct(idCol).as("n_docs"))
+    val templates = lines.groupBy(col("source"), col("line"))
+      .agg(countDistinct(col("doc_id")).as("cnt"))
+      .join(broadcast(nDocs), Seq("source"))
+      .filter(col("cnt") > col("n_docs") * lit(frac))
+      .select(col("source"), col("line"))
+    val totals = lines.groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_lines"))
+    val kept = lines
+      .join(broadcast(templates), Seq("source", "line"), "left_anti")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_sort(collect_list(struct(col("li"), col("line"))))
+          .as("ks"))
+      .select(col("doc_id"), col("source"), col("n_kept"),
+        array_join(transform(col("ks"), x => x("line")), "\n")
+          .as("text2"))
+    totals.join(kept, Seq("doc_id", "source"), "left")
+      .na.fill(0L, Seq("n_kept"))
+      .withColumn("text2", coalesce(col("text2"), lit("")))
+      .select(col("doc_id"), col("source"), col("n_lines"),
+        col("n_kept"), col("text2"))
+  }
+
+  /** Per-source census receipt for [[boilerplateStrip]]: doc count,
+    * distinct template lines, stripped line instances, documents
+    * changed, and the summed fingerprint of every reassembled text —
+    * hash-proving each document's post-strip content. */
+  def boilerplateCensus(docs: DataFrame, idCol: Column,
+      textCol: Column, sourceCol: Column, frac: Double,
+      fpSeed: Int = 37): DataFrame = {
+    val stripped = boilerplateStrip(docs, idCol, textCol, sourceCol,
+      frac)
+    val nTemplates = boilerplateLines(docs, idCol, textCol, sourceCol,
+        frac)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_templates"))
+    stripped.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_lines") - col("n_kept")).as("inst_dropped"),
+        sum(when(col("n_kept") < col("n_lines"), 1L).otherwise(0L))
+          .as("docs_changed"),
+        sum(Tables.hashU32(col("text2"), fpSeed)).as("kept_fp_sum"))
+      .join(nTemplates, Seq("source"), "left")
+      .na.fill(0L, Seq("n_templates"))
+      .select(col("source"), col("n_docs"), col("n_templates"),
+        col("inst_dropped"), col("docs_changed"), col("kept_fp_sum"))
+  }
 }
