@@ -986,6 +986,52 @@ object SparkEntry {
        |FROM br WHERE rank <= $k""".stripMargin
   }
 
+  /** s25 oracle: codebook trained on the BASE subset (the prefixed
+    * kmeans chain sourced from `eb`), then the s5-shaped search with
+    * the FULL corpus assigned to that codebook in one pass — which is
+    * exactly the from-scratch rebuild the Spark side's append must
+    * equal. */
+  private def duckIvfAppend(nc: Int, iters: Int, nProbe: Int,
+      k: Int): String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+       |  FROM embeddings),
+       |en AS (SELECT vec_id, v, ${duckNormOf("v")} AS nrm FROM e),
+       |eb AS (SELECT vec_id, v, nrm FROM en WHERE vec_id % 4 <> 0),
+       |${duckKmeansChain(nc, iters, "", "eb")},
+       |cs AS (
+       |  SELECT en.vec_id, c.cell_id,
+       |   list_reduce(list_transform(range(1, len(en.v) + 1),
+       |     j -> en.v[j] * c.cv[j]), (a, b) -> a + b) / (en.nrm * c.cnrm)
+       |     AS sim
+       |  FROM en CROSS JOIN cn$iters c),
+       |ranked AS (
+       |  SELECT vec_id, cell_id, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY sim DESC, cell_id) AS rk
+       |  FROM cs),
+       |assigned AS (SELECT vec_id, cell_id FROM ranked WHERE rk = 1),
+       |probed AS (SELECT vec_id, cell_id FROM ranked
+       |           WHERE rk <= $nProbe AND vec_id % 25 = 0),
+       |cand AS (
+       |  SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id
+       |  FROM probed p JOIN assigned a
+       |    ON a.cell_id = p.cell_id AND a.vec_id <> p.vec_id),
+       |scored AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |   list_reduce(list_transform(range(1, len(q.v) + 1),
+       |     j -> q.v[j] * nb.v[j]), (a, b) -> a + b) / (q.nrm * nb.nrm)
+       |     AS cosine
+       |  FROM cand c
+       |  JOIN en q ON q.vec_id = c.query_id
+       |  JOIN en nb ON nb.vec_id = c.neighbor_id),
+       |r2 AS (
+       |  SELECT query_id, neighbor_id, cosine, CAST(row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)
+       |    AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, cosine
+       |FROM r2 WHERE rank <= $k""".stripMargin
+
   /** s24 oracle: the relational NSW beam search replayed step for
     * step — shared kmeans CTEs → the s5-shaped banded candidates →
     * degree-capped kNN graph (ties dst asc) → `rounds` unrolled beam
@@ -3858,6 +3904,23 @@ object SparkEntry {
       Similarity.ivfFilteredTopK(emb, codebook,
         emb.filter(col("vec_id") % 25 === 0), "vec_id", "embedding",
         col("vec_id") % 3 === 0, k = 5, nProbe = 2)
+    }),
+
+    // STREAMING IVF APPEND (s25) — p10's twin on the vector side: the
+    // base corpus (3/4 of vectors) trains the codebook and builds the
+    // index; the incoming batch (1/4) assigns to the STORED centroids
+    // (broadcast codebook, batch-sized work, no retrain); search
+    // serves base ∪ appended. The oracle assigns the full corpus in
+    // one pass to the SAME base-trained codebook — hash-equality IS
+    // the append ≡ rebuild receipt. Rebalance trigger census is
+    // spec-covered (SimilarityAppendSpec)
+    "s25_ivf_append" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfAppendSearch(
+        emb.filter(col("vec_id") % 4 =!= 0),
+        emb.filter(col("vec_id") % 4 === 0),
+        emb.filter(col("vec_id") % 25 === 0), "vec_id", "embedding",
+        k = 5, nCells = 8, iters = 2, nProbe = 2)
     }),
 
     // GRAPH-TIER ANN — beam search over a bounded-degree kNN graph
@@ -7579,6 +7642,9 @@ object SparkEntry {
     "s24_nsw_beam" ->
       duckNswTopK(nc = 8, iters = 2, nProbeBuild = 2, degree = 6,
         beam = 8, rounds = 3, k = 5),
+
+    "s25_ivf_append" ->
+      duckIvfAppend(nc = 8, iters = 2, nProbe = 2, k = 5),
 
     "s8_semantic_dedup" ->
       duckSemanticDedup(nc = 8, iters = 2, tau = 0.35),

@@ -1640,6 +1640,60 @@ object Similarity {
         col("node_id").as("neighbor_id"), col("cosine"))
   }
 
+  /** s25: STREAMING IVF APPEND — p10's missing twin on the vector
+    * side. A new vector batch joins the index by assigning to the
+    * STORED centroids (broadcast codebook, one batch-sized map — the
+    * corpus-sized index is never re-trained or re-shuffled); search
+    * serves from base ∪ appended at unchanged centroids. Because
+    * assignment is per-row against a fixed codebook, the appended
+    * index is IDENTICAL to re-assigning the full corpus from scratch
+    * — the append-search ≡ rebuild-search receipt the oracle pins
+    * (it assigns everything in one pass; the Spark plan appends).
+    * [[appendRebalanceTrigger]] is the census that decides when the
+    * s22 cell-balance repair should run: append never degrades
+    * silently. */
+  def appendToIndex(batch: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
+    val cWith = centroids
+      .select(col("cell_id"), col("centroid").as("cv"))
+      .withColumn("cnrm", norm(col("cv")))
+    val e = batch.select(col(idCol).as("vid"), col(vecCol).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    assignCells(e, cWith)
+      .withColumn("nrm", norm(col("v")))
+      .select(col("vid").as("vec_id"), col("v").as("embedding"),
+        col("nrm"), col("cell"))
+  }
+
+  /** Per-cell census after an append: post-append population vs the
+    * s22 cap (⌈capFactor·n/C⌉ over the TOTAL population and the full
+    * codebook size) — (cell, cnt, cap, hot). A hot cell is the
+    * trigger for the [[balancedCentroids]] repair. Census only: one
+    * count aggregate off the index relation, metadata-sized. */
+  def appendRebalanceTrigger(index: DataFrame, nCells: Int,
+      capFactor: Double = 2.0): DataFrame = {
+    val sizes = index.groupBy(col("cell").cast("long").as("cell"))
+      .agg(count(lit(1)).as("cnt"))
+    val cap = sizes.agg(sum(col("cnt")).as("n"))
+      .select(ceil(col("n") * lit(capFactor) / lit(nCells))
+        .cast("long").as("cap"))
+    sizes.crossJoin(broadcast(cap))
+      .select(col("cell"), col("cnt"), col("cap"),
+        (col("cnt") > col("cap")).as("hot"))
+  }
+
+  /** Train on the base, append the batch at stored centroids, search
+    * the union — the full s25 composition. */
+  def ivfAppendSearch(base: DataFrame, incoming: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      nCells: Int, iters: Int, nProbe: Int): DataFrame = {
+    val (cents, baseIdx) = buildIvfIndex(base, idCol, vecCol, nCells,
+      iters)
+    val index = baseIdx
+      .unionByName(appendToIndex(incoming, cents, idCol, vecCol))
+    ivfSearchIndexed(index, cents, queries, idCol, vecCol, k, nProbe)
+  }
+
   /** Train → graph-build → beam-search composition for s24. */
   def nswTopK(emb: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nCells: Int, iters: Int, degree: Int,
