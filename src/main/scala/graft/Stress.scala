@@ -640,6 +640,73 @@ object Stress {
         col("media_id"), col("blob"), win = 40,
         threshold = 1000000L).count()
     }
+    // graph-tier ANN with FIXED queries: the graph build is the banded
+    // IVF top-k (cells ∝ n via autoCells, per-node candidates
+    // constant), and the beam search's per-query work is bounded by
+    // beam·degree·rounds — both legs must stay near-linear while the
+    // corpus grows
+    val nswQueries = emb.filter(col("vec_id") < 2000 &&
+      col("vec_id") % 25 === 0)
+    t("s24_nsw_beam(fixed-queries)") {
+      Similarity.nswTopK(emb, nswQueries, "vec_id", "embedding",
+        k = 5, nCells = Similarity.autoCells(emb.count()), iters = 2,
+        degree = 6, nProbeBuild = 2, beamWidth = 8, rounds = 3).count()
+    }
+    // streaming IVF append: base 9/10 trains + indexes, the FIXED
+    // batch (1/10 of the base copy) appends at stored centroids —
+    // the append leg's cost must track the batch while the index
+    // grows; trigger census is metadata-sized
+    t("s25_ivf_append(fixed-batch)") {
+      val base = emb.filter(col("vec_id") % 10 =!= 7)
+      val batch = emb.filter(col("vec_id") % 10 === 7 &&
+        col("vec_id") < 2000000L)
+      val (cents, baseIdx) = Similarity.buildIvfIndex(base, "vec_id",
+        "embedding", Similarity.autoCells(base.count()), 2)
+      val idx = baseIdx.unionByName(
+        Similarity.appendToIndex(batch, cents, "vec_id", "embedding"))
+      val hot = Similarity.appendRebalanceTrigger(idx,
+        Similarity.autoCells(base.count()))
+        .filter(col("hot")).count()
+      val n = Similarity.ivfSearchIndexed(idx, cents, nswQueries,
+        "vec_id", "embedding", 5, 2).count()
+      println(s"    s25 receipt: hot_cells=$hot")
+      n
+    }
+    // byte-level BPE: corpus-scale work is ONE pre-token count
+    // (explode + map-side-combined agg); training runs over the
+    // bounded top-V sketch, apply is a codegen'd replace fold
+    t("t35_byte_bpe") {
+      val merges = Bpe.trainEncoded(
+        Bpe.byteVocab(docs, col("text"), 4096), 16)
+      Bpe.byteWords(docs, col("text"))
+        .select(Bpe.tokenCount(
+          Bpe.applyByteMerges(col("word"), merges)).as("np"))
+        .agg(sum(col("np"))).collect().length.toLong
+    }
+    // segment-served BM25 with fixed queries: per-segment build is
+    // one keyed aggregate, compaction re-aggregates the prefix once,
+    // serving cost tracks the query shortlist
+    t("t36_segment_merge(fixed-queries)") {
+      val isQ = col("doc_id") % 500 === 0 && col("doc_id") < 10000000L
+      InvertedIndex.segmentServedBm25(docs, col("doc_id"),
+        col("text"), isQ, nBatches = 11, every = 4, k = 5).count()
+    }
+    // line-frequency template mining: (source, line)-keyed counts +
+    // a broadcast anti-join + per-doc reassembly — every stage keyed,
+    // nothing corpus-global
+    t("t37_boilerplate") {
+      val seeded = docs.withColumn("text",
+        concat_ws("\n",
+          when(col("doc_id") % 4 =!= 3,
+            concat(lit("navigation home about contact "),
+              col("source"))),
+          col("text"),
+          when(col("doc_id") % 2 === 0,
+            concat(lit("copyright "), col("source"),
+              lit(" all rights reserved")))))
+      Curation.boilerplateCensus(seeded, col("doc_id"), col("text"),
+        col("source"), frac = 0.3).count()
+    }
     spark.stop()
   }
 }
