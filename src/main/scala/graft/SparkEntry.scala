@@ -3932,8 +3932,18 @@ object SparkEntry {
     // SimilarityGraphSpec + BASELINE §6)
     "s24_nsw_beam" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
+      // 64 cells, not the query-side queries' 8: the graph build
+      // scores EVERY corpus node against its probed cells (cost
+      // n²·nProbe/nCells), so the build leg wants cells ≈ √n
+      // (autoCells(2000) = 45) where the query-side entries can
+      // afford 8. At this SF the op's wall time is the
+      // round-synchronous stage floor, not the scoring volume
+      // (profiled: train ≈ 4 s, graph ≈ 1 s, 3 beam rounds ≈ 11 s
+      // of ~5 shuffle stages each on KB-sized relations — the d12
+      // job-overhead floor, amortized at scale); the scale path
+      // proper (cells ∝ √n via autoCells) is the Stress row.
       Similarity.nswTopK(emb, emb.filter(col("vec_id") % 25 === 0),
-        "vec_id", "embedding", k = 5, nCells = 8, iters = 2,
+        "vec_id", "embedding", k = 5, nCells = 64, iters = 2,
         degree = 6, nProbeBuild = 2, beamWidth = 8, rounds = 3)
     }),
 
@@ -7640,7 +7650,7 @@ object SparkEntry {
         queryWhere = " AND vec_id % 25 = 0"),
 
     "s24_nsw_beam" ->
-      duckNswTopK(nc = 8, iters = 2, nProbeBuild = 2, degree = 6,
+      duckNswTopK(nc = 64, iters = 2, nProbeBuild = 2, degree = 6,
         beam = 8, rounds = 3, k = 5),
 
     "s25_ivf_append" ->

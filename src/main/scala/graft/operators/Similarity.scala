@@ -1606,29 +1606,40 @@ object Similarity {
       .persistTracked() // probed by every round's expansion join
     val wBeam = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("node_id").asc)
+    // visited carries the round each node was SCORED in ("r"): the
+    // beam bar only rises and a node's cosine is fixed, so a node
+    // makes the beam iff it makes it in its own scoring round —
+    // "entered the beam this round" is a filter on r over the beam
+    // window, replacing a per-round semi-join against the scored set
     var visited = q.select(col("query_id"),
-      col("query_id").as("node_id"), lit(1.0).as("cosine"))
+      col("query_id").as("node_id"), lit(1.0).as("cosine"),
+      lit(0).as("r"))
     var frontier = visited.select(col("query_id"), col("node_id"))
-    for (_ <- 1 to rounds) {
-      val expanded = frontier.join(g, frontier("node_id") === g("src"))
-        .select(col("query_id"), col("dst").as("node_id"))
-        .distinct()
-      val fresh = expanded
-        .join(visited.select(col("query_id"), col("node_id")),
-          Seq("query_id", "node_id"), "left_anti")
+    for (round <- 1 to rounds) {
+      // expansion dedup and the not-yet-visited check in ONE keyed
+      // aggregation: union the expanded edges (seen=0) with the
+      // visited keys (seen=1); a (query, node) group whose max(seen)
+      // is 0 is a genuinely fresh destination
+      val fresh = frontier.join(g, frontier("node_id") === g("src"))
+        .select(col("query_id"), col("dst").as("node_id"),
+          lit(0).as("seen"))
+        .unionByName(visited.select(col("query_id"), col("node_id"),
+          lit(1).as("seen")))
+        .groupBy(col("query_id"), col("node_id"))
+        .agg(max(col("seen")).as("seen"))
+        .filter(col("seen") === 0)
+        .select(col("query_id"), col("node_id"))
       val scored = fresh.join(c, Seq("node_id"))
         .join(broadcast(q), Seq("query_id"))
         .withColumn("cosine", dot(col("q_vec"), col("n_vec")) /
           (col("q_norm") * col("n_norm")))
-        .select(col("query_id"), col("node_id"), col("cosine"))
-        .persistTracked() // read by visited-union AND next frontier
+        .select(col("query_id"), col("node_id"), col("cosine"),
+          lit(round).as("r"))
       visited = visited.unionByName(scored)
         .persistTracked() // cuts the per-round lineage recursion
       frontier = visited
         .withColumn("rn", row_number().over(wBeam))
-        .filter(col("rn") <= beamWidth)
-        .join(scored.select(col("query_id"), col("node_id")),
-          Seq("query_id", "node_id"), "left_semi")
+        .filter(col("rn") <= beamWidth && col("r") === round)
         .select(col("query_id"), col("node_id"))
     }
     val wRank = Window.partitionBy(col("query_id"))
