@@ -55,6 +55,104 @@ object SparkEntry {
   private val DuckToks =
     "list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0)"
 
+  /** t38 parameters, shared by the Spark entry and the DuckDB twin so
+    * the oracle can never drift (the round-7 hardcoded-twin lesson). */
+  private val QualityPosSources: Seq[String] =
+    (1 to 19 by 2).map("src" + _)
+  private val QualityBuckets = 64
+  private val QualityIters = 4
+  private val QualityLr = 100.0
+  private val QualityPosMark = "curated editorial standards apply"
+  private val QualityNegMark = "sponsored content click here"
+
+  /** t38 style seed: the synthetic corpus has no text↔source
+    * correlation, so half of each class's docs get a class-typical
+    * phrase appended (concat_ws skips the null branch — the t37
+    * seeding idiom, mirrored verbatim in the twin). */
+  private def qualitySeeded(docs: DataFrame): DataFrame =
+    docs.withColumn("text", concat_ws(" ", col("text"),
+      when(col("doc_id") % 2 === 0,
+        when(col("source").isInCollection(QualityPosSources),
+          lit(QualityPosMark)).otherwise(lit(QualityNegMark)))))
+
+  /** DuckDB twin of TextAnalysis.qualityClassifierCensus: hashed-BoW
+    * logistic regression with full-batch GD unrolled to
+    * [[QualityIters]] weight CTEs. Features, weights, logits, and
+    * gradients are micro-unit BIGINTs end-to-end; the sigmoid is the
+    * only float op and its output is quantized straight back (the
+    * t12/t15 discipline), so every aggregation is an order-free
+    * integer sum and the twin is exact. Operand order mirrors the
+    * Spark expressions step for step. */
+  private def duckQualityCensus(posSources: Seq[String], nBuckets: Int,
+      iters: Int, lr: Double): String = {
+    val posList = posSources.map(s => s"'$s'").mkString(", ")
+    val iterCtes = (1 to iters).map { r =>
+      s"""s$r AS (
+         |  SELECT f.doc_id, f.y6, sum(w.w6 * f.x6) AS z12
+         |  FROM qfeats f JOIN w${r - 1} w USING (bucket)
+         |  GROUP BY f.doc_id, f.y6),
+         |p$r AS (
+         |  SELECT doc_id, y6,
+         |    CAST(round(1e6 / (1 + exp(-z12 / 1e12))) AS BIGINT) AS p6
+         |  FROM s$r),
+         |g$r AS (
+         |  SELECT f.bucket,
+         |    sum(CAST(round((p.p6 - f.y6) * f.x6 / 1e6) AS BIGINT))
+         |      AS g6
+         |  FROM qfeats f JOIN p$r p USING (doc_id)
+         |  GROUP BY f.bucket),
+         |w$r AS (
+         |  SELECT w.bucket,
+         |    w.w6 - CAST(round($lr * g.g6 / nl.n) AS BIGINT) AS w6
+         |  FROM w${r - 1} w JOIN g$r g USING (bucket)
+         |  CROSS JOIN nl),""".stripMargin
+    }.mkString("\n")
+    s"""WITH qsrc AS (
+       |  SELECT doc_id, source,
+       |    concat_ws(' ', text,
+       |      CASE WHEN doc_id % 2 = 0 THEN
+       |        CASE WHEN source IN ($posList)
+       |          THEN '$QualityPosMark' ELSE '$QualityNegMark' END
+       |      END) AS text
+       |  FROM documents),
+       |qb AS (
+       |  SELECT doc_id, source, $DuckToks AS toks FROM qsrc),
+       |qb2 AS (
+       |  SELECT doc_id, source, len(toks) AS t_doc, toks,
+       |    CASE WHEN source IN ($posList)
+       |      THEN 1000000 ELSE 0 END AS y6
+       |  FROM qb WHERE len(toks) > 0),
+       |qtok AS (
+       |  SELECT doc_id, y6, t_doc, unnest(toks) AS token FROM qb2),
+       |qfeats AS (
+       |  SELECT doc_id, y6,
+       |    ('0x' || substr(md5(token || '#41'), 1, 8))::BIGINT
+       |      % $nBuckets AS bucket,
+       |    CAST(round(1e6 * count(*) / t_doc) AS BIGINT) AS x6
+       |  FROM qtok GROUP BY doc_id, y6, t_doc, bucket
+       |  UNION ALL
+       |  SELECT doc_id, y6, -1 AS bucket, 10000 AS x6 FROM qb2),
+       |nl AS (SELECT count(*) AS n FROM qb2),
+       |w0 AS (
+       |  SELECT DISTINCT bucket, CAST(0 AS BIGINT) AS w6 FROM qfeats),
+       |$iterCtes
+       |qapply AS (
+       |  SELECT f.doc_id, sum(w.w6 * f.x6) AS z12
+       |  FROM qfeats f JOIN w$iters w USING (bucket)
+       |  GROUP BY f.doc_id),
+       |qq AS (
+       |  SELECT b.source,
+       |    CAST(round(1e6 / (1 + exp(-a.z12 / 1e12))) AS BIGINT)
+       |      AS quality6
+       |  FROM qapply a JOIN qb2 b USING (doc_id))
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN quality6 >= 500000 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_kept,
+       |  CAST(round(sum(quality6) * 1.0 / count(*)) AS BIGINT)
+       |    AS mean_quality6
+       |FROM qq GROUP BY source""".stripMargin
+  }
+
   /** DuckDB twin of TextAnalysis.bm25TopK (k1=1.2, b=0.75, queries =
     * doc_id %% 25 = 0): WITH-chain ending at `bmr` = (query_id,
     * doc_id, score6, rank). Every arithmetic step mirrors the Spark
@@ -2321,6 +2419,24 @@ object SparkEntry {
       Curation.boilerplateCensus(docs, col("doc_id"), col("text"),
         col("source"), frac = 0.3)
     }),
+
+    // model-based quality filtering (the fastText/CCNet gate): train
+    // a logistic-regression scorer in-engine on weak source labels
+    // (odd-numbered sources = curated), apply corpus-wide, census
+    // per source — integer-exact through the iterative trainer (the
+    // micro-unit discipline), so the unrolled-GD DuckDB twin
+    // hash-matches. The synthetic corpus has no text↔source
+    // correlation, so a class-correlated STYLE signal is seeded on
+    // half of each class's docs (the t37 boilerplate-seeding
+    // pattern): curated sources carry editorial phrases, the rest
+    // carry promo phrases — the classifier must find it from hashed
+    // bag-of-words alone
+    "t38_quality_classifier" -> ((s, d) =>
+      TextAnalysis.qualityClassifierCensus(
+        qualitySeeded(Tables.documents(s, d)),
+        col("doc_id"), col("text"), col("source"), QualityPosSources,
+        nBuckets = QualityBuckets, iters = QualityIters,
+        lr = QualityLr)),
 
     // CCNet perplexity terciles: per-lang head/middle/tail triage by
     // the t13 bigram LM score — rank from a lang-partitioned window
@@ -7025,6 +7141,10 @@ object SparkEntry {
     // mining per source (> 30% of the source's docs), anti-join strip,
     // ordered reassembly (string_agg ORDER BY li = the Spark side's
     // position-sorted collect), per-source census
+    "t38_quality_classifier" ->
+      duckQualityCensus(QualityPosSources, QualityBuckets,
+        QualityIters, QualityLr),
+
     "t37_boilerplate" ->
       s"""WITH d37 AS (
          |  SELECT doc_id, source,

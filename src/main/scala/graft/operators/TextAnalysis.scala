@@ -967,4 +967,101 @@ object TextAnalysis {
       round(ent, 4).as("entropy_bits"),
       (ent >= loBits && ent <= hiBits).as("pass_gate"))
   }
+
+  /** t38: MODEL-BASED quality filtering — the fastText/CCNet-style
+    * linear classifier gate every public LLM pipeline ships (GPT-3's
+    * WebText-vs-CommonCrawl filter, CCNet's wiki-LM selection,
+    * LLaMA's wiki-reference classifier): train a logistic-regression
+    * scorer IN-ENGINE on weak source labels (curated sources = 1,
+    * the rest = 0), apply it to every document, census per source.
+    *
+    * Determinism discipline (the t12/t15 micro-unit playbook, here
+    * end-to-end through an ITERATIVE trainer): features are hashed
+    * bag-of-words term frequencies quantized to micro-units
+    * (x6 = round(1e6·cnt/t_doc), exact longs), weights live in
+    * micro-units, the per-doc logit is an exact long dot product
+    * (z12 = Σ w6·x6), and the ONLY float op per iteration is the
+    * sigmoid — whose output is quantized straight back to micro-units
+    * (p6). Per-row gradient contributions are quantized longs
+    * (round((p6−y6)·x6/1e6), bounded by 1e6 so a 1e9-doc corpus sum
+    * stays far inside long range), so every aggregation is an
+    * order-independent integer sum and the DuckDB twin is exact.
+    *
+    * Scale shape: one corpus pass per GD iteration — the feature
+    * relation is (doc, bucket)-keyed and map-side combines into
+    * nBuckets+1 gradient rows; the weight relation (65 rows) is
+    * broadcast back. No driver-side data paths (the labeled-count
+    * scalar is an index-build-time count, the NB precedent). Work is
+    * ∝ corpus·iters with a fixed tiny model — the classic
+    * distributed full-batch GD. */
+  def qualityScores(docs: DataFrame, idCol: Column, textCol: Column,
+      sourceCol: Column, posSources: Seq[String], nBuckets: Int = 64,
+      iters: Int = 4, lr: Double = 100.0): DataFrame = {
+    require(nBuckets > 0 && iters >= 1 && lr > 0,
+      s"need nBuckets/iters/lr positive, got $nBuckets/$iters/$lr")
+    val base = docs.select(idCol.as("doc_id"), sourceCol.as("source"),
+        tokens(textCol).as("toks"))
+      .withColumn("t_doc", size(col("toks")))
+      .filter(col("t_doc") > 0)
+      .withColumn("y6",
+        when(col("source").isInCollection(posSources), lit(1000000L))
+          .otherwise(lit(0L)))
+      .persistTracked() // feature build (twice) + labeled count + census
+    val feats = base
+      .select(col("doc_id"), col("y6"), col("t_doc"),
+        explode(col("toks")).as("token"))
+      .groupBy(col("doc_id"), col("y6"), col("t_doc"),
+        (Tables.hashU32(col("token"), 41) % nBuckets).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("doc_id"), col("y6"), col("bucket"),
+        round(lit(1e6) * col("cnt") / col("t_doc")).cast("long")
+          .as("x6"))
+      .unionByName(base.select(col("doc_id"), col("y6"),
+        lit(-1L).as("bucket"), lit(10000L).as("x6")))
+      .persistTracked() // probed every iteration + the apply pass
+    val n = base.count()
+    var w = feats.select(col("bucket")).distinct()
+      .withColumn("w6", lit(0L))
+      .persistTracked()
+    for (_ <- 1 to iters) {
+      val p = feats.join(broadcast(w), "bucket")
+        .groupBy(col("doc_id"), col("y6"))
+        .agg(sum(col("w6") * col("x6")).as("z12"))
+        .withColumn("p6", round(lit(1e6) /
+          (lit(1.0) + exp(-col("z12") / lit(1e12)))).cast("long"))
+      val grad = feats
+        .join(p.select(col("doc_id"), col("p6")), "doc_id")
+        .groupBy(col("bucket"))
+        .agg(sum(round((col("p6") - col("y6")) * col("x6") / lit(1e6))
+          .cast("long")).as("g6"))
+      w = w.join(grad, "bucket")
+        .select(col("bucket"),
+          (col("w6") - round(lit(lr) * col("g6") / lit(n.toDouble))
+            .cast("long")).as("w6"))
+        .persistTracked()
+    }
+    feats.join(broadcast(w), "bucket")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("w6") * col("x6")).as("z12"))
+      .withColumn("quality6", round(lit(1e6) /
+        (lit(1.0) + exp(-col("z12") / lit(1e12)))).cast("long"))
+      .join(base.select(col("doc_id"), col("source")), "doc_id")
+      .select(col("doc_id"), col("source"), col("quality6"))
+  }
+
+  /** t38 census: per-source document count, kept count at the 0.5
+    * decision threshold, and mean quality in micro-units. */
+  def qualityClassifierCensus(docs: DataFrame, idCol: Column,
+      textCol: Column, sourceCol: Column, posSources: Seq[String],
+      nBuckets: Int = 64, iters: Int = 4, lr: Double = 100.0)
+      : DataFrame =
+    qualityScores(docs, idCol, textCol, sourceCol, posSources,
+      nBuckets, iters, lr)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("quality6") >= 500000L, 1L).otherwise(0L))
+          .as("n_kept"),
+        round(sum(col("quality6")) * lit(1.0) / count(lit(1)))
+          .cast("long").as("mean_quality6"))
+
 }
