@@ -1137,8 +1137,9 @@ object SparkEntry {
     * round (gf), scoring unseen destinations (gn/gs), re-cutting the
     * beam over everything visited (gv/gb). Mirrors
     * Similarity.knnGraph + nswBeamTopK exactly. */
-  private def duckNswTopK(nc: Int, iters: Int, nProbeBuild: Int,
-      degree: Int, beam: Int, rounds: Int, k: Int): String = {
+  private def duckNswBody(nc: Int, iters: Int, nProbeBuild: Int,
+      degree: Int, beam: Int, rounds: Int, k: Int,
+      entryCtes: String): String = {
     val roundCtes = (1 to rounds).map { r =>
       s"""ge$r AS (
          |  SELECT DISTINCT f.query_id, g.dst AS node_id
@@ -1203,9 +1204,7 @@ object SparkEntry {
        |    FROM gsc) WHERE rk <= $degree),
        |gq AS (SELECT vec_id AS query_id, v, nrm FROM en
        |       WHERE vec_id % 25 = 0),
-       |gv0 AS (SELECT query_id, query_id AS node_id,
-       |        CAST(1.0 AS DOUBLE) AS cosine FROM gq),
-       |gf0 AS (SELECT query_id, node_id FROM gv0),
+       |$entryCtes,
        |$roundCtes
        |SELECT query_id, rank, neighbor_id, cosine FROM (
        |  SELECT query_id, node_id AS neighbor_id, cosine,
@@ -1214,6 +1213,43 @@ object SparkEntry {
        |  FROM gv$rounds WHERE node_id <> query_id)
        |WHERE rank <= $k""".stripMargin
   }
+
+  /** s24 entry: queries are corpus members and enter at their own
+    * node (cosine 1.0). */
+  private def duckNswTopK(nc: Int, iters: Int, nProbeBuild: Int,
+      degree: Int, beam: Int, rounds: Int, k: Int): String =
+    duckNswBody(nc, iters, nProbeBuild, degree, beam, rounds, k,
+      entryCtes =
+        """gv0 AS (SELECT query_id, query_id AS node_id,
+          |        CAST(1.0 AS DOUBLE) AS cosine FROM gq),
+          |gf0 AS (SELECT query_id, node_id FROM gv0)""".stripMargin)
+
+  /** s26 entry: layered (HNSW) — the top geometric layer
+    * (hashU32(id, 97) %% ratio = 0) is scored brute-force per query
+    * and the best entryW nodes seed the layer-0 beam. Shares every
+    * graph-build and round CTE with the s24 twin via duckNswBody so
+    * the two mirrors cannot drift. */
+  private def duckHnswTopK(nc: Int, iters: Int, nProbeBuild: Int,
+      degree: Int, ratio: Int, entryW: Int, beam: Int, rounds: Int,
+      k: Int): String =
+    duckNswBody(nc, iters, nProbeBuild, degree, beam, rounds, k,
+      entryCtes = s"""hl1 AS (
+         |  SELECT vec_id FROM en
+         |  WHERE ('0x' || substr(md5(vec_id::VARCHAR || '#97'), 1, 8))::BIGINT
+         |    % $ratio = 0),
+         |gent AS (
+         |  SELECT q.query_id, e.vec_id AS node_id,
+         |   list_reduce(list_transform(range(1, len(q.v) + 1),
+         |     j -> q.v[j] * e.v[j]), (a, b) -> a + b) / (q.nrm * e.nrm)
+         |     AS cosine
+         |  FROM gq q
+         |  CROSS JOIN (SELECT en.* FROM en JOIN hl1 USING (vec_id)) e),
+         |gv0 AS (SELECT query_id, node_id, cosine FROM (
+         |  SELECT query_id, node_id, cosine, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cosine DESC, node_id) AS rk
+         |  FROM gent) WHERE rk <= $entryW),
+         |gf0 AS (SELECT query_id, node_id FROM gv0)""".stripMargin)
+
 
   /** The full s11 residual-IVF-PQ CTE chain through the ADC ranking
     * `r` (train cells → assign/probe → residuals → PQ train →
@@ -4061,6 +4097,19 @@ object SparkEntry {
       Similarity.nswTopK(emb, emb.filter(col("vec_id") % 25 === 0),
         "vec_id", "embedding", k = 5, nCells = 64, iters = 2,
         degree = 6, nProbeBuild = 2, beamWidth = 8, rounds = 3)
+    }),
+
+    // hierarchical entry (the HNSW layer trick): the 1/16 geometric
+    // layer is scored brute-force per query (the declared coarse
+    // tier — add layers to shrink it), its best 2 nodes seed the
+    // layer-0 beam; unlike s24's self-entry, queries need not be
+    // corpus members
+    "s26_hnsw_layers" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.hnswTopK(emb, emb.filter(col("vec_id") % 25 === 0),
+        "vec_id", "embedding", k = 5, nCells = 64, iters = 2,
+        degree = 6, nProbeBuild = 2, beamWidth = 8, rounds = 3,
+        layerRatio = 16, nLayers = 2, entryWidth = 2)
     }),
 
     // FAISS "refine" tail on s11: ADC ranks a 25-candidate shortlist,
@@ -7772,6 +7821,10 @@ object SparkEntry {
     "s24_nsw_beam" ->
       duckNswTopK(nc = 64, iters = 2, nProbeBuild = 2, degree = 6,
         beam = 8, rounds = 3, k = 5),
+
+    "s26_hnsw_layers" ->
+      duckHnswTopK(nc = 64, iters = 2, nProbeBuild = 2, degree = 6,
+        ratio = 16, entryW = 2, beam = 8, rounds = 3, k = 5),
 
     "s25_ivf_append" ->
       duckIvfAppend(nc = 8, iters = 2, nProbe = 2, k = 5),

@@ -1602,6 +1602,21 @@ object Similarity {
       .persistTracked() // probed by every round's scoring join
     val c = emb.select(col(idCol).as("node_id"), col(vecCol).as("n_vec"))
       .withColumn("n_norm", norm(col("n_vec")))
+    // self-entry: queries are corpus members and enter at their own
+    // node (cosine 1.0 — it occupies a beam slot, excluded at rank)
+    val seeds = q.select(col("query_id"),
+      col("query_id").as("node_id"), lit(1.0).as("cosine"))
+    rankTopK(beamRounds(c, graph, q, seeds, beamWidth, rounds), k)
+  }
+
+  /** Shared round-synchronous beam core of s24 (self-entry) and s26
+    * (layered entry): `seeds` = (query_id, node_id, cosine) rows are
+    * round-0 visited AND the initial frontier; `q` must be the
+    * normed (query_id, q_vec, q_norm) relation, persisted by the
+    * caller. Returns the visited relation (query_id, node_id,
+    * cosine, r). */
+  private def beamRounds(c: DataFrame, graph: DataFrame, q: DataFrame,
+      seeds: DataFrame, beamWidth: Int, rounds: Int): DataFrame = {
     val g = graph.select(col("src"), col("dst"))
       .persistTracked() // probed by every round's expansion join
     val wBeam = Window.partitionBy(col("query_id"))
@@ -1611,9 +1626,8 @@ object Similarity {
     // makes the beam iff it makes it in its own scoring round —
     // "entered the beam this round" is a filter on r over the beam
     // window, replacing a per-round semi-join against the scored set
-    var visited = q.select(col("query_id"),
-      col("query_id").as("node_id"), lit(1.0).as("cosine"),
-      lit(0).as("r"))
+    var visited = seeds.select(col("query_id"), col("node_id"),
+      col("cosine"), lit(0).as("r"))
     var frontier = visited.select(col("query_id"), col("node_id"))
     for (round <- 1 to rounds) {
       // expansion dedup and the not-yet-visited check in ONE keyed
@@ -1642,6 +1656,12 @@ object Similarity {
         .filter(col("rn") <= beamWidth && col("r") === round)
         .select(col("query_id"), col("node_id"))
     }
+    visited
+  }
+
+  /** Rank the visited relation to the final top-k (self rows from
+    * corpus-member entry excluded). */
+  private def rankTopK(visited: DataFrame, k: Int): DataFrame = {
     val wRank = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("node_id").asc)
     visited.filter(col("query_id") =!= col("node_id"))
@@ -1649,6 +1669,64 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"),
         col("node_id").as("neighbor_id"), col("cosine"))
+  }
+
+  /** s26: HIERARCHICAL graph ANN — the layered entry that makes NSW
+    * into the HNSW family (Malkov & Yashunin 2016): nodes are
+    * assigned to geometric layers by a deterministic hash (a node is
+    * in layer ℓ iff hashU32(id, 97) % layerRatio^ℓ = 0 — layer 0 is
+    * everyone, each layer up is 1/layerRatio the size), the tiny TOP
+    * layer is scored brute-force per query (|Q|·n/ratio^(L−1) — the
+    * declared coarse tier, add layers to shrink it), intermediate
+    * layers descend by beam search on that layer's own kNN graph,
+    * and layer 0 runs the full s24 beam. Unlike s24's self-entry,
+    * queries need NOT be corpus members — the entry comes from the
+    * layer hierarchy, which is what makes this the serving-shaped
+    * variant. One k-means training serves every layer's graph build
+    * (cells partition each layer's members). */
+  def hnswTopK(emb: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nCells: Int, iters: Int, degree: Int,
+      nProbeBuild: Int, beamWidth: Int, rounds: Int,
+      layerRatio: Int = 16, nLayers: Int = 2, entryWidth: Int = 2,
+      upperRounds: Int = 1): DataFrame = {
+    require(nLayers >= 2 && layerRatio >= 2 && entryWidth >= 1 &&
+      entryWidth <= beamWidth,
+      s"need nLayers >= 2, layerRatio >= 2, 1 <= entryWidth <= " +
+        s"beamWidth, got $nLayers/$layerRatio/$entryWidth/$beamWidth")
+    val cents = kmeansCentroids(emb, idCol, vecCol, nCells, iters)
+    val q = queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("q_vec"))
+      .withColumn("q_norm", norm(col("q_vec")))
+      .persistTracked() // entry scoring + every beam round
+    val c = emb.select(col(idCol).as("node_id"), col(vecCol).as("n_vec"))
+      .withColumn("n_norm", norm(col("n_vec")))
+    def layer(l: Int): DataFrame = {
+      val m = BigInt(layerRatio).pow(l).toLong
+      emb.filter(Tables.hashU32(col(idCol), 97) % m === 0)
+    }
+    val wEntry = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("node_id").asc)
+    // brute-force entry over the top layer
+    var seeds = layer(nLayers - 1)
+      .select(col(idCol).as("node_id"), col(vecCol).as("n_vec"))
+      .withColumn("n_norm", norm(col("n_vec")))
+      .crossJoin(broadcast(q))
+      .withColumn("cosine", dot(col("q_vec"), col("n_vec")) /
+        (col("q_norm") * col("n_norm")))
+      .withColumn("rk", row_number().over(wEntry))
+      .filter(col("rk") <= entryWidth)
+      .select(col("query_id"), col("node_id"), col("cosine"))
+    // descend through intermediate layers on their own graphs
+    for (l <- (nLayers - 2) to 1 by -1) {
+      val gU = knnGraph(layer(l), cents, idCol, vecCol, degree,
+        nProbeBuild)
+      seeds = beamRounds(c, gU, q, seeds, entryWidth, upperRounds)
+        .withColumn("rk", row_number().over(wEntry))
+        .filter(col("rk") <= entryWidth)
+        .select(col("query_id"), col("node_id"), col("cosine"))
+    }
+    val g0 = knnGraph(emb, cents, idCol, vecCol, degree, nProbeBuild)
+    rankTopK(beamRounds(c, g0, q, seeds, beamWidth, rounds), k)
   }
 
   /** s25: STREAMING IVF APPEND — p10's missing twin on the vector
