@@ -55,6 +55,49 @@ object SparkEntry {
   private val DuckToks =
     "list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0)"
 
+  /** t19's full Gopher-gate CTE chain (b -> m -> r); shared by the
+    * t19 oracle and the p11 datasheet twin so the two mirrors cannot
+    * drift. `r` = (doc_id, nw, reasons). */
+  private lazy val duckGopherCtes: String =
+    s"""WITH b AS (
+         |  SELECT doc_id, lower(text) AS txt, $DuckToks AS w,
+         |    string_split(lower(text), chr(10)) AS lines
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id,
+         |   CAST(len(w) AS BIGINT) AS nw,
+         |   CAST(coalesce(list_sum(list_transform(w,
+         |     t -> length(t))), 0) AS BIGINT) AS chars,
+         |   CAST(len(lines) AS BIGINT) AS nlines,
+         |   CAST(len(list_filter(lines,
+         |     l -> regexp_matches(ltrim(l), '^[-*•]'))) AS BIGINT)
+         |     AS nbullet,
+         |   CAST(len(list_filter(lines,
+         |     l -> regexp_matches(rtrim(l), '\\.\\.\\.$$'))) AS BIGINT)
+         |     AS nell,
+         |   CAST(length(txt) - length(replace(txt, '#', ''))
+         |     + (length(txt) - length(replace(txt, '...', ''))) // 3
+         |     AS BIGINT) AS nsym,
+         |   CAST(len(list_filter(w,
+         |     t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS nalpha,
+         |   CAST(len(list_intersect(list_distinct(list_transform(w,
+         |     t -> regexp_replace(t, '^[^a-z]+|[^a-z]+$$', '', 'g'))),
+         |     ['the','a','data','table','value','query']))
+         |     AS BIGINT) AS nstop
+         |  FROM b),
+         |r AS (
+         |  SELECT doc_id, nw,
+         |   (CASE WHEN nw < 20 OR nw > 100000 THEN 1 ELSE 0 END
+         |    + CASE WHEN NOT (3 * nw <= chars AND chars <= 10 * nw)
+         |        THEN 2 ELSE 0 END
+         |    + CASE WHEN 10 * nsym > nw THEN 4 ELSE 0 END
+         |    + CASE WHEN 10 * nbullet > 9 * nlines THEN 8 ELSE 0 END
+         |    + CASE WHEN 10 * nell > 3 * nlines THEN 16 ELSE 0 END
+         |    + CASE WHEN 5 * nalpha < 4 * nw THEN 32 ELSE 0 END
+         |    + CASE WHEN nstop < 2 THEN 64 ELSE 0 END) AS reasons
+         |  FROM m)""".stripMargin
+
+
   /** t38 parameters, shared by the Spark entry and the DuckDB twin so
     * the oracle can never drift (the round-7 hardcoded-twin lesson). */
   private val QualityPosSources: Seq[String] =
@@ -2253,6 +2296,13 @@ object SparkEntry {
       Curation.corpusRefreshCensus(state, batch, col("doc_id"),
         col("text"))
     }),
+
+    // corpus datasheet: the per-source release summary (volume,
+    // language mix, exact-dup rate, Gopher keep count) composed from
+    // the registered gates in one source-keyed pass
+    "p11_corpus_datasheet" -> ((s, d) =>
+      Curation.corpusDatasheet(Tables.documents(s, d), col("doc_id"),
+        col("text"), col("source"), col("lang"), col("n_chars"))),
 
     // curriculum schedule: difficulty-ranked contiguous stages with a
     // deterministic md5 pseudo-shuffle inside each; both ranks are the
@@ -7078,6 +7128,50 @@ object SparkEntry {
 
     // the three-tier refresh census: counts + survivor fingerprints
     // hash-check the whole admission decision against the state
+    "p11_corpus_datasheet" ->
+      s"""$duckGopherCtes,
+         |ptok AS (
+         |  SELECT doc_id, CAST(len($DuckToks) AS BIGINT) AS ntok
+         |  FROM documents),
+         |pfp AS (
+         |  SELECT doc_id, source,
+         |    md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp
+         |  FROM documents),
+         |pdoc AS (
+         |  SELECT d.doc_id, d.source, d.n_chars, t.ntok,
+         |    CAST(CASE WHEN r.reasons = 0 THEN 1 ELSE 0 END AS BIGINT)
+         |      AS keep
+         |  FROM documents d
+         |  JOIN ptok t USING (doc_id)
+         |  JOIN r USING (doc_id)),
+         |pvol AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(ntok) AS BIGINT) AS n_tokens,
+         |    CAST(min(n_chars) AS BIGINT) AS chars_min,
+         |    CAST(max(n_chars) AS BIGINT) AS chars_max,
+         |    CAST(round(sum(n_chars) * 1.0 / count(*)) AS BIGINT)
+         |      AS chars_avg,
+         |    CAST(sum(keep) AS BIGINT) AS gopher_keep
+         |  FROM pdoc GROUP BY source),
+         |plc AS (
+         |  SELECT source, lang, count(*) AS cl
+         |  FROM documents GROUP BY source, lang),
+         |pmix AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_langs,
+         |    first(lang ORDER BY cl DESC, lang) AS top_lang
+         |  FROM plc GROUP BY source),
+         |pdup AS (
+         |  SELECT source,
+         |    CAST(count(*) - count(DISTINCT fp) AS BIGINT)
+         |      AS n_exact_dups
+         |  FROM pfp GROUP BY source)
+         |SELECT v.source, v.n_docs, v.n_tokens, v.chars_min,
+         |  v.chars_max, v.chars_avg, m.n_langs, m.top_lang,
+         |  d.n_exact_dups, v.gopher_keep
+         |FROM pvol v
+         |JOIN pmix m USING (source)
+         |JOIN pdup d USING (source)""".stripMargin,
+
     "p10_corpus_refresh" -> {
       def fp(rel: String) =
         s"CAST((SELECT coalesce(sum(${duckU32("doc_id::VARCHAR", 29)}), " +
@@ -9066,48 +9160,14 @@ object SparkEntry {
     // thresholds; regexp_replace carries the 'g' flag (DuckDB is
     // first-match-only by default, Spark replaces all)
     "t19_gopher_quality" ->
-      s"""WITH b AS (
-         |  SELECT doc_id, lower(text) AS txt, $DuckToks AS w,
-         |    string_split(lower(text), chr(10)) AS lines
-         |  FROM documents),
-         |m AS (
-         |  SELECT doc_id,
-         |   CAST(len(w) AS BIGINT) AS nw,
-         |   CAST(coalesce(list_sum(list_transform(w,
-         |     t -> length(t))), 0) AS BIGINT) AS chars,
-         |   CAST(len(lines) AS BIGINT) AS nlines,
-         |   CAST(len(list_filter(lines,
-         |     l -> regexp_matches(ltrim(l), '^[-*•]'))) AS BIGINT)
-         |     AS nbullet,
-         |   CAST(len(list_filter(lines,
-         |     l -> regexp_matches(rtrim(l), '\\.\\.\\.$$'))) AS BIGINT)
-         |     AS nell,
-         |   CAST(length(txt) - length(replace(txt, '#', ''))
-         |     + (length(txt) - length(replace(txt, '...', ''))) // 3
-         |     AS BIGINT) AS nsym,
-         |   CAST(len(list_filter(w,
-         |     t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS nalpha,
-         |   CAST(len(list_intersect(list_distinct(list_transform(w,
-         |     t -> regexp_replace(t, '^[^a-z]+|[^a-z]+$$', '', 'g'))),
-         |     ['the','a','data','table','value','query']))
-         |     AS BIGINT) AS nstop
-         |  FROM b),
-         |r AS (
-         |  SELECT doc_id, nw,
-         |   (CASE WHEN nw < 20 OR nw > 100000 THEN 1 ELSE 0 END
-         |    + CASE WHEN NOT (3 * nw <= chars AND chars <= 10 * nw)
-         |        THEN 2 ELSE 0 END
-         |    + CASE WHEN 10 * nsym > nw THEN 4 ELSE 0 END
-         |    + CASE WHEN 10 * nbullet > 9 * nlines THEN 8 ELSE 0 END
-         |    + CASE WHEN 10 * nell > 3 * nlines THEN 16 ELSE 0 END
-         |    + CASE WHEN 5 * nalpha < 4 * nw THEN 32 ELSE 0 END
-         |    + CASE WHEN nstop < 2 THEN 64 ELSE 0 END) AS reasons
-         |  FROM m)
+      s"""$duckGopherCtes
          |SELECT doc_id, CAST(nw AS BIGINT) AS n_words,
          | CAST(reasons AS BIGINT) AS reasons,
          | CAST(CASE WHEN reasons = 0 THEN 1 ELSE 0 END AS BIGINT)
          |   AS keep
          |FROM r""".stripMargin,
+
+
 
     // DSIR: the only transcendentals are ln over the 256-bucket
     // relation (micro-nat quantized there) and one Gumbel per doc —

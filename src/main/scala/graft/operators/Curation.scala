@@ -688,4 +688,54 @@ object Curation {
       .select(col("source"), col("n_docs"), col("n_templates"),
         col("inst_dropped"), col("docs_changed"), col("kept_fp_sum"))
   }
+
+  /** p11: CORPUS DATASHEET — the per-source summary a "datasheets
+    * for datasets" (Gebru et al. 2021) release ships, composed from
+    * the registered gates in one pass: volume (docs, tokens, char
+    * stats), language mix (count + deterministic mode), exact-dup
+    * rate (the t4 content fingerprint), and the Gopher gate's keep
+    * count (t19's exact rule set, shared twin CTEs). Every stat is a
+    * per-source keyed aggregate — the corpus is scanned a fixed
+    * number of times and nothing corpus-global is materialized, so
+    * the pass is embarrassingly source-parallel at any scale. */
+  def corpusDatasheet(docs: DataFrame, idCol: Column, textCol: Column,
+      sourceCol: Column, langCol: Column, nCharsCol: Column)
+      : DataFrame = {
+    val base = docs.select(idCol.as("doc_id"), sourceCol.as("source"),
+        langCol.as("lang"), nCharsCol.as("n_chars"),
+        textCol.as("text"))
+      .persistTracked() // token counts + gopher + fingerprints + mix
+    val ntok = base.select(col("doc_id"),
+      size(TextAnalysis.tokens(col("text"))).cast("long").as("ntok"))
+    val keep = TextAnalysis.gopherQuality(base, col("doc_id"),
+        col("text"), minWords = 20,
+        stops = Seq("the", "a", "data", "table", "value", "query"))
+      .select(col("doc_id"), col("keep"))
+    val perDoc = base.select(col("doc_id"), col("source"),
+        col("n_chars"))
+      .join(ntok, "doc_id").join(keep, "doc_id")
+    val vol = perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ntok")).as("n_tokens"),
+        min(col("n_chars")).as("chars_min"),
+        max(col("n_chars")).as("chars_max"),
+        round(sum(col("n_chars")) * lit(1.0) / count(lit(1)))
+          .cast("long").as("chars_avg"),
+        sum(col("keep")).as("gopher_keep"))
+    val mix = base.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("cl"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_langs"),
+        min(struct((-col("cl")).as("nc"), col("lang"))).as("m"))
+      .select(col("source"), col("n_langs"),
+        col("m.lang").as("top_lang"))
+    val dups = base.select(col("source"),
+        md5(regexp_replace(lower(col("text")), "\\s+", " ")
+          .cast("binary")).as("fp"))
+      .groupBy(col("source"))
+      .agg((count(lit(1)) - countDistinct(col("fp")))
+        .as("n_exact_dups"))
+    vol.join(mix, "source").join(dups, "source")
+  }
+
 }
