@@ -4591,6 +4591,44 @@ object SparkEntry {
 
     // JSON-lines source/sink round trip (schema-enforced read back),
     // verified lossless the same way as the TFRecord round trip k2
+    // corrupt-record quarantine (the 100 TB ingestion reality: a
+    // malformed line routes to a quarantine relation — it never
+    // fails the job and never silently vanishes): per-doc JSON lines
+    // are built with to_json, docs with doc_id % 7 = 0 are truncated
+    // to half their length (the cut lands strictly inside the object
+    // so the line is guaranteed invalid), written as text, read back
+    // PERMISSIVE with a corrupt-record column; the census pins line/
+    // good/quarantined counts AND the good rows' content checksum —
+    // corruption is keyed on doc_id, not line position, so the
+    // receipt is partition-order independent
+    "k13_json_quarantine" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(
+        col("doc_id"), col("text"), col("lang"), col("n_chars"))
+      val line = to_json(struct(col("doc_id"), col("text"),
+        col("lang"), col("n_chars")))
+      val scratch = scratchDir("graft_quar", d)
+      docs.select(
+          when(col("doc_id") % 7 === 0,
+            substring(line, lit(1), (length(line) / 2).cast("int")))
+            .otherwise(line).as("value"))
+        .write.mode("overwrite").text(scratch)
+      val back = s.read
+        .schema(docs.schema.add("_corrupt", "string"))
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(scratch)
+      back.agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("_corrupt").isNull, 1L).otherwise(0L))
+          .as("n_good"),
+        sum(when(col("_corrupt").isNotNull, 1L).otherwise(0L))
+          .as("n_quarantined"),
+        sum(when(col("_corrupt").isNull, col("doc_id")))
+          .as("id_sum_good"),
+        sum(when(col("_corrupt").isNull,
+          Tables.hashU32(col("text"), 11))).as("content_sum_good"))
+    }),
+
     "k3_json_roundtrip" -> ((s, d) => {
       val docs = Tables.documents(s, d).select(
         col("doc_id"), col("text"), col("lang"), col("source"),
@@ -9424,6 +9462,19 @@ object SparkEntry {
 
     // k3's census through the sharded-gzip round-trip; n_files = the
     // requested shard count (the writer's naming contract)
+    "k13_json_quarantine" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_lines,
+         | CAST(sum(CASE WHEN doc_id % 7 <> 0 THEN 1 ELSE 0 END)
+         |   AS BIGINT) AS n_good,
+         | CAST(sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END)
+         |   AS BIGINT) AS n_quarantined,
+         | CAST(sum(CASE WHEN doc_id % 7 <> 0 THEN doc_id END)
+         |   AS BIGINT) AS id_sum_good,
+         | CAST(sum(CASE WHEN doc_id % 7 <> 0
+         |   THEN ${duckU32("text", 11)} END) AS BIGINT)
+         |   AS content_sum_good
+         |FROM documents""".stripMargin,
+
     "k12_jsonl_shards" ->
       s"""SELECT lang, CAST(count(*) AS BIGINT) AS cnt,
          | CAST(sum(doc_id) AS BIGINT) AS id_sum,

@@ -707,6 +707,30 @@ object Stress {
       Curation.boilerplateCensus(seeded, col("doc_id"), col("text"),
         col("source"), frac = 0.3).count()
     }
+    // model-based quality filter: each GD iteration is one corpus
+    // pass (the (doc, bucket) feature relation map-side combines into
+    // 65 gradient rows, weights broadcast back) — iters fixed, so
+    // time must track the corpus linearly
+    t("t38_quality_filter") {
+      TextAnalysis.qualityClassifierCensus(docs, col("doc_id"),
+        col("text"), col("source"), (1 to 19 by 2).map("src" + _))
+        .count()
+    }
+    // layered-entry graph ANN with FIXED queries: brute entry is
+    // |Q|·n/ratio (the declared coarse tier), the rest is the s24
+    // beam — per-query serving work bounded by entry + beam·degree·
+    // rounds
+    t("s26_hnsw(fixed-queries)") {
+      Similarity.hnswTopK(emb, nswQueries, "vec_id", "embedding",
+        k = 5, nCells = Similarity.autoCells(emb.count()), iters = 2,
+        degree = 6, nProbeBuild = 2, beamWidth = 8, rounds = 3,
+        layerRatio = 16, nLayers = 2, entryWidth = 2).count()
+    }
+    // datasheet: source-keyed aggregates only, nothing corpus-global
+    t("p11_datasheet") {
+      Curation.corpusDatasheet(docs, col("doc_id"), col("text"),
+        col("source"), col("lang"), col("n_chars")).count()
+    }
     spark.stop()
   }
 }
