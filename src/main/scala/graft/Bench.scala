@@ -141,6 +141,16 @@ object Bench {
     if (only.isEmpty && reference.isEmpty)
       System.err.println(
         "BENCH WARNING: no reference bands loaded; contention guard is OFF")
+    // a query absent from the reference runs UNGUARDED — legitimate
+    // for queries added since the last recording, but it must be
+    // visible, not silent (the round-7 lesson, applied per-query)
+    if (only.isEmpty && reference.nonEmpty) {
+      val unbanded = selected.keys
+        .filter(k => !reference.contains(k.takeWhile(_ != '_')))
+      if (unbanded.nonEmpty)
+        System.err.println("BENCH NOTE: unguarded (no band yet): " +
+          unbanded.toSeq.sorted.mkString(","))
+    }
     val contended = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = selected.flatMap { case (name, fn) =>
       val times = (1 to runs).flatMap(_ => timeOnce(name, fn))

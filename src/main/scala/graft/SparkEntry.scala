@@ -2506,6 +2506,25 @@ object SparkEntry {
         col("source"), frac = 0.3)
     }),
 
+    // encoding-artifact (mojibake) gate: double-UTF-8 'Ã'/'Â'
+    // artifacts, U+FFFD replacement chars, stray C0 controls — the
+    // ftfy class of web-text defects; the synthetic corpus is clean,
+    // so the three artifact classes are seeded on disjoint modulo
+    // classes and the gate must count exactly those
+    "t40_encoding_gate" -> ((s, d) => {
+      val seeded = Tables.documents(s, d).withColumn("text",
+        concat(col("text"),
+          when(col("doc_id") % 11 === 0,
+            lit(" caf\u00c3\u00a9 na\u00c3\u00afve"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 13 === 0, lit("\ufffd"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 17 === 0, lit("\u0007"))
+            .otherwise(lit(""))))
+      TextAnalysis.encodingArtifacts(seeded, col("doc_id"),
+        col("text"))
+    }),
+
     // model-based quality filtering (the fastText/CCNet gate): train
     // a logistic-regression scorer in-engine on weak source labels
     // (odd-numbered sources = curated), apply corpus-wide, census
@@ -7325,6 +7344,33 @@ object SparkEntry {
     "t38_quality_classifier" ->
       duckQualityCensus(QualityPosSources, QualityBuckets,
         QualityIters, QualityLr),
+
+    "t40_encoding_gate" ->
+      s"""WITH sd AS (
+         |  SELECT doc_id,
+         |    text
+         |    || CASE WHEN doc_id % 11 = 0
+         |         THEN ' caf' || chr(195) || chr(169) || ' na'
+         |           || chr(195) || chr(175) || 've' ELSE '' END
+         |    || CASE WHEN doc_id % 13 = 0 THEN chr(65533)
+         |         ELSE '' END
+         |    || CASE WHEN doc_id % 17 = 0 THEN chr(7) ELSE '' END
+         |      AS text
+         |  FROM documents),
+         |em AS (
+         |  SELECT doc_id,
+         |    CAST((length(text) - length(replace(text, chr(195), '')))
+         |      + (length(text) - length(replace(text, chr(194), '')))
+         |      AS BIGINT) AS n_moji,
+         |    CAST(length(text) - length(replace(text, chr(65533), ''))
+         |      AS BIGINT) AS n_repl,
+         |    CAST(length(text) - length(regexp_replace(text,
+         |      '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]', '', 'g'))
+         |      AS BIGINT) AS n_ctrl
+         |  FROM sd)
+         |SELECT doc_id, n_moji, n_repl, n_ctrl,
+         |  (n_moji = 0 AND n_repl = 0 AND n_ctrl = 0) AS clean
+         |FROM em""".stripMargin,
 
     "t37_boilerplate" ->
       s"""WITH d37 AS (

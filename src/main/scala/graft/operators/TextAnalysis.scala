@@ -1064,4 +1064,28 @@ object TextAnalysis {
         round(sum(col("quality6")) * lit(1.0) / count(lit(1)))
           .cast("long").as("mean_quality6"))
 
+
+  /** t40: ENCODING-ARTIFACT gate (the ftfy/mojibake class of web-text
+    * defects): per-document counts of (a) double-encoded UTF-8
+    * artifacts — the 'Ã'/'Â' lead characters that appear when UTF-8
+    * bytes are re-decoded as Latin-1 ("cafÃ©"), (b) U+FFFD
+    * replacement characters (lossy prior transcoding), and (c) C0
+    * control characters other than tab/newline/CR. All three are
+    * literal/char-class counts (length minus length-after-removal),
+    * so the DuckDB twin is exact; `clean` is the gate flag. */
+  def encodingArtifacts(docs: DataFrame, idCol: Column,
+      textCol: Column): DataFrame = {
+    def cnt1(c: String): Column =
+      (length(textCol) - length(replace(textCol, lit(c), lit(""))))
+        .cast("long")
+    val ctrl = (length(textCol) - length(regexp_replace(textCol,
+      "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", ""))).cast("long")
+    docs.select(idCol.as("doc_id"),
+        (cnt1("\u00c3") + cnt1("\u00c2")).as("n_moji"),
+        cnt1("\ufffd").as("n_repl"),
+        ctrl.as("n_ctrl"))
+      .withColumn("clean", col("n_moji") === 0 &&
+        col("n_repl") === 0 && col("n_ctrl") === 0)
+  }
+
 }
