@@ -17,6 +17,10 @@ for path in sys.argv[1:]:
         d = json.load(f)
     if d.get("failed"):
         sys.exit(f"{path} has failed queries: {d['failed']}")
+    if d.get("contended"):
+        sys.exit(f"{path} is a contention-polluted run "
+                 f"(contended: {d['contended']}) — a flagged query's "
+                 "inflated min must never become a reference band")
     runs.append(d)
 if not runs:
     sys.exit("no recordings given")

@@ -44,6 +44,16 @@ object Bench {
     * that is the disabled-guard failure mode and must never be
     * silent again. Exposed for BenchGuardSpec. */
   def parseReference(txt: String, sfDir: String): Map[String, Double] = {
+    // the LAST stdout line Bench prints is format-identical to a
+    // recording but carries only the top-12 queries (marked by its
+    // "queries_file" key); accepting it would leave ~95% of the
+    // suite unguarded with no error — the partial form of the exact
+    // silent-guard-loss this parser hard-errors on
+    if (txt.contains("\"queries_file\""))
+      sys.error(
+        "bench_reference.json looks like Bench's truncated summary " +
+        "line (it carries \"queries_file\") — record bands from " +
+        "bench_last.json / the merge script, never from the log tail.")
     val refSf = "\"sf\"\\s*:\\s*([0-9.]+)".r.findFirstMatchIn(txt)
       .map(_.group(1))
     val curSf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1))

@@ -612,9 +612,18 @@ object Curation {
     * partitions bounded by a single source's repetition of one line;
     * per-source doc totals are a broadcast-sized relation. */
   def boilerplateLines(docs: DataFrame, idCol: Column, textCol: Column,
-      sourceCol: Column, frac: Double): DataFrame = {
+      sourceCol: Column, frac: Double): DataFrame =
+    mineTemplates(splitLines(docs, idCol, textCol, sourceCol), docs,
+      idCol, sourceCol, frac)
+
+  /** The single template-mining implementation, shared by
+    * [[boilerplateLines]], [[boilerplateStrip]], and
+    * [[boilerplateCensus]] so the rule cannot drift between the
+    * public entry points (and so callers that already hold the split
+    * lines relation never re-split the corpus). */
+  private def mineTemplates(lines: DataFrame, docs: DataFrame,
+      idCol: Column, sourceCol: Column, frac: Double): DataFrame = {
     require(frac > 0 && frac < 1, s"frac=$frac")
-    val lines = splitLines(docs, idCol, textCol, sourceCol)
     val nDocs = docs.groupBy(sourceCol.as("source"))
       .agg(countDistinct(idCol).as("n_docs"))
     lines.groupBy(col("source"), col("line"))
@@ -640,13 +649,13 @@ object Curation {
       sourceCol: Column, frac: Double): DataFrame = {
     val lines = splitLines(docs, idCol, textCol, sourceCol)
       .persistTracked() // template mining + the anti-join + totals
-    val nDocs = docs.groupBy(sourceCol.as("source"))
-      .agg(countDistinct(idCol).as("n_docs"))
-    val templates = lines.groupBy(col("source"), col("line"))
-      .agg(countDistinct(col("doc_id")).as("cnt"))
-      .join(broadcast(nDocs), Seq("source"))
-      .filter(col("cnt") > col("n_docs") * lit(frac))
-      .select(col("source"), col("line"))
+    stripWith(lines, mineTemplates(lines, docs, idCol, sourceCol, frac))
+  }
+
+  /** Strip + reassemble from an already-split (and persisted) lines
+    * relation and a mined templates relation. */
+  private def stripWith(lines: DataFrame, templates: DataFrame)
+      : DataFrame = {
     val totals = lines.groupBy(col("doc_id"), col("source"))
       .agg(count(lit(1)).as("n_lines"))
     val kept = lines
@@ -672,10 +681,15 @@ object Curation {
   def boilerplateCensus(docs: DataFrame, idCol: Column,
       textCol: Column, sourceCol: Column, frac: Double,
       fpSeed: Int = 37): DataFrame = {
-    val stripped = boilerplateStrip(docs, idCol, textCol, sourceCol,
-      frac)
-    val nTemplates = boilerplateLines(docs, idCol, textCol, sourceCol,
-        frac)
+    // split ONCE, mine ONCE: the same lines relation feeds template
+    // mining, the strip anti-join, and the census's template count —
+    // the corpus is never re-split or re-aggregated for the receipt
+    val lines = splitLines(docs, idCol, textCol, sourceCol)
+      .persistTracked() // mining + anti-join + totals
+    val templates = mineTemplates(lines, docs, idCol, sourceCol, frac)
+      .persistTracked() // the strip anti-join + the census count
+    val stripped = stripWith(lines, templates)
+    val nTemplates = templates
       .groupBy(col("source")).agg(count(lit(1)).as("n_templates"))
     stripped.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),

@@ -1707,9 +1707,18 @@ object Similarity {
     val wEntry = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("node_id").asc)
     // brute-force entry over the top layer
-    var seeds = layer(nLayers - 1)
+    val topC = layer(nLayers - 1)
       .select(col(idCol).as("node_id"), col(vecCol).as("n_vec"))
       .withColumn("n_norm", norm(col("n_vec")))
+      .persistTracked() // the emptiness check + the entry scoring
+    // an empty top layer would silently return zero rows for every
+    // query (empty seeds → empty beam); expected size is
+    // n/ratio^(nLayers-1), so fail loudly with the remedy instead
+    // (an index-build-time count, the autoCells precedent)
+    require(topC.limit(1).count() > 0,
+      s"top layer is empty (nLayers=$nLayers, layerRatio=$layerRatio" +
+        ") — lower nLayers or layerRatio so n/ratio^(nLayers-1) >= 1")
+    var seeds = topC
       .crossJoin(broadcast(q))
       .withColumn("cosine", dot(col("q_vec"), col("n_vec")) /
         (col("q_norm") * col("n_norm")))

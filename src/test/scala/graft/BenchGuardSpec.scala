@@ -28,6 +28,16 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(Bench.parseReference(txt, sfDir).isEmpty)
   }
 
+  test("Bench's truncated summary line is rejected as a reference") {
+    // the LAST stdout line is format-identical to a recording but
+    // holds only the top-12 queries; its "queries_file" marker must
+    // hard-error rather than arm a 12-band guard over a 220-query
+    // suite
+    val txt =
+      """{"metric":"total","value":289.2,"unit":"sec","failed":[],"contended":[],"queries":{"p9":28.0},"queries_file":"bench_last.json","sf":0.1}"""
+    assertThrows[RuntimeException](Bench.parseReference(txt, sfDir))
+  }
+
   test("sf match + zero parsable bands is a HARD error, not silence") {
     // sf matches but the per-query entries use a shape the parser
     // cannot read — the guard must refuse to run disabled

@@ -69,6 +69,17 @@ class SimilarityHnswSpec extends SparkSpec {
     assert(a.groupBy(_._1).forall(_._2.length == K))
   }
 
+  test("an empty top layer fails loudly, not with zero rows") {
+    // ratio^((nLayers)-1) far above n: no node can satisfy the layer
+    // hash, and a silent empty result would read as 'no neighbors'
+    val e = intercept[IllegalArgumentException] {
+      Similarity.hnswTopK(emb, queries, "vec_id", "embedding",
+        K, NC, Iters, Degree, 2, Beam, Rounds,
+        layerRatio = 1 << 20, nLayers = 2, entryWidth = 2).collect()
+    }
+    assert(e.getMessage.contains("top layer is empty"))
+  }
+
   test("layered entry does not lose recall to self-entry at equal budget") {
     val hnsw = Similarity.hnswTopK(emb, queries, "vec_id", "embedding",
       K, NC, Iters, Degree, 2, Beam, Rounds,
