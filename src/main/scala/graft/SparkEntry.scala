@@ -55,6 +55,47 @@ object SparkEntry {
   private val DuckToks =
     "list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0)"
 
+  /** d8's full simhash-band-pair + recursive-closure CTE chain
+    * (through `comp` = (v, component), edge-connected docs only);
+    * shared by the d8 oracle and the p12 leakage-free-split twin so
+    * the component rule cannot drift. */
+  private lazy val duckComponentCtes: String =
+    s"""WITH RECURSIVE t AS (SELECT doc_id, $DuckToks AS w FROM documents),
+         |tok AS (
+         |  SELECT DISTINCT doc_id, unnest(list_transform(
+         |    range(1, len(w) - 1),
+         |    i -> array_to_string(w[i:i+2], ' '))) AS tok
+         |  FROM t WHERE len(w) >= 3),
+         |h AS (SELECT doc_id, tok, ${duckU32("tok", 13)} AS hu FROM tok),
+         |bits AS (
+         |  SELECT doc_id, b,
+         |   sum((CAST(floor(hu / power(2, b)) AS BIGINT) % 2) * 2 - 1) AS s
+         |  FROM h CROSS JOIN (SELECT unnest(range(32)) AS b) bs
+         |  GROUP BY 1, 2),
+         |fp AS (
+         |  SELECT doc_id,
+         |   CAST(sum(CASE WHEN s > 0 THEN CAST(power(2, b) AS BIGINT)
+         |     ELSE 0 END) AS BIGINT) AS simhash
+         |  FROM bits GROUP BY 1),
+         |banded AS (
+         |  SELECT doc_id, simhash, band,
+         |   CAST(floor(simhash / power(2, band * 8)) AS BIGINT) % 256 AS bkey
+         |  FROM fp CROSS JOIN (SELECT unnest(range(4)) AS band) bands),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(v, r) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.v),
+         |comp AS (SELECT v, min(r) AS component FROM reach GROUP BY 1)""".stripMargin
+
+
   /** t19's full Gopher-gate CTE chain (b -> m -> r); shared by the
     * t19 oracle and the p11 datasheet twin so the two mirrors cannot
     * drift. `r` = (doc_id, nw, reasons). */
@@ -2296,6 +2337,14 @@ object SparkEntry {
       Curation.corpusRefreshCensus(state, batch, col("doc_id"),
         col("text"))
     }),
+
+    // leakage-free train/val split: near-dup components (d8's banded
+    // simhash closure) are the split unit, so two near-duplicate docs
+    // can never straddle train and val — the split hash sees only
+    // the GROUP canonical, making no-straddle structural
+    "p12_leakage_free_split" -> ((s, d) =>
+      Curation.leakageFreeSplit(Tables.documents(s, d),
+        col("doc_id"), col("text"))),
 
     // corpus datasheet: the per-source release summary (volume,
     // language mix, exact-dup rate, Gopher keep count) composed from
@@ -6409,43 +6458,21 @@ object SparkEntry {
     // d5's pair chain + a recursive transitive closure: component =
     // min doc id reachable through the symmetric edge relation
     "d8_dedup_components" ->
-      s"""WITH RECURSIVE t AS (SELECT doc_id, $DuckToks AS w FROM documents),
-         |tok AS (
-         |  SELECT DISTINCT doc_id, unnest(list_transform(
-         |    range(1, len(w) - 1),
-         |    i -> array_to_string(w[i:i+2], ' '))) AS tok
-         |  FROM t WHERE len(w) >= 3),
-         |h AS (SELECT doc_id, tok, ${duckU32("tok", 13)} AS hu FROM tok),
-         |bits AS (
-         |  SELECT doc_id, b,
-         |   sum((CAST(floor(hu / power(2, b)) AS BIGINT) % 2) * 2 - 1) AS s
-         |  FROM h CROSS JOIN (SELECT unnest(range(32)) AS b) bs
-         |  GROUP BY 1, 2),
-         |fp AS (
-         |  SELECT doc_id,
-         |   CAST(sum(CASE WHEN s > 0 THEN CAST(power(2, b) AS BIGINT)
-         |     ELSE 0 END) AS BIGINT) AS simhash
-         |  FROM bits GROUP BY 1),
-         |banded AS (
-         |  SELECT doc_id, simhash, band,
-         |   CAST(floor(simhash / power(2, band * 8)) AS BIGINT) % 256 AS bkey
-         |  FROM fp CROSS JOIN (SELECT unnest(range(4)) AS band) bands),
-         |pairs AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM banded a JOIN banded b
-         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
-         |edges AS (
-         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-         |  UNION SELECT doc_b, doc_a FROM pairs),
-         |reach(v, r) AS (
-         |  SELECT src, src FROM edges
-         |  UNION
-         |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.v),
-         |comp AS (SELECT v, min(r) AS component FROM reach GROUP BY 1)
+      s"""$duckComponentCtes
          |SELECT v AS doc_id, component,
          | CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS csize
          |FROM comp""".stripMargin,
+
+    "p12_leakage_free_split" ->
+      s"""$duckComponentCtes,
+         |p12b AS (SELECT doc_id FROM documents),
+         |p12g AS (
+         |  SELECT b.doc_id, coalesce(c.component, b.doc_id) AS grp
+         |  FROM p12b b LEFT JOIN comp c ON c.v = b.doc_id)
+         |SELECT doc_id, CAST(grp AS BIGINT) AS grp,
+         |  CASE WHEN ('0x' || substr(md5(grp::VARCHAR || '#53'), 1, 8))::BIGINT
+         |    / 4294967296.0 < 0.8 THEN 'train' ELSE 'val' END AS split
+         |FROM p12g""".stripMargin,
 
     // the same stage arithmetic with DuckDB's global windows (fine in
     // the oracle; the Spark side must avoid them): stage from the

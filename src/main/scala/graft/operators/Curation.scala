@@ -752,4 +752,33 @@ object Curation {
     vol.join(mix, "source").join(dups, "source")
   }
 
+
+  /** p12: LEAKAGE-FREE train/val split — group-aware splitting by
+    * near-dup component (the public eval-hygiene rule: if two docs
+    * are near-duplicates, they must land in the SAME split, or the
+    * val set silently leaks into train). Groups are d8's simhash-band
+    * connected components; docs outside any component are their own
+    * group. The split is a deterministic hash of the GROUP canonical
+    * (md5-rand, the q04 discipline), so membership is reproducible
+    * and no component can straddle splits BY CONSTRUCTION — the
+    * split function never sees the doc, only its group. Scale shape:
+    * the pair/closure machinery is d8's (banded, pointer-jumped);
+    * the split itself is one broadcast-sized join + a per-row hash. */
+  def leakageFreeSplit(docs: DataFrame, idCol: Column, textCol: Column,
+      trainPct: Int = 80, seed: Int = 53): DataFrame = {
+    require(trainPct > 0 && trainPct < 100, s"trainPct=$trainPct")
+    val pairs = Dedup.simhashPairs(
+      Dedup.simhash(docs, idCol, textCol), 3)
+      .select(col("doc_a"), col("doc_b"))
+    val comp = Dedup.dedupComponents(pairs)
+      .select(col("doc_id"), col("component"))
+    docs.select(idCol.as("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .withColumn("grp", coalesce(col("component"), col("doc_id")))
+      .withColumn("split",
+        when(Tables.hashRand(col("grp"), seed) <
+          lit(trainPct / 100.0), lit("train")).otherwise(lit("val")))
+      .select(col("doc_id"), col("grp"), col("split"))
+  }
+
 }
