@@ -726,6 +726,14 @@ object Stress {
         degree = 6, nProbeBuild = 2, beamWidth = 8, rounds = 3,
         layerRatio = 16, nLayers = 2, entryWidth = 2).count()
     }
+    // leakage-free split: the cost IS d8's banded pair + closure
+    // machinery (already curve-covered); the split adds one
+    // broadcast join + a per-row hash — the row proves the
+    // composition inherits the banded scaling, not all-pairs
+    t("p12_leakage_split") {
+      Curation.leakageFreeSplit(docs, col("doc_id"), col("text"))
+        .groupBy(col("split")).count().count()
+    }
     // datasheet: source-keyed aggregates only, nothing corpus-global
     t("p11_datasheet") {
       Curation.corpusDatasheet(docs, col("doc_id"), col("text"),
