@@ -1308,6 +1308,80 @@ object SparkEntry {
           |        CAST(1.0 AS DOUBLE) AS cosine FROM gq),
           |gf0 AS (SELECT query_id, node_id FROM gv0)""".stripMargin)
 
+  /** s27 entry: THREE-layer descent — brute entry over the tiny
+    * layer-2 (hash % ratio² = 0), ONE beam round on layer-1's own
+    * kNN graph (members hash % ratio = 0; the graph reuses the
+    * shared body's assigned/probed cell relations restricted to the
+    * layer), then the winners seed the layer-0 beam. Mirrors
+    * hnswTopK(nLayers = 3, upperRounds = 1) step for step: the
+    * middle layer's returned visited set is entry ∪ scored (its
+    * internal beam cut only shapes a frontier that one round never
+    * re-reads), cut to entryW by (cosine desc, node asc). */
+  private def duckHnswDescent(nc: Int, iters: Int, nProbeBuild: Int,
+      degree: Int, ratio: Int, entryW: Int, beam: Int, rounds: Int,
+      k: Int): String = {
+    val dotQ =
+      """list_reduce(list_transform(range(1, len(q.v) + 1),
+        |     j -> q.v[j] * c.v[j]), (a, b) -> a + b) / (q.nrm * c.nrm)"""
+        .stripMargin
+    def layerPred(m: Int) =
+      s"('0x' || substr(md5(vec_id::VARCHAR || '#97'), 1, 8))::BIGINT % $m = 0"
+    duckNswBody(nc, iters, nProbeBuild, degree, beam, rounds, k,
+      entryCtes = s"""hl1 AS (
+         |  SELECT vec_id FROM en WHERE ${layerPred(ratio)}),
+         |hl2 AS (
+         |  SELECT vec_id FROM en WHERE ${layerPred(ratio * ratio)}),
+         |l1cand AS (
+         |  SELECT p.vec_id AS src, a.vec_id AS dst
+         |  FROM (SELECT pr.vec_id, pr.cell_id FROM probed pr
+         |        JOIN hl1 ON hl1.vec_id = pr.vec_id) p
+         |  JOIN (SELECT ai.vec_id, ai.cell_id FROM assigned ai
+         |        JOIN hl1 ON hl1.vec_id = ai.vec_id) a
+         |    ON a.cell_id = p.cell_id AND a.vec_id <> p.vec_id),
+         |l1sc AS (
+         |  SELECT g.src, g.dst,
+         |   list_reduce(list_transform(range(1, len(s.v) + 1),
+         |     j -> s.v[j] * d.v[j]), (a, b) -> a + b) / (s.nrm * d.nrm)
+         |     AS sim
+         |  FROM l1cand g
+         |  JOIN en s ON s.vec_id = g.src
+         |  JOIN en d ON d.vec_id = g.dst),
+         |l1graph AS (
+         |  SELECT src, dst FROM (
+         |    SELECT src, dst, row_number() OVER (
+         |      PARTITION BY src ORDER BY sim DESC, dst) AS rk
+         |    FROM l1sc) WHERE rk <= $degree),
+         |hent AS (
+         |  SELECT q.query_id, c.vec_id AS node_id, $dotQ AS cosine
+         |  FROM gq q
+         |  CROSS JOIN (SELECT en.* FROM en JOIN hl2 USING (vec_id)) c),
+         |hseed AS (SELECT query_id, node_id, cosine FROM (
+         |  SELECT query_id, node_id, cosine, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cosine DESC, node_id) AS rk
+         |  FROM hent) WHERE rk <= $entryW),
+         |hexp AS (
+         |  SELECT DISTINCT s.query_id, g.dst AS node_id
+         |  FROM hseed s JOIN l1graph g ON g.src = s.node_id),
+         |hfresh AS (
+         |  SELECT e.query_id, e.node_id FROM hexp e
+         |  LEFT JOIN hseed v
+         |    ON v.query_id = e.query_id AND v.node_id = e.node_id
+         |  WHERE v.node_id IS NULL),
+         |hsc AS (
+         |  SELECT n.query_id, n.node_id, $dotQ AS cosine
+         |  FROM hfresh n
+         |  JOIN en c ON c.vec_id = n.node_id
+         |  JOIN gq q ON q.query_id = n.query_id),
+         |hvis AS (
+         |  SELECT query_id, node_id, cosine FROM hseed
+         |  UNION ALL SELECT query_id, node_id, cosine FROM hsc),
+         |gv0 AS (SELECT query_id, node_id, cosine FROM (
+         |  SELECT query_id, node_id, cosine, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cosine DESC, node_id) AS rk
+         |  FROM hvis) WHERE rk <= $entryW),
+         |gf0 AS (SELECT query_id, node_id FROM gv0)""".stripMargin)
+  }
+
   /** s26 entry: layered (HNSW) — the top geometric layer
     * (hashU32(id, 97) %% ratio = 0) is scored brute-force per query
     * and the best entryW nodes seed the layer-0 beam. Shares every
@@ -4228,6 +4302,18 @@ object SparkEntry {
         "vec_id", "embedding", k = 5, nCells = 64, iters = 2,
         degree = 6, nProbeBuild = 2, beamWidth = 8, rounds = 3,
         layerRatio = 16, nLayers = 2, entryWidth = 2)
+    }),
+
+    // three-layer descent: brute entry over layer 2 (1/16 of the
+    // corpus at ratio 4), one beam round on layer 1's own graph,
+    // winners seed the layer-0 beam — the middle-layer descent path
+    // oracle-pinned, not just spec-covered
+    "s27_hnsw_descent" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.hnswTopK(emb, emb.filter(col("vec_id") % 25 === 0),
+        "vec_id", "embedding", k = 5, nCells = 64, iters = 2,
+        degree = 6, nProbeBuild = 2, beamWidth = 8, rounds = 3,
+        layerRatio = 4, nLayers = 3, entryWidth = 2, upperRounds = 1)
     }),
 
     // FAISS "refine" tail on s11: ADC ranks a 25-candidate shortlist,
@@ -8030,6 +8116,10 @@ object SparkEntry {
     "s26_hnsw_layers" ->
       duckHnswTopK(nc = 64, iters = 2, nProbeBuild = 2, degree = 6,
         ratio = 16, entryW = 2, beam = 8, rounds = 3, k = 5),
+
+    "s27_hnsw_descent" ->
+      duckHnswDescent(nc = 64, iters = 2, nProbeBuild = 2, degree = 6,
+        ratio = 4, entryW = 2, beam = 8, rounds = 3, k = 5),
 
     "s25_ivf_append" ->
       duckIvfAppend(nc = 8, iters = 2, nProbe = 2, k = 5),
