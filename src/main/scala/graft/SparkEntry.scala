@@ -4316,6 +4316,38 @@ object SparkEntry {
         layerRatio = 4, nLayers = 3, entryWidth = 2, upperRounds = 1)
     }),
 
+    // PERSISTED GRAPH INDEX (s28) — the s9 build-once/serve-many
+    // discipline for the graph tier: the first execution trains the
+    // codebook, assigns the corpus ONCE, derives the layer graphs and
+    // writes them to parquet (level-partitioned edges + the top-layer
+    // entry vectors); every later execution loads and beam-searches
+    // WITHOUT retraining or rebuilding — no real deployment rebuilds
+    // an HNSW graph per query. Hash-equal to s26 at the same
+    // parameters (serve ≡ live, the s9 receipt), which is exactly
+    // what the shared oracle checks; bench min-of-2 therefore times
+    // the serve-only path
+    "s28_graph_index_persist" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val dir = scratchDir("s28hnsw", d)
+      if (!new java.io.File(s"$dir/_built").exists()) {
+        val (top, graphs) = Similarity.buildHnswGraphIndex(emb,
+          "vec_id", "embedding", nCells = 64, iters = 2, degree = 6,
+          nProbeBuild = 2, layerRatio = 16, nLayers = 2)
+        top.coalesce(1).write.mode("overwrite")
+          .parquet(s"$dir/toplayer")
+        // cluster each level's edges into its own files (levels are
+        // the serve-side filter, so the partition column prunes)
+        graphs.repartition(col("level")).write.mode("overwrite")
+          .partitionBy("level").parquet(s"$dir/graphs")
+        new java.io.File(s"$dir/_built").createNewFile()
+      }
+      Similarity.hnswServeIndexed(s.read.parquet(s"$dir/toplayer"),
+        s.read.parquet(s"$dir/graphs"), emb,
+        emb.filter(col("vec_id") % 25 === 0), "vec_id", "embedding",
+        k = 5, beamWidth = 8, rounds = 3, nLayers = 2,
+        entryWidth = 2, upperRounds = 1)
+    }),
+
     // FAISS "refine" tail on s11: ADC ranks a 25-candidate shortlist,
     // exact cosine re-scores only those 25 — recall rises toward the
     // IVF routing ceiling at UNCHANGED code bytes (the quantizer only
@@ -8120,6 +8152,12 @@ object SparkEntry {
     "s27_hnsw_descent" ->
       duckHnswDescent(nc = 64, iters = 2, nProbeBuild = 2, degree = 6,
         ratio = 4, entryW = 2, beam = 8, rounds = 3, k = 5),
+
+    // the persisted graph index must serve identically to the live
+    // s26 plan at the same parameters — same twin verbatim
+    "s28_graph_index_persist" ->
+      duckHnswTopK(nc = 64, iters = 2, nProbeBuild = 2, degree = 6,
+        ratio = 16, entryW = 2, beam = 8, rounds = 3, k = 5),
 
     "s25_ivf_append" ->
       duckIvfAppend(nc = 8, iters = 2, nProbe = 2, k = 5),

@@ -1689,52 +1689,157 @@ object Similarity {
       nProbeBuild: Int, beamWidth: Int, rounds: Int,
       layerRatio: Int = 16, nLayers: Int = 2, entryWidth: Int = 2,
       upperRounds: Int = 1): DataFrame = {
-    require(nLayers >= 2 && layerRatio >= 2 && entryWidth >= 1 &&
-      entryWidth <= beamWidth,
-      s"need nLayers >= 2, layerRatio >= 2, 1 <= entryWidth <= " +
-        s"beamWidth, got $nLayers/$layerRatio/$entryWidth/$beamWidth")
+    val (topLayer, graphs) = buildHnswGraphIndex(emb, idCol, vecCol,
+      nCells, iters, degree, nProbeBuild, layerRatio, nLayers)
+    hnswServeIndexed(topLayer, graphs, emb, queries, idCol, vecCol,
+      k, beamWidth, rounds, nLayers, entryWidth, upperRounds)
+  }
+
+  /** One corpus×codebook scoring pass shared by EVERY layer's graph
+    * build: (node_id, n_vec, n_norm, cell_id, rk ≤ nProbe) — rk = 1
+    * is the cell assignment, rk ≤ nProbe the probe list. Assignment
+    * is per-vector against the broadcast codebook, so restricting
+    * this relation to a layer's members IS that layer's own
+    * assignment (the DuckDB twin's l1cand applies the identical
+    * restriction to its shared assigned/probed CTEs) — a multi-layer
+    * build therefore scans and scores the corpus ONCE instead of
+    * once per layer. */
+  private def rankedCellsFor(emb: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, nProbe: Int): DataFrame = {
+    val withNorm = emb.select(col(idCol).as("node_id"),
+        col(vecCol).as("n_vec"))
+      .withColumn("n_norm", norm(col("n_vec")))
+    val cWith = centroids.select(col("cell_id"), col("centroid"))
+      .withColumn("c_nrm", norm(col("centroid")))
+    val wAssign = Window.partitionBy(col("node_id"))
+      .orderBy(col("sim").desc, col("cell_id").asc)
+    withNorm.crossJoin(broadcast(cWith))
+      .withColumn("sim", dot(col("n_vec"), col("centroid")) /
+        (col("n_norm") * col("c_nrm")))
+      .withColumn("rk", row_number().over(wAssign))
+      .filter(col("rk") <= math.max(nProbe, 1))
+      .select(col("node_id"), col("n_vec"), col("n_norm"),
+        col("cell_id"), col("rk"))
+  }
+
+  /** kNN graph from a shared ranked-cells relation: probe rows join
+    * assignment rows within a cell (src ≠ dst, pairs unique because
+    * probe cells are distinct and a dst is assigned once), exact
+    * cosine, degree cap with ties dst-asc — [[knnGraph]]'s candidate
+    * generation over a PRECOMPUTED assignment. */
+  private def knnGraphFromRanked(ranked: DataFrame,
+      degree: Int): DataFrame = {
+    val probed = ranked.select(col("node_id").as("src"),
+      col("n_vec").as("s_vec"), col("n_norm").as("s_norm"),
+      col("cell_id"))
+    val assigned = ranked.filter(col("rk") === 1)
+      .select(col("node_id").as("dst"), col("n_vec").as("d_vec"),
+        col("n_norm").as("d_norm"), col("cell_id"))
+    val wDeg = Window.partitionBy(col("src"))
+      .orderBy(col("sim").desc, col("dst").asc)
+    probed.join(assigned, Seq("cell_id"))
+      .filter(col("src") =!= col("dst"))
+      .withColumn("sim", dot(col("s_vec"), col("d_vec")) /
+        (col("s_norm") * col("d_norm")))
+      .withColumn("rk", row_number().over(wDeg))
+      .filter(col("rk") <= degree)
+      .select(col("src"), col("dst"), col("sim"))
+  }
+
+  /** s28: the PERSISTABLE graph index — the s9 build-once/serve-many
+    * discipline applied to the graph tier. Trains the codebook, runs
+    * ONE corpus assignment pass ([[rankedCellsFor]]), and derives
+    * every layer's bounded-degree kNN graph from that shared
+    * relation (layer ℓ's members are hashU32(id, 97) % ratio^ℓ = 0,
+    * the HNSW geometric-layer trick). Returns
+    * (topLayer(node_id, n_vec, n_norm), graphs(level, src, dst)) —
+    * both corpus-derived, both parquet-writable; at 100 TB the build
+    * is the one corpus-scale job (n·C scoring + per-cell pair
+    * scoring), written once and amortized over every query the index
+    * ever serves. [[hnswServeIndexed]] over the loaded relations is
+    * hash-identical to [[hnswTopK]] at the same parameters — the
+    * oracle receipt that serve ≡ live. */
+  def buildHnswGraphIndex(emb: DataFrame, idCol: String,
+      vecCol: String, nCells: Int, iters: Int, degree: Int,
+      nProbeBuild: Int, layerRatio: Int,
+      nLayers: Int): (DataFrame, DataFrame) = {
+    require(nLayers >= 2 && layerRatio >= 2,
+      s"need nLayers >= 2 and layerRatio >= 2, " +
+        s"got $nLayers/$layerRatio")
     val cents = kmeansCentroids(emb, idCol, vecCol, nCells, iters)
+    val rankedAll = rankedCellsFor(emb, cents, idCol, vecCol,
+        nProbeBuild)
+      .persistTracked() // every layer's graph build + the top layer
+    def layerRanked(l: Int): DataFrame = {
+      val m = BigInt(layerRatio).pow(l).toLong
+      rankedAll.filter(Tables.hashU32(col("node_id"), 97) % m === 0)
+    }
+    // top layer: entry vectors only (brute-scored per query at serve
+    // time — the declared coarse tier, add layers to shrink it)
+    val topC = layerRanked(nLayers - 1).filter(col("rk") === 1)
+      .select(col("node_id"), col("n_vec"), col("n_norm"))
+      .persistTracked() // the emptiness check + the serve-side entry
+    // an empty top layer would silently return zero rows for every
+    // query (empty seeds → empty beam); expected size is
+    // n/ratio^(nLayers-1), so fail loudly with the remedy instead —
+    // an index-BUILD-time count action, where eager checks belong
+    require(topC.limit(1).count() > 0,
+      s"top layer is empty (nLayers=$nLayers, layerRatio=$layerRatio" +
+        ") — lower nLayers or layerRatio so n/ratio^(nLayers-1) >= 1")
+    val graphs = ((nLayers - 2) to 0 by -1).map { l =>
+      val base = if (l == 0) rankedAll else layerRanked(l)
+      knnGraphFromRanked(base, degree)
+        .select(lit(l).as("level"), col("src"), col("dst"))
+    }.reduce(_ unionByName _)
+    (topC, graphs)
+  }
+
+  /** Serve-side HNSW search over a LOADED graph index (the output of
+    * [[buildHnswGraphIndex]], typically read back from parquet):
+    * brute entry on the stored top layer, beam descent through each
+    * stored intermediate-layer graph, full beam on the stored
+    * layer-0 graph — NO training, NO assignment, NO graph build.
+    * Per-query work is |topLayer| + beamWidth·degree·rounds distance
+    * evaluations regardless of corpus size; corpus vectors come from
+    * the base table (`corpus`), the graphs carry only edges. */
+  def hnswServeIndexed(topLayer: DataFrame, graphs: DataFrame,
+      corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, beamWidth: Int, rounds: Int,
+      nLayers: Int, entryWidth: Int = 2,
+      upperRounds: Int = 1): DataFrame = {
+    require(entryWidth >= 1 && entryWidth <= beamWidth,
+      s"need 1 <= entryWidth <= beamWidth, " +
+        s"got $entryWidth/$beamWidth")
     val q = queries.select(col(idCol).as("query_id"),
         col(vecCol).as("q_vec"))
       .withColumn("q_norm", norm(col("q_vec")))
       .persistTracked() // entry scoring + every beam round
-    val c = emb.select(col(idCol).as("node_id"), col(vecCol).as("n_vec"))
+    val c = corpus.select(col(idCol).as("node_id"),
+        col(vecCol).as("n_vec"))
       .withColumn("n_norm", norm(col("n_vec")))
-    def layer(l: Int): DataFrame = {
-      val m = BigInt(layerRatio).pow(l).toLong
-      emb.filter(Tables.hashU32(col(idCol), 97) % m === 0)
-    }
     val wEntry = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("node_id").asc)
-    // brute-force entry over the top layer
-    val topC = layer(nLayers - 1)
-      .select(col(idCol).as("node_id"), col(vecCol).as("n_vec"))
-      .withColumn("n_norm", norm(col("n_vec")))
-      .persistTracked() // the emptiness check + the entry scoring
-    // an empty top layer would silently return zero rows for every
-    // query (empty seeds → empty beam); expected size is
-    // n/ratio^(nLayers-1), so fail loudly with the remedy instead
-    // (an index-build-time count, the autoCells precedent)
-    require(topC.limit(1).count() > 0,
-      s"top layer is empty (nLayers=$nLayers, layerRatio=$layerRatio" +
-        ") — lower nLayers or layerRatio so n/ratio^(nLayers-1) >= 1")
-    var seeds = topC
+    var seeds = topLayer.select(col("node_id"), col("n_vec"),
+        col("n_norm"))
       .crossJoin(broadcast(q))
       .withColumn("cosine", dot(col("q_vec"), col("n_vec")) /
         (col("q_norm") * col("n_norm")))
       .withColumn("rk", row_number().over(wEntry))
       .filter(col("rk") <= entryWidth)
       .select(col("query_id"), col("node_id"), col("cosine"))
-    // descend through intermediate layers on their own graphs
+    // descend through intermediate layers on their stored graphs
+    // (level is a partition column when loaded from parquet, so the
+    // filter prunes to one layer's files)
     for (l <- (nLayers - 2) to 1 by -1) {
-      val gU = knnGraph(layer(l), cents, idCol, vecCol, degree,
-        nProbeBuild)
+      val gU = graphs.filter(col("level") === l)
+        .select(col("src"), col("dst"))
       seeds = beamRounds(c, gU, q, seeds, entryWidth, upperRounds)
         .withColumn("rk", row_number().over(wEntry))
         .filter(col("rk") <= entryWidth)
         .select(col("query_id"), col("node_id"), col("cosine"))
     }
-    val g0 = knnGraph(emb, cents, idCol, vecCol, degree, nProbeBuild)
+    val g0 = graphs.filter(col("level") === 0)
+      .select(col("src"), col("dst"))
     rankTopK(beamRounds(c, g0, q, seeds, beamWidth, rounds), k)
   }
 
