@@ -168,6 +168,20 @@ object SparkEntry {
     * integer sum and the twin is exact. Operand order mirrors the
     * Spark expressions step for step. */
   private def duckQualityCensus(posSources: Seq[String], nBuckets: Int,
+      iters: Int, lr: Double): String =
+    s"""${duckQualityDocCtes(posSources, nBuckets, iters, lr)}
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN quality6 >= 500000 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_kept,
+       |  CAST(round(sum(quality6) * 1.0 / count(*)) AS BIGINT)
+       |    AS mean_quality6
+       |FROM qq GROUP BY source""".stripMargin
+
+  /** The t38 twin's WITH-chain up to per-doc scores: ends at `qq` =
+    * (doc_id, source, quality6). Shared by the t38 census, the q103
+    * streaming-gate replay, and the p11 datasheet quality columns so
+    * the mirrors cannot drift. */
+  private def duckQualityDocCtes(posSources: Seq[String], nBuckets: Int,
       iters: Int, lr: Double): String = {
     val posList = posSources.map(s => s"'$s'").mkString(", ")
     val iterCtes = (1 to iters).map { r =>
@@ -225,17 +239,22 @@ object SparkEntry {
        |  FROM qfeats f JOIN w$iters w USING (bucket)
        |  GROUP BY f.doc_id),
        |qq AS (
-       |  SELECT b.source,
+       |  SELECT b.doc_id, b.source,
        |    CAST(round(1e6 / (1 + exp(-a.z12 / 1e12))) AS BIGINT)
        |      AS quality6
-       |  FROM qapply a JOIN qb2 b USING (doc_id))
-       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-       |  CAST(sum(CASE WHEN quality6 >= 500000 THEN 1 ELSE 0 END)
-       |    AS BIGINT) AS n_kept,
-       |  CAST(round(sum(quality6) * 1.0 / count(*)) AS BIGINT)
-       |    AS mean_quality6
-       |FROM qq GROUP BY source""".stripMargin
+       |  FROM qapply a JOIN qb2 b USING (doc_id))""".stripMargin
   }
+
+  /** The ten FIXED serving-query ids shared by every `*_serve` bench
+    * twin (t42/t43/t44/s29/s30): present at every SF (documents and
+    * embeddings both carry ids 0..499 at the smallest verified scale),
+    * and CONSTANT as the corpus grows — unlike the doc_id-modulo
+    * benchmark predicates, whose |Q| scales with the corpus and makes
+    * those entries' scale curves quadratic BY CONSTRUCTION
+    * (BASELINE §8). These twins carry the serving-shaped bands. */
+  private val ServeQueryIds: Seq[Long] = 0L to 450L by 50L
+  private val ServeIdsSql: String =
+    ServeQueryIds.mkString("(", ", ", ")")
 
   /** DuckDB twin of TextAnalysis.bm25TopK (k1=1.2, b=0.75, queries =
     * doc_id %% 25 = 0): WITH-chain ending at `bmr` = (query_id,
@@ -243,7 +262,11 @@ object SparkEntry {
     * operand order — the only transcendental (idf ln) is quantized to
     * micro-nats on the vocab relation, contributions are rounded to
     * integers at the row, scores are exact BIGINT sums. */
-  private def duckBm25Ctes: String =
+  private def duckBm25Ctes: String = duckBm25CtesFor("doc_id % 25 = 0")
+
+  /** [[duckBm25Ctes]] with the query predicate swappable — the
+    * `*_serve` twins bind it to the fixed [[ServeIdsSql]] list. */
+  private def duckBm25CtesFor(queryPred: String): String =
     s"""WITH tok AS (
        |  SELECT doc_id, unnest($DuckToks) AS token FROM documents),
        |btf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
@@ -260,7 +283,7 @@ object SparkEntry {
        |  FROM bdf CROSS JOIN btot),
        |bqt AS (SELECT doc_id AS query_id,
        |  unnest(list_distinct($DuckToks)) AS token
-       |  FROM documents WHERE doc_id % 25 = 0),
+       |  FROM documents WHERE $queryPred),
        |bcand AS (
        |  SELECT bqt.query_id, btf.doc_id,
        |   CAST(round(i.idf6 * (btf.tf * (1.2 + 1.0)) /
@@ -275,6 +298,51 @@ object SparkEntry {
        |  CAST(row_number() OVER (PARTITION BY query_id
        |    ORDER BY score6 DESC, doc_id) AS BIGINT) AS rank
        |  FROM bsc)""".stripMargin
+
+  /** DuckDB twin of the hybrid-RRF fusion (s18 and its fixed-|Q|
+    * serving twin s29): BM25 CTE chain (top-20, `docPred` binds the
+    * lexical query set) ⊕ the s1 exact-cosine text (top-20, `vecPred`
+    * binds the dense query set — referenced as `q.vec_id`) → RRF in
+    * integer micro units. */
+  private def duckHybridRrf(docPred: String, vecPred: String): String =
+    s"""${duckBm25CtesFor(docPred)},
+       |lexr AS (SELECT query_id, doc_id, rank AS lex_rank
+       |  FROM bmr WHERE rank <= 20),
+       |e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+       |  FROM embeddings),
+       |dsc AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+       |   list_reduce(list_transform(range(1, len(q.v) + 1),
+       |     i -> q.v[i] * c.v[i]), (x, y) -> x + y) /
+       |   (sqrt(list_reduce(list_transform(q.v, x -> x * x),
+       |      (x, y) -> x + y)) *
+       |    sqrt(list_reduce(list_transform(c.v, x -> x * x),
+       |      (x, y) -> x + y))) AS cosine
+       |  FROM e q JOIN e c ON $vecPred AND c.vec_id <> q.vec_id),
+       |dr AS (
+       |  SELECT query_id, doc_id, CAST(row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cosine DESC, doc_id)
+       |    AS BIGINT) AS dense_rank
+       |  FROM dsc),
+       |denser AS (SELECT query_id, doc_id, dense_rank
+       |  FROM dr WHERE dense_rank <= 20),
+       |fused AS (
+       |  SELECT coalesce(l.query_id, dn.query_id) AS query_id,
+       |   coalesce(l.doc_id, dn.doc_id) AS doc_id,
+       |   l.lex_rank, dn.dense_rank,
+       |   coalesce(CAST(round(1e6 / (60.0 + l.lex_rank)) AS BIGINT), 0)
+       |   + coalesce(CAST(round(1e6 / (60.0 + dn.dense_rank))
+       |       AS BIGINT), 0) AS rrf6
+       |  FROM lexr l FULL OUTER JOIN denser dn
+       |    ON l.query_id = dn.query_id AND l.doc_id = dn.doc_id),
+       |fr AS (
+       |  SELECT query_id, doc_id, rrf6, lex_rank, dense_rank,
+       |   CAST(row_number() OVER (PARTITION BY query_id
+       |     ORDER BY rrf6 DESC, doc_id) AS BIGINT) AS rank
+       |  FROM fused)
+       |SELECT query_id, rank, doc_id, rrf6, lex_rank, dense_rank
+       |FROM fr WHERE rank <= 5""".stripMargin
 
   // BPE hyperparameters (t16/t17). BpeMerges must stay small enough
   // that pairs never exhaust at the smallest SF — the oracle unrolls
@@ -1223,7 +1291,20 @@ object SparkEntry {
     * Similarity.knnGraph + nswBeamTopK exactly. */
   private def duckNswBody(nc: Int, iters: Int, nProbeBuild: Int,
       degree: Int, beam: Int, rounds: Int, k: Int,
-      entryCtes: String): String = {
+      entryCtes: String, trainWhere: Option[String] = None): String = {
+    // trainWhere restricts the k-means TRAINING set (the s31 append
+    // twin trains on the base corpus only — the stored codebook);
+    // assignment, graphs, and serving still run over everything
+    val kmeansHeader = trainWhere match {
+      case None => duckKmeansCtes(nc, iters)
+      case Some(w) =>
+        s"""WITH e AS (
+           |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+           |  FROM embeddings),
+           |en AS (SELECT vec_id, v, ${duckNormOf("v")} AS nrm FROM e),
+           |eb AS (SELECT vec_id, v, nrm FROM en WHERE $w),
+           |${duckKmeansChain(nc, iters, "", "eb")}""".stripMargin
+    }
     val roundCtes = (1 to rounds).map { r =>
       s"""ge$r AS (
          |  SELECT DISTINCT f.query_id, g.dst AS node_id
@@ -1255,7 +1336,7 @@ object SparkEntry {
          |  JOIN gs$r sn ON sn.query_id = b.query_id
          |    AND sn.node_id = b.node_id)""".stripMargin
     }.mkString(",\n")
-    s"""${duckKmeansCtes(nc, iters)},
+    s"""$kmeansHeader,
        |cs AS (
        |  SELECT en.vec_id, c.cell_id,
        |   list_reduce(list_transform(range(1, len(en.v) + 1),
@@ -1389,8 +1470,9 @@ object SparkEntry {
     * the two mirrors cannot drift. */
   private def duckHnswTopK(nc: Int, iters: Int, nProbeBuild: Int,
       degree: Int, ratio: Int, entryW: Int, beam: Int, rounds: Int,
-      k: Int): String =
+      k: Int, trainWhere: Option[String] = None): String =
     duckNswBody(nc, iters, nProbeBuild, degree, beam, rounds, k,
+      trainWhere = trainWhere,
       entryCtes = s"""hl1 AS (
          |  SELECT vec_id FROM en
          |  WHERE ('0x' || substr(md5(vec_id::VARCHAR || '#97'), 1, 8))::BIGINT
@@ -2054,6 +2136,18 @@ object SparkEntry {
         col("text"), n = 3, mBits = 4096, kHashes = 3)
     }),
 
+    // contamination ATTRIBUTION: t7 reports the contaminated fraction;
+    // this names the culprit — per contaminated doc, the benchmark doc
+    // with the largest distinct-shingle overlap (ties to the lowest
+    // bench id) and the overlap fraction. Same broadcast probe as t7
+    // with bench_id carried; argmax is one per-doc window
+    "t41_contamination_attr" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+      TextAnalysis.contaminationAttribution(docs, bench, col("doc_id"),
+        col("text"), n = 3)
+    }),
+
     // RefinedWeb-style duplicate-span coverage: fraction of each doc's
     // 5-token windows that recur in at least 2 documents
     "t11_dup_span_stats" -> ((s, d) =>
@@ -2421,11 +2515,20 @@ object SparkEntry {
         col("doc_id"), col("text"))),
 
     // corpus datasheet: the per-source release summary (volume,
-    // language mix, exact-dup rate, Gopher keep count) composed from
+    // language mix, exact-dup rate, Gopher keep count, and the t38
+    // quality distribution — kept count + exact rank-based quartiles
+    // of the trained classifier's micro-unit scores) composed from
     // the registered gates in one source-keyed pass
-    "p11_corpus_datasheet" -> ((s, d) =>
-      Curation.corpusDatasheet(Tables.documents(s, d), col("doc_id"),
-        col("text"), col("source"), col("lang"), col("n_chars"))),
+    "p11_corpus_datasheet" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val quality = TextAnalysis.qualityScores(qualitySeeded(docs),
+        col("doc_id"), col("text"), col("source"), QualityPosSources,
+        nBuckets = QualityBuckets, iters = QualityIters,
+        lr = QualityLr)
+      Curation.corpusDatasheet(docs, col("doc_id"),
+        col("text"), col("source"), col("lang"), col("n_chars"),
+        quality = Some(quality))
+    }),
 
     // curriculum schedule: difficulty-ranked contiguous stages with a
     // deterministic md5 pseudo-shuffle inside each; both ranks are the
@@ -2749,6 +2852,32 @@ object SparkEntry {
       graft.operators.InvertedIndex.segmentServedBm25(
         Tables.documents(s, d), col("doc_id"), col("text"),
         col("doc_id") % 25 === 0, nBatches = 11, every = 4, k = 5)),
+
+    // SERVING-SHAPED twins (fixed |Q| = 10, the ServeQueryIds list):
+    // the t26/t30/t36/s18/s19 benchmark entries derive their query
+    // sets from doc_id-modulo, so |Q| grows with the corpus and their
+    // scale curves are quadratic BY CONSTRUCTION — a benchmark
+    // artifact, not an engine cost (BASELINE §8). These twins hold
+    // the query count constant, so their bands ARE the serving cost:
+    // what a deployment pays per fixed query batch as the corpus
+    // scales. Operators unchanged — only the query predicate differs
+    "t42_bm25_serve" -> ((s, d) =>
+      TextAnalysis.bm25TopK(Tables.documents(s, d), col("doc_id"),
+        col("text"), col("doc_id").isin(ServeQueryIds: _*), k = 5)),
+
+    // index-served WAND twin — provably t42's answer (see t30)
+    "t43_wand_serve" -> ((s, d) =>
+      graft.operators.InvertedIndex.bm25FromIndex(Tables.documents(s, d),
+        col("doc_id"), col("text"),
+        col("doc_id").isin(ServeQueryIds: _*), k = 5)),
+
+    // segment-served twin — provably t42's answer plus the pinned
+    // segment-resolution receipt (see t36)
+    "t44_segment_serve" -> ((s, d) =>
+      graft.operators.InvertedIndex.segmentServedBm25(
+        Tables.documents(s, d), col("doc_id"), col("text"),
+        col("doc_id").isin(ServeQueryIds: _*), nBatches = 11,
+        every = 4, k = 5)),
 
     // BLOCK-PARTITIONED inverted index: token → posting blocks of
     // ≤ 64 docs each (block = doc_id div 64) — a stopword's corpus-
@@ -3313,6 +3442,61 @@ object SparkEntry {
           sum(Tables.hashU32(col("text"), 7)).as("content_sum"))
         .select(lit("quar").as("part"), col("reasons").as("k"),
           col("cnt"), col("id_sum"), col("content_sum"))
+      vt.versions(s, s"$base/table").map(cleanAgg)
+        .reduce(_ unionByName _)
+        .unionByName(quar)
+    }),
+
+    // STREAMING QUALITY GATE (q103) — the train→deploy loop closed
+    // for the one LEARNED gate that only ran batch (t38): train the
+    // logistic scorer in-engine on the corpus, persist the weight
+    // relation (the deployable artifact, nBuckets+1 rows), then gate
+    // a q89-shaped document ingest stream with it — each micro-batch
+    // scored against the broadcast weights, keepers append-commit to
+    // a versioned table, below-threshold docs route to quarantine
+    // WITH their scores. Oracle = batch replay of the same weights
+    // (the q63/q65 pattern): the unrolled-GD twin scores every doc,
+    // clean version v = cumulative keepers of batches 0..v, empty
+    // groups absent on both sides (grouped aggregates, never .agg)
+    "q103_stream_quality_gate" -> ((s, d) => {
+      val docs = qualitySeeded(Tables.documents(s, d))
+        .select(col("doc_id"), col("text"), col("source"))
+      val scratch = scratchDir("q103gate", d)
+      val wDir = s"$scratch/weights"
+      TextAnalysis.qualityWeights(docs, col("doc_id"), col("text"),
+          col("source"), QualityPosSources, nBuckets = QualityBuckets,
+          iters = QualityIters, lr = QualityLr)
+        .coalesce(1).write.mode("overwrite").parquet(wDir)
+      val w = s.read.parquet(wDir)
+      val streamDir = new java.io.File(scratch, "in")
+      streamDir.mkdirs()
+      for (i <- 0 until 3) {
+        val tmp = s"$scratch/shard$i"
+        docs.filter(col("doc_id") % 3 === i).coalesce(1)
+          .write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(streamDir, f"batch$i%02d.parquet")
+        java.nio.file.Files.copy(part.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        dst.setLastModified(1000000L * (i + 1))
+      }
+      val base = s"$scratch/gated"
+      EventStream.scoredGatedIngestOnce(
+        EventStream.parquetFileStream(s, streamDir.getAbsolutePath),
+        batch => TextAnalysis.scoreWithWeights(batch, col("doc_id"),
+          col("text"), w, nBuckets = QualityBuckets),
+        scoreCol = "quality6", threshold = 500000L, base)
+      val vt = graft.sources.VersionedTable
+      def cleanAgg(v: Int) =
+        vt.readVersion(s, s"$base/table", v)
+          .groupBy(lit("clean").as("part"), lit(v.toLong).as("k"))
+          .agg(count(lit(1)).as("cnt"), sum(col("doc_id")).as("id_sum"),
+            sum(col("quality6")).as("q_sum"))
+      val quar = vt.readCurrent(s, s"$base/quarantine")
+        .groupBy(lit("quar").as("part"), lit(0L).as("k"))
+        .agg(count(lit(1)).as("cnt"), sum(col("doc_id")).as("id_sum"),
+          sum(col("quality6")).as("q_sum"))
       vt.versions(s, s"$base/table").map(cleanAgg)
         .reduce(_ unionByName _)
         .unionByName(quar)
@@ -4348,6 +4532,48 @@ object SparkEntry {
         entryWidth = 2, upperRounds = 1)
     }),
 
+    // GRAPH-INDEX APPEND (s31 — s25's discipline for the graph
+    // tier): the index is built ONCE on the base corpus (vec_id %%
+    // 4 ≠ 0) and persisted with its codebook and cell ranks; the
+    // batch (vec_id %% 4 = 0) assigns to the STORED centroids and
+    // splices in — edge lists re-derived only for srcs probing a
+    // cell that received a new assignment, every other edge reused
+    // from disk. Serve runs over the appended index; the oracle is
+    // the REBUILD twin (train on base, index everything), so the
+    // hash-match IS the append ≡ rebuild receipt
+    "s31_graph_index_append" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val base = emb.filter(col("vec_id") % 4 =!= 0)
+      val batch = emb.filter(col("vec_id") % 4 === 0)
+      val dir = scratchDir("s31hnsw", d)
+      if (!new java.io.File(s"$dir/_built").exists()) {
+        val cents = Similarity.kmeansCentroids(base, "vec_id",
+          "embedding", nCells = 64, iters = 2)
+        val (top, graphs, ranked) = Similarity.buildHnswGraphIndexWith(
+          base, cents, "vec_id", "embedding", degree = 6,
+          nProbeBuild = 2, layerRatio = 16, nLayers = 2)
+        cents.coalesce(1).write.mode("overwrite")
+          .parquet(s"$dir/centroids")
+        top.coalesce(1).write.mode("overwrite")
+          .parquet(s"$dir/toplayer")
+        graphs.repartition(col("level")).write.mode("overwrite")
+          .partitionBy("level").parquet(s"$dir/graphs")
+        ranked.coalesce(1).write.mode("overwrite")
+          .parquet(s"$dir/ranked")
+        new java.io.File(s"$dir/_built").createNewFile()
+      }
+      val (top2, graphs2) = Similarity.appendHnswGraphIndex(emb,
+        batch, s.read.parquet(s"$dir/centroids"),
+        s.read.parquet(s"$dir/ranked"),
+        s.read.parquet(s"$dir/toplayer"),
+        s.read.parquet(s"$dir/graphs"), "vec_id", "embedding",
+        degree = 6, nProbeBuild = 2, layerRatio = 16, nLayers = 2)
+      Similarity.hnswServeIndexed(top2, graphs2, emb,
+        emb.filter(col("vec_id") % 25 === 0), "vec_id", "embedding",
+        k = 5, beamWidth = 8, rounds = 3, nLayers = 2,
+        entryWidth = 2, upperRounds = 1)
+    }),
+
     // FAISS "refine" tail on s11: ADC ranks a 25-candidate shortlist,
     // exact cosine re-scores only those 25 — recall rises toward the
     // IVF routing ceiling at UNCHANGED code bytes (the quantizer only
@@ -4433,6 +4659,37 @@ object SparkEntry {
         emb.filter(col("vec_id") % 25 === 0), "vec_id", "embedding", 20)
         .withColumnRenamed("neighbor_id", "doc_id")
       Similarity.rrfFuseTopK(lex, dense, k = 5)
+    }),
+
+    // s18's serving twin at fixed |Q| (see t42's rationale): both
+    // fusion legs generate 20·|Q| rows with |Q| = 10 constant — the
+    // band measures the per-batch serving cost, not |Q|-growth
+    "s29_rrf_serve" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val isQ = col("doc_id").isin(ServeQueryIds: _*)
+      val lex = TextAnalysis.bm25TopK(Tables.documents(s, d),
+        col("doc_id"), col("text"), isQ, k = 20)
+      val dense = Similarity.bruteForceTopK(emb,
+        emb.filter(col("vec_id").isin(ServeQueryIds: _*)),
+        "vec_id", "embedding", 20)
+        .withColumnRenamed("neighbor_id", "doc_id")
+      Similarity.rrfFuseTopK(lex, dense, k = 5)
+    }),
+
+    // s19's serving twin at fixed |Q|: the recall census over the ten
+    // fixed queries only — the exact leg (the ground truth) is the
+    // one inherently corpus-linear piece PER QUERY, so holding |Q|
+    // fixed is exactly what makes the band a serving number
+    "s30_recall_serve" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id").isin(ServeQueryIds: _*))
+      val codebook = Similarity.kmeansCentroids(emb, "vec_id",
+        "embedding", nCells = 8, iters = 2)
+      val approx = Similarity.ivfTopKWithQueries(emb, codebook, q,
+        "vec_id", "embedding", k = 5, nProbe = 2)
+      val exact = Similarity.bruteForceTopK(emb, q, "vec_id",
+        "embedding", 5)
+      Similarity.recallCensus(exact, approx)
     }),
 
     // CUBE: all four grouping combinations + grouping_id, completing
@@ -6099,6 +6356,38 @@ object SparkEntry {
 
     "t7_contamination" -> DuckContamination,
 
+    // t7's shingle probe with the bench id carried through: per
+    // contaminated doc, the argmax-overlap benchmark doc (ties to the
+    // lowest bench id) and the overlap fraction
+    "t41_contamination_attr" ->
+      s"""WITH t AS (SELECT doc_id, $DuckToks AS w FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, unnest(list_transform(
+         |    range(1, len(w) - 1),
+         |    i -> array_to_string(w[i:i+2], ' '))) AS s
+         |  FROM t WHERE len(w) >= 3),
+         |benchsh AS (
+         |  SELECT DISTINCT doc_id AS bench_id, s FROM sh
+         |  WHERE doc_id % 97 = 0),
+         |totals AS (SELECT doc_id, count(*) AS n_shingles FROM sh
+         |  GROUP BY 1),
+         |pairs AS (
+         |  SELECT sh.doc_id, b.bench_id, count(*) AS n_overlap
+         |  FROM sh JOIN benchsh b USING (s)
+         |  WHERE sh.doc_id % 97 <> 0
+         |  GROUP BY 1, 2),
+         |best AS (
+         |  SELECT doc_id, bench_id, n_overlap, row_number() OVER (
+         |    PARTITION BY doc_id
+         |    ORDER BY n_overlap DESC, bench_id) AS rk
+         |  FROM pairs)
+         |SELECT b.doc_id, b.bench_id,
+         | CAST(b.n_overlap AS BIGINT) AS n_overlap,
+         | CAST(t.n_shingles AS BIGINT) AS n_shingles,
+         | round(b.n_overlap / t.n_shingles::DOUBLE, 6) AS overlap_frac
+         |FROM best b JOIN totals t USING (doc_id)
+         |WHERE b.rk = 1""".stripMargin,
+
     // the Bloom pre-filter has no false negatives and the exact join
     // removes false positives, so t10's result IS t7's result — one
     // oracle serves both plans
@@ -7332,6 +7621,25 @@ object SparkEntry {
     // hash-check the whole admission decision against the state
     "p11_corpus_datasheet" ->
       s"""$duckGopherCtes,
+         |${duckQualityDocCtes(QualityPosSources, QualityBuckets,
+              QualityIters, QualityLr).stripPrefix("WITH ")},
+         |pq AS (
+         |  SELECT source, doc_id, quality6,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY quality6, doc_id) AS rk,
+         |    count(*) OVER (PARTITION BY source) AS n
+         |  FROM qq),
+         |pquant AS (
+         |  SELECT source,
+         |    CAST(sum(CASE WHEN quality6 >= 500000 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS quality_kept,
+         |    CAST(max(CASE WHEN rk = (n + 3) // 4 THEN quality6 END)
+         |      AS BIGINT) AS quality_p25,
+         |    CAST(max(CASE WHEN rk = (n + 1) // 2 THEN quality6 END)
+         |      AS BIGINT) AS quality_p50,
+         |    CAST(max(CASE WHEN rk = (3 * n + 3) // 4 THEN quality6 END)
+         |      AS BIGINT) AS quality_p75
+         |  FROM pq GROUP BY source),
          |ptok AS (
          |  SELECT doc_id, CAST(len($DuckToks) AS BIGINT) AS ntok
          |  FROM documents),
@@ -7369,10 +7677,13 @@ object SparkEntry {
          |  FROM pfp GROUP BY source)
          |SELECT v.source, v.n_docs, v.n_tokens, v.chars_min,
          |  v.chars_max, v.chars_avg, m.n_langs, m.top_lang,
-         |  d.n_exact_dups, v.gopher_keep
+         |  d.n_exact_dups, v.gopher_keep,
+         |  pquant.quality_kept, pquant.quality_p25,
+         |  pquant.quality_p50, pquant.quality_p75
          |FROM pvol v
          |JOIN pmix m USING (source)
-         |JOIN pdup d USING (source)""".stripMargin,
+         |JOIN pdup d USING (source)
+         |JOIN pquant USING (source)""".stripMargin,
 
     "p10_corpus_refresh" -> {
       def fp(rel: String) =
@@ -7637,6 +7948,27 @@ object SparkEntry {
          |  CAST(4 AS BIGINT) AS segments_loaded
          |FROM bmr WHERE rank <= 5""".stripMargin,
 
+    // the serving twins: t26's oracle with the fixed query list bound
+    // in place of the corpus-scaling modulo predicate; t43/t44 land on
+    // t42's answer exactly for t30/t36's reasons (plan/layout changes,
+    // never semantics changes)
+    "t42_bm25_serve" ->
+      s"""${duckBm25CtesFor(s"doc_id IN $ServeIdsSql")}
+         |SELECT query_id, rank, doc_id, score6
+         |FROM bmr WHERE rank <= 5""".stripMargin,
+
+    "t43_wand_serve" ->
+      s"""${duckBm25CtesFor(s"doc_id IN $ServeIdsSql")}
+         |SELECT query_id, rank, doc_id, score6
+         |FROM bmr WHERE rank <= 5""".stripMargin,
+
+    "t44_segment_serve" ->
+      s"""${duckBm25CtesFor(s"doc_id IN $ServeIdsSql")}
+         |SELECT query_id, rank, doc_id, score6,
+         |  CAST(7 AS BIGINT) AS ckpt_seg,
+         |  CAST(4 AS BIGINT) AS segments_loaded
+         |FROM bmr WHERE rank <= 5""".stripMargin,
+
     // exact leg = the s1 text without the query filter; approx leg =
     // the s5 oracle verbatim as a nested-WITH subquery; the census
     // mirrors recallCensus' left-semi + left-outer shape
@@ -7662,6 +7994,48 @@ object SparkEntry {
          |  SELECT query_id, neighbor_id FROM ranked WHERE rank <= 5),
          |approx AS (
          |  ${duckKmeansIvf(nc = 8, iters = 2, nProbe = 2, k = 5)}),
+         |hits AS (
+         |  SELECT e.query_id, CAST(count(*) AS BIGINT) AS hits
+         |  FROM exact e JOIN approx a
+         |    ON a.query_id = e.query_id
+         |   AND a.neighbor_id = e.neighbor_id
+         |  GROUP BY 1),
+         |qs AS (SELECT DISTINCT query_id FROM exact),
+         |perq AS (
+         |  SELECT qs.query_id,
+         |   coalesce(h.hits, CAST(0 AS BIGINT)) AS hits
+         |  FROM qs LEFT JOIN hits h USING (query_id))
+         |SELECT hits, CAST(count(*) AS BIGINT) AS n_queries
+         |FROM perq GROUP BY 1""".stripMargin,
+
+    // s19's oracle with both legs' query sets bound to the fixed
+    // serving list: the exact ground-truth leg filters its query side,
+    // the IVF leg gets the same list through duckKmeansIvf's probed
+    // CTE — census shape unchanged
+    "s30_recall_serve" ->
+      s"""WITH exact AS (
+         |  WITH e AS (
+         |    SELECT vec_id, list_transform(embedding, x -> x::DOUBLE)
+         |      AS v FROM embeddings),
+         |  scored AS (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |     list_reduce(list_transform(range(1, len(q.v) + 1),
+         |       i -> q.v[i] * c.v[i]), (x, y) -> x + y) /
+         |     (sqrt(list_reduce(list_transform(q.v, x -> x * x),
+         |        (x, y) -> x + y)) *
+         |      sqrt(list_reduce(list_transform(c.v, x -> x * x),
+         |        (x, y) -> x + y))) AS cosine
+         |    FROM e q JOIN e c ON q.vec_id IN $ServeIdsSql
+         |      AND c.vec_id <> q.vec_id),
+         |  ranked AS (
+         |    SELECT query_id, neighbor_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)
+         |      AS rank
+         |    FROM scored)
+         |  SELECT query_id, neighbor_id FROM ranked WHERE rank <= 5),
+         |approx AS (
+         |  ${duckKmeansIvf(nc = 8, iters = 2, nProbe = 2, k = 5,
+              queryWhere = s" AND vec_id IN $ServeIdsSql")}),
          |hits AS (
          |  SELECT e.query_id, CAST(count(*) AS BIGINT) AS hits
          |  FROM exact e JOIN approx a
@@ -7873,45 +8247,13 @@ object SparkEntry {
 
     // BM25 CTE chain (top-20) ⊕ the s1 exact-cosine text (top-20,
     // same fold order) → RRF in integer micro units
-    "s18_hybrid_rrf" ->
-      s"""$duckBm25Ctes,
-         |lexr AS (SELECT query_id, doc_id, rank AS lex_rank
-         |  FROM bmr WHERE rank <= 20),
-         |e AS (
-         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
-         |  FROM embeddings),
-         |dsc AS (
-         |  SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
-         |   list_reduce(list_transform(range(1, len(q.v) + 1),
-         |     i -> q.v[i] * c.v[i]), (x, y) -> x + y) /
-         |   (sqrt(list_reduce(list_transform(q.v, x -> x * x),
-         |      (x, y) -> x + y)) *
-         |    sqrt(list_reduce(list_transform(c.v, x -> x * x),
-         |      (x, y) -> x + y))) AS cosine
-         |  FROM e q JOIN e c ON q.vec_id % 25 = 0 AND c.vec_id <> q.vec_id),
-         |dr AS (
-         |  SELECT query_id, doc_id, CAST(row_number() OVER (
-         |    PARTITION BY query_id ORDER BY cosine DESC, doc_id)
-         |    AS BIGINT) AS dense_rank
-         |  FROM dsc),
-         |denser AS (SELECT query_id, doc_id, dense_rank
-         |  FROM dr WHERE dense_rank <= 20),
-         |fused AS (
-         |  SELECT coalesce(l.query_id, dn.query_id) AS query_id,
-         |   coalesce(l.doc_id, dn.doc_id) AS doc_id,
-         |   l.lex_rank, dn.dense_rank,
-         |   coalesce(CAST(round(1e6 / (60.0 + l.lex_rank)) AS BIGINT), 0)
-         |   + coalesce(CAST(round(1e6 / (60.0 + dn.dense_rank))
-         |       AS BIGINT), 0) AS rrf6
-         |  FROM lexr l FULL OUTER JOIN denser dn
-         |    ON l.query_id = dn.query_id AND l.doc_id = dn.doc_id),
-         |fr AS (
-         |  SELECT query_id, doc_id, rrf6, lex_rank, dense_rank,
-         |   CAST(row_number() OVER (PARTITION BY query_id
-         |     ORDER BY rrf6 DESC, doc_id) AS BIGINT) AS rank
-         |  FROM fused)
-         |SELECT query_id, rank, doc_id, rrf6, lex_rank, dense_rank
-         |FROM fr WHERE rank <= 5""".stripMargin,
+    "s18_hybrid_rrf" -> duckHybridRrf("doc_id % 25 = 0",
+      "q.vec_id % 25 = 0"),
+
+    // s18's oracle with both legs' query predicates bound to the
+    // fixed serving list
+    "s29_rrf_serve" -> duckHybridRrf(s"doc_id IN $ServeIdsSql",
+      s"q.vec_id IN $ServeIdsSql"),
 
     // the same block partition, payload serialization and census
     // relationally: string_agg ordered by (doc_id, pos) mirrors
@@ -8158,6 +8500,14 @@ object SparkEntry {
     "s28_graph_index_persist" ->
       duckHnswTopK(nc = 64, iters = 2, nProbeBuild = 2, degree = 6,
         ratio = 16, entryW = 2, beam = 8, rounds = 3, k = 5),
+
+    // the REBUILD twin: codebook trained on the base corpus only
+    // (the stored centroids), graphs and serving over everything —
+    // the hash-match proves append ≡ rebuild for the graph tier
+    "s31_graph_index_append" ->
+      duckHnswTopK(nc = 64, iters = 2, nProbeBuild = 2, degree = 6,
+        ratio = 16, entryW = 2, beam = 8, rounds = 3, k = 5,
+        trainWhere = Some("vec_id % 4 <> 0")),
 
     "s25_ivf_append" ->
       duckIvfAppend(nc = 8, iters = 2, nProbe = 2, k = 5),
@@ -9105,6 +9455,28 @@ object SparkEntry {
          | CAST(sum(doc_id) AS BIGINT) AS id_sum,
          | CAST(sum(${duckU32("text", 7)}) AS BIGINT) AS content_sum
          |FROM m WHERE reasons <> 0
+         |GROUP BY 1, 2""".stripMargin,
+
+    // batch replay of the deployed t38 weights (the q63/q65 pattern):
+    // the shared unrolled-GD chain scores every doc, then the q89
+    // version replay applies the 0.5 keep-threshold — clean version v
+    // = cumulative keepers of batches (doc_id % 3) ≤ v
+    "q103_stream_quality_gate" ->
+      s"""${duckQualityDocCtes(QualityPosSources, QualityBuckets,
+            QualityIters, QualityLr)}
+         |SELECT 'clean' AS part, CAST(v AS BIGINT) AS k,
+         | CAST(count(*) AS BIGINT) AS cnt,
+         | CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         | CAST(sum(quality6) AS BIGINT) AS q_sum
+         |FROM (SELECT unnest(range(3)) AS v) vs
+         |JOIN qq ON doc_id % 3 <= v AND quality6 >= 500000
+         |GROUP BY 1, 2
+         |UNION ALL
+         |SELECT 'quar' AS part, CAST(0 AS BIGINT) AS k,
+         | CAST(count(*) AS BIGINT) AS cnt,
+         | CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         | CAST(sum(quality6) AS BIGINT) AS q_sum
+         |FROM qq WHERE quality6 < 500000
          |GROUP BY 1, 2""".stripMargin,
 
     // recompute the injected corruption and the bitmask; the reasons=0

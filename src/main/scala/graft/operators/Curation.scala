@@ -528,6 +528,25 @@ object Curation {
       .unionByName(packRow)
   }
 
+  /** Optional attribution report for p9's DECONTAM tier: for every
+    * doc the tier drops (contamination ≥ tau), WHICH benchmark doc
+    * it overlaps most (t41's argmax, ties to the lowest bench id)
+    * and the overlap fraction — the "which eval set" evidence a
+    * release review wants next to the census counts. Report-only:
+    * the census itself is unchanged; the inputs are the tier's own
+    * relations, so the report adds one per-doc window over the
+    * already-bounded shared-shingle pair relation. */
+  def decontamAttributionReport(tierDocs: DataFrame, bench: DataFrame,
+      idCol: Column, textCol: Column, n: Int = 3,
+      contamTau: Double = 0.5): DataFrame = {
+    val dirty = TextAnalysis.contamination(tierDocs, bench, idCol,
+        textCol, n)
+      .filter(col("contamination") >= contamTau).select(col("doc_id"))
+    TextAnalysis.contaminationAttribution(tierDocs, bench, idCol,
+        textCol, n)
+      .join(dirty, Seq("doc_id"))
+  }
+
   /** One census row: (stage, stage_name, docs_in, docs_out, kept_fp)
     * with kept_fp the md5-u32 sum of surviving doc_ids — shared by
     * the corpus-build (p9) and corpus-refresh (p10) capstones. */
@@ -713,8 +732,8 @@ object Curation {
     * number of times and nothing corpus-global is materialized, so
     * the pass is embarrassingly source-parallel at any scale. */
   def corpusDatasheet(docs: DataFrame, idCol: Column, textCol: Column,
-      sourceCol: Column, langCol: Column, nCharsCol: Column)
-      : DataFrame = {
+      sourceCol: Column, langCol: Column, nCharsCol: Column,
+      quality: Option[DataFrame] = None): DataFrame = {
     val base = docs.select(idCol.as("doc_id"), sourceCol.as("source"),
         langCol.as("lang"), nCharsCol.as("n_chars"),
         textCol.as("text"))
@@ -749,7 +768,32 @@ object Curation {
       .groupBy(col("source"))
       .agg((count(lit(1)) - countDistinct(col("fp")))
         .as("n_exact_dups"))
-    vol.join(mix, "source").join(dups, "source")
+    val core = vol.join(mix, "source").join(dups, "source")
+    // optional t38 quality distribution (verdict-requested datasheet
+    // column family): per-source kept count at the 0.5 threshold plus
+    // exact rank-based quartiles of the micro-unit scores — type-1
+    // quantiles (value at rank ceil(p·n), ordered by (quality6,
+    // doc_id)) so the integer arithmetic is engine-exact; one more
+    // per-source keyed aggregate, no new scan shape
+    quality.fold(core) { q =>
+      val ranked = base.select(col("doc_id"), col("source"))
+        .join(q.select(col("doc_id"), col("quality6")), "doc_id")
+        .withColumn("rk", row_number().over(Window
+          .partitionBy(col("source"))
+          .orderBy(col("quality6"), col("doc_id"))))
+        .withColumn("n",
+          count(lit(1)).over(Window.partitionBy(col("source"))))
+      val quant = ranked.groupBy(col("source")).agg(
+        sum(when(col("quality6") >= 500000L, 1L).otherwise(0L))
+          .as("quality_kept"),
+        max(when(col("rk") === expr("(n + 3) div 4"), col("quality6")))
+          .as("quality_p25"),
+        max(when(col("rk") === expr("(n + 1) div 2"), col("quality6")))
+          .as("quality_p50"),
+        max(when(col("rk") === expr("(3 * n + 3) div 4"),
+          col("quality6"))).as("quality_p75"))
+      core.join(quant, "source")
+    }
   }
 
 

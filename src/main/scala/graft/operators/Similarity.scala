@@ -1728,11 +1728,20 @@ object Similarity {
     * cosine, degree cap with ties dst-asc — [[knnGraph]]'s candidate
     * generation over a PRECOMPUTED assignment. */
   private def knnGraphFromRanked(ranked: DataFrame,
-      degree: Int): DataFrame = {
-    val probed = ranked.select(col("node_id").as("src"),
+      degree: Int): DataFrame =
+    knnGraphFromRankedAgainst(ranked, ranked.filter(col("rk") === 1),
+      degree)
+
+  /** The asymmetric core of [[knnGraphFromRanked]]: probe rows from
+    * `probedSrc` (a possibly-restricted src set — the append path
+    * recomputes only TOUCHED srcs), assignment rows from
+    * `assignedDst`. Both carry (node_id, n_vec, n_norm, cell_id). */
+  private def knnGraphFromRankedAgainst(probedSrc: DataFrame,
+      assignedDst: DataFrame, degree: Int): DataFrame = {
+    val probed = probedSrc.select(col("node_id").as("src"),
       col("n_vec").as("s_vec"), col("n_norm").as("s_norm"),
       col("cell_id"))
-    val assigned = ranked.filter(col("rk") === 1)
+    val assigned = assignedDst
       .select(col("node_id").as("dst"), col("n_vec").as("d_vec"),
         col("n_norm").as("d_norm"), col("cell_id"))
     val wDeg = Window.partitionBy(col("src"))
@@ -1763,11 +1772,26 @@ object Similarity {
       vecCol: String, nCells: Int, iters: Int, degree: Int,
       nProbeBuild: Int, layerRatio: Int,
       nLayers: Int): (DataFrame, DataFrame) = {
+    val cents = kmeansCentroids(emb, idCol, vecCol, nCells, iters)
+    val (top, graphs, _) = buildHnswGraphIndexWith(emb, cents, idCol,
+      vecCol, degree, nProbeBuild, layerRatio, nLayers)
+    (top, graphs)
+  }
+
+  /** [[buildHnswGraphIndex]] with a PRECOMPUTED codebook, returning
+    * additionally the ranked cell relation (node_id, cell_id, rk) —
+    * the piece an APPEND needs persisted alongside centroids/graphs:
+    * a later batch splices in by re-deriving only the edge lists
+    * whose candidate sets the batch actually changed
+    * ([[appendHnswGraphIndex]]). */
+  def buildHnswGraphIndexWith(emb: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, degree: Int,
+      nProbeBuild: Int, layerRatio: Int,
+      nLayers: Int): (DataFrame, DataFrame, DataFrame) = {
     require(nLayers >= 2 && layerRatio >= 2,
       s"need nLayers >= 2 and layerRatio >= 2, " +
         s"got $nLayers/$layerRatio")
-    val cents = kmeansCentroids(emb, idCol, vecCol, nCells, iters)
-    val rankedAll = rankedCellsFor(emb, cents, idCol, vecCol,
+    val rankedAll = rankedCellsFor(emb, centroids, idCol, vecCol,
         nProbeBuild)
       .persistTracked() // every layer's graph build + the top layer
     def layerRanked(l: Int): DataFrame = {
@@ -1791,7 +1815,78 @@ object Similarity {
       knnGraphFromRanked(base, degree)
         .select(lit(l).as("level"), col("src"), col("dst"))
     }.reduce(_ unionByName _)
-    (topC, graphs)
+    (topC, graphs,
+      rankedAll.select(col("node_id"), col("cell_id"), col("rk")))
+  }
+
+  /** APPEND to a persisted graph index (s31 — the s25 discipline for
+    * the graph tier): new vectors assign to the STORED centroids
+    * (broadcast codebook, batch-sized pass — the corpus is never
+    * re-scored), join the layers their id-hash selects, and the edge
+    * lists are re-derived ONLY where the batch changed a candidate
+    * set — a src's kNN list depends on (its probed cells × the
+    * assignments in them), so the affected srcs are exactly the
+    * layer members probing a cell that RECEIVED a new assignment;
+    * every other stored edge is reused verbatim. Result ≡ a full
+    * rebuild with the same codebook (spec-proven edge-set equality,
+    * oracle-proven through the serve output), at batch-plus-touched-
+    * cells cost instead of corpus cost. */
+  def appendHnswGraphIndex(corpus: DataFrame, batch: DataFrame,
+      centroids: DataFrame, rankedStored: DataFrame,
+      topStored: DataFrame, graphsStored: DataFrame, idCol: String,
+      vecCol: String, degree: Int, nProbeBuild: Int, layerRatio: Int,
+      nLayers: Int): (DataFrame, DataFrame) = {
+    require(nLayers >= 2 && layerRatio >= 2,
+      s"need nLayers >= 2 and layerRatio >= 2, " +
+        s"got $nLayers/$layerRatio")
+    val rankedBatch = rankedCellsFor(batch, centroids, idCol, vecCol,
+        nProbeBuild)
+      .persistTracked() // top splice + every layer's splice
+    val c = corpus.select(col(idCol).as("node_id"),
+        col(vecCol).as("n_vec"))
+      .withColumn("n_norm", norm(col("n_vec")))
+    // stored ranks carry no vectors (they persist as metadata); the
+    // splice re-attaches them from the base table by id
+    val rankedAll = rankedStored
+      .select(col("node_id"), col("cell_id"), col("rk"))
+      .unionByName(rankedBatch
+        .select(col("node_id"), col("cell_id"), col("rk")))
+      .join(c, "node_id")
+      .persistTracked() // per-layer touched-candidate scoring
+    val mTop = BigInt(layerRatio).pow(nLayers - 1).toLong
+    val top2 = topStored.select(col("node_id"), col("n_vec"),
+        col("n_norm"))
+      .unionByName(rankedBatch
+        .filter(Tables.hashU32(col("node_id"), 97) % mTop === 0)
+        .filter(col("rk") === 1)
+        .select(col("node_id"), col("n_vec"), col("n_norm")))
+    val newIdsAll = rankedBatch.select(col("node_id")).distinct()
+    val graphs2 = ((nLayers - 2) to 0 by -1).map { l =>
+      val m = BigInt(layerRatio).pow(l).toLong
+      def layerOf(df: DataFrame) =
+        df.filter(Tables.hashU32(col("node_id"), 97) % m === 0)
+      val lvlAll = layerOf(rankedAll)
+      val newIds = layerOf(newIdsAll)
+      // cells that received a new ASSIGNMENT at this layer — only
+      // they can change an existing src's candidate set
+      val hotCells = layerOf(rankedBatch).filter(col("rk") === 1)
+        .select(col("cell_id")).distinct()
+      val affected = lvlAll
+        .join(broadcast(hotCells), Seq("cell_id"), "left_semi")
+        .select(col("node_id"))
+        .unionByName(newIds).distinct()
+        .persistTracked() // probe-side semi-join + edge anti-join
+      val recomputed = knnGraphFromRankedAgainst(
+        lvlAll.join(affected, Seq("node_id"), "left_semi"),
+        lvlAll.filter(col("rk") === 1), degree)
+      val untouched = graphsStored.filter(col("level") === l)
+        .join(affected.withColumnRenamed("node_id", "src"),
+          Seq("src"), "left_anti")
+      untouched.select(col("src"), col("dst"))
+        .unionByName(recomputed.select(col("src"), col("dst")))
+        .select(lit(l).as("level"), col("src"), col("dst"))
+    }.reduce(_ unionByName _)
+    (top2, graphs2)
   }
 
   /** Serve-side HNSW search over a LOADED graph index (the output of

@@ -211,6 +211,40 @@ object TextAnalysis {
           .as("contamination"))
   }
 
+  /** t41: contamination ATTRIBUTION — [[contamination]] reports how
+    * much of a doc's shingle set the benchmark union reaches; a
+    * release needs WHICH eval set. For every contaminated corpus doc
+    * (≥ 1 shared shingle), the benchmark doc with the LARGEST
+    * distinct-shingle overlap (deterministic tiebreak: lowest bench
+    * id), the overlap size, and its fraction of the doc's own
+    * distinct shingles. Same broadcast shingle probe as t7 with the
+    * bench id carried through: the pair relation is bounded by
+    * actually-shared shingles (candidates only, never corpus ×
+    * benchmark), the argmax is one per-doc window over it, and the
+    * corpus side still never shuffles for the probe. */
+  def contaminationAttribution(docs: DataFrame, bench: DataFrame,
+      idCol: Column, textCol: Column, n: Int): DataFrame = {
+    val docSh = explodedShingles(docs, idCol, textCol, n).distinct()
+    val benchSh = explodedShingles(bench, idCol, textCol, n)
+      .select(col("doc_id").as("bench_id"), col("shingle")).distinct()
+    val benchIds = bench.select(idCol.as("bid"))
+    val pairs = docSh.join(broadcast(benchSh), "shingle")
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+    val totals = docSh.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"))
+    val wBest = Window.partitionBy(col("doc_id"))
+      .orderBy(col("n_overlap").desc, col("bench_id").asc)
+    pairs.withColumn("rk", row_number().over(wBest))
+      .filter(col("rk") === 1)
+      .join(totals, "doc_id")
+      .join(benchIds, col("doc_id") === col("bid"), "left_anti")
+      .select(col("doc_id"), col("bench_id"), col("n_overlap"),
+        col("n_shingles"),
+        round(col("n_overlap").cast("double") / col("n_shingles"), 6)
+          .as("overlap_frac"))
+  }
+
   /** Bloom-pre-filtered contamination: SAME OUTPUT as [[contamination]]
     * (a Bloom filter has no false negatives, and false positives die in
     * the exact verification join), but the membership probe broadcasts
@@ -1063,6 +1097,91 @@ object TextAnalysis {
           .as("n_kept"),
         round(sum(col("quality6")) * lit(1.0) / count(lit(1)))
           .cast("long").as("mean_quality6"))
+
+  /** [[qualityScores]]' trainer factored out for the train→deploy
+    * loop (q103): same feature build, same GD iterations, but the
+    * RETURN VALUE is the trained weight relation (bucket, w6) — the
+    * deployable artifact a serving gate broadcasts. nBuckets+1 rows,
+    * so writing/broadcasting it is metadata-sized at any corpus. */
+  def qualityWeights(docs: DataFrame, idCol: Column, textCol: Column,
+      sourceCol: Column, posSources: Seq[String], nBuckets: Int = 64,
+      iters: Int = 4, lr: Double = 100.0): DataFrame = {
+    require(nBuckets > 0 && iters >= 1 && lr > 0,
+      s"need nBuckets/iters/lr positive, got $nBuckets/$iters/$lr")
+    val base = docs.select(idCol.as("doc_id"), sourceCol.as("source"),
+        tokens(textCol).as("toks"))
+      .withColumn("t_doc", size(col("toks")))
+      .filter(col("t_doc") > 0)
+      .withColumn("y6",
+        when(col("source").isInCollection(posSources), lit(1000000L))
+          .otherwise(lit(0L)))
+    val feats = qualityFeatures(base, nBuckets)
+      .join(base.select(col("doc_id"), col("y6")), "doc_id")
+      .persistTracked() // probed every GD iteration
+    val n = base.count()
+    var w = feats.select(col("bucket")).distinct()
+      .withColumn("w6", lit(0L))
+      .persistTracked()
+    for (_ <- 1 to iters) {
+      val p = feats.join(broadcast(w), "bucket")
+        .groupBy(col("doc_id"), col("y6"))
+        .agg(sum(col("w6") * col("x6")).as("z12"))
+        .withColumn("p6", round(lit(1e6) /
+          (lit(1.0) + exp(-col("z12") / lit(1e12)))).cast("long"))
+      val grad = feats
+        .join(p.select(col("doc_id"), col("p6")), "doc_id")
+        .groupBy(col("bucket"))
+        .agg(sum(round((col("p6") - col("y6")) * col("x6") / lit(1e6))
+          .cast("long")).as("g6"))
+      w = w.join(grad, "bucket")
+        .select(col("bucket"),
+          (col("w6") - round(lit(lr) * col("g6") / lit(n.toDouble))
+            .cast("long")).as("w6"))
+        .persistTracked()
+    }
+    w
+  }
+
+  /** The t38 feature build shared by training and serving: hashed
+    * bag-of-words term frequencies in micro-units plus the constant
+    * bias feature (bucket −1). Input must carry (doc_id, toks,
+    * t_doc > 0); output is (doc_id, bucket, x6). */
+  private def qualityFeatures(base: DataFrame, nBuckets: Int)
+      : DataFrame =
+    base.select(col("doc_id"), col("t_doc"),
+        explode(col("toks")).as("token"))
+      .groupBy(col("doc_id"), col("t_doc"),
+        (Tables.hashU32(col("token"), 41) % nBuckets).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("doc_id"), col("bucket"),
+        round(lit(1e6) * col("cnt") / col("t_doc")).cast("long")
+          .as("x6"))
+      .unionByName(base.select(col("doc_id"),
+        lit(-1L).as("bucket"), lit(10000L).as("x6")))
+
+  /** Score arbitrary documents with a TRAINED weight relation
+    * (the serving half of the train→deploy loop, q103): identical
+    * feature build and sigmoid quantization to [[qualityScores]]'
+    * apply pass, weights broadcast. Fails CLOSED: a doc whose token
+    * list is empty has no features, scores coalesce(0) and lands
+    * under any sane keep-threshold. Returns the input rows plus
+    * quality6. */
+  def scoreWithWeights(docs: DataFrame, idCol: Column, textCol: Column,
+      weights: DataFrame, nBuckets: Int = 64): DataFrame = {
+    val base = docs.withColumn("doc_id", idCol)
+      .withColumn("toks", tokens(textCol))
+      .withColumn("t_doc", size(col("toks")))
+    val scored = qualityFeatures(base.filter(col("t_doc") > 0), nBuckets)
+      .join(broadcast(weights), "bucket")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("w6") * col("x6")).as("z12"))
+      .withColumn("quality6", round(lit(1e6) /
+        (lit(1.0) + exp(-col("z12") / lit(1e12)))).cast("long"))
+      .select(col("doc_id"), col("quality6"))
+    base.drop("toks", "t_doc")
+      .join(scored, Seq("doc_id"), "left_outer")
+      .withColumn("quality6", coalesce(col("quality6"), lit(0L)))
+  }
 
 
   /** t40: ENCODING-ARTIFACT gate (the ftfy/mojibake class of web-text

@@ -473,6 +473,35 @@ object EventStream {
     * input row ends up in exactly one table exactly once, with no
     * checkpoint-side state. Gating cost is one codegen'd map over the
     * batch; both sinks are O(batch) appends, never O(table). */
+  /** [[gatedIngestOnce]] with a LEARNED rule (q103 — the
+    * train→deploy loop closed for the t38 classifier): instead of
+    * row-local constraint predicates, each micro-batch is scored by
+    * `score` (e.g. broadcast-weight logistic scoring — an aggregation
+    * per doc, which a Column rule cannot express), keepers
+    * (score ≥ threshold) append-commit to `baseDir/table`, the rest
+    * (with their scores) to `baseDir/quarantine` — same lockstep
+    * version↔batch discipline, same exactly-once replay semantics.
+    * Scoring cost is O(batch) against a broadcast model; both sinks
+    * stay O(batch) appends. */
+  def scoredGatedIngestOnce(src: DataFrame,
+      score: DataFrame => DataFrame, scoreCol: String,
+      threshold: Long, baseDir: String): Unit = {
+    val q = src.writeStream
+      .foreachBatch {
+        (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val scored = score(batch.toDF())
+          .localCheckpoint(true) // score once, feed both sinks
+        lockstepCommit(scored.filter(col(scoreCol) >= threshold),
+          s"$baseDir/table", batchId)
+        lockstepCommit(scored.filter(col(scoreCol) < threshold),
+          s"$baseDir/quarantine", batchId)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   def gatedIngestOnce(src: DataFrame,
       rules: Seq[(String, org.apache.spark.sql.Column)],
       baseDir: String): Unit = {

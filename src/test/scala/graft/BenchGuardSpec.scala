@@ -56,6 +56,21 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(Bench.bandLimit(0.1) == 1.1)
   }
 
+  test("heavy bands (> 2 s) use the tighter 2x limit") {
+    // the documented contention event inflated the suite uniformly
+    // 2.8x; under the old uniform max(3x, +1s) limit every heavy
+    // query passed unflagged. The tier catches exactly that event...
+    assert(Bench.bandLimit(8.0) == 16.0)
+    assert(8.0 * 2.8 > Bench.bandLimit(8.0),
+      "a uniform 2.8x contention event must be flagged on heavy queries")
+    // ...while idle-run repeatability (±15% measured) stays far inside
+    assert(8.0 * 1.15 < Bench.bandLimit(8.0))
+    // boundary: a 2.0 s band is still the loose tier (the s11-class
+    // bimodal 2-3 s queries would false-flag at 2x)
+    assert(Bench.bandLimit(2.0) == 6.0)
+    assert(Bench.bandLimit(2.01) < 6.0)
+  }
+
   test("the committed bench_reference.json parses to a non-empty band set") {
     val p = java.nio.file.Paths.get("bench_reference.json")
     assume(java.nio.file.Files.exists(p))

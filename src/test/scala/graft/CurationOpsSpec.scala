@@ -298,6 +298,35 @@ class CurationOpsSpec extends SparkSpec {
     assert(out(3L) == 4L)
   }
 
+  test("contamination attribution names the argmax benchmark doc (t41)") {
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"), // bench
+      (10L, "a quick brown fox runs far away from here"), // bench
+      (1L, "the quick brown fox jumps over a cliff edge"), // 4 vs 0, 1 vs 10
+      (2L, "quick brown fox runs far away from here now"), // 1 vs 0, 6 vs 10
+      (3L, "totally different words appear in this one here"), // clean
+      (4L, "whatever quick brown fox plus unrelated trailing words"))
+      .toDF("doc_id", "text") // doc 4: exactly 1 vs BOTH → tie
+    val bench = docs.filter(col("doc_id") === 0 || col("doc_id") === 10)
+    val out = TextAnalysis.contaminationAttribution(docs, bench,
+        col("doc_id"), col("text"), n = 3)
+      .select("doc_id", "bench_id", "n_overlap")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L) == (0L, 4L)) // argmax picks the 4-shingle culprit
+    assert(out(2L) == (10L, 6L)) // ...even when doc 0 also overlaps
+    assert(out(4L) == (0L, 1L)) // ties break to the lowest bench id
+    assert(!out.contains(3L)) // clean docs are absent
+    assert(!out.contains(0L) && !out.contains(10L)) // bench excluded
+    // the p9 tier report keeps only docs at/above tau: with tau 0.5
+    // doc 2 (6/7 shingles) and doc 1 (4/7) qualify, doc 4 (1/7) not
+    val report = graft.operators.Curation.decontamAttributionReport(
+        docs, bench, col("doc_id"), col("text"), n = 3,
+        contamTau = 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(report == Seq(1L, 2L))
+  }
+
   test("uniMaxMixture: hand-computed water-filling, caps bind in order (t21)") {
     // sizes 100/400/10000 → weights √n = 10/20/100, total budget =
     // 10500 chars (10.5e6 milli). Uncapped √-temperature allocation

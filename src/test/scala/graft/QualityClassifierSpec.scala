@@ -12,6 +12,8 @@ import graft.operators.TextAnalysis
   * divided by zero. */
 class QualityClassifierSpec extends SparkSpec {
 
+  import spark.implicits._
+
   private val Pos = (1 to 19 by 2).map("src" + _)
 
   private lazy val docs = Tables.documents(spark, Sf0001).persist()
@@ -54,6 +56,39 @@ class QualityClassifierSpec extends SparkSpec {
     assert(a == b, "two trainings diverged — a float leaked past the " +
       "micro-unit quantization")
     assert(a.nonEmpty)
+  }
+
+  test("deployed weights reproduce the fused trainer's scores (q103)") {
+    // the train→deploy loop: qualityWeights + scoreWithWeights must
+    // land on qualityScores' numbers EXACTLY — the q103 streaming
+    // gate scores with deployed weights while its oracle replays the
+    // fused twin, so any drift here is an oracle break
+    val fused = TextAnalysis.qualityScores(seeded, col("doc_id"),
+        col("text"), col("source"), Pos)
+      .select(col("doc_id"), col("quality6"))
+      .as[(Long, Long)].collect().sorted.toSeq
+    val w = TextAnalysis.qualityWeights(seeded, col("doc_id"),
+      col("text"), col("source"), Pos)
+    val served = TextAnalysis.scoreWithWeights(seeded, col("doc_id"),
+        col("text"), w)
+      .select(col("doc_id"), col("quality6"))
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(served == fused,
+      "deployed-weight scoring diverged from the fused train+apply")
+  }
+
+  test("scoreWithWeights fails CLOSED on token-free docs") {
+    val w = TextAnalysis.qualityWeights(seeded, col("doc_id"),
+      col("text"), col("source"), Pos)
+    val withEmpty = docs.withColumn("text",
+      when(col("doc_id") % 7 === 0, lit("   ")).otherwise(col("text")))
+    val scored = TextAnalysis.scoreWithWeights(withEmpty,
+      col("doc_id"), col("text"), w)
+    // every input row comes back (the gate must never DROP a doc)...
+    assert(scored.count() == docs.count())
+    // ...and the unscorable ones sit at 0 — under any keep threshold
+    assert(scored.filter(col("doc_id") % 7 === 0)
+      .filter(col("quality6") =!= 0L).count() == 0)
   }
 
   test("documents with no tokens are excluded, others all scored") {
