@@ -1791,9 +1791,15 @@ object Similarity {
     require(nLayers >= 2 && layerRatio >= 2,
       s"need nLayers >= 2 and layerRatio >= 2, " +
         s"got $nLayers/$layerRatio")
-    val rankedAll = rankedCellsFor(emb, centroids, idCol, vecCol,
-        nProbeBuild)
-      .persistTracked() // every layer's graph build + the top layer
+    // persist pays only when SEVERAL layer graphs re-read the pass
+    // (nLayers > 2); at two layers the single graph + top layer do
+    // better re-deriving it — the persist would block the planner's
+    // broadcast choice on the small side of the pair join and add a
+    // materialization (measured +4 s on s26 at sf0.1)
+    val rankedAll0 = rankedCellsFor(emb, centroids, idCol, vecCol,
+      nProbeBuild)
+    val rankedAll =
+      if (nLayers > 2) rankedAll0.persistTracked() else rankedAll0
     def layerRanked(l: Int): DataFrame = {
       val m = BigInt(layerRatio).pow(l).toLong
       rankedAll.filter(Tables.hashU32(col("node_id"), 97) % m === 0)
