@@ -1291,11 +1291,19 @@ object SparkEntry {
     * Similarity.knnGraph + nswBeamTopK exactly. */
   private def duckNswBody(nc: Int, iters: Int, nProbeBuild: Int,
       degree: Int, beam: Int, rounds: Int, k: Int,
-      entryCtes: String, trainWhere: Option[String] = None): String = {
+      entryCtes: String, trainWhere: Option[String] = None,
+      indexWhere: Option[String] = None): String = {
     // trainWhere restricts the k-means TRAINING set (the s31 append
     // twin trains on the base corpus only — the stored codebook);
-    // assignment, graphs, and serving still run over everything
-    val kmeansHeader = trainWhere match {
+    // indexWhere restricts the INDEXED/SERVED corpus (the s32 delete
+    // twin keeps the pre-delete codebook but indexes and serves only
+    // surviving vectors). Unset, both relations are `en` and the
+    // generated SQL is byte-identical to the historical twins
+    val rel = if (indexWhere.isDefined) "enk" else "en"
+    val keptCte = indexWhere
+      .map(w => s",\nenk AS (SELECT vec_id, v, nrm FROM en WHERE $w)")
+      .getOrElse("")
+    val kmeansHeader = (trainWhere match {
       case None => duckKmeansCtes(nc, iters)
       case Some(w) =>
         s"""WITH e AS (
@@ -1304,7 +1312,7 @@ object SparkEntry {
            |en AS (SELECT vec_id, v, ${duckNormOf("v")} AS nrm FROM e),
            |eb AS (SELECT vec_id, v, nrm FROM en WHERE $w),
            |${duckKmeansChain(nc, iters, "", "eb")}""".stripMargin
-    }
+    }) + keptCte
     val roundCtes = (1 to rounds).map { r =>
       s"""ge$r AS (
          |  SELECT DISTINCT f.query_id, g.dst AS node_id
@@ -1320,7 +1328,7 @@ object SparkEntry {
          |     j -> q.v[j] * c.v[j]), (a, b) -> a + b) / (q.nrm * c.nrm)
          |     AS cosine
          |  FROM gn$r n
-         |  JOIN en c ON c.vec_id = n.node_id
+         |  JOIN $rel c ON c.vec_id = n.node_id
          |  JOIN gq q ON q.query_id = n.query_id),
          |gv$r AS (
          |  SELECT query_id, node_id, cosine FROM gv${r - 1}
@@ -1338,11 +1346,11 @@ object SparkEntry {
     }.mkString(",\n")
     s"""$kmeansHeader,
        |cs AS (
-       |  SELECT en.vec_id, c.cell_id,
-       |   list_reduce(list_transform(range(1, len(en.v) + 1),
-       |     j -> en.v[j] * c.cv[j]), (a, b) -> a + b) / (en.nrm * c.cnrm)
+       |  SELECT $rel.vec_id, c.cell_id,
+       |   list_reduce(list_transform(range(1, len($rel.v) + 1),
+       |     j -> $rel.v[j] * c.cv[j]), (a, b) -> a + b) / ($rel.nrm * c.cnrm)
        |     AS sim
-       |  FROM en CROSS JOIN cn$iters c),
+       |  FROM $rel CROSS JOIN cn$iters c),
        |ranked AS (
        |  SELECT vec_id, cell_id, row_number() OVER (PARTITION BY vec_id
        |    ORDER BY sim DESC, cell_id) AS rk
@@ -1360,14 +1368,14 @@ object SparkEntry {
        |     j -> s.v[j] * d.v[j]), (a, b) -> a + b) / (s.nrm * d.nrm)
        |     AS sim
        |  FROM gcand g
-       |  JOIN en s ON s.vec_id = g.src
-       |  JOIN en d ON d.vec_id = g.dst),
+       |  JOIN $rel s ON s.vec_id = g.src
+       |  JOIN $rel d ON d.vec_id = g.dst),
        |ggraph AS (
        |  SELECT src, dst FROM (
        |    SELECT src, dst, row_number() OVER (
        |      PARTITION BY src ORDER BY sim DESC, dst) AS rk
        |    FROM gsc) WHERE rk <= $degree),
-       |gq AS (SELECT vec_id AS query_id, v, nrm FROM en
+       |gq AS (SELECT vec_id AS query_id, v, nrm FROM $rel
        |       WHERE vec_id % 25 = 0),
        |$entryCtes,
        |$roundCtes
@@ -1470,11 +1478,13 @@ object SparkEntry {
     * the two mirrors cannot drift. */
   private def duckHnswTopK(nc: Int, iters: Int, nProbeBuild: Int,
       degree: Int, ratio: Int, entryW: Int, beam: Int, rounds: Int,
-      k: Int, trainWhere: Option[String] = None): String =
+      k: Int, trainWhere: Option[String] = None,
+      indexWhere: Option[String] = None): String = {
+    val rel = if (indexWhere.isDefined) "enk" else "en"
     duckNswBody(nc, iters, nProbeBuild, degree, beam, rounds, k,
-      trainWhere = trainWhere,
+      trainWhere = trainWhere, indexWhere = indexWhere,
       entryCtes = s"""hl1 AS (
-         |  SELECT vec_id FROM en
+         |  SELECT vec_id FROM $rel
          |  WHERE ('0x' || substr(md5(vec_id::VARCHAR || '#97'), 1, 8))::BIGINT
          |    % $ratio = 0),
          |gent AS (
@@ -1483,13 +1493,13 @@ object SparkEntry {
          |     j -> q.v[j] * e.v[j]), (a, b) -> a + b) / (q.nrm * e.nrm)
          |     AS cosine
          |  FROM gq q
-         |  CROSS JOIN (SELECT en.* FROM en JOIN hl1 USING (vec_id)) e),
+         |  CROSS JOIN (SELECT $rel.* FROM $rel JOIN hl1 USING (vec_id)) e),
          |gv0 AS (SELECT query_id, node_id, cosine FROM (
          |  SELECT query_id, node_id, cosine, row_number() OVER (
          |    PARTITION BY query_id ORDER BY cosine DESC, node_id) AS rk
          |  FROM gent) WHERE rk <= $entryW),
          |gf0 AS (SELECT query_id, node_id FROM gv0)""".stripMargin)
-
+  }
 
   /** The full s11 residual-IVF-PQ CTE chain through the ADC ranking
     * `r` (train cells → assign/probe → residuals → PQ train →
@@ -4570,6 +4580,48 @@ object SparkEntry {
         degree = 6, nProbeBuild = 2, layerRatio = 16, nLayers = 2)
       Similarity.hnswServeIndexed(top2, graphs2, emb,
         emb.filter(col("vec_id") % 25 === 0), "vec_id", "embedding",
+        k = 5, beamWidth = 8, rounds = 3, nLayers = 2,
+        entryWidth = 2, upperRounds = 1)
+    }),
+
+    // GRAPH-INDEX DELETE (s32 — the lifecycle's last leg, the
+    // vector-store "forget these ids" operation): the index was
+    // built on the FULL corpus with its own codebook; a tenth of the
+    // vectors (vec_id %% 10 = 3) are then deleted — they leave the
+    // cell ranks, the top layer, and the graphs, and edge lists are
+    // re-derived ONLY for surviving srcs probing a cell that LOST an
+    // assignment (an edge to a deleted dst implies such a cell, so
+    // every reused edge is provably still correct). Serve runs over
+    // the shrunk index; oracle = rebuild twin (pre-delete codebook,
+    // index/serve the survivors), so the hash-match IS the
+    // delete ≡ rebuild receipt
+    "s32_graph_index_delete" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val kept = emb.filter(col("vec_id") % 10 =!= 3)
+      val deleted = emb.filter(col("vec_id") % 10 === 3)
+        .select(col("vec_id"))
+      val dir = scratchDir("s32hnsw", d)
+      if (!new java.io.File(s"$dir/_built").exists()) {
+        val cents = Similarity.kmeansCentroids(emb, "vec_id",
+          "embedding", nCells = 64, iters = 2)
+        val (top, graphs, ranked) = Similarity.buildHnswGraphIndexWith(
+          emb, cents, "vec_id", "embedding", degree = 6,
+          nProbeBuild = 2, layerRatio = 16, nLayers = 2)
+        top.coalesce(1).write.mode("overwrite")
+          .parquet(s"$dir/toplayer")
+        graphs.repartition(col("level")).write.mode("overwrite")
+          .partitionBy("level").parquet(s"$dir/graphs")
+        ranked.coalesce(1).write.mode("overwrite")
+          .parquet(s"$dir/ranked")
+        new java.io.File(s"$dir/_built").createNewFile()
+      }
+      val (top2, graphs2) = Similarity.deleteFromHnswGraphIndex(kept,
+        deleted, s.read.parquet(s"$dir/ranked"),
+        s.read.parquet(s"$dir/toplayer"),
+        s.read.parquet(s"$dir/graphs"), "vec_id", "embedding",
+        degree = 6, nProbeBuild = 2, layerRatio = 16, nLayers = 2)
+      Similarity.hnswServeIndexed(top2, graphs2, kept,
+        kept.filter(col("vec_id") % 25 === 0), "vec_id", "embedding",
         k = 5, beamWidth = 8, rounds = 3, nLayers = 2,
         entryWidth = 2, upperRounds = 1)
     }),
@@ -8508,6 +8560,14 @@ object SparkEntry {
       duckHnswTopK(nc = 64, iters = 2, nProbeBuild = 2, degree = 6,
         ratio = 16, entryW = 2, beam = 8, rounds = 3, k = 5,
         trainWhere = Some("vec_id % 4 <> 0")),
+
+    // the delete REBUILD twin: codebook trained on the full
+    // (pre-delete) corpus, index/graphs/queries over the survivors —
+    // the hash-match proves delete ≡ rebuild for the graph tier
+    "s32_graph_index_delete" ->
+      duckHnswTopK(nc = 64, iters = 2, nProbeBuild = 2, degree = 6,
+        ratio = 16, entryW = 2, beam = 8, rounds = 3, k = 5,
+        indexWhere = Some("vec_id % 10 <> 3")),
 
     "s25_ivf_append" ->
       duckIvfAppend(nc = 8, iters = 2, nProbe = 2, k = 5),

@@ -750,8 +750,12 @@ object Stress {
       val base = emb.filter(col("vec_id") % 10 =!= 7)
       val batch = emb.filter(col("vec_id") % 10 === 7 &&
         col("vec_id") < 2000000L)
+      // the codebook must be MATERIALIZED like the bench's parquet
+      // round-trip — a lazy cents plan would re-run the corpus
+      // k-means inside every consumer, including the timed append
       val cents = Similarity.kmeansCentroids(base, "vec_id",
-        "embedding", Similarity.autoCells(base.count()), 2)
+        "embedding", Similarity.autoCells(base.count()), 2).persist()
+      cents.count()
       val (top1, graphs1, ranked1) = Similarity
         .buildHnswGraphIndexWith(base, cents, "vec_id", "embedding",
           degree = 6, nProbeBuild = 2, layerRatio = 16, nLayers = 2)
@@ -770,6 +774,7 @@ object Stress {
       println(f"    s31 receipt: append+serve=" +
         f"${(System.nanoTime() - t0in) / 1e9}%.2fs")
       t1.unpersist(); g1.unpersist(); r1.unpersist()
+      cents.unpersist()
       n
     }
     // deployed-weight quality gate: training is the t38 row above;

@@ -1727,6 +1727,69 @@ object Similarity {
     * probe cells are distinct and a dst is assigned once), exact
     * cosine, degree cap with ties dst-asc — [[knnGraph]]'s candidate
     * generation over a PRECOMPUTED assignment. */
+  /** DELETE from a persisted graph index (s32 — the lifecycle's last
+    * leg after s28 build/serve and s31 append; the vector-store
+    * "forget these ids" operation every production deployment needs):
+    * deleted nodes leave the cell ranks, the top layer, and the
+    * graphs; edge lists are re-derived ONLY for surviving srcs that
+    * probe a cell which LOST an assignment — a src's kNN list can
+    * change only when a candidate disappears from one of its probed
+    * cells, and an edge to a deleted dst implies exactly that, so
+    * every untouched stored edge is provably still correct and is
+    * reused verbatim. Result ≡ a full rebuild over the remaining
+    * corpus with the SAME (pre-delete) codebook — the stored
+    * centroids are the amortized artifact; re-training is a separate
+    * rebalance decision, as in s25's trigger. */
+  def deleteFromHnswGraphIndex(kept: DataFrame, deletedIds: DataFrame,
+      rankedStored: DataFrame,
+      topStored: DataFrame, graphsStored: DataFrame, idCol: String,
+      vecCol: String, degree: Int, nProbeBuild: Int, layerRatio: Int,
+      nLayers: Int): (DataFrame, DataFrame) = {
+    require(nLayers >= 2 && layerRatio >= 2,
+      s"need nLayers >= 2 and layerRatio >= 2, " +
+        s"got $nLayers/$layerRatio")
+    val dead = deletedIds.select(col(idCol).as("node_id")).distinct()
+    val c = kept.select(col(idCol).as("node_id"),
+        col(vecCol).as("n_vec"))
+      .withColumn("n_norm", norm(col("n_vec")))
+    val rankedKept = rankedStored
+      .select(col("node_id"), col("cell_id"), col("rk"))
+      .join(broadcast(dead), Seq("node_id"), "left_anti")
+      .join(c, "node_id")
+      .persistTracked() // per-layer touched-candidate scoring
+    val top2 = topStored.select(col("node_id"), col("n_vec"),
+        col("n_norm"))
+      .join(broadcast(dead), Seq("node_id"), "left_anti")
+    val graphs2 = ((nLayers - 2) to 0 by -1).map { l =>
+      val m = BigInt(layerRatio).pow(l).toLong
+      def layerOf(df: DataFrame) =
+        df.filter(Tables.hashU32(col("node_id"), 97) % m === 0)
+      val lvlKept = layerOf(rankedKept)
+      // cells that LOST an assignment at this layer: deleted layer
+      // members' rk = 1 cells (from the STORED ranks)
+      val deadCells = layerOf(rankedStored
+          .join(broadcast(dead), Seq("node_id"), "left_semi"))
+        .filter(col("rk") === 1)
+        .select(col("cell_id")).distinct()
+      val affected = lvlKept
+        .join(broadcast(deadCells), Seq("cell_id"), "left_semi")
+        .select(col("node_id")).distinct()
+        .persistTracked() // probe-side semi-join + edge anti-join
+      val recomputed = knnGraphFromRankedAgainst(
+        lvlKept.join(affected, Seq("node_id"), "left_semi"),
+        lvlKept.filter(col("rk") === 1), degree)
+      val untouched = graphsStored.filter(col("level") === l)
+        .join(affected.withColumnRenamed("node_id", "src"),
+          Seq("src"), "left_anti")
+        .join(broadcast(dead).withColumnRenamed("node_id", "src"),
+          Seq("src"), "left_anti")
+      untouched.select(col("src"), col("dst"))
+        .unionByName(recomputed.select(col("src"), col("dst")))
+        .select(lit(l).as("level"), col("src"), col("dst"))
+    }.reduce(_ unionByName _)
+    (top2, graphs2)
+  }
+
   private def knnGraphFromRanked(ranked: DataFrame,
       degree: Int): DataFrame =
     knnGraphFromRankedAgainst(ranked, ranked.filter(col("rk") === 1),

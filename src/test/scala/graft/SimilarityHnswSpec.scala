@@ -144,6 +144,42 @@ class SimilarityHnswSpec extends SparkSpec {
       "append must reuse stored edges, not rebuild everything")
   }
 
+  test("graph-index delete ≡ rebuild over the survivors (s32)") {
+    // same receipt shape as the append: removing a tenth of the
+    // corpus from the stored index (edges re-derived only for srcs
+    // probing a cell that lost an assignment) must equal a full
+    // rebuild over the survivors with the pre-delete codebook
+    val kept = emb.filter(col("vec_id") % 10 =!= 3)
+    val deleted = emb.filter(col("vec_id") % 10 === 3)
+      .select(col("vec_id"))
+    val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+      NC, Iters)
+    val (top1, graphs1, ranked1) = Similarity.buildHnswGraphIndexWith(
+      emb, cents, "vec_id", "embedding", Degree, nProbeBuild = 2,
+      layerRatio = 4, nLayers = 3)
+    val (topD, graphsD) = Similarity.deleteFromHnswGraphIndex(kept,
+      deleted, ranked1, top1, graphs1, "vec_id", "embedding", Degree,
+      nProbeBuild = 2, layerRatio = 4, nLayers = 3)
+    val (topR, graphsR, _) = Similarity.buildHnswGraphIndexWith(
+      kept, cents, "vec_id", "embedding", Degree, nProbeBuild = 2,
+      layerRatio = 4, nLayers = 3)
+    def edges(g: org.apache.spark.sql.DataFrame) =
+      g.select("level", "src", "dst")
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+        .sorted.toSeq
+    def nodes(t: org.apache.spark.sql.DataFrame) =
+      t.select("node_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(nodes(topD) == nodes(topR),
+      "post-delete top layer must equal the rebuild's")
+    assert(edges(graphsD) == edges(graphsR),
+      "post-delete edge set must equal the rebuild's, level for level")
+    // no deleted id survives anywhere in the shrunk index
+    val deadSet = deleted.collect().map(_.getLong(0)).toSet
+    assert(edges(graphsD).forall(e =>
+      !deadSet(e._2) && !deadSet(e._3)),
+      "deleted ids must leave every edge list")
+  }
+
   test("layered entry does not lose recall to self-entry at equal budget") {
     val hnsw = Similarity.hnswTopK(emb, queries, "vec_id", "embedding",
       K, NC, Iters, Degree, 2, Beam, Rounds,
