@@ -4626,6 +4626,36 @@ object SparkEntry {
         entryWidth = 2, upperRounds = 1)
     }),
 
+    // IVF-INDEX DELETE (s33 — the IVF tier's symmetric lifecycle
+    // leg: s9 build/serve, s25 append, this removes): cell
+    // assignments are per-vector and independent, so deletion is ONE
+    // broadcast anti-join on the stored index — no edge re-derivation
+    // (the graph tier's s32 complexity exists precisely because
+    // edges couple nodes). Serve over the shrunk index with
+    // surviving queries; oracle = the s5 chain with both sides
+    // restricted to survivors (codebook still trained pre-delete)
+    "s33_ivf_index_delete" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val kept = emb.filter(col("vec_id") % 10 =!= 3)
+      val deleted = emb.filter(col("vec_id") % 10 === 3)
+        .select(col("vec_id"))
+      val dir = scratchDir("s33ivf", d)
+      if (!new java.io.File(s"$dir/_built").exists()) {
+        val (cents, index) = Similarity.buildIvfIndex(emb, "vec_id",
+          "embedding", nCells = 8, iters = 2)
+        cents.coalesce(1).write.mode("overwrite")
+          .parquet(s"$dir/centroids")
+        index.repartition(col("cell")).write.mode("overwrite")
+          .partitionBy("cell").parquet(s"$dir/index")
+        new java.io.File(s"$dir/_built").createNewFile()
+      }
+      val idx = s.read.parquet(s"$dir/index")
+        .join(broadcast(deleted), Seq("vec_id"), "left_anti")
+      Similarity.ivfSearchIndexed(idx,
+        s.read.parquet(s"$dir/centroids"), kept, "vec_id",
+        "embedding", k = 5, nProbe = 2)
+    }),
+
     // FAISS "refine" tail on s11: ADC ranks a 25-candidate shortlist,
     // exact cosine re-scores only those 25 — recall rises toward the
     // IVF routing ceiling at UNCHANGED code bytes (the quantizer only
@@ -8568,6 +8598,13 @@ object SparkEntry {
       duckHnswTopK(nc = 64, iters = 2, nProbeBuild = 2, degree = 6,
         ratio = 16, entryW = 2, beam = 8, rounds = 3, k = 5,
         indexWhere = Some("vec_id % 10 <> 3")),
+
+    // IVF delete twin: the s5 chain with candidates AND queries
+    // restricted to survivors; codebook still trained on everything
+    "s33_ivf_index_delete" ->
+      duckKmeansIvf(nc = 8, iters = 2, nProbe = 2, k = 5,
+        neighborWhere = " AND vec_id % 10 <> 3",
+        queryWhere = " AND vec_id % 10 <> 3"),
 
     "s25_ivf_append" ->
       duckIvfAppend(nc = 8, iters = 2, nProbe = 2, k = 5),

@@ -750,31 +750,36 @@ object Stress {
       val base = emb.filter(col("vec_id") % 10 =!= 7)
       val batch = emb.filter(col("vec_id") % 10 === 7 &&
         col("vec_id") < 2000000L)
-      // the codebook must be MATERIALIZED like the bench's parquet
-      // round-trip — a lazy cents plan would re-run the corpus
-      // k-means inside every consumer, including the timed append
+      // the stored index round-trips through parquet exactly like
+      // the registered entry: the file scan IS the lineage cut. An
+      // in-memory persisted index keeps the full build tree hanging
+      // off every leaf, and the serve's iterative beam plans re-pay
+      // catalyst analysis over it each round — measured 74 s vs
+      // 11 s for the SAME data at x1 before this round-trip
+      val dir = java.nio.file.Files
+        .createTempDirectory("s31stress").toString
       val cents = Similarity.kmeansCentroids(base, "vec_id",
-        "embedding", Similarity.autoCells(base.count()), 2).persist()
-      cents.count()
+        "embedding", Similarity.autoCells(base.count()), 2)
       val (top1, graphs1, ranked1) = Similarity
         .buildHnswGraphIndexWith(base, cents, "vec_id", "embedding",
           degree = 6, nProbeBuild = 2, layerRatio = 16, nLayers = 2)
-      // materialize the stored index once, untimed (the amortized
-      // build); the probe times ONLY the append + serve legs
-      val t1 = top1.persist(); val g1 = graphs1.persist()
-      val r1 = ranked1.persist()
-      t1.count(); g1.count(); r1.count()
+      cents.coalesce(1).write.parquet(s"$dir/centroids")
+      top1.coalesce(1).write.parquet(s"$dir/toplayer")
+      graphs1.repartition(col("level")).write
+        .partitionBy("level").parquet(s"$dir/graphs")
+      ranked1.coalesce(1).write.parquet(s"$dir/ranked")
       val t0in = System.nanoTime()
       val (top2, graphs2) = Similarity.appendHnswGraphIndex(emb,
-        batch, cents, r1, t1, g1, "vec_id", "embedding", degree = 6,
-        nProbeBuild = 2, layerRatio = 16, nLayers = 2)
+        batch, spark.read.parquet(s"$dir/centroids"),
+        spark.read.parquet(s"$dir/ranked"),
+        spark.read.parquet(s"$dir/toplayer"),
+        spark.read.parquet(s"$dir/graphs"), "vec_id", "embedding",
+        degree = 6, nProbeBuild = 2, layerRatio = 16, nLayers = 2)
       val n = Similarity.hnswServeIndexed(top2, graphs2, emb,
         nswQueries, "vec_id", "embedding", k = 5, beamWidth = 8,
         rounds = 3, nLayers = 2, entryWidth = 2).count()
       println(f"    s31 receipt: append+serve=" +
         f"${(System.nanoTime() - t0in) / 1e9}%.2fs")
-      t1.unpersist(); g1.unpersist(); r1.unpersist()
-      cents.unpersist()
       n
     }
     // deployed-weight quality gate: training is the t38 row above;
