@@ -4656,6 +4656,56 @@ object SparkEntry {
         "embedding", k = 5, nProbe = 2)
     }),
 
+    // STREAMING VECTOR INGEST (s34 — s25's append as a LIVE stream,
+    // the vector-DB write path): the index is built once on the base
+    // corpus; new vectors then ARRIVE in micro-batches, each batch
+    // assigns to the broadcast stored codebook and append-commits
+    // its index rows to a versioned table in version↔batch lockstep
+    // (exactly-once under replay, O(batch) per batch — the corpus is
+    // never re-shuffled). Serving reads base ∪ ingested. The final
+    // index content is independent of batch slicing, so the oracle
+    // is s25's one-shot append ≡ rebuild twin VERBATIM — the
+    // hash-match proves the streaming plan lands on the batch answer
+    "s34_stream_vector_ingest" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val base = emb.filter(col("vec_id") % 4 =!= 0)
+      val arrivals = emb.filter(col("vec_id") % 4 === 0)
+      val scratch = scratchDir("s34ivf", d)
+      if (!new java.io.File(s"$scratch/_built").exists()) {
+        val (cents, index) = Similarity.buildIvfIndex(base, "vec_id",
+          "embedding", nCells = 8, iters = 2)
+        cents.coalesce(1).write.mode("overwrite")
+          .parquet(s"$scratch/centroids")
+        index.repartition(col("cell")).write.mode("overwrite")
+          .partitionBy("cell").parquet(s"$scratch/index")
+        new java.io.File(s"$scratch/_built").createNewFile()
+      }
+      val streamDir = new java.io.File(scratch, "in")
+      streamDir.mkdirs()
+      for (i <- 0 until 3) {
+        val tmp = s"$scratch/shard$i"
+        arrivals.filter(col("vec_id") % 3 === i).coalesce(1)
+          .write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(streamDir, f"batch$i%02d.parquet")
+        java.nio.file.Files.copy(part.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        dst.setLastModified(1000000L * (i + 1))
+      }
+      val cents = s.read.parquet(s"$scratch/centroids")
+      EventStream.transformIngestOnce(
+        EventStream.parquetFileStream(s, streamDir.getAbsolutePath),
+        b => Similarity.appendToIndex(b, cents, "vec_id", "embedding"),
+        s"$scratch/ingested")
+      val idx = s.read.parquet(s"$scratch/index").unionByName(
+        graft.sources.VersionedTable.readCurrent(s,
+          s"$scratch/ingested"))
+      Similarity.ivfSearchIndexed(idx, cents,
+        emb.filter(col("vec_id") % 25 === 0), "vec_id", "embedding",
+        k = 5, nProbe = 2)
+    }),
+
     // FAISS "refine" tail on s11: ADC ranks a 25-candidate shortlist,
     // exact cosine re-scores only those 25 — recall rises toward the
     // IVF routing ceiling at UNCHANGED code bytes (the quantizer only
@@ -8605,6 +8655,12 @@ object SparkEntry {
       duckKmeansIvf(nc = 8, iters = 2, nProbe = 2, k = 5,
         neighborWhere = " AND vec_id % 10 <> 3",
         queryWhere = " AND vec_id % 10 <> 3"),
+
+    // the streaming ingest's final index content is independent of
+    // batch slicing, so s25's one-shot append ≡ rebuild twin checks
+    // the streaming plan verbatim
+    "s34_stream_vector_ingest" ->
+      duckIvfAppend(nc = 8, iters = 2, nProbe = 2, k = 5),
 
     "s25_ivf_append" ->
       duckIvfAppend(nc = 8, iters = 2, nProbe = 2, k = 5),

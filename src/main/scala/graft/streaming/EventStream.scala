@@ -483,6 +483,27 @@ object EventStream {
     * version↔batch discipline, same exactly-once replay semantics.
     * Scoring cost is O(batch) against a broadcast model; both sinks
     * stay O(batch) appends. */
+  /** Streaming TRANSFORM-AND-APPEND ingest (s34 — the q81 shape with
+    * a per-batch transform): every micro-batch runs `f` (e.g. assign
+    * vectors to a broadcast codebook) and append-commits the result
+    * to ONE versioned table in version↔batch lockstep — same
+    * idempotent replay semantics as the gated ingests, O(batch) per
+    * batch. The final table content is the union of the transformed
+    * batches, independent of batch slicing — which is what lets a
+    * one-shot oracle check a streaming plan. */
+  def transformIngestOnce(src: DataFrame, f: DataFrame => DataFrame,
+      tableDir: String): Unit = {
+    val q = src.writeStream
+      .foreachBatch {
+        (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        lockstepCommit(f(batch.toDF()), tableDir, batchId)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   def scoredGatedIngestOnce(src: DataFrame,
       score: DataFrame => DataFrame, scoreCol: String,
       threshold: Long, baseDir: String): Unit = {
