@@ -73,15 +73,18 @@ object Bench {
   }
 
   /** A measured time is contention-suspect when it exceeds its band's
-    * limit. TIERED (the round-8 verdict's calibration): sub-2 s bands
-    * keep max(3× band, band + 1 s) — the absolute floor absorbs
-    * scheduler noise on cheap queries — but a heavy query repeats
-    * within ±15% when idle, and under the documented uniform-2.8×
-    * contention event the old 3× limit passed every one of them
-    * unflagged. Bands above 2 s flag at max(2× band, band + 0.5 s)
-    * = 2× band. Exposed for BenchGuardSpec. */
+    * limit. TIERED (the round-8 verdict's calibration, boundary
+    * re-measured in round 9): bands ≤ 5 s keep max(3× band,
+    * band + 1 s) — measured run-to-run spread on the 2–5 s entries
+    * (the BM25 serve twins, the two-Lloyd ANN entries) reaches ~2.1×
+    * between isolated and in-suite contexts with zero contention, so
+    * a 2× limit there false-flags — while a > 5 s query repeats
+    * within ~±30% in-suite, and under the documented uniform-2.8×
+    * contention event the old uniform 3× limit passed every heavy
+    * query unflagged. Bands above 5 s flag at 2× band. Exposed for
+    * BenchGuardSpec. */
   def bandLimit(ref: Double): Double =
-    if (ref > 2.0) math.max(2 * ref, ref + 0.5)
+    if (ref > 5.0) math.max(2 * ref, ref + 0.5)
     else math.max(3 * ref, ref + 1.0)
 
   def main(args: Array[String]): Unit = {

@@ -56,19 +56,25 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(Bench.bandLimit(0.1) == 1.1)
   }
 
-  test("heavy bands (> 2 s) use the tighter 2x limit") {
+  test("heavy bands (> 5 s) use the tighter 2x limit") {
     // the documented contention event inflated the suite uniformly
     // 2.8x; under the old uniform max(3x, +1s) limit every heavy
     // query passed unflagged. The tier catches exactly that event...
     assert(Bench.bandLimit(8.0) == 16.0)
     assert(8.0 * 2.8 > Bench.bandLimit(8.0),
       "a uniform 2.8x contention event must be flagged on heavy queries")
-    // ...while idle-run repeatability (±15% measured) stays far inside
-    assert(8.0 * 1.15 < Bench.bandLimit(8.0))
-    // boundary: a 2.0 s band is still the loose tier (the s11-class
-    // bimodal 2-3 s queries would false-flag at 2x)
-    assert(Bench.bandLimit(2.0) == 6.0)
-    assert(Bench.bandLimit(2.01) < 6.0)
+    // ...while in-suite repeatability (~±30% measured on > 5 s
+    // queries) stays inside
+    assert(8.0 * 1.3 < Bench.bandLimit(8.0))
+    // boundary: a 5 s band is still the loose tier — the 2-5 s
+    // entries (BM25 serve twins, two-Lloyd ANN) measured up to ~2.1x
+    // spread between isolated and in-suite contexts with zero
+    // contention, so 2x would false-flag there (t42 did, round 9)
+    assert(Bench.bandLimit(5.0) == 15.0)
+    assert(math.abs(Bench.bandLimit(2.65) - 7.95) < 1e-9)
+    assert(2.65 * 2.05 < Bench.bandLimit(2.65),
+      "the observed clean 2.05x spread on t42 must not flag")
+    assert(Bench.bandLimit(5.01) < 15.0)
   }
 
   test("the committed bench_reference.json parses to a non-empty band set") {
