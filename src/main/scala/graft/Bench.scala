@@ -84,7 +84,7 @@ object Bench {
     * query unflagged. Bands above 5 s flag at 2× band. Exposed for
     * BenchGuardSpec. */
   def bandLimit(ref: Double): Double =
-    if (ref > 5.0) math.max(2 * ref, ref + 0.5)
+    if (ref > 5.0) 2 * ref // for ref > 5, 2·ref > ref + 0.5 always
     else math.max(3 * ref, ref + 1.0)
 
   def main(args: Array[String]): Unit = {

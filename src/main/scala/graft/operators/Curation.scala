@@ -792,7 +792,11 @@ object Curation {
           .as("quality_p50"),
         max(when(col("rk") === expr("(3 * n + 3) div 4"),
           col("quality6"))).as("quality_p75"))
-      core.join(quant, "source")
+      // LEFT join: a source whose docs all lack quality scores
+      // (qualityScores drops zero-token docs) must keep its
+      // volume/mix/dup row with null quality fields, not vanish
+      // from the datasheet entirely
+      core.join(quant, Seq("source"), "left_outer")
     }
   }
 

@@ -1722,11 +1722,6 @@ object Similarity {
         col("cell_id"), col("rk"))
   }
 
-  /** kNN graph from a shared ranked-cells relation: probe rows join
-    * assignment rows within a cell (src ≠ dst, pairs unique because
-    * probe cells are distinct and a dst is assigned once), exact
-    * cosine, degree cap with ties dst-asc — [[knnGraph]]'s candidate
-    * generation over a PRECOMPUTED assignment. */
   /** DELETE from a persisted graph index (s32 — the lifecycle's last
     * leg after s28 build/serve and s31 append; the vector-store
     * "forget these ids" operation every production deployment needs):
@@ -1795,6 +1790,11 @@ object Similarity {
     (top2, graphs2)
   }
 
+  /** kNN graph from a shared ranked-cells relation: probe rows join
+    * assignment rows within a cell (src ≠ dst, pairs unique because
+    * probe cells are distinct and a dst is assigned once), exact
+    * cosine, degree cap with ties dst-asc — [[knnGraph]]'s candidate
+    * generation over a PRECOMPUTED assignment. */
   private def knnGraphFromRanked(ranked: DataFrame,
       degree: Int): DataFrame =
     knnGraphFromRankedAgainst(ranked, ranked.filter(col("rk") === 1),

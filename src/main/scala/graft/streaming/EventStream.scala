@@ -463,26 +463,6 @@ object EventStream {
     q.awaitTermination()
   }
 
-  /** STREAMING expectations (the DLT shape): every micro-batch is
-    * gated by [[graft.operators.Constraints.check]] — clean rows
-    * append-commit to `baseDir/table`, violators (with their per-rule
-    * `reasons` bitmask) to `baseDir/quarantine`, each table advancing
-    * in version↔batch lockstep. The two commits are SEPARATELY
-    * idempotent: a crash between them replays the batch, the
-    * already-committed side no-ops, the missing side lands — every
-    * input row ends up in exactly one table exactly once, with no
-    * checkpoint-side state. Gating cost is one codegen'd map over the
-    * batch; both sinks are O(batch) appends, never O(table). */
-  /** [[gatedIngestOnce]] with a LEARNED rule (q103 — the
-    * train→deploy loop closed for the t38 classifier): instead of
-    * row-local constraint predicates, each micro-batch is scored by
-    * `score` (e.g. broadcast-weight logistic scoring — an aggregation
-    * per doc, which a Column rule cannot express), keepers
-    * (score ≥ threshold) append-commit to `baseDir/table`, the rest
-    * (with their scores) to `baseDir/quarantine` — same lockstep
-    * version↔batch discipline, same exactly-once replay semantics.
-    * Scoring cost is O(batch) against a broadcast model; both sinks
-    * stay O(batch) appends. */
   /** Streaming TRANSFORM-AND-APPEND ingest (s34 — the q81 shape with
     * a per-batch transform): every micro-batch runs `f` (e.g. assign
     * vectors to a broadcast codebook) and append-commits the result
@@ -504,6 +484,21 @@ object EventStream {
     q.awaitTermination()
   }
 
+  /** [[gatedIngestOnce]] with a LEARNED rule (q103 — the
+    * train→deploy loop closed for the t38 classifier): instead of
+    * row-local constraint predicates, each micro-batch is scored by
+    * `score` (e.g. broadcast-weight logistic scoring — an aggregation
+    * per doc, which a Column rule cannot express), keepers
+    * (score ≥ threshold) append-commit to `baseDir/table`, the rest
+    * (with their scores) to `baseDir/quarantine` — same lockstep
+    * version↔batch discipline, same exactly-once replay semantics.
+    * Scoring cost is O(batch) against a broadcast model; both sinks
+    * stay O(batch) appends. The quarantine predicate is the exact
+    * COMPLEMENT of the keep predicate (`!(score >= threshold)`), not
+    * `score < threshold`: a NULL score satisfies neither comparison,
+    * so the `<` form would silently drop NULL-scored rows from BOTH
+    * tables — with the complement they land in quarantine, keeping
+    * the every-row-in-exactly-one-table contract for any scorer. */
   def scoredGatedIngestOnce(src: DataFrame,
       score: DataFrame => DataFrame, scoreCol: String,
       threshold: Long, baseDir: String): Unit = {
@@ -514,7 +509,7 @@ object EventStream {
           .localCheckpoint(true) // score once, feed both sinks
         lockstepCommit(scored.filter(col(scoreCol) >= threshold),
           s"$baseDir/table", batchId)
-        lockstepCommit(scored.filter(col(scoreCol) < threshold),
+        lockstepCommit(scored.filter(!(col(scoreCol) >= threshold)),
           s"$baseDir/quarantine", batchId)
         ()
       }
@@ -523,6 +518,16 @@ object EventStream {
     q.awaitTermination()
   }
 
+  /** STREAMING expectations (the DLT shape): every micro-batch is
+    * gated by [[graft.operators.Constraints.check]] — clean rows
+    * append-commit to `baseDir/table`, violators (with their per-rule
+    * `reasons` bitmask) to `baseDir/quarantine`, each table advancing
+    * in version↔batch lockstep. The two commits are SEPARATELY
+    * idempotent: a crash between them replays the batch, the
+    * already-committed side no-ops, the missing side lands — every
+    * input row ends up in exactly one table exactly once, with no
+    * checkpoint-side state. Gating cost is one codegen'd map over the
+    * batch; both sinks are O(batch) appends, never O(table). */
   def gatedIngestOnce(src: DataFrame,
       rules: Seq[(String, org.apache.spark.sql.Column)],
       baseDir: String): Unit = {
