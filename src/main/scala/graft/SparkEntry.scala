@@ -4744,6 +4744,34 @@ object SparkEntry {
         k = 5, nProbe = 2)
     }),
 
+    // GRAPH-TIER REBALANCE TRIGGER (s35 — the drift census that
+    // decides when s31/s32's frozen codebook must retrain): per-cell
+    // population and micro-unit assignment-cosine sums at BUILD time
+    // vs NOW (build ∪ a skewed appended batch — the s22 shift
+    // construction, re-idd), with the hot (population cap) and drift
+    // (mean-cosine drop, compared multiplication-only so integer
+    // division semantics can't diverge) trigger flags. The census is
+    // two metadata-sized aggregates over assignment relations whose
+    // sims were already paid at assignment time — never a corpus
+    // re-scan. The retrain-and-rebuild it gates is spec-covered
+    // (SimilarityDriftSpec: fires on this skew, quiet on a balanced
+    // append)
+    "s35_graph_drift_census" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = Similarity.kmeansCentroids(emb, "vec_id",
+        "embedding", nCells = 8, iters = 2).persistTracked()
+      val buildA = Similarity.assignWithSim(emb, cents, "vec_id",
+        "embedding")
+      val batch = emb.filter(col("vec_id") % 7 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"),
+            x => lit(1.0) + lit(0.1) * x.cast("double"))
+            .as("embedding"))
+      val nowA = buildA.unionByName(
+        Similarity.assignWithSim(batch, cents, "vec_id", "embedding"))
+      Similarity.indexDriftCensus(buildA, nowA, nCells = 8)
+    }),
+
     // FAISS "refine" tail on s11: ADC ranks a 25-candidate shortlist,
     // exact cosine re-scores only those 25 — recall rises toward the
     // IVF routing ceiling at UNCHANGED code bytes (the quantizer only
@@ -8699,6 +8727,51 @@ object SparkEntry {
     // the streaming plan verbatim
     "s34_stream_vector_ingest" ->
       duckIvfAppend(nc = 8, iters = 2, nProbe = 2, k = 5),
+
+    // s35 oracle: the same trained codebook (shared kmeans CTEs),
+    // full-corpus assignment a3 (build time), skewed re-idd batch
+    // assignment a4, then the two per-cell micro-unit censuses and
+    // the integer-exact hot/drift flags
+    "s35_graph_drift_census" ->
+      s"""${duckKmeansCtes(8, 2)},
+         |${duckAssignCte(3, "cn2")},
+         |bb AS (
+         |  SELECT vec_id + 1000000 AS vec_id,
+         |    list_transform(v, x -> 1.0 + 0.1 * x) AS v
+         |  FROM e WHERE vec_id % 7 = 0),
+         |bn AS (SELECT vec_id, v, ${duckNormOf("v")} AS nrm FROM bb),
+         |${duckAssignCte(4, "cn2", "", "bn")},
+         |zb AS (
+         |  SELECT cell_id AS cell, CAST(count(*) AS BIGINT) AS n_build,
+         |   CAST(sum(CAST(round(sim * 1000000) AS BIGINT)) AS BIGINT)
+         |     AS sum6_build
+         |  FROM a3 GROUP BY 1),
+         |zn AS (
+         |  SELECT cell, CAST(count(*) AS BIGINT) AS n_now,
+         |   CAST(sum(q6) AS BIGINT) AS sum6_now
+         |  FROM (
+         |    SELECT cell_id AS cell,
+         |      CAST(round(sim * 1000000) AS BIGINT) AS q6 FROM a3
+         |    UNION ALL
+         |    SELECT cell_id,
+         |      CAST(round(sim * 1000000) AS BIGINT) FROM a4)
+         |  GROUP BY 1),
+         |zc AS (SELECT CAST(ceil(sum(n_now) * 2.0 / 8) AS BIGINT)
+         |  AS cap FROM zn)
+         |SELECT cell,
+         |  coalesce(n_build, 0) AS n_build,
+         |  coalesce(n_now, 0) AS n_now,
+         |  coalesce(sum6_build, 0) AS sum6_build,
+         |  coalesce(sum6_now, 0) AS sum6_now,
+         |  CAST(CASE WHEN coalesce(n_now, 0) > zc.cap
+         |    THEN 1 ELSE 0 END AS BIGINT) AS hot,
+         |  CAST(CASE WHEN coalesce(n_build, 0) > 0
+         |    AND coalesce(n_now, 0) > 0
+         |    AND coalesce(sum6_now, 0) * coalesce(n_build, 0) <
+         |      (coalesce(sum6_build, 0) - 20000 * coalesce(n_build, 0))
+         |        * coalesce(n_now, 0)
+         |    THEN 1 ELSE 0 END AS BIGINT) AS drift
+         |FROM zn FULL JOIN zb USING (cell) CROSS JOIN zc""".stripMargin,
 
     "s25_ivf_append" ->
       duckIvfAppend(nc = 8, iters = 2, nProbe = 2, k = 5),

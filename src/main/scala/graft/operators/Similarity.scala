@@ -2059,6 +2059,101 @@ object Similarity {
         (col("cnt") > col("cap")).as("hot"))
   }
 
+  /** Assignment of a batch to STORED centroids, keeping the
+    * assignment cosine: (vec_id, cell, sim) — [[appendToIndex]]'s
+    * routing with the quality signal the drift census needs.
+    * Broadcast codebook, one batch-sized pass. */
+  def assignWithSim(batch: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
+    val cWith = centroids
+      .select(col("cell_id"), col("centroid").as("cv"))
+      .withColumn("cnrm", norm(col("cv")))
+    val e = batch.select(col(idCol).as("vid"), col(vecCol).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    assignCells(e, cWith)
+      .select(col("vid").as("vec_id"), col("cell"), col("sim"))
+  }
+
+  /** s35: DRIFT census over a stored index (the s25 rebalance
+    * trigger generalized to the graph tier, where mutation never
+    * retrains — s31/s32 splice forever on a frozen codebook, and
+    * every production vector store re-trains on drift instead).
+    * Inputs are two assignment relations (vec_id, cell, sim): the
+    * BUILD-time assignment (persisted alongside the index, or
+    * re-derived from the stored ranks) and the CURRENT one (build ∪
+    * appended batches). Per cell: population then and now, the
+    * micro-unit SUM of assignment cosines then and now (per-row
+    * round(sim·1e6) summed as integers — exact under any
+    * partitioning, so the DuckDB twin matches bit-for-bit), and two
+    * integer-exact trigger flags:
+    *  - `hot`  = n_now > ⌈capFactor·total_now/nCells⌉ (the s22/s25
+    *    population-balance trigger);
+    *  - `drift` = mean assignment cosine dropped by more than
+    *    drop6 micro-units vs build time, compared WITHOUT division
+    *    (sum6_now·n_build < (sum6_build − drop6·n_build)·n_now) so
+    *    negative sums can never diverge on floor-vs-truncate
+    *    integer-division semantics between engines.
+    * Census cost: two metadata-sized keyed aggregates — never a
+    * corpus re-scan (sims were already paid at assignment time).
+    * Any hot/drift row is the signal to retrain-and-rebuild
+    * ([[rebuildGraphIndexIfDrifted]]). */
+  def indexDriftCensus(buildAssigned: DataFrame,
+      nowAssigned: DataFrame, nCells: Int, capFactor: Double = 2.0,
+      drop6: Long = 20000L): DataFrame = {
+    def perCell(a: DataFrame, n: String, s: String) =
+      a.select(col("cell").cast("long").as("cell"),
+          round(col("sim") * 1e6).cast("long").as("q6"))
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as(n), sum(col("q6")).as(s))
+    val b = perCell(buildAssigned, "n_build", "sum6_build")
+    val nw = perCell(nowAssigned, "n_now", "sum6_now")
+    val cap = nw.agg(sum(col("n_now")).as("n"))
+      .select(ceil(col("n") * lit(capFactor) / lit(nCells))
+        .cast("long").as("cap"))
+    // full outer: a cell can exist only at build time (every member
+    // deleted) or only now (first members arrived in an append)
+    nw.join(b, Seq("cell"), "full_outer")
+      .crossJoin(broadcast(cap))
+      .select(col("cell"),
+        coalesce(col("n_build"), lit(0L)).as("n_build"),
+        coalesce(col("n_now"), lit(0L)).as("n_now"),
+        coalesce(col("sum6_build"), lit(0L)).as("sum6_build"),
+        coalesce(col("sum6_now"), lit(0L)).as("sum6_now"),
+        col("cap"))
+      .select(col("cell"), col("n_build"), col("n_now"),
+        col("sum6_build"), col("sum6_now"),
+        (col("n_now") > col("cap")).cast("long").as("hot"),
+        (col("n_build") > 0 && col("n_now") > 0 &&
+          col("sum6_now") * col("n_build") <
+            (col("sum6_build") - lit(drop6) * col("n_build")) *
+              col("n_now")).cast("long").as("drift"))
+  }
+
+  /** The retrain-and-rebuild decision the census feeds: metadata-
+    * sized action (the census has ≤ nCells rows). */
+  def driftTriggered(census: DataFrame): Boolean =
+    census.filter(col("hot") === 1L || col("drift") === 1L)
+      .limit(1).count() > 0
+
+  /** Threshold-triggered graph-index rebuild (the s22/s25 repair for
+    * the graph tier): if the census shows any hot or drifted cell,
+    * retrain the codebook on the CURRENT corpus and rebuild the
+    * layer graphs from scratch; otherwise the stored index is kept
+    * verbatim — append/delete splices remain the steady-state path
+    * and the corpus-scale rebuild runs only when the census says the
+    * frozen codebook stopped describing the data. Returns
+    * (rebuilt?, topLayer, graphs). */
+  def rebuildGraphIndexIfDrifted(census: DataFrame, corpus: DataFrame,
+      storedTop: DataFrame, storedGraphs: DataFrame, idCol: String,
+      vecCol: String, nCells: Int, iters: Int, degree: Int,
+      nProbeBuild: Int, layerRatio: Int,
+      nLayers: Int): (Boolean, DataFrame, DataFrame) =
+    if (driftTriggered(census)) {
+      val (top, graphs) = buildHnswGraphIndex(corpus, idCol, vecCol,
+        nCells, iters, degree, nProbeBuild, layerRatio, nLayers)
+      (true, top, graphs)
+    } else (false, storedTop, storedGraphs)
+
   /** Train on the base, append the batch at stored centroids, search
     * the union — the full s25 composition. */
   def ivfAppendSearch(base: DataFrame, incoming: DataFrame,
