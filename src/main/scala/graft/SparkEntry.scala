@@ -4744,6 +4744,66 @@ object SparkEntry {
         k = 5, nProbe = 2)
     }),
 
+    // STREAMING GRAPH-INDEX INGEST (s36 — s34's lockstep discipline
+    // for the graph tier): the base index is built once and seeded as
+    // version 0 of four versioned state tables; arriving micro-
+    // batches then SPLICE into the stored graph (batch assignment at
+    // the frozen codebook, edge re-derivation only for touched srcs),
+    // vectors/ranked/toplayer advancing by O(batch) appends and the
+    // edge relation by snapshot, each in version↔batch lockstep.
+    // Sequential splices compose (append ≡ rebuild, spec-proven), so
+    // the final index is slicing-independent and the oracle is s31's
+    // one-shot rebuild twin verbatim
+    "s36_stream_graph_ingest" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val base = emb.filter(col("vec_id") % 4 =!= 0)
+      val arrivals = emb.filter(col("vec_id") % 4 === 0)
+      val scratch = scratchDir("s36hnsw", d)
+      val vt = graft.sources.VersionedTable
+      if (!new java.io.File(s"$scratch/_built").exists()) {
+        val cents = Similarity.kmeansCentroids(base, "vec_id",
+          "embedding", nCells = 64, iters = 2)
+        val (top, graphs, ranked) = Similarity.buildHnswGraphIndexWith(
+          base, cents, "vec_id", "embedding", degree = 6,
+          nProbeBuild = 2, layerRatio = 16, nLayers = 2)
+        cents.coalesce(1).write.mode("overwrite")
+          .parquet(s"$scratch/centroids")
+        vt.commit(base.select(col("vec_id"), col("embedding")).limit(0),
+          s"$scratch/state/vectors")
+        vt.commit(ranked, s"$scratch/state/ranked")
+        vt.commit(top, s"$scratch/state/toplayer")
+        vt.commit(graphs, s"$scratch/state/graphs")
+        new java.io.File(s"$scratch/_built").createNewFile()
+      }
+      val streamDir = new java.io.File(scratch, "in")
+      streamDir.mkdirs()
+      for (i <- 0 until 3) {
+        val tmp = s"$scratch/shard$i"
+        arrivals.filter(col("vec_id") % 3 === i)
+          .select(col("vec_id"), col("embedding")).coalesce(1)
+          .write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(streamDir, f"batch$i%02d.parquet")
+        java.nio.file.Files.copy(part.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        dst.setLastModified(1000000L * (i + 1))
+      }
+      val cents = s.read.parquet(s"$scratch/centroids")
+      EventStream.graphIngestOnce(
+        EventStream.parquetFileStream(s, streamDir.getAbsolutePath),
+        s"$scratch/state", base, cents, "vec_id", "embedding",
+        degree = 6, nProbeBuild = 2, layerRatio = 16, nLayers = 2)
+      val corpus = base.select(col("vec_id"), col("embedding"))
+        .unionByName(vt.readCurrent(s, s"$scratch/state/vectors"))
+      Similarity.hnswServeIndexed(
+        vt.readCurrent(s, s"$scratch/state/toplayer"),
+        vt.readCurrent(s, s"$scratch/state/graphs"), corpus,
+        emb.filter(col("vec_id") % 25 === 0), "vec_id", "embedding",
+        k = 5, beamWidth = 8, rounds = 3, nLayers = 2,
+        entryWidth = 2, upperRounds = 1)
+    }),
+
     // GRAPH-TIER REBALANCE TRIGGER (s35 — the drift census that
     // decides when s31/s32's frozen codebook must retrain): per-cell
     // population and micro-unit assignment-cosine sums at BUILD time
@@ -8703,6 +8763,15 @@ object SparkEntry {
     // (the stored centroids), graphs and serving over everything —
     // the hash-match proves append ≡ rebuild for the graph tier
     "s31_graph_index_append" ->
+      duckHnswTopK(nc = 64, iters = 2, nProbeBuild = 2, degree = 6,
+        ratio = 16, entryW = 2, beam = 8, rounds = 3, k = 5,
+        trainWhere = Some("vec_id % 4 <> 0")),
+
+    // the streamed graph ingest's final index is slicing-independent
+    // (sequential splices compose), so its oracle is s31's one-shot
+    // rebuild twin verbatim — the hash-match proves the streaming
+    // plan lands on the batch answer
+    "s36_stream_graph_ingest" ->
       duckHnswTopK(nc = 64, iters = 2, nProbeBuild = 2, degree = 6,
         ratio = 16, entryW = 2, beam = 8, rounds = 3, k = 5,
         trainWhere = Some("vec_id % 4 <> 0")),

@@ -1910,6 +1910,25 @@ object Similarity {
       topStored: DataFrame, graphsStored: DataFrame, idCol: String,
       vecCol: String, degree: Int, nProbeBuild: Int, layerRatio: Int,
       nLayers: Int): (DataFrame, DataFrame) = {
+    val (top2, graphs2, _, _) = appendHnswGraphIndexState(corpus,
+      batch, centroids, rankedStored, topStored, graphsStored, idCol,
+      vecCol, degree, nProbeBuild, layerRatio, nLayers)
+    (top2, graphs2)
+  }
+
+  /** [[appendHnswGraphIndex]] exposing the state DELTAS a persisted
+    * consumer needs (s36 — the streaming graph-ingest loop): returns
+    * (top2, graphs2, rankedBatchMeta, topDelta) where rankedBatchMeta
+    * is the batch's (node_id, cell_id, rk) rows — the APPEND to the
+    * stored ranks — and topDelta the batch's new top-layer members.
+    * ranked/toplayer/vectors advance with O(batch) appends; only the
+    * edge relation needs a full snapshot, because a splice mutates
+    * existing srcs' edge lists in place. */
+  def appendHnswGraphIndexState(corpus: DataFrame, batch: DataFrame,
+      centroids: DataFrame, rankedStored: DataFrame,
+      topStored: DataFrame, graphsStored: DataFrame, idCol: String,
+      vecCol: String, degree: Int, nProbeBuild: Int, layerRatio: Int,
+      nLayers: Int): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     require(nLayers >= 2 && layerRatio >= 2,
       s"need nLayers >= 2 and layerRatio >= 2, " +
         s"got $nLayers/$layerRatio")
@@ -1928,12 +1947,13 @@ object Similarity {
       .join(c, "node_id")
       .persistTracked() // per-layer touched-candidate scoring
     val mTop = BigInt(layerRatio).pow(nLayers - 1).toLong
+    val topDelta = rankedBatch
+      .filter(Tables.hashU32(col("node_id"), 97) % mTop === 0)
+      .filter(col("rk") === 1)
+      .select(col("node_id"), col("n_vec"), col("n_norm"))
     val top2 = topStored.select(col("node_id"), col("n_vec"),
         col("n_norm"))
-      .unionByName(rankedBatch
-        .filter(Tables.hashU32(col("node_id"), 97) % mTop === 0)
-        .filter(col("rk") === 1)
-        .select(col("node_id"), col("n_vec"), col("n_norm")))
+      .unionByName(topDelta)
     val newIdsAll = rankedBatch.select(col("node_id")).distinct()
     val graphs2 = ((nLayers - 2) to 0 by -1).map { l =>
       val m = BigInt(layerRatio).pow(l).toLong
@@ -1965,7 +1985,9 @@ object Similarity {
       // whole splice (anti-join + touched-cell pair scoring) --
       // measured 175 s vs an 18 s full-rebuild row at 10x
       .persistTracked()
-    (top2, graphs2)
+    (top2, graphs2,
+      rankedBatch.select(col("node_id"), col("cell_id"), col("rk")),
+      topDelta)
   }
 
   /** Serve-side HNSW search over a LOADED graph index (the output of

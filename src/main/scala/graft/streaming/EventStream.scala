@@ -471,6 +471,78 @@ object EventStream {
     * batch. The final table content is the union of the transformed
     * batches, independent of batch slicing — which is what lets a
     * one-shot oracle check a streaming plan. */
+  /** STREAMING GRAPH-INDEX INGEST (s36 — s34's lockstep discipline
+    * for the graph tier): new vectors arrive in micro-batches and
+    * each batch SPLICES into the stored HNSW graph index
+    * ([[graft.operators.Similarity.appendHnswGraphIndexState]] —
+    * batch assignment at the frozen codebook, edge re-derivation only
+    * for touched srcs). State lives in four versioned tables under
+    * `baseDir` — `vectors`/`ranked`/`toplayer` advance with O(batch)
+    * APPEND commits (those relations only ever grow); `graphs` takes
+    * a full snapshot commit per batch, because a splice mutates
+    * existing srcs' edge lists in place (a production store would
+    * partition edges by cell and rewrite only touched partitions —
+    * the recompute itself is already touched-cells-sized).
+    *
+    * Exactly-once under replay: the caller seeds each table at
+    * version 0 (the base index), batch b owns version b+1 of each,
+    * and each table's commit is SEPARATELY lockstep-guarded — a crash
+    * between the four commits replays the batch, the already-
+    * committed tables no-op, the missing ones land (the gated-ingest
+    * two-sink argument, extended to four). Because sequential splices
+    * compose (append ≡ rebuild at the same codebook, spec-proven),
+    * the final index is independent of batch slicing — the oracle is
+    * s31's one-shot rebuild twin VERBATIM. */
+  def graphIngestOnce(src: DataFrame, baseDir: String,
+      corpusBase: DataFrame, centroids: DataFrame, idCol: String,
+      vecCol: String, degree: Int, nProbeBuild: Int, layerRatio: Int,
+      nLayers: Int): Unit = {
+    val vt = graft.sources.VersionedTable
+    // seeded state is version 0; batch b brings a table to b+1 —
+    // commit iff the table still has exactly b+1 versions, so a
+    // replayed batch (table already advanced) is a no-op per table
+    def lockstepSeeded(df: DataFrame, dir: String,
+        batchId: Long): Unit = {
+      val vs = vt.versions(df.sparkSession, dir)
+      if (vs.length <= batchId + 1) {
+        require(vs.length == batchId + 1,
+          s"table at $dir has ${vs.length} versions but batch " +
+            s"$batchId arrived — state was not seeded for this stream")
+        vt.appendCommit(df, dir)
+      }
+    }
+    val q = src.writeStream
+      .foreachBatch {
+        (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val s = batch.sparkSession
+        val gDir = s"$baseDir/graphs"
+        if (vt.versions(s, gDir).length <= batchId + 1) {
+          val b = batch.toDF().select(col(idCol), col(vecCol))
+          val ingested = vt.readCurrent(s, s"$baseDir/vectors")
+          val corpus = corpusBase.select(col(idCol), col(vecCol))
+            .unionByName(ingested).unionByName(b)
+          val (_, graphs2, rankedDelta, topDelta) =
+            graft.operators.Similarity.appendHnswGraphIndexState(
+              corpus, b, centroids,
+              vt.readCurrent(s, s"$baseDir/ranked"),
+              vt.readCurrent(s, s"$baseDir/toplayer"),
+              vt.readCurrent(s, gDir),
+              idCol, vecCol, degree, nProbeBuild, layerRatio, nLayers)
+          lockstepSeeded(b, s"$baseDir/vectors", batchId)
+          lockstepSeeded(rankedDelta, s"$baseDir/ranked", batchId)
+          lockstepSeeded(topDelta, s"$baseDir/toplayer", batchId)
+          // the graphs snapshot commits LAST: its version count is
+          // the replay gate for the whole batch, so every append
+          // above is already durable when the gate advances
+          vt.commit(graphs2, gDir)
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   def transformIngestOnce(src: DataFrame, f: DataFrame => DataFrame,
       tableDir: String): Unit = {
     val q = src.writeStream
