@@ -2158,6 +2158,18 @@ object SparkEntry {
         col("text"), n = 3)
     }),
 
+    // span-level contamination LOCALIZATION: t41 names the culprit,
+    // this quotes the passage — per (doc, bench) pair the matched
+    // shingle starts merged into maximal spans (gaps-and-islands over
+    // hit rows only), with token bounds, char offsets into the
+    // whitespace-canonical token stream, and the excerpt text
+    "t45_contamination_spans" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+      TextAnalysis.contaminationSpans(docs, bench, col("doc_id"),
+        col("text"), n = 3)
+    }),
+
     // RefinedWeb-style duplicate-span coverage: fraction of each doc's
     // 5-token windows that recur in at least 2 documents
     "t11_dup_span_stats" -> ((s, d) =>
@@ -6645,6 +6657,57 @@ object SparkEntry {
          | round(b.n_overlap / t.n_shingles::DOUBLE, 6) AS overlap_frac
          |FROM best b JOIN totals t USING (doc_id)
          |WHERE b.rk = 1""".stripMargin,
+
+    // t45 oracle: positional shingles (struct_pack keeps pos and gram
+    // together through the unnest), the t41-shaped broadcast probe
+    // with positions carried, the same gaps-and-islands merge
+    // (lag/running-sum per pair), then char offsets as exact integer
+    // prefix sums over the canonical token stream
+    "t45_contamination_spans" ->
+      s"""WITH t AS (SELECT doc_id, $DuckToks AS w FROM documents),
+         |g AS (
+         |  SELECT doc_id, unnest(list_transform(range(0, len(w) - 2),
+         |    i -> struct_pack(pos := i,
+         |      gram := array_to_string(w[i+1:i+3], ' ')))) AS u
+         |  FROM t WHERE len(w) >= 3),
+         |g2 AS (SELECT doc_id, u.pos AS pos, u.gram AS gram FROM g),
+         |benchsh AS (
+         |  SELECT DISTINCT doc_id AS bench_id, s FROM (
+         |    SELECT doc_id, unnest(list_transform(
+         |      range(1, len(w) - 1),
+         |      i -> array_to_string(w[i:i+2], ' '))) AS s
+         |    FROM t WHERE len(w) >= 3 AND doc_id % 97 = 0)),
+         |hits AS (
+         |  SELECT g.doc_id, b.bench_id, g.pos
+         |  FROM g2 g JOIN benchsh b ON b.s = g.gram
+         |  WHERE g.doc_id % 97 <> 0),
+         |isl AS (
+         |  SELECT doc_id, bench_id, pos,
+         |    CASE WHEN lag(pos) OVER w IS NULL
+         |      OR pos > lag(pos) OVER w + 3 THEN 1 ELSE 0 END AS ns
+         |  FROM hits
+         |  WINDOW w AS (PARTITION BY doc_id, bench_id ORDER BY pos)),
+         |isl2 AS (
+         |  SELECT doc_id, bench_id, pos, sum(ns) OVER (
+         |    PARTITION BY doc_id, bench_id ORDER BY pos) AS span_idx
+         |  FROM isl),
+         |sp AS (
+         |  SELECT doc_id, bench_id, CAST(span_idx AS BIGINT)
+         |      AS span_idx,
+         |    min(pos) AS ts, max(pos) + 3 AS te
+         |  FROM isl2 GROUP BY 1, 2, 3),
+         |fin AS (
+         |  SELECT s.doc_id, s.bench_id, s.span_idx, s.ts, s.te,
+         |    coalesce(list_sum(list_transform(t.w[1:s.ts],
+         |      x -> len(x))), 0) + s.ts AS cs,
+         |    array_to_string(t.w[s.ts+1:s.te], ' ') AS excerpt
+         |  FROM sp s JOIN t USING (doc_id))
+         |SELECT doc_id, bench_id, span_idx,
+         |  CAST(ts AS BIGINT) AS tok_start,
+         |  CAST(te AS BIGINT) AS tok_end,
+         |  CAST(cs AS BIGINT) AS char_start,
+         |  CAST(cs + len(excerpt) AS BIGINT) AS char_end, excerpt
+         |FROM fin""".stripMargin,
 
     // the Bloom pre-filter has no false negatives and the exact join
     // removes false positives, so t10's result IS t7's result — one

@@ -245,6 +245,69 @@ object TextAnalysis {
           .as("overlap_frac"))
   }
 
+  /** t45: span-level contamination LOCALIZATION — t41 names the
+    * culprit benchmark doc; a release review quotes the overlapping
+    * PASSAGE. For every (corpus doc, benchmark doc) pair sharing at
+    * least one word n-gram, the matched shingle start positions are
+    * merged into maximal spans (gaps-and-islands per pair: a new span
+    * starts when the next hit begins past the previous window's end),
+    * each reported with token bounds, char offsets, and the excerpt
+    * text itself. Offsets index the whitespace-canonical token stream
+    * (the same " "-joined stream d13's survivor hash is over) — the
+    * deterministic referent both engines can compute exactly, robust
+    * to the original text's whitespace variation.
+    *
+    * Scale shape: the probe is t7's broadcast shingle join with
+    * positions carried (the corpus side still never shuffles for it);
+    * the island merge is one window per (doc, bench) pair over
+    * HIT rows only — bounded by actually-shared shingles, never by
+    * corpus size. Returns (doc_id, bench_id, span_idx, tok_start,
+    * tok_end, char_start, char_end, excerpt); end bounds exclusive. */
+  def contaminationSpans(docs: DataFrame, bench: DataFrame,
+      idCol: Column, textCol: Column, n: Int): DataFrame = {
+    val t = docs.select(idCol.as("doc_id"), tokens(textCol).as("w"))
+      .persistTracked() // positional shingles + char-offset attach
+    // positional n-gram starts (0-based), d13's gram construction
+    val g = t.select(col("doc_id"), posexplode(
+        when(size(col("w")) >= n,
+          transform(sequence(lit(0), size(col("w")) - n),
+            i => array_join(slice(col("w"), i + 1, lit(n)), " ")))
+          .otherwise(array().cast("array<string>")))
+        .as(Seq("pos", "gram")))
+    val benchSh = explodedShingles(bench, idCol, textCol, n)
+      .select(col("doc_id").as("bench_id"), col("shingle").as("gram"))
+      .distinct()
+    val benchIds = bench.select(idCol.as("bid"))
+    val hits = g.join(broadcast(benchSh), "gram")
+      .join(benchIds, col("doc_id") === col("bid"), "left_anti")
+      .select(col("doc_id"), col("bench_id"), col("pos"))
+    // islands: hits at pos and prev merge when pos <= prev + n
+    // (overlapping or exactly adjacent windows form one passage)
+    val wOrd = Window.partitionBy(col("doc_id"), col("bench_id"))
+      .orderBy(col("pos"))
+    val spans = hits
+      .withColumn("prev", lag(col("pos"), 1).over(wOrd))
+      .withColumn("ns", when(col("prev").isNull ||
+        col("pos") > col("prev") + n, 1L).otherwise(0L))
+      .withColumn("span_idx", sum(col("ns")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("bench_id"), col("span_idx"))
+      .agg(min(col("pos")).as("ts"), (max(col("pos")) + n).as("te"))
+    spans.join(t, "doc_id")
+      .withColumn("excerpt",
+        array_join(slice(col("w"), col("ts") + 1, col("te") - col("ts")),
+          " "))
+      .withColumn("char_start",
+        (aggregate(slice(col("w"), lit(1), col("ts")), lit(0L),
+          (a, x) => a + length(x)) + col("ts")).cast("long"))
+      .select(col("doc_id"), col("bench_id"), col("span_idx"),
+        col("ts").cast("long").as("tok_start"),
+        col("te").cast("long").as("tok_end"),
+        col("char_start"),
+        (col("char_start") + length(col("excerpt"))).as("char_end"),
+        col("excerpt"))
+  }
+
   /** Bloom-pre-filtered contamination: SAME OUTPUT as [[contamination]]
     * (a Bloom filter has no false negatives, and false positives die in
     * the exact verification join), but the membership probe broadcasts

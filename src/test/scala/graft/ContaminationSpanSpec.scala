@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextAnalysis
+
+/** t45 span-localization receipts: hand-built fixture with known
+  * overlap geometry (merged windows, separate islands, char offsets),
+  * plus the composition with t41 — every attributed (doc, bench)
+  * pair is localized by at least one span whose excerpt really
+  * occurs in both sides' canonical streams. */
+class ContaminationSpanSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("spans merge overlapping windows and split on real gaps") {
+    // bench doc 100: "a b c d e" → 3-gram shingles {a b c, b c d, c d e}
+    // doc 1: "a b c d e x x x x c d e" — hits at pos 0,1,2 (merged:
+    // one span covering tokens 0..5) and pos 9 (c d e → span 9..12)
+    val docs = Seq(
+      (1L, "a b c d e x x x x c d e"),
+      (100L, "a b c d e")).toDF("doc_id", "text")
+    val bench = docs.filter(col("doc_id") === 100L)
+    val out = TextAnalysis.contaminationSpans(docs, bench,
+      col("doc_id"), col("text"), n = 3)
+      .orderBy("doc_id", "bench_id", "span_idx")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getString(7)))
+    assert(out.toSeq == Seq(
+      // span 1: tokens [0,5) = "a b c d e", chars [0,9)
+      (1L, 100L, 1L, 0L, 5L, 0L, 9L, "a b c d e"),
+      // span 2: tokens [9,12) = "c d e", chars: 9 tokens of 1 char
+      // + 9 separators = 18 → [18,23)
+      (1L, 100L, 2L, 9L, 12L, 18L, 23L, "c d e")))
+  }
+
+  test("bench docs are excluded and non-overlapping docs absent") {
+    val docs = Seq(
+      (1L, "p q r s"),
+      (100L, "a b c d e")).toDF("doc_id", "text")
+    val bench = docs.filter(col("doc_id") === 100L)
+    assert(TextAnalysis.contaminationSpans(docs, bench,
+      col("doc_id"), col("text"), n = 3).count() == 0)
+  }
+
+  test("composes with t41: every attributed pair gets a quotable span") {
+    val docs = Tables.documents(spark, Sf0001)
+    val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+    val attr = TextAnalysis.contaminationAttribution(docs, bench,
+      col("doc_id"), col("text"), n = 3)
+      .select(col("doc_id"), col("bench_id"))
+    val spans = TextAnalysis.contaminationSpans(docs, bench,
+      col("doc_id"), col("text"), n = 3).persist()
+    // attribution names (doc, best bench); the span relation covers
+    // ALL sharing pairs, so attributed pairs must all be localized
+    assert(attr.join(spans, Seq("doc_id", "bench_id"), "left_anti")
+      .count() == 0)
+    // the quoted excerpt really occurs in the doc's canonical stream
+    // (the span is the union of the doc's hit positions; individual
+    // shingles — not necessarily the merged passage — occur in the
+    // bench doc, which the join's very existence already proves)
+    val canon = docs.select(col("doc_id"),
+      array_join(TextAnalysis.tokens(col("text")), " ").as("c"))
+    val bad = spans.join(canon, "doc_id")
+      .filter(!col("c").contains(col("excerpt")))
+    assert(bad.count() == 0)
+    // char offsets index the doc's canonical stream exactly
+    val off = spans.join(canon, "doc_id")
+      .filter(expr("substring(c, CAST(char_start AS INT) + 1, " +
+        "CAST(char_end - char_start AS INT))") =!= col("excerpt"))
+    assert(off.count() == 0)
+  }
+}
