@@ -1292,7 +1292,8 @@ object SparkEntry {
   private def duckNswBody(nc: Int, iters: Int, nProbeBuild: Int,
       degree: Int, beam: Int, rounds: Int, k: Int,
       entryCtes: String, trainWhere: Option[String] = None,
-      indexWhere: Option[String] = None): String = {
+      indexWhere: Option[String] = None,
+      queryWhere: String = "vec_id % 25 = 0"): String = {
     // trainWhere restricts the k-means TRAINING set (the s31 append
     // twin trains on the base corpus only — the stored codebook);
     // indexWhere restricts the INDEXED/SERVED corpus (the s32 delete
@@ -1376,7 +1377,7 @@ object SparkEntry {
        |      PARTITION BY src ORDER BY sim DESC, dst) AS rk
        |    FROM gsc) WHERE rk <= $degree),
        |gq AS (SELECT vec_id AS query_id, v, nrm FROM $rel
-       |       WHERE vec_id % 25 = 0),
+       |       WHERE $queryWhere),
        |$entryCtes,
        |$roundCtes
        |SELECT query_id, rank, neighbor_id, cosine FROM (
@@ -1479,10 +1480,12 @@ object SparkEntry {
   private def duckHnswTopK(nc: Int, iters: Int, nProbeBuild: Int,
       degree: Int, ratio: Int, entryW: Int, beam: Int, rounds: Int,
       k: Int, trainWhere: Option[String] = None,
-      indexWhere: Option[String] = None): String = {
+      indexWhere: Option[String] = None,
+      queryWhere: String = "vec_id % 25 = 0"): String = {
     val rel = if (indexWhere.isDefined) "enk" else "en"
     duckNswBody(nc, iters, nProbeBuild, degree, beam, rounds, k,
       trainWhere = trainWhere, indexWhere = indexWhere,
+      queryWhere = queryWhere,
       entryCtes = s"""hl1 AS (
          |  SELECT vec_id FROM $rel
          |  WHERE ('0x' || substr(md5(vec_id::VARCHAR || '#97'), 1, 8))::BIGINT
@@ -4842,6 +4845,39 @@ object SparkEntry {
       val nowA = buildA.unionByName(
         Similarity.assignWithSim(batch, cents, "vec_id", "embedding"))
       Similarity.indexDriftCensus(buildA, nowA, nCells = 8)
+    }),
+
+    // GRAPH-TIER RECALL CENSUS (s37 — s30's evaluation receipt for
+    // the graph family): recall@5 of the s28-persisted HNSW serve
+    // path against the exact top-5 over the ten fixed serve queries.
+    // With s30 (trained IVF at the same query set) this is the
+    // oracle-checked anchor of the graph-vs-IVF recall frontier
+    // (BASELINE §10; graft.TuneGraphRecall sweeps the budget axis) —
+    // the number that says when the graph tier earns its edge-
+    // coupling cost. Serve-only: the index loads from the scratch
+    // cache, the exact leg is |Q|-fixed
+    "s37_graph_recall_serve" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id").isin(ServeQueryIds: _*))
+      val dir = scratchDir("s37hnsw", d)
+      if (!new java.io.File(s"$dir/_built").exists()) {
+        val (top, graphs) = Similarity.buildHnswGraphIndex(emb,
+          "vec_id", "embedding", nCells = 64, iters = 2, degree = 6,
+          nProbeBuild = 2, layerRatio = 16, nLayers = 2)
+        top.coalesce(1).write.mode("overwrite")
+          .parquet(s"$dir/toplayer")
+        graphs.repartition(col("level")).write.mode("overwrite")
+          .partitionBy("level").parquet(s"$dir/graphs")
+        new java.io.File(s"$dir/_built").createNewFile()
+      }
+      val approx = Similarity.hnswServeIndexed(
+        s.read.parquet(s"$dir/toplayer"),
+        s.read.parquet(s"$dir/graphs"), emb, q, "vec_id",
+        "embedding", k = 5, beamWidth = 8, rounds = 3, nLayers = 2,
+        entryWidth = 2)
+      val exact = Similarity.bruteForceTopK(emb, q, "vec_id",
+        "embedding", 5)
+      Similarity.recallCensus(exact, approx)
     }),
 
     // FAISS "refine" tail on s11: ADC ranks a 25-candidate shortlist,
@@ -8838,6 +8874,48 @@ object SparkEntry {
       duckHnswTopK(nc = 64, iters = 2, nProbeBuild = 2, degree = 6,
         ratio = 16, entryW = 2, beam = 8, rounds = 3, k = 5,
         trainWhere = Some("vec_id % 4 <> 0")),
+
+    // s37 oracle: s30's exact-vs-approx census shape with the approx
+    // leg swapped to the full HNSW twin at the fixed serve queries
+    "s37_graph_recall_serve" ->
+      s"""WITH exact AS (
+         |  WITH e AS (
+         |    SELECT vec_id, list_transform(embedding, x -> x::DOUBLE)
+         |      AS v FROM embeddings),
+         |  scored AS (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |     list_reduce(list_transform(range(1, len(q.v) + 1),
+         |       i -> q.v[i] * c.v[i]), (x, y) -> x + y) /
+         |     (sqrt(list_reduce(list_transform(q.v, x -> x * x),
+         |        (x, y) -> x + y)) *
+         |      sqrt(list_reduce(list_transform(c.v, x -> x * x),
+         |        (x, y) -> x + y))) AS cosine
+         |    FROM e q JOIN e c ON q.vec_id IN $ServeIdsSql
+         |      AND c.vec_id <> q.vec_id),
+         |  ranked AS (
+         |    SELECT query_id, neighbor_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)
+         |      AS rank
+         |    FROM scored)
+         |  SELECT query_id, neighbor_id FROM ranked WHERE rank <= 5),
+         |approx AS (
+         |  ${duckHnswTopK(nc = 64, iters = 2, nProbeBuild = 2,
+              degree = 6, ratio = 16, entryW = 2, beam = 8,
+              rounds = 3, k = 5,
+              queryWhere = s"vec_id IN $ServeIdsSql")}),
+         |hits AS (
+         |  SELECT e.query_id, CAST(count(*) AS BIGINT) AS hits
+         |  FROM exact e JOIN approx a
+         |    ON a.query_id = e.query_id
+         |   AND a.neighbor_id = e.neighbor_id
+         |  GROUP BY 1),
+         |qs AS (SELECT DISTINCT query_id FROM exact),
+         |perq AS (
+         |  SELECT qs.query_id,
+         |   coalesce(h.hits, CAST(0 AS BIGINT)) AS hits
+         |  FROM qs LEFT JOIN hits h USING (query_id))
+         |SELECT hits, CAST(count(*) AS BIGINT) AS n_queries
+         |FROM perq GROUP BY 1""".stripMargin,
 
     // the delete REBUILD twin: codebook trained on the full
     // (pre-delete) corpus, index/graphs/queries over the survivors —
