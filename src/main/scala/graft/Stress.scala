@@ -782,6 +782,89 @@ object Stress {
         f"${(System.nanoTime() - t0in) / 1e9}%.2fs")
       n
     }
+    // the round-9 verdict's batch-boundedness receipt: the splice's
+    // value is edge REUSE, and reuse ≈ 1 − hot_cells/cells — so it
+    // only wins when cells ≫ batch (a 200-vector batch over ~233
+    // auto cells touches most of them and append ≈ rebuild; the s31
+    // row above runs that regime honestly). This row runs the regime
+    // the splice is FOR: a 40-vector write batch against the same
+    // index, reporting hot-cell count, touched-src fraction,
+    // level-0 reused-edge fraction (all recomputed independently of
+    // the splice's own joins), and append wall vs rebuild wall at
+    // the SAME stored codebook and parquet lineage cut
+    t("s31_splice(cells>>batch)") {
+      val base = emb.filter(col("vec_id") % 10 =!= 7)
+      val batch = emb.filter(col("vec_id") % 200 === 17 &&
+        col("vec_id") < 2000000L)
+      val corpus = base.unionByName(batch)
+      val dir = java.nio.file.Files
+        .createTempDirectory("s31splice").toString
+      val cents = Similarity.kmeansCentroids(base, "vec_id",
+        "embedding", Similarity.autoCells(base.count()), 2)
+      val (top1, graphs1, ranked1) = Similarity
+        .buildHnswGraphIndexWith(base, cents, "vec_id", "embedding",
+          degree = 6, nProbeBuild = 2, layerRatio = 16, nLayers = 2)
+      cents.coalesce(1).write.parquet(s"$dir/centroids")
+      top1.coalesce(1).write.parquet(s"$dir/toplayer")
+      graphs1.repartition(col("level")).write
+        .partitionBy("level").parquet(s"$dir/graphs")
+      ranked1.coalesce(1).write.parquet(s"$dir/ranked")
+      InternalCaches.releaseAll()
+      val centsS = spark.read.parquet(s"$dir/centroids")
+      val rankedS = spark.read.parquet(s"$dir/ranked")
+      val topS = spark.read.parquet(s"$dir/toplayer")
+      val graphsS = spark.read.parquet(s"$dir/graphs")
+      // independent splice metrics (metadata-sized aggregates)
+      val hot = Similarity.assignWithSim(batch, centsS, "vec_id",
+          "embedding")
+        .select(col("cell").as("cell_id")).distinct().persist()
+      val nCells = centsS.count(); val nHot = hot.count()
+      val nSrc = rankedS.select("node_id").distinct().count()
+      val affected = rankedS.join(hot, "cell_id")
+        .select("node_id").distinct().persist()
+      val nAff = affected.count()
+      val lvl0 = graphsS.filter(col("level") === 0)
+      val nEdges = lvl0.count()
+      val nReused = lvl0.join(
+        affected.withColumnRenamed("node_id", "src"),
+        Seq("src"), "left_anti").count()
+      // the size-independent receipt: candidate PAIRS the splice
+      // re-scores vs the pairs a rebuild scores — at 100 TB the pair
+      // scoring dominates both legs, so this ratio IS the asymptotic
+      // append/rebuild cost ratio (wall clocks at this n still carry
+      // fixed per-stage overheads both legs share)
+      val assignedSz = rankedS.filter(col("rk") === 1)
+        .groupBy(col("cell_id")).agg(count(lit(1)).as("a"))
+      val pairsAll = rankedS
+        .groupBy(col("cell_id")).agg(count(lit(1)).as("p"))
+        .join(assignedSz, "cell_id")
+        .agg(sum(col("p") * col("a"))).collect()(0).getLong(0)
+      val pairsRecomp = rankedS
+        .join(affected, "node_id")
+        .groupBy(col("cell_id")).agg(count(lit(1)).as("p"))
+        .join(assignedSz, "cell_id")
+        .agg(sum(col("p") * col("a"))).collect()(0).getLong(0)
+      val tA = System.nanoTime()
+      val nApp = Similarity.appendHnswGraphIndex(corpus, batch,
+        centsS, rankedS, topS, graphsS, "vec_id", "embedding",
+        degree = 6, nProbeBuild = 2, layerRatio = 16,
+        nLayers = 2)._2.count()
+      val appendS = (System.nanoTime() - tA) / 1e9
+      InternalCaches.releaseAll()
+      val tR = System.nanoTime()
+      Similarity.buildHnswGraphIndexWith(corpus, centsS, "vec_id",
+        "embedding", degree = 6, nProbeBuild = 2, layerRatio = 16,
+        nLayers = 2)._2.count()
+      val rebuildS = (System.nanoTime() - tR) / 1e9
+      hot.unpersist(); affected.unpersist()
+      println(f"    s31 splice receipt: batch=${batch.count()} " +
+        f"cells=$nCells hot=$nHot " +
+        f"touched_src=${nAff.toDouble / nSrc}%.3f " +
+        f"reused_edges=${nReused.toDouble / nEdges}%.3f " +
+        f"pair_ratio=${pairsRecomp.toDouble / pairsAll}%.3f " +
+        f"append=$appendS%.2fs rebuild=$rebuildS%.2fs")
+      nApp
+    }
     // deployed-weight quality gate: training is the t38 row above;
     // this times the SERVING leg — one broadcast-weight scoring pass
     // over the corpus (the q103 per-batch shape at corpus width) —
