@@ -547,6 +547,24 @@ object Curation {
       .join(dirty, Seq("doc_id"))
   }
 
+  /** [[decontamAttributionReport]]'s span-level companion (t45 into
+    * the p9 report): for every doc the decontam tier drops, the
+    * maximal overlap spans against EVERY benchmark doc it shares
+    * shingles with — token bounds, char offsets into the canonical
+    * stream, and the quotable excerpt a release review pastes next
+    * to the census counts. Report-only, census unchanged; cost is
+    * the t45 machinery restricted by one join to the dropped set. */
+  def decontamSpanReport(tierDocs: DataFrame, bench: DataFrame,
+      idCol: Column, textCol: Column, n: Int = 3,
+      contamTau: Double = 0.5): DataFrame = {
+    val dirty = TextAnalysis.contamination(tierDocs, bench, idCol,
+        textCol, n)
+      .filter(col("contamination") >= contamTau).select(col("doc_id"))
+    TextAnalysis.contaminationSpans(tierDocs, bench, idCol,
+        textCol, n)
+      .join(dirty, Seq("doc_id"))
+  }
+
   /** One census row: (stage, stage_name, docs_in, docs_out, kept_fp)
     * with kept_fp the md5-u32 sum of surviving doc_ids — shared by
     * the corpus-build (p9) and corpus-refresh (p10) capstones. */

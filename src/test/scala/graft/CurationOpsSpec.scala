@@ -325,6 +325,15 @@ class CurationOpsSpec extends SparkSpec {
         contamTau = 0.5)
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(report == Seq(1L, 2L))
+    // the span companion quotes the SAME dropped set, with ≥ 1
+    // quotable excerpt per (doc, bench) pair it names
+    val spanRep = graft.operators.Curation.decontamSpanReport(
+        docs, bench, col("doc_id"), col("text"), n = 3,
+        contamTau = 0.5)
+    assert(spanRep.select("doc_id").distinct()
+      .as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    assert(spanRep.filter(col("excerpt") === "" ||
+      col("tok_end") <= col("tok_start")).count() == 0)
   }
 
   test("uniMaxMixture: hand-computed water-filling, caps bind in order (t21)") {
