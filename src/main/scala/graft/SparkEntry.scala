@@ -2173,6 +2173,17 @@ object SparkEntry {
         col("text"), n = 3)
     }),
 
+    // contamination EXCISION: the family's removal half — tokens
+    // covered by any benchmark-matched 3-gram window leave the doc
+    // (d13's ExactSubstr mask with the dup test swapped for benchmark
+    // membership); survivors fingerprinted exactly
+    "t46_contamination_excise" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+      TextAnalysis.exciseContaminatedSpans(docs, bench, col("doc_id"),
+        col("text"), n = 3)
+    }),
+
     // RefinedWeb-style duplicate-span coverage: fraction of each doc's
     // 5-token windows that recur in at least 2 documents
     "t11_dup_span_stats" -> ((s, d) =>
@@ -6744,6 +6755,38 @@ object SparkEntry {
          |  CAST(cs AS BIGINT) AS char_start,
          |  CAST(cs + len(excerpt) AS BIGINT) AS char_end, excerpt
          |FROM fin""".stripMargin,
+
+    // t46 oracle: d13's mask/survivor SQL with the dup CTE swapped
+    // for the benchmark shingle set and bench docs excluded
+    "t46_contamination_excise" ->
+      s"""WITH t AS (SELECT doc_id, $DuckToks AS w FROM documents),
+         |g AS (
+         |  SELECT doc_id, u.pos AS pos, u.gr AS gram FROM (
+         |    SELECT doc_id, unnest(list_transform(
+         |      range(0, greatest(0, len(w) - 3 + 1)),
+         |      i -> struct_pack(pos := i,
+         |        gr := array_to_string(w[i+1:i+3], ' ')))) AS u
+         |    FROM t)),
+         |bsh AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+         |st AS (
+         |  SELECT doc_id, list(pos ORDER BY pos) AS starts
+         |  FROM g JOIN bsh USING (gram)
+         |  WHERE doc_id % 97 <> 0 GROUP BY 1),
+         |m AS (
+         |  SELECT t.doc_id, w,
+         |    list_transform(range(0, len(w)),
+         |      p -> len(list_filter(coalesce(starts, []),
+         |        s -> s <= p AND p < s + 3)) > 0) AS mask
+         |  FROM t LEFT JOIN st USING (doc_id)
+         |  WHERE t.doc_id % 97 <> 0)
+         |SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_filter(mask, x -> x)) AS BIGINT) AS n_removed,
+         |  CAST(${duckU32(
+        "coalesce(array_to_string(list_filter(list_transform(" +
+          "range(1, len(w) + 1), " +
+          "j -> CASE WHEN mask[j] THEN NULL ELSE w[j] END), " +
+          "x -> x IS NOT NULL), ' '), '')", 13)} AS BIGINT) AS surv_fp
+         |FROM m""".stripMargin,
 
     // the Bloom pre-filter has no false negatives and the exact join
     // removes false positives, so t10's result IS t7's result — one

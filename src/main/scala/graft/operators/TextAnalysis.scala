@@ -308,6 +308,59 @@ object TextAnalysis {
         col("excerpt"))
   }
 
+  /** t46: contamination EXCISION — the removal half of the family
+    * (t7 detects, t41 attributes, t45 localizes, this excises): every
+    * token covered by a benchmark-matched n-gram window is removed,
+    * the document's surviving text is its tokens minus the union of
+    * matched spans — the d13 (ExactSubstr) excision with the dup test
+    * swapped for benchmark membership. The right decontamination when
+    * documents are long and only a passage leaks: dropping whole docs
+    * (p9's decontam tier) throws away clean text with the leak.
+    * Benchmark docs are excluded from the output (t7's convention —
+    * they would otherwise be fully excised noise rows). Emits the
+    * d13-shaped receipt (doc_id, n_tokens, n_removed, surv_fp) with
+    * surv_fp hashing the exact surviving token stream.
+    *
+    * Scale shape: the probe is the broadcast benchmark shingle set
+    * (the corpus side never shuffles for it); the only other shuffle
+    * is the per-doc position collect, bounded by matched positions.
+    * Single-pass caveat (d13's): excision can make previously-
+    * separated tokens adjacent, so new cross-gap n-grams can appear —
+    * iterate to a fixpoint if the policy demands it, each pass is
+    * this same operator. */
+  def exciseContaminatedSpans(docs: DataFrame, bench: DataFrame,
+      idCol: Column, textCol: Column, n: Int): DataFrame = {
+    val t = docs.select(idCol.as("doc_id"), tokens(textCol).as("w"))
+    val g = t.select(col("doc_id"), posexplode(
+        when(size(col("w")) >= n,
+          transform(sequence(lit(0), size(col("w")) - n),
+            i => array_join(slice(col("w"), i + 1, lit(n)), " ")))
+          .otherwise(array().cast("array<string>")))
+        .as(Seq("pos", "gram")))
+    val benchSh = explodedShingles(bench, idCol, textCol, n)
+      .select(col("shingle").as("gram")).distinct()
+    val benchIds = bench.select(idCol.as("bid"))
+    val starts = g.join(broadcast(benchSh), "gram")
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(col("pos"))).as("starts"))
+    t.join(benchIds, col("doc_id") === col("bid"), "left_anti")
+      .join(starts, Seq("doc_id"), "left_outer")
+      .withColumn("starts",
+        coalesce(col("starts"), array().cast("array<int>")))
+      .withColumn("mask",
+        when(size(col("w")) > 0,
+          transform(sequence(lit(0), size(col("w")) - 1),
+            p => exists(col("starts"), s => s <= p && p < s + n)))
+          .otherwise(array().cast("array<boolean>")))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        size(filter(col("mask"), m => m)).cast("long").as("n_removed"),
+        graft.Tables.hashU32(array_join(
+          filter(zip_with(col("w"), col("mask"),
+            (tok, m) => when(m, lit(null)).otherwise(tok)),
+            x => x.isNotNull), " "), 13).as("surv_fp"))
+  }
+
   /** Bloom-pre-filtered contamination: SAME OUTPUT as [[contamination]]
     * (a Bloom filter has no false negatives, and false positives die in
     * the exact verification join), but the membership probe broadcasts

@@ -45,6 +45,28 @@ class ContaminationSpanSpec extends SparkSpec {
       col("doc_id"), col("text"), n = 3).count() == 0)
   }
 
+  test("excision removes exactly the masked spans (t46)") {
+    val docs = Seq(
+      (1L, "a b c d e x x x x c d e"), // spans [0,5) and [9,12)
+      (2L, "p q r s"),                 // clean: nothing removed
+      (100L, "a b c d e")).toDF("doc_id", "text")
+    val bench = docs.filter(col("doc_id") === 100L)
+    val out = TextAnalysis.exciseContaminatedSpans(docs, bench,
+        col("doc_id"), col("text"), n = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 12L, 8L), (2L, 4L, 0L)))
+    // the survivor fingerprint is the hash of exactly "x x x x"
+    val fp = TextAnalysis.exciseContaminatedSpans(docs, bench,
+        col("doc_id"), col("text"), n = 3)
+      .filter(col("doc_id") === 1L).select("surv_fp")
+      .collect()(0).getLong(0)
+    val expected = spark.range(1)
+      .select(Tables.hashU32(lit("x x x x"), 13)).collect()(0)
+      .getLong(0)
+    assert(fp == expected)
+  }
+
   test("composes with t41: every attributed pair gets a quotable span") {
     val docs = Tables.documents(spark, Sf0001)
     val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
