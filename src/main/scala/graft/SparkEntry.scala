@@ -2184,6 +2184,17 @@ object SparkEntry {
         col("text"), n = 3)
     }),
 
+    // excision to a bounded FIXPOINT: one pass can CREATE matched
+    // n-grams (removal re-joins neighbors), so t46 runs twice and the
+    // residual column counts still-matched grams — non-convergence is
+    // visible in the receipt, never silent
+    "t47_contamination_fixpoint" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+      TextAnalysis.exciseContaminatedFixpoint(docs, bench,
+        col("doc_id"), col("text"), n = 3)
+    }),
+
     // RefinedWeb-style duplicate-span coverage: fraction of each doc's
     // 5-token windows that recur in at least 2 documents
     "t11_dup_span_stats" -> ((s, d) =>
@@ -3533,6 +3544,72 @@ object SparkEntry {
         .groupBy(lit("quar").as("part"), lit(0L).as("k"))
         .agg(count(lit(1)).as("cnt"), sum(col("doc_id")).as("id_sum"),
           sum(col("quality6")).as("q_sum"))
+      vt.versions(s, s"$base/table").map(cleanAgg)
+        .reduce(_ unionByName _)
+        .unionByName(quar)
+    }),
+
+    // STREAMING CONTAMINATION GATE (q104 — the t7 detector deployed
+    // as q103's ingest shape): the benchmark shingle set is the
+    // deployable artifact (written once, broadcast per batch); each
+    // micro-batch scores docs by shared-shingle count and the gate
+    // keeps exactly the zero-overlap docs (score = NEGATED overlap so
+    // the generic keep-if-score≥threshold gate applies at threshold
+    // 0), quarantining leaky docs WITH their overlap magnitude. Same
+    // lockstep version↔batch discipline as q103; oracle = batch
+    // replay of the same shingle probe
+    "q104_stream_contam_gate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"))
+      val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+      val corpus = docs.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+      val scratch = scratchDir("q104gate", d)
+      val shDir = s"$scratch/benchsh"
+      TextAnalysis.explodedShingles(bench, col("doc_id"),
+          col("text"), 3)
+        .select(col("shingle")).distinct()
+        .coalesce(1).write.mode("overwrite").parquet(shDir)
+      val benchSh = s.read.parquet(shDir)
+      val streamDir = new java.io.File(scratch, "in")
+      streamDir.mkdirs()
+      for (i <- 0 until 3) {
+        val tmp = s"$scratch/shard$i"
+        corpus.filter(col("doc_id") % 3 === i).coalesce(1)
+          .write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(streamDir, f"batch$i%02d.parquet")
+        java.nio.file.Files.copy(part.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        dst.setLastModified(1000000L * (i + 1))
+      }
+      val base = s"$scratch/gated"
+      EventStream.scoredGatedIngestOnce(
+        EventStream.parquetFileStream(s, streamDir.getAbsolutePath),
+        batch => {
+          val sh = TextAnalysis.explodedShingles(batch,
+            col("doc_id"), col("text"), 3).distinct()
+          val hits = sh.join(broadcast(benchSh), "shingle")
+            .groupBy(col("doc_id"))
+            .agg(count(lit(1)).as("n_shared"))
+          batch.join(hits, Seq("doc_id"), "left_outer")
+            .withColumn("neg_shared",
+              -coalesce(col("n_shared"), lit(0L)))
+            .drop("n_shared")
+        },
+        scoreCol = "neg_shared", threshold = 0L, base)
+      val vt = graft.sources.VersionedTable
+      def cleanAgg(v: Int) =
+        vt.readVersion(s, s"$base/table", v)
+          .groupBy(lit("clean").as("part"), lit(v.toLong).as("k"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("doc_id")).as("id_sum"),
+            sum(col("neg_shared")).as("ns_sum"))
+      val quar = vt.readCurrent(s, s"$base/quarantine")
+        .groupBy(lit("quar").as("part"), lit(0L).as("k"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("doc_id")).as("id_sum"),
+          sum(col("neg_shared")).as("ns_sum"))
       vt.versions(s, s"$base/table").map(cleanAgg)
         .reduce(_ unionByName _)
         .unionByName(quar)
@@ -6788,6 +6865,72 @@ object SparkEntry {
           "x -> x IS NOT NULL), ' '), '')", 13)} AS BIGINT) AS surv_fp
          |FROM m""".stripMargin,
 
+    // t47 oracle: the t46 mask/survivor chain applied twice (pass 2
+    // re-grams pass 1's survivor lists), then the residual probe over
+    // pass 2's survivors — gram/mask fragments generated by one local
+    // builder so the passes cannot drift apart
+    "t47_contamination_fixpoint" -> {
+      def gramCte(name: String, src: String) =
+        s"""$name AS (
+           |  SELECT doc_id, u.pos AS pos, u.gr AS gram FROM (
+           |    SELECT doc_id, unnest(list_transform(
+           |      range(0, greatest(0, len(w) - 2)),
+           |      i -> struct_pack(pos := i,
+           |        gr := array_to_string(w[i+1:i+3], ' ')))) AS u
+           |    FROM $src))""".stripMargin
+      def maskCtes(g: String, src: String, st: String, m: String) =
+        s"""$st AS (
+           |  SELECT doc_id, list(pos ORDER BY pos) AS starts
+           |  FROM $g JOIN bsh USING (gram) GROUP BY 1),
+           |$m AS (
+           |  SELECT $src.doc_id, w,
+           |    list_transform(range(0, len(w)),
+           |      p -> len(list_filter(coalesce(starts, []),
+           |        s -> s <= p AND p < s + 3)) > 0) AS mask
+           |  FROM $src LEFT JOIN $st USING (doc_id))""".stripMargin
+      val surv = "list_filter(list_transform(range(1, len(w) + 1), " +
+        "j -> CASE WHEN mask[j] THEN NULL ELSE w[j] END), " +
+        "x -> x IS NOT NULL)"
+      s"""WITH t0 AS (
+         |  SELECT doc_id, $DuckToks AS w FROM documents
+         |  WHERE doc_id % 97 <> 0),
+         |tb AS (
+         |  SELECT doc_id, $DuckToks AS w FROM documents
+         |  WHERE doc_id % 97 = 0),
+         |bsh AS (
+         |  SELECT DISTINCT unnest(list_transform(
+         |    range(0, greatest(0, len(w) - 2)),
+         |    i -> array_to_string(w[i+1:i+3], ' '))) AS gram
+         |  FROM tb),
+         |${gramCte("g1", "t0")},
+         |${maskCtes("g1", "t0", "st1", "m1")},
+         |t1 AS (
+         |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+         |    CAST(len(list_filter(mask, x -> x)) AS BIGINT)
+         |      AS removed_p1,
+         |    $surv AS w
+         |  FROM m1),
+         |${gramCte("g2", "t1")},
+         |${maskCtes("g2", "t1", "st2", "m2")},
+         |t2 AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter(mask, x -> x)) AS BIGINT)
+         |      AS removed_p2,
+         |    $surv AS w
+         |  FROM m2),
+         |${gramCte("g3", "t2")},
+         |res AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS residual
+         |  FROM g3 JOIN bsh USING (gram) GROUP BY 1)
+         |SELECT t1.doc_id, t1.n_tokens, t1.removed_p1, t2.removed_p2,
+         |  CAST(coalesce(res.residual, 0) AS BIGINT) AS residual,
+         |  CAST(${duckU32(
+        "coalesce(array_to_string(t2.w, ' '), '')", 13)} AS BIGINT)
+         |    AS surv_fp
+         |FROM t1 JOIN t2 USING (doc_id)
+         |LEFT JOIN res USING (doc_id)""".stripMargin
+    },
+
     // the Bloom pre-filter has no false negatives and the exact join
     // removes false positives, so t10's result IS t7's result — one
     // oracle serves both plans
@@ -9994,6 +10137,40 @@ object SparkEntry {
          | CAST(sum(doc_id) AS BIGINT) AS id_sum,
          | CAST(sum(quality6) AS BIGINT) AS q_sum
          |FROM qq WHERE quality6 < 500000
+         |GROUP BY 1, 2""".stripMargin,
+
+    // q104 oracle: t41's shared-shingle probe as a per-doc overlap
+    // count, negated; clean = zero overlap, per-version prefixes via
+    // the q103 range-join trick (batch v holds doc_id % 3 <= v)
+    "q104_stream_contam_gate" ->
+      s"""WITH t AS (SELECT doc_id, $DuckToks AS w FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, unnest(list_transform(
+         |    range(1, len(w) - 1),
+         |    i -> array_to_string(w[i:i+2], ' '))) AS s
+         |  FROM t WHERE len(w) >= 3),
+         |bsh AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+         |ns AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS nsh
+         |  FROM sh JOIN bsh USING (s)
+         |  WHERE doc_id % 97 <> 0 GROUP BY 1),
+         |qq AS (
+         |  SELECT d.doc_id, -coalesce(ns.nsh, 0) AS neg
+         |  FROM documents d LEFT JOIN ns USING (doc_id)
+         |  WHERE d.doc_id % 97 <> 0)
+         |SELECT 'clean' AS part, CAST(v AS BIGINT) AS k,
+         | CAST(count(*) AS BIGINT) AS cnt,
+         | CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         | CAST(sum(neg) AS BIGINT) AS ns_sum
+         |FROM (SELECT unnest(range(3)) AS v) vs
+         |JOIN qq ON doc_id % 3 <= v AND neg >= 0
+         |GROUP BY 1, 2
+         |UNION ALL
+         |SELECT 'quar' AS part, CAST(0 AS BIGINT) AS k,
+         | CAST(count(*) AS BIGINT) AS cnt,
+         | CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         | CAST(sum(neg) AS BIGINT) AS ns_sum
+         |FROM qq WHERE neg < 0
          |GROUP BY 1, 2""".stripMargin,
 
     // recompute the injected corruption and the bitmask; the reasons=0

@@ -330,21 +330,38 @@ object TextAnalysis {
     * this same operator. */
   def exciseContaminatedSpans(docs: DataFrame, bench: DataFrame,
       idCol: Column, textCol: Column, n: Int): DataFrame = {
-    val t = docs.select(idCol.as("doc_id"), tokens(textCol).as("w"))
+    val benchSh = explodedShingles(bench, idCol, textCol, n)
+      .select(col("shingle").as("gram")).distinct()
+    val benchIds = bench.select(idCol.as("bid"))
+    val t0 = docs.select(idCol.as("doc_id"), tokens(textCol).as("w"))
+      .join(benchIds, col("doc_id") === col("bid"), "left_anti")
+    t0.select(col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"))
+      .join(excisePass(t0, benchSh, n), "doc_id")
+      .select(col("doc_id"), col("n_tokens"),
+        col("removed").as("n_removed"),
+        graft.Tables.hashU32(array_join(col("w"), " "), 13)
+          .as("surv_fp"))
+  }
+
+  /** One excision pass over a (doc_id, w) token-array relation:
+    * tokens covered by a benchmark-matched n-gram window leave the
+    * array. Returns (doc_id, w, removed) with `w` the survivors —
+    * [[exciseContaminatedSpans]]' core, factored so the fixpoint
+    * variant can chain passes. `benchSh` is the benchmark's distinct
+    * shingle set as a `gram` column. */
+  private def excisePass(t: DataFrame, benchSh: DataFrame,
+      n: Int): DataFrame = {
     val g = t.select(col("doc_id"), posexplode(
         when(size(col("w")) >= n,
           transform(sequence(lit(0), size(col("w")) - n),
             i => array_join(slice(col("w"), i + 1, lit(n)), " ")))
           .otherwise(array().cast("array<string>")))
         .as(Seq("pos", "gram")))
-    val benchSh = explodedShingles(bench, idCol, textCol, n)
-      .select(col("shingle").as("gram")).distinct()
-    val benchIds = bench.select(idCol.as("bid"))
     val starts = g.join(broadcast(benchSh), "gram")
       .groupBy(col("doc_id"))
       .agg(array_sort(collect_list(col("pos"))).as("starts"))
-    t.join(benchIds, col("doc_id") === col("bid"), "left_anti")
-      .join(starts, Seq("doc_id"), "left_outer")
+    t.join(starts, Seq("doc_id"), "left_outer")
       .withColumn("starts",
         coalesce(col("starts"), array().cast("array<int>")))
       .withColumn("mask",
@@ -353,12 +370,57 @@ object TextAnalysis {
             p => exists(col("starts"), s => s <= p && p < s + n)))
           .otherwise(array().cast("array<boolean>")))
       .select(col("doc_id"),
-        size(col("w")).cast("long").as("n_tokens"),
-        size(filter(col("mask"), m => m)).cast("long").as("n_removed"),
-        graft.Tables.hashU32(array_join(
-          filter(zip_with(col("w"), col("mask"),
-            (tok, m) => when(m, lit(null)).otherwise(tok)),
-            x => x.isNotNull), " "), 13).as("surv_fp"))
+        filter(zip_with(col("w"), col("mask"),
+          (tok, m) => when(m, lit(null)).otherwise(tok)),
+          x => x.isNotNull).as("w"),
+        size(filter(col("mask"), m => m)).cast("long").as("removed"))
+  }
+
+  /** t47: excision to a (bounded) FIXPOINT — [[exciseContaminatedSpans]]
+    * run for `passes` rounds, because a single pass can itself create
+    * new matched n-grams (removing a span makes its neighbors
+    * adjacent, and the re-joined tokens may spell a benchmark
+    * shingle). Two passes close the overwhelming majority of corpora;
+    * the `residual` column counts benchmark-matched grams STILL
+    * present after the last pass, so non-convergence is visible in
+    * the receipt rather than silent. Emits (doc_id, n_tokens,
+    * removed_p1, removed_p2, residual, surv_fp). Per pass the cost is
+    * one broadcast shingle probe + one per-doc position collect, and
+    * pass p's input is pass p−1's survivors — strictly shrinking. */
+  def exciseContaminatedFixpoint(docs: DataFrame, bench: DataFrame,
+      idCol: Column, textCol: Column, n: Int): DataFrame = {
+    val benchSh = explodedShingles(bench, idCol, textCol, n)
+      .select(col("shingle").as("gram")).distinct()
+      .persistTracked() // probed by both passes + the residual count
+    val benchIds = bench.select(idCol.as("bid"))
+    val t0 = docs.select(idCol.as("doc_id"), tokens(textCol).as("w"))
+      .join(benchIds, col("doc_id") === col("bid"), "left_anti")
+      .select(col("doc_id"), col("w"))
+    val n0 = t0.select(col("doc_id"),
+      size(col("w")).cast("long").as("n_tokens"))
+    val p1 = excisePass(t0, benchSh, n)
+      .persistTracked() // feeds pass 2 + the p1 column
+    val p2 = excisePass(p1.select(col("doc_id"), col("w")), benchSh, n)
+      .persistTracked() // residual probe + final projection
+    val residual = p2
+      .select(col("doc_id"), posexplode(
+          when(size(col("w")) >= n,
+            transform(sequence(lit(0), size(col("w")) - n),
+              i => array_join(slice(col("w"), i + 1, lit(n)), " ")))
+            .otherwise(array().cast("array<string>")))
+          .as(Seq("pos", "gram")))
+      .join(broadcast(benchSh), "gram")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("residual"))
+    n0.join(p1.select(col("doc_id"), col("removed").as("removed_p1")),
+        "doc_id")
+      .join(p2.select(col("doc_id"), col("removed").as("removed_p2"),
+        col("w")), "doc_id")
+      .join(residual, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_tokens"), col("removed_p1"),
+        col("removed_p2"),
+        coalesce(col("residual"), lit(0L)).as("residual"),
+        graft.Tables.hashU32(array_join(col("w"), " "), 13)
+          .as("surv_fp"))
   }
 
   /** Bloom-pre-filtered contamination: SAME OUTPUT as [[contamination]]

@@ -67,6 +67,36 @@ class ContaminationSpanSpec extends SparkSpec {
     assert(fp == expected)
   }
 
+  test("fixpoint excision catches cascade grams pass 1 creates (t47)") {
+    // bench "p q r"; doc "p q p q r r": pass 1 matches only pos 2
+    // (p q r), removing tokens 2-4 — survivors "p q r" SPELL the
+    // benchmark gram, which only pass 2 can remove. Doc 2 needs one
+    // pass; doc 3 is clean
+    val docs = Seq(
+      (1L, "p q p q r r"),
+      (2L, "a p q r b"),
+      (3L, "x y z w"),
+      (100L, "p q r")).toDF("doc_id", "text")
+    val bench = docs.filter(col("doc_id") === 100L)
+    val out = TextAnalysis.exciseContaminatedFixpoint(docs, bench,
+        col("doc_id"), col("text"), n = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (1L, 6L, 3L, 3L, 0L), // cascade: 3 then 3, converged
+      (2L, 5L, 3L, 0L, 0L), // one pass suffices
+      (3L, 4L, 0L, 0L, 0L))) // clean throughout
+    // doc 1 ends empty: surv_fp must hash the empty string
+    val fp1 = TextAnalysis.exciseContaminatedFixpoint(docs, bench,
+        col("doc_id"), col("text"), n = 3)
+      .filter(col("doc_id") === 1L)
+      .select("surv_fp").collect()(0).getLong(0)
+    val fpEmpty = spark.range(1)
+      .select(Tables.hashU32(lit(""), 13)).collect()(0).getLong(0)
+    assert(fp1 == fpEmpty)
+  }
+
   test("composes with t41: every attributed pair gets a quotable span") {
     val docs = Tables.documents(spark, Sf0001)
     val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
