@@ -1398,6 +1398,119 @@ object SparkEntry {
           |        CAST(1.0 AS DOUBLE) AS cosine FROM gq),
           |gf0 AS (SELECT query_id, node_id FROM gv0)""".stripMargin)
 
+  /** s38 oracle: the s24 graph-build CTEs (shared kmeans chain +
+    * banded candidates + degree-capped graph), then the SQ8 quantizer
+    * (duckSq8Ctes' st/stl/codes fragments verbatim), beam rounds
+    * scoring INTEGER code deltas (cut ascending on sqdist), and the
+    * exact-cosine re-rank of the visited top-candK. */
+  private def duckNswSq8(nc: Int, iters: Int, nProbeBuild: Int,
+      degree: Int, beam: Int, rounds: Int, k: Int,
+      candK: Int): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      s"""ge$r AS (
+         |  SELECT DISTINCT f.query_id, g.dst AS node_id
+         |  FROM gf${r - 1} f JOIN ggraph g ON g.src = f.node_id),
+         |gn$r AS (
+         |  SELECT e.query_id, e.node_id FROM ge$r e
+         |  LEFT JOIN gv${r - 1} v
+         |    ON v.query_id = e.query_id AND v.node_id = e.node_id
+         |  WHERE v.node_id IS NULL),
+         |gs$r AS (
+         |  SELECT n.query_id, n.node_id,
+         |   CAST(list_reduce(list_transform(range(1, len(q.cd) + 1),
+         |     j -> (q.cd[j] - c.cd[j]) * (q.cd[j] - c.cd[j])),
+         |     (a, b) -> a + b) AS BIGINT) AS sqdist
+         |  FROM gn$r n
+         |  JOIN codes c ON c.vec_id = n.node_id
+         |  JOIN gq q ON q.query_id = n.query_id),
+         |gv$r AS (
+         |  SELECT query_id, node_id, sqdist FROM gv${r - 1}
+         |  UNION ALL SELECT query_id, node_id, sqdist FROM gs$r),
+         |gb$r AS (
+         |  SELECT query_id, node_id FROM (
+         |    SELECT query_id, node_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY sqdist, node_id) AS rk
+         |    FROM gv$r) WHERE rk <= $beam),
+         |gf$r AS (
+         |  SELECT b.query_id, b.node_id FROM gb$r b
+         |  JOIN gs$r sn ON sn.query_id = b.query_id
+         |    AND sn.node_id = b.node_id)""".stripMargin
+    }.mkString(",\n")
+    s"""${duckKmeansCtes(nc, iters)},
+       |cs AS (
+       |  SELECT en.vec_id, c.cell_id,
+       |   list_reduce(list_transform(range(1, len(en.v) + 1),
+       |     j -> en.v[j] * c.cv[j]), (a, b) -> a + b) / (en.nrm * c.cnrm)
+       |     AS sim
+       |  FROM en CROSS JOIN cn$iters c),
+       |ranked AS (
+       |  SELECT vec_id, cell_id, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY sim DESC, cell_id) AS rk
+       |  FROM cs),
+       |assigned AS (SELECT vec_id, cell_id FROM ranked WHERE rk = 1),
+       |probed AS (SELECT vec_id, cell_id FROM ranked
+       |           WHERE rk <= $nProbeBuild),
+       |gcand AS (
+       |  SELECT p.vec_id AS src, a.vec_id AS dst
+       |  FROM probed p JOIN assigned a
+       |    ON a.cell_id = p.cell_id AND a.vec_id <> p.vec_id),
+       |gsc AS (
+       |  SELECT g.src, g.dst,
+       |   list_reduce(list_transform(range(1, len(s.v) + 1),
+       |     j -> s.v[j] * d.v[j]), (a, b) -> a + b) / (s.nrm * d.nrm)
+       |     AS sim
+       |  FROM gcand g
+       |  JOIN en s ON s.vec_id = g.src
+       |  JOIN en d ON d.vec_id = g.dst),
+       |ggraph AS (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst, row_number() OVER (
+       |      PARTITION BY src ORDER BY sim DESC, dst) AS rk
+       |    FROM gsc) WHERE rk <= $degree),
+       |st AS (
+       |  SELECT u.pos AS pos, min(u.x) AS mn, max(u.x) AS mx FROM (
+       |    SELECT unnest(list_transform(range(0, len(v)),
+       |      j -> struct_pack(pos := j, x := v[j+1]))) AS u
+       |    FROM e) GROUP BY 1),
+       |stl AS (
+       |  SELECT list(mn ORDER BY pos) AS mns,
+       |    list(mx ORDER BY pos) AS mxs
+       |  FROM st),
+       |codes AS (
+       |  SELECT vec_id, list_transform(range(1, len(v) + 1),
+       |    j -> CASE WHEN mxs[j] > mns[j] THEN
+       |      least(255, greatest(0, CAST(floor(
+       |        (v[j] - mns[j]) / (mxs[j] - mns[j]) * 256) AS BIGINT)))
+       |      ELSE 0 END) AS cd
+       |  FROM e CROSS JOIN stl),
+       |gq AS (SELECT vec_id AS query_id, cd FROM codes
+       |       WHERE vec_id % 25 = 0),
+       |gv0 AS (SELECT query_id, query_id AS node_id,
+       |        CAST(0 AS BIGINT) AS sqdist FROM gq),
+       |gf0 AS (SELECT query_id, node_id FROM gv0),
+       |$roundCtes,
+       |cand AS (
+       |  SELECT query_id, node_id AS neighbor_id FROM (
+       |    SELECT query_id, node_id, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY sqdist, node_id) AS rk
+       |    FROM gv$rounds WHERE node_id <> query_id)
+       |  WHERE rk <= $candK),
+       |rsc AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |   list_reduce(list_transform(range(1, len(q.v) + 1),
+       |     j -> q.v[j] * nb.v[j]), (a, b) -> a + b) / (q.nrm * nb.nrm)
+       |     AS cosine
+       |  FROM cand c
+       |  JOIN en q ON q.vec_id = c.query_id
+       |  JOIN en nb ON nb.vec_id = c.neighbor_id)
+       |SELECT query_id, rank, neighbor_id, cosine FROM (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM rsc)
+       |WHERE rank <= $k""".stripMargin
+  }
+
   /** s27 entry: THREE-layer descent — brute entry over the tiny
     * layer-2 (hash % ratio² = 0), ONE beam round on layer-1's own
     * kNN graph (members hash % ratio = 0; the graph reuses the
@@ -4905,6 +5018,29 @@ object SparkEntry {
         emb.filter(col("vec_id") % 25 === 0), "vec_id", "embedding",
         k = 5, beamWidth = 8, rounds = 3, nLayers = 2,
         entryWidth = 2, upperRounds = 1)
+    }),
+
+    // SQ8-COMPRESSED GRAPH SERVE (s38 — the DiskANN memory
+    // discipline): the stored degree-6 graph (s24's geometry, built
+    // once into the scratch cache) is walked scoring fresh nodes by
+    // integer squared distance over 8-bit codes; only the visited
+    // top-10 shortlist touches float math in the exact re-rank.
+    // Completes the compressed-serving story for the graph tier —
+    // the flat family already has s12 (SQ8 scan) and s13 (rerank)
+    "s38_graph_sq8_serve" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val dir = scratchDir("s38nsw", d)
+      if (!new java.io.File(s"$dir/_built").exists()) {
+        val cents = Similarity.kmeansCentroids(emb, "vec_id",
+          "embedding", nCells = 64, iters = 2)
+        Similarity.knnGraph(emb, cents, "vec_id", "embedding",
+            degree = 6, nProbe = 2)
+          .coalesce(1).write.mode("overwrite").parquet(s"$dir/graph")
+        new java.io.File(s"$dir/_built").createNewFile()
+      }
+      Similarity.nswBeamSq8TopK(emb, s.read.parquet(s"$dir/graph"),
+        emb.filter(col("vec_id") % 25 === 0), "vec_id", "embedding",
+        k = 5, beamWidth = 8, rounds = 3, candK = 10)
     }),
 
     // GRAPH-TIER REBALANCE TRIGGER (s35 — the drift census that
@@ -9060,6 +9196,11 @@ object SparkEntry {
       duckHnswTopK(nc = 64, iters = 2, nProbeBuild = 2, degree = 6,
         ratio = 16, entryW = 2, beam = 8, rounds = 3, k = 5,
         trainWhere = Some("vec_id % 4 <> 0")),
+
+    // s38 oracle: exact graph build, SQ8-coded beam, exact re-rank
+    "s38_graph_sq8_serve" ->
+      duckNswSq8(nc = 64, iters = 2, nProbeBuild = 2, degree = 6,
+        beam = 8, rounds = 3, k = 5, candK = 10),
 
     // s37 oracle: s30's exact-vs-approx census shape with the approx
     // leg swapped to the full HNSW twin at the fixed serve queries

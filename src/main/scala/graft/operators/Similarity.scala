@@ -2188,6 +2188,93 @@ object Similarity {
     ivfSearchIndexed(index, cents, queries, idCol, vecCol, k, nProbe)
   }
 
+  /** s38: SQ8-COMPRESSED graph serve — the DiskANN memory discipline
+    * (Subramanya et al. 2019) applied to the stored NSW graph: the
+    * beam walks the graph scoring fresh nodes by INTEGER squared
+    * distance over 8-bit scalar-quantized codes (s12's quantizer —
+    * 1 byte/dim instead of 4, the in-memory representation when the
+    * float vectors live on slow storage), then ONLY the visited
+    * set's top-`candK` shortlist touches float math in an exact
+    * cosine re-rank (s13's tail). The graph itself was built exact
+    * and offline (the amortized artifact); serving reads codes +
+    * edges. Per-query float work is candK vectors regardless of
+    * corpus size; per-query integer work is beamWidth·degree·rounds
+    * code deltas. Queries are corpus members (s24's self-entry).
+    * Deterministic end to end — quantizer stats are exact min/max,
+    * code arithmetic is integer — so the DuckDB twin is exact. */
+  def nswBeamSq8TopK(corpus: DataFrame, graph: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      beamWidth: Int, rounds: Int, candK: Int): DataFrame = {
+    require(candK >= k && beamWidth >= k && rounds >= 1,
+      s"need candK >= k, beamWidth >= k, rounds >= 1; " +
+        s"got k=$k candK=$candK beamWidth=$beamWidth rounds=$rounds")
+    // per-dim quantizer stats: one metadata-sized collect (dim rows)
+    val stats = corpus
+      .select(posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(min(col("x").cast("double")).as("mn"),
+        max(col("x").cast("double")).as("mx"))
+      .orderBy(col("pos")).collect()
+    val minsL = lit(stats.map(_.getDouble(1)))
+    val maxsL = lit(stats.map(_.getDouble(2)))
+    def codes(vec: Column): Column =
+      transform(vec, (x, i) => {
+        val mn = element_at(minsL, i + 1)
+        val mx = element_at(maxsL, i + 1)
+        when(mx > mn,
+          least(lit(255L), greatest(lit(0L),
+            floor((x.cast("double") - mn) / (mx - mn) * 256)
+              .cast("long"))))
+          .otherwise(lit(0L))
+      })
+    val q = queries.select(col(idCol).as("query_id"),
+        codes(col(vecCol)).as("qc"))
+      .persistTracked() // probed by every round's scoring join
+    val c = corpus.select(col(idCol).as("node_id"),
+      codes(col(vecCol)).as("cc"))
+    val g = graph.select(col("src"), col("dst"))
+      .persistTracked() // probed by every round's expansion join
+    // beam over INTEGER distances: same round structure as
+    // [[beamRounds]] with the cut ascending on sqdist — a node's
+    // sqdist is fixed and the beam bar only falls, so "entered the
+    // beam this round" stays a filter on its scoring round
+    val wBeam = Window.partitionBy(col("query_id"))
+      .orderBy(col("sqdist").asc, col("node_id").asc)
+    var visited = q.select(col("query_id"),
+      col("query_id").as("node_id"), lit(0L).as("sqdist"),
+      lit(0).as("r"))
+    var frontier = visited.select(col("query_id"), col("node_id"))
+    for (round <- 1 to rounds) {
+      val fresh = frontier.join(g, frontier("node_id") === g("src"))
+        .select(col("query_id"), col("dst").as("node_id"),
+          lit(0).as("seen"))
+        .unionByName(visited.select(col("query_id"), col("node_id"),
+          lit(1).as("seen")))
+        .groupBy(col("query_id"), col("node_id"))
+        .agg(max(col("seen")).as("seen"))
+        .filter(col("seen") === 0)
+        .select(col("query_id"), col("node_id"))
+      val scored = fresh.join(c, Seq("node_id"))
+        .join(broadcast(q), Seq("query_id"))
+        .withColumn("sqdist", aggregate(
+          zip_with(col("qc"), col("cc"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, v) => acc + v))
+        .select(col("query_id"), col("node_id"), col("sqdist"),
+          lit(round).as("r"))
+      visited = visited.unionByName(scored)
+        .persistTracked() // cuts the per-round lineage recursion
+      frontier = visited
+        .withColumn("rn", row_number().over(wBeam))
+        .filter(col("rn") <= beamWidth && col("r") === round)
+        .select(col("query_id"), col("node_id"))
+    }
+    val cand = visited.filter(col("query_id") =!= col("node_id"))
+      .withColumn("rn", row_number().over(wBeam))
+      .filter(col("rn") <= candK)
+      .select(col("query_id"), col("node_id").as("neighbor_id"))
+    exactRerank(cand, corpus, queries, idCol, vecCol, k)
+  }
+
   /** Train → graph-build → beam-search composition for s24. */
   def nswTopK(emb: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nCells: Int, iters: Int, degree: Int,
