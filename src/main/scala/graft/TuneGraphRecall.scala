@@ -109,6 +109,19 @@ object TuneGraphRecall {
         () => Similarity.hnswServeIndexed(topRL, graphsRL, emb,
           queries, "vec_id", "embedding", k = 5, beamWidth = beam,
           rounds = rounds, nLayers = 2, entryWidth = 2))
+    // SQ8-coded walk (s38) on the same two graphs: integer scoring
+    // budget equals the graph rows' (the walk shape is identical);
+    // the exact-rerank tail adds candK float evals
+    val gFlat = spark.read.parquet(s"$scratch/graphs")
+      .filter(col("level") === 0).select(col("src"), col("dst"))
+    val gFlatR = spark.read.parquet(s"$scratch/graphsR")
+      .filter(col("level") === 0).select(col("src"), col("dst"))
+    for ((label, g, deg) <- Seq(("sq8-d6", gFlat, 6),
+        ("sq8-d12", gFlatR, 12)))
+      measure(s"$label b=8 r=3 candK=10",
+        8L * deg * 3 + 10,
+        () => Similarity.nswBeamSq8TopK(emb, g, queries, "vec_id",
+          "embedding", k = 5, beamWidth = 8, rounds = 3, candK = 10))
     lazy val trained = Similarity.kmeansCentroids(emb, "vec_id",
       "embedding", nCells = cells, iters = 2)
     for (np <- Seq(1, 2, 4))
