@@ -77,6 +77,54 @@ class StreamGraphIngestSpec extends SparkSpec {
       .count() == arrivals.count())
   }
 
+  test("crash between the four commits heals on replay") {
+    // simulate a crash DURING batch 0: the vectors append landed,
+    // then the process died before ranked/toplayer/graphs committed.
+    // The restarted stream redelivers batch 0; the vectors guard must
+    // skip (already at version 1) while the other three tables land —
+    // and the final state must equal an uninterrupted run's
+    val root = java.nio.file.Files.createTempDirectory("s36crash")
+      .toString
+    val cents = Similarity.kmeansCentroids(base, "vec_id",
+      "embedding", NC, Iters).persist()
+    val (top, graphs, ranked) = Similarity.buildHnswGraphIndexWith(
+      base, cents, "vec_id", "embedding", Degree, nProbeBuild = 2,
+      layerRatio = 4, nLayers = 3)
+    VersionedTable.commit(emb.limit(0), s"$root/state/vectors")
+    VersionedTable.commit(ranked, s"$root/state/ranked")
+    VersionedTable.commit(top, s"$root/state/toplayer")
+    VersionedTable.commit(graphs, s"$root/state/graphs")
+    // the "crashed" half-applied batch 0 (arrivals with vec_id%3==0)
+    VersionedTable.appendCommit(
+      arrivals.filter(col("vec_id") % 3 === 0), s"$root/state/vectors")
+    val streamDir = new java.io.File(root, "in")
+    streamDir.mkdirs()
+    for (i <- 0 until 3) {
+      val tmp = s"$root/shard$i"
+      arrivals.filter(col("vec_id") % 3 === i).coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(streamDir, f"batch$i%02d.parquet")
+      java.nio.file.Files.copy(part.toPath, dst.toPath)
+      dst.setLastModified(1000000L * (i + 1))
+    }
+    EventStream.graphIngestOnce(
+      EventStream.parquetFileStream(spark, streamDir.getAbsolutePath),
+      s"$root/state", base, cents, "vec_id", "embedding", Degree,
+      nProbeBuild = 2, layerRatio = 4, nLayers = 3)
+    // no duplicate vector rows despite the pre-applied append
+    assert(VersionedTable.readCurrent(spark, s"$root/state/vectors")
+      .count() == arrivals.count())
+    assert(VersionedTable.readCurrent(spark, s"$root/state/vectors")
+      .select("vec_id").distinct().count() == arrivals.count())
+    // final graph equals the clean run's
+    val clean = runIngest()
+    assert(edges(VersionedTable.readCurrent(spark,
+        s"$root/state/graphs")) ==
+      edges(VersionedTable.readCurrent(spark, s"$clean/state/graphs")))
+  }
+
   test("a full stream replay is a no-op on every state table") {
     val root = runIngest()
     def vcounts = Seq("vectors", "ranked", "toplayer", "graphs")
