@@ -1293,7 +1293,8 @@ object SparkEntry {
       degree: Int, beam: Int, rounds: Int, k: Int,
       entryCtes: String, trainWhere: Option[String] = None,
       indexWhere: Option[String] = None,
-      queryWhere: String = "vec_id % 25 = 0"): String = {
+      queryWhere: String = "vec_id % 25 = 0",
+      resultWhere: Option[String] = None): String = {
     // trainWhere restricts the k-means TRAINING set (the s31 append
     // twin trains on the base corpus only — the stored codebook);
     // indexWhere restricts the INDEXED/SERVED corpus (the s32 delete
@@ -1384,15 +1385,18 @@ object SparkEntry {
        |  SELECT query_id, node_id AS neighbor_id, cosine,
        |    CAST(row_number() OVER (PARTITION BY query_id
        |      ORDER BY cosine DESC, node_id) AS BIGINT) AS rank
-       |  FROM gv$rounds WHERE node_id <> query_id)
+       |  FROM gv$rounds WHERE node_id <> query_id${resultWhere
+         .map(w => s" AND $w").getOrElse("")})
        |WHERE rank <= $k""".stripMargin
   }
 
   /** s24 entry: queries are corpus members and enter at their own
     * node (cosine 1.0). */
   private def duckNswTopK(nc: Int, iters: Int, nProbeBuild: Int,
-      degree: Int, beam: Int, rounds: Int, k: Int): String =
+      degree: Int, beam: Int, rounds: Int, k: Int,
+      resultWhere: Option[String] = None): String =
     duckNswBody(nc, iters, nProbeBuild, degree, beam, rounds, k,
+      resultWhere = resultWhere,
       entryCtes =
         """gv0 AS (SELECT query_id, query_id AS node_id,
           |        CAST(1.0 AS DOUBLE) AS cosine FROM gq),
@@ -5041,6 +5045,29 @@ object SparkEntry {
       Similarity.nswBeamSq8TopK(emb, s.read.parquet(s"$dir/graph"),
         emb.filter(col("vec_id") % 25 === 0), "vec_id", "embedding",
         k = 5, beamWidth = 8, rounds = 3, candK = 10)
+    }),
+
+    // FILTERED GRAPH SERVE (s39 — s23's metadata-predicate top-k on
+    // the graph tier, the hard case): pre-filtering the graph breaks
+    // connectivity, so the walk routes through EVERYTHING and the
+    // predicate lands on the result cut — filter-then-rank over the
+    // full visited pool, never a post-filter of a k-cut. Same stored
+    // degree-6 graph as s38 (shared scratch geometry, own cache)
+    "s39_graph_filtered" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val dir = scratchDir("s39nsw", d)
+      if (!new java.io.File(s"$dir/_built").exists()) {
+        val cents = Similarity.kmeansCentroids(emb, "vec_id",
+          "embedding", nCells = 64, iters = 2)
+        Similarity.knnGraph(emb, cents, "vec_id", "embedding",
+            degree = 6, nProbe = 2)
+          .coalesce(1).write.mode("overwrite").parquet(s"$dir/graph")
+        new java.io.File(s"$dir/_built").createNewFile()
+      }
+      Similarity.nswBeamFilteredTopK(emb,
+        s.read.parquet(s"$dir/graph"),
+        emb.filter(col("vec_id") % 25 === 0), "vec_id", "embedding",
+        col("vec_id") % 3 === 0, k = 5, beamWidth = 8, rounds = 3)
     }),
 
     // GRAPH-TIER REBALANCE TRIGGER (s35 — the drift census that
@@ -9165,6 +9192,13 @@ object SparkEntry {
     "s24_nsw_beam" ->
       duckNswTopK(nc = 64, iters = 2, nProbeBuild = 2, degree = 6,
         beam = 8, rounds = 3, k = 5),
+
+    // s39 oracle: the s24 twin with the predicate applied at the
+    // final rank cut (over the full visited set, the walk untouched)
+    "s39_graph_filtered" ->
+      duckNswTopK(nc = 64, iters = 2, nProbeBuild = 2, degree = 6,
+        beam = 8, rounds = 3, k = 5,
+        resultWhere = Some("node_id % 3 = 0")),
 
     "s26_hnsw_layers" ->
       duckHnswTopK(nc = 64, iters = 2, nProbeBuild = 2, degree = 6,

@@ -2275,6 +2275,38 @@ object Similarity {
     exactRerank(cand, corpus, queries, idCol, vecCol, k)
   }
 
+  /** s39: FILTERED graph serve — the vector-DB "metadata predicate +
+    * top-k" query (s23's IVF shape) on the graph tier, which is the
+    * hard case: pre-filtering the GRAPH breaks connectivity (eligible
+    * nodes may only reach each other through ineligible ones), so the
+    * walk ROUTES THROUGH everything and the predicate lands on the
+    * RESULT cut — filter-then-rank over the full VISITED set (never a
+    * post-filter of a k-cut, the classic underfill bug: the visited
+    * pool is beamWidth·degree·rounds-sized, so k fills whenever the
+    * walk visited k eligible nodes). This is DiskANN's filtered-serve
+    * compromise; raise beamWidth/rounds when the filter is selective.
+    * `pred` is evaluated against the corpus relation's columns. */
+  def nswBeamFilteredTopK(emb: DataFrame, graph: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String, pred: Column,
+      k: Int, beamWidth: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && beamWidth >= k && rounds >= 1,
+      s"need beamWidth >= k >= 1 and rounds >= 1, " +
+        s"got k=$k beamWidth=$beamWidth rounds=$rounds")
+    val q = queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("q_vec"))
+      .withColumn("q_norm", norm(col("q_vec")))
+      .persistTracked() // probed by every round's scoring join
+    val c = emb.select(col(idCol).as("node_id"),
+        col(vecCol).as("n_vec"))
+      .withColumn("n_norm", norm(col("n_vec")))
+    val eligible = emb.filter(pred).select(col(idCol).as("node_id"))
+    val seeds = q.select(col("query_id"),
+      col("query_id").as("node_id"), lit(1.0).as("cosine"))
+    val visited = beamRounds(c, graph, q, seeds, beamWidth, rounds)
+    // predicate BEFORE the rank window — over the whole visited set
+    rankTopK(visited.join(eligible, Seq("node_id"), "left_semi"), k)
+  }
+
   /** Train → graph-build → beam-search composition for s24. */
   def nswTopK(emb: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nCells: Int, iters: Int, degree: Int,

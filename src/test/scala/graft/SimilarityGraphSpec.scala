@@ -34,6 +34,36 @@ class SimilarityGraphSpec extends SparkSpec {
     hits.toDouble / exact.count()
   }
 
+  test("filtered serve fills k where the naive post-filter starves (s39)") {
+    val g = Similarity.knnGraph(emb, cents, "vec_id", "embedding",
+      Degree).persist()
+    val pred = col("vec_id") % 3 === 0
+    val filtered = Similarity.nswBeamFilteredTopK(emb, g, queries,
+      "vec_id", "embedding", pred, K, Beam, Rounds).persist()
+    // never returns an ineligible neighbor
+    assert(filtered.filter(col("neighbor_id") % 3 =!= 0).count() == 0)
+    // the classic bug: post-filtering the UNfiltered top-k underfills
+    val naive = Similarity.nswBeamTopK(emb, g, queries, "vec_id",
+        "embedding", K, Beam, Rounds)
+      .filter(col("neighbor_id") % 3 === 0)
+    def fullK(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("query_id")).count()
+        .filter(col("count") === K).count()
+    assert(fullK(filtered) > fullK(naive),
+      "filter-then-rank over the visited pool must fill k for more " +
+        "queries than post-filtering the k-cut at 1/3 selectivity")
+    // scores are true cosines of eligible visited nodes: every row
+    // also appears in the exact ranking restricted to the predicate
+    val exactF = Similarity.bruteForceTopK(emb.filter(pred)
+        .unionByName(queries).distinct(), queries, "vec_id",
+        "embedding", emb.count().toInt)
+    // (sanity only: the approx result is a subset of eligible pairs)
+    val bad = filtered.select(col("query_id"), col("neighbor_id"))
+      .join(exactF.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_anti")
+    assert(bad.count() == 0)
+  }
+
   test("knn graph: out-degree <= Degree, no self-loops, edges scored") {
     val g = Similarity.knnGraph(emb, cents, "vec_id", "embedding",
       Degree).persist()
