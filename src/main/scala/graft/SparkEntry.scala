@@ -5070,6 +5070,35 @@ object SparkEntry {
         col("vec_id") % 3 === 0, k = 5, beamWidth = 8, rounds = 3)
     }),
 
+    // DEGREE UPGRADE of the stored graph index (s40 — §10's frontier
+    // finding made operational): the degree-6 index's stored ranks
+    // are re-cut at degree 12 with NO retraining and NO corpus
+    // re-assignment; the oracle is the from-scratch degree-12 twin,
+    // so the hash-match proves upgrade ≡ rebuild at the new degree
+    "s40_graph_degree_upgrade" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val dir = scratchDir("s40hnsw", d)
+      if (!new java.io.File(s"$dir/_built").exists()) {
+        val cents = Similarity.kmeansCentroids(emb, "vec_id",
+          "embedding", nCells = 64, iters = 2)
+        val (top, _, ranked) = Similarity.buildHnswGraphIndexWith(
+          emb, cents, "vec_id", "embedding", degree = 6,
+          nProbeBuild = 2, layerRatio = 16, nLayers = 2)
+        top.coalesce(1).write.mode("overwrite")
+          .parquet(s"$dir/toplayer")
+        ranked.coalesce(1).write.mode("overwrite")
+          .parquet(s"$dir/ranked")
+        new java.io.File(s"$dir/_built").createNewFile()
+      }
+      val (top2, graphs2) = Similarity.upgradeGraphIndexDegree(emb,
+        s.read.parquet(s"$dir/ranked"),
+        s.read.parquet(s"$dir/toplayer"), "vec_id", "embedding",
+        newDegree = 12, layerRatio = 16, nLayers = 2)
+      Similarity.hnswServeIndexed(top2, graphs2, emb,
+        emb.filter(col("vec_id") % 25 === 0), "vec_id", "embedding",
+        k = 5, beamWidth = 8, rounds = 3, nLayers = 2, entryWidth = 2)
+    }),
+
     // GRAPH-TIER REBALANCE TRIGGER (s35 — the drift census that
     // decides when s31/s32's frozen codebook must retrain): per-cell
     // population and micro-unit assignment-cosine sums at BUILD time
@@ -9202,6 +9231,12 @@ object SparkEntry {
 
     "s26_hnsw_layers" ->
       duckHnswTopK(nc = 64, iters = 2, nProbeBuild = 2, degree = 6,
+        ratio = 16, entryW = 2, beam = 8, rounds = 3, k = 5),
+
+    // s40 oracle: the from-scratch degree-12 twin — upgrade ≡ rebuild
+    // at the new degree over the same codebook and stored ranks
+    "s40_graph_degree_upgrade" ->
+      duckHnswTopK(nc = 64, iters = 2, nProbeBuild = 2, degree = 12,
         ratio = 16, entryW = 2, beam = 8, rounds = 3, k = 5),
 
     "s27_hnsw_descent" ->

@@ -1990,6 +1990,41 @@ object Similarity {
       topDelta)
   }
 
+  /** s40: DEGREE UPGRADE of a stored graph index — the operational
+    * move the BASELINE §10 frontier recommends (richer graphs own the
+    * high-recall regime): re-cut every layer's edge lists at a higher
+    * degree FROM THE STORED RANKS, skipping k-means training and the
+    * corpus×codebook assignment pass entirely (the candidate pool per
+    * src is fixed by nProbeBuild at build time; degree only moves the
+    * per-src cut, so the upgrade is provably identical to a fresh
+    * build at the new degree over the same codebook). The top layer
+    * carries no degree and is reused verbatim. Cost: the per-cell
+    * pair scoring only — at 100 TB that skips the n·C assignment leg
+    * and the training iterations. */
+  def upgradeGraphIndexDegree(corpus: DataFrame,
+      rankedStored: DataFrame, topStored: DataFrame, idCol: String,
+      vecCol: String, newDegree: Int, layerRatio: Int,
+      nLayers: Int): (DataFrame, DataFrame) = {
+    require(nLayers >= 2 && layerRatio >= 2,
+      s"need nLayers >= 2 and layerRatio >= 2, " +
+        s"got $nLayers/$layerRatio")
+    val c = corpus.select(col(idCol).as("node_id"),
+        col(vecCol).as("n_vec"))
+      .withColumn("n_norm", norm(col("n_vec")))
+    val rankedAll = rankedStored
+      .select(col("node_id"), col("cell_id"), col("rk"))
+      .join(c, "node_id")
+      .persistTracked() // per-layer pair scoring
+    val graphs = ((nLayers - 2) to 0 by -1).map { l =>
+      val m = BigInt(layerRatio).pow(l).toLong
+      val base = rankedAll
+        .filter(Tables.hashU32(col("node_id"), 97) % m === 0)
+      knnGraphFromRanked(base, newDegree)
+        .select(lit(l).as("level"), col("src"), col("dst"))
+    }.reduce(_ unionByName _)
+    (topStored, graphs)
+  }
+
   /** Serve-side HNSW search over a LOADED graph index (the output of
     * [[buildHnswGraphIndex]], typically read back from parquet):
     * brute entry on the stored top layer, beam descent through each

@@ -107,6 +107,28 @@ class SimilarityHnswSpec extends SparkSpec {
       "hash-identical to the live build+search plan")
   }
 
+  test("degree upgrade ≡ fresh build at the new degree (s40)") {
+    // the stored ranks fix the candidate pool; degree only moves the
+    // per-src cut, so re-cutting at 12 must equal a from-scratch
+    // degree-12 build over the same codebook, edge for edge
+    val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+      NC, Iters)
+    val (top6, _, ranked6) = Similarity.buildHnswGraphIndexWith(
+      emb, cents, "vec_id", "embedding", degree = 6, nProbeBuild = 2,
+      layerRatio = 4, nLayers = 3)
+    val (_, upgraded) = Similarity.upgradeGraphIndexDegree(emb,
+      ranked6.select("node_id", "cell_id", "rk"), top6, "vec_id",
+      "embedding", newDegree = 12, layerRatio = 4, nLayers = 3)
+    val (_, fresh12, _) = Similarity.buildHnswGraphIndexWith(
+      emb, cents, "vec_id", "embedding", degree = 12, nProbeBuild = 2,
+      layerRatio = 4, nLayers = 3)
+    def es(g: org.apache.spark.sql.DataFrame) =
+      g.select(col("level").cast("int"), col("src"), col("dst"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+        .toSet
+    assert(es(upgraded) == es(fresh12))
+  }
+
   test("graph-index append ≡ rebuild with the stored codebook (s31)") {
     // the strong receipt: the spliced index (edges recomputed only
     // for touched srcs, everything else reused) must equal a FULL
