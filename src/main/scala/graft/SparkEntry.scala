@@ -6040,6 +6040,42 @@ object SparkEntry {
         .select(col("media_id"), col("w.win_idx").cast("long").as("win_idx"),
           col("w.band0").as("band0"), col("w.band1").as("band1"),
           col("w.band2").as("band2"), col("w.band3").as("band3"))
+    }),
+
+    // AUDIO FINGERPRINT DEDUP (m9 — multimodal near-dup by content
+    // fingerprint, the Shazam-constellation idea collapsed to exact
+    // band matching): per-window Walsh band-energy vectors ARE the
+    // fingerprint; media pairs sharing ≥ 5 identical (window, bands)
+    // keys are duplicates. The corpus is seeded with genuine copies
+    // (seed = doc_id % 250 — different ids, identical synth audio).
+    // Scale shape: the pair join is keyed by the band signature —
+    // only fingerprint-colliding windows ever meet, never all-pairs
+    // (d2's banded discipline on the audio lane)
+    "m9_audio_neardup" -> ((s, d) => {
+      val fp = Tables.documents(s, d)
+        .select(col("doc_id").as("media_id"),
+          (col("doc_id") % 250).as("seed"))
+        .withColumn("ns",
+          (lit(160) + (col("seed") % 80) * 2).cast("int"))
+        .withColumn("blob",
+          Multimodal.synthWavUdf(col("seed"), col("ns")))
+        .select(col("media_id"),
+          explode(Multimodal.wavWalshUdf(col("blob"), lit(32)))
+            .as("w"))
+        .select(col("media_id"),
+          col("w.win_idx").cast("long").as("win_idx"),
+          col("w.band0").as("band0"), col("w.band1").as("band1"),
+          col("w.band2").as("band2"), col("w.band3").as("band3"))
+      val l = fp.select(col("media_id").as("media_a"), col("win_idx"),
+        col("band0"), col("band1"), col("band2"), col("band3"))
+      val r = fp.select(col("media_id").as("media_b"), col("win_idx"),
+        col("band0"), col("band1"), col("band2"), col("band3"))
+      l.join(r,
+          Seq("win_idx", "band0", "band1", "band2", "band3"))
+        .filter(col("media_a") < col("media_b"))
+        .groupBy(col("media_a"), col("media_b"))
+        .agg(count(lit(1)).as("n_match"))
+        .filter(col("n_match") >= 5)
     })
   )
 
@@ -10539,6 +10575,42 @@ object SparkEntry {
         | CAST(sum(CASE WHEN k // 8 = 3 THEN coef * coef ELSE 0 END)
         |   AS BIGINT) AS band3
         |FROM x GROUP BY 1, 2""".stripMargin,
+
+    // m9 oracle: m5's synth + Walsh chain with the copy seed
+    // (doc_id % 250), then the banded fingerprint self-join
+    "m9_audio_neardup" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, doc_id % 250 AS seed,
+        |   160 + ((doc_id % 250) % 80) * 2 AS ns FROM documents),
+        |s AS (
+        |  SELECT media_id, i // 32 AS win_idx, i % 32 AS n,
+        |   ((seed * 37 + i * 193) % 4096) - 2048 AS smp
+        |  FROM (SELECT media_id, seed, ns, unnest(range(0, ns)) AS i
+        |        FROM m)
+        |  WHERE i < (ns // 32) * 32),
+        |x AS (
+        |  SELECT media_id, win_idx, k,
+        |   sum(smp * (1 - 2 * (bit_count(n & k) % 2))) AS coef
+        |  FROM s CROSS JOIN (SELECT unnest(range(0, 32)) AS k)
+        |  GROUP BY 1, 2, 3),
+        |fp AS (
+        |  SELECT media_id, win_idx,
+        |   sum(CASE WHEN k // 8 = 0 THEN coef * coef ELSE 0 END)
+        |     AS band0,
+        |   sum(CASE WHEN k // 8 = 1 THEN coef * coef ELSE 0 END)
+        |     AS band1,
+        |   sum(CASE WHEN k // 8 = 2 THEN coef * coef ELSE 0 END)
+        |     AS band2,
+        |   sum(CASE WHEN k // 8 = 3 THEN coef * coef ELSE 0 END)
+        |     AS band3
+        |  FROM x GROUP BY 1, 2)
+        |SELECT a.media_id AS media_a, b.media_id AS media_b,
+        | CAST(count(*) AS BIGINT) AS n_match
+        |FROM fp a JOIN fp b
+        |  ON a.win_idx = b.win_idx AND a.band0 = b.band0
+        | AND a.band1 = b.band1 AND a.band2 = b.band2
+        | AND a.band3 = b.band3 AND a.media_id < b.media_id
+        |GROUP BY 1, 2 HAVING count(*) >= 5""".stripMargin,
 
     // HLL registers: bucket = low 8 bits of md5-u32, ρ = trailing
     // zeros of the high bits + 1 (pure integer ops — no log2, whose
