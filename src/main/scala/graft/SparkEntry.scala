@@ -3732,6 +3732,41 @@ object SparkEntry {
         .unionByName(quar)
     }),
 
+    // STREAMING EXCISION INGEST (q105 — q104's quarantine replaced by
+    // REPAIR): each micro-batch is decontaminated by span excision
+    // (t46 against the broadcast benchmark shingles) and the repaired
+    // receipts append-commit in version↔batch lockstep — the ingest
+    // for long docs where only a passage leaks and dropping the doc
+    // (q104) wastes clean text. Excision is per-doc, so the final
+    // table is slicing-independent and t46's oracle checks the
+    // streaming plan VERBATIM (the s34 argument on the text lane)
+    "q105_stream_excise_ingest" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"))
+      val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+      val corpus = docs.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+      val scratch = scratchDir("q105gate", d)
+      val streamDir = new java.io.File(scratch, "in")
+      streamDir.mkdirs()
+      for (i <- 0 until 3) {
+        val tmp = s"$scratch/shard$i"
+        corpus.filter(col("doc_id") % 3 === i).coalesce(1)
+          .write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(streamDir, f"batch$i%02d.parquet")
+        java.nio.file.Files.copy(part.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        dst.setLastModified(1000000L * (i + 1))
+      }
+      EventStream.transformIngestOnce(
+        EventStream.parquetFileStream(s, streamDir.getAbsolutePath),
+        b => TextAnalysis.exciseContaminatedSpans(b, bench,
+          col("doc_id"), col("text"), n = 3),
+        s"$scratch/excised")
+      graft.sources.VersionedTable.readCurrent(s, s"$scratch/excised")
+    }),
+
     // OPTIMISTIC CONCURRENCY (manifest CAS): two interleaved
     // appenders, driven deterministically through the commit's
     // read→claim window — A reads the base version, then (before A
@@ -6079,6 +6114,40 @@ object SparkEntry {
     })
   )
 
+  /** Shared by the t46 oracle and the q105 streaming twin
+    * (excision is per-doc, so the streamed table equals the
+    * one-shot result): d13's mask/survivor SQL against the
+    * benchmark shingle set, bench docs excluded. */
+  private lazy val duckContamExcise: String =
+      s"""WITH t AS (SELECT doc_id, $DuckToks AS w FROM documents),
+         |g AS (
+         |  SELECT doc_id, u.pos AS pos, u.gr AS gram FROM (
+         |    SELECT doc_id, unnest(list_transform(
+         |      range(0, greatest(0, len(w) - 3 + 1)),
+         |      i -> struct_pack(pos := i,
+         |        gr := array_to_string(w[i+1:i+3], ' ')))) AS u
+         |    FROM t)),
+         |bsh AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+         |st AS (
+         |  SELECT doc_id, list(pos ORDER BY pos) AS starts
+         |  FROM g JOIN bsh USING (gram)
+         |  WHERE doc_id % 97 <> 0 GROUP BY 1),
+         |m AS (
+         |  SELECT t.doc_id, w,
+         |    list_transform(range(0, len(w)),
+         |      p -> len(list_filter(coalesce(starts, []),
+         |        s -> s <= p AND p < s + 3)) > 0) AS mask
+         |  FROM t LEFT JOIN st USING (doc_id)
+         |  WHERE t.doc_id % 97 <> 0)
+         |SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_filter(mask, x -> x)) AS BIGINT) AS n_removed,
+         |  CAST(${duckU32(
+        "coalesce(array_to_string(list_filter(list_transform(" +
+          "range(1, len(w) + 1), " +
+          "j -> CASE WHEN mask[j] THEN NULL ELSE w[j] END), " +
+          "x -> x IS NOT NULL), ' '), '')", 13)} AS BIGINT) AS surv_fp
+         |FROM m""".stripMargin
+
   // ———— DuckDB oracle twins ————
 
   def oracleSql: Map[String, String] = Map(
@@ -7063,35 +7132,11 @@ object SparkEntry {
 
     // t46 oracle: d13's mask/survivor SQL with the dup CTE swapped
     // for the benchmark shingle set and bench docs excluded
-    "t46_contamination_excise" ->
-      s"""WITH t AS (SELECT doc_id, $DuckToks AS w FROM documents),
-         |g AS (
-         |  SELECT doc_id, u.pos AS pos, u.gr AS gram FROM (
-         |    SELECT doc_id, unnest(list_transform(
-         |      range(0, greatest(0, len(w) - 3 + 1)),
-         |      i -> struct_pack(pos := i,
-         |        gr := array_to_string(w[i+1:i+3], ' ')))) AS u
-         |    FROM t)),
-         |bsh AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
-         |st AS (
-         |  SELECT doc_id, list(pos ORDER BY pos) AS starts
-         |  FROM g JOIN bsh USING (gram)
-         |  WHERE doc_id % 97 <> 0 GROUP BY 1),
-         |m AS (
-         |  SELECT t.doc_id, w,
-         |    list_transform(range(0, len(w)),
-         |      p -> len(list_filter(coalesce(starts, []),
-         |        s -> s <= p AND p < s + 3)) > 0) AS mask
-         |  FROM t LEFT JOIN st USING (doc_id)
-         |  WHERE t.doc_id % 97 <> 0)
-         |SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
-         |  CAST(len(list_filter(mask, x -> x)) AS BIGINT) AS n_removed,
-         |  CAST(${duckU32(
-        "coalesce(array_to_string(list_filter(list_transform(" +
-          "range(1, len(w) + 1), " +
-          "j -> CASE WHEN mask[j] THEN NULL ELSE w[j] END), " +
-          "x -> x IS NOT NULL), ' '), '')", 13)} AS BIGINT) AS surv_fp
-         |FROM m""".stripMargin,
+    "t46_contamination_excise" -> duckContamExcise,
+
+    // excision is per-doc, so the streamed ingest's final table is
+    // slicing-independent — t46's oracle checks it verbatim
+    "q105_stream_excise_ingest" -> duckContamExcise,
 
     // t47 oracle: the t46 mask/survivor chain applied twice (pass 2
     // re-grams pass 1's survivor lists), then the residual probe over
