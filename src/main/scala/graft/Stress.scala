@@ -865,6 +865,52 @@ object Stress {
         f"append=$appendS%.2fs rebuild=$rebuildS%.2fs")
       nApp
     }
+    // compressed + filtered + upgraded graph serves: the graph is
+    // built once OUTSIDE the timed legs (parquet lineage cut, the
+    // s31 discipline); each serve leg's receipt is printed separately
+    // so the row shows serve cost, with the upgrade leg's pair
+    // re-scoring (n·nProbe·n/C — the build envelope, minus training
+    // and assignment) alongside
+    t("s38s39s40_graph_serves") {
+      val dir = java.nio.file.Files
+        .createTempDirectory("s38stress").toString
+      val cents = Similarity.kmeansCentroids(emb, "vec_id",
+        "embedding", Similarity.autoCells(emb.count()), 2)
+      val (top1, graphs1, ranked1) = Similarity
+        .buildHnswGraphIndexWith(emb, cents, "vec_id", "embedding",
+          degree = 6, nProbeBuild = 2, layerRatio = 16, nLayers = 2)
+      top1.coalesce(1).write.parquet(s"$dir/toplayer")
+      graphs1.filter(col("level") === 0)
+        .select(col("src"), col("dst"))
+        .write.parquet(s"$dir/graph0")
+      ranked1.coalesce(1).write.parquet(s"$dir/ranked")
+      InternalCaches.releaseAll()
+      val g0 = spark.read.parquet(s"$dir/graph0")
+      def leg(name: String)(f: => Long): Long = {
+        val t0 = System.nanoTime()
+        val n = f
+        println(f"    $name=${(System.nanoTime() - t0) / 1e9}%.2fs " +
+          s"rows=$n")
+        InternalCaches.releaseAll()
+        n
+      }
+      leg("s38_sq8_serve") {
+        Similarity.nswBeamSq8TopK(emb, g0, nswQueries, "vec_id",
+          "embedding", k = 5, beamWidth = 8, rounds = 3,
+          candK = 10).count()
+      }
+      leg("s39_filtered_serve") {
+        Similarity.nswBeamFilteredTopK(emb, g0, nswQueries, "vec_id",
+          "embedding", col("vec_id") % 3 === 0, k = 5, beamWidth = 8,
+          rounds = 3).count()
+      }
+      leg("s40_degree_upgrade") {
+        Similarity.upgradeGraphIndexDegree(emb,
+          spark.read.parquet(s"$dir/ranked"),
+          spark.read.parquet(s"$dir/toplayer"), "vec_id", "embedding",
+          newDegree = 12, layerRatio = 16, nLayers = 2)._2.count()
+      }
+    }
     // deployed-weight quality gate: training is the t38 row above;
     // this times the SERVING leg — one broadcast-weight scoring pass
     // over the corpus (the q103 per-batch shape at corpus width) —
