@@ -5075,9 +5075,14 @@ object SparkEntry {
         Similarity.knnGraph(emb, cents, "vec_id", "embedding",
             degree = 6, nProbe = 2)
           .coalesce(1).write.mode("overwrite").parquet(s"$dir/graph")
+        // codes are part of the stored index: serving reads codes +
+        // edges, never re-quantizing the corpus
+        Similarity.sq8Codes(emb, "vec_id", "embedding")
+          .coalesce(1).write.mode("overwrite").parquet(s"$dir/codes")
         new java.io.File(s"$dir/_built").createNewFile()
       }
-      Similarity.nswBeamSq8TopK(emb, s.read.parquet(s"$dir/graph"),
+      Similarity.nswBeamSq8Serve(s.read.parquet(s"$dir/codes"), emb,
+        s.read.parquet(s"$dir/graph"),
         emb.filter(col("vec_id") % 25 === 0), "vec_id", "embedding",
         k = 5, beamWidth = 8, rounds = 3, candK = 10)
     }),

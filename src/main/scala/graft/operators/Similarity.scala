@@ -2239,11 +2239,17 @@ object Similarity {
     * code arithmetic is integer — so the DuckDB twin is exact. */
   def nswBeamSq8TopK(corpus: DataFrame, graph: DataFrame,
       queries: DataFrame, idCol: String, vecCol: String, k: Int,
-      beamWidth: Int, rounds: Int, candK: Int): DataFrame = {
-    require(candK >= k && beamWidth >= k && rounds >= 1,
-      s"need candK >= k, beamWidth >= k, rounds >= 1; " +
-        s"got k=$k candK=$candK beamWidth=$beamWidth rounds=$rounds")
-    // per-dim quantizer stats: one metadata-sized collect (dim rows)
+      beamWidth: Int, rounds: Int, candK: Int): DataFrame =
+    nswBeamSq8Serve(sq8Codes(corpus, idCol, vecCol), corpus, graph,
+      queries, idCol, vecCol, k, beamWidth, rounds, candK)
+
+  /** The SQ8 code relation (node_id, cc) for a corpus — the stored
+    * half of the compressed graph index (codes are derived ONCE at
+    * build time and persisted next to the edges; serving never
+    * touches corpus floats outside the re-rank). Quantizer stats are
+    * one metadata-sized collect (dim rows). */
+  def sq8Codes(corpus: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
     val stats = corpus
       .select(posexplode(col(vecCol)).as(Seq("pos", "x")))
       .groupBy(col("pos"))
@@ -2252,8 +2258,8 @@ object Similarity {
       .orderBy(col("pos")).collect()
     val minsL = lit(stats.map(_.getDouble(1)))
     val maxsL = lit(stats.map(_.getDouble(2)))
-    def codes(vec: Column): Column =
-      transform(vec, (x, i) => {
+    corpus.select(col(idCol).as("node_id"),
+      transform(col(vecCol), (x, i) => {
         val mn = element_at(minsL, i + 1)
         val mx = element_at(maxsL, i + 1)
         when(mx > mn,
@@ -2261,12 +2267,27 @@ object Similarity {
             floor((x.cast("double") - mn) / (mx - mn) * 256)
               .cast("long"))))
           .otherwise(lit(0L))
-      })
-    val q = queries.select(col(idCol).as("query_id"),
-        codes(col(vecCol)).as("qc"))
+      }).as("cc"))
+  }
+
+  /** [[nswBeamSq8TopK]] over a STORED code relation: queries are
+    * corpus members (self-entry), so their codes come from the same
+    * stored relation by id — serving reads codes + edges only, and
+    * corpus floats are touched exactly candK times per query in the
+    * re-rank (the DiskANN disk-fetch analogue). */
+  def nswBeamSq8Serve(codesStored: DataFrame, corpus: DataFrame,
+      graph: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, beamWidth: Int, rounds: Int,
+      candK: Int): DataFrame = {
+    require(candK >= k && beamWidth >= k && rounds >= 1,
+      s"need candK >= k, beamWidth >= k, rounds >= 1; " +
+        s"got k=$k candK=$candK beamWidth=$beamWidth rounds=$rounds")
+    val q = queries.select(col(idCol).as("query_id"))
+      .join(codesStored.withColumnRenamed("node_id", "query_id"),
+        "query_id")
+      .select(col("query_id"), col("cc").as("qc"))
       .persistTracked() // probed by every round's scoring join
-    val c = corpus.select(col(idCol).as("node_id"),
-      codes(col(vecCol)).as("cc"))
+    val c = codesStored
     val g = graph.select(col("src"), col("dst"))
       .persistTracked() // probed by every round's expansion join
     // beam over INTEGER distances: same round structure as
