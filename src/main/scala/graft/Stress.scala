@@ -884,6 +884,8 @@ object Stress {
         .select(col("src"), col("dst"))
         .write.parquet(s"$dir/graph0")
       ranked1.coalesce(1).write.parquet(s"$dir/ranked")
+      Similarity.sq8Codes(emb, "vec_id", "embedding")
+        .write.parquet(s"$dir/codes")
       InternalCaches.releaseAll()
       val g0 = spark.read.parquet(s"$dir/graph0")
       def leg(name: String)(f: => Long): Long = {
@@ -895,9 +897,9 @@ object Stress {
         n
       }
       leg("s38_sq8_serve") {
-        Similarity.nswBeamSq8TopK(emb, g0, nswQueries, "vec_id",
-          "embedding", k = 5, beamWidth = 8, rounds = 3,
-          candK = 10).count()
+        Similarity.nswBeamSq8Serve(spark.read.parquet(s"$dir/codes"),
+          emb, g0, nswQueries, "vec_id", "embedding", k = 5,
+          beamWidth = 8, rounds = 3, candK = 10).count()
       }
       leg("s39_filtered_serve") {
         Similarity.nswBeamFilteredTopK(emb, g0, nswQueries, "vec_id",
