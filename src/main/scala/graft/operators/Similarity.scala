@@ -1704,7 +1704,8 @@ object Similarity {
     * restriction to its shared assigned/probed CTEs) — a multi-layer
     * build therefore scans and scores the corpus ONCE instead of
     * once per layer. */
-  private def rankedCellsFor(emb: DataFrame, centroids: DataFrame,
+  private[graft] def rankedCellsFor(emb: DataFrame,
+      centroids: DataFrame,
       idCol: String, vecCol: String, nProbe: Int): DataFrame = {
     val withNorm = emb.select(col(idCol).as("node_id"),
         col(vecCol).as("n_vec"))

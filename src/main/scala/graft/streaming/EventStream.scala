@@ -518,13 +518,27 @@ object EventStream {
         val gDir = s"$baseDir/graphs"
         if (vt.versions(s, gDir).length <= batchId + 1) {
           val b = batch.toDF().select(col(idCol), col(vecCol))
+          // replay-proofing: a crash between the four commits can
+          // leave THIS batch already appended to vectors and/or
+          // ranked; readCurrent would then hand the splice a corpus
+          // (and stored ranks) containing the batch twice, and the
+          // duplicates would occupy degree-cut slots in the
+          // recomputed edge lists. Anti-join the batch's ids back
+          // out so the splice always sees the exact pre-batch state.
+          // (toplayer's window is benign: its delta is recomputed
+          // from the batch and its append no-ops on replay; top2 is
+          // never committed here.)
+          val bIds = b.select(col(idCol))
           val ingested = vt.readCurrent(s, s"$baseDir/vectors")
+            .join(broadcast(bIds), Seq(idCol), "left_anti")
+          val rankedStored = vt.readCurrent(s, s"$baseDir/ranked")
+            .join(broadcast(bIds.select(col(idCol).as("node_id"))),
+              Seq("node_id"), "left_anti")
           val corpus = corpusBase.select(col(idCol), col(vecCol))
             .unionByName(ingested).unionByName(b)
           val (_, graphs2, rankedDelta, topDelta) =
             graft.operators.Similarity.appendHnswGraphIndexState(
-              corpus, b, centroids,
-              vt.readCurrent(s, s"$baseDir/ranked"),
+              corpus, b, centroids, rankedStored,
               vt.readCurrent(s, s"$baseDir/toplayer"),
               vt.readCurrent(s, gDir),
               idCol, vecCol, degree, nProbeBuild, layerRatio, nLayers)

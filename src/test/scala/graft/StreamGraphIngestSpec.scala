@@ -125,6 +125,68 @@ class StreamGraphIngestSpec extends SparkSpec {
       edges(VersionedTable.readCurrent(spark, s"$clean/state/graphs")))
   }
 
+  test("crash on the FINAL batch (vectors+ranked landed) heals on replay") {
+    // the batch-0 variant above is too forgiving: the two later
+    // batches re-splice every touched cell and can mask a corpus
+    // double-count. Here batches 0-1 complete, then the process
+    // "dies" during batch 2 AFTER its vectors and ranked appends
+    // landed but BEFORE toplayer/graphs committed — the deepest
+    // partial-commit window. The restarted stream redelivers all
+    // three batches; 0-1 must no-op, and batch 2's splice must see
+    // the exact pre-batch state (the replay-proofing anti-joins in
+    // graphIngestOnce), so the final edge set equals a clean run's
+    val root = java.nio.file.Files.createTempDirectory("s36crash2")
+      .toString
+    val cents = Similarity.kmeansCentroids(base, "vec_id",
+      "embedding", NC, Iters).persist()
+    val (top, graphs, ranked) = Similarity.buildHnswGraphIndexWith(
+      base, cents, "vec_id", "embedding", Degree, nProbeBuild = 2,
+      layerRatio = 4, nLayers = 3)
+    VersionedTable.commit(emb.limit(0), s"$root/state/vectors")
+    VersionedTable.commit(ranked, s"$root/state/ranked")
+    VersionedTable.commit(top, s"$root/state/toplayer")
+    VersionedTable.commit(graphs, s"$root/state/graphs")
+    val streamDir = new java.io.File(root, "in")
+    streamDir.mkdirs()
+    def addBatch(i: Int): Unit = {
+      val tmp = s"$root/shard$i"
+      arrivals.filter(col("vec_id") % 3 === i).coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(streamDir, f"batch$i%02d.parquet")
+      java.nio.file.Files.copy(part.toPath, dst.toPath)
+      dst.setLastModified(1000000L * (i + 1))
+    }
+    addBatch(0); addBatch(1)
+    EventStream.graphIngestOnce(
+      EventStream.parquetFileStream(spark, streamDir.getAbsolutePath),
+      s"$root/state", base, cents, "vec_id", "embedding", Degree,
+      nProbeBuild = 2, layerRatio = 4, nLayers = 3)
+    // the "crashed" half-applied batch 2: vectors AND ranked landed
+    val b2 = arrivals.filter(col("vec_id") % 3 === 2)
+    VersionedTable.appendCommit(b2, s"$root/state/vectors")
+    VersionedTable.appendCommit(
+      Similarity.rankedCellsFor(b2, cents, "vec_id", "embedding", 2)
+        .select(col("node_id"), col("cell_id"), col("rk")),
+      s"$root/state/ranked")
+    addBatch(2)
+    EventStream.graphIngestOnce(
+      EventStream.parquetFileStream(spark, streamDir.getAbsolutePath),
+      s"$root/state", base, cents, "vec_id", "embedding", Degree,
+      nProbeBuild = 2, layerRatio = 4, nLayers = 3)
+    assert(VersionedTable.readCurrent(spark, s"$root/state/vectors")
+      .count() == arrivals.count())
+    // nProbeBuild=2 → exactly two ranked rows per node; duplicates
+    // from a replayed ranked append would break this count
+    assert(VersionedTable.readCurrent(spark, s"$root/state/ranked")
+      .count() == 2 * emb.count())
+    val clean = runIngest()
+    assert(edges(VersionedTable.readCurrent(spark,
+        s"$root/state/graphs")) ==
+      edges(VersionedTable.readCurrent(spark, s"$clean/state/graphs")))
+  }
+
   test("a full stream replay is a no-op on every state table") {
     val root = runIngest()
     def vcounts = Seq("vectors", "ranked", "toplayer", "graphs")
