@@ -857,13 +857,20 @@ object SparkEntry {
        |$rounds""".stripMargin
   }
 
+  /** The default corpus CTE body: the embeddings table as doubles.
+    * Oracles whose corpus is embeddings ∪ synthetic rows (the s41
+    * drifted stream) override it with a UNION ALL. */
+  private val duckCorpusDefault: String =
+    """SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      |  FROM embeddings""".stripMargin
+
   /** WITH-clause prefix shared by the s4/s5 oracles: embeddings → md5
     * seed codebook c0 → `iters` quantized Lloyd rounds ending at
     * cn`iters`. No trailing comma. */
-  private def duckKmeansCtes(nc: Int, iters: Int): String =
+  private def duckKmeansCtes(nc: Int, iters: Int,
+      corpusSql: String = duckCorpusDefault): String =
     s"""WITH e AS (
-       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
-       |  FROM embeddings),
+       |  $corpusSql),
        |en AS (SELECT vec_id, v, ${duckNormOf("v")} AS nrm FROM e),
        |${duckKmeansChain(nc, iters, "", "en")}""".stripMargin
 
@@ -1294,7 +1301,8 @@ object SparkEntry {
       entryCtes: String, trainWhere: Option[String] = None,
       indexWhere: Option[String] = None,
       queryWhere: String = "vec_id % 25 = 0",
-      resultWhere: Option[String] = None): String = {
+      resultWhere: Option[String] = None,
+      corpusSql: String = duckCorpusDefault): String = {
     // trainWhere restricts the k-means TRAINING set (the s31 append
     // twin trains on the base corpus only — the stored codebook);
     // indexWhere restricts the INDEXED/SERVED corpus (the s32 delete
@@ -1306,11 +1314,10 @@ object SparkEntry {
       .map(w => s",\nenk AS (SELECT vec_id, v, nrm FROM en WHERE $w)")
       .getOrElse("")
     val kmeansHeader = (trainWhere match {
-      case None => duckKmeansCtes(nc, iters)
+      case None => duckKmeansCtes(nc, iters, corpusSql)
       case Some(w) =>
         s"""WITH e AS (
-           |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
-           |  FROM embeddings),
+           |  $corpusSql),
            |en AS (SELECT vec_id, v, ${duckNormOf("v")} AS nrm FROM e),
            |eb AS (SELECT vec_id, v, nrm FROM en WHERE $w),
            |${duckKmeansChain(nc, iters, "", "eb")}""".stripMargin
@@ -1598,11 +1605,12 @@ object SparkEntry {
       degree: Int, ratio: Int, entryW: Int, beam: Int, rounds: Int,
       k: Int, trainWhere: Option[String] = None,
       indexWhere: Option[String] = None,
-      queryWhere: String = "vec_id % 25 = 0"): String = {
+      queryWhere: String = "vec_id % 25 = 0",
+      corpusSql: String = duckCorpusDefault): String = {
     val rel = if (indexWhere.isDefined) "enk" else "en"
     duckNswBody(nc, iters, nProbeBuild, degree, beam, rounds, k,
       trainWhere = trainWhere, indexWhere = indexWhere,
-      queryWhere = queryWhere,
+      queryWhere = queryWhere, corpusSql = corpusSql,
       entryCtes = s"""hl1 AS (
          |  SELECT vec_id FROM $rel
          |  WHERE ('0x' || substr(md5(vec_id::VARCHAR || '#97'), 1, 8))::BIGINT
@@ -1756,6 +1764,51 @@ object SparkEntry {
             .forEach(f => Files.deleteIfExists(f))
       } catch { case _: Throwable => () }))
     dir.toString
+  }
+
+  /** Write `parts` as ordered single-file parquet batches under
+    * `dir/in` (`batch%02d.parquet`, mtime-ordered so the file stream
+    * delivers them as micro-batches 0..n−1) — the scratch stream
+    * fixture every streaming entry shares. Returns the stream dir. */
+  private def scratchStreamBatches(dir: String,
+      parts: Seq[DataFrame]): String = {
+    val streamDir = new java.io.File(dir, "in")
+    streamDir.mkdirs()
+    for ((p, i) <- parts.zipWithIndex) {
+      val tmp = s"$dir/shard$i"
+      p.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(streamDir, f"batch$i%02d.parquet")
+      java.nio.file.Files.copy(part.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      dst.setLastModified(1000000L * (i + 1))
+    }
+    streamDir.getAbsolutePath
+  }
+
+  /** Build-once seed of the seven self-healing-ingest state tables
+    * (version 0 of each) from the base corpus — shared by the s41
+    * firing entry and its s42 quiet twin. */
+  private def seedSelfHealState(scratch: String, base: DataFrame,
+      nCells: Int, degree: Int): Unit = {
+    val vt = graft.sources.VersionedTable
+    val cents = Similarity.kmeansCentroids(base, "vec_id",
+      "embedding", nCells, iters = 2).persistTracked()
+    val (top, graphs, ranked) = Similarity.buildHnswGraphIndexWith(
+      base, cents, "vec_id", "embedding", degree, nProbeBuild = 2,
+      layerRatio = 16, nLayers = 2)
+    val cells = Similarity.censusCells(
+      Similarity.assignWithSim(base, cents, "vec_id", "embedding"))
+      .persistTracked() // committed twice (baseline + running)
+    vt.commit(base.select(col("vec_id"), col("embedding")).limit(0),
+      s"$scratch/state/vectors")
+    vt.commit(ranked, s"$scratch/state/ranked")
+    vt.commit(top, s"$scratch/state/toplayer")
+    vt.commit(graphs, s"$scratch/state/graphs")
+    vt.commit(cents, s"$scratch/state/centroids")
+    vt.commit(cells, s"$scratch/state/cellsbuild")
+    vt.commit(cells, s"$scratch/state/cellsnow")
   }
 
   /** The SQ8 quantize-and-scan CTE chain (twin of
@@ -5059,6 +5112,99 @@ object SparkEntry {
         entryWidth = 2, upperRounds = 1)
     }),
 
+    // SELF-HEALING STREAMING GRAPH INGEST (s41 — the operational
+    // close of the graph lifecycle: s36's splice loop with s35's
+    // drift census run INSIDE every micro-batch and the gated
+    // rebuild committed as a new index version when it fires): the
+    // base index seeds seven versioned state tables; two natural
+    // arrival batches splice quietly (their per-cell census merges
+    // in O(nCells) integer adds); the third batch is the s35 skew
+    // construction — its census fires MID-INGEST, the codebook
+    // retrains on the full current corpus, and the rebuilt index
+    // lands as that batch's committed version. The final serve
+    // therefore equals a FRESH BUILD over everything (natural ∪
+    // skewed) — exactly what the oracle trains on, so the
+    // hash-match proves both that the trigger fired and that the
+    // rebuild is the from-scratch answer
+    "s41_stream_selfheal_ingest" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val base = emb.filter(col("vec_id") % 4 =!= 0)
+      val arrivals = emb.filter(col("vec_id") % 4 === 0)
+        .select(col("vec_id"), col("embedding"))
+      // skew computed in double, then quantized to FLOAT so the
+      // stream keeps the corpus element type (and the parquet batch
+      // files one schema); double→float→double is exact IEEE on
+      // both engines, so the oracle mirrors the same two casts
+      val skewed = emb.filter(col("vec_id") % 7 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"),
+            x => (lit(1.0) + lit(0.1) * x.cast("double"))
+              .cast("float"))
+            .as("embedding"))
+      val scratch = scratchDir("s41heal", d)
+      if (!new java.io.File(s"$scratch/_built").exists()) {
+        seedSelfHealState(scratch, base, nCells = 32, degree = 12)
+        new java.io.File(s"$scratch/_built").createNewFile()
+      }
+      val streamDir = scratchStreamBatches(scratch, Seq(
+        arrivals.filter(col("vec_id") % 3 === 0),
+        arrivals.filter(col("vec_id") % 3 =!= 0),
+        skewed))
+      EventStream.selfHealingGraphIngestOnce(
+        EventStream.parquetFileStream(s, streamDir),
+        s"$scratch/state", base, "vec_id", "embedding",
+        degree = 12, nProbeBuild = 2, layerRatio = 16, nLayers = 2,
+        nCells = 32, iters = 2, capFactor = 3.0, drop6 = 150000L)
+      val vt = graft.sources.VersionedTable
+      val corpus = base.select(col("vec_id"), col("embedding"))
+        .unionByName(vt.readCurrent(s, s"$scratch/state/vectors"))
+        .persistTracked() // serve corpus + query side
+      Similarity.hnswServeIndexed(
+        vt.readCurrent(s, s"$scratch/state/toplayer"),
+        vt.readCurrent(s, s"$scratch/state/graphs"), corpus,
+        corpus.filter(col("vec_id") % 25 === 0), "vec_id",
+        "embedding", k = 5, beamWidth = 8, rounds = 3, nLayers = 2,
+        entryWidth = 2, upperRounds = 1)
+    }),
+
+    // QUIET-STREAM TWIN of s41 (s42): the same self-healing ingest
+    // over three NATURAL arrival batches — the census stays quiet on
+    // every batch, so no rebuild ever runs and the final index is
+    // the splice composition verbatim. The oracle is s31/s36's
+    // base-trained rebuild twin: a spurious rebuild would have
+    // retrained on the full corpus and hash-mismatched, so the match
+    // IS the never-rebuilt receipt (the negative side of the s41
+    // decision boundary, receipt-checked like the firing side)
+    "s42_stream_selfheal_quiet" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val base = emb.filter(col("vec_id") % 4 =!= 0)
+      val arrivals = emb.filter(col("vec_id") % 4 === 0)
+        .select(col("vec_id"), col("embedding"))
+      val scratch = scratchDir("s42heal", d)
+      if (!new java.io.File(s"$scratch/_built").exists()) {
+        seedSelfHealState(scratch, base, nCells = 32, degree = 12)
+        new java.io.File(s"$scratch/_built").createNewFile()
+      }
+      val streamDir = scratchStreamBatches(scratch, Seq(
+        arrivals.filter(col("vec_id") % 3 === 0),
+        arrivals.filter(col("vec_id") % 3 === 1),
+        arrivals.filter(col("vec_id") % 3 === 2)))
+      EventStream.selfHealingGraphIngestOnce(
+        EventStream.parquetFileStream(s, streamDir),
+        s"$scratch/state", base, "vec_id", "embedding",
+        degree = 12, nProbeBuild = 2, layerRatio = 16, nLayers = 2,
+        nCells = 32, iters = 2, capFactor = 3.0, drop6 = 150000L)
+      val vt = graft.sources.VersionedTable
+      val corpus = base.select(col("vec_id"), col("embedding"))
+        .unionByName(vt.readCurrent(s, s"$scratch/state/vectors"))
+      Similarity.hnswServeIndexed(
+        vt.readCurrent(s, s"$scratch/state/toplayer"),
+        vt.readCurrent(s, s"$scratch/state/graphs"), corpus,
+        emb.filter(col("vec_id") % 25 === 0), "vec_id", "embedding",
+        k = 5, beamWidth = 8, rounds = 3, nLayers = 2,
+        entryWidth = 2, upperRounds = 1)
+    }),
+
     // SQ8-COMPRESSED GRAPH SERVE (s38 — the DiskANN memory
     // discipline): the stored degree-6 graph (s24's geometry, built
     // once into the scratch cache) is walked scoring fresh nodes by
@@ -5162,6 +5308,26 @@ object SparkEntry {
           transform(col("embedding"),
             x => lit(1.0) + lit(0.1) * x.cast("double"))
             .as("embedding"))
+      val nowA = buildA.unionByName(
+        Similarity.assignWithSim(batch, cents, "vec_id", "embedding"))
+      Similarity.indexDriftCensus(buildA, nowA, nCells = 8)
+    }),
+
+    // QUIET-CASE DRIFT CENSUS (s43 — the negative side of the s35
+    // decision boundary, given the same receipt discipline as the
+    // firing side): a BALANCED append (every vector re-appended
+    // under a new id) doubles every cell's population and cosine
+    // mass in proportion — the census rows must come back with
+    // hot=0 and drift=0 everywhere, the all-quiet answer that keeps
+    // s41's steady state on the O(batch) splice path
+    "s43_graph_drift_quiet" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = Similarity.kmeansCentroids(emb, "vec_id",
+        "embedding", nCells = 8, iters = 2).persistTracked()
+      val buildA = Similarity.assignWithSim(emb, cents, "vec_id",
+        "embedding")
+      val batch = emb.select((col("vec_id") + 1000000L).as("vec_id"),
+        col("embedding"))
       val nowA = buildA.unionByName(
         Similarity.assignWithSim(batch, cents, "vec_id", "embedding"))
       Similarity.indexDriftCensus(buildA, nowA, nCells = 8)
@@ -9352,6 +9518,34 @@ object SparkEntry {
         ratio = 16, entryW = 2, beam = 8, rounds = 3, k = 5,
         trainWhere = Some("vec_id % 4 <> 0")),
 
+    // s41 oracle: the census fires on the FINAL (skewed) batch, so
+    // the self-healing ingest ends on a full-corpus retrain-and-
+    // rebuild — the oracle is a FRESH hnsw build/serve over
+    // embeddings ∪ the skewed rows, trained on EVERYTHING (no
+    // trainWhere). A stream that failed to fire — or fired and kept
+    // the stale codebook — would serve base-trained graphs and
+    // hash-mismatch
+    "s41_stream_selfheal_ingest" ->
+      duckHnswTopK(nc = 32, iters = 2, nProbeBuild = 2, degree = 12,
+        ratio = 16, entryW = 2, beam = 8, rounds = 3, k = 5,
+        corpusSql =
+          """SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+            |  FROM embeddings
+            |  UNION ALL
+            |  SELECT vec_id + 1000000,
+            |    list_transform(embedding,
+            |      x -> CAST(CAST(1.0 + 0.1 * x::DOUBLE AS FLOAT) AS DOUBLE))
+            |  FROM embeddings WHERE vec_id % 7 = 0""".stripMargin),
+
+    // s42 oracle: the census never fires, so the splices compose to
+    // s31/s36's base-trained rebuild twin verbatim — a SPURIOUS
+    // rebuild would have retrained on the full corpus and
+    // hash-mismatched, so the match is the never-rebuilt receipt
+    "s42_stream_selfheal_quiet" ->
+      duckHnswTopK(nc = 32, iters = 2, nProbeBuild = 2, degree = 12,
+        ratio = 16, entryW = 2, beam = 8, rounds = 3, k = 5,
+        trainWhere = Some("vec_id % 4 <> 0")),
+
     // s38 oracle: exact graph build, SQ8-coded beam, exact re-rank
     "s38_graph_sq8_serve" ->
       duckNswSq8(nc = 64, iters = 2, nProbeBuild = 2, degree = 6,
@@ -9432,6 +9626,46 @@ object SparkEntry {
          |    list_transform(v, x -> 1.0 + 0.1 * x) AS v
          |  FROM e WHERE vec_id % 7 = 0),
          |bn AS (SELECT vec_id, v, ${duckNormOf("v")} AS nrm FROM bb),
+         |${duckAssignCte(4, "cn2", "", "bn")},
+         |zb AS (
+         |  SELECT cell_id AS cell, CAST(count(*) AS BIGINT) AS n_build,
+         |   CAST(sum(CAST(round(sim * 1000000) AS BIGINT)) AS BIGINT)
+         |     AS sum6_build
+         |  FROM a3 GROUP BY 1),
+         |zn AS (
+         |  SELECT cell, CAST(count(*) AS BIGINT) AS n_now,
+         |   CAST(sum(q6) AS BIGINT) AS sum6_now
+         |  FROM (
+         |    SELECT cell_id AS cell,
+         |      CAST(round(sim * 1000000) AS BIGINT) AS q6 FROM a3
+         |    UNION ALL
+         |    SELECT cell_id,
+         |      CAST(round(sim * 1000000) AS BIGINT) FROM a4)
+         |  GROUP BY 1),
+         |zc AS (SELECT CAST(ceil(sum(n_now) * 2.0 / 8) AS BIGINT)
+         |  AS cap FROM zn)
+         |SELECT cell,
+         |  coalesce(n_build, 0) AS n_build,
+         |  coalesce(n_now, 0) AS n_now,
+         |  coalesce(sum6_build, 0) AS sum6_build,
+         |  coalesce(sum6_now, 0) AS sum6_now,
+         |  CAST(CASE WHEN coalesce(n_now, 0) > zc.cap
+         |    THEN 1 ELSE 0 END AS BIGINT) AS hot,
+         |  CAST(CASE WHEN coalesce(n_build, 0) > 0
+         |    AND coalesce(n_now, 0) > 0
+         |    AND coalesce(sum6_now, 0) * coalesce(n_build, 0) <
+         |      (coalesce(sum6_build, 0) - 20000 * coalesce(n_build, 0))
+         |        * coalesce(n_now, 0)
+         |    THEN 1 ELSE 0 END AS BIGINT) AS drift
+         |FROM zn FULL JOIN zb USING (cell) CROSS JOIN zc""".stripMargin,
+
+    // s43 oracle: s35's census shape with the BALANCED batch — the
+    // re-idd copies assign with identical sims, so every flag must
+    // come back 0 (the quiet boundary, hash-pinned)
+    "s43_graph_drift_quiet" ->
+      s"""${duckKmeansCtes(8, 2)},
+         |${duckAssignCte(3, "cn2")},
+         |bn AS (SELECT vec_id + 1000000 AS vec_id, v, nrm FROM en),
          |${duckAssignCte(4, "cn2", "", "bn")},
          |zb AS (
          |  SELECT cell_id AS cell, CAST(count(*) AS BIGINT) AS n_build,

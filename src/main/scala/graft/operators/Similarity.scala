@@ -2157,14 +2157,46 @@ object Similarity {
     * ([[rebuildGraphIndexIfDrifted]]). */
   def indexDriftCensus(buildAssigned: DataFrame,
       nowAssigned: DataFrame, nCells: Int, capFactor: Double = 2.0,
+      drop6: Long = 20000L): DataFrame =
+    indexDriftCensusFromCells(censusCells(buildAssigned),
+      censusCells(nowAssigned), nCells, capFactor, drop6)
+
+  /** The per-cell census aggregate of an assignment relation:
+    * (cell, n, s6) where s6 is the micro-unit integer sum of
+    * assignment cosines. Integer sums are exact under any
+    * partitioning AND any grouping order, so these aggregates
+    * COMPOSE: censusCells(a ∪ b) ≡ mergeCensusCells(censusCells(a),
+    * censusCells(b)) — the property that lets a streaming ingest
+    * maintain its census state with an O(batch + nCells) merge per
+    * batch instead of re-aggregating the corpus-sized assignment
+    * relation ([[graft.streaming.EventStream.selfHealingGraphIngestOnce]]). */
+  def censusCells(assigned: DataFrame): DataFrame =
+    assigned.select(col("cell").cast("long").as("cell"),
+        round(col("sim") * 1e6).cast("long").as("q6"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"), sum(col("q6")).as("s6"))
+
+  /** Exact merge of two [[censusCells]] aggregates (integer adds —
+    * no rounding, no order dependence). */
+  def mergeCensusCells(a: DataFrame, b: DataFrame): DataFrame =
+    a.join(b.select(col("cell"), col("n").as("n2"),
+        col("s6").as("s62")), Seq("cell"), "full_outer")
+      .select(col("cell"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("n2"), lit(0L)))
+          .as("n"),
+        (coalesce(col("s6"), lit(0L)) + coalesce(col("s62"), lit(0L)))
+          .as("s6"))
+
+  /** [[indexDriftCensus]] over PRE-AGGREGATED per-cell states — the
+    * streaming form: both inputs are nCells-row [[censusCells]]
+    * relations, so the census itself is metadata-sized end to end. */
+  def indexDriftCensusFromCells(buildCells: DataFrame,
+      nowCells: DataFrame, nCells: Int, capFactor: Double = 2.0,
       drop6: Long = 20000L): DataFrame = {
-    def perCell(a: DataFrame, n: String, s: String) =
-      a.select(col("cell").cast("long").as("cell"),
-          round(col("sim") * 1e6).cast("long").as("q6"))
-        .groupBy(col("cell"))
-        .agg(count(lit(1)).as(n), sum(col("q6")).as(s))
-    val b = perCell(buildAssigned, "n_build", "sum6_build")
-    val nw = perCell(nowAssigned, "n_now", "sum6_now")
+    val b = buildCells.select(col("cell"), col("n").as("n_build"),
+      col("s6").as("sum6_build"))
+    val nw = nowCells.select(col("cell"), col("n").as("n_now"),
+      col("s6").as("sum6_now"))
     val cap = nw.agg(sum(col("n_now")).as("n"))
       .select(ceil(col("n") * lit(capFactor) / lit(nCells))
         .cast("long").as("cap"))

@@ -2,6 +2,8 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+
+import graft.InternalCaches.TrackedPersist
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
   MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode,
   TimerValues, Trigger, ValueState}
@@ -549,6 +551,130 @@ object EventStream {
           // the replay gate for the whole batch, so every append
           // above is already durable when the gate advances
           vt.commit(graphs2, gDir)
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** s41/s42: SELF-HEALING streaming graph ingest — [[graphIngestOnce]]
+    * with the s35 drift census wired where mutations actually happen.
+    * Every micro-batch: assign the batch at the CURRENT codebook
+    * (O(batch)), merge its per-cell census aggregate into the stored
+    * one (O(nCells) integer adds — [[graft.operators.Similarity
+    * .censusCells]] composes exactly), and evaluate the hot/drift
+    * trigger. Quiet → the batch splices like [[graphIngestOnce]]
+    * (edge re-derivation bounded to touched cells). Fired → the
+    * codebook RETRAINS on the full current corpus and the index
+    * rebuilds from scratch, committed as this batch's versions — the
+    * steady state stays O(batch) and the corpus-scale rebuild runs
+    * exactly when the frozen codebook stopped describing the stream.
+    *
+    * Seven versioned state tables under `baseDir` (caller seeds each
+    * at version 0): `vectors` (ingested rows, append-only),
+    * `ranked`/`toplayer`/`graphs` (the index — appends on quiet
+    * batches, snapshots on a rebuild), `centroids` (the live
+    * codebook), `cellsbuild`/`cellsnow` (the census baseline and
+    * running aggregate, nCells rows each — the baseline resets to
+    * the fresh full-corpus aggregate on a rebuild).
+    *
+    * Exactly-once under replay, rebuild decisions included: every
+    * table advances exactly ONE version per batch, so batch b's
+    * PRE-state is version b of every table — each batch reads those
+    * PINNED versions (never readCurrent), making the census, the
+    * fire/quiet decision, and every commit a pure function of
+    * (seeded state, batches ≤ b). A crash between the seven commits
+    * replays the batch: already-committed tables no-op on their
+    * lockstep guard, missing ones land with byte-identical content.
+    * The graphs snapshot commits LAST as the whole-batch gate. */
+  def selfHealingGraphIngestOnce(src: DataFrame, baseDir: String,
+      corpusBase: DataFrame, idCol: String, vecCol: String,
+      degree: Int, nProbeBuild: Int, layerRatio: Int, nLayers: Int,
+      nCells: Int, iters: Int, capFactor: Double = 2.0,
+      drop6: Long = 20000L): Unit = {
+    val vt = graft.sources.VersionedTable
+    val sim = graft.operators.Similarity
+    def commitAt(df: DataFrame, dir: String, batchId: Long,
+        append: Boolean): Unit = {
+      val vs = vt.versions(df.sparkSession, dir)
+      if (vs.length <= batchId + 1) {
+        require(vs.length == batchId + 1,
+          s"table at $dir has ${vs.length} versions but batch " +
+            s"$batchId arrived — state was not seeded for this stream")
+        if (append) vt.appendCommit(df, dir)
+        else vt.commit(df, dir)
+      }
+    }
+    val q = src.writeStream
+      .foreachBatch {
+        (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val s = batch.sparkSession
+        val gDir = s"$baseDir/graphs"
+        if (vt.versions(s, gDir).length <= batchId + 1) {
+          val b = batch.toDF().select(col(idCol), col(vecCol))
+          // pre-batch state is version batchId of EVERY table —
+          // pinned reads, so a partial-crash replay recomputes the
+          // identical census, decision, and commit contents even
+          // when some tables already advanced
+          def pre(t: String) =
+            vt.readVersion(s, s"$baseDir/$t", batchId.toInt)
+          val cents = pre("centroids")
+          val batchCells = sim.censusCells(
+            sim.assignWithSim(b, cents, idCol, vecCol))
+          val nowCells = sim.mergeCensusCells(pre("cellsnow"),
+            batchCells)
+          val census = sim.indexDriftCensusFromCells(
+            pre("cellsbuild"), nowCells, nCells, capFactor, drop6)
+          val corpus = corpusBase.select(col(idCol), col(vecCol))
+            .unionByName(pre("vectors")).unionByName(b)
+          if (sim.driftTriggered(census)) {
+            // the census fired: retrain on the full current corpus
+            // and rebuild; baseline and running census both reset to
+            // the fresh assignment's aggregate
+            val cents2 = sim.kmeansCentroids(corpus, idCol, vecCol,
+              nCells, iters)
+            val (top2, graphs2, ranked2) =
+              sim.buildHnswGraphIndexWith(corpus, cents2, idCol,
+                vecCol, degree, nProbeBuild, layerRatio, nLayers)
+            val fullCells = sim.censusCells(
+              sim.assignWithSim(corpus, cents2, idCol, vecCol))
+              .persistTracked() // committed twice (baseline + now)
+            commitAt(b, s"$baseDir/vectors", batchId, append = true)
+            commitAt(ranked2, s"$baseDir/ranked", batchId,
+              append = false)
+            commitAt(top2, s"$baseDir/toplayer", batchId,
+              append = false)
+            commitAt(cents2, s"$baseDir/centroids", batchId,
+              append = false)
+            commitAt(fullCells, s"$baseDir/cellsbuild", batchId,
+              append = false)
+            commitAt(fullCells, s"$baseDir/cellsnow", batchId,
+              append = false)
+            commitAt(graphs2, gDir, batchId, append = false)
+          } else {
+            // quiet: the graphIngestOnce splice at pinned state
+            val (_, graphs2, rankedDelta, topDelta) =
+              graft.operators.Similarity.appendHnswGraphIndexState(
+                corpus, b, cents, pre("ranked"), pre("toplayer"),
+                pre("graphs"), idCol, vecCol, degree, nProbeBuild,
+                layerRatio, nLayers)
+            commitAt(b, s"$baseDir/vectors", batchId, append = true)
+            commitAt(rankedDelta, s"$baseDir/ranked", batchId,
+              append = true)
+            commitAt(topDelta, s"$baseDir/toplayer", batchId,
+              append = true)
+            // unchanged on a quiet batch, but re-committed (nCells
+            // rows) so every table stays in version↔batch lockstep
+            commitAt(cents, s"$baseDir/centroids", batchId,
+              append = false)
+            commitAt(pre("cellsbuild"), s"$baseDir/cellsbuild",
+              batchId, append = false)
+            commitAt(nowCells, s"$baseDir/cellsnow", batchId,
+              append = false)
+            commitAt(graphs2, gDir, batchId, append = false)
+          }
         }
         ()
       }
