@@ -6301,7 +6301,27 @@ object SparkEntry {
         .groupBy(col("media_a"), col("media_b"))
         .agg(count(lit(1)).as("n_match"))
         .filter(col("n_match") >= 5)
-    })
+    }),
+
+    // REAL VIDEO CONTAINER LANE (m10 — the m4 synth discipline on
+    // video, retiring the last fake path in the multimodal family):
+    // per-media AVI containers are synthesized with raw-DIB gray
+    // frames from a pure integer formula, then the ENTRY walks the
+    // RIFF/AVI container (hardened chunk discipline), samples every
+    // 2nd frame up to 4 (m3's sampling semantics on real frames),
+    // raw-decodes each kept frame, and emits exact integer pixel
+    // sums. The oracle recomputes the features straight from the
+    // formula, so a header, chunk-walk, alignment, row-padding, or
+    // bottom-up-raster bug shifts a sum and fails the hash — the
+    // container codec itself is what the hash checks
+    "m10_video_frames" -> ((s, d) =>
+      Multimodal.sampleAviFrames(
+        Tables.documents(s, d)
+          .select(col("doc_id").as("media_id"),
+            Multimodal.synthAviUdf(col("doc_id"),
+              (lit(4) + col("doc_id") % 5).cast("int"),
+              lit(8), lit(8)).as("blob")),
+        col("media_id"), col("blob"), everyNth = 2, maxFrames = 4))
   )
 
   /** Shared by the t46 oracle and the q105 streaming twin
@@ -10915,6 +10935,33 @@ object SparkEntry {
         | AND a.band1 = b.band1 AND a.band2 = b.band2
         | AND a.band3 = b.band3 AND a.media_id < b.media_id
         |GROUP BY 1, 2 HAVING count(*) >= 5""".stripMargin,
+
+    // m10 oracle: the per-frame pixel sums recomputed straight from
+    // the generating formula pix = (id·31 + f·17 + p·7) mod 256 (×3
+    // channels), frame geometry from the synthesized container's
+    // constants — the Spark side must arrive at the same numbers
+    // THROUGH the AVI encode → chunk walk → DIB decode path, so the
+    // hash-match is the container codec's correctness receipt
+    "m10_video_frames" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS media_id, 4 + doc_id % 5 AS nf
+        |  FROM documents),
+        |fr AS (
+        |  SELECT media_id, nf, unnest(range(0, nf)) AS f FROM ids),
+        |kept AS (
+        |  SELECT media_id, nf, f FROM fr
+        |  WHERE f % 2 = 0 AND f // 2 < 4),
+        |px AS (
+        |  SELECT media_id, nf, f, unnest(range(0, 64)) AS p
+        |  FROM kept)
+        |SELECT media_id,
+        |  CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+        |  CAST(nf AS BIGINT) AS n_frames,
+        |  CAST(f AS BIGINT) AS frame_idx,
+        |  CAST(192 AS BIGINT) AS frame_len,
+        |  CAST(3 * sum((media_id * 31 + f * 17 + p * 7) % 256)
+        |    AS BIGINT) AS pix_sum
+        |FROM px GROUP BY 1, 4, 5""".stripMargin,
 
     // HLL registers: bucket = low 8 bits of md5-u32, ρ = trailing
     // zeros of the high bits + 1 (pure integer ops — no log2, whose

@@ -22,11 +22,15 @@ import graft.functions.ImageKernels
   *    16-bit PCM decode ([[wavDecode]], pure JVM) with exact-integer
   *    windowed energy/zero-crossing features, oracle-checked
   *    end-to-end (m4).
-  *  - video & compressed audio: the container ships no codec
-  *    libraries, so decode is STUBBED behind `fakeWaveformFeatures` —
-  *    a clearly-marked deterministic stand-in (byte-windowed energy)
-  *    with the real batch/shape/schema plumbing around it. Swap the
-  *    stub for a codec call and nothing else changes.
+  *  - video (AVI: motion-JPEG and uncompressed DIB): REAL — a
+  *    hand-rolled RIFF/AVI chunk walker ([[aviDecode]], the
+  *    [[wavDecode]] discipline on the video container) whose frames
+  *    route through the S3 image kernel (MJPG) or the raw DIB parse;
+  *    the m10 entry hash-checks the full
+  *    synth→encode→walk→decode→feature path (the m4 discipline).
+  *  - compressed audio (mp3/aac/…): out of scope — no codec
+  *    libraries ship in this environment; unknown modalities yield a
+  *    null feature rather than a fake one.
   */
 object Multimodal {
 
@@ -345,27 +349,248 @@ object Multimodal {
       .drop("grp")
   }
 
-  /** STUB (no codecs in this environment) for the remaining non-WAV
-    * modalities (video; compressed audio): deterministic
-    * pseudo-features — mean absolute byte value per fixed-size
-    * window. Replace with a real decoder without touching the
-    * surrounding batch plumbing. WAV audio no longer routes here —
-    * [[wavDecode]] is the real path. */
-  def fakeWaveformFeatures(blob: Array[Byte], nWindows: Int): Array[Float] = {
-    val out = new Array[Float](nWindows)
-    if (blob.isEmpty) return out
-    val win = math.max(1, blob.length / nWindows)
-    var i = 0
-    while (i < nWindows) {
-      var s = 0L
-      var j = i * win
-      val end = math.min(blob.length, (i + 1) * win)
-      while (j < end) { s += (blob(j) & 0xff); j += 1 }
-      out(i) = if (end > j - 1 && end - i * win > 0)
-        s.toFloat / math.max(1, end - i * win) else 0f
-      i += 1
+  // ———— AVI video container — REAL, pure JVM (the RIFF chunk-walk
+  // discipline of [[wavDecode]] applied to the video lane) ————
+
+  /** Parsed AVI main header: frame geometry and count from `avih`,
+    * the stream's fourcc from `strh` ('MJPG' for motion-JPEG, the
+    * empty/zero fourcc for uncompressed BI_RGB DIB frames). */
+  final case class AviMeta(width: Int, height: Int, nFrames: Int,
+      usPerFrame: Int, fourcc: String)
+
+  private def fcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+
+  /** Encode frames into a minimal spec-correct AVI container:
+    * RIFF('AVI ') → LIST('hdrl'){avih, LIST('strl'){strh, strf}} →
+    * LIST('movi'){'00dc' frames, word-aligned} → 'idx1'. Frames are
+    * opaque payloads: complete JPEGs for fourcc "MJPG" (the motion-
+    * JPEG layout, each frame decodable by the S3 image kernel), or
+    * raw bottom-up BGR DIB rasters (rows padded to 4 bytes) for
+    * fourcc "" / BI_RGB. */
+  def aviEncode(frames: Seq[Array[Byte]], w: Int, h: Int, fps: Int,
+      fourcc: String): Array[Byte] = {
+    require(frames.nonEmpty && w > 0 && h > 0 && fps > 0,
+      s"need frames/w/h/fps positive, got ${frames.length}/$w/$h/$fps")
+    val paddedLens = frames.map(f => f.length + (f.length & 1))
+    val moviSize = 4 + paddedLens.map(_ + 8).sum
+    val idx1Size = frames.length * 16
+    val hdrlSize = 4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + 40))
+    val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize) + (8 + idx1Size)
+    val buf = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put(fcc("RIFF")).putInt(riffSize).put(fcc("AVI "))
+    buf.put(fcc("LIST")).putInt(hdrlSize).put(fcc("hdrl"))
+    buf.put(fcc("avih")).putInt(56)
+      .putInt(1000000 / fps).putInt(0).putInt(0).putInt(0)
+      .putInt(frames.length).putInt(0).putInt(1).putInt(0)
+      .putInt(w).putInt(h)
+      .putInt(0).putInt(0).putInt(0).putInt(0)
+    buf.put(fcc("LIST")).putInt(4 + (8 + 56) + (8 + 40))
+      .put(fcc("strl"))
+    buf.put(fcc("strh")).putInt(56)
+      .put(fcc("vids"))
+      .put(if (fourcc.length == 4) fcc(fourcc)
+           else Array[Byte](0, 0, 0, 0))
+      .putInt(0).putShort(0).putShort(0).putInt(0)
+      .putInt(1).putInt(fps).putInt(0).putInt(frames.length)
+      .putInt(0).putInt(-1).putInt(0)
+      .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort)
+    buf.put(fcc("strf")).putInt(40)
+      .putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .put(if (fourcc == "MJPG") fcc("MJPG")
+           else Array[Byte](0, 0, 0, 0)) // biCompression (BI_RGB = 0)
+      .putInt(h * ((w * 3 + 3) & ~3)).putInt(0).putInt(0)
+      .putInt(0).putInt(0)
+    buf.put(fcc("LIST")).putInt(moviSize).put(fcc("movi"))
+    val offsets = new Array[Int](frames.length)
+    var off = 4 // idx1 offsets are relative to the 'movi' fourcc
+    for ((f, i) <- frames.zipWithIndex) {
+      offsets(i) = off
+      buf.put(fcc("00dc")).putInt(f.length).put(f)
+      if ((f.length & 1) == 1) buf.put(0.toByte)
+      off += 8 + f.length + (f.length & 1)
     }
-    out
+    buf.put(fcc("idx1")).putInt(idx1Size)
+    for ((f, i) <- frames.zipWithIndex)
+      buf.put(fcc("00dc")).putInt(0x10) // AVIIF_KEYFRAME
+        .putInt(offsets(i)).putInt(f.length)
+    buf.array()
+  }
+
+  /** True iff the blob starts with a RIFF/'AVI ' signature. */
+  def isAvi(blob: Array[Byte]): Boolean =
+    blob != null && blob.length >= 12 &&
+      blob(0) == 'R' && blob(1) == 'I' && blob(2) == 'F' &&
+      blob(3) == 'F' && blob(8) == 'A' && blob(9) == 'V' &&
+      blob(10) == 'I' && blob(11) == ' '
+
+  /** Walk an AVI container and return (meta, frame payloads in movi
+    * order). Same hardened chunk discipline as [[wavDecode]]: sizes
+    * are corruption-controlled, so every advance is bounds-checked
+    * and word-aligned per the RIFF spec; '00dc'/'00db' chunks are
+    * frames, everything else (including the optional idx1 and any
+    * JUNK padding) is skipped by declared size. */
+  def aviDecode(blob: Array[Byte]): (AviMeta, Seq[Array[Byte]]) = {
+    require(isAvi(blob), "not a RIFF/AVI blob")
+    val buf = java.nio.ByteBuffer.wrap(blob)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var width = -1; var height = -1; var nFrames = -1
+    var usPerFrame = -1; var fourccS = ""
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    def tag4(): String = new String(Array(buf.get(), buf.get(),
+      buf.get(), buf.get()).map(_.toChar))
+    def walk(end: Int): Unit = {
+      while (buf.position() + 8 <= end) {
+        val tag = tag4()
+        val size = buf.getInt()
+        require(size >= 0 && buf.position() + size <= end,
+          s"malformed chunk '$tag': size $size at ${buf.position()}")
+        val next = buf.position() + size + (size & 1)
+        tag match {
+          case "LIST" =>
+            tag4() // list type ('hdrl'/'strl'/'movi'/…): recurse
+            walk(buf.position() + size - 4)
+          case "avih" =>
+            require(size >= 40, s"avih too short: $size")
+            usPerFrame = buf.getInt()
+            buf.getInt(); buf.getInt(); buf.getInt()
+            nFrames = buf.getInt()
+            buf.getInt(); buf.getInt(); buf.getInt()
+            width = buf.getInt(); height = buf.getInt()
+          case "strh" =>
+            require(size >= 8, s"strh too short: $size")
+            val t = tag4()
+            val h = tag4()
+            if (t == "vids" && h.trim.nonEmpty && h != "    ")
+              fourccS = h
+          case "00dc" | "00db" =>
+            val f = new Array[Byte](size)
+            buf.get(f)
+            frames += f
+          case _ => () // strf/idx1/JUNK/…: skip by size
+        }
+        buf.position(next)
+      }
+    }
+    buf.position(12)
+    walk(blob.length)
+    require(width > 0 && height > 0 && nFrames >= 0,
+      "no avih header found")
+    (AviMeta(width, height, nFrames, usPerFrame, fourccS), frames.toSeq)
+  }
+
+  /** Decode one raw BI_RGB DIB frame (bottom-up BGR rows, 4-byte row
+    * padding — the uncompressed-AVI payload) to the kernel image
+    * layout (row-major RGB floats in [0,1], top-down). */
+  def dibDecode(frame: Array[Byte], w: Int, h: Int): ImageKernels.Img = {
+    val rowBytes = (w * 3 + 3) & ~3
+    require(frame.length >= rowBytes * h,
+      s"DIB frame too short: ${frame.length} for ${w}x$h")
+    val out = new Array[Float](h * w * 3)
+    var y = 0
+    while (y < h) {
+      val src = (h - 1 - y) * rowBytes // bottom-up
+      var x = 0
+      while (x < w) {
+        val b = src + x * 3
+        val dst = (y * w + x) * 3
+        out(dst) = (frame(b + 2) & 0xff) / 255f     // R
+        out(dst + 1) = (frame(b + 1) & 0xff) / 255f // G
+        out(dst + 2) = (frame(b) & 0xff) / 255f     // B
+        x += 1
+      }
+      y += 1
+    }
+    ImageKernels.Img(out, h, w, 3)
+  }
+
+  /** Route one AVI frame payload to its decoder: JPEG/PNG magic →
+    * the S3 image kernel (the MJPG path); otherwise raw DIB. */
+  def decodeAviFrame(frame: Array[Byte], w: Int,
+      h: Int): ImageKernels.Img =
+    if (frame.length >= 2 && (frame(0) & 0xff) == 0xff &&
+        (frame(1) & 0xff) == 0xd8) ImageKernels.decode(frame)
+    else if (frame.length >= 4 && (frame(0) & 0xff) == 0x89 &&
+        frame(1) == 'P' && frame(2) == 'N' && frame(3) == 'G')
+      ImageKernels.decode(frame)
+    else dibDecode(frame, w, h)
+
+  /** Exact integer pixel-byte sum of a raw DIB frame (BGR bytes over
+    * the true pixel area, padding excluded) — the bit-deterministic
+    * per-frame feature the m10 oracle reproduces from the generating
+    * formula, the video twin of the m4 energy discipline. */
+  def dibPixelSum(frame: Array[Byte], w: Int, h: Int): Long = {
+    val rowBytes = (w * 3 + 3) & ~3
+    require(frame.length >= rowBytes * h,
+      s"DIB frame too short: ${frame.length} for ${w}x$h")
+    var s = 0L
+    var y = 0
+    while (y < h) {
+      var i = y * rowBytes
+      val end = i + w * 3
+      while (i < end) { s += (frame(i) & 0xff); i += 1 }
+      y += 1
+    }
+    s
+  }
+
+  /** Synthesize an AVI blob of `nf` raw-DIB gray frames from the pure
+    * integer formula pix(id, f, p) = (id·31 + f·17 + p·7) mod 256 —
+    * the m4 synth discipline on the video lane: the FULL
+    * encode→container-walk→frame-decode→feature path becomes
+    * hash-checkable, since the oracle recomputes features straight
+    * from the formula. */
+  val synthAviUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((mediaId: Long, nf: Int, w: Int, h: Int) => {
+      val rowBytes = (w * 3 + 3) & ~3
+      val frames = (0 until nf).map { f =>
+        val frame = new Array[Byte](rowBytes * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = (h - 1 - y) * w + x // bottom-up: row y holds pixel row h-1-y
+            val v = ((mediaId * 31L + f.toLong * 17L + p.toLong * 7L)
+              % 256L).toByte
+            val b = y * rowBytes + x * 3
+            frame(b) = v; frame(b + 1) = v; frame(b + 2) = v
+            x += 1
+          }
+          y += 1
+        }
+        frame
+      }
+      aviEncode(frames, w, h, fps = 25, fourcc = "")
+    })
+
+  /** Every-Nth-frame sampling over an AVI binary column — m3's
+    * sampling semantics lifted from byte windows to REAL container
+    * frames: walk the container once per row, keep frame_idx ≡ 0
+    * (mod everyNth) up to maxFrames, and emit exact integer pixel
+    * sums per kept frame. Scale shape: per-row kernel + bounded
+    * posexplode, no shuffle — identical to [[sampleFrames]]. */
+  def sampleAviFrames(df: DataFrame, idCol: Column, blobCol: Column,
+      everyNth: Int, maxFrames: Int): DataFrame = {
+    require(everyNth > 0 && maxFrames > 0,
+      s"everyNth=$everyNth maxFrames=$maxFrames")
+    val kernel = udf((blob: Array[Byte]) => {
+      val (meta, frames) = aviDecode(blob)
+      val kept = frames.zipWithIndex
+        .filter(_._2 % everyNth == 0).take(maxFrames)
+      (meta.width, meta.height, meta.nFrames,
+        kept.map { case (f, i) =>
+          (i.toLong, f.length.toLong,
+            dibPixelSum(f, meta.width, meta.height))
+        })
+    })
+    df.select(idCol.as("media_id"), kernel(blobCol).as("v"))
+      .select(col("media_id"),
+        col("v._1").as("width"), col("v._2").as("height"),
+        col("v._3").cast("long").as("n_frames"),
+        explode(col("v._4")).as("fr"))
+      .select(col("media_id"), col("width"), col("height"),
+        col("n_frames"), col("fr._1").as("frame_idx"),
+        col("fr._2").as("frame_len"), col("fr._3").as("pix_sum"))
   }
 
   /** Batched per-partition feature extraction — the mapInPandas shape:
@@ -411,7 +636,27 @@ object Multimodal {
                   wavWindowStats(mono, win).map(s =>
                     math.sqrt(s.energy.toDouble / win).toFloat).toArray
                 } catch { case _: Exception => null }
-              case _ => fakeWaveformFeatures(blob, 16)
+              case "video" if isAvi(blob) =>
+                // REAL path: AVI container walk, first frame through
+                // the image kernel chain (MJPG via JPEG decode, raw
+                // via DIB), 8×8 luminance — same feature shape as the
+                // image modality
+                try {
+                  val (meta, frames) = aviDecode(blob)
+                  val img = ImageKernels.resizeBilinear(
+                    decodeAviFrame(frames.head, meta.width,
+                      meta.height), 8, 8)
+                  val lum = new Array[Float](64)
+                  var p = 0
+                  while (p < 64) {
+                    lum(p) = 0.299f * img.data(p * 3) +
+                      0.587f * img.data(p * 3 + 1) +
+                      0.114f * img.data(p * 3 + 2)
+                    p += 1
+                  }
+                  lum
+                } catch { case _: Exception => null }
+              case _ => null // unknown modality/container: no feature
             }
             Row(id, modality, blob.length.toLong, feat)
           }
