@@ -3577,24 +3577,11 @@ object SparkEntry {
         col("doc_id"), col("text"), col("lang"), col("source"),
         col("n_chars"))
       val scratch = scratchDir("q81ingest", d)
-      val streamDir = new java.io.File(scratch, "in")
-      streamDir.mkdirs()
-      for (i <- 0 until 3) {
-        val tmp = s"$scratch/shard$i"
-        docs.filter(col("doc_id") % 3 === i).coalesce(1)
-          .write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .find(_.getName.endsWith(".parquet")).get
-        val dst = new java.io.File(streamDir, f"batch$i%02d.parquet")
-        java.nio.file.Files.copy(part.toPath, dst.toPath,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        // pinned, strictly increasing mtimes: the file source orders
-        // micro-batches by modification time
-        dst.setLastModified(1000000L * (i + 1))
-      }
+      val streamDir = scratchStreamBatches(scratch,
+        (0 until 3).map(i => docs.filter(col("doc_id") % 3 === i)))
       val dir = s"$scratch/table"
       EventStream.tableIngestOnce(
-        EventStream.parquetFileStream(s, streamDir.getAbsolutePath),
+        EventStream.parquetFileStream(s, streamDir),
         dir)
       val vt = graft.sources.VersionedTable
       def agg(v: Int) =
@@ -3624,19 +3611,8 @@ object SparkEntry {
         .withColumn("n_chars", when(pmod(col("doc_id"), lit(11L)) === 5,
           col("n_chars") + 1L).otherwise(col("n_chars")))
       val scratch = scratchDir("q89gate", d)
-      val streamDir = new java.io.File(scratch, "in")
-      streamDir.mkdirs()
-      for (i <- 0 until 3) {
-        val tmp = s"$scratch/shard$i"
-        docs.filter(col("doc_id") % 3 === i).coalesce(1)
-          .write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .find(_.getName.endsWith(".parquet")).get
-        val dst = new java.io.File(streamDir, f"batch$i%02d.parquet")
-        java.nio.file.Files.copy(part.toPath, dst.toPath,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        dst.setLastModified(1000000L * (i + 1))
-      }
+      val streamDir = scratchStreamBatches(scratch,
+        (0 until 3).map(i => docs.filter(col("doc_id") % 3 === i)))
       val rules = Seq(
         "lang_known" -> col("lang").isin("en", "de", "fr", "es", "zh"),
         "nchars_consistent" -> (col("n_chars") === length(col("text"))),
@@ -3644,7 +3620,7 @@ object SparkEntry {
         "id_present" -> col("doc_id").isNotNull)
       val base = s"$scratch/gated"
       EventStream.gatedIngestOnce(
-        EventStream.parquetFileStream(s, streamDir.getAbsolutePath),
+        EventStream.parquetFileStream(s, streamDir),
         rules, base)
       val vt = graft.sources.VersionedTable
       def cleanAgg(v: Int) =
@@ -3685,22 +3661,11 @@ object SparkEntry {
           iters = QualityIters, lr = QualityLr)
         .coalesce(1).write.mode("overwrite").parquet(wDir)
       val w = s.read.parquet(wDir)
-      val streamDir = new java.io.File(scratch, "in")
-      streamDir.mkdirs()
-      for (i <- 0 until 3) {
-        val tmp = s"$scratch/shard$i"
-        docs.filter(col("doc_id") % 3 === i).coalesce(1)
-          .write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .find(_.getName.endsWith(".parquet")).get
-        val dst = new java.io.File(streamDir, f"batch$i%02d.parquet")
-        java.nio.file.Files.copy(part.toPath, dst.toPath,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        dst.setLastModified(1000000L * (i + 1))
-      }
+      val streamDir = scratchStreamBatches(scratch,
+        (0 until 3).map(i => docs.filter(col("doc_id") % 3 === i)))
       val base = s"$scratch/gated"
       EventStream.scoredGatedIngestOnce(
-        EventStream.parquetFileStream(s, streamDir.getAbsolutePath),
+        EventStream.parquetFileStream(s, streamDir),
         batch => TextAnalysis.scoreWithWeights(batch, col("doc_id"),
           col("text"), w, nBuckets = QualityBuckets),
         scoreCol = "quality6", threshold = 500000L, base)
@@ -3740,22 +3705,11 @@ object SparkEntry {
         .select(col("shingle")).distinct()
         .coalesce(1).write.mode("overwrite").parquet(shDir)
       val benchSh = s.read.parquet(shDir)
-      val streamDir = new java.io.File(scratch, "in")
-      streamDir.mkdirs()
-      for (i <- 0 until 3) {
-        val tmp = s"$scratch/shard$i"
-        corpus.filter(col("doc_id") % 3 === i).coalesce(1)
-          .write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .find(_.getName.endsWith(".parquet")).get
-        val dst = new java.io.File(streamDir, f"batch$i%02d.parquet")
-        java.nio.file.Files.copy(part.toPath, dst.toPath,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        dst.setLastModified(1000000L * (i + 1))
-      }
+      val streamDir = scratchStreamBatches(scratch,
+        (0 until 3).map(i => corpus.filter(col("doc_id") % 3 === i)))
       val base = s"$scratch/gated"
       EventStream.scoredGatedIngestOnce(
-        EventStream.parquetFileStream(s, streamDir.getAbsolutePath),
+        EventStream.parquetFileStream(s, streamDir),
         batch => {
           val sh = TextAnalysis.explodedShingles(batch,
             col("doc_id"), col("text"), 3).distinct()
@@ -3799,21 +3753,10 @@ object SparkEntry {
       val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
       val corpus = docs.filter(pmod(col("doc_id"), lit(97)) =!= 0)
       val scratch = scratchDir("q105gate", d)
-      val streamDir = new java.io.File(scratch, "in")
-      streamDir.mkdirs()
-      for (i <- 0 until 3) {
-        val tmp = s"$scratch/shard$i"
-        corpus.filter(col("doc_id") % 3 === i).coalesce(1)
-          .write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .find(_.getName.endsWith(".parquet")).get
-        val dst = new java.io.File(streamDir, f"batch$i%02d.parquet")
-        java.nio.file.Files.copy(part.toPath, dst.toPath,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        dst.setLastModified(1000000L * (i + 1))
-      }
+      val streamDir = scratchStreamBatches(scratch,
+        (0 until 3).map(i => corpus.filter(col("doc_id") % 3 === i)))
       EventStream.transformIngestOnce(
-        EventStream.parquetFileStream(s, streamDir.getAbsolutePath),
+        EventStream.parquetFileStream(s, streamDir),
         b => TextAnalysis.exciseContaminatedSpans(b, bench,
           col("doc_id"), col("text"), n = 3),
         s"$scratch/excised")
@@ -4083,22 +4026,11 @@ object SparkEntry {
         col("doc_id"), col("text"), col("lang"), col("source"),
         col("n_chars"))
       val scratch = scratchDir("q93compact", d)
-      val streamDir = new java.io.File(scratch, "in")
-      streamDir.mkdirs()
-      for (i <- 0 until 6) {
-        val tmp = s"$scratch/shard$i"
-        docs.filter(col("doc_id") % 6 === i).coalesce(1)
-          .write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .find(_.getName.endsWith(".parquet")).get
-        val dst = new java.io.File(streamDir, f"batch$i%02d.parquet")
-        java.nio.file.Files.copy(part.toPath, dst.toPath,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        dst.setLastModified(1000000L * (i + 1))
-      }
+      val streamDir = scratchStreamBatches(scratch,
+        (0 until 6).map(i => docs.filter(col("doc_id") % 6 === i)))
       val table = s"$scratch/table"
       EventStream.autoCompactIngestOnce(
-        EventStream.parquetFileStream(s, streamDir.getAbsolutePath),
+        EventStream.parquetFileStream(s, streamDir),
         table, targetBytes = 64L * 1024, maxSmallFiles = 2)
       val vt = graft.sources.VersionedTable
       vt.readVersion(s, table, vt.versions(s, table).last)
@@ -5036,22 +4968,12 @@ object SparkEntry {
           .partitionBy("cell").parquet(s"$scratch/index")
         new java.io.File(s"$scratch/_built").createNewFile()
       }
-      val streamDir = new java.io.File(scratch, "in")
-      streamDir.mkdirs()
-      for (i <- 0 until 3) {
-        val tmp = s"$scratch/shard$i"
-        arrivals.filter(col("vec_id") % 3 === i).coalesce(1)
-          .write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .find(_.getName.endsWith(".parquet")).get
-        val dst = new java.io.File(streamDir, f"batch$i%02d.parquet")
-        java.nio.file.Files.copy(part.toPath, dst.toPath,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        dst.setLastModified(1000000L * (i + 1))
-      }
+      val streamDir = scratchStreamBatches(scratch,
+        (0 until 3).map(i =>
+          arrivals.filter(col("vec_id") % 3 === i)))
       val cents = s.read.parquet(s"$scratch/centroids")
       EventStream.transformIngestOnce(
-        EventStream.parquetFileStream(s, streamDir.getAbsolutePath),
+        EventStream.parquetFileStream(s, streamDir),
         b => Similarity.appendToIndex(b, cents, "vec_id", "embedding"),
         s"$scratch/ingested")
       val idx = s.read.parquet(s"$scratch/index").unionByName(
@@ -5095,23 +5017,13 @@ object SparkEntry {
         vt.commit(graphs, s"$scratch/state/graphs")
         new java.io.File(s"$scratch/_built").createNewFile()
       }
-      val streamDir = new java.io.File(scratch, "in")
-      streamDir.mkdirs()
-      for (i <- 0 until 3) {
-        val tmp = s"$scratch/shard$i"
-        arrivals.filter(col("vec_id") % 3 === i)
-          .select(col("vec_id"), col("embedding")).coalesce(1)
-          .write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .find(_.getName.endsWith(".parquet")).get
-        val dst = new java.io.File(streamDir, f"batch$i%02d.parquet")
-        java.nio.file.Files.copy(part.toPath, dst.toPath,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        dst.setLastModified(1000000L * (i + 1))
-      }
+      val streamDir = scratchStreamBatches(scratch,
+        (0 until 3).map(i =>
+          arrivals.filter(col("vec_id") % 3 === i)
+            .select(col("vec_id"), col("embedding"))))
       val cents = s.read.parquet(s"$scratch/centroids")
       EventStream.graphIngestOnce(
-        EventStream.parquetFileStream(s, streamDir.getAbsolutePath),
+        EventStream.parquetFileStream(s, streamDir),
         s"$scratch/state", base, cents, "vec_id", "embedding",
         degree = 12, nProbeBuild = 2, layerRatio = 16, nLayers = 2)
       val corpus = base.select(col("vec_id"), col("embedding"))
@@ -5643,23 +5555,9 @@ object SparkEntry {
         .map(r => (r.getLong(0), r.getSeq[Double](1).toArray,
           r.getDouble(2)))
       val scratch = scratchDir("q70sem", d)
-      val streamDir = new java.io.File(scratch, "in")
-      streamDir.mkdirs()
-      for (i <- 0 until 3) {
-        val tmp = s"$scratch/shard$i"
-        emb.filter(col("vec_id") % 3 === i).coalesce(1)
-          .write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .find(_.getName.endsWith(".parquet")).get
-        val dst = new java.io.File(streamDir, f"batch$i%02d.parquet")
-        java.nio.file.Files.copy(part.toPath, dst.toPath,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        // pinned, strictly increasing mtimes: the file source orders
-        // micro-batches by modification time
-        dst.setLastModified(1000000L * (i + 1))
-      }
-      val stream = EventStream.parquetFileStream(s,
-        streamDir.getAbsolutePath)
+      val streamDir = scratchStreamBatches(scratch,
+        (0 until 3).map(i => emb.filter(col("vec_id") % 3 === i)))
+      val stream = EventStream.parquetFileStream(s, streamDir)
       val res = Similarity.streamingSemanticDedup(stream, "vec_id",
         "embedding", cents, tau = 0.35)
       EventStream.runOnce(res, s"q70sem_${System.nanoTime()}",

@@ -717,12 +717,17 @@ object EventStream {
     val q = src.writeStream
       .foreachBatch {
         (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val scored = score(batch.toDF())
-          .localCheckpoint(true) // score once, feed both sinks
-        lockstepCommit(scored.filter(col(scoreCol) >= threshold),
-          s"$baseDir/table", batchId)
-        lockstepCommit(scored.filter(!(col(scoreCol) >= threshold)),
-          s"$baseDir/quarantine", batchId)
+        // persist/unpersist (not localCheckpoint): score once, feed
+        // both sinks, then RELEASE — a checkpoint would pin executor
+        // blocks the stream never revisits, accumulating across
+        // batches of a long-running ingest
+        val scored = score(batch.toDF()).persist()
+        try {
+          lockstepCommit(scored.filter(col(scoreCol) >= threshold),
+            s"$baseDir/table", batchId)
+          lockstepCommit(scored.filter(!(col(scoreCol) >= threshold)),
+            s"$baseDir/quarantine", batchId)
+        } finally scored.unpersist()
         ()
       }
       .trigger(Trigger.AvailableNow())
@@ -746,13 +751,17 @@ object EventStream {
     val q = src.writeStream
       .foreachBatch {
         (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val checked = graft.operators.Constraints.check(batch.toDF(), rules)
-          .localCheckpoint(true) // gate once, feed both sinks
-        lockstepCommit(
-          checked.filter(col("reasons") === 0L).drop("reasons"),
-          s"$baseDir/table", batchId)
-        lockstepCommit(checked.filter(col("reasons") =!= 0L),
-          s"$baseDir/quarantine", batchId)
+        // persist/unpersist, not localCheckpoint — see
+        // scoredGatedIngestOnce: blocks release per batch
+        val checked = graft.operators.Constraints
+          .check(batch.toDF(), rules).persist()
+        try {
+          lockstepCommit(
+            checked.filter(col("reasons") === 0L).drop("reasons"),
+            s"$baseDir/table", batchId)
+          lockstepCommit(checked.filter(col("reasons") =!= 0L),
+            s"$baseDir/quarantine", batchId)
+        } finally checked.unpersist()
         ()
       }
       .trigger(Trigger.AvailableNow())
