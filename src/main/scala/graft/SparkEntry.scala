@@ -2365,6 +2365,38 @@ object SparkEntry {
         col("doc_id"), col("text"), n = 3)
     }),
 
+    // HTML main-content extraction with link-density boilerplate
+    // removal (the jusText/trafilatura heuristic, model-free): the
+    // fixture wraps each document in a deterministic page template —
+    // head/title + script/style (must vanish), a pure-link nav and
+    // footer (anchor density 1.0 → dropped), an h1 and the escaped
+    // body (kept) — so the oracle can state the expected extraction
+    // analytically: exactly the heading + the whitespace-collapsed
+    // original text, nothing else. Entities escape→decode round-trip
+    // through the template. Pure codegen'd regexp/HOF chain, no UDF
+    "t48_html_extract" -> ((s, d) => {
+      val esc = replace(replace(replace(col("text"),
+        lit("&"), lit("&amp;")), lit("<"), lit("&lt;")),
+        lit(">"), lit("&gt;"))
+      val html = concat(
+        lit("<html><head><title>Doc "), col("doc_id"),
+        lit("</title><style>p{color:red}</style>" +
+          "<script>var x=\"<p>nope</p>\";</script></head><body>" +
+          "<nav><a href=\"/\">Home</a> <a href=\"/a\">About</a> " +
+          "<a href=\"/c\">Contact</a></nav><h1>Doc "), col("doc_id"),
+        lit("</h1><p>"), esc,
+        lit("</p><footer><a href=\"/tos\">Terms of Service</a> " +
+          "<a href=\"/p\">Privacy</a></footer></body></html>"))
+      val pages = Tables.documents(s, d)
+        .select(col("doc_id"), html.as("html"))
+      TextAnalysis.htmlMainText(pages, col("doc_id"), col("html"),
+          maxLinkDensity = 0.5)
+        .agg(count(lit(1)).as("cnt"),
+          sum(Tables.hashU32(col("main_text"), 11)).as("main_sum"),
+          sum(col("n_blocks")).as("blocks_sum"),
+          sum(col("n_kept")).as("kept_sum"))
+    }),
+
     // RefinedWeb-style duplicate-span coverage: fraction of each doc's
     // 5-token windows that recur in at least 2 documents
     "t11_dup_span_stats" -> ((s, d) =>
@@ -2502,6 +2534,34 @@ object SparkEntry {
     }),
 
     // community detection over the same near-dup graph: synchronous
+    // canonical-URL dedup — the zero-content dedup tier every crawl
+    // pipeline runs FIRST (one page arrives under thousands of raw
+    // URLs): case-variant hosts, default ports, fragments, tracking
+    // params, param order, trailing slashes and www. all collapse via
+    // a pure codegen'd regexp/HOF map (NO UDF), then one
+    // hash-partitioned groupBy. The fixture builds three deterministic
+    // raw variants per canonical page (doc_id div 3 = page), so the
+    // oracle can state the expected canonical form analytically —
+    // an independent check of the whole rewrite chain
+    "d22_url_dedup" -> ((s, d) => {
+      val g = floor(col("doc_id") / 3).cast("long")
+      val h = pmod(g, lit(7))
+      val v = pmod(col("doc_id"), lit(3))
+      val url = when(v === 0,
+          concat(lit("https://Site"), h, lit(".Example.COM/p/"), g,
+            lit("?b=2&a=1")))
+        .when(v === 1,
+          concat(lit("HTTPS://site"), h, lit(".example.com:443/p/"), g,
+            lit("/?a=1&utm_source=feed&b=2#frag")))
+        .otherwise(
+          concat(lit("https://www.site"), h, lit(".example.com/p/"), g,
+            lit("?utm_campaign=x&b=2&a=1")))
+      Dedup.urlDedup(
+        Tables.documents(s, d).select(col("doc_id"))
+          .withColumn("url", url),
+        col("doc_id"), col("url"))
+    }),
+
     // LPA, 3 unrolled rounds, mode-of-neighbor-labels with min
     // tie-break — the finer clustering d8's transitive closure can't
     // give (closure merges chains; LPA keeps dense cores apart)
@@ -3180,6 +3240,18 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") % 25 === 0),
         "vec_id", "embedding", 5)
+    }),
+
+    // ColBERT-style late-interaction retrieval: pooled-cosine top-30
+    // shortlist, then exact MaxSim over 8-token multi-vector views of
+    // the candidates only (candK·T² cosines/query, corpus-independent;
+    // query tokens broadcast); per-token maxes quantized to micro-units
+    // and summed as longs
+    "s44_maxsim_rerank" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.maxSimRerank(emb,
+        emb.filter(col("vec_id") % 125 === 0),
+        "vec_id", "embedding", nTokens = 8, candK = 30, k = 5)
     }),
 
     // index size derives from the corpus count (autoPlanes) — the same
@@ -5815,6 +5887,61 @@ object SparkEntry {
         .withColumn("n_files", lit(receipts.size.toLong))
     }),
 
+    // WARC shards (the Common Crawl container, ~100 TB/month of the
+    // public web ships in it): member-per-record gzip framing with a
+    // warcinfo record leading each shard and the CDX index written
+    // alongside. Full sequential scan: shards are the split unit, each
+    // streams through one multi-member GZIPInputStream; census proves
+    // uri + body round-trip through the HTTP response block
+    "k14_warc_roundtrip" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(
+        col("doc_id"),
+        concat(lit("https://"), col("source"), lit(".example.com/"),
+          col("lang"), lit("/"), col("doc_id")).as("uri"),
+        col("text"))
+      val scratch = scratchDir("graft_warc", d)
+      val receipts = graft.sources.WarcShards.write(docs, "doc_id",
+        "uri", "text", scratch, "crawl", numShards = 4)
+      val back = graft.sources.WarcShards.read(
+        s, s"$scratch/crawl_*.warc.gz")
+      back.filter(col("warc_type") === "response")
+        .select(split(col("target_uri"), "/").getItem(3).as("lang"),
+          split(col("target_uri"), "/").getItem(4).cast("long")
+            .as("doc_id"),
+          col("body").cast("string").as("text"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("doc_id")).as("id_sum"),
+          sum(Tables.hashU32(col("text"), 11)).as("content_sum"))
+        .withColumn("n_files", lit(receipts.size.toLong))
+    }),
+
+    // CDX-indexed WARC fetch — the Common Crawl random-access pattern
+    // and the 100 TB read path: the parquet CDX names exactly the
+    // members to fetch (predicate on index METADATA, zero data I/O),
+    // then each task seeks to its offsets and reads warc_length bytes
+    // per record — total data I/O is O(selected), corpus-independent
+    "k15_warc_cdx_fetch" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(
+        col("doc_id"),
+        concat(lit("https://"), col("source"), lit(".example.com/"),
+          col("lang"), lit("/"), col("doc_id")).as("uri"),
+        col("text"))
+      val scratch = scratchDir("graft_warccdx", d)
+      graft.sources.WarcShards.write(docs, "doc_id", "uri", "text",
+        scratch, "crawl", numShards = 4)
+      val cdx = s.read.parquet(
+        graft.sources.WarcShards.cdxPath(scratch, "crawl"))
+      val picked = cdx.filter(col("doc_id") % 97 === 0)
+      graft.sources.WarcShards.readIndexed(picked, scratch)
+        .select(split(col("target_uri"), "/").getItem(4).cast("long")
+            .as("doc_id"),
+          col("body").cast("string").as("text"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("doc_id")).as("id_sum"),
+          sum(Tables.hashU32(col("text"), 11)).as("content_sum"))
+    }),
+
     // partition-pruned layout: write partitioned by lang, read back
     // with a partition filter — the scan must touch only 2 of the
     // lang directories (PlanAudit shows the pruned partition count)
@@ -7312,6 +7439,22 @@ object SparkEntry {
          |LEFT JOIN res USING (doc_id)""".stripMargin
     },
 
+    // the fixture's analytically-known answer: main text is exactly
+    // the h1 heading + newline + the whitespace-collapsed document
+    // (head/script/style vanished, nav and footer dropped at anchor
+    // density 1.0, entities round-tripped); 4 nonempty blocks per
+    // page, 2 kept
+    "t48_html_extract" ->
+      s"""WITH m AS (
+         |  SELECT 'Doc ' || doc_id || chr(10) ||
+         |    trim(regexp_replace(text, '\\s+', ' ', 'g')) AS main_text
+         |  FROM documents)
+         |SELECT CAST(count(*) AS BIGINT) AS cnt,
+         | CAST(sum(${duckU32("main_text", 11)}) AS BIGINT) AS main_sum,
+         | CAST(4 * count(*) AS BIGINT) AS blocks_sum,
+         | CAST(2 * count(*) AS BIGINT) AS kept_sum
+         |FROM m""".stripMargin,
+
     // the Bloom pre-filter has no false negatives and the exact join
     // removes false positives, so t10's result IS t7's result — one
     // oracle serves both plans
@@ -8039,6 +8182,33 @@ object SparkEntry {
          |JOIN sizes zb ON zb.doc_id = i.doc_b
          |WHERE i.inter / least(za.sz, zb.sz)::DOUBLE >= 0.9"""
         .stripMargin,
+
+    // the oracle derives the EXPECTED canonical form analytically from
+    // the same deterministic variant construction — an independent
+    // statement of what the rewrite chain must produce
+    "d22_url_dedup" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |   CAST(floor(doc_id / 3) AS BIGINT) AS g,
+        |   CAST(floor(doc_id / 3) AS BIGINT) % 7 AS h,
+        |   doc_id % 3 AS v
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |   'https://site' || h || '.example.com/p/' || g ||
+        |     '?a=1&b=2' AS canonical_url,
+        |   CASE WHEN v = 0 THEN 'https://Site' || h || '.Example.COM/p/'
+        |     || g || '?b=2&a=1'
+        |   WHEN v = 1 THEN 'HTTPS://site' || h || '.example.com:443/p/'
+        |     || g || '/?a=1&utm_source=feed&b=2#frag'
+        |   ELSE 'https://www.site' || h || '.example.com/p/' || g ||
+        |     '?utm_campaign=x&b=2&a=1' END AS url
+        |  FROM raw)
+        |SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_raw,
+        | CAST(count(DISTINCT url) AS BIGINT) AS n_raw_distinct,
+        | CAST(min(doc_id) AS BIGINT) AS keep_id,
+        | CAST(sum(doc_id) - min(doc_id) AS BIGINT) AS dropped_id_sum
+        |FROM c GROUP BY 1""".stripMargin,
 
     // d12's edge CTEs, then 3 unrolled synchronous LPA rounds: count
     // neighbor labels, argmax with (count desc, label asc) tie-break
@@ -9285,6 +9455,60 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, rank, neighbor_id, cosine
         |FROM ranked WHERE rank <= 5""".stripMargin,
+
+    // same two stages as the plan: pooled-cosine top-30 shortlist,
+    // then MaxSim over the 8 contiguous 8-dim token slices of shortlist
+    // members only; identical left-fold dot order, micro-unit
+    // quantization before the integer sum
+    "s44_maxsim_rerank" -> {
+      def dotf(a: String, b: String, n: String) =
+        s"""list_reduce(list_transform(range(1, $n + 1),
+           |  i -> $a[i] * $b[i]), (x, y) -> x + y)""".stripMargin
+      def normf(a: String) =
+        s"""sqrt(list_reduce(list_transform($a, x -> x * x),
+           |  (x, y) -> x + y))""".stripMargin
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v FROM e
+         |  WHERE vec_id % 125 = 0),
+         |cands AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.query_id, c.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+         |        ${dotf("q.v", "c.v", "len(q.v)")} /
+         |        (${normf("q.v")} * ${normf("c.v")}) DESC, c.vec_id)
+         |        AS rk
+         |    FROM q JOIN e c ON c.vec_id <> q.query_id)
+         |  WHERE rk <= 30),
+         |qt AS (
+         |  SELECT query_id, ps.p AS qpos, v[(ps.p*8+1):(ps.p*8+8)] AS t
+         |  FROM q, (SELECT unnest(range(8)) AS p) ps),
+         |dt AS (
+         |  SELECT e.vec_id AS neighbor_id, ps.p AS dpos,
+         |    v[(ps.p*8+1):(ps.p*8+8)] AS t
+         |  FROM e, (SELECT unnest(range(8)) AS p) ps
+         |  WHERE e.vec_id IN (SELECT DISTINCT neighbor_id FROM cands)),
+         |tok AS (
+         |  SELECT c.query_id, c.neighbor_id, qt.qpos,
+         |    max(${dotf("qt.t", "dt.t", "8")} /
+         |      (${normf("qt.t")} * ${normf("dt.t")})) AS m
+         |  FROM cands c JOIN qt USING (query_id)
+         |  JOIN dt USING (neighbor_id)
+         |  GROUP BY 1, 2, 3),
+         |sc AS (
+         |  SELECT query_id, neighbor_id,
+         |    CAST(sum(CAST(round(m * 1e6) AS BIGINT)) AS BIGINT)
+         |      AS maxsim6
+         |  FROM tok GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, maxsim6,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY maxsim6 DESC, neighbor_id) AS BIGINT) AS rank
+         |  FROM sc)
+         |SELECT query_id, rank, neighbor_id, maxsim6
+         |FROM ranked WHERE rank <= 5""".stripMargin
+    },
 
     // np derives from count(*) exactly as Similarity.autoPlanes: for
     // integer m, log2(m) is exact or ≥1/(m·ln2) from an integer, so
@@ -11280,6 +11504,19 @@ object SparkEntry {
          | CAST(sum(${duckU32("text", 11)}) AS BIGINT) AS content_sum,
          | CAST(5 AS BIGINT) AS n_files
          |FROM documents GROUP BY 1""".stripMargin,
+
+    "k14_warc_roundtrip" ->
+      s"""SELECT lang, CAST(count(*) AS BIGINT) AS cnt,
+         | CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         | CAST(sum(${duckU32("text", 11)}) AS BIGINT) AS content_sum,
+         | CAST(4 AS BIGINT) AS n_files
+         |FROM documents GROUP BY 1""".stripMargin,
+
+    "k15_warc_cdx_fetch" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS cnt,
+         | CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         | CAST(sum(${duckU32("text", 11)}) AS BIGINT) AS content_sum
+         |FROM documents WHERE doc_id % 97 = 0""".stripMargin,
 
     "q42_partition_pruning" ->
       """SELECT lang, source, CAST(count(*) AS BIGINT) AS cnt,

@@ -983,6 +983,68 @@ object Stress {
       benchSh.unpersist()
       corpus.count()
     }
+
+    t("r11_crawl_ops") {
+      // WARC shards built once OUTSIDE the timed legs (the stored
+      // corpus artifact, like the ANN indexes above); the CDX fetch
+      // leg then reads the SAME fixed ~52-record set at every
+      // multiplier — flat time is the Common Crawl random-access
+      // contract (data I/O O(selected records), corpus-independent)
+      val warcDir = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_stress_warc_${ProcessHandle.current().pid()}").toString
+      val pages = docs.select(col("doc_id"),
+        concat(lit("https://site"), pmod(col("doc_id"), lit(97)),
+          lit(".example.com/p/"), col("doc_id")).as("uri"),
+        col("text"))
+      graft.sources.WarcShards.write(pages, "doc_id", "uri", "text",
+        warcDir, "crawl", numShards = 32)
+      val cdx = spark.read.parquet(
+        graft.sources.WarcShards.cdxPath(warcDir, "crawl")).persist()
+      cdx.count()
+      leg("k15_cdx_fetch") {
+        graft.sources.WarcShards.readIndexed(
+          cdx.filter(col("doc_id") < 10000000L &&
+            pmod(col("doc_id"), lit(97)) === 0), warcDir).count()
+      }
+      leg("t48_html_extract") {
+        val esc = replace(replace(replace(col("text"),
+          lit("&"), lit("&amp;")), lit("<"), lit("&lt;")),
+          lit(">"), lit("&gt;"))
+        val html = concat(
+          lit("<html><head><title>Doc "), col("doc_id"),
+          lit("</title></head><body><nav><a href=\"/\">Home</a> " +
+            "<a href=\"/a\">About</a></nav><h1>Doc "), col("doc_id"),
+          lit("</h1><p>"), esc,
+          lit("</p><footer><a href=\"/t\">Terms</a></footer>" +
+            "</body></html>"))
+        TextAnalysis.htmlMainText(
+          docs.select(col("doc_id"), html.as("html")),
+          col("doc_id"), col("html"), maxLinkDensity = 0.5).count()
+      }
+      leg("d22_url_dedup") {
+        Dedup.urlDedup(pages, col("doc_id"), col("uri")).count()
+      }
+      cdx.unpersist()
+      def rmTree(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rmTree))
+        f.delete(): Unit
+      }
+      rmTree(new java.io.File(warcDir))
+      docs.count()
+    }
+
+    t("s44_maxsim(fixed-queries)") {
+      // stage 1 (pooled shortlist) is the declared-exact corpus-linear
+      // baseline; stage 2 is candK·T²-bounded per query — the growth
+      // curve should track stage 1 alone
+      val queries = emb.filter(col("vec_id") < 10000000L &&
+        pmod(col("vec_id"), lit(125)) === 0)
+      leg("s44_rerank") {
+        Similarity.maxSimRerank(emb, queries, "vec_id", "embedding",
+          nTokens = 8, candK = 30, k = 5).count()
+      }
+    }
     spark.stop()
   }
 }

@@ -1157,4 +1157,70 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
+
+  /** Query-string parameters dropped by [[canonicalizeUrl]]: the
+    * click-tracking decorations that make one page arrive under
+    * thousands of distinct URLs in a crawl (the reason raw-URL dedup
+    * under-merges badly). Matched on the parameter NAME prefix. */
+  private val TrackingParams =
+    Seq("utm_", "fbclid=", "gclid=", "msclkid=", "ref=", "mc_cid=",
+      "mc_eid=")
+
+  /** Canonical form of a URL — the crawl-dedup key every web-scale
+    * pipeline computes before anything content-based runs (one page =
+    * many raw URLs: case-variant hosts, default ports, fragments,
+    * tracking params, param order, trailing slashes, `www.`).
+    *
+    * Entirely a composition of codegen'd built-in expressions (regexp /
+    * split / higher-order array functions) — NO UDF — so at 100 TB it
+    * runs inside whole-stage codegen as a pure map stage and the dedup
+    * itself is one hash-partitioned groupBy on the result.
+    *
+    * Normalizations (each deterministic and DuckDB-replicable):
+    * scheme + host lowercased; `www.` stripped; default ports (:80
+    * http, :443 https) stripped, other ports kept; fragment dropped;
+    * tracking params dropped and the remainder SORTED; trailing
+    * slashes stripped from the path. Percent-encoding case and dot-
+    * segment resolution are out of scope (they need a decoder, not a
+    * rewrite — documented non-goals). */
+  def canonicalizeUrl(url: Column): Column = {
+    val u = trim(url)
+    val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.\\-]*)://", 1))
+    // authority [host[:port]] = everything between :// and / ? #
+    val noFrag = regexp_replace(
+      regexp_replace(u, "^[A-Za-z][A-Za-z0-9+.\\-]*://", ""), "#.*$", "")
+    val authority = regexp_extract(noFrag, "^([^/?]*)", 1)
+    val pathQuery = regexp_replace(noFrag, "^[^/?]*", "")
+    val port = regexp_extract(authority, ":([0-9]+)$", 1)
+    val host = regexp_replace(
+      lower(regexp_replace(authority, ":[0-9]+$", "")), "^www\\.", "")
+    val keepPort = when(port === "", lit(""))
+      .when(scheme === lit("http") && port === "80", lit(""))
+      .when(scheme === lit("https") && port === "443", lit(""))
+      .otherwise(concat(lit(":"), port))
+    val path = regexp_replace(regexp_extract(pathQuery, "^([^?]*)", 1),
+      "/+$", "")
+    val query = regexp_extract(pathQuery, "\\?(.*)$", 1)
+    val kept = filter(split(query, "&"), p =>
+      p =!= "" && !TrackingParams.map(t => p.startsWith(t))
+        .reduce(_ || _))
+    val q = array_join(array_sort(kept), "&")
+    concat(scheme, lit("://"), host, keepPort, path,
+      when(q === "", lit("")).otherwise(concat(lit("?"), q)))
+  }
+
+  /** Canonical-URL dedup census: groups whose raw URLs collapse to one
+    * canonical form, with the lowest doc id the survivor (the house
+    * dedup keep rule). One codegen'd map (canonicalize) + one
+    * hash-partitioned groupBy — the cheapest dedup tier of all, run
+    * FIRST in every crawl pipeline because it needs no content. */
+  def urlDedup(docs: DataFrame, idCol: Column, urlCol: Column)
+      : DataFrame =
+    docs.select(idCol.as("doc_id"), urlCol.as("url"))
+      .withColumn("canonical_url", canonicalizeUrl(col("url")))
+      .groupBy(col("canonical_url"))
+      .agg(count(lit(1)).as("n_raw"),
+        countDistinct(col("url")).as("n_raw_distinct"),
+        min(col("doc_id")).as("keep_id"),
+        (sum(col("doc_id")) - min(col("doc_id"))).as("dropped_id_sum"))
 }

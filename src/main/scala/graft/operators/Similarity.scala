@@ -59,6 +59,62 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
+  /** ColBERT-style late-interaction re-rank (Khattab & Zaharia 2020 —
+    * MaxSim): documents and queries carry TOKEN-level vectors and
+    * score(q, d) = Σ_{i∈q tokens} max_{j∈d tokens} cos(q_i, d_j). The
+    * token vectors here are the `nTokens` contiguous slices of each
+    * stored vector — a deterministic multi-vector view; the plumbing
+    * (per-token explode, candidate-bounded re-rank, quantized sums) is
+    * the operator.
+    *
+    * Two-stage, the production ColBERT serving shape: candidates come
+    * from the POOLED vector's top-candK (the exact baseline here —
+    * swap in any ANN tier, IVF s5 / graph s28, without touching the
+    * re-rank), then exact MaxSim runs ONLY on those candidates:
+    * candK·nTokens² cosines per query, corpus-independent, with the
+    * query-token side broadcast. Per-token maxes are doubles (max of
+    * identically-computed values — no accumulation), quantized to
+    * micro-units, and summed AS LONGS over query tokens so the final
+    * score is shuffle-order-independent integer math. */
+  def maxSimRerank(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, nTokens: Int, candK: Int, k: Int): DataFrame = {
+    val cands = bruteForceTopK(corpus, queries, idCol, vecCol, candK)
+      .select(col("query_id"), col("neighbor_id"))
+    def explodeTokens(df: DataFrame, outId: String,
+        pos: String, tok: String, tnorm: String): DataFrame = {
+      val tl = (size(col("vec")) / nTokens).cast("int")
+      df.select(col(outId), posexplode(transform(
+          sequence(lit(0), lit(nTokens - 1)),
+          i => slice(col("vec"), i * tl + 1, tl))).as(Seq(pos, tok)))
+        .withColumn(tnorm, norm(col(tok)))
+    }
+    val qt = explodeTokens(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("vec")),
+      "query_id", "qpos", "qtok", "qnorm")
+    val dt = explodeTokens(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("vec"))
+        .join(cands.select(col("neighbor_id")).distinct(),
+          Seq("neighbor_id"), "left_semi"),
+      "neighbor_id", "dpos", "dtok", "dnorm")
+    val tokenMax = dt
+      .join(broadcast(cands), Seq("neighbor_id"))
+      .join(broadcast(qt), Seq("query_id"))
+      .withColumn("cos",
+        dot(col("qtok"), col("dtok")) / (col("qnorm") * col("dnorm")))
+      .groupBy(col("query_id"), col("neighbor_id"), col("qpos"))
+      .agg(max(col("cos")).as("m"))
+      .withColumn("m6", round(col("m") * 1e6).cast("long"))
+    val scored = tokenMax
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("m6")).as("maxsim6"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("maxsim6").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("maxsim6"))
+  }
+
   /** The md5-derived plane components computed driver-side (plain
     * Scala MessageDigest) — bit-identical to
     * the DuckDB expression `('0x'||substr(md5(p||'_'||d||'#101'),1,8))

@@ -1385,4 +1385,95 @@ object TextAnalysis {
         col("n_repl") === 0 && col("n_ctrl") === 0)
   }
 
+  /** Block-level HTML tags: their open AND close tags both end a text
+    * block (the jusText/trafilatura segmentation rule). Inline tags
+    * (a, b, span, em, …) do NOT split — their text belongs to the
+    * enclosing block. */
+  private val BlockTags =
+    "p|div|br|hr|li|ul|ol|h[1-6]|nav|footer|header|aside|main|table|" +
+      "thead|tbody|tr|td|th|section|article|blockquote|pre|form|" +
+      "body|html|head|title|figure|figcaption"
+
+  /** Decode the HTML entities that appear in escaped text content.
+    * `&amp;` is decoded LAST — decoding it first would double-decode
+    * `&amp;lt;` into `<`. Named entities beyond these (and numeric
+    * references other than `&#39;`) are out of scope: they need a
+    * table, not a rewrite. */
+  private def decodeEntities(t: Column): Column = {
+    val steps = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&apos;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+    steps.foldLeft(t) { case (c, (from, to)) =>
+      replace(c, lit(from), lit(to))
+    }
+  }
+
+  private def collapseWs(t: Column): Column =
+    trim(regexp_replace(t, "\\s+", " "))
+
+  /** Strip comments, then script/style elements WITH their content
+    * (two passes — RE2, the oracle engine's regex dialect, has no
+    * backreferences so `</\1>` is off the table). */
+  private def stripNonContent(html: Column): Column = {
+    val noComment = regexp_replace(html, "(?s)<!--.*?-->", " ")
+    // the whole <head> element is metadata, not content (title text
+    // leaking into extracted body is a classic naive-stripper bug);
+    // (?:\s[^>]*)? keeps <header> from matching the <head> pattern
+    val noHead = regexp_replace(noComment,
+      "(?is)<head(?:\\s[^>]*)?>.*?</head>", " ")
+    val noScript = regexp_replace(noHead,
+      "(?is)<script[^>]*>.*?</script>", " ")
+    regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+  }
+
+  /** Plain-text extraction from an HTML column: comments, script and
+    * style elements removed with their content, every remaining tag
+    * dropped, entities decoded, whitespace collapsed. Pure codegen'd
+    * regexp/replace chain — NO UDF — so at 100 TB it is a map stage
+    * inside whole-stage codegen. Attribute values containing a raw
+    * `>` (legal but rare) are an accepted mis-split: a real crawl
+    * pipeline normalizes those upstream. */
+  def htmlToText(html: Column): Column =
+    collapseWs(decodeEntities(
+      regexp_replace(stripNonContent(html), "(?s)<[^>]*>", " ")))
+
+  /** Main-content extraction with link-density boilerplate removal —
+    * the jusText/trafilatura heuristic that separates navigation/
+    * footer chrome from body text WITHOUT a model: split the page
+    * into blocks at block-level tags, score each block by
+    * anchor-text-length / text-length, and keep blocks under the
+    * threshold. Navigation bars and footers are nearly 100% anchor
+    * text; article bodies are nearly 0%.
+    *
+    * Returns one row per input row: (kept main text, n_blocks,
+    * n_kept). Entirely built from split + higher-order array
+    * functions over the block array — per-row local, shuffle-free. */
+  def htmlMainText(docs: DataFrame, idCol: Column, htmlCol: Column,
+      maxLinkDensity: Double): DataFrame = {
+    val sentinel = "\u0001"
+    val blocksRaw = split(
+      regexp_replace(stripNonContent(htmlCol),
+        s"(?i)</?(?:$BlockTags)(?:\\s[^>]*)?>", sentinel),
+      sentinel)
+    val out = docs.select(idCol.as("doc_id"),
+        blocksRaw.as("blocks_html"))
+      .withColumn("blocks", filter(
+        transform(col("blocks_html"), b => struct(
+          collapseWs(decodeEntities(
+            regexp_replace(b, "(?s)<[^>]*>", " "))).as("text"),
+          collapseWs(decodeEntities(regexp_replace(
+            array_join(regexp_extract_all(b,
+              lit("(?is)<a[^>]*>(.*?)</a>"), lit(1)), " "),
+            "(?s)<[^>]*>", " "))).as("anchor"))),
+        b => length(b.getField("text")) > 0))
+      .withColumn("kept", filter(col("blocks"), b =>
+        length(b.getField("anchor")).cast("double") <=
+          lit(maxLinkDensity) * length(b.getField("text"))
+            .cast("double")))
+    out.select(col("doc_id"),
+      array_join(transform(col("kept"), _.getField("text")), "\n")
+        .as("main_text"),
+      size(col("blocks")).cast("long").as("n_blocks"),
+      size(col("kept")).cast("long").as("n_kept"))
+  }
+
 }

@@ -147,11 +147,17 @@ class ExtendedOpsSpec extends SparkSpec {
     assert(capped.count() == 5)
   }
 
-  test("multimodal: media frame schema, batch kernel, stubbed modalities") {
+  test("multimodal: media frame schema, batch kernel, real codecs, " +
+      "null for undecodable blobs") {
     import graft.operators.Multimodal
     val rows = (0L until 10L).map { i =>
-      if (i % 2 == 0) (i, "image", ImageKernels.synthPng(i, 8, 8))
-      else (i, "audio", Array.tabulate[Byte](256)(j => ((i * 31 + j) % 127).toByte))
+      if (i == 9L) // audio-tagged bytes that are NOT a WAV container
+        (i, "audio", Array.tabulate[Byte](256)(j =>
+          ((i * 31 + j) % 127).toByte))
+      else if (i % 2 == 0) (i, "image", ImageKernels.synthPng(i, 8, 8))
+      else (i, "audio", Multimodal.wavEncodePcm16(
+        Array.tabulate[Short](160)(j => ((i * 193 + j * 57) % 4096 - 2048)
+          .toShort), 16000))
     }
     val df = rows.toDF("media_id", "modality", "blob")
     val media = Multimodal.toMediaFrame(df)
@@ -163,14 +169,18 @@ class ExtendedOpsSpec extends SparkSpec {
     val feats = Multimodal.batchFeatures(media, batchSize = 4)
     assert(feats.schema == Multimodal.featureSchema)
     val byId = feats.select(col("media_id"), col("feature"))
-      .as[(Long, Seq[Float])].collect().toMap
-    assert(byId(0L).length == 64) // image: 8x8 luminance
-    assert(byId(1L).length == 16) // audio stub: windowed energy
-    assert(byId(0L).forall(v => v >= 0f && v <= 1f))
+      .as[(Long, Option[Seq[Float]])].collect().toMap
+    assert(byId(0L).get.length == 64) // image: 8x8 luminance
+    assert(byId(1L).get.length == 16) // audio: 16-window RMS
+    assert(byId(0L).get.forall(v => v >= 0f && v <= 1f))
+    assert(byId(1L).get.forall(_ >= 0f))
+    // a blob that is not its claimed container yields NO feature —
+    // never a fake one (the retired-stub contract)
+    assert(byId(9L).isEmpty)
     // deterministic
     val again = Multimodal.batchFeatures(media, 4)
       .select(col("media_id"), col("feature"))
-      .as[(Long, Seq[Float])].collect().toMap
+      .as[(Long, Option[Seq[Float]])].collect().toMap
     assert(again == byId)
   }
 
