@@ -1601,6 +1601,85 @@ object SparkEntry {
     * and the best entryW nodes seed the layer-0 beam. Shares every
     * graph-build and round CTE with the s24 twin via duckNswBody so
     * the two mirrors cannot drift. */
+  /** Canonical-URL dedup census over the three-variant fixture —
+    * shared verbatim by the batch plan (d22) and the streaming WARC
+    * ingest (q106), whose additive state makes the final census
+    * slicing-independent. */
+  private lazy val DuckUrlDedup: String =
+    """WITH raw AS (
+      |  SELECT doc_id,
+      |   CAST(floor(doc_id / 3) AS BIGINT) AS g,
+      |   CAST(floor(doc_id / 3) AS BIGINT) % 7 AS h,
+      |   doc_id % 3 AS v
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id,
+      |   'https://site' || h || '.example.com/p/' || g ||
+      |     '?a=1&b=2' AS canonical_url,
+      |   CASE WHEN v = 0 THEN 'https://Site' || h || '.Example.COM/p/'
+      |     || g || '?b=2&a=1'
+      |   WHEN v = 1 THEN 'HTTPS://site' || h || '.example.com:443/p/'
+      |     || g || '/?a=1&utm_source=feed&b=2#frag'
+      |   ELSE 'https://www.site' || h || '.example.com/p/' || g ||
+      |     '?utm_campaign=x&b=2&a=1' END AS url
+      |  FROM raw)
+      |SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_raw,
+      | CAST(count(DISTINCT url) AS BIGINT) AS n_raw_distinct,
+      | CAST(min(doc_id) AS BIGINT) AS keep_id,
+      | CAST(sum(doc_id) - min(doc_id) AS BIGINT) AS dropped_id_sum
+      |FROM c GROUP BY 1""".stripMargin
+
+  /** DuckDB left-fold dot product over the first `n` elements. */
+  private def duckDotf(a: String, b: String, n: String): String =
+    s"""list_reduce(list_transform(range(1, $n + 1),
+       |  i -> $a[i] * $b[i]), (x, y) -> x + y)""".stripMargin
+
+  /** DuckDB L2 norm (left-fold, doubles). */
+  private def duckNormf(a: String): String =
+    s"""sqrt(list_reduce(list_transform($a, x -> x * x),
+       |  (x, y) -> x + y))""".stripMargin
+
+  /** DuckDB twin of Similarity.maxSimRerankOn: `candsSql` yields the
+    * (query_id, neighbor_id) shortlist (it may reference the `e`/`q`
+    * CTEs defined before it, or be fully self-contained); the MaxSim
+    * re-rank CTEs are shared verbatim across every candidate tier. */
+  private def duckMaxSim(candsSql: String, queryWhere: String)
+      : String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, v FROM e
+       |  WHERE $queryWhere),
+       |cands AS (
+       |  $candsSql),
+       |qt AS (
+       |  SELECT query_id, ps.p AS qpos, v[(ps.p*8+1):(ps.p*8+8)] AS t
+       |  FROM q, (SELECT unnest(range(8)) AS p) ps),
+       |dt AS (
+       |  SELECT e.vec_id AS neighbor_id, ps.p AS dpos,
+       |    v[(ps.p*8+1):(ps.p*8+8)] AS t
+       |  FROM e, (SELECT unnest(range(8)) AS p) ps
+       |  WHERE e.vec_id IN (SELECT DISTINCT neighbor_id FROM cands)),
+       |tok AS (
+       |  SELECT c.query_id, c.neighbor_id, qt.qpos,
+       |    max(${duckDotf("qt.t", "dt.t", "8")} /
+       |      (${duckNormf("qt.t")} * ${duckNormf("dt.t")})) AS m
+       |  FROM cands c JOIN qt USING (query_id)
+       |  JOIN dt USING (neighbor_id)
+       |  GROUP BY 1, 2, 3),
+       |sc AS (
+       |  SELECT query_id, neighbor_id,
+       |    CAST(sum(CAST(round(m * 1e6) AS BIGINT)) AS BIGINT)
+       |      AS maxsim6
+       |  FROM tok GROUP BY 1, 2),
+       |rankedms AS (
+       |  SELECT query_id, neighbor_id, maxsim6,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY maxsim6 DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM sc)
+       |SELECT query_id, rank, neighbor_id, maxsim6
+       |FROM rankedms WHERE rank <= 5""".stripMargin
+
   private def duckHnswTopK(nc: Int, iters: Int, nProbeBuild: Int,
       degree: Int, ratio: Int, entryW: Int, beam: Int, rounds: Int,
       k: Int, trainWhere: Option[String] = None,
@@ -1750,6 +1829,36 @@ object SparkEntry {
     * dirs — plus the JVM pid, so concurrent harness processes never
     * overwrite each other's scratch mid-read; deleted recursively at
     * JVM exit instead of accumulating in the tmpdir forever. */
+  /** Build-once persisted degree-12 graph index shared by the serve
+    * entries (s28/s45): built at degree 6, then upgraded to the
+    * frontier's recommended degree 12 via the FREE re-cut from stored
+    * ranks (BASELINE §10; s40's upgrade ≡ rebuild receipt) — no
+    * retrain, no corpus re-assignment. Returns the scratch dir
+    * holding toplayer/graphs. */
+  private def degree12GraphIndexDir(s: SparkSession, d: String)
+      : String = {
+    val dir = scratchDir("s28hnsw", d)
+    if (!new java.io.File(s"$dir/_built").exists()) {
+      val emb = Tables.embeddings(s, d)
+      val cents = Similarity.kmeansCentroids(emb, "vec_id",
+        "embedding", nCells = 64, iters = 2)
+      val (top, _, ranked) = Similarity.buildHnswGraphIndexWith(
+        emb, cents, "vec_id", "embedding", degree = 6,
+        nProbeBuild = 2, layerRatio = 16, nLayers = 2)
+      val (_, graphs) = Similarity.upgradeGraphIndexDegree(emb,
+        ranked, top, "vec_id", "embedding", newDegree = 12,
+        layerRatio = 16, nLayers = 2)
+      top.coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/toplayer")
+      // cluster each level's edges into its own files (levels are
+      // the serve-side filter, so the partition column prunes)
+      graphs.repartition(col("level")).write.mode("overwrite")
+        .partitionBy("level").parquet(s"$dir/graphs")
+      new java.io.File(s"$dir/_built").createNewFile()
+    }
+    dir
+  }
+
   private def scratchDir(prefix: String, d: String): String = {
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
@@ -2397,6 +2506,28 @@ object SparkEntry {
           sum(col("n_kept")).as("kept_sum"))
     }),
 
+    // mojibake REPAIR (ftfy's core move; t40 detects, t49 fixes): a
+    // third of the corpus is deterministically double-encoded (UTF-8
+    // bytes mis-decoded as Latin-1) and the gated reverse transform
+    // must restore every corrupted doc byte-exactly while leaving the
+    // healthy two thirds untouched — the oracle hashes the ORIGINAL
+    // text, so any over- or under-repair breaks the sum. The ' café '
+    // suffix plants the multibyte char the all-ASCII corpus lacks
+    "t49_mojibake_repair" -> ((s, d) => {
+      val original = concat(col("text"), lit(" café "), col("lang"))
+      val corrupted = when(pmod(col("doc_id"), lit(3)) === 0,
+        decode(encode(original, "UTF-8"), "ISO-8859-1"))
+        .otherwise(original)
+      TextAnalysis.mojibakeRepair(
+          Tables.documents(s, d)
+            .select(col("doc_id"), corrupted.as("text")),
+          col("doc_id"), col("text"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(when(col("was_moji"), 1L).otherwise(0L))
+            .as("repaired_cnt"),
+          sum(Tables.hashU32(col("text_fixed"), 11)).as("content_sum"))
+    }),
+
     // RefinedWeb-style duplicate-span coverage: fraction of each doc's
     // 5-token windows that recur in at least 2 documents
     "t11_dup_span_stats" -> ((s, d) =>
@@ -2560,6 +2691,70 @@ object SparkEntry {
         Tables.documents(s, d).select(col("doc_id"))
           .withColumn("url", url),
         col("doc_id"), col("url"))
+    }),
+
+    // per-domain document caps (C4/Dolma domain balancing): no
+    // registrable domain contributes more than 20 docs, survivors are
+    // the domain's highest-quality ((n_chars desc, id) rank ≤ cap);
+    // domain extraction is a codegen'd regexp map (last two host
+    // labels — "m."/"www." subdomain variants in the fixture prove the
+    // rule), the cap one domain-keyed window
+    "d23_domain_caps" -> ((s, d) => {
+      val sub = when(pmod(col("doc_id"), lit(3)) === 0, lit(""))
+        .when(pmod(col("doc_id"), lit(3)) === 1, lit("www."))
+        .otherwise(lit("m."))
+      val url = concat(lit("https://"), sub, lit("dom"),
+        pmod(col("doc_id"), lit(11)), lit(".com/p/"), col("doc_id"))
+      Curation.domainCaps(
+        Tables.documents(s, d).withColumn("url", url),
+        col("doc_id"), col("url"), col("n_chars"), maxPerDomain = 20)
+    }),
+
+    // STREAMING WARC ingest — the crawl-arrival composition (k14 ×
+    // k15 × d22 in the q81 ingest discipline): the CDX index streams
+    // shard-at-a-time, each micro-batch seek-fetches ITS records from
+    // the shards (readIndexed inside foreachBatch — the Common Crawl
+    // access pattern), canonicalizes URLs and folds an additive
+    // (canonical_url, url)-grain census state in version↔batch
+    // lockstep. The aggregates are order-independent, so the final
+    // census is slicing-independent and the oracle is d22's batch
+    // census VERBATIM — one oracle text, two execution paths
+    "q106_stream_warc_ingest" -> ((s, d) => {
+      val g = floor(col("doc_id") / 3).cast("long")
+      val h = pmod(g, lit(7))
+      val v = pmod(col("doc_id"), lit(3))
+      val url = when(v === 0,
+          concat(lit("https://Site"), h, lit(".Example.COM/p/"), g,
+            lit("?b=2&a=1")))
+        .when(v === 1,
+          concat(lit("HTTPS://site"), h, lit(".example.com:443/p/"), g,
+            lit("/?a=1&utm_source=feed&b=2#frag")))
+        .otherwise(
+          concat(lit("https://www.site"), h, lit(".example.com/p/"), g,
+            lit("?utm_campaign=x&b=2&a=1")))
+      val pages = Tables.documents(s, d)
+        .select(col("doc_id"), url.as("uri"), col("text"))
+      val scratch = scratchDir("q106warc", d)
+      if (!new java.io.File(s"$scratch/_built").exists()) {
+        graft.sources.WarcShards.write(pages, "doc_id", "uri", "text",
+          scratch, "crawl", numShards = 4)
+        new java.io.File(s"$scratch/_built").createNewFile()
+      }
+      val cdx = s.read.parquet(
+        graft.sources.WarcShards.cdxPath(scratch, "crawl"))
+      val streamDir = scratchStreamBatches(scratch,
+        (0 until 4).map(i => cdx.filter(col("warc_file") ===
+          f"crawl_$i%05d-of-00004.warc.gz")))
+      val stateDir = s"$scratch/state"
+      EventStream.warcCensusIngestOnce(
+        EventStream.parquetFileStream(s, streamDir), scratch, stateDir)
+      graft.sources.VersionedTable.readCurrent(s, stateDir)
+        .groupBy(col("canonical_url"))
+        .agg(sum(col("cnt")).as("n_raw"),
+          count(lit(1)).as("n_raw_distinct"),
+          min(col("min_id")).as("keep_id"),
+          (sum(col("id_sum")) - min(col("min_id")))
+            .as("dropped_id_sum"))
     }),
 
     // LPA, 3 unrolled rounds, mode-of-neighbor-labels with min
@@ -4872,34 +5067,33 @@ object SparkEntry {
     // the serve-only path
     "s28_graph_index_persist" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val dir = scratchDir("s28hnsw", d)
-      if (!new java.io.File(s"$dir/_built").exists()) {
-        // build at degree 6, then serve the frontier's own
-        // recommendation (BASELINE §10: degree-12 dominates at every
-        // budget) via the FREE upgrade — re-cut from stored ranks,
-        // no retrain, no corpus re-assignment (s40's receipt); the
-        // persisted artifact is the degree-12 graph
-        val cents = Similarity.kmeansCentroids(emb, "vec_id",
-          "embedding", nCells = 64, iters = 2)
-        val (top, _, ranked) = Similarity.buildHnswGraphIndexWith(
-          emb, cents, "vec_id", "embedding", degree = 6,
-          nProbeBuild = 2, layerRatio = 16, nLayers = 2)
-        val (_, graphs) = Similarity.upgradeGraphIndexDegree(emb,
-          ranked, top, "vec_id", "embedding", newDegree = 12,
-          layerRatio = 16, nLayers = 2)
-        top.coalesce(1).write.mode("overwrite")
-          .parquet(s"$dir/toplayer")
-        // cluster each level's edges into its own files (levels are
-        // the serve-side filter, so the partition column prunes)
-        graphs.repartition(col("level")).write.mode("overwrite")
-          .partitionBy("level").parquet(s"$dir/graphs")
-        new java.io.File(s"$dir/_built").createNewFile()
-      }
+      val dir = degree12GraphIndexDir(s, d)
       Similarity.hnswServeIndexed(s.read.parquet(s"$dir/toplayer"),
         s.read.parquet(s"$dir/graphs"), emb,
         emb.filter(col("vec_id") % 25 === 0), "vec_id", "embedding",
         k = 5, beamWidth = 8, rounds = 3, nLayers = 2,
         entryWidth = 2, upperRounds = 1)
+    }),
+
+    // MaxSim served FROM the stored graph index — the "swap the ANN
+    // tier, keep the re-rank" seam of s44 made literal: candidates are
+    // the persisted degree-12 graph's beam serve (k=30, wider beam so
+    // the visited pool fills the shortlist), the re-rank is
+    // maxSimRerankOn unchanged. At 100 TB this is the shape a
+    // multi-vector retrieval deployment actually runs: graph walk
+    // bounds the corpus touch, MaxSim pays candK·T² per query
+    "s45_maxsim_graph_serve" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val dir = degree12GraphIndexDir(s, d)
+      val queries = emb.filter(col("vec_id") % 25 === 0)
+      val cands = Similarity.hnswServeIndexed(
+          s.read.parquet(s"$dir/toplayer"),
+          s.read.parquet(s"$dir/graphs"), emb, queries,
+          "vec_id", "embedding", k = 30, beamWidth = 16, rounds = 3,
+          nLayers = 2, entryWidth = 2, upperRounds = 1)
+        .select(col("query_id"), col("neighbor_id"))
+      Similarity.maxSimRerankOn(emb, queries, cands, "vec_id",
+        "embedding", nTokens = 8, k = 5)
     }),
 
     // GRAPH-INDEX APPEND (s31 — s25's discipline for the graph
@@ -7455,6 +7649,16 @@ object SparkEntry {
          | CAST(2 * count(*) AS BIGINT) AS kept_sum
          |FROM m""".stripMargin,
 
+    // the oracle hashes the PRE-corruption text: repair must be exact
+    // on the corrupted third and a no-op on the healthy rest
+    "t49_mojibake_repair" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS cnt,
+         | CAST(sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)
+         |   AS BIGINT) AS repaired_cnt,
+         | CAST(sum(${duckU32("text || ' café ' || lang", 11)})
+         |   AS BIGINT) AS content_sum
+         |FROM documents""".stripMargin,
+
     // the Bloom pre-filter has no false negatives and the exact join
     // removes false positives, so t10's result IS t7's result — one
     // oracle serves both plans
@@ -8186,29 +8390,32 @@ object SparkEntry {
     // the oracle derives the EXPECTED canonical form analytically from
     // the same deterministic variant construction — an independent
     // statement of what the rewrite chain must produce
-    "d22_url_dedup" ->
-      """WITH raw AS (
-        |  SELECT doc_id,
-        |   CAST(floor(doc_id / 3) AS BIGINT) AS g,
-        |   CAST(floor(doc_id / 3) AS BIGINT) % 7 AS h,
-        |   doc_id % 3 AS v
+    "d22_url_dedup" -> DuckUrlDedup,
+
+    // the streaming WARC ingest's census is slicing-independent
+    // (additive aggregates), so its oracle is d22's batch census
+    // verbatim — the hash-match proves the stream landed on the batch
+    // answer THROUGH the WARC container and the CDX fetch path
+    "q106_stream_warc_ingest" -> DuckUrlDedup,
+
+    // the domain is analytically known from the fixture (subdomain
+    // variants collapse to the registrable domain), so the oracle
+    // replays the cap window directly
+    "d23_domain_caps" ->
+      """WITH u AS (
+        |  SELECT doc_id, 'dom' || (doc_id % 11) || '.com' AS domain,
+        |    n_chars
         |  FROM documents),
-        |c AS (
-        |  SELECT doc_id,
-        |   'https://site' || h || '.example.com/p/' || g ||
-        |     '?a=1&b=2' AS canonical_url,
-        |   CASE WHEN v = 0 THEN 'https://Site' || h || '.Example.COM/p/'
-        |     || g || '?b=2&a=1'
-        |   WHEN v = 1 THEN 'HTTPS://site' || h || '.example.com:443/p/'
-        |     || g || '/?a=1&utm_source=feed&b=2#frag'
-        |   ELSE 'https://www.site' || h || '.example.com/p/' || g ||
-        |     '?utm_campaign=x&b=2&a=1' END AS url
-        |  FROM raw)
-        |SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_raw,
-        | CAST(count(DISTINCT url) AS BIGINT) AS n_raw_distinct,
-        | CAST(min(doc_id) AS BIGINT) AS keep_id,
-        | CAST(sum(doc_id) - min(doc_id) AS BIGINT) AS dropped_id_sum
-        |FROM c GROUP BY 1""".stripMargin,
+        |r AS (
+        |  SELECT doc_id, domain, row_number() OVER (
+        |    PARTITION BY domain ORDER BY n_chars DESC, doc_id) AS rk
+        |  FROM u)
+        |SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(CASE WHEN rk <= 20 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_kept,
+        | CAST(sum(CASE WHEN rk <= 20 THEN doc_id END) AS BIGINT)
+        |   AS kept_id_sum
+        |FROM r GROUP BY 1""".stripMargin,
 
     // d12's edge CTEs, then 3 unrolled synchronous LPA rounds: count
     // neighbor labels, argmax with (count desc, label asc) tie-break
@@ -9460,55 +9667,27 @@ object SparkEntry {
     // then MaxSim over the 8 contiguous 8-dim token slices of shortlist
     // members only; identical left-fold dot order, micro-unit
     // quantization before the integer sum
-    "s44_maxsim_rerank" -> {
-      def dotf(a: String, b: String, n: String) =
-        s"""list_reduce(list_transform(range(1, $n + 1),
-           |  i -> $a[i] * $b[i]), (x, y) -> x + y)""".stripMargin
-      def normf(a: String) =
-        s"""sqrt(list_reduce(list_transform($a, x -> x * x),
-           |  (x, y) -> x + y))""".stripMargin
-      s"""WITH e AS (
-         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
-         |  FROM embeddings),
-         |q AS (SELECT vec_id AS query_id, v FROM e
-         |  WHERE vec_id % 125 = 0),
-         |cands AS (
-         |  SELECT query_id, neighbor_id FROM (
+    "s44_maxsim_rerank" -> duckMaxSim(
+      s"""SELECT query_id, neighbor_id FROM (
          |    SELECT q.query_id, c.vec_id AS neighbor_id,
          |      row_number() OVER (PARTITION BY q.query_id ORDER BY
-         |        ${dotf("q.v", "c.v", "len(q.v)")} /
-         |        (${normf("q.v")} * ${normf("c.v")}) DESC, c.vec_id)
-         |        AS rk
+         |        ${duckDotf("q.v", "c.v", "len(q.v)")} /
+         |        (${duckNormf("q.v")} * ${duckNormf("c.v")}) DESC,
+         |        c.vec_id) AS rk
          |    FROM q JOIN e c ON c.vec_id <> q.query_id)
-         |  WHERE rk <= 30),
-         |qt AS (
-         |  SELECT query_id, ps.p AS qpos, v[(ps.p*8+1):(ps.p*8+8)] AS t
-         |  FROM q, (SELECT unnest(range(8)) AS p) ps),
-         |dt AS (
-         |  SELECT e.vec_id AS neighbor_id, ps.p AS dpos,
-         |    v[(ps.p*8+1):(ps.p*8+8)] AS t
-         |  FROM e, (SELECT unnest(range(8)) AS p) ps
-         |  WHERE e.vec_id IN (SELECT DISTINCT neighbor_id FROM cands)),
-         |tok AS (
-         |  SELECT c.query_id, c.neighbor_id, qt.qpos,
-         |    max(${dotf("qt.t", "dt.t", "8")} /
-         |      (${normf("qt.t")} * ${normf("dt.t")})) AS m
-         |  FROM cands c JOIN qt USING (query_id)
-         |  JOIN dt USING (neighbor_id)
-         |  GROUP BY 1, 2, 3),
-         |sc AS (
-         |  SELECT query_id, neighbor_id,
-         |    CAST(sum(CAST(round(m * 1e6) AS BIGINT)) AS BIGINT)
-         |      AS maxsim6
-         |  FROM tok GROUP BY 1, 2),
-         |ranked AS (
-         |  SELECT query_id, neighbor_id, maxsim6,
-         |    CAST(row_number() OVER (PARTITION BY query_id
-         |      ORDER BY maxsim6 DESC, neighbor_id) AS BIGINT) AS rank
-         |  FROM sc)
-         |SELECT query_id, rank, neighbor_id, maxsim6
-         |FROM ranked WHERE rank <= 5""".stripMargin
-    },
+         |  WHERE rk <= 30""".stripMargin,
+      "vec_id % 125 = 0"),
+
+    // the candidate stage swapped for the stored degree-12 graph's
+    // beam serve (k=30, beam 16) — the re-rank CTEs are s44's
+    // verbatim, proving the "swap the ANN tier" seam at the oracle
+    // level too
+    "s45_maxsim_graph_serve" -> duckMaxSim(
+      "SELECT query_id, neighbor_id FROM (" +
+        duckHnswTopK(nc = 64, iters = 2, nProbeBuild = 2, degree = 12,
+          ratio = 16, entryW = 2, beam = 16, rounds = 3, k = 30) +
+        ") gsv",
+      "vec_id % 25 = 0"),
 
     // np derives from count(*) exactly as Similarity.autoPlanes: for
     // integer m, log2(m) is exact or ≥1/(m·ln2) from an integer, so

@@ -1018,9 +1018,12 @@ object Stress {
           lit("</h1><p>"), esc,
           lit("</p><footer><a href=\"/t\">Terms</a></footer>" +
             "</body></html>"))
+        // aggregate over main_text so the extraction cannot be pruned
+        // by count()'s empty projection
         TextAnalysis.htmlMainText(
-          docs.select(col("doc_id"), html.as("html")),
-          col("doc_id"), col("html"), maxLinkDensity = 0.5).count()
+            docs.select(col("doc_id"), html.as("html")),
+            col("doc_id"), col("html"), maxLinkDensity = 0.5)
+          .agg(sum(length(col("main_text")))).count()
       }
       leg("d22_url_dedup") {
         Dedup.urlDedup(pages, col("doc_id"), col("uri")).count()

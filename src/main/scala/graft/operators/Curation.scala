@@ -847,4 +847,41 @@ object Curation {
       .select(col("doc_id"), col("grp"), col("split"))
   }
 
+  /** Registrable domain of a URL (naive eTLD: the last two host
+    * labels after [[Dedup.canonicalizeUrl]]-style host extraction) —
+    * the grouping key crawl pipelines balance on. A real public-
+    * suffix list is a lookup table swap; the plan shape is identical. */
+  def urlDomain(url: Column): Column = {
+    val host = regexp_extract(lower(trim(url)),
+      "^[a-z][a-z0-9+.\\-]*://(?:www\\.)?([^/:?#]+)", 1)
+    regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
+  }
+
+  /** Per-domain document caps — the C4/Dolma-style domain-balancing
+    * gate: no registrable domain may contribute more than
+    * `maxPerDomain` documents, the survivors being the domain's
+    * highest-quality ones ((quality desc, doc_id) rank ≤ cap). One
+    * codegen'd map (domain extraction) + one domain-keyed window —
+    * state per reducer is O(domain's docs), and the heavy domains this
+    * op exists to tame are exactly the ones worth a salted two-phase
+    * top-k at 100 TB (take per-partition top-cap first; the window
+    * then sees ≤ cap·partitions rows per domain).
+    *
+    * Returns the per-domain census: docs seen, docs kept, kept id sum
+    * (the oracle-checkable survivor fingerprint). */
+  def domainCaps(docs: DataFrame, idCol: Column, urlCol: Column,
+      qualityCol: Column, maxPerDomain: Int): DataFrame = {
+    val ranked = docs.select(idCol.as("doc_id"),
+        urlDomain(urlCol).as("domain"), qualityCol.as("quality"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("domain"))
+          .orderBy(col("quality").desc, col("doc_id").asc)))
+    ranked.groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("rk") <= maxPerDomain, 1L).otherwise(0L))
+          .as("n_kept"),
+        sum(when(col("rk") <= maxPerDomain, col("doc_id")))
+          .as("kept_id_sum"))
+  }
+
 }

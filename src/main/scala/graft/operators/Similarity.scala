@@ -77,9 +77,20 @@ object Similarity {
     * micro-units, and summed AS LONGS over query tokens so the final
     * score is shuffle-order-independent integer math. */
   def maxSimRerank(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, nTokens: Int, candK: Int, k: Int): DataFrame = {
-    val cands = bruteForceTopK(corpus, queries, idCol, vecCol, candK)
-      .select(col("query_id"), col("neighbor_id"))
+      vecCol: String, nTokens: Int, candK: Int, k: Int): DataFrame =
+    maxSimRerankOn(corpus, queries,
+      bruteForceTopK(corpus, queries, idCol, vecCol, candK)
+        .select(col("query_id"), col("neighbor_id")),
+      idCol, vecCol, nTokens, k)
+
+  /** [[maxSimRerank]] with the candidate stage factored out: `cands`
+    * is any (query_id, neighbor_id) shortlist — the pooled brute-force
+    * baseline, an IVF probe, or the stored graph serve (s45) — and the
+    * MaxSim re-rank is identical over it. This is the "swap the ANN
+    * tier, keep the re-rank" seam made literal. */
+  def maxSimRerankOn(corpus: DataFrame, queries: DataFrame,
+      cands: DataFrame, idCol: String, vecCol: String, nTokens: Int,
+      k: Int): DataFrame = {
     def explodeTokens(df: DataFrame, outId: String,
         pos: String, tok: String, tnorm: String): DataFrame = {
       val tl = (size(col("vec")) / nTokens).cast("int")

@@ -1385,6 +1385,43 @@ object TextAnalysis {
         col("n_repl") === 0 && col("n_ctrl") === 0)
   }
 
+  /** Mojibake repair (ftfy's core move, done relationally): text that
+    * was UTF-8 bytes mis-decoded as Latin-1 shows the classic
+    * lead-byte pattern (`Ã©` for é, `ä¸­` for 中 — UTF-8 lead bytes
+    * 0xC2–0xF4 rendered as Latin-1 characters, each followed by
+    * continuation-range chars). The repair reverses the mistake —
+    * re-encode the characters as Latin-1 bytes, decode those bytes as
+    * UTF-8 — and is GATED three ways so it can never corrupt healthy
+    * text: (1) the moji marker pattern must be present, (2) every
+    * char must be ≤ U+00FF (otherwise the Latin-1 re-encode is
+    * lossy), (3) the re-encoded bytes must be valid UTF-8
+    * (`is_valid_utf8` — checked on the BYTES, never by decoding).
+    * Rows failing any gate pass through untouched. t40 detects; this
+    * repairs — both pure codegen'd builtins (encode/decode/regexp),
+    * no UDF, so the repair is a map stage at any corpus size.
+    * Legitimate text that happens to look like mojibake is the known
+    * ftfy tradeoff; the three gates make it require a lead-byte
+    * sequence whose whole string also reinterprets cleanly. */
+  def mojibakeRepair(docs: DataFrame, idCol: Column, textCol: Column)
+      : DataFrame = {
+    // any UTF-8 lead byte (0xC2-0xF4 as a Latin-1 char) followed by a
+    // continuation-range char - covers 2-byte Latin AND 3/4-byte CJK
+    // mojibake; healthy Latin-1 text rarely puts C1-control/top-half
+    // punctuation right after an accented letter, and the whole-string
+    // validity gate below catches those that do
+    val marker = textCol.rlike("[\u00C2-\u00F4][\u0080-\u00BF]")
+    val latin1Only = !textCol.rlike("[^\u0000-\u00FF]")
+    val reenc = encode(textCol, "ISO-8859-1")
+    // validity is checked on the RE-ENCODED BYTES (is_valid_utf8),
+    // never by decoding: Spark 4's decode THROWS on malformed input,
+    // so the gate must run before decode can ever see a bad byte
+    val doFix = marker && latin1Only && is_valid_utf8(reenc)
+    docs.select(idCol.as("doc_id"),
+      when(doFix, decode(reenc, "UTF-8")).otherwise(textCol)
+        .as("text_fixed"),
+      doFix.as("was_moji"))
+  }
+
   /** Block-level HTML tags: their open AND close tags both end a text
     * block (the jusText/trafilatura segmentation rule). Inline tags
     * (a, b, span, em, …) do NOT split — their text belongs to the

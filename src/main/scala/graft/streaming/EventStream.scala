@@ -854,4 +854,61 @@ object EventStream {
       .start()
     q.awaitTermination()
   }
+
+  /** Streaming WARC ingest — the crawl-arrival shape: the stream
+    * carries CDX index rows (parquet, so it streams natively) and each
+    * micro-batch FETCHES its records from the shards via
+    * [[graft.sources.WarcShards.readIndexed]] — seek-and-read of
+    * exactly the batch's members, the Common Crawl access pattern
+    * inside foreachBatch. Each batch folds its records into a
+    * canonical-URL dedup census STATE table at (canonical_url, url)
+    * grain; the merged aggregates (counts, id sums, min ids) are
+    * ADDITIVE and order-independent, so the final census is
+    * independent of batch slicing — the oracle is d22's batch census
+    * VERBATIM (one oracle text, two execution paths, the q99/q100
+    * pattern). State commits are full snapshots in version↔batch
+    * lockstep (replays no-op); at corpus scale the snapshot becomes a
+    * q79-style MERGE commit touching only the batch's groups. */
+  def warcCensusIngestOnce(cdxStream: DataFrame, warcDir: String,
+      stateDir: String): Unit = {
+    val vt = graft.sources.VersionedTable
+    val q = cdxStream.writeStream
+      .foreachBatch {
+        (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val sess = batch.sparkSession
+        val vs = vt.versions(sess, stateDir)
+        if (vs.length <= batchId) {
+          require(vs.length == batchId,
+            s"state at $stateDir has ${vs.length} versions but " +
+              s"batch $batchId arrived — not this stream's table")
+          val recs = graft.sources.WarcShards
+            .readIndexed(batch.toDF(), warcDir)
+            .filter(col("warc_type") === "response")
+          // the row id rides in the deterministic record uuid's last
+          // 12 hex digits (WarcShards.recordId) — the raw URL cannot
+          // carry it recoverably, that's the point of the fixture
+          val part = recs.select(col("target_uri").as("url"),
+              graft.operators.Dedup.canonicalizeUrl(col("target_uri"))
+                .as("canonical_url"),
+              conv(regexp_extract(col("record_id"),
+                "8000-([0-9a-f]{12})>", 1), 16, 10)
+                .cast("long").as("doc_id"))
+            .groupBy(col("canonical_url"), col("url"))
+            .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("min_id"),
+              sum(col("doc_id")).as("id_sum"))
+          val prev =
+            if (batchId == 0) part.limit(0)
+            else vt.readVersion(sess, stateDir, batchId.toInt - 1)
+          val merged = prev.unionByName(part)
+            .groupBy(col("canonical_url"), col("url"))
+            .agg(sum(col("cnt")).as("cnt"), min(col("min_id")).as("min_id"),
+              sum(col("id_sum")).as("id_sum"))
+          vt.commit(merged, stateDir)
+          ()
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
 }
