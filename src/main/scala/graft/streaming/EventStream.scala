@@ -866,9 +866,11 @@ object EventStream {
     * ADDITIVE and order-independent, so the final census is
     * independent of batch slicing — the oracle is d22's batch census
     * VERBATIM (one oracle text, two execution paths, the q99/q100
-    * pattern). State commits are full snapshots in version↔batch
-    * lockstep (replays no-op); at corpus scale the snapshot becomes a
-    * q79-style MERGE commit touching only the batch's groups. */
+    * pattern). State advances by q79-style MERGE commits: only the
+    * batch's (canonical_url, url) groups are re-derived and written
+    * (O(batch) commit I/O — untouched groups are never rewritten),
+    * version↔batch lockstep on top of the empty v0 seed makes
+    * replays no-op. */
   def warcCensusIngestOnce(cdxStream: DataFrame, warcDir: String,
       stateDir: String): Unit = {
     val vt = graft.sources.VersionedTable
@@ -876,34 +878,51 @@ object EventStream {
       .foreachBatch {
         (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val sess = batch.sparkSession
+        val recs = graft.sources.WarcShards
+          .readIndexed(batch.toDF(), warcDir)
+          .filter(col("warc_type") === "response")
+        // the row id rides in the deterministic record uuid's last
+        // 12 hex digits (WarcShards.recordId) — the raw URL cannot
+        // carry it recoverably, that's the point of the fixture
+        val part = recs.select(col("target_uri").as("url"),
+            graft.operators.Dedup.canonicalizeUrl(col("target_uri"))
+              .as("canonical_url"),
+            conv(regexp_extract(col("record_id"),
+              "8000-([0-9a-f]{12})>", 1), 16, 10)
+              .cast("long").as("doc_id"))
+          .groupBy(col("canonical_url"), col("url"))
+          .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("min_id"),
+            sum(col("doc_id")).as("id_sum"))
+          // mergeCommit takes ONE key column; the state grain is the
+          // pair, so the key is its sentinel-joined concatenation
+          .withColumn("k", concat_ws("\u0001",
+            col("canonical_url"), col("url")))
+        if (vt.versions(sess, stateDir).isEmpty) {
+          require(batchId == 0,
+            s"state at $stateDir is unseeded but batch $batchId " +
+              "arrived — not this stream's table")
+          vt.commit(part.limit(0), stateDir) // empty v0 seed
+        }
         val vs = vt.versions(sess, stateDir)
-        if (vs.length <= batchId) {
-          require(vs.length == batchId,
+        if (vs.length <= batchId + 1) {
+          require(vs.length == batchId + 1,
             s"state at $stateDir has ${vs.length} versions but " +
               s"batch $batchId arrived — not this stream's table")
-          val recs = graft.sources.WarcShards
-            .readIndexed(batch.toDF(), warcDir)
-            .filter(col("warc_type") === "response")
-          // the row id rides in the deterministic record uuid's last
-          // 12 hex digits (WarcShards.recordId) — the raw URL cannot
-          // carry it recoverably, that's the point of the fixture
-          val part = recs.select(col("target_uri").as("url"),
-              graft.operators.Dedup.canonicalizeUrl(col("target_uri"))
-                .as("canonical_url"),
-              conv(regexp_extract(col("record_id"),
-                "8000-([0-9a-f]{12})>", 1), 16, 10)
-                .cast("long").as("doc_id"))
-            .groupBy(col("canonical_url"), col("url"))
-            .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("min_id"),
-              sum(col("doc_id")).as("id_sum"))
-          val prev =
-            if (batchId == 0) part.limit(0)
-            else vt.readVersion(sess, stateDir, batchId.toInt - 1)
-          val merged = prev.unionByName(part)
-            .groupBy(col("canonical_url"), col("url"))
-            .agg(sum(col("cnt")).as("cnt"), min(col("min_id")).as("min_id"),
+          // re-derive ONLY the groups this batch touches: prior rows
+          // for affected keys merge with the batch partials; the
+          // MERGE commit masks their old copies and appends the new
+          // rows — untouched groups are never read back or rewritten
+          // persisted: the batch partials feed both the affected-key
+          // semi-join and the merge union — one seek-fetch pass
+          val partP = part.persistTracked()
+          val prior = vt.readCurrent(sess, stateDir)
+            .join(partP.select(col("k")), Seq("k"), "left_semi")
+          val updates = prior.unionByName(partP)
+            .groupBy(col("k"), col("canonical_url"), col("url"))
+            .agg(sum(col("cnt")).as("cnt"),
+              min(col("min_id")).as("min_id"),
               sum(col("id_sum")).as("id_sum"))
-          vt.commit(merged, stateDir)
+          vt.mergeCommit(updates, stateDir, "k")
           ()
         }
       }
