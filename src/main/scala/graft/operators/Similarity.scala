@@ -104,7 +104,10 @@ object Similarity {
       "query_id", "qpos", "qtok", "qnorm")
     val dt = explodeTokens(
       corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("vec"))
-        .join(cands.select(col("neighbor_id")).distinct(),
+        // broadcast the |Q|·candK key set: the corpus-side semi join
+        // must never shuffle the corpus (plan-audited — without the
+        // hint Catalyst picks a sort-merge join here)
+        .join(broadcast(cands.select(col("neighbor_id")).distinct()),
           Seq("neighbor_id"), "left_semi"),
       "neighbor_id", "dpos", "dtok", "dnorm")
     val tokenMax = dt
