@@ -1028,6 +1028,31 @@ object Stress {
       leg("d22_url_dedup") {
         Dedup.urlDedup(pages, col("doc_id"), col("uri")).count()
       }
+      // q106's merge-commit claim measured the d11/s31 way: the state
+      // is seeded from the WHOLE scaled corpus (untimed, batch 0),
+      // then ONE FIXED ~52-record batch merges in — flat time across
+      // multipliers = commit work O(batch), not O(state)
+      val stateDir = s"$warcDir/state"
+      val fixed = cdx.filter(col("doc_id") < 10000000L &&
+        pmod(col("doc_id"), lit(97)) === 0)
+      val seed = cdx.join(fixed.select(col("doc_id")), Seq("doc_id"),
+        "left_anti")
+      graft.streaming.EventStream.warcCensusMergeBatch(
+        seed, warcDir, stateDir, batchId = 0L)
+      InternalCaches.releaseAll()
+      val preVersions =
+        graft.sources.VersionedTable.versions(spark, stateDir).length
+      // can't use leg() (a second run would violate lockstep): time
+      // the single fixed-batch merge directly, steady-state absorbed
+      // by the seed batch having just exercised the same code path
+      val tFb = System.nanoTime()
+      graft.streaming.EventStream.warcCensusMergeBatch(
+        fixed, warcDir, stateDir, batchId = 1L)
+      println(f"    q106_fixed_batch_merge=${
+        (System.nanoTime() - tFb) / 1e9}%.2fs " +
+        f"rows=${fixed.count()} (state versions $preVersions -> ${
+          graft.sources.VersionedTable.versions(spark, stateDir).length})")
+      InternalCaches.releaseAll()
       cdx.unpersist()
       def rmTree(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rmTree))

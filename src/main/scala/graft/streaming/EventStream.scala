@@ -873,61 +873,72 @@ object EventStream {
     * replays no-op. */
   def warcCensusIngestOnce(cdxStream: DataFrame, warcDir: String,
       stateDir: String): Unit = {
-    val vt = graft.sources.VersionedTable
     val q = cdxStream.writeStream
       .foreachBatch {
         (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val sess = batch.sparkSession
-        val recs = graft.sources.WarcShards
-          .readIndexed(batch.toDF(), warcDir)
-          .filter(col("warc_type") === "response")
-        // the row id rides in the deterministic record uuid's last
-        // 12 hex digits (WarcShards.recordId) — the raw URL cannot
-        // carry it recoverably, that's the point of the fixture
-        val part = recs.select(col("target_uri").as("url"),
-            graft.operators.Dedup.canonicalizeUrl(col("target_uri"))
-              .as("canonical_url"),
-            conv(regexp_extract(col("record_id"),
-              "8000-([0-9a-f]{12})>", 1), 16, 10)
-              .cast("long").as("doc_id"))
-          .groupBy(col("canonical_url"), col("url"))
-          .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("min_id"),
-            sum(col("doc_id")).as("id_sum"))
-          // mergeCommit takes ONE key column; the state grain is the
-          // pair, so the key is its sentinel-joined concatenation
-          .withColumn("k", concat_ws("\u0001",
-            col("canonical_url"), col("url")))
-        if (vt.versions(sess, stateDir).isEmpty) {
-          require(batchId == 0,
-            s"state at $stateDir is unseeded but batch $batchId " +
-              "arrived — not this stream's table")
-          vt.commit(part.limit(0), stateDir) // empty v0 seed
-        }
-        val vs = vt.versions(sess, stateDir)
-        if (vs.length <= batchId + 1) {
-          require(vs.length == batchId + 1,
-            s"state at $stateDir has ${vs.length} versions but " +
-              s"batch $batchId arrived — not this stream's table")
-          // re-derive ONLY the groups this batch touches: prior rows
-          // for affected keys merge with the batch partials; the
-          // MERGE commit masks their old copies and appends the new
-          // rows — untouched groups are never read back or rewritten
-          // persisted: the batch partials feed both the affected-key
-          // semi-join and the merge union — one seek-fetch pass
-          val partP = part.persistTracked()
-          val prior = vt.readCurrent(sess, stateDir)
-            .join(partP.select(col("k")), Seq("k"), "left_semi")
-          val updates = prior.unionByName(partP)
-            .groupBy(col("k"), col("canonical_url"), col("url"))
-            .agg(sum(col("cnt")).as("cnt"),
-              min(col("min_id")).as("min_id"),
-              sum(col("id_sum")).as("id_sum"))
-          vt.mergeCommit(updates, stateDir, "k")
-          ()
-        }
+        warcCensusMergeBatch(batch.toDF(), warcDir, stateDir, batchId)
+        ()
       }
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+  }
+
+  /** One micro-batch of the WARC census ingest (the foreachBatch body,
+    * callable directly — the stress harness drives it with a fixed
+    * batch against a grown state to prove the merge is O(batch)):
+    * fetch the batch's records via the CDX, fold them to partials,
+    * MERGE-commit only the touched groups under the lockstep guard. */
+  def warcCensusMergeBatch(cdxBatch: DataFrame, warcDir: String,
+      stateDir: String, batchId: Long): Unit = {
+    val vt = graft.sources.VersionedTable
+    val sess = cdxBatch.sparkSession
+    val recs = graft.sources.WarcShards
+      .readIndexed(cdxBatch, warcDir)
+      .filter(col("warc_type") === "response")
+    // the row id rides in the deterministic record uuid's last
+    // 12 hex digits (WarcShards.recordId) — the raw URL cannot
+    // carry it recoverably, that's the point of the fixture
+    val part = recs.select(col("target_uri").as("url"),
+        graft.operators.Dedup.canonicalizeUrl(col("target_uri"))
+          .as("canonical_url"),
+        conv(regexp_extract(col("record_id"),
+          "8000-([0-9a-f]{12})>", 1), 16, 10)
+          .cast("long").as("doc_id"))
+      .groupBy(col("canonical_url"), col("url"))
+      .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("min_id"),
+        sum(col("doc_id")).as("id_sum"))
+      // mergeCommit takes ONE key column; the state grain is the
+      // pair, so the key is its sentinel-joined concatenation
+      .withColumn("k", concat_ws("\u0001",
+        col("canonical_url"), col("url")))
+    if (vt.versions(sess, stateDir).isEmpty) {
+      require(batchId == 0,
+        s"state at $stateDir is unseeded but batch $batchId " +
+          "arrived — not this stream's table")
+      vt.commit(part.limit(0), stateDir) // empty v0 seed
+    }
+    val vs = vt.versions(sess, stateDir)
+    if (vs.length <= batchId + 1) {
+      require(vs.length == batchId + 1,
+        s"state at $stateDir has ${vs.length} versions but " +
+          s"batch $batchId arrived — not this stream's table")
+      // re-derive ONLY the groups this batch touches: prior rows
+      // for affected keys merge with the batch partials; the
+      // MERGE commit masks their old copies and appends the new
+      // rows — untouched groups are never read back or rewritten.
+      // persisted: the batch partials feed both the affected-key
+      // semi-join and the merge union — one seek-fetch pass
+      val partP = part.persistTracked()
+      val prior = vt.readCurrent(sess, stateDir)
+        .join(partP.select(col("k")), Seq("k"), "left_semi")
+      val updates = prior.unionByName(partP)
+        .groupBy(col("k"), col("canonical_url"), col("url"))
+        .agg(sum(col("cnt")).as("cnt"),
+          min(col("min_id")).as("min_id"),
+          sum(col("id_sum")).as("id_sum"))
+      vt.mergeCommit(updates, stateDir, "k")
+      ()
+    }
   }
 }
