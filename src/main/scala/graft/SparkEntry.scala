@@ -6136,6 +6136,39 @@ object SparkEntry {
           sum(Tables.hashU32(col("text"), 11)).as("content_sum"))
     }),
 
+    // STREAMING WARC ARCHIVER — the write side of the crawl lane
+    // (q106 reads, q107 writes): each micro-batch of documents
+    // becomes ONE .warc.gz shard + a CDX append commit in
+    // version↔batch lockstep; the census then reads the archive back
+    // THROUGH ITS OWN CDX (readIndexed), so the oracle hash proves
+    // the whole write→index→fetch loop round-trips the corpus
+    "q107_stream_warc_archive" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(
+        col("doc_id"),
+        concat(lit("https://"), col("source"), lit(".example.com/"),
+          col("lang"), lit("/"), col("doc_id")).as("uri"),
+        col("text"))
+      val scratch = scratchDir("q107arch", d)
+      val streamDir = scratchStreamBatches(scratch,
+        (0 until 3).map(i => docs.filter(col("doc_id") % 3 === i)))
+      val cdxDir = s"$scratch/cdx"
+      EventStream.warcArchiveOnce(
+        EventStream.parquetFileStream(s, streamDir), scratch, "arch",
+        cdxDir, "doc_id", "uri", "text")
+      val cdx = graft.sources.VersionedTable.readCurrent(s, cdxDir)
+      val nFiles = cdx.select(col("warc_file")).distinct().count()
+      graft.sources.WarcShards.readIndexed(cdx, scratch)
+        .select(split(col("target_uri"), "/").getItem(3).as("lang"),
+          split(col("target_uri"), "/").getItem(4).cast("long")
+            .as("doc_id"),
+          col("body").cast("string").as("text"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("doc_id")).as("id_sum"),
+          sum(Tables.hashU32(col("text"), 11)).as("content_sum"))
+        .withColumn("n_files", lit(nFiles))
+    }),
+
     // partition-pruned layout: write partitioned by lang, read back
     // with a partition filter — the scan must touch only 2 of the
     // lang directories (PlanAudit shows the pruned partition count)
@@ -11696,6 +11729,16 @@ object SparkEntry {
          | CAST(sum(doc_id) AS BIGINT) AS id_sum,
          | CAST(sum(${duckU32("text", 11)}) AS BIGINT) AS content_sum
          |FROM documents WHERE doc_id % 97 = 0""".stripMargin,
+
+    // one shard per micro-batch (3 batches), content identical to the
+    // source corpus — the round-trip proves the streamed archive plus
+    // its CDX serve the same bytes the batch writer would
+    "q107_stream_warc_archive" ->
+      s"""SELECT lang, CAST(count(*) AS BIGINT) AS cnt,
+         | CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         | CAST(sum(${duckU32("text", 11)}) AS BIGINT) AS content_sum,
+         | CAST(3 AS BIGINT) AS n_files
+         |FROM documents GROUP BY 1""".stripMargin,
 
     "q42_partition_pruning" ->
       """SELECT lang, source, CAST(count(*) AS BIGINT) AS cnt,

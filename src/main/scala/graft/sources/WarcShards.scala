@@ -85,59 +85,75 @@ object WarcShards {
     * must be integral, `uriCol`/`bodyCol` strings. Returns
     * (shardPath, responseRecordCount) receipts — numShards rows,
     * aggregated FROM the index, never a data collect. */
-  def write(df: DataFrame, idCol: String, uriCol: String, bodyCol: String,
-      dir: String, baseName: String, numShards: Int): Seq[(String, Long)] = {
-    require(numShards > 0, s"numShards must be positive, got $numShards")
-    val spark = df.sparkSession
+  /** Task-side writer of ONE complete shard (warcinfo member first,
+    * then one response member per row); returns the CDX rows. */
+  private def writeOneShard(conf: SerializableHadoopConf, dir: String,
+      name: String, infoId: Long,
+      rows: Iterator[(Long, String, String)]): Iterator[Row] = {
+    val path = new Path(dir, name)
+    val fs = path.getFileSystem(conf.value)
+    val out = fs.create(path, true)
+    val index = scala.collection.mutable.ArrayBuffer.empty[Row]
+    try {
+      val info = gzipMember(recordBytes(
+        Seq("WARC-Type" -> "warcinfo",
+          "WARC-Record-ID" -> recordId(infoId),
+          "WARC-Date" -> WarcDate,
+          "WARC-Filename" -> name,
+          "Content-Type" -> "application/warc-fields"),
+        ("software: graft\r\nformat: WARC File Format 1.0\r\n")
+          .getBytes(UTF_8)))
+      out.write(info)
+      var offset = info.length.toLong
+      rows.foreach { case (id, uri, bodyStr) =>
+        val body = bodyStr.getBytes(UTF_8)
+        val http = (s"HTTP/1.1 200 OK\r\n" +
+          "Content-Type: text/plain; charset=utf-8\r\n" +
+          s"Content-Length: ${body.length}\r\n\r\n").getBytes(UTF_8)
+        val payload = http ++ body
+        val member = gzipMember(recordBytes(
+          Seq("WARC-Type" -> "response",
+            "WARC-Record-ID" -> recordId(id),
+            "WARC-Date" -> WarcDate,
+            "WARC-Target-URI" -> uri,
+            "Content-Type" -> "application/http; msgtype=response"),
+          payload))
+        out.write(member)
+        index += Row(id, uri, name, offset, member.length.toLong)
+        offset += member.length
+      }
+    } finally out.close()
+    index.iterator
+  }
+
+  private def tupleRdd(df: DataFrame, idCol: String, uriCol: String,
+      bodyCol: String) = {
     val schema = df.schema
     val idIdx = schema.fieldIndex(idCol)
     val uriIdx = schema.fieldIndex(uriCol)
     val bodyIdx = schema.fieldIndex(bodyCol)
+    df.rdd.map { row =>
+      val id = row.get(idIdx) match {
+        case l: Long => l
+        case i: Int => i.toLong
+        case other => other.toString.toLong
+      }
+      (id, row.getString(uriIdx), row.getString(bodyIdx))
+    }
+  }
+
+  def write(df: DataFrame, idCol: String, uriCol: String, bodyCol: String,
+      dir: String, baseName: String, numShards: Int): Seq[(String, Long)] = {
+    require(numShards > 0, s"numShards must be positive, got $numShards")
+    val spark = df.sparkSession
     val confB = spark.sparkContext.broadcast(new SerializableHadoopConf(
       spark.sessionState.newHadoopConf()))
-    val cdxRows = df.repartition(numShards, df(idCol)).rdd
+    val cdxRows = tupleRdd(df.repartition(numShards, df(idCol)),
+        idCol, uriCol, bodyCol)
       .mapPartitionsWithIndex { (pid, rows) =>
-        val name = f"${baseName}_$pid%05d-of-$numShards%05d.warc.gz"
-        val path = new Path(dir, name)
-        val fs = path.getFileSystem(confB.value.value)
-        val out = fs.create(path, true)
-        val index = scala.collection.mutable.ArrayBuffer.empty[Row]
-        try {
-          val info = gzipMember(recordBytes(
-            Seq("WARC-Type" -> "warcinfo",
-              "WARC-Record-ID" -> recordId(-1L - pid),
-              "WARC-Date" -> WarcDate,
-              "WARC-Filename" -> name,
-              "Content-Type" -> "application/warc-fields"),
-            ("software: graft\r\nformat: WARC File Format 1.0\r\n")
-              .getBytes(UTF_8)))
-          out.write(info)
-          var offset = info.length.toLong
-          rows.foreach { row =>
-            val id = row.get(idIdx) match {
-              case l: Long => l
-              case i: Int => i.toLong
-              case other => other.toString.toLong
-            }
-            val uri = row.getString(uriIdx)
-            val body = row.getString(bodyIdx).getBytes(UTF_8)
-            val http = (s"HTTP/1.1 200 OK\r\n" +
-              "Content-Type: text/plain; charset=utf-8\r\n" +
-              s"Content-Length: ${body.length}\r\n\r\n").getBytes(UTF_8)
-            val payload = http ++ body
-            val member = gzipMember(recordBytes(
-              Seq("WARC-Type" -> "response",
-                "WARC-Record-ID" -> recordId(id),
-                "WARC-Date" -> WarcDate,
-                "WARC-Target-URI" -> uri,
-                "Content-Type" -> "application/http; msgtype=response"),
-              payload))
-            out.write(member)
-            index += Row(id, uri, name, offset, member.length.toLong)
-            offset += member.length
-          }
-        } finally out.close()
-        index.iterator
+        writeOneShard(confB.value, dir,
+          f"${baseName}_$pid%05d-of-$numShards%05d.warc.gz",
+          infoId = -1L - pid, rows)
       }
     val cdx = spark.createDataFrame(cdxRows, CdxSchema)
     val cdxPath = s"$dir/${baseName}_cdx.parquet"
@@ -145,6 +161,24 @@ object WarcShards {
     spark.read.parquet(cdxPath).groupBy("warc_file").count()
       .collect().map(r => (s"$dir/${r.getString(0)}", r.getLong(1)))
       .toSeq.sortBy(_._1)
+  }
+
+  /** Write ONE shard named `fileName` from all of `df`'s rows (the
+    * streaming-archiver unit: one micro-batch = one shard; the caller
+    * owns naming and the CDX commit). Returns the CDX rows as a
+    * DataFrame — computed executor-side, never collected. `infoId`
+    * keys the warcinfo record id (pass something batch-unique, e.g.
+    * -1 - batchId, so shard bytes stay deterministic). */
+  def writeShard(df: DataFrame, idCol: String, uriCol: String,
+      bodyCol: String, dir: String, fileName: String,
+      infoId: Long): DataFrame = {
+    val spark = df.sparkSession
+    val confB = spark.sparkContext.broadcast(new SerializableHadoopConf(
+      spark.sessionState.newHadoopConf()))
+    val cdxRows = tupleRdd(df.coalesce(1), idCol, uriCol, bodyCol)
+      .mapPartitions(rows =>
+        writeOneShard(confB.value, dir, fileName, infoId, rows))
+    spark.createDataFrame(cdxRows, CdxSchema)
   }
 
   /** Path of the CDX index `write` leaves next to the shards. */

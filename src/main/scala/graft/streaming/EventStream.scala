@@ -941,4 +941,39 @@ object EventStream {
       ()
     }
   }
+
+  /** Streaming WARC ARCHIVER — the write side of the crawl lane (q106
+    * is the read side): each micro-batch of documents becomes ONE
+    * complete `.warc.gz` shard (warcinfo + member-per-record, written
+    * executor-side by [[graft.sources.WarcShards.writeShard]]) and its
+    * CDX rows append-commit to a versioned index table in
+    * version↔batch lockstep. Shard bytes are deterministic (pinned
+    * date, id-derived uuids, batch-keyed warcinfo id), so the crash
+    * window between shard write and CDX commit replays byte-identical
+    * — the archive is idempotent with no sink-side state. */
+  def warcArchiveOnce(docStream: DataFrame, dir: String,
+      baseName: String, cdxDir: String, idCol: String, uriCol: String,
+      bodyCol: String): Unit = {
+    val vt = graft.sources.VersionedTable
+    val q = docStream.writeStream
+      .foreachBatch {
+        (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val sess = batch.sparkSession
+        val vs = vt.versions(sess, cdxDir)
+        if (vs.length <= batchId) {
+          require(vs.length == batchId,
+            s"cdx at $cdxDir has ${vs.length} versions but batch " +
+              s"$batchId arrived — not this stream's archive")
+          val name = f"${baseName}_b$batchId%05d.warc.gz"
+          val cdx = graft.sources.WarcShards.writeShard(batch.toDF(),
+            idCol, uriCol, bodyCol, dir, name, infoId = -1L - batchId)
+          if (vs.isEmpty) vt.commit(cdx, cdxDir)
+          else vt.appendCommit(cdx, cdxDir)
+          ()
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
 }
