@@ -1835,7 +1835,7 @@ object SparkEntry {
     * ranks (BASELINE §10; s40's upgrade ≡ rebuild receipt) — no
     * retrain, no corpus re-assignment. Returns the scratch dir
     * holding toplayer/graphs. */
-  private def degree12GraphIndexDir(s: SparkSession, d: String)
+  private[graft] def degree12GraphIndexDir(s: SparkSession, d: String)
       : String = {
     val dir = scratchDir("s28hnsw", d)
     if (!new java.io.File(s"$dir/_built").exists()) {
