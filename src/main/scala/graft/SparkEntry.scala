@@ -6169,6 +6169,45 @@ object SparkEntry {
         .withColumn("n_files", lit(nFiles))
     }),
 
+    // WARC COMPACTION — the small-files problem a batch-per-shard
+    // archiver accumulates (q107), solved the WARC way: because every
+    // record is its own gzip member, compaction is pure BYTE-RANGE
+    // COPY (no gunzip/re-parse/re-compress) and the new CDX is
+    // arithmetic on the old one; census reads the single compacted
+    // shard THROUGH the rebuilt index, so the hash proves bit-exact
+    // content survival
+    "q108_warc_compact" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(
+        col("doc_id"),
+        concat(lit("https://"), col("source"), lit(".example.com/"),
+          col("lang"), lit("/"), col("doc_id")).as("uri"),
+        col("text"))
+      val scratch = scratchDir("q108compact", d)
+      graft.sources.WarcShards.write(docs, "doc_id", "uri", "text",
+        scratch, "small", numShards = 6)
+      val smallCdx = s.read.parquet(
+        graft.sources.WarcShards.cdxPath(scratch, "small"))
+      val bigName = "big_00000-of-00001.warc.gz"
+      val newCdx = graft.sources.WarcShards.compact(smallCdx, scratch,
+        bigName, infoId = -1000L)
+      // materializing the new index IS the compaction (the byte copy
+      // runs in its one task); the census then reads only `big`
+      newCdx.write.mode("overwrite")
+        .parquet(s"$scratch/big_cdx.parquet")
+      val cdx = s.read.parquet(s"$scratch/big_cdx.parquet")
+      val nFiles = cdx.select(col("warc_file")).distinct().count()
+      graft.sources.WarcShards.readIndexed(cdx, scratch)
+        .select(split(col("target_uri"), "/").getItem(3).as("lang"),
+          split(col("target_uri"), "/").getItem(4).cast("long")
+            .as("doc_id"),
+          col("body").cast("string").as("text"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("doc_id")).as("id_sum"),
+          sum(Tables.hashU32(col("text"), 11)).as("content_sum"))
+        .withColumn("n_files", lit(nFiles))
+    }),
+
     // partition-pruned layout: write partitioned by lang, read back
     // with a partition filter — the scan must touch only 2 of the
     // lang directories (PlanAudit shows the pruned partition count)
@@ -11729,6 +11768,16 @@ object SparkEntry {
          | CAST(sum(doc_id) AS BIGINT) AS id_sum,
          | CAST(sum(${duckU32("text", 11)}) AS BIGINT) AS content_sum
          |FROM documents WHERE doc_id % 97 = 0""".stripMargin,
+
+    // six small shards compacted to one by byte-range member copies;
+    // content is bit-identical by construction, so the census equals
+    // the source corpus with n_files = 1
+    "q108_warc_compact" ->
+      s"""SELECT lang, CAST(count(*) AS BIGINT) AS cnt,
+         | CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         | CAST(sum(${duckU32("text", 11)}) AS BIGINT) AS content_sum,
+         | CAST(1 AS BIGINT) AS n_files
+         |FROM documents GROUP BY 1""".stripMargin,
 
     // one shard per micro-batch (3 batches), content identical to the
     // source corpus — the round-trip proves the streamed archive plus

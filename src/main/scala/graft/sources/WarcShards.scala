@@ -185,6 +185,71 @@ object WarcShards {
   def cdxPath(dir: String, baseName: String): String =
     s"$dir/${baseName}_cdx.parquet"
 
+  /** Compact many small shards into ONE (the small-files problem a
+    * batch-per-shard archiver accumulates, solved the WARC way):
+    * because every record is its own gzip member, compaction is pure
+    * BYTE-RANGE COPY — each member's `[offset, offset+length)` bytes
+    * move verbatim (no gunzip, no re-parse, no re-compress), and the
+    * new CDX is ARITHMETIC on the old one (new offset = running sum
+    * of copied lengths). A fresh warcinfo member leads the output.
+    * Content is bit-identical by construction; at 100 TB this is an
+    * I/O-bound streaming copy per output shard, zero CPU decode.
+    *
+    * Members land in (warc_file, warc_offset) order — deterministic
+    * given the input CDX. The copy runs in ONE executor task (one
+    * output shard = one sequential write), and the returned new-CDX
+    * DataFrame is LAZY: the shard is written when the caller
+    * materializes it (e.g. by committing the new index). */
+  def compact(index: DataFrame, dir: String, outName: String,
+      infoId: Long): DataFrame = {
+    val spark = index.sparkSession
+    val confB = spark.sparkContext.broadcast(new SerializableHadoopConf(
+      spark.sessionState.newHadoopConf()))
+    val slim = index.select(col("doc_id"), col("target_uri"),
+        col("warc_file"), col("warc_offset"), col("warc_length"))
+      .repartition(1)
+      .sortWithinPartitions(col("warc_file"), col("warc_offset"))
+    val newRows = slim.rdd.mapPartitions { members =>
+      val outPath = new Path(dir, outName)
+      val fs = outPath.getFileSystem(confB.value.value)
+      val out = fs.create(outPath, true)
+      val rows = scala.collection.mutable.ArrayBuffer.empty[Row]
+      try {
+        val info = gzipMember(recordBytes(
+          Seq("WARC-Type" -> "warcinfo",
+            "WARC-Record-ID" -> recordId(infoId),
+            "WARC-Date" -> WarcDate,
+            "WARC-Filename" -> outName,
+            "Content-Type" -> "application/warc-fields"),
+          ("software: graft\r\nformat: WARC File Format 1.0\r\n")
+            .getBytes(UTF_8)))
+        out.write(info)
+        var offset = info.length.toLong
+        var openName: String = null
+        var openIn: org.apache.hadoop.fs.FSDataInputStream = null
+        members.foreach { m =>
+          val src = m.getAs[String]("warc_file")
+          if (src != openName) {
+            if (openIn != null) openIn.close()
+            val p = new Path(dir, src)
+            openIn = p.getFileSystem(confB.value.value).open(p)
+            openName = src
+          }
+          val len = m.getAs[Long]("warc_length").toInt
+          val buf = new Array[Byte](len)
+          openIn.readFully(m.getAs[Long]("warc_offset"), buf, 0, len)
+          out.write(buf)
+          rows += Row(m.getAs[Long]("doc_id"),
+            m.getAs[String]("target_uri"), outName, offset, len.toLong)
+          offset += len
+        }
+        if (openIn != null) openIn.close()
+      } finally out.close()
+      rows.iterator
+    }
+    spark.createDataFrame(newRows, CdxSchema)
+  }
+
   private val ReadSchema = StructType(Seq(
     StructField("warc_file", StringType, nullable = false),
     StructField("warc_type", StringType, nullable = false),

@@ -129,6 +129,44 @@ class WarcShardsSpec extends SparkSpec {
     assert(out.contains("WARC-Target-URI: https://b.example.com/en/3"))
   }
 
+  test("compact: byte-range member copies, arithmetic CDX, " +
+      "bit-identical content") {
+    val dir = tmp()
+    WarcShards.write(fixture, "doc_id", "uri", "text", dir, "small", 3)
+    val oldCdx = spark.read.parquet(WarcShards.cdxPath(dir, "small"))
+    val big = "big_00000-of-00001.warc.gz"
+    val newCdx = WarcShards.compact(oldCdx, dir, big, infoId = -9L)
+      .collect() // materializes the copy
+    assert(newCdx.length == 5)
+    assert(newCdx.forall(_.getAs[String]("warc_file") == big))
+    // every member's bytes moved VERBATIM: slice the compacted file
+    // at the new offsets and compare with the old files' slices
+    val bigBytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, big))
+    val oldByDoc = oldCdx.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    newCdx.foreach { n =>
+      val o = oldByDoc(n.getAs[Long]("doc_id"))
+      val oldBytes = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dir, o.getAs[String]("warc_file")))
+      val nOff = n.getAs[Long]("warc_offset").toInt
+      val nLen = n.getAs[Long]("warc_length").toInt
+      val oOff = o.getAs[Long]("warc_offset").toInt
+      assert(nLen == o.getAs[Long]("warc_length").toInt)
+      assert(java.util.Arrays.equals(
+        java.util.Arrays.copyOfRange(bigBytes, nOff, nOff + nLen),
+        java.util.Arrays.copyOfRange(oldBytes, oOff, oOff + nLen)))
+    }
+    // new offsets tile the compacted shard to EOF
+    val last = newCdx.maxBy(_.getAs[Long]("warc_offset"))
+    assert(last.getAs[Long]("warc_offset") +
+      last.getAs[Long]("warc_length") == bigBytes.length)
+    // the compacted shard parses as a normal WARC (1 warcinfo + 5)
+    val back = WarcShards.read(spark, s"$dir/$big").collect()
+    assert(back.length == 6)
+    assert(back.count(_.getAs[String]("warc_type") == "response") == 5)
+  }
+
   test("mandatory headers and exact Content-Length framing") {
     val dir = tmp()
     WarcShards.write(fixture, "doc_id", "uri", "text", dir, "crawl", 1)
