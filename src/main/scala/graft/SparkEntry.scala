@@ -2528,6 +2528,30 @@ object SparkEntry {
           sum(Tables.hashU32(col("text_fixed"), 11)).as("content_sum"))
     }),
 
+    // Unicode-SCRIPT census + consistency gate (the mC4/UniMax
+    // hygiene check): the all-ASCII corpus gets deterministic script
+    // content injected — zh docs a 4-char Han suffix (their EXPECTED
+    // script, ok), and every doc_id%5==0 doc a 6-char Cyrillic runin
+    // (unexpected for every lang here → flagged). The oracle states
+    // the per-lang count sums and flag counts analytically
+    "t50_script_census" -> ((s, d) => {
+      val injected = concat(col("text"),
+        when(col("lang") === "zh", lit(" 中文样本")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(5)) === 0, lit(" пример"))
+          .otherwise(lit("")))
+      TextAnalysis.scriptCensus(
+          Tables.documents(s, d)
+            .select(col("doc_id"), col("lang"), injected.as("text")),
+          col("doc_id"), col("text"), col("lang"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(when(!col("script_ok"), 1L).otherwise(0L))
+            .as("n_flagged"),
+          sum(col("n_han")).as("han_sum"),
+          sum(col("n_cyrillic")).as("cyr_sum"),
+          sum(col("n_arabic") + col("n_greek")).as("other_sum"))
+    }),
+
     // RefinedWeb-style duplicate-span coverage: fraction of each doc's
     // 5-token windows that recur in at least 2 documents
     "t11_dup_span_stats" -> ((s, d) =>
@@ -7720,6 +7744,21 @@ object SparkEntry {
          | CAST(4 * count(*) AS BIGINT) AS blocks_sum,
          | CAST(2 * count(*) AS BIGINT) AS kept_sum
          |FROM m""".stripMargin,
+
+    // analytic: base text is pure ASCII, so script counts come only
+    // from the injected suffixes — 4 Han per zh doc, 6 Cyrillic per
+    // doc_id%5==0 doc (flagged: Cyrillic is unexpected for every lang
+    // in this corpus)
+    "t50_script_census" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS cnt,
+        | CAST(sum(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_flagged,
+        | CAST(CASE WHEN lang = 'zh' THEN 4 * count(*) ELSE 0 END
+        |   AS BIGINT) AS han_sum,
+        | CAST(6 * sum(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS cyr_sum,
+        | CAST(0 AS BIGINT) AS other_sum
+        |FROM documents GROUP BY 1""".stripMargin,
 
     // the oracle hashes the PRE-corruption text: repair must be exact
     // on the corrupted third and a no-op on the healthy rest

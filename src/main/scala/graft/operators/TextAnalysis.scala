@@ -1422,6 +1422,36 @@ object TextAnalysis {
       doFix.as("was_moji"))
   }
 
+  /** Unicode-script expectation per language tag — the script a doc
+    * claiming that language should be written in (beyond Latin, which
+    * is never flagged). Extend as the corpus grows languages. */
+  private val ExpectedScript = Map("zh" -> "Han", "ru" -> "Cyrillic",
+    "ar" -> "Arabic", "el" -> "Greek", "ja" -> "Han")
+
+  /** Per-document Unicode-SCRIPT census + consistency gate (the
+    * mC4/UniMax hygiene check: a doc tagged `fr` full of Cyrillic is
+    * mislabeled or contaminated). Counts per script are
+    * length-minus-length-after-removal over Java's
+    * `\p{IsScript}` classes — entirely codegen'd regexp map work,
+    * shuffle-free. `script_ok` is false when any counted non-Latin
+    * script other than the language's expected one appears. */
+  def scriptCensus(docs: DataFrame, idCol: Column, textCol: Column,
+      langCol: Column): DataFrame = {
+    def cnt(script: String): Column =
+      (length(textCol) - length(regexp_replace(textCol,
+        s"\\p{Is$script}", ""))).cast("long")
+    val counted = Seq("Han", "Cyrillic", "Arabic", "Greek")
+    val withCounts = docs.select(
+      (Seq(idCol.as("doc_id"), langCol.as("lang")) ++
+        counted.map(s => cnt(s).as(s"n_${s.toLowerCase}"))): _*)
+    val expected = ExpectedScript.foldLeft(lit("")) {
+      case (acc, (l, s)) => when(col("lang") === l, lit(s)).otherwise(acc)
+    }
+    withCounts.withColumn("script_ok",
+      counted.map(s => col(s"n_${s.toLowerCase}") === 0L ||
+        expected === s).reduce(_ && _))
+  }
+
   /** Block-level HTML tags: their open AND close tags both end a text
     * block (the jusText/trafilatura segmentation rule). Inline tags
     * (a, b, span, em, …) do NOT split — their text belongs to the
