@@ -2734,6 +2734,19 @@ object SparkEntry {
         col("doc_id"), col("url"), col("n_chars"), maxPerDomain = 20)
     }),
 
+    // per-CLUSTER caps — d23's balancing gate in embedding space (the
+    // D4 recipe): k-means cells are the key, assignment cosine the
+    // quality, no cell keeps more than 25 members; one trained-
+    // codebook assignment + one cell-keyed window
+    "d24_cluster_caps" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = Similarity.kmeansCentroids(emb, "vec_id",
+        "embedding", nCells = 8, iters = 2)
+      Curation.capByKey(
+        Similarity.assignWithSim(emb, cents, "vec_id", "embedding"),
+        col("vec_id"), col("cell"), col("sim"), maxPer = 25)
+    }),
+
     // STREAMING WARC ingest — the crawl-arrival composition (k14 ×
     // k15 × d22 in the q81 ingest discipline): the CDX index streams
     // shard-at-a-time, each micro-batch seek-fetches ITS records from
@@ -2868,6 +2881,32 @@ object SparkEntry {
       Curation.packedWindowManifest(packed, ctxLen = 128)
     }),
 
+    // fill-in-the-middle re-serialization (Bavarian et al. 2022) at a
+    // 90% rate: md5-coin apply, md5-integer character cuts, PSM order
+    // — a pure per-row map (FIM over 100 TB is one map stage); the
+    // oracle reproduces the exact transformed byte stream
+    "p13_fim_transform" -> ((s, d) =>
+      Curation.fimTransform(Tables.documents(s, d), col("doc_id"),
+        col("text"), ratePct = 90, seed = 41)),
+
+    // SFT loss-mask packing: p2's layout where each doc is a
+    // (prompt, response) pair — first third of the tokens is prompt
+    // (loss-free), the rest carries loss — and the per-window output
+    // is the mask a packed-SFT trainer consumes (loss token count +
+    // run-structure fingerprint)
+    "p14_sft_mask_packing" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val counted = docs.select(col("doc_id"), col("source"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_toks"))
+      val packed = Curation.packSequences(counted, col("doc_id"),
+        col("source"), col("n_toks"), ctxLen = 128, seed = 17,
+        buckets = 8)
+      val prompts = counted.select(col("doc_id"),
+        floor(col("n_toks") / 3).as("prompt_toks"))
+      Curation.sftMaskManifest(packed.join(prompts, Seq("doc_id")),
+        ctxLen = 128)
+    }),
+
     // capstone #4 — the TOKENIZER-AWARE packing pipeline: train BPE
     // merges on the corpus (t16), apply them engine-side (t17), and
     // pack documents into fixed context windows by their REAL
@@ -2917,6 +2956,49 @@ object SparkEntry {
         .join(docs.select(col("doc_id"), col("lang")), "doc_id")
         .select(col("doc_id"), col("lang"), col("weight6"),
           col("score6"), col("rank"))
+    }),
+
+    // n-gram continuation serving with longest-suffix backoff (the
+    // bounded-n infini-gram): one corpus pass builds the
+    // (ctx_len, ctx, next) count index, each query answers from its
+    // longest supported suffix. The fixture serves three probes per
+    // seed doc — the exact leading bigram, a head-mangled variant
+    // (backs off to the unigram context), and a tail-mangled variant
+    // (backs off to the empty context) — so every backoff depth is
+    // exercised and oracle-pinned
+    "t51_ngram_serve" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val base = docs.filter(col("doc_id") % 37 === 0)
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("w"))
+        .filter(size(col("w")) >= 2)
+        .select(col("doc_id"), slice(col("w"), 1, 2).as("qw"))
+      val queries = base
+        .select((col("doc_id") * 3).as("qid"), col("qw").as("q"))
+        .union(base.select((col("doc_id") * 3 + 1).as("qid"),
+          array(concat(element_at(col("qw"), 1), lit("q")),
+            element_at(col("qw"), 2)).as("q")))
+        .union(base.select((col("doc_id") * 3 + 2).as("qid"),
+          array(element_at(col("qw"), 1),
+            concat(element_at(col("qw"), 2), lit("q"))).as("q")))
+      TextAnalysis.ngramServe(docs, col("doc_id"), col("text"),
+        maxN = 3, queries = queries)
+    }),
+
+    // domain-mixture reweighting by multiplicative weights (the
+    // DoReMi update shape, linear MW form) — 4 synchronous rounds in
+    // integer micro-units end to end; the per-domain "excess loss"
+    // fixture is each source's mean document length as a micro-share
+    // of the sum of means (all floor divisions, overflow-safe)
+    "t52_mixture_weights" -> ((s, d) => {
+      val per = Tables.documents(s, d).groupBy(col("source"))
+        .agg(sum(col("n_chars")).as("sc"), count(lit(1)).as("cnt"))
+        .select(col("source"), floor(col("sc") * 1000L / col("cnt"))
+          .as("m"))
+      val tot = per.select(sum(col("m")).as("__t"))
+      val dom = per.crossJoin(broadcast(tot)).select(
+        col("source").as("domain"),
+        floor(col("m") * 1000000L / col("__t")).as("excess_micro"))
+      Curation.mixtureWeights(dom, etaMicro = 200000L, rounds = 4)
     }),
 
     // interpolated Kneser-Ney bigram scores — t13's MLE upgraded with
@@ -8528,6 +8610,22 @@ object SparkEntry {
         |   AS kept_id_sum
         |FROM r GROUP BY 1""".stripMargin,
 
+    // the s4/s5 trained-codebook CTEs, a final assignment, then d23's
+    // cap window keyed by cell — the embedding-space balancing census
+    "d24_cluster_caps" ->
+      s"""${duckKmeansCtes(8, 2)},
+         |${duckAssignCte(3, "cn2")},
+         |r AS (
+         |  SELECT vec_id, cell_id, row_number() OVER (
+         |    PARTITION BY cell_id ORDER BY sim DESC, vec_id) AS rk
+         |  FROM a3)
+         |SELECT cell_id AS cluster, CAST(count(*) AS BIGINT) AS n_docs,
+         | CAST(sum(CASE WHEN rk <= 25 THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_kept,
+         | CAST(sum(CASE WHEN rk <= 25 THEN vec_id END) AS BIGINT)
+         |   AS kept_id_sum
+         |FROM r GROUP BY 1""".stripMargin,
+
     // d12's edge CTEs, then 3 unrolled synchronous LPA rounds: count
     // neighbor labels, argmax with (count desc, label asc) tie-break
     "d19_label_propagation" ->
@@ -8730,6 +8828,86 @@ object SparkEntry {
          | md5(string_agg((s - seq_id * 128)::VARCHAR, ','
          |   ORDER BY s)) AS seg_fp
          |FROM x GROUP BY grp, seq_id""".stripMargin,
+
+    // the oracle re-derives the exact transformed text: same md5 coin,
+    // same integer cut points, same PSM concatenation — out_fp pins
+    // the byte stream, not just the lengths
+    "p13_fim_transform" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, text, n,
+         |   (${duckU32("doc_id::VARCHAR", 41)} % 100) < 90 AS ap,
+         |   ${duckU32("doc_id::VARCHAR", 42)} % (n + 1) AS c1,
+         |   ${duckU32("doc_id::VARCHAR", 43)} % (n + 1) AS c2
+         |  FROM t),
+         |x AS (
+         |  SELECT doc_id, ap, least(c1, c2) AS lo, greatest(c1, c2) AS hi,
+         |   CASE WHEN ap THEN
+         |     '<PRE>' || substr(text, 1, least(c1, c2))
+         |     || '<SUF>' || substr(text, greatest(c1, c2) + 1)
+         |     || '<MID>' || substr(text, least(c1, c2) + 1,
+         |          greatest(c1, c2) - least(c1, c2))
+         |    ELSE text END AS o
+         |  FROM c)
+         |SELECT doc_id, CAST(ap AS INT) AS fim_applied,
+         | CASE WHEN ap THEN lo END AS cut_lo,
+         | CASE WHEN ap THEN hi END AS cut_hi,
+         | CAST(length(o) AS BIGINT) AS out_len,
+         | ${duckU32("o", 44)} AS out_fp
+         |FROM x""".stripMargin,
+
+    // p2's layout CTEs + the prompt split (first n_toks//3 tokens are
+    // loss-free), then the per-window loss intersection; mask_fp
+    // orders numerically by (rs, rl) exactly like the Spark struct
+    // sort
+    "p14_sft_mask_packing" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source AS grp,
+         |   CAST(len($DuckToks) AS BIGINT) AS n_toks
+         |  FROM documents),
+         |b AS (
+         |  SELECT doc_id, grp, n_toks,
+         |   md5(doc_id::VARCHAR || '#17') AS h,
+         |   ${duckU32("doc_id::VARCHAR", 18)} % 8 AS bk
+         |  FROM t),
+         |o AS (
+         |  SELECT doc_id, grp, n_toks,
+         |   CAST(sum(n_toks) OVER (PARTITION BY grp ORDER BY bk, h, doc_id
+         |     ROWS UNBOUNDED PRECEDING) - n_toks AS BIGINT) AS start_off
+         |  FROM b),
+         |sp AS (
+         |  SELECT doc_id, grp, n_toks, start_off,
+         |   n_toks // 3 AS prompt_toks,
+         |   CAST(floor(start_off / 128.0) AS BIGINT) AS first_seq,
+         |   CAST(floor((start_off + n_toks - 1) / 128.0) AS BIGINT)
+         |     AS last_seq
+         |  FROM o),
+         |w AS (
+         |  SELECT doc_id, grp, n_toks, start_off, prompt_toks,
+         |   unnest(range(first_seq, last_seq + 1)) AS seq_id
+         |  FROM sp),
+         |x AS (
+         |  SELECT grp, seq_id,
+         |   greatest(start_off, seq_id * 128) AS s,
+         |   least(start_off + n_toks, (seq_id + 1) * 128) AS e,
+         |   greatest(start_off + prompt_toks, seq_id * 128) AS ls
+         |  FROM w),
+         |y AS (
+         |  SELECT grp, seq_id, s, e, ls,
+         |   greatest(e - ls, 0) AS loss,
+         |   s - seq_id * 128 AS rs,
+         |   CASE WHEN e - ls > 0 THEN ls - seq_id * 128
+         |     ELSE -1 END AS rl
+         |  FROM x)
+         |SELECT grp, CAST(seq_id AS BIGINT) AS seq_id,
+         | CAST(count(*) AS BIGINT) AS n_docs,
+         | CAST(sum(e - s) AS BIGINT) AS filled,
+         | CAST(sum(loss) AS BIGINT) AS loss_tokens,
+         | md5(string_agg(rs::VARCHAR || ':' || rl::VARCHAR, ','
+         |   ORDER BY rs, rl)) AS mask_fp
+         |FROM y GROUP BY grp, seq_id""".stripMargin,
 
     // t17's BPE apply CTEs feeding p2's packing window — merges,
     // fold, per-doc counts, then the same (bk, h, doc_id) layout
@@ -11556,6 +11734,107 @@ object SparkEntry {
          |SELECT r.doc_id, d.lang, weight6, score6, rank
          |FROM r JOIN documents d USING (doc_id)
          |WHERE rank <= 100""".stripMargin,
+
+    // the full index-and-serve twin: contexts of length 0..2 with
+    // their next-token counts, the three-probe query fixture, then
+    // longest-supported-suffix backoff with (count desc, token)
+    // argmax — p_micro is an integer floor division in both engines
+    "t51_ngram_serve" ->
+      s"""WITH t AS (SELECT doc_id, $DuckToks AS w FROM documents
+         |  WHERE len($DuckToks) > 0),
+         |pos AS (
+         |  SELECT doc_id, w, l, unnest(range(1, len(w) - l + 1)) AS i
+         |  FROM t CROSS JOIN (SELECT unnest(range(3)) AS l) ls
+         |  WHERE len(w) >= l + 1),
+         |g AS (
+         |  SELECT l, CASE WHEN l = 0 THEN ''
+         |    ELSE array_to_string(w[i:i+l-1], ' ') END AS ctx,
+         |   w[i+l] AS next
+         |  FROM pos),
+         |cnt AS (
+         |  SELECT l, ctx, next, CAST(count(*) AS BIGINT) AS c
+         |  FROM g GROUP BY 1, 2, 3),
+         |base AS (
+         |  SELECT doc_id, w[1:2] AS qw FROM t
+         |  WHERE doc_id % 37 = 0 AND len(w) >= 2),
+         |qs AS (
+         |  SELECT doc_id * 3 AS qid, qw AS q FROM base
+         |  UNION ALL
+         |  SELECT doc_id * 3 + 1, [qw[1] || 'q', qw[2]] FROM base
+         |  UNION ALL
+         |  SELECT doc_id * 3 + 2, [qw[1], qw[2] || 'q'] FROM base),
+         |probes AS (
+         |  SELECT qid, l, CASE WHEN l = 0 THEN ''
+         |    ELSE array_to_string(q[3-l:2], ' ') END AS ctx
+         |  FROM qs CROSS JOIN (SELECT unnest(range(3)) AS l) ls),
+         |hits AS (
+         |  SELECT p.qid, p.l, c.next, c.c
+         |  FROM probes p JOIN cnt c ON c.l = p.l AND c.ctx = p.ctx),
+         |tot AS (
+         |  SELECT qid, l, CAST(sum(c) AS BIGINT) AS total
+         |  FROM hits GROUP BY 1, 2),
+         |top AS (
+         |  SELECT qid, l, next AS top_next, c AS top_c FROM (
+         |    SELECT qid, l, next, c, row_number() OVER (
+         |      PARTITION BY qid, l ORDER BY c DESC, next) AS rk
+         |    FROM hits) WHERE rk = 1),
+         |best AS (
+         |  SELECT qid, l, total, top_next, top_c FROM (
+         |    SELECT tot.qid, tot.l, total, top_next, top_c,
+         |     row_number() OVER (PARTITION BY tot.qid
+         |       ORDER BY tot.l DESC) AS lrk
+         |    FROM tot JOIN top ON top.qid = tot.qid AND top.l = tot.l)
+         |  WHERE lrk = 1)
+         |SELECT q.qid,
+         | CAST(coalesce(b.l, -1) AS BIGINT) AS matched_len,
+         | CAST(coalesce(total, 0) AS BIGINT) AS total,
+         | coalesce(top_next, '') AS top_next,
+         | CAST(coalesce(top_c, 0) AS BIGINT) AS top_c,
+         | CAST(coalesce((top_c * 1000000) // total, 0) AS BIGINT)
+         |   AS p_micro
+         |FROM qs q LEFT JOIN best b ON b.qid = q.qid""".stripMargin,
+
+    // 4 unrolled MW rounds over the metadata-sized domain relation —
+    // every division an integer floor (`//`), matching the Spark
+    // side's explicit floor() doctrine; the scalar-subquery
+    // normalizers are the crossJoin(broadcast(agg)) twins
+    "t52_mixture_weights" ->
+      """WITH per AS (
+        |  SELECT source, CAST((sum(n_chars) * 1000) // count(*)
+        |    AS BIGINT) AS m
+        |  FROM documents GROUP BY 1),
+        |dom AS (
+        |  SELECT source AS domain,
+        |   CAST((m * 1000000) // (SELECT CAST(sum(m) AS BIGINT)
+        |     FROM per) AS BIGINT) AS excess_micro
+        |  FROM per),
+        |r0 AS (
+        |  SELECT domain, excess_micro,
+        |   1000000 // (SELECT count(*) FROM dom) AS w
+        |  FROM dom),
+        |u1 AS (SELECT domain, excess_micro,
+        |  (w * (1000000 + (200000 * excess_micro) // 1000000))
+        |    // 1000000 AS w FROM r0),
+        |r1 AS (SELECT domain, excess_micro,
+        |  (w * 1000000) // (SELECT sum(w) FROM u1) AS w FROM u1),
+        |u2 AS (SELECT domain, excess_micro,
+        |  (w * (1000000 + (200000 * excess_micro) // 1000000))
+        |    // 1000000 AS w FROM r1),
+        |r2 AS (SELECT domain, excess_micro,
+        |  (w * 1000000) // (SELECT sum(w) FROM u2) AS w FROM u2),
+        |u3 AS (SELECT domain, excess_micro,
+        |  (w * (1000000 + (200000 * excess_micro) // 1000000))
+        |    // 1000000 AS w FROM r2),
+        |r3 AS (SELECT domain, excess_micro,
+        |  (w * 1000000) // (SELECT sum(w) FROM u3) AS w FROM u3),
+        |u4 AS (SELECT domain, excess_micro,
+        |  (w * (1000000 + (200000 * excess_micro) // 1000000))
+        |    // 1000000 AS w FROM r3),
+        |r4 AS (SELECT domain, excess_micro,
+        |  (w * 1000000) // (SELECT sum(w) FROM u4) AS w FROM u4)
+        |SELECT domain, CAST(excess_micro AS BIGINT) AS excess_micro,
+        | CAST(w AS BIGINT) AS weight_micro
+        |FROM r4""".stripMargin,
 
     // t13's CTEs plus the KN model relations: forward/backward
     // continuation counts and the 1-row bigram-type total; the score

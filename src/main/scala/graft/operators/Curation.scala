@@ -884,4 +884,179 @@ object Curation {
           .as("kept_id_sum"))
   }
 
+  /** Per-CLUSTER document caps — [[domainCaps]]' census generalized to
+    * any grouping key: no cluster may keep more than `maxPer` members,
+    * survivors being the cluster's top-ranked by (quality desc, id).
+    * With k-means cell assignments as the key and assignment cosine as
+    * the quality this is the cluster-balancing step of
+    * embedding-space curation (the D4 recipe — Tirumala et al. 2023,
+    * arXiv:2308.12284 — prunes over-dense semantic clusters the way
+    * d23 prunes over-crawled domains): a 100 TB web crawl is
+    * cluster-skewed exactly like it is domain-skewed, and the cap is
+    * one key-partitioned window either way (salt-then-cap for the
+    * mega-cluster, same as the domain note).
+    *
+    * Returns the per-cluster census (cluster, n_docs, n_kept,
+    * kept_id_sum). */
+  def capByKey(df: DataFrame, idCol: Column, keyCol: Column,
+      qualityCol: Column, maxPer: Int): DataFrame = {
+    val ranked = df.select(idCol.as("doc_id"), keyCol.as("cluster"),
+        qualityCol.as("quality"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("cluster"))
+          .orderBy(col("quality").desc, col("doc_id").asc)))
+    ranked.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("rk") <= maxPer, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("rk") <= maxPer, col("doc_id"))).as("kept_id_sum"))
+  }
+
+  /** Domain-mixture reweighting by multiplicative weights — the
+    * DoReMi update shape (Xie et al. 2023, arXiv:2305.10429: Group
+    * DRO re-weights domains by exponentiated-gradient ascent on
+    * per-domain excess loss; here the update is the linear
+    * multiplicative-weights form w ← w·(1 + η·excess), the standard
+    * MW approximation of exp(η·excess)) run for `rounds` synchronous
+    * rounds ENTIRELY in integer micro-units: weights, losses, and the
+    * learning rate are all ×10⁶ longs, every division a floor — so
+    * the trajectory is bit-identical in any engine and the final
+    * mixture is oracle-checkable, unlike float-exp whose ULP order
+    * differs across libm builds.
+    *
+    * `domains` must be (domain STRING, excess_micro LONG in [0, 1e6])
+    * — one row per domain, metadata-sized (a mixture has tens of
+    * domains, never more; the 100 TB work is computing the per-domain
+    * losses upstream, which is one aggregate). Each round multiplies
+    * then renormalizes to Σw = 1e6 by floor division; the lost
+    * remainder (< n_domains µ) stays unassigned rather than being
+    * redistributed — deterministic and honest about quantization.
+    *
+    * Returns (domain, excess_micro, weight_micro) after `rounds`. */
+  def mixtureWeights(domains: DataFrame, etaMicro: Long,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 16,
+      s"rounds must be in [1,16], got $rounds")
+    val M = 1000000L
+    // every division below is an explicit floor: Spark's `/` on longs
+    // returns DOUBLE and DuckDB's CAST(double AS BIGINT) ROUNDS, so
+    // the only cross-engine-safe integer division is floor() here and
+    // `//` there (all operands positive, products < 2^53 — exact in
+    // the double intermediate)
+    val n = domains.select(count(lit(1)).as("__n"))
+    var w = domains.crossJoin(broadcast(n))
+      .select(col("domain"), col("excess_micro"),
+        floor(lit(M) / col("__n")).as("w"))
+    for (_ <- 1 to rounds) {
+      val boost = lit(M) + floor(lit(etaMicro) * col("excess_micro") / M)
+      val up = w.withColumn("w", floor(col("w") * boost / M))
+      val tot = up.select(sum(col("w")).as("__tot"))
+      w = up.crossJoin(broadcast(tot))
+        .select(col("domain"), col("excess_micro"),
+          floor(col("w") * M / col("__tot")).as("w"))
+    }
+    w.select(col("domain"), col("excess_micro"),
+      col("w").as("weight_micro"))
+  }
+
+  /** Fill-in-the-middle transformation (Bavarian et al. 2022,
+    * "Efficient Training of Language Models to Fill in the Middle",
+    * arXiv:2207.14255): with probability `ratePct`/100 a document is
+    * split at two uniform character cuts into (prefix, middle,
+    * suffix) and re-serialized in PSM order —
+    * `<PRE>prefix<SUF>suffix<MID>middle` — so an autoregressive
+    * trainer learns infilling from plain left-to-right loss; the
+    * remaining documents pass through untouched (the paper's joint
+    * FIM+AR recipe).
+    *
+    * Determinism doctrine: the apply coin AND both cut points are
+    * md5-derived integers (`hashU32 % m`) — no floats anywhere — so
+    * the DuckDB oracle reproduces the exact transformed text.
+    * Cut points are uniform over 0..n inclusive (empty prefix /
+    * middle / suffix are all legal, per the paper's character-level
+    * splitting).
+    *
+    * Scale shape: a pure per-row map — no shuffle, no state; FIM over
+    * 100 TB is a single map stage whose parallelism is the scan's.
+    *
+    * Returns (doc_id, fim_applied, cut_lo, cut_hi, out_len, out_fp)
+    * where out_fp fingerprints the exact output byte stream. */
+  def fimTransform(docs: DataFrame, idCol: Column, textCol: Column,
+      ratePct: Int, seed: Int): DataFrame = {
+    require(ratePct >= 0 && ratePct <= 100,
+      s"ratePct must be in [0,100], got $ratePct")
+    val n = length(textCol).cast("long")
+    val applied = pmod(Tables.hashU32(idCol, seed), lit(100L)) < ratePct
+    val c1 = pmod(Tables.hashU32(idCol, seed + 1), n + 1)
+    val c2 = pmod(Tables.hashU32(idCol, seed + 2), n + 1)
+    val lo = least(c1, c2)
+    val hi = greatest(c1, c2)
+    val prefix = textCol.substr(lit(1L), lo)
+    val middle = textCol.substr(lo + 1, hi - lo)
+    val suffix = textCol.substr(hi + 1, n - hi)
+    val out = when(applied,
+      concat(lit("<PRE>"), prefix, lit("<SUF>"), suffix,
+        lit("<MID>"), middle)).otherwise(textCol)
+    docs.select(idCol.as("doc_id"),
+      applied.cast("int").as("fim_applied"),
+      when(applied, lo).otherwise(lit(null)).as("cut_lo"),
+      when(applied, hi).otherwise(lit(null)).as("cut_hi"),
+      length(out).cast("long").as("out_len"),
+      Tables.hashU32(out, seed + 3).as("out_fp"))
+  }
+
+  /** Per-window LOSS-MASK manifest for supervised fine-tuning packing:
+    * the [[packSequences]] layout where each document is a
+    * (prompt, response) pair and only response tokens carry loss
+    * (the standard SFT masking — prompt tokens are context, their
+    * loss is zeroed). For every ctxLen training window this emits the
+    * mask a packed-SFT trainer consumes: how many of the window's
+    * tokens are loss-bearing, and a fingerprint of the exact
+    * (relative-start, relative-loss-start) run structure.
+    *
+    * `packed` must carry packSequences' columns plus `prompt_toks`
+    * (loss-free leading tokens per doc, 0 ≤ prompt_toks ≤ n_toks).
+    * A document's loss span is [start_off + prompt_toks,
+    * start_off + n_toks); each window intersects that span
+    * independently, so a response crossing a window boundary keeps
+    * loss on both sides (GPT-style packing never pads).
+    *
+    * Scale shape: identical to [[packedWindowManifest]] — explode of
+    * ≤ (n_toks/ctxLen + 1) windows per doc, one (grp, seq_id)
+    * aggregate, collect_list bounded by docs-per-window ≤ ctxLen.
+    *
+    * Returns (grp, seq_id, n_docs, filled, loss_tokens, mask_fp). */
+  def sftMaskManifest(packed: DataFrame, ctxLen: Int): DataFrame = {
+    // zero-token docs occupy no window (sequence() would walk
+    // BACKWARDS from first_seq to a smaller last_seq — same guard as
+    // packedWindowManifest)
+    val w = packed.filter(col("n_toks") > 0)
+      .select(col("doc_id"), col("grp"), col("n_toks"),
+        col("start_off"), col("prompt_toks"),
+        explode(sequence(col("first_seq"), col("last_seq"))).as("seq_id"))
+      .withColumn("ws", col("seq_id") * ctxLen)
+      .withColumn("s", greatest(col("start_off"), col("ws")))
+      .withColumn("e",
+        least(col("start_off") + col("n_toks"), col("ws") + ctxLen))
+      // loss span ∩ window: response starts prompt_toks into the doc
+      .withColumn("ls",
+        greatest(col("start_off") + col("prompt_toks"), col("ws")))
+      .withColumn("le", col("e"))
+      .withColumn("loss", greatest(col("le") - col("ls"), lit(0L)))
+    // fingerprint entries sort NUMERICALLY by (relative start,
+    // relative loss start) — struct sort, never string sort, so the
+    // DuckDB `ORDER BY rs, rl` twin matches ("5:…" vs "12:…" would
+    // invert lexicographically)
+    w.groupBy(col("grp"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("e") - col("s")).as("filled"),
+        sum(col("loss")).as("loss_tokens"),
+        md5(concat_ws(",", transform(
+          sort_array(collect_list(struct(
+            (col("s") - col("ws")).as("rs"),
+            when(col("loss") > 0, col("ls") - col("ws"))
+              .otherwise(lit(-1L)).as("rl")))),
+          x => concat_ws(":", x.getField("rs"), x.getField("rl"))))
+          .cast("binary")).as("mask_fp"))
+  }
+
 }

@@ -1543,4 +1543,81 @@ object TextAnalysis {
       size(col("kept")).cast("long").as("n_kept"))
   }
 
+  /** N-gram continuation serving with longest-suffix backoff — the
+    * bounded-n relational form of an ∞-gram / suffix-array n-gram
+    * index (Liu et al. 2024, "Infini-gram", arXiv:2401.17377, serve
+    * the longest context with support; here n is bounded at `maxN`,
+    * which is how a materialized n-gram store is actually deployed):
+    * build the (context, next-token) count index for every context
+    * length 0..maxN−1 in one corpus pass, then answer each query —
+    * a (maxN−1)-token context — from its LONGEST suffix with any
+    * support, emitting the argmax continuation and its probability
+    * in integer micro-units.
+    *
+    * `queries` must be (qid LONG, q ARRAY<STRING> of maxN−1 tokens).
+    *
+    * Scale shape: the index is one tokenize+explode map and one
+    * (ctx_len, ctx, next) aggregate (map-side combined — the classic
+    * n-gram count job); a query batch probes it with maxN equi-joins
+    * on (ctx_len, ctx) — broadcast when the batch is small, shuffle
+    * otherwise — then one qid-keyed argmax window over ≤ maxN rows
+    * each. No all-pairs anything; corpus work is O(tokens·maxN).
+    *
+    * Returns (qid, matched_len, total, top_next, top_c, p_micro). */
+  def ngramServe(docs: DataFrame, idCol: Column, textCol: Column,
+      maxN: Int, queries: DataFrame): DataFrame = {
+    require(maxN >= 2 && maxN <= 5, s"maxN must be in [2,5], got $maxN")
+    val t = docs.select(idCol.as("doc_id"), tokens(textCol).as("w"))
+      .filter(size(col("w")) > 0)
+      .persistTracked() // one tokenize feeds maxN gram projections
+    // for each context length L (0..maxN-1): positions i with
+    // i+L < len(w); context = w[i..i+L), next = w[i+L]
+    val grams = (0 until maxN).map { l =>
+      t.filter(size(col("w")) > l)
+        .select(explode(transform(
+          sequence(lit(0), size(col("w")) - (l + 1)),
+          i => struct(
+            array_join(slice(col("w"), i + 1, lit(l)), " ").as("ctx"),
+            element_at(col("w"), i + (l + 1)).as("next"))))
+          .as("g"))
+        .select(lit(l).as("ctx_len"), col("g.ctx"), col("g.next"))
+    }.reduce(_.unionAll(_))
+    val counts = grams.groupBy(col("ctx_len"), col("ctx"), col("next"))
+      .agg(count(lit(1)).as("c"))
+    // each query probes all suffix lengths; suffix of length L is the
+    // LAST L tokens of q
+    val probes = queries.select(col("qid"), explode(transform(
+        sequence(lit(0), lit(maxN - 1)),
+        // slice(q, 0, …) is ILLEGAL in Spark, so the length-0 suffix
+        // (the empty context) is guarded INSIDE the branch — CaseWhen
+        // evaluates only the taken branch, the slice never sees 0
+        l => struct(l.cast("int").as("ctx_len"),
+          when(l === 0, lit("")).otherwise(
+            array_join(slice(col("q"), -l, l), " ")).as("ctx"))))
+        .as("p"))
+      .select(col("qid"), col("p.ctx_len"), col("p.ctx"))
+    val hits = probes.join(counts, Seq("ctx_len", "ctx"))
+    val perLen = hits.groupBy(col("qid"), col("ctx_len"))
+      .agg(sum(col("c")).as("total"))
+    val top = hits.withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid"), col("ctx_len"))
+          .orderBy(col("c").desc, col("next").asc)))
+      .filter(col("rk") === 1)
+      .select(col("qid"), col("ctx_len"), col("next").as("top_next"),
+        col("c").as("top_c"))
+    val best = perLen.join(top, Seq("qid", "ctx_len"))
+      .withColumn("lrk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("ctx_len").desc)))
+      .filter(col("lrk") === 1)
+    queries.select(col("qid")).join(best, Seq("qid"), "left_outer")
+      .select(col("qid"),
+        coalesce(col("ctx_len").cast("long"), lit(-1L))
+          .as("matched_len"),
+        coalesce(col("total"), lit(0L)).as("total"),
+        coalesce(col("top_next"), lit("")).as("top_next"),
+        coalesce(col("top_c"), lit(0L)).as("top_c"),
+        coalesce(floor(col("top_c") * 1000000L / col("total")), lit(0L))
+          .as("p_micro"))
+  }
+
 }

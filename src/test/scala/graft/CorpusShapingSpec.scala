@@ -1,0 +1,174 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Curation, TextAnalysis}
+
+/** The corpus-shaping wave: FIM re-serialization, SFT loss-mask
+  * packing, cluster caps, multiplicative-weights mixture, and n-gram
+  * continuation serving. */
+class CorpusShapingSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** JVM twin of Tables.hashU32 — independent of the Spark plan. */
+  private def u32(key: String, seed: Int): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$key#$seed".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(8)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  // ———— fimTransform ————
+
+  test("fim: rate 100 reproduces the hand-derived PSM text exactly") {
+    val docs = Seq((7L, "abcdefgh"), (8L, ""), (9L, "x"))
+      .toDF("doc_id", "text")
+    val out = Curation.fimTransform(docs, col("doc_id"), col("text"),
+        ratePct = 100, seed = 5)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    for ((id, text) <- Seq((7L, "abcdefgh"), (8L, ""), (9L, "x"))) {
+      val n = text.length
+      val c1 = u32(id.toString, 6) % (n + 1)
+      val c2 = u32(id.toString, 7) % (n + 1)
+      val (lo, hi) = (math.min(c1, c2).toInt, math.max(c1, c2).toInt)
+      val expected = "<PRE>" + text.substring(0, lo) + "<SUF>" +
+        text.substring(hi) + "<MID>" + text.substring(lo, hi)
+      val r = out(id)
+      assert(r.getInt(1) == 1, s"doc $id should be applied")
+      assert(r.getLong(2) == lo && r.getLong(3) == hi,
+        s"doc $id cuts: got (${r.getLong(2)},${r.getLong(3)}), " +
+          s"want ($lo,$hi)")
+      assert(r.getLong(4) == expected.length.toLong)
+      assert(r.getLong(5) == u32(expected, 8),
+        s"doc $id out_fp mismatch — transformed text differs")
+    }
+  }
+
+  test("fim: rate 0 passes every document through untouched") {
+    val docs = Seq((1L, "hello world")).toDF("doc_id", "text")
+    val r = Curation.fimTransform(docs, col("doc_id"), col("text"),
+      ratePct = 0, seed = 5).collect().head
+    assert(r.getInt(1) == 0 && r.isNullAt(2) && r.isNullAt(3))
+    assert(r.getLong(4) == 11L)
+    assert(r.getLong(5) == u32("hello world", 8))
+  }
+
+  test("fim: applied docs grow by exactly the 15 sentinel chars") {
+    val docs = (0L until 50L).map(i => (i, "doc text nr " + i))
+      .toDF("doc_id", "text")
+    val rows = Curation.fimTransform(docs, col("doc_id"), col("text"),
+      ratePct = 100, seed = 11).collect()
+    assert(rows.forall(r =>
+      r.getLong(4) == ("doc text nr " + r.getLong(0)).length + 15L))
+  }
+
+  // ———— sftMaskManifest ————
+
+  test("sft mask: window stats match a by-hand replay of the layout") {
+    val docs = Seq(
+      (1L, "g", 7L, 2L),   // prompt 2, response 5
+      (2L, "g", 9L, 9L),   // fully-prompt doc: zero loss anywhere
+      (3L, "g", 12L, 0L),  // fully-response doc
+      (4L, "g", 5L, 1L)
+    ).toDF("doc_id", "grp", "n_toks", "prompt_toks")
+    val ctx = 10
+    val packed = Curation.packSequences(docs, col("doc_id"), col("grp"),
+        col("n_toks"), ctxLen = ctx, seed = 3, buckets = 2)
+      .join(docs.select(col("doc_id"), col("prompt_toks")), Seq("doc_id"))
+    // replay the packed layout in plain Scala: per window, intersect
+    // each doc's [start, end) and its loss span [start+prompt, end)
+    val lay = packed.select("doc_id", "start_off", "n_toks",
+        "prompt_toks").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val expected = lay.flatMap { case (off, n, p) =>
+      (off / ctx to (off + n - 1) / ctx).map { w =>
+        val ws = w * ctx
+        val s = math.max(off, ws); val e = math.min(off + n, ws + ctx)
+        val ls = math.max(off + p, ws)
+        (w, (e - s, math.max(e - ls, 0L)))
+      }
+    }.groupBy(_._1).map { case (w, xs) =>
+      w -> (xs.size.toLong, xs.map(_._2._1).sum, xs.map(_._2._2).sum)
+    }
+    val got = Curation.sftMaskManifest(packed, ctxLen = ctx)
+      .collect().map(r => r.getLong(1) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == expected)
+    assert(got.values.map(_._3).sum == 5L + 0L + 12L + 4L,
+      "total loss tokens must equal the sum of response lengths")
+  }
+
+  test("sft mask: fingerprint separates equal-count distinct masks") {
+    // same filled/loss totals, different run structure → distinct fp
+    val a = Seq((1L, "g", 4L, 0L, 0L, 0L, 0L),
+        (2L, "g", 4L, 4L, 4L, 0L, 0L))
+      .toDF("doc_id", "grp", "n_toks", "start_off", "prompt_toks",
+        "first_seq", "last_seq")
+    val b = Seq((1L, "g", 4L, 0L, 4L, 0L, 0L),
+        (2L, "g", 4L, 4L, 0L, 0L, 0L))
+      .toDF("doc_id", "grp", "n_toks", "start_off", "prompt_toks",
+        "first_seq", "last_seq")
+    def fp(df: org.apache.spark.sql.DataFrame): String =
+      Curation.sftMaskManifest(df, ctxLen = 8).collect().head.getString(5)
+    assert(fp(a) != fp(b),
+      "mask_fp must encode WHERE loss sits, not just how much")
+  }
+
+  // ———— capByKey ————
+
+  test("capByKey: keeps top-quality members per cluster, id ties") {
+    val df = Seq(
+      (1L, 10L, 0.9), (2L, 10L, 0.8), (3L, 10L, 0.7),
+      (4L, 20L, 0.5), (5L, 20L, 0.5)
+    ).toDF("id", "cell", "q")
+    val out = Curation.capByKey(df, col("id"), col("cell"), col("q"),
+        maxPer = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(10L) == ((3L, 2L, 3L)))  // keeps ids 1, 2
+    assert(out(20L) == ((2L, 2L, 9L)))  // under cap: everything
+  }
+
+  // ———— mixtureWeights ————
+
+  test("mw: two rounds match the hand-computed integer trajectory") {
+    val dom = Seq(("a", 0L), ("b", 1000000L))
+      .toDF("domain", "excess_micro")
+    val out = Curation.mixtureWeights(dom, etaMicro = 500000L,
+        rounds = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    // r1: (500000, 750000) → norm (400000, 600000)
+    // r2: (400000, 900000) → norm (307692, 692307)
+    assert(out("a") == 307692L && out("b") == 692307L)
+  }
+
+  test("mw: uniform excess keeps the mixture uniform; mass ≈ 1e6") {
+    val dom = Seq(("a", 300000L), ("b", 300000L), ("c", 300000L))
+      .toDF("domain", "excess_micro")
+    val ws = Curation.mixtureWeights(dom, etaMicro = 200000L, rounds = 4)
+      .collect().map(_.getLong(2))
+    assert(ws.distinct.length == 1, "uniform excess must stay uniform")
+    assert(ws.sum <= 1000000L && ws.sum >= 1000000L - 3)
+  }
+
+  // ———— ngramServe ————
+
+  test("ngram serve: exact match, unigram backoff, empty-ctx backoff") {
+    val docs = Seq((1L, "a b c"), (2L, "a b d"), (3L, "b c"))
+      .toDF("doc_id", "text")
+    val queries = Seq(
+      (10L, Seq("a", "b")),  // L=2 hit: next ∈ {c, d}
+      (11L, Seq("x", "b")),  // L=2 miss → L=1 "b": c:2 d:1
+      (12L, Seq("a", "x"))   // L=2, L=1 miss → L=0: b:3 a:2 c:2 d:1
+    ).toDF("qid", "q")
+    val out = TextAnalysis.ngramServe(docs, col("doc_id"), col("text"),
+        maxN = 3, queries = queries)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    assert(out(10L) == ((2L, 2L, "c", 1L, 500000L)),
+      "tie on count must pick the lexicographically smaller token")
+    assert(out(11L) == ((1L, 3L, "c", 2L, 666666L)))
+    assert(out(12L) == ((0L, 8L, "b", 3L, 375000L)))
+  }
+}
