@@ -770,6 +770,64 @@ object SparkEntry {
       |UNION ALL SELECT 3, 'purchase', CAST(count(*) AS BIGINT),
       | CAST(coalesce(sum(t3 - t1), 0) AS BIGINT) FROM p""".stripMargin
 
+
+  /** t51's full index-and-serve twin (see the oracle-map
+    * comment): shared verbatim by t51/t53/q109. */
+  private lazy val DuckNgramServe: String =
+    s"""WITH t AS (SELECT doc_id, $DuckToks AS w FROM documents
+         |  WHERE len($DuckToks) > 0),
+         |pos AS (
+         |  SELECT doc_id, w, l, unnest(range(1, len(w) - l + 1)) AS i
+         |  FROM t CROSS JOIN (SELECT unnest(range(3)) AS l) ls
+         |  WHERE len(w) >= l + 1),
+         |g AS (
+         |  SELECT l, CASE WHEN l = 0 THEN ''
+         |    ELSE array_to_string(w[i:i+l-1], ' ') END AS ctx,
+         |   w[i+l] AS next
+         |  FROM pos),
+         |cnt AS (
+         |  SELECT l, ctx, next, CAST(count(*) AS BIGINT) AS c
+         |  FROM g GROUP BY 1, 2, 3),
+         |base AS (
+         |  SELECT doc_id, w[1:2] AS qw FROM t
+         |  WHERE doc_id % 37 = 0 AND len(w) >= 2),
+         |qs AS (
+         |  SELECT doc_id * 3 AS qid, qw AS q FROM base
+         |  UNION ALL
+         |  SELECT doc_id * 3 + 1, [qw[1] || 'q', qw[2]] FROM base
+         |  UNION ALL
+         |  SELECT doc_id * 3 + 2, [qw[1], qw[2] || 'q'] FROM base),
+         |probes AS (
+         |  SELECT qid, l, CASE WHEN l = 0 THEN ''
+         |    ELSE array_to_string(q[3-l:2], ' ') END AS ctx
+         |  FROM qs CROSS JOIN (SELECT unnest(range(3)) AS l) ls),
+         |hits AS (
+         |  SELECT p.qid, p.l, c.next, c.c
+         |  FROM probes p JOIN cnt c ON c.l = p.l AND c.ctx = p.ctx),
+         |tot AS (
+         |  SELECT qid, l, CAST(sum(c) AS BIGINT) AS total
+         |  FROM hits GROUP BY 1, 2),
+         |top AS (
+         |  SELECT qid, l, next AS top_next, c AS top_c FROM (
+         |    SELECT qid, l, next, c, row_number() OVER (
+         |      PARTITION BY qid, l ORDER BY c DESC, next) AS rk
+         |    FROM hits) WHERE rk = 1),
+         |best AS (
+         |  SELECT qid, l, total, top_next, top_c FROM (
+         |    SELECT tot.qid, tot.l, total, top_next, top_c,
+         |     row_number() OVER (PARTITION BY tot.qid
+         |       ORDER BY tot.l DESC) AS lrk
+         |    FROM tot JOIN top ON top.qid = tot.qid AND top.l = tot.l)
+         |  WHERE lrk = 1)
+         |SELECT q.qid,
+         | CAST(coalesce(b.l, -1) AS BIGINT) AS matched_len,
+         | CAST(coalesce(total, 0) AS BIGINT) AS total,
+         | coalesce(top_next, '') AS top_next,
+         | CAST(coalesce(top_c, 0) AS BIGINT) AS top_c,
+         | CAST(coalesce((top_c * 1000000) // total, 0) AS BIGINT)
+         |   AS p_micro
+         |FROM qs q LEFT JOIN best b ON b.qid = q.qid""".stripMargin
+
   /** DuckDB fragment: u32 hash of expr-with-seed (twin of Tables.hashU32). */
   private def duckU32(expr: String, seed: Int): String =
     s"(('0x' || substr(md5($expr || '#$seed'), 1, 8))::BIGINT)"
@@ -1857,6 +1915,26 @@ object SparkEntry {
       new java.io.File(s"$dir/_built").createNewFile()
     }
     dir
+  }
+
+  /** t51's three-probe query fixture — per seed doc (doc_id % 37):
+    * the exact leading bigram, a head-mangled variant (forces the
+    * backoff to the unigram context) and a tail-mangled variant
+    * (forces it to the empty context) — shared by every n-gram serve
+    * path (t51 live, t53 stored index, q109 streamed state) so the
+    * probe set cannot drift between them. */
+  private def ngramQueryFixture(docs: DataFrame): DataFrame = {
+    val base = docs.filter(col("doc_id") % 37 === 0)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), slice(col("w"), 1, 2).as("qw"))
+    base.select((col("doc_id") * 3).as("qid"), col("qw").as("q"))
+      .union(base.select((col("doc_id") * 3 + 1).as("qid"),
+        array(concat(element_at(col("qw"), 1), lit("q")),
+          element_at(col("qw"), 2)).as("q")))
+      .union(base.select((col("doc_id") * 3 + 2).as("qid"),
+        array(element_at(col("qw"), 1),
+          concat(element_at(col("qw"), 2), lit("q"))).as("q")))
   }
 
   private def scratchDir(prefix: String, d: String): String = {
@@ -2968,20 +3046,52 @@ object SparkEntry {
     // exercised and oracle-pinned
     "t51_ngram_serve" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val base = docs.filter(col("doc_id") % 37 === 0)
-        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("w"))
-        .filter(size(col("w")) >= 2)
-        .select(col("doc_id"), slice(col("w"), 1, 2).as("qw"))
-      val queries = base
-        .select((col("doc_id") * 3).as("qid"), col("qw").as("q"))
-        .union(base.select((col("doc_id") * 3 + 1).as("qid"),
-          array(concat(element_at(col("qw"), 1), lit("q")),
-            element_at(col("qw"), 2)).as("q")))
-        .union(base.select((col("doc_id") * 3 + 2).as("qid"),
-          array(element_at(col("qw"), 1),
-            concat(element_at(col("qw"), 2), lit("q"))).as("q")))
       TextAnalysis.ngramServe(docs, col("doc_id"), col("text"),
-        maxN = 3, queries = queries)
+        maxN = 3, queries = ngramQueryFixture(docs))
+    }),
+
+    // the t51 index built ONCE into a versioned table and served from
+    // the stored relation (the s9/s28 build-once/query-many
+    // discipline applied to the n-gram store): serve reads counts
+    // only — at 100 TB the corpus pass happens once, every later
+    // query batch is maxN probes of a keyed relation. Oracle = t51's
+    // text VERBATIM — one oracle, two execution paths
+    "t53_ngram_index_serve" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val scratch = scratchDir("t53ngram", d)
+      val idxDir = s"$scratch/index"
+      if (!new java.io.File(s"$scratch/_built").exists()) {
+        graft.sources.VersionedTable.commit(
+          TextAnalysis.ngramCounts(docs, col("doc_id"), col("text"),
+            maxN = 3), idxDir)
+        new java.io.File(s"$scratch/_built").createNewFile()
+      }
+      TextAnalysis.ngramServeFrom(
+        graft.sources.VersionedTable.readCurrent(s, idxDir),
+        maxN = 3, queries = ngramQueryFixture(docs))
+    }),
+
+    // STREAMING n-gram index ingest: the t51 count index accumulated
+    // micro-batch by micro-batch — per-batch gram partials
+    // MERGE-commit only the touched grams (O(batch) commit I/O, the
+    // q106 discipline) in version↔batch lockstep; counts are
+    // additive, so the final state is slicing-independent and the
+    // serve over it answers under t51's oracle VERBATIM — one oracle
+    // text, three execution paths (live, stored index, streamed)
+    "q109_stream_ngram_ingest" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        col("text"))
+      val scratch = scratchDir("q109ngram", d)
+      val streamDir = scratchStreamBatches(scratch, (0 until 3).map(
+        i => docs.filter(pmod(col("doc_id"), lit(3)) === i)))
+      val stateDir = s"$scratch/state"
+      EventStream.ngramIngestOnce(
+        EventStream.parquetFileStream(s, streamDir), maxN = 3,
+        stateDir)
+      TextAnalysis.ngramServeFrom(
+        graft.sources.VersionedTable.readCurrent(s, stateDir)
+          .drop("k"),
+        maxN = 3, queries = ngramQueryFixture(Tables.documents(s, d)))
     }),
 
     // domain-mixture reweighting by multiplicative weights (the
@@ -11738,61 +11848,13 @@ object SparkEntry {
     // the full index-and-serve twin: contexts of length 0..2 with
     // their next-token counts, the three-probe query fixture, then
     // longest-supported-suffix backoff with (count desc, token)
-    // argmax — p_micro is an integer floor division in both engines
-    "t51_ngram_serve" ->
-      s"""WITH t AS (SELECT doc_id, $DuckToks AS w FROM documents
-         |  WHERE len($DuckToks) > 0),
-         |pos AS (
-         |  SELECT doc_id, w, l, unnest(range(1, len(w) - l + 1)) AS i
-         |  FROM t CROSS JOIN (SELECT unnest(range(3)) AS l) ls
-         |  WHERE len(w) >= l + 1),
-         |g AS (
-         |  SELECT l, CASE WHEN l = 0 THEN ''
-         |    ELSE array_to_string(w[i:i+l-1], ' ') END AS ctx,
-         |   w[i+l] AS next
-         |  FROM pos),
-         |cnt AS (
-         |  SELECT l, ctx, next, CAST(count(*) AS BIGINT) AS c
-         |  FROM g GROUP BY 1, 2, 3),
-         |base AS (
-         |  SELECT doc_id, w[1:2] AS qw FROM t
-         |  WHERE doc_id % 37 = 0 AND len(w) >= 2),
-         |qs AS (
-         |  SELECT doc_id * 3 AS qid, qw AS q FROM base
-         |  UNION ALL
-         |  SELECT doc_id * 3 + 1, [qw[1] || 'q', qw[2]] FROM base
-         |  UNION ALL
-         |  SELECT doc_id * 3 + 2, [qw[1], qw[2] || 'q'] FROM base),
-         |probes AS (
-         |  SELECT qid, l, CASE WHEN l = 0 THEN ''
-         |    ELSE array_to_string(q[3-l:2], ' ') END AS ctx
-         |  FROM qs CROSS JOIN (SELECT unnest(range(3)) AS l) ls),
-         |hits AS (
-         |  SELECT p.qid, p.l, c.next, c.c
-         |  FROM probes p JOIN cnt c ON c.l = p.l AND c.ctx = p.ctx),
-         |tot AS (
-         |  SELECT qid, l, CAST(sum(c) AS BIGINT) AS total
-         |  FROM hits GROUP BY 1, 2),
-         |top AS (
-         |  SELECT qid, l, next AS top_next, c AS top_c FROM (
-         |    SELECT qid, l, next, c, row_number() OVER (
-         |      PARTITION BY qid, l ORDER BY c DESC, next) AS rk
-         |    FROM hits) WHERE rk = 1),
-         |best AS (
-         |  SELECT qid, l, total, top_next, top_c FROM (
-         |    SELECT tot.qid, tot.l, total, top_next, top_c,
-         |     row_number() OVER (PARTITION BY tot.qid
-         |       ORDER BY tot.l DESC) AS lrk
-         |    FROM tot JOIN top ON top.qid = tot.qid AND top.l = tot.l)
-         |  WHERE lrk = 1)
-         |SELECT q.qid,
-         | CAST(coalesce(b.l, -1) AS BIGINT) AS matched_len,
-         | CAST(coalesce(total, 0) AS BIGINT) AS total,
-         | coalesce(top_next, '') AS top_next,
-         | CAST(coalesce(top_c, 0) AS BIGINT) AS top_c,
-         | CAST(coalesce((top_c * 1000000) // total, 0) AS BIGINT)
-         |   AS p_micro
-         |FROM qs q LEFT JOIN best b ON b.qid = q.qid""".stripMargin,
+    // argmax — p_micro is an integer floor division in both engines.
+    // ONE text serves three execution paths: t51 (live build), t53
+    // (stored-index serve), q109 (streaming MERGE-accumulated state —
+    // additive counts make the final index slicing-independent)
+    "t51_ngram_serve" -> DuckNgramServe,
+    "t53_ngram_index_serve" -> DuckNgramServe,
+    "q109_stream_ngram_ingest" -> DuckNgramServe,
 
     // 4 unrolled MW rounds over the metadata-sized domain relation —
     // every division an integer floor (`//`), matching the Spark

@@ -1565,7 +1565,19 @@ object TextAnalysis {
     *
     * Returns (qid, matched_len, total, top_next, top_c, p_micro). */
   def ngramServe(docs: DataFrame, idCol: Column, textCol: Column,
-      maxN: Int, queries: DataFrame): DataFrame = {
+      maxN: Int, queries: DataFrame): DataFrame =
+    ngramServeFrom(ngramCounts(docs, idCol, textCol, maxN), maxN,
+      queries)
+
+  /** The n-gram count INDEX relation of [[ngramServe]] — (ctx_len,
+    * ctx, next, c) for every context length 0..maxN−1 — split out so
+    * the index can be built ONCE, persisted as a versioned table, and
+    * served query-many (the s9/s28 build-once discipline), or
+    * accumulated incrementally by a streaming ingest (counts are
+    * additive, so per-batch partials merge by sum — slicing-
+    * independent by construction). */
+  def ngramCounts(docs: DataFrame, idCol: Column, textCol: Column,
+      maxN: Int): DataFrame = {
     require(maxN >= 2 && maxN <= 5, s"maxN must be in [2,5], got $maxN")
     val t = docs.select(idCol.as("doc_id"), tokens(textCol).as("w"))
       .filter(size(col("w")) > 0)
@@ -1582,8 +1594,18 @@ object TextAnalysis {
           .as("g"))
         .select(lit(l).as("ctx_len"), col("g.ctx"), col("g.next"))
     }.reduce(_.unionAll(_))
-    val counts = grams.groupBy(col("ctx_len"), col("ctx"), col("next"))
+    grams.groupBy(col("ctx_len"), col("ctx"), col("next"))
       .agg(count(lit(1)).as("c"))
+  }
+
+  /** [[ngramServe]]'s probe/backoff/argmax half over ANY (ctx_len,
+    * ctx, next, c) counts relation — live, loaded from a stored
+    * index, or read from streaming-accumulated state; the serve plan
+    * is identical, which is what lets one oracle text check every
+    * execution path. */
+  def ngramServeFrom(counts: DataFrame, maxN: Int,
+      queries: DataFrame): DataFrame = {
+    require(maxN >= 2 && maxN <= 5, s"maxN must be in [2,5], got $maxN")
     // each query probes all suffix lengths; suffix of length L is the
     // LAST L tokens of q
     val probes = queries.select(col("qid"), explode(transform(

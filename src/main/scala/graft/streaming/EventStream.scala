@@ -942,6 +942,72 @@ object EventStream {
     }
   }
 
+  /** STREAMING n-gram index ingest — the t51/t53 count index
+    * accumulated as documents arrive instead of rebuilt per corpus
+    * scan: each micro-batch folds its own (ctx_len, ctx, next)
+    * partial counts (O(batch·maxN) map + one batch-sized aggregate)
+    * and MERGE-commits only the touched grams into the versioned
+    * state table, in version↔batch lockstep. Counts are additive, so
+    * the final index is slicing-independent — the oracle for a serve
+    * over the final state is the batch build's text VERBATIM.
+    *
+    * Scale shape: steady-state work per batch is O(batch grams) —
+    * the prior-state read is a left-semi join on the batch's keys
+    * (never a full state scan rewrite; the MERGE masks old copies of
+    * touched keys only), which is the same O(batch) commit receipt
+    * q106 carries. */
+  def ngramIngestOnce(docStream: DataFrame, maxN: Int,
+      stateDir: String): Unit = {
+    val q = docStream.writeStream
+      .foreachBatch {
+        (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        ngramMergeBatch(batch.toDF(), maxN, stateDir, batchId)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** One micro-batch of the n-gram index ingest (the foreachBatch
+    * body, callable directly): per-batch gram partials MERGE-commit
+    * under the lockstep guard; a replayed batch id is a proven no-op
+    * (versions already advanced past it). */
+  def ngramMergeBatch(batch: DataFrame, maxN: Int, stateDir: String,
+      batchId: Long): Unit = {
+    val vt = graft.sources.VersionedTable
+    val sess = batch.sparkSession
+    val part = graft.operators.TextAnalysis
+      .ngramCounts(batch, col("doc_id"), col("text"), maxN)
+      // mergeCommit takes ONE key column; the gram grain is the
+      // triple, so the key is its sentinel-joined concatenation
+      .withColumn("k", concat_ws("\u0001",
+        col("ctx_len"), col("ctx"), col("next")))
+    if (vt.versions(sess, stateDir).isEmpty) {
+      require(batchId == 0,
+        s"state at $stateDir is unseeded but batch $batchId " +
+          "arrived — not this stream's table")
+      vt.commit(part.limit(0), stateDir) // empty v0 seed
+    }
+    val vs = vt.versions(sess, stateDir)
+    if (vs.length <= batchId + 1) {
+      require(vs.length == batchId + 1,
+        s"state at $stateDir has ${vs.length} versions but " +
+          s"batch $batchId arrived — not this stream's table")
+      // re-derive ONLY the grams this batch touches; persisted: the
+      // partials feed both the affected-key semi-join and the merge
+      // union — one tokenize pass per batch
+      val partP = part.persistTracked()
+      val prior = vt.readCurrent(sess, stateDir)
+        .join(partP.select(col("k")), Seq("k"), "left_semi")
+      val updates = prior.unionByName(partP)
+        .groupBy(col("k"), col("ctx_len"), col("ctx"), col("next"))
+        .agg(sum(col("c")).as("c"))
+      vt.mergeCommit(updates, stateDir, "k")
+      ()
+    }
+  }
+
   /** Streaming WARC ARCHIVER — the write side of the crawl lane (q106
     * is the read side): each micro-batch of documents becomes ONE
     * complete `.warc.gz` shard (warcinfo + member-per-record, written
