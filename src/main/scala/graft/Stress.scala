@@ -1073,6 +1073,65 @@ object Stress {
           nTokens = 8, candK = 30, k = 5).count()
       }
     }
+
+    t("t51_ngram_lane") {
+      // build leg: the corpus-linear one-pass count index (the honest
+      // growing leg). serve leg: a FIXED query batch over the stored
+      // index — the cost is one index scan + query-sized aggregates
+      // (file-level ctx stats skipping, q80's machinery, is the
+      // serve-flat upgrade path at 100 TB). merge receipt: ONE fixed
+      // base-corpus batch advances a whole-corpus-seeded state — flat
+      // across multipliers = the q109 commit is O(batch), not
+      // O(state), same protocol as the q106 row
+      val queries = docs.filter(col("doc_id") < 10000000L &&
+          col("doc_id") % 37 === 0)
+        .select(col("doc_id"),
+          TextAnalysis.tokens(col("text")).as("w"))
+        .filter(size(col("w")) >= 2)
+        .select(col("doc_id").as("qid"), slice(col("w"), 1, 2).as("q"))
+        .persist()
+      queries.count()
+      leg("t51_index_build") {
+        TextAnalysis.ngramCounts(docs, col("doc_id"), col("text"), 3)
+          .count()
+      }
+      val scratch = java.nio.file.Files
+        .createTempDirectory("ngram_stress").toString
+      val idxDir = s"$scratch/index"
+      graft.sources.VersionedTable.commit(
+        TextAnalysis.ngramCounts(docs, col("doc_id"), col("text"), 3),
+        idxDir)
+      InternalCaches.releaseAll()
+      leg("t53_index_serve") {
+        TextAnalysis.ngramServeFrom(
+          graft.sources.VersionedTable.readCurrent(spark, idxDir), 3,
+          queries).count()
+      }
+      val stateDir = s"$scratch/state"
+      val fixedB = docs.filter(col("doc_id") < 10000000L &&
+          pmod(col("doc_id"), lit(97)) === 0)
+        .select(col("doc_id"), col("text"))
+      val seed = docs.select(col("doc_id"), col("text"))
+        .join(fixedB.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      graft.streaming.EventStream.ngramMergeBatch(seed, 3, stateDir, 0L)
+      InternalCaches.releaseAll()
+      // can't use leg() (a replayed batch id is a proven no-op): time
+      // the single fixed-batch merge directly, steady state absorbed
+      // by the seed batch having just exercised the same code path
+      val tFb = System.nanoTime()
+      graft.streaming.EventStream.ngramMergeBatch(fixedB, 3, stateDir,
+        1L)
+      println(f"    q109_fixed_batch_merge=${
+        (System.nanoTime() - tFb) / 1e9}%.2fs rows=${fixedB.count()}")
+      InternalCaches.releaseAll()
+      queries.unpersist()
+      def rmTree(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rmTree))
+        f.delete(): Unit
+      }
+      rmTree(new java.io.File(scratch))
+      docs.count()
+    }
     spark.stop()
   }
 }
