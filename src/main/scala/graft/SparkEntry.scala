@@ -828,6 +828,45 @@ object SparkEntry {
          |   AS p_micro
          |FROM qs q LEFT JOIN best b ON b.qid = q.qid""".stripMargin
 
+  /** t52's full multiplicative-weights chain (domain fixture → 4
+    * unrolled MW rounds, terminal CTE `r4` = (domain, excess_micro,
+    * w)); shared by the t52 oracle and p15's budget consumer. */
+  private lazy val DuckMixtureCtes: String =
+    """WITH per AS (
+      |  SELECT source, CAST((sum(n_chars) * 1000) // count(*)
+      |    AS BIGINT) AS m
+      |  FROM documents GROUP BY 1),
+      |dom AS (
+      |  SELECT source AS domain,
+      |   CAST((m * 1000000) // (SELECT CAST(sum(m) AS BIGINT)
+      |     FROM per) AS BIGINT) AS excess_micro
+      |  FROM per),
+      |r0 AS (
+      |  SELECT domain, excess_micro,
+      |   1000000 // (SELECT count(*) FROM dom) AS w
+      |  FROM dom),
+      |u1 AS (SELECT domain, excess_micro,
+      |  (w * (1000000 + (200000 * excess_micro) // 1000000))
+      |    // 1000000 AS w FROM r0),
+      |r1 AS (SELECT domain, excess_micro,
+      |  (w * 1000000) // (SELECT sum(w) FROM u1) AS w FROM u1),
+      |u2 AS (SELECT domain, excess_micro,
+      |  (w * (1000000 + (200000 * excess_micro) // 1000000))
+      |    // 1000000 AS w FROM r1),
+      |r2 AS (SELECT domain, excess_micro,
+      |  (w * 1000000) // (SELECT sum(w) FROM u2) AS w FROM u2),
+      |u3 AS (SELECT domain, excess_micro,
+      |  (w * (1000000 + (200000 * excess_micro) // 1000000))
+      |    // 1000000 AS w FROM r2),
+      |r3 AS (SELECT domain, excess_micro,
+      |  (w * 1000000) // (SELECT sum(w) FROM u3) AS w FROM u3),
+      |u4 AS (SELECT domain, excess_micro,
+      |  (w * (1000000 + (200000 * excess_micro) // 1000000))
+      |    // 1000000 AS w FROM r3),
+      |r4 AS (SELECT domain, excess_micro,
+      |  (w * 1000000) // (SELECT sum(w) FROM u4) AS w FROM u4)"""
+      .stripMargin
+
   /** DuckDB fragment: u32 hash of expr-with-seed (twin of Tables.hashU32). */
   private def duckU32(expr: String, seed: Int): String =
     s"(('0x' || substr(md5($expr || '#$seed'), 1, 8))::BIGINT)"
@@ -1915,6 +1954,21 @@ object SparkEntry {
       new java.io.File(s"$dir/_built").createNewFile()
     }
     dir
+  }
+
+  /** t52's per-domain "excess loss" fixture — each source's mean
+    * document length (milli-chars) as a micro-share of the sum of
+    * means, all floor divisions — shared by t52 and the p15 sampler
+    * so the mixture input cannot drift between them. */
+  private def mixtureDomainFixture(docs: DataFrame): DataFrame = {
+    val per = docs.groupBy(col("source"))
+      .agg(sum(col("n_chars")).as("sc"), count(lit(1)).as("cnt"))
+      .select(col("source"), floor(col("sc") * 1000L / col("cnt"))
+        .as("m"))
+    val tot = per.select(sum(col("m")).as("__t"))
+    per.crossJoin(broadcast(tot)).select(
+      col("source").as("domain"),
+      floor(col("m") * 1000000L / col("__t")).as("excess_micro"))
   }
 
   /** t51's three-probe query fixture — per seed doc (doc_id % 37):
@@ -3099,16 +3153,26 @@ object SparkEntry {
     // integer micro-units end to end; the per-domain "excess loss"
     // fixture is each source's mean document length as a micro-share
     // of the sum of means (all floor divisions, overflow-safe)
-    "t52_mixture_weights" -> ((s, d) => {
-      val per = Tables.documents(s, d).groupBy(col("source"))
-        .agg(sum(col("n_chars")).as("sc"), count(lit(1)).as("cnt"))
-        .select(col("source"), floor(col("sc") * 1000L / col("cnt"))
-          .as("m"))
-      val tot = per.select(sum(col("m")).as("__t"))
-      val dom = per.crossJoin(broadcast(tot)).select(
-        col("source").as("domain"),
-        floor(col("m") * 1000000L / col("__t")).as("excess_micro"))
-      Curation.mixtureWeights(dom, etaMicro = 200000L, rounds = 4)
+    "t52_mixture_weights" -> ((s, d) =>
+      Curation.mixtureWeights(
+        mixtureDomainFixture(Tables.documents(s, d)),
+        etaMicro = 200000L, rounds = 4)),
+
+    // the mixture CONSUMED: t52's weights × one total token budget →
+    // per-domain token budgets, filled from a deterministic
+    // md5-shuffled document order (fill-then-cut: the boundary doc is
+    // kept); the budget is sized so domains fill PARTIALLY at every
+    // SF — the boundary logic is always exercised
+    "p15_token_budget_sample" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val w = Curation.mixtureWeights(mixtureDomainFixture(docs),
+          etaMicro = 200000L, rounds = 4)
+        .select(col("domain"), col("weight_micro"))
+      Curation.tokenBudgetSample(
+        docs.select(col("doc_id"), col("source").as("domain"),
+          size(TextAnalysis.tokens(col("text"))).as("n_toks")),
+        col("doc_id"), col("domain"), col("n_toks"), w,
+        totalBudget = 20000L, seed = 91)
     }),
 
     // interpolated Kneser-Ney bigram scores — t13's MLE upgraded with
@@ -11859,44 +11923,48 @@ object SparkEntry {
     // 4 unrolled MW rounds over the metadata-sized domain relation —
     // every division an integer floor (`//`), matching the Spark
     // side's explicit floor() doctrine; the scalar-subquery
-    // normalizers are the crossJoin(broadcast(agg)) twins
+    // normalizers are the crossJoin(broadcast(agg)) twins. The CTE
+    // chain (through r4) is shared with p15, which consumes the
+    // weights
     "t52_mixture_weights" ->
-      """WITH per AS (
-        |  SELECT source, CAST((sum(n_chars) * 1000) // count(*)
-        |    AS BIGINT) AS m
-        |  FROM documents GROUP BY 1),
-        |dom AS (
-        |  SELECT source AS domain,
-        |   CAST((m * 1000000) // (SELECT CAST(sum(m) AS BIGINT)
-        |     FROM per) AS BIGINT) AS excess_micro
-        |  FROM per),
-        |r0 AS (
-        |  SELECT domain, excess_micro,
-        |   1000000 // (SELECT count(*) FROM dom) AS w
-        |  FROM dom),
-        |u1 AS (SELECT domain, excess_micro,
-        |  (w * (1000000 + (200000 * excess_micro) // 1000000))
-        |    // 1000000 AS w FROM r0),
-        |r1 AS (SELECT domain, excess_micro,
-        |  (w * 1000000) // (SELECT sum(w) FROM u1) AS w FROM u1),
-        |u2 AS (SELECT domain, excess_micro,
-        |  (w * (1000000 + (200000 * excess_micro) // 1000000))
-        |    // 1000000 AS w FROM r1),
-        |r2 AS (SELECT domain, excess_micro,
-        |  (w * 1000000) // (SELECT sum(w) FROM u2) AS w FROM u2),
-        |u3 AS (SELECT domain, excess_micro,
-        |  (w * (1000000 + (200000 * excess_micro) // 1000000))
-        |    // 1000000 AS w FROM r2),
-        |r3 AS (SELECT domain, excess_micro,
-        |  (w * 1000000) // (SELECT sum(w) FROM u3) AS w FROM u3),
-        |u4 AS (SELECT domain, excess_micro,
-        |  (w * (1000000 + (200000 * excess_micro) // 1000000))
-        |    // 1000000 AS w FROM r3),
-        |r4 AS (SELECT domain, excess_micro,
-        |  (w * 1000000) // (SELECT sum(w) FROM u4) AS w FROM u4)
+      s"""$DuckMixtureCtes
         |SELECT domain, CAST(excess_micro AS BIGINT) AS excess_micro,
         | CAST(w AS BIGINT) AS weight_micro
         |FROM r4""".stripMargin,
+
+    // t52's weight chain feeding the token-budget fill: per-domain
+    // budgets by floor share of 20000 tokens, running token sums in
+    // the same (md5-u32, id) order both engines, keep while the
+    // PRE-doc cumulative is under budget
+    "p15_token_budget_sample" ->
+      s"""$DuckMixtureCtes,
+        |toks AS (
+        |  SELECT doc_id, source AS domain,
+        |   CAST(len($DuckToks) AS BIGINT) AS n_toks
+        |  FROM documents),
+        |bud AS (
+        |  SELECT domain, CAST((w * 20000) // 1000000 AS BIGINT)
+        |    AS budget_toks
+        |  FROM r4),
+        |o AS (
+        |  SELECT doc_id, domain, n_toks,
+        |   CAST(sum(n_toks) OVER (PARTITION BY domain
+        |     ORDER BY ${duckU32("doc_id::VARCHAR", 91)}, doc_id
+        |     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM toks),
+        |k AS (
+        |  SELECT o.domain, o.doc_id, o.n_toks, b.budget_toks,
+        |   (o.cum - o.n_toks < b.budget_toks) AS keep
+        |  FROM o JOIN bud b USING (domain))
+        |SELECT domain, CAST(min(budget_toks) AS BIGINT) AS budget_toks,
+        | CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_kept,
+        | CAST(sum(CASE WHEN keep THEN n_toks ELSE 0 END) AS BIGINT)
+        |   AS kept_toks,
+        | CAST(sum(CASE WHEN keep THEN doc_id END) AS BIGINT)
+        |   AS kept_id_sum
+        |FROM k GROUP BY 1""".stripMargin,
 
     // t13's CTEs plus the KN model relations: forward/backward
     // continuation counts and the 1-row bigram-type total; the score

@@ -958,6 +958,52 @@ object Curation {
       col("w").as("weight_micro"))
   }
 
+  /** Token-BUDGET sampling — how a mixture is actually consumed: a
+    * training run specifies domains in TOKENS (the t52 weights × one
+    * total budget), not document counts, so the sampler must fill
+    * each domain's token budget from a deterministic document order.
+    * Each domain's docs are laid out in md5-pseudo-shuffled order
+    * (shuffle-key, id) and taken while the running token total BEFORE
+    * the doc is under the domain's budget — the boundary-crossing doc
+    * is kept (GPT-style fill-then-cut; the packer downstream trims),
+    * so every non-empty budget draws at least one document.
+    *
+    * `weights` must be (domain, weight_micro) — [[mixtureWeights]]'
+    * output; budget_toks = floor(weight_micro · totalBudget / 1e6).
+    *
+    * Scale shape: one domain-keyed ordered window (the running token
+    * sum) over the docs — the d23 note applies verbatim: a mega-domain
+    * is a salted two-phase prefix-sum (p2's layout machinery) when one
+    * reducer per domain stops being acceptable; everything else is a
+    * broadcast of the metadata-sized weights relation.
+    *
+    * Returns the per-domain census (domain, budget_toks, n_docs,
+    * n_kept, kept_toks, kept_id_sum). */
+  def tokenBudgetSample(docs: DataFrame, idCol: Column,
+      domainCol: Column, nToksCol: Column, weights: DataFrame,
+      totalBudget: Long, seed: Int): DataFrame = {
+    require(totalBudget > 0, s"totalBudget must be > 0: $totalBudget")
+    val budgets = weights.select(col("domain"),
+      floor(col("weight_micro") * totalBudget / 1000000L)
+        .as("budget_toks"))
+    val ordered = docs.select(idCol.as("doc_id"),
+        domainCol.as("domain"), nToksCol.cast("long").as("n_toks"))
+      .withColumn("__h", Tables.hashU32(col("doc_id"), seed))
+      .withColumn("__cum", sum(col("n_toks")).over(
+        Window.partitionBy(col("domain"))
+          .orderBy(col("__h"), col("doc_id"))))
+      .join(broadcast(budgets), Seq("domain"))
+      .withColumn("keep",
+        col("__cum") - col("n_toks") < col("budget_toks"))
+    ordered.groupBy(col("domain"))
+      .agg(min(col("budget_toks")).as("budget_toks"),
+        count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), col("n_toks")).otherwise(0L))
+          .as("kept_toks"),
+        sum(when(col("keep"), col("doc_id"))).as("kept_id_sum"))
+  }
+
   /** Fill-in-the-middle transformation (Bavarian et al. 2022,
     * "Efficient Training of Language Models to Fill in the Middle",
     * arXiv:2207.14255): with probability `ratePct`/100 a document is

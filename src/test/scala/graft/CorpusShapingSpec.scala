@@ -151,6 +151,48 @@ class CorpusShapingSpec extends SparkSpec {
     assert(ws.sum <= 1000000L && ws.sum >= 1000000L - 3)
   }
 
+  // ———— tokenBudgetSample ————
+
+  test("token budget: by-hand replay of the md5-ordered fill") {
+    val docs = Seq(
+      (1L, "a", 10L), (2L, "a", 10L), (3L, "a", 10L), (4L, "a", 10L),
+      (5L, "b", 3L), (6L, "b", 3L)
+    ).toDF("doc_id", "domain", "n_toks")
+    val weights = Seq(("a", 600000L), ("b", 400000L))
+      .toDF("domain", "weight_micro")
+    // budgets: a = 30, b = 20 (of 50); replay the hash order in Scala
+    val out = Curation.tokenBudgetSample(docs, col("doc_id"),
+        col("domain"), col("n_toks"), weights, totalBudget = 50L,
+        seed = 9)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    def replay(ids: Seq[Long], toks: Long, budget: Long) = {
+      val order = ids.sortBy(id => (u32(id.toString, 9), id))
+      var cum = 0L
+      val kept = order.takeWhile { id => val pre = cum; cum += toks
+        pre < budget }
+      (kept.size.toLong, kept.size * toks, kept.sum)
+    }
+    val (ka, ta, sa) = replay(Seq(1L, 2L, 3L, 4L), 10L, 30L)
+    assert(out("a") == ((30L, 4L, ka, ta, sa)))
+    // b's total (6) is under its budget (20): everything kept
+    assert(out("b") == ((20L, 2L, 2L, 6L, 11L)))
+  }
+
+  test("token budget: the boundary-crossing doc is kept, then cut") {
+    val docs = Seq((1L, "a", 7L), (2L, "a", 7L), (3L, "a", 7L))
+      .toDF("doc_id", "domain", "n_toks")
+    val weights = Seq(("a", 1000000L)).toDF("domain", "weight_micro")
+    val r = Curation.tokenBudgetSample(docs, col("doc_id"),
+      col("domain"), col("n_toks"), weights, totalBudget = 8L,
+      seed = 9).collect().head
+    // budget 8: first doc (7) leaves pre=7 < 8, second crosses and is
+    // kept (fill-then-cut), third starts at 14 ≥ 8 → dropped
+    assert(r.getLong(1) == 8L && r.getLong(3) == 2L &&
+      r.getLong(4) == 14L)
+  }
+
   // ———— ngramServe ————
 
   test("ngram serve: exact match, unigram backoff, empty-ctx backoff") {
