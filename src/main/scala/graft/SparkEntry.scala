@@ -3125,6 +3125,47 @@ object SparkEntry {
         maxN = 3, queries = ngramQueryFixture(docs))
     }),
 
+    // the t53 serve upgraded with FILE-LEVEL data skipping (q80's
+    // machinery on the n-gram store): the index is committed
+    // range-clustered by a ctx hash with per-file [min,max] stats,
+    // and the query batch's probe contexts — every suffix the serve
+    // will join on, including the L0 empty context — prune the
+    // stored relation to O(matched files) BEFORE any row is read.
+    // This is the serve-flat path at 100 TB, where even one full
+    // index scan per query batch is too much. Oracle = t51's text
+    // VERBATIM — the fourth execution path under one oracle
+    "t54_ngram_pruned_serve" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val scratch = scratchDir("t54ngram", d)
+      val idxDir = s"$scratch/index"
+      if (!new java.io.File(s"$scratch/_built").exists()) {
+        graft.sources.VersionedTable.commit(
+          TextAnalysis.ngramCounts(docs, col("doc_id"), col("text"),
+            maxN = 3)
+            .withColumn("ctx_h", Tables.hashU32(col("ctx"), 71))
+            // the file population stands in for the 100 TB one:
+            // skipping pays when files >> probe keys (ratio read
+            // ~= 1 - exp(-keys/files)), so the index is cut fine
+            .repartitionByRange(256, col("ctx_h")),
+          idxDir, statsCol = "ctx_h")
+        new java.io.File(s"$scratch/_built").createNewFile()
+      }
+      val q = ngramQueryFixture(docs)
+      // probe contexts for maxN = 3: the full bigram, the last
+      // token, and the empty L0 context; |Q|·3 hashes — a
+      // metadata-sized driver list, the declared collect pattern
+      val keys = q.select(explode(array(
+          array_join(col("q"), " "), element_at(col("q"), 2),
+          lit(""))).as("ctx")).distinct()
+        .select(Tables.hashU32(col("ctx"), 71).as("h"))
+        .collect().map(_.getLong(0)).toSeq
+      val vt = graft.sources.VersionedTable
+      TextAnalysis.ngramServeFrom(
+        vt.readVersionIn(s, idxDir, vt.versions(s, idxDir).last, keys)
+          .drop("ctx_h"),
+        maxN = 3, queries = q)
+    }),
+
     // STREAMING n-gram index ingest: the t51 count index accumulated
     // micro-batch by micro-batch — per-batch gram partials
     // MERGE-commit only the touched grams (O(batch) commit I/O, the
@@ -11918,6 +11959,7 @@ object SparkEntry {
     // additive counts make the final index slicing-independent)
     "t51_ngram_serve" -> DuckNgramServe,
     "t53_ngram_index_serve" -> DuckNgramServe,
+    "t54_ngram_pruned_serve" -> DuckNgramServe,
     "q109_stream_ngram_ingest" -> DuckNgramServe,
 
     // 4 unrolled MW rounds over the metadata-sized domain relation —

@@ -1107,6 +1107,33 @@ object Stress {
           graft.sources.VersionedTable.readCurrent(spark, idxDir), 3,
           queries).count()
       }
+      // pruned serve (t54): the same index committed range-clustered
+      // by ctx hash with file stats; the fixed probe-key set should
+      // match a SHRINKING fraction of files as the corpus grows —
+      // serve I/O O(matched files), not O(index)
+      val prunedDir = s"$scratch/pruned"
+      graft.sources.VersionedTable.commit(
+        TextAnalysis.ngramCounts(docs, col("doc_id"), col("text"), 3)
+          .withColumn("ctx_h", Tables.hashU32(col("ctx"), 71))
+          .repartitionByRange(512, col("ctx_h")),
+        prunedDir, statsCol = "ctx_h")
+      InternalCaches.releaseAll()
+      val keys = queries.select(explode(array(
+          array_join(col("q"), " "), element_at(col("q"), 2),
+          lit(""))).as("ctx")).distinct()
+        .select(Tables.hashU32(col("ctx"), 71))
+        .collect().map(_.getLong(0)).toSeq
+      val pv = graft.sources.VersionedTable
+        .versions(spark, prunedDir).last
+      val (keptF, totalF) = graft.sources.VersionedTable
+        .filesMatchingAny(spark, prunedDir, pv, keys)
+      leg("t54_pruned_serve") {
+        TextAnalysis.ngramServeFrom(
+          graft.sources.VersionedTable
+            .readVersionIn(spark, prunedDir, pv, keys)
+            .drop("ctx_h"), 3, queries).count()
+      }
+      println(s"    t54_files_read=${keptF.length}/$totalF")
       val stateDir = s"$scratch/state"
       val fixedB = docs.filter(col("doc_id") < 10000000L &&
           pmod(col("doc_id"), lit(97)) === 0)

@@ -1431,6 +1431,54 @@ object VersionedTable {
       .filter(col(statsCol).between(lo, hi))
   }
 
+  /** The files of version `v` whose manifest [min,max] stats contain
+    * AT LEAST ONE of `keys` (sorted-unique'd here; binary-searched
+    * per file) → (kept, total) — the multi-point companion of
+    * [[filesInRange]]: an index serve probes a SET of keys, and one
+    * covering range would defeat the pruning entirely. */
+  private[graft] def filesMatchingAny(spark: SparkSession, dir: String,
+      v: Int, keys: Seq[Long]): (Seq[String], Int) = {
+    val json = manifestJson(spark, dir, v)
+    val (fileRels, _) = manifestLists(json, v)
+    val stats = parseArray(json, "stats").getOrElse(Seq.empty)
+      .map { s =>
+        val parts = s.split('|')
+        parts(0) -> (parts(1).toLong, parts(2).toLong)
+      }.toMap
+    val sorted = keys.distinct.sorted.toArray
+    val kept = fileRels.filter { rel =>
+      stats.get(rel).forall { case (mn, mx) =>
+        val i = java.util.Arrays.binarySearch(sorted, mn)
+        val from = if (i >= 0) i else -i - 1
+        from < sorted.length && sorted(from) <= mx
+      }
+    }
+    (kept, fileRels.length)
+  }
+
+  /** Point-SET read with data skipping: scans only the files kept by
+    * [[filesMatchingAny]], plus the residual `isin` row filter
+    * (containing a key does not mean every row matches). On a
+    * range-clustered table this is the O(matched files) read an
+    * index SERVE needs — the query batch's keys prune the stored
+    * relation before any row is touched. `keys` must be
+    * metadata-sized (a query batch), never data-sized. */
+  def readVersionIn(spark: SparkSession, dir: String, v: Int,
+      keys: Seq[Long]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val json = manifestJson(spark, dir, v)
+    val (fileRels, dvRels) = manifestLists(json, v)
+    val statsCol = statsColOf(json).getOrElse(
+      throw new IllegalArgumentException(
+        s"version $v has no stats column — commit with statsCol " +
+          "to enable data skipping"))
+    val (kept, _) = filesMatchingAny(spark, dir, v, keys)
+    if (kept.isEmpty)
+      readFiles(spark, dir, v, fileRels, dvRels).filter(lit(false))
+    else readFiles(spark, dir, v, kept, dvRels)
+      .filter(col(statsCol).isin(keys.distinct: _*))
+  }
+
   /** Read the highest committed version. */
   def readCurrent(spark: SparkSession, dir: String): DataFrame = {
     val vs = versions(spark, dir)

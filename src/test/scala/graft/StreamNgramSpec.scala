@@ -58,6 +58,29 @@ class StreamNgramSpec extends SparkSpec {
     assert(served(stateA.drop("k")) == direct)
   }
 
+  test("pruned serve skips files and still answers exactly") {
+    val dir = freshDir("pr")
+    VersionedTable.commit(
+      TextAnalysis.ngramCounts(docs, col("doc_id"), col("text"), 3)
+        .withColumn("ctx_h", graft.Tables.hashU32(col("ctx"), 71))
+        .repartitionByRange(8, col("ctx_h")),
+      dir, statsCol = "ctx_h")
+    // probe contexts of the fixture queries: full bigram, last
+    // token, and the L0 empty context
+    val keys = queries.select(explode(array(
+        array_join(col("q"), " "), element_at(col("q"), 2), lit("")))
+        .as("ctx")).distinct()
+      .select(graft.Tables.hashU32(col("ctx"), 71))
+      .collect().map(_.getLong(0)).toSeq
+    val v = VersionedTable.versions(spark, dir).last
+    val (kept, total) = VersionedTable.filesMatchingAny(spark, dir,
+      v, keys)
+    assert(kept.nonEmpty && kept.length < total,
+      s"expected real pruning, got ${kept.length}/$total files")
+    assert(served(VersionedTable.readVersionIn(spark, dir, v, keys)
+      .drop("ctx_h")) == direct)
+  }
+
   test("a replayed batch id is a no-op; the lockstep guard rejects gaps") {
     val dir = freshDir("rp")
     EventStream.ngramMergeBatch(docs.filter(col("doc_id") <= 3), 3,
