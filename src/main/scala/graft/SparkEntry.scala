@@ -3216,6 +3216,42 @@ object SparkEntry {
         totalBudget = 20000L, seed = 91)
     }),
 
+    // BUDGET-CAPPED streaming admission — p15's token-budget fill
+    // done ONLINE: the same t52-derived budgets gate each arriving
+    // micro-batch against per-domain consumed-token state (one
+    // metadata-sized row per domain, MERGE-committed in
+    // version↔batch lockstep). Admission is arrival-ordered across
+    // batches (the honest online semantics; p15 is the global-order
+    // batch twin), so the oracle replays the exact 3-batch slicing
+    // as 3 unrolled rounds
+    "q110_stream_budget_ingest" -> ((s, d) => {
+      val docsRaw = Tables.documents(s, d)
+      val budgets = Curation.mixtureWeights(
+          mixtureDomainFixture(docsRaw), etaMicro = 200000L,
+          rounds = 4)
+        .select(col("domain"),
+          floor(col("weight_micro") * 20000L / 1000000L)
+            .as("budget_toks"))
+        .persistTracked() // gates every micro-batch; 4-round MW chain
+      val docs = docsRaw.select(col("doc_id"),
+        col("source").as("domain"),
+        size(TextAnalysis.tokens(col("text"))).as("n_toks"))
+      val scratch = scratchDir("q110budget", d)
+      val streamDir = scratchStreamBatches(scratch, (0 until 3).map(
+        i => docs.filter(pmod(col("doc_id"), lit(3)) === i)))
+      val stateDir = s"$scratch/state"
+      EventStream.budgetIngestOnce(
+        EventStream.parquetFileStream(s, streamDir), budgets, stateDir)
+      budgets.join(
+          graft.sources.VersionedTable.readCurrent(s, stateDir),
+          Seq("domain"), "left_outer")
+        .select(col("domain"), col("budget_toks"),
+          coalesce(col("n_admitted"), lit(0L)).as("n_admitted"),
+          coalesce(col("consumed_toks"), lit(0L)).as("admitted_toks"),
+          coalesce(col("admitted_id_sum"), lit(0L))
+            .as("admitted_id_sum"))
+    }),
+
     // interpolated Kneser-Ney bigram scores — t13's MLE upgraded with
     // absolute discounting + continuation probability (how many
     // contexts a word follows), micro-nat quantized at the model
@@ -12007,6 +12043,74 @@ object SparkEntry {
         | CAST(sum(CASE WHEN keep THEN doc_id END) AS BIGINT)
         |   AS kept_id_sum
         |FROM k GROUP BY 1""".stripMargin,
+
+    // the online twin: t52's budget chain, then the exact 3-batch
+    // slicing replayed as 3 unrolled admission rounds — each round's
+    // in-batch (md5-u32, id) fill gated by the PRIOR rounds' consumed
+    // sums (exactly the state the stream carries)
+    "q110_stream_budget_ingest" ->
+      s"""$DuckMixtureCtes,
+        |bud AS (
+        |  SELECT domain, CAST((w * 20000) // 1000000 AS BIGINT)
+        |    AS budget_toks
+        |  FROM r4),
+        |toks AS (
+        |  SELECT doc_id, source AS domain,
+        |   CAST(len($DuckToks) AS BIGINT) AS n_toks
+        |  FROM documents),
+        |o0 AS (
+        |  SELECT doc_id, domain, n_toks,
+        |   CAST(sum(n_toks) OVER (PARTITION BY domain
+        |     ORDER BY ${duckU32("doc_id::VARCHAR", 91)}, doc_id
+        |     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM toks WHERE doc_id % 3 = 0),
+        |a0 AS (
+        |  SELECT o.* FROM o0 o JOIN bud b USING (domain)
+        |  WHERE o.cum - o.n_toks < b.budget_toks),
+        |c0 AS (
+        |  SELECT domain, CAST(sum(n_toks) AS BIGINT) AS consumed
+        |  FROM a0 GROUP BY 1),
+        |o1 AS (
+        |  SELECT doc_id, domain, n_toks,
+        |   CAST(sum(n_toks) OVER (PARTITION BY domain
+        |     ORDER BY ${duckU32("doc_id::VARCHAR", 91)}, doc_id
+        |     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM toks WHERE doc_id % 3 = 1),
+        |a1 AS (
+        |  SELECT o.* FROM o1 o JOIN bud b USING (domain)
+        |  LEFT JOIN c0 USING (domain)
+        |  WHERE coalesce(c0.consumed, 0) + o.cum - o.n_toks
+        |    < b.budget_toks),
+        |c1 AS (
+        |  SELECT domain, CAST(sum(n_toks) AS BIGINT) AS consumed
+        |  FROM (SELECT domain, n_toks FROM a0
+        |        UNION ALL SELECT domain, n_toks FROM a1)
+        |  GROUP BY 1),
+        |o2 AS (
+        |  SELECT doc_id, domain, n_toks,
+        |   CAST(sum(n_toks) OVER (PARTITION BY domain
+        |     ORDER BY ${duckU32("doc_id::VARCHAR", 91)}, doc_id
+        |     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM toks WHERE doc_id % 3 = 2),
+        |a2 AS (
+        |  SELECT o.* FROM o2 o JOIN bud b USING (domain)
+        |  LEFT JOIN c1 USING (domain)
+        |  WHERE coalesce(c1.consumed, 0) + o.cum - o.n_toks
+        |    < b.budget_toks),
+        |adm AS (
+        |  SELECT domain, doc_id, n_toks FROM a0
+        |  UNION ALL SELECT domain, doc_id, n_toks FROM a1
+        |  UNION ALL SELECT domain, doc_id, n_toks FROM a2),
+        |agg AS (
+        |  SELECT domain, CAST(count(*) AS BIGINT) AS n_admitted,
+        |   CAST(sum(n_toks) AS BIGINT) AS admitted_toks,
+        |   CAST(sum(doc_id) AS BIGINT) AS admitted_id_sum
+        |  FROM adm GROUP BY 1)
+        |SELECT b.domain, b.budget_toks,
+        | coalesce(n_admitted, 0) AS n_admitted,
+        | coalesce(admitted_toks, 0) AS admitted_toks,
+        | coalesce(admitted_id_sum, 0) AS admitted_id_sum
+        |FROM bud b LEFT JOIN agg USING (domain)""".stripMargin,
 
     // t13's CTEs plus the KN model relations: forward/backward
     // continuation counts and the 1-row bigram-type total; the score

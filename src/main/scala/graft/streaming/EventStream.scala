@@ -1008,6 +1008,86 @@ object EventStream {
     }
   }
 
+  /** BUDGET-CAPPED streaming admission — p15's token-budget fill done
+    * online: documents arrive in micro-batches and a domain admits
+    * while its CONSUMED token state is under budget (fill-then-cut
+    * within each batch, md5-ordered inside the batch — admission is
+    * arrival-ordered across batches by construction, the honest
+    * semantics of online admission; p15 is the global-order batch
+    * twin). State is one metadata-sized row per domain
+    * (consumed_toks, n_admitted, admitted_id_sum) advanced by MERGE
+    * commits in version↔batch lockstep — domains a batch doesn't
+    * touch (or whose budget is already full with nothing arriving)
+    * are never read back or rewritten. */
+  def budgetIngestOnce(docStream: DataFrame, budgets: DataFrame,
+      stateDir: String): Unit = {
+    val q = docStream.writeStream
+      .foreachBatch {
+        (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        budgetIngestMergeBatch(batch.toDF(), budgets, stateDir, batchId)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** One micro-batch of the budget-capped admission (the foreachBatch
+    * body, callable directly). `batch` must carry (doc_id, domain,
+    * n_toks); `budgets` must be (domain, budget_toks),
+    * metadata-sized. */
+  def budgetIngestMergeBatch(batch: DataFrame, budgets: DataFrame,
+      stateDir: String, batchId: Long): Unit = {
+    val vt = graft.sources.VersionedTable
+    val sess = batch.sparkSession
+    val zeroState = batch.sparkSession.range(0)
+      .select(lit("").as("domain"), lit(0L).as("consumed_toks"),
+        lit(0L).as("n_admitted"), lit(0L).as("admitted_id_sum"))
+      .limit(0)
+    if (vt.versions(sess, stateDir).isEmpty) {
+      require(batchId == 0,
+        s"state at $stateDir is unseeded but batch $batchId " +
+          "arrived — not this stream's table")
+      vt.commit(zeroState, stateDir)
+    }
+    val vs = vt.versions(sess, stateDir)
+    if (vs.length <= batchId + 1) {
+      require(vs.length == batchId + 1,
+        s"state at $stateDir has ${vs.length} versions but " +
+          s"batch $batchId arrived — not this stream's table")
+      val prior = vt.readCurrent(sess, stateDir)
+      val cum = batch.select(col("doc_id"), col("domain"),
+          col("n_toks").cast("long").as("n_toks"))
+        .withColumn("__h", graft.Tables.hashU32(col("doc_id"), 91))
+        .withColumn("__cum", sum(col("n_toks")).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("domain"))
+            .orderBy(col("__h"), col("doc_id"))))
+        .join(broadcast(budgets), Seq("domain"))
+        .join(broadcast(prior
+            .select(col("domain"), col("consumed_toks"))),
+          Seq("domain"), "left_outer")
+        .withColumn("__base", coalesce(col("consumed_toks"), lit(0L)))
+        .filter(col("__base") + col("__cum") - col("n_toks") <
+          col("budget_toks"))
+      val admitted = cum.groupBy(col("domain"))
+        .agg(sum(col("n_toks")).as("a_toks"),
+          count(lit(1)).as("a_n"), sum(col("doc_id")).as("a_ids"))
+        .persistTracked() // feeds the semi-join AND the merge union
+      val touched = prior.join(admitted.select(col("domain")),
+        Seq("domain"), "left_semi")
+      val updates = touched.unionByName(admitted.select(col("domain"),
+          col("a_toks").as("consumed_toks"), col("a_n").as("n_admitted"),
+          col("a_ids").as("admitted_id_sum")))
+        .groupBy(col("domain"))
+        .agg(sum(col("consumed_toks")).as("consumed_toks"),
+          sum(col("n_admitted")).as("n_admitted"),
+          sum(col("admitted_id_sum")).as("admitted_id_sum"))
+      vt.mergeCommit(updates, stateDir, "domain")
+      ()
+    }
+  }
+
   /** Streaming WARC ARCHIVER — the write side of the crawl lane (q106
     * is the read side): each micro-batch of documents becomes ONE
     * complete `.warc.gz` shard (warcinfo + member-per-record, written

@@ -193,6 +193,32 @@ class CorpusShapingSpec extends SparkSpec {
       r.getLong(4) == 14L)
   }
 
+  // ———— budget-capped streaming admission ————
+
+  test("stream budget admission: consumed state gates later batches") {
+    import graft.sources.VersionedTable
+    import graft.streaming.EventStream
+    val budgets = Seq(("a", 10L)).toDF("domain", "budget_toks")
+    val dir = java.nio.file.Files.createTempDirectory("budget").toString
+    val b0 = Seq((1L, "a", 6L), (2L, "a", 6L))
+      .toDF("doc_id", "domain", "n_toks")
+    val b1 = Seq((3L, "a", 6L)).toDF("doc_id", "domain", "n_toks")
+    EventStream.budgetIngestMergeBatch(b0, budgets, dir, 0L)
+    // batch 0: pre-sums 0 and 6, both < 10 (fill-then-cut) → both in
+    EventStream.budgetIngestMergeBatch(b1, budgets, dir, 1L)
+    // batch 1: base 12 ≥ 10 → rejected; state untouched for "a"
+    val st = VersionedTable.readCurrent(spark, dir).collect()
+    assert(st.length == 1)
+    val r = st.head
+    assert(r.getAs[Long]("consumed_toks") == 12L &&
+      r.getAs[Long]("n_admitted") == 2L &&
+      r.getAs[Long]("admitted_id_sum") == 3L)
+    // crash-window replay of batch 1 must not commit again
+    val before = VersionedTable.versions(spark, dir)
+    EventStream.budgetIngestMergeBatch(b1, budgets, dir, 1L)
+    assert(VersionedTable.versions(spark, dir) == before)
+  }
+
   // ———— ngramServe ————
 
   test("ngram serve: exact match, unigram backoff, empty-ctx backoff") {
