@@ -3794,6 +3794,22 @@ object SparkEntry {
         "vec_id", "embedding", 5)
     }),
 
+    // margin-based bitext mining (the LASER/CCMatrix alignment
+    // criterion): even/odd vec_ids stand in for the two languages;
+    // k=4 neighborhood sums in integer micro-units, mined pairs are
+    // MUTUAL best-margin matches with margin ≥ 1 (better than both
+    // neighborhoods' average — the hub correction that absolute
+    // cosine thresholds lack). All-pairs scoring is the declared
+    // exact baseline; any ANN tier can source the candidates (the
+    // s44/s45 seam)
+    "s46_margin_bitext" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.marginBitext(
+        emb.filter(pmod(col("vec_id"), lit(2)) === 0),
+        emb.filter(pmod(col("vec_id"), lit(2)) === 1),
+        "vec_id", "embedding", k = 4, minMarginMicro = 1000000L)
+    }),
+
     // ColBERT-style late-interaction retrieval: pooled-cosine top-30
     // shortlist, then exact MaxSim over 8-token multi-vector views of
     // the candidates only (candK·T² cosines/query, corpus-independent;
@@ -10202,6 +10218,53 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, rank, neighbor_id, cosine
         |FROM ranked WHERE rank <= 5""".stripMargin,
+
+    // all-pairs micro-quantized cosines, k-NN sums both directions,
+    // the floor-division margin, then the mutual best-margin cut —
+    // every aggregate over integers, the division a double floor on
+    // < 2^53 operands (exact both engines)
+    "s46_margin_bitext" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings),
+        |en AS (
+        |  SELECT vec_id, v,
+        |   sqrt(list_reduce(list_transform(v, x -> x * x),
+        |     (x, y) -> x + y)) AS nrm
+        |  FROM e),
+        |p AS (
+        |  SELECT s.vec_id AS src_id, t.vec_id AS tgt_id,
+        |   CAST(round(
+        |     list_reduce(list_transform(range(1, len(s.v) + 1),
+        |       i -> s.v[i] * t.v[i]), (x, y) -> x + y) /
+        |     (s.nrm * t.nrm) * 1000000) AS BIGINT) AS q
+        |  FROM en s JOIN en t
+        |    ON s.vec_id % 2 = 0 AND t.vec_id % 2 = 1),
+        |fs AS (
+        |  SELECT src_id, CAST(sum(q) AS BIGINT) AS fsum FROM (
+        |    SELECT src_id, q, row_number() OVER (PARTITION BY src_id
+        |      ORDER BY q DESC, tgt_id) AS fr FROM p)
+        |  WHERE fr <= 4 GROUP BY 1),
+        |bs AS (
+        |  SELECT tgt_id, CAST(sum(q) AS BIGINT) AS bsum FROM (
+        |    SELECT tgt_id, q, row_number() OVER (PARTITION BY tgt_id
+        |      ORDER BY q DESC, src_id) AS br FROM p)
+        |  WHERE br <= 4 GROUP BY 1),
+        |m AS (
+        |  SELECT p.src_id, p.tgt_id, p.q,
+        |   CAST(floor(p.q * 8 * 1000000 * 1.0 /
+        |     greatest(fs.fsum + bs.bsum, 1)) AS BIGINT) AS margin_micro
+        |  FROM p JOIN fs USING (src_id) JOIN bs USING (tgt_id)),
+        |r AS (
+        |  SELECT src_id, tgt_id, q, margin_micro,
+        |   row_number() OVER (PARTITION BY src_id
+        |     ORDER BY margin_micro DESC, tgt_id) AS rf,
+        |   row_number() OVER (PARTITION BY tgt_id
+        |     ORDER BY margin_micro DESC, src_id) AS rb
+        |  FROM m)
+        |SELECT src_id, tgt_id, q AS cos_micro, margin_micro
+        |FROM r WHERE rf = 1 AND rb = 1 AND margin_micro >= 1000000"""
+        .stripMargin,
 
     // same two stages as the plan: pooled-cosine top-30 shortlist,
     // then MaxSim over the 8 contiguous 8-dim token slices of shortlist

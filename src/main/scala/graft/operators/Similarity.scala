@@ -2474,4 +2474,70 @@ object Similarity {
     val g = knnGraph(emb, cents, idCol, vecCol, degree, nProbeBuild)
     nswBeamTopK(emb, g, queries, idCol, vecCol, k, beamWidth, rounds)
   }
+
+  /** Margin-based bitext mining (Artetxe & Schwenk 2019,
+    * arXiv:1811.01136 — the LASER/CCMatrix alignment criterion): a
+    * candidate pair (x, y) scores by its cosine RELATIVE to both
+    * sides' neighborhood density — margin(x,y) = cos(x,y) /
+    * ((avgₖ(x) + avgₖ(y)) / 2) — which kills the hub vectors that
+    * drown absolute-threshold cosine mining; mined pairs are MUTUAL
+    * best-margin matches above a threshold (the paper's
+    * max-intersection strategy).
+    *
+    * Determinism doctrine: every cosine is quantized to micro-units
+    * (round(cos·1e6) as LONG, the s35 census pattern) BEFORE any
+    * aggregation, so the k-NN sums and the margin's floor division
+    * are pure integer math — order-independent, oracle-hashable.
+    * margin_micro > 1e6 ⟺ the pair beats its neighborhoods' average;
+    * the denominator clamps at 1 so degenerate all-negative
+    * neighborhoods cannot flip the sign.
+    *
+    * Scale shape: the all-pairs scoring here is the DECLARED-EXACT
+    * baseline (the measuring stick); the production path swaps the
+    * pair generator for any ANN tier — the margin re-score is
+    * candidate-source-agnostic, the same seam s44/s45 prove on the
+    * MaxSim lane. Everything after scoring is id-keyed windows and
+    * two metadata-per-id aggregates.
+    *
+    * Returns (src_id, tgt_id, cos_micro, margin_micro) — the mined
+    * alignment. */
+  def marginBitext(src: DataFrame, tgt: DataFrame, idCol: String,
+      vecCol: String, k: Int, minMarginMicro: Long): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val s = src.select(col(idCol).as("src_id"), col(vecCol).as("s_vec"))
+      .withColumn("s_norm", norm(col("s_vec")))
+    val t = tgt.select(col(idCol).as("tgt_id"), col(vecCol).as("t_vec"))
+      .withColumn("t_norm", norm(col("t_vec")))
+    val scored = s.crossJoin(t)
+      .withColumn("q", round(
+        dot(col("s_vec"), col("t_vec")) /
+          (col("s_norm") * col("t_norm")) * 1e6).cast("long"))
+      .select(col("src_id"), col("tgt_id"), col("q"))
+      .persistTracked() // feeds both k-NN sums AND the margin rank
+    val fwdW = Window.partitionBy(col("src_id"))
+      .orderBy(col("q").desc, col("tgt_id").asc)
+    val bwdW = Window.partitionBy(col("tgt_id"))
+      .orderBy(col("q").desc, col("src_id").asc)
+    val fsum = scored.withColumn("fr", row_number().over(fwdW))
+      .filter(col("fr") <= k)
+      .groupBy(col("src_id")).agg(sum(col("q")).as("fsum"))
+    val bsum = scored.withColumn("br", row_number().over(bwdW))
+      .filter(col("br") <= k)
+      .groupBy(col("tgt_id")).agg(sum(col("q")).as("bsum"))
+    val margins = scored
+      .join(fsum, Seq("src_id")).join(bsum, Seq("tgt_id"))
+      .withColumn("margin_micro", floor(
+        col("q") * lit(2L * k) * lit(1000000L) /
+          greatest(col("fsum") + col("bsum"), lit(1L))))
+    val bestF = Window.partitionBy(col("src_id"))
+      .orderBy(col("margin_micro").desc, col("tgt_id").asc)
+    val bestB = Window.partitionBy(col("tgt_id"))
+      .orderBy(col("margin_micro").desc, col("src_id").asc)
+    margins.withColumn("rf", row_number().over(bestF))
+      .withColumn("rb", row_number().over(bestB))
+      .filter(col("rf") === 1 && col("rb") === 1 &&
+        col("margin_micro") >= minMarginMicro)
+      .select(col("src_id"), col("tgt_id"), col("q").as("cos_micro"),
+        col("margin_micro"))
+  }
 }

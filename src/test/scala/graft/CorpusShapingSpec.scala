@@ -219,6 +219,51 @@ class CorpusShapingSpec extends SparkSpec {
     assert(VersionedTable.versions(spark, dir) == before)
   }
 
+  // ———— marginBitext ————
+
+  test("margin bitext: mines the mutual pairs, kills the hub") {
+    import graft.operators.Similarity
+    // src0↔tgt1 and src2↔tgt3 are true pairs; tgt5 is a HUB equally
+    // close to both srcs — absolute cosine would pair it everywhere,
+    // the margin (cosine relative to neighborhood averages) must not
+    val src = Seq(
+      (0L, Array(1f, 0f, 0f)), (2L, Array(0f, 1f, 0f))
+    ).toDF("vec_id", "embedding")
+    val tgt = Seq(
+      (1L, Array(0.95f, 0.05f, 0f)), (3L, Array(0.05f, 0.95f, 0f)),
+      (5L, Array(0.6f, 0.6f, 0.2f))
+    ).toDF("vec_id", "embedding")
+    val mined = Similarity.marginBitext(src, tgt, "vec_id",
+        "embedding", k = 2, minMarginMicro = 1000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mined == Set((0L, 1L), (2L, 3L)),
+      s"expected the two true pairs, got $mined")
+  }
+
+  test("margin bitext: margin math replays by hand") {
+    import graft.operators.Similarity
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      def d(x: Array[Float], y: Array[Float]) =
+        x.zip(y).foldLeft(0.0) { case (acc, (p, q)) =>
+          acc + p.toDouble * q.toDouble }
+      d(a, b) / (math.sqrt(d(a, a)) * math.sqrt(d(b, b)))
+    }
+    val sv = Array(1f, 0f); val tv1 = Array(0.8f, 0.6f)
+    val tv2 = Array(0f, 1f)
+    val src = Seq((0L, sv)).toDF("vec_id", "embedding")
+    val tgt = Seq((1L, tv1), (3L, tv2)).toDF("vec_id", "embedding")
+    val q1 = math.round(cos(sv, tv1) * 1e6)
+    val q2 = math.round(cos(sv, tv2) * 1e6)
+    // k=2: fsum = q1+q2; bsums are single-element (one src)
+    val m1 = math.floor(q1 * 4.0 * 1e6 /
+      math.max(q1 + q2 + q1, 1L)).toLong
+    val out = Similarity.marginBitext(src, tgt, "vec_id", "embedding",
+        k = 2, minMarginMicro = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(out.toSeq == Seq((0L, 1L, q1, m1)))
+  }
+
   // ———— ngramServe ————
 
   test("ngram serve: exact match, unigram backoff, empty-ctx backoff") {
