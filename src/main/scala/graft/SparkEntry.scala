@@ -1399,7 +1399,8 @@ object SparkEntry {
       indexWhere: Option[String] = None,
       queryWhere: String = "vec_id % 25 = 0",
       resultWhere: Option[String] = None,
-      corpusSql: String = duckCorpusDefault): String = {
+      corpusSql: String = duckCorpusDefault,
+      queryFrom: Option[String] = None): String = {
     // trainWhere restricts the k-means TRAINING set (the s31 append
     // twin trains on the base corpus only — the stored codebook);
     // indexWhere restricts the INDEXED/SERVED corpus (the s32 delete
@@ -1481,7 +1482,13 @@ object SparkEntry {
        |    SELECT src, dst, row_number() OVER (
        |      PARTITION BY src ORDER BY sim DESC, dst) AS rk
        |    FROM gsc) WHERE rk <= $degree),
-       |gq AS (SELECT vec_id AS query_id, v, nrm FROM $rel
+       |gq AS (SELECT vec_id AS query_id, v, nrm FROM ${
+         // queryFrom overrides the query relation: a CROSS-side serve
+         // (s47 bitext) restricts the index with indexWhere while its
+         // queries live on the OTHER side — gq over `rel` would be
+         // empty there. Unset, gq reads `rel` and the generated SQL
+         // stays byte-identical to the historical twins.
+         queryFrom.getOrElse(rel)}
        |       WHERE $queryWhere),
        |$entryCtes,
        |$roundCtes
@@ -1782,11 +1789,13 @@ object SparkEntry {
       k: Int, trainWhere: Option[String] = None,
       indexWhere: Option[String] = None,
       queryWhere: String = "vec_id % 25 = 0",
-      corpusSql: String = duckCorpusDefault): String = {
+      corpusSql: String = duckCorpusDefault,
+      queryFrom: Option[String] = None): String = {
     val rel = if (indexWhere.isDefined) "enk" else "en"
     duckNswBody(nc, iters, nProbeBuild, degree, beam, rounds, k,
       trainWhere = trainWhere, indexWhere = indexWhere,
       queryWhere = queryWhere, corpusSql = corpusSql,
+      queryFrom = queryFrom,
       entryCtes = s"""hl1 AS (
          |  SELECT vec_id FROM $rel
          |  WHERE ('0x' || substr(md5(vec_id::VARCHAR || '#97'), 1, 8))::BIGINT
@@ -1959,16 +1968,21 @@ object SparkEntry {
   /** t52's per-domain "excess loss" fixture — each source's mean
     * document length (milli-chars) as a micro-share of the sum of
     * means, all floor divisions — shared by t52 and the p15 sampler
-    * so the mixture input cannot drift between them. */
+    * so the mixture input cannot drift between them. Arithmetic runs
+    * in decimal(38,0) with integral `div` (truncation == floor here,
+    * all operands non-negative), matching the DuckDB twin's
+    * HUGEINT `//` EXACTLY past 2^53 — a domain summing > ~9e12 chars
+    * (routine at 100 TB) would disagree by 1 µ under long-multiply +
+    * double-divide. */
   private def mixtureDomainFixture(docs: DataFrame): DataFrame = {
     val per = docs.groupBy(col("source"))
-      .agg(sum(col("n_chars")).as("sc"), count(lit(1)).as("cnt"))
-      .select(col("source"), floor(col("sc") * 1000L / col("cnt"))
-        .as("m"))
+      .agg(sum(col("n_chars").cast("decimal(38,0)")).as("sc"),
+        count(lit(1)).as("cnt"))
+      .selectExpr("source", "(sc * 1000) div cnt as m")
     val tot = per.select(sum(col("m")).as("__t"))
-    per.crossJoin(broadcast(tot)).select(
-      col("source").as("domain"),
-      floor(col("m") * 1000000L / col("__t")).as("excess_micro"))
+    per.crossJoin(broadcast(tot)).selectExpr(
+      "source as domain",
+      "(cast(m as decimal(38,0)) * 1000000) div __t as excess_micro")
   }
 
   /** t51's three-probe query fixture — per seed doc (doc_id % 37):
@@ -1989,6 +2003,97 @@ object SparkEntry {
       .union(base.select((col("doc_id") * 3 + 2).as("qid"),
         array(element_at(col("qw"), 1),
           concat(element_at(col("qw"), 2), lit("q"))).as("q")))
+  }
+
+  /** Epoch token for the CROSS-RUN scratch cache: bump whenever ANY
+    * `cached{...}` builder's code changes (the cache key can see the
+    * input data drift via the file fingerprint, but not a code edit —
+    * a stale epoch would serve an old build to new code and turn a
+    * refactor into a phantom oracle mismatch). */
+  private val scratchEpoch = "e12a"
+
+  /** Cross-RUN persistent scratch dir for build-once-READ-ONLY
+    * artifacts (graph/IVF index builds, format fixtures, stream input
+    * batches): keyed on (prefix, sf-dir path, the sf dir's file
+    * (name,size,mtime) fingerprint, [[scratchEpoch]]) — NO pid in the
+    * name and NO shutdown-hook delete, so the second Verify/Bench run
+    * on a host skips every cached build (the round-11 gate starved on
+    * exactly these rebuild costs). Contract: the artifact must never
+    * be MUTATED by a query — mutable state (streaming state tables,
+    * versioned-table mutation entries) stays in [[scratchDir]]. */
+  private def cacheDir(prefix: String, d: String): String = {
+    val fp = Option(new java.io.File(d).listFiles())
+      .map(_.sortBy(_.getName)
+        .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+        .mkString("|"))
+      .getOrElse("")
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$d|$fp|$scratchEpoch".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graftcache_${prefix}_$key")
+    dir.mkdirs()
+    dir.toString
+  }
+
+  /** Run `build` into the cross-run cache dir for `prefix` exactly
+    * once per (data fingerprint, epoch) — callers get the built dir
+    * back. A file lock serializes concurrent first-builders (two JVMs
+    * racing the same cold cache would interleave writes); the `_built`
+    * marker lands only after `build` returns, so readers never see a
+    * half-built artifact. */
+  private def cached(prefix: String, d: String)(
+      build: String => Unit): String = {
+    val dir = cacheDir(prefix, d)
+    val marker = new java.io.File(s"$dir/_built")
+    if (!marker.exists()) SparkEntry.synchronized {
+      val raf = new java.io.RandomAccessFile(
+        new java.io.File(s"$dir/_lock"), "rw")
+      try {
+        val fl = raf.getChannel.lock()
+        try if (!marker.exists()) {
+          build(dir)
+          marker.createNewFile()
+        } finally fl.release()
+      } finally raf.close()
+    }
+    dir
+  }
+
+  /** Per-RUN mutable scratch seeded by COPYING a cross-run cached
+    * build: `seed` runs once per (host, data, epoch) into the cache,
+    * and each run gets its own cheap file-copy of the result to
+    * mutate (streaming state tables advance in place — they can never
+    * live in the shared cache). Within a run the copy itself is made
+    * once (`_built` in the per-pid dir), so Bench's second timing run
+    * sees the same post-stream state it does today. */
+  private def seededScratchFrom(prefix: String, d: String)(
+      seed: String => Unit): String = {
+    val src = cached(prefix, d)(seed)
+    val dst = scratchDir(prefix, d)
+    if (!new java.io.File(s"$dst/_built").exists()) {
+      import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+      val sp = Paths.get(src)
+      val dp = Paths.get(dst)
+      Files.walk(sp).forEach { (p: Path) =>
+        val rel = sp.relativize(p).toString
+        if (rel.nonEmpty && rel != "_lock") {
+          val target = dp.resolve(rel)
+          if (Files.isDirectory(p)) Files.createDirectories(target)
+          else {
+            Files.copy(p, target,
+              StandardCopyOption.REPLACE_EXISTING)
+            // stream fixtures are mtime-ORDERED (scratchStreamBatches
+            // pins batch order through lastModified) — preserve it
+            target.toFile.setLastModified(p.toFile.lastModified)
+          }
+        }
+      }
+      // the copied cache dir already carries _built; ensure it exists
+      // even for markerless seeds
+      new java.io.File(s"$dst/_built").createNewFile()
+    }
+    dst
   }
 
   private def scratchDir(prefix: String, d: String): String = {
@@ -3807,6 +3912,49 @@ object SparkEntry {
       Similarity.marginBitext(
         emb.filter(pmod(col("vec_id"), lit(2)) === 0),
         emb.filter(pmod(col("vec_id"), lit(2)) === 1),
+        "vec_id", "embedding", k = 4, minMarginMicro = 1000000L)
+    }),
+
+    // s46's PRODUCTION path (the CCMatrix deployment shape): each
+    // language side gets its own stored degree-12 graph index (built
+    // once into the cross-run cache), candidates come from the two
+    // cross-side beam serves (candK=8 per query — pair count
+    // candK·(n+m), never n·m), and the margin criterion re-scores
+    // candidates only. The oracle replays BOTH graph serves in SQL
+    // (duckHnswTopK twice, side-restricted) and then s46's margin
+    // CTEs verbatim over the candidate union — the full composed
+    // plan is hash-proven, the same seam receipt s45 gives MaxSim
+    "s47_bitext_ann" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      def side(r: Int) =
+        emb.filter(pmod(col("vec_id"), lit(2)) === r)
+      val dir = cached("s47bitext", d) { dd =>
+        for ((nm, rem) <- Seq(("fwd", 1), ("bwd", 0))) {
+          val idx = side(rem)
+          val cents = Similarity.kmeansCentroids(idx, "vec_id",
+            "embedding", nCells = 16, iters = 2)
+          val (top, graphs, _) = Similarity.buildHnswGraphIndexWith(
+            idx, cents, "vec_id", "embedding", degree = 12,
+            nProbeBuild = 2, layerRatio = 16, nLayers = 2)
+          top.coalesce(1).write.mode("overwrite")
+            .parquet(s"$dd/$nm/toplayer")
+          graphs.repartition(col("level")).write.mode("overwrite")
+            .partitionBy("level").parquet(s"$dd/$nm/graphs")
+        }
+      }
+      def serve(nm: String, corpus: DataFrame, queries: DataFrame) =
+        Similarity.hnswServeIndexed(
+          s.read.parquet(s"$dir/$nm/toplayer"),
+          s.read.parquet(s"$dir/$nm/graphs"), corpus, queries,
+          "vec_id", "embedding", k = 8, beamWidth = 8, rounds = 3,
+          nLayers = 2, entryWidth = 2, upperRounds = 1)
+      val fwd = serve("fwd", side(1), side(0))
+        .select(col("query_id").as("src_id"),
+          col("neighbor_id").as("tgt_id"))
+      val bwd = serve("bwd", side(0), side(1))
+        .select(col("neighbor_id").as("src_id"),
+          col("query_id").as("tgt_id"))
+      Similarity.marginBitextOn(side(0), side(1), fwd, bwd,
         "vec_id", "embedding", k = 4, minMarginMicro = 1000000L)
     }),
 
@@ -10265,6 +10413,73 @@ object SparkEntry {
         |SELECT src_id, tgt_id, q AS cos_micro, margin_micro
         |FROM r WHERE rf = 1 AND rb = 1 AND margin_micro >= 1000000"""
         .stripMargin,
+
+    // both cross-side graph serves replayed in SQL (train/index
+    // restricted to one side, queries drawn from the other via
+    // queryFrom), then s46's margin CTEs restricted to the candidate
+    // union — fsum/bsum rank FORWARD/BACKWARD candidates only, the
+    // retrieval-defined neighborhoods of the production regime
+    "s47_bitext_ann" -> {
+      def cands(trainIdx: String, qSide: String) = duckHnswTopK(
+        nc = 16, iters = 2, nProbeBuild = 2, degree = 12, ratio = 16,
+        entryW = 2, beam = 8, rounds = 3, k = 8,
+        trainWhere = Some(trainIdx), indexWhere = Some(trainIdx),
+        queryWhere = qSide, queryFrom = Some("en"))
+      s"""WITH fcand AS (
+         |  SELECT query_id AS src_id, neighbor_id AS tgt_id
+         |  FROM (${cands("vec_id % 2 = 1", "vec_id % 2 = 0")}) ff),
+         |bcand AS (
+         |  SELECT neighbor_id AS src_id, query_id AS tgt_id
+         |  FROM (${cands("vec_id % 2 = 0", "vec_id % 2 = 1")}) bb),
+         |cand AS (
+         |  SELECT src_id, tgt_id, max(fw) AS fw, max(bw) AS bw FROM (
+         |    SELECT src_id, tgt_id, 1 AS fw, 0 AS bw FROM fcand
+         |    UNION ALL
+         |    SELECT src_id, tgt_id, 0 AS fw, 1 AS bw FROM bcand)
+         |  GROUP BY 1, 2),
+         |e2 AS (
+         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+         |  FROM embeddings),
+         |en2 AS (
+         |  SELECT vec_id, v,
+         |   sqrt(list_reduce(list_transform(v, x -> x * x),
+         |     (x, y) -> x + y)) AS nrm
+         |  FROM e2),
+         |p AS (
+         |  SELECT c.src_id, c.tgt_id, c.fw, c.bw,
+         |   CAST(round(
+         |     list_reduce(list_transform(range(1, len(s.v) + 1),
+         |       i -> s.v[i] * t.v[i]), (x, y) -> x + y) /
+         |     (s.nrm * t.nrm) * 1000000) AS BIGINT) AS q
+         |  FROM cand c
+         |  JOIN en2 s ON s.vec_id = c.src_id
+         |  JOIN en2 t ON t.vec_id = c.tgt_id),
+         |fs AS (
+         |  SELECT src_id, CAST(sum(q) AS BIGINT) AS fsum FROM (
+         |    SELECT src_id, q, row_number() OVER (PARTITION BY src_id
+         |      ORDER BY q DESC, tgt_id) AS fr FROM p WHERE fw = 1)
+         |  WHERE fr <= 4 GROUP BY 1),
+         |bs AS (
+         |  SELECT tgt_id, CAST(sum(q) AS BIGINT) AS bsum FROM (
+         |    SELECT tgt_id, q, row_number() OVER (PARTITION BY tgt_id
+         |      ORDER BY q DESC, src_id) AS br FROM p WHERE bw = 1)
+         |  WHERE br <= 4 GROUP BY 1),
+         |m AS (
+         |  SELECT p.src_id, p.tgt_id, p.q,
+         |   CAST(floor(p.q * 8 * 1000000 * 1.0 /
+         |     greatest(fs.fsum + bs.bsum, 1)) AS BIGINT) AS margin_micro
+         |  FROM p JOIN fs USING (src_id) JOIN bs USING (tgt_id)),
+         |r AS (
+         |  SELECT src_id, tgt_id, q, margin_micro,
+         |   row_number() OVER (PARTITION BY src_id
+         |     ORDER BY margin_micro DESC, tgt_id) AS rf,
+         |   row_number() OVER (PARTITION BY tgt_id
+         |     ORDER BY margin_micro DESC, src_id) AS rb
+         |  FROM m)
+         |SELECT src_id, tgt_id, q AS cos_micro, margin_micro
+         |FROM r WHERE rf = 1 AND rb = 1 AND margin_micro >= 1000000"""
+        .stripMargin
+    },
 
     // same two stages as the plan: pooled-cosine top-30 shortlist,
     // then MaxSim over the 8 contiguous 8-dim token slices of shortlist

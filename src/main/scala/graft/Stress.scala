@@ -1127,6 +1127,16 @@ object Stress {
         .versions(spark, prunedDir).last
       val (keptF, totalF) = graft.sources.VersionedTable
         .filesMatchingAny(spark, prunedDir, pv, keys)
+      // full-scan twin over the SAME store: the wall-clock delta
+      // (not just the file fraction) is the pruning receipt — at
+      // higher multipliers each of the 512 range files is larger,
+      // so the skipped bytes turn into skipped seconds
+      leg("t54_full_scan") {
+        TextAnalysis.ngramServeFrom(
+          graft.sources.VersionedTable
+            .readVersion(spark, prunedDir, pv)
+            .drop("ctx_h"), 3, queries).count()
+      }
       leg("t54_pruned_serve") {
         TextAnalysis.ngramServeFrom(
           graft.sources.VersionedTable
@@ -1134,6 +1144,32 @@ object Stress {
             .drop("ctx_h"), 3, queries).count()
       }
       println(s"    t54_files_read=${keptF.length}/$totalF")
+      // point-probe grain: a 4-query batch (the online-serving
+      // shape) matches a handful of files — the regime where
+      // data skipping pays hardest
+      val qSmall = queries.orderBy(col("qid")).limit(4).persist()
+      qSmall.count()
+      val keysSmall = qSmall.select(explode(array(
+          array_join(col("q"), " "), element_at(col("q"), 2),
+          lit(""))).as("ctx")).distinct()
+        .select(Tables.hashU32(col("ctx"), 71))
+        .collect().map(_.getLong(0)).toSeq
+      val (keptS, _) = graft.sources.VersionedTable
+        .filesMatchingAny(spark, prunedDir, pv, keysSmall)
+      leg("t54_point_full_scan") {
+        TextAnalysis.ngramServeFrom(
+          graft.sources.VersionedTable
+            .readVersion(spark, prunedDir, pv)
+            .drop("ctx_h"), 3, qSmall).count()
+      }
+      leg("t54_point_pruned") {
+        TextAnalysis.ngramServeFrom(
+          graft.sources.VersionedTable
+            .readVersionIn(spark, prunedDir, pv, keysSmall)
+            .drop("ctx_h"), 3, qSmall).count()
+      }
+      println(s"    t54_point_files_read=${keptS.length}/$totalF")
+      qSmall.unpersist()
       val stateDir = s"$scratch/state"
       val fixedB = docs.filter(col("doc_id") < 10000000L &&
           pmod(col("doc_id"), lit(97)) === 0)
@@ -1158,6 +1194,108 @@ object Stress {
       }
       rmTree(new java.io.File(scratch))
       docs.count()
+    }
+    // corpus-shaping wave (p13/p14/p15/q110): p13/p14 are pure
+    // per-row maps (must track the corpus ~linearly); p15 fills a
+    // FIXED total budget from a growing corpus (one md5-ordered
+    // prefix-sum cut — scan corpus-linear, output budget-bounded);
+    // q110 merges ONE fixed batch against whole-corpus-seeded
+    // per-domain state (|domains| rows — a flat row IS the O(batch)
+    // commit receipt, the q106/q109 protocol)
+    t("p13p14p15q110_shaping") {
+      leg("p13_fim") {
+        Curation.fimTransform(docs, col("doc_id"), col("text"),
+          ratePct = 90, seed = 41).count()
+      }
+      val toks = docs.select(col("doc_id"),
+          col("source").as("domain"),
+          size(TextAnalysis.tokens(col("text"))).cast("long")
+            .as("n_toks")).persist()
+      toks.count()
+      leg("p14_sft_masks") {
+        val counted = toks.select(col("doc_id"),
+          col("domain").as("source"), col("n_toks"))
+        val packed = Curation.packSequences(counted, col("doc_id"),
+          col("source"), col("n_toks"), ctxLen = 128, seed = 17,
+          buckets = 8)
+        val prompts = counted.select(col("doc_id"),
+          floor(col("n_toks") / 3).as("prompt_toks"))
+        Curation.sftMaskManifest(packed.join(prompts, Seq("doc_id")),
+          ctxLen = 128).count()
+      }
+      // uniform weights: the MW chain is metadata-sized (domain
+      // count) and already receipt-checked; the fill is the leg
+      val w = toks.select(col("domain")).distinct()
+        .withColumn("weight_micro", lit(100000L))
+      leg("p15_budget_fill(fixed-budget)") {
+        Curation.tokenBudgetSample(toks, col("doc_id"),
+          col("domain"), col("n_toks"), w, totalBudget = 20000L,
+          seed = 91).count()
+      }
+      // q110: per-domain budgets large enough that the seeded state
+      // carries corpus-scale consumed sums, then ONE fixed batch
+      val budgets = toks.select(col("domain")).distinct()
+        .withColumn("budget_toks", lit(1000000000000L))
+      val stateDir = java.nio.file.Files
+        .createTempDirectory("q110stress").toString + "/state"
+      val fixedB = toks.filter(col("doc_id") < 10000000L &&
+        pmod(col("doc_id"), lit(97)) === 0)
+      val seedB = toks.join(fixedB.select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
+      graft.streaming.EventStream.budgetIngestMergeBatch(seedB,
+        budgets, stateDir, 0L)
+      InternalCaches.releaseAll()
+      val tFb = System.nanoTime()
+      graft.streaming.EventStream.budgetIngestMergeBatch(fixedB,
+        budgets, stateDir, 1L)
+      println(f"    q110_fixed_batch_merge=${
+        (System.nanoTime() - tFb) / 1e9}%.2fs rows=${fixedB.count()}")
+      InternalCaches.releaseAll()
+      val n = toks.count()
+      toks.unpersist()
+      n
+    }
+    // s46's production path (s47): candidates from two per-side
+    // stored graph indexes — the pair relation must grow as
+    // candK·(n+m) (corpus-LINEAR), never n·m; the printed receipt
+    // pins candidate pairs against the crossJoin mass the exact
+    // baseline would score
+    t("s47_bitext_ann") {
+      val srcE = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+      val tgtE = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+      val dir = java.nio.file.Files
+        .createTempDirectory("s47stress").toString
+      for ((nm, idx) <- Seq(("fwd", tgtE), ("bwd", srcE))) {
+        val cents = Similarity.kmeansCentroids(idx, "vec_id",
+          "embedding", Similarity.autoCells(idx.count()), 2)
+        val (top1, graphs1, _) = Similarity.buildHnswGraphIndexWith(
+          idx, cents, "vec_id", "embedding", degree = 12,
+          nProbeBuild = 2, layerRatio = 16, nLayers = 2)
+        top1.coalesce(1).write.parquet(s"$dir/$nm/toplayer")
+        graphs1.repartition(col("level")).write
+          .partitionBy("level").parquet(s"$dir/$nm/graphs")
+        InternalCaches.releaseAll()
+      }
+      def serve(nm: String, corpus: DataFrame, queries: DataFrame) =
+        Similarity.hnswServeIndexed(
+          spark.read.parquet(s"$dir/$nm/toplayer"),
+          spark.read.parquet(s"$dir/$nm/graphs"), corpus, queries,
+          "vec_id", "embedding", k = 8, beamWidth = 8, rounds = 3,
+          nLayers = 2, entryWidth = 2, upperRounds = 1)
+      def fwdC = serve("fwd", tgtE, srcE)
+        .select(col("query_id").as("src_id"),
+          col("neighbor_id").as("tgt_id"))
+      def bwdC = serve("bwd", srcE, tgtE)
+        .select(col("neighbor_id").as("src_id"),
+          col("query_id").as("tgt_id"))
+      val nPairs = leg("s47_candidates") { fwdC.count() + bwdC.count() }
+      val mined = leg("s47_mine") {
+        Similarity.marginBitextOn(srcE, tgtE, fwdC, bwdC, "vec_id",
+          "embedding", k = 4, minMarginMicro = 1000000L).count()
+      }
+      println(s"    s47 candidate_pairs=$nPairs vs crossjoin_mass=${
+        srcE.count() * tgtE.count()} mined=$mined")
+      nPairs
     }
     spark.stop()
   }

@@ -23,8 +23,16 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        // per-query wall on stderr: the gate's cost profile must be
+        // readable from any run's log (the round-11 gate starvation
+        // was only diagnosable after the fact)
+        System.err.println(f"[verify-t] $name ${
+          (System.nanoTime() - t0) / 1e9}%.2f")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

@@ -2540,4 +2540,77 @@ object Similarity {
       .select(col("src_id"), col("tgt_id"), col("q").as("cos_micro"),
         col("margin_micro"))
   }
+
+  /** ANN-SOURCED margin bitext mining — [[marginBitext]]'s production
+    * path (the CCMatrix deployment shape, Schwenk et al. 2021): the
+    * pair generator is swapped for candidate lists retrieved by any
+    * ANN tier, the same seam s45 proves on the MaxSim lane. `fwdCand`
+    * = (src_id, tgt_id) candidates per SOURCE query (src served over
+    * a target-side index), `bwdCand` the mirror; both neighborhood
+    * sums and the mutual-best cut run over candidates ONLY — fsum(x)
+    * estimates x's neighborhood density from its top-k retrieved
+    * forward candidates (by micro-quantized cosine, tgt_id tie-break)
+    * and bsum(y) symmetrically, exactly the paper's regime where the
+    * k-NN sets come from the ANN retrieval itself.
+    *
+    * Scale shape: pair count is candK·(|src| + |tgt|), never
+    * |src|·|tgt| — the Stress s47 legs pin the receipt. Everything
+    * downstream of candidate scoring is the exact-baseline's integer
+    * math verbatim (micro-quantized cosines, floor-division margins),
+    * so the candidate-restricted twin stays SQL-expressible and the
+    * oracle proves the full composed plan. A pair whose tgt drew no
+    * backward candidates at all has no bsum and drops at the inner
+    * join (an un-retrievable target cannot certify a margin) — the
+    * SQL twin's JOIN agrees. */
+  def marginBitextOn(src: DataFrame, tgt: DataFrame,
+      fwdCand: DataFrame, bwdCand: DataFrame, idCol: String,
+      vecCol: String, k: Int, minMarginMicro: Long): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val s = src.select(col(idCol).as("src_id"), col(vecCol).as("s_vec"))
+      .withColumn("s_norm", norm(col("s_vec")))
+    val t = tgt.select(col(idCol).as("tgt_id"), col(vecCol).as("t_vec"))
+      .withColumn("t_norm", norm(col("t_vec")))
+    // union the two candidate relations keeping per-direction flags:
+    // a pair retrieved both ways scores once but feeds both sums
+    val cand = fwdCand.select(col("src_id"), col("tgt_id"),
+        lit(1).as("fw"), lit(0).as("bw"))
+      .unionByName(bwdCand.select(col("src_id"), col("tgt_id"),
+        lit(0).as("fw"), lit(1).as("bw")))
+      .groupBy(col("src_id"), col("tgt_id"))
+      .agg(max(col("fw")).as("fw"), max(col("bw")).as("bw"))
+    val scored = cand.join(s, Seq("src_id")).join(t, Seq("tgt_id"))
+      .withColumn("q", round(
+        dot(col("s_vec"), col("t_vec")) /
+          (col("s_norm") * col("t_norm")) * 1e6).cast("long"))
+      .select(col("src_id"), col("tgt_id"), col("q"), col("fw"),
+        col("bw"))
+      .persistTracked() // feeds both k-NN sums AND the margin rank
+    val fwdW = Window.partitionBy(col("src_id"))
+      .orderBy(col("q").desc, col("tgt_id").asc)
+    val bwdW = Window.partitionBy(col("tgt_id"))
+      .orderBy(col("q").desc, col("src_id").asc)
+    val fsum = scored.filter(col("fw") === 1)
+      .withColumn("fr", row_number().over(fwdW))
+      .filter(col("fr") <= k)
+      .groupBy(col("src_id")).agg(sum(col("q")).as("fsum"))
+    val bsum = scored.filter(col("bw") === 1)
+      .withColumn("br", row_number().over(bwdW))
+      .filter(col("br") <= k)
+      .groupBy(col("tgt_id")).agg(sum(col("q")).as("bsum"))
+    val margins = scored
+      .join(fsum, Seq("src_id")).join(bsum, Seq("tgt_id"))
+      .withColumn("margin_micro", floor(
+        col("q") * lit(2L * k) * lit(1000000L) /
+          greatest(col("fsum") + col("bsum"), lit(1L))))
+    val bestF = Window.partitionBy(col("src_id"))
+      .orderBy(col("margin_micro").desc, col("tgt_id").asc)
+    val bestB = Window.partitionBy(col("tgt_id"))
+      .orderBy(col("margin_micro").desc, col("src_id").asc)
+    margins.withColumn("rf", row_number().over(bestF))
+      .withColumn("rb", row_number().over(bestB))
+      .filter(col("rf") === 1 && col("rb") === 1 &&
+        col("margin_micro") >= minMarginMicro)
+      .select(col("src_id"), col("tgt_id"), col("q").as("cos_micro"),
+        col("margin_micro"))
+  }
 }

@@ -1423,10 +1423,15 @@ object VersionedTable {
         s"version $v has no stats column — commit with statsCol " +
           "to enable data skipping"))
     val (kept, _) = filesInRange(spark, dir, v, lo, hi)
-    // an all-pruned range still needs the schema: filter(false)
-    // folds to an empty LocalRelation at plan time — zero I/O
+    // an all-pruned range still needs the schema: ONE file's footer
+    // (mergeSchema reads every listed footer eagerly, so handing the
+    // full list to the reader would cost O(files) driver I/O just to
+    // carry a schema) + the same residual filter as the non-empty
+    // branch + filter(false), which folds to an empty LocalRelation
+    // at plan time — zero row I/O
     if (kept.isEmpty)
-      readFiles(spark, dir, v, fileRels, dvRels).filter(lit(false))
+      readFiles(spark, dir, v, fileRels.take(1), dvRels)
+        .filter(col(statsCol).between(lo, hi)).filter(lit(false))
     else readFiles(spark, dir, v, kept, dvRels)
       .filter(col(statsCol).between(lo, hi))
   }
@@ -1473,8 +1478,12 @@ object VersionedTable {
         s"version $v has no stats column — commit with statsCol " +
           "to enable data skipping"))
     val (kept, _) = filesMatchingAny(spark, dir, v, keys)
+    // all-pruned: schema from ONE footer, symmetric residual filter,
+    // plan-time-empty (see readVersionRange's empty branch)
     if (kept.isEmpty)
-      readFiles(spark, dir, v, fileRels, dvRels).filter(lit(false))
+      readFiles(spark, dir, v, fileRels.take(1), dvRels)
+        .filter(col(statsCol).isin(keys.distinct: _*))
+        .filter(lit(false))
     else readFiles(spark, dir, v, kept, dvRels)
       .filter(col(statsCol).isin(keys.distinct: _*))
   }

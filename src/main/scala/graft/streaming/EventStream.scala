@@ -491,10 +491,16 @@ object EventStream {
     * and each table's commit is SEPARATELY lockstep-guarded — a crash
     * between the four commits replays the batch, the already-
     * committed tables no-op, the missing ones land (the gated-ingest
-    * two-sink argument, extended to four). Because sequential splices
-    * compose (append ≡ rebuild at the same codebook, spec-proven),
-    * the final index is independent of batch slicing — the oracle is
-    * s31's one-shot rebuild twin VERBATIM. */
+    * two-sink argument, extended to four). Batch b reads the PINNED
+    * version b of every table (the [[selfHealingGraphIngestOnce]]
+    * discipline, now the single replay pattern across the streaming
+    * ingests): the splice inputs are a pure function of (seeded
+    * state, batches ≤ b), so a partial-crash replay recomputes
+    * byte-identical commit contents even when vectors/ranked/toplayer
+    * already advanced. Because sequential splices compose (append ≡
+    * rebuild at the same codebook, spec-proven), the final index is
+    * independent of batch slicing — the oracle is s31's one-shot
+    * rebuild twin VERBATIM. */
   def graphIngestOnce(src: DataFrame, baseDir: String,
       corpusBase: DataFrame, centroids: DataFrame, idCol: String,
       vecCol: String, degree: Int, nProbeBuild: Int, layerRatio: Int,
@@ -520,29 +526,22 @@ object EventStream {
         val gDir = s"$baseDir/graphs"
         if (vt.versions(s, gDir).length <= batchId + 1) {
           val b = batch.toDF().select(col(idCol), col(vecCol))
-          // replay-proofing: a crash between the four commits can
-          // leave THIS batch already appended to vectors and/or
-          // ranked; readCurrent would then hand the splice a corpus
-          // (and stored ranks) containing the batch twice, and the
-          // duplicates would occupy degree-cut slots in the
-          // recomputed edge lists. Anti-join the batch's ids back
-          // out so the splice always sees the exact pre-batch state.
-          // (toplayer's window is benign: its delta is recomputed
-          // from the batch and its append no-ops on replay; top2 is
-          // never committed here.)
-          val bIds = b.select(col(idCol))
-          val ingested = vt.readCurrent(s, s"$baseDir/vectors")
-            .join(broadcast(bIds), Seq(idCol), "left_anti")
-          val rankedStored = vt.readCurrent(s, s"$baseDir/ranked")
-            .join(broadcast(bIds.select(col(idCol).as("node_id"))),
-              Seq("node_id"), "left_anti")
+          // pre-batch state is version batchId of EVERY table —
+          // pinned reads: a crash between the four commits can leave
+          // THIS batch already appended to vectors/ranked/toplayer,
+          // and readCurrent would hand the splice a corpus containing
+          // the batch twice; reading the pinned pre-batch version
+          // makes every splice input (and so every commit content) a
+          // pure function of (seeded state, batches ≤ b), no
+          // anti-join needed.
+          def pre(t: String) =
+            vt.readVersion(s, s"$baseDir/$t", batchId.toInt)
           val corpus = corpusBase.select(col(idCol), col(vecCol))
-            .unionByName(ingested).unionByName(b)
+            .unionByName(pre("vectors")).unionByName(b)
           val (_, graphs2, rankedDelta, topDelta) =
             graft.operators.Similarity.appendHnswGraphIndexState(
-              corpus, b, centroids, rankedStored,
-              vt.readCurrent(s, s"$baseDir/toplayer"),
-              vt.readCurrent(s, gDir),
+              corpus, b, centroids, pre("ranked"), pre("toplayer"),
+              pre("graphs"),
               idCol, vecCol, degree, nProbeBuild, layerRatio, nLayers)
           lockstepSeeded(b, s"$baseDir/vectors", batchId)
           lockstepSeeded(rankedDelta, s"$baseDir/ranked", batchId)

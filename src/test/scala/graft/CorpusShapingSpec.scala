@@ -264,6 +264,71 @@ class CorpusShapingSpec extends SparkSpec {
     assert(out.toSeq == Seq((0L, 1L, q1, m1)))
   }
 
+  // ———— marginBitextOn (the ANN-sourced production path) ————
+
+  test("margin bitext ANN: full candidate lists degrade to the " +
+      "exact baseline") {
+    import graft.operators.Similarity
+    // at full candidate budget (every cross pair retrieved both
+    // ways) the candidate-restricted miner must equal marginBitext
+    // row for row — the seam's degenerate-case receipt
+    val src = Seq(
+      (0L, Array(1f, 0f, 0f)), (2L, Array(0f, 1f, 0f)),
+      (4L, Array(0.7f, 0.7f, 0.1f))
+    ).toDF("vec_id", "embedding")
+    val tgt = Seq(
+      (1L, Array(0.95f, 0.05f, 0f)), (3L, Array(0.05f, 0.95f, 0f)),
+      (5L, Array(0.6f, 0.6f, 0.2f))
+    ).toDF("vec_id", "embedding")
+    val all = src.select(col("vec_id").as("src_id"))
+      .crossJoin(tgt.select(col("vec_id").as("tgt_id")))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3))).toSet
+    val exact = rows(Similarity.marginBitext(src, tgt, "vec_id",
+      "embedding", k = 2, minMarginMicro = 0L))
+    val ann = rows(Similarity.marginBitextOn(src, tgt, all, all,
+      "vec_id", "embedding", k = 2, minMarginMicro = 0L))
+    assert(ann == exact, s"full-budget ANN path diverged: $ann vs $exact")
+  }
+
+  test("margin bitext ANN: mines the true pairs from top-k " +
+      "candidate lists, kills the hub") {
+    import graft.operators.Similarity
+    // candidates restricted to per-query top-2 (as a real ANN serve
+    // would return): the hub tgt5 appears in BOTH srcs' lists but
+    // the margin must still pick the true pairs
+    val src = Seq(
+      (0L, Array(1f, 0f, 0f)), (2L, Array(0f, 1f, 0f))
+    ).toDF("vec_id", "embedding")
+    val tgt = Seq(
+      (1L, Array(0.95f, 0.05f, 0f)), (3L, Array(0.05f, 0.95f, 0f)),
+      (5L, Array(0.6f, 0.6f, 0.2f))
+    ).toDF("vec_id", "embedding")
+    val fwd = Seq((0L, 1L), (0L, 5L), (2L, 3L), (2L, 5L))
+      .toDF("src_id", "tgt_id")
+    val bwd = Seq((0L, 1L), (2L, 3L), (0L, 5L), (2L, 5L))
+      .toDF("src_id", "tgt_id")
+    val mined = Similarity.marginBitextOn(src, tgt, fwd, bwd,
+        "vec_id", "embedding", k = 2, minMarginMicro = 1000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mined == Set((0L, 1L), (2L, 3L)),
+      s"expected the two true pairs, got $mined")
+  }
+
+  test("margin bitext ANN: a target with no backward candidates " +
+      "cannot certify a pair") {
+    import graft.operators.Similarity
+    val src = Seq((0L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    val tgt = Seq((1L, Array(0.9f, 0.1f))).toDF("vec_id", "embedding")
+    val fwd = Seq((0L, 1L)).toDF("src_id", "tgt_id")
+    val bwd = fwd.limit(0)
+    val out = Similarity.marginBitextOn(src, tgt, fwd, bwd,
+      "vec_id", "embedding", k = 2, minMarginMicro = 0L)
+    assert(out.count() == 0L,
+      "pair without a backward neighborhood must drop at the join")
+  }
+
   // ———— ngramServe ————
 
   test("ngram serve: exact match, unigram backoff, empty-ctx backoff") {
