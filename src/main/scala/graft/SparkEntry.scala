@@ -1943,8 +1943,7 @@ object SparkEntry {
     * holding toplayer/graphs. */
   private[graft] def degree12GraphIndexDir(s: SparkSession, d: String)
       : String = {
-    val dir = scratchDir("s28hnsw", d)
-    if (!new java.io.File(s"$dir/_built").exists()) {
+    val dir = cached("s28hnsw", d) { dir =>
       val emb = Tables.embeddings(s, d)
       val cents = Similarity.kmeansCentroids(emb, "vec_id",
         "embedding", nCells = 64, iters = 2)
@@ -1960,7 +1959,6 @@ object SparkEntry {
       // the serve-side filter, so the partition column prunes)
       graphs.repartition(col("level")).write.mode("overwrite")
         .partitionBy("level").parquet(s"$dir/graphs")
-      new java.io.File(s"$dir/_built").createNewFile()
     }
     dir
   }
@@ -2075,6 +2073,7 @@ object SparkEntry {
       import java.nio.file.{Files, Path, Paths, StandardCopyOption}
       val sp = Paths.get(src)
       val dp = Paths.get(dst)
+      Files.createDirectories(dp)
       Files.walk(sp).forEach { (p: Path) =>
         val rel = sp.relativize(p).toString
         if (rel.nonEmpty && rel != "_lock") {
@@ -3008,20 +3007,23 @@ object SparkEntry {
             lit("?utm_campaign=x&b=2&a=1")))
       val pages = Tables.documents(s, d)
         .select(col("doc_id"), url.as("uri"), col("text"))
-      val scratch = scratchDir("q106warc", d)
-      if (!new java.io.File(s"$scratch/_built").exists()) {
+      // the WARC shards + CDX + per-shard batch slices are the
+      // read-only crawl fixture (cross-run cached); census state is
+      // per-run
+      val fix = cached("q106warc", d) { dd =>
         graft.sources.WarcShards.write(pages, "doc_id", "uri", "text",
-          scratch, "crawl", numShards = 4)
-        new java.io.File(s"$scratch/_built").createNewFile()
+          dd, "crawl", numShards = 4)
+        val cdx = s.read.parquet(
+          graft.sources.WarcShards.cdxPath(dd, "crawl"))
+        scratchStreamBatches(dd,
+          (0 until 4).map(i => cdx.filter(col("warc_file") ===
+            f"crawl_$i%05d-of-00004.warc.gz")))
+        ()
       }
-      val cdx = s.read.parquet(
-        graft.sources.WarcShards.cdxPath(scratch, "crawl"))
-      val streamDir = scratchStreamBatches(scratch,
-        (0 until 4).map(i => cdx.filter(col("warc_file") ===
-          f"crawl_$i%05d-of-00004.warc.gz")))
-      val stateDir = s"$scratch/state"
+      val streamDir = s"$fix/in"
+      val stateDir = s"${scratchDir("q106warc", d)}/state"
       EventStream.warcCensusIngestOnce(
-        EventStream.parquetFileStream(s, streamDir), scratch, stateDir)
+        EventStream.parquetFileStream(s, streamDir), fix, stateDir)
       graft.sources.VersionedTable.readCurrent(s, stateDir)
         .groupBy(col("canonical_url"))
         .agg(sum(col("cnt")).as("n_raw"),
@@ -3217,14 +3219,12 @@ object SparkEntry {
     // text VERBATIM — one oracle, two execution paths
     "t53_ngram_index_serve" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val scratch = scratchDir("t53ngram", d)
-      val idxDir = s"$scratch/index"
-      if (!new java.io.File(s"$scratch/_built").exists()) {
+      val scratch = cached("t53ngram", d) { dd =>
         graft.sources.VersionedTable.commit(
           TextAnalysis.ngramCounts(docs, col("doc_id"), col("text"),
-            maxN = 3), idxDir)
-        new java.io.File(s"$scratch/_built").createNewFile()
+            maxN = 3), s"$dd/index")
       }
+      val idxDir = s"$scratch/index"
       TextAnalysis.ngramServeFrom(
         graft.sources.VersionedTable.readCurrent(s, idxDir),
         maxN = 3, queries = ngramQueryFixture(docs))
@@ -3241,9 +3241,7 @@ object SparkEntry {
     // VERBATIM — the fourth execution path under one oracle
     "t54_ngram_pruned_serve" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val scratch = scratchDir("t54ngram", d)
-      val idxDir = s"$scratch/index"
-      if (!new java.io.File(s"$scratch/_built").exists()) {
+      val scratch = cached("t54ngram", d) { dd =>
         graft.sources.VersionedTable.commit(
           TextAnalysis.ngramCounts(docs, col("doc_id"), col("text"),
             maxN = 3)
@@ -3252,9 +3250,9 @@ object SparkEntry {
             // skipping pays when files >> probe keys (ratio read
             // ~= 1 - exp(-keys/files)), so the index is cut fine
             .repartitionByRange(256, col("ctx_h")),
-          idxDir, statsCol = "ctx_h")
-        new java.io.File(s"$scratch/_built").createNewFile()
+          s"$dd/index", statsCol = "ctx_h")
       }
+      val idxDir = s"$scratch/index"
       val q = ngramQueryFixture(docs)
       // probe contexts for maxN = 3: the full bigram, the last
       // token, and the empty L0 context; |Q|·3 hashes — a
@@ -3281,10 +3279,13 @@ object SparkEntry {
     "q109_stream_ngram_ingest" -> ((s, d) => {
       val docs = Tables.documents(s, d).select(col("doc_id"),
         col("text"))
-      val scratch = scratchDir("q109ngram", d)
-      val streamDir = scratchStreamBatches(scratch, (0 until 3).map(
-        i => docs.filter(pmod(col("doc_id"), lit(3)) === i)))
-      val stateDir = s"$scratch/state"
+      val fix = cached("q109ngram", d) { dd =>
+        scratchStreamBatches(dd, (0 until 3).map(
+          i => docs.filter(pmod(col("doc_id"), lit(3)) === i)))
+        ()
+      }
+      val streamDir = s"$fix/in"
+      val stateDir = s"${scratchDir("q109ngram", d)}/state"
       EventStream.ngramIngestOnce(
         EventStream.parquetFileStream(s, streamDir), maxN = 3,
         stateDir)
@@ -3341,10 +3342,13 @@ object SparkEntry {
       val docs = docsRaw.select(col("doc_id"),
         col("source").as("domain"),
         size(TextAnalysis.tokens(col("text"))).as("n_toks"))
-      val scratch = scratchDir("q110budget", d)
-      val streamDir = scratchStreamBatches(scratch, (0 until 3).map(
-        i => docs.filter(pmod(col("doc_id"), lit(3)) === i)))
-      val stateDir = s"$scratch/state"
+      val fix = cached("q110budget", d) { dd =>
+        scratchStreamBatches(dd, (0 until 3).map(
+          i => docs.filter(pmod(col("doc_id"), lit(3)) === i)))
+        ()
+      }
+      val streamDir = s"$fix/in"
+      val stateDir = s"${scratchDir("q110budget", d)}/state"
       EventStream.budgetIngestOnce(
         EventStream.parquetFileStream(s, streamDir), budgets, stateDir)
       budgets.join(
@@ -4364,10 +4368,13 @@ object SparkEntry {
       val docs = Tables.documents(s, d).select(
         col("doc_id"), col("text"), col("lang"), col("source"),
         col("n_chars"))
-      val scratch = scratchDir("q81ingest", d)
-      val streamDir = scratchStreamBatches(scratch,
-        (0 until 3).map(i => docs.filter(col("doc_id") % 3 === i)))
-      val dir = s"$scratch/table"
+      val fix = cached("q81ingest", d) { dd =>
+        scratchStreamBatches(dd,
+          (0 until 3).map(i => docs.filter(col("doc_id") % 3 === i)))
+        ()
+      }
+      val streamDir = s"$fix/in"
+      val dir = s"${scratchDir("q81ingest", d)}/table"
       EventStream.tableIngestOnce(
         EventStream.parquetFileStream(s, streamDir),
         dir)
@@ -4398,9 +4405,13 @@ object SparkEntry {
           lit("xx")).otherwise(col("lang")))
         .withColumn("n_chars", when(pmod(col("doc_id"), lit(11L)) === 5,
           col("n_chars") + 1L).otherwise(col("n_chars")))
+      val fix = cached("q89gate", d) { dd =>
+        scratchStreamBatches(dd,
+          (0 until 3).map(i => docs.filter(col("doc_id") % 3 === i)))
+        ()
+      }
+      val streamDir = s"$fix/in"
       val scratch = scratchDir("q89gate", d)
-      val streamDir = scratchStreamBatches(scratch,
-        (0 until 3).map(i => docs.filter(col("doc_id") % 3 === i)))
       val rules = Seq(
         "lang_known" -> col("lang").isin("en", "de", "fr", "es", "zh"),
         "nchars_consistent" -> (col("n_chars") === length(col("text"))),
@@ -4442,16 +4453,22 @@ object SparkEntry {
     "q103_stream_quality_gate" -> ((s, d) => {
       val docs = qualitySeeded(Tables.documents(s, d))
         .select(col("doc_id"), col("text"), col("source"))
-      val scratch = scratchDir("q103gate", d)
-      val wDir = s"$scratch/weights"
-      TextAnalysis.qualityWeights(docs, col("doc_id"), col("text"),
-          col("source"), QualityPosSources, nBuckets = QualityBuckets,
-          iters = QualityIters, lr = QualityLr)
-        .coalesce(1).write.mode("overwrite").parquet(wDir)
-      val w = s.read.parquet(wDir)
-      val streamDir = scratchStreamBatches(scratch,
-        (0 until 3).map(i => docs.filter(col("doc_id") % 3 === i)))
-      val base = s"$scratch/gated"
+      // the trained model + stream batches are the deployable
+      // fixture (cross-run cached — training is the t38 cost); the
+      // gated state tables are per-run
+      val fix = cached("q103gate", d) { dd =>
+        TextAnalysis.qualityWeights(docs, col("doc_id"), col("text"),
+            col("source"), QualityPosSources,
+            nBuckets = QualityBuckets, iters = QualityIters,
+            lr = QualityLr)
+          .coalesce(1).write.mode("overwrite").parquet(s"$dd/weights")
+        scratchStreamBatches(dd,
+          (0 until 3).map(i => docs.filter(col("doc_id") % 3 === i)))
+        ()
+      }
+      val w = s.read.parquet(s"$fix/weights")
+      val streamDir = s"$fix/in"
+      val base = s"${scratchDir("q103gate", d)}/gated"
       EventStream.scoredGatedIngestOnce(
         EventStream.parquetFileStream(s, streamDir),
         batch => TextAnalysis.scoreWithWeights(batch, col("doc_id"),
@@ -4486,16 +4503,20 @@ object SparkEntry {
         .select(col("doc_id"), col("text"))
       val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
       val corpus = docs.filter(pmod(col("doc_id"), lit(97)) =!= 0)
-      val scratch = scratchDir("q104gate", d)
-      val shDir = s"$scratch/benchsh"
-      TextAnalysis.explodedShingles(bench, col("doc_id"),
-          col("text"), 3)
-        .select(col("shingle")).distinct()
-        .coalesce(1).write.mode("overwrite").parquet(shDir)
-      val benchSh = s.read.parquet(shDir)
-      val streamDir = scratchStreamBatches(scratch,
-        (0 until 3).map(i => corpus.filter(col("doc_id") % 3 === i)))
-      val base = s"$scratch/gated"
+      // benchmark shingle set + batches = the deployable artifact
+      // (cross-run cached); the gated state tables are per-run
+      val fix = cached("q104gate", d) { dd =>
+        TextAnalysis.explodedShingles(bench, col("doc_id"),
+            col("text"), 3)
+          .select(col("shingle")).distinct()
+          .coalesce(1).write.mode("overwrite").parquet(s"$dd/benchsh")
+        scratchStreamBatches(dd,
+          (0 until 3).map(i => corpus.filter(col("doc_id") % 3 === i)))
+        ()
+      }
+      val benchSh = s.read.parquet(s"$fix/benchsh")
+      val streamDir = s"$fix/in"
+      val base = s"${scratchDir("q104gate", d)}/gated"
       EventStream.scoredGatedIngestOnce(
         EventStream.parquetFileStream(s, streamDir),
         batch => {
@@ -4540,9 +4561,13 @@ object SparkEntry {
         .select(col("doc_id"), col("text"))
       val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
       val corpus = docs.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+      val fix = cached("q105gate", d) { dd =>
+        scratchStreamBatches(dd,
+          (0 until 3).map(i => corpus.filter(col("doc_id") % 3 === i)))
+        ()
+      }
+      val streamDir = s"$fix/in"
       val scratch = scratchDir("q105gate", d)
-      val streamDir = scratchStreamBatches(scratch,
-        (0 until 3).map(i => corpus.filter(col("doc_id") % 3 === i)))
       EventStream.transformIngestOnce(
         EventStream.parquetFileStream(s, streamDir),
         b => TextAnalysis.exciseContaminatedSpans(b, bench,
@@ -4813,9 +4838,13 @@ object SparkEntry {
       val docs = Tables.documents(s, d).select(
         col("doc_id"), col("text"), col("lang"), col("source"),
         col("n_chars"))
+      val fix = cached("q93compact", d) { dd =>
+        scratchStreamBatches(dd,
+          (0 until 6).map(i => docs.filter(col("doc_id") % 6 === i)))
+        ()
+      }
+      val streamDir = s"$fix/in"
       val scratch = scratchDir("q93compact", d)
-      val streamDir = scratchStreamBatches(scratch,
-        (0 until 6).map(i => docs.filter(col("doc_id") % 6 === i)))
       val table = s"$scratch/table"
       EventStream.autoCompactIngestOnce(
         EventStream.parquetFileStream(s, streamDir),
@@ -5388,17 +5417,18 @@ object SparkEntry {
     // oracle is s5's SQL, proving the stored index loses nothing
     "s9_ivf_index_persist" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val dir = scratchDir("s9ivf", d)
-      val (cents, index) = Similarity.buildIvfIndex(emb, "vec_id",
-        "embedding", nCells = 8, iters = 2)
-      cents.coalesce(1).write.mode("overwrite")
-        .parquet(s"$dir/centroids")
-      // cluster the rows of each cell into the same output files
-      // (cells are Lloyd-balanced, so this is skew-safe); without the
-      // repartition every shuffle partition writes a sliver into every
-      // cell directory — shuffle_partitions × nCells tiny files
-      index.repartition(col("cell")).write.mode("overwrite")
-        .partitionBy("cell").parquet(s"$dir/index")
+      val dir = cached("s9ivf", d) { dd =>
+        val (cents, index) = Similarity.buildIvfIndex(emb, "vec_id",
+          "embedding", nCells = 8, iters = 2)
+        cents.coalesce(1).write.mode("overwrite")
+          .parquet(s"$dd/centroids")
+        // cluster the rows of each cell into the same output files
+        // (cells are Lloyd-balanced, so this is skew-safe); without the
+        // repartition every shuffle partition writes a sliver into every
+        // cell directory — shuffle_partitions × nCells tiny files
+        index.repartition(col("cell")).write.mode("overwrite")
+          .partitionBy("cell").parquet(s"$dd/index")
+      }
       Similarity.ivfSearchIndexed(s.read.parquet(s"$dir/index"),
         s.read.parquet(s"$dir/centroids"), emb, "vec_id", "embedding",
         k = 5, nProbe = 2)
@@ -5510,14 +5540,12 @@ object SparkEntry {
       // graph, and the graph is a deterministic function of the
       // corpus — the oracle hash is unchanged from the live-build
       // form. Build cost at scale is the Stress row.
-      val dir = scratchDir("s24nsw", d)
-      if (!new java.io.File(s"$dir/_built").exists()) {
+      val dir = cached("s24nsw", d) { dir =>
         val cents = Similarity.kmeansCentroids(emb, "vec_id",
           "embedding", nCells = 64, iters = 2)
         Similarity.knnGraph(emb, cents, "vec_id", "embedding",
             degree = 6, nProbe = 2)
           .coalesce(1).write.mode("overwrite").parquet(s"$dir/graph")
-        new java.io.File(s"$dir/_built").createNewFile()
       }
       Similarity.nswBeamTopK(emb, s.read.parquet(s"$dir/graph"),
         emb.filter(col("vec_id") % 25 === 0), "vec_id", "embedding",
@@ -5534,8 +5562,7 @@ object SparkEntry {
     // unchanged from the live-build form
     "s26_hnsw_layers" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val dir = scratchDir("s26hnsw", d)
-      if (!new java.io.File(s"$dir/_built").exists()) {
+      val dir = cached("s26hnsw", d) { dir =>
         val (top, graphs) = Similarity.buildHnswGraphIndex(emb,
           "vec_id", "embedding", nCells = 64, iters = 2, degree = 6,
           nProbeBuild = 2, layerRatio = 16, nLayers = 2)
@@ -5543,7 +5570,6 @@ object SparkEntry {
           .parquet(s"$dir/toplayer")
         graphs.repartition(col("level")).write.mode("overwrite")
           .partitionBy("level").parquet(s"$dir/graphs")
-        new java.io.File(s"$dir/_built").createNewFile()
       }
       Similarity.hnswServeIndexed(s.read.parquet(s"$dir/toplayer"),
         s.read.parquet(s"$dir/graphs"), emb,
@@ -5558,8 +5584,7 @@ object SparkEntry {
     // cache as s26 (different layer geometry, so a separate index)
     "s27_hnsw_descent" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val dir = scratchDir("s27hnsw", d)
-      if (!new java.io.File(s"$dir/_built").exists()) {
+      val dir = cached("s27hnsw", d) { dir =>
         val (top, graphs) = Similarity.buildHnswGraphIndex(emb,
           "vec_id", "embedding", nCells = 64, iters = 2, degree = 6,
           nProbeBuild = 2, layerRatio = 4, nLayers = 3)
@@ -5567,7 +5592,6 @@ object SparkEntry {
           .parquet(s"$dir/toplayer")
         graphs.repartition(col("level")).write.mode("overwrite")
           .partitionBy("level").parquet(s"$dir/graphs")
-        new java.io.File(s"$dir/_built").createNewFile()
       }
       Similarity.hnswServeIndexed(s.read.parquet(s"$dir/toplayer"),
         s.read.parquet(s"$dir/graphs"), emb,
@@ -5630,8 +5654,7 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       val base = emb.filter(col("vec_id") % 4 =!= 0)
       val batch = emb.filter(col("vec_id") % 4 === 0)
-      val dir = scratchDir("s31hnsw", d)
-      if (!new java.io.File(s"$dir/_built").exists()) {
+      val dir = cached("s31hnsw", d) { dir =>
         val cents = Similarity.kmeansCentroids(base, "vec_id",
           "embedding", nCells = 64, iters = 2)
         val (top, graphs, ranked) = Similarity.buildHnswGraphIndexWith(
@@ -5645,7 +5668,6 @@ object SparkEntry {
           .partitionBy("level").parquet(s"$dir/graphs")
         ranked.coalesce(1).write.mode("overwrite")
           .parquet(s"$dir/ranked")
-        new java.io.File(s"$dir/_built").createNewFile()
       }
       val (top2, graphs2) = Similarity.appendHnswGraphIndex(emb,
         batch, s.read.parquet(s"$dir/centroids"),
@@ -5675,8 +5697,7 @@ object SparkEntry {
       val kept = emb.filter(col("vec_id") % 10 =!= 3)
       val deleted = emb.filter(col("vec_id") % 10 === 3)
         .select(col("vec_id"))
-      val dir = scratchDir("s32hnsw", d)
-      if (!new java.io.File(s"$dir/_built").exists()) {
+      val dir = cached("s32hnsw", d) { dir =>
         val cents = Similarity.kmeansCentroids(emb, "vec_id",
           "embedding", nCells = 64, iters = 2)
         val (top, graphs, ranked) = Similarity.buildHnswGraphIndexWith(
@@ -5688,7 +5709,6 @@ object SparkEntry {
           .partitionBy("level").parquet(s"$dir/graphs")
         ranked.coalesce(1).write.mode("overwrite")
           .parquet(s"$dir/ranked")
-        new java.io.File(s"$dir/_built").createNewFile()
       }
       val (top2, graphs2) = Similarity.deleteFromHnswGraphIndex(kept,
         deleted, s.read.parquet(s"$dir/ranked"),
@@ -5714,15 +5734,13 @@ object SparkEntry {
       val kept = emb.filter(col("vec_id") % 10 =!= 3)
       val deleted = emb.filter(col("vec_id") % 10 === 3)
         .select(col("vec_id"))
-      val dir = scratchDir("s33ivf", d)
-      if (!new java.io.File(s"$dir/_built").exists()) {
+      val dir = cached("s33ivf", d) { dir =>
         val (cents, index) = Similarity.buildIvfIndex(emb, "vec_id",
           "embedding", nCells = 8, iters = 2)
         cents.coalesce(1).write.mode("overwrite")
           .parquet(s"$dir/centroids")
         index.repartition(col("cell")).write.mode("overwrite")
           .partitionBy("cell").parquet(s"$dir/index")
-        new java.io.File(s"$dir/_built").createNewFile()
       }
       val idx = s.read.parquet(s"$dir/index")
         .join(broadcast(deleted), Seq("vec_id"), "left_anti")
@@ -5745,25 +5763,28 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       val base = emb.filter(col("vec_id") % 4 =!= 0)
       val arrivals = emb.filter(col("vec_id") % 4 === 0)
-      val scratch = scratchDir("s34ivf", d)
-      if (!new java.io.File(s"$scratch/_built").exists()) {
+      // read-only fixture (index + stream batches) in the cross-run
+      // cache; the MUTATED ingest state stays per-run
+      val fix = cached("s34ivf", d) { dd =>
         val (cents, index) = Similarity.buildIvfIndex(base, "vec_id",
           "embedding", nCells = 8, iters = 2)
         cents.coalesce(1).write.mode("overwrite")
-          .parquet(s"$scratch/centroids")
+          .parquet(s"$dd/centroids")
         index.repartition(col("cell")).write.mode("overwrite")
-          .partitionBy("cell").parquet(s"$scratch/index")
-        new java.io.File(s"$scratch/_built").createNewFile()
+          .partitionBy("cell").parquet(s"$dd/index")
+        scratchStreamBatches(dd,
+          (0 until 3).map(i =>
+            arrivals.filter(col("vec_id") % 3 === i)))
+        ()
       }
-      val streamDir = scratchStreamBatches(scratch,
-        (0 until 3).map(i =>
-          arrivals.filter(col("vec_id") % 3 === i)))
-      val cents = s.read.parquet(s"$scratch/centroids")
+      val streamDir = s"$fix/in"
+      val scratch = scratchDir("s34ivf", d)
+      val cents = s.read.parquet(s"$fix/centroids")
       EventStream.transformIngestOnce(
         EventStream.parquetFileStream(s, streamDir),
         b => Similarity.appendToIndex(b, cents, "vec_id", "embedding"),
         s"$scratch/ingested")
-      val idx = s.read.parquet(s"$scratch/index").unionByName(
+      val idx = s.read.parquet(s"$fix/index").unionByName(
         graft.sources.VersionedTable.readCurrent(s,
           s"$scratch/ingested"))
       Similarity.ivfSearchIndexed(idx, cents,
@@ -5785,9 +5806,10 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       val base = emb.filter(col("vec_id") % 4 =!= 0)
       val arrivals = emb.filter(col("vec_id") % 4 === 0)
-      val scratch = scratchDir("s36hnsw", d)
       val vt = graft.sources.VersionedTable
-      if (!new java.io.File(s"$scratch/_built").exists()) {
+      // seed index + stream batches built ONCE into the cross-run
+      // cache; each run streams into its own mutable copy
+      val scratch = seededScratchFrom("s36hnsw", d) { dd =>
         // the seed (and therefore every splice) carries the
         // frontier's degree-12 geometry (BASELINE §10)
         val cents = Similarity.kmeansCentroids(base, "vec_id",
@@ -5796,18 +5818,19 @@ object SparkEntry {
           base, cents, "vec_id", "embedding", degree = 12,
           nProbeBuild = 2, layerRatio = 16, nLayers = 2)
         cents.coalesce(1).write.mode("overwrite")
-          .parquet(s"$scratch/centroids")
+          .parquet(s"$dd/centroids")
         vt.commit(base.select(col("vec_id"), col("embedding")).limit(0),
-          s"$scratch/state/vectors")
-        vt.commit(ranked, s"$scratch/state/ranked")
-        vt.commit(top, s"$scratch/state/toplayer")
-        vt.commit(graphs, s"$scratch/state/graphs")
-        new java.io.File(s"$scratch/_built").createNewFile()
+          s"$dd/state/vectors")
+        vt.commit(ranked, s"$dd/state/ranked")
+        vt.commit(top, s"$dd/state/toplayer")
+        vt.commit(graphs, s"$dd/state/graphs")
+        scratchStreamBatches(dd,
+          (0 until 3).map(i =>
+            arrivals.filter(col("vec_id") % 3 === i)
+              .select(col("vec_id"), col("embedding"))))
+        ()
       }
-      val streamDir = scratchStreamBatches(scratch,
-        (0 until 3).map(i =>
-          arrivals.filter(col("vec_id") % 3 === i)
-            .select(col("vec_id"), col("embedding"))))
+      val streamDir = s"$scratch/in"
       val cents = s.read.parquet(s"$scratch/centroids")
       EventStream.graphIngestOnce(
         EventStream.parquetFileStream(s, streamDir),
@@ -5852,15 +5875,17 @@ object SparkEntry {
             x => (lit(1.0) + lit(0.1) * x.cast("double"))
               .cast("float"))
             .as("embedding"))
-      val scratch = scratchDir("s41heal", d)
-      if (!new java.io.File(s"$scratch/_built").exists()) {
-        seedSelfHealState(scratch, base, nCells = 32, degree = 12)
-        new java.io.File(s"$scratch/_built").createNewFile()
+      // seed + batches cached across runs; the stream mutates a
+      // per-run copy of the seeded state
+      val scratch = seededScratchFrom("s41heal", d) { dd =>
+        seedSelfHealState(dd, base, nCells = 32, degree = 12)
+        scratchStreamBatches(dd, Seq(
+          arrivals.filter(col("vec_id") % 3 === 0),
+          arrivals.filter(col("vec_id") % 3 =!= 0),
+          skewed))
+        ()
       }
-      val streamDir = scratchStreamBatches(scratch, Seq(
-        arrivals.filter(col("vec_id") % 3 === 0),
-        arrivals.filter(col("vec_id") % 3 =!= 0),
-        skewed))
+      val streamDir = s"$scratch/in"
       EventStream.selfHealingGraphIngestOnce(
         EventStream.parquetFileStream(s, streamDir),
         s"$scratch/state", base, "vec_id", "embedding",
@@ -5891,15 +5916,15 @@ object SparkEntry {
       val base = emb.filter(col("vec_id") % 4 =!= 0)
       val arrivals = emb.filter(col("vec_id") % 4 === 0)
         .select(col("vec_id"), col("embedding"))
-      val scratch = scratchDir("s42heal", d)
-      if (!new java.io.File(s"$scratch/_built").exists()) {
-        seedSelfHealState(scratch, base, nCells = 32, degree = 12)
-        new java.io.File(s"$scratch/_built").createNewFile()
+      val scratch = seededScratchFrom("s42heal", d) { dd =>
+        seedSelfHealState(dd, base, nCells = 32, degree = 12)
+        scratchStreamBatches(dd, Seq(
+          arrivals.filter(col("vec_id") % 3 === 0),
+          arrivals.filter(col("vec_id") % 3 === 1),
+          arrivals.filter(col("vec_id") % 3 === 2)))
+        ()
       }
-      val streamDir = scratchStreamBatches(scratch, Seq(
-        arrivals.filter(col("vec_id") % 3 === 0),
-        arrivals.filter(col("vec_id") % 3 === 1),
-        arrivals.filter(col("vec_id") % 3 === 2)))
+      val streamDir = s"$scratch/in"
       EventStream.selfHealingGraphIngestOnce(
         EventStream.parquetFileStream(s, streamDir),
         s"$scratch/state", base, "vec_id", "embedding",
@@ -5925,8 +5950,7 @@ object SparkEntry {
     // the flat family already has s12 (SQ8 scan) and s13 (rerank)
     "s38_graph_sq8_serve" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val dir = scratchDir("s38nsw", d)
-      if (!new java.io.File(s"$dir/_built").exists()) {
+      val dir = cached("s38nsw", d) { dir =>
         val cents = Similarity.kmeansCentroids(emb, "vec_id",
           "embedding", nCells = 64, iters = 2)
         Similarity.knnGraph(emb, cents, "vec_id", "embedding",
@@ -5936,7 +5960,6 @@ object SparkEntry {
         // edges, never re-quantizing the corpus
         Similarity.sq8Codes(emb, "vec_id", "embedding")
           .coalesce(1).write.mode("overwrite").parquet(s"$dir/codes")
-        new java.io.File(s"$dir/_built").createNewFile()
       }
       Similarity.nswBeamSq8Serve(s.read.parquet(s"$dir/codes"), emb,
         s.read.parquet(s"$dir/graph"),
@@ -5952,14 +5975,12 @@ object SparkEntry {
     // degree-6 graph as s38 (shared scratch geometry, own cache)
     "s39_graph_filtered" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val dir = scratchDir("s39nsw", d)
-      if (!new java.io.File(s"$dir/_built").exists()) {
+      val dir = cached("s39nsw", d) { dir =>
         val cents = Similarity.kmeansCentroids(emb, "vec_id",
           "embedding", nCells = 64, iters = 2)
         Similarity.knnGraph(emb, cents, "vec_id", "embedding",
             degree = 6, nProbe = 2)
           .coalesce(1).write.mode("overwrite").parquet(s"$dir/graph")
-        new java.io.File(s"$dir/_built").createNewFile()
       }
       Similarity.nswBeamFilteredTopK(emb,
         s.read.parquet(s"$dir/graph"),
@@ -5974,8 +5995,7 @@ object SparkEntry {
     // so the hash-match proves upgrade ≡ rebuild at the new degree
     "s40_graph_degree_upgrade" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val dir = scratchDir("s40hnsw", d)
-      if (!new java.io.File(s"$dir/_built").exists()) {
+      val dir = cached("s40hnsw", d) { dir =>
         val cents = Similarity.kmeansCentroids(emb, "vec_id",
           "embedding", nCells = 64, iters = 2)
         val (top, _, ranked) = Similarity.buildHnswGraphIndexWith(
@@ -5985,7 +6005,6 @@ object SparkEntry {
           .parquet(s"$dir/toplayer")
         ranked.coalesce(1).write.mode("overwrite")
           .parquet(s"$dir/ranked")
-        new java.io.File(s"$dir/_built").createNewFile()
       }
       val (top2, graphs2) = Similarity.upgradeGraphIndexDegree(emb,
         s.read.parquet(s"$dir/ranked"),
@@ -6056,8 +6075,7 @@ object SparkEntry {
     "s37_graph_recall_serve" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val q = emb.filter(col("vec_id").isin(ServeQueryIds: _*))
-      val dir = scratchDir("s37hnsw", d)
-      if (!new java.io.File(s"$dir/_built").exists()) {
+      val dir = cached("s37hnsw", d) { dir =>
         // the served geometry is the frontier's degree-12 upgrade
         // (BASELINE §10), same free re-cut as s28/s40
         val cents = Similarity.kmeansCentroids(emb, "vec_id",
@@ -6072,7 +6090,6 @@ object SparkEntry {
           .parquet(s"$dir/toplayer")
         graphs.repartition(col("level")).write.mode("overwrite")
           .partitionBy("level").parquet(s"$dir/graphs")
-        new java.io.File(s"$dir/_built").createNewFile()
       }
       val approx = Similarity.hnswServeIndexed(
         s.read.parquet(s"$dir/toplayer"),
@@ -6341,9 +6358,12 @@ object SparkEntry {
         .orderBy(col("cell_id")).collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1).toArray,
           r.getDouble(2)))
-      val scratch = scratchDir("q70sem", d)
-      val streamDir = scratchStreamBatches(scratch,
-        (0 until 3).map(i => emb.filter(col("vec_id") % 3 === i)))
+      val fix = cached("q70sem", d) { dd =>
+        scratchStreamBatches(dd,
+          (0 until 3).map(i => emb.filter(col("vec_id") % 3 === i)))
+        ()
+      }
+      val streamDir = s"$fix/in"
       val stream = EventStream.parquetFileStream(s, streamDir)
       val res = Similarity.streamingSemanticDedup(stream, "vec_id",
         "embedding", cents, tau = 0.35)
@@ -6669,9 +6689,13 @@ object SparkEntry {
         concat(lit("https://"), col("source"), lit(".example.com/"),
           col("lang"), lit("/"), col("doc_id")).as("uri"),
         col("text"))
+      val fix = cached("q107arch", d) { dd =>
+        scratchStreamBatches(dd,
+          (0 until 3).map(i => docs.filter(col("doc_id") % 3 === i)))
+        ()
+      }
+      val streamDir = s"$fix/in"
       val scratch = scratchDir("q107arch", d)
-      val streamDir = scratchStreamBatches(scratch,
-        (0 until 3).map(i => docs.filter(col("doc_id") % 3 === i)))
       val cdxDir = s"$scratch/cdx"
       EventStream.warcArchiveOnce(
         EventStream.parquetFileStream(s, streamDir), scratch, "arch",
