@@ -1282,19 +1282,33 @@ object Stress {
           spark.read.parquet(s"$dir/$nm/graphs"), corpus, queries,
           "vec_id", "embedding", k = 8, beamWidth = 8, rounds = 3,
           nLayers = 2, entryWidth = 2, upperRounds = 1)
-      def fwdC = serve("fwd", tgtE, srcE)
+      // the serves run ONCE, timed single-shot, and materialize to
+      // parquet (lineage cut): per-query serve growth is already
+      // curve-covered by the s26/s38–s40 legs, and re-walking two
+      // full-side serves per leg() execution measures GC debt, not
+      // the operator. The pair-count receipt is what this row pins:
+      // candidates = candK·(n+m), never n·m.
+      val tS = System.nanoTime()
+      serve("fwd", tgtE, srcE)
         .select(col("query_id").as("src_id"),
           col("neighbor_id").as("tgt_id"))
-      def bwdC = serve("bwd", srcE, tgtE)
+        .write.mode("overwrite").parquet(s"$dir/fwdC")
+      serve("bwd", srcE, tgtE)
         .select(col("neighbor_id").as("src_id"),
           col("query_id").as("tgt_id"))
-      val nPairs = leg("s47_candidates") { fwdC.count() + bwdC.count() }
-      val mined = leg("s47_mine") {
+        .write.mode("overwrite").parquet(s"$dir/bwdC")
+      InternalCaches.releaseAll()
+      val serveS = (System.nanoTime() - tS) / 1e9
+      val fwdC = spark.read.parquet(s"$dir/fwdC")
+      val bwdC = spark.read.parquet(s"$dir/bwdC")
+      val nPairs = fwdC.count() + bwdC.count()
+      val mined = leg("s47_margin_stage") {
         Similarity.marginBitextOn(srcE, tgtE, fwdC, bwdC, "vec_id",
           "embedding", k = 4, minMarginMicro = 1000000L).count()
       }
-      println(s"    s47 candidate_pairs=$nPairs vs crossjoin_mass=${
-        srcE.count() * tgtE.count()} mined=$mined")
+      println(f"    s47 serves(single-shot)=$serveS%.2fs " +
+        s"candidate_pairs=$nPairs vs crossjoin_mass=${
+          srcE.count() * tgtE.count()} mined=$mined")
       nPairs
     }
     spark.stop()

@@ -2121,8 +2121,15 @@ object Similarity {
       .withColumn("n_norm", norm(col("n_vec")))
     val wEntry = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("node_id").asc)
+    // the stored top layer is a single parquet file (1 partition), so
+    // an unspread crossJoin would score the whole |top|·|Q| entry
+    // relation in ONE task — a 44-minute single-core cliff measured
+    // at the 30× stress point with 30k queries/side. Spreading the
+    // tiny stream side first costs a sub-ms shuffle and makes entry
+    // scoring parallel in |top|·|Q|/partitions.
     var seeds = topLayer.select(col("node_id"), col("n_vec"),
         col("n_norm"))
+      .repartition(q.sparkSession.sessionState.conf.numShufflePartitions)
       .crossJoin(broadcast(q))
       .withColumn("cosine", dot(col("q_vec"), col("n_vec")) /
         (col("q_norm") * col("n_norm")))
