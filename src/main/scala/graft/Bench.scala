@@ -110,9 +110,11 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     GraftFunctions.installOptimizations(spark)
     // session warmup: one tiny scan+shuffle so the first timed query
-    // doesn't absorb JVM/codegen/scheduler initialization
-    spark.read.parquet(s"$sfDir/region.parquet")
+    // doesn't absorb JVM/codegen/scheduler initialization (optional —
+    // a non-TPC-H sf dir without region must not abort the run)
+    try spark.read.parquet(s"$sfDir/region.parquet")
       .groupBy("r_name").count().count()
+    catch { case _: Throwable => () }
 
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     def timeOnce(name: String,

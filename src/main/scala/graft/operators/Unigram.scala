@@ -271,10 +271,26 @@ object Unigram {
     * segmenter — the one census definition t32 and t33 share. */
   private def censusWith(docs: DataFrame, idCol: Column,
       textCol: Column, topV: Int, seed: Int,
+      segmenter: (DataFrame, DataFrame) => DataFrame): DataFrame =
+    censusWithModel(docs, idCol, textCol,
+      trainFromWords(wordFreq(docs, textCol).persistTracked(), topV),
+      seed, segmenter)
+
+  /** The census against a PRE-TRAINED model relation (piece, cnt,
+    * lp6) — the s28 build-once/apply-many discipline on the
+    * tokenizer lane: a deployment trains its subword model once and
+    * segments corpora against the stored vocabulary. t32/t33 load
+    * their model from the cross-run cache through this entry point;
+    * the census itself (a full Viterbi pass over the corpus's
+    * distinct words + the per-doc fingerprint rollup) is the
+    * operation under test and always runs live. */
+  def censusWithModel(docs: DataFrame, idCol: Column,
+      textCol: Column, model: DataFrame, seed: Int,
       segmenter: (DataFrame, DataFrame) => DataFrame): DataFrame = {
-    val wf = wordFreq(docs, textCol).persistTracked()
-    val model = trainFromWords(wf, topV)
-    val segs = segmenter(wf.select(col("word")), model)
+    val words = docs.select(
+        explode(TextAnalysis.tokens(textCol)).as("word"))
+      .distinct()
+    val segs = segmenter(words, model)
     docs.select(idCol.as("doc_id"),
         explode(TextAnalysis.tokens(textCol)).as("word"))
       .join(segs, Seq("word"))
