@@ -870,6 +870,182 @@ object SparkEntry {
   /** DuckDB fragment: u32 hash of expr-with-seed (twin of Tables.hashU32). */
   private def duckU32(expr: String, seed: Int): String =
     s"(('0x' || substr(md5($expr || '#$seed'), 1, 8))::BIGINT)"
+
+  /** t55's oracle: the p16 reward/grouping, cross-source pairwise
+    * outcomes, then `iters` UNROLLED Bradley–Terry MM rounds in the
+    * exact micro-unit integer arithmetic of Preference.bradleyTerry —
+    * term/raw/renormalize each round, every division one IEEE op on
+    * exact integers then floor. */
+  private def duckBradleyTerry(iters: Int): String = {
+    // every CTE is MATERIALIZED: each MM round references its
+    // predecessor several times, and default CTE inlining would
+    // re-expand the whole chain ~3^iters times (measured as a
+    // fd-exhausting plan in DuckDB — the same exponential blowup the
+    // Spark side avoids by solving over the collected aggregate)
+    val rounds = (1 to iters).map { i =>
+      val p = s"s${i - 1}"
+      s"""d$i AS MATERIALIZED (
+         |  SELECT sym.entity, CAST(sum(CAST(floor(
+         |    sym.n * 1000000000 / greatest(se.s + so.s, 1))
+         |    AS BIGINT)) AS BIGINT) AS den
+         |  FROM sym
+         |  JOIN $p se ON se.entity = sym.entity
+         |  JOIN $p so ON so.entity = sym.other
+         |  GROUP BY 1),
+         |r$i AS MATERIALIZED (
+         |  SELECT e.entity, CAST(floor(e.wins * 1000000000 /
+         |    greatest(d.den, 1)) AS BIGINT) AS raw
+         |  FROM ents e JOIN d$i d USING (entity)),
+         |s$i AS MATERIALIZED (
+         |  SELECT entity, CAST(floor(
+         |    raw * (SELECT count(*) FROM r$i) * 1000000 /
+         |    greatest((SELECT sum(raw) FROM r$i), 1)) AS BIGINT) AS s
+         |  FROM r$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH scored AS MATERIALIZED (
+       |  SELECT doc_id, doc_id // 8 AS prompt_id, source AS entity,
+       |   CAST(len(list_distinct($DuckToks)) AS BIGINT) AS reward
+       |  FROM documents),
+       |oc AS MATERIALIZED (
+       |  SELECT a.prompt_id,
+       |   CASE WHEN a.reward > b.reward THEN a.entity ELSE b.entity
+       |     END AS winner,
+       |   CASE WHEN a.reward > b.reward THEN b.entity ELSE a.entity
+       |     END AS loser
+       |  FROM scored a JOIN scored b USING (prompt_id)
+       |  WHERE a.doc_id < b.doc_id AND a.entity <> b.entity
+       |    AND a.reward <> b.reward),
+       |pairn AS (
+       |  SELECT least(winner, loser) AS a, greatest(winner, loser)
+       |    AS b, CAST(count(*) AS BIGINT) AS n
+       |  FROM oc GROUP BY 1, 2),
+       |sym AS MATERIALIZED (
+       |  SELECT a AS entity, b AS other, n FROM pairn
+       |  UNION ALL
+       |  SELECT b AS entity, a AS other, n FROM pairn),
+       |wins AS (
+       |  SELECT winner AS entity, CAST(count(*) AS BIGINT) AS w
+       |  FROM oc GROUP BY 1),
+       |ents AS MATERIALIZED (
+       |  SELECT e.entity, coalesce(w.w, CAST(0 AS BIGINT)) AS wins,
+       |   nc.n_comparisons
+       |  FROM (SELECT DISTINCT entity FROM sym) e
+       |  LEFT JOIN wins w USING (entity)
+       |  JOIN (SELECT entity, CAST(sum(n) AS BIGINT)
+       |     AS n_comparisons FROM sym GROUP BY 1) nc USING (entity)),
+       |s0 AS (
+       |  SELECT entity, CAST(1000000 AS BIGINT) AS s FROM ents),
+       |$rounds
+       |SELECT e.entity, e.wins, e.n_comparisons,
+       | sf.s AS strength_micro
+       |FROM ents e JOIN s$iters sf USING (entity)""".stripMargin
+  }
+
+  /** s49's oracle: exact cosine top-10 truth + the s14 sign-Hamming
+    * serve (candK=50, k=10) replayed, then the ranked-metric CTEs in
+    * RankEval.rankedMetrics' micro-unit integer arithmetic. The DCG
+    * weight and IDCG-prefix literals interpolate from
+    * [[RankEval.ndcgWeights]] — the SAME driver-computed constants
+    * the Spark plan bakes in, so neither engine evaluates a log. */
+  private lazy val duckRankMetrics: String = {
+    val k = 10
+    val w = RankEval.ndcgWeights(k)
+    val wPrefix = w.scanLeft(0L)(_ + _).tail
+    val wCase = w.zipWithIndex.map { case (v, i) =>
+      s"WHEN ${i + 1} THEN $v" }.mkString(" ")
+    val pCase = wPrefix.zipWithIndex.map { case (v, i) =>
+      s"WHEN ${i + 1} THEN $v" }.mkString(" ")
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+       |  FROM embeddings),
+       |truth AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |     row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |      list_reduce(list_transform(range(1, len(q.v) + 1),
+       |        i -> q.v[i] * c.v[i]), (x, y) -> x + y) /
+       |      (sqrt(list_reduce(list_transform(q.v, x -> x * x),
+       |         (x, y) -> x + y)) *
+       |       sqrt(list_reduce(list_transform(c.v, x -> x * x),
+       |         (x, y) -> x + y))) DESC, c.vec_id) AS rk
+       |    FROM e q JOIN e c
+       |      ON q.vec_id % 25 = 0 AND c.vec_id <> q.vec_id)
+       |  WHERE rk <= $k),
+       |code AS (
+       |  SELECT vec_id,
+       |   list_reduce(list_transform(range(32), i -> CASE
+       |     WHEN embedding[i+1] > 0 THEN (1::BIGINT << i)
+       |     ELSE 0::BIGINT END), (a, b) -> a | b) AS c0,
+       |   list_reduce(list_transform(range(32), i -> CASE
+       |     WHEN embedding[i+33] > 0 THEN (1::BIGINT << i)
+       |     ELSE 0::BIGINT END), (a, b) -> a | b) AS c1
+       |  FROM embeddings),
+       |ham AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |   CAST(bit_count(xor(q.c0, c.c0)) AS BIGINT)
+       |     + CAST(bit_count(xor(q.c1, c.c1)) AS BIGINT) AS hamming
+       |  FROM code q JOIN code c
+       |    ON q.vec_id % 25 = 0 AND c.vec_id <> q.vec_id),
+       |cand AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY hamming, neighbor_id)
+       |      AS rk
+       |    FROM ham) WHERE rk <= 50),
+       |served AS (
+       |  SELECT query_id, rank, neighbor_id FROM (
+       |    SELECT ca.query_id, ca.neighbor_id,
+       |     CAST(row_number() OVER (PARTITION BY ca.query_id ORDER BY
+       |      list_reduce(list_transform(range(1, len(q.v) + 1),
+       |        i -> q.v[i] * c.v[i]), (x, y) -> x + y) /
+       |      (sqrt(list_reduce(list_transform(q.v, x -> x * x),
+       |         (x, y) -> x + y)) *
+       |       sqrt(list_reduce(list_transform(c.v, x -> x * x),
+       |         (x, y) -> x + y))) DESC, ca.neighbor_id) AS BIGINT)
+       |       AS rank
+       |    FROM cand ca
+       |    JOIN e q ON q.vec_id = ca.query_id
+       |    JOIN e c ON c.vec_id = ca.neighbor_id)
+       |  WHERE rank <= $k),
+       |rel AS (
+       |  SELECT s.query_id, s.rank,
+       |   CASE WHEN t.neighbor_id IS NOT NULL THEN CAST(1 AS BIGINT)
+       |     ELSE CAST(0 AS BIGINT) END AS rel
+       |  FROM served s LEFT JOIN truth t
+       |    ON t.query_id = s.query_id
+       |   AND t.neighbor_id = s.neighbor_id),
+       |pr AS (
+       |  SELECT *, CAST(sum(rel) OVER (PARTITION BY query_id
+       |     ORDER BY rank ROWS UNBOUNDED PRECEDING) AS BIGINT)
+       |     AS prefix_rel
+       |  FROM rel),
+       |pr2 AS (
+       |  SELECT *, CAST(floor(prefix_rel * 1000000 / rank) AS BIGINT)
+       |     AS p6
+       |  FROM pr),
+       |agg AS (
+       |  SELECT query_id, CAST(sum(rel) AS BIGINT) AS n_rel,
+       |   max(CASE WHEN rel = 1
+       |     THEN CAST(floor(1000000 / rank) AS BIGINT) END)
+       |     AS mrr6_raw,
+       |   CAST(sum(rel * CASE rank $wCase END) AS BIGINT) AS dcg6,
+       |   CAST(sum(CASE WHEN rel = 1 THEN p6 ELSE 0 END) AS BIGINT)
+       |     AS sum_p6
+       |  FROM pr2 GROUP BY 1),
+       |rsz AS (
+       |  SELECT query_id, CAST(count(*) AS BIGINT) AS r_total
+       |  FROM truth GROUP BY 1)
+       |SELECT r.query_id, coalesce(a.n_rel, CAST(0 AS BIGINT))
+       |   AS n_rel,
+       | coalesce(a.mrr6_raw, CAST(0 AS BIGINT)) AS mrr6,
+       | CASE WHEN coalesce(a.n_rel, 0) > 0
+       |   THEN CAST(floor(a.dcg6 * 1000000 /
+       |     (CASE a.n_rel $pCase END)) AS BIGINT)
+       |   ELSE CAST(0 AS BIGINT) END AS ndcg6,
+       | CAST(floor(coalesce(a.sum_p6, 0) / r.r_total) AS BIGINT)
+       |   AS ap6
+       |FROM rsz r LEFT JOIN agg a USING (query_id)""".stripMargin
+  }
   private def duckRand(expr: String, seed: Int): String =
     s"(${duckU32(expr, seed)} / 4294967296.0)"
 
@@ -1982,6 +2158,41 @@ object SparkEntry {
     }
     dir
   }
+
+  /** t56's seeded license headers, keyed by doc_id class so every
+    * detector branch (SPDX tag, prose declaration, bare
+    * all-rights-reserved, undeclared) carries live corpus traffic —
+    * the t33 seeding discipline. Twin: [[duckLicenseHeader]]. */
+  private def licenseHeaderFixture(id: Column): Column =
+    when(pmod(id, lit(11)) === 0,
+        lit("SPDX-License-Identifier: MIT\n"))
+      .when(pmod(id, lit(11)) === 1,
+        lit("SPDX-License-Identifier: Apache-2.0\n"))
+      .when(pmod(id, lit(11)) === 2,
+        lit("SPDX-License-Identifier: GPL-3.0-only\n"))
+      .when(pmod(id, lit(11)) === 3,
+        lit("Copyright (c) 2024 Example Corp. All rights reserved.\n"))
+      .when(pmod(id, lit(11)) === 4,
+        lit("Licensed under the Apache License, Version 2.0\n"))
+      .when(pmod(id, lit(11)) === 5,
+        lit("Released under the MIT License.\n"))
+      .otherwise(lit(""))
+
+  /** DuckDB twin of [[licenseHeaderFixture]]. NOTE: this fragment is
+    * interpolated into an oracle string whose OWN stripMargin runs
+    * after interpolation, so no line here may begin with `|` once
+    * rendered (a leading `||` would lose a pipe). */
+  private val duckLicenseHeader: String =
+    """CASE doc_id % 11
+      | WHEN 0 THEN 'SPDX-License-Identifier: MIT' || chr(10)
+      | WHEN 1 THEN 'SPDX-License-Identifier: Apache-2.0' || chr(10)
+      | WHEN 2 THEN 'SPDX-License-Identifier: GPL-3.0-only' || chr(10)
+      | WHEN 3 THEN 'Copyright (c) 2024 Example Corp. ' ||
+      |   'All rights reserved.' || chr(10)
+      | WHEN 4 THEN concat(
+      |   'Licensed under the Apache License, Version 2.0', chr(10))
+      | WHEN 5 THEN 'Released under the MIT License.' || chr(10)
+      | ELSE '' END""".stripMargin
 
   /** t52's per-domain "excess loss" fixture — each source's mean
     * document length (milli-chars) as a micro-share of the sum of
@@ -3389,6 +3600,61 @@ object SparkEntry {
           size(TextAnalysis.tokens(col("text"))).as("n_toks")),
         col("doc_id"), col("domain"), col("n_toks"), w,
         totalBudget = 20000L, seed = 91)
+    }),
+
+    // RLHF/DPO preference-pair construction: prompt groups of 8
+    // consecutive docs, deterministic integer reward (distinct-token
+    // count), best-vs-rest (chosen, rejected) rows with strict-order
+    // margins — the preference-dataset shape DPO training consumes
+    "p16_preference_pairs" -> ((s, d) =>
+      Preference.preferencePairs(Tables.documents(s, d),
+        col("doc_id"), col("text"), groupSize = 8)),
+
+    // chat-SFT conversation assembly: q14's session rule turns each
+    // user's event stream into a dialogue (click/view = user turns),
+    // md5-deterministic per-turn token costs, and a 96-token context
+    // budget keeps the longest SUFFIX of turns — truncate-from-the-
+    // front, the standard chat training-window shape; role_flips
+    // audits dialogue alternation among kept turns
+    "p17_chat_assembly" -> ((s, d) =>
+      Events.chatAssembly(Tables.events(s, d), gapSeconds = 1800L,
+        budgetToks = 96L)),
+
+    // Bradley–Terry strength aggregation (Hunter 2004 MM, 8 rounds,
+    // micro-unit integer replay): cross-source pairwise outcomes from
+    // the p16 prompt groups roll up into per-source strengths — the
+    // leaderboard estimator over the preference data, entirely
+    // relational (entity relation is model-cardinality metadata)
+    "t55_bradley_terry" -> ((s, d) =>
+      Preference.bradleyTerry(
+        Preference.pairwiseOutcomes(Tables.documents(s, d),
+          col("doc_id"), col("text"), col("source"), groupSize = 8),
+        iters = 8)),
+
+    // code-data license gate: SPDX tag > prose declaration >
+    // bare all-rights-reserved > none, permissive allowlist decides
+    // admission (undeclared = excluded, the Stack-style conservative
+    // default). Headers seeded deterministically by doc_id class so
+    // every branch carries live traffic
+    "t56_license_gate" -> ((s, d) =>
+      TextAnalysis.licenseGate(
+        Tables.documents(s, d).withColumn("text",
+          concat(licenseHeaderFixture(col("doc_id")), col("text"))),
+        col("doc_id"), col("text"))),
+
+    // ranked-retrieval metrics (NDCG@10 / MRR / AP@10) of the s14
+    // sign-Hamming serve against the exact cosine top-10 — the
+    // leaderboard-grade eval beside s19's recall census; all
+    // per-rank constants are pre-quantized micro-unit literals baked
+    // into BOTH engines' plans, so the metrics hash-compare
+    "s49_rank_metrics" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") % 25 === 0)
+      val truth = Similarity.bruteForceTopK(emb, queries, "vec_id",
+        "embedding", k = 10)
+      val served = Similarity.signHammingRerankTopK(emb, queries,
+        "vec_id", "embedding", dim = 64, candK = 50, k = 10)
+      RankEval.rankedMetrics(truth, served, k = 10)
     }),
 
     // BUDGET-CAPPED streaming admission — p15's token-budget fill
@@ -12446,6 +12712,107 @@ object SparkEntry {
         | CAST(sum(CASE WHEN keep THEN doc_id END) AS BIGINT)
         |   AS kept_id_sum
         |FROM k GROUP BY 1""".stripMargin,
+
+    // best-vs-rest per prompt group of 8; reward = distinct-token
+    // count (exact integer), md5 tiebreak picks among tied maxima,
+    // ties with the chosen emit nothing (a tie is not a preference)
+    "p16_preference_pairs" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id, doc_id // 8 AS prompt_id,
+         |   CAST(len(list_distinct($DuckToks)) AS BIGINT) AS reward,
+         |   md5(doc_id::VARCHAR) AS tb
+         |  FROM documents),
+         |best AS (
+         |  SELECT prompt_id, doc_id AS chosen_id,
+         |   reward AS chosen_reward FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY prompt_id
+         |      ORDER BY reward DESC, tb ASC) AS rk FROM scored)
+         |  WHERE rk = 1)
+         |SELECT b.prompt_id, b.chosen_id, s.doc_id AS rejected_id,
+         | b.chosen_reward, s.reward AS rejected_reward,
+         | b.chosen_reward - s.reward AS margin
+         |FROM best b JOIN scored s USING (prompt_id)
+         |WHERE s.reward < b.chosen_reward""".stripMargin,
+
+    // q14's session rule verbatim, role from event_type, md5-u32 turn
+    // costs, suffix-sum budget cut at 96 tokens, role alternation
+    // audited among kept turns only
+    "p17_chat_assembly" ->
+      s"""WITH g AS (
+         |  SELECT user_id, event_id, event_type,
+         |   epoch_us(ts::TIMESTAMP) AS ts_us,
+         |   lag(epoch_us(ts::TIMESTAMP)) OVER (PARTITION BY user_id
+         |     ORDER BY epoch_us(ts::TIMESTAMP), event_id) AS prev_us
+         |  FROM events),
+         |sid AS (
+         |  SELECT *, CAST(sum(CASE WHEN prev_us IS NULL
+         |     OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END)
+         |    OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+         |  FROM g),
+         |turns AS (
+         |  SELECT *, CASE WHEN event_type IN ('click', 'view')
+         |     THEN 'user' ELSE 'assistant' END AS role,
+         |   ${duckU32("event_id::VARCHAR", 23)} % 37 + 3 AS toks
+         |  FROM sid),
+         |mk AS (
+         |  SELECT *, CAST(sum(toks) OVER (
+         |    PARTITION BY user_id, session_id
+         |    ORDER BY ts_us DESC, event_id DESC
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS suffix_toks
+         |  FROM turns),
+         |k AS (
+         |  SELECT *, CASE WHEN suffix_toks <= 96 THEN 1 ELSE 0 END
+         |     AS kept,
+         |   lag(role) OVER (PARTITION BY user_id, session_id
+         |     ORDER BY ts_us, event_id) AS prev_role,
+         |   lag(CASE WHEN suffix_toks <= 96 THEN 1 ELSE 0 END)
+         |     OVER (PARTITION BY user_id, session_id
+         |       ORDER BY ts_us, event_id) AS prev_kept
+         |  FROM mk)
+         |SELECT user_id, session_id,
+         | CAST(count(*) AS BIGINT) AS n_turns,
+         | CAST(sum(kept) AS BIGINT) AS kept_turns,
+         | CAST(sum(toks) AS BIGINT) AS total_toks,
+         | CAST(sum(CASE WHEN kept = 1 THEN toks ELSE 0 END) AS BIGINT)
+         |   AS kept_toks,
+         | min(CASE WHEN kept = 1 THEN event_id END)
+         |   AS first_kept_event_id,
+         | CAST(sum(CASE WHEN kept = 1 AND prev_kept = 1
+         |    AND prev_role <> role THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS role_flips
+         |FROM k GROUP BY user_id, session_id""".stripMargin,
+
+    "t55_bradley_terry" -> duckBradleyTerry(iters = 8),
+
+    // header fixture prepended exactly as the Spark side does, then
+    // the same precedence chain: SPDX tag > prose > bare
+    // all-rights-reserved > none
+    "t56_license_gate" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, ($duckLicenseHeader) || text AS text
+         |  FROM documents),
+         |lic AS (
+         |  SELECT doc_id,
+         |   CASE WHEN regexp_extract(text,
+         |      'SPDX-License-Identifier:\\s*([A-Za-z0-9.+-]+)', 1)
+         |      <> '' THEN regexp_extract(text,
+         |      'SPDX-License-Identifier:\\s*([A-Za-z0-9.+-]+)', 1)
+         |    WHEN position('Apache License, Version 2.0' IN text) > 0
+         |      THEN 'Apache-2.0'
+         |    WHEN position('MIT License' IN text) > 0 THEN 'MIT'
+         |    WHEN position('GNU General Public License' IN text) > 0
+         |      THEN 'GPL-3.0-only'
+         |    WHEN position('All rights reserved' IN text) > 0
+         |      THEN 'proprietary'
+         |    ELSE 'none' END AS license
+         |  FROM t)
+         |SELECT doc_id, license,
+         | license IN ('MIT', 'Apache-2.0', 'BSD-2-Clause',
+         |   'BSD-3-Clause', 'ISC', 'Unlicense') AS permitted
+         |FROM lic""".stripMargin,
+
+    "s49_rank_metrics" -> duckRankMetrics,
 
     // the online twin: t52's budget chain, then the exact 3-batch
     // slicing replayed as 3 unrolled admission rounds — each round's

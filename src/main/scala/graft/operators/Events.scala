@@ -266,4 +266,62 @@ object Events {
       .select(col(group), col(id), col(value),
         round(col("rz"), 4).as("robust_z"))
   }
+
+  /** Multi-turn conversation assembly for chat-model SFT: split each
+    * user's event stream into sessions with the SAME gap rule as
+    * [[sessionize]] (one definition of "session" repo-wide), map each
+    * event to a turn with a role (`userTypes` → "user", everything
+    * else → "assistant") and a deterministic per-turn token cost
+    * (md5-u32 of the event id, mod 37, plus 3 — a stand-in for a real
+    * tokenizer count that both engines replay exactly), then TRUNCATE
+    * FROM THE FRONT to a context budget: keep the longest SUFFIX of
+    * turns whose token sum fits `budgetToks` — the standard chat-SFT
+    * window shape (the most recent turns are the training context; a
+    * single turn larger than the budget drops too, matching a strict
+    * "fits entirely" packing rule).
+    *
+    * Output one row per conversation: (user_id, session_id, n_turns,
+    * kept_turns, total_toks, kept_toks, first_kept_event_id,
+    * role_flips) where role_flips counts role alternations among KEPT
+    * turns — the "is this a real dialogue" health metric next to the
+    * budget receipt.
+    *
+    * Scale shape: two window passes over the session-partitioned
+    * stream (one forward for ids, one ts-DESC running sum for the
+    * suffix cut) and one aggregate — a single shuffle on user_id; no
+    * per-conversation collect, conversations of any length stream
+    * through the window operator. */
+  def chatAssembly(events: DataFrame, gapSeconds: Long,
+      budgetToks: Long,
+      userTypes: Seq[String] = Seq("click", "view")): DataFrame = {
+    val turns = withSessionIds(events, gapSeconds)
+      .withColumn("role",
+        when(col("event_type").isin(userTypes: _*), lit("user"))
+          .otherwise(lit("assistant")))
+      .withColumn("toks",
+        graft.Tables.hashU32(col("event_id"), 23) % 37L + 3L)
+    val bySess = Window.partitionBy(col("user_id"), col("session_id"))
+    val tail = Window.partitionBy(col("user_id"), col("session_id"))
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val fwd = Window.partitionBy(col("user_id"), col("session_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    turns
+      .withColumn("suffix_toks", sum(col("toks")).over(tail))
+      .withColumn("kept", (col("suffix_toks") <= budgetToks)
+        .cast("long"))
+      .withColumn("prev_role", lag(col("role"), 1).over(fwd))
+      .withColumn("prev_kept", lag(col("kept"), 1).over(fwd))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_turns"),
+        sum(col("kept")).as("kept_turns"),
+        sum(col("toks")).as("total_toks"),
+        sum(when(col("kept") === 1, col("toks")).otherwise(0L))
+          .as("kept_toks"),
+        min(when(col("kept") === 1, col("event_id")))
+          .as("first_kept_event_id"),
+        sum(when(col("kept") === 1 && col("prev_kept") === 1 &&
+          col("prev_role") =!= col("role"), 1L).otherwise(0L))
+          .as("role_flips"))
+  }
 }

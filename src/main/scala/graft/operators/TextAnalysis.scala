@@ -1642,4 +1642,40 @@ object TextAnalysis {
           .as("p_micro"))
   }
 
+  /** License classification for code-data curation — the gate public
+    * code-corpus pipelines (The Stack, StarCoder data) run before
+    * anything else: detect the declared license and keep only
+    * permissively-licensed files. Precedence: an explicit
+    * SPDX-License-Identifier tag wins (the machine-readable form),
+    * then the common prose declarations, then a bare
+    * "All rights reserved" (proprietary), else "none". Returns the
+    * normalized SPDX id ("MIT", "Apache-2.0", "GPL-3.0-only", ...),
+    * "proprietary", or "none". Row-local regex/contains only — a
+    * shuffle-free codegen'd map at any scale. */
+  def licenseClass(text: Column): Column = {
+    val spdx = regexp_extract(text,
+      "SPDX-License-Identifier:\\s*([A-Za-z0-9.+-]+)", 1)
+    when(spdx =!= "", spdx)
+      .when(text.contains("Apache License, Version 2.0"),
+        lit("Apache-2.0"))
+      .when(text.contains("MIT License"), lit("MIT"))
+      .when(text.contains("GNU General Public License"),
+        lit("GPL-3.0-only"))
+      .when(text.contains("All rights reserved"), lit("proprietary"))
+      .otherwise(lit("none"))
+  }
+
+  /** Per-doc license gate rows: (doc_id, license, permitted) with
+    * `permitted` = membership in the permissive allowlist — an
+    * UNDECLARED license is NOT permitted (the conservative default
+    * every production code-data pipeline ships). */
+  def licenseGate(docs: DataFrame, idCol: Column, textCol: Column,
+      permissive: Seq[String] =
+        Seq("MIT", "Apache-2.0", "BSD-2-Clause", "BSD-3-Clause",
+          "ISC", "Unlicense")): DataFrame = {
+    val lic = licenseClass(textCol)
+    docs.select(idCol.as("doc_id"), lic.as("license"),
+      lic.isin(permissive: _*).as("permitted"))
+  }
+
 }
