@@ -353,6 +353,12 @@ object SparkEntry {
   // Unigram-LM hyperparameters (t31/t32): multi-char seed-vocab cap.
   private val UnigramTopV = 200
 
+  // PCA hyperparameters (s48/s50): components kept / power-iteration
+  // rounds — shared by the Spark entries and the oracle generator so
+  // the unrolled SQL can never drift from the plan.
+  private val PcaComp = 4
+  private val PcaIters = 6
+
   /** DuckDB twin of operators/Unigram: seed vocab → Viterbi E-step
     * (recursive-CTE DP carrying the dp/bp arrays as lists) →
     * prune + M-step → second Viterbi under the final model. Ends at
@@ -939,6 +945,87 @@ object SparkEntry {
        |SELECT e.entity, e.wins, e.n_comparisons,
        | sf.s AS strength_micro
        |FROM ents e JOIN s$iters sf USING (entity)""".stripMargin
+  }
+
+  /** s48/s50 oracle core: the full PCA replay as one CTE chain —
+    * centi quantization, mean, scaled covariance, then per component
+    * the seeded power iteration (every round MATERIALIZED; the
+    * strengths-chain lesson from t55 — default inlining re-expands
+    * exponentially), λ from the final round's ‖Cv‖∞, Hotelling
+    * deflation with the RAW vector, sign canonicalization only in the
+    * output. Ends with CTEs `pmu(pos, mu)` and
+    * `pcomps(comp, idx, v_milli, lambda_scaled, evr_micro)`. */
+  private def duckPcaCtes(nComp: Int, iters: Int): String = {
+    val perComp = (0 until nComp).map { c =>
+      val rounds = (1 to iters).map { t =>
+        s"""pu${c}_$t AS MATERIALIZED (
+           |  SELECT cs.i AS idx, CAST(sum(cs.c * v.v) AS BIGINT) AS u
+           |  FROM pcs$c cs JOIN pv${c}_${t - 1} v ON v.idx = cs.j
+           |  GROUP BY 1),
+           |pm${c}_$t AS MATERIALIZED (
+           |  SELECT greatest(max(abs(u)), 1) AS m FROM pu${c}_$t),
+           |pv${c}_$t AS MATERIALIZED (
+           |  SELECT idx, CAST(floor(u * 1000 /
+           |    (SELECT m FROM pm${c}_$t)) AS BIGINT) AS v
+           |  FROM pu${c}_$t)""".stripMargin
+      }.mkString(",\n")
+      s"""pseed$c AS MATERIALIZED (
+         |  SELECT i AS idx FROM pcs$c WHERE i = j
+         |  ORDER BY c DESC, i LIMIT 1),
+         |pv${c}_0 AS MATERIALIZED (
+         |  SELECT idx, CAST(CASE WHEN idx = (SELECT idx FROM pseed$c)
+         |    THEN 1000 ELSE 0 END AS BIGINT) AS v FROM pdims),
+         |$rounds,
+         |plam$c AS MATERIALIZED (
+         |  SELECT CAST(floor((SELECT m FROM pm${c}_$iters) / 1000)
+         |    AS BIGINT) AS lam),
+         |pvtv$c AS MATERIALIZED (
+         |  SELECT greatest(CAST(sum(v * v) AS BIGINT), 1) AS s
+         |  FROM pv${c}_$iters),
+         |pcs${c + 1} AS MATERIALIZED (
+         |  SELECT cs.i, cs.j, cs.c - CAST(floor(
+         |    (SELECT lam FROM plam$c) * vi.v * vj.v /
+         |    (SELECT s FROM pvtv$c)) AS BIGINT) AS c
+         |  FROM pcs$c cs
+         |  JOIN pv${c}_$iters vi ON vi.idx = cs.i
+         |  JOIN pv${c}_$iters vj ON vj.idx = cs.j),
+         |pflip$c AS MATERIALIZED (
+         |  SELECT CASE WHEN v < 0 THEN -1 ELSE 1 END AS f
+         |  FROM pv${c}_$iters
+         |  WHERE abs(v) = (SELECT max(abs(v)) FROM pv${c}_$iters)
+         |  ORDER BY idx LIMIT 1),
+         |pcomp$c AS (
+         |  SELECT CAST($c AS BIGINT) AS comp, idx,
+         |   v * (SELECT f FROM pflip$c) AS v_milli,
+         |   (SELECT lam FROM plam$c) AS lambda_scaled,
+         |   CAST(floor((SELECT lam FROM plam$c) * 1000000 /
+         |     (SELECT t FROM ptrace)) AS BIGINT) AS evr_micro
+         |  FROM pv${c}_$iters)""".stripMargin
+    }.mkString(",\n")
+    val unionAll = (0 until nComp)
+      .map(c => s"SELECT * FROM pcomp$c").mkString(" UNION ALL ")
+    s"""pq AS MATERIALIZED (
+       |  SELECT vec_id, u.i - 1 AS pos,
+       |   CAST(round(embedding[u.i] * 100) AS BIGINT) AS qx
+       |  FROM embeddings, unnest(range(1, 65)) AS u(i)),
+       |pmu AS MATERIALIZED (
+       |  SELECT pos, CAST(floor(CAST(sum(qx) AS DOUBLE) / count(*))
+       |    AS BIGINT) AS mu
+       |  FROM pq GROUP BY 1),
+       |pcx AS MATERIALIZED (
+       |  SELECT q.vec_id, q.pos, q.qx - m.mu AS cx
+       |  FROM pq q JOIN pmu m USING (pos)),
+       |pcs0 AS MATERIALIZED (
+       |  SELECT a.pos AS i, b.pos AS j,
+       |   CAST(floor(CAST(sum(a.cx * b.cx) AS DOUBLE) / count(*))
+       |     AS BIGINT) AS c
+       |  FROM pcx a JOIN pcx b USING (vec_id) GROUP BY 1, 2),
+       |pdims AS (SELECT DISTINCT i AS idx FROM pcs0),
+       |ptrace AS MATERIALIZED (
+       |  SELECT greatest(CAST(sum(c) AS BIGINT), 1) AS t
+       |  FROM pcs0 WHERE i = j),
+       |$perComp,
+       |pcomps AS ($unionAll)""".stripMargin
   }
 
   /** s49's oracle: exact cosine top-10 truth + the s14 sign-Hamming
@@ -3655,6 +3742,26 @@ object SparkEntry {
       val served = Similarity.signHammingRerankTopK(emb, queries,
         "vec_id", "embedding", dim = 64, candK = 50, k = 10)
       RankEval.rankedMetrics(truth, served, k = 10)
+    }),
+
+    // PCA model receipt: top-4 principal components by 6-round
+    // integer power iteration over the centi-quantized covariance —
+    // (comp, idx, v_milli, lambda_scaled, evr_micro); the learned
+    // counterpart of s21's energy permutation, oracle-replayed in
+    // full (covariance, every iteration, deflation, sign canon)
+    "s48_pca_train" -> ((s, d) =>
+      Pca.train(Tables.embeddings(s, d), "vec_id", "embedding",
+        dim = 64, nComp = PcaComp, iters = PcaIters)),
+
+    // PCA-reduced serve: shortlist candK=50 by cosine over the 4
+    // projected integer coordinates (16× fewer lanes scanned), exact
+    // full-width re-rank — the s15 matryoshka shape with a LEARNED
+    // rotation in front
+    "s50_pca_serve" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Pca.pcaRerankTopK(emb, emb.filter(col("vec_id") % 25 === 0),
+        "vec_id", "embedding", dim = 64, nComp = PcaComp,
+        iters = PcaIters, candK = 50, k = 5)
     }),
 
     // BUDGET-CAPPED streaming admission — p15's token-budget fill
@@ -12813,6 +12920,62 @@ object SparkEntry {
          |FROM lic""".stripMargin,
 
     "s49_rank_metrics" -> duckRankMetrics,
+
+    "s48_pca_train" ->
+      s"""WITH ${duckPcaCtes(PcaComp, PcaIters)}
+         |SELECT comp, idx, v_milli, lambda_scaled, evr_micro
+         |FROM pcomps""".stripMargin,
+
+    // projection + integer-cosine shortlist (candK=50) + full-width
+    // re-rank — the complete s50 plan replayed on top of the PCA CTEs
+    "s50_pca_serve" ->
+      s"""WITH ${duckPcaCtes(PcaComp, PcaIters)},
+         |pred AS MATERIALIZED (
+         |  SELECT c.vec_id, p.comp, CAST(floor(
+         |    CAST(sum(p.v_milli * c.cx) AS DOUBLE) / 10) AS BIGINT)
+         |    AS r
+         |  FROM pcx c JOIN pcomps p ON p.idx = c.pos
+         |  GROUP BY 1, 2),
+         |pnrm AS MATERIALIZED (
+         |  SELECT vec_id, sqrt(CAST(sum(r * r) AS DOUBLE)) AS nr
+         |  FROM pred GROUP BY 1),
+         |pdot AS MATERIALIZED (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |   CAST(sum(q.r * c.r) AS BIGINT) AS dp
+         |  FROM pred q JOIN pred c ON q.comp = c.comp
+         |   AND q.vec_id % 25 = 0 AND c.vec_id <> q.vec_id
+         |  GROUP BY 1, 2),
+         |pcand AS MATERIALIZED (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT d.query_id, d.neighbor_id, row_number() OVER (
+         |      PARTITION BY d.query_id ORDER BY
+         |       (CASE WHEN nq.nr * nc.nr > 0
+         |          THEN d.dp / (nq.nr * nc.nr) ELSE -2 END) DESC,
+         |       d.neighbor_id) AS rk
+         |    FROM pdot d
+         |    JOIN pnrm nq ON nq.vec_id = d.query_id
+         |    JOIN pnrm nc ON nc.vec_id = d.neighbor_id)
+         |  WHERE rk <= 50),
+         |pe AS (
+         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE)
+         |    AS v
+         |  FROM embeddings),
+         |prr AS (
+         |  SELECT ca.query_id, ca.neighbor_id,
+         |   list_reduce(list_transform(range(1, len(q.v) + 1),
+         |     i -> q.v[i] * c.v[i]), (x, y) -> x + y) /
+         |   (sqrt(list_reduce(list_transform(q.v, x -> x * x),
+         |      (x, y) -> x + y)) *
+         |    sqrt(list_reduce(list_transform(c.v, x -> x * x),
+         |      (x, y) -> x + y))) AS cosine
+         |  FROM pcand ca
+         |  JOIN pe q ON q.vec_id = ca.query_id
+         |  JOIN pe c ON c.vec_id = ca.neighbor_id)
+         |SELECT query_id, rank, neighbor_id, cosine FROM (
+         |  SELECT query_id, neighbor_id, cosine,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+         |  FROM prr) WHERE rank <= 5""".stripMargin,
 
     // the online twin: t52's budget chain, then the exact 3-batch
     // slicing replayed as 3 unrolled admission rounds — each round's

@@ -767,6 +767,14 @@ object Similarity {
     * corpus-sourced vectors would silently mismatch them) and only
     * that query-sized side is broadcast; float math touches exactly
     * queries·candK pairs. */
+  /** Package-visible alias of [[exactRerank]] — the shared final
+    * stage of every two-stage rerank family member, including the
+    * PCA-reduced shortlist in [[Pca.pcaRerankTopK]]. */
+  private[operators] def exactRerankOn(cand: DataFrame,
+      corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame =
+    exactRerank(cand, corpus, queries, idCol, vecCol, k)
+
   private def exactRerank(cand: DataFrame, corpus: DataFrame,
       queries: DataFrame, idCol: String, vecCol: String,
       k: Int): DataFrame = {
