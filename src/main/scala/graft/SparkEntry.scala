@@ -3729,6 +3729,15 @@ object SparkEntry {
           concat(licenseHeaderFixture(col("doc_id")), col("text"))),
         col("doc_id"), col("text"))),
 
+    // k-anonymity release gate (Sweeney 2002) over quasi-identifier
+    // metadata (lang, source, length-bucket), k=5: each doc ships at
+    // the finest generalization tier whose group still has >= 5
+    // members — the privacy view a dataset release publishes
+    "t57_kanonymity" -> ((s, d) =>
+      Curation.kAnonymize(Tables.documents(s, d), col("doc_id"),
+        col("lang"), col("source"), floor(col("n_chars") / 100),
+        k = 5L)),
+
     // ranked-retrieval metrics (NDCG@10 / MRR / AP@10) of the s14
     // sign-Hamming serve against the exact cosine top-10 — the
     // leaderboard-grade eval beside s19's recall census; all
@@ -12918,6 +12927,32 @@ object SparkEntry {
          | license IN ('MIT', 'Apache-2.0', 'BSD-2-Clause',
          |   'BSD-3-Clause', 'ISC', 'Unlicense') AS permitted
          |FROM lic""".stripMargin,
+
+    "t57_kanonymity" ->
+      """WITH base AS (
+        |  SELECT doc_id AS id, lang AS q1, source AS q2,
+        |   CAST(CAST(floor(n_chars / 100) AS BIGINT) AS VARCHAR)
+        |     AS q3
+        |  FROM documents),
+        |g0 AS (SELECT q1, q2, q3, CAST(count(*) AS BIGINT) AS n0
+        |       FROM base GROUP BY 1, 2, 3),
+        |g1 AS (SELECT q1, q2, CAST(count(*) AS BIGINT) AS n1
+        |       FROM base GROUP BY 1, 2),
+        |g2 AS (SELECT q1, CAST(count(*) AS BIGINT) AS n2
+        |       FROM base GROUP BY 1)
+        |SELECT b.id,
+        | CAST(CASE WHEN n0 >= 5 THEN 0 WHEN n1 >= 5 THEN 1
+        |   WHEN n2 >= 5 THEN 2 ELSE 3 END AS BIGINT) AS tier,
+        | CASE WHEN n0 >= 5 THEN q1 || '|' || q2 || '|' || q3
+        |   WHEN n1 >= 5 THEN q1 || '|' || q2 || '|*'
+        |   WHEN n2 >= 5 THEN q1 || '|*|*'
+        |   ELSE '*|*|*' END AS qi_released,
+        | CASE WHEN n0 >= 5 THEN n0 WHEN n1 >= 5 THEN n1
+        |   WHEN n2 >= 5 THEN n2 ELSE CAST(0 AS BIGINT) END AS group_n
+        |FROM base b
+        |JOIN g0 USING (q1, q2, q3)
+        |JOIN g1 USING (q1, q2)
+        |JOIN g2 USING (q1)""".stripMargin,
 
     "s49_rank_metrics" -> duckRankMetrics,
 

@@ -1311,6 +1311,36 @@ object Stress {
           srcE.count() * tgtE.count()} mined=$mined")
       nPairs
     }
+    // round-13 lanes: preference pairs + Bradley–Terry (corpus-linear
+    // aggregation, entity-cardinality solve — the t55 wall must stay
+    // flat in the solve and linear only in the outcome aggregation),
+    // chat assembly (two windows over the session partitioning), and
+    // the PCA lane (covariance pass corpus-linear; serve fixed-batch)
+    t("p16t55p17s50_newlanes") {
+      leg("p16_preference_pairs") {
+        Preference.preferencePairs(docs, col("doc_id"), col("text"),
+          groupSize = 8).count()
+      }
+      leg("t55_bradley_terry") {
+        Preference.bradleyTerry(
+          Preference.pairwiseOutcomes(docs, col("doc_id"),
+            col("text"), col("source"), groupSize = 8),
+          iters = 8).count()
+      }
+      leg("p17_chat_assembly") {
+        Events.chatAssembly(ev, gapSeconds = 1800L, budgetToks = 96L)
+          .count()
+      }
+      // fixed 200-query batch from the base slice: serve cost must be
+      // query-bound, only the train/projection passes corpus-linear
+      val qFixed = emb.filter(col("vec_id") < 10000000L &&
+        col("vec_id") % 25 === 0)
+      leg("s50_pca_serve(fixed-q)") {
+        Pca.pcaRerankTopK(emb, qFixed, "vec_id", "embedding",
+          dim = 64, nComp = 4, iters = 6, candK = 50, k = 5).count()
+      }
+      docs.count()
+    }
     spark.stop()
   }
 }

@@ -1105,4 +1105,58 @@ object Curation {
           .cast("binary")).as("mask_fp"))
   }
 
+  /** k-anonymity release gate with a generalization ladder (Sweeney
+    * 2002) — the privacy discipline a training-data release runs over
+    * quasi-identifier metadata: a record may only ship at the finest
+    * generalization tier whose quasi-identifier group still has ≥ k
+    * members.
+    *
+    * Tiers here: 0 = (qi1, qi2, qi3), 1 = (qi1, qi2, *),
+    * 2 = (qi1, *, *), 3 = fully suppressed. Each record gets the
+    * FINEST tier that clears k; the released quasi-identifier is
+    * rendered with '*' at the generalized positions so the output is
+    * itself the k-anonymous view. Note the standard subtlety: tier
+    * counts are raw group sizes per level (the generalized group at
+    * tier 1 contains every tier-0 member of its parent), which is the
+    * classic full-domain generalization count.
+    *
+    * Scale shape: three aggregations on progressively coarser keys
+    * (each one shuffle of group-cardinality output) broadcast back
+    * against the corpus — no windows over corpus-sized partitions, no
+    * per-record state. Returns (id, tier, qi_released, group_n) with
+    * group_n = the size of the group the record released under (k-1
+    * max for suppressed records' diagnostic). */
+  def kAnonymize(records: DataFrame, idCol: Column, qi1: Column,
+      qi2: Column, qi3: Column, k: Long): DataFrame = {
+    require(k >= 2, s"k must be >= 2: $k")
+    val base = records.select(idCol.as("id"),
+      qi1.cast("string").as("q1"), qi2.cast("string").as("q2"),
+      qi3.cast("string").as("q3"))
+    val g0 = base.groupBy(col("q1"), col("q2"), col("q3"))
+      .agg(count(lit(1)).as("n0"))
+    val g1 = base.groupBy(col("q1"), col("q2"))
+      .agg(count(lit(1)).as("n1"))
+    val g2 = base.groupBy(col("q1")).agg(count(lit(1)).as("n2"))
+    base
+      .join(g0, Seq("q1", "q2", "q3"))
+      .join(broadcast(g1), Seq("q1", "q2"))
+      .join(broadcast(g2), Seq("q1"))
+      .select(col("id"),
+        when(col("n0") >= k, lit(0L))
+          .when(col("n1") >= k, lit(1L))
+          .when(col("n2") >= k, lit(2L))
+          .otherwise(lit(3L)).as("tier"),
+        when(col("n0") >= k,
+            concat_ws("|", col("q1"), col("q2"), col("q3")))
+          .when(col("n1") >= k, concat_ws("|", col("q1"), col("q2"),
+            lit("*")))
+          .when(col("n2") >= k, concat_ws("|", col("q1"), lit("*"),
+            lit("*")))
+          .otherwise(lit("*|*|*")).as("qi_released"),
+        when(col("n0") >= k, col("n0"))
+          .when(col("n1") >= k, col("n1"))
+          .when(col("n2") >= k, col("n2"))
+          .otherwise(lit(0L)).as("group_n"))
+  }
+
 }

@@ -4,7 +4,8 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Events, Preference, RankEval, TextAnalysis}
+import graft.operators.{Curation, Events, Preference, RankEval,
+  TextAnalysis}
 
 /** Preference-data lane (p16/t55), chat assembly (p17), ranked metrics
   * (s49) and the license gate (t56) on crafted fixtures with
@@ -185,5 +186,33 @@ class PreferenceRankSpec extends SparkSpec {
     assert(out(5L) == (("proprietary", false)))
     assert(out(6L) == (("none", false)))
     assert(out(7L) == (("BSD-3-Clause", true)))
+  }
+
+  // ---- k-anonymity -------------------------------------------------
+
+  test("kAnonymize releases at the finest tier clearing k") {
+    // (en, web): 3 records — tier-0 group of 3 clears k=3
+    // (en, books): 2 records — tier 0 fails, but (en, *) has 5 → tier 1?
+    // no: tier 1 groups on (q1, q2) = (en, books) n=2 < 3 → tier 2
+    // (en) n=5 ≥ 3 → tier 2. (fr, x): single → every tier < 3 → tier 3
+    val rows = Seq(
+      (1L, "en", "web", "a"), (2L, "en", "web", "a"),
+      (3L, "en", "web", "a"),
+      (4L, "en", "books", "b"), (5L, "en", "books", "c"),
+      (6L, "fr", "x", "d")
+    ).toDF("doc_id", "lang", "source", "bucket")
+    val out = Curation.kAnonymize(rows, col("doc_id"), col("lang"),
+        col("source"), col("bucket"), k = 3L)
+      .as[(Long, Long, String, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(out(1L) == ((0L, "en|web|a", 3L)))
+    assert(out(4L) == ((2L, "en|*|*", 5L)))
+    assert(out(5L) == ((2L, "en|*|*", 5L)))
+    assert(out(6L) == ((3L, "*|*|*", 0L)))
+    // the released view is k-anonymous: every non-suppressed
+    // qi_released value occurs >= k times OR generalizes a group of
+    // >= k (tier counts are raw group sizes per level)
+    assert(out.values.forall { case (tier, _, n) =>
+      tier == 3L || n >= 3L })
   }
 }
