@@ -3812,6 +3812,31 @@ object SparkEntry {
             .as("admitted_id_sum"))
     }),
 
+    // the ONLINE side of the t55 leaderboard lane: pairwise outcome
+    // events arrive in 3 micro-batches (sliced by prompt group — a
+    // comparison is one event) and MERGE-commit additive directed
+    // counts in version↔batch lockstep; the Bradley–Terry solve reads
+    // the state table. Counts aggregate additively, so the result is
+    // provably t55's on the same outcomes — the oracle IS t55's SQL
+    "q111_stream_pref_ingest" -> ((s, d) => {
+      val outcomes = Preference.pairwiseOutcomes(
+        Tables.documents(s, d), col("doc_id"), col("text"),
+        col("source"), groupSize = 8)
+      val fix = cached("q111pref", d) { dd =>
+        scratchStreamBatches(dd, (0 until 3).map(
+          i => outcomes.filter(pmod(col("prompt_id"), lit(3)) === i)
+            .select(col("winner"), col("loser"))))
+        ()
+      }
+      val streamDir = s"$fix/in"
+      val stateDir = s"${scratchDir("q111pref", d)}/state"
+      EventStream.prefIngestOnce(
+        EventStream.parquetFileStream(s, streamDir), stateDir)
+      Preference.bradleyTerryFromCounts(
+        graft.sources.VersionedTable.readCurrent(s, stateDir)
+          .select(col("winner"), col("loser"), col("n")), iters = 8)
+    }),
+
     // interpolated Kneser-Ney bigram scores — t13's MLE upgraded with
     // absolute discounting + continuation probability (how many
     // contexts a word follows), micro-nat quantized at the model
@@ -12900,6 +12925,11 @@ object SparkEntry {
          |FROM k GROUP BY user_id, session_id""".stripMargin,
 
     "t55_bradley_terry" -> duckBradleyTerry(iters = 8),
+
+    // additive outcome counts make the streamed state equal the batch
+    // aggregate over the same outcome set, so the online twin's
+    // oracle IS the batch lane's SQL
+    "q111_stream_pref_ingest" -> duckBradleyTerry(iters = 8),
 
     // header fixture prepended exactly as the Spark side does, then
     // the same precedence chain: SPDX tag > prose > bare

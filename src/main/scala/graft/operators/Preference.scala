@@ -108,7 +108,18 @@ object Preference {
     * it — no driver-side data loop, no collect.
     *
     * Output: (entity, wins, n_comparisons, strength_micro). */
-  def bradleyTerry(outcomes: DataFrame, iters: Int): DataFrame = {
+  def bradleyTerry(outcomes: DataFrame, iters: Int): DataFrame =
+    bradleyTerryFromCounts(outcomes
+      .groupBy(col("winner"), col("loser"))
+      .agg(count(lit(1)).as("n")), iters)
+
+  /** [[bradleyTerry]] over PRE-AGGREGATED directed counts
+    * (winner, loser, n) — the shape the q111 streaming ingest's state
+    * table carries (outcome counts aggregate additively, so the
+    * stream's merged state feeds the same solve as a batch pass over
+    * the full outcome set). */
+  def bradleyTerryFromCounts(counts: DataFrame, iters: Int)
+      : DataFrame = {
     // Distributed part: the corpus-sized outcome stream aggregates to
     // ENTITY-cardinality relations (models, not documents — a handful
     // to a few hundred rows in any deployment). The MM solve then runs
@@ -117,9 +128,9 @@ object Preference {
     // was tried first and rejected: each MM round references the
     // strengths relation ~4×, so the logical plan grows ~4^rounds and
     // Catalyst analysis itself never terminates at 8 rounds.
-    val directed = outcomes
+    val directed = counts
       .groupBy(col("winner"), col("loser"))
-      .agg(count(lit(1)).as("n"))
+      .agg(sum(col("n")).as("n"))
       .collect() // ONE corpus pass; E² rows of model metadata
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     val winsM = directed.groupBy(_._1).view
@@ -155,7 +166,7 @@ object Preference {
         e -> fdiv(r * entities.size * 1000000L, tot)
       }
     }
-    val spark = outcomes.sparkSession
+    val spark = counts.sparkSession
     import spark.implicits._
     entities.map(e =>
         (e, winsM.getOrElse(e, 0L), nCmp(e), s(e))).toSeq

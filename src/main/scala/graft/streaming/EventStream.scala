@@ -1087,6 +1087,67 @@ object EventStream {
     }
   }
 
+  /** Streaming PREFERENCE-OUTCOME ingest — the online side of the
+    * t55 leaderboard lane: pairwise (winner, loser) outcome events
+    * arrive in micro-batches (human labels land continuously in a
+    * production preference pipeline) and MERGE-commit into a directed
+    * outcome-count state table in version↔batch lockstep. Counts
+    * aggregate ADDITIVELY, so the merged state after any prefix of
+    * batches equals a batch aggregation over those outcomes — the
+    * Bradley–Terry solve reads the state table directly
+    * (Preference.bradleyTerryFromCounts) and q111's result is
+    * provably t55's on the same outcome set. O(batch) per commit:
+    * only pairs the batch touches are read back or rewritten. */
+  def prefIngestOnce(outcomeStream: DataFrame,
+      stateDir: String): Unit = {
+    val q = outcomeStream.writeStream
+      .foreachBatch {
+        (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        prefIngestMergeBatch(batch.toDF(), stateDir, batchId)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** One micro-batch of the preference-outcome ingest (the
+    * foreachBatch body, callable directly). `batch` must carry
+    * (winner, loser) outcome rows; state rows are
+    * (k, winner, loser, n) keyed by the sentinel-joined pair. */
+  def prefIngestMergeBatch(batch: DataFrame, stateDir: String,
+      batchId: Long): Unit = {
+    val vt = graft.sources.VersionedTable
+    val sess = batch.sparkSession
+    val part = batch
+      .groupBy(col("winner"), col("loser"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("k",
+        concat_ws("\u0001", col("winner"), col("loser")))
+    if (vt.versions(sess, stateDir).isEmpty) {
+      require(batchId == 0,
+        s"state at $stateDir is unseeded but batch $batchId " +
+          "arrived — not this stream's table")
+      vt.commit(part.limit(0), stateDir) // empty v0 seed
+    }
+    val vs = vt.versions(sess, stateDir)
+    if (vs.length <= batchId + 1) {
+      require(vs.length == batchId + 1,
+        s"state at $stateDir has ${vs.length} versions but " +
+          s"batch $batchId arrived — not this stream's table")
+      // persisted: the partial feeds both the touched-key semi-join
+      // and the merge union — one aggregation pass per batch
+      val partP = part.persistTracked()
+      val prior = vt.readCurrent(sess, stateDir)
+        .join(partP.select(col("k")), Seq("k"), "left_semi")
+      val updates = prior.unionByName(partP)
+        .groupBy(col("k"), col("winner"), col("loser"))
+        .agg(sum(col("n")).as("n"))
+      vt.mergeCommit(updates, stateDir, "k")
+      ()
+    }
+  }
+
   /** Streaming WARC ARCHIVER — the write side of the crawl lane (q106
     * is the read side): each micro-batch of documents becomes ONE
     * complete `.warc.gz` shard (warcinfo + member-per-record, written
