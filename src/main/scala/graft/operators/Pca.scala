@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.InternalCaches.TrackedPersist
+
 /** PCA-based embedding reduction — the LEARNED linear-compression
   * member of the retrieval-compression family, next to scalar
   * quantization (s12/s13), sign bits (s14), dimension truncation
@@ -67,7 +69,10 @@ object Pca {
     * to at most d² rows per partition before its single shuffle. */
   def covarianceScaled(emb: DataFrame, idCol: String, vecCol: String,
       mu: DataFrame): DataFrame =
-    centered(emb, idCol, vecCol, mu)
+    covarianceFromCentered(centered(emb, idCol, vecCol, mu))
+
+  private def covarianceFromCentered(cent: DataFrame): DataFrame =
+    cent
       .select(col("cxs"), posexplode(col("cxs")).as(Seq("i", "cxi")))
       .select(col("i"), col("cxi"),
         posexplode(col("cxs")).as(Seq("j", "cxj")))
@@ -147,7 +152,11 @@ object Pca {
     * (vid, comp) aggregation. */
   def projectReduced(emb: DataFrame, idCol: String, vecCol: String,
       comps: DataFrame, mu: DataFrame): DataFrame =
-    centered(emb, idCol, vecCol, mu)
+    projectFromCentered(centered(emb, idCol, vecCol, mu), comps)
+
+  private def projectFromCentered(cent: DataFrame,
+      comps: DataFrame): DataFrame =
+    cent
       .select(col("vid"), posexplode(col("cxs")).as(Seq("idx", "cx")))
       .join(broadcast(comps.select(col("comp"), col("idx"),
         col("v_milli"))), Seq("idx"))
@@ -169,9 +178,23 @@ object Pca {
       idCol: String, vecCol: String, dim: Int, nComp: Int, iters: Int,
       candK: Int, k: Int): DataFrame = {
     require(candK >= k, s"candK=$candK must be >= k=$k")
+    // ONE centered pass feeds both the covariance and the projection
+    // (persisted — at 100 TB the corpus is read once, not three
+    // times); mean is the only extra pass, and it is a column prune
+    val spark = corpus.sparkSession
     val mu = meanCenti(corpus, vecCol)
-    val comps = train(corpus, idCol, vecCol, dim, nComp, iters)
-    val red = projectReduced(corpus, idCol, vecCol, comps, mu)
+    val cent = centered(corpus, idCol, vecCol, mu).persistTracked()
+    val cov = covarianceFromCentered(cent).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val solved = solveComponents(cov, dim, nComp, iters)
+    val comps = {
+      import spark.implicits._
+      solved.flatMap { case (c, v, lam, evr) =>
+        v.zipWithIndex.map { case (x, i) =>
+          (c, i.toLong, x, lam, evr) }
+      }.toDF("comp", "idx", "v_milli", "lambda_scaled", "evr_micro")
+    }
+    val red = projectFromCentered(cent, comps)
     def dotL(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), _ + _)
     val c = red.select(col("vid").as("neighbor_id"),
