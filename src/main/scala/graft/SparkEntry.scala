@@ -2322,40 +2322,52 @@ object SparkEntry {
   }
 
   /** Automatic build identifier folded into every cross-run cache key:
-    * an MD5 over the (relative path, size, mtime) of every .class file
-    * under this class's code-source location (or the jar's
-    * path/size/mtime when packaged). Any recompile that touches graft
-    * code changes the key, so an edited `cached{...}` builder can
-    * never serve a stale pre-edit artifact to new code — the phantom
-    * oracle mismatch the old hand-bumped scratchEpoch guarded against
-    * only as well as a human remembered to bump it. Computed once per
-    * JVM (a one-time walk of the classes dir, well under a second). */
+    * an MD5 over the CONTENT of every .scala source under
+    * `src/main/scala` plus build.sbt (when running from the repo —
+    * the usual sbt runMain shape; sbt recompiles before running, so
+    * sources and classes can't diverge). Any source edit changes the
+    * key, so an edited `cached{...}` builder can never serve a stale
+    * pre-edit artifact to new code — the phantom oracle mismatch the
+    * old hand-bumped scratchEpoch guarded against only as well as a
+    * human remembered to bump it. Content (not class mtimes) on
+    * purpose: two compiles of the SAME commit — e.g. this session's
+    * closing gate and the driver's own fresh-compile gate on the same
+    * host — produce the same id, so the second process reuses every
+    * build the first one paid for. Outside a repo (packaged jar), the
+    * jar's path/size/mtime stands in; with no code source at all,
+    * process start disables reuse but never serves stale builds.
+    * Computed once per JVM (~a 1 MB source walk, well under a
+    * second). */
   private lazy val buildId: String = {
     val md = java.security.MessageDigest.getInstance("MD5")
+    val src = java.nio.file.Paths.get(
+      System.getProperty("user.dir"), "src", "main", "scala")
     try {
-      val loc = java.nio.file.Paths.get(
-        SparkEntry.getClass.getProtectionDomain
-          .getCodeSource.getLocation.toURI)
-      if (java.nio.file.Files.isDirectory(loc)) {
-        val s = java.nio.file.Files.walk(loc)
+      if (java.nio.file.Files.isDirectory(src)) {
+        val s = java.nio.file.Files.walk(src)
         try s.sorted(java.util.Comparator.comparing[
             java.nio.file.Path, String](_.toString))
           .forEach { p =>
-            val n = p.toString
-            if (n.endsWith(".class")) md.update(
-              s"${loc.relativize(p)}:${java.nio.file.Files.size(p)}:${
-                java.nio.file.Files.getLastModifiedTime(p).toMillis}|"
-                .getBytes("UTF-8"))
+            if (p.toString.endsWith(".scala")) {
+              md.update(src.relativize(p).toString.getBytes("UTF-8"))
+              md.update(java.nio.file.Files.readAllBytes(p))
+            }
           }
         finally s.close()
+        val sbt = java.nio.file.Paths.get(
+          System.getProperty("user.dir"), "build.sbt")
+        if (java.nio.file.Files.isRegularFile(sbt))
+          md.update(java.nio.file.Files.readAllBytes(sbt))
       } else {
-        val f = loc.toFile
-        md.update(s"${f.getPath}:${f.length}:${f.lastModified}"
+        val loc = java.nio.file.Paths.get(
+          SparkEntry.getClass.getProtectionDomain
+            .getCodeSource.getLocation.toURI).toFile
+        md.update(s"${loc.getPath}:${loc.length}:${loc.lastModified}"
           .getBytes("UTF-8"))
       }
     } catch { case _: Throwable =>
-      // no code source (unusual runtime): fall back to process start,
-      // disabling cross-run reuse but never serving stale builds
+      // no sources and no code source (unusual runtime): fall back to
+      // process start, disabling cross-run reuse but never stale
       md.update(ProcessHandle.current().info().startInstant()
         .toString.getBytes("UTF-8"))
     }
