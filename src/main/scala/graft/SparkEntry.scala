@@ -877,6 +877,17 @@ object SparkEntry {
   private def duckU32(expr: String, seed: Int): String =
     s"(('0x' || substr(md5($expr || '#$seed'), 1, 8))::BIGINT)"
 
+  /** DuckDB twin of Curation.dpNoise: the SAME pre-quantized inverse-CDF
+    * thresholds (computed once in BigInt) rendered as integer literals
+    * in a first-match CASE — both engines draw identical noise from the
+    * identical u32 stream. */
+  private def duckDpNoise(u: String): String = {
+    val cs = graft.operators.Curation.dpNoiseThresholds
+    val whens = cs.init.map { case (kk, t) =>
+      s"WHEN $u < $t THEN CAST($kk AS BIGINT)" }.mkString("\n   ")
+    s"(CASE $whens\n   ELSE CAST(${cs.last._1} AS BIGINT) END)"
+  }
+
   /** t55's oracle: the p16 reward/grouping, cross-source pairwise
     * outcomes, then `iters` UNROLLED Bradley–Terry MM rounds in the
     * exact micro-unit integer arithmetic of Preference.bradleyTerry —
@@ -3749,6 +3760,49 @@ object SparkEntry {
       Curation.kAnonymize(Tables.documents(s, d), col("doc_id"),
         col("lang"), col("source"), floor(col("n_chars") / 100),
         k = 5L)),
+
+    // GRPO group-relative advantages (Shao et al. 2024) over the p16
+    // prompt groups: critic-free (r − mean)/std per group, replayed
+    // exactly — deviations and square-sums stay integers, the one
+    // sqrt is the IEEE correctly-rounded root both engines share
+    "p18_grpo_advantage" -> ((s, d) =>
+      Preference.groupAdvantage(Tables.documents(s, d),
+        col("doc_id"), col("text"), groupSize = 8)),
+
+    // rejection-sampling / best-of-n SFT selection (Llama 2 §3.2.2):
+    // top-reward response per prompt group, accepted iff it clears
+    // the absolute floor AND beats the group mean by ≥ 1 unit — both
+    // accept branches carry live traffic at every SF
+    "p19_rejection_sample" -> ((s, d) =>
+      Preference.rejectionSample(Tables.documents(s, d),
+        col("doc_id"), col("text"), groupSize = 8, minReward = 30L)),
+
+    // l-diversity release gate (Machanavajjhala 2007) on t57's
+    // generalization ladder: finest tier with ≥ 5 members AND ≥ 3
+    // distinct sensitive labels — k-anonymity alone leaks when a
+    // class is sensitive-homogeneous
+    "t58_ldiversity" -> ((s, d) =>
+      Curation.lDiversityRelease(Tables.documents(s, d),
+        col("doc_id"), col("lang"), col("source"),
+        floor(col("n_chars") / 100), col("n_chars") % 16,
+        k = 5L, l = 3L)),
+
+    // DP-style noisy count release: per-(lang, source) counts plus a
+    // seeded discrete-Laplace draw (ratio 1/2, ±8 truncation) whose
+    // inverse CDF is pre-quantized onto the u32 grid as shared
+    // integer literals — the noise stream is a PRF of the group key,
+    // so the release is reproducible and oracle-checked
+    "t59_dp_release" -> ((s, d) =>
+      Curation.dpRelease(Tables.documents(s, d),
+        col("lang"), col("source"), seed = 91)),
+
+    // agent tool-call trace audit: single-outstanding-call protocol
+    // over p17's sessions (click = call, view = result) — dangling
+    // calls, orphan results, and arg-schema violations counted per
+    // session; the lag/lead audit rides the sessionization shuffle
+    "t60_trace_audit" -> ((s, d) =>
+      Events.traceAudit(Tables.events(s, d), gapSeconds = 1800L,
+        argLimit = 80L)),
 
     // ranked-retrieval metrics (NDCG@10 / MRR / AP@10) of the s14
     // sign-Hamming serve against the exact cosine top-10 — the
@@ -12995,6 +13049,158 @@ object SparkEntry {
         |JOIN g0 USING (q1, q2, q3)
         |JOIN g1 USING (q1, q2)
         |JOIN g2 USING (q1)""".stripMargin,
+
+    // the exact-integer GRPO rewrite: dev = n·r − Σr and S = Σ dev²
+    // stay integers; (r − mean)/std = dev·√(n/S) computes as ONE
+    // integer product, one IEEE division, the correctly-rounded sqrt,
+    // one rounded multiply, floor — replayed verbatim here
+    "p18_grpo_advantage" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id, doc_id // 8 AS prompt_id,
+         |   CAST(len(list_distinct($DuckToks)) AS BIGINT) AS reward
+         |  FROM documents),
+         |g AS (
+         |  SELECT *,
+         |   CAST(count(*) OVER w AS BIGINT) AS n,
+         |   CAST(sum(reward) OVER w AS BIGINT) AS sum_r
+         |  FROM scored WINDOW w AS (PARTITION BY prompt_id)),
+         |dv AS (SELECT *, n * reward - sum_r AS dev FROM g),
+         |sq AS (
+         |  SELECT *, CAST(sum(dev * dev) OVER (
+         |    PARTITION BY prompt_id) AS BIGINT) AS s2
+         |  FROM dv)
+         |SELECT doc_id, prompt_id, reward, n, dev,
+         | CASE WHEN s2 = 0 THEN CAST(0 AS BIGINT)
+         |   ELSE CAST(floor((dev * 1000000) * sqrt(n / s2))
+         |     AS BIGINT) END AS adv_micro
+         |FROM sq""".stripMargin,
+
+    // best-of-n with the p16 reward/tiebreak; accepted iff the floor
+    // AND the ≥ mean + 1 margin hold (n·r − Σr ≥ n, exact integers)
+    "p19_rejection_sample" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id, doc_id // 8 AS prompt_id,
+         |   CAST(len(list_distinct($DuckToks)) AS BIGINT) AS reward,
+         |   md5(doc_id::VARCHAR) AS tb
+         |  FROM documents),
+         |w AS (
+         |  SELECT *, row_number() OVER (PARTITION BY prompt_id
+         |     ORDER BY reward DESC, tb ASC) AS rk,
+         |   CAST(count(*) OVER (PARTITION BY prompt_id) AS BIGINT)
+         |     AS n,
+         |   CAST(sum(reward) OVER (PARTITION BY prompt_id) AS BIGINT)
+         |     AS sum_r
+         |  FROM scored)
+         |SELECT prompt_id, doc_id AS chosen_id,
+         | reward AS chosen_reward, n,
+         | CAST(floor(sum_r * 1000000 / n) AS BIGINT) AS mean_micro,
+         | (reward >= 30 AND n * reward - sum_r >= n) AS accepted
+         |FROM w WHERE rk = 1""".stripMargin,
+
+    // t57's ladder with the per-tier count(DISTINCT sensitive) gate
+    "t58_ldiversity" ->
+      """WITH base AS (
+        |  SELECT doc_id AS id, lang AS q1, source AS q2,
+        |   CAST(CAST(floor(n_chars / 100) AS BIGINT) AS VARCHAR)
+        |     AS q3,
+        |   CAST(n_chars % 16 AS VARCHAR) AS sv
+        |  FROM documents),
+        |g0 AS (SELECT q1, q2, q3, CAST(count(*) AS BIGINT) AS n0,
+        |        CAST(count(DISTINCT sv) AS BIGINT) AS l0
+        |       FROM base GROUP BY 1, 2, 3),
+        |g1 AS (SELECT q1, q2, CAST(count(*) AS BIGINT) AS n1,
+        |        CAST(count(DISTINCT sv) AS BIGINT) AS l1
+        |       FROM base GROUP BY 1, 2),
+        |g2 AS (SELECT q1, CAST(count(*) AS BIGINT) AS n2,
+        |        CAST(count(DISTINCT sv) AS BIGINT) AS l2
+        |       FROM base GROUP BY 1)
+        |SELECT b.id,
+        | CAST(CASE WHEN n0 >= 5 AND l0 >= 3 THEN 0
+        |   WHEN n1 >= 5 AND l1 >= 3 THEN 1
+        |   WHEN n2 >= 5 AND l2 >= 3 THEN 2 ELSE 3 END AS BIGINT)
+        |   AS tier,
+        | CASE WHEN n0 >= 5 AND l0 >= 3
+        |     THEN q1 || '|' || q2 || '|' || q3
+        |   WHEN n1 >= 5 AND l1 >= 3 THEN q1 || '|' || q2 || '|*'
+        |   WHEN n2 >= 5 AND l2 >= 3 THEN q1 || '|*|*'
+        |   ELSE '*|*|*' END AS qi_released,
+        | CASE WHEN n0 >= 5 AND l0 >= 3 THEN n0
+        |   WHEN n1 >= 5 AND l1 >= 3 THEN n1
+        |   WHEN n2 >= 5 AND l2 >= 3 THEN n2
+        |   ELSE CAST(0 AS BIGINT) END AS group_n,
+        | CASE WHEN n0 >= 5 AND l0 >= 3 THEN l0
+        |   WHEN n1 >= 5 AND l1 >= 3 THEN l1
+        |   WHEN n2 >= 5 AND l2 >= 3 THEN l2
+        |   ELSE CAST(0 AS BIGINT) END AS group_l
+        |FROM base b
+        |JOIN g0 USING (q1, q2, q3)
+        |JOIN g1 USING (q1, q2)
+        |JOIN g2 USING (q1)""".stripMargin,
+
+    // group counts + the PRF'd discrete-Laplace draw; the inverse-CDF
+    // literals are generated from the same BigInt table the Spark
+    // plan bakes in
+    "t59_dp_release" ->
+      s"""WITH g AS (
+         |  SELECT lang AS g1, source AS g2,
+         |   CAST(count(*) AS BIGINT) AS n_true
+         |  FROM documents GROUP BY 1, 2),
+         |nz AS (
+         |  SELECT *, ${duckDpNoise(duckU32("g1 || '|' || g2", 91))}
+         |    AS noise
+         |  FROM g)
+         |SELECT g1, g2, n_true, noise,
+         | greatest(n_true + noise, 0) AS released_n
+         |FROM nz""".stripMargin,
+
+    // p17's session rule verbatim; call/result pairing audited by
+    // lag/lead over the protocol subsequence; arg schema via the q55
+    // json_extract parity
+    "t60_trace_audit" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, event_type, props,
+        |   epoch_us(ts::TIMESTAMP) AS ts_us,
+        |   lag(epoch_us(ts::TIMESTAMP)) OVER (PARTITION BY user_id
+        |     ORDER BY epoch_us(ts::TIMESTAMP), event_id) AS prev_us
+        |  FROM events),
+        |sid AS (
+        |  SELECT *, CAST(sum(CASE WHEN prev_us IS NULL
+        |     OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM g),
+        |proto AS (
+        |  SELECT *, CASE WHEN event_type = 'click' THEN 'call'
+        |     ELSE 'result' END AS kind
+        |  FROM sid WHERE event_type IN ('click', 'view')),
+        |a AS (
+        |  SELECT *, lead(kind) OVER w AS next_kind,
+        |   lag(kind) OVER w AS prev_kind
+        |  FROM proto WINDOW w AS (PARTITION BY user_id, session_id
+        |    ORDER BY ts_us, event_id)),
+        |f AS (
+        |  SELECT *,
+        |   CASE WHEN kind = 'call' AND (next_kind IS NULL
+        |     OR next_kind <> 'result') THEN 1 ELSE 0 END AS dangling,
+        |   CASE WHEN kind = 'result' AND (prev_kind IS NULL
+        |     OR prev_kind <> 'call') THEN 1 ELSE 0 END AS orphan,
+        |   CASE WHEN kind = 'call'
+        |     AND (CAST(json_extract(props, '$.k') AS BIGINT) IS NULL
+        |       OR CAST(json_extract(props, '$.k') AS BIGINT) >= 80)
+        |     THEN 1 ELSE 0 END AS badarg
+        |  FROM a)
+        |SELECT user_id, session_id,
+        | CAST(count(*) AS BIGINT) AS n_proto,
+        | CAST(sum(CASE WHEN kind = 'call' THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_calls,
+        | CAST(sum(CASE WHEN kind = 'result' THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_results,
+        | CAST(sum(dangling) AS BIGINT) AS dangling_calls,
+        | CAST(sum(orphan) AS BIGINT) AS orphan_results,
+        | CAST(sum(badarg) AS BIGINT) AS bad_args,
+        | (sum(dangling) + sum(orphan) + sum(badarg)) = 0
+        |   AS well_formed
+        |FROM f GROUP BY user_id, session_id""".stripMargin,
 
     "s49_rank_metrics" -> duckRankMetrics,
 

@@ -1159,4 +1159,106 @@ object Curation {
           .otherwise(lit(0L)).as("group_n"))
   }
 
+  /** l-diversity release gate (Machanavajjhala et al. 2007,
+    * "l-Diversity: Privacy Beyond k-Anonymity") layered on the
+    * [[kAnonymize]] generalization ladder: a k-anonymous equivalence
+    * class still leaks its sensitive attribute when every member
+    * shares one value, so each doc ships at the finest tier whose
+    * class has BOTH ≥ k members AND ≥ l distinct sensitive values
+    * (distinct-l-diversity). Same ladder, one extra count(DISTINCT)
+    * per tier aggregate; the sensitive column is any label the
+    * release treats as private — swap in whatever the deployment
+    * protects (the [[Preference.reward]] doctrine).
+    *
+    * Scale shape: three shrinking aggregations (finest is bounded by
+    * the corpus, coarser tiers by the QI domain), the two coarse
+    * tiers broadcast back — identical to the k-anonymity plan.
+    * Output: (id, tier, qi_released, group_n, group_l). */
+  def lDiversityRelease(records: DataFrame, idCol: Column,
+      qi1: Column, qi2: Column, qi3: Column, sens: Column,
+      k: Long, l: Long): DataFrame = {
+    require(k >= 2 && l >= 2, s"need k,l >= 2: k=$k l=$l")
+    val base = records.select(idCol.as("id"),
+      qi1.cast("string").as("q1"), qi2.cast("string").as("q2"),
+      qi3.cast("string").as("q3"), sens.cast("string").as("sv"))
+    val g0 = base.groupBy(col("q1"), col("q2"), col("q3"))
+      .agg(count(lit(1)).as("n0"), countDistinct(col("sv")).as("l0"))
+    val g1 = base.groupBy(col("q1"), col("q2"))
+      .agg(count(lit(1)).as("n1"), countDistinct(col("sv")).as("l1"))
+    val g2 = base.groupBy(col("q1"))
+      .agg(count(lit(1)).as("n2"), countDistinct(col("sv")).as("l2"))
+    val ok0 = col("n0") >= k && col("l0") >= l
+    val ok1 = col("n1") >= k && col("l1") >= l
+    val ok2 = col("n2") >= k && col("l2") >= l
+    base
+      .join(g0, Seq("q1", "q2", "q3"))
+      .join(broadcast(g1), Seq("q1", "q2"))
+      .join(broadcast(g2), Seq("q1"))
+      .select(col("id"),
+        when(ok0, lit(0L)).when(ok1, lit(1L)).when(ok2, lit(2L))
+          .otherwise(lit(3L)).as("tier"),
+        when(ok0, concat_ws("|", col("q1"), col("q2"), col("q3")))
+          .when(ok1, concat_ws("|", col("q1"), col("q2"), lit("*")))
+          .when(ok2, concat_ws("|", col("q1"), lit("*"), lit("*")))
+          .otherwise(lit("*|*|*")).as("qi_released"),
+        when(ok0, col("n0")).when(ok1, col("n1")).when(ok2, col("n2"))
+          .otherwise(lit(0L)).as("group_n"),
+        when(ok0, col("l0")).when(ok1, col("l1")).when(ok2, col("l2"))
+          .otherwise(lit(0L)).as("group_l"))
+  }
+
+  /** Noise table for [[dpRelease]]: a two-sided geometric ("discrete
+    * Laplace", Ghosh–Roughgarden–Sundararajan 2012) with ratio 1/2
+    * (ε = ln 2 per unit sensitivity), truncated at ±8. Probabilities
+    * are exact dyadic rationals — weight(k) = 2^(8−|k|) over total
+    * 766 — and the inverse CDF is pre-quantized onto the u32 grid as
+    * floor(cum·2³²/766) computed here in BigInt: both engines receive
+    * the identical 17 integer literals (the s49 pre-quantized-constant
+    * discipline), so noise draws replay bit-for-bit from the md5-u32
+    * stream. Returns (noise value, EXCLUSIVE u32 upper bound)
+    * ascending. */
+  def dpNoiseThresholds: Seq[(Int, Long)] = {
+    val weights = (-8 to 8).map(kk => kk -> (1L << (8 - math.abs(kk))))
+    val total = weights.map(_._2).sum // 766
+    var cum = 0L
+    weights.map { case (kk, w) =>
+      cum += w
+      kk -> (BigInt(cum) * BigInt(4294967296L) / BigInt(total)).toLong
+    }
+  }
+
+  /** Inverse-CDF lookup of [[dpNoiseThresholds]] over a u32 draw —
+    * a 17-arm first-match CASE, identical semantics in both engines. */
+  def dpNoise(u: Column): Column = {
+    val cases = dpNoiseThresholds
+    cases.init.foldLeft(Option.empty[Column]) {
+      case (acc, (kk, t)) =>
+        val c = acc.fold(when(u < t, lit(kk.toLong)))(
+          _.when(u < t, lit(kk.toLong)))
+        Some(c)
+    }.get.otherwise(lit(cases.last._1.toLong))
+  }
+
+  /** Differentially-private count release over a two-column grouping:
+    * true per-group counts plus a seeded discrete-Laplace draw keyed
+    * by the group labels (deterministic: the release is reproducible
+    * and oracle-checkable, exactly how DP releases are audited — the
+    * noise stream is a PRF of the group key, per Mironov's practical
+    * DP implementations). Negative noised counts clamp to 0.
+    *
+    * Scale shape: one aggregation to group cardinality, then per-row
+    * noise arithmetic on the (tiny) release relation — the noise adds
+    * ZERO distributed cost at any corpus size. Output: (g1, g2,
+    * n_true, noise, released_n); a real release drops n_true — it
+    * rides along here as the audit column the gate hashes. */
+  def dpRelease(records: DataFrame, g1: Column, g2: Column,
+      seed: Int): DataFrame =
+    records
+      .groupBy(g1.cast("string").as("g1"), g2.cast("string").as("g2"))
+      .agg(count(lit(1)).as("n_true"))
+      .withColumn("noise", dpNoise(Tables.hashU32(
+        concat_ws("|", col("g1"), col("g2")), seed)))
+      .withColumn("released_n",
+        greatest(col("n_true") + col("noise"), lit(0L)))
+
 }

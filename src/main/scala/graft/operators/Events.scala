@@ -324,4 +324,69 @@ object Events {
           col("prev_role") =!= col("role"), 1L).otherwise(0L))
           .as("role_flips"))
   }
+
+  /** Agent tool-call trace audit: validates per-session tool-call
+    * protocol over the event stream — the admission gate agentic
+    * training data passes before traces become SFT rows. The protocol
+    * is the single-outstanding-call discipline of function-calling
+    * chat APIs: within a session's call/result subsequence, every
+    * call must be answered by the IMMEDIATELY following protocol
+    * event being its result, and every result must answer the
+    * immediately preceding call. Violations are counted, not dropped
+    * — the audit feeds a keep/repair decision downstream.
+    *
+    *   - kind: `click` events are tool CALLS, `view` events tool
+    *     RESULTS, everything else free-text messages (outside the
+    *     pairing protocol).
+    *   - dangling call: next protocol event is not a result (or the
+    *     session ends).
+    *   - orphan result: previous protocol event is not a call.
+    *   - bad args: a call whose JSON payload fails the arg schema —
+    *     `$.k` missing or ≥ `argLimit` (the range check stands in
+    *     for real schema validation; `get_json_object` ≡ DuckDB
+    *     `json_extract`, the q55 parity).
+    *
+    * Scale shape: one hash shuffle on user_id for sessionization,
+    * then the lag/lead audit rides the SAME (user_id, session_id)
+    * partitioning — Catalyst reuses the exchange; the final rollup is
+    * partial-aggregated map-side. Output per session: (user_id,
+    * session_id, n_proto, n_calls, n_results, dangling_calls,
+    * orphan_results, bad_args, well_formed). */
+  def traceAudit(events: DataFrame, gapSeconds: Long,
+      argLimit: Long): DataFrame = {
+    val proto = withSessionIds(events, gapSeconds)
+      .withColumn("kind",
+        when(col("event_type") === "click", lit("call"))
+          .when(col("event_type") === "view", lit("result")))
+      .filter(col("kind").isNotNull)
+    val fwd = Window.partitionBy(col("user_id"), col("session_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    proto
+      .withColumn("next_kind", lead(col("kind"), 1).over(fwd))
+      .withColumn("prev_kind", lag(col("kind"), 1).over(fwd))
+      .withColumn("dangling",
+        (col("kind") === "call" &&
+          (col("next_kind").isNull || col("next_kind") =!= "result"))
+          .cast("long"))
+      .withColumn("orphan",
+        (col("kind") === "result" &&
+          (col("prev_kind").isNull || col("prev_kind") =!= "call"))
+          .cast("long"))
+      .withColumn("badarg",
+        (col("kind") === "call" &&
+          (get_json_object(col("props"), "$.k").isNull ||
+            get_json_object(col("props"), "$.k").cast("long")
+              >= argLimit)).cast("long"))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_proto"),
+        sum(when(col("kind") === "call", 1L).otherwise(0L))
+          .as("n_calls"),
+        sum(when(col("kind") === "result", 1L).otherwise(0L))
+          .as("n_results"),
+        sum(col("dangling")).as("dangling_calls"),
+        sum(col("orphan")).as("orphan_results"),
+        sum(col("badarg")).as("bad_args"),
+        (sum(col("dangling")) + sum(col("orphan")) +
+          sum(col("badarg")) === 0L).as("well_formed"))
+  }
 }

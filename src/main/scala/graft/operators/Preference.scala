@@ -91,6 +91,78 @@ object Preference {
           .otherwise(col("ent_a")).as("loser"))
   }
 
+  /** GRPO-style group-relative advantage (Shao et al. 2024,
+    * "DeepSeekMath: Pushing the Limits of Mathematical Reasoning"):
+    * within each prompt group the reward is centered by the group mean
+    * and scaled by the group standard deviation — the critic-free
+    * advantage estimate modern RLHF recipes feed the policy update.
+    *
+    * Integer replay: with n = |group|, sum_r = Σ reward, the per-row
+    * deviation dev = n·reward − sum_r and its group square-sum
+    * S = Σ dev² are EXACT integers (no division yet; dev ≤ n·max_r so
+    * well under 2^53). The advantage (r − mean)/std rewrites as
+    * dev·√(n/S), computed as floor((dev·10⁶)·sqrt(n/S)): dev·10⁶ is an
+    * exact integer product, n/S is one IEEE division of exact
+    * integers, sqrt is the IEEE-mandated correctly-rounded root, and
+    * the final product rounds once — both engines replay the identical
+    * double and the floors agree. S = 0 (all rewards equal) → 0.
+    *
+    * Scale shape: two window passes over one hash-partitioning on
+    * prompt_id (group size is a constant, so state per key is O(1));
+    * no self-join, no collect. Output: (doc_id, prompt_id, reward, n,
+    * dev, adv_micro). */
+  def groupAdvantage(docs: DataFrame, idCol: Column, textCol: Column,
+      groupSize: Int): DataFrame = {
+    val byGroup = Window.partitionBy(col("prompt_id"))
+    docs.select(
+        idCol.as("doc_id"),
+        floor(idCol / groupSize).cast("long").as("prompt_id"),
+        reward(textCol).as("reward"))
+      .withColumn("n", count(lit(1)).over(byGroup))
+      .withColumn("sum_r", sum(col("reward")).over(byGroup))
+      .withColumn("dev", col("n") * col("reward") - col("sum_r"))
+      .withColumn("s2", sum(col("dev") * col("dev")).over(byGroup))
+      .select(col("doc_id"), col("prompt_id"), col("reward"),
+        col("n"), col("dev"),
+        when(col("s2") === 0L, lit(0L))
+          .otherwise(floor((col("dev") * lit(1000000L)) *
+            sqrt(col("n") / col("s2")))).as("adv_micro"))
+  }
+
+  /** Rejection-sampling (best-of-n) SFT selection (Touvron et al.
+    * 2023, "Llama 2", §3.2.2): per prompt group keep only the
+    * top-reward response, and accept it into the SFT set iff it
+    * clears an absolute reward floor AND beats the group mean by at
+    * least one reward unit (n·r_best − sum_r ≥ n, exact integers — a
+    * group whose candidates all tie carries no selection signal).
+    *
+    * mean_micro = floor(sum_r·10⁶ / n) is the one IEEE division,
+    * operands exact. One shuffle on prompt_id; the per-group window
+    * and aggregates are O(groupSize) = O(1) state per key. Output:
+    * (prompt_id, chosen_id, chosen_reward, n, mean_micro, accepted). */
+  def rejectionSample(docs: DataFrame, idCol: Column, textCol: Column,
+      groupSize: Int, minReward: Long): DataFrame = {
+    val byGroup = Window.partitionBy(col("prompt_id"))
+    val ranked = Window.partitionBy(col("prompt_id"))
+      .orderBy(col("reward").desc, col("tb").asc)
+    docs.select(
+        idCol.as("doc_id"),
+        floor(idCol / groupSize).cast("long").as("prompt_id"),
+        reward(textCol).as("reward"),
+        md5(idCol.cast("string")).as("tb"))
+      .withColumn("rk", row_number().over(ranked))
+      .withColumn("n", count(lit(1)).over(byGroup))
+      .withColumn("sum_r", sum(col("reward")).over(byGroup))
+      .filter(col("rk") === 1)
+      .select(col("prompt_id"), col("doc_id").as("chosen_id"),
+        col("reward").as("chosen_reward"), col("n"),
+        floor(col("sum_r") * lit(1000000L) / col("n"))
+          .as("mean_micro"),
+        (col("reward") >= minReward &&
+          col("n") * col("reward") - col("sum_r") >= col("n"))
+          .as("accepted"))
+  }
+
   /** Bradley–Terry strengths from (winner, loser) outcome rows via
     * `iters` MM updates (Hunter 2004): s_i ← W_i / Σ_j N_ij/(s_i+s_j),
     * renormalized to mean 1e6 micro-units each round.
