@@ -30,4 +30,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 8g heap (measured: same bench 66 s at 24g vs 82-92 s at 8g, with
   // erratic per-query spikes); the bench host has 128 GiB — use it
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // the ContextCleaner's periodic System.gc() (spark.cleaner.
+  // periodicGC.interval — needed so a 288-query suite's weak-ref'd
+  // shuffle/broadcast state actually gets cleaned) must be a
+  // CONCURRENT G1 cycle: the default is a single-threaded STW full
+  // collection, measured as multi-second pauses landing inside
+  // unrelated timed queries
+  "-XX:+ExplicitGCInvokesConcurrent",
 )

@@ -106,6 +106,24 @@ object Bench {
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // a 288-query suite in one JVM leaks driver-side refs (shuffle
+      // registrations, broadcasts) that the ContextCleaner only frees
+      // after a GC enqueues their weak refs; the default periodic-GC
+      // interval (30 min) is longer than the whole run, so state from
+      // early queries survives to inflate late ones. 2 min keeps the
+      // cleaner fed; production long-lived drivers need the same knob
+      .config("spark.cleaner.periodicGC.interval", "2min")
+      // scan-split sizing: maxSplitBytes = max(openCostInBytes,
+      // bytes/minPartitionNum) — the default 4 MB open-cost floor was
+      // calibrated for remote-FS open latency and caps a ~12 MB local
+      // parquet table at 3 splits, so CPU-dense text stages (quality
+      // gates, tokenizers: profiled 12.4 s of CPU on p9's gate scan)
+      // run on 3 of 32 cores. On local NVMe the real open cost is
+      // ~none; at cluster scale this knob never binds (totalBytes/
+      // parallelism >> it), so lowering it is scale-neutral.
+      // Parameterized with a local-appropriate default.
+      .config("spark.sql.files.openCostInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_OPEN_COST", "262144"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftFunctions.installOptimizations(spark)

@@ -30,6 +30,8 @@ object PlanDump {
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.files.openCostInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_OPEN_COST", "262144"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     GraftFunctions.installOptimizations(spark)

@@ -16,6 +16,12 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // match Bench's scan-split sizing and cleaner cadence (see
+      // Bench.scala) — the gate suffers the same 3-task text scans
+      // and same-JVM state accumulation over 288 dumped queries
+      .config("spark.cleaner.periodicGC.interval", "2min")
+      .config("spark.sql.files.openCostInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_OPEN_COST", "262144"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftFunctions.installOptimizations(spark)

@@ -470,12 +470,18 @@ object Curation {
     val ce = TextAnalysis.charEntropy(corpus0, col("doc_id"),
         col("text"))
       .filter(col("pass_gate")).select(col("doc_id"))
-    val s1 = corpus0.join(gq, Seq("doc_id")).join(ce, Seq("doc_id"))
-      .persistTracked()
+    // stage boundaries PIN (localCheckpoint), not persist: each stage
+    // references the previous 2-3x, so plain persist grows the logical
+    // plan multiplicatively (measured 25k scan nodes / 134k formatted
+    // lines at stage 5) and Catalyst+AQE replanning of that tree
+    // dominated p9's wall — guide §3.3's materialize-to-truncate
+    val s1 = graft.InternalCaches.pinStage(
+      corpus0.join(gq, Seq("doc_id")).join(ce, Seq("doc_id")))
     // stage 2: exact dedup — lowest doc_id per content fingerprint
     val keep2 = Dedup.exact(s1, col("doc_id"), col("text"))
       .select(col("keep_id").as("doc_id"))
-    val s2 = s1.join(keep2, Seq("doc_id")).persistTracked()
+    val s2 = graft.InternalCaches.pinStage(
+      s1.join(keep2, Seq("doc_id")))
     // stage 3: canonical near-dup collapse (the p6 shape over s2)
     val pairs = Dedup.simhashPairs(
         Dedup.simhash(s2, col("doc_id"), col("text")), 3)
@@ -492,16 +498,25 @@ object Curation {
         Window.partitionBy(col("component"))
           .orderBy(col("q6").desc, col("doc_id").asc)))
       .filter(col("rk") === 1).select(col("doc_id"))
-    val s3 = s2.join(keep3, Seq("doc_id")).persistTracked()
+    val s3 = graft.InternalCaches.pinStage(
+      s2.join(keep3, Seq("doc_id")))
     // stage 4: drop docs whose benchmark-shingle overlap reaches tau
     val dirty = TextAnalysis.contamination(s3, bench, col("doc_id"),
         col("text"), n = 3)
       .filter(col("contamination") >= contamTau).select(col("doc_id"))
-    val s4 = s3.join(dirty, Seq("doc_id"), "left_anti").persistTracked()
-    // stage 5: BPE token counts + context packing over the survivors
+    val s4 = graft.InternalCaches.pinStage(
+      s3.join(dirty, Seq("doc_id"), "left_anti"))
+    // stage 5: BPE token counts + context packing over the survivors.
+    // The survivor checkpoint is byte-small (AQE coalesces it to ~1
+    // partition), but the per-word BPE merge chain is CPU-heavy —
+    // without a respread this stage ran as ONE 12.5 s task on a
+    // 32-core host (profiled; guide §2.5 input skew: repartition
+    // after the read when compute per byte is high). Round-robin is
+    // safe: every downstream aggregate is keyed and order-independent
     val counts = s4.select(col("doc_id"),
         explode(split(lower(col("text")), "[^a-z]+")).as("word"))
       .filter(col("word") =!= "")
+      .repartition(s4.sparkSession.sessionState.conf.numShufflePartitions)
       .withColumn("tc", Bpe.tokenCount(Bpe.applyMerges(col("word"),
         merges)))
       .groupBy(col("doc_id"))
@@ -614,8 +629,11 @@ object Curation {
       .filter(col("keep") === 1L).select(col("doc_id"))
     val ce = TextAnalysis.charEntropy(b0, col("doc_id"), col("text"))
       .filter(col("pass_gate")).select(col("doc_id"))
-    val b1 = b0.join(gq, Seq("doc_id")).join(ce, Seq("doc_id"))
-      .persistTracked()
+    // stage pins (localCheckpoint), not persists — the p9 rationale:
+    // b1/b2 are each referenced by the next tier AND the census rows,
+    // so persist alone lets the plan tree re-embed every upstream tier
+    val b1 = graft.InternalCaches.pinStage(
+      b0.join(gq, Seq("doc_id")).join(ce, Seq("doc_id")))
     val stateFps = state
       .select(TextAnalysis.contentFingerprint(col("text")).as("fp"))
       .distinct()
@@ -624,7 +642,8 @@ object Curation {
       .join(stateFps, Seq("fp"), "left_anti")
       .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
-    val b2 = b1.join(keep2, Seq("doc_id")).persistTracked()
+    val b2 = graft.InternalCaches.pinStage(
+      b1.join(keep2, Seq("doc_id")))
     val nd = Dedup.incrementalNearDup(state, b2, col("doc_id"),
       col("text"), numHashes, rowsPerBand, minJaccard)
     val b3 = b2.join(nd.filter(col("is_dup") === 0)
@@ -950,9 +969,14 @@ object Curation {
       val boost = lit(M) + floor(lit(etaMicro) * col("excess_micro") / M)
       val up = w.withColumn("w", floor(col("w") * boost / M))
       val tot = up.select(sum(col("w")).as("__tot"))
-      w = up.crossJoin(broadcast(tot))
-        .select(col("domain"), col("excess_micro"),
-          floor(col("w") * M / col("__tot")).as("w"))
+      // pinStage per MW round: w is referenced twice per round (the
+      // boost pass and the normalizer's sum), so the lazy plan doubles
+      // each round and re-embeds the corpus-scale domain fixture 2^r
+      // times; the checkpoint is one metadata-sized relation per round
+      w = graft.InternalCaches.pinStage(
+        up.crossJoin(broadcast(tot))
+          .select(col("domain"), col("excess_micro"),
+            floor(col("w") * M / col("__tot")).as("w")))
     }
     w.select(col("domain"), col("excess_micro"),
       col("w").as("weight_micro"))

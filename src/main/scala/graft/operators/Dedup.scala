@@ -46,7 +46,11 @@ object Dedup {
         // (Spark's own checkpoint guidance)
         df.persist()
         try df.checkpoint(true) finally df.unpersist()
-      case None => df.localCheckpoint(true)
+      // pinStage = localCheckpoint + release registration: the CC
+      // loop checkpoints per iteration, and unregistered checkpoint
+      // blocks outlive the query (Dataset.unpersist never sees them),
+      // accumulating across a 288-query suite run
+      case None => graft.InternalCaches.pinStage(df)
     }
 
   /** Exact dedup: keep the lowest id per normalized-content fingerprint.

@@ -366,25 +366,58 @@ object InvertedIndex {
     * the newest policy boundary, read compaction + suffix, serve the
     * t26-shaped BM25 from the reassembled postings. Output carries
     * the resolution receipt (ckpt_seg, segments_loaded) on every row
-    * — the oracle pins both, q102-style. */
+    * — the oracle pins both, q102-style.
+    *
+    * Internal representation (r13 optimization): the segments carry
+    * their postings as the SORTED (doc_id, pos) struct array, not the
+    * serialized `doc:pos` payload string — the string form existed
+    * only to be regex-split right back apart by compaction and by the
+    * tf reassembly (two parse passes over every posting, the
+    * serialize-then-parse round trip guide §2.3 warns about). The
+    * struct form is positionally identical (same sort order, same
+    * multiset), so compaction = flatten + array_sort and tf = explode
+    * + count produce byte-identical downstream relations — the
+    * public [[segmentedPostings]]/[[compactSegments]] string layout
+    * (spec-pinned) is unchanged for direct consumers. */
   def segmentServedBm25(docs: DataFrame, idCol: Column,
       textCol: Column, isQuery: Column, nBatches: Int, every: Int,
       k: Int = 5, blockSize: Int = 64): DataFrame = {
     require(every > 0, s"every=$every")
     val tip = nBatches - 1
-    val segs = segmentedPostings(docs, idCol, textCol, nBatches,
-      blockSize).persistTracked() // compaction + suffix reads
+    val segs = docs.select(idCol.as("doc_id"),
+        posexplode(TextAnalysis.tokens(textCol)).as(Seq("pos", "tok")))
+      .withColumn("seg", col("doc_id") % nBatches)
+      .withColumn("block", expr(s"doc_id div $blockSize"))
+      .groupBy(col("seg"), col("tok"), col("block"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("pos"))))
+        .as("ps"))
+      .persistTracked() // compaction + suffix reads
     val ckpt = newestCompaction(tip, every)
     val loaded =
       if (ckpt < 0) segs
-      else compactSegments(segs, ckpt)
+      else segs.filter(col("seg") <= ckpt)
+        .groupBy(col("tok"), col("block"))
+        // per-segment arrays are sorted; the compacted cell is their
+        // sorted merge — identical to compactSegments' re-aggregate
+        .agg(array_sort(flatten(collect_list(col("ps")))).as("ps"))
+        .select(lit(ckpt.toLong).as("seg"), col("tok"), col("block"),
+          col("ps"))
         .unionByName(segs.filter(col("seg") > ckpt))
     val segmentsLoaded = if (ckpt < 0) tip + 1 else 1 + (tip - ckpt)
     val qterms = docs.filter(isQuery)
       .select(idCol.as("query_id"),
         explode(array_distinct(TextAnalysis.tokens(textCol)))
           .as("token"))
-    bm25FromPostings(loaded, qterms, k)
+    // tf reassembly straight off the struct postings (one explode,
+    // no string parse); blocks are doc ranges, so every (doc, token)
+    // tf lives wholly inside one cell — the count is complete
+    val tf = loaded
+      .select(col("tok").as("token"), explode(col("ps")).as("p"))
+      .select(col("token"), col("p.doc_id").as("doc_id"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .persistTracked() // three consumers inside bm25FromTf
+    TextAnalysis.bm25FromTf(tf, qterms, k)
       .withColumn("ckpt_seg", lit(ckpt.toLong))
       .withColumn("segments_loaded", lit(segmentsLoaded.toLong))
   }

@@ -584,8 +584,16 @@ object Similarity {
       .orderBy(col("__h"), col("vid")).limit(nc)
       .select(col("vid").as("cell_id"), col("v").as("cv"))
       .withColumn("cnrm", norm(col("cv")))
+    // pinStage per round: the codebook is nCells rows, but its lazy
+    // plan embeds every earlier round's corpus-scale assign+update —
+    // any downstream plan that references the trained codebook more
+    // than once (index build + serve, PQ LUT chains) would re-run the
+    // whole training per reference, and the nested tree itself is the
+    // s16-class plan bloat. The checkpoint makes each round's output
+    // a materialized metadata-sized relation
     for (_ <- 0 until iters)
-      cents = updateCells(assignCells(e, cents))
+      cents = graft.InternalCaches.pinStage(
+        updateCells(assignCells(e, cents)))
     (e, cents)
   }
 
@@ -673,7 +681,12 @@ object Similarity {
         .select(col("s"), col("cid"),
           transform(col("pc"), x => x("comp")).as("centroid"))
     }
-    cb
+    // the trained codebook is consumed persisted by every caller
+    // (encode + LUT), so a per-round pin would only add checkpoint
+    // barriers without deduplicating work — measured +1.9 s on s11;
+    // one pin of the FINAL codebook truncates the nested training
+    // lineage out of the downstream plans at m*k-row cost
+    graft.InternalCaches.pinStage(cb)
   }
 
   /** Scalar-quantized (SQ8) symmetric search — the third compression
@@ -1727,8 +1740,15 @@ object Similarity {
           (col("q_norm") * col("n_norm")))
         .select(col("query_id"), col("node_id"), col("cosine"),
           lit(round).as("r"))
-      visited = visited.unionByName(scored)
-        .persistTracked() // cuts the per-round lineage recursion
+      // pinStage (localCheckpoint), not persist: visited is referenced
+      // 3x per round (dedup union, next union, beam window), so a
+      // plain persist still nests every earlier round's lineage into
+      // one growing logical plan that Catalyst + AQE replan at every
+      // query stage (the serve queries' 8k-line formatted plans).
+      // The checkpoint truncates it: each round plans flat over the
+      // previous round's materialized rows (query-bounded size)
+      visited = graft.InternalCaches.pinStage(
+        visited.unionByName(scored))
       frontier = visited
         .withColumn("rn", row_number().over(wBeam))
         .filter(col("rn") <= beamWidth && col("r") === round)
@@ -2435,8 +2455,15 @@ object Similarity {
           lit(0L), (acc, v) => acc + v))
         .select(col("query_id"), col("node_id"), col("sqdist"),
           lit(round).as("r"))
-      visited = visited.unionByName(scored)
-        .persistTracked() // cuts the per-round lineage recursion
+      // pinStage (localCheckpoint), not persist: visited is referenced
+      // 3x per round (dedup union, next union, beam window), so a
+      // plain persist still nests every earlier round's lineage into
+      // one growing logical plan that Catalyst + AQE replan at every
+      // query stage (the serve queries' 8k-line formatted plans).
+      // The checkpoint truncates it: each round plans flat over the
+      // previous round's materialized rows (query-bounded size)
+      visited = graft.InternalCaches.pinStage(
+        visited.unionByName(scored))
       frontier = visited
         .withColumn("rn", row_number().over(wBeam))
         .filter(col("rn") <= beamWidth && col("r") === round)

@@ -1095,14 +1095,23 @@ object TextAnalysis {
         (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
         * lit(1e6)).cast("long"))
       .select(col("token"), col("idf6"), col("n"), col("tot"))
-    val cand = tf.join(broadcast(qterms), Seq("token"))
-      .filter(col("query_id") =!= col("doc_id"))
-      .join(broadcast(idf6), Seq("token"))
+    // contrib6 attaches to the CORPUS-sized tf (one row per (doc,
+    // token)) BEFORE the query fan-out — the old plan joined dl onto
+    // the post-fan-out (query, token, doc) relation, which is |Q|×
+    // larger (measured 119 MB shuffled into a sort-merge join on t26
+    // at sf0.1). Same expression tree on the same single (dl, idf6)
+    // match per row, so every contrib6 is bit-identical; only the
+    // join order changed (guide §2.3: shuffle the thin relation)
+    val impacts = tf
       .join(dl, Seq("doc_id"))
+      .join(broadcast(idf6), Seq("token"))
       .withColumn("contrib6", round(col("idf6") *
         (col("tf") * lit(k1 + 1.0)) /
         (col("tf") + lit(k1) * (lit(1.0 - b) +
           lit(b) * col("dl") * col("n") / col("tot")))).cast("long"))
+      .select(col("token"), col("doc_id"), col("contrib6"))
+    val cand = impacts.join(broadcast(qterms), Seq("token"))
+      .filter(col("query_id") =!= col("doc_id"))
     val scored = cand.groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("contrib6")).as("score6"))
     Events.topKPerGroup(scored, Seq(col("query_id")),
@@ -1246,11 +1255,17 @@ object TextAnalysis {
         .groupBy(col("bucket"))
         .agg(sum(round((col("p6") - col("y6")) * col("x6") / lit(1e6))
           .cast("long")).as("g6"))
-      w = w.join(grad, "bucket")
-        .select(col("bucket"),
-          (col("w6") - round(lit(lr) * col("g6") / lit(n.toDouble))
-            .cast("long")).as("w6"))
-        .persistTracked()
+      // pinStage, not persist: each iteration's w references the
+      // previous w through BOTH the probability pass and the update
+      // join, so the logical plan grows exponentially in iters (the
+      // t38 formatted plan hit 55k lines at iters=4) and Catalyst
+      // replans it per query stage. The checkpoint of nBuckets+1
+      // rows truncates the recursion at metadata cost
+      w = graft.InternalCaches.pinStage(
+        w.join(grad, "bucket")
+          .select(col("bucket"),
+            (col("w6") - round(lit(lr) * col("g6") / lit(n.toDouble))
+              .cast("long")).as("w6")))
     }
     feats.join(broadcast(w), "bucket")
       .groupBy(col("doc_id"))
@@ -1311,11 +1326,17 @@ object TextAnalysis {
         .groupBy(col("bucket"))
         .agg(sum(round((col("p6") - col("y6")) * col("x6") / lit(1e6))
           .cast("long")).as("g6"))
-      w = w.join(grad, "bucket")
-        .select(col("bucket"),
-          (col("w6") - round(lit(lr) * col("g6") / lit(n.toDouble))
-            .cast("long")).as("w6"))
-        .persistTracked()
+      // pinStage, not persist: each iteration's w references the
+      // previous w through BOTH the probability pass and the update
+      // join, so the logical plan grows exponentially in iters (the
+      // t38 formatted plan hit 55k lines at iters=4) and Catalyst
+      // replans it per query stage. The checkpoint of nBuckets+1
+      // rows truncates the recursion at metadata cost
+      w = graft.InternalCaches.pinStage(
+        w.join(grad, "bucket")
+          .select(col("bucket"),
+            (col("w6") - round(lit(lr) * col("g6") / lit(n.toDouble))
+              .cast("long")).as("w6")))
     }
     w
   }
